@@ -1,0 +1,427 @@
+package graft.agg
+
+import graft.core._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.{AbstractDataType, TypeCollection}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst aggregate wrappers for the graft sketch kernels.
+  *
+  * Each sketch follows the monoid contract of the reference
+  * (add / merge / serialize, SURVEY.md §0), which is exactly the
+  * TypedImperativeAggregate lifecycle: createAggregationBuffer → per-partition
+  * update → serialize → shuffle → merge → eval. Spark plans these through
+  * ObjectHashAggregateExec with partial aggregation, so per-executor state is
+  * O(groups × sketch size) — row-count independent — which is what makes the
+  * design hold at 100 TB (SURVEY.md §7.4 item 9). Spill safety comes from the
+  * sort-based fallback (spark.sql.objectHashAggregate.sortBased.fallbackThreshold).
+  */
+object StatsStruct {
+  val schema: StructType = StructType(Seq(
+    StructField("count", LongType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("min", DoubleType, nullable = false),
+    StructField("max", DoubleType, nullable = false),
+    StructField("m2", DoubleType, nullable = false),
+    StructField("m3", DoubleType, nullable = false),
+    StructField("m4", DoubleType, nullable = false),
+    StructField("homogeneous", BooleanType, nullable = false),
+    StructField("first_value", DoubleType, nullable = false)))
+
+  def toRow(s: MomentsSketch): InternalRow = {
+    val r = new GenericInternalRow(9)
+    r.setLong(0, s.count); r.setDouble(1, s.sum)
+    r.setDouble(2, s.minOrNaN); r.setDouble(3, s.maxOrNaN)
+    r.setDouble(4, s.m2); r.setDouble(5, s.m3); r.setDouble(6, s.m4)
+    r.setBoolean(7, s.homogeneous); r.setDouble(8, s.firstValue)
+    r
+  }
+
+  def fromRow(r: InternalRow): MomentsSketch = {
+    val s = new MomentsSketch
+    s.count = r.getLong(0); s.sum = r.getDouble(1)
+    val mn = r.getDouble(2); val mx = r.getDouble(3)
+    s.min = if (java.lang.Double.isNaN(mn)) Double.MaxValue else mn
+    s.max = if (java.lang.Double.isNaN(mx)) Double.NegativeInfinity else mx
+    s.m2 = r.getDouble(4); s.m3 = r.getDouble(5); s.m4 = r.getDouble(6)
+    s.homogeneous = r.getBoolean(7); s.firstValue = r.getDouble(8)
+    s
+  }
+}
+
+/** summary_stats(x[, count]) → moments struct (reference SummaryStats,
+  * crick/stats.pyx; X1–X14 in SURVEY.md §2.3). */
+case class SummaryStatsAgg(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MomentsSketch]
+  with BinaryLike[Expression] with ImplicitCastInputTypes {
+
+  def this(child: Expression) = this(child, Literal(1L))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+  override def dataType: DataType = StatsStruct.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "summary_stats"
+
+  override def createAggregationBuffer(): MomentsSketch = new MomentsSketch
+
+  override def update(buf: MomentsSketch, input: InternalRow): MomentsSketch = {
+    val v = left.eval(input)
+    if (v != null) {
+      val w = right.eval(input)
+      if (w != null) {
+        val c = w.asInstanceOf[Long]
+        if (c <= 0) throw new IllegalArgumentException("count must be > 0")
+        buf.add(v.asInstanceOf[Double], c)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: MomentsSketch, b2: MomentsSketch): MomentsSketch = {
+    b1.merge(b2); b1
+  }
+
+  override def eval(buf: MomentsSketch): Any = StatsStruct.toRow(buf)
+  override def serialize(buf: MomentsSketch): Array[Byte] = buf.serialize()
+  override def deserialize(b: Array[Byte]): MomentsSketch = MomentsSketch.deserialize(b)
+
+  override def withNewMutableAggBufferOffset(n: Int): SummaryStatsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SummaryStatsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SummaryStatsAgg =
+    copy(left = l, right = r)
+}
+
+/** stats_merge_agg(stats_struct) → moments struct: re-aggregates stored
+  * summary_stats structs (partial→final parity; reference merge X5). */
+case class StatsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MomentsSketch] with UnaryLike[Expression] {
+
+  override def dataType: DataType = StatsStruct.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "stats_merge_agg"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s: StructType if s.length == 9 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "stats_merge_agg expects a summary_stats struct")
+    }
+
+  override def createAggregationBuffer(): MomentsSketch = new MomentsSketch
+
+  override def update(buf: MomentsSketch, input: InternalRow): MomentsSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(StatsStruct.fromRow(v.asInstanceOf[InternalRow]))
+    buf
+  }
+
+  override def merge(b1: MomentsSketch, b2: MomentsSketch): MomentsSketch = {
+    b1.merge(b2); b1
+  }
+  override def eval(buf: MomentsSketch): Any = StatsStruct.toRow(buf)
+  override def serialize(buf: MomentsSketch): Array[Byte] = buf.serialize()
+  override def deserialize(b: Array[Byte]): MomentsSketch = MomentsSketch.deserialize(b)
+  override def withNewMutableAggBufferOffset(n: Int): StatsMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): StatsMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): StatsMergeAgg =
+    copy(child = c)
+}
+
+/** tdigest(x[, w][, compression]) → serialized t-digest sketch (BinaryType).
+  * Reference TDigest construct/add/update (T1–T4, SURVEY.md §2.1). */
+case class TDigestAgg(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest]
+  with TernaryLike[Expression] with ImplicitCastInputTypes {
+
+  def this(child: Expression) = this(child, Literal(1.0), Literal(100.0))
+  def this(child: Expression, weight: Expression) = this(child, weight, Literal(100.0))
+
+  private lazy val compression: Double =
+    third.eval().asInstanceOf[Number].doubleValue()
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "tdigest"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "compression must be a constant")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): TDigest = TDigest(compression)
+
+  override def update(buf: TDigest, input: InternalRow): TDigest = {
+    val v = first.eval(input)
+    if (v != null) {
+      val w = second.eval(input)
+      if (w != null) {
+        val wd = w.asInstanceOf[Double]
+        // reference contract: w must be finite and > 0 (tdigest.pyx:278-279)
+        if (wd <= 0 || java.lang.Double.isInfinite(wd) || java.lang.Double.isNaN(wd))
+          throw new IllegalArgumentException("weight must be finite and > 0")
+        buf.add(v.asInstanceOf[Double], wd)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: TDigest, b2: TDigest): TDigest = { b1.merge(b2); b1 }
+  override def eval(buf: TDigest): Any = buf.serialize()
+  override def serialize(buf: TDigest): Array[Byte] = buf.serialize()
+  override def deserialize(b: Array[Byte]): TDigest = TDigest.deserialize(b)
+
+  override def withNewMutableAggBufferOffset(n: Int): TDigestAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TDigestAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): TDigestAgg =
+    copy(first = f, second = s, third = t)
+}
+
+/** Mutable holder so merge-aggregates can adopt parameters (compression,
+  * capacity, key type) from the first sketch they see. */
+final class TDigestHolder(var t: TDigest)
+
+/** tdigest_merge_agg(sketch_col) → merged sketch: re-aggregates stored
+  * t-digest sketch columns (reference merge T11). */
+case class TDigestMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestHolder]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tdigest_merge_agg"
+
+  override def createAggregationBuffer(): TDigestHolder = new TDigestHolder(null)
+
+  override def update(buf: TDigestHolder, input: InternalRow): TDigestHolder = {
+    val v = child.eval(input)
+    if (v != null) {
+      val other = TDigest.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf.t == null) buf.t = other // fresh object owned by the buffer
+      else buf.t.merge(other)
+    }
+    buf
+  }
+
+  override def merge(b1: TDigestHolder, b2: TDigestHolder): TDigestHolder = {
+    if (b2.t != null) {
+      if (b1.t == null) b1.t = b2.t
+      else b1.t.merge(b2.t)
+    }
+    b1
+  }
+
+  override def eval(buf: TDigestHolder): Any =
+    if (buf.t == null) null else buf.t.serialize()
+  override def serialize(buf: TDigestHolder): Array[Byte] =
+    if (buf.t == null) Array.emptyByteArray else buf.t.serialize()
+  override def deserialize(b: Array[Byte]): TDigestHolder =
+    new TDigestHolder(if (b.isEmpty) null else TDigest.deserialize(b))
+
+  override def withNewMutableAggBufferOffset(n: Int): TDigestMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TDigestMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): TDigestMergeAgg =
+    copy(child = c)
+}
+
+object SpaceSavingAgg {
+  /** serialized-sketch key-type tag from the (implicitly cast) item type */
+  def tagFor(dt: DataType): Byte = dt match {
+    case LongType => SpaceSaving.TagLong
+    case DoubleType => SpaceSaving.TagDouble
+    case StringType => SpaceSaving.TagString
+    case other => throw new IllegalArgumentException(s"unsupported item type $other")
+  }
+}
+
+/** ss_topk_agg(item[, count][, capacity]) → serialized Space-Saving sketch.
+  * Item dtypes mirror the reference's int64 / float64(bit-cast) / object
+  * arms (space_saving.pyx:179-198) as Long / Double / String. */
+case class SpaceSavingAgg(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBase]
+  with TernaryLike[Expression] with ImplicitCastInputTypes {
+
+  def this(item: Expression) = this(item, Literal(1L), Literal(20))
+  def this(item: Expression, count: Expression) = this(item, count, Literal(20))
+
+  private lazy val capacity: Int = third.eval().asInstanceOf[Number].intValue()
+  private lazy val tag: Byte = SpaceSavingAgg.tagFor(first.dataType)
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(LongType, DoubleType, StringType), LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "ss_topk_agg"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!third.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "capacity must be a constant")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): SpaceSavingBase = {
+    if (capacity <= 0) throw new IllegalArgumentException("capacity must be > 0")
+    if (tag == SpaceSaving.TagString) new SpaceSavingObj(capacity)
+    else new SpaceSavingLong(capacity)
+  }
+
+  override def update(buf: SpaceSavingBase, input: InternalRow): SpaceSavingBase = {
+    val v = first.eval(input)
+    if (v != null) {
+      val w = second.eval(input)
+      if (w != null) {
+        val c = w.asInstanceOf[Long]
+        if (c <= 0) throw new IllegalArgumentException("count must be > 0")
+        tag match {
+          case SpaceSaving.TagLong =>
+            buf.asInstanceOf[SpaceSavingLong].add(v.asInstanceOf[Long], c)
+          case SpaceSaving.TagDouble =>
+            buf.asInstanceOf[SpaceSavingLong]
+              .add(SpaceSaving.doubleKey(v.asInstanceOf[Double]), c)
+          case _ =>
+            buf.asInstanceOf[SpaceSavingObj].add(v.asInstanceOf[UTF8String].toString, c)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: SpaceSavingBase, b2: SpaceSavingBase): SpaceSavingBase = {
+    (b1, b2) match {
+      case (a: SpaceSavingLong, b: SpaceSavingLong) => a.merge(b)
+      case (a: SpaceSavingObj, b: SpaceSavingObj) => a.merge(b)
+      case _ => throw new IllegalStateException("mismatched space-saving buffers")
+    }
+    b1
+  }
+
+  override def eval(buf: SpaceSavingBase): Any = serialize(buf)
+  override def serialize(buf: SpaceSavingBase): Array[Byte] = buf match {
+    case a: SpaceSavingLong => a.serialize(tag)
+    case a: SpaceSavingObj => a.serialize(tag)
+  }
+  override def deserialize(b: Array[Byte]): SpaceSavingBase =
+    if (SpaceSaving.deserializeTag(b) == SpaceSaving.TagString) SpaceSaving.deserializeObj(b)
+    else SpaceSaving.deserializeLong(b)
+
+  override def withNewMutableAggBufferOffset(n: Int): SpaceSavingAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SpaceSavingAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SpaceSavingAgg =
+    copy(first = f, second = s, third = t)
+}
+
+final class SSHolder(var tag: Byte, var s: SpaceSavingBase)
+
+/** ss_merge_agg(sketch_col) → merged Space-Saving sketch (Cafaro merge S8). */
+case class SpaceSavingMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SSHolder]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ss_merge_agg"
+
+  override def createAggregationBuffer(): SSHolder = new SSHolder(-1, null)
+
+  private def parse(b: Array[Byte]): (Byte, SpaceSavingBase) = {
+    val tag = SpaceSaving.deserializeTag(b)
+    val s: SpaceSavingBase =
+      if (tag == SpaceSaving.TagString) SpaceSaving.deserializeObj(b)
+      else SpaceSaving.deserializeLong(b)
+    (tag, s)
+  }
+
+  private def mergeInto(h: SSHolder, tag: Byte, other: SpaceSavingBase): Unit = {
+    if (h.s == null) { h.tag = tag; h.s = other }
+    else {
+      require(h.tag == tag, "All arguments to merge must have same dtype")
+      (h.s, other) match {
+        case (a: SpaceSavingLong, b: SpaceSavingLong) => a.merge(b)
+        case (a: SpaceSavingObj, b: SpaceSavingObj) => a.merge(b)
+        case _ => throw new IllegalStateException("mismatched space-saving buffers")
+      }
+    }
+  }
+
+  override def update(buf: SSHolder, input: InternalRow): SSHolder = {
+    val v = child.eval(input)
+    if (v != null) {
+      val (tag, s) = parse(v.asInstanceOf[Array[Byte]])
+      mergeInto(buf, tag, s)
+    }
+    buf
+  }
+
+  override def merge(b1: SSHolder, b2: SSHolder): SSHolder = {
+    if (b2.s != null) mergeInto(b1, b2.tag, b2.s)
+    b1
+  }
+
+  override def eval(buf: SSHolder): Any =
+    if (buf.s == null) null else serialize(buf)
+  override def serialize(buf: SSHolder): Array[Byte] =
+    if (buf.s == null) Array.emptyByteArray
+    else buf.s match {
+      case a: SpaceSavingLong => a.serialize(buf.tag)
+      case a: SpaceSavingObj => a.serialize(buf.tag)
+    }
+  override def deserialize(b: Array[Byte]): SSHolder =
+    if (b.isEmpty) new SSHolder(-1, null)
+    else { val (t, s) = parse(b); new SSHolder(t, s) }
+
+  override def withNewMutableAggBufferOffset(n: Int): SpaceSavingMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SpaceSavingMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): SpaceSavingMergeAgg =
+    copy(child = c)
+}

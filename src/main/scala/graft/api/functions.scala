@@ -1,0 +1,199 @@
+package graft.api
+
+import graft.agg._
+import graft.expr._
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.graftshim.{toColumn, toExpr}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+
+/** Column DSL mirroring org.apache.spark.sql.functions for the graft sketch
+  * library, plus SQL registration. Stats finishers are plain column
+  * arithmetic over the summary_stats struct — fully codegen'd by Catalyst,
+  * no custom expression in the hot path. */
+object functions {
+  private def agg(e: Expression): Column =
+    toColumn(e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction]
+      .toAggregateExpression())
+
+  // ---- SummaryStats (X1–X14) ----
+  def summary_stats(x: Column): Column = agg(new SummaryStatsAgg(toExpr(x)))
+  def summary_stats(x: Column, count: Column): Column =
+    agg(SummaryStatsAgg(toExpr(x), toExpr(count)))
+  def stats_merge_agg(statsStruct: Column): Column =
+    agg(StatsMergeAgg(toExpr(statsStruct)))
+
+  /** Finishers over the summary_stats struct (codegen'd column arithmetic). */
+  def stats_count(s: Column): Column = s("count")
+  def stats_sum(s: Column): Column = s("sum")
+  def stats_min(s: Column): Column = s("min")
+  def stats_max(s: Column): Column = s("max")
+  def stats_mean(s: Column): Column =
+    when(s("count") === 0L, lit(Double.NaN)).otherwise(s("sum") / s("count"))
+  /** var with arbitrary integer ddof (stats_stubs.c:103-105). */
+  def stats_var(s: Column, ddof: Int = 0): Column =
+    when(s("count") === 0L, lit(Double.NaN)).otherwise(s("m2") / (s("count") - lit(ddof)))
+  def stats_std(s: Column, ddof: Int = 0): Column = sqrt(stats_var(s, ddof))
+
+  /** Skewness with bias option (stats_stubs.c:113-123). */
+  def stats_skew(s: Column, bias: Boolean = true): Column = {
+    val n = s("count").cast(DoubleType)
+    val m2 = s("m2") / n
+    val m3 = s("m3") / n
+    val g1 = when(m2 === 0.0, 0.0).otherwise(m3 / (sqrt(m2) * m2))
+    val res =
+      if (bias) g1
+      else when(n > 2 && m2 > 0, sqrt((n - 1) * n) / (n - 2) * g1).otherwise(g1)
+    when(s("homogeneous"), lit(Double.NaN)).otherwise(res)
+  }
+
+  /** Kurtosis with fisher/bias options (stats_stubs.c:126-136). */
+  def stats_kurt(s: Column, fisher: Boolean = true, bias: Boolean = true): Column = {
+    val n = s("count").cast(DoubleType)
+    val m2 = s("m2") / n
+    val m4 = s("m4") / n
+    val g2 = when(m2 === 0.0, 0.0).otherwise(m4 / (m2 * m2))
+    val corrected =
+      if (bias) g2
+      else when(n > 3 && m2 > 0,
+        ((n * n - 1) * g2 - lit(9) * n + 15) / ((n - 2) * (n - 3))).otherwise(g2)
+    val res = if (fisher) corrected - 3.0 else corrected
+    when(s("homogeneous"), lit(Double.NaN)).otherwise(res)
+  }
+
+  // ---- TDigest (T1–T13) ----
+  def tdigest(x: Column): Column = agg(new TDigestAgg(toExpr(x)))
+  def tdigest(x: Column, w: Column): Column = agg(new TDigestAgg(toExpr(x), toExpr(w)))
+  def tdigest(x: Column, w: Column, compression: Double): Column =
+    agg(TDigestAgg(toExpr(x), toExpr(w), Literal(compression)))
+  def tdigest_merge_agg(sketch: Column): Column = agg(TDigestMergeAgg(toExpr(sketch)))
+
+  def tdigest_quantile(sketch: Column, q: Double): Column =
+    toColumn(TDigestQuantile(toExpr(sketch), Literal(q)))
+  def tdigest_quantile(sketch: Column, q: Column): Column =
+    toColumn(TDigestQuantile(toExpr(sketch), toExpr(q)))
+  def tdigest_quantiles(sketch: Column, qs: Seq[Double]): Column =
+    toColumn(TDigestQuantiles(toExpr(sketch), toExpr(array(qs.map(lit): _*))))
+  def tdigest_cdf(sketch: Column, x: Column): Column =
+    toColumn(TDigestCdf(toExpr(sketch), toExpr(x)))
+  def tdigest_cdfs(sketch: Column, xs: Column): Column =
+    toColumn(TDigestCdfs(toExpr(sketch), toExpr(xs)))
+  def tdigest_histogram(sketch: Column, bins: Int): Column =
+    toColumn(TDigestHistogram(toExpr(sketch), Literal(bins)))
+  def tdigest_histogram_at(sketch: Column, edges: Column): Column =
+    toColumn(TDigestHistogramAt(toExpr(sketch), toExpr(edges)))
+  def tdigest_scale(sketch: Column, factor: Double): Column =
+    toColumn(TDigestScale(toExpr(sketch), Literal(factor)))
+  def tdigest_centroids(sketch: Column): Column =
+    toColumn(TDigestCentroids(toExpr(sketch)))
+  def tdigest_size(sketch: Column): Column = toColumn(TDigestStat(toExpr(sketch), "size"))
+  def tdigest_min(sketch: Column): Column = toColumn(TDigestStat(toExpr(sketch), "min"))
+  def tdigest_max(sketch: Column): Column = toColumn(TDigestStat(toExpr(sketch), "max"))
+
+  // ---- SpaceSaving (S1–S10) ----
+  def ss_topk_agg(item: Column): Column = agg(new SpaceSavingAgg(toExpr(item)))
+  def ss_topk_agg(item: Column, count: Column): Column =
+    agg(new SpaceSavingAgg(toExpr(item), toExpr(count)))
+  def ss_topk_agg(item: Column, count: Column, capacity: Int): Column =
+    agg(SpaceSavingAgg(toExpr(item), toExpr(count), Literal(capacity)))
+  def ss_merge_agg(sketch: Column): Column = agg(SpaceSavingMergeAgg(toExpr(sketch)))
+
+  def ss_topk_long(sketch: Column, k: Int): Column =
+    toColumn(SSTopK(toExpr(sketch), Literal(k), LongType))
+  def ss_topk_double(sketch: Column, k: Int): Column =
+    toColumn(SSTopK(toExpr(sketch), Literal(k), DoubleType))
+  def ss_topk_string(sketch: Column, k: Int): Column =
+    toColumn(SSTopK(toExpr(sketch), Literal(k), StringType))
+  def ss_size(sketch: Column): Column = toColumn(SSSize(toExpr(sketch)))
+}
+
+/** SQL registration of every graft function, for spark.sql(...) use.
+  * Idempotent; callable on any session. */
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  private def aggB(f: Seq[Expression] => Expression): Builder =
+    es => f(es).asInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction]
+      .toAggregateExpression()
+
+  /** Arity accepted by each SQL function, for clean WRONG_NUM_ARGS errors. */
+  private val arities: Map[String, Seq[Int]] = Map(
+    "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
+    "ss_topk_agg" -> Seq(1, 2, 3)
+  ).withDefault {
+    case n if n.endsWith("_merge_agg") || n == "ss_size" || n == "tdigest_centroids" ||
+              n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" => Seq(1)
+    case _ => Seq(2)
+  }
+
+  private[api] def checkedBuilder(name: String, b: Builder): Builder = checked(name, b)
+
+  private def checked(name: String, b: Builder): Builder = es => {
+    val ok = arities(name)
+    if (!ok.contains(es.length))
+      throw org.apache.spark.sql.graftshim.wrongNumArgs(name, ok, es.length)
+    b(es)
+  }
+
+  val builders: Seq[(String, Builder)] = Seq(
+    "summary_stats" -> aggB {
+      case Seq(x) => new SummaryStatsAgg(x)
+      case Seq(x, c) => SummaryStatsAgg(x, c)
+      case es => throw new IllegalArgumentException(s"summary_stats takes 1-2 args, got ${es.length}")
+    },
+    "stats_merge_agg" -> aggB { case Seq(s) => StatsMergeAgg(s) },
+    "tdigest" -> aggB {
+      case Seq(x) => new TDigestAgg(x)
+      case Seq(x, w) => new TDigestAgg(x, w)
+      case Seq(x, w, c) => TDigestAgg(x, w, c)
+      case es => throw new IllegalArgumentException(s"tdigest takes 1-3 args, got ${es.length}")
+    },
+    "tdigest_merge_agg" -> aggB { case Seq(s) => TDigestMergeAgg(s) },
+    "ss_topk_agg" -> aggB {
+      case Seq(i) => new SpaceSavingAgg(i)
+      case Seq(i, c) => new SpaceSavingAgg(i, c)
+      case Seq(i, c, cap) => SpaceSavingAgg(i, c, cap)
+      case es => throw new IllegalArgumentException(s"ss_topk_agg takes 1-3 args, got ${es.length}")
+    },
+    "ss_merge_agg" -> aggB { case Seq(s) => SpaceSavingMergeAgg(s) },
+    "tdigest_quantile" -> { case Seq(s, q) => TDigestQuantile(s, q) },
+    "tdigest_quantiles" -> { case Seq(s, q) => TDigestQuantiles(s, q) },
+    "tdigest_cdf" -> { case Seq(s, x) => TDigestCdf(s, x) },
+    "tdigest_cdfs" -> { case Seq(s, x) => TDigestCdfs(s, x) },
+    "tdigest_histogram" -> { case Seq(s, b) => TDigestHistogram(s, b) },
+    "tdigest_histogram_at" -> { case Seq(s, e) => TDigestHistogramAt(s, e) },
+    "tdigest_scale" -> { case Seq(s, f) => TDigestScale(s, f) },
+    "tdigest_centroids" -> { case Seq(s) => TDigestCentroids(s) },
+    "tdigest_size" -> { case Seq(s) => TDigestStat(s, "size") },
+    "tdigest_min" -> { case Seq(s) => TDigestStat(s, "min") },
+    "tdigest_max" -> { case Seq(s) => TDigestStat(s, "max") },
+    "ss_topk" -> { case Seq(s, k) => SSTopK(s, k, LongType) },
+    "ss_topk_long" -> { case Seq(s, k) => SSTopK(s, k, LongType) },
+    "ss_topk_double" -> { case Seq(s, k) => SSTopK(s, k, DoubleType) },
+    "ss_topk_string" -> { case Seq(s, k) => SSTopK(s, k, StringType) },
+    "ss_size" -> { case Seq(s) => SSSize(s) }
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, checked(name, b), "scala_udf")
+    }
+  }
+}
+
+/** SparkSessionExtensions entry point:
+  * spark.sql.extensions=graft.api.GraftExtensions */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(classOf[GraftExtensions].getName, name),
+        GraftFunctions.checkedBuilder(name, b)))
+    }
+  }
+}

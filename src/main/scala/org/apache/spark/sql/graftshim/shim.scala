@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between the public Column API and Catalyst expressions.
+  * Lives inside org.apache.spark.sql to reach the private[sql]
+  * classic.ExpressionUtils converters introduced in Spark 4.x. */
+package object graftshim {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  // private[sql] in Spark 4; re-exported for graft's expression definitions
+  type AbstractDataType = types.AbstractDataType
+  val TypeCollection = types.TypeCollection
+
+  /** Proper [WRONG_NUM_ARGS] AnalysisException for SQL builders (instead of
+    * a MatchError surfacing as Spark INTERNAL_ERROR). */
+  def wrongNumArgs(name: String, expected: Seq[Int], actual: Int): Throwable =
+    errors.QueryCompilationErrors.wrongNumArgsError(name, expected.map(_.toString), actual)
+}
