@@ -1,13 +1,278 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator family from SURVEY.md §2 exercised
+  * end-to-end (parquet scan → partial agg → shuffle → final merge → finisher).
+  * Exact-result queries carry a DuckDB oracle in `oracleSql` (column names and
+  * row order aligned on both sides); approximate queries (tdigest quantile/cdf,
+  * histogram mass) are rows-only here and tolerance-checked in ScalaTest.
+  *
+  * Floating-point policy: quantities and counts compare exactly. One-pass
+  * moment results (var/std/skew/kurt) and double sums are rounded on BOTH
+  * sides to a number of decimals that is far coarser than fp accumulation
+  * drift (~1e-9 relative) but far finer than any real bug would produce.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    li.groupBy("l_returnflag")
+      .agg(gf.tdigest(col("l_quantity")).as("d"))
+      .select(col("l_returnflag"),
+        gf.tdigest_quantile(col("d"), 0.5).as("p50"),
+        gf.tdigest_size(col("d")).as("n"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- SummaryStats family (X1–X14) ----
+    "q01_stats_global" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(gf.summary_stats(col("l_quantity")).as("st"))
+        .select(
+          gf.stats_count(col("st")).as("cnt"),
+          gf.stats_sum(col("st")).as("sum_qty"),
+          gf.stats_min(col("st")).as("min_qty"),
+          gf.stats_max(col("st")).as("max_qty"),
+          gf.stats_mean(col("st")).as("avg_qty"))
+    }),
+    "q02_dispersion" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(gf.summary_stats(col("l_extendedprice")).as("st"))
+        .select(
+          round(gf.stats_var(col("st"), 0) / 1e6, 6).as("var_pop_m"),
+          round(gf.stats_var(col("st"), 1) / 1e6, 6).as("var_samp_m"),
+          round(gf.stats_std(col("st"), 0), 4).as("std_pop"),
+          round(gf.stats_std(col("st"), 1), 4).as("std_samp"))
+    }),
+    "q03_shape" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(gf.summary_stats(col("l_extendedprice")).as("st"))
+        .select(
+          round(gf.stats_skew(col("st")), 6).as("skew_biased"),
+          round(gf.stats_kurt(col("st")), 6).as("kurt_fisher_biased"))
+    }),
+    "q04_stats_grouped" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(gf.summary_stats(col("l_quantity")).as("st"))
+        .select(
+          col("l_returnflag"),
+          gf.stats_count(col("st")).as("cnt"),
+          gf.stats_sum(col("st")).as("sum_qty"),
+          gf.stats_min(col("st")).as("min_qty"),
+          gf.stats_max(col("st")).as("max_qty"),
+          gf.stats_mean(col("st")).as("avg_qty"),
+          round(gf.stats_var(col("st"), 1), 4).as("var_samp"))
+        .orderBy("l_returnflag")
+    }),
+    "q05_stats_weighted" -> ((s, dir) => {
+      // weight = repeat count: summary_stats(x, w) ≡ stats over x repeated w×
+      t(s, dir, "lineitem")
+        .agg(gf.summary_stats(col("l_extendedprice"),
+          col("l_quantity").cast("long")).as("st"))
+        .select(
+          gf.stats_count(col("st")).as("wcnt"),
+          round(gf.stats_mean(col("st")), 4).as("wavg"))
+    }),
+    "q06_stats_merge_reagg" -> ((s, dir) => {
+      // two-level: per-group stats structs re-aggregated to the global sketch
+      val per = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(gf.summary_stats(col("l_quantity")).as("st"))
+      per.agg(gf.stats_merge_agg(col("st")).as("m"))
+        .select(
+          gf.stats_count(col("m")).as("cnt"),
+          gf.stats_sum(col("m")).as("sum_qty"),
+          gf.stats_min(col("m")).as("min_qty"),
+          gf.stats_max(col("m")).as("max_qty"))
+    }),
+    "q07_stats_customer" -> ((s, dir) => {
+      t(s, dir, "customer").groupBy("c_mktsegment")
+        .agg(gf.summary_stats(col("c_acctbal")).as("st"))
+        .select(
+          col("c_mktsegment"),
+          gf.stats_count(col("st")).as("cnt"),
+          gf.stats_min(col("st")).as("min_bal"),
+          gf.stats_max(col("st")).as("max_bal"),
+          round(gf.stats_mean(col("st")), 6).as("avg_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- TDigest family (T1–T13) ----
+    "q10_tdigest_exact_fields" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(gf.tdigest(col("l_extendedprice")).as("d"))
+        .select(
+          col("l_returnflag"),
+          gf.tdigest_size(col("d")).as("cnt"),
+          gf.tdigest_min(col("d")).as("min_price"),
+          gf.tdigest_max(col("d")).as("max_price"))
+        .orderBy("l_returnflag")
+    }),
+    "q11_tdigest_quantiles" -> ((s, dir) => {
+      // approximate: rows-only gate; accuracy asserted in ScalaTest (q-space)
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(gf.tdigest(col("l_extendedprice")).as("d"))
+        .select(col("l_returnflag"),
+          gf.tdigest_quantiles(col("d"), (1 to 9).map(_ / 10.0)).as("deciles"))
+        .orderBy("l_returnflag")
+    }),
+    "q12_tdigest_cdf" -> ((s, dir) => {
+      t(s, dir, "orders").agg(gf.tdigest(col("o_totalprice")).as("d"))
+        .select(gf.tdigest_cdfs(col("d"),
+          array(Seq(10000.0, 50000.0, 100000.0, 200000.0, 400000.0).map(lit): _*))
+          .as("cdfs"))
+    }),
+    "q13_tdigest_weighted" -> ((s, dir) => {
+      // weighted ingest: total weight must equal sum(l_quantity) exactly
+      t(s, dir, "lineitem")
+        .agg(gf.tdigest(col("l_extendedprice"), col("l_quantity")).as("d"))
+        .select(gf.tdigest_size(col("d")).as("total_weight"))
+    }),
+    "q14_tdigest_histogram" -> ((s, dir) => {
+      // exact pieces of T7: Σhist == row count, first/last edge == min/max
+      t(s, dir, "orders").agg(gf.tdigest(col("o_totalprice")).as("d"))
+        .select(gf.tdigest_histogram(col("d"), 20).as("h"))
+        .select(
+          round(aggregate(col("h.hist"), lit(0.0), _ + _), 6).as("mass"),
+          col("h.edges").getItem(0).as("lo_edge"),
+          col("h.edges").getItem(20).as("hi_edge"))
+    }),
+    "q15_tdigest_persist_roundtrip" -> ((s, dir) => {
+      // sketch column → parquet → read back → merge-agg (Q12 in SURVEY §2.5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(gf.tdigest(col("l_quantity")).as("d"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).agg(gf.tdigest_merge_agg(col("d")).as("m"))
+        .select(
+          gf.tdigest_size(col("m")).as("cnt"),
+          gf.tdigest_min(col("m")).as("min_qty"),
+          gf.tdigest_max(col("m")).as("max_qty"))
+    }),
+
+    // ---- SpaceSaving family (S1–S10) ----
+    "q20_topk_partkey" -> ((s, dir) => {
+      // capacity 4096 ≥ distinct part keys at sf≤0.01 → counts are exact;
+      // deterministic tie-break (count desc, item asc) on both sides
+      t(s, dir, "lineitem")
+        .agg(gf.ss_topk_agg(col("l_partkey"), lit(1L), 4096).as("sk"))
+        .select(explode(gf.ss_topk_long(col("sk"), 4096)).as("c"))
+        .select(col("c.item").as("item"), col("c.count").as("cnt"))
+        .orderBy(desc("cnt"), asc("item"))
+        .limit(10)
+    }),
+    "q21_topk_events_grouped" -> ((s, dir) => {
+      // groupwise top-3 event_type per user cohort; string keys, exact at cap 64
+      val ev = t(s, dir, "events").withColumn("cohort", col("user_id") % 8)
+      val sk = ev.groupBy("cohort")
+        .agg(gf.ss_topk_agg(col("event_type"), lit(1L), 64).as("sk"))
+        .select(col("cohort"), explode(gf.ss_topk_string(col("sk"), 64)).as("c"))
+        .select(col("cohort"), col("c.item").as("item"), col("c.count").as("cnt"))
+      val w = Window.partitionBy("cohort").orderBy(desc("cnt"), asc("item"))
+      sk.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("cohort", "rank")
+    }),
+    "q22_topk_double_keys" -> ((s, dir) => {
+      // float64 item keys (bit-cast semantics, S1); l_discount has ~11 distinct
+      t(s, dir, "lineitem")
+        .agg(gf.ss_topk_agg(col("l_discount"), lit(1L), 64).as("sk"))
+        .select(explode(gf.ss_topk_double(col("sk"), 64)).as("c"))
+        .select(col("c.item").as("item"), col("c.count").as("cnt"))
+        .orderBy(desc("cnt"), asc("item"))
+        .limit(5)
+    }),
+    "q23_topk_weighted" -> ((s, dir) => {
+      // count-weighted updates: frequency by total quantity, not row count
+      t(s, dir, "lineitem")
+        .agg(gf.ss_topk_agg(col("l_suppkey"),
+          col("l_quantity").cast("long"), 1024).as("sk"))
+        .select(explode(gf.ss_topk_long(col("sk"), 1024)).as("c"))
+        .select(col("c.item").as("item"), col("c.count").as("cnt"))
+        .orderBy(desc("cnt"), asc("item"))
+        .limit(10)
+    }),
+    "q24_ss_persist_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
+      t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
+        .groupBy("cohort")
+        .agg(gf.ss_topk_agg(col("event_type"), lit(1L), 64).as("sk"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).agg(gf.ss_merge_agg(col("sk")).as("m"))
+        .select(explode(gf.ss_topk_string(col("m"), 64)).as("c"))
+        .select(col("c.item").as("item"), col("c.count").as("cnt"))
+        .orderBy(desc("cnt"), asc("item"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_stats_global" ->
+      """SELECT count(l_quantity) AS cnt, sum(l_quantity) AS sum_qty,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         avg(l_quantity) AS avg_qty FROM lineitem""",
+    "q02_dispersion" ->
+      """SELECT round(var_pop(l_extendedprice)/1e6, 6) AS var_pop_m,
+         round(var_samp(l_extendedprice)/1e6, 6) AS var_samp_m,
+         round(stddev_pop(l_extendedprice), 4) AS std_pop,
+         round(stddev_samp(l_extendedprice), 4) AS std_samp FROM lineitem""",
+    "q03_shape" ->
+      """SELECT round((sum(pow(l_extendedprice - mu, 3))/count(*))
+                 / pow(sum(pow(l_extendedprice - mu, 2))/count(*), 1.5), 6) AS skew_biased,
+         round((sum(pow(l_extendedprice - mu, 4))/count(*))
+                 / pow(sum(pow(l_extendedprice - mu, 2))/count(*), 2) - 3, 6) AS kurt_fisher_biased
+         FROM lineitem, (SELECT avg(l_extendedprice) AS mu FROM lineitem)""",
+    "q04_stats_grouped" ->
+      """SELECT l_returnflag, count(l_quantity) AS cnt, sum(l_quantity) AS sum_qty,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         avg(l_quantity) AS avg_qty, round(var_samp(l_quantity), 4) AS var_samp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q05_stats_weighted" ->
+      """SELECT cast(sum(cast(l_quantity AS bigint)) AS bigint) AS wcnt,
+         round(sum(l_extendedprice * cast(l_quantity AS bigint))
+               / sum(cast(l_quantity AS bigint)), 4) AS wavg FROM lineitem""",
+    "q06_stats_merge_reagg" ->
+      """SELECT count(l_quantity) AS cnt, sum(l_quantity) AS sum_qty,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty FROM lineitem""",
+    "q07_stats_customer" ->
+      """SELECT c_mktsegment, count(c_acctbal) AS cnt, min(c_acctbal) AS min_bal,
+         max(c_acctbal) AS max_bal, round(avg(c_acctbal), 6) AS avg_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q10_tdigest_exact_fields" ->
+      """SELECT l_returnflag, cast(count(*) AS double) AS cnt,
+         min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q13_tdigest_weighted" ->
+      "SELECT sum(l_quantity) AS total_weight FROM lineitem",
+    "q14_tdigest_histogram" ->
+      """SELECT round(cast(count(*) AS double), 6) AS mass,
+         min(o_totalprice) AS lo_edge, max(o_totalprice) AS hi_edge FROM orders""",
+    "q15_tdigest_persist_roundtrip" ->
+      """SELECT cast(count(*) AS double) AS cnt, min(l_quantity) AS min_qty,
+         max(l_quantity) AS max_qty FROM lineitem""",
+    "q20_topk_partkey" ->
+      """SELECT l_partkey AS item, count(*) AS cnt FROM lineitem
+         GROUP BY l_partkey ORDER BY cnt DESC, item LIMIT 10""",
+    "q21_topk_events_grouped" ->
+      """SELECT cohort, item, cnt, cast(rank AS int) AS rank FROM (
+           SELECT user_id % 8 AS cohort, event_type AS item, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY user_id % 8
+                                     ORDER BY count(*) DESC, event_type) AS rank
+           FROM events GROUP BY user_id % 8, event_type)
+         WHERE rank <= 3 ORDER BY cohort, rank""",
+    "q22_topk_double_keys" ->
+      """SELECT l_discount AS item, count(*) AS cnt FROM lineitem
+         GROUP BY l_discount ORDER BY cnt DESC, item LIMIT 5""",
+    "q23_topk_weighted" ->
+      """SELECT l_suppkey AS item, cast(sum(cast(l_quantity AS bigint)) AS bigint) AS cnt
+         FROM lineitem GROUP BY l_suppkey ORDER BY cnt DESC, item LIMIT 10""",
+    "q24_ss_persist_roundtrip" ->
+      """SELECT event_type AS item, count(*) AS cnt FROM events
+         GROUP BY event_type ORDER BY cnt DESC, item"""
+  )
 }
