@@ -198,6 +198,99 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("item"))
         .limit(10)
     }),
+    // ---- Training-data pipeline ops (dedup / text / similarity / media) ----
+    "q30_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = graft.ops.Dedup.exact(docs, "doc_id", "text")
+      deduped.agg(
+        count(lit(1)).as("kept"),
+        sum("doc_id").as("sum_ids"),
+        sum("n_chars").as("sum_chars"))
+    }),
+    "q31_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("source")
+        .agg(
+          sum(gf.token_count(col("text")).cast("long")).as("sum_tokens"),
+          round(avg(gf.token_count(col("text"))), 6).as("avg_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .orderBy("source")
+    }),
+    "q32_text_quality" -> ((s, dir) => {
+      val st = gf.text_stats(col("text"))
+      t(s, dir, "documents").groupBy("lang")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(avg(st.getField("n_tokens")), 6).as("avg_tokens"),
+          round(avg(st.getField("space_ratio")), 6).as("avg_space_ratio"),
+          round(avg(gf.quality_score(col("text"))), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
+    "q33_langid" -> ((s, dir) => {
+      // rows-only: fixture text is same-vocabulary word salad for all lang
+      // labels, so the real accuracy check lives in ScalaTest (OpsSpec)
+      t(s, dir, "documents").groupBy(gf.lang_id(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("cnt")).orderBy("pred_lang")
+    }),
+    "q34_minhash_pairs" -> ((s, dir) => {
+      // deterministic hash-based LSH (no RNG): stable result set; jaccard is
+      // the exact verified value. Bigram shingles keep the candidate set
+      // selective on the shared-vocabulary fixture text.
+      graft.ops.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("idA", "idB")
+    }),
+    "q35_simhash_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, maxHamming = 3, chunks = 4)
+        .orderBy("idA", "idB")
+    }),
+    "q36_fingerprints" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .agg(countDistinct(gf.doc_fingerprint(col("text"), 16)).as("distinct_fp"),
+          countDistinct(gf.simhash64(col("text"), 2)).as("distinct_simhash"))
+    }),
+    "q40_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    }),
+    "q41_ann_lsh" -> ((s, dir) => {
+      // approximate: rows-only; recall asserted in ScalaTest
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.lshTopK(
+          emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5,
+          bits = 4, tables = 16)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    }),
+    "q42_embed_nearpairs" -> ((s, dir) => {
+      graft.ops.Dedup.embeddingPairsExact(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("idA", "idB")
+    }),
+    "q50_media_pipeline" -> ((s, dir) => {
+      // binary payload plumbing: docs text → media table → stub decode →
+      // feature vectors; byte counts are oracle-checkable, features are not
+      val media = graft.media.Media.asMediaTable(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", "text/plain")
+      graft.media.Media.extractFeatures(media)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_bytes").cast("long")).as("sum_bytes"))
+    }),
+    "q51_media_features" -> ((s, dir) => {
+      // rows-only: stub features + similarity over them (full pipeline)
+      val media = graft.media.Media.asMediaTable(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", "text/plain")
+      val feats = graft.media.Media.extractFeatures(media)
+      feats.agg(round(avg(gf.vec_norm(col("features"))), 6).as("avg_feat_norm"))
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -273,6 +366,48 @@ object SparkEntry {
          FROM lineitem GROUP BY l_suppkey ORDER BY cnt DESC, item LIMIT 10""",
     "q24_ss_persist_roundtrip" ->
       """SELECT event_type AS item, count(*) AS cnt FROM events
-         GROUP BY event_type ORDER BY cnt DESC, item"""
+         GROUP BY event_type ORDER BY cnt DESC, item""",
+    "q30_dedup_exact" ->
+      """SELECT count(*) AS kept, cast(sum(doc_id) AS bigint) AS sum_ids,
+         cast(sum(n_chars) AS bigint) AS sum_chars FROM (
+           SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+           FROM documents
+           GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g')))""",
+    "q31_token_stats" ->
+      """SELECT source,
+         cast(sum(len(string_split(text, ' '))) AS bigint) AS sum_tokens,
+         round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+         cast(sum(length(text)) AS bigint) AS sum_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    "q32_text_quality" ->
+      """SELECT lang, count(*) AS cnt,
+         round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+         round(avg((length(text) - length(replace(text, ' ', '')))
+                   / cast(length(text) AS double)), 6) AS avg_space_ratio,
+         round(avg(round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6)), 6) AS avg_quality
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q40_ann_bruteforce" ->
+      """SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]), 6) AS cosine,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                          c.embedding::DOUBLE[]), 6) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q42_embed_nearpairs" ->
+      """SELECT a.vec_id AS idA, b.vec_id AS idB,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+         ORDER BY idA, idB""",
+    "q50_media_pipeline" ->
+      """SELECT count(*) AS cnt, cast(sum(length(text)) AS bigint) AS sum_bytes
+         FROM documents"""
   )
 }

@@ -108,6 +108,40 @@ object functions {
   def ss_topk_string(sketch: Column, k: Int): Column =
     toColumn(SSTopK(toExpr(sketch), Literal(k), StringType))
   def ss_size(sketch: Column): Column = toColumn(SSSize(toExpr(sketch)))
+
+  // ---- Text analysis (training-data pipeline ops) ----
+  def token_count(text: Column): Column = toColumn(TokenCount(toExpr(text)))
+  def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
+  def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
+  def doc_fingerprint(text: Column, window: Int): Column =
+    toColumn(DocFingerprint(toExpr(text), Literal(window)))
+  def minhash_signature(text: Column, shingleN: Int, numHashes: Int, seed: Long): Column =
+    toColumn(MinHashSignature(toExpr(text), Literal(shingleN), Literal(numHashes), Literal(seed)))
+  def simhash64(text: Column, shingleN: Int): Column =
+    toColumn(SimHash64(toExpr(text), Literal(shingleN)))
+  def ngram_jaccard(a: Column, b: Column, shingleN: Int): Column =
+    toColumn(NgramJaccard(toExpr(a), toExpr(b), Literal(shingleN)))
+
+  /** Composite [0,1] quality score over text_stats fields: penalizes very
+    * short/long docs, low alpha ratio, high punct/digit ratios, extreme
+    * token lengths. Pure codegen'd column arithmetic over the struct. */
+  def quality_score(text: Column): Column = {
+    val s = text_stats(text)
+    val lenScore = least(s("n_tokens") / lit(20.0), lit(1.0)) *
+      when(s("n_chars") > 20000, 0.5).otherwise(1.0)
+    val alphaScore = s("alpha_ratio") / greatest(s("alpha_ratio") + s("punct_ratio") + s("digit_ratio"), lit(1e-9))
+    val tokLenScore = when(s("avg_token_len").between(2.0, 12.0), 1.0).otherwise(0.5)
+    round(least(greatest(lenScore * alphaScore * tokLenScore, lit(0.0)), lit(1.0)), 6)
+  }
+
+  // ---- Vector / similarity (embedding ops) ----
+  def vec_dot(a: Column, b: Column): Column = toColumn(VecDot(toExpr(a), toExpr(b)))
+  def vec_cosine(a: Column, b: Column): Column = toColumn(VecCosine(toExpr(a), toExpr(b)))
+  def vec_norm(a: Column): Column = toColumn(VecNorm(toExpr(a)))
+  def srp_signature(vec: Column, bits: Int, seed: Column): Column =
+    toColumn(SrpSignature(toExpr(vec), Literal(bits), toExpr(seed)))
+  def srp_signature(vec: Column, bits: Int, seed: Long): Column =
+    srp_signature(vec, bits, lit(seed))
 }
 
 /** SQL registration of every graft function, for spark.sql(...) use.
@@ -122,10 +156,13 @@ object GraftFunctions {
   /** Arity accepted by each SQL function, for clean WRONG_NUM_ARGS errors. */
   private val arities: Map[String, Seq[Int]] = Map(
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
-    "ss_topk_agg" -> Seq(1, 2, 3)
+    "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
+    "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3)
   ).withDefault {
     case n if n.endsWith("_merge_agg") || n == "ss_size" || n == "tdigest_centroids" ||
-              n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" => Seq(1)
+              n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" ||
+              n == "token_count" || n == "lang_id" || n == "text_stats" ||
+              n == "vec_norm" => Seq(1)
     case _ => Seq(2)
   }
 
@@ -174,7 +211,18 @@ object GraftFunctions {
     "ss_topk_long" -> { case Seq(s, k) => SSTopK(s, k, LongType) },
     "ss_topk_double" -> { case Seq(s, k) => SSTopK(s, k, DoubleType) },
     "ss_topk_string" -> { case Seq(s, k) => SSTopK(s, k, StringType) },
-    "ss_size" -> { case Seq(s) => SSSize(s) }
+    "ss_size" -> { case Seq(s) => SSSize(s) },
+    "token_count" -> { case Seq(t) => TokenCount(t) },
+    "lang_id" -> { case Seq(t) => LangId(t) },
+    "text_stats" -> { case Seq(t) => TextStatsExpr(t) },
+    "doc_fingerprint" -> { case Seq(t, w) => DocFingerprint(t, w) },
+    "minhash_signature" -> { case Seq(t, n, k, s) => MinHashSignature(t, n, k, s) },
+    "simhash64" -> { case Seq(t, n) => SimHash64(t, n) },
+    "ngram_jaccard" -> { case Seq(a, b, n) => NgramJaccard(a, b, n) },
+    "vec_dot" -> { case Seq(a, b) => VecDot(a, b) },
+    "vec_cosine" -> { case Seq(a, b) => VecCosine(a, b) },
+    "vec_norm" -> { case Seq(a) => VecNorm(a) },
+    "srp_signature" -> { case Seq(v, b, s) => SrpSignature(v, b, s) }
   )
 
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,345 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.AbstractDataType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis and fingerprinting expressions for training-data pipelines.
+  *
+  * All hashing is pure-Scala, allocation-light, and deterministic (no RNG at
+  * eval time), so results are reproducible across partitionings and runs —
+  * a requirement for dedup at 100 TB where candidate generation must be a
+  * pure function of the row. Token hashing works on the UTF8String bytes
+  * without materializing substrings.
+  */
+object TextHash {
+  /** 64-bit FNV-1a over a byte range, finished with a splitmix64 avalanche.
+    * Good dispersion for shingle/minhash use; stable across JVMs. */
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  @inline def avalanche(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^= h >>> 31
+    h
+  }
+
+  @inline def hashBytes(bytes: Array[Byte], from: Int, until: Int, seed: Long): Long = {
+    var h = FnvOffset ^ avalanche(seed)
+    var i = from
+    while (i < until) { h ^= bytes(i) & 0xffL; h *= FnvPrime; i += 1 }
+    avalanche(h)
+  }
+
+  /** Combine a rolling window of token hashes into one shingle hash. */
+  @inline def combine(acc: Long, tokenHash: Long): Long =
+    avalanche(acc * 0x9e3779b97f4a7c15L + tokenHash)
+
+  /** Hash every whitespace-separated token of a UTF8String. Returns the
+    * number of tokens; hashes are written into `out` if non-null (caller
+    * sizes it; overflow tokens are counted but not stored). */
+  def tokenHashes(s: UTF8String, out: Array[Long], seed: Long): Int = {
+    val b = s.getBytes
+    var n = 0
+    var i = 0
+    val len = b.length
+    while (i < len) {
+      while (i < len && isSpace(b(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isSpace(b(i))) i += 1
+        if (out != null && n < out.length) out(n) = hashBytes(b, start, i, seed)
+        n += 1
+      }
+    }
+    n
+  }
+
+  @inline def isSpace(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || 0x0b == c
+}
+
+/** token_count(text) → int: number of whitespace-separated tokens. */
+case class TokenCount(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenHashes(input.asInstanceOf[UTF8String], null, 0L)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** minhash_signature(text, shingle_n, num_hashes, seed) → array<long>.
+  *
+  * Word-shingle MinHash: k-token shingles hashed once, then expanded into
+  * `num_hashes` independent hash functions via Kirsch–Mitzenmacher double
+  * hashing h_i(x) = h1(x) + i·h2(x). Signature[i] = min over shingles.
+  * Mergeable (elementwise min) and pure — the distributed dedup primitive.
+  */
+case class MinHashSignature(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+  extends QuaternaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType, LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(t: Any, nAny: Any, kAny: Any, seedAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    val k = kAny.asInstanceOf[Int]
+    val seed = seedAny.asInstanceOf[Long]
+    require(n >= 1, "shingle_n must be >= 1")
+    require(k >= 1 && k <= 1024, "num_hashes must be in [1, 1024]")
+    val s = t.asInstanceOf[UTF8String]
+    val nTok = TextHash.tokenHashes(s, null, seed)
+    val toks = new Array[Long](nTok)
+    TextHash.tokenHashes(s, toks, seed)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (nTok >= n) {
+      var i = 0
+      while (i + n <= nTok) {
+        var h = 0x27d4eb2f165667c5L
+        var j = 0
+        while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
+        val h2 = TextHash.avalanche(h) | 1L
+        var f = 0
+        var hi = h
+        while (f < k) {
+          if (hi < sig(f)) sig(f) = hi
+          hi += h2
+          f += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression) = copy(a, b, c, d)
+}
+
+/** simhash64(text, shingle_n) → long: 64-bit SimHash over token shingles.
+  * Near-duplicate docs differ in few bits (hamming distance via
+  * bit_count(a ^ b), a stock Spark function). */
+case class SimHash64(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(t: Any, nAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    require(n >= 1, "shingle_n must be >= 1")
+    val s = t.asInstanceOf[UTF8String]
+    val nTok = TextHash.tokenHashes(s, null, 0L)
+    val toks = new Array[Long](nTok)
+    TextHash.tokenHashes(s, toks, 0L)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i + n <= nTok) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** ngram_jaccard(a, b, n) → double: exact Jaccard similarity of the two
+  * documents' n-token-shingle sets (the verification step after LSH
+  * candidate generation). */
+case class NgramJaccard(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+
+  private def shingleSet(s: UTF8String, n: Int): java.util.HashSet[java.lang.Long] = {
+    val nTok = TextHash.tokenHashes(s, null, 0L)
+    val toks = new Array[Long](nTok)
+    TextHash.tokenHashes(s, toks, 0L)
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= nTok) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
+      set.add(h)
+      i += 1
+    }
+    set
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, nAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    require(n >= 1, "shingle_n must be >= 1")
+    val sa = shingleSet(a.asInstanceOf[UTF8String], n)
+    val sb = shingleSet(b.asInstanceOf[UTF8String], n)
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** doc_fingerprint(text, k) → long: minimum rolling (Rabin-style) hash over
+  * all k-byte character windows — a 1-permutation MinHash of char k-grams.
+  * Equal fingerprints ⇒ likely shared content run; cheap first-pass near-dup
+  * key that is robust to token reordering at the edges. */
+case class DocFingerprint(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+
+  override protected def nullSafeEval(t: Any, kAny: Any): Any = {
+    val k = kAny.asInstanceOf[Int]
+    require(k >= 1, "window must be >= 1")
+    val b = t.asInstanceOf[UTF8String].getBytes
+    if (b.length < k) TextHash.hashBytes(b, 0, b.length, 0L)
+    else {
+      // polynomial rolling hash with precomputed base^(k-1) for O(1) slide
+      val base = 0x100000001b3L
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= base; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * base + (b(i) & 0xffL); i += 1 }
+      var min = TextHash.avalanche(h)
+      while (i < b.length) {
+        h = (h - (b(i - k) & 0xffL) * pow) * base + (b(i) & 0xffL)
+        val a = TextHash.avalanche(h)
+        if (a < min) min = a
+        i += 1
+      }
+      min
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object LangProfiles {
+  /** Tiny built-in stopword profiles; scored by token hits. Chinese is
+    * detected via CJK code points before tokenization. */
+  val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+      "on", "with", "as", "was", "are", "this", "be", "at", "by", "not"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del", "se", "las",
+      "por", "un", "para", "con", "una", "su", "al", "es", "lo", "como"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "den", "im", "mit",
+      "für", "auf", "des", "ein", "eine", "nicht", "auch", "sich", "es", "zu", "dem"),
+    "fr" -> Set("le", "la", "de", "et", "les", "des", "un", "une", "du", "est",
+      "en", "que", "qui", "dans", "pour", "pas", "sur", "au", "ne", "ce"))
+}
+
+/** lang_id(text) → string: lightweight language identification.
+  * CJK codepoint ratio → "zh"; otherwise argmax of per-language stopword hit
+  * rate over {en, es, de, fr}; "und" (undetermined) when nothing matches. */
+case class LangId(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return UTF8String.fromString("und")
+    var cjk = 0; var total = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (!Character.isWhitespace(cp)) {
+        total += 1
+        if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)) cjk += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (total > 0 && cjk.toDouble / total > 0.2) return UTF8String.fromString("zh")
+    val toks = s.toLowerCase.split("\\s+")
+    var best = "und"; var bestHits = 0
+    LangProfiles.profiles.toSeq.sortBy(_._1).foreach { case (lang, words) =>
+      val hits = toks.count(words.contains)
+      if (hits > bestHits) { best = lang; bestHits = hits }
+    }
+    UTF8String.fromString(best)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TextStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("avg_token_len", DoubleType, nullable = false),
+    StructField("alpha_ratio", DoubleType, nullable = false),
+    StructField("digit_ratio", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("space_ratio", DoubleType, nullable = false),
+    StructField("upper_ratio", DoubleType, nullable = false)))
+}
+
+/** text_stats(text) → struct: one-pass character/token statistics used for
+  * quality filtering of web-scale corpora. Ratios are over total chars
+  * (0.0 on empty text). */
+case class TextStatsExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = TextStatsExpr.schema
+  override def prettyName: String = "text_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    var alpha = 0; var digit = 0; var punct = 0; var space = 0; var upper = 0
+    var tokens = 0; var inTok = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { space += 1; inTok = false }
+      else {
+        if (!inTok) { tokens += 1; inTok = true }
+        if (Character.isLetter(c)) { alpha += 1; if (Character.isUpperCase(c)) upper += 1 }
+        else if (Character.isDigit(c)) digit += 1
+        else punct += 1
+      }
+      i += 1
+    }
+    val d = if (n == 0) 1.0 else n.toDouble
+    val row = new GenericInternalRow(8)
+    row.setInt(0, n)
+    row.setInt(1, tokens)
+    row.setDouble(2, if (tokens == 0) 0.0 else (n - space).toDouble / tokens)
+    row.setDouble(3, alpha / d)
+    row.setDouble(4, digit / d)
+    row.setDouble(5, punct / d)
+    row.setDouble(6, space / d)
+    row.setDouble(7, upper / d)
+    row
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

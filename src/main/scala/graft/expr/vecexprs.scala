@@ -1,0 +1,134 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.{AbstractDataType, TypeCollection}
+import org.apache.spark.sql.types._
+
+/** Dense-vector expressions over ArrayType(Float|Double) embedding columns.
+  *
+  * Embedding similarity at 100 TB means billions of evals; these operate on
+  * the columnar ArrayData primitive buffers directly (no boxing, no
+  * per-element Catalyst dispatch) and accept float arrays natively so parquet
+  * `list<float>` columns are not widened to double arrays row-by-row.
+  */
+object VecExprs {
+  val vecType: AbstractDataType = TypeCollection(
+    ArrayType(FloatType), ArrayType(DoubleType))
+
+  /** Copy an ArrayData of float or double into a double[] without boxing. */
+  def toDoubles(a: ArrayData, elem: DataType): Array[Double] = elem match {
+    case FloatType =>
+      val f = a.toFloatArray()
+      val out = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { out(i) = f(i); i += 1 }
+      out
+    case _ => a.toDoubleArray()
+  }
+
+  @inline def dot(x: Array[Double], y: Array[Double]): Double = {
+    require(x.length == y.length,
+      s"vector length mismatch: ${x.length} vs ${y.length}")
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  @inline def norm(x: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  def cosine(x: Array[Double], y: Array[Double]): Double = {
+    val nx = norm(x); val ny = norm(y)
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot(x, y) / (nx * ny)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for SRP-LSH: a
+    * symmetric uniform value in [-1, 1) derived from (seed, plane, dim). */
+  @inline def planeComponent(seed: Long, plane: Int, dim: Int): Double = {
+    val h = TextHash.avalanche(seed ^ (plane.toLong << 32) ^ (dim.toLong * 0x9e3779b97f4a7c15L))
+    (h >> 11) * (1.0 / (1L << 52)) // 53-bit mantissa → [-1, 1)
+  }
+}
+
+abstract class BinaryVecExpression extends BinaryExpression
+  with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(VecExprs.vecType, VecExprs.vecType)
+  override def dataType: DataType = DoubleType
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  protected def compute(x: Array[Double], y: Array[Double]): Double
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(
+      VecExprs.toDoubles(a.asInstanceOf[ArrayData], elemType(left)),
+      VecExprs.toDoubles(b.asInstanceOf[ArrayData], elemType(right)))
+}
+
+/** vec_dot(a, b) → double. */
+case class VecDot(left: Expression, right: Expression) extends BinaryVecExpression {
+  override def prettyName: String = "vec_dot"
+  override protected def compute(x: Array[Double], y: Array[Double]): Double =
+    VecExprs.dot(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** vec_cosine(a, b) → double in [-1, 1]; 0.0 when either vector is zero. */
+case class VecCosine(left: Expression, right: Expression) extends BinaryVecExpression {
+  override def prettyName: String = "vec_cosine"
+  override protected def compute(x: Array[Double], y: Array[Double]): Double =
+    VecExprs.cosine(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** vec_norm(a) → double: L2 norm. */
+case class VecNorm(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(VecExprs.vecType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+  override protected def nullSafeEval(a: Any): Any =
+    VecExprs.norm(VecExprs.toDoubles(a.asInstanceOf[ArrayData],
+      child.dataType.asInstanceOf[ArrayType].elementType))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** srp_signature(vec, bits, seed) → long: signed-random-projection LSH
+  * signature. bit b = sign(vec · H_b) for `bits` deterministic pseudo-random
+  * hyperplanes H_b derived from the seed. Cosine-similar vectors collide with
+  * probability 1 − θ/π per bit — the bucketing primitive for distributed
+  * similarity join (band over the bits, shuffle on (band, band_bits)). */
+case class SrpSignature(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(VecExprs.vecType, IntegerType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_signature"
+
+  override protected def nullSafeEval(v: Any, bitsAny: Any, seedAny: Any): Any = {
+    val bits = bitsAny.asInstanceOf[Int]
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    val seed = seedAny.asInstanceOf[Long]
+    val x = VecExprs.toDoubles(v.asInstanceOf[ArrayData],
+      first.dataType.asInstanceOf[ArrayType].elementType)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var d = 0
+      while (d < x.length) { s += x(d) * VecExprs.planeComponent(seed, b, d); d += 1 }
+      if (s >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+import org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned
+import org.apache.spark.sql.graftshim.{toColumn, toExpr}
+
+/** Distributed document deduplication for training-data pipelines.
+  *
+  * Every method is a pure DataFrame→DataFrame transformation whose candidate
+  * generation is a deterministic function of the row (hash-based, no RNG), so
+  * results are stable across partitionings — the property that lets the same
+  * job run identically on 500 rows or 100 TB.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-keyed groupBy (map-side partial aggregation,
+  *    single shuffle on the 64-bit content hash);
+  *  - near-dup candidate generation explodes each doc into `bands` small
+  *    (band, key) rows and shuffles those — never the full text — then joins
+  *    text back by id only for the surviving candidate pairs;
+  *  - all joins are equi-joins on hash keys (shuffle-hash/sort-merge
+  *    friendly, AQE-skew-splittable); nothing is O(n²).
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized text hash: keeps, per duplicate group, the
+    * row with the smallest `idCol`. Output schema = input schema. */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+      normalize: Boolean = true): DataFrame = {
+    val key = contentKey(col(textCol), normalize)
+    val cols = df.columns
+    df.groupBy(key.as("__k"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
+  }
+
+  /** 64-bit content key: xxhash64 of (optionally whitespace/case-normalized)
+    * text — the exact-dedup shuffle key. */
+  def contentKey(text: Column, normalize: Boolean = true): Column = {
+    val t = if (normalize) lower(regexp_replace(trim(text), "\\s+", " ")) else text
+    xxhash64(t)
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * shingle → minhash signature (numHashes) → `bands` bands of
+    * numHashes/bands rows each → candidate pairs that collide in ≥1 band →
+    * exact n-gram Jaccard verification ≥ `threshold`.
+    *
+    * Returns (idA, idB, jaccard) with idA < idB, one row per pair.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = gf.minhash_signature(col(textCol), shingleN, numHashes, seed)
+    // (id, band, bandKey): hash of the band's signature slice; only these
+    // small rows shuffle for candidate generation
+    val banded = df
+      .select(col(idCol).as("__id"), sig.as("__sig"))
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("__sig"), b * r + lit(1), lit(r))))))
+      .toDF("__id", "__band", "__key")
+    val a = banded.select(col("__band"), col("__key"), col("__id").as("idA"))
+    val b = banded.select(col("__band"), col("__key"), col("__id").as("idB"))
+    val cand = a.join(b, Seq("__band", "__key"))
+      .where(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    verifyJaccard(df, cand, idCol, textCol, shingleN, threshold)
+  }
+
+  /** Join candidate (idA, idB) pairs back to their texts and keep pairs with
+    * exact n-gram Jaccard ≥ threshold. */
+  private def verifyJaccard(df: DataFrame, cand: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val txt = df.select(col(idCol).as("__jid"), col(textCol).as("__jtxt"))
+    cand
+      .join(txt.withColumnRenamed("__jid", "idA").withColumnRenamed("__jtxt", "__ta"), Seq("idA"))
+      .join(txt.withColumnRenamed("__jid", "idB").withColumnRenamed("__jtxt", "__tb"), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        gf.ngram_jaccard(col("__ta"), col("__tb"), shingleN).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash, split into `chunks`
+    * equal bit-chunks; by pigeonhole, any pair within hamming distance
+    * `chunks − 1` shares ≥1 exact chunk, so candidates are equi-join
+    * collisions on (chunk_index, chunk_bits); verified with
+    * bit_count(a ^ b) ≤ maxHamming (exact, codegen'd).
+    *
+    * Returns (idA, idB, hamming). Guaranteed-complete for
+    * maxHamming ≤ chunks − 1.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(chunks >= 1 && 64 % chunks == 0, "chunks must divide 64")
+    require(maxHamming <= chunks - 1,
+      s"chunk banding only guarantees recall for hamming <= ${chunks - 1}")
+    val w = 64 / chunks
+    val sh = df.select(col(idCol).as("__id"),
+      gf.simhash64(col(textCol), shingleN).as("__sh"))
+    val banded = sh.select(col("__id"), col("__sh"), posexplode(
+      transform(sequence(lit(0), lit(chunks - 1)),
+        c => toColumn(ShiftRightUnsigned(toExpr(col("__sh")),
+          toExpr((c * w).cast("int")))).bitwiseAND(lit((1L << w) - 1)))))
+      .toDF("__id", "__sh", "__chunk", "__bits")
+    val a = banded.select(col("__chunk"), col("__bits"),
+      col("__id").as("idA"), col("__sh").as("__shA"))
+    val b = banded.select(col("__chunk"), col("__bits"),
+      col("__id").as("idB"), col("__sh").as("__shB"))
+    a.join(b, Seq("__chunk", "__bits"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("__shA").bitwiseXOR(col("__shB"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact embedding near-duplicate pairs by cosine ≥ threshold via
+    * block-nested self-join. O(n²) compare — correct at any size but meant
+    * for corpora that fit a broadcast (the oracle path); use
+    * [[embeddingPairsLsh]] at scale. */
+  def embeddingPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("idA"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
+    a.join(broadcast(b), col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        gf.vec_cosine(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs at scale: SRP-LSH bucket equi-join with
+    * `tables` independent signatures (OR-amplification), cosine-verified.
+    * Misses are possible (probabilistic recall); increase `tables` or lower
+    * `bits` for higher recall. */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 16, tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val banded = v.select(col("__id"), col("__v"), posexplode(
+      transform(sequence(lit(0), lit(tables - 1)),
+        t => gf.srp_signature(col("__v"), bits, xxhash64(t, lit(seed))))))
+      .toDF("__id", "__v", "__table", "__sig")
+    // shuffle only (table, sig, id) rows for candidates; join vectors back
+    // by id for the surviving pairs (same shape as minhashPairs)
+    val a = banded.select(col("__table"), col("__sig"), col("__id").as("idA"))
+    val b = banded.select(col("__table"), col("__sig"), col("__id").as("idB"))
+    val cand = a.join(b, Seq("__table", "__sig"))
+      .where(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    cand
+      .join(v.select(col("__id").as("idA"), col("__v").as("__va")), Seq("idA"))
+      .join(v.select(col("__id").as("idB"), col("__v").as("__vb")), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        gf.vec_cosine(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Two tiers, same output schema (query_id, neighbor_id, cosine, rank):
+  *  - [[bruteForceTopK]] — exact: broadcast the query set against the corpus
+  *    (one pass over the corpus, no corpus shuffle; correct baseline and the
+  *    right plan whenever |queries| is broadcast-sized, even at 100 TB corpus);
+  *  - [[lshTopK]] — approximate: SRP-LSH bucket join, so corpus rows shuffle
+  *    only by small (table, sig) keys and each query only scores its bucket
+  *    collisions. Recall tunable via bits/tables.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors per query. `queries` must be small enough
+    * to broadcast (driver guard: required for the nested-loop plan to be the
+    * intended one). Excludes self-matches when ids collide. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gf.vec_cosine(col("__qv"), col("__cv")), roundTo).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Approximate top-k via SRP-LSH OR-amplified candidate generation.
+    * Candidates = corpus rows sharing any of `tables` signature buckets with
+    * the query; scored and ranked like the exact path. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 12, tables: Int = 8,
+      seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    def banded(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v), posexplode(
+        transform(sequence(lit(0), lit(tables - 1)),
+          t => gf.srp_signature(col(vecCol), bits, xxhash64(t, lit(seed))))))
+        .toDF(id, v, "__table", "__sig")
+    val cb = banded(corpus, "neighbor_id", "__cv")
+    val qb = banded(queries, "query_id", "__qv")
+    val scored = cb.join(qb, Seq("__table", "__sig"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gf.vec_cosine(col("__qv"), col("__cv")), roundTo).as("cosine"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first("cosine").as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Rank scored pairs into top-k per query with a deterministic tie-break
+    * (cosine desc, neighbor_id asc). */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+}

