@@ -18,11 +18,21 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalize(name, spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Streaming variant: file-source over a DIRECTORY holding the table's
+    * parquet part files. The raw (pre-normalization) schema must be used —
+    * the parquet reader cannot coerce INT64(NANOS) to TimestampType, so the
+    * nanos column streams as long and is normalized per micro-batch. */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet").schema
+    normalize(name, spark.readStream.schema(raw).parquet(dir))
+  }
+
+  private def normalize(name: String, df: DataFrame): DataFrame =
     if (name == "events" && df.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType) {
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     } else df
-  }
 }

