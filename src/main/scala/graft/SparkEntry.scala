@@ -148,7 +148,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sketch").toString
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(gf.tdigest(col("l_quantity")).as("d"))
-        .write.mode("overwrite").parquet(tmp)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).agg(gf.tdigest_merge_agg(col("d")).as("m"))
         .select(
           gf.tdigest_size(col("m")).as("cnt"),
@@ -296,7 +296,7 @@ object SparkEntry {
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
         .groupBy("cohort")
         .agg(gf.ss_topk_agg(col("event_type"), lit(1L), 64).as("sk"))
-        .write.mode("overwrite").parquet(tmp)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).agg(gf.ss_merge_agg(col("sk")).as("m"))
         .select(explode(gf.ss_topk_string(col("m"), 64)).as("c"))
         .select(col("c.item").as("item"), col("c.count").as("cnt"))

@@ -37,6 +37,34 @@ abstract class SpaceSavingBase(val capacity: Int) extends Serializable {
   val next = new Array[Int](capacity)
   val prev = new Array[Int](capacity)
 
+  /** Skip index: count value → head-most slot of that count's run.
+    *
+    * The reference's insert walk (spsv_counter_insert) is O(run length);
+    * under near-uniform frequencies runs grow to O(capacity) and ingest
+    * degenerates to O(n·capacity) — at 100 TB scale the dominant cost.
+    * The run-head index lets the walk hop entire equal-count runs in O(1)
+    * while producing EXACTLY the same insertion position (ordering and
+    * tie-breaking are unchanged; only the walk is accelerated). */
+  private val runHead = new java.util.HashMap[java.lang.Long, Integer]()
+
+  /** Record slot x (just linked / repositioned) as its run's head if it is
+    * the head-most node of its count run. */
+  @inline private def noteLinked(x: Int): Unit =
+    if (x == head || counts(prev(x)) != counts(x)) runHead.put(counts(x), x)
+
+  /** Fix the run-head index before slot x leaves its current count run
+    * (count change or physical unlink). Must run while x is still linked
+    * and still carries its OLD count. */
+  @inline private def noteUnlink(x: Int): Unit = {
+    val c = counts(x)
+    val rh = runHead.get(c)
+    if (rh != null && rh.intValue() == x) {
+      val nx = next(x)
+      if (nx != x && nx != head && counts(nx) == c) runHead.put(c, nx)
+      else runHead.remove(c)
+    }
+  }
+
   /** counter_ge: list(i1) >= (count2+offset, error2+offset)?
     * (space_saving_stubs.c.in:112-118) */
   @inline protected final def counterGe(i1: Int, count2: Long, error2: Long,
@@ -47,7 +75,9 @@ abstract class SpaceSavingBase(val capacity: Int) extends Serializable {
   }
 
   /** Insert slot c into the sorted list starting the backward walk at prevIdx
-    * (spsv_counter_insert, space_saving_stubs.c.in:121-138). */
+    * (spsv_counter_insert, space_saving_stubs.c.in:121-138), hopping whole
+    * equal-count runs via [[runHead]] when the run's count is strictly below
+    * the target (same final position as the stepwise walk). */
   protected final def counterInsert(c: Int, prevIdx0: Int): Unit = {
     var prevIdx = prevIdx0
     val tail = prev(head)
@@ -55,6 +85,11 @@ abstract class SpaceSavingBase(val capacity: Int) extends Serializable {
     while (!done) {
       if (counterGe(prevIdx, counts(c), errors(c), 0L)) done = true
       else {
+        if (counts(prevIdx) < counts(c)) {
+          // every node of this run fails counterGe — hop to its head
+          val rh = runHead.get(counts(prevIdx))
+          if (rh != null) prevIdx = rh.intValue()
+        }
         prevIdx = prev(prevIdx)
         if (prevIdx == tail) { head = c; done = true }
       }
@@ -63,6 +98,7 @@ abstract class SpaceSavingBase(val capacity: Int) extends Serializable {
     prev(c) = prevIdx
     prev(next(prevIdx)) = c
     next(prevIdx) = c
+    noteLinked(c)
   }
 
   /** Allocate + link slot for a new counter; returns the slot
@@ -75,18 +111,23 @@ abstract class SpaceSavingBase(val capacity: Int) extends Serializable {
     errors(c) = error
     if (head == NIL) {
       head = c; prev(c) = c; next(c) = c
+      noteLinked(c)
     } else {
       counterInsert(c, prev(head))
     }
     c
   }
 
-  /** Move a counter whose count increased up the list
-    * (spsv_rebalance, space_saving_stubs.c.in:167-183). */
-  protected final def rebalance(index: Int): Unit = {
-    if (head == index) return
+  /** Set a counter's (count, error) and restore sort order — the reference's
+    * `counts += c; spsv_rebalance` sequence (space_saving_stubs.c.in:167-183)
+    * with run-head index maintenance fused in. */
+  protected final def updateCounter(index: Int, newCount: Long, newError: Long): Unit = {
+    noteUnlink(index)
+    counts(index) = newCount
+    errors(index) = newError
+    if (head == index) { noteLinked(index); return }
     val p = prev(index)
-    if (counterGe(p, counts(index), errors(index), 0L)) return
+    if (counterGe(p, newCount, newError, 0L)) { noteLinked(index); return }
     prev(next(index)) = p
     next(p) = next(index)
     counterInsert(index, p)
@@ -163,11 +204,9 @@ final class SpaceSavingLong(capacity0: Int) extends SpaceSavingBase(capacity0) {
   private def swap(index: Int, item: Long, count: Long, error: Long): Unit = {
     hRemove(items(index))
     items(index) = item
-    counts(index) = count
-    errors(index) = error
     val i = hFind(item)
     hKeys(i) = item; hVals(i) = index
-    rebalance(index)
+    updateCounter(index, count, error)
   }
 
   /** spsv_add (space_saving_stubs.c.in:213-250). */
@@ -175,8 +214,7 @@ final class SpaceSavingLong(capacity0: Int) extends SpaceSavingBase(capacity0) {
     val i = hFind(item)
     if (hVals(i) != NIL) {
       val index = hVals(i)
-      counts(index) += count
-      rebalance(index)
+      updateCounter(index, counts(index) + count, errors(index))
     } else if (size == capacity) {
       // full: evict global min; NOTE supplied count is ignored (reference quirk)
       val index = prev(head)
@@ -200,13 +238,11 @@ final class SpaceSavingLong(capacity0: Int) extends SpaceSavingBase(capacity0) {
     while (i1 < size) {
       val i2 = other.lookup(items(i1))
       if (i2 != NIL) {
-        counts(i1) += other.counts(i2)
-        errors(i1) += other.errors(i2)
+        updateCounter(i1, counts(i1) + other.counts(i2),
+          errors(i1) + other.errors(i2))
       } else {
-        counts(i1) += m2
-        errors(i1) += m2
+        updateCounter(i1, counts(i1) + m2, errors(i1) + m2)
       }
-      rebalance(i1)
       i1 += 1
     }
 
@@ -276,18 +312,15 @@ final class SpaceSavingObj(capacity0: Int) extends SpaceSavingBase(capacity0) {
   private def swap(idx: Int, item: String, count: Long, error: Long): Unit = {
     index.remove(items(idx))
     items(idx) = item
-    counts(idx) = count
-    errors(idx) = error
     index.put(item, idx)
-    rebalance(idx)
+    updateCounter(idx, count, error)
   }
 
   def add(item: String, count: Long = 1L): Unit = {
     val existing = index.get(item)
     if (existing != null) {
       val idx = existing.intValue()
-      counts(idx) += count
-      rebalance(idx)
+      updateCounter(idx, counts(idx) + count, errors(idx))
     } else if (size == capacity) {
       val idx = prev(head)
       swap(idx, item, counts(idx) + 1L, counts(idx))
@@ -307,13 +340,11 @@ final class SpaceSavingObj(capacity0: Int) extends SpaceSavingBase(capacity0) {
     while (i1 < size) {
       val i2 = other.lookup(items(i1))
       if (i2 != NIL) {
-        counts(i1) += other.counts(i2)
-        errors(i1) += other.errors(i2)
+        updateCounter(i1, counts(i1) + other.counts(i2),
+          errors(i1) + other.errors(i2))
       } else {
-        counts(i1) += m2
-        errors(i1) += m2
+        updateCounter(i1, counts(i1) + m2, errors(i1) + m2)
       }
-      rebalance(i1)
       i1 += 1
     }
 

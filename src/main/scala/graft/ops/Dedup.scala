@@ -125,11 +125,15 @@ object Dedup {
     * [[embeddingPairsLsh]] at scale. */
   def embeddingPairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("idA"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
+    // normalize once per row (one pass), then a single dot product per pair —
+    // half the flops and allocations of cosine-per-pair
+    val nv = df.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x / gf.vec_norm(col(vecCol))).as("__nv"))
+    val a = nv.select(col("__id").as("idA"), col("__nv").as("__va"))
+    val b = nv.select(col("__id").as("idB"), col("__nv").as("__vb"))
     a.join(broadcast(b), col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
-        gf.vec_cosine(col("__va"), col("__vb")).as("cosine"))
+        gf.vec_dot(col("__va"), col("__vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

@@ -177,4 +177,43 @@ class SpaceSavingSpec extends AnyFunSuite {
     // total count conserved: sum of counts >= n, each overestimate bounded
     assert(counters(s).map(_._2).sum >= 0)
   }
+
+  test("run-head skip index: identical counter order vs stepwise-walk model") {
+    // Naive model replicating the reference walk literally (no skip index):
+    // sorted-by-(count desc, error asc) insertion with stepwise backward walk.
+    final class Model(cap: Int) {
+      var list = Vector.empty[(Long, Long, Long)] // (item, count, error) head->tail
+      def add(item: Long, c: Long = 1L): Unit = {
+        val i = list.indexWhere(_._1 == item)
+        if (i >= 0) {
+          val (it, cnt, err) = list(i)
+          list = reinsert(list.patch(i, Nil, 1), (it, cnt + c, err))
+        } else if (list.size == cap) {
+          val (_, mn, _) = list.last
+          list = reinsert(list.init, (item, mn + 1, mn))
+        } else list = reinsert(list, (item, c, 0L))
+      }
+      // insert keeping (count desc, error asc); new node goes AFTER any
+      // existing node with equal (count, error) — counterGe uses <=
+      private def reinsert(l: Vector[(Long, Long, Long)], x: (Long, Long, Long)) = {
+        val idx = l.lastIndexWhere(n => n._2 > x._2 || (n._2 == x._2 && n._3 <= x._3))
+        l.patch(idx + 1, Seq(x), 0)
+      }
+    }
+    val r = new Random(7)
+    // adversarial: near-uniform keys force maximal equal-count runs
+    for (trial <- 0 until 5) {
+      val cap = 64
+      val s = new SpaceSavingLong(cap)
+      val m = new Model(cap)
+      val n = 4000
+      for (_ <- 0 until n) {
+        val item = r.nextInt(cap * 3).toLong
+        val w = 1L + r.nextInt(2)
+        s.add(item, w); m.add(item, w)
+      }
+      val mine = s.topkSlots(s.size).map(i => (s.items(i), s.counts(i), s.errors(i))).toSeq
+      assert(mine == m.list, s"trial $trial: counter order diverged")
+    }
+  }
 }
