@@ -108,6 +108,10 @@ object functions {
   def ss_topk_string(sketch: Column, k: Int): Column =
     toColumn(SSTopK(toExpr(sketch), Literal(k), StringType))
   def ss_size(sketch: Column): Column = toColumn(SSSize(toExpr(sketch)))
+  /** All active counters (S6) = topk with k = capacity upper bound. */
+  def ss_counters_long(sketch: Column): Column = ss_topk_long(sketch, Int.MaxValue)
+  def ss_counters_double(sketch: Column): Column = ss_topk_double(sketch, Int.MaxValue)
+  def ss_counters_string(sketch: Column): Column = ss_topk_string(sketch, Int.MaxValue)
 
   // ---- Text analysis (training-data pipeline ops) ----
   def token_count(text: Column): Column = toColumn(TokenCount(toExpr(text)))
