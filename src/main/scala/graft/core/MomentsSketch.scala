@@ -138,6 +138,8 @@ final class MomentsSketch extends Serializable {
 
 object MomentsSketch {
   def deserialize(bytes: Array[Byte]): MomentsSketch = {
+    require(bytes.length == 65,
+      s"not a summary_stats sketch: ${bytes.length} bytes (need 65)")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val s = new MomentsSketch
     s.count = bb.getLong(); s.sum = bb.getDouble()

@@ -410,13 +410,22 @@ object SpaceSaving {
   @inline def doubleKey(x: Double): Long = java.lang.Double.doubleToRawLongBits(x)
   @inline def keyToDouble(k: Long): Double = java.lang.Double.longBitsToDouble(k)
 
-  def deserializeTag(bytes: Array[Byte]): Byte = bytes(0)
+  def deserializeTag(bytes: Array[Byte]): Byte = {
+    require(bytes.length >= 9, s"not a space-saving sketch: ${bytes.length} bytes")
+    val tag = bytes(0)
+    require(tag == TagLong || tag == TagDouble || tag == TagString,
+      s"not a space-saving sketch: unknown key-type tag $tag")
+    tag
+  }
 
   def deserializeLong(bytes: Array[Byte]): SpaceSavingLong = {
+    deserializeTag(bytes)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     bb.get() // tag
     val cap = bb.getInt()
     val n = bb.getInt()
+    require(cap > 0 && n >= 0 && n <= cap && bytes.length == 9 + 24 * n,
+      s"corrupt space-saving sketch: capacity=$cap size=$n in ${bytes.length} bytes")
     val s = new SpaceSavingLong(cap)
     val its = new Array[Long](n); val cts = new Array[Long](n); val ers = new Array[Long](n)
     var i = 0
@@ -426,10 +435,13 @@ object SpaceSaving {
   }
 
   def deserializeObj(bytes: Array[Byte]): SpaceSavingObj = {
+    deserializeTag(bytes)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     bb.get() // tag
     val cap = bb.getInt()
     val n = bb.getInt()
+    require(cap > 0 && n >= 0 && n <= cap,
+      s"corrupt space-saving sketch: capacity=$cap size=$n")
     val s = new SpaceSavingObj(cap)
     val its = new Array[String](n); val cts = new Array[Long](n); val ers = new Array[Long](n)
     var i = 0

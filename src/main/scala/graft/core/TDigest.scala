@@ -357,11 +357,18 @@ object TDigest {
   }
 
   def deserialize(bytes: Array[Byte]): TDigest = {
+    require(bytes.length >= 36,
+      s"not a t-digest sketch: ${bytes.length} bytes (need >= 36)")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val t = TDigest(bb.getDouble())
+    val c = bb.getDouble()
+    require(c >= 20.0 && c <= 1000.0,
+      s"not a t-digest sketch: compression $c outside [20, 1000]")
+    val t = TDigest(c)
     t.min = bb.getDouble(); t.max = bb.getDouble()
     t.totalWeight = bb.getDouble()
     val n = bb.getInt()
+    require(n >= 0 && n <= t.means.length && bytes.length == 36 + 16 * n,
+      s"corrupt t-digest sketch: $n centroids in ${bytes.length} bytes")
     t.nCentroids = n
     var i = 0
     while (i < n) { t.means(i) = bb.getDouble(); t.weights(i) = bb.getDouble(); i += 1 }

@@ -1,0 +1,84 @@
+package graft.api
+
+import graft.SparkTestBase
+
+/** Smoke coverage of the complete SQL surface: every registered function
+  * resolves, runs over a real table, and returns a sane value. Guards the
+  * registry against silent arity/builder drift. */
+class SqlSurfaceSpec extends SparkTestBase {
+
+  private def one(sql: String): org.apache.spark.sql.Row = {
+    spark.read.parquet(sf("lineitem")).createOrReplaceTempView("li")
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs")
+    spark.read.parquet(sf("embeddings")).createOrReplaceTempView("emb")
+    spark.sql(sql).head()
+  }
+
+  test("every registered function is callable from SQL") {
+    // aggregates + finishers over one pass
+    val r1 = one("""
+      SELECT tdigest_quantile(tdigest(l_quantity), 0.5d) p50,
+             tdigest_quantiles(tdigest(l_quantity), array(0.25d, 0.75d)) qs,
+             tdigest_cdf(tdigest(l_quantity), 25.0d) c,
+             tdigest_cdfs(tdigest(l_quantity), array(10.0d, 40.0d)) cs,
+             tdigest_histogram(tdigest(l_quantity), 5) h,
+             tdigest_histogram_at(tdigest(l_quantity), array(0.0d, 25.0d, 51.0d)) ha,
+             tdigest_size(tdigest(l_quantity)) n,
+             tdigest_min(tdigest(l_quantity)) mn,
+             tdigest_max(tdigest(l_quantity)) mx,
+             tdigest_size(tdigest_scale(tdigest(l_quantity), 2.0d)) n2,
+             size(tdigest_centroids(tdigest(l_quantity))) nc,
+             summary_stats(l_quantity).count sc,
+             ss_size(ss_topk_agg(l_partkey)) sz,
+             ss_topk(ss_topk_agg(l_partkey, 1L, 50), 3) tk
+      FROM li""")
+    assert(r1.getDouble(0) > 0 && r1.getDouble(6) == 6000.0)
+    assert(r1.getDouble(9) == 12000.0) // scaled weight
+    assert(r1.getLong(11) == 6000L && r1.getInt(12) > 0)
+
+    // merge aggs over subquery sketches
+    val r2 = one("""
+      SELECT tdigest_size(tdigest_merge_agg(d)) n,
+             ss_size(ss_merge_agg(sk)) sz,
+             stats_merge_agg(st).count c
+      FROM (SELECT l_returnflag, tdigest(l_quantity) d,
+                   ss_topk_agg(l_partkey, 1L, 100) sk,
+                   summary_stats(l_quantity) st
+            FROM li GROUP BY l_returnflag)""")
+    assert(r2.getDouble(0) == 6000.0 && r2.getLong(2) == 6000L)
+
+    // text + vector functions
+    val r3 = one("""
+      SELECT token_count(text) tc, lang_id(text) lid,
+             text_stats(text).n_tokens nt,
+             doc_fingerprint(text, 16) fp,
+             minhash_signature(text, 2, 16, 42L) sig,
+             simhash64(text, 2) sh,
+             ngram_jaccard(text, text, 2) jac
+      FROM docs LIMIT 1""")
+    assert(r3.getInt(0) > 0 && r3.getInt(2) == r3.getInt(0))
+    assert(r3.getSeq[Long](4).length == 16)
+    assert(r3.getDouble(6) == 1.0) // self-jaccard
+
+    val r4 = one("""
+      SELECT vec_dot(embedding, embedding) d,
+             vec_cosine(embedding, embedding) c,
+             vec_norm(embedding) n,
+             srp_signature(embedding, 16, 42L) sig
+      FROM emb LIMIT 1""")
+    assert(math.abs(r4.getDouble(1) - 1.0) < 1e-9)
+    assert(math.abs(math.sqrt(r4.getDouble(0)) - r4.getDouble(2)) < 1e-9)
+  }
+
+  test("corrupt sketch bytes produce clear errors") {
+    def msgOf(sql: String): String = {
+      val e = intercept[Exception](one(sql))
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+    assert(msgOf("SELECT tdigest_quantile(cast('junk' as binary), 0.5d)")
+      .contains("not a t-digest sketch"))
+    assert(msgOf("SELECT ss_topk(cast('garbagebytes' as binary), 3)")
+      .contains("not a space-saving sketch"))
+  }
+}
