@@ -245,6 +245,24 @@ object SparkEntry {
           shingleN = 2, maxHamming = 3, chunks = 4)
         .orderBy("idA", "idB")
     }),
+    "q37_dedup_components" -> ((s, dir) => {
+      // near-dup clusters: minhash pairs → connected components (deterministic
+      // hash-based pipeline end-to-end); rows-only gate, specs cover semantics
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+      graft.ops.Dedup.components(pairs, allIds = Some(docs.select("doc_id")))
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+    "q43_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.ops.Similarity.ivfBuild(emb, "vec_id", "embedding", nCenters = 16)
+      graft.ops.Similarity.ivfTopK(idx, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", 5, nProbe = 16)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    }),
     "q36_fingerprints" -> ((s, dir) => {
       t(s, dir, "documents")
         .agg(countDistinct(gf.doc_fingerprint(col("text"), 16)).as("distinct_fp"),
@@ -387,6 +405,18 @@ object SparkEntry {
          round(avg(round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6)), 6) AS avg_quality
          FROM documents GROUP BY lang ORDER BY lang""",
     "q40_ann_bruteforce" ->
+      """SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]), 6) AS cosine,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                          c.embedding::DOUBLE[]), 6) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q43_ann_ivf" ->
       """SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   round(list_cosine_similarity(q.embedding::DOUBLE[],

@@ -146,6 +146,8 @@ object functions {
     toColumn(SrpSignature(toExpr(vec), Literal(bits), toExpr(seed)))
   def srp_signature(vec: Column, bits: Int, seed: Long): Column =
     srp_signature(vec, bits, lit(seed))
+  def nearest_centroids(vec: Column, codebook: Column, nProbe: Int): Column =
+    toColumn(NearestCentroids(toExpr(vec), toExpr(codebook), Literal(nProbe)))
 }
 
 /** SQL registration of every graft function, for spark.sql(...) use.
@@ -161,7 +163,8 @@ object GraftFunctions {
   private val arities: Map[String, Seq[Int]] = Map(
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
     "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
-    "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3)
+    "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3),
+    "nearest_centroids" -> Seq(3)
   ).withDefault {
     case n if n.endsWith("_merge_agg") || n == "ss_size" || n == "tdigest_centroids" ||
               n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" ||
@@ -226,7 +229,8 @@ object GraftFunctions {
     "vec_dot" -> { case Seq(a, b) => VecDot(a, b) },
     "vec_cosine" -> { case Seq(a, b) => VecCosine(a, b) },
     "vec_norm" -> { case Seq(a) => VecNorm(a) },
-    "srp_signature" -> { case Seq(v, b, s) => SrpSignature(v, b, s) }
+    "srp_signature" -> { case Seq(v, b, s) => SrpSignature(v, b, s) },
+    "nearest_centroids" -> { case Seq(v, c, k) => NearestCentroids(v, c, k) }
   )
 
   def register(spark: SparkSession): Unit = {

@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.{AbstractDataType, TypeCollection}
 import org.apache.spark.sql.types._
 
@@ -189,6 +189,63 @@ case class SrpSignature(first: Expression, second: Expression, third: Expression
       b += 1
     }
     sig
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+}
+
+/** nearest_centroids(vec, centroids, nProbe) → array<int>: indices of the
+  * nProbe nearest centroids by cosine distance, nearest first. `centroids`
+  * must be foldable (an array<array<float|double>> literal — the IVF
+  * codebook, broadcast inside the plan); it is decoded once per task, so
+  * the per-row cost is one pass over the codebook. */
+case class NearestCentroids(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(VecExprs.vecType, ArrayType(ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (super.checkInputDataTypes().isFailure) super.checkInputDataTypes()
+    else if (!second.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "centroids must be a constant codebook")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  /** codebook rows normalized to unit length, decoded once */
+  @transient private lazy val codebook: Array[Array[Double]] = {
+    val arr = second.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(arr.numElements()) { i =>
+      val v = arr.getArray(i).toDoubleArray()
+      val n = VecExprs.norm(v)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+  }
+
+  override protected def nullSafeEval(v: Any, centroidsAny: Any, kAny: Any): Any = {
+    val nProbe = math.min(kAny.asInstanceOf[Int], codebook.length)
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val x0 = VecExprs.toDoubles(v.asInstanceOf[ArrayData],
+      first.dataType.asInstanceOf[ArrayType].elementType)
+    val nx = VecExprs.norm(x0)
+    val x = if (nx == 0.0) x0 else x0.map(_ / nx)
+    // top-nProbe by cosine via insertion into small sorted arrays
+    val bestIdx = new Array[Int](nProbe)
+    val bestSim = Array.fill(nProbe)(Double.NegativeInfinity)
+    var c = 0
+    while (c < codebook.length) {
+      val s = VecExprs.dot(x, codebook(c))
+      if (s > bestSim(nProbe - 1)) {
+        var j = nProbe - 1
+        while (j > 0 && bestSim(j - 1) < s) {
+          bestSim(j) = bestSim(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1
+        }
+        bestSim(j) = s; bestIdx(j) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestIdx.map(i => i: Any))
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)

@@ -119,6 +119,64 @@ object Dedup {
       .distinct()
   }
 
+  /** Group near-duplicate pairs into clusters: connected components over the
+    * pair graph via alternating large-star/small-star label propagation
+    * (Kiveris et al. style) — each iteration is two hash joins + a min-agg,
+    * converging in O(log n) rounds, all shuffles on the id key. Returns
+    * (id, component) where component = min id reachable; singletons absent
+    * from `pairs` keep their own id via the optional `allIds` frame.
+    *
+    * This is the standard last step of corpus dedup at scale: pick one
+    * canonical doc per component. */
+  def components(pairs: DataFrame, maxIterations: Int = 20,
+      allIds: Option[DataFrame] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val e0 = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    // label(v) = min reachable id. Each round: (1) neighbor-min propagation,
+    // (2) pointer jumping label := label(label) — together O(log n) rounds.
+    // localCheckpoint truncates the iterative plan lineage (without it the
+    // logical plan doubles per round and planning itself OOMs).
+    var labels = edges.groupBy("src")
+      .agg(least(min("dst"), first("src")).as("component"))
+      .select(col("src").as("id"), col("component"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("nbr"))
+      val hop = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+      val jumped = hop.alias("a")
+        .join(hop.select(col("id").as("component"),
+          col("component").as("parent")).alias("b"), Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("parent"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = jumped.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .where(col("component") =!= col("old")).limit(1).count()
+      labels = jumped
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    val withSingles = allIds match {
+      case Some(ids) =>
+        val idc = ids.columns.head
+        ids.select(col(idc).as("id"))
+          .join(labels, Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      case None => labels
+    }
+    withSingles
+  }
+
   /** Exact embedding near-duplicate pairs by cosine ≥ threshold via
     * block-nested self-join. O(n²) compare — correct at any size but meant
     * for corpora that fit a broadcast (the oracle path); use

@@ -52,6 +52,47 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-flat index: a deterministic hashed sample of corpus vectors as the
+    * codebook, plus the corpus with each row assigned to its nearest
+    * centroid. At scale, write `assigned` partitioned/bucketed by
+    * `centroid` so a search touches only the probed buckets' files. */
+  case class IvfIndex(codebook: Seq[Seq[Double]], assigned: DataFrame)
+
+  /** Build an IVF index. Centroid selection is hash-ordered (deterministic,
+    * no RNG): the `nCenters` corpus vectors with smallest xxhash64(id, seed).
+    * Assignment is one codebook pass per row — no shuffle. */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCenters: Int = 64, seed: Long = 42L): IvfIndex = {
+    val centroidRows = corpus
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__h", xxhash64(col("__id"), lit(seed)))
+      .orderBy("__h", "__id").limit(nCenters)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val codebookCol = typedLit(centroidRows)
+    val assigned = corpus.withColumn("centroid",
+      element_at(gf.nearest_centroids(col(vecCol), codebookCol, 1), 1))
+    IvfIndex(centroidRows, assigned)
+  }
+
+  /** Approximate top-k over an IVF index: each query probes its `nProbe`
+    * nearest centroids and scores only those buckets — corpus rows shuffle
+    * once on the small centroid key; queries broadcast. */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val codebookCol = typedLit(index.codebook)
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("centroid",
+        explode(gf.nearest_centroids(col("__qv"), codebookCol, nProbe)))
+    val c = index.assigned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("centroid"))
+    val scored = c.join(broadcast(probed), Seq("centroid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gf.vec_cosine(col("__qv"), col("__cv")), roundTo).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Rank scored pairs into top-k per query with a deterministic tie-break
     * (cosine desc, neighbor_id asc). */
   def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -214,4 +214,42 @@ class OpsSpec extends SparkTestBase {
     // fingerprint = min rolling hash: appending text can only lower/keep it
     fp.collect().foreach(r => assert(r.getLong(1) <= r.getLong(0)))
   }
+
+  test("components: connected clusters with singletons preserved") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
+      .toDF("idA", "idB")
+    val ids = (1L to 30L).toDF("id")
+    val comp = Dedup.components(pairs, allIds = Some(ids))
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(comp) == Seq(1L, 1L, 1L, 1L))
+    assert(Seq(10L, 11L).map(comp) == Seq(10L, 10L))
+    assert(Seq(20L, 21L, 22L).map(comp) == Seq(20L, 20L, 20L))
+    assert(comp(15L) == 15L && comp(30L) == 30L) // singletons
+    // long chain (worst case for propagation count)
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val cc = Dedup.components(chain).as[(Long, Long)].collect().toMap
+    assert((0L to 40L).forall(cc(_) == 0L))
+  }
+
+  test("ivf: assignment deterministic; search recall vs brute force") {
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nCenters = 16)
+    assert(idx.codebook.size == 16)
+    // assignment is a pure function: same result on reshuffled input
+    val a1 = idx.assigned.select("vec_id", "centroid").as[(Long, Int)].collect().toMap
+    val idx2 = Similarity.ivfBuild(emb.repartition(7), "vec_id", "embedding", nCenters = 16)
+    val a2 = idx2.assigned.select("vec_id", "centroid").as[(Long, Int)].collect().toMap
+    assert(a1 == a2)
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // near-random fixture vectors spread over all cells: probe most cells
+    val approx = Similarity.ivfTopK(idx, queries, "vec_id", "embedding", 10, nProbe = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf recall $recall")
+    // full probe == exact (IVF with nProbe = nCenters degenerates to brute force)
+    val full = Similarity.ivfTopK(idx, queries, "vec_id", "embedding", 10, nProbe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
 }
