@@ -245,6 +245,16 @@ object SparkEntry {
           shingleN = 2, maxHamming = 3, chunks = 4)
         .orderBy("idA", "idB")
     }),
+    "q38_clean_corpus" -> ((s, dir) => {
+      val (_, report) = graft.ops.Pipeline.cleanCorpus(
+        t(s, dir, "documents"), "doc_id", "text",
+        minQuality = 0.3, jaccardThreshold = 0.5, shingleN = 2)
+      import s.implicits._
+      // first three stages have SQL-expressible oracles; near-dup count is
+      // covered rows-only by q37's component histogram
+      Seq((report.input, report.afterQuality, report.afterExact))
+        .toDF("input", "after_quality", "after_exact")
+    }),
     "q37_dedup_components" -> ((s, dir) => {
       // near-dup clusters: minhash pairs → connected components (deterministic
       // hash-based pipeline end-to-end); rows-only gate, specs cover semantics
@@ -404,6 +414,15 @@ object SparkEntry {
                    / cast(length(text) AS double)), 6) AS avg_space_ratio,
          round(avg(round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6)), 6) AS avg_quality
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q38_clean_corpus" ->
+      """SELECT count(*) AS input,
+         count(*) FILTER (WHERE round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6) >= 0.3)
+           AS after_quality,
+         count(DISTINCT CASE
+           WHEN round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6) >= 0.3
+           THEN lower(regexp_replace(trim(text), '\s+', ' ', 'g')) END)
+           AS after_exact
+         FROM documents""",
     "q40_ann_bruteforce" ->
       """SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

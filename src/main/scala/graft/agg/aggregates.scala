@@ -264,6 +264,7 @@ object SpaceSavingAgg {
     case LongType => SpaceSaving.TagLong
     case DoubleType => SpaceSaving.TagDouble
     case StringType => SpaceSaving.TagString
+    case BinaryType => SpaceSaving.TagBinary
     case other => throw new IllegalArgumentException(s"unsupported item type $other")
   }
 }
@@ -287,7 +288,7 @@ case class SpaceSavingAgg(
   private lazy val tag: Byte = SpaceSavingAgg.tagFor(first.dataType)
 
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(TypeCollection(LongType, DoubleType, StringType), LongType, IntegerType)
+    Seq(TypeCollection(LongType, DoubleType, StringType, BinaryType), LongType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "ss_topk_agg"
@@ -303,7 +304,8 @@ case class SpaceSavingAgg(
 
   override def createAggregationBuffer(): SpaceSavingBase = {
     if (capacity <= 0) throw new IllegalArgumentException("capacity must be > 0")
-    if (tag == SpaceSaving.TagString) new SpaceSavingObj(capacity)
+    if (tag == SpaceSaving.TagString || tag == SpaceSaving.TagBinary)
+      new SpaceSavingObj(capacity)
     else new SpaceSavingLong(capacity)
   }
 
@@ -320,6 +322,9 @@ case class SpaceSavingAgg(
           case SpaceSaving.TagDouble =>
             buf.asInstanceOf[SpaceSavingLong]
               .add(SpaceSaving.doubleKey(v.asInstanceOf[Double]), c)
+          case SpaceSaving.TagBinary =>
+            buf.asInstanceOf[SpaceSavingObj]
+              .add(SpaceSaving.binaryKey(v.asInstanceOf[Array[Byte]]), c)
           case _ =>
             buf.asInstanceOf[SpaceSavingObj].add(v.asInstanceOf[UTF8String].toString, c)
         }
@@ -342,9 +347,12 @@ case class SpaceSavingAgg(
     case a: SpaceSavingLong => a.serialize(tag)
     case a: SpaceSavingObj => a.serialize(tag)
   }
-  override def deserialize(b: Array[Byte]): SpaceSavingBase =
-    if (SpaceSaving.deserializeTag(b) == SpaceSaving.TagString) SpaceSaving.deserializeObj(b)
+  override def deserialize(b: Array[Byte]): SpaceSavingBase = {
+    val tag = SpaceSaving.deserializeTag(b)
+    if (tag == SpaceSaving.TagString || tag == SpaceSaving.TagBinary)
+      SpaceSaving.deserializeObj(b)
     else SpaceSaving.deserializeLong(b)
+  }
 
   override def withNewMutableAggBufferOffset(n: Int): SpaceSavingAgg =
     copy(mutableAggBufferOffset = n)
@@ -375,7 +383,8 @@ case class SpaceSavingMergeAgg(
   private def parse(b: Array[Byte]): (Byte, SpaceSavingBase) = {
     val tag = SpaceSaving.deserializeTag(b)
     val s: SpaceSavingBase =
-      if (tag == SpaceSaving.TagString) SpaceSaving.deserializeObj(b)
+      if (tag == SpaceSaving.TagString || tag == SpaceSaving.TagBinary)
+        SpaceSaving.deserializeObj(b)
       else SpaceSaving.deserializeLong(b)
     (tag, s)
   }

@@ -107,11 +107,15 @@ object functions {
     toColumn(SSTopK(toExpr(sketch), Literal(k), DoubleType))
   def ss_topk_string(sketch: Column, k: Int): Column =
     toColumn(SSTopK(toExpr(sketch), Literal(k), StringType))
+  def ss_topk_binary(sketch: Column, k: Int): Column =
+    toColumn(SSTopK(toExpr(sketch), Literal(k),
+      org.apache.spark.sql.types.BinaryType))
   def ss_size(sketch: Column): Column = toColumn(SSSize(toExpr(sketch)))
   /** All active counters (S6) = topk with k = capacity upper bound. */
   def ss_counters_long(sketch: Column): Column = ss_topk_long(sketch, Int.MaxValue)
   def ss_counters_double(sketch: Column): Column = ss_topk_double(sketch, Int.MaxValue)
   def ss_counters_string(sketch: Column): Column = ss_topk_string(sketch, Int.MaxValue)
+  def ss_counters_binary(sketch: Column): Column = ss_topk_binary(sketch, Int.MaxValue)
 
   // ---- Text analysis (training-data pipeline ops) ----
   def token_count(text: Column): Column = toColumn(TokenCount(toExpr(text)))
@@ -218,6 +222,8 @@ object GraftFunctions {
     "ss_topk_long" -> { case Seq(s, k) => SSTopK(s, k, LongType) },
     "ss_topk_double" -> { case Seq(s, k) => SSTopK(s, k, DoubleType) },
     "ss_topk_string" -> { case Seq(s, k) => SSTopK(s, k, StringType) },
+    "ss_topk_binary" -> { case Seq(s, k) =>
+      SSTopK(s, k, org.apache.spark.sql.types.BinaryType) },
     "ss_size" -> { case Seq(s) => SSSize(s) },
     "token_count" -> { case Seq(t) => TokenCount(t) },
     "lang_id" -> { case Seq(t) => LangId(t) },

@@ -383,7 +383,9 @@ final class SpaceSavingObj(capacity0: Int) extends SpaceSavingBase(capacity0) {
 
   def serialize(tag: Byte): Array[Byte] = {
     val slots = topkSlots(size)
-    val bytes = slots.map(s => items(s).getBytes(StandardCharsets.UTF_8))
+    val cs = if (tag == SpaceSaving.TagBinary) StandardCharsets.ISO_8859_1
+             else StandardCharsets.UTF_8
+    val bytes = slots.map(s => items(s).getBytes(cs))
     val payload = bytes.map(_.length + 4 + 16).sum
     val bb = ByteBuffer.allocate(1 + 4 + 4 + payload)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -404,6 +406,13 @@ object SpaceSaving {
   val TagLong: Byte = 0
   val TagDouble: Byte = 1 // int64-backed, items are doubleToRawLongBits
   val TagString: Byte = 2
+  val TagBinary: Byte = 3 // Obj arm; bytes held as ISO-8859-1 strings (1:1)
+
+  /** Lossless byte↔string bridge for binary keys on the Obj arm. */
+  def binaryKey(b: Array[Byte]): String =
+    new String(b, StandardCharsets.ISO_8859_1)
+  def keyToBinary(s: String): Array[Byte] =
+    s.getBytes(StandardCharsets.ISO_8859_1)
 
   /** float64 keys ride the int64 implementation via raw bits
     * (asint64, space_saving_stubs.c.in:462-466). */
@@ -413,7 +422,7 @@ object SpaceSaving {
   def deserializeTag(bytes: Array[Byte]): Byte = {
     require(bytes.length >= 9, s"not a space-saving sketch: ${bytes.length} bytes")
     val tag = bytes(0)
-    require(tag == TagLong || tag == TagDouble || tag == TagString,
+    require(tag == TagLong || tag == TagDouble || tag == TagString || tag == TagBinary,
       s"not a space-saving sketch: unknown key-type tag $tag")
     tag
   }
@@ -435,7 +444,9 @@ object SpaceSaving {
   }
 
   def deserializeObj(bytes: Array[Byte]): SpaceSavingObj = {
-    deserializeTag(bytes)
+    val tag = deserializeTag(bytes)
+    val cs = if (tag == TagBinary) StandardCharsets.ISO_8859_1
+             else StandardCharsets.UTF_8
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     bb.get() // tag
     val cap = bb.getInt()
@@ -449,7 +460,7 @@ object SpaceSaving {
       val len = bb.getInt()
       val b = new Array[Byte](len)
       bb.get(b)
-      its(i) = new String(b, StandardCharsets.UTF_8)
+      its(i) = new String(b, cs)
       cts(i) = bb.getLong(); ers(i) = bb.getLong()
       i += 1
     }

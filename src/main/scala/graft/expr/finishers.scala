@@ -177,6 +177,7 @@ object SSTopK {
   def itemTypeFor(tag: Byte): DataType = tag match {
     case SpaceSaving.TagLong => LongType
     case SpaceSaving.TagDouble => DoubleType
+    case SpaceSaving.TagBinary => BinaryType
     case _ => StringType
   }
 }
@@ -198,11 +199,12 @@ case class SSTopK(left: Expression, right: Expression, itemType: DataType)
     val k = kAny.asInstanceOf[Int]
     if (k < 0) throw new IllegalArgumentException("k must be >= 0")
     val tag = SpaceSaving.deserializeTag(bytes)
-    val rows: Array[Any] = if (tag == SpaceSaving.TagString) {
+    val rows: Array[Any] = if (tag == SpaceSaving.TagString || tag == SpaceSaving.TagBinary) {
       val s = SpaceSaving.deserializeObj(bytes)
       s.topkSlots(k).map { i =>
         val r = new GenericInternalRow(3)
-        r.update(0, UTF8String.fromString(s.items(i)))
+        if (itemType == BinaryType) r.update(0, SpaceSaving.keyToBinary(s.items(i)))
+        else r.update(0, UTF8String.fromString(s.items(i)))
         r.setLong(1, s.counts(i)); r.setLong(2, s.errors(i))
         r: Any
       }
@@ -232,7 +234,8 @@ case class SSSize(child: Expression)
   override def prettyName: String = "ss_size"
   override protected def nullSafeEval(sketch: Any): Any = {
     val bytes = sketch.asInstanceOf[Array[Byte]]
-    if (SpaceSaving.deserializeTag(bytes) == SpaceSaving.TagString)
+    val tag = SpaceSaving.deserializeTag(bytes)
+    if (tag == SpaceSaving.TagString || tag == SpaceSaving.TagBinary)
       SpaceSaving.deserializeObj(bytes).size
     else SpaceSaving.deserializeLong(bytes).size
   }

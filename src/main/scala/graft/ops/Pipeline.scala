@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** End-to-end corpus preparation: the composition a training-data pipeline
+  * actually runs, as one call. Stages (each optional via thresholds):
+  *
+  *  1. quality filter    — drop docs below `minQuality` (quality_score);
+  *  2. exact dedup       — normalized-hash groupBy, keep min-id;
+  *  3. near-dup removal  — MinHash+LSH pairs ≥ `jaccardThreshold`,
+  *     connected components, keep the min-id doc per cluster.
+  *
+  * Every stage is deterministic (hash-based, no RNG) and shuffle-lean
+  * (see [[Dedup]]); the same call scales from the 500-row fixture to a
+  * full corpus.
+  */
+object Pipeline {
+
+  case class CleanReport(input: Long, afterQuality: Long, afterExact: Long,
+      afterNearDup: Long)
+
+  /** Returns (cleaned corpus with a `quality` column, stage-count report). */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.3, jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32):
+      (DataFrame, CleanReport) = {
+    val input = docs.count()
+
+    val scored = docs.withColumn("quality", gf.quality_score(col(textCol)))
+    val kept = scored.where(col("quality") >= minQuality).cache()
+    val afterQuality = kept.count()
+
+    val exact = Dedup.exact(kept, idCol, textCol).cache()
+    val afterExact = exact.count()
+
+    val pairs = Dedup.minhashPairs(exact, idCol, textCol,
+      shingleN, numHashes, bands, jaccardThreshold)
+    val comp = Dedup.components(pairs, allIds = Some(exact.select(idCol)))
+    val canonical = comp.groupBy("component").agg(min("id").as("__keep"))
+      .select(col("__keep").as(idCol))
+    val cleaned = exact.join(canonical, Seq(idCol), "left_semi").cache()
+    val afterNearDup = cleaned.count()
+    kept.unpersist(); exact.unpersist()
+
+    (cleaned, CleanReport(input, afterQuality, afterExact, afterNearDup))
+  }
+}

@@ -179,4 +179,31 @@ class AggregatesSpec extends SparkTestBase {
     val n = li.count().toDouble
     assert(math.abs(r - 2.5 * n) < 1e-6)
   }
+
+  test("ss_topk_agg binary keys round-trip raw bytes incl. >127 (S1 object arm)") {
+    import spark.implicits._
+    import graft.api.{functions => gf}
+    import org.apache.spark.sql.functions._
+    val payloads = Seq(
+      Array[Byte](0, 1, -1, 127, -128), Array[Byte](0, 1, -1, 127, -128),
+      Array[Byte](0, 1, -1, 127, -128), Array[Byte](42), Array[Byte](42),
+      Array[Byte](-5, -6))
+    val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+    val out = df.agg(gf.ss_topk_agg(col("payload"), lit(1L), 10).as("sk"))
+      .select(explode(gf.ss_topk_binary(col("sk"), 10)).as("c"))
+      .select(col("c.item"), col("c.count"))
+      .collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1)))
+    assert(out.toSet == Set(
+      (Seq[Byte](0, 1, -1, 127, -128), 3L), (Seq[Byte](42), 2L), (Seq[Byte](-5, -6), 1L)))
+    // persist + merge path preserves binary tag
+    val sk = df.agg(gf.ss_topk_agg(col("payload"), lit(1L), 10).as("sk"))
+    val merged = sk.union(sk).agg(gf.ss_merge_agg(col("sk")).as("m"))
+      .select(explode(gf.ss_topk_binary(col("m"), 10)).as("c"))
+      .select(col("c.item"), col("c.count")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1)))
+    assert(merged.toSet == Set(
+      (Seq[Byte](0, 1, -1, 127, -128), 6L), (Seq[Byte](42), 4L), (Seq[Byte](-5, -6), 2L)))
+  }
 }

@@ -252,4 +252,25 @@ class OpsSpec extends SparkTestBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(full == exact)
   }
+
+  test("cleanCorpus: quality filter + exact dedup + near-dup removal") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val exactDup = base.limit(20).select((col("doc_id") + 10000).as("doc_id"),
+      concat(lit("  "), col("text")).as("text"))  // normalized-equal copies
+    val nearDup = base.limit(40).select((col("doc_id") + 20000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val junk = Seq((30001L, "x"), (30002L, "!!!! ???? ....")).toDF("doc_id", "text")
+    val corpus = base.union(exactDup).union(nearDup).union(junk)
+
+    val (cleaned, report) = Pipeline.cleanCorpus(corpus, "doc_id", "text",
+      minQuality = 0.3, jaccardThreshold = 0.5, shingleN = 3)
+    assert(report.input == 500 + 20 + 40 + 2)
+    assert(report.afterQuality == 560) // junk dropped
+    assert(report.afterExact == 540)   // exact copies collapse to originals
+    assert(report.afterNearDup <= 500) // near-dups collapse
+    assert(cleaned.columns.contains("quality"))
+    // originals preferred (min id per cluster)
+    assert(cleaned.agg(max("doc_id")).head().getLong(0) < 10000)
+    assert(cleaned.count() == report.afterNearDup)
+  }
 }
