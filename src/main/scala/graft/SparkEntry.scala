@@ -103,6 +103,29 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q08_stats_rollup" -> ((s, dir) => {
+      // stock Catalyst grouping machinery (ROLLUP) around our aggregate
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(gf.summary_stats(col("l_quantity")).as("st"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          gf.stats_count(col("st")).as("cnt"),
+          gf.stats_sum(col("st")).as("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+    "q09_stats_nulls" -> ((s, dir) => {
+      // null inputs are skipped (reference NaN-skip semantics ≙ SQL NULL)
+      t(s, dir, "lineitem")
+        .select(nullif(col("l_quantity"), lit(1.0)).as("q"))
+        .agg(gf.summary_stats(col("q")).as("st"))
+        .select(
+          gf.stats_count(col("st")).as("cnt"),
+          gf.stats_sum(col("st")).as("sum_q"),
+          gf.stats_min(col("st")).as("min_q"))
+    }),
+
     // ---- TDigest family (T1–T13) ----
     "q10_tdigest_exact_fields" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy("l_returnflag")
@@ -364,6 +387,15 @@ object SparkEntry {
       """SELECT c_mktsegment, count(c_acctbal) AS cnt, min(c_acctbal) AS min_bal,
          max(c_acctbal) AS max_bal, round(avg(c_acctbal), 6) AS avg_bal
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q08_stats_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         coalesce(l_linestatus, 'ALL') AS ls,
+         count(l_quantity) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q09_stats_nulls" ->
+      """SELECT count(q) AS cnt, sum(q) AS sum_q, min(q) AS min_q
+         FROM (SELECT nullif(l_quantity, 1.0) AS q FROM lineitem)""",
     "q10_tdigest_exact_fields" ->
       """SELECT l_returnflag, cast(count(*) AS double) AS cnt,
          min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
