@@ -1,0 +1,57 @@
+package graft
+
+import graft.core._
+
+/** Single-thread kernel throughput (no Spark): directly comparable to the
+  * reference's C kernels, which are likewise single-threaded per stream
+  * (crick releases the GIL but never spawns threads). Prints adds/sec per
+  * kernel after JIT warm-up. */
+object KernelBench {
+  private def bench(name: String, n: Long)(run: () => Unit): Unit = {
+    run(); run() // warm-up
+    val t0 = System.nanoTime()
+    run()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"KERNEL $name%-28s ${n / dt / 1e6}%8.1f M adds/s  (${dt}%.3f s for $n)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = 10_000_000
+    val rnd = new java.util.Random(42)
+    val xs = Array.fill(n)(rnd.nextGaussian() * 1000)
+    val keysSkew = Array.fill(n)((math.abs(rnd.nextGaussian()) * 500).toLong)
+    val keysUniform = Array.fill(n)(rnd.nextInt(100000).toLong)
+
+    bench("moments.add", n) { () =>
+      val s = new MomentsSketch
+      var i = 0
+      while (i < n) { s.add(xs(i), 1L); i += 1 }
+    }
+    bench("tdigest.add (c=100)", n) { () =>
+      val t = TDigest(100.0)
+      var i = 0
+      while (i < n) { t.add(xs(i)); i += 1 }
+    }
+    bench("spacesaving.add skew cap1k", n) { () =>
+      val s = new SpaceSavingLong(1000)
+      var i = 0
+      while (i < n) { s.add(keysSkew(i)); i += 1 }
+    }
+    bench("spacesaving.add unif cap4k", n) { () =>
+      val s = new SpaceSavingLong(4096)
+      var i = 0
+      while (i < n) { s.add(keysUniform(i)); i += 1 }
+    }
+    // merge throughput: 1024 pre-built partials folded pairwise
+    val parts = Array.fill(256) {
+      val t = TDigest(100.0)
+      var i = 0
+      while (i < 10000) { t.add(rnd.nextGaussian()); i += 1 }
+      t.serialize()
+    }
+    bench("tdigest.merge 256 partials", 256) { () =>
+      val acc = TDigest(100.0)
+      parts.foreach(p => acc.merge(TDigest.deserialize(p)))
+    }
+  }
+}

@@ -168,7 +168,9 @@ object GraftFunctions {
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
     "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
     "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3),
-    "nearest_centroids" -> Seq(3)
+    "nearest_centroids" -> Seq(3), "stats_mean" -> Seq(1),
+    "stats_var" -> Seq(1, 2), "stats_std" -> Seq(1, 2),
+    "stats_skew" -> Seq(1, 2), "stats_kurt" -> Seq(1, 2, 3)
   ).withDefault {
     case n if n.endsWith("_merge_agg") || n == "ss_size" || n == "tdigest_centroids" ||
               n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" ||
@@ -236,8 +238,38 @@ object GraftFunctions {
     "vec_cosine" -> { case Seq(a, b) => VecCosine(a, b) },
     "vec_norm" -> { case Seq(a) => VecNorm(a) },
     "srp_signature" -> { case Seq(v, b, s) => SrpSignature(v, b, s) },
-    "nearest_centroids" -> { case Seq(v, c, k) => NearestCentroids(v, c, k) }
+    "nearest_centroids" -> { case Seq(v, c, k) => NearestCentroids(v, c, k) },
+    // stats finishers as SQL functions (same column arithmetic as the DSL;
+    // optional args must be foldable literals)
+    "stats_mean" -> { case Seq(st) => StatsFinishers.mean(st) },
+    "stats_var" -> {
+      case Seq(st) => StatsFinishers.variance(st, 0)
+      case Seq(st, d) => StatsFinishers.variance(st, foldInt(d, "ddof"))
+    },
+    "stats_std" -> {
+      case Seq(st) => StatsFinishers.std(st, 0)
+      case Seq(st, d) => StatsFinishers.std(st, foldInt(d, "ddof"))
+    },
+    "stats_skew" -> {
+      case Seq(st) => StatsFinishers.skew(st, bias = true)
+      case Seq(st, b) => StatsFinishers.skew(st, foldBool(b, "bias"))
+    },
+    "stats_kurt" -> {
+      case Seq(st) => StatsFinishers.kurt(st, fisher = true, bias = true)
+      case Seq(st, fi) => StatsFinishers.kurt(st, foldBool(fi, "fisher"), bias = true)
+      case Seq(st, fi, b) => StatsFinishers.kurt(st, foldBool(fi, "fisher"),
+        foldBool(b, "bias"))
+    }
   )
+
+  private def foldInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a constant")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+  private def foldBool(e: Expression, name: String): Boolean = {
+    require(e.foldable, s"$name must be a constant")
+    e.eval().asInstanceOf[Boolean]
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -70,6 +70,22 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(math.abs(math.sqrt(r4.getDouble(0)) - r4.getDouble(2)) < 1e-9)
   }
 
+  test("stats finishers callable from SQL with variant args") {
+    val r = one("""
+      SELECT stats_mean(summary_stats(l_quantity)) m,
+             stats_var(summary_stats(l_quantity), 1) v1,
+             stats_std(summary_stats(l_quantity)) s0,
+             stats_skew(summary_stats(l_quantity), false) sk,
+             stats_kurt(summary_stats(l_quantity), false, false) ku
+      FROM li""")
+    val b = spark.sql(
+      "SELECT avg(l_quantity), var_samp(l_quantity), stddev_pop(l_quantity) FROM li").head()
+    assert(math.abs(r.getDouble(0) - b.getDouble(0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - b.getDouble(1)) < 1e-6)
+    assert(math.abs(r.getDouble(2) - b.getDouble(2)) < 1e-6)
+    assert(!r.isNullAt(3) && !r.isNullAt(4))
+  }
+
   test("corrupt sketch bytes produce clear errors") {
     def msgOf(sql: String): String = {
       val e = intercept[Exception](one(sql))

@@ -213,4 +213,18 @@ class TDigestSpec extends AnyFunSuite {
     val t = TDigest(100.0)
     assert(t.size == 200 && t.bufferSize == 42)
   }
+
+  test("fastAsin within 2 ulp of Math.asin across the domain") {
+    var i = -100000
+    while (i <= 100000) {
+      val x = i / 100000.0
+      val a = TDigest.fastAsin(x)
+      val b = math.asin(x)
+      assert(math.abs(a - b) <= 2 * math.ulp(b), s"x=$x: $a vs $b")
+      i += 1
+    }
+    assert(TDigest.fastAsin(1.0) == math.asin(1.0))
+    assert(TDigest.fastAsin(-1.0) == math.asin(-1.0))
+    assert(TDigest.fastAsin(Double.NaN).isNaN && TDigest.fastAsin(1.5).isNaN)
+  }
 }
