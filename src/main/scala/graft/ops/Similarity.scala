@@ -41,14 +41,18 @@ object Similarity {
         transform(sequence(lit(0), lit(tables - 1)),
           t => gf.srp_signature(col(vecCol), bits, xxhash64(t, lit(seed))))))
         .toDF(id, v, "__table", "__sig")
-    val cb = banded(corpus, "neighbor_id", "__cv")
-    val qb = banded(queries, "query_id", "__qv")
-    val scored = cb.join(qb, Seq("__table", "__sig"))
+    // dedupe candidate pairs BEFORE scoring so each (query, neighbor) pays
+    // one cosine regardless of how many tables it collided in
+    val cb = banded(corpus, "neighbor_id", "__cv").select("__table", "__sig", "neighbor_id")
+    val qb = banded(queries, "query_id", "__qv").select("__table", "__sig", "query_id")
+    val cand = cb.join(qb, Seq("__table", "__sig"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(gf.vec_cosine(col("__qv"), col("__cv")), roundTo).as("cosine"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(first("cosine").as("cosine"))
     topK(scored, k)
   }
 
