@@ -35,6 +35,35 @@ object StreamingSketches {
         gf.summary_stats(col(valueCol)).as("value_stats"))
   }
 
+  /** Streaming exact deduplication: emits only the FIRST row seen per
+    * normalized content hash, across micro-batches, using
+    * flatMapGroupsWithState (custom keyed state; one boolean per key).
+    *
+    * State is the smallest possible (a seen-marker per distinct content
+    * hash); pair with a TTL-style cleanup (state timeout) in production if
+    * the key space is unbounded. Works on batch frames too (degenerates to
+    * per-key first()). Output columns = input columns.
+    */
+  def dedupStream(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val keyed = df.withColumn("__key",
+      graft.ops.Dedup.contentKey(col(textCol)))
+    val ds = keyed.as[Row](Encoders.row(keyed.schema))
+    ds.groupByKey(r => r.getLong(r.fieldIndex("__key")))(Encoders.scalaLong)
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: Long, rows: Iterator[Row], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.next()
+            Iterator(Row.fromSeq(first.toSeq.dropRight(1))) // drop __key
+          }
+        })(Encoders.scalaBoolean, Encoders.row(df.schema))
+      .toDF()
+  }
+
   /** Finalize a windowed-sketch frame into human-readable per-window rows. */
   def summarize(sketches: DataFrame, quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
       k: Int = 3): DataFrame =

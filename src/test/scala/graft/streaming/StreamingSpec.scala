@@ -109,4 +109,36 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("dedupStream emits only first occurrence per content across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("id", "text")
+    val out = StreamingSketches.dedupStream(sdf, "text")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, "alpha beta"), (2L, "gamma")))
+      q.processAllAvailable()
+      // later batches repeat content (incl. normalization-equal) + one new doc
+      stream.addData(Seq((3L, "ALPHA  beta"), (4L, "gamma"), (5L, "delta")))
+      q.processAllAvailable()
+      stream.addData(Seq((6L, "alpha beta")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // 3/4/6 suppressed (seen in earlier batches)
+      assert(rows.map(_._1).toSeq == Seq(1L, 2L, 5L), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("dedupStream works on batch frames too") {
+    import spark.implicits._
+    val df = Seq((1L, "x y"), (2L, "x  Y"), (3L, "z")).toDF("id", "text")
+    val got = StreamingSketches.dedupStream(df, "text")
+      .orderBy("id").as[(Long, String)].collect()
+    // same-batch duplicate winner is partition-order dependent: one of 1/2
+    assert(got.length == 2 && got.map(_._1).contains(3L)
+      && Set(1L, 2L).contains(got.map(_._1).min))
+  }
 }
