@@ -33,9 +33,12 @@ object functions {
   def stats_max(s: Column): Column = s("max")
   def stats_mean(s: Column): Column =
     when(s("count") === 0L, lit(Double.NaN)).otherwise(s("sum") / s("count"))
-  /** var with arbitrary integer ddof (stats_stubs.c:103-105). */
+  /** var with arbitrary integer ddof (stats_stubs.c:103-105). IEEE division
+    * semantics via pow(denom, -1): count == ddof yields ±Inf/NaN exactly like
+    * the reference's C division instead of an ANSI-mode error. */
   def stats_var(s: Column, ddof: Int = 0): Column =
-    when(s("count") === 0L, lit(Double.NaN)).otherwise(s("m2") / (s("count") - lit(ddof)))
+    when(s("count") === 0L, lit(Double.NaN))
+      .otherwise(s("m2") * pow((s("count") - lit(ddof)).cast(DoubleType), -1.0))
   def stats_std(s: Column, ddof: Int = 0): Column = sqrt(stats_var(s, ddof))
 
   /** Skewness with bias option (stats_stubs.c:113-123). */

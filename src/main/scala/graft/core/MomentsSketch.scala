@@ -79,6 +79,11 @@ final class MomentsSketch extends Serializable {
   }
 
   /** In-place merge of another sketch (stats_stubs.c:78-90). */
+  /** NOTE (reference-inherited): like stats_merge (stats_stubs.c:77), a
+    * partial whose count == 0 is dropped wholesale — including homogeneity
+    * state from NaN-only input. With NaNs present, `homogeneous` (and thus
+    * skew/kurt NaN-ness) can therefore depend on how rows were partitioned,
+    * exactly as it does for the reference under dask's partitioned merge. */
   def merge(other: MomentsSketch): Unit = {
     if (other.count == 0L) return
     if (count == 0L) {

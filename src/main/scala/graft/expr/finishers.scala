@@ -199,6 +199,10 @@ case class SSTopK(left: Expression, right: Expression, itemType: DataType)
     val k = kAny.asInstanceOf[Int]
     if (k < 0) throw new IllegalArgumentException("k must be >= 0")
     val tag = SpaceSaving.deserializeTag(bytes)
+    val expected = SSTopK.itemTypeFor(tag)
+    require(expected == itemType,
+      s"sketch holds ${expected.simpleString} items; use the matching " +
+        s"ss_topk variant (got ${itemType.simpleString})")
     val rows: Array[Any] = if (tag == SpaceSaving.TagString || tag == SpaceSaving.TagBinary) {
       val s = SpaceSaving.deserializeObj(bytes)
       s.topkSlots(k).map { i =>

@@ -21,9 +21,12 @@ object StatsFinishers {
   def mean(st: Expression): Expression =
     emptyGuard(st, Divide(fld(st, "sum"), Cast(fld(st, "count"), DoubleType)))
 
+  // IEEE division via pow(denom, -1): count == ddof → ±Inf/NaN (the
+  // reference's C semantics) instead of an ANSI-mode DIVIDE_BY_ZERO error
   def variance(st: Expression, ddof: Int): Expression =
-    emptyGuard(st, Divide(fld(st, "m2"),
-      Cast(Subtract(fld(st, "count"), Literal(ddof.toLong)), DoubleType)))
+    emptyGuard(st, Multiply(fld(st, "m2"),
+      Pow(Cast(Subtract(fld(st, "count"), Literal(ddof.toLong)), DoubleType),
+        Literal(-1.0))))
 
   def std(st: Expression, ddof: Int): Expression = Sqrt(variance(st, ddof))
 

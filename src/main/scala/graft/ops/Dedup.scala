@@ -28,19 +28,25 @@ object Dedup {
     * row with the smallest `idCol`. Output schema = input schema. */
   def exact(df: DataFrame, idCol: String, textCol: String,
       normalize: Boolean = true): DataFrame = {
-    val key = contentKey(col(textCol), normalize)
+    // group on the normalized TEXT, not its 64-bit hash: at multi-billion-doc
+    // scale hash-only grouping would silently delete colliding distinct docs.
+    // The shuffle already carries the full row, so keying by text costs only
+    // the normalized copy.
+    val key = if (normalize) normalized(col(textCol)) else col(textCol)
     val cols = df.columns
     df.groupBy(key.as("__k"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
       .select(cols.map(c => col(s"__r.$c")): _*)
   }
 
+  /** Whitespace/case normalization used by exact dedup and content keys. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
   /** 64-bit content key: xxhash64 of (optionally whitespace/case-normalized)
     * text — the exact-dedup shuffle key. */
-  def contentKey(text: Column, normalize: Boolean = true): Column = {
-    val t = if (normalize) lower(regexp_replace(trim(text), "\\s+", " ")) else text
-    xxhash64(t)
-  }
+  def contentKey(text: Column, normalize: Boolean = true): Column =
+    xxhash64(if (normalize) normalized(text) else text)
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -183,10 +189,13 @@ object Dedup {
     * [[embeddingPairsLsh]] at scale. */
   def embeddingPairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    // normalize once per row (one pass), then a single dot product per pair —
-    // half the flops and allocations of cosine-per-pair
-    val nv = df.select(col(idCol).as("__id"),
-      transform(col(vecCol), x => x / gf.vec_norm(col(vecCol))).as("__nv"))
+    // normalize once per row (norm computed ONCE, not per element — a
+    // vec_norm inside the transform lambda would re-evaluate per element),
+    // then a single dot product per pair
+    val nv = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        gf.vec_norm(col(vecCol)).as("__n"))
+      .select(col("__id"),
+        transform(col("__v"), x => x / col("__n")).as("__nv"))
     val a = nv.select(col("__id").as("idA"), col("__nv").as("__va"))
     val b = nv.select(col("__id").as("idB"), col("__nv").as("__vb"))
     a.join(broadcast(b), col("idA") < col("idB"))

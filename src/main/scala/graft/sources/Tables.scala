@@ -33,6 +33,6 @@ object Tables {
   private def normalize(name: String, df: DataFrame): DataFrame =
     if (name == "events" && df.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else df
 }

@@ -47,19 +47,21 @@ object StreamingSketches {
   def dedupStream(df: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.{Encoders, Row}
-    val keyed = df.withColumn("__key",
-      graft.ops.Dedup.contentKey(col(textCol)))
-    val ds = keyed.as[Row](Encoders.row(keyed.schema))
-    ds.groupByKey(r => r.getLong(r.fieldIndex("__key")))(Encoders.scalaLong)
+    // key = the normalized text itself (like Spark's own streaming
+    // dropDuplicates, which stores key columns in state): exact dedup with
+    // no hash-collision risk; state value is one boolean per distinct doc
+    val textIdx = df.schema.fieldIndex(textCol)
+    val ds = df.as[Row](Encoders.row(df.schema))
+    ds.groupByKey { r =>
+      val t = r.getString(textIdx)
+      if (t == null) "" else t.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ")
+    }(Encoders.STRING)
       .flatMapGroupsWithState[Boolean, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (_: Long, rows: Iterator[Row], state: GroupState[Boolean]) => {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) => {
           if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            val first = rows.next()
-            Iterator(Row.fromSeq(first.toSeq.dropRight(1))) // drop __key
-          }
+          else { state.update(true); Iterator(rows.next()) }
         })(Encoders.scalaBoolean, Encoders.row(df.schema))
       .toDF()
   }

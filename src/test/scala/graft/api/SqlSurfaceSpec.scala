@@ -86,6 +86,28 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(!r.isNullAt(3) && !r.isNullAt(4))
   }
 
+  test("single-row group: var_samp yields Inf/NaN (IEEE), not ANSI error") {
+    import graft.api.{functions => gf}
+    import org.apache.spark.sql.functions._
+    val df = spark.range(3).selectExpr("id as g", "cast(id as double) as x")
+    val r = df.groupBy("g").agg(gf.summary_stats(col("x")).as("st"))
+      .select(col("g"), gf.stats_var(col("st"), 1).as("v"))
+      .orderBy("g").collect()
+    // one row per group: m2 == 0, denom == 0 → 0 * (1/0) = NaN (C semantics)
+    r.foreach(row => assert(row.getDouble(1).isNaN))
+    val sqlR = one(
+      "SELECT stats_var(summary_stats(l_quantity), 6000) v FROM li").getDouble(0)
+    assert(sqlR.isInfinite || sqlR.isNaN) // count == ddof boundary via SQL too
+  }
+
+  test("ss_topk variant mismatch names the right function") {
+    val e = intercept[Exception](one(
+      "SELECT ss_topk_double(ss_topk_agg(l_partkey, 1L, 10), 3) FROM li"))
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("bigint") && msg.contains("matching ss_topk variant"), msg)
+  }
+
   test("corrupt sketch bytes produce clear errors") {
     def msgOf(sql: String): String = {
       val e = intercept[Exception](one(sql))
