@@ -133,6 +133,56 @@ abstract class SpaceSavingBase(val capacity: Int) extends Serializable {
     counterInsert(index, p)
   }
 
+  // --- item hooks for the shared merge loop (concrete arms own key storage) ---
+  /** slot of other's item (at other-slot) in THIS sketch, or NIL. */
+  protected def slotOfOtherItem(other: SpaceSavingBase, otherSlot: Int): Int
+  /** evict this.slot's item and take other's item (at other-slot). */
+  protected def replaceItemFrom(slot: Int, other: SpaceSavingBase, otherSlot: Int): Unit
+  /** append other's item (at other-slot) as a new counter with (count, error). */
+  protected def appendItemFrom(other: SpaceSavingBase, otherSlot: Int,
+      count: Long, error: Long): Unit
+
+  /** Cafaro parallel merge, in place into this (spsv_merge,
+    * space_saving_stubs.c.in:289-364). `other` is not mutated. One shared
+    * implementation for both key arms. */
+  final def mergeBase(other: SpaceSavingBase): Unit = {
+    if (other.size == 0) return
+    val m1 = minOffset
+    val m2 = other.minOffset
+
+    var i1 = 0
+    while (i1 < size) {
+      val i2 = other.slotOfOtherItem(this, i1)
+      if (i2 != NIL) {
+        updateCounter(i1, counts(i1) + other.counts(i2),
+          errors(i1) + other.errors(i2))
+      } else {
+        updateCounter(i1, counts(i1) + m2, errors(i1) + m2)
+      }
+      i1 += 1
+    }
+
+    var i2 = other.head
+    var c = 0
+    var break = false
+    while (c < other.size && !break) {
+      if (slotOfOtherItem(other, i2) == NIL) {
+        if (size == capacity) {
+          val t = prev(head)
+          if (counterGe(t, other.counts(i2), other.errors(i2), m1)) break = true
+          else {
+            replaceItemFrom(t, other, i2)
+            updateCounter(t, other.counts(i2) + m1, other.errors(i2) + m1)
+          }
+        } else {
+          appendItemFrom(other, i2, other.counts(i2) + m1, other.errors(i2) + m1)
+        }
+      }
+      i2 = other.next(i2)
+      c += 1
+    }
+  }
+
   /** Min count if full, else 0 (merge offset, space_saving_stubs.c.in:296-305). */
   protected final def minOffset: Long =
     if (size < capacity) 0L else counts(prev(head))
@@ -227,45 +277,25 @@ final class SpaceSavingLong(capacity0: Int) extends SpaceSavingBase(capacity0) {
     }
   }
 
-  /** Cafaro merge, in place into this (spsv_merge,
-    * space_saving_stubs.c.in:289-364). `other` is not mutated. */
-  def merge(other: SpaceSavingLong): Unit = {
-    if (other.size == 0) return
-    val m1 = minOffset
-    val m2 = other.minOffset
+  def merge(other: SpaceSavingLong): Unit = mergeBase(other)
 
-    var i1 = 0
-    while (i1 < size) {
-      val i2 = other.lookup(items(i1))
-      if (i2 != NIL) {
-        updateCounter(i1, counts(i1) + other.counts(i2),
-          errors(i1) + other.errors(i2))
-      } else {
-        updateCounter(i1, counts(i1) + m2, errors(i1) + m2)
-      }
-      i1 += 1
-    }
-
-    var i2 = other.head
-    var c = 0
-    var break = false
-    while (c < other.size && !break) {
-      val item = other.items(i2)
-      if (lookup(item) == NIL) {
-        if (size == capacity) {
-          val t = prev(head)
-          if (counterGe(t, other.counts(i2), other.errors(i2), m1)) break = true
-          else swap(t, item, other.counts(i2) + m1, other.errors(i2) + m1)
-        } else {
-          val idx = counterNew(other.counts(i2) + m1, other.errors(i2) + m1)
-          items(idx) = item
-          val j = hFind(item)
-          hKeys(j) = item; hVals(j) = idx
-        }
-      }
-      i2 = other.next(i2)
-      c += 1
-    }
+  override protected def slotOfOtherItem(other: SpaceSavingBase, otherSlot: Int): Int =
+    lookup(other.asInstanceOf[SpaceSavingLong].items(otherSlot))
+  override protected def replaceItemFrom(slot: Int, other: SpaceSavingBase,
+      otherSlot: Int): Unit = {
+    val item = other.asInstanceOf[SpaceSavingLong].items(otherSlot)
+    hRemove(items(slot))
+    items(slot) = item
+    val i = hFind(item)
+    hKeys(i) = item; hVals(i) = slot
+  }
+  override protected def appendItemFrom(other: SpaceSavingBase, otherSlot: Int,
+      count: Long, error: Long): Unit = {
+    val item = other.asInstanceOf[SpaceSavingLong].items(otherSlot)
+    val idx = counterNew(count, error)
+    items(idx) = item
+    val j = hFind(item)
+    hKeys(j) = item; hVals(j) = idx
   }
 
   /** Rebuild from counters in sorted order (spsv_set_state,
@@ -331,42 +361,23 @@ final class SpaceSavingObj(capacity0: Int) extends SpaceSavingBase(capacity0) {
     }
   }
 
-  def merge(other: SpaceSavingObj): Unit = {
-    if (other.size == 0) return
-    val m1 = minOffset
-    val m2 = other.minOffset
+  def merge(other: SpaceSavingObj): Unit = mergeBase(other)
 
-    var i1 = 0
-    while (i1 < size) {
-      val i2 = other.lookup(items(i1))
-      if (i2 != NIL) {
-        updateCounter(i1, counts(i1) + other.counts(i2),
-          errors(i1) + other.errors(i2))
-      } else {
-        updateCounter(i1, counts(i1) + m2, errors(i1) + m2)
-      }
-      i1 += 1
-    }
-
-    var i2 = other.head
-    var c = 0
-    var break = false
-    while (c < other.size && !break) {
-      val item = other.items(i2)
-      if (lookup(item) == NIL) {
-        if (size == capacity) {
-          val t = prev(head)
-          if (counterGe(t, other.counts(i2), other.errors(i2), m1)) break = true
-          else swap(t, item, other.counts(i2) + m1, other.errors(i2) + m1)
-        } else {
-          val idx = counterNew(other.counts(i2) + m1, other.errors(i2) + m1)
-          items(idx) = item
-          index.put(item, idx)
-        }
-      }
-      i2 = other.next(i2)
-      c += 1
-    }
+  override protected def slotOfOtherItem(other: SpaceSavingBase, otherSlot: Int): Int =
+    lookup(other.asInstanceOf[SpaceSavingObj].items(otherSlot))
+  override protected def replaceItemFrom(slot: Int, other: SpaceSavingBase,
+      otherSlot: Int): Unit = {
+    val item = other.asInstanceOf[SpaceSavingObj].items(otherSlot)
+    index.remove(items(slot))
+    items(slot) = item
+    index.put(item, slot)
+  }
+  override protected def appendItemFrom(other: SpaceSavingBase, otherSlot: Int,
+      count: Long, error: Long): Unit = {
+    val item = other.asInstanceOf[SpaceSavingObj].items(otherSlot)
+    val idx = counterNew(count, error)
+    items(idx) = item
+    index.put(item, idx)
   }
 
   def setState(its: Array[String], cts: Array[Long], ers: Array[Long]): Unit = {
