@@ -151,6 +151,7 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var i = 0
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
     while (!converged && i < maxIterations) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
@@ -165,10 +166,12 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("parent"), col("component"))).as("component"))
         .localCheckpoint()
-      val changed = jumped.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .where(col("component") =!= col("old")).limit(1).count()
+      // labels are monotonically non-increasing, so an unchanged sum is a
+      // fixpoint — one narrow scan instead of a join per round
+      val sumAfter = jumped.agg(sum("component")).head().getLong(0)
       labels = jumped
-      converged = changed == 0
+      converged = sumAfter == prevSum
+      prevSum = sumAfter
       i += 1
     }
     edges.unpersist()

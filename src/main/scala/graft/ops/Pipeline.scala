@@ -26,11 +26,13 @@ object Pipeline {
       minQuality: Double = 0.3, jaccardThreshold: Double = 0.8,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32):
       (DataFrame, CleanReport) = {
-    val input = docs.count()
-
     val scored = docs.withColumn("quality", gf.quality_score(col(textCol)))
     val kept = scored.where(col("quality") >= minQuality).cache()
-    val afterQuality = kept.count()
+    // one pass for the first two report counts
+    val firstCounts = scored.agg(count(lit(1)),
+      count(when(col("quality") >= minQuality, 1))).head()
+    val input = firstCounts.getLong(0)
+    val afterQuality = firstCounts.getLong(1)
 
     val exact = Dedup.exact(kept, idCol, textCol).cache()
     val afterExact = exact.count()
