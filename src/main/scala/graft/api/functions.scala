@@ -114,6 +114,7 @@ object functions {
     toColumn(SSTopK(toExpr(sketch), Literal(k),
       org.apache.spark.sql.types.BinaryType))
   def ss_size(sketch: Column): Column = toColumn(SSSize(toExpr(sketch)))
+  def ss_capacity(sketch: Column): Column = toColumn(SSCapacity(toExpr(sketch)))
   /** All active counters (S6) = topk with k = capacity upper bound. */
   def ss_counters_long(sketch: Column): Column = ss_topk_long(sketch, Int.MaxValue)
   def ss_counters_double(sketch: Column): Column = ss_topk_double(sketch, Int.MaxValue)
@@ -178,6 +179,7 @@ object GraftFunctions {
     case n if n.endsWith("_merge_agg") || n == "ss_size" || n == "tdigest_centroids" ||
               n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" ||
               n == "token_count" || n == "lang_id" || n == "text_stats" ||
+              n == "ss_capacity" ||
               n == "vec_norm" => Seq(1)
     case _ => Seq(2)
   }
@@ -230,6 +232,7 @@ object GraftFunctions {
     "ss_topk_binary" -> { case Seq(s, k) =>
       SSTopK(s, k, org.apache.spark.sql.types.BinaryType) },
     "ss_size" -> { case Seq(s) => SSSize(s) },
+    "ss_capacity" -> { case Seq(s) => SSCapacity(s) },
     "token_count" -> { case Seq(t) => TokenCount(t) },
     "lang_id" -> { case Seq(t) => LangId(t) },
     "text_stats" -> { case Seq(t) => TextStatsExpr(t) },

@@ -230,6 +230,21 @@ case class SSTopK(left: Expression, right: Expression, itemType: DataType)
     copy(left = l, right = r)
 }
 
+/** ss_capacity(sketch) → int: configured capacity (S7). */
+case class SSCapacity(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ss_capacity"
+  override protected def nullSafeEval(sketch: Any): Any = {
+    val bytes = sketch.asInstanceOf[Array[Byte]]
+    SpaceSaving.deserializeTag(bytes) // validates header
+    java.nio.ByteBuffer.wrap(bytes, 1, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt()
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** ss_size(sketch) → int: number of active counters (S7). */
 case class SSSize(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {

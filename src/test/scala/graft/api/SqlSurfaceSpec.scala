@@ -30,11 +30,13 @@ class SqlSurfaceSpec extends SparkTestBase {
              size(tdigest_centroids(tdigest(l_quantity))) nc,
              summary_stats(l_quantity).count sc,
              ss_size(ss_topk_agg(l_partkey)) sz,
+             ss_capacity(ss_topk_agg(l_partkey, 1L, 77)) cap,
              ss_topk(ss_topk_agg(l_partkey, 1L, 50), 3) tk
       FROM li""")
     assert(r1.getDouble(0) > 0 && r1.getDouble(6) == 6000.0)
     assert(r1.getDouble(9) == 12000.0) // scaled weight
     assert(r1.getLong(11) == 6000L && r1.getInt(12) > 0)
+    assert(r1.getInt(13) == 77)
 
     // merge aggs over subquery sketches
     val r2 = one("""
