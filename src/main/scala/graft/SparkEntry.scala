@@ -221,6 +221,23 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("item"))
         .limit(10)
     }),
+    "q25_json_composition" -> ((s, dir) => {
+      // stock JSON extraction composing with graft aggregates (relational
+      // layer = stock Spark, per SURVEY §2.4)
+      val ev = t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      ev.groupBy("event_type")
+        .agg(gf.summary_stats(col("k")).as("st"),
+          gf.ss_topk_agg(col("k"), lit(1L), 256).as("sk"))
+        .select(col("event_type"),
+          gf.stats_count(col("st")).as("cnt"),
+          gf.stats_sum(col("st")).as("sum_k"),
+          gf.stats_min(col("st")).as("min_k"),
+          gf.stats_max(col("st")).as("max_k"),
+          gf.ss_size(col("sk")).as("distinct_capped"))
+        .orderBy("event_type")
+    }),
+
     // ---- Training-data pipeline ops (dedup / text / similarity / media) ----
     "q30_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -427,6 +444,14 @@ object SparkEntry {
     "q24_ss_persist_roundtrip" ->
       """SELECT event_type AS item, count(*) AS cnt FROM events
          GROUP BY event_type ORDER BY cnt DESC, item""",
+    "q25_json_composition" ->
+      """SELECT event_type, count(k) AS cnt, sum(k) AS sum_k,
+         min(k) AS min_k, max(k) AS max_k,
+         cast(least(count(DISTINCT k), 256) AS int) AS distinct_capped
+         FROM (SELECT event_type,
+                      cast(json_extract_string(props, '$.k') AS double) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     "q30_dedup_exact" ->
       """SELECT count(*) AS kept, cast(sum(doc_id) AS bigint) AS sum_ids,
          cast(sum(n_chars) AS bigint) AS sum_chars FROM (
