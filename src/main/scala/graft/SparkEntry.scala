@@ -221,6 +221,22 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("item"))
         .limit(10)
     }),
+    "q26_windowed_stats" -> ((s, dir) => {
+      // event-time tumbling windows (batch half of SURVEY §2.5 Q11): same
+      // window() machinery Structured Streaming uses, oracle-able in DuckDB
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(gf.summary_stats(col("value")).as("st"),
+          gf.ss_topk_agg(col("event_type"), lit(1L), 64).as("sk"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          gf.stats_count(col("st")).as("cnt"),
+          round(gf.stats_sum(col("st")), 4).as("sum_v"),
+          gf.stats_min(col("st")).as("min_v"),
+          gf.stats_max(col("st")).as("max_v"),
+          gf.ss_size(col("sk")).as("n_types"))
+        .orderBy("day")
+    }),
     "q25_json_composition" -> ((s, dir) => {
       // stock JSON extraction composing with graft aggregates (relational
       // layer = stock Spark, per SURVEY §2.4)
@@ -444,6 +460,12 @@ object SparkEntry {
     "q24_ss_persist_roundtrip" ->
       """SELECT event_type AS item, count(*) AS cnt FROM events
          GROUP BY event_type ORDER BY cnt DESC, item""",
+    "q26_windowed_stats" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(value) AS cnt, round(sum(value), 4) AS sum_v,
+         min(value) AS min_v, max(value) AS max_v,
+         cast(count(DISTINCT event_type) AS int) AS n_types
+         FROM events GROUP BY 1 ORDER BY day""",
     "q25_json_composition" ->
       """SELECT event_type, count(k) AS cnt, sum(k) AS sum_k,
          min(k) AS min_k, max(k) AS max_k,
