@@ -245,6 +245,12 @@ case class NearestCentroids(first: Expression, second: Expression, third: Expres
       }
       c += 1
     }
+    // non-finite vectors (NaN dot everywhere) fill nothing: fall back to the
+    // first nProbe indices so probes stay distinct instead of nProbe zeros
+    if (bestSim(0) == Double.NegativeInfinity) {
+      var j = 0
+      while (j < nProbe) { bestIdx(j) = j; j += 1 }
+    }
     new GenericArrayData(bestIdx.map(i => i: Any))
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =

@@ -149,9 +149,19 @@ object Dedup {
       .agg(least(min("dst"), first("src")).as("component"))
       .select(col("src").as("id"), col("component"))
       .localCheckpoint()
-    var converged = false
+    // convergence signal: sum of xxhash64(component) — id-type agnostic
+    // (string/long ids alike) and null-safe on an empty pair set; labels
+    // change ⇒ the multiset changes ⇒ the hash sum changes (up to a 2^-64
+    // coincidence, which at worst stops one round early with labels still
+    // valid, just less propagated)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // decimal sum: no ANSI long overflow however many rows
+      val r = df.agg(sum(xxhash64(col("component")).cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var converged = labels.isEmpty // no pairs → nothing to propagate
     var i = 0
-    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    var prevSum = if (converged) java.math.BigDecimal.ZERO else labelSum(labels)
     while (!converged && i < maxIterations) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
@@ -166,11 +176,11 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("parent"), col("component"))).as("component"))
         .localCheckpoint()
-      // labels are monotonically non-increasing, so an unchanged sum is a
-      // fixpoint — one narrow scan instead of a join per round
-      val sumAfter = jumped.agg(sum("component")).head().getLong(0)
+      // labels are monotonically non-increasing, so an unchanged label
+      // multiset is a fixpoint — one narrow scan instead of a join per round
+      val sumAfter = labelSum(jumped)
       labels = jumped
-      converged = sumAfter == prevSum
+      converged = sumAfter.compareTo(prevSum) == 0
       prevSum = sumAfter
       i += 1
     }

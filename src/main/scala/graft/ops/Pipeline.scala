@@ -26,13 +26,14 @@ object Pipeline {
       minQuality: Double = 0.3, jaccardThreshold: Double = 0.8,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32):
       (DataFrame, CleanReport) = {
-    val scored = docs.withColumn("quality", gf.quality_score(col(textCol)))
-    val kept = scored.where(col("quality") >= minQuality).cache()
-    // one pass for the first two report counts
+    // cache the scored frame so the regex-heavy quality pass runs once for
+    // both the report counts and the downstream filter
+    val scored = docs.withColumn("quality", gf.quality_score(col(textCol))).cache()
     val firstCounts = scored.agg(count(lit(1)),
       count(when(col("quality") >= minQuality, 1))).head()
     val input = firstCounts.getLong(0)
     val afterQuality = firstCounts.getLong(1)
+    val kept = scored.where(col("quality") >= minQuality)
 
     val exact = Dedup.exact(kept, idCol, textCol).cache()
     val afterExact = exact.count()
@@ -40,11 +41,12 @@ object Pipeline {
     val pairs = Dedup.minhashPairs(exact, idCol, textCol,
       shingleN, numHashes, bands, jaccardThreshold)
     val comp = Dedup.components(pairs, allIds = Some(exact.select(idCol)))
-    val canonical = comp.groupBy("component").agg(min("id").as("__keep"))
-      .select(col("__keep").as(idCol))
+    // component IS the min reachable id at convergence — the distinct
+    // component values are exactly the canonical keep-set
+    val canonical = comp.select(col("component").as(idCol)).distinct()
     val cleaned = exact.join(canonical, Seq(idCol), "left_semi").cache()
     val afterNearDup = cleaned.count()
-    kept.unpersist(); exact.unpersist()
+    scored.unpersist(); exact.unpersist()
 
     (cleaned, CleanReport(input, afterQuality, afterExact, afterNearDup))
   }

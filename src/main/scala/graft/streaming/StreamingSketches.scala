@@ -49,19 +49,32 @@ object StreamingSketches {
     import org.apache.spark.sql.{Encoders, Row}
     // key = the normalized text itself (like Spark's own streaming
     // dropDuplicates, which stores key columns in state): exact dedup with
-    // no hash-collision risk; state value is one boolean per distinct doc
-    val textIdx = df.schema.fieldIndex(textCol)
-    val ds = df.as[Row](Encoders.row(df.schema))
+    // no hash-collision risk. The key column is computed with the SAME
+    // Column-level normalization as Dedup.exact so batch and streaming agree
+    // (a JVM-side reimplementation would diverge on trim/locale semantics).
+    require(!df.columns.contains("__graft_dedup_key"),
+      "input already has a __graft_dedup_key column")
+    val keyed = df.withColumn("__graft_dedup_key",
+      graft.ops.Dedup.normalized(col(textCol)))
+    val keyIdx = keyed.schema.fieldIndex("__graft_dedup_key")
+    val ds = keyed.as[Row](Encoders.row(keyed.schema))
     ds.groupByKey { r =>
-      val t = r.getString(textIdx)
-      if (t == null) "" else t.trim.toLowerCase(java.util.Locale.ROOT)
-        .replaceAll("\\s+", " ")
-    }(Encoders.STRING)
+      val v = if (r.isNullAt(keyIdx)) null else r.getString(keyIdx)
+      (v == null, if (v == null) "" else v) // null text is its own group
+    }(Encoders.tuple(Encoders.scalaBoolean, Encoders.STRING))
       .flatMapGroupsWithState[Boolean, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) => {
+        (_: (Boolean, String), rows: Iterator[Row], state: GroupState[Boolean]) => {
           if (state.exists) Iterator.empty
-          else { state.update(true); Iterator(rows.next()) }
+          else {
+            state.update(true)
+            val first = rows.next()
+            // drop the key column by position
+            val vals = first.toSeq.zipWithIndex.collect {
+              case (v, i) if i != keyIdx => v
+            }
+            Iterator(Row.fromSeq(vals))
+          }
         })(Encoders.scalaBoolean, Encoders.row(df.schema))
       .toDF()
   }

@@ -273,4 +273,35 @@ class OpsSpec extends SparkTestBase {
     assert(cleaned.agg(max("doc_id")).head().getLong(0) < 10000)
     assert(cleaned.count() == report.afterNearDup)
   }
+
+  test("components handles empty pair sets; cleanCorpus survives clean corpora") {
+    val empty = Seq.empty[(Long, Long)].toDF("idA", "idB")
+    val ids = (1L to 5L).toDF("id")
+    val comp = Dedup.components(empty, allIds = Some(ids))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == (1L to 5L).map(i => i -> i).toMap) // all singletons
+    // no near-dups above threshold 0.99 → empty pair set inside the pipeline
+    val (cleaned, report) = Pipeline.cleanCorpus(
+      docs.select("doc_id", "text"), "doc_id", "text",
+      minQuality = 0.0, jaccardThreshold = 0.99)
+    assert(report.afterNearDup == report.afterExact)
+    assert(cleaned.count() == report.afterNearDup)
+  }
+
+  test("components works with string ids") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("idA", "idB")
+    val comp = Dedup.components(pairs).as[(String, String)].collect().toMap
+    assert(comp("a") == "a" && comp("b") == "a" && comp("c") == "a")
+    assert(comp("x") == "x" && comp("y") == "x")
+  }
+
+  test("nearest_centroids: NaN vector falls back to distinct probe indices") {
+    import graft.api.{functions => gf}
+    val bad = Seq((1L, Seq(Float.NaN, 1.0f, 2.0f))).toDF("id", "v")
+    val codebook = typedLit(Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+      Seq(0.0, 0.0, 1.0)))
+    val probes = bad.select(gf.nearest_centroids(col("v"), codebook, 3))
+      .head().getSeq[Int](0)
+    assert(probes.toSet.size == 3, s"probes must be distinct: $probes")
+  }
 }
