@@ -138,18 +138,41 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
     "q11_tdigest_quantiles" -> ((s, dir) => {
-      // approximate: rows-only gate; accuracy asserted in ScalaTest (q-space)
-      t(s, dir, "lineitem").groupBy("l_returnflag")
+      // the reference's own accuracy contract, hash-matchable: each decile
+      // estimate's EXACT rank (fraction of rows ≤ estimate), rounded to one
+      // decimal, must be the decile itself — the tested atol 0.012 in q-space
+      // (test_tdigest.py:99-102) is 4× inside the 0.05 rounding radius
+      val li = t(s, dir, "lineitem")
+      val deciles = li.groupBy("l_returnflag")
         .agg(gf.tdigest(col("l_extendedprice")).as("d"))
         .select(col("l_returnflag"),
-          gf.tdigest_quantiles(col("d"), (1 to 9).map(_ / 10.0)).as("deciles"))
-        .orderBy("l_returnflag")
+          posexplode(gf.tdigest_quantiles(col("d"), (1 to 9).map(_ / 10.0))))
+        .toDF("l_returnflag", "qi", "est")
+        .select(col("l_returnflag"), ((col("qi") + 1) / 10.0).as("q"), col("est"))
+      li.join(broadcast(deciles), Seq("l_returnflag"))
+        .groupBy("l_returnflag", "q")
+        .agg((sum(when(col("l_extendedprice") <= col("est"), 1).otherwise(0))
+          / count(lit(1))).as("frac"))
+        .select(col("l_returnflag"), col("q"), round(col("frac"), 1).as("rank_bucket"))
+        .orderBy("l_returnflag", "q")
     }),
     "q12_tdigest_cdf" -> ((s, dir) => {
-      t(s, dir, "orders").agg(gf.tdigest(col("o_totalprice")).as("d"))
-        .select(gf.tdigest_cdfs(col("d"),
-          array(Seq(10000.0, 50000.0, 100000.0, 200000.0, 400000.0).map(lit): _*))
-          .as("cdfs"))
+      // same trick for cdf (tested atol 0.005, test_tdigest.py:104-107):
+      // |tdigest_cdf(x) − exact_cdf(x)| rounded to one decimal must be 0.0
+      val probes = Seq(10000.0, 50000.0, 100000.0, 200000.0, 400000.0)
+      val aggd = t(s, dir, "orders").agg(
+        gf.tdigest(col("o_totalprice")).as("d"),
+        count(lit(1)).cast("double").as("n") +:
+          probes.zipWithIndex.map { case (p, i) =>
+            sum(when(col("o_totalprice") <= p, 1).otherwise(0))
+              .cast("double").as(s"c$i") }: _*)
+      val perProbe = probes.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("probe"),
+          round(abs(gf.tdigest_cdf(col("d"), lit(p)) - col(s"c$i") / col("n")), 1)
+            .as("err_bucket")) }
+      aggd.select(explode(array(perProbe: _*)).as("pe"))
+        .select(col("pe.probe").as("probe"), col("pe.err_bucket").as("err_bucket"))
+        .orderBy("probe")
     }),
     "q13_tdigest_weighted" -> ((s, dir) => {
       // weighted ingest: total weight must equal sum(l_quantity) exactly
@@ -433,6 +456,15 @@ object SparkEntry {
       """SELECT l_returnflag, cast(count(*) AS double) AS cnt,
          min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q11_tdigest_quantiles" ->
+      """SELECT l_returnflag, q, q AS rank_bucket
+         FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+              (SELECT x/10.0 AS q FROM range(1, 10) t(x))
+         ORDER BY l_returnflag, q""",
+    "q12_tdigest_cdf" ->
+      """SELECT probe, 0.0 AS err_bucket
+         FROM (VALUES (10000.0), (50000.0), (100000.0), (200000.0), (400000.0)) t(probe)
+         ORDER BY probe""",
     "q13_tdigest_weighted" ->
       "SELECT sum(l_quantity) AS total_weight FROM lineitem",
     "q14_tdigest_histogram" ->

@@ -115,10 +115,15 @@ case class StatsMergeAgg(
   override def prettyName: String = "stats_merge_agg"
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case s: StructType if s.length == 9 =>
+      // field types must match exactly (names are free) — a loose 9-field
+      // check would defer the mismatch to a ClassCastException in executors
+      case s: StructType if s.length == StatsStruct.schema.length &&
+          s.fields.iterator.zip(StatsStruct.schema.fields.iterator)
+            .forall { case (a, b) => a.dataType == b.dataType } =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "stats_merge_agg expects a summary_stats struct")
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"stats_merge_agg expects a summary_stats struct " +
+          s"${StatsStruct.schema.simpleString}, got ${other.simpleString}")
     }
 
   override def createAggregationBuffer(): MomentsSketch = new MomentsSketch

@@ -87,8 +87,12 @@ final class MomentsSketch extends Serializable {
   def merge(other: MomentsSketch): Unit = {
     if (other.count == 0L) return
     if (count == 0L) {
-      // Adopt other's homogeneity state wholesale (reference reaches the same
-      // result because first_value is 0-initialised and count==0).
+      // DIVERGENCE (SURVEY §7.4.10): adopt other's homogeneity state
+      // wholesale. The reference's stats_merge (stats_stubs.c:81-87) never
+      // adopts first_value, so merging into a fresh sketch would compute
+      // homogeneous = (0.0 == other.first_value) — usually false. Adoption is
+      // deliberate: partition-invariant and equal to single-stream semantics
+      // under Spark's merge-from-fresh-buffer lifecycle.
       firstValue = other.firstValue
       homogeneous = other.homogeneous
     } else if (homogeneous && !other.homogeneous) {

@@ -21,13 +21,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     normalize(name, spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** Streaming variant: file-source over a DIRECTORY holding the table's
-    * parquet part files. The raw (pre-normalization) schema must be used —
-    * the parquet reader cannot coerce INT64(NANOS) to TimestampType, so the
-    * nanos column streams as long and is normalized per micro-batch. */
+  /** Streaming variant of [[load]] — same (dir, name) layout: streams the
+    * table's own `$dir/$name.parquet` path only, never sibling tables. The
+    * raw (pre-normalization) schema must be used — the parquet reader cannot
+    * coerce INT64(NANOS) to TimestampType, so the nanos column streams as
+    * long and is normalized per micro-batch. */
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$name.parquet").schema
-    normalize(name, spark.readStream.schema(raw).parquet(dir))
+    val path = s"$dir/$name.parquet"
+    val raw = spark.read.parquet(path).schema
+    normalize(name, spark.readStream.schema(raw).parquet(path))
   }
 
   private def normalize(name: String, df: DataFrame): DataFrame =
