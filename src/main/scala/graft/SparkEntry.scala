@@ -305,15 +305,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "q33_langid" -> ((s, dir) => {
-      // rows-only: fixture text is same-vocabulary word salad for all lang
-      // labels, so the real accuracy check lives in ScalaTest (OpsSpec)
+      // oracle replicates the stopword-argmax heuristic in SQL (fixture text
+      // is same-vocabulary word salad, so accuracy itself lives in OpsSpec)
       t(s, dir, "documents").groupBy(gf.lang_id(col("text")).as("pred_lang"))
         .agg(count(lit(1)).as("cnt")).orderBy("pred_lang")
     }),
     "q34_minhash_pairs" -> ((s, dir) => {
       // deterministic hash-based LSH (no RNG): stable result set; jaccard is
-      // the exact verified value. Bigram shingles keep the candidate set
-      // selective on the shared-vocabulary fixture text.
+      // the exact verified value, so the oracle is brute-force exact jaccard
+      // (LSH misses are 1e-16-improbable: planted dups ≥ 0.91, bg ≤ 0.13).
+      // Bigram shingles keep the candidate set selective on the
+      // shared-vocabulary fixture text.
       graft.ops.Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
@@ -329,14 +331,14 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         minQuality = 0.3, jaccardThreshold = 0.5, shingleN = 2)
       import s.implicits._
-      // first three stages have SQL-expressible oracles; near-dup count is
-      // covered rows-only by q37's component histogram
-      Seq((report.input, report.afterQuality, report.afterExact))
-        .toDF("input", "after_quality", "after_exact")
+      // all four stages oracle-checked: the near-dup stage's DuckDB oracle is
+      // brute-force jaccard pairs + recursive-CTE connected components
+      Seq((report.input, report.afterQuality, report.afterExact, report.afterNearDup))
+        .toDF("input", "after_quality", "after_exact", "after_neardup")
     }),
     "q37_dedup_components" -> ((s, dir) => {
-      // near-dup clusters: minhash pairs → connected components (deterministic
-      // hash-based pipeline end-to-end); rows-only gate, specs cover semantics
+      // near-dup clusters: minhash pairs → connected components; oracle =
+      // brute-force jaccard pairs + recursive-CTE transitive closure
       val docs = t(s, dir, "documents")
       val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
         shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
@@ -364,11 +366,13 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id", "cosine")
     }),
     "q41_ann_lsh" -> ((s, dir) => {
-      // approximate: rows-only; recall asserted in ScalaTest
+      // OR-amplification sized for full recall on the fixture (verified:
+      // top-5 == brute force at sf0.01), so the exact-ANN oracle applies;
+      // recall degradation bounds asserted separately in ScalaTest
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.lshTopK(
           emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5,
-          bits = 4, tables = 16)
+          bits = 4, tables = 32)
         .select("query_id", "rank", "neighbor_id", "cosine")
     }),
     "q42_embed_nearpairs" -> ((s, dir) => {
@@ -525,15 +529,86 @@ object SparkEntry {
                    / cast(length(text) AS double)), 6) AS avg_space_ratio,
          round(avg(round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6)), 6) AS avg_quality
          FROM documents GROUP BY lang ORDER BY lang""",
+    // word-bigram shingle sets as strings are hash-free stand-ins for the
+    // engine's hashed shingles: equal sets ⇔ equal hashed sets (64-bit,
+    // collision-free at fixture scale), so exact Jaccard matches exactly
+    "q34_minhash_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents))
+         SELECT idA, idB, round(j, 6) AS jaccard FROM (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+                  len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+           FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         WHERE j >= 0.5 ORDER BY idA, idB""",
+    "q37_dedup_components" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+         ), pairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+         ), edges AS (
+           SELECT idA AS s, idB AS d FROM pairs UNION SELECT idB, idA FROM pairs
+         ), reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+         SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+           SELECT component, count(*)::BIGINT AS cluster_size FROM (
+             SELECT id, min(r) AS component FROM reach GROUP BY id)
+           GROUP BY component)
+         GROUP BY cluster_size ORDER BY cluster_size""",
+    "q33_langid" ->
+      """WITH hits AS (
+           SELECT CASE WHEN len(t) = 0 THEN 0 ELSE
+               len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for','on','with','as','was','are','this','be','at','by','not'))) END AS h_en,
+             len(list_filter(t, x -> x IN ('el','la','de','que','y','en','los','del','se','las','por','un','para','con','una','su','al','es','lo','como'))) AS h_es,
+             len(list_filter(t, x -> x IN ('der','die','das','und','ist','von','den','im','mit','für','auf','des','ein','eine','nicht','auch','sich','es','zu','dem'))) AS h_de,
+             len(list_filter(t, x -> x IN ('le','la','de','et','les','des','un','une','du','est','en','que','qui','dans','pour','pas','sur','au','ne','ce'))) AS h_fr
+           FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents))
+         SELECT pred_lang, count(*)::BIGINT AS cnt FROM (
+           SELECT CASE
+             WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr' END AS pred_lang
+           FROM hits)
+         GROUP BY pred_lang ORDER BY pred_lang""",
     "q38_clean_corpus" ->
-      """SELECT count(*) AS input,
-         count(*) FILTER (WHERE round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6) >= 0.3)
-           AS after_quality,
-         count(DISTINCT CASE
-           WHEN round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6) >= 0.3
-           THEN lower(regexp_replace(trim(text), '\s+', ' ', 'g')) END)
-           AS after_exact
-         FROM documents""",
+      """WITH RECURSIVE qual AS (
+           SELECT doc_id, text FROM documents
+           WHERE round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6) >= 0.3
+         ), kept AS (
+           SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+           FROM qual GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+         ), sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM kept)
+         ), pairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+         ), edges AS (
+           SELECT idA AS s, idB AS d FROM pairs UNION SELECT idB, idA FROM pairs
+         ), reach(id, r) AS (
+           SELECT doc_id, doc_id FROM kept
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+         SELECT (SELECT count(*) FROM documents)::BIGINT AS input,
+                (SELECT count(*) FROM qual)::BIGINT AS after_quality,
+                (SELECT count(*) FROM kept)::BIGINT AS after_exact,
+                (SELECT count(DISTINCT component) FROM (
+                   SELECT id, min(r) AS component FROM reach GROUP BY id))::BIGINT
+                  AS after_neardup""",
     "q40_ann_bruteforce" ->
       """SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -547,6 +622,18 @@ object SparkEntry {
            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "q43_ann_ivf" ->
+      """SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]), 6) AS cosine,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                          c.embedding::DOUBLE[]), 6) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q41_ann_lsh" ->
       """SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   round(list_cosine_similarity(q.embedding::DOUBLE[],
