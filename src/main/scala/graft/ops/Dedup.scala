@@ -136,11 +136,12 @@ object Dedup {
     * canonical doc per component. */
   def components(pairs: DataFrame, maxIterations: Int = 20,
       allIds: Option[DataFrame] = None): DataFrame = {
-    val spark = pairs.sparkSession
-    // undirected edge list, both directions
+    // undirected edge list, both directions. No distinct: idA < idB pairs
+    // cannot self-duplicate under reversal, and the min-aggregations below
+    // absorb duplicate edges anyway — skipping it saves a full shuffle.
     val e0 = pairs.select(col("idA").as("src"), col("idB").as("dst"))
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .cache()
     // label(v) = min reachable id. Each round: (1) neighbor-min propagation,
     // (2) pointer jumping label := label(label) — together O(log n) rounds.
     // localCheckpoint truncates the iterative plan lineage (without it the
@@ -149,39 +150,27 @@ object Dedup {
       .agg(least(min("dst"), first("src")).as("component"))
       .select(col("src").as("id"), col("component"))
       .localCheckpoint()
-    // convergence signal: sum of xxhash64(component) — id-type agnostic
-    // (string/long ids alike) and null-safe on an empty pair set; labels
-    // change ⇒ the multiset changes ⇒ the hash sum changes (up to a 2^-64
-    // coincidence, which at worst stops one round early with labels still
-    // valid, just less propagated)
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // decimal sum: no ANSI long overflow however many rows
-      val r = df.agg(sum(xxhash64(col("component")).cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
     var converged = labels.isEmpty // no pairs → nothing to propagate
     var i = 0
-    var prevSum = if (converged) java.math.BigDecimal.ZERO else labelSum(labels)
     while (!converged && i < maxIterations) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("nbr"))
       val hop = labels.join(propagated, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .select(col("id"), col("component"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("c2"))
       val jumped = hop.alias("a")
-        .join(hop.select(col("id").as("component"),
-          col("component").as("parent")).alias("b"), Seq("component"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("parent"), col("component"))).as("component"))
+        .join(hop.select(col("id").as("c2"), col("c2").as("parent")).alias("b"),
+          Seq("c2"), "left")
+        .select(col("id"), col("component").as("__old"),
+          least(col("c2"), coalesce(col("parent"), col("c2"))).as("component"))
         .localCheckpoint()
-      // labels are monotonically non-increasing, so an unchanged label
-      // multiset is a fixpoint — one narrow scan instead of a join per round
-      val sumAfter = labelSum(jumped)
-      labels = jumped
-      converged = sumAfter.compareTo(prevSum) == 0
-      prevSum = sumAfter
+      // labels are monotonically non-increasing, so a round that changes no
+      // label is a fixpoint — an early-exit existence probe over the
+      // checkpointed partitions, no aggregation or extra join
+      converged = jumped.where(col("__old") =!= col("component")).limit(1).isEmpty
+      labels = jumped.select("id", "component")
       i += 1
     }
     edges.unpersist()

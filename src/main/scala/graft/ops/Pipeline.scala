@@ -41,11 +41,17 @@ object Pipeline {
     val pairs = Dedup.minhashPairs(exact, idCol, textCol,
       shingleN, numHashes, bands, jaccardThreshold)
     val comp = Dedup.components(pairs, allIds = Some(exact.select(idCol)))
+      .localCheckpoint()
     // component IS the min reachable id at convergence — the distinct
-    // component values are exactly the canonical keep-set
+    // component values are exactly the canonical keep-set, so the survivor
+    // count comes straight off the (checkpointed) component frame and the
+    // returned corpus stays lazy: callers that only read the report never
+    // pay for the final join
     val canonical = comp.select(col("component").as(idCol)).distinct()
-    val cleaned = exact.join(canonical, Seq(idCol), "left_semi").cache()
-    val afterNearDup = cleaned.count()
+    val afterNearDup = canonical.count()
+    // lazy result: materializing it later re-runs the quality+dedup lineage
+    // once (the caches below are released here, not leaked)
+    val cleaned = exact.join(canonical, Seq(idCol), "left_semi")
     scored.unpersist(); exact.unpersist()
 
     (cleaned, CleanReport(input, afterQuality, afterExact, afterNearDup))
