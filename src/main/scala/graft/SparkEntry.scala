@@ -45,10 +45,12 @@ object SparkEntry {
           gf.stats_mean(col("st")).as("avg_qty"))
     }),
     "q02_dispersion" -> ((s, dir) => {
+      // incl. X10 arbitrary-ddof variance (no Spark built-in beyond 0/1)
       t(s, dir, "lineitem").agg(gf.summary_stats(col("l_extendedprice")).as("st"))
         .select(
           round(gf.stats_var(col("st"), 0) / 1e6, 6).as("var_pop_m"),
           round(gf.stats_var(col("st"), 1) / 1e6, 6).as("var_samp_m"),
+          round(gf.stats_var(col("st"), 7) / 1e6, 6).as("var_ddof7_m"),
           round(gf.stats_std(col("st"), 0), 4).as("std_pop"),
           round(gf.stats_std(col("st"), 1), 4).as("std_samp"))
     }),
@@ -202,7 +204,70 @@ object SparkEntry {
           gf.tdigest_max(col("m")).as("max_qty"))
     }),
 
+    "q16_tdigest_scale" -> ((s, dir) => {
+      // T12: weights ×2.5 — total weight scales exactly (integer weights ×
+      // 2.5 are exact binary fractions), min/max/count-of-centroids preserved
+      t(s, dir, "lineitem").agg(gf.tdigest(col("l_quantity")).as("d"))
+        .select(gf.tdigest_scale(col("d"), 2.5).as("sc"), col("d"))
+        .select(
+          gf.tdigest_size(col("sc")).as("scaled_size"),
+          gf.tdigest_min(col("sc")).as("scaled_min"),
+          gf.tdigest_max(col("sc")).as("scaled_max"),
+          (gf.tdigest_size(col("sc")) / gf.tdigest_size(col("d"))).as("ratio"))
+    }),
+    "q17_tdigest_centroids" -> ((s, dir) => {
+      // T10: centroid weights must sum exactly to the ingested count, and the
+      // centroid count must respect the 2·ceil(compression) capacity bound
+      t(s, dir, "lineitem").agg(gf.tdigest(col("l_quantity")).as("d"))
+        .select(gf.tdigest_centroids(col("d")).as("cs"))
+        .select(
+          aggregate(col("cs"), lit(0.0), (acc, c) => acc + c.getField("weight"))
+            .as("sum_w"),
+          (size(col("cs")) >= 1 && size(col("cs")) <= 200).as("within_cap"))
+    }),
+    "q18_stats_shape_variants" -> ((s, dir) => {
+      // X12/X13: the three finisher variants the Spark built-ins lack
+      // (bias-corrected skew, Pearson kurtosis, bias-corrected Fisher)
+      t(s, dir, "lineitem").agg(gf.summary_stats(col("l_extendedprice")).as("st"))
+        .select(
+          round(gf.stats_skew(col("st"), bias = false), 6).as("skew_unbiased"),
+          round(gf.stats_kurt(col("st"), fisher = false, bias = true), 6).as("kurt_pearson"),
+          round(gf.stats_kurt(col("st"), fisher = true, bias = false), 6).as("kurt_unbiased"))
+    }),
+    "q19_stats_homogeneous" -> ((s, dir) => {
+      // X12 homogeneous semantics: a constant group reports NaN skew (the
+      // homogeneous flag survives partial aggregation + shuffle + merge)
+      val v = when(col("l_returnflag") === "A", lit(7.5))
+        .otherwise(col("l_extendedprice"))
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(gf.summary_stats(v).as("st"))
+        .select(col("l_returnflag"),
+          round(gf.stats_skew(col("st")), 6).as("skew_biased"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- SpaceSaving family (S1–S10) ----
+    "q27_ss_bounds" -> ((s, dir) => {
+      // S5 deterministic guarantee under eviction (capacity 64 < 100 distinct
+      // keys): est − error ≤ actual ≤ est for every surviving counter, the
+      // summary holds exactly `capacity` counters, and the true heaviest key
+      // is present (space-saving's heavy-hitter guarantee)
+      val li = t(s, dir, "lineitem")
+      val counters = li
+        .agg(gf.ss_topk_agg(col("l_suppkey"), lit(1L), 64).as("sk"))
+        .select(explode(gf.ss_topk_long(col("sk"), 64)).as("c"))
+        .select(col("c.item").as("item"), col("c.count").as("est"),
+          col("c.error").as("err"))
+      val actual = li.groupBy(col("l_suppkey").as("item"))
+        .agg(count(lit(1)).as("actual"))
+        .withColumn("max_actual", max("actual").over(Window.partitionBy()))
+      counters.join(actual, Seq("item"))
+        .agg(
+          count(lit(1)).cast("int").as("n_counters"),
+          bool_and(col("est") >= col("actual") &&
+            col("est") - col("err") <= col("actual")).as("bounds_ok"),
+          bool_or(col("actual") === col("max_actual")).as("has_top1"))
+    }),
     "q20_topk_partkey" -> ((s, dir) => {
       // capacity 4096 ≥ distinct part keys at sf≤0.01 → counts are exact;
       // deterministic tie-break (count desc, item asc) on both sides
@@ -287,11 +352,17 @@ object SparkEntry {
         sum("n_chars").as("sum_chars"))
     }),
     "q31_token_stats" -> ((s, dir) => {
+      // whitespace tokens (token_count) + BPE-ish regex token stream (word /
+      // number / single-punct pieces) — the two counting modes a training
+      // pipeline budgets with
+      val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
       t(s, dir, "documents").groupBy("source")
         .agg(
           sum(gf.token_count(col("text")).cast("long")).as("sum_tokens"),
           round(avg(gf.token_count(col("text"))), 6).as("avg_tokens"),
-          sum(length(col("text")).cast("long")).as("sum_chars"))
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum(size(regexp_extract_all(col("text"), lit(bpe), lit(0))).cast("long"))
+            .as("sum_bpe_tokens"))
         .orderBy("source")
     }),
     "q32_text_quality" -> ((s, dir) => {
@@ -346,6 +417,18 @@ object SparkEntry {
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
+    }),
+    "q39_ngram_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard as a first-class scalar (the LSH verifier),
+      // both bigram and trigram paths, over a fixed deterministic pairing
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id").as("idA"), col("text").as("__ta"))
+      val b = docs.select(col("doc_id").as("idB"), col("text").as("__tb"))
+      a.join(b, col("idB") === col("idA") + lit(250))
+        .select(col("idA"), col("idB"),
+          round(gf.ngram_jaccard(col("__ta"), col("__tb"), 2), 6).as("j2"),
+          round(gf.ngram_jaccard(col("__ta"), col("__tb"), 3), 6).as("j3"))
+        .orderBy("idA")
     }),
     "q43_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -423,6 +506,7 @@ object SparkEntry {
     "q02_dispersion" ->
       """SELECT round(var_pop(l_extendedprice)/1e6, 6) AS var_pop_m,
          round(var_samp(l_extendedprice)/1e6, 6) AS var_samp_m,
+         round(var_pop(l_extendedprice)*count(*)/(count(*)-7)/1e6, 6) AS var_ddof7_m,
          round(stddev_pop(l_extendedprice), 4) AS std_pop,
          round(stddev_samp(l_extendedprice), 4) AS std_samp FROM lineitem""",
     "q03_shape" ->
@@ -471,6 +555,40 @@ object SparkEntry {
          ORDER BY probe""",
     "q13_tdigest_weighted" ->
       "SELECT sum(l_quantity) AS total_weight FROM lineitem",
+    "q16_tdigest_scale" ->
+      """SELECT 2.5 * count(*) AS scaled_size, min(l_quantity) AS scaled_min,
+         max(l_quantity) AS scaled_max, 2.5 AS ratio FROM lineitem""",
+    "q17_tdigest_centroids" ->
+      """SELECT cast(count(*) AS double) AS sum_w, true AS within_cap
+         FROM lineitem""",
+    "q18_stats_shape_variants" ->
+      """WITH m AS (
+           SELECT count(*)::DOUBLE AS n,
+                  sum(pow(l_extendedprice - mu, 2)) / count(*) AS m2,
+                  sum(pow(l_extendedprice - mu, 3)) / count(*) AS m3,
+                  sum(pow(l_extendedprice - mu, 4)) / count(*) AS m4
+           FROM lineitem, (SELECT avg(l_extendedprice) AS mu FROM lineitem))
+         SELECT round(sqrt((n-1)*n)/(n-2) * m3/pow(m2, 1.5), 6) AS skew_unbiased,
+                round(m4/(m2*m2), 6) AS kurt_pearson,
+                round(((n*n-1)*(m4/(m2*m2)) - 9*n + 15)/((n-2)*(n-3)) - 3, 6)
+                  AS kurt_unbiased
+         FROM m""",
+    "q19_stats_homogeneous" ->
+      """SELECT x.l_returnflag,
+         CASE WHEN min(v) = max(v) THEN 'NaN'::DOUBLE
+              ELSE round((sum(pow(v - mu, 3))/count(*))
+                     / pow(sum(pow(v - mu, 2))/count(*), 1.5), 6) END AS skew_biased
+         FROM (SELECT l_returnflag,
+                 CASE WHEN l_returnflag = 'A' THEN 7.5 ELSE l_extendedprice END AS v
+               FROM lineitem) x
+         JOIN (SELECT l_returnflag,
+                 avg(CASE WHEN l_returnflag = 'A' THEN 7.5 ELSE l_extendedprice END) AS mu
+               FROM lineitem GROUP BY l_returnflag) g
+           ON x.l_returnflag = g.l_returnflag
+         GROUP BY x.l_returnflag ORDER BY x.l_returnflag""",
+    "q27_ss_bounds" ->
+      """SELECT cast(least(count(DISTINCT l_suppkey), 64) AS int) AS n_counters,
+         true AS bounds_ok, true AS has_top1 FROM lineitem""",
     "q14_tdigest_histogram" ->
       """SELECT round(cast(count(*) AS double), 6) AS mass,
          min(o_totalprice) AS lo_edge, max(o_totalprice) AS hi_edge FROM orders""",
@@ -520,8 +638,25 @@ object SparkEntry {
       """SELECT source,
          cast(sum(len(string_split(text, ' '))) AS bigint) AS sum_tokens,
          round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
-         cast(sum(length(text)) AS bigint) AS sum_chars
+         cast(sum(length(text)) AS bigint) AS sum_chars,
+         cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bigint)
+           AS sum_bpe_tokens
          FROM documents GROUP BY source ORDER BY source""",
+    "q39_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, t,
+             list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s2,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS s3
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents))
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+           round(len(list_intersect(a.s2, b.s2))::DOUBLE
+             / (len(a.s2) + len(b.s2) - len(list_intersect(a.s2, b.s2))), 6) AS j2,
+           round(len(list_intersect(a.s3, b.s3))::DOUBLE
+             / (len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3))), 6) AS j3
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 250
+         ORDER BY idA""",
     "q32_text_quality" ->
       """SELECT lang, count(*) AS cnt,
          round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
