@@ -126,16 +126,87 @@ object Dedup {
   }
 
   /** Group near-duplicate pairs into clusters: connected components over the
-    * pair graph via alternating large-star/small-star label propagation
-    * (Kiveris et al. style) — each iteration is two hash joins + a min-agg,
-    * converging in O(log n) rounds, all shuffles on the id key. Returns
-    * (id, component) where component = min id reachable; singletons absent
-    * from `pairs` keep their own id via the optional `allIds` frame.
+    * pair graph. Returns (id, component) where component = min id reachable;
+    * singletons absent from `pairs` keep their own id via the optional
+    * `allIds` frame.
+    *
+    * Two tiers, same contract (the broadcast-join decision applied to
+    * graphs): the edge set that survives near-dup verification is usually
+    * minuscule next to the corpus — when at most `localEdgeThreshold` edges
+    * exist they are collected and solved with driver-side union-find in one
+    * pass; larger graphs run alternating neighbor-min propagation + pointer
+    * jumping (Kiveris et al. style) — two hash joins + a min-agg per round,
+    * O(log n) rounds, all shuffles on the id key.
     *
     * This is the standard last step of corpus dedup at scale: pick one
     * canonical doc per component. */
   def components(pairs: DataFrame, maxIterations: Int = 20,
-      allIds: Option[DataFrame] = None): DataFrame = {
+      allIds: Option[DataFrame] = None,
+      localEdgeThreshold: Int = 1 << 20): DataFrame = {
+    val probe = pairs.select(col("idA"), col("idB"))
+      .limit(localEdgeThreshold + 1).collect()
+    if (probe.length <= localEdgeThreshold)
+      return componentsLocal(pairs, probe, allIds)
+    componentsLoop(pairs, maxIterations, allIds)
+  }
+
+  /** Driver-side union-find over an already-collected edge list; labels ship
+    * back as a (broadcast-sized) frame. Identical (id, min-reachable-id)
+    * contract as [[componentsLoop]]. */
+  private def componentsLocal(pairs: DataFrame,
+      edges: Array[org.apache.spark.sql.Row],
+      allIds: Option[DataFrame]): DataFrame = {
+    val spark = pairs.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) { // path halving
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    // component = MIN member id (natural ordering of the id type)
+    @inline def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOfRoot = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { n =>
+      val r = find(n)
+      val cur = minOfRoot.get(r)
+      if (cur == null || lt(n, cur)) minOfRoot.put(r, n)
+    }
+    val idType = pairs.schema("idA").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { n =>
+      rows.add(org.apache.spark.sql.Row(n, minOfRoot.get(find(n))))
+    }
+    val labels = spark.createDataFrame(rows, outSchema)
+    allIds match {
+      case Some(ids) =>
+        val idc = ids.columns.head
+        ids.select(col(idc).as("id"))
+          .join(broadcast(labels), Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      case None => labels
+    }
+  }
+
+  /** Distributed label-propagation tier of [[components]]. */
+  private def componentsLoop(pairs: DataFrame, maxIterations: Int,
+      allIds: Option[DataFrame]): DataFrame = {
     // undirected edge list, both directions. No distinct: idA < idB pairs
     // cannot self-duplicate under reversal, and the min-aggregations below
     // absorb duplicate edges anyway — skipping it saves a full shuffle.

@@ -215,20 +215,25 @@ class OpsSpec extends SparkTestBase {
     fp.collect().foreach(r => assert(r.getLong(1) <= r.getLong(0)))
   }
 
-  test("components: connected clusters with singletons preserved") {
+  test("components: connected clusters with singletons preserved (both tiers)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
       .toDF("idA", "idB")
     val ids = (1L to 30L).toDF("id")
-    val comp = Dedup.components(pairs, allIds = Some(ids))
-      .as[(Long, Long)].collect().toMap
-    assert(Seq(1L, 2L, 3L, 4L).map(comp) == Seq(1L, 1L, 1L, 1L))
-    assert(Seq(10L, 11L).map(comp) == Seq(10L, 10L))
-    assert(Seq(20L, 21L, 22L).map(comp) == Seq(20L, 20L, 20L))
-    assert(comp(15L) == 15L && comp(30L) == 30L) // singletons
-    // long chain (worst case for propagation count)
-    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("idA", "idB")
-    val cc = Dedup.components(chain).as[(Long, Long)].collect().toMap
-    assert((0L to 40L).forall(cc(_) == 0L))
+    // threshold 0 forces the distributed label-propagation tier; the default
+    // takes the driver-side union-find tier — identical contract
+    for (thresh <- Seq(1 << 20, 0)) {
+      val comp = Dedup.components(pairs, allIds = Some(ids),
+        localEdgeThreshold = thresh).as[(Long, Long)].collect().toMap
+      assert(Seq(1L, 2L, 3L, 4L).map(comp) == Seq(1L, 1L, 1L, 1L))
+      assert(Seq(10L, 11L).map(comp) == Seq(10L, 10L))
+      assert(Seq(20L, 21L, 22L).map(comp) == Seq(20L, 20L, 20L))
+      assert(comp(15L) == 15L && comp(30L) == 30L) // singletons
+      // long chain (worst case for propagation count)
+      val chain = (0L until 40L).map(i => (i, i + 1)).toDF("idA", "idB")
+      val cc = Dedup.components(chain, localEdgeThreshold = thresh)
+        .as[(Long, Long)].collect().toMap
+      assert((0L to 40L).forall(cc(_) == 0L))
+    }
   }
 
   test("ivf: assignment deterministic; search recall vs brute force") {
@@ -288,11 +293,14 @@ class OpsSpec extends SparkTestBase {
     assert(cleaned.count() == report.afterNearDup)
   }
 
-  test("components works with string ids") {
+  test("components works with string ids (both tiers)") {
     val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("idA", "idB")
-    val comp = Dedup.components(pairs).as[(String, String)].collect().toMap
-    assert(comp("a") == "a" && comp("b") == "a" && comp("c") == "a")
-    assert(comp("x") == "x" && comp("y") == "x")
+    for (thresh <- Seq(1 << 20, 0)) {
+      val comp = Dedup.components(pairs, localEdgeThreshold = thresh)
+        .as[(String, String)].collect().toMap
+      assert(comp("a") == "a" && comp("b") == "a" && comp("c") == "a")
+      assert(comp("x") == "x" && comp("y") == "x")
+    }
   }
 
   test("nearest_centroids: NaN vector falls back to distinct probe indices") {
