@@ -744,6 +744,130 @@ object SparkEntry {
                 (SELECT count(DISTINCT component) FROM (
                    SELECT id, min(r) AS component FROM reach GROUP BY id))::BIGINT
                   AS after_neardup""",
+    // exact oracles for the engine's own hash pipeline: FNV-1a+splitmix64
+    // token/byte hashing, shingle combine, simhash votes, rolling-window
+    // fingerprints, and the stub media features are all reimplemented in
+    // pure DuckDB SQL (UHUGEINT mod-2^64 arithmetic) — bit-for-bit equal
+    "q35_simhash_pairs" ->
+      """CREATE OR REPLACE MACRO g_mm(a,b) AS ((a::UHUGEINT*b::UHUGEINT)%18446744073709551616::UHUGEINT)::UBIGINT;
+CREATE OR REPLACE MACRO g_am(a,b) AS ((a::UHUGEINT+b::UHUGEINT)%18446744073709551616::UHUGEINT)::UBIGINT;
+CREATE OR REPLACE MACRO g_av1(h) AS g_mm(xor(h, h>>30), 13787848793156543929::UBIGINT);
+CREATE OR REPLACE MACRO g_av2(h) AS g_mm(xor(h, h>>27), 10723151780598845931::UBIGINT);
+CREATE OR REPLACE MACRO g_av3(h) AS xor(h, h>>31);
+CREATE OR REPLACE MACRO g_av(h) AS g_av3(g_av2(g_av1(h)));
+CREATE OR REPLACE MACRO g_bytes(tok) AS
+  list_transform(range(1, octet_length(encode(tok))+1),
+    i -> (16*strpos('123456789ABCDEF', hex(encode(tok))[2*i-1:2*i-1])
+            + strpos('123456789ABCDEF', hex(encode(tok))[2*i:2*i]))::UBIGINT);
+CREATE OR REPLACE MACRO g_fnv_seed(bs, seed) AS
+  g_av(list_reduce(list_prepend(xor(14695981039346656037::UBIGINT, g_av(seed)), bs),
+    (h,b) -> g_mm(xor(h,b), 1099511628211::UBIGINT)));
+CREATE OR REPLACE MACRO g_sb(u) AS (CASE WHEN u >= 9223372036854775808::UBIGINT
+  THEN (u::HUGEINT - 18446744073709551616::HUGEINT) ELSE u::HUGEINT END)::BIGINT;
+CREATE OR REPLACE MACRO g_thash(tok) AS g_fnv_seed(g_bytes(tok), 0::UBIGINT);
+CREATE OR REPLACE MACRO g_comb(acc, t) AS g_av(g_am(g_mm(acc, 11400714819323198485::UBIGINT), t));
+CREATE OR REPLACE MACRO g_shingle2(t1, t2) AS g_comb(g_comb(2870177450012600261::UBIGINT, t1), t2);
+CREATE OR REPLACE MACRO g_winhash(bs, w) AS
+  g_av(list_reduce(list_prepend(0::UBIGINT, bs[w:w+15]),
+    (h,b) -> g_am(g_mm(h, 1099511628211::UBIGINT), b)));
+CREATE OR REPLACE MACRO g_simhash(ss) AS
+  coalesce(list_sum(list_transform(range(0,64),
+    b -> CASE WHEN 2*len(list_filter(ss, s -> ((s >> b) & 1::UBIGINT) = 1::UBIGINT)) > len(ss)
+         THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)), 0)::UBIGINT;
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+th AS MATERIALIZED (SELECT doc_id, list_transform(t, x -> g_thash(x)) AS hs FROM tok),
+shg AS MATERIALIZED (SELECT doc_id, CASE WHEN len(hs) >= 2
+    THEN list_transform(range(1, len(hs)), i -> g_shingle2(hs[i], hs[i+1]))
+    ELSE [] END AS ss FROM th),
+sim AS MATERIALIZED (SELECT doc_id, g_simhash(ss) AS sh FROM shg)
+SELECT a.doc_id AS idA, b.doc_id AS idB,
+       bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+FROM sim a, sim b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY idA, idB""",
+    "q36_fingerprints" ->
+      """CREATE OR REPLACE MACRO g_mm(a,b) AS ((a::UHUGEINT*b::UHUGEINT)%18446744073709551616::UHUGEINT)::UBIGINT;
+CREATE OR REPLACE MACRO g_am(a,b) AS ((a::UHUGEINT+b::UHUGEINT)%18446744073709551616::UHUGEINT)::UBIGINT;
+CREATE OR REPLACE MACRO g_av1(h) AS g_mm(xor(h, h>>30), 13787848793156543929::UBIGINT);
+CREATE OR REPLACE MACRO g_av2(h) AS g_mm(xor(h, h>>27), 10723151780598845931::UBIGINT);
+CREATE OR REPLACE MACRO g_av3(h) AS xor(h, h>>31);
+CREATE OR REPLACE MACRO g_av(h) AS g_av3(g_av2(g_av1(h)));
+CREATE OR REPLACE MACRO g_bytes(tok) AS
+  list_transform(range(1, octet_length(encode(tok))+1),
+    i -> (16*strpos('123456789ABCDEF', hex(encode(tok))[2*i-1:2*i-1])
+            + strpos('123456789ABCDEF', hex(encode(tok))[2*i:2*i]))::UBIGINT);
+CREATE OR REPLACE MACRO g_fnv_seed(bs, seed) AS
+  g_av(list_reduce(list_prepend(xor(14695981039346656037::UBIGINT, g_av(seed)), bs),
+    (h,b) -> g_mm(xor(h,b), 1099511628211::UBIGINT)));
+CREATE OR REPLACE MACRO g_sb(u) AS (CASE WHEN u >= 9223372036854775808::UBIGINT
+  THEN (u::HUGEINT - 18446744073709551616::HUGEINT) ELSE u::HUGEINT END)::BIGINT;
+CREATE OR REPLACE MACRO g_thash(tok) AS g_fnv_seed(g_bytes(tok), 0::UBIGINT);
+CREATE OR REPLACE MACRO g_comb(acc, t) AS g_av(g_am(g_mm(acc, 11400714819323198485::UBIGINT), t));
+CREATE OR REPLACE MACRO g_shingle2(t1, t2) AS g_comb(g_comb(2870177450012600261::UBIGINT, t1), t2);
+CREATE OR REPLACE MACRO g_winhash(bs, w) AS
+  g_av(list_reduce(list_prepend(0::UBIGINT, bs[w:w+15]),
+    (h,b) -> g_am(g_mm(h, 1099511628211::UBIGINT), b)));
+CREATE OR REPLACE MACRO g_simhash(ss) AS
+  coalesce(list_sum(list_transform(range(0,64),
+    b -> CASE WHEN 2*len(list_filter(ss, s -> ((s >> b) & 1::UBIGINT) = 1::UBIGINT)) > len(ss)
+         THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)), 0)::UBIGINT;
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+th AS MATERIALIZED (SELECT doc_id, list_transform(t, x -> g_thash(x)) AS hs FROM tok),
+shg AS MATERIALIZED (SELECT doc_id, CASE WHEN len(hs) >= 2
+    THEN list_transform(range(1, len(hs)), i -> g_shingle2(hs[i], hs[i+1]))
+    ELSE [] END AS ss FROM th),
+sim AS MATERIALIZED (SELECT doc_id, g_simhash(ss) AS sh FROM shg),
+bt AS MATERIALIZED (SELECT doc_id, g_bytes(text) AS bs FROM documents),
+wm AS MATERIALIZED (
+  SELECT doc_id, w,
+    g_av((sum(g_mm(bs[w+j], ([2442422338666789947::UBIGINT,104005896588101465::UBIGINT,10372170898125509827::UBIGINT,17673114087473428657::UBIGINT,3510945102848213515::UBIGINT,1775861927039214153::UBIGINT,10622396531520239123::UBIGINT,2232315406967589409::UBIGINT,14218562807570617051::UBIGINT,15895002104753931833::UBIGINT,913917546033277539::UBIGINT,11527715348014283921::UBIGINT,624165263380053675::UBIGINT,956575116354345::UBIGINT,1099511628211::UBIGINT,1::UBIGINT])[j+1])::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT) AS h
+  FROM bt, unnest(range(1, greatest(len(bs)-14, 1))) AS t1(w), unnest(range(0,16)) AS t2(j)
+  WHERE len(bs) >= 16
+  GROUP BY doc_id, w),
+wmin AS (SELECT doc_id,
+    g_sb(xor(min(xor(h, 9223372036854775808::UBIGINT)), 9223372036854775808::UBIGINT)) AS f
+  FROM wm GROUP BY doc_id),
+fp AS (SELECT bt.doc_id,
+    CASE WHEN len(bt.bs) < 16 THEN g_sb(g_fnv_seed(bt.bs, 0::UBIGINT)) ELSE wmin.f END AS f
+  FROM bt LEFT JOIN wmin ON bt.doc_id = wmin.doc_id)
+SELECT count(DISTINCT fp.f) AS distinct_fp, count(DISTINCT sim.sh) AS distinct_simhash
+FROM fp, sim WHERE fp.doc_id = sim.doc_id""",
+    "q51_media_features" ->
+      """CREATE OR REPLACE MACRO g_mm(a,b) AS ((a::UHUGEINT*b::UHUGEINT)%18446744073709551616::UHUGEINT)::UBIGINT;
+CREATE OR REPLACE MACRO g_am(a,b) AS ((a::UHUGEINT+b::UHUGEINT)%18446744073709551616::UHUGEINT)::UBIGINT;
+CREATE OR REPLACE MACRO g_av1(h) AS g_mm(xor(h, h>>30), 13787848793156543929::UBIGINT);
+CREATE OR REPLACE MACRO g_av2(h) AS g_mm(xor(h, h>>27), 10723151780598845931::UBIGINT);
+CREATE OR REPLACE MACRO g_av3(h) AS xor(h, h>>31);
+CREATE OR REPLACE MACRO g_av(h) AS g_av3(g_av2(g_av1(h)));
+CREATE OR REPLACE MACRO g_bytes(tok) AS
+  list_transform(range(1, octet_length(encode(tok))+1),
+    i -> (16*strpos('123456789ABCDEF', hex(encode(tok))[2*i-1:2*i-1])
+            + strpos('123456789ABCDEF', hex(encode(tok))[2*i:2*i]))::UBIGINT);
+CREATE OR REPLACE MACRO g_fnv_seed(bs, seed) AS
+  g_av(list_reduce(list_prepend(xor(14695981039346656037::UBIGINT, g_av(seed)), bs),
+    (h,b) -> g_mm(xor(h,b), 1099511628211::UBIGINT)));
+CREATE OR REPLACE MACRO g_sb(u) AS (CASE WHEN u >= 9223372036854775808::UBIGINT
+  THEN (u::HUGEINT - 18446744073709551616::HUGEINT) ELSE u::HUGEINT END)::BIGINT;
+CREATE OR REPLACE MACRO g_thash(tok) AS g_fnv_seed(g_bytes(tok), 0::UBIGINT);
+CREATE OR REPLACE MACRO g_comb(acc, t) AS g_av(g_am(g_mm(acc, 11400714819323198485::UBIGINT), t));
+CREATE OR REPLACE MACRO g_shingle2(t1, t2) AS g_comb(g_comb(2870177450012600261::UBIGINT, t1), t2);
+CREATE OR REPLACE MACRO g_winhash(bs, w) AS
+  g_av(list_reduce(list_prepend(0::UBIGINT, bs[w:w+15]),
+    (h,b) -> g_am(g_mm(h, 1099511628211::UBIGINT), b)));
+CREATE OR REPLACE MACRO g_simhash(ss) AS
+  coalesce(list_sum(list_transform(range(0,64),
+    b -> CASE WHEN 2*len(list_filter(ss, s -> ((s >> b) & 1::UBIGINT) = 1::UBIGINT)) > len(ss)
+         THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)), 0)::UBIGINT;
+WITH bt AS MATERIALIZED (SELECT doc_id, g_bytes(text) AS bs FROM documents),
+hf AS MATERIALIZED (SELECT doc_id, len(bs) AS n, g_fnv_seed(bs, i::UBIGINT) AS h
+  FROM bt, range(0,16) t(i)),
+sf AS MATERIALIZED (SELECT doc_id,
+    (CASE WHEN n > 0 THEN ((g_sb(h) >> 11)::DOUBLE / 4503599627370496.0)::FLOAT
+     ELSE 0.0::FLOAT END)::DOUBLE AS fd FROM hf)
+SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
+  SELECT doc_id, sqrt(sum(fd*fd)) AS nrm FROM sf GROUP BY doc_id)""",
     "q40_ann_bruteforce" ->
       """SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
