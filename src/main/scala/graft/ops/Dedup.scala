@@ -72,7 +72,11 @@ object Dedup {
       .toDF("__id", "__band", "__key")
     val a = banded.select(col("__band"), col("__key"), col("__id").as("idA"))
     val b = banded.select(col("__band"), col("__key"), col("__id").as("idB"))
-    val cand = a.join(b, Seq("__band", "__key"))
+    // Self-join as a shuffle join, not broadcast: both sides canonicalize to
+    // the same subtree, so ReuseExchange computes + shuffles the signatures
+    // ONCE. A broadcast join would re-evaluate the minhash on both sides —
+    // and at corpus scale the banded table isn't broadcastable anyway.
+    val cand = a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"), Seq("__band", "__key"))
       .where(col("idA") < col("idB"))
       .select("idA", "idB").distinct()
     verifyJaccard(df, cand, idCol, textCol, shingleN, threshold)
@@ -117,7 +121,9 @@ object Dedup {
       col("__id").as("idA"), col("__sh").as("__shA"))
     val b = banded.select(col("__chunk"), col("__bits"),
       col("__id").as("idB"), col("__sh").as("__shB"))
-    a.join(b, Seq("__chunk", "__bits"))
+    // shuffle join so ReuseExchange evaluates the simhash subtree once
+    // (see minhashPairs); the chunk table is corpus-sized at scale
+    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"), Seq("__chunk", "__bits"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         bit_count(col("__shA").bitwiseXOR(col("__shB"))).as("hamming"))
