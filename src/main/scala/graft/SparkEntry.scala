@@ -442,6 +442,32 @@ object SparkEntry {
         .agg(countDistinct(gf.doc_fingerprint(col("text"), 16)).as("distinct_fp"),
           countDistinct(gf.simhash64(col("text"), 2)).as("distinct_simhash"))
     }),
+    "q44_quantile_buckets" -> ((s, dir) => {
+      // t-digest quantile-balanced bucketing: each of the 10 buckets must
+      // hold a fraction of rows that rounds to 0.1 (digest rank error ~1.2%
+      // ≪ the 5% rounding tolerance) — the q11-style tolerance-bucket gate
+      val li = t(s, dir, "lineitem")
+      val bounds = graft.ops.Partitioning.quantileBoundaries(li, "l_extendedprice", 10)
+      val total = li.count()
+      graft.ops.Partitioning.assignBuckets(li, "l_extendedprice", bounds)
+        .groupBy("bucket").count()
+        .select(col("bucket"), round(col("count") / total.toDouble, 1).as("frac"))
+        .orderBy("bucket")
+    }),
+    "q45_salted_join" -> ((s, dir) => {
+      // salted skew join ≡ plain join: heavy keys from a Space-Saving pass,
+      // salted 8 ways; the oracle is the unsalted SQL join
+      val li = t(s, dir, "lineitem").select("l_suppkey", "l_extendedprice")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      val heavy = graft.ops.Skew.heavyHitters(li, "l_suppkey", 128, 8)
+        .collect().map(_.getLong(0)).toSeq
+      graft.ops.Skew.saltedJoin(li, sup, "l_suppkey", 8, heavy)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")) / 1e6, 6).as("sum_price_m"))
+        .orderBy("s_nationkey")
+    }),
     "q40_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.bruteForceTopK(
@@ -744,6 +770,13 @@ object SparkEntry {
                 (SELECT count(DISTINCT component) FROM (
                    SELECT id, min(r) AS component FROM reach GROUP BY id))::BIGINT
                   AS after_neardup""",
+    "q44_quantile_buckets" ->
+      """SELECT i::INT AS bucket, 0.1 AS frac FROM range(0, 10) t(i) ORDER BY bucket""",
+    "q45_salted_join" ->
+      """SELECT s.s_nationkey, count(*) AS cnt,
+         round(sum(l.l_extendedprice)/1e6, 6) AS sum_price_m
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY s.s_nationkey ORDER BY s.s_nationkey""",
     // exact oracles for the engine's own hash pipeline: FNV-1a+splitmix64
     // token/byte hashing, shingle combine, simhash votes, rolling-window
     // fingerprints, and the stub media features are all reimplemented in

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Skew- and balance-management operators for 100 TB-scale jobs, built on
+  * the engine's own sketches:
+  *
+  *  - [[Partitioning]] uses a global t-digest (one tiny merged sketch, no
+  *    global sort or sample pass) to derive quantile-balanced range buckets.
+  *  - [[Skew]] uses Space-Saving heavy-hitter detection (one pass, KB of
+  *    state) to find the keys that would overload a single reducer, and a
+  *    salted join that spreads exactly those keys without touching the rest.
+  *
+  * Both follow the same shape: sketch pass → a driver-side result measured
+  * in bytes → a broadcastable literal plan for the heavy distributed pass.
+  */
+object Partitioning {
+
+  /** (k−1) boundary values splitting `valueCol` into k ≈equal-count ranges,
+    * from one merged t-digest (error ≤ ~1.2% in rank at compression 100;
+    * scale error with `compression`). The aggregation is a standard
+    * partial→merge sketch pass: per-partition digests, KB-sized shuffle. */
+  def quantileBoundaries(df: DataFrame, valueCol: String, numBuckets: Int,
+      compression: Double = 200.0): Array[Double] = {
+    require(numBuckets >= 2, "need at least 2 buckets")
+    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    df.agg(gf.tdigest_quantiles(
+        gf.tdigest(col(valueCol), lit(1.0), compression), qs).as("bs"))
+      .head().getSeq[Double](0).toArray
+  }
+
+  /** Adds `bucketCol` ∈ [0, boundaries.length] = the rank of the value among
+    * the boundary points. The comparison chain is a foldLeft of codegen'd
+    * `when`s over a driver-side array — no join, no shuffle; NULL/NaN values
+    * land in bucket 0 (compare-false on every boundary). */
+  def assignBuckets(df: DataFrame, valueCol: String,
+      boundaries: Array[Double], bucketCol: String = "bucket"): DataFrame = {
+    val chain = boundaries.foldLeft(lit(0)) { (acc, bound) =>
+      acc + when(col(valueCol) >= lit(bound), 1).otherwise(0)
+    }
+    // Spark orders NaN above every value, so the fold alone would put NaN in
+    // the top bucket; pin NULL/NaN to bucket 0 explicitly
+    val b = when(col(valueCol).isNull ||
+      isnan(col(valueCol).cast("double")), 0).otherwise(chain)
+    df.withColumn(bucketCol, b)
+  }
+
+  /** Quantile-balanced range repartitioning: every output partition receives
+    * ≈rows/k rows regardless of the value distribution. Unlike
+    * `repartitionByRange` (which re-samples the data per call, a second scan
+    * at scale) the boundaries come from the one-pass t-digest, and unlike
+    * hash repartitioning the output is range-clustered — downstream
+    * range-predicate scans and sorted writes stay partition-local. */
+  def repartitionByQuantiles(df: DataFrame, valueCol: String, numBuckets: Int,
+      compression: Double = 200.0, bucketCol: String = "bucket"): DataFrame = {
+    val bounds = quantileBoundaries(df, valueCol, numBuckets, compression)
+    val assigned = assignBuckets(df, valueCol, bounds, bucketCol)
+    // bucket i → partition i exactly. repartitionByRange would re-sample the
+    // bucket column and can merge adjacent buckets (k distinct values into k
+    // ranges is precisely the case sampling gets wrong); a one-shuffle
+    // identity partitioner keeps the t-digest's balance guarantee intact.
+    val spark = df.sparkSession
+    val schema = assigned.schema
+    val idx = schema.fieldIndex(bucketCol)
+    val parted = assigned.rdd
+      .keyBy(_.getInt(idx))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numBuckets
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataFrame(parted, schema)
+  }
+}
+
+object Skew {
+
+  /** Heavy-hitter keys of `keyCol` via one Space-Saving pass:
+    * (item, count, error) rows, count descending, `count ≤ actual ≤
+    * count+error`. State is `capacity` counters per partial — the keys that
+    * matter for skew handling at any scale fit in a driver String/Long
+    * array. Key type follows the column type (long/double/string). */
+  def heavyHitters(df: DataFrame, keyCol: String,
+      capacity: Int = 256, topK: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sk = df.agg(gf.ss_topk_agg(col(keyCol), lit(1L), capacity).as("sk"))
+    val counters = df.schema(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        gf.ss_topk_long(col("sk"), topK)
+      case DoubleType | FloatType => gf.ss_topk_double(col("sk"), topK)
+      case StringType => gf.ss_topk_string(col("sk"), topK)
+      case BinaryType => gf.ss_topk_binary(col("sk"), topK)
+      case other => throw new IllegalArgumentException(
+        s"unsupported heavy-hitter key type $other")
+    }
+    sk.select(explode(counters).as("c"))
+      .select(col("c.item").as("item"), col("c.count").as("count"),
+        col("c.error").as("error"))
+  }
+
+  /** Inner equi-join where `left` is large and skewed on `key`: rows whose
+    * key is in `heavy` are salted into `saltFactor` sub-keys on the left and
+    * replicated `saltFactor`× on the right, so one hot key spreads over
+    * `saltFactor` reducers instead of melting one. Non-heavy keys pay
+    * nothing (salt 0, no replication). Result ≡ `left.join(right, key)`.
+    *
+    * This is the app-level form of AQE's skew-join split for the cases AQE
+    * can't fix (skew born in the map output of this very stage, shuffled
+    * hash joins, pre-AQE writers). `heavy` typically comes from
+    * [[heavyHitters]] — a few keys, broadcast as a literal IN-list. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int, heavy: Seq[Any]): DataFrame = {
+    require(saltFactor >= 2, "saltFactor must be >= 2")
+    require(heavy.nonEmpty, "empty heavy-key set: use a plain join")
+    val isHeavy = col(key).isin(heavy: _*)
+    // salt source must be row-local and need no extra columns: the partition
+    // id + a cheap per-row counter spread via xxhash64. Salting never alters
+    // join results, only placement, so nondeterminism across retries is fine.
+    val l = left.withColumn("__salt",
+      when(isHeavy, pmod(xxhash64(monotonically_increasing_id()),
+        lit(saltFactor)).cast("int")).otherwise(lit(0)))
+    val r = right
+      .withColumn("__salts", when(isHeavy, sequence(lit(0), lit(saltFactor - 1)))
+        .otherwise(array(lit(0))))
+      .withColumn("__salt", explode(col("__salts"))).drop("__salts")
+    l.join(r, l(key) === r(key) && l("__salt") === r("__salt"))
+      .drop(l("__salt")).drop(r("__salt")).drop(r(key))
+  }
+}

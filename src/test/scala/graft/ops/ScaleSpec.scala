@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Sketch-driven scale operators: quantile-balanced partitioning,
+  * heavy-hitter detection, salted skew joins. */
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quantileBoundaries: monotonic, balanced buckets on lineitem") {
+    val li = spark.read.parquet(sf("lineitem"))
+    val k = 8
+    val bounds = Partitioning.quantileBoundaries(li, "l_extendedprice", k)
+    assert(bounds.length == k - 1)
+    assert(bounds.sliding(2).forall(p => p(0) <= p(1)), "boundaries must be sorted")
+    val fracs = Partitioning.assignBuckets(li, "l_extendedprice", bounds)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getLong(1)).toMap
+    val total = fracs.values.sum.toDouble
+    assert(fracs.keySet == (0 until k).toSet, s"every bucket populated: $fracs")
+    fracs.values.foreach { c =>
+      assert(math.abs(c / total - 1.0 / k) < 0.05, s"bucket fraction off: $fracs")
+    }
+  }
+
+  test("assignBuckets: nulls and NaNs land in bucket 0; exact edges") {
+    val df = Seq[java.lang.Double](null, Double.NaN, 0.0, 5.0, 10.0, 15.0)
+      .toDF("v")
+    val got = Partitioning.assignBuckets(df, "v", Array(5.0, 10.0))
+      .select("bucket").as[Int].collect().toSeq
+    // null/NaN -> 0; 0.0 -> 0; 5.0 -> 1 (>= boundary); 10.0 -> 2; 15 -> 2
+    assert(got == Seq(0, 0, 0, 1, 2, 2))
+  }
+
+  test("repartitionByQuantiles: range-clustered, balanced partitions") {
+    val li = spark.read.parquet(sf("lineitem"))
+    val k = 4
+    val parts = Partitioning.repartitionByQuantiles(li, "l_extendedprice", k)
+    assert(parts.rdd.getNumPartitions == k)
+    val sizes = parts.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    val total = sizes.sum.toDouble
+    sizes.foreach(s => assert(math.abs(s / total - 1.0 / k) < 0.06,
+      s"partition sizes ${sizes.toSeq}"))
+    // range clustering: per-partition [min,max] of the bucket id don't overlap
+    val ranges = parts.select("bucket").rdd
+      .mapPartitions(it => { val s = it.map(_.getInt(0)).toSeq
+        if (s.isEmpty) Iterator.empty else Iterator((s.min, s.max)) })
+      .collect().sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ => }
+  }
+
+  test("heavyHitters: planted skew recovered with SS guarantees") {
+    val rows = (1 to 5000).map(_ => 7L) ++ (1 to 2500).map(_ => 13L) ++
+      (1L to 1000L)
+    val df = rows.toDF("k").repartition(8)
+    val hh = Skew.heavyHitters(df, "k", capacity = 64, topK = 4).collect()
+    assert(hh.head.getLong(0) == 7L)
+    assert(hh(1).getLong(0) == 13L)
+    hh.foreach { r =>
+      val (cnt, err) = (r.getLong(1), r.getLong(2))
+      val actual = rows.count(_ == r.getLong(0)).toLong
+      // space-saving overestimates: count − error ≤ actual ≤ count
+      assert(cnt - err <= actual && actual <= cnt,
+        s"SS bound violated for ${r.getLong(0)}: ${cnt - err}..$cnt vs $actual")
+    }
+    // string keys route through the string finisher
+    val sh = Skew.heavyHitters(rows.map("k" + _).toDF("k"), "k",
+      capacity = 64, topK = 2).collect()
+    assert(sh.head.getString(0) == "k7")
+  }
+
+  test("saltedJoin ≡ plain join (planted skew, both key types)") {
+    val left = ((1 to 3000).map(_ => (7L, "hot")) ++
+      (1 to 500).map(i => (i.toLong % 50, s"v$i"))).toDF("k", "payload")
+      .repartition(8)
+    val right = (0L to 50L).map(i => (i, s"dim$i")).toDF("k", "name")
+    val plain = left.join(right, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), countDistinct("name").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 4,
+        heavy = Seq(7L))
+      .groupBy("k").agg(count(lit(1)).as("n"), countDistinct("name").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    // schema contract: one key column, no salt residue
+    val cols = Skew.saltedJoin(left, right, "k", 4, Seq(7L)).columns.toSeq
+    assert(cols == Seq("k", "payload", "name"))
+  }
+}
