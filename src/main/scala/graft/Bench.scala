@@ -26,12 +26,15 @@ object Bench {
       try force(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => }
     }
+    // two measured reps, keep the min: one GC pause or AQE re-plan in a
+    // single-shot run would otherwise be indistinguishable from a regression
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 } // failures must not look like timings
-      name -> elapsed
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
