@@ -36,19 +36,20 @@ object Pipeline {
     val kept = scored.where(col("quality") >= minQuality)
 
     val exact = Dedup.exact(kept, idCol, textCol).cache()
-    val afterExact = exact.count()
 
     val pairs = Dedup.minhashPairs(exact, idCol, textCol,
       shingleN, numHashes, bands, jaccardThreshold)
     val comp = Dedup.components(pairs, allIds = Some(exact.select(idCol)))
       .localCheckpoint()
-    // component IS the min reachable id at convergence — the distinct
-    // component values are exactly the canonical keep-set, so the survivor
-    // count comes straight off the (checkpointed) component frame and the
-    // returned corpus stays lazy: callers that only read the report never
-    // pay for the final join
+    // component IS the min reachable id at convergence, and comp carries one
+    // row per exact-surviving doc — so BOTH report counts come off the
+    // checkpointed label frame in one agg (no separate pass over `exact`),
+    // and the returned corpus stays lazy: callers that only read the report
+    // never pay for the final join
+    val cnts = comp.agg(count(lit(1)), countDistinct(col("component"))).head()
+    val afterExact = cnts.getLong(0)
+    val afterNearDup = cnts.getLong(1)
     val canonical = comp.select(col("component").as(idCol)).distinct()
-    val afterNearDup = canonical.count()
     // lazy result: materializing it later re-runs the quality+dedup lineage
     // once (the caches below are released here, not leaked)
     val cleaned = exact.join(canonical, Seq(idCol), "left_semi")
