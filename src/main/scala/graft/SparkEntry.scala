@@ -468,6 +468,14 @@ object SparkEntry {
           round(sum(col("l_extendedprice")) / 1e6, 6).as("sum_price_m"))
         .orderBy("s_nationkey")
     }),
+    "q46_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), gf.token_count_bpe(col("text")).as("bt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("bt")).as("sum_bpe"),
+          round(avg(col("bt")), 6).as("avg_bpe"))
+        .orderBy("lang")
+    }),
     "q40_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.bruteForceTopK(
@@ -777,6 +785,13 @@ object SparkEntry {
          round(sum(l.l_extendedprice)/1e6, 6) AS sum_price_m
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          GROUP BY s.s_nationkey ORDER BY s.s_nationkey""",
+    "q46_bpe_tokens" ->
+      """SELECT lang, count(*) AS cnt,
+         sum(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')))::BIGINT AS sum_bpe,
+         round(avg(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))), 6) AS avg_bpe
+         FROM documents GROUP BY lang ORDER BY lang""",
     // exact oracles for the engine's own hash pipeline: FNV-1a+splitmix64
     // token/byte hashing, shingle combine, simhash votes, rolling-window
     // fingerprints, and the stub media features are all reimplemented in

@@ -123,6 +123,19 @@ object functions {
 
   // ---- Text analysis (training-data pipeline ops) ----
   def token_count(text: Column): Column = toColumn(TokenCount(toExpr(text)))
+
+  /** GPT-2-style pre-tokenizer pattern, ASCII-simplified so Java regex
+    * (Spark) and RE2 (DuckDB oracle) agree: contractions, letter runs,
+    * digit runs, punctuation runs, whitespace runs. */
+  val BpeTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches — the standard
+    * proxy for LLM token budgets. Backed by Spark's codegen'd regexp_count
+    * (no UDF). */
+  def token_count_bpe(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
   def doc_fingerprint(text: Column, window: Int): Column =
@@ -178,7 +191,8 @@ object GraftFunctions {
   ).withDefault {
     case n if n.endsWith("_merge_agg") || n == "ss_size" || n == "tdigest_centroids" ||
               n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" ||
-              n == "token_count" || n == "lang_id" || n == "text_stats" ||
+              n == "token_count" || n == "token_count_bpe" || n == "lang_id" ||
+              n == "text_stats" ||
               n == "ss_capacity" ||
               n == "vec_norm" => Seq(1)
     case _ => Seq(2)
@@ -234,6 +248,9 @@ object GraftFunctions {
     "ss_size" -> { case Seq(s) => SSSize(s) },
     "ss_capacity" -> { case Seq(s) => SSCapacity(s) },
     "token_count" -> { case Seq(t) => TokenCount(t) },
+    "token_count_bpe" -> { case Seq(t) =>
+      org.apache.spark.sql.catalyst.expressions.RegExpCount(t,
+        Literal(functions.BpeTokenPattern)) },
     "lang_id" -> { case Seq(t) => LangId(t) },
     "text_stats" -> { case Seq(t) => TextStatsExpr(t) },
     "doc_fingerprint" -> { case Seq(t, w) => DocFingerprint(t, w) },

@@ -95,4 +95,18 @@ class RandomizedRefSpec extends SparkTestBase {
       }
     }
   }
+
+  test("token_count_bpe == Java regex reference; SQL path agrees") {
+    val pat = graft.api.functions.BpeTokenPattern.r
+    val docs = spark.read.parquet(sf("documents")).limit(200).cache()
+    val expected = docs.select("text").as[String].collect()
+      .map(t => pat.findAllIn(t).size)
+    val got = docs.select(gf.token_count_bpe(col("text"))).as[Int].collect()
+    assert(got.toSeq == expected.toSeq)
+    graft.api.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("__bpe_docs")
+    val sqlGot = spark.sql("SELECT token_count_bpe(text) FROM __bpe_docs")
+      .as[Int].collect()
+    assert(sqlGot.toSeq == expected.toSeq)
+  }
 }
