@@ -476,6 +476,28 @@ object SparkEntry {
           round(avg(col("bt")), 6).as("avg_bpe"))
         .orderBy("lang")
     }),
+    "q48_typed_stats" -> ((s, dir) => {
+      // typed Dataset[Double] Aggregator path (kryo object buffer) — same
+      // numbers as the SQL/Column path, gated against the same oracle shape
+      import s.implicits._
+      val ds = t(s, dir, "lineitem").select(col("l_quantity")).as[Double]
+      ds.select(graft.api.Aggregators.summaryStats.toColumn).toDF()
+        .select(col("count").as("cnt"), col("sum").as("sum_qty"),
+          round(col("mean"), 6).as("avg_qty"),
+          round(col("variance"), 6).as("var_qty"))
+    }),
+    "q49_media_frames" -> ((s, dir) => {
+      // frame sampling over binary payloads: deterministic stride slices,
+      // verified byte-for-byte in length against the SQL reimplementation
+      val media = graft.media.Media.asMediaTable(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", "video/fake")
+      graft.media.Media.sampleFrames(media, 4)
+        .select(col("media_id"), col("frame_index"),
+          length(col("frame_bytes")).cast("int").as("n_bytes"))
+        .orderBy("media_id", "frame_index")
+    }),
     "q40_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.bruteForceTopK(
@@ -792,6 +814,18 @@ object SparkEntry {
          round(avg(len(regexp_extract_all(text,
            '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))), 6) AS avg_bpe
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q48_typed_stats" ->
+      """SELECT count(l_quantity) AS cnt, sum(l_quantity) AS sum_qty,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(var_pop(l_quantity), 6) AS var_qty FROM lineitem""",
+    "q49_media_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+           FROM documents),
+         f AS (SELECT media_id, len, greatest(len // 4, 1) AS stride FROM d)
+         SELECT media_id, i::INT AS frame_index,
+                (least(len, i * stride + stride) - i * stride)::INT AS n_bytes
+         FROM f, unnest(range(0, least(4, len))) t(i)
+         ORDER BY media_id, frame_index""",
     // exact oracles for the engine's own hash pipeline: FNV-1a+splitmix64
     // token/byte hashing, shingle combine, simhash votes, rolling-window
     // fingerprints, and the stub media features are all reimplemented in
