@@ -476,6 +476,19 @@ object SparkEntry {
           round(avg(col("bt")), 6).as("avg_bpe"))
         .orderBy("lang")
     }),
+    "q47_sliding_windows" -> ((s, dir) => {
+      // sliding event-time windows (2-day duration, 1-day slide): every
+      // event folds into two overlapping windows — the same window()
+      // machinery Structured Streaming uses for sliding aggregations
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+        .agg(gf.summary_stats(col("value")).as("st"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd").as("win_start"),
+          gf.stats_count(col("st")).as("cnt"),
+          round(gf.stats_sum(col("st")), 4).as("sum_v"))
+        .orderBy("win_start")
+    }),
     "q48_typed_stats" -> ((s, dir) => {
       // typed Dataset[Double] Aggregator path (kryo object buffer) — same
       // numbers as the SQL/Column path, gated against the same oracle shape
@@ -826,6 +839,12 @@ object SparkEntry {
                 (least(len, i * stride + stride) - i * stride)::INT AS n_bytes
          FROM f, unnest(range(0, least(4, len))) t(i)
          ORDER BY media_id, frame_index""",
+    "q47_sliding_windows" ->
+      """SELECT strftime(w, '%Y-%m-%d') AS win_start, count(value) AS cnt,
+         round(sum(value), 4) AS sum_v
+         FROM (SELECT unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+                              date_trunc('day', ts)]) AS w, value FROM events)
+         GROUP BY w ORDER BY win_start""",
     // exact oracles for the engine's own hash pipeline: FNV-1a+splitmix64
     // token/byte hashing, shingle combine, simhash votes, rolling-window
     // fingerprints, and the stub media features are all reimplemented in
