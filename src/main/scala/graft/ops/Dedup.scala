@@ -149,11 +149,23 @@ object Dedup {
   def components(pairs: DataFrame, maxIterations: Int = 20,
       allIds: Option[DataFrame] = None,
       localEdgeThreshold: Int = 1 << 20): DataFrame = {
-    val probe = pairs.select(col("idA"), col("idB"))
-      .limit(localEdgeThreshold + 1).collect()
+    // binary ids have no driver-side value equality/ordering that matches
+    // Spark's (arrays hash by identity; min is bytewise) — keep them on the
+    // distributed path where Spark's own semantics apply
+    val localCapable = pairs.schema("idA").dataType match {
+      case org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }
+    if (!localCapable) return componentsLoop(pairs, maxIterations, allIds)
+    // materialize the edge list once: the probe below would otherwise run
+    // the (expensive) candidate-generation lineage to completion and throw
+    // the rows away whenever the graph turns out large, and the loop tier
+    // re-reads the edges every iteration anyway
+    val edgeList = pairs.select(col("idA"), col("idB")).localCheckpoint()
+    val probe = edgeList.limit(localEdgeThreshold + 1).collect()
     if (probe.length <= localEdgeThreshold)
-      return componentsLocal(pairs, probe, allIds)
-    componentsLoop(pairs, maxIterations, allIds)
+      componentsLocal(edgeList, probe, allIds)
+    else componentsLoop(edgeList, maxIterations, allIds)
   }
 
   /** Driver-side union-find over an already-collected edge list; labels ship
@@ -182,9 +194,18 @@ object Dedup {
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent.put(ra, rb)
     }
-    // component = MIN member id (natural ordering of the id type)
-    @inline def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // component = MIN member id under SPARK's ordering: strings compare as
+    // UTF-8 bytes (JVM String.compareTo is UTF-16 order, which disagrees on
+    // supplementary-plane characters — the canonical id must not depend on
+    // which tier ran)
+    val lt: (Any, Any) => Boolean =
+      pairs.schema("idA").dataType match {
+        case org.apache.spark.sql.types.StringType => (a, b) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(
+              b.asInstanceOf[String])) < 0
+        case _ => (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      }
     val minOfRoot = new java.util.HashMap[Any, Any]()
     parent.keySet().forEach { n =>
       val r = find(n)

@@ -86,8 +86,10 @@ object Partitioning {
 object Skew {
 
   /** Heavy-hitter keys of `keyCol` via one Space-Saving pass:
-    * (item, count, error) rows, count descending, `count ≤ actual ≤
-    * count+error`. State is `capacity` counters per partial — the keys that
+    * (item, count, error) rows, count descending. Space-Saving
+    * OVERestimates: `count − error ≤ actual ≤ count`, and every key with
+    * actual > n/capacity is guaranteed present.
+    * State is `capacity` counters per partial — the keys that
     * matter for skew handling at any scale fit in a driver String/Long
     * array. Key type follows the column type (long/double/string). */
   def heavyHitters(df: DataFrame, keyCol: String,
