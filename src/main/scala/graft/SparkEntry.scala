@@ -480,6 +480,26 @@ object SparkEntry {
           round(avg(col("bt")), 6).as("avg_bpe"))
         .orderBy("lang")
     }),
+    "q52_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct sketch in exact mode (k ≥ distinct): per-priority
+      // distinct customers — the monoid partial/merge machinery is what's
+      // under test; the estimate equals the true count below k
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(gf.kmv_distinct(gf.kmv_agg(col("o_custkey"), 16384))
+          .cast("long").as("d_cust"))
+        .orderBy("o_orderpriority")
+    }),
+    "q53_kmv_jaccard" -> ((s, dir) => {
+      // set similarity straight from two sketches: event_type vocabularies
+      // of even/odd user cohorts (exact mode)
+      val ev = t(s, dir, "events")
+      ev.agg(
+          gf.kmv_agg(when(col("user_id") % 2 === 0, col("event_type")), 8192).as("a"),
+          gf.kmv_agg(when(col("user_id") % 2 === 1, col("event_type")), 8192).as("b"))
+        .select(round(gf.kmv_jaccard(col("a"), col("b")), 6).as("jaccard"),
+          gf.kmv_size(col("a")).as("n_even"), gf.kmv_size(col("b")).as("n_odd"))
+    }),
     "q47_sliding_windows" -> ((s, dir) => {
       // sliding event-time windows (2-day duration, 1-day slide): every
       // event folds into two overlapping windows — the same window()
@@ -900,6 +920,17 @@ CREATE OR REPLACE MACRO g_simhash(ss) AS
          FROM (SELECT unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
                               date_trunc('day', ts)]) AS w, value FROM events)
          GROUP BY w ORDER BY win_start""",
+    "q52_kmv_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS d_cust
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q53_kmv_jaccard" ->
+      """WITH a AS (SELECT DISTINCT event_type AS t FROM events WHERE user_id % 2 = 0),
+         b AS (SELECT DISTINCT event_type AS t FROM events WHERE user_id % 2 = 1)
+         SELECT round((SELECT count(*) FROM (SELECT t FROM a INTERSECT SELECT t FROM b))
+                  * 1.0 / (SELECT count(*) FROM (SELECT t FROM a UNION SELECT t FROM b)),
+                6) AS jaccard,
+                (SELECT count(*) FROM a)::INT AS n_even,
+                (SELECT count(*) FROM b)::INT AS n_odd""",
     // exact oracles for the engine's own hash pipeline: FNV-1a+splitmix64
     // token/byte hashing, shingle combine, simhash votes, rolling-window
     // fingerprints, and the stub media features are all reimplemented in

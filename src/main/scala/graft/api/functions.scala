@@ -121,6 +121,16 @@ object functions {
   def ss_counters_string(sketch: Column): Column = ss_topk_string(sketch, Int.MaxValue)
   def ss_counters_binary(sketch: Column): Column = ss_topk_binary(sketch, Int.MaxValue)
 
+  // ---- KMV distinct-value sketch ----
+  def kmv_agg(value: Column): Column = agg(new KmvAgg(toExpr(value)))
+  def kmv_agg(value: Column, k: Int): Column =
+    agg(KmvAgg(toExpr(value), Literal(k)))
+  def kmv_merge_agg(sketch: Column): Column = agg(KmvMergeAgg(toExpr(sketch)))
+  def kmv_distinct(sketch: Column): Column = toColumn(KmvDistinct(toExpr(sketch)))
+  def kmv_size(sketch: Column): Column = toColumn(KmvSize(toExpr(sketch)))
+  def kmv_jaccard(a: Column, b: Column): Column =
+    toColumn(KmvJaccard(toExpr(a), toExpr(b)))
+
   // ---- Text analysis (training-data pipeline ops) ----
   def token_count(text: Column): Column = toColumn(TokenCount(toExpr(text)))
 
@@ -183,6 +193,7 @@ object GraftFunctions {
   /** Arity accepted by each SQL function, for clean WRONG_NUM_ARGS errors. */
   private val arities: Map[String, Seq[Int]] = Map(
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
+    "kmv_agg" -> Seq(1, 2), "kmv_jaccard" -> Seq(2),
     "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
     "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3),
     "nearest_centroids" -> Seq(3), "stats_mean" -> Seq(1),
@@ -193,7 +204,7 @@ object GraftFunctions {
               n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" ||
               n == "token_count" || n == "token_count_bpe" || n == "lang_id" ||
               n == "text_stats" ||
-              n == "ss_capacity" ||
+              n == "ss_capacity" || n == "kmv_distinct" || n == "kmv_size" ||
               n == "vec_norm" => Seq(1)
     case _ => Seq(2)
   }
@@ -247,6 +258,14 @@ object GraftFunctions {
       SSTopK(s, k, org.apache.spark.sql.types.BinaryType) },
     "ss_size" -> { case Seq(s) => SSSize(s) },
     "ss_capacity" -> { case Seq(s) => SSCapacity(s) },
+    "kmv_agg" -> aggB {
+      case Seq(v) => new KmvAgg(v)
+      case Seq(v, k) => KmvAgg(v, k)
+    },
+    "kmv_merge_agg" -> aggB { case Seq(s) => KmvMergeAgg(s) },
+    "kmv_distinct" -> { case Seq(s) => KmvDistinct(s) },
+    "kmv_size" -> { case Seq(s) => KmvSize(s) },
+    "kmv_jaccard" -> { case Seq(a, b) => KmvJaccard(a, b) },
     "token_count" -> { case Seq(t) => TokenCount(t) },
     "token_count_bpe" -> { case Seq(t) =>
       org.apache.spark.sql.catalyst.expressions.RegExpCount(t,

@@ -1,0 +1,117 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** KMV (k-minimum-values) distinct-value sketch.
+  *
+  * Keeps the `k` smallest DISTINCT 64-bit hashes seen (unsigned order —
+  * hashes are uniform on [0, 2^64), so the k-th smallest normalized to
+  * (0,1) estimates k/|D|). Not in the reference (crick has no distinct
+  * sketch); added as the natural fourth mergeable sketch for corpus work:
+  * distinct counts and set similarity between groups. Estimator and the
+  * union/intersection trick follow the KMV literature (see Beyer et al.,
+  * and GB-KMV, ICDE 2019, PAPERS.md).
+  *
+  * Monoid contract (same lifecycle as the other kernels):
+  * `add` (point), `merge` (union, keep k smallest), `serialize`/
+  * `deserialize` (value-only), estimators finalize. EXACT while fewer than
+  * `k` distinct hashes have been seen — `estimateDistinct` then returns the
+  * true distinct count of hashed inputs.
+  */
+final class KmvSketch(val k: Int) extends Serializable {
+  require(k >= 2, "k must be >= 2")
+
+  /** Sorted (unsigned) distinct hashes, size ≤ k. */
+  private val set = new java.util.TreeSet[java.lang.Long](
+    (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b))
+
+  def size: Int = set.size()
+  def isExact: Boolean = set.size() < k
+
+  def add(hash: Long): Unit = {
+    if (set.size() < k) { set.add(hash); () }
+    else if (java.lang.Long.compareUnsigned(hash, set.last()) < 0 &&
+        set.add(hash)) {
+      set.remove(set.last())
+    }
+  }
+
+  def merge(other: KmvSketch): Unit = {
+    val it = other.set.iterator()
+    while (it.hasNext) add(it.next())
+  }
+
+  /** Distinct estimate: exact size below k, else (k−1)/u_k with u_k the
+    * k-th smallest hash normalized to (0,1). */
+  def estimateDistinct: Double =
+    if (set.size() < k) set.size().toDouble
+    else (k - 1).toDouble / KmvSketch.toUnit(set.last())
+
+  def values: Array[Long] = {
+    val out = new Array[Long](set.size())
+    var i = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  def contains(h: Long): Boolean = set.contains(h)
+
+  /** Largest retained hash (call only when size > 0). */
+  def maxHash: Long = set.last()
+
+  def serialize(): Array[Byte] = {
+    val vs = values
+    val buf = ByteBuffer.allocate(8 + vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(k); buf.putInt(vs.length)
+    vs.foreach(buf.putLong)
+    buf.array()
+  }
+}
+
+object KmvSketch {
+  /** Unsigned 64-bit → (0, 1]: (h + 1) / 2^64 computed in two 32-bit halves
+    * to keep double rounding benign. */
+  @inline def toUnit(h: Long): Double = {
+    val hi = (h >>> 32).toDouble
+    val lo = (h & 0xffffffffL).toDouble
+    (hi * 4294967296.0 + lo + 1.0) / 1.8446744073709552e19
+  }
+
+  def deserialize(bytes: Array[Byte]): KmvSketch = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val k = buf.getInt
+    val n = buf.getInt
+    val s = new KmvSketch(k)
+    var i = 0
+    while (i < n) { s.add(buf.getLong); i += 1 }
+    s
+  }
+
+  /** Jaccard |A∩B| / |A∪B| from two sketches over the same hash function:
+    * build the union's KMV (k′ = min(kA,kB)), count members present in BOTH
+    * inputs over the region where membership is decidable — hashes above a
+    * SATURATED sketch's max may have been evicted there, so the sample is
+    * truncated at min(maxA, maxB) when either side is full (Beyer et al.'s
+    * estimator). Exact when both inputs are exact and their union fits k′. */
+  def jaccard(a: KmvSketch, b: KmvSketch): Double = {
+    val kk = math.min(a.k, b.k)
+    val u = new KmvSketch(kk)
+    u.merge(a); u.merge(b)
+    val vs = u.values
+    if (vs.isEmpty) return 1.0 // both empty: identical sets
+    @inline def le(x: Long, y: Long) = java.lang.Long.compareUnsigned(x, y) <= 0
+    var both = 0
+    var valid = 0
+    var i = 0
+    while (i < vs.length) {
+      val v = vs(i)
+      if ((a.isExact || le(v, a.maxHash)) && (b.isExact || le(v, b.maxHash))) {
+        valid += 1
+        if (a.contains(v) && b.contains(v)) both += 1
+      }
+      i += 1
+    }
+    if (valid == 0) 0.0 else both.toDouble / valid
+  }
+}

@@ -1,0 +1,101 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.TextHash
+import scala.util.Random
+
+/** KMV kernel: exactness below k, estimator accuracy, monoid laws, serde,
+  * jaccard against exact set computation. */
+class KmvSpec extends AnyFunSuite {
+
+  private def trials(n: Int)(body: Random => Unit): Unit =
+    (0 until n).foreach(i => body(new Random(i * 7919 + 3)))
+
+  test("exact below k: estimate equals true distinct count") {
+    trials(5) { rnd =>
+      val k = 64 + rnd.nextInt(200)
+      val vals = Seq.fill(rnd.nextInt(k))(rnd.nextLong())
+      val s = new KmvSketch(k)
+      vals.foreach(v => s.add(TextHash.avalanche(v)))
+      assert(s.isExact)
+      assert(s.estimateDistinct == vals.map(TextHash.avalanche).distinct.size.toDouble)
+    }
+  }
+
+  test("estimator accuracy: 100k distinct at k=1024 within 3/sqrt(k)") {
+    val k = 1024
+    val s = new KmvSketch(k)
+    (1L to 100000L).foreach(v => s.add(TextHash.avalanche(v)))
+    val est = s.estimateDistinct
+    val rel = math.abs(est - 100000.0) / 100000.0
+    assert(rel < 3.0 / math.sqrt(k), s"est=$est rel=$rel")
+  }
+
+  test("monoid laws: merge ≡ single stream, any split, idempotent re-merge") {
+    trials(5) { rnd =>
+      val k = 32 + rnd.nextInt(100)
+      val vals = Seq.fill(500 + rnd.nextInt(1000))(
+        TextHash.avalanche(rnd.nextInt(400).toLong))
+      val single = new KmvSketch(k)
+      vals.foreach(single.add(_))
+      val cut = rnd.nextInt(vals.length + 1)
+      val (l, r) = vals.splitAt(cut)
+      val a = new KmvSketch(k); l.foreach(a.add(_))
+      val b = new KmvSketch(k); r.foreach(b.add(_))
+      a.merge(b)
+      assert(a.values.toSeq == single.values.toSeq, "split-merge differs")
+      // idempotent: merging the same sketch again changes nothing (sets)
+      a.merge(b)
+      assert(a.values.toSeq == single.values.toSeq, "re-merge not idempotent")
+      // commutative
+      val a2 = new KmvSketch(k); r.foreach(a2.add(_))
+      val b2 = new KmvSketch(k); l.foreach(b2.add(_))
+      a2.merge(b2)
+      assert(a2.values.toSeq == single.values.toSeq, "merge not commutative")
+    }
+  }
+
+  test("serde roundtrip preserves state and estimates") {
+    trials(3) { rnd =>
+      val k = 16 + rnd.nextInt(64)
+      val s = new KmvSketch(k)
+      (0 until rnd.nextInt(500)).foreach(_ => s.add(rnd.nextLong()))
+      val back = KmvSketch.deserialize(s.serialize())
+      assert(back.k == s.k && back.values.toSeq == s.values.toSeq)
+      assert(back.estimateDistinct == s.estimateDistinct)
+    }
+  }
+
+  test("jaccard: exact on small sets, bounded error on large overlap") {
+    // exact regime: both sketches exact, union fits k
+    val k = 4096
+    val a = new KmvSketch(k); val b = new KmvSketch(k)
+    val setA = (1L to 600L).toSet
+    val setB = (401L to 1000L).toSet
+    setA.foreach(v => a.add(TextHash.avalanche(v)))
+    setB.foreach(v => b.add(TextHash.avalanche(v)))
+    val exact = (setA & setB).size.toDouble / (setA | setB).size
+    assert(math.abs(KmvSketch.jaccard(a, b) - exact) < 1e-15)
+    // sampled regime: 50k ∪ 50k with 25k overlap at k=1024 → ±3/sqrt(k)
+    val k2 = 1024
+    val a2 = new KmvSketch(k2); val b2 = new KmvSketch(k2)
+    (1L to 50000L).foreach(v => a2.add(TextHash.avalanche(v)))
+    (25001L to 75000L).foreach(v => b2.add(TextHash.avalanche(v)))
+    val est = KmvSketch.jaccard(a2, b2)
+    val truth = 25000.0 / 75000.0
+    assert(math.abs(est - truth) < 3.0 / math.sqrt(k2), s"est=$est truth=$truth")
+  }
+
+  test("empty and degenerate sketches") {
+    val e = new KmvSketch(16)
+    assert(e.estimateDistinct == 0.0 && e.size == 0 && e.isExact)
+    val f = new KmvSketch(16)
+    assert(KmvSketch.jaccard(e, f) == 1.0) // both empty: identical sets
+    f.add(42L)
+    assert(KmvSketch.jaccard(e, f) == 0.0)
+    // duplicates collapse
+    val d = new KmvSketch(8)
+    (0 until 100).foreach(_ => d.add(7L))
+    assert(d.size == 1 && d.estimateDistinct == 1.0)
+  }
+}
