@@ -141,4 +141,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got.length == 2 && got.map(_._1).contains(3L)
       && Set(1L, 2L).contains(got.map(_._1).min))
   }
+
+  test("streaming windowed kmv_distinct == batch (set-union state)") {
+    val rows = eventRows()
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Double, String, Long)]
+    val sdf = stream.toDF().toDF("ts", "value", "event_type", "user_id")
+    val agg = sdf.groupBy(window(col("ts"), "1 day"))
+      .agg(gf.kmv_agg(col("user_id"), 4096).as("sk"))
+    val q = agg.writeStream.format("memory")
+      .queryName("win_kmv").outputMode("complete").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      Seq(a, b).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("win_kmv")
+        .select(col("window.start").as("ws"),
+          gf.kmv_distinct(col("sk")).as("d"))
+        .collect().map(r => r.getAs[Timestamp]("ws") -> r.getDouble(1)).toMap
+      val batch = rows.toDF("ts", "value", "event_type", "user_id")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(countDistinct("user_id").as("d"))
+        .select(col("window.start").as("ws"), col("d"))
+        .collect().map(r => r.getAs[Timestamp]("ws") -> r.getLong(1).toDouble).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
