@@ -480,6 +480,24 @@ object SparkEntry {
           round(avg(col("bt")), 6).as("avg_bpe"))
         .orderBy("lang")
     }),
+    "q54_window_sketches" -> ((s, dir) => {
+      // sketch aggregates as WINDOW functions: running stats + running
+      // distinct over an ordered frame — TypedImperativeAggregate drops
+      // into window frames unchanged (exact fields gate the integration)
+      // RANGE (peer-inclusive) frame, not ROWS: the synthetic lineitem has
+      // duplicate (orderkey, linenumber) rows, and peers make the running
+      // values independent of tie order on both engines
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+      t(s, dir, "lineitem").where(col("l_orderkey") < 200)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          gf.stats_count(gf.summary_stats(col("l_quantity")).over(w)).as("running_n"),
+          round(gf.stats_sum(gf.summary_stats(col("l_quantity")).over(w)), 4)
+            .as("running_sum"),
+          gf.kmv_size(gf.kmv_agg(col("l_quantity"), 4096).over(w))
+            .as("running_distinct"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
     "q52_kmv_distinct" -> ((s, dir) => {
       // KMV distinct sketch in exact mode (k ≥ distinct): per-priority
       // distinct customers — the monoid partial/merge machinery is what's
@@ -931,6 +949,16 @@ CREATE OR REPLACE MACRO g_simhash(ss) AS
                 6) AS jaccard,
                 (SELECT count(*) FROM a)::INT AS n_even,
                 (SELECT count(*) FROM b)::INT AS n_odd""",
+    "q54_window_sketches" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+         count(l_quantity) OVER w AS running_n,
+         round(sum(l_quantity) OVER w, 4) AS running_sum,
+         (count(DISTINCT l_quantity) OVER w)::INT AS running_distinct
+         FROM lineitem WHERE l_orderkey < 200
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_linenumber
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY l_returnflag, l_orderkey, l_linenumber""",
     // exact oracles for the engine's own hash pipeline: FNV-1a+splitmix64
     // token/byte hashing, shingle combine, simhash votes, rolling-window
     // fingerprints, and the stub media features are all reimplemented in
