@@ -16,8 +16,10 @@ import graft.expr.TextHash
   * bytes (FNV-1a + splitmix finish, same stable kernel as the text ops). */
 object KmvHash {
   @inline def ofLong(v: Long): Long = TextHash.avalanche(v ^ 0x9e3779b97f4a7c15L)
+  /** SQL DISTINCT semantics: −0.0 ≡ 0.0 (normalize before bit-casting;
+    * doubleToLongBits already canonicalizes NaN). */
   @inline def ofDouble(v: Double): Long =
-    ofLong(java.lang.Double.doubleToLongBits(v))
+    ofLong(java.lang.Double.doubleToLongBits(if (v == 0.0) 0.0 else v))
   @inline def ofBytes(b: Array[Byte]): Long = TextHash.hashBytes(b, 0, b.length, 0L)
 }
 
@@ -36,8 +38,21 @@ case class KmvAgg(
 
   private lazy val k: Int = right.eval().asInstanceOf[Number].intValue()
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(TypeCollection(LongType, DoubleType, StringType, BinaryType), IntegerType)
+  /** Route the value to the hash arm matching its SQL distinctness
+    * semantics: fractional numerics widen to Double (a TypeCollection
+    * would implicit-cast a float/decimal to the FIRST numeric member —
+    * LongType — truncating 1.1/1.2/1.9 to one distinct value), integrals
+    * widen to Long, strings/binaries stay byte-hashed. */
+  override def inputTypes: Seq[AbstractDataType] = {
+    val valueType = left.dataType match {
+      case FloatType | DoubleType | _: DecimalType => DoubleType
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case BinaryType => BinaryType
+      case StringType => StringType
+      case _ => TypeCollection(LongType, DoubleType, StringType, BinaryType)
+    }
+    Seq(valueType, IntegerType)
+  }
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_agg"
@@ -45,15 +60,15 @@ case class KmvAgg(
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val base = super.checkInputDataTypes()
     if (base.isFailure) base
-    else if (!right.foldable)
+    else if (!right.foldable || right.eval() == null)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "k must be a constant")
+        "k must be a non-null constant")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
   override def createAggregationBuffer(): KmvSketch = {
-    if (k < 2 || k > (1 << 22))
-      throw new IllegalArgumentException("k must be in [2, 4194304]")
+    if (k < 2 || k > (1 << 20))
+      throw new IllegalArgumentException("k must be in [2, 1048576]")
     new KmvSketch(k)
   }
 

@@ -18,34 +18,55 @@ import java.nio.{ByteBuffer, ByteOrder}
   * `k` distinct hashes have been seen — `estimateDistinct` then returns the
   * true distinct count of hashed inputs.
   */
-final class KmvSketch(val k: Int) extends Serializable {
-  require(k >= 2, "k must be >= 2")
+final class KmvSketch(initialK: Int) extends Serializable {
+  require(initialK >= 2, "k must be >= 2")
+
+  /** Effective capacity: shrinks on merge with a smaller-k sketch (a union
+    * is only a valid KMV at k′ = min of the inputs' capacities). */
+  private var effK: Int = initialK
+  def k: Int = effK
 
   /** Sorted (unsigned) distinct hashes, size ≤ k. */
   private val set = new java.util.TreeSet[java.lang.Long](
     (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b))
+  /** Cached set.last() so a saturated reject is one unsigned compare, no
+    * tree walk. Valid whenever size > 0. */
+  private var cachedMax: Long = 0L
 
   def size: Int = set.size()
-  def isExact: Boolean = set.size() < k
+  def isExact: Boolean = set.size() < effK
 
   def add(hash: Long): Unit = {
-    if (set.size() < k) { set.add(hash); () }
-    else if (java.lang.Long.compareUnsigned(hash, set.last()) < 0 &&
+    val n = set.size()
+    if (n < effK) {
+      if (set.add(hash) &&
+          (n == 0 || java.lang.Long.compareUnsigned(hash, cachedMax) > 0))
+        cachedMax = hash
+    } else if (java.lang.Long.compareUnsigned(hash, cachedMax) < 0 &&
         set.add(hash)) {
-      set.remove(set.last())
+      set.remove(cachedMax)
+      cachedMax = set.last()
     }
   }
 
   def merge(other: KmvSketch): Unit = {
+    if (other.effK < effK) shrinkTo(other.effK)
     val it = other.set.iterator()
     while (it.hasNext) add(it.next())
+  }
+
+  /** Drop largest hashes until the set fits newK (k′ = min rule). */
+  private def shrinkTo(newK: Int): Unit = {
+    effK = newK
+    while (set.size() > effK) set.remove(set.last())
+    if (set.size() > 0) cachedMax = set.last()
   }
 
   /** Distinct estimate: exact size below k, else (k−1)/u_k with u_k the
     * k-th smallest hash normalized to (0,1). */
   def estimateDistinct: Double =
-    if (set.size() < k) set.size().toDouble
-    else (k - 1).toDouble / KmvSketch.toUnit(set.last())
+    if (set.size() < effK) set.size().toDouble
+    else (effK - 1).toDouble / KmvSketch.toUnit(cachedMax)
 
   def values: Array[Long] = {
     val out = new Array[Long](set.size())
@@ -63,7 +84,7 @@ final class KmvSketch(val k: Int) extends Serializable {
   def serialize(): Array[Byte] = {
     val vs = values
     val buf = ByteBuffer.allocate(8 + vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(k); buf.putInt(vs.length)
+    buf.putInt(effK); buf.putInt(vs.length)
     vs.foreach(buf.putLong)
     buf.array()
   }

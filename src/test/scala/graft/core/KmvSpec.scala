@@ -98,4 +98,24 @@ class KmvSpec extends AnyFunSuite {
     (0 until 100).foreach(_ => d.add(7L))
     assert(d.size == 1 && d.estimateDistinct == 1.0)
   }
+
+  test("mixed-k merge shrinks to min capacity (no false-exact undercount)") {
+    val big = new KmvSketch(1024)
+    val small = new KmvSketch(64)
+    (1L to 100000L).foreach(v => small.add(TextHash.avalanche(v)))
+    (200001L to 200100L).foreach(v => big.add(TextHash.avalanche(v)))
+    big.merge(small) // saturated small sketch into roomy big sketch
+    assert(big.k == 64, "capacity must shrink to min")
+    assert(!big.isExact, "must not report exact after absorbing a saturated sketch")
+    val est = big.estimateDistinct
+    assert(est > 50000, s"undercount: $est") // ~100100 true distinct
+    // merge order must not change the outcome class
+    val big2 = new KmvSketch(1024)
+    (200001L to 200100L).foreach(v => big2.add(TextHash.avalanche(v)))
+    val small2 = new KmvSketch(64)
+    (1L to 100000L).foreach(v => small2.add(TextHash.avalanche(v)))
+    small2.merge(big2)
+    assert(small2.k == 64 && !small2.isExact)
+    assert(math.abs(small2.estimateDistinct - est) / est < 0.35)
+  }
 }
