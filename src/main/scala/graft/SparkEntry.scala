@@ -498,6 +498,18 @@ object SparkEntry {
             .as("running_distinct"))
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     }),
+    "q55_media_resize" -> ((s, dir) => {
+      // stubbed resize keeps the media schema; lengths are exactly
+      // ceil(len/factor) — plumbing gated byte-for-byte on output size
+      val media = graft.media.Media.asMediaTable(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", "image/fake")
+      graft.media.Media.resize(media, 4)
+        .select(col("media_id"), length(col("payload")).cast("int").as("n_bytes"),
+          col("meta.format").as("format"))
+        .orderBy("media_id")
+    }),
     "q52_kmv_distinct" -> ((s, dir) => {
       // KMV distinct sketch in exact mode (k ≥ distinct): per-priority
       // distinct customers — the monoid partial/merge machinery is what's
@@ -959,6 +971,11 @@ CREATE OR REPLACE MACRO g_simhash(ss) AS
                       ORDER BY l_orderkey, l_linenumber
                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY l_returnflag, l_orderkey, l_linenumber""",
+    "q55_media_resize" ->
+      """SELECT doc_id AS media_id,
+         ((octet_length(encode(text)) + 3) // 4)::INT AS n_bytes,
+         'image/fake' AS format
+         FROM documents ORDER BY media_id""",
     // exact oracles for the engine's own hash pipeline: FNV-1a+splitmix64
     // token/byte hashing, shingle combine, simhash votes, rolling-window
     // fingerprints, and the stub media features are all reimplemented in

@@ -44,6 +44,19 @@ object MediaCodecs {
     out
   }
 
+  /** STUB resize: deterministic payload downsample by `factor` (every
+    * factor-th byte) — stands in for an image/audio resample; preserves the
+    * contract (pure function of bytes, output length = ceil(len/factor)). */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    if (payload == null || payload.length == 0) Array.emptyByteArray
+    else {
+      val out = new Array[Byte]((payload.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+      out
+    }
+  }
+
   /** STUB frame sampler: returns `n` deterministic "frames" (byte slices) of
     * a video payload — stands in for keyframe extraction. */
   def sampleFramesStub(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
@@ -102,6 +115,31 @@ object Media {
         (id, fmt, if (payload == null) 0 else payload.length, feats)
       }
     }.toDF("media_id", "format", "n_bytes", "features")
+  }
+
+  /** Resize every payload by `factor` (stubbed codec), keeping the media
+    * schema — partition-local batch transform, no shuffle; metadata width/
+    * height scale down with the payload. */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val session = media.sparkSession
+    import session.implicits._
+    val ds: Dataset[Row] = media
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(r.fieldIndex("media_id"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        val meta = r.getStruct(r.fieldIndex("meta"))
+        val resized = MediaCodecs.resizeStub(payload, factor)
+        (id, resized,
+          if (meta == null) null
+          else (meta.getString(0), meta.getInt(1) / factor, meta.getInt(2) / factor,
+            meta.getInt(3), meta.getInt(4)))
+      }
+    }.toDF("media_id", "payload", "m")
+      .select(col("media_id"), col("payload"), struct(
+        col("m._1").as("format"), col("m._2").as("width"), col("m._3").as("height"),
+        col("m._4").as("n_frames"), col("m._5").as("sample_rate")).as("meta"))
   }
 
   /** Frame-sample a video media table into one row per sampled frame

@@ -312,4 +312,25 @@ class OpsSpec extends SparkTestBase {
       .head().getSeq[Int](0)
     assert(probes.toSet.size == 3, s"probes must be distinct: $probes")
   }
+
+  test("media resize: stub downsample, schema and metadata preserved") {
+    val media = Media.asMediaTable(
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      "doc_id", "payload", "image/fake")
+    val r = Media.resize(media, 3)
+    assert(r.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val rows = r.select(col("media_id"), length(col("payload")).as("n"),
+      col("meta.format")).collect()
+    val orig = media.select(col("media_id"), length(col("payload")).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    rows.foreach { x =>
+      assert(x.getInt(1) == (orig(x.getLong(0)) + 2) / 3)
+      assert(x.getString(2) == "image/fake")
+    }
+    // deterministic byte selection: every factor-th byte
+    val one = media.orderBy("media_id").select("payload").head().getAs[Array[Byte]](0)
+    val got = Media.resize(media.orderBy("media_id").limit(1), 3)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(got.toSeq == one.indices.collect { case i if i % 3 == 0 => one(i) }.toSeq)
+  }
 }
