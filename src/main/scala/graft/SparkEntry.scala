@@ -608,6 +608,24 @@ object SparkEntry {
       feats.agg(round(avg(gf.vec_norm(col("features"))), 6).as("avg_feat_norm"))
     }),
 
+    "q56_asof_join" -> ((s, dir) => {
+      // as-of join: latest purchase at-or-before each click per user — one
+      // shuffle + window pass (no per-key range cross product); the oracle
+      // is DuckDB's native ASOF LEFT JOIN over the same two event slices
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("ts_b")).as("n_matched"),
+          round(sum(col("value_b")), 4).as("sum_purchase"),
+          sum(unix_micros(col("ts")) - unix_micros(col("ts_b"))).as("gap_us"))
+        .orderBy("cohort")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1049,6 +1067,16 @@ SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
          ORDER BY idA, idB""",
     "q50_media_pipeline" ->
       """SELECT count(*) AS cnt, cast(sum(length(text)) AS bigint) AS sum_bytes
-         FROM documents"""
+         FROM documents""",
+    "q56_asof_join" ->
+      """SELECT p.user_id % 10 AS cohort,
+                count(*) AS n_clicks,
+                count(b.ts) AS n_matched,
+                round(sum(b.value), 4) AS sum_purchase,
+                cast(sum(epoch_us(p.ts) - epoch_us(b.ts)) AS BIGINT) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+           ON p.user_id = b.user_id AND p.ts >= b.ts
+         GROUP BY 1 ORDER BY 1"""
   )
 }
