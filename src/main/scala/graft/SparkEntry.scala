@@ -626,6 +626,22 @@ object SparkEntry {
         .orderBy("cohort")
     }),
 
+    "q57_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (session_window, 2-hour gap) — the same
+      // dynamic-window machinery Structured Streaming uses; oracle is the
+      // classic gaps-and-islands lag/cumsum SQL
+      val sess = graft.streaming.StreamingSketches.sessionize(
+        t(s, dir, "events"), "ts", "2 hours", "value", Seq("user_id"))
+      sess.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_len"),
+          sum(unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+            .as("total_dur_us"),
+          round(sum(gf.stats_sum(col("value_stats"))), 4).as("sum_v"))
+        .orderBy("user_id")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1077,6 +1093,27 @@ SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
          FROM (SELECT * FROM events WHERE event_type = 'click') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
            ON p.user_id = b.user_id AND p.ts >= b.ts
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q57_sessionize" ->
+      """WITH m AS (SELECT user_id, ts, value,
+             -- Spark's session_window is end-inclusive: an event exactly
+             -- gap after the previous one still merges, so a new session
+             -- starts only when the gap is STRICTLY greater
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+         g AS (SELECT user_id, sid, count(*) AS n, min(ts) AS st,
+                      max(ts) AS en, sum(value) AS sv
+               FROM s GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+                cast(sum(n) AS BIGINT) AS n_events,
+                cast(max(n) AS BIGINT) AS max_len,
+                cast(sum(epoch_us(en) - epoch_us(st)) AS BIGINT) AS total_dur_us,
+                round(sum(sv), 4) AS sum_v
+         FROM g GROUP BY 1 ORDER BY 1"""
   )
 }

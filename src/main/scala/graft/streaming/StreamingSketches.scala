@@ -35,6 +35,29 @@ object StreamingSketches {
         gf.summary_stats(col(valueCol)).as("value_stats"))
   }
 
+  /** Gap-based sessionization: one row per (keys, session) where a session
+    * is a maximal run of events with inter-event gap < `gap` (Spark's
+    * `session_window` — dynamic, data-driven windows, unlike the fixed
+    * grid of `window()`). Emits the session bounds plus per-session
+    * aggregates: event count, exact moments of `valueCol`, first/last ts.
+    *
+    * Works identically on batch and streaming frames; in streaming, pass a
+    * watermark and use append mode — session state is per (keys, open
+    * session), finalized when the watermark passes `session.end`. At scale
+    * this is one shuffle on (keys) with state O(open sessions), never
+    * O(events).
+    */
+  def sessionize(df: DataFrame, tsCol: String, gap: String, valueCol: String,
+      keys: Seq[String] = Nil, watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    in.groupBy((session_window(col(tsCol), gap).as("session") +:
+        keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"),
+        gf.summary_stats(col(valueCol)).as("value_stats"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+  }
+
   /** Streaming exact deduplication: emits only the FIRST row seen per
     * normalized content hash, across micro-batches, using
     * flatMapGroupsWithState (custom keyed state; one boolean per key).

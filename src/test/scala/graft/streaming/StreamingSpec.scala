@@ -142,6 +142,56 @@ class StreamingSpec extends SparkTestBase {
       && Set(1L, 2L).contains(got.map(_._1).min))
   }
 
+  test("streaming sessionize (watermark+append) == batch sessions") {
+    val rows = eventRows().sortBy(_._1.getTime)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Double, String, Long)]
+    val sdf = stream.toDF().toDF("ts", "value", "event_type", "user_id")
+    val agg = StreamingSketches.sessionize(
+      sdf, "ts", "2 hours", "value", Seq("user_id"),
+      watermark = Some("0 seconds"))
+    val q = agg.writeStream.format("memory")
+      .queryName("sess_append").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      Seq(a, b).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+      // far-future flush row pushes the watermark past every real session
+      val last = rows.last._1.getTime
+      stream.addData(Seq((new Timestamp(last + 86400_000L), 0.0, "flush", -1L)))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[Timestamp]("first_ts").getTime,
+          r.getAs[Timestamp]("last_ts").getTime, r.getAs[Long]("n_events"))
+      val streamed = spark.table("sess_append")
+        .where(col("user_id") >= 0).collect().map(key).toSet
+      val batch = StreamingSketches.sessionize(
+          rows.toDF("ts", "value", "event_type", "user_id"),
+          "ts", "2 hours", "value", Seq("user_id"))
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize on batch: session bounds respect the gap") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val df = Seq(
+      (new Timestamp(t0), 1.0),
+      (new Timestamp(t0 + 7_200_000L), 2.0), // exactly 2h later: MERGES
+                                             // (session_window is end-inclusive)
+      (new Timestamp(t0 + 14_400_001L), 3.0), // 2h + 1ms after previous: splits
+      (new Timestamp(t0 + 14_460_001L), 4.0)).map { case (ts, v) => (ts, v, 7L) }
+      .toDF("ts", "value", "user_id")
+    val got = StreamingSketches.sessionize(df, "ts", "2 hours", "value", Seq("user_id"))
+      .orderBy("first_ts")
+      .select("n_events", "first_ts", "last_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+    assert(got.toSeq == Seq((2L, t0, t0 + 7_200_000L),
+      (2L, t0 + 14_400_001L, t0 + 14_460_001L)))
+  }
+
   test("streaming windowed kmv_distinct == batch (set-union state)") {
     val rows = eventRows()
     implicit val sqlCtx = spark.sqlContext
