@@ -642,6 +642,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q58_hash_split" -> ((s, dir) => {
+      // deterministic train/val/test split: membership is a pure function
+      // of hash64(doc_id) — reproducible across runs/partitionings; the
+      // oracle recomputes the same splitmix64 grid in DuckDB
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.hashSplit(docs, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+    "q59_bottomk_sample" -> ((s, dir) => {
+      // deterministic fixed-size sample: the 100 docs with the smallest
+      // unsigned hash64(doc_id) — runs as TakeOrderedAndProject, no sort
+      graft.ops.Sampling.bottomK(t(s, dir, "documents"), col("doc_id"), 100)
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1114,6 +1133,24 @@ SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
                 cast(max(n) AS BIGINT) AS max_len,
                 cast(sum(epoch_us(en) - epoch_us(st)) AS BIGINT) AS total_dur_us,
                 round(sum(sv), 4) AS sum_v
-         FROM g GROUP BY 1 ORDER BY 1"""
+         FROM g GROUP BY 1 ORDER BY 1""",
+    "q58_hash_split" ->
+      (hashMacros +
+        """WITH b AS (SELECT doc_id, n_chars,
+             (g_av(doc_id::UBIGINT) & 1048575::UBIGINT)::BIGINT AS bk
+           FROM documents)
+         SELECT CASE WHEN bk < 838860 THEN 'train'
+                     WHEN bk < 943718 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS cnt,
+                cast(sum(doc_id) AS BIGINT) AS sum_id,
+                cast(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM b GROUP BY 1 ORDER BY 1"""),
+    "q59_bottomk_sample" ->
+      (hashMacros +
+        """SELECT doc_id, n_chars FROM (
+             SELECT doc_id, n_chars FROM documents
+             ORDER BY g_av(doc_id::UBIGINT) LIMIT 100)
+         ORDER BY doc_id""")
   )
 }

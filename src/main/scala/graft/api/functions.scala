@@ -146,6 +146,10 @@ object functions {
   def token_count_bpe(text: Column): Column =
     regexp_count(text, lit(BpeTokenPattern))
 
+  /** splitmix64 finalizer of a 64-bit key — the deterministic-sampling
+    * primitive (see [[graft.ops.Sampling]]). */
+  def hash64(key: Column): Column = toColumn(Hash64(toExpr(key)))
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
   def doc_fingerprint(text: Column, window: Int): Column =
@@ -203,6 +207,7 @@ object GraftFunctions {
     case n if n.endsWith("_merge_agg") || n == "ss_size" || n == "tdigest_centroids" ||
               n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" ||
               n == "token_count" || n == "token_count_bpe" || n == "lang_id" ||
+              n == "hash64" ||
               n == "text_stats" ||
               n == "ss_capacity" || n == "kmv_distinct" || n == "kmv_size" ||
               n == "vec_norm" => Seq(1)
@@ -266,6 +271,7 @@ object GraftFunctions {
     "kmv_distinct" -> { case Seq(s) => KmvDistinct(s) },
     "kmv_size" -> { case Seq(s) => KmvSize(s) },
     "kmv_jaccard" -> { case Seq(a, b) => KmvJaccard(a, b) },
+    "hash64" -> { case Seq(k) => Hash64(k) },
     "token_count" -> { case Seq(t) => TokenCount(t) },
     "token_count_bpe" -> { case Seq(t) =>
       org.apache.spark.sql.catalyst.expressions.RegExpCount(t,

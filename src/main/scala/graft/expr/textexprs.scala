@@ -64,6 +64,32 @@ object TextHash {
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || 0x0b == c
 }
 
+/** hash64(x) → long: the engine's splitmix64 finalizer over a 64-bit input.
+  * The deterministic-sampling primitive: reproducible across runs, JVMs and
+  * partitionings (no RNG, no partition index), so sample membership is a
+  * pure function of the row key — re-runs and retries see the same sample.
+  * Codegen'd inline (3 shifts + 2 multiplies), stays in whole-stage codegen. */
+case class Hash64(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.avalanche(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("h")
+      s"""
+         |long $h = $c;
+         |$h ^= $h >>> 30; $h *= 0xbf58476d1ce4e5b9L;
+         |$h ^= $h >>> 27; $h *= 0x94d049bb133111ebL;
+         |${ev.value} = $h ^ ($h >>> 31);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** token_count(text) → int: number of whitespace-separated tokens. */
 case class TokenCount(child: Expression)
   extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {

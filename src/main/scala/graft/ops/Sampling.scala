@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Deterministic, hash-based sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: membership changes with
+  * partitioning, task retries, and Spark versions — unusable for
+  * train/val/test splits that must be stable across reprocessing runs of a
+  * 100 TB corpus. Everything here derives membership from `hash64(key)`
+  * (the engine's splitmix64 finalizer) instead: a pure function of the row
+  * key, reproducible anywhere, and free of coordination — no shuffle, no
+  * state, each task decides membership row-locally inside whole-stage
+  * codegen.
+  *
+  * Buckets use the TOP-level 2^20 grid via `hash64 & (2^20-1)`: a
+  * power-of-two mask keeps signed/unsigned semantics identical on every
+  * engine (unsigned mod m equals Java's masked value only when m divides
+  * 2^64), which is what makes the DuckDB oracle bit-exact.
+  */
+object Sampling {
+
+  /** Number of hash buckets the split grid uses (2^20). */
+  final val Buckets: Long = 1L << 20
+
+  /** The row's split bucket in [0, 2^20): `hash64(key) & (2^20 − 1)`. */
+  def bucket(key: Column): Column =
+    gf.hash64(key).bitwiseAND(lit(Buckets - 1))
+
+  /** Cumulative bucket thresholds for `weights` (normalized to sum 1). */
+  private[ops] def thresholds(weights: Seq[Double]): Seq[Long] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be > 0")
+    val total = weights.sum
+    weights.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c / total * Buckets).toLong)
+  }
+
+  /** Adds `splitCol` ∈ labels: a deterministic disjoint split of the rows by
+    * `key`, with fractions proportional to the label weights (exact up to
+    * the 2^20 bucket grid, i.e. ±1e-6). Same key → same split, always. */
+  def hashSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    val ts = thresholds(splits.map(_._2))
+    val b = bucket(key)
+    val c = splits.init.zip(ts.init).foldRight(
+      lit(splits.last._1): Column) { case (((label, _), t), acc) =>
+      when(b < lit(t), label).otherwise(acc)
+    }
+    df.withColumn(splitCol, c)
+  }
+
+  /** Deterministic uniform sample of ≈`fraction` of the rows (by `key`).
+    * Subset-monotone: the 5% sample is a subset of the 10% sample. */
+  def uniformSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    df.where(bucket(key) < lit(math.floor(fraction * Buckets).toLong))
+  }
+
+  /** Deterministic fixed-size sample: the `k` rows with the smallest
+    * `hash64(key)` in UNSIGNED order. Runs as TakeOrderedAndProject —
+    * per-partition top-k then a k-row driver merge, never a global sort.
+    * Stable under appends in the Bernoulli sense: a new row displaces at
+    * most one old sample member. */
+  def bottomK(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    // signed order of (h XOR Long.MinValue) == unsigned order of h
+    df.withColumn("__h", gf.hash64(key).bitwiseXOR(lit(Long.MinValue)))
+      .orderBy(col("__h")).limit(k).drop("__h")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.api.{functions => gf}
+import graft.expr.TextHash
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash sampling: split stability, subset monotonicity,
+  * bottom-k vs brute force, and the hash64 primitive itself. */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ids = (0L until 5000L).toDF("id")
+
+  test("hash64 == TextHash.avalanche, in codegen and SQL") {
+    val got = ids.select(col("id"), gf.hash64(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (i, h) => assert(h == TextHash.avalanche(i)) }
+    val viaSql = spark.sql("SELECT hash64(42)").head().getLong(0)
+    assert(viaSql == TextHash.avalanche(42L))
+  }
+
+  test("hashSplit: disjoint, covering, deterministic, near-target fractions") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(ids, col("id"), splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.keySet == Set("train", "val", "test"))
+    assert(a.values.sum == 5000L)
+    assert(math.abs(a("train") / 5000.0 - 0.8) < 0.02, a.toString)
+    assert(math.abs(a("val") / 5000.0 - 0.1) < 0.02, a.toString)
+    // repartitioned input → identical assignment (determinism)
+    val b = Sampling.hashSplit(ids.repartition(7), col("id"), splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("uniformSample: subset-monotone and unbiased-ish") {
+    val s5 = Sampling.uniformSample(ids, col("id"), 0.05)
+      .select("id").as[Long].collect().toSet
+    val s20 = Sampling.uniformSample(ids, col("id"), 0.20)
+      .select("id").as[Long].collect().toSet
+    assert(s5.subsetOf(s20), "5% sample must be inside the 20% sample")
+    assert(math.abs(s20.size / 5000.0 - 0.20) < 0.03)
+    assert(Sampling.uniformSample(ids, col("id"), 0.0).count() == 0)
+    assert(Sampling.uniformSample(ids, col("id"), 1.0).count() == 5000)
+  }
+
+  test("bottomK == brute-force k smallest unsigned hashes; plan is top-k") {
+    val k = 37
+    val got = Sampling.bottomK(ids, col("id"), k)
+      .select("id").as[Long].collect().toSet
+    val want = (0L until 5000L)
+      .sortBy(i => TextHash.avalanche(i) ^ Long.MinValue).take(k).toSet
+    assert(got == want)
+    val plan = Sampling.bottomK(ids, col("id"), k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("thresholds normalize weights and hit the grid exactly") {
+    assert(Sampling.thresholds(Seq(1.0, 1.0)) ==
+      Seq(Sampling.Buckets / 2, Sampling.Buckets))
+    assert(Sampling.thresholds(Seq(3.0, 1.0)) ==
+      Seq(Sampling.Buckets * 3 / 4, Sampling.Buckets))
+  }
+}
