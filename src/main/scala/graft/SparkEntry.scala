@@ -661,6 +661,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
     }),
 
+    "q60_bloom_join" -> ((s, dir) => {
+      // Bloom semi-join reduction: lineitem is pruned at the scan by a
+      // Bloom filter of the 71 Brand#1 part keys before the exact join —
+      // result ≡ the plain join (oracle), but only ~matching rows shuffle
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "part").where(col("p_brand") === "Brand#1")
+        .select("p_partkey", "p_retailprice")
+      graft.ops.Prune.bloomPrunedJoin(li, dim, "l_partkey", "p_partkey")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("p_retailprice")), 4).as("sum_retail"))
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1151,6 +1164,12 @@ SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
         """SELECT doc_id, n_chars FROM (
              SELECT doc_id, n_chars FROM documents
              ORDER BY g_av(doc_id::UBIGINT) LIMIT 100)
-         ORDER BY doc_id""")
+         ORDER BY doc_id"""),
+    "q60_bloom_join" ->
+      """SELECT count(*) AS cnt,
+                round(sum(l_quantity), 4) AS sum_qty,
+                round(sum(p_retailprice), 4) AS sum_retail
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#1'"""
   )
 }

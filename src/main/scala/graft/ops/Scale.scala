@@ -83,6 +83,51 @@ object Partitioning {
   }
 }
 
+/** Semi-join reduction: cut the probe side of a join down to (almost) the
+  * rows that can match BEFORE the join shuffle. At 100 TB the dominant cost
+  * of `big ⋈ small-filtered-dim` is shuffling big's non-matching rows; a
+  * Bloom filter of the dim keys (a few MB at 1% fpp) eliminates them at the
+  * scan, so only matching rows (plus ~fpp false positives, removed by the
+  * exact join that follows) pay the shuffle. This is the app-level form of
+  * Spark's runtime row-level filtering, usable where AQE/DPP can't reach:
+  * pre-shuffle writers, non-subquery dims, explicit pipelines. */
+object Prune {
+
+  /** Bloom filter over `xxhash64(keyCol)` of `dim` (driver-side object,
+    * sized from an exact count so fpp holds). */
+  def bloomOf(dim: DataFrame, keyCol: String, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val n = math.max(dim.count(), 1L)
+    dim.select(xxhash64(col(keyCol)).as("__h")).stat.bloomFilter("__h", n, fpp)
+  }
+
+  /** `big` restricted to rows whose key might be in `dim` (semi-join
+    * reduction; keeps ~fpp of non-matching rows). The probe is a codegen'd
+    * filter at the scan — no join, no shuffle, NULL keys dropped (they
+    * cannot match an equi-join anyway). */
+  def bloomSemiJoin(big: DataFrame, dim: DataFrame, bigKey: String,
+      dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val bloom = bloomOf(dim, dimKey, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    import org.apache.spark.sql.graftshim.{toColumn, toExpr}
+    val probe = toColumn(graft.expr.BloomMightContain(bytes,
+      toExpr(xxhash64(col(bigKey)))))
+    big.where(col(bigKey).isNotNull && probe)
+  }
+
+  /** Inner equi-join with Bloom pre-pruning of the big side. Result ≡
+    * `big.join(dim, bigKey === dimKey)` exactly — the join removes the
+    * Bloom's false positives — but only the surviving fraction of `big`
+    * is shuffled (or compared, if the dim side broadcasts). */
+  def bloomPrunedJoin(big: DataFrame, dim: DataFrame, bigKey: String,
+      dimKey: String, fpp: Double = 0.01): DataFrame =
+    bloomSemiJoin(big, dim, bigKey, dimKey, fpp)
+      .join(dim, col(bigKey) === col(dimKey))
+}
+
 object Skew {
 
   /** Heavy-hitter keys of `keyCol` via one Space-Saving pass:

@@ -88,4 +88,47 @@ class ScaleSpec extends SparkTestBase {
     val cols = Skew.saltedJoin(left, right, "k", 4, Seq(7L)).columns.toSeq
     assert(cols == Seq("k", "payload", "name"))
   }
+
+  test("bloomSemiJoin: keeps all matches, prunes almost everything else") {
+    val big = (0L until 20000L).map(i => (i, i % 997)).toDF("k", "v")
+    val dim = (0L until 20000L by 1000L).map(i => (i, s"d$i")).toDF("dk", "name")
+    val pruned = Prune.bloomSemiJoin(big, dim, "k", "dk", fpp = 0.01)
+    val keys = pruned.select("k").as[Long].collect().toSet
+    val want = (0L until 20000L by 1000L).toSet
+    assert(want.subsetOf(keys), "bloom must never drop a true match")
+    // ≤ true matches + fpp slack (3× headroom on 20k probes at 1% fpp)
+    assert(keys.size <= want.size + 600, s"pruning too weak: ${keys.size}")
+    // the probe is a codegen'd scan filter, not a join — checked on a
+    // parquet-backed probe (a LocalRelation folds the filter at optimize
+    // time and would hide the plan shape)
+    val li = spark.read.parquet(sf("lineitem"))
+    val plan = Prune.bloomSemiJoin(li,
+        Seq(Tuple1(1L)).toDF("pk"), "l_partkey", "pk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("bloomPrunedJoin ≡ plain inner join, exactly") {
+    val big = (0L until 5000L).map(i => (i, i * 3)).toDF("k", "v")
+      .repartition(8)
+    val dim = Seq((10L, "a"), (20L, "b"), (4999L, "c"), (123456L, "zz"))
+      .toDF("dk", "name")
+    val got = Prune.bloomPrunedJoin(big, dim, "k", "dk")
+      .select("k", "v", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = big.join(dim, col("k") === col("dk"))
+      .select("k", "v", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want && want.size == 3)
+  }
+
+  test("bloomSemiJoin drops NULL probe keys") {
+    val big = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"), (2L, "z"))
+      .toDF("k", "v")
+    val dim = Seq(Tuple1(1L), Tuple1(2L)).toDF("dk")
+    val got = Prune.bloomSemiJoin(big, dim, "k", "dk")
+      .select("v").as[String].collect().toSet
+    assert(got == Set("x", "z"))
+  }
 }
