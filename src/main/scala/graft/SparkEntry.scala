@@ -674,6 +674,25 @@ object SparkEntry {
           round(sum(col("p_retailprice")), 4).as("sum_retail"))
     }),
 
+    "q61_bucket_join" -> ((s, dir) => {
+      // co-located join: both sides written bucketed on the join key, so
+      // the join itself is exchange-free (BucketingSpec asserts the plan);
+      // the oracle is the plain SQL join — layout must not change results
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val li = t(s, dir, "lineitem").select("l_suppkey", "l_extendedprice")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      graft.sources.Bucketing.writeBucketed(s, li, "g61_li", s"$base/li",
+        "l_suppkey", 8)
+      graft.sources.Bucketing.writeBucketed(s, sup, "g61_sup", s"$base/sup",
+        "s_suppkey", 8)
+      s.table("g61_li")
+        .join(s.table("g61_sup"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")) / 1e6, 6).as("sum_price_m"))
+        .orderBy("s_nationkey")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1170,6 +1189,11 @@ SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
                 round(sum(l_quantity), 4) AS sum_qty,
                 round(sum(p_retailprice), 4) AS sum_retail
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE p_brand = 'Brand#1'"""
+         WHERE p_brand = 'Brand#1'""",
+    "q61_bucket_join" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+                round(sum(l_extendedprice) / 1e6, 6) AS sum_price_m
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey"""
   )
 }
