@@ -693,6 +693,16 @@ object SparkEntry {
         .orderBy("s_nationkey")
     }),
 
+    "q62_stratified_sample" -> ((s, dir) => {
+      // per-language 20-doc deterministic sample: rank filter over unsigned
+      // hash64 order, executed with WindowGroupLimit (k rows retained per
+      // group BEFORE the shuffle — no global sort at any scale)
+      graft.ops.Sampling.stratifiedBottomK(
+          t(s, dir, "documents"), col("lang"), col("doc_id"), 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1194,6 +1204,14 @@ SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
       """SELECT s_nationkey, count(*) AS cnt,
                 round(sum(l_extendedprice) / 1e6, 6) AS sum_price_m
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         GROUP BY s_nationkey ORDER BY s_nationkey"""
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q62_stratified_sample" ->
+      (hashMacros +
+        """SELECT lang, doc_id FROM (
+             SELECT lang, doc_id,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY g_av(doc_id::UBIGINT)) AS rn
+             FROM documents)
+         WHERE rn <= 20 ORDER BY lang, doc_id""")
   )
 }

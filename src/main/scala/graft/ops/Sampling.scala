@@ -58,6 +58,22 @@ object Sampling {
     df.where(bucket(key) < lit(math.floor(fraction * Buckets).toLong))
   }
 
+  /** Stratified deterministic sample: the `kPerGroup` rows with the
+    * smallest unsigned `hash64(key)` within EACH group — per-class caps /
+    * balanced subsets with the same reproducibility contract as [[bottomK]].
+    * Runs as a rank-filter window, which Spark executes with
+    * WindowGroupLimit: each partition retains only k rows per group BEFORE
+    * the shuffle, so the full data never sorts. */
+  def stratifiedBottomK(df: DataFrame, groupCol: Column, key: Column,
+      kPerGroup: Int): DataFrame = {
+    require(kPerGroup > 0, "kPerGroup must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(gf.hash64(key).bitwiseXOR(lit(Long.MinValue)))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= kPerGroup).drop("__rn")
+  }
+
   /** Deterministic fixed-size sample: the `k` rows with the smallest
     * `hash64(key)` in UNSIGNED order. Runs as TakeOrderedAndProject —
     * per-partition top-k then a k-row driver merge, never a global sort.

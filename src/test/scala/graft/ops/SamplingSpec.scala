@@ -59,6 +59,28 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("stratifiedBottomK == per-group brute force; WindowGroupLimit plan") {
+    val df = (0L until 3000L).map(i => (i, (i % 7).toString)).toDF("id", "g")
+    val k = 11
+    val got = Sampling.stratifiedBottomK(df, col("g"), col("id"), k)
+      .select("g", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val want = (0L until 3000L).groupBy(i => (i % 7).toString).map {
+      case (g, ids) => g ->
+        ids.sortBy(i => TextHash.avalanche(i) ^ Long.MinValue).take(k).toSet
+    }
+    assert(got == want)
+    // tiny group: returns the whole group, no padding
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Sampling.stratifiedBottomK(tiny, col("g"), col("id"), 5).count() == 3)
+    // rank filter must push down as a group-limit, not a full sort
+    val plan = Sampling.stratifiedBottomK(
+        spark.read.parquet(sf("documents")), col("lang"), col("doc_id"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("thresholds normalize weights and hit the grid exactly") {
     assert(Sampling.thresholds(Seq(1.0, 1.0)) ==
       Seq(Sampling.Buckets / 2, Sampling.Buckets))
