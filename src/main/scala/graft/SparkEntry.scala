@@ -693,6 +693,22 @@ object SparkEntry {
         .orderBy("s_nationkey")
     }),
 
+    "q63_asof_broadcast" -> ((s, dir) => {
+      // same as-of semantics through the broadcast fast path (no probe
+      // shuffle; per-key binary search) — shares q56's ASOF JOIN oracle
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOf.joinAsOfBroadcast(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("ts_b")).as("n_matched"),
+          round(sum(col("value_b")), 4).as("sum_purchase"),
+          sum(unix_micros(col("ts")) - unix_micros(col("ts_b"))).as("gap_us"))
+        .orderBy("cohort")
+    }),
     "q62_stratified_sample" -> ((s, dir) => {
       // per-language 20-doc deterministic sample: rank filter over unsigned
       // hash64 order, executed with WindowGroupLimit (k rows retained per
@@ -746,6 +762,19 @@ CREATE OR REPLACE MACRO g_simhash(ss) AS
     b -> CASE WHEN 2*len(list_filter(ss, s -> ((s >> b) & 1::UBIGINT) = 1::UBIGINT)) > len(ss)
          THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)), 0)::UBIGINT;
 """
+
+  /** q56 and q63 share one oracle: the window formulation and the
+    * broadcast fast path implement the same as-of join. */
+  private val asofJoinOracle: String =
+    """SELECT p.user_id % 10 AS cohort,
+              count(*) AS n_clicks,
+              count(b.ts) AS n_matched,
+              round(sum(b.value), 4) AS sum_purchase,
+              cast(sum(epoch_us(p.ts) - epoch_us(b.ts)) AS BIGINT) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'click') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+         ON p.user_id = b.user_id AND p.ts >= b.ts
+       GROUP BY 1 ORDER BY 1"""
 
   /** q40 and q41 share one oracle by construction: the LSH gate's claim is
     * exactly "equals brute force" at full recall. */
@@ -1145,16 +1174,10 @@ SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
     "q50_media_pipeline" ->
       """SELECT count(*) AS cnt, cast(sum(length(text)) AS bigint) AS sum_bytes
          FROM documents""",
-    "q56_asof_join" ->
-      """SELECT p.user_id % 10 AS cohort,
-                count(*) AS n_clicks,
-                count(b.ts) AS n_matched,
-                round(sum(b.value), 4) AS sum_purchase,
-                cast(sum(epoch_us(p.ts) - epoch_us(b.ts)) AS BIGINT) AS gap_us
-         FROM (SELECT * FROM events WHERE event_type = 'click') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-           ON p.user_id = b.user_id AND p.ts >= b.ts
-         GROUP BY 1 ORDER BY 1""",
+    "q56_asof_join" -> asofJoinOracle,
+    // q63 is the broadcast fast path of the same operator: by construction
+    // it must produce exactly the window variant's (= the oracle's) rows
+    "q63_asof_broadcast" -> asofJoinOracle,
     "q57_sessionize" ->
       """WITH m AS (SELECT user_id, ts, value,
              -- Spark's session_window is end-inclusive: an event exactly

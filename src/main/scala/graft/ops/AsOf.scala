@@ -96,4 +96,189 @@ object AsOf {
       on.map(col) ++ probeRest.map(col) ++
         bOut.map(o => col("__match")(o).as(o)): _*)
   }
+
+  /** Broadcast as-of join for a SMALL build side: the probe side is not
+    * shuffled (or sorted) at all — each task binary-searches a broadcast
+    * map of per-key time-sorted build rows. Same semantics and output
+    * schema as [[joinAsOf]] (left-outer backward/forward, inclusive,
+    * tolerance), verified equivalent in AsOfSpec.
+    *
+    * This is the 100 TB fast path for "attach the latest reference state
+    * to every event": [[joinAsOf]] must shuffle probe+build on the keys
+    * (fine when both are big), but when the build side fits in memory —
+    * dimension snapshots, rates, model-version timelines — the window
+    * formulation pays a full shuffle+sort of the probe side for nothing.
+    * Here the only data movement is the broadcast of the build side.
+    *
+    * Time values are compared on their `double` view (timestamps → exact
+    * fractional epoch seconds up to sub-µs; numerics as-is), matching the
+    * tolerance semantics of [[joinAsOf]].
+    *
+    * @param maxBuildRows  safety valve — fail fast instead of OOMing the
+    *                      driver when the build side is unexpectedly big
+    */
+  def joinAsOfBroadcast(probe: DataFrame, build: DataFrame, on: Seq[String],
+      probeTime: String, buildTime: String, forward: Boolean = false,
+      toleranceSec: Option[Double] = None, buildSuffix: String = "_b",
+      inner: Boolean = false, maxBuildRows: Int = 10000000): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equi-key")
+    import org.apache.spark.sql.types._
+    val singleKeyKind: Option[DataType] =
+      if (on.length != 1) None
+      else probe.schema(on.head).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some(LongType)
+        case FloatType | DoubleType => Some(DoubleType)
+        case StringType => Some(StringType)
+        case _ => None
+      }
+    singleKeyKind match {
+      case Some(kind) => joinAsOfBroadcastExpr(probe, build, on.head, kind,
+        probeTime, buildTime, forward, toleranceSec, buildSuffix, inner,
+        maxBuildRows)
+      case None => joinAsOfBroadcastRows(probe, build, on, probeTime,
+        buildTime, forward, toleranceSec, buildSuffix, inner, maxBuildRows)
+    }
+  }
+
+  /** Codegen'd fast path for a single primitive/string key: the probe scan
+    * evaluates one [[graft.expr.AsOfLookup]] expression per row — a hash
+    * probe + binary search into the broadcast table — entirely inside
+    * whole-stage codegen (no shuffle, no sort, no Row conversion). */
+  private def joinAsOfBroadcastExpr(probe: DataFrame, build: DataFrame,
+      key: String, keyKind: org.apache.spark.sql.types.DataType,
+      probeTime: String, buildTime: String, forward: Boolean,
+      toleranceSec: Option[Double], buildSuffix: String, inner: Boolean,
+      maxBuildRows: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.{toColumn, toExpr}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+
+    val probeRest = probe.columns.filterNot(_ == key).toSeq
+    val buildVals = build.columns.filterNot(_ == key).toSeq
+    val bOut = buildVals.map(_ + buildSuffix)
+    val rowType = StructType(buildVals.map(c => StructField(
+      c + buildSuffix, build.schema(c).dataType, nullable = true)))
+
+    // collect the build side in INTERNAL representation (limit+1 guards the
+    // driver), compact each value row into its own UnsafeRow
+    val prep = build.select(
+      (col(key).cast(keyKind).as("__k") +:
+        col(buildTime).cast("double").as("__bt") +:
+        buildVals.map(col)): _*)
+      .where(col("__k").isNotNull && col("__bt").isNotNull)
+      .limit(maxBuildRows + 1)
+    val internal = org.apache.spark.sql.graftshim.collectInternal(prep)
+    require(internal.length <= maxBuildRows,
+      s"build side exceeds maxBuildRows=$maxBuildRows — use joinAsOf")
+    val valTypes = buildVals.map(c => build.schema(c))
+    val proj = UnsafeProjection.create(valTypes.zipWithIndex.map {
+      case (f, i) => BoundReference(2 + i, f.dataType, nullable = true)
+    }.toSeq)
+    val entries = internal
+      .groupBy(r => r.get(0, keyKind).asInstanceOf[AnyRef])
+      .map { case (k, rs) =>
+        val sorted = rs.sortBy(_.getDouble(1))
+        (k, sorted.map(_.getDouble(1)),
+          sorted.map(r => proj(r).copy(): InternalRow))
+      }.toArray
+    val bc = probe.sparkSession.sparkContext.broadcast(
+      new graft.expr.AsOfTable(entries, forward))
+
+    val lookup = toColumn(graft.expr.AsOfLookup(
+      new graft.expr.AsOfTableRef(bc), rowType,
+      toExpr(col(key).cast(keyKind)), toExpr(col(probeTime).cast("double"))))
+    val carried = probe.withColumn("__match", lookup)
+    val gated = toleranceSec match {
+      case Some(tol) =>
+        val matchTime = col("__match")(buildTime + buildSuffix).cast("double")
+        carried.withColumn("__match",
+          when(abs(col(probeTime).cast("double") - matchTime) <= lit(tol),
+            col("__match")))
+      case None => carried
+    }
+    val filtered = if (inner) gated.where(col("__match").isNotNull) else gated
+    filtered.select(
+      (col(key) +: probeRest.map(col)) ++
+        bOut.map(o => col("__match")(o).as(o)): _*)
+  }
+
+  /** Generic fallback (multi-column keys): same semantics via
+    * mapPartitions over a broadcast per-key sorted map. */
+  private def joinAsOfBroadcastRows(probe: DataFrame, build: DataFrame,
+      on: Seq[String], probeTime: String, buildTime: String, forward: Boolean,
+      toleranceSec: Option[Double], buildSuffix: String,
+      inner: Boolean, maxBuildRows: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StructField, StructType}
+
+    val probeRest = probe.columns.filterNot(on.contains).toSeq
+    val buildVals = build.columns.filterNot(on.contains).toSeq
+    val outSchema = StructType(
+      on.map(c => probe.schema(c)) ++ probeRest.map(c => probe.schema(c)) ++
+        buildVals.map(c => StructField(c + buildSuffix,
+          build.schema(c).dataType, nullable = true)))
+
+    // collect build: key → rows sorted by time (ascending double view)
+    val bRows = build
+      .select((on.map(col) :+ col(buildTime).cast("double").as("__bt")) ++
+        buildVals.map(col): _*)
+      .where(col("__bt").isNotNull)
+      .limit(maxBuildRows + 1).collect()
+    require(bRows.length <= maxBuildRows,
+      s"build side exceeds maxBuildRows=$maxBuildRows — use joinAsOf")
+    val nk = on.length
+    val byKey: Map[Seq[Any], (Array[Double], Array[Array[Any]])] =
+      bRows.groupBy(r => (0 until nk).map(r.get)).map { case (k, rs) =>
+        val sorted = rs.sortBy(_.getDouble(nk))
+        (k, (sorted.map(_.getDouble(nk)),
+          sorted.map(r => Array.tabulate(buildVals.length)(i => r.get(nk + 1 + i)))))
+      }
+    val bc = probe.sparkSession.sparkContext.broadcast(byKey)
+
+    val in = probe.select(
+      (on.map(col) :+ col(probeTime).cast("double").as("__pt")) ++
+        probeRest.map(col): _*)
+    val nb = buildVals.length
+    val fwd = forward
+    val tol = toleranceSec
+    val innerF = inner
+    val ds = in.as(Encoders.row(in.schema)).mapPartitions { it =>
+      val m = bc.value
+      it.flatMap { r =>
+        val key = (0 until nk).map(r.get)
+        val pt = if (r.isNullAt(nk)) Double.NaN else r.getDouble(nk)
+        val hit: Option[Array[Any]] = m.get(key).flatMap { case (ts, rows) =>
+          if (pt.isNaN) None
+          else {
+            // binary search: last index with ts(i) <= pt (backward) /
+            // first with ts(i) >= pt (forward); inclusive on equality
+            var lo = 0; var hi = ts.length - 1; var found = -1
+            if (fwd) {
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (ts(mid) >= pt) { found = mid; hi = mid - 1 } else lo = mid + 1
+              }
+            } else {
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (ts(mid) <= pt) { found = mid; lo = mid + 1 } else hi = mid - 1
+              }
+            }
+            if (found < 0) None
+            else if (tol.exists(t => math.abs(pt - ts(found)) > t)) None
+            else Some(rows(found))
+          }
+        }
+        if (hit.isEmpty && innerF) Iterator.empty
+        else {
+          val probeVals = (0 until nk).map(r.get) ++
+            (nk + 1 until nk + 1 + probeRest.length).map(r.get)
+          val bv = hit.map(_.toSeq).getOrElse(Seq.fill[Any](nb)(null))
+          Iterator(Row.fromSeq(probeVals ++ bv))
+        }
+      }
+    }(Encoders.row(outSchema))
+    ds.toDF()
+  }
 }

@@ -17,4 +17,13 @@ package object graftshim {
     * a MatchError surfacing as Spark INTERNAL_ERROR). */
   def wrongNumArgs(name: String, expected: Seq[Int], actual: Int): Throwable =
     errors.QueryCompilationErrors.wrongNumArgsError(name, expected.map(_.toString), actual)
+
+  /** Driver-side collect in INTERNAL row representation (UnsafeRow copies)
+    * — used to build broadcast lookup structures without a detour through
+    * external Rows. */
+  def collectInternal(df: DataFrame)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    import classic.ClassicConversions.castToImpl
+    df.queryExecution.executedPlan.executeCollect()
+  }
 }

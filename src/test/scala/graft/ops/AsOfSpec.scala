@@ -75,6 +75,78 @@ class AsOfSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  private def runB(forward: Boolean = false, tol: Option[Double] = None,
+      inner: Boolean = false) =
+    AsOf.joinAsOfBroadcast(probeDf, buildDf, Seq("k"), "t", "t",
+        forward = forward, toleranceSec = tol, inner = inner)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+
+  test("broadcast variant ≡ window variant on every mode") {
+    assert(runB() == run())
+    assert(runB(forward = true) == run(forward = true))
+    assert(runB(tol = Some(2.0)) == run(tol = Some(2.0)))
+    assert(runB(inner = true) == run(inner = true))
+  }
+
+  test("broadcast variant: probe side has no shuffle, no sort") {
+    val plan = AsOf.joinAsOfBroadcast(probeDf, buildDf, Seq("k"), "t", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+      !plan.toLowerCase.contains("sortmerge"), plan)
+  }
+
+  test("broadcast multi-key (rows fallback) ≡ window variant") {
+    // second key splits each k into two series; compare against joinAsOf
+    val p2 = probeDf.withColumn("k2", col("k") % 2)
+    val b2 = buildDf.withColumn("k2", col("k") % 2)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "k2", "t", "pid", "t_b", "v_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+    val a = norm(AsOf.joinAsOf(p2, b2, Seq("k", "k2"), "t", "t"))
+    val b = norm(AsOf.joinAsOfBroadcast(p2, b2, Seq("k", "k2"), "t", "t"))
+    assert(a == b)
+  }
+
+  test("broadcast string-key path works (codegen'd Object overload)") {
+    val p = probeDf.withColumn("k", concat(lit("u"), col("k")))
+    val b = buildDf.withColumn("k", concat(lit("u"), col("k")))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "pid", "t_b", "v_b").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(norm(AsOf.joinAsOfBroadcast(p, b, Seq("k"), "t", "t")) ==
+      norm(AsOf.joinAsOf(p, b, Seq("k"), "t", "t")))
+  }
+
+  test("broadcast variant: maxBuildRows guard fails fast") {
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOfBroadcast(probeDf, buildDf, Seq("k"), "t", "t",
+        maxBuildRows = 2)
+    }
+  }
+
+  test("broadcast variant ≡ window variant on real event timestamps") {
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", $"event_id", $"ts_b", $"value_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val a = norm(AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts", "ts"))
+    val b = norm(AsOf.joinAsOfBroadcast(clicks, purchases, Seq("user_id"), "ts", "ts"))
+    assert(a == b)
+  }
+
   test("timestamp time columns work end-to-end on events") {
     val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val clicks = ev.where($"event_type" === "click")
