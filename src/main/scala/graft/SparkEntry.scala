@@ -709,6 +709,19 @@ object SparkEntry {
           sum(unix_micros(col("ts")) - unix_micros(col("ts_b"))).as("gap_us"))
         .orderBy("cohort")
     }),
+    "q64_zvalue" -> ((s, dir) => {
+      // Z-order bit interleave over two fixed-width-quantized dims (the
+      // deterministic half of zorderBy; the t-digest quantizer is covered
+      // by ScaleSpec) — grouped exactly against a DuckDB bit-op mirror
+      val li = t(s, dir, "lineitem")
+      val bq = least(lit(15), floor(col("l_quantity") * 16 / 51.0)).cast("int")
+      val bp = least(lit(15), floor(col("l_extendedprice") / 5000.0)).cast("int")
+      li.withColumn("z",
+          graft.ops.Partitioning.zvalue(Seq(bq, bp), 4))
+        .groupBy("z")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("z")
+    }),
     "q62_stratified_sample" -> ((s, dir) => {
       // per-language 20-doc deterministic sample: rank filter over unsigned
       // hash64 order, executed with WindowGroupLimit (k rows retained per
@@ -1228,6 +1241,19 @@ SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
                 round(sum(l_extendedprice) / 1e6, 6) AS sum_price_m
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q64_zvalue" ->
+      """WITH b AS (SELECT
+             least(15, floor(l_quantity * 16 / 51.0))::BIGINT AS bq,
+             least(15, floor(l_extendedprice / 5000.0))::BIGINT AS bp,
+             l_quantity
+           FROM lineitem)
+         SELECT z, count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+         FROM (SELECT l_quantity,
+                 cast(list_sum(list_transform(range(0, 4), i ->
+                   (((bq >> i) & 1) << (2*i)) + (((bp >> i) & 1) << (2*i+1))))
+                   AS BIGINT) AS z
+               FROM b)
+         GROUP BY z ORDER BY z""",
     "q62_stratified_sample" ->
       (hashMacros +
         """SELECT lang, doc_id FROM (

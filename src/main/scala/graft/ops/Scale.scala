@@ -47,6 +47,60 @@ object Partitioning {
     df.withColumn(bucketCol, b)
   }
 
+  /** One-pass variant of [[quantileBoundaries]] for several columns: ALL
+    * per-column digests ride in a single aggregation (one scan, one tiny
+    * shuffle), instead of one pass per column. */
+  def quantileBoundariesMulti(df: DataFrame, cols: Seq[String],
+      numBuckets: Int, compression: Double = 200.0): Map[String, Array[Double]] = {
+    require(numBuckets >= 2, "need at least 2 buckets")
+    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val aggs = cols.map(c => gf.tdigest_quantiles(
+      gf.tdigest(col(c), lit(1.0), compression), qs).as(s"__b_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> row.getSeq[Double](i).toArray
+    }.toMap
+  }
+
+  /** Bit-interleaved Z-value of already-quantized bucket columns (each in
+    * [0, 2^bits)): bit i of column j lands at output bit `i*n + j`. Pure
+    * codegen'd shift/or arithmetic — no UDF, no custom expression needed.
+    * Total bits (bits × #cols) must fit a long. */
+  def zvalue(bucketCols: Seq[Column], bits: Int): Column = {
+    require(bucketCols.nonEmpty && bits >= 1 && bits * bucketCols.size <= 62,
+      "need 1+ columns and bits*cols <= 62")
+    val n = bucketCols.size
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- bucketCols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustering: quantize each column to 2^bits quantile-balanced
+    * buckets (ONE sketch pass for all columns), interleave the bucket bits
+    * into a Z-value, and range-repartition + sort by it. Rows close in ALL
+    * dimensions land in the same partition and file neighborhood, so
+    * min/max (row-group / file) pruning works for predicates on ANY subset
+    * of the z-columns — the multi-dimensional generalization of
+    * [[repartitionByQuantiles]], same machinery underneath. */
+  def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
+      bits: Int = 8, compression: Double = 200.0,
+      zCol: String = "zvalue"): DataFrame = {
+    val bounds = quantileBoundariesMulti(df, cols, 1 << bits, compression)
+    val bucketed = cols.foldLeft(df) { (acc, c) =>
+      assignBuckets(acc, c, bounds(c), s"__zb_$c")
+    }
+    val withZ = bucketed
+      .withColumn(zCol, zvalue(cols.map(c => col(s"__zb_$c")), bits))
+      .drop(cols.map(c => s"__zb_$c"): _*)
+    repartitionByQuantiles(withZ.withColumn("__zd", col(zCol).cast("double")),
+      "__zd", numPartitions, compression, "__zbucket")
+      .sortWithinPartitions(zCol)
+      .drop("__zd", "__zbucket")
+  }
+
   /** Quantile-balanced range repartitioning: every output partition receives
     * ≈rows/k rows regardless of the value distribution. Unlike
     * `repartitionByRange` (which re-samples the data per call, a second scan

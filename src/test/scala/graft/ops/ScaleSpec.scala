@@ -89,6 +89,60 @@ class ScaleSpec extends SparkTestBase {
     assert(cols == Seq("k", "payload", "name"))
   }
 
+  test("zvalue == reference bit interleave; range respected") {
+    def ref(vals: Seq[Int], bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits; j <- vals.indices)
+        z |= ((vals(j).toLong >> i) & 1L) << (i * vals.size + j)
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val got = rows.toDF("a", "b", "c")
+      .select(Partitioning.zvalue(Seq(col("a"), col("b"), col("c")), 8).as("z"))
+      .collect().map(_.getLong(0))
+    rows.zip(got).foreach { case ((a, b, c), z) =>
+      assert(z == ref(Seq(a, b, c), 8), s"($a,$b,$c)")
+    }
+    intercept[IllegalArgumentException] {
+      Partitioning.zvalue(Seq(col("a")), 63)
+    }
+  }
+
+  test("quantileBoundariesMulti == per-column boundaries, one pass") {
+    val li = spark.read.parquet(sf("lineitem"))
+    val multi = Partitioning.quantileBoundariesMulti(
+      li, Seq("l_quantity", "l_extendedprice"), 8)
+    val single1 = Partitioning.quantileBoundaries(li, "l_quantity", 8)
+    val single2 = Partitioning.quantileBoundaries(li, "l_extendedprice", 8)
+    assert(multi("l_quantity").toSeq == single1.toSeq)
+    assert(multi("l_extendedprice").toSeq == single2.toSeq)
+  }
+
+  test("zorderBy: balanced partitions, z sorted within each, locality") {
+    val li = spark.read.parquet(sf("lineitem"))
+      .select("l_quantity", "l_extendedprice", "l_orderkey")
+    val k = 8
+    val z = Partitioning.zorderBy(li, Seq("l_quantity", "l_extendedprice"),
+      k, bits = 6)
+    assert(z.rdd.getNumPartitions == k)
+    assert(z.columns.contains("zvalue"))
+    val perPart = z.select(spark_partition_id().as("p"), col("zvalue"))
+      .groupBy("p").agg(count(lit(1)).as("n"),
+        min("zvalue").as("lo"), max("zvalue").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = perPart.map(_._2).sum.toDouble
+    perPart.foreach { case (p, n, _, _) =>
+      assert(math.abs(n / total - 1.0 / k) < 0.08, s"partition $p unbalanced: $n")
+    }
+    // range-clustered: partition z-ranges must not overlap (sorted globally)
+    val ranges = perPart.sortBy(_._1).map(r => (r._3, r._4)).toSeq
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.mkString(","))
+      case _ =>
+    }
+  }
+
   test("bloomSemiJoin: keeps all matches, prunes almost everything else") {
     val big = (0L until 20000L).map(i => (i, i % 997)).toDF("k", "v")
     val dim = (0L until 20000L by 1000L).map(i => (i, s"d$i")).toDF("dk", "name")
