@@ -23,6 +23,35 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Synthetic media corpora for the codec gates: payload bytes are a pure
+    * Long-arithmetic function of doc_id (graft.media.MediaGen), so the
+    * DuckDB oracle regenerates every pixel/sample and verifies the real
+    * PPM/PGM/BMP/WAV decoders end-to-end. */
+  private def mediaImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.media.Media.asMediaTable(
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.media.MediaGen.imagePayload(id)))
+        .toDF("doc_id", "payload"),
+      "doc_id", "payload")
+  }
+  private def mediaVideos(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.media.Media.asMediaTable(
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.media.MediaGen.videoPayload(id)))
+        .toDF("doc_id", "payload"),
+      "doc_id", "payload")
+  }
+  private def mediaWavs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.media.Media.asMediaTable(
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.media.MediaGen.wavPayload(id)))
+        .toDF("doc_id", "payload"),
+      "doc_id", "payload")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val li = t(spark, "/root/testdata/sf0.001", "lineitem")
@@ -499,15 +528,15 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     }),
     "q55_media_resize" -> ((s, dir) => {
-      // stubbed resize keeps the media schema; lengths are exactly
-      // ceil(len/factor) — plumbing gated byte-for-byte on output size
-      val media = graft.media.Media.asMediaTable(
-        t(s, dir, "documents").select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload")),
-        "doc_id", "payload", "image/fake")
-      graft.media.Media.resize(media, 4)
-        .select(col("media_id"), length(col("payload")).cast("int").as("n_bytes"),
-          col("meta.format").as("format"))
+      // REAL resize: decode (PPM/PGM/BMP), nearest-neighbor downsample,
+      // re-encode canonical PPM, then RE-DECODE the output — dims, byte
+      // size, and position-weighted pixel checksum all verified against a
+      // DuckDB oracle that regenerates every source pixel
+      val fx = graft.media.Media.extractFeatures(
+        graft.media.Media.resize(mediaImages(s, dir), 2))
+      fx.select(col("media_id"), col("format"),
+          col("width").as("out_w"), col("height").as("out_h"),
+          col("n_bytes"), col("checksum"))
         .orderBy("media_id")
     }),
     "q52_kmv_distinct" -> ((s, dir) => {
@@ -554,15 +583,12 @@ object SparkEntry {
           round(col("variance"), 6).as("var_qty"))
     }),
     "q49_media_frames" -> ((s, dir) => {
-      // frame sampling over binary payloads: deterministic stride slices,
-      // verified byte-for-byte in length against the SQL reimplementation
-      val media = graft.media.Media.asMediaTable(
-        t(s, dir, "documents").select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload")),
-        "doc_id", "payload", "video/fake")
-      graft.media.Media.sampleFrames(media, 4)
-        .select(col("media_id"), col("frame_index"),
-          length(col("frame_bytes")).cast("int").as("n_bytes"))
+      // REAL frame sampling: parse PPM-stream frame boundaries, keep an
+      // even stride of ≤2 frames per video, emit decoded dims + the
+      // position-weighted checksum of each kept frame's raster
+      graft.media.Media.sampleFrames(mediaVideos(s, dir), 2)
+        .select(col("media_id"), col("frame_index"), col("src_frame"),
+          col("width"), col("height"), col("checksum"))
         .orderBy("media_id", "frame_index")
     }),
     "q40_ann_bruteforce" -> ((s, dir) => {
@@ -588,24 +614,49 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
     "q50_media_pipeline" -> ((s, dir) => {
-      // binary payload plumbing: docs text → media table → stub decode →
-      // feature vectors; byte counts are oracle-checkable, features are not
-      val media = graft.media.Media.asMediaTable(
-        t(s, dir, "documents").select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload")),
-        "doc_id", "payload", "text/plain")
-      graft.media.Media.extractFeatures(media)
+      // robust mixed-format corpus decode: BMP / PPM(+comments) / PGM arms
+      // plus deliberately corrupt payloads — parse-failure rows are
+      // counted, not fatal; checksums verify every decoded pixel
+      graft.media.Media.extractFeatures(mediaImages(s, dir))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("n_bytes").cast("long")).as("sum_bytes"))
+          sum(col("ok").cast("long")).as("n_ok"),
+          sum(col("n_bytes").cast("long")).as("sum_bytes"),
+          sum(col("width").cast("long") * col("height")).as("sum_px"),
+          sum(col("checksum")).as("total_checksum"))
     }),
     "q51_media_features" -> ((s, dir) => {
-      // rows-only: stub features + similarity over them (full pipeline)
-      val media = graft.media.Media.asMediaTable(
-        t(s, dir, "documents").select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload")),
-        "doc_id", "payload", "text/plain")
-      val feats = graft.media.Media.extractFeatures(media)
-      feats.agg(round(avg(gf.vec_norm(col("features"))), 6).as("avg_feat_norm"))
+      // real content features from decoded rasters (2×2 grid luminance
+      // means, channel means, aspect) — norm computed in fixed index order
+      def fe(i: Int) = element_at(col("features"), i + 1)
+      val nrm = sqrt(fe(0) * fe(0) + fe(1) * fe(1) + fe(2) * fe(2) +
+        fe(3) * fe(3) + fe(4) * fe(4) + fe(5) * fe(5) + fe(6) * fe(6) +
+        fe(7) * fe(7))
+      graft.media.Media.extractFeatures(mediaImages(s, dir))
+        .where(col("ok"))
+        .agg(round(avg(nrm), 6).as("avg_feat_norm"))
+    }),
+    "q65_wav_stats" -> ((s, dir) => {
+      // REAL WAV decode: RIFF chunk walk, PCM s16 little-endian samples;
+      // per-rate totals of |s| and zero crossings are integer-exact
+      graft.media.Media.audioStats(mediaWavs(s, dir))
+        .groupBy("sample_rate")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_samples").cast("long")).as("total_samples"),
+          sum(col("sum_abs")).as("total_abs"),
+          sum(col("n_cross")).as("total_cross"))
+        .orderBy("sample_rate")
+    }),
+    "q66_wav_resample" -> ((s, dir) => {
+      // decimate → re-encode WAV → re-decode: halved rate, ceil(n/2)
+      // samples at even source indices, stats recomputed on the output
+      graft.media.Media.audioStats(
+          graft.media.Media.resampleAudio(mediaWavs(s, dir), 2))
+        .groupBy("sample_rate")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_samples").cast("long")).as("total_samples"),
+          sum(col("sum_abs")).as("total_abs"),
+          sum(col("n_cross")).as("total_cross"))
+        .orderBy("sample_rate")
     }),
 
     "q56_asof_join" -> ((s, dir) => {
@@ -774,6 +825,24 @@ CREATE OR REPLACE MACRO g_simhash(ss) AS
   coalesce(list_sum(list_transform(range(0,64),
     b -> CASE WHEN 2*len(list_filter(ss, s -> ((s >> b) & 1::UBIGINT) = 1::UBIGINT)) > len(ss)
          THEN (1::UBIGINT << b)::HUGEINT ELSE 0::HUGEINT END)), 0)::UBIGINT;
+"""
+
+  /** Media-oracle prelude: the synthetic corpus's pixel/sample generator
+    * (graft.media.MediaGen — wrapping-Long linear mix + splitmix64
+    * finalizer) restated in DuckDB integer arithmetic, so every media gate
+    * verifies the REAL codecs' decoded bytes against independently
+    * regenerated rasters/waveforms. */
+  private val mediaMacros: String = hashMacros +
+    """CREATE OR REPLACE MACRO g_px(id,f,y,x,c) AS
+  ((g_av(g_am(g_am(g_am(g_am(g_mm(id::UBIGINT, 11400714819323198485::UBIGINT),
+    g_mm(f::UBIGINT, 14029467366897019727::UBIGINT)),
+    g_mm(y::UBIGINT, 1609587929392839161::UBIGINT)),
+    g_mm(x::UBIGINT, 2870177450012600261::UBIGINT)),
+    c::UBIGINT)) & 255::UBIGINT))::BIGINT;
+CREATE OR REPLACE MACRO g_smp(id,i) AS
+  ((g_av(g_am(g_am(g_mm(id::UBIGINT, 11400714819323198485::UBIGINT),
+    g_mm(i::UBIGINT, 2870177450012600261::UBIGINT)),
+    9973::UBIGINT)) & 65535::UBIGINT)::BIGINT - 32768);
 """
 
   /** q56 and q63 share one oracle: the window formulation and the
@@ -1074,13 +1143,20 @@ CREATE OR REPLACE MACRO g_simhash(ss) AS
          round(avg(l_quantity), 6) AS avg_qty,
          round(var_pop(l_quantity), 6) AS var_qty FROM lineitem""",
     "q49_media_frames" ->
-      """WITH d AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len
-           FROM documents),
-         f AS (SELECT media_id, len, greatest(len // 4, 1) AS stride FROM d)
-         SELECT media_id, i::INT AS frame_index,
-                (least(len, i * stride + stride) - i * stride)::INT AS n_bytes
-         FROM f, unnest(range(0, least(4, len))) t(i)
-         ORDER BY media_id, frame_index""",
+      (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
+           3+doc_id%4 AS h, 2+doc_id%3 AS nf FROM documents),
+         sel AS (SELECT media_id, w, h, i AS fi, i*((nf+1)//2) AS sf
+           FROM d, unnest(range(0,2)) t(i) WHERE i*((nf+1)//2) < nf),
+         px AS MATERIALIZED (SELECT media_id, fi, sf, w, h,
+             (y*w+x+1) * (g_px(media_id, sf, y, x, 0)
+               + 2*g_px(media_id, sf, y, x, 1)
+               + 3*g_px(media_id, sf, y, x, 2)) AS wv
+           FROM sel, unnest(range(0,h)) ty(y), unnest(range(0,w)) tx(x))
+         SELECT media_id, fi::INT AS frame_index, sf::INT AS src_frame,
+                w::INT AS width, h::INT AS height,
+                cast(sum(wv) AS BIGINT) AS checksum
+         FROM px GROUP BY media_id, fi, sf, w, h
+         ORDER BY media_id, frame_index"""),
     "q47_sliding_windows" ->
       """SELECT strftime(w, '%Y-%m-%d') AS win_start, count(value) AS cnt,
          round(sum(value), 4) AS sum_v
@@ -1109,14 +1185,33 @@ CREATE OR REPLACE MACRO g_simhash(ss) AS
                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY l_returnflag, l_orderkey, l_linenumber""",
     "q55_media_resize" ->
-      """SELECT doc_id AS media_id,
-         ((octet_length(encode(text)) + 3) // 4)::INT AS n_bytes,
-         'image/fake' AS format
-         FROM documents ORDER BY media_id""",
+      (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
+           3+doc_id%4 AS h, (doc_id%3=2) AS gray, (doc_id%97=0) AS corrupt
+           FROM documents),
+         r AS (SELECT *, (w+1)//2 AS ow, (h+1)//2 AS oh FROM d),
+         px AS MATERIALIZED (SELECT media_id,
+             (yy*ow+xx+1) * (CASE WHEN gray THEN 6*g_px(media_id,0,2*yy,2*xx,0)
+                ELSE g_px(media_id,0,2*yy,2*xx,0) + 2*g_px(media_id,0,2*yy,2*xx,1)
+                     + 3*g_px(media_id,0,2*yy,2*xx,2) END) AS wv
+           FROM r, unnest(range(0,oh)) ty(yy), unnest(range(0,ow)) tx(xx)
+           WHERE NOT corrupt),
+         cs AS (SELECT media_id, cast(sum(wv) AS BIGINT) AS checksum
+           FROM px GROUP BY media_id)
+         SELECT r.media_id,
+            CASE WHEN corrupt THEN 'unknown' WHEN gray THEN 'image/pgm'
+                 ELSE 'image/ppm' END AS format,
+            CASE WHEN corrupt THEN NULL ELSE ow::INT END AS out_w,
+            CASE WHEN corrupt THEN NULL ELSE oh::INT END AS out_h,
+            (CASE WHEN corrupt THEN 0
+                  ELSE 11 + (CASE WHEN gray THEN 1 ELSE 3 END)*ow*oh END)::INT AS n_bytes,
+            cs.checksum AS checksum
+         FROM r LEFT JOIN cs ON r.media_id = cs.media_id
+         ORDER BY r.media_id"""),
     // exact oracles for the engine's own hash pipeline: FNV-1a+splitmix64
     // token/byte hashing, shingle combine, simhash votes, rolling-window
-    // fingerprints, and the stub media features are all reimplemented in
-    // pure DuckDB SQL (UHUGEINT mod-2^64 arithmetic) — bit-for-bit equal
+    // fingerprints, and the synthetic media pixel/sample generators are all
+    // reimplemented in pure DuckDB SQL (UHUGEINT mod-2^64 arithmetic) —
+    // bit-for-bit equal, so the REAL codec decode paths verify end-to-end
     "q35_simhash_pairs" ->
       (hashMacros + """WITH tok AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -1154,14 +1249,36 @@ fp AS (SELECT bt.doc_id,
 SELECT count(DISTINCT fp.f) AS distinct_fp, count(DISTINCT sim.sh) AS distinct_simhash
 FROM fp, sim WHERE fp.doc_id = sim.doc_id"""),
     "q51_media_features" ->
-      (hashMacros + """WITH bt AS MATERIALIZED (SELECT doc_id, g_bytes(text) AS bs FROM documents),
-hf AS MATERIALIZED (SELECT doc_id, len(bs) AS n, g_fnv_seed(bs, i::UBIGINT) AS h
-  FROM bt, range(0,16) t(i)),
-sf AS MATERIALIZED (SELECT doc_id,
-    (CASE WHEN n > 0 THEN ((g_sb(h) >> 11)::DOUBLE / 4503599627370496.0)::FLOAT
-     ELSE 0.0::FLOAT END)::DOUBLE AS fd FROM hf)
-SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
-  SELECT doc_id, sqrt(sum(fd*fd)) AS nrm FROM sf GROUP BY doc_id)"""),
+      (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
+           3+doc_id%4 AS h, (doc_id%3=2) AS gray
+           FROM documents WHERE doc_id%97<>0),
+         px AS MATERIALIZED (SELECT media_id, w, h, gray,
+             (y*2)//h AS cy, (x*2)//w AS cx,
+             CASE WHEN gray THEN 3*g_px(media_id,0,y,x,0)
+                  ELSE g_px(media_id,0,y,x,0)+g_px(media_id,0,y,x,1)
+                       +g_px(media_id,0,y,x,2) END AS lum,
+             g_px(media_id,0,y,x,0) AS rv,
+             CASE WHEN gray THEN g_px(media_id,0,y,x,0)
+                  ELSE g_px(media_id,0,y,x,1) END AS gv,
+             CASE WHEN gray THEN g_px(media_id,0,y,x,0)
+                  ELSE g_px(media_id,0,y,x,2) END AS bv
+           FROM d, unnest(range(0,h)) ty(y), unnest(range(0,w)) tx(x)),
+         ft AS (SELECT media_id,
+             sum(CASE WHEN cy=0 AND cx=0 THEN lum ELSE 0 END)::DOUBLE
+               / (3.0*sum(CASE WHEN cy=0 AND cx=0 THEN 1 ELSE 0 END)) AS f0,
+             sum(CASE WHEN cy=0 AND cx=1 THEN lum ELSE 0 END)::DOUBLE
+               / (3.0*sum(CASE WHEN cy=0 AND cx=1 THEN 1 ELSE 0 END)) AS f1,
+             sum(CASE WHEN cy=1 AND cx=0 THEN lum ELSE 0 END)::DOUBLE
+               / (3.0*sum(CASE WHEN cy=1 AND cx=0 THEN 1 ELSE 0 END)) AS f2,
+             sum(CASE WHEN cy=1 AND cx=1 THEN lum ELSE 0 END)::DOUBLE
+               / (3.0*sum(CASE WHEN cy=1 AND cx=1 THEN 1 ELSE 0 END)) AS f3,
+             sum(rv)::DOUBLE / count(*) AS f4,
+             sum(gv)::DOUBLE / count(*) AS f5,
+             sum(bv)::DOUBLE / count(*) AS f6,
+             max(w)::DOUBLE / max(h) AS f7
+           FROM px GROUP BY media_id)
+         SELECT round(avg(sqrt(f0*f0+f1*f1+f2*f2+f3*f3+f4*f4+f5*f5+f6*f6
+           +f7*f7)), 6) AS avg_feat_norm FROM ft"""),
     "q40_ann_bruteforce" -> annBruteForceOracle,
     "q43_ann_ivf" ->
       """SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
@@ -1185,8 +1302,59 @@ SELECT round(avg(nrm), 6) AS avg_feat_norm FROM (
            AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
          ORDER BY idA, idB""",
     "q50_media_pipeline" ->
-      """SELECT count(*) AS cnt, cast(sum(length(text)) AS bigint) AS sum_bytes
-         FROM documents""",
+      (mediaMacros + """WITH d AS (SELECT doc_id AS media_id,
+           4+doc_id%5 AS w, 3+doc_id%4 AS h,
+           (doc_id%3=2) AS gray, (doc_id%97=0) AS corrupt,
+           CASE WHEN doc_id%97=0 THEN 7
+                WHEN doc_id%3=0 THEN 54 + ((3*(4+doc_id%5)+3)//4*4)*(3+doc_id%4)
+                WHEN doc_id%3=1 THEN (CASE WHEN doc_id%2=1 THEN 23 ELSE 11 END)
+                                     + 3*(4+doc_id%5)*(3+doc_id%4)
+                ELSE 11 + (4+doc_id%5)*(3+doc_id%4) END AS nb
+           FROM documents),
+         px AS MATERIALIZED (SELECT media_id,
+             (y*w+x+1) * (CASE WHEN gray THEN 6*g_px(media_id,0,y,x,0)
+                ELSE g_px(media_id,0,y,x,0) + 2*g_px(media_id,0,y,x,1)
+                     + 3*g_px(media_id,0,y,x,2) END) AS wv
+           FROM d, unnest(range(0,h)) ty(y), unnest(range(0,w)) tx(x)
+           WHERE NOT corrupt)
+         SELECT (SELECT count(*) FROM d) AS cnt,
+                (SELECT count(*) FROM d WHERE NOT corrupt) AS n_ok,
+                (SELECT cast(sum(nb) AS BIGINT) FROM d) AS sum_bytes,
+                (SELECT cast(sum(w*h) AS BIGINT) FROM d WHERE NOT corrupt) AS sum_px,
+                (SELECT cast(sum(wv) AS BIGINT) FROM px) AS total_checksum"""),
+    "q65_wav_stats" ->
+      (mediaMacros + """WITH d AS (SELECT doc_id AS id,
+           8000+1000*(doc_id%5) AS rate, 64+doc_id%64 AS n FROM documents),
+         s AS MATERIALIZED (SELECT id, rate, i, g_smp(id, i) AS v
+           FROM d, unnest(range(0,n)) t(i)),
+         l AS (SELECT id, rate, v,
+             lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s),
+         c AS (SELECT id, rate, count(*) AS ns, sum(abs(v)) AS sa,
+             sum(CASE WHEN pv IS NOT NULL AND (v >= 0) <> (pv >= 0)
+                 THEN 1 ELSE 0 END) AS cr
+           FROM l GROUP BY id, rate)
+         SELECT rate::INT AS sample_rate, count(*) AS n_clips,
+                cast(sum(ns) AS BIGINT) AS total_samples,
+                cast(sum(sa) AS BIGINT) AS total_abs,
+                cast(sum(cr) AS BIGINT) AS total_cross
+         FROM c GROUP BY rate ORDER BY sample_rate"""),
+    "q66_wav_resample" ->
+      (mediaMacros + """WITH d AS (SELECT doc_id AS id,
+           (8000+1000*(doc_id%5))//2 AS rate, (64+doc_id%64+1)//2 AS n
+           FROM documents),
+         s AS MATERIALIZED (SELECT id, rate, i, g_smp(id, 2*i) AS v
+           FROM d, unnest(range(0,n)) t(i)),
+         l AS (SELECT id, rate, v,
+             lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s),
+         c AS (SELECT id, rate, count(*) AS ns, sum(abs(v)) AS sa,
+             sum(CASE WHEN pv IS NOT NULL AND (v >= 0) <> (pv >= 0)
+                 THEN 1 ELSE 0 END) AS cr
+           FROM l GROUP BY id, rate)
+         SELECT rate::INT AS sample_rate, count(*) AS n_clips,
+                cast(sum(ns) AS BIGINT) AS total_samples,
+                cast(sum(sa) AS BIGINT) AS total_abs,
+                cast(sum(cr) AS BIGINT) AS total_cross
+         FROM c GROUP BY rate ORDER BY sample_rate"""),
     "q56_asof_join" -> asofJoinOracle,
     // q63 is the broadcast fast path of the same operator: by construction
     // it must produce exactly the window variant's (= the oracle's) rows

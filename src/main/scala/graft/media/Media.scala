@@ -3,7 +3,7 @@ package graft.media
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.expr.TextHash
+import graft.media.Codecs.{MAudio, MImage}
 
 /** Multimodal (image/audio/video) column handling for training-data
   * pipelines.
@@ -15,64 +15,14 @@ import graft.expr.TextHash
   * never shuffles and composes with any upstream partitioning
   * (e.g. repartition by size bucket before decode to balance skewed blobs).
   *
-  * STUB NOTE: this container has no image/audio codecs, so
-  * [[MediaCodecs.decodeStub]] is a clearly-marked deterministic fake (feature
-  * vector derived from the payload's rolling hash). The Spark-side plumbing —
-  * schema, metadata, batch shape, partitioning, downstream similarity over
-  * the extracted features — is real and tested; swap `decodeStub` for a real
-  * codec (e.g. javax.imageio / ffmpeg JNI) to productionize.
+  * Codecs are REAL: PPM/PGM and uncompressed 24-bit BMP images, PCM-16 WAV
+  * audio, and PPM-stream video (concatenated frames) are parsed byte-for-
+  * byte by [[Codecs]] — headers, comments, BMP bottom-up BGR row padding,
+  * RIFF chunk walking and all. Decoders are total: corrupt payloads yield
+  * `ok=false` rows (null dims/features), never executor-killing throws.
   */
-object MediaCodecs {
-  /** Feature dimension of the stub decoder (kept small; real models emit
-    * 512–4096 dims — the plumbing is dimension-agnostic). */
-  val FeatureDim = 16
-
-  /** STUB decoder: deterministic pseudo-features from the payload bytes.
-    * Real implementation would decode pixels/samples and run a feature
-    * extractor; this fake preserves the contract (pure function of bytes,
-    * fixed output dim, non-zero norm for non-empty payloads). */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    if (payload != null && payload.length > 0) {
-      var i = 0
-      while (i < FeatureDim) {
-        val h = TextHash.hashBytes(payload, 0, payload.length, i.toLong)
-        out(i) = ((h >> 11).toDouble / (1L << 52).toDouble).toFloat // [-1, 1)
-        i += 1
-      }
-    }
-    out
-  }
-
-  /** STUB resize: deterministic payload downsample by `factor` (every
-    * factor-th byte) — stands in for an image/audio resample; preserves the
-    * contract (pure function of bytes, output length = ceil(len/factor)). */
-  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
-    if (payload == null || payload.length == 0) Array.emptyByteArray
-    else {
-      val out = new Array[Byte]((payload.length + factor - 1) / factor)
-      var i = 0
-      while (i < out.length) { out(i) = payload(i * factor); i += 1 }
-      out
-    }
-  }
-
-  /** STUB frame sampler: returns `n` deterministic "frames" (byte slices) of
-    * a video payload — stands in for keyframe extraction. */
-  def sampleFramesStub(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    if (payload == null || payload.length == 0 || n <= 0) Seq.empty
-    else {
-      val stride = math.max(1, payload.length / n)
-      (0 until math.min(n, payload.length)).map { i =>
-        val from = i * stride
-        java.util.Arrays.copyOfRange(payload, from,
-          math.min(payload.length, from + stride))
-      }
-    }
-  }
-}
-
 object Media {
+
   /** Typed metadata carried alongside every media payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -87,20 +37,141 @@ object Media {
     StructField("payload", BinaryType),
     StructField("meta", metaSchema)))
 
-  /** Wrap an arbitrary (id, binary) DataFrame into the canonical media
-    * schema, synthesizing metadata from the payload. */
-  def asMediaTable(df: DataFrame, idCol: String, binCol: String,
-      format: String): DataFrame =
-    df.select(
-      col(idCol).cast(LongType).as("media_id"),
-      col(binCol).cast(BinaryType).as("payload"))
-      .withColumn("meta", struct(
-        lit(format).as("format"),
-        lit(0).as("width"), lit(0).as("height"),
-        lit(1).as("n_frames"), lit(0).as("sample_rate")))
+  final case class MediaMeta(format: String, width: Int, height: Int,
+      n_frames: Int, sample_rate: Int)
+  final case class MediaRow(media_id: Long, payload: Array[Byte],
+      meta: MediaMeta)
+  final case class FeatureRow(media_id: Long, format: String, n_bytes: Int,
+      ok: Boolean, width: Option[Int], height: Option[Int],
+      checksum: Option[Long], features: Option[Array[Double]])
+  final case class FrameRow(media_id: Long, frame_index: Int, src_frame: Int,
+      width: Int, height: Int, checksum: Long, frame_bytes: Array[Byte])
+  final case class AudioStatsRow(media_id: Long, ok: Boolean,
+      sample_rate: Option[Int], n_samples: Option[Int],
+      sum_abs: Option[Long], n_cross: Option[Long])
 
-  /** Decode + feature-extract: partition-local batches, one feature vector
-    * per media row. Output: (media_id, format, n_bytes, features). */
+  /** Dispatch to the right image decoder from the magic bytes. */
+  def decodeImage(payload: Array[Byte]): Option[MImage] =
+    Codecs.sniff(payload) match {
+      case "image/ppm" | "image/pgm" => Codecs.Ppm.decode(payload)
+      case "image/bmp" => Codecs.Bmp.decode(payload)
+      case _ => None
+    }
+
+  /** Parse real metadata out of a payload: dims for images, frame count for
+    * PPM streams, sample rate for WAV. Unparseable → format "corrupt". */
+  def describe(payload: Array[Byte]): MediaMeta = Codecs.sniff(payload) match {
+    case f @ ("image/ppm" | "image/pgm") =>
+      Codecs.PpmStream.decode(payload) match {
+        case Some(frames) if frames.length > 1 =>
+          MediaMeta("video/ppm-stream", frames.head.width,
+            frames.head.height, frames.length, 0)
+        case Some(frames) =>
+          MediaMeta(f, frames.head.width, frames.head.height, 1, 0)
+        case None => MediaMeta("corrupt", 0, 0, 0, 0)
+      }
+    case "image/bmp" => Codecs.Bmp.decode(payload) match {
+      case Some(img) => MediaMeta("image/bmp", img.width, img.height, 1, 0)
+      case None => MediaMeta("corrupt", 0, 0, 0, 0)
+    }
+    case "audio/wav" => Codecs.Wav.decode(payload) match {
+      case Some(a) =>
+        MediaMeta("audio/wav", 0, 0, 0, a.sampleRate)
+      case None => MediaMeta("corrupt", 0, 0, 0, 0)
+    }
+    case _ => MediaMeta("corrupt", 0, 0, 0, 0)
+  }
+
+  /** Wrap an arbitrary (id, binary) DataFrame into the canonical media
+    * schema, parsing REAL metadata from each payload's header. */
+  def asMediaTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(col(idCol).cast(LongType).as("media_id"),
+        col(binCol).cast(BinaryType).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaRow(id, payload, describe(payload))
+      })
+      .toDF()
+  }
+
+  /** Position-weighted pixel checksum: Σ (y·w+x+1)·(r+2g+3b), grayscale
+    * v counted as r=g=b=v. Order-independent (safe to aggregate any way)
+    * yet position- and channel-sensitive — a flipped BMP row order, skipped
+    * padding byte, or RGB/BGR swap changes it. */
+  def imageChecksum(img: MImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val wgt = (y.toLong * img.width + x + 1)
+        var v = 0L
+        if (img.channels == 3) {
+          v = (img.pixel(y, x, 0) + 2L * img.pixel(y, x, 1)
+            + 3L * img.pixel(y, x, 2))
+        } else {
+          v = 6L * img.pixel(y, x, 0)
+        }
+        sum += wgt * v
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** 8-dim content features from a decoded raster, all derived from
+    * integer sums (bit-reproducible by an external oracle): 2×2 grid
+    * luminance means, per-channel means, aspect ratio. */
+  def imageFeatures(img: MImage): Array[Double] = {
+    val lumSum = new Array[Long](4)
+    val cnt = new Array[Long](4)
+    val chSum = new Array[Long](3)
+    var y = 0
+    while (y < img.height) {
+      val cy = y * 2 / img.height
+      var x = 0
+      while (x < img.width) {
+        val cell = cy * 2 + (x * 2 / img.width)
+        if (img.channels == 3) {
+          val r = img.pixel(y, x, 0); val g = img.pixel(y, x, 1)
+          val b = img.pixel(y, x, 2)
+          lumSum(cell) += r + g + b
+          chSum(0) += r; chSum(1) += g; chSum(2) += b
+        } else {
+          val v = img.pixel(y, x, 0)
+          lumSum(cell) += 3L * v
+          chSum(0) += v; chSum(1) += v; chSum(2) += v
+        }
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.width.toLong * img.height
+    Array(
+      lumSum(0).toDouble / (3.0 * cnt(0)),
+      lumSum(1).toDouble / (3.0 * cnt(1)),
+      lumSum(2).toDouble / (3.0 * cnt(2)),
+      lumSum(3).toDouble / (3.0 * cnt(3)),
+      chSum(0).toDouble / n,
+      chSum(1).toDouble / n,
+      chSum(2).toDouble / n,
+      img.width.toDouble / img.height)
+  }
+
+  /** L2 norm of a feature vector in fixed index order (reproducible). */
+  def featureNorm(f: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < f.length) { s += f(i) * f(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Decode + feature-extract: partition-local batches, one row per media
+    * row; parse failures keep the row with ok=false and null features. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val session = media.sparkSession
     import session.implicits._
@@ -109,17 +180,24 @@ object Media {
       rows.map { r =>
         val id = r.getLong(r.fieldIndex("media_id"))
         val payload = r.getAs[Array[Byte]]("payload")
-        val meta = r.getStruct(r.fieldIndex("meta"))
-        val fmt = if (meta != null) meta.getString(0) else null
-        val feats = MediaCodecs.decodeStub(payload)
-        (id, fmt, if (payload == null) 0 else payload.length, feats)
+        val nBytes = if (payload == null) 0 else payload.length
+        decodeImage(payload) match {
+          case Some(img) =>
+            FeatureRow(id, Codecs.sniff(payload), nBytes, ok = true,
+              Some(img.width), Some(img.height), Some(imageChecksum(img)),
+              Some(imageFeatures(img)))
+          case None =>
+            FeatureRow(id, Codecs.sniff(payload), nBytes, ok = false,
+              None, None, None, None)
+        }
       }
-    }.toDF("media_id", "format", "n_bytes", "features")
+    }.toDF()
   }
 
-  /** Resize every payload by `factor` (stubbed codec), keeping the media
-    * schema — partition-local batch transform, no shuffle; metadata width/
-    * height scale down with the payload. */
+  /** Real nearest-neighbor downsample by `factor`: decode (any supported
+    * image format), resize, re-encode as canonical PPM/PGM — so this also
+    * transcodes BMP inputs. Corrupt rows pass through with a null payload
+    * and format "corrupt". Partition-local, no shuffle. */
   def resize(media: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, "factor must be >= 1")
     val session = media.sparkSession
@@ -129,22 +207,26 @@ object Media {
       rows.map { r =>
         val id = r.getLong(r.fieldIndex("media_id"))
         val payload = r.getAs[Array[Byte]]("payload")
-        val meta = r.getStruct(r.fieldIndex("meta"))
-        val resized = MediaCodecs.resizeStub(payload, factor)
-        (id, resized,
-          if (meta == null) null
-          else (meta.getString(0), meta.getInt(1) / factor, meta.getInt(2) / factor,
-            meta.getInt(3), meta.getInt(4)))
+        decodeImage(payload) match {
+          case Some(img) =>
+            val out = Codecs.resizeNearest(img, factor)
+            val enc = Codecs.Ppm.encode(out)
+            MediaRow(id, enc, MediaMeta(
+              if (out.channels == 3) "image/ppm" else "image/pgm",
+              out.width, out.height, 1, 0))
+          case None =>
+            MediaRow(id, null, MediaMeta("corrupt", 0, 0, 0, 0))
+        }
       }
-    }.toDF("media_id", "payload", "m")
-      .select(col("media_id"), col("payload"), struct(
-        col("m._1").as("format"), col("m._2").as("width"), col("m._3").as("height"),
-        col("m._4").as("n_frames"), col("m._5").as("sample_rate")).as("meta"))
+    }.toDF()
   }
 
-  /** Frame-sample a video media table into one row per sampled frame
-    * (media_id, frame_index, frame_bytes) — partition-local, no shuffle. */
+  /** Frame-sample a PPM-stream video into ≤ `framesPerVideo` evenly-strided
+    * real frames: parse every frame boundary, emit one row per kept frame
+    * with its decoded dims + checksum + re-encoded single-frame bytes.
+    * Partition-local, no shuffle. */
   def sampleFrames(media: DataFrame, framesPerVideo: Int): DataFrame = {
+    require(framesPerVideo >= 1)
     val session = media.sparkSession
     import session.implicits._
     val ds: Dataset[Row] = media
@@ -152,9 +234,73 @@ object Media {
       rows.flatMap { r =>
         val id = r.getLong(r.fieldIndex("media_id"))
         val payload = r.getAs[Array[Byte]]("payload")
-        MediaCodecs.sampleFramesStub(payload, framesPerVideo)
-          .zipWithIndex.map { case (frame, i) => (id, i, frame) }
+        Codecs.PpmStream.decode(payload) match {
+          case Some(frames) =>
+            val n = frames.length
+            val stride = math.max(1, (n + framesPerVideo - 1) / framesPerVideo)
+            (0 until framesPerVideo).iterator
+              .map(_ * stride).takeWhile(_ < n).zipWithIndex
+              .map { case (src, i) =>
+                val img = frames(src)
+                FrameRow(id, i, src, img.width, img.height,
+                  imageChecksum(img), Codecs.Ppm.encode(img))
+              }
+          case None => Iterator.empty
+        }
       }
-    }.toDF("media_id", "frame_index", "frame_bytes")
+    }.toDF()
+  }
+
+  /** Decode WAV audio and compute per-clip stats: sample count, Σ|s|, and
+    * sign-change (zero-crossing) count — all integer, oracle-checkable. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    val ds: Dataset[Row] = media
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(r.fieldIndex("media_id"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        Codecs.Wav.decode(payload) match {
+          case Some(a) =>
+            var sumAbs = 0L
+            var cross = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              sumAbs += math.abs(a.samples(i).toLong)
+              if (i > 0 &&
+                (a.samples(i) >= 0) != (a.samples(i - 1) >= 0)) cross += 1
+              i += 1
+            }
+            AudioStatsRow(id, ok = true, Some(a.sampleRate),
+              Some(a.samples.length), Some(sumAbs), Some(cross))
+          case None =>
+            AudioStatsRow(id, ok = false, None, None, None, None)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Decimate WAV payloads by `factor` (every factor-th sample), re-encoded
+    * as PCM-16 WAV with the divided sample rate. Partition-local. */
+  def resampleAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1)
+    val session = media.sparkSession
+    import session.implicits._
+    val ds: Dataset[Row] = media
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(r.fieldIndex("media_id"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        Codecs.Wav.decode(payload) match {
+          case Some(a) =>
+            val out = Codecs.decimate(a, factor)
+            MediaRow(id, Codecs.Wav.encode(out),
+              MediaMeta("audio/wav", 0, 0, 0, out.sampleRate))
+          case None =>
+            MediaRow(id, null, MediaMeta("corrupt", 0, 0, 0, 0))
+        }
+      }
+    }.toDF()
   }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkTestBase
 import graft.api.{functions => gf}
-import graft.media.{Media, MediaCodecs}
+import graft.media.Media
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators: text analysis, dedup families,
@@ -187,25 +187,6 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall")
   }
 
-  test("media: feature extraction is deterministic, frame sampling shapes") {
-    val media = Media.asMediaTable(
-      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-      "doc_id", "payload", "text/plain")
-    assert(media.schema == Media.schema ||
-      media.schema.fieldNames.toSeq == Media.schema.fieldNames.toSeq)
-    val f1 = Media.extractFeatures(media).orderBy("media_id").collect()
-    val f2 = Media.extractFeatures(media.repartition(7)).orderBy("media_id").collect()
-    assert(f1.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq ==
-      f2.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq) // partitioning-invariant
-    assert(f1.forall(_.getAs[scala.collection.Seq[Float]]("features").length == MediaCodecs.FeatureDim))
-    val nb = f1.map(r => r.getLong(r.fieldIndex("media_id")) -> r.getInt(r.fieldIndex("n_bytes"))).toMap
-    val lens = docs.select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
-    assert(nb.forall { case (id, n) => n == lens(id) }) // ascii text: bytes == chars
-    val frames = Media.sampleFrames(media, 4)
-    assert(frames.groupBy("media_id").count().agg(max("count")).head().getLong(0) <= 4)
-    assert(frames.count() > 0)
-  }
-
   test("quality_score and doc_fingerprint behave sanely") {
     val qs = docs.select(gf.quality_score(col("text")).as("q")).as[Double].collect()
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
@@ -313,24 +294,4 @@ class OpsSpec extends SparkTestBase {
     assert(probes.toSet.size == 3, s"probes must be distinct: $probes")
   }
 
-  test("media resize: stub downsample, schema and metadata preserved") {
-    val media = Media.asMediaTable(
-      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-      "doc_id", "payload", "image/fake")
-    val r = Media.resize(media, 3)
-    assert(r.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
-    val rows = r.select(col("media_id"), length(col("payload")).as("n"),
-      col("meta.format")).collect()
-    val orig = media.select(col("media_id"), length(col("payload")).as("n"))
-      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
-    rows.foreach { x =>
-      assert(x.getInt(1) == (orig(x.getLong(0)) + 2) / 3)
-      assert(x.getString(2) == "image/fake")
-    }
-    // deterministic byte selection: every factor-th byte
-    val one = media.orderBy("media_id").select("payload").head().getAs[Array[Byte]](0)
-    val got = Media.resize(media.orderBy("media_id").limit(1), 3)
-      .select("payload").head().getAs[Array[Byte]](0)
-    assert(got.toSeq == one.indices.collect { case i if i % 3 == 0 => one(i) }.toSeq)
-  }
 }
