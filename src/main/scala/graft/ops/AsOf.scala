@@ -30,12 +30,28 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Internal working columns; inputs may not use these names (silent
+    * breakage otherwise — guarded by a require). */
+  private val ReservedCols =
+    Seq("__t", "__side", "__brow", "__match", "__split", "__b_edge", "__carry")
+
+  private def assertNoReserved(probe: DataFrame, build: DataFrame): Unit = {
+    val clash = (probe.columns ++ build.columns).filter(ReservedCols.contains)
+    require(clash.isEmpty,
+      s"as-of join inputs may not contain reserved column names: " +
+        clash.distinct.mkString(", "))
+  }
+
   /** @param probe         left side; one output row per probe row
     *                      (left-outer by default)
     * @param build         right side; contributes its non-key columns,
     *                      suffixed with `buildSuffix`
     * @param on            equi-join keys (must be non-empty: a keyless
-    *                      as-of would serialize onto one task)
+    *                      as-of would serialize onto one task). SQL NULL
+    *                      semantics: a NULL in any key (either side) or in
+    *                      either time column never matches — same as
+    *                      DuckDB/pandas ASOF, and identical across all
+    *                      as-of variants here.
     * @param probeTime     event-time column of `probe` (timestamp or numeric)
     * @param buildTime     event-time column of `build`; cast to
     *                      `probeTime`'s type
@@ -45,17 +61,38 @@ object AsOf {
     *                      matches are nulled out (pandas `tolerance`)
     * @param inner         drop unmatched probe rows instead of keeping them
     *                      with NULL build columns
+    * @param timeSplits    hot-key mitigation: when > 1, each key's timeline
+    *                      is range-partitioned into up to `timeSplits`
+    *                      sub-ranges (boundaries from an approx-quantile
+    *                      pass over the probe times) so a single
+    *                      pathologically hot key sorts on `timeSplits`
+    *                      tasks instead of one; matches that cross a split
+    *                      boundary are repaired by a tiny per-(key,split)
+    *                      boundary relay (keys×splits rows), broadcast back.
+    *                      Results are identical to the default path unless
+    *                      a key has duplicate build timestamps (then which
+    *                      of the tied rows wins is nondeterministic in both
+    *                      paths). Costs one extra aggregation pass over the
+    *                      probe times.
     */
   def joinAsOf(probe: DataFrame, build: DataFrame, on: Seq[String],
       probeTime: String, buildTime: String, forward: Boolean = false,
       toleranceSec: Option[Double] = None, buildSuffix: String = "_b",
-      inner: Boolean = false): DataFrame = {
+      inner: Boolean = false, timeSplits: Int = 1): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key " +
       "(a keyless as-of join cannot be distributed)")
+    assertNoReserved(probe, build)
     val tType = probe.schema(probeTime).dataType
     val probeRest = probe.columns.filterNot(on.contains).toSeq
     val buildVals = build.columns.filterNot(on.contains).toSeq
     val bOut = buildVals.map(_ + buildSuffix)
+
+    // SQL NULL semantics: NULL-keyed / NULL-timed build rows match nothing,
+    // so drop them before the union — probe rows in a NULL-key partition
+    // then see no build rows at all and fall out unmatched, as required
+    val bClean = build.where(
+      on.map(col(_).isNotNull).reduce(_ && _) &&
+        col(buildTime).cast(tType).isNotNull)
 
     val browType = org.apache.spark.sql.types.StructType(
       buildVals.map(c => org.apache.spark.sql.types.StructField(
@@ -65,7 +102,7 @@ object AsOf {
         Seq(col(probeTime).cast(tType).as("__t"), lit(1).as("__side")) ++
         probeRest.map(col) :+
         lit(null).cast(browType).as("__brow"): _*)
-    val bSide = build.select(
+    val bSide = bClean.select(
       on.map(col) ++
         Seq(col(buildTime).cast(tType).as("__t"), lit(0).as("__side")) ++
         probeRest.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
@@ -74,12 +111,24 @@ object AsOf {
 
     val ord: Seq[Column] =
       Seq(if (forward) col("__t").desc else col("__t").asc, col("__side").asc)
-    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = pSide.unionByName(bSide)
-      .withColumn("__match", last(col("__brow"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    val withMatch =
+      if (timeSplits <= 1) {
+        val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pSide.unionByName(bSide)
+          .withColumn("__match",
+            last(col("__brow"), ignoreNulls = true).over(w))
+          .where(col("__side") === 1)
+      } else {
+        splitCarried(probe, probeTime, tType, pSide, bSide, on, ord, forward,
+          timeSplits)
+      }
+
+    // a NULL probe time never matches (desc ordering would otherwise sort
+    // NULLs last and hand them the final carried build row)
+    val carried = withMatch.withColumn("__match",
+      when(col("__t").isNotNull, col("__match")))
 
     // tolerance compares in seconds on the double view of the time type
     // (timestamps cast to fractional epoch seconds, numerics to themselves)
@@ -95,6 +144,65 @@ object AsOf {
     filtered.select(
       on.map(col) ++ probeRest.map(col) ++
         bOut.map(o => col("__match")(o).as(o)): _*)
+  }
+
+  /** Hot-key path: range-partition each key's timeline into `timeSplits`
+    * sub-ranges and run the window per (key, split), so one hot key's sort
+    * spreads over `timeSplits` tasks. A probe row whose true match lies in
+    * an earlier split (or later, for forward joins) is repaired from a
+    * boundary relay: the last (first) build row of every (key, split) —
+    * keys×splits rows, aggregated map-side — prefix-carried across splits
+    * on a complete key×split grid and broadcast-joined back. */
+  private def splitCarried(probe: DataFrame, probeTime: String,
+      tType: org.apache.spark.sql.types.DataType,
+      pSide: DataFrame, bSide: DataFrame, on: Seq[String], ord: Seq[Column],
+      forward: Boolean, timeSplits: Int): DataFrame = {
+    // split boundaries: approximate probe-time quantiles (any monotone
+    // bucketing is CORRECT — quantiles just balance the split sizes)
+    val fracs = (1 until timeSplits).map(_.toDouble / timeSplits).toArray
+    val bounds = probe
+      .select(col(probeTime).cast(tType).cast("double").as("__t"))
+      .where(col("__t").isNotNull)
+      .stat.approxQuantile("__t", fracs, 0.01)
+    val bArr = bounds.distinct.sorted
+    val nSplits = bArr.length + 1
+    def splitOf(t: Column): Column =
+      bArr.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(t > lit(b), 1).otherwise(0)
+      }
+
+    val u = pSide.unionByName(bSide)
+      .withColumn("__split", splitOf(col("__t").cast("double")))
+    val w1 = Window.partitionBy((on :+ "__split").map(col): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = u
+      .withColumn("__match", last(col("__brow"), ignoreNulls = true).over(w1))
+      .where(col("__side") === 1)
+
+    // boundary relay: edge build row per (key, split)...
+    val edgeAgg =
+      if (forward) min_by(col("__brow"), col("__t"))
+      else max_by(col("__brow"), col("__t"))
+    val perSplit = u.where(col("__side") === 0)
+      .groupBy((on :+ "__split").map(col): _*)
+      .agg(edgeAgg.as("__b_edge"))
+    // ...prefix-carried over a COMPLETE key×split grid (a probe split with
+    // no build rows must still inherit from earlier non-empty splits)
+    val spark = probe.sparkSession
+    val grid = perSplit.select(on.map(col): _*).distinct()
+      .crossJoin(spark.range(nSplits.toLong)
+        .select(col("id").cast("int").as("__split")))
+    val wc = Window.partitionBy(on.map(col): _*)
+      .orderBy(if (forward) col("__split").desc else col("__split").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = grid.join(perSplit, (on :+ "__split").toSeq, "left")
+      .withColumn("__carry", last(col("__b_edge"), ignoreNulls = true).over(wc))
+      .select((on :+ "__split").map(col) :+ col("__carry"): _*)
+
+    within.join(broadcast(carry), (on :+ "__split").toSeq, "left")
+      .withColumn("__match", coalesce(col("__match"), col("__carry")))
+      .drop("__split", "__carry")
   }
 
   /** Broadcast as-of join for a SMALL build side: the probe side is not
@@ -122,6 +230,11 @@ object AsOf {
       toleranceSec: Option[Double] = None, buildSuffix: String = "_b",
       inner: Boolean = false, maxBuildRows: Int = 10000000): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key")
+    assertNoReserved(probe, build)
+    val bcReserved = Seq("__k", "__bt", "__pt")
+    val bcClash = (probe.columns ++ build.columns).filter(bcReserved.contains)
+    require(bcClash.isEmpty, "as-of join inputs may not contain reserved " +
+      s"column names: ${bcClash.distinct.mkString(", ")}")
     import org.apache.spark.sql.types._
     val singleKeyKind: Option[DataType] =
       if (on.length != 1) None
@@ -219,11 +332,12 @@ object AsOf {
         buildVals.map(c => StructField(c + buildSuffix,
           build.schema(c).dataType, nullable = true)))
 
-    // collect build: key → rows sorted by time (ascending double view)
+    // collect build: key → rows sorted by time (ascending double view);
+    // SQL NULL semantics — NULL-keyed/NULL-timed build rows never match
     val bRows = build
       .select((on.map(col) :+ col(buildTime).cast("double").as("__bt")) ++
         buildVals.map(col): _*)
-      .where(col("__bt").isNotNull)
+      .where(on.map(col(_).isNotNull).reduce(_ && _) && col("__bt").isNotNull)
       .limit(maxBuildRows + 1).collect()
     require(bRows.length <= maxBuildRows,
       s"build side exceeds maxBuildRows=$maxBuildRows — use joinAsOf")

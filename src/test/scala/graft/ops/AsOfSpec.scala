@@ -37,9 +37,10 @@ class AsOfSpec extends SparkTestBase {
     }.toSet
 
   private def run(forward: Boolean = false, tol: Option[Double] = None,
-      inner: Boolean = false) =
+      inner: Boolean = false, timeSplits: Int = 1) =
     AsOf.joinAsOf(probeDf, buildDf, Seq("k"), "t", "t",
-        forward = forward, toleranceSec = tol, inner = inner)
+        forward = forward, toleranceSec = tol, inner = inner,
+        timeSplits = timeSplits)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
         Option(r.get(3)).map(_.asInstanceOf[Double]),
@@ -145,6 +146,93 @@ class AsOfSpec extends SparkTestBase {
     val a = norm(AsOf.joinAsOf(clicks, purchases, Seq("user_id"), "ts", "ts"))
     val b = norm(AsOf.joinAsOfBroadcast(clicks, purchases, Seq("user_id"), "ts", "ts"))
     assert(a == b)
+  }
+
+  test("NULL keys and NULL times never match — identical across all variants") {
+    val p = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Double.valueOf(10.0), "a"),
+      (null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(10.0), "nullkey"),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Double], "nulltime"),
+      (java.lang.Long.valueOf(2L), java.lang.Double.valueOf(10.0), "b"))
+      .toDF("k", "t", "pid")
+    val b = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Double.valueOf(5.0), "m1"),
+      // NULL build key / NULL build time: must match NOTHING (SQL ASOF
+      // semantics), in particular not the NULL-keyed/timed probe rows
+      (null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(1.0), "mnullk"),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Double], "mnullt"))
+      .toDF("k", "t", "v")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "t_b", "v_b").collect()
+        .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.toString))).toSet
+    for (fwd <- Seq(false, true)) {
+      val expectA =
+        if (!fwd) Set(("a", Some(5.0), Some("m1")), ("nullkey", None, None),
+          ("nulltime", None, None), ("b", None, None))
+        else Set(("a", None, None), ("nullkey", None, None),
+          ("nulltime", None, None), ("b", None, None))
+      val base = norm(AsOf.joinAsOf(p, b, Seq("k"), "t", "t", forward = fwd))
+      assert(base == expectA, s"forward=$fwd")
+      assert(norm(AsOf.joinAsOf(p, b, Seq("k"), "t", "t", forward = fwd,
+        timeSplits = 4)) == base, s"split forward=$fwd")
+      assert(norm(AsOf.joinAsOfBroadcast(p, b, Seq("k"), "t", "t",
+        forward = fwd)) == base, s"broadcast forward=$fwd")
+      // multi-key rows fallback with a NULL in the second key component
+      val p2 = p.withColumn("k2",
+        when(col("pid") === "nullkey", lit(null)).otherwise(lit(1L)))
+      val b2 = b.withColumn("k2", lit(1L))
+      assert(norm(AsOf.joinAsOfBroadcast(p2, b2, Seq("k", "k2"), "t", "t",
+          forward = fwd)) ==
+        norm(AsOf.joinAsOf(p2, b2, Seq("k", "k2"), "t", "t", forward = fwd)),
+        s"rows-fallback forward=$fwd")
+    }
+  }
+
+  test("timeSplits ≡ base path on every mode of the mixed fixture") {
+    assert(run(timeSplits = 4) == expected(forward = false, None))
+    assert(run(forward = true, timeSplits = 4) == expected(forward = true, None))
+    assert(run(tol = Some(2.0), timeSplits = 4) ==
+      expected(forward = false, Some(2.0)))
+    assert(run(inner = true, timeSplits = 4) ==
+      expected(forward = false, None).filter(_._4.nonEmpty))
+  }
+
+  test("timeSplits: one hot key spreads over split sub-partitions, same result") {
+    // one key holds ALL rows — the base path serializes its sort onto a
+    // single task; timeSplits must range-split it and still agree exactly
+    val p = spark.range(20000).select(lit(7L).as("k"),
+      (col("id") * 1.0).as("t"), col("id").as("pid"))
+    val b = spark.range(2000).select(lit(7L).as("k"),
+      (col("id") * 10.0 + 0.5).as("t"), (col("id") * 2).as("v"))
+    for (fwd <- Seq(false, true)) {
+      val base = AsOf.joinAsOf(p, b, Seq("k"), "t", "t", forward = fwd)
+      val split = AsOf.joinAsOf(p, b, Seq("k"), "t", "t", forward = fwd,
+        timeSplits = 8)
+      assert(split.except(base).isEmpty && base.except(split).isEmpty,
+        s"forward=$fwd")
+      // the big window really partitions by (key, split): multi-task
+      val plan = split.queryExecution.executedPlan.toString
+      assert(plan.contains("__split"), plan)
+    }
+    // boundary repair: probe rows in build-empty splits inherit across
+    // multiple empty splits (build only in the first 1/10 of the range)
+    val bSparse = spark.range(20).select(lit(7L).as("k"),
+      (col("id") * 1.0).as("t"), col("id").as("v"))
+    val baseS = AsOf.joinAsOf(p, bSparse, Seq("k"), "t", "t")
+    val splitS = AsOf.joinAsOf(p, bSparse, Seq("k"), "t", "t", timeSplits = 8)
+    assert(splitS.except(baseS).isEmpty && baseS.except(splitS).isEmpty)
+  }
+
+  test("reserved internal column names are rejected up front") {
+    val bad = probeDf.withColumn("__match", lit(1))
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(bad, buildDf, Seq("k"), "t", "t")
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOfBroadcast(probeDf, buildDf.withColumn("__bt", lit(1)),
+        Seq("k"), "t", "t")
+    }
   }
 
   test("timestamp time columns work end-to-end on events") {
