@@ -64,28 +64,62 @@ object TextHash {
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || 0x0b == c
 }
 
-/** hash64(x) → long: the engine's splitmix64 finalizer over a 64-bit input.
+/** hash64(x) → long: the engine's deterministic 64-bit row-key hash.
   * The deterministic-sampling primitive: reproducible across runs, JVMs and
   * partitionings (no RNG, no partition index), so sample membership is a
   * pure function of the row key — re-runs and retries see the same sample.
-  * Codegen'd inline (3 shifts + 2 multiplies), stays in whole-stage codegen. */
-case class Hash64(child: Expression)
-  extends UnaryExpression with ImplicitCastInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  *
+  * Typed dispatch, never an implicit cast: integral keys go through the
+  * splitmix64 finalizer on their 64-bit value; string/binary keys are
+  * byte-hashed (FNV-1a + avalanche, same pipeline as token hashing), so
+  * '1' and '01' hash differently and non-numeric strings can't blow up an
+  * ANSI string→long cast at runtime. Other types are rejected at analysis
+  * with an explicit error. Codegen'd inline either way. */
+case class Hash64(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hash64 requires an integral, string, or binary key, got " +
+        s"${other.catalogString}; cast explicitly if a lossy key is intended")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "hash64"
-  override protected def nullSafeEval(input: Any): Any =
-    TextHash.avalanche(input.asInstanceOf[Long])
+
+  override protected def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType =>
+      val b = input.asInstanceOf[UTF8String].getBytes
+      TextHash.hashBytes(b, 0, b.length, 0L)
+    case BinaryType =>
+      val b = input.asInstanceOf[Array[Byte]]
+      TextHash.hashBytes(b, 0, b.length, 0L)
+    case _ => TextHash.avalanche(input.asInstanceOf[Number].longValue())
+  }
+
   override protected def doGenCode(ctx: codegen.CodegenContext,
       ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val h = ctx.freshName("h")
-      s"""
-         |long $h = $c;
-         |$h ^= $h >>> 30; $h *= 0xbf58476d1ce4e5b9L;
-         |$h ^= $h >>> 27; $h *= 0x94d049bb133111ebL;
-         |${ev.value} = $h ^ ($h >>> 31);
-       """.stripMargin
+      val th = classOf[TextHash.type].getName.stripSuffix("$") + "$.MODULE$"
+      child.dataType match {
+        case StringType =>
+          val b = ctx.freshName("b")
+          s"""
+             |byte[] $b = $c.getBytes();
+             |${ev.value} = $th.hashBytes($b, 0, $b.length, 0L);
+           """.stripMargin
+        case BinaryType =>
+          s"${ev.value} = $th.hashBytes($c, 0, $c.length, 0L);"
+        case _ =>
+          val h = ctx.freshName("h")
+          s"""
+             |long $h = (long) $c;
+             |$h ^= $h >>> 30; $h *= 0xbf58476d1ce4e5b9L;
+             |$h ^= $h >>> 27; $h *= 0x94d049bb133111ebL;
+             |${ev.value} = $h ^ ($h >>> 31);
+           """.stripMargin
+      }
     })
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

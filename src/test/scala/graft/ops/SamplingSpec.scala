@@ -81,6 +81,37 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("hash64: string/binary keys byte-hash; no numeric-cast collisions") {
+    import spark.implicits._
+    // '1' and '01' must NOT collide (the old implicit string→long cast
+    // hashed the parsed value); strings hash their bytes
+    val hs = Seq("1", "01").toDF("s").select(gf.hash64(col("s"))).as[Long]
+      .collect()
+    assert(hs(0) != hs(1))
+    assert(hs(0) == TextHash.hashBytes("1".getBytes("UTF-8"), 0, 1, 0L))
+    // binary key of the same bytes hashes identically to the string
+    val hb = Seq("1").toDF("s")
+      .select(gf.hash64(encode(col("s"), "UTF-8"))).as[Long].collect()
+    assert(hb(0) == hs(0))
+    // integral key: splitmix64 finalizer, unchanged
+    val hi = Seq(42L).toDF("k").select(gf.hash64(col("k"))).as[Long].collect()
+    assert(hi(0) == TextHash.avalanche(42L))
+    // int widens losslessly to the same hash as the long
+    val hw = Seq(42).toDF("k").select(gf.hash64(col("k"))).as[Long].collect()
+    assert(hw(0) == TextHash.avalanche(42L))
+    // non-key types are rejected at analysis, not mangled at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.5).toDF("d").select(gf.hash64(col("d"))).collect()
+    }
+    // deterministic string-keyed splits end-to-end
+    val docs = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      .toDF("name")
+    val s1 = Sampling.uniformSample(docs, col("name"), 0.6).collect().toSet
+    val s2 = Sampling.uniformSample(docs.repartition(3), col("name"), 0.6)
+      .collect().toSet
+    assert(s1 == s2)
+  }
+
   test("thresholds normalize weights and hit the grid exactly") {
     assert(Sampling.thresholds(Seq(1.0, 1.0)) ==
       Seq(Sampling.Buckets / 2, Sampling.Buckets))
