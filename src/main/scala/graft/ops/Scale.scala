@@ -147,11 +147,23 @@ object Partitioning {
   * pre-shuffle writers, non-subquery dims, explicit pipelines. */
 object Prune {
 
-  /** Bloom filter over `xxhash64(keyCol)` of `dim` (driver-side object,
-    * sized from an exact count so fpp holds). */
-  def bloomOf(dim: DataFrame, keyCol: String, fpp: Double = 0.01)
-      : org.apache.spark.util.sketch.BloomFilter = {
-    val n = math.max(dim.count(), 1L)
+  /** Bloom filter over `xxhash64(keyCol)` of `dim`.
+    *
+    * Sizing: pass `expectedKeys` (any decent estimate of the DISTINCT key
+    * count — e.g. from table stats or a prior run) and the build is ONE
+    * aggregation pass over dim. Without it, a KMV distinct-estimate pass
+    * runs first — still preferable to the old exact `count()`, which both
+    * cost a full action and sized the filter by ROWS, overallocating
+    * whenever dim repeats keys. fpp holds at the estimated capacity;
+    * a low estimate degrades fpp, never correctness (the exact join
+    * downstream removes all false positives). */
+  def bloomOf(dim: DataFrame, keyCol: String, fpp: Double = 0.01,
+      expectedKeys: Long = 0L): org.apache.spark.util.sketch.BloomFilter = {
+    val n =
+      if (expectedKeys > 0) expectedKeys
+      else math.max(dim.agg(
+        gf.kmv_distinct(gf.kmv_agg(col(keyCol), 16384)).as("d"))
+        .head().getDouble(0).toLong, 1L)
     dim.select(xxhash64(col(keyCol)).as("__h")).stat.bloomFilter("__h", n, fpp)
   }
 
@@ -160,8 +172,8 @@ object Prune {
     * filter at the scan — no join, no shuffle, NULL keys dropped (they
     * cannot match an equi-join anyway). */
   def bloomSemiJoin(big: DataFrame, dim: DataFrame, bigKey: String,
-      dimKey: String, fpp: Double = 0.01): DataFrame = {
-    val bloom = bloomOf(dim, dimKey, fpp)
+      dimKey: String, fpp: Double = 0.01, expectedKeys: Long = 0L): DataFrame = {
+    val bloom = bloomOf(dim, dimKey, fpp, expectedKeys)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos); bos.toByteArray
@@ -177,8 +189,8 @@ object Prune {
     * Bloom's false positives — but only the surviving fraction of `big`
     * is shuffled (or compared, if the dim side broadcasts). */
   def bloomPrunedJoin(big: DataFrame, dim: DataFrame, bigKey: String,
-      dimKey: String, fpp: Double = 0.01): DataFrame =
-    bloomSemiJoin(big, dim, bigKey, dimKey, fpp)
+      dimKey: String, fpp: Double = 0.01, expectedKeys: Long = 0L): DataFrame =
+    bloomSemiJoin(big, dim, bigKey, dimKey, fpp, expectedKeys)
       .join(dim, col(bigKey) === col(dimKey))
 }
 

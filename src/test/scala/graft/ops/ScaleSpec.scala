@@ -177,6 +177,39 @@ class ScaleSpec extends SparkTestBase {
     assert(got == want && want.size == 3)
   }
 
+  test("bloomOf: expectedKeys hint skips the sizing pass; KMV fallback sizes by distinct") {
+    val dim = (0L until 1000L).map(i => (i % 50, s"d$i")).toDF("dk", "name")
+    // count jobs triggered while building with a hint: must be exactly 1
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def settled(): Int = {
+      // listener events are async; wait for the count to go quiet
+      var last = -1
+      while (last != counter.get()) { last = counter.get(); Thread.sleep(150) }
+      last
+    }
+    try {
+      val bf = Prune.bloomOf(dim, "dk", fpp = 0.01, expectedKeys = 50L)
+      val hintJobs = settled()
+      assert((0L until 50L).forall(k => bf.mightContain(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          k, org.apache.spark.sql.types.LongType, 42L))))
+      counter.set(0)
+      // KMV fallback: one extra estimate pass — and sized by the 50
+      // DISTINCT keys, not the 1000 rows
+      val bf2 = Prune.bloomOf(dim, "dk", fpp = 0.01)
+      val fallbackJobs = settled()
+      assert(hintJobs < fallbackJobs,
+        s"hint=$hintJobs fallback=$fallbackJobs — hint must skip the sizing pass")
+      assert(bf2.bitSize() < 5000, s"bitSize ${bf2.bitSize()} — sized by rows?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bloomSemiJoin drops NULL probe keys") {
     val big = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"), (2L, "z"))
       .toDF("k", "v")
