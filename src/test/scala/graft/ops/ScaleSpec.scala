@@ -143,6 +143,45 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("zorder layout: row-group skipping measured at the scan, vs flat layout") {
+    // proof that the clustering PRUNES, not just that ranges are disjoint:
+    // parquet's row-group stats filter drops whole row groups before the
+    // scan emits rows, so the scan's numOutputRows (pre-Spark-filter)
+    // reveals exactly how much I/O the layout saved
+    val li = spark.read.parquet(sf("lineitem"))
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    Partitioning.zorderBy(li, Seq("l_quantity", "l_extendedprice"), 16)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    li.repartition(16).write.mode("overwrite").parquet(s"$dir/flat")
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .where(col("l_quantity") <= lit(3.0) &&
+          col("l_extendedprice") <= lit(5000.0))
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      scan.metrics("numOutputRows").value
+    }
+    val total = li.count()
+    val flatScanned = scanRows(s"$dir/flat")
+    val zScanned = scanRows(s"$dir/z")
+    // hash-partitioned layout: every row group spans the value range →
+    // stats can skip nothing
+    assert(flatScanned == total, s"flat layout skipped? $flatScanned/$total")
+    // z-ordered: the predicate touches a corner of the (qty, price) grid —
+    // most row groups must be skipped before the scan emits anything
+    assert(zScanned <= total / 4,
+      s"z-layout scan emitted $zScanned of $total rows — no effective pruning")
+    // both layouts agree on the answer, of course
+    val a = spark.read.parquet(s"$dir/z").where(col("l_quantity") <= 3.0 &&
+      col("l_extendedprice") <= 5000.0).agg(sum("l_orderkey")).head().getLong(0)
+    val b = spark.read.parquet(s"$dir/flat").where(col("l_quantity") <= 3.0 &&
+      col("l_extendedprice") <= 5000.0).agg(sum("l_orderkey")).head().getLong(0)
+    assert(a == b)
+  }
+
   test("bloomSemiJoin: keeps all matches, prunes almost everything else") {
     val big = (0L until 20000L).map(i => (i, i % 997)).toDF("k", "v")
     val dim = (0L until 20000L by 1000L).map(i => (i, s"d$i")).toDF("dk", "name")

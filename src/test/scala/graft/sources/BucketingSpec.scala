@@ -43,6 +43,38 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("bucket pruning: equality filter on the bucket key scans ONE bucket") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bspec3").toString
+    val li = spark.read.parquet(sf("lineitem"))
+      .select("l_suppkey", "l_quantity")
+    Bucketing.writeBucketed(spark, li, "bspec_li3", s"$base/li", "l_suppkey", 8)
+    // the auto-bucketed-scan heuristic turns bucketed reading off for plain
+    // filter queries (no partitioning requirement) — force it on so the
+    // bucket-pruning path is exercised
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = spark.table("bspec_li3").where(col("l_suppkey") === 3L)
+      val rows = q.collect()
+      assert(rows.nonEmpty && rows.forall(_.getLong(0) == 3L))
+      // the scan itself must report bucket pruning: 1 of 8 buckets selected
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning in scan:\n$plan")
+      // scan-level row metric: only the selected bucket's rows were read,
+      // not the whole table (bucket files hold ~1/8 of rows each)
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      val scanned = scan.metrics("numOutputRows").value
+      val total = li.count()
+      assert(scanned < total / 2,
+        s"scan read $scanned of $total rows — bucket pruning not effective")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS bspec_li3")
+    }
+  }
+
   test("groupBy on the bucket key is exchange-free too") {
     val base = java.nio.file.Files.createTempDirectory("graft_bspec2").toString
     val li = spark.read.parquet(sf("lineitem"))
