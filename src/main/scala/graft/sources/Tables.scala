@@ -26,10 +26,11 @@ object Tables {
     * raw (pre-normalization) schema must be used — the parquet reader cannot
     * coerce INT64(NANOS) to TimestampType, so the nanos column streams as
     * long and is normalized per micro-batch. */
-  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def loadStream(spark: SparkSession, dir: String, name: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val path = s"$dir/$name.parquet"
     val raw = spark.read.parquet(path).schema
-    normalize(name, spark.readStream.schema(raw).parquet(path))
+    normalize(name, spark.readStream.schema(raw).options(options).parquet(path))
   }
 
   private def normalize(name: String, df: DataFrame): DataFrame =

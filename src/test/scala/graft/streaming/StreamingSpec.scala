@@ -192,6 +192,81 @@ class StreamingSpec extends SparkTestBase {
       (2L, t0 + 14_400_001L, t0 + 14_460_001L)))
   }
 
+  test("file readStream (Tables.loadStream): sessionize + windowed sketches hash-match batch") {
+    // the REAL file-source path: events parquet streamed via readStream in
+    // multiple micro-batches (maxFilesPerTrigger=1), per-batch nanos→ts
+    // normalization, watermark + append — sink rows must equal the batch
+    // twin exactly on every deterministic field
+    val base = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    val evRaw = spark.read.parquet(sf("events")) // ts = raw long nanos
+    evRaw.coalesce(1).write.parquet(s"$base/events.parquet")
+    val maxTs = evRaw.agg(max("ts")).head().getLong(0)
+    // a far-future flush file pushes the watermark past every real window
+    Thread.sleep(1100) // distinct mod time → deterministic file order
+    evRaw.limit(1)
+      .withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("flush"))
+      .coalesce(1).write.mode("append").parquet(s"$base/events.parquet")
+
+    val batch = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    def fileStream() = graft.sources.Tables.loadStream(spark, base, "events",
+      Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+
+    // --- sessionize ---
+    val sq = StreamingSketches.sessionize(fileStream(), "ts", "2 hours",
+        "value", Seq("user_id"), watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("file_sess")
+      .outputMode("append").start()
+    try { sq.processAllAvailable() } finally sq.stop()
+    def sessKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Timestamp]("first_ts").getTime,
+        r.getAs[Timestamp]("last_ts").getTime, r.getAs[Long]("n_events"),
+        math.round(gfStatsSum(r) * 10000) / 10000.0)
+    def gfStatsSum(r: org.apache.spark.sql.Row): Double = r.getAs[Double]("sum_v")
+    val streamedSess = spark.table("file_sess")
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("first_ts"), col("last_ts"), col("n_events"),
+        gf.stats_sum(col("value_stats")).as("sum_v"))
+      .collect().map(sessKey).toSet
+    val batchSess = StreamingSketches.sessionize(batch, "ts", "2 hours",
+        "value", Seq("user_id"))
+      .select(col("user_id"), col("first_ts"), col("last_ts"), col("n_events"),
+        gf.stats_sum(col("value_stats")).as("sum_v"))
+      .collect().map(sessKey).toSet
+    assert(streamedSess == batchSess,
+      s"missing=${(batchSess -- streamedSess).take(3)} " +
+        s"extra=${(streamedSess -- batchSess).take(3)}")
+    assert(streamedSess.nonEmpty)
+
+    // --- windowed sketches ---
+    val wq = StreamingSketches.windowedSketches(fileStream(), "ts", "1 hour",
+        "value", "event_type", watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode("append").start()
+    try { wq.processAllAvailable() } finally wq.stop()
+    def winKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Timestamp]("ws").getTime, r.getAs[Long]("cnt"),
+        math.round(r.getAs[Double]("sum_v") * 10000) / 10000.0,
+        r.getAs[Double]("mn"), r.getAs[Double]("mx"))
+    def winCols(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("window.start").as("ws"),
+      gf.stats_count(col("value_stats")).as("cnt"),
+      gf.stats_sum(col("value_stats")).as("sum_v"),
+      gf.stats_min(col("value_stats")).as("mn"),
+      gf.stats_max(col("value_stats")).as("mx"))
+    val streamedWin = winCols(spark.table("file_win"))
+      .where(col("ws") <= new Timestamp(maxTs / 1000000L * 1000L))
+      .collect().map(winKey).toSet
+    val batchWin = winCols(StreamingSketches.windowedSketches(batch, "ts",
+        "1 hour", "value", "event_type"))
+      .collect().map(winKey).toSet
+    assert(streamedWin == batchWin,
+      s"missing=${(batchWin -- streamedWin).take(3)} " +
+        s"extra=${(streamedWin -- batchWin).take(3)}")
+    assert(streamedWin.nonEmpty)
+  }
+
   test("streaming windowed kmv_distinct == batch (set-union state)") {
     val rows = eventRows()
     implicit val sqlCtx = spark.sqlContext
