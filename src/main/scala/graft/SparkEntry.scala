@@ -577,6 +577,21 @@ object SparkEntry {
         .select(round(gf.kmv_jaccard(col("a"), col("b")), 6).as("jaccard"),
           gf.kmv_size(col("a")).as("n_even"), gf.kmv_size(col("b")).as("n_odd"))
     }),
+    "q67_kmv_setops" -> ((s, dir) => {
+      // union/intersection size estimation straight from two sketches
+      // (Beyer et al. ratio estimator) — exact mode here (k ≥ distinct),
+      // so the estimates are the true set sizes and every se is 0
+      val ev = t(s, dir, "events")
+      ev.agg(
+          gf.kmv_agg(when(col("user_id") % 2 === 0, col("event_type")), 8192).as("a"),
+          gf.kmv_agg(when(col("user_id") % 2 === 1, col("event_type")), 8192).as("b"))
+        .select(gf.kmv_set_ops(col("a"), col("b")).as("so"))
+        .select(col("so.union_d").cast("long").as("union_d"),
+          col("so.intersect_d").cast("long").as("inter_d"),
+          round(col("so.jaccard"), 6).as("jaccard"),
+          round(col("so.union_se") + col("so.intersect_se"), 6).as("total_se"),
+          col("so.exact").as("exact"))
+    }),
     "q47_sliding_windows" -> ((s, dir) => {
       // sliding event-time windows (2-day duration, 1-day slide): every
       // event folds into two overlapping windows — the same window()
@@ -1190,6 +1205,16 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                 6) AS jaccard,
                 (SELECT count(*) FROM a)::INT AS n_even,
                 (SELECT count(*) FROM b)::INT AS n_odd""",
+    "q67_kmv_setops" ->
+      """WITH a AS (SELECT DISTINCT event_type AS t FROM events WHERE user_id % 2 = 0),
+         b AS (SELECT DISTINCT event_type AS t FROM events WHERE user_id % 2 = 1)
+         SELECT (SELECT count(*) FROM (SELECT t FROM a UNION SELECT t FROM b))::BIGINT AS union_d,
+                (SELECT count(*) FROM (SELECT t FROM a INTERSECT SELECT t FROM b))::BIGINT AS inter_d,
+                round((SELECT count(*) FROM (SELECT t FROM a INTERSECT SELECT t FROM b))
+                  * 1.0 / (SELECT count(*) FROM (SELECT t FROM a UNION SELECT t FROM b)),
+                6) AS jaccard,
+                0.0 AS total_se,
+                true AS exact""",
     "q54_window_sketches" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
          count(l_quantity) OVER w AS running_n,

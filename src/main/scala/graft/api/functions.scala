@@ -130,6 +130,8 @@ object functions {
   def kmv_size(sketch: Column): Column = toColumn(KmvSize(toExpr(sketch)))
   def kmv_jaccard(a: Column, b: Column): Column =
     toColumn(KmvJaccard(toExpr(a), toExpr(b)))
+  def kmv_set_ops(a: Column, b: Column): Column =
+    toColumn(KmvSetOpsExpr(toExpr(a), toExpr(b)))
 
   // ---- Text analysis (training-data pipeline ops) ----
   def token_count(text: Column): Column = toColumn(TokenCount(toExpr(text)))
@@ -197,7 +199,7 @@ object GraftFunctions {
   /** Arity accepted by each SQL function, for clean WRONG_NUM_ARGS errors. */
   private val arities: Map[String, Seq[Int]] = Map(
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
-    "kmv_agg" -> Seq(1, 2), "kmv_jaccard" -> Seq(2),
+    "kmv_agg" -> Seq(1, 2), "kmv_jaccard" -> Seq(2), "kmv_set_ops" -> Seq(2),
     "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
     "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3),
     "nearest_centroids" -> Seq(3), "stats_mean" -> Seq(1),
@@ -271,6 +273,7 @@ object GraftFunctions {
     "kmv_distinct" -> { case Seq(s) => KmvDistinct(s) },
     "kmv_size" -> { case Seq(s) => KmvSize(s) },
     "kmv_jaccard" -> { case Seq(a, b) => KmvJaccard(a, b) },
+    "kmv_set_ops" -> { case Seq(a, b) => KmvSetOpsExpr(a, b) },
     "hash64" -> { case Seq(k) => Hash64(k) },
     "token_count" -> { case Seq(t) => TokenCount(t) },
     "token_count_bpe" -> { case Seq(t) =>

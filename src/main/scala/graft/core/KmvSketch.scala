@@ -90,6 +90,12 @@ final class KmvSketch(initialK: Int) extends Serializable {
   }
 }
 
+/** Result of [[KmvSketch.setOps]]: distinct-size estimates for the union
+  * and intersection of two sketched sets, the Jaccard ratio, and standard
+  * errors (all 0 in exact mode). */
+final case class KmvSetOps(unionD: Double, intersectD: Double,
+    jaccard: Double, unionSe: Double, intersectSe: Double, exact: Boolean)
+
 object KmvSketch {
   /** Unsigned 64-bit → (0, 1]: (h + 1) / 2^64 computed in two 32-bit halves
     * to keep double rounding benign. */
@@ -115,12 +121,31 @@ object KmvSketch {
     * SATURATED sketch's max may have been evicted there, so the sample is
     * truncated at min(maxA, maxB) when either side is full (Beyer et al.'s
     * estimator). Exact when both inputs are exact and their union fits k′. */
-  def jaccard(a: KmvSketch, b: KmvSketch): Double = {
+  def jaccard(a: KmvSketch, b: KmvSketch): Double = setOps(a, b).jaccard
+
+  /** Set-operation estimates for the sets behind two sketches of the SAME
+    * hash function, after Beyer et al. (SIGMOD 2007) §4:
+    *
+    *  - union: the merged KMV at k′ = min(kA, kB) is exactly the union's
+    *    KMV, so D̂∪ = (k′−1)/u_{k′} (exact below capacity);
+    *  - intersection: ratio estimator D̂∩ = ρ̂ · D̂∪ where ρ̂ = K∩/K_valid
+    *    over the union sample truncated to the region where membership in
+    *    BOTH inputs is decidable (hashes above a saturated sketch's max may
+    *    have been evicted there);
+    *  - jaccard = ρ̂.
+    *
+    * Standard errors: the (k−1)/u_k estimator's coefficient of variation
+    * is ≈ 1/√(k′−2); ρ̂'s is the binomial √(ρ̂(1−ρ̂)/K_valid); D̂∩
+    * combines both in quadrature. All zero in exact mode (both inputs
+    * exact and the union under capacity) — then the estimates ARE the true
+    * set sizes. */
+  def setOps(a: KmvSketch, b: KmvSketch): KmvSetOps = {
     val kk = math.min(a.k, b.k)
     val u = new KmvSketch(kk)
     u.merge(a); u.merge(b)
     val vs = u.values
-    if (vs.isEmpty) return 1.0 // both empty: identical sets
+    val exact = a.isExact && b.isExact && u.isExact
+    if (vs.isEmpty) return KmvSetOps(0.0, 0.0, 1.0, 0.0, 0.0, exact)
     @inline def le(x: Long, y: Long) = java.lang.Long.compareUnsigned(x, y) <= 0
     var both = 0
     var valid = 0
@@ -133,6 +158,16 @@ object KmvSketch {
       }
       i += 1
     }
-    if (valid == 0) 0.0 else both.toDouble / valid
+    val unionD = u.estimateDistinct
+    val rho = if (valid == 0) 0.0 else both.toDouble / valid
+    if (exact) KmvSetOps(unionD, both.toDouble, rho, 0.0, 0.0, exact = true)
+    else {
+      val unionSe = if (u.isExact) 0.0 else unionD / math.sqrt(kk - 2.0)
+      val jaccSe = if (valid == 0) 0.0 else math.sqrt(rho * (1 - rho) / valid)
+      val interD = rho * unionD
+      val interSe = math.sqrt(rho * rho * unionSe * unionSe +
+        unionD * unionD * jaccSe * jaccSe)
+      KmvSetOps(unionD, interD, rho, unionSe, interSe, exact = false)
+    }
   }
 }

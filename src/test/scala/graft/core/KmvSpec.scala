@@ -86,6 +86,53 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(est - truth) < 3.0 / math.sqrt(k2), s"est=$est truth=$truth")
   }
 
+  test("setOps: exact mode returns true set sizes, jaccard, zero se") {
+    val k = 4096
+    val a = new KmvSketch(k); val b = new KmvSketch(k)
+    val setA = (1L to 600L).toSet
+    val setB = (401L to 1000L).toSet
+    setA.foreach(v => a.add(TextHash.avalanche(v)))
+    setB.foreach(v => b.add(TextHash.avalanche(v)))
+    val r = KmvSketch.setOps(a, b)
+    assert(r.exact)
+    assert(r.unionD == (setA | setB).size.toDouble)
+    assert(r.intersectD == (setA & setB).size.toDouble)
+    assert(math.abs(r.jaccard -
+      (setA & setB).size.toDouble / (setA | setB).size) < 1e-15)
+    assert(r.unionSe == 0.0 && r.intersectSe == 0.0)
+    // empty ∪ empty
+    val r0 = KmvSketch.setOps(new KmvSketch(16), new KmvSketch(16))
+    assert(r0.exact && r0.unionD == 0.0 && r0.intersectD == 0.0 &&
+      r0.jaccard == 1.0)
+  }
+
+  test("setOps: sampled estimates land within their own error bounds") {
+    // 50k ∪ 50k with 25k overlap at k=1024; true union 75k, intersect 25k
+    val k = 1024
+    val a = new KmvSketch(k); val b = new KmvSketch(k)
+    (1L to 50000L).foreach(v => a.add(TextHash.avalanche(v)))
+    (25001L to 75000L).foreach(v => b.add(TextHash.avalanche(v)))
+    val r = KmvSketch.setOps(a, b)
+    assert(!r.exact)
+    assert(r.unionSe > 0 && r.intersectSe > 0)
+    // se formulas: union cv = 1/sqrt(k-2); estimates within 4 se of truth
+    assert(math.abs(r.unionSe - r.unionD / math.sqrt(k - 2.0)) < 1e-9)
+    assert(math.abs(r.unionD - 75000.0) <= 4 * r.unionSe,
+      s"union ${r.unionD} ± ${r.unionSe}")
+    assert(math.abs(r.intersectD - 25000.0) <= 4 * r.intersectSe,
+      s"intersect ${r.intersectD} ± ${r.intersectSe}")
+    assert(math.abs(r.jaccard - 25000.0 / 75000.0) < 3.0 / math.sqrt(k))
+    // estimator is symmetric
+    val s = KmvSketch.setOps(b, a)
+    assert(s.unionD == r.unionD && s.intersectD == r.intersectD)
+    // disjoint saturated sets: intersection estimate collapses toward 0
+    val c = new KmvSketch(k)
+    (1000001L to 1050000L).foreach(v => c.add(TextHash.avalanche(v)))
+    val d = KmvSketch.setOps(a, c)
+    assert(d.intersectD <= 4 * d.intersectSe + 1e-9,
+      s"disjoint intersect ${d.intersectD} ± ${d.intersectSe}")
+  }
+
   test("empty and degenerate sketches") {
     val e = new KmvSketch(16)
     assert(e.estimateDistinct == 0.0 && e.size == 0 && e.isExact)
