@@ -775,6 +775,31 @@ object SparkEntry {
         .orderBy("s_nationkey")
     }),
 
+    "q68_temporal_join" -> ((s, dir) => {
+      // SCD-2 temporal join: purchases define per-user value VERSIONS
+      // [ts, next-ts); low-value versions are dropped so real gaps open up
+      // — a click in a gap must get NULL even though an older version
+      // exists, which is exactly what distinguishes interval containment
+      // from a plain as-of carry
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val versions = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+        .withColumn("vt", lead(col("ts"), 1).over(w))
+        .withColumnRenamed("ts", "vf")
+        .where(col("value") > 50.0)
+      graft.ops.AsOf.joinTemporal(clicks, versions, Seq("user_id"),
+          "ts", "vf", "vt")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("vf_b")).as("n_matched"),
+          round(sum(col("value_b")), 4).as("sum_value"),
+          sum(unix_micros(col("ts")) - unix_micros(col("vf_b")))
+            .as("age_us"))
+        .orderBy("cohort")
+    }),
     "q63_asof_broadcast" -> ((s, dir) => {
       // same as-of semantics through the broadcast fast path (no probe
       // shuffle; per-key binary search) — shares q56's ASOF JOIN oracle
@@ -1397,6 +1422,22 @@ FROM fp, sim WHERE fp.doc_id = sim.doc_id"""),
                 cast(sum(cr) AS BIGINT) AS total_cross
          FROM c GROUP BY rate ORDER BY sample_rate"""),
     "q56_asof_join" -> asofJoinOracle,
+    "q68_temporal_join" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS value FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         v0 AS (SELECT user_id, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt, value
+             FROM p),
+         v AS (SELECT * FROM v0 WHERE value > 50.0),
+         c AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'click')
+         SELECT c.user_id % 10 AS cohort, count(*) AS n_clicks,
+                count(v.vf) AS n_matched,
+                round(sum(v.value), 4) AS sum_value,
+                cast(sum(epoch_us(c.ts) - epoch_us(v.vf)) AS BIGINT) AS age_us
+         FROM c LEFT JOIN v ON c.user_id = v.user_id
+           AND c.ts >= v.vf AND (v.vt IS NULL OR c.ts < v.vt)
+         GROUP BY 1 ORDER BY 1""",
     // q63 is the broadcast fast path of the same operator: by construction
     // it must produce exactly the window variant's (= the oracle's) rows
     "q63_asof_broadcast" -> asofJoinOracle,

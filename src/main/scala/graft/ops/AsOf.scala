@@ -205,6 +205,43 @@ object AsOf {
       .drop("__split", "__carry")
   }
 
+  /** Temporal (interval / SCD-2) join: attach to every probe row the build
+    * VERSION whose validity interval `[validFrom, validTo)` contains the
+    * probe time — the "dimension state as of event time" join. `validTo`
+    * NULL means the version is still open. Intervals must be non-overlapping
+    * per key (the SCD-2 contract; with overlaps, which overlapping version
+    * wins is undefined).
+    *
+    * Plan shape: exactly [[joinAsOf]] on `validFrom` (one shuffle + window
+    * pass — never the quadratic range-join Catalyst would plan for
+    * `p.ts >= b.from AND p.ts < b.to`), followed by a row-local expiry
+    * check that nulls out versions that ended at-or-before the probe time.
+    * End-exclusive: a probe exactly at `validTo` of a version falls in the
+    * NEXT version (or a gap). NULL semantics and `timeSplits` hot-key
+    * handling inherit from [[joinAsOf]].
+    */
+  def joinTemporal(probe: DataFrame, build: DataFrame, on: Seq[String],
+      probeTime: String, validFrom: String, validTo: String,
+      buildSuffix: String = "_b", inner: Boolean = false,
+      timeSplits: Int = 1): DataFrame = {
+    require(validFrom != validTo, "validFrom and validTo must differ")
+    val joined = joinAsOf(probe, build, on, probeTime, validFrom,
+      forward = false, toleranceSec = None, buildSuffix = buildSuffix,
+      inner = false, timeSplits = timeSplits)
+    val vtB = col(validTo + buildSuffix)
+    // live ⇔ a version matched (validFrom is never NULL in a match) and it
+    // has not expired; comparison on the double view, as in joinAsOf
+    val live = col(validFrom + buildSuffix).isNotNull &&
+      (vtB.isNull || col(probeTime).cast("double") < vtB.cast("double"))
+    val bOut = build.columns.filterNot(on.contains).map(_ + buildSuffix)
+    val probeCols = joined.columns.filterNot(bOut.contains)
+    val expired = joined.select(
+      probeCols.map(col) ++
+        bOut.map(c => when(live, col(c)).as(c)): _*)
+    if (inner) expired.where(col(validFrom + buildSuffix).isNotNull)
+    else expired
+  }
+
   /** Broadcast as-of join for a SMALL build side: the probe side is not
     * shuffled (or sorted) at all — each task binary-searches a broadcast
     * map of per-key time-sorted build rows. Same semantics and output

@@ -224,6 +224,50 @@ class AsOfSpec extends SparkTestBase {
     assert(splitS.except(baseS).isEmpty && baseS.except(splitS).isEmpty)
   }
 
+  test("joinTemporal: interval containment, gaps, open versions, end-exclusive") {
+    // versions for key 1: [0,10) v=a, gap [10,20), [20,30) v=c, [30,∞) v=d
+    val build = Seq(
+      (1L, 0.0, java.lang.Double.valueOf(10.0), "a"),
+      (1L, 20.0, java.lang.Double.valueOf(30.0), "c"),
+      (1L, 30.0, null.asInstanceOf[java.lang.Double], "d"),
+      (2L, 5.0, java.lang.Double.valueOf(6.0), "z"))
+      .toDF("k", "vf", "vt", "ver")
+    val probe = Seq(
+      (1L, -1.0, "before"), (1L, 0.0, "at-start"), (1L, 9.99, "in-a"),
+      (1L, 10.0, "gap-start"), (1L, 15.0, "in-gap"), (1L, 20.0, "in-c"),
+      (1L, 30.0, "at-d"), (1L, 99.0, "open-d"),
+      (2L, 6.0, "at-z-end"), (3L, 1.0, "no-key"))
+      .toDF("k", "t", "pid")
+    val want = Map(
+      "before" -> None, "at-start" -> Some("a"), "in-a" -> Some("a"),
+      "gap-start" -> None, // end-exclusive: t == vt of a
+      "in-gap" -> None, // older version exists but EXPIRED — not an as-of
+      "in-c" -> Some("c"), "at-d" -> Some("d"), "open-d" -> Some("d"),
+      "at-z-end" -> None, "no-key" -> None)
+    for (splits <- Seq(1, 4)) {
+      val got = AsOf.joinTemporal(probe, build, Seq("k"), "t", "vf", "vt",
+          timeSplits = splits)
+        .select("pid", "ver_b").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(got == want, s"splits=$splits")
+      // expired version must null EVERY build column atomically
+      val gapRow = AsOf.joinTemporal(probe, build, Seq("k"), "t", "vf", "vt",
+        timeSplits = splits).where(col("pid") === "in-gap").head()
+      assert(gapRow.isNullAt(gapRow.fieldIndex("vf_b")) &&
+        gapRow.isNullAt(gapRow.fieldIndex("vt_b")) &&
+        gapRow.isNullAt(gapRow.fieldIndex("ver_b")))
+    }
+    // inner mode keeps only live matches
+    val inner = AsOf.joinTemporal(probe, build, Seq("k"), "t", "vf", "vt",
+      inner = true).select("pid").as[String].collect().toSet
+    assert(inner == want.collect { case (p, Some(_)) => p }.toSet)
+    // plan: still the window formulation, no range join
+    val plan = AsOf.joinTemporal(probe, build, Seq("k"), "t", "vf", "vt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("reserved internal column names are rejected up front") {
     val bad = probeDf.withColumn("__match", lit(1))
     intercept[IllegalArgumentException] {
