@@ -586,9 +586,13 @@ object SparkEntry {
           gf.kmv_agg(when(col("user_id") % 2 === 0, col("event_type")), 8192).as("a"),
           gf.kmv_agg(when(col("user_id") % 2 === 1, col("event_type")), 8192).as("b"))
         .select(gf.kmv_set_ops(col("a"), col("b")).as("so"))
-        .select(col("so.union_d").cast("long").as("union_d"),
+        .select(col("so.a_d").cast("long").as("a_d"),
+          col("so.b_d").cast("long").as("b_d"),
+          col("so.union_d").cast("long").as("union_d"),
           col("so.intersect_d").cast("long").as("inter_d"),
           round(col("so.jaccard"), 6).as("jaccard"),
+          round(col("so.contain_a"), 6).as("contain_a"),
+          round(col("so.contain_b"), 6).as("contain_b"),
           round(col("so.union_se") + col("so.intersect_se"), 6).as("total_se"),
           col("so.exact").as("exact"))
     }),
@@ -1232,14 +1236,18 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                 (SELECT count(*) FROM b)::INT AS n_odd""",
     "q67_kmv_setops" ->
       """WITH a AS (SELECT DISTINCT event_type AS t FROM events WHERE user_id % 2 = 0),
-         b AS (SELECT DISTINCT event_type AS t FROM events WHERE user_id % 2 = 1)
-         SELECT (SELECT count(*) FROM (SELECT t FROM a UNION SELECT t FROM b))::BIGINT AS union_d,
-                (SELECT count(*) FROM (SELECT t FROM a INTERSECT SELECT t FROM b))::BIGINT AS inter_d,
-                round((SELECT count(*) FROM (SELECT t FROM a INTERSECT SELECT t FROM b))
-                  * 1.0 / (SELECT count(*) FROM (SELECT t FROM a UNION SELECT t FROM b)),
-                6) AS jaccard,
+         b AS (SELECT DISTINCT event_type AS t FROM events WHERE user_id % 2 = 1),
+         n AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb,
+                 (SELECT count(*) FROM (SELECT t FROM a UNION SELECT t FROM b)) AS nu,
+                 (SELECT count(*) FROM (SELECT t FROM a INTERSECT SELECT t FROM b)) AS ni)
+         SELECT na::BIGINT AS a_d, nb::BIGINT AS b_d, nu::BIGINT AS union_d,
+                ni::BIGINT AS inter_d,
+                round(ni * 1.0 / nu, 6) AS jaccard,
+                round(least(1.0, ni * 1.0 / na), 6) AS contain_a,
+                round(least(1.0, ni * 1.0 / nb), 6) AS contain_b,
                 0.0 AS total_se,
-                true AS exact""",
+                true AS exact
+         FROM n""",
     "q54_window_sketches" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,
          count(l_quantity) OVER w AS running_n,

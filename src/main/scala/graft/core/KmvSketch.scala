@@ -90,11 +90,13 @@ final class KmvSketch(initialK: Int) extends Serializable {
   }
 }
 
-/** Result of [[KmvSketch.setOps]]: distinct-size estimates for the union
-  * and intersection of two sketched sets, the Jaccard ratio, and standard
+/** Result of [[KmvSketch.setOps]]: distinct-size estimates for each side,
+  * their union and intersection, the Jaccard ratio, containments
+  * (|A∩B|/|A|, |A∩B|/|B| — "how much of A is inside B"), and standard
   * errors (all 0 in exact mode). */
-final case class KmvSetOps(unionD: Double, intersectD: Double,
-    jaccard: Double, unionSe: Double, intersectSe: Double, exact: Boolean)
+final case class KmvSetOps(aD: Double, bD: Double, unionD: Double,
+    intersectD: Double, jaccard: Double, containA: Double, containB: Double,
+    unionSe: Double, intersectSe: Double, exact: Boolean)
 
 object KmvSketch {
   /** Unsigned 64-bit → (0, 1]: (h + 1) / 2^64 computed in two 32-bit halves
@@ -144,8 +146,11 @@ object KmvSketch {
     val u = new KmvSketch(kk)
     u.merge(a); u.merge(b)
     val vs = u.values
+    val aD = a.estimateDistinct
+    val bD = b.estimateDistinct
     val exact = a.isExact && b.isExact && u.isExact
-    if (vs.isEmpty) return KmvSetOps(0.0, 0.0, 1.0, 0.0, 0.0, exact)
+    if (vs.isEmpty) return KmvSetOps(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0,
+      0.0, 0.0, exact)
     @inline def le(x: Long, y: Long) = java.lang.Long.compareUnsigned(x, y) <= 0
     var both = 0
     var valid = 0
@@ -160,14 +165,21 @@ object KmvSketch {
     }
     val unionD = u.estimateDistinct
     val rho = if (valid == 0) 0.0 else both.toDouble / valid
-    if (exact) KmvSetOps(unionD, both.toDouble, rho, 0.0, 0.0, exact = true)
-    else {
+    @inline def contain(d: Double, inter: Double): Double =
+      if (d <= 0.0) 1.0 else math.min(1.0, inter / d)
+    if (exact) {
+      KmvSetOps(aD, bD, unionD, both.toDouble, rho,
+        contain(aD, both.toDouble), contain(bD, both.toDouble),
+        0.0, 0.0, exact = true)
+    } else {
       val unionSe = if (u.isExact) 0.0 else unionD / math.sqrt(kk - 2.0)
       val jaccSe = if (valid == 0) 0.0 else math.sqrt(rho * (1 - rho) / valid)
       val interD = rho * unionD
       val interSe = math.sqrt(rho * rho * unionSe * unionSe +
         unionD * unionD * jaccSe * jaccSe)
-      KmvSetOps(unionD, interD, rho, unionSe, interSe, exact = false)
+      KmvSetOps(aD, bD, unionD, interD, rho,
+        contain(aD, interD), contain(bD, interD),
+        unionSe, interSe, exact = false)
     }
   }
 }

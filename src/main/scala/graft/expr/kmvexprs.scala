@@ -39,9 +39,13 @@ case class KmvSetOpsExpr(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = StructType(Seq(
+    StructField("a_d", DoubleType, nullable = false),
+    StructField("b_d", DoubleType, nullable = false),
     StructField("union_d", DoubleType, nullable = false),
     StructField("intersect_d", DoubleType, nullable = false),
     StructField("jaccard", DoubleType, nullable = false),
+    StructField("contain_a", DoubleType, nullable = false),
+    StructField("contain_b", DoubleType, nullable = false),
     StructField("union_se", DoubleType, nullable = false),
     StructField("intersect_se", DoubleType, nullable = false),
     StructField("exact", BooleanType, nullable = false)))
@@ -51,7 +55,8 @@ case class KmvSetOpsExpr(left: Expression, right: Expression)
       KmvSketch.deserialize(a.asInstanceOf[Array[Byte]]),
       KmvSketch.deserialize(b.asInstanceOf[Array[Byte]]))
     org.apache.spark.sql.catalyst.InternalRow(
-      r.unionD, r.intersectD, r.jaccard, r.unionSe, r.intersectSe, r.exact)
+      r.aD, r.bD, r.unionD, r.intersectD, r.jaccard, r.containA, r.containB,
+      r.unionSe, r.intersectSe, r.exact)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)

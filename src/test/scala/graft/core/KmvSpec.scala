@@ -95,10 +95,15 @@ class KmvSpec extends AnyFunSuite {
     setB.foreach(v => b.add(TextHash.avalanche(v)))
     val r = KmvSketch.setOps(a, b)
     assert(r.exact)
+    assert(r.aD == setA.size.toDouble && r.bD == setB.size.toDouble)
     assert(r.unionD == (setA | setB).size.toDouble)
     assert(r.intersectD == (setA & setB).size.toDouble)
     assert(math.abs(r.jaccard -
       (setA & setB).size.toDouble / (setA | setB).size) < 1e-15)
+    assert(math.abs(r.containA -
+      (setA & setB).size.toDouble / setA.size) < 1e-15)
+    assert(math.abs(r.containB -
+      (setA & setB).size.toDouble / setB.size) < 1e-15)
     assert(r.unionSe == 0.0 && r.intersectSe == 0.0)
     // empty ∪ empty
     val r0 = KmvSketch.setOps(new KmvSketch(16), new KmvSketch(16))
@@ -122,9 +127,12 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(r.intersectD - 25000.0) <= 4 * r.intersectSe,
       s"intersect ${r.intersectD} ± ${r.intersectSe}")
     assert(math.abs(r.jaccard - 25000.0 / 75000.0) < 3.0 / math.sqrt(k))
-    // estimator is symmetric
+    // estimator is symmetric (sides swap, set results identical)
     val s = KmvSketch.setOps(b, a)
     assert(s.unionD == r.unionD && s.intersectD == r.intersectD)
+    assert(s.aD == r.bD && s.containA == r.containB)
+    // containment ≈ 0.5 here (25k of A's 50k are shared)
+    assert(math.abs(r.containA - 0.5) < 0.1, s"containA=${r.containA}")
     // disjoint saturated sets: intersection estimate collapses toward 0
     val c = new KmvSketch(k)
     (1000001L to 1050000L).foreach(v => c.add(TextHash.avalanche(v)))
