@@ -577,6 +577,19 @@ object SparkEntry {
         .select(round(gf.kmv_jaccard(col("a"), col("b")), 6).as("jaccard"),
           gf.kmv_size(col("a")).as("n_even"), gf.kmv_size(col("b")).as("n_odd"))
     }),
+    "q69_seq_packing" -> ((s, dir) => {
+      // sequence packing: deterministic contiguous fill of ~4096-token bins
+      // in doc_id order via the distributed prefix sum (quantile-bucket
+      // scan — never a global single-partition window)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
+      graft.ops.Packing.packByTokenBudget(docs, "doc_id", "n_tok", 4096L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("tok_sum"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
+    }),
     "q67_kmv_setops" -> ((s, dir) => {
       // union/intersection size estimation straight from two sketches
       // (Beyer et al. ratio estimator) — exact mode here (k ≥ distinct),
@@ -1234,6 +1247,16 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                 6) AS jaccard,
                 (SELECT count(*) FROM a)::INT AS n_even,
                 (SELECT count(*) FROM b)::INT AS n_odd""",
+    "q69_seq_packing" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - n_tok AS before FROM d)
+         SELECT (before // 4096)::BIGINT AS bin, count(*) AS n_docs,
+                cast(sum(n_tok) AS BIGINT) AS tok_sum,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q67_kmv_setops" ->
       """WITH a AS (SELECT DISTINCT event_type AS t FROM events WHERE user_id % 2 = 0),
          b AS (SELECT DISTINCT event_type AS t FROM events WHERE user_id % 2 = 1),

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training pipelines: assign documents to
+  * fixed-token-budget bins in a deterministic global order, so a 100 TB
+  * corpus packs identically on every rerun and from any partitioning.
+  *
+  * The primitive is a DISTRIBUTED PREFIX SUM. The naive Spark formulation —
+  * `sum(v) over (order by key rows unbounded preceding)` with no partition
+  * spec — funnels the whole dataset through ONE task; instead this runs the
+  * classic two-level scan: quantile-bucket the order key (t-digest pass,
+  * [[Partitioning]] machinery), cumsum within each bucket (partition-local
+  * window), and add the broadcast prefix of per-bucket totals — three cheap
+  * parallel passes, no global sort bottleneck, exact results independent of
+  * bucketing.
+  *
+  * Packing itself is "contiguous fill": bin = floor(cumsum_before/budget)
+  * in order-key order. Every bin's payload is ≥ budget only via its LAST
+  * document straddling the boundary (overflow < that document's length) —
+  * the standard streaming-packing contract; callers that must hard-cap a
+  * bin truncate or re-split the straddler downstream.
+  */
+object Packing {
+
+  /** Adds `outCol` = inclusive prefix sum of `valueCol` in ascending
+    * `orderCol` order. `orderCol` must be numeric with UNIQUE values (ties
+    * would make the scan order, and thus the result, nondeterministic).
+    * `buckets` bounds the parallelism of the scan (default: shuffle
+    * partitions). */
+  def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, buckets: Int = 0): DataFrame = {
+    val reserved = Seq("__bkt", "__local")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val n = math.max(2, if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions)
+    val bounds = Partitioning.quantileBoundaries(df, orderCol, n)
+    val bucketed = Partitioning.assignBuckets(df, orderCol, bounds, "__bkt")
+    // per-bucket totals: one map-side-combined aggregation, driver gets
+    // `buckets` rows; prefix offsets broadcast back as a literal array
+    val totals = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col(valueCol).cast("double")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val offsets = new Array[Double](bounds.length + 1)
+    var acc = 0.0
+    (0 to bounds.length).foreach { b =>
+      offsets(b) = acc
+      acc += totals.getOrElse(b, 0.0)
+    }
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("__local", sum(col(valueCol).cast("double")).over(w))
+      .withColumn(outCol,
+        col("__local") + element_at(
+          array(offsets.map(lit).toIndexedSeq: _*), col("__bkt") + 1))
+      .drop("__bkt", "__local")
+  }
+
+  /** Packs rows into bins of ≈`budget` tokens: adds `bin` (0-based) and
+    * `bin_offset` (tokens before this row within its bin). Deterministic in
+    * `orderCol` order; see the class doc for the straddler contract. */
+  def packByTokenBudget(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long, buckets: Int = 0): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val withCum = withPrefixSum(df, orderCol, tokenCol, "__cum", buckets)
+    val before = (col("__cum") - col(tokenCol)).cast("long")
+    withCum
+      .withColumn("bin", floor(before / lit(budget.toDouble)).cast("long"))
+      .withColumn("bin_offset", (before - col("bin") * lit(budget)).cast("long"))
+      .drop("__cum")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.api.{functions => gf}
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sum + sequence packing vs brute force. */
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("withPrefixSum == brute-force cumsum; partitioning-invariant; no global window") {
+    val rows = (0L until 5000L).map(i => (i, (i * 37 % 91 + 1).toDouble))
+    val df = rows.toDF("k", "v")
+    val want = rows.sortBy(_._1).scanLeft((-1L, 0.0)) {
+      case ((_, acc), (k, v)) => (k, acc + v)
+    }.drop(1).toMap
+    for (reparted <- Seq(df, df.repartition(13), df.orderBy(desc("k")))) {
+      val got = Packing.withPrefixSum(reparted, "k", "v", "cum", buckets = 8)
+        .select("k", "cum").collect().map(r => r.getLong(0) -> r.getDouble(1))
+        .toMap
+      assert(got == want)
+    }
+    // the scan must NOT be a single global-partition window: the window
+    // partitions by the quantile bucket
+    val plan = Packing.withPrefixSum(df, "k", "v", "cum", buckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"), plan)
+  }
+
+  test("packByTokenBudget: deterministic contiguous fill, offsets within budget") {
+    val docs = (0L until 2000L).map(i => (i, (i * 13 % 200 + 1).toInt))
+    val df = docs.toDF("doc_id", "n_tok")
+    val budget = 1000L
+    val got = Packing.packByTokenBudget(df, "doc_id", "n_tok", budget,
+        buckets = 8)
+      .select("doc_id", "n_tok", "bin", "bin_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // brute force: contiguous fill by cumsum-before
+    var acc = 0L
+    val want = docs.sortBy(_._1).map { case (id, tok) =>
+      val before = acc; acc += tok
+      (id, tok, before / budget, before - before / budget * budget)
+    }
+    assert(got.toSeq == want)
+    // offsets always inside the budget window
+    assert(got.forall(r => r._4 >= 0 && r._4 < budget))
+    // bins are contiguous and monotone in doc order
+    val bins = got.map(_._3)
+    assert(bins.toSet == (bins.min to bins.max).toSet)
+    assert(bins.zip(bins.tail).forall { case (a, b) => b >= a })
+    // contiguous fill: every non-final bin holds ≥ budget − maxDocLen
+    // tokens (its span is a full budget window minus straddler overflow)
+    val maxDoc = docs.map(_._2.toLong).max
+    val binTotals = got.groupBy(_._3).map { case (b, rs) => b -> rs.map(_._2.toLong).sum }
+    (bins.min until bins.max).foreach { b =>
+      assert(binTotals(b) >= budget - maxDoc, s"bin $b starved: ${binTotals(b)}")
+    }
+  }
+
+  test("packing works end-to-end on the documents fixture") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
+    val packed = Packing.packByTokenBudget(docs, "doc_id", "n_tok", 4096L)
+    val total = docs.agg(sum(col("n_tok").cast("long"))).head().getLong(0)
+    val nBins = packed.agg(countDistinct("bin")).head().getLong(0)
+    assert(nBins == total / 4096 + (if (total % 4096 > 0) 1 else 0) ||
+      nBins == math.max(1, total / 4096), s"bins $nBins for $total tokens")
+    assert(packed.count() == docs.count())
+  }
+}
