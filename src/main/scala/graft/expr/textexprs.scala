@@ -64,6 +64,173 @@ object TextHash {
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || 0x0b == c
 }
 
+/** Per-row kernels behind the text expressions, as plain static methods so
+  * generated code calls them directly — the expressions stay inside
+  * whole-stage codegen (a CodegenFallback would bridge through interpreted
+  * eval with per-row InternalRow construction). */
+object TextKernels {
+  def minhash(t: UTF8String, n: Int, k: Int, seed: Long): GenericArrayData = {
+    require(n >= 1, "shingle_n must be >= 1")
+    require(k >= 1 && k <= 1024, "num_hashes must be in [1, 1024]")
+    val nTok = TextHash.tokenHashes(t, null, seed)
+    val toks = new Array[Long](nTok)
+    TextHash.tokenHashes(t, toks, seed)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (nTok >= n) {
+      var i = 0
+      while (i + n <= nTok) {
+        var h = 0x27d4eb2f165667c5L
+        var j = 0
+        while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
+        val h2 = TextHash.avalanche(h) | 1L
+        var f = 0
+        var hi = h
+        while (f < k) {
+          if (hi < sig(f)) sig(f) = hi
+          hi += h2
+          f += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash(t: UTF8String, n: Int): Long = {
+    require(n >= 1, "shingle_n must be >= 1")
+    val nTok = TextHash.tokenHashes(t, null, 0L)
+    val toks = new Array[Long](nTok)
+    TextHash.tokenHashes(t, toks, 0L)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i + n <= nTok) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private def shingleSet(s: UTF8String, n: Int): java.util.HashSet[java.lang.Long] = {
+    val nTok = TextHash.tokenHashes(s, null, 0L)
+    val toks = new Array[Long](nTok)
+    TextHash.tokenHashes(s, toks, 0L)
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= nTok) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
+      set.add(h)
+      i += 1
+    }
+    set
+  }
+
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    require(n >= 1, "shingle_n must be >= 1")
+    val sa = shingleSet(a, n)
+    val sb = shingleSet(b, n)
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  def docFingerprint(t: UTF8String, k: Int): Long = {
+    require(k >= 1, "window must be >= 1")
+    val b = t.getBytes
+    if (b.length < k) TextHash.hashBytes(b, 0, b.length, 0L)
+    else {
+      // polynomial rolling hash with precomputed base^(k-1) for O(1) slide
+      val base = 0x100000001b3L
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= base; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * base + (b(i) & 0xffL); i += 1 }
+      var min = TextHash.avalanche(h)
+      while (i < b.length) {
+        h = (h - (b(i - k) & 0xffL) * pow) * base + (b(i) & 0xffL)
+        val a = TextHash.avalanche(h)
+        if (a < min) min = a
+        i += 1
+      }
+      min
+    }
+  }
+
+  def langId(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (s.isEmpty) return UTF8String.fromString("und")
+    var cjk = 0; var total = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (!Character.isWhitespace(cp)) {
+        total += 1
+        if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)) cjk += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (total > 0 && cjk.toDouble / total > 0.2) return UTF8String.fromString("zh")
+    val toks = s.toLowerCase.split("\\s+")
+    var best = "und"; var bestHits = 0
+    LangProfiles.sortedProfiles.foreach { case (lang, words) =>
+      val hits = toks.count(words.contains)
+      if (hits > bestHits) { best = lang; bestHits = hits }
+    }
+    UTF8String.fromString(best)
+  }
+
+  def textStats(input: UTF8String): GenericInternalRow = {
+    val s = input.toString
+    val n = s.length
+    var alpha = 0; var digit = 0; var punct = 0; var space = 0; var upper = 0
+    var tokens = 0; var inTok = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { space += 1; inTok = false }
+      else {
+        if (!inTok) { tokens += 1; inTok = true }
+        if (Character.isLetter(c)) { alpha += 1; if (Character.isUpperCase(c)) upper += 1 }
+        else if (Character.isDigit(c)) digit += 1
+        else punct += 1
+      }
+      i += 1
+    }
+    val d = if (n == 0) 1.0 else n.toDouble
+    val row = new GenericInternalRow(8)
+    row.setInt(0, n)
+    row.setInt(1, tokens)
+    row.setDouble(2, if (tokens == 0) 0.0 else (n - space).toDouble / tokens)
+    row.setDouble(3, alpha / d)
+    row.setDouble(4, digit / d)
+    row.setDouble(5, punct / d)
+    row.setDouble(6, space / d)
+    row.setDouble(7, upper / d)
+    row
+  }
+
+  /** Java-reachable name of this object for generated code. */
+  val RefName: String =
+    classOf[TextKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+}
+
 /** hash64(x) → long: the engine's deterministic 64-bit row-key hash.
   * The deterministic-sampling primitive: reproducible across runs, JVMs and
   * partitionings (no RNG, no partition index), so sample membership is a
@@ -126,12 +293,18 @@ case class Hash64(child: Expression) extends UnaryExpression {
 
 /** token_count(text) → int: number of whitespace-separated tokens. */
 case class TokenCount(child: Expression)
-  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "token_count"
   override protected def nullSafeEval(input: Any): Any =
     TextHash.tokenHashes(input.asInstanceOf[UTF8String], null, 0L)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode = {
+    val th = classOf[TextHash.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $th.tokenHashes($c, (long[]) null, 0L);")
+  }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -144,43 +317,20 @@ case class TokenCount(child: Expression)
   */
 case class MinHashSignature(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
-  extends QuaternaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  extends QuaternaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(StringType, IntegerType, IntegerType, LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(t: Any, nAny: Any, kAny: Any, seedAny: Any): Any = {
-    val n = nAny.asInstanceOf[Int]
-    val k = kAny.asInstanceOf[Int]
-    val seed = seedAny.asInstanceOf[Long]
-    require(n >= 1, "shingle_n must be >= 1")
-    require(k >= 1 && k <= 1024, "num_hashes must be in [1, 1024]")
-    val s = t.asInstanceOf[UTF8String]
-    val nTok = TextHash.tokenHashes(s, null, seed)
-    val toks = new Array[Long](nTok)
-    TextHash.tokenHashes(s, toks, seed)
-    val sig = Array.fill(k)(Long.MaxValue)
-    if (nTok >= n) {
-      var i = 0
-      while (i + n <= nTok) {
-        var h = 0x27d4eb2f165667c5L
-        var j = 0
-        while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
-        val h2 = TextHash.avalanche(h) | 1L
-        var f = 0
-        var hi = h
-        while (f < k) {
-          if (hi < sig(f)) sig(f) = hi
-          hi += h2
-          f += 1
-        }
-        i += 1
-      }
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def nullSafeEval(t: Any, nAny: Any, kAny: Any, seedAny: Any): Any =
+    TextKernels.minhash(t.asInstanceOf[UTF8String], nAny.asInstanceOf[Int],
+      kAny.asInstanceOf[Int], seedAny.asInstanceOf[Long])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, k, seed) =>
+      s"${ev.value} = ${TextKernels.RefName}.minhash($t, $n, $k, $seed);")
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression) = copy(a, b, c, d)
 }
@@ -189,36 +339,17 @@ case class MinHashSignature(first: Expression, second: Expression,
   * Near-duplicate docs differ in few bits (hamming distance via
   * bit_count(a ^ b), a stock Spark function). */
 case class SimHash64(left: Expression, right: Expression)
-  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override protected def nullSafeEval(t: Any, nAny: Any): Any = {
-    val n = nAny.asInstanceOf[Int]
-    require(n >= 1, "shingle_n must be >= 1")
-    val s = t.asInstanceOf[UTF8String]
-    val nTok = TextHash.tokenHashes(s, null, 0L)
-    val toks = new Array[Long](nTok)
-    TextHash.tokenHashes(s, toks, 0L)
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i + n <= nTok) {
-      var h = 0x27d4eb2f165667c5L
-      var j = 0
-      while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  override protected def nullSafeEval(t: Any, nAny: Any): Any =
+    TextKernels.simhash(t.asInstanceOf[UTF8String], nAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = ${TextKernels.RefName}.simhash($t, $n);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -227,40 +358,18 @@ case class SimHash64(left: Expression, right: Expression)
   * documents' n-token-shingle sets (the verification step after LSH
   * candidate generation). */
 case class NgramJaccard(first: Expression, second: Expression, third: Expression)
-  extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, IntegerType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "ngram_jaccard"
 
-  private def shingleSet(s: UTF8String, n: Int): java.util.HashSet[java.lang.Long] = {
-    val nTok = TextHash.tokenHashes(s, null, 0L)
-    val toks = new Array[Long](nTok)
-    TextHash.tokenHashes(s, toks, 0L)
-    val set = new java.util.HashSet[java.lang.Long]()
-    var i = 0
-    while (i + n <= nTok) {
-      var h = 0x27d4eb2f165667c5L
-      var j = 0
-      while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
-      set.add(h)
-      i += 1
-    }
-    set
-  }
-
-  override protected def nullSafeEval(a: Any, b: Any, nAny: Any): Any = {
-    val n = nAny.asInstanceOf[Int]
-    require(n >= 1, "shingle_n must be >= 1")
-    val sa = shingleSet(a.asInstanceOf[UTF8String], n)
-    val sb = shingleSet(b.asInstanceOf[UTF8String], n)
-    if (sa.isEmpty && sb.isEmpty) 1.0
-    else {
-      var inter = 0
-      val it = sa.iterator()
-      while (it.hasNext) if (sb.contains(it.next())) inter += 1
-      inter.toDouble / (sa.size + sb.size - inter)
-    }
-  }
+  override protected def nullSafeEval(a: Any, b: Any, nAny: Any): Any =
+    TextKernels.ngramJaccard(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], nAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, n) =>
+      s"${ev.value} = ${TextKernels.RefName}.ngramJaccard($a, $b, $n);")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
 }
@@ -270,35 +379,18 @@ case class NgramJaccard(first: Expression, second: Expression, third: Expression
   * Equal fingerprints ⇒ likely shared content run; cheap first-pass near-dup
   * key that is robust to token reordering at the edges. */
 case class DocFingerprint(left: Expression, right: Expression)
-  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = LongType
   override def prettyName: String = "doc_fingerprint"
 
-  override protected def nullSafeEval(t: Any, kAny: Any): Any = {
-    val k = kAny.asInstanceOf[Int]
-    require(k >= 1, "window must be >= 1")
-    val b = t.asInstanceOf[UTF8String].getBytes
-    if (b.length < k) TextHash.hashBytes(b, 0, b.length, 0L)
-    else {
-      // polynomial rolling hash with precomputed base^(k-1) for O(1) slide
-      val base = 0x100000001b3L
-      var pow = 1L
-      var i = 0
-      while (i < k - 1) { pow *= base; i += 1 }
-      var h = 0L
-      i = 0
-      while (i < k) { h = h * base + (b(i) & 0xffL); i += 1 }
-      var min = TextHash.avalanche(h)
-      while (i < b.length) {
-        h = (h - (b(i - k) & 0xffL) * pow) * base + (b(i) & 0xffL)
-        val a = TextHash.avalanche(h)
-        if (a < min) min = a
-        i += 1
-      }
-      min
-    }
-  }
+  override protected def nullSafeEval(t: Any, kAny: Any): Any =
+    TextKernels.docFingerprint(t.asInstanceOf[UTF8String],
+      kAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = ${TextKernels.RefName}.docFingerprint($t, $k);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -315,39 +407,25 @@ object LangProfiles {
       "für", "auf", "des", "ein", "eine", "nicht", "auch", "sich", "es", "zu", "dem"),
     "fr" -> Set("le", "la", "de", "et", "les", "des", "un", "une", "du", "est",
       "en", "que", "qui", "dans", "pour", "pas", "sur", "au", "ne", "ce"))
+  /** Deterministic iteration order for the argmax tie-break. */
+  val sortedProfiles: Seq[(String, Set[String])] = profiles.toSeq.sortBy(_._1)
 }
 
 /** lang_id(text) → string: lightweight language identification.
   * CJK codepoint ratio → "zh"; otherwise argmax of per-language stopword hit
   * rate over {en, es, de, fr}; "und" (undetermined) when nothing matches. */
 case class LangId(child: Expression)
-  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    if (s.isEmpty) return UTF8String.fromString("und")
-    var cjk = 0; var total = 0
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      if (!Character.isWhitespace(cp)) {
-        total += 1
-        if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)) cjk += 1
-      }
-      i += Character.charCount(cp)
-    }
-    if (total > 0 && cjk.toDouble / total > 0.2) return UTF8String.fromString("zh")
-    val toks = s.toLowerCase.split("\\s+")
-    var best = "und"; var bestHits = 0
-    LangProfiles.profiles.toSeq.sortBy(_._1).foreach { case (lang, words) =>
-      val hits = toks.count(words.contains)
-      if (hits > bestHits) { best = lang; bestHits = hits }
-    }
-    UTF8String.fromString(best)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextKernels.RefName}.langId($c);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -367,39 +445,16 @@ object TextStatsExpr {
   * quality filtering of web-scale corpora. Ratios are over total chars
   * (0.0 on empty text). */
 case class TextStatsExpr(child: Expression)
-  extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = TextStatsExpr.schema
   override def prettyName: String = "text_stats"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
-    var alpha = 0; var digit = 0; var punct = 0; var space = 0; var upper = 0
-    var tokens = 0; var inTok = false
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c)) { space += 1; inTok = false }
-      else {
-        if (!inTok) { tokens += 1; inTok = true }
-        if (Character.isLetter(c)) { alpha += 1; if (Character.isUpperCase(c)) upper += 1 }
-        else if (Character.isDigit(c)) digit += 1
-        else punct += 1
-      }
-      i += 1
-    }
-    val d = if (n == 0) 1.0 else n.toDouble
-    val row = new GenericInternalRow(8)
-    row.setInt(0, n)
-    row.setInt(1, tokens)
-    row.setDouble(2, if (tokens == 0) 0.0 else (n - space).toDouble / tokens)
-    row.setDouble(3, alpha / d)
-    row.setDouble(4, digit / d)
-    row.setDouble(5, punct / d)
-    row.setDouble(6, space / d)
-    row.setDouble(7, upper / d)
-    row
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.textStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextKernels.RefName}.textStats($c);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
