@@ -577,6 +577,15 @@ object SparkEntry {
         .select(round(gf.kmv_jaccard(col("a"), col("b")), 6).as("jaccard"),
           gf.kmv_size(col("a")).as("n_even"), gf.kmv_size(col("b")).as("n_odd"))
     }),
+    "q70_image_phash" -> ((s, dir) => {
+      // perceptual average-hash over REAL decoded rasters (all three codec
+      // arms): 8×8 NN luminance grid, strict integer mean threshold — the
+      // multimodal near-dup key, verified bit-for-bit per image
+      graft.media.Media.imagePhashes(mediaImages(s, dir))
+        .where(col("ok"))
+        .select(col("media_id"), col("phash"))
+        .orderBy("media_id")
+    }),
     "q69_seq_packing" -> ((s, dir) => {
       // sequence packing: deterministic contiguous fill of ~4096-token bins
       // in doc_id order via the distributed prefix sum (quantile-bucket
@@ -1247,6 +1256,24 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                 6) AS jaccard,
                 (SELECT count(*) FROM a)::INT AS n_even,
                 (SELECT count(*) FROM b)::INT AS n_odd""",
+    "q70_image_phash" ->
+      (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
+           3+doc_id%4 AS h, (doc_id%3=2) AS gray
+           FROM documents WHERE doc_id%97<>0),
+         g AS MATERIALIZED (SELECT media_id, (y*8+x) AS bit,
+             CASE WHEN gray THEN 3*g_px(media_id,0,y*h//8,x*w//8,0)
+                  ELSE g_px(media_id,0,y*h//8,x*w//8,0)
+                       + g_px(media_id,0,y*h//8,x*w//8,1)
+                       + g_px(media_id,0,y*h//8,x*w//8,2) END AS lum
+           FROM d, unnest(range(0,8)) ty(y), unnest(range(0,8)) tx(x)),
+         t AS (SELECT media_id, sum(lum) AS total FROM g GROUP BY 1),
+         ph AS (SELECT g.media_id,
+             sum(CASE WHEN 64*g.lum > t.total
+                 THEN (1::UBIGINT << g.bit)::HUGEINT ELSE 0::HUGEINT END) AS hu
+           FROM g JOIN t ON g.media_id = t.media_id GROUP BY 1)
+         SELECT media_id,
+                g_sb((hu % 18446744073709551616::HUGEINT)::UBIGINT) AS phash
+         FROM ph ORDER BY media_id"""),
     "q69_seq_packing" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
            FROM documents),

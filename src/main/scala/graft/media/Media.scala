@@ -162,6 +162,59 @@ object Media {
       img.width.toDouble / img.height)
   }
 
+  /** 64-bit perceptual average-hash of a decoded raster: NN-sample an 8×8
+    * luminance grid (src pixel (y·H/8, x·W/8), lum = r+g+b, gray counted
+    * ×3), set bit (y·8+x) iff 64·lum > Σlum (strict — integer-only, so an
+    * external oracle reproduces it bit-for-bit). Near-duplicate images
+    * differ in few bits (hamming via `bit_count(a ^ b)`). */
+  def imagePhash(img: MImage): Long = {
+    val lum = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val sy = y * img.height / 8
+        val sx = x * img.width / 8
+        val v =
+          if (img.channels == 3)
+            (img.pixel(sy, sx, 0) + img.pixel(sy, sx, 1) +
+              img.pixel(sy, sx, 2)).toLong
+          else 3L * img.pixel(sy, sx, 0)
+        lum(y * 8 + x) = v
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (64L * lum(i) > total) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Decode + perceptual-hash every image payload: (media_id, ok, phash).
+    * The multimodal near-dup primitive — join on hamming-banded phash
+    * chunks exactly like SimHash text dedup. */
+  def imagePhashes(media: DataFrame): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    val ds: Dataset[Row] = media
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(r.fieldIndex("media_id"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        decodeImage(payload) match {
+          case Some(img) => (id, true, Some(imagePhash(img)))
+          case None => (id, false, None)
+        }
+      }
+    }.toDF("media_id", "ok", "phash")
+  }
+
   /** L2 norm of a feature vector in fixed index order (reproducible). */
   def featureNorm(f: Array[Double]): Double = {
     var s = 0.0

@@ -102,6 +102,28 @@ class MediaOpsSpec extends SparkTestBase {
     }
   }
 
+  test("imagePhash: bit-exact vs direct computation; near-identical → small hamming") {
+    val ph = Media.imagePhashes(images).where(col("ok"))
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph.nonEmpty)
+    ph.foreach { case (id, h) =>
+      assert(h == Media.imagePhash(MediaGen.image(id)), s"id=$id")
+    }
+    // flipping ONE pixel of a larger image moves few grid cells → small
+    // hamming distance; a different image is far
+    val base = MediaGen.image(1L)
+    val onePixel = base.copy(pixels = {
+      val p = base.pixels.clone(); p(0) = ((p(0) ^ 0x7f).toByte); p
+    })
+    val dNear = java.lang.Long.bitCount(
+      Media.imagePhash(base) ^ Media.imagePhash(onePixel))
+    val dFar = java.lang.Long.bitCount(
+      Media.imagePhash(base) ^ Media.imagePhash(MediaGen.image(17L)))
+    assert(dNear <= 16, s"one-pixel change moved $dNear bits")
+    assert(dFar > dNear, s"near=$dNear far=$dFar")
+  }
+
   test("audioStats + resampleAudio: rate, counts, decimation round-trip") {
     val wavs = Media.asMediaTable(
       ids.as[Long].map(id => (id, MediaGen.wavPayload(id)))
