@@ -577,6 +577,16 @@ object SparkEntry {
         .select(round(gf.kmv_jaccard(col("a"), col("b")), 6).as("jaccard"),
           gf.kmv_size(col("a")).as("n_even"), gf.kmv_size(col("b")).as("n_odd"))
     }),
+    "q71_weighted_sample" -> ((s, dir) => {
+      // integer-weight deterministic sample: weight = doc_id%8 gives a
+      // never-sampled weight-0 class and 1..7-draw competition — the
+      // min-of-w-draws chain is bit-exact in DuckDB
+      graft.ops.Sampling.weightedBottomK(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+            (col("doc_id") % 8).cast("int").as("w")),
+          col("doc_id"), col("w"), 100)
+        .select("doc_id", "n_chars", "w").orderBy("doc_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1256,6 +1266,16 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                 6) AS jaccard,
                 (SELECT count(*) FROM a)::INT AS n_even,
                 (SELECT count(*) FROM b)::INT AS n_odd""",
+    "q71_weighted_sample" ->
+      (hashMacros + """WITH d AS (SELECT doc_id, n_chars, (doc_id % 8)::INT AS w,
+           g_av(doc_id::UBIGINT) AS h0 FROM documents),
+         p AS (SELECT doc_id, n_chars, w,
+             list_min(list_transform(range(0, w),
+               i -> g_av(xor(h0, (i*2654435769)::UBIGINT)))) AS pr
+           FROM d WHERE w >= 1)
+         SELECT doc_id, n_chars, w
+         FROM (SELECT * FROM p ORDER BY pr, doc_id LIMIT 100)
+         ORDER BY doc_id"""),
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

@@ -29,6 +29,56 @@ object Sampling {
   def bucket(key: Column): Column =
     gf.hash64(key).bitwiseAND(lit(Buckets - 1))
 
+  /** Per-draw decorrelation constant (32-bit golden ratio — small enough
+    * that `i * DrawMix` never overflows under ANSI arithmetic; the
+    * avalanche downstream supplies the mixing). */
+  private val DrawMix = 0x9e3779b9L
+
+  /** Deterministic WEIGHTED fixed-size sample for INTEGER weights: row
+    * priority = unsigned min over `weight` independent hash draws of the
+    * key; keep the `k` smallest. Each of a row's draws competes like one
+    * unit-weight clone, so selection probability matches successive
+    * weighted draws without replacement — and everything is integer
+    * arithmetic: partitioning-invariant, retry-stable, bit-reproducible by
+    * an external engine. O(weight) per row — for duplication factors /
+    * quality tiers (≤ ~10^4); for real-valued weights use
+    * [[weightedBottomKES]]. Rows with weight ≤ 0 are never sampled. */
+  def weightedBottomK(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val h0 = gf.hash64(key)
+    // guard BEFORE sequence(): sequence(0, w-1) with w ≤ 0 would count
+    // DOWN and still emit draws
+    val draws = when(weight.cast("long") >= 1L, array_min(transform(
+      sequence(lit(0L), weight.cast("long") - 1),
+      i => gf.hash64(h0.bitwiseXOR(i * lit(DrawMix)))
+        .bitwiseXOR(lit(Long.MinValue)))))
+    df.withColumn("__wp", draws)
+      .where(col("__wp").isNotNull)
+      .orderBy(col("__wp"), key).limit(k).drop("__wp")
+  }
+
+  /** Efraimidis–Spirakis A-ES for REAL-VALUED weights: priority =
+    * −ln(u)/w with u = hash64(key) mapped to (0,1); keep the k smallest —
+    * inclusion probability proportional to weight, still a pure function
+    * of the key (deterministic, partitioning-invariant). Floating-point:
+    * reproducible on the JVM, but not bit-portable across engines (libm
+    * log differs), hence spec-verified statistically rather than
+    * oracle-gated. Rows with weight ≤ 0 or NULL are never sampled. */
+  def weightedBottomKES(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val h = gf.hash64(key)
+    // unsigned 64-bit → (0, 1]: two 32-bit halves keep rounding benign
+    val unit = (shiftrightunsigned(h, 32).cast("double") * 4294967296.0 +
+      h.bitwiseAND(lit(0xffffffffL)).cast("double") + 1.0) /
+      1.8446744073709552e19
+    val pr = -log(unit) / weight.cast("double")
+    df.withColumn("__wp", when(weight.cast("double") > 0.0, pr))
+      .where(col("__wp").isNotNull)
+      .orderBy(col("__wp"), key).limit(k).drop("__wp")
+  }
+
   /** Cumulative bucket thresholds for `weights` (normalized to sum 1). */
   private[ops] def thresholds(weights: Seq[Double]): Seq[Long] = {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be > 0")

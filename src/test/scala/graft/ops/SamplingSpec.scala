@@ -112,6 +112,45 @@ class SamplingSpec extends SparkTestBase {
     assert(s1 == s2)
   }
 
+  test("weightedBottomK == brute force min-of-w draws; zero-weight excluded") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, (i % 7).toInt)).toDF("id", "w")
+    val k = 50
+    val got = Sampling.weightedBottomK(df, col("id"), col("w"), k)
+      .select("id").as[Long].collect().toSet
+    // brute force on the same hash chain
+    def priority(id: Long, w: Int): Option[Long] =
+      if (w < 1) None
+      else Some((0 until w).map(i => TextHash.avalanche(
+        TextHash.avalanche(id) ^ (i * 0x9e3779b9L)) ^ Long.MinValue).min)
+    val want = (0L until 3000L).flatMap(i => priority(i, (i % 7).toInt)
+      .map(p => (p, i))).sorted.take(k).map(_._2).toSet
+    assert(got == want)
+    assert(!got.exists(_ % 7 == 0), "weight-0 rows must never be sampled")
+    // partitioning invariance
+    val got2 = Sampling.weightedBottomK(df.repartition(11), col("id"),
+      col("w"), k).select("id").as[Long].collect().toSet
+    assert(got2 == got)
+  }
+
+  test("weighted sampling: inclusion frequency tracks weight (both variants)") {
+    import spark.implicits._
+    // weights 1 vs 4: the w=4 class should be ~4× overrepresented in the
+    // sample relative to class size
+    val df = (0L until 20000L).map(i => (i, if (i % 2 == 0) 1.0 else 4.0))
+      .toDF("id", "w")
+    for (variant <- Seq("int", "es")) {
+      val sampled =
+        if (variant == "int")
+          Sampling.weightedBottomK(df, col("id"), col("w").cast("int"), 2000)
+        else Sampling.weightedBottomKES(df, col("id"), col("w"), 2000)
+      val heavy = sampled.where(col("id") % 2 === 1).count().toDouble
+      val frac = heavy / 2000.0
+      // expected heavy fraction 4/5 = 0.8; allow generous sampling noise
+      assert(math.abs(frac - 0.8) < 0.06, s"$variant heavy-frac $frac")
+    }
+  }
+
   test("thresholds normalize weights and hit the grid exactly") {
     assert(Sampling.thresholds(Seq(1.0, 1.0)) ==
       Seq(Sampling.Buckets / 2, Sampling.Buckets))
