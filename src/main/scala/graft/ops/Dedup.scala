@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.api.{functions => gf}
 import org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned
@@ -42,6 +43,42 @@ object Dedup {
   /** Whitespace/case normalization used by exact dedup and content keys. */
   def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Paragraph-level exact dedup across the whole corpus (boilerplate
+    * removal, the CCNet/RefinedWeb trick): split every document on `sep`,
+    * keep each distinct paragraph only at its FIRST occurrence — smallest
+    * (id, position) — and reassemble documents in original paragraph
+    * order. Repeated boilerplate (headers, footers, nav chrome) survives
+    * in exactly one document; fully-boilerplate documents come back empty
+    * rather than disappearing.
+    *
+    * Scale shape: one explode (rows = paragraphs), one shuffle keyed by
+    * paragraph text for the first-occurrence window, one group-back by id.
+    * Paragraphs — not whole documents — ride the shuffle, so the transfer
+    * is the same order as the corpus itself. Output:
+    * (idCol, clean_text, n_kept, n_dropped). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val reserved = Seq("__did", "__idx", "__para", "__rn")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val exploded = df.select(col(idCol).as("__did"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__para")))
+    val w = Window.partitionBy(col("__para"))
+      .orderBy(col("__did"), col("__idx"))
+    exploded
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("__did").as(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("__idx").as("i"), col("__para").as("p"))))),
+          s => s.getField("p"))).as("clean_text"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
 
   /** 64-bit content key: xxhash64 of (optionally whitespace/case-normalized)
     * text — the exact-dedup shuffle key. */

@@ -187,6 +187,28 @@ class OpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("dedupParagraphs: first occurrence wins, docs reassemble in order") {
+    val df = Seq(
+      (1L, "intro|shared footer|body one"),
+      (2L, "body two|shared footer|intro"), // both paras already seen in doc 1
+      (3L, "shared footer"), // fully boilerplate → empty
+      (4L, "body two|body two")) // duplicate within doc 2's claim + self-dup
+      .toDF("id", "text")
+    val got = Dedup.dedupParagraphs(df, "id", "text", "|")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "intro|shared footer|body one", 3L, 0L),
+      (2L, "body two", 1L, 2L),
+      (3L, "", 0L, 1L),
+      (4L, "", 0L, 2L))) // "body two" first seen at (2,0) < (4,0)
+    // partitioning invariance
+    val got2 = Dedup.dedupParagraphs(df.repartition(5), "id", "text", "|")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got2.toSeq == got.toSeq)
+  }
+
   test("quality_score and doc_fingerprint behave sanely") {
     val qs = docs.select(gf.quality_score(col("text")).as("q")).as[Double].collect()
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
