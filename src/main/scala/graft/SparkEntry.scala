@@ -587,6 +587,47 @@ object SparkEntry {
           col("doc_id"), col("w"), 100)
         .select("doc_id", "n_chars", "w").orderBy("doc_id")
     }),
+    "q72_rep_signals" -> ((s, dir) => {
+      // Gopher-style repetition quality signals. The fixture text is
+      // single-line, so both sides split it into lines by replacing the
+      // common token " table " with a newline (replace() is left-to-right
+      // non-overlapping in both engines); n-gram signals run on the same
+      // transformed text. Fractions averaged per source, rounded like q32.
+      val lined = expr("replace(text, ' table ', '\n')")
+      val r = gf.rep_stats(lined, 2)
+      t(s, dir, "documents").select(col("source"), r.as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("r.n_lines").cast("long")).as("sum_lines"),
+          round(avg("r.dup_line_fraction"), 6).as("avg_dup_line"),
+          round(avg("r.dup_line_char_fraction"), 6).as("avg_dup_line_chars"),
+          round(avg("r.top_ngram_char_fraction"), 6).as("avg_top_gram"),
+          round(avg("r.dup_ngram_char_fraction"), 6).as("avg_dup_gram"))
+        .orderBy("source")
+    }),
+    "q73_pii" -> ((s, dir) => {
+      // PII scan + redaction: the fixture has no PII, so both sides append
+      // a deterministic id-derived email/phone/IPv4 tail; patterns are
+      // restricted to the Java-regex ∩ RE2 subset so counts and the
+      // redacted text agree byte-for-byte
+      val p = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail"),
+        (col("doc_id") % 7).cast("string"), lit(".com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" at 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 250).cast("string"))
+      val st = gf.pii_stats(p)
+      t(s, dir, "documents")
+        .select(col("lang"), st.as("pi"), gf.redact_pii(p).as("red"), p.as("praw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("pi.n_emails").cast("long")).as("sum_emails"),
+          sum(col("pi.n_phones").cast("long")).as("sum_phones"),
+          sum(col("pi.n_ipv4").cast("long")).as("sum_ipv4"),
+          sum(length(col("red")).cast("long")).as("sum_red_len"),
+          sum(length(col("praw")).cast("long")).as("sum_raw_len"))
+        .orderBy("lang")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1276,6 +1317,67 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          SELECT doc_id, n_chars, w
          FROM (SELECT * FROM p ORDER BY pr, doc_id LIMIT 100)
          ORDER BY doc_id"""),
+    // string bigrams stand in for the engine's hashed grams (q34 argument:
+    // equal strings ⇔ equal 64-bit hashes at fixture scale); gram char
+    // length = length of the chr(1)-joined pair = the single-space join
+    "q72_rep_signals" ->
+      """WITH d AS (SELECT doc_id, source, replace(text, ' table ', chr(10)) AS text
+                    FROM documents),
+         ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+         lg AS (SELECT doc_id, line, count(*) AS c, length(line) AS l
+                FROM ln GROUP BY 1, 2),
+         lstat AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS d_lines,
+                     sum(c*l) AS totc, sum((c-1)*l) AS dupc
+                   FROM lg GROUP BY 1),
+         tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+                  length(text) AS tl FROM d),
+         gr AS (SELECT doc_id, tl, unnest(list_transform(range(1, greatest(len(t), 1)),
+                  i -> t[i] || chr(1) || t[i+1])) AS g FROM tk),
+         gg AS (SELECT doc_id, tl, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+         gstat AS (SELECT doc_id,
+             CASE WHEN max(tl) = 0 THEN 0.0
+                  ELSE max(c*length(g))*1.0/max(tl) END AS topf,
+             CASE WHEN max(tl) = 0 THEN 0.0
+                  ELSE coalesce(sum(CASE WHEN c >= 2 THEN c*length(g) END), 0)*1.0/max(tl)
+                  END AS dupf
+           FROM gg GROUP BY doc_id),
+         per AS (SELECT d.doc_id, d.source, lstat.n_lines,
+             (lstat.n_lines - lstat.d_lines)*1.0/lstat.n_lines AS dlf,
+             CASE WHEN lstat.totc = 0 THEN 0.0
+                  ELSE lstat.dupc*1.0/lstat.totc END AS dlcf,
+             coalesce(gstat.topf, 0.0) AS topf, coalesce(gstat.dupf, 0.0) AS dupf
+           FROM d JOIN lstat USING (doc_id) LEFT JOIN gstat USING (doc_id))
+         SELECT source, count(*)::BIGINT AS cnt,
+           cast(sum(n_lines) AS bigint) AS sum_lines,
+           round(avg(dlf), 6) AS avg_dup_line,
+           round(avg(dlcf), 6) AS avg_dup_line_chars,
+           round(avg(topf), 6) AS avg_top_gram,
+           round(avg(dupf), 6) AS avg_dup_gram
+         FROM per GROUP BY source ORDER BY source""",
+    "q73_pii" ->
+      """WITH p AS (SELECT lang,
+           text || ' contact user' || doc_id::VARCHAR || '@mail'
+                || (doc_id % 7)::VARCHAR || '.com or +1-555-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' at 10.'
+                || (doc_id % 200)::VARCHAR || '.0.'
+                || ((doc_id * 7) % 250)::VARCHAR AS t
+           FROM documents)
+         SELECT lang, count(*)::BIGINT AS cnt,
+           cast(sum(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS bigint)
+             AS sum_emails,
+           cast(sum(len(regexp_extract_all(t,
+             '\+\d{1,3}[-. ]\d{3,4}[-. ]\d{3,4}(?:[-. ]\d{3,4})?'))) AS bigint)
+             AS sum_phones,
+           cast(sum(len(regexp_extract_all(t,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) AS bigint) AS sum_ipv4,
+           cast(sum(length(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+\d{1,3}[-. ]\d{3,4}[-. ]\d{3,4}(?:[-. ]\d{3,4})?', '<PHONE>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'))) AS bigint)
+             AS sum_red_len,
+           cast(sum(length(t)) AS bigint) AS sum_raw_len
+         FROM p GROUP BY lang ORDER BY lang""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

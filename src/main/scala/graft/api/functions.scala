@@ -154,6 +154,10 @@ object functions {
 
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
+  def rep_stats(text: Column, ngramN: Int): Column =
+    toColumn(RepStatsExpr(toExpr(text), Literal(ngramN)))
+  def pii_stats(text: Column): Column = toColumn(PiiStatsExpr(toExpr(text)))
+  def redact_pii(text: Column): Column = toColumn(RedactPii(toExpr(text)))
   def doc_fingerprint(text: Column, window: Int): Column =
     toColumn(DocFingerprint(toExpr(text), Literal(window)))
   def minhash_signature(text: Column, shingleN: Int, numHashes: Int, seed: Long): Column =
@@ -210,7 +214,7 @@ object GraftFunctions {
               n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" ||
               n == "token_count" || n == "token_count_bpe" || n == "lang_id" ||
               n == "hash64" ||
-              n == "text_stats" ||
+              n == "text_stats" || n == "pii_stats" || n == "redact_pii" ||
               n == "ss_capacity" || n == "kmv_distinct" || n == "kmv_size" ||
               n == "vec_norm" => Seq(1)
     case _ => Seq(2)
@@ -281,6 +285,9 @@ object GraftFunctions {
         Literal(functions.BpeTokenPattern)) },
     "lang_id" -> { case Seq(t) => LangId(t) },
     "text_stats" -> { case Seq(t) => TextStatsExpr(t) },
+    "rep_stats" -> { case Seq(t, n) => RepStatsExpr(t, n) },
+    "pii_stats" -> { case Seq(t) => PiiStatsExpr(t) },
+    "redact_pii" -> { case Seq(t) => RedactPii(t) },
     "doc_fingerprint" -> { case Seq(t, w) => DocFingerprint(t, w) },
     "minhash_signature" -> { case Seq(t, n, k, s) => MinHashSignature(t, n, k, s) },
     "simhash64" -> { case Seq(t, n) => SimHash64(t, n) },

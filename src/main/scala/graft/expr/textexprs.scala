@@ -173,6 +173,110 @@ object TextKernels {
     }
   }
 
+  /** UTF-8 code-point count of a byte range (continuation bytes excluded). */
+  @inline private def charCount(b: Array[Byte], from: Int, until: Int): Int = {
+    var n = 0
+    var i = from
+    while (i < until) { if ((b(i) & 0xc0) != 0x80) n += 1; i += 1 }
+    n
+  }
+
+  /** Repetition signals for corpus quality filtering (Gopher-style):
+    * line-level duplication plus n-gram repetition mass. One pass over the
+    * document; duplicate detection via 64-bit content hashes (collision
+    * probability negligible against the fractions' 1e-6 gate rounding).
+    *
+    * Definitions (fractions in [0,1], 0.0 on empty denominators):
+    *  - lines = text split on '\n' (empty segments kept, like SQL
+    *    string_split), so n_lines = newline count + 1;
+    *  - dup_line_fraction      = (n_lines − distinct lines) / n_lines
+    *  - dup_line_char_fraction = chars in repeat line occurrences beyond the
+    *    first / total line chars
+    *  - token n-grams: whitespace tokens, gram char length = token chars
+    *    joined by single spaces;
+    *  - top_ngram_char_fraction = max over grams of count·len(gram) / chars(text)
+    *  - dup_ngram_char_fraction = Σ over grams with count ≥ 2 of
+    *    count·len(gram) / chars(text)   (multiset definition: overlapping
+    *    occurrences all count, unlike Gopher's distinct-char variant)
+    */
+  def repStats(t: UTF8String, n: Int): GenericInternalRow = {
+    require(n >= 1, "ngram_n must be >= 1")
+    val b = t.getBytes
+    val len = b.length
+
+    // ---- line signals ----
+    val lineMap = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    var nLines = 0
+    var totalLineChars = 0L
+    var segStart = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || b(i) == '\n') {
+        val chars = charCount(b, segStart, i)
+        val h = java.lang.Long.valueOf(TextHash.hashBytes(b, segStart, i, 0L))
+        val e = lineMap.get(h)
+        if (e == null) lineMap.put(h, Array(1L, chars.toLong))
+        else e(0) += 1
+        nLines += 1
+        totalLineChars += chars
+        segStart = i + 1
+      }
+      i += 1
+    }
+    var dupLineChars = 0L
+    val lit = lineMap.values.iterator()
+    while (lit.hasNext) { val e = lit.next(); dupLineChars += (e(0) - 1) * e(1) }
+    val distinctLines = lineMap.size
+
+    // ---- n-gram signals ----
+    val nTok = TextHash.tokenHashes(t, null, 0L)
+    val tokHash = new Array[Long](nTok)
+    val tokChars = new Array[Int](nTok)
+    var ti = 0
+    i = 0
+    while (i < len) {
+      while (i < len && TextHash.isSpace(b(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !TextHash.isSpace(b(i))) i += 1
+        tokHash(ti) = TextHash.hashBytes(b, start, i, 0L)
+        tokChars(ti) = charCount(b, start, i)
+        ti += 1
+      }
+    }
+    val totalChars = charCount(b, 0, len)
+    val gramMap = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    i = 0
+    while (i + n <= nTok) {
+      var h = 0x27d4eb2f165667c5L
+      var chars = (n - 1).toLong
+      var j = 0
+      while (j < n) { h = TextHash.combine(h, tokHash(i + j)); chars += tokChars(i + j); j += 1 }
+      val key = java.lang.Long.valueOf(h)
+      val e = gramMap.get(key)
+      if (e == null) gramMap.put(key, Array(1L, chars))
+      else e(0) += 1
+      i += 1
+    }
+    var topMass = 0L
+    var dupMass = 0L
+    val git = gramMap.values.iterator()
+    while (git.hasNext) {
+      val e = git.next()
+      val mass = e(0) * e(1)
+      if (mass > topMass) topMass = mass
+      if (e(0) >= 2) dupMass += mass
+    }
+
+    val row = new GenericInternalRow(5)
+    row.setInt(0, nLines)
+    row.setDouble(1, if (nLines == 0) 0.0 else (nLines - distinctLines).toDouble / nLines)
+    row.setDouble(2, if (totalLineChars == 0L) 0.0 else dupLineChars.toDouble / totalLineChars)
+    row.setDouble(3, if (totalChars == 0) 0.0 else topMass.toDouble / totalChars)
+    row.setDouble(4, if (totalChars == 0) 0.0 else dupMass.toDouble / totalChars)
+    row
+  }
+
   def langId(input: UTF8String): UTF8String = {
     val s = input.toString
     if (s.isEmpty) return UTF8String.fromString("und")
@@ -439,6 +543,34 @@ object TextStatsExpr {
     StructField("punct_ratio", DoubleType, nullable = false),
     StructField("space_ratio", DoubleType, nullable = false),
     StructField("upper_ratio", DoubleType, nullable = false)))
+}
+
+object RepStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_fraction", DoubleType, nullable = false),
+    StructField("dup_line_char_fraction", DoubleType, nullable = false),
+    StructField("top_ngram_char_fraction", DoubleType, nullable = false),
+    StructField("dup_ngram_char_fraction", DoubleType, nullable = false)))
+}
+
+/** rep_stats(text, ngram_n) → struct: repetition signals for corpus quality
+  * filtering (Gopher-style duplicate-line and repeated-n-gram mass; see
+  * [[TextKernels.repStats]] for exact definitions). One pass, codegen'd. */
+case class RepStatsExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = RepStatsExpr.schema
+  override def prettyName: String = "rep_stats"
+
+  override protected def nullSafeEval(t: Any, nAny: Any): Any =
+    TextKernels.repStats(t.asInstanceOf[UTF8String], nAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = ${TextKernels.RefName}.repStats($t, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** text_stats(text) → struct: one-pass character/token statistics used for

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.api.{functions => gf}
+
+/** rep_stats repetition signals + PII scan/redaction, verified against
+  * hand-computed values and brute-force Scala recomputation. */
+class TextSignalsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rep(text: String, n: Int): Row =
+    Seq(text).toDF("t").select(gf.rep_stats(col("t"), n).as("r"))
+      .select("r.*").head()
+
+  test("rep_stats: hand-computed bigram repetition") {
+    // tokens [a b a b]; bigrams: "a b"×2 (len 3), "b a"×1 (len 3);
+    // text chars = 7; one line, no duplicate lines
+    val r = rep("a b a b", 2)
+    assert(r.getInt(0) == 1)                      // n_lines
+    assert(r.getDouble(1) == 0.0)                 // dup_line_fraction
+    assert(r.getDouble(2) == 0.0)                 // dup_line_char_fraction
+    assert(r.getDouble(3) == 6.0 / 7)             // top: 2 × len("a b")=3
+    assert(r.getDouble(4) == 6.0 / 7)             // dup: only "a b" repeats
+  }
+
+  test("rep_stats: duplicate lines") {
+    // lines [xy, z, xy]: 3 lines, 2 distinct; line chars 2+1+2 = 5, the
+    // repeat occurrence has 2 chars
+    val r = rep("xy\nz\nxy", 1)
+    assert(r.getInt(0) == 3)
+    assert(r.getDouble(1) == 1.0 / 3)
+    assert(r.getDouble(2) == 2.0 / 5)
+    // unigrams: xy×2 (len 2), z×1 (len 1); text chars = 7 (incl. newlines)
+    assert(r.getDouble(3) == 4.0 / 7)
+    assert(r.getDouble(4) == 4.0 / 7)
+  }
+
+  test("rep_stats: empty and degenerate inputs") {
+    val e = rep("", 2)
+    assert(e.getInt(0) == 1 && e.getDouble(1) == 0.0 && e.getDouble(2) == 0.0 &&
+      e.getDouble(3) == 0.0 && e.getDouble(4) == 0.0)
+    val one = rep("solo", 2) // 1 token < n: no grams
+    assert(one.getDouble(3) == 0.0 && one.getDouble(4) == 0.0)
+    val ws = rep("   ", 2) // whitespace-only: 0 tokens, 1 line of 3 chars
+    assert(ws.getInt(0) == 1 && ws.getDouble(3) == 0.0)
+  }
+
+  test("rep_stats: multi-byte chars counted as code points") {
+    // "é é é": 3 tokens of 1 char; bigram "é é" (3 chars) × 2; text = 5 chars
+    val r = rep("é é é", 2)
+    assert(r.getDouble(3) == 6.0 / 5)  // mass can exceed 1 on overlap
+    assert(r.getDouble(4) == 6.0 / 5)
+  }
+
+  test("rep_stats: trailing newline yields empty last line (SQL split parity)") {
+    val r = rep("x\n", 1)
+    assert(r.getInt(0) == 2) // ["x", ""]
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  private def pii(text: String): (Row, String) = {
+    val df = Seq(text).toDF("t")
+      .select(gf.pii_stats(col("t")).as("p"), gf.redact_pii(col("t")).as("r"))
+    val h = df.head()
+    (h.getStruct(0), h.getString(1))
+  }
+
+  test("pii_stats and redact_pii: all three categories") {
+    val (st, red) = pii(
+      "mail a.b+c@sub.example.org or admin@x.io, call +1-555-0199 " +
+      "or +44 207 946 0958, host 192.168.0.1 end")
+    assert(st.getInt(0) == 2, "emails")
+    assert(st.getInt(1) == 2, "phones")
+    assert(st.getInt(2) == 1, "ipv4")
+    assert(red == "mail <EMAIL> or <EMAIL>, call <PHONE> " +
+      "or <PHONE>, host <IP> end")
+  }
+
+  test("pii: counts are independent of redaction order (IP inside email)") {
+    val (st, red) = pii("x 10.0.0.1@host.com y")
+    // the email match consumes the IP text, but counts run per-category
+    // on the raw string
+    assert(st.getInt(0) == 1 && st.getInt(2) == 1)
+    assert(red == "x <EMAIL> y")
+  }
+
+  test("pii: no false positives on plain text and bare numbers") {
+    val (st, red) = pii("version 1.2.3 of spark at 3.5 runs 12345 rows")
+    assert(st.getInt(0) == 0 && st.getInt(1) == 0 && st.getInt(2) == 0)
+    assert(red == "version 1.2.3 of spark at 3.5 runs 12345 rows")
+  }
+
+  test("pii: null-safe and SQL-registered") {
+    val r = spark.sql(
+      "SELECT pii_stats(NULL) AS p, redact_pii(NULL) AS r, " +
+      "pii_stats('a@b.io x').n_emails AS ne").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getInt(2) == 1)
+    val rs = spark.sql("SELECT rep_stats('a b a b', 2).top_ngram_char_fraction AS f").head()
+    assert(rs.getDouble(0) == 6.0 / 7)
+  }
+
+  test("rep_stats matches brute-force recomputation on fixture docs") {
+    val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
+      .where(col("doc_id") < 60)
+    val got = docs.select(col("doc_id"), gf.rep_stats(col("text"), 2).as("r"))
+      .select(col("doc_id"), col("r.top_ngram_char_fraction"), col("r.dup_ngram_char_fraction"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    docs.collect().foreach { row =>
+      val (id, text) = (row.getLong(0), row.getString(1))
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val total = text.codePointCount(0, text.length)
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val top = if (grams.isEmpty || total == 0) 0.0
+        else counts.map { case (g, c) => c.toLong * g.length }.max.toDouble / total
+      val dup = if (total == 0) 0.0
+        else counts.collect { case (g, c) if c >= 2 => c.toLong * g.length }.sum.toDouble / total
+      assert(math.abs(got(id)._1 - top) < 1e-12, s"top mismatch doc $id")
+      assert(math.abs(got(id)._2 - dup) < 1e-12, s"dup mismatch doc $id")
+    }
+  }
+}
