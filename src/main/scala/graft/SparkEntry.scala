@@ -628,6 +628,22 @@ object SparkEntry {
           sum(length(col("praw")).cast("long")).as("sum_raw_len"))
         .orderBy("lang")
     }),
+    "q74_tfidf_topterms" -> ((s, dir) => {
+      // top-3 distinctive terms per doc, ranked by the exact rational tf/df
+      // (bit-reproducible across engines, unlike ln-based idf); ties by
+      // (tf desc, term) — fully deterministic
+      graft.ops.Text.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .where(col("doc_id") < 40)
+        .orderBy("doc_id", "rank")
+    }),
+    "q75_span_pairs" -> ((s, dir) => {
+      // exact-span dedup: pairs sharing ≥1 distinct 8-token run; the hot-span
+      // guard (≤500 docs/span) is inactive at fixture scale so the DuckDB
+      // string-span oracle is complete
+      graft.ops.Dedup.spanPairs(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 8, minShared = 1, maxDocsPerSpan = 500)
+        .orderBy("idA", "idB")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1378,6 +1394,32 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
              AS sum_red_len,
            cast(sum(length(t)) AS bigint) AS sum_raw_len
          FROM p GROUP BY lang ORDER BY lang""",
+    "q74_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+                WHERE term <> '' GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         r AS (SELECT doc_id, tf.term, tf, df,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tf*1.0/df DESC, tf DESC, tf.term) AS rank
+               FROM tf JOIN dfq USING (term))
+         SELECT doc_id, term, tf, df, cast(rank AS int) AS rank
+         FROM r WHERE rank <= 3 AND doc_id < 40 ORDER BY doc_id, rank""",
+    // string spans stand in for the engine's 64-bit span hashes (the q34
+    // collision argument); chr(1) join preserves token boundaries
+    "q75_span_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 6, 1)),
+                  i -> array_to_string(t[i:i+7], chr(1))))) AS g
+                FROM tk),
+         ok AS (SELECT g FROM sp GROUP BY g HAVING count(*) BETWEEN 2 AND 500),
+         f AS (SELECT sp.doc_id, sp.g FROM sp JOIN ok USING (g))
+         SELECT a.doc_id AS idA, b.doc_id AS idB, count(*)::BIGINT AS shared_spans
+         FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY idA, idB""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

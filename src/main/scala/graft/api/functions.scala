@@ -166,6 +166,8 @@ object functions {
     toColumn(SimHash64(toExpr(text), Literal(shingleN)))
   def ngram_jaccard(a: Column, b: Column, shingleN: Int): Column =
     toColumn(NgramJaccard(toExpr(a), toExpr(b), Literal(shingleN)))
+  def shingle_hashes(text: Column, window: Int): Column =
+    toColumn(ShingleHashes(toExpr(text), Literal(window)))
 
   /** Composite [0,1] quality score over text_stats fields: penalizes very
     * short/long docs, low alpha ratio, high punct/digit ratios, extreme
@@ -292,6 +294,7 @@ object GraftFunctions {
     "minhash_signature" -> { case Seq(t, n, k, s) => MinHashSignature(t, n, k, s) },
     "simhash64" -> { case Seq(t, n) => SimHash64(t, n) },
     "ngram_jaccard" -> { case Seq(a, b, n) => NgramJaccard(a, b, n) },
+    "shingle_hashes" -> { case Seq(t, n) => ShingleHashes(t, n) },
     "vec_dot" -> { case Seq(a, b) => VecDot(a, b) },
     "vec_cosine" -> { case Seq(a, b) => VecCosine(a, b) },
     "vec_norm" -> { case Seq(a) => VecNorm(a) },

@@ -277,6 +277,31 @@ object TextKernels {
     row
   }
 
+  /** Distinct n-token-window rolling hashes, sorted ascending — the span
+    * key set for exact-substring dedup. Same gram-hash chain as
+    * minhash/simhash, so a shared span hash ⇔ a shared n-token run (64-bit,
+    * collisions negligible). */
+  def shingleHashes(t: UTF8String, n: Int): GenericArrayData = {
+    require(n >= 1, "window must be >= 1")
+    val nTok = TextHash.tokenHashes(t, null, 0L)
+    val toks = new Array[Long](nTok)
+    TextHash.tokenHashes(t, toks, 0L)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= nTok) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def langId(input: UTF8String): UTF8String = {
     val s = input.toString
     if (s.isEmpty) return UTF8String.fromString("und")
@@ -476,6 +501,26 @@ case class NgramJaccard(first: Expression, second: Expression, third: Expression
       s"${ev.value} = ${TextKernels.RefName}.ngramJaccard($a, $b, $n);")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
+}
+
+/** shingle_hashes(text, n) → array<long>: the document's distinct n-token
+  * contiguous-window hashes, ascending. Exploding this array is the
+  * candidate-generation step of exact-span (substring) dedup: two documents
+  * share a value iff they share an n-token run. */
+case class ShingleHashes(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(t: Any, nAny: Any): Any =
+    TextKernels.shingleHashes(t.asInstanceOf[UTF8String], nAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = ${TextKernels.RefName}.shingleHashes($t, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** doc_fingerprint(text, k) → long: minimum rolling (Rabin-style) hash over

@@ -132,6 +132,36 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact-span (shared substring) near-duplicate pairs: documents sharing
+    * at least `minShared` distinct contiguous runs of `windowTokens` tokens
+    * (Lee et al.'s exact-substring dedup signal, at token granularity).
+    *
+    * Candidate generation explodes each doc into its distinct span hashes
+    * (longs — never text) and equi-joins on the span. Spans occurring in
+    * more than `maxDocsPerSpan` documents are dropped first: those are
+    * corpus boilerplate whose pair blow-up is quadratic, and the count pass
+    * that removes them is one cheap aggregation on the already-shuffled key.
+    * Both self-join sides read the same filtered subtree (SHUFFLE_HASH), so
+    * AQE's ReuseExchange computes and shuffles the spans once.
+    *
+    * Returns (idA, idB, shared_spans) with idA < idB. */
+  def spanPairs(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 16, minShared: Long = 1,
+      maxDocsPerSpan: Long = 1000): DataFrame = {
+    val spans = df.select(col(idCol).as("__id"),
+      explode(gf.shingle_hashes(col(textCol), windowTokens)).as("__span"))
+    val keep = spans.groupBy("__span").agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2L, maxDocsPerSpan))
+      .select("__span")
+    val filtered = spans.join(keep, Seq("__span"))
+    val a = filtered.select(col("__span"), col("__id").as("idA"))
+    val b = filtered.select(col("__span"), col("__id").as("idB"))
+    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"), Seq("__span"))
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("shared_spans"))
+      .where(col("shared_spans") >= minShared)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash, split into `chunks`
     * equal bit-chunks; by pigeonhole, any pair within hamming distance
     * `chunks − 1` shares ≥1 exact chunk, so candidates are equi-join

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.api.{functions => gf}
+
+/** Exact-span dedup (shingle_hashes + Dedup.spanPairs) and TF-IDF term
+  * ranking (ops.Text). */
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shingle_hashes: distinct, sorted, content-determined") {
+    val rows = Seq("a b c d", "a b a b", "a b c d", "", "one")
+      .toDF("t").select(gf.shingle_hashes(col("t"), 2).as("h")).collect()
+      .map(_.getSeq[Long](0))
+    assert(rows(0).length == 3)                 // ab, bc, cd
+    assert(rows(1).length == 2)                 // ab, ba (distinct)
+    assert(rows(0) == rows(2))                  // pure function of text
+    assert(rows(0) == rows(0).sorted)           // canonical ascending order
+    assert(rows(3).isEmpty && rows(4).isEmpty)  // fewer tokens than window
+  }
+
+  private val spanDocs = Seq(
+    (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),          // base
+    (2L, "x t5 t6 t7 t8 t9 t10 t11 t12"),                     // shares run t5..t12
+    (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),                       // unrelated
+    (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12")            // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("spanPairs: shared 8-token runs found, counts exact") {
+    val got = Dedup.spanPairs(spanDocs, "doc_id", "text",
+        windowTokens = 8, minShared = 1, maxDocsPerSpan = 500)
+      .orderBy("idA", "idB")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1 has 5 spans (12-8+1); doc2's single t5..t12 span matches one
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 4L, 5L), (2L, 4L, 1L)))
+  }
+
+  test("spanPairs: hot-span guard drops boilerplate spans") {
+    val boiler = (1L to 5L).map(i => (i, s"pre$i common1 common2 common3 " +
+      "common4 common5 common6 common7 common8")).toDF("doc_id", "text")
+    // the shared 8-token run appears in 5 docs > maxDocsPerSpan=4 → no pairs
+    val guarded = Dedup.spanPairs(boiler, "doc_id", "text",
+      windowTokens = 8, minShared = 1, maxDocsPerSpan = 4)
+    assert(guarded.isEmpty)
+    val unguarded = Dedup.spanPairs(boiler, "doc_id", "text",
+      windowTokens = 8, minShared = 1, maxDocsPerSpan = 5)
+    assert(unguarded.count() == 10) // C(5,2)
+  }
+
+  test("spanPairs: minShared filters weakly-overlapping pairs") {
+    val got = Dedup.spanPairs(spanDocs, "doc_id", "text",
+      windowTokens = 8, minShared = 2, maxDocsPerSpan = 500)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 4L)))
+  }
+
+  private val tfidfDocs = Seq(
+    (1L, "apple apple banana"),
+    (2L, "banana cherry"),
+    (3L, "banana dog")
+  ).toDF("doc_id", "text")
+
+  test("tfidf: term/doc frequencies and rational ranking") {
+    val tf = Text.docTermFrequencies(tfidfDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tf((1L, "apple")) == 2 && tf((1L, "banana")) == 1 && tf.size == 6)
+
+    val top = Text.tfidfTopTerms(tfidfDocs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // df: apple 1, banana 3, cherry 1, dog 1 → distinctive terms win
+    assert(top == Map(1L -> "apple", 2L -> "cherry", 3L -> "dog"))
+  }
+
+  test("tfidf: ranks are dense 1..k and scores monotone within a doc") {
+    val rows = Text.tfidfTopTerms(tfidfDocs, "doc_id", "text", 3)
+      .where(col("doc_id") === 1L).orderBy("rank").collect()
+    assert(rows.map(_.getInt(4)).toSeq == Seq(1, 2))  // only 2 terms in doc 1
+    val scores = rows.map(r => r.getLong(2).toDouble / r.getLong(3))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("tfidfScore matches the ln formula") {
+    val got = tfidfDocs.sparkSession.range(1).select(
+      Text.tfidfScore(lit(3L), lit(2L), 10L).as("s")).head().getDouble(0)
+    assert(math.abs(got - 3.0 * (math.log(11.0 / 3.0) + 1.0)) < 1e-12)
+  }
+
+  test("spanPairs plan: span exchange reused across the self-join") {
+    val df = Dedup.spanPairs(spanDocs, "doc_id", "text", 8, 1, 500)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || !plan.contains("Exchange"), s"no exchange reuse in:\n$plan")
+  }
+}
