@@ -644,6 +644,24 @@ object SparkEntry {
           windowTokens = 8, minShared = 1, maxDocsPerSpan = 500)
         .orderBy("idA", "idB")
     }),
+    "q76_kmeans_assign" -> ((s, dir) => {
+      // the Lloyd's-step / IVF-routing kernel: nearest-centroid assignment
+      // of every embedding against a fixed deterministic codebook (the 8
+      // lowest-id vectors) — argmax cosine, ties to the lowest index; the
+      // full kmeansFit loop is spec-tested (KMeansSpec), this gates the
+      // distributed assignment + cosine kernel against DuckDB's argmax
+      val emb = t(s, dir, "embeddings")
+      val codebook = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val cb = typedLit(codebook)
+      emb.select(col("vec_id"), col("embedding"),
+          element_at(gf.nearest_centroids(col("embedding"), cb, 1), 1).as("cluster"))
+        .select(col("vec_id"), col("cluster"),
+          round(gf.vec_cosine(col("embedding"),
+            element_at(cb, col("cluster") + 1)), 6).as("cosine"))
+        .orderBy("vec_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1420,6 +1438,17 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          SELECT a.doc_id AS idA, b.doc_id AS idB, count(*)::BIGINT AS shared_spans
          FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY idA, idB""",
+    "q76_kmeans_assign" ->
+      """WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+         sc AS (SELECT e.vec_id, cb.cid,
+                  list_cosine_similarity(e.embedding::DOUBLE[],
+                                         cb.embedding::DOUBLE[]) AS cos
+                FROM embeddings e, cb),
+         r AS (SELECT vec_id, cid, cos,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+               FROM sc)
+         SELECT vec_id, cid::INT AS cluster, round(cos, 6) AS cosine
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

@@ -97,6 +97,64 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** A fitted k-means model: the codebook plus the corpus with each row's
+    * `centroid` assignment (0-based codebook index). */
+  case class KMeansModel(codebook: Seq[Seq[Double]], assigned: DataFrame,
+      iterations: Int)
+
+  /** Lloyd's k-means over an embedding column, fully deterministic:
+    *  - init: the k vectors with the smallest ids (no RNG);
+    *  - assignment: max-cosine centroid (ties → lowest index), one codebook
+    *    pass per row via the same codegen'd [[graft.expr.NearestCentroids]]
+    *    kernel IVF uses — no shuffle;
+    *  - update: per-(cluster, dim) mean whose summation ORDER is pinned by a
+    *    running-sum window ordered by id (the value at the max id is the
+    *    sequential fold), so the fit is bit-identical across partitionings,
+    *    retries, and cluster sizes — floating-point sums are not
+    *    order-associative, and an unordered agg would make re-runs disagree
+    *    in the last ulp and occasionally flip an assignment.
+    *
+    * Scale shape per iteration: one posexplode (rows × dim slim rows of
+    * (cluster, dim, id, x)), one shuffle on (cluster, dim), one window +
+    * partial agg; the driver holds only k×dim centroid stats (= the
+    * codebook it must hold anyway). Empty clusters keep their previous
+    * centroid. Stops at codebook fixpoint or `maxIters`. */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIters: Int = 10): KMeansModel = {
+    require(k >= 1, "k must be >= 1")
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    var codebook: Seq[Seq[Double]] = base
+      .orderBy("__id").limit(k)
+      .select(col("__v").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    require(codebook.nonEmpty, "corpus is empty")
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val assignedNow = base.withColumn("__c",
+        element_at(gf.nearest_centroids(col("__v"), typedLit(codebook), 1), 1))
+      val dims = assignedNow.select(col("__c"), col("__id"),
+        posexplode(col("__v").cast("array<double>")).as(Seq("__d", "__x")))
+      val w = Window.partitionBy("__c", "__d").orderBy("__id")
+      val stats = dims.withColumn("__rs", sum("__x").over(w))
+        .groupBy("__c", "__d")
+        .agg(max_by(col("__rs"), col("__id")).as("__tot"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val next = Array.tabulate(codebook.length)(i => codebook(i).toArray)
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      val newCb: Seq[Seq[Double]] = next.map(_.toSeq).toSeq
+      converged = newCb == codebook
+      codebook = newCb
+      iter += 1
+    }
+    val assigned = corpus.withColumn("centroid",
+      element_at(gf.nearest_centroids(col(vecCol), typedLit(codebook), 1), 1))
+    KMeansModel(codebook, assigned, iter)
+  }
+
   /** Rank scored pairs into top-k per query with a deterministic tie-break
     * (cosine desc, neighbor_id asc). */
   def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Deterministic Lloyd's k-means (Similarity.kmeansFit). */
+class KMeansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two tight, well-separated direction blobs (cosine k-means separates by
+  // direction, not offset)
+  private def blobs = (0 until 40).map { i =>
+    val v = if (i % 2 == 0) Seq(10.0f + (i % 5) * 0.1f, 0.2f, 0.1f)
+            else Seq(0.1f, 10.0f + (i % 7) * 0.1f, 0.3f)
+    (i.toLong, v)
+  }.toDF("vec_id", "embedding")
+
+  test("kmeansFit separates direction blobs and converges") {
+    val m = Similarity.kmeansFit(blobs, "vec_id", "embedding", 2, maxIters = 20)
+    assert(m.iterations < 20, "should reach a fixpoint")
+    val byCluster = m.assigned
+      .groupBy("centroid")
+      .agg(collect_set(col("vec_id") % 2).as("parities"))
+      .collect().map(_.getSeq[Long](1))
+    // each cluster holds one parity class exactly
+    assert(byCluster.forall(_.size == 1) && byCluster.length == 2)
+    // centroids point along the blob axes
+    val axes = m.codebook.map(_.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1))
+  }
+
+  test("kmeansFit is bit-identical across partitionings") {
+    val a = Similarity.kmeansFit(blobs.repartition(7), "vec_id", "embedding", 2)
+    val b = Similarity.kmeansFit(blobs.repartition(2), "vec_id", "embedding", 2)
+    assert(a.codebook == b.codebook) // exact Double equality, not approx
+    assert(a.iterations == b.iterations)
+  }
+
+  test("empty clusters keep their previous centroid") {
+    // k=3 over 2 distinct directions: one centroid is never assigned and
+    // must survive unchanged (its init vector = the id-2 row)
+    val two = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.01f, 1.0f))).toDF("vec_id", "embedding")
+    val m = Similarity.kmeansFit(two, "vec_id", "embedding", 3, maxIters = 5)
+    assert(m.codebook.length == 3)
+    assert(m.codebook.forall(_.forall(x => !x.isNaN)))
+  }
+
+  test("k larger than corpus yields corpus-sized codebook") {
+    val tiny = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.kmeansFit(tiny, "vec_id", "embedding", 5)
+    assert(m.codebook.length == 2)
+  }
+
+  test("assignment matches brute-force nearest centroid on the fixture") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val m = Similarity.kmeansFit(emb, "vec_id", "embedding", 4, maxIters = 3)
+    val got = m.assigned.select("vec_id", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cb = m.codebook.map(_.toArray)
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.zip(y).map { case (a, b) => a * b }.sum
+      val nx = math.sqrt(x.map(a => a * a).sum)
+      val ny = math.sqrt(y.map(a => a * a).sum)
+      if (nx == 0 || ny == 0) 0.0 else d / (nx * ny)
+    }
+    emb.select("vec_id", "embedding").collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val best = cb.indices.maxBy(i => (cos(v, cb(i)), -i))
+      assert(got(id) == best, s"vec $id")
+    }
+  }
+}
