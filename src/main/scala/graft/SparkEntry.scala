@@ -662,6 +662,17 @@ object SparkEntry {
             element_at(cb, col("cluster") + 1)), 6).as("cosine"))
         .orderBy("vec_id")
     }),
+    "q77_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing ≥1 distinct 8-token run
+      // with the "eval set" (doc_id%10==0). The eval gram set broadcasts;
+      // the corpus side never shuffles before the per-doc count
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.sharedSpans(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", windowTokens = 8, minShared = 1)
+        .orderBy("doc_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1449,6 +1460,20 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                FROM sc)
          SELECT vec_id, cid::INT AS cluster, round(cos, 6) AS cosine
          FROM r WHERE rn = 1 ORDER BY vec_id""",
+    // string spans stand in for the engine's span hashes (same argument as
+    // q75); bench = doc_id%10==0 plays the eval set
+    "q77_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 6, 1)),
+                  i -> array_to_string(t[i:i+7], chr(1))))) AS g
+                FROM tk),
+         bench AS (SELECT DISTINCT g FROM sp WHERE doc_id % 10 = 0),
+         corp AS (SELECT doc_id, g FROM sp WHERE doc_id % 10 <> 0)
+         SELECT doc_id, count(*)::BIGINT AS shared_spans
+         FROM corp JOIN bench USING (g)
+         GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray
