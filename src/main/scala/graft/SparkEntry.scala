@@ -673,6 +673,18 @@ object SparkEntry {
           "doc_id", "text", windowTokens = 8, minShared = 1)
         .orderBy("doc_id")
     }),
+    "q78_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: within-cluster cosine pairs over the q76 codebook at
+      // τ=0.35 (margin to the nearest pair cosine ≈ 8e-6 at sf0.1 —
+      // far beyond engine fp drift). Pairs shuffle only on the cluster key.
+      val emb = t(s, dir, "embeddings")
+      val codebook = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+      graft.ops.Similarity.semanticPairs(emb, "vec_id", "embedding",
+          codebook, tau = 0.35)
+        .orderBy("idA", "idB")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1474,6 +1486,24 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          SELECT doc_id, count(*)::BIGINT AS shared_spans
          FROM corp JOIN bench USING (g)
          GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id""",
+    "q78_semantic_dedup" ->
+      """WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+         sc AS (SELECT e.vec_id, cb.cid,
+                  list_cosine_similarity(e.embedding::DOUBLE[],
+                                         cb.embedding::DOUBLE[]) AS cos
+                FROM embeddings e, cb),
+         a AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+               FROM sc) WHERE rn = 1)
+         SELECT x.vec_id AS idA, y.vec_id AS idB, x.cid::INT AS cluster,
+                round(list_cosine_similarity(ex.embedding::DOUBLE[],
+                                             ey.embedding::DOUBLE[]), 6) AS cosine
+         FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         JOIN embeddings ex ON ex.vec_id = x.vec_id
+         JOIN embeddings ey ON ey.vec_id = y.vec_id
+         WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
+                                      ey.embedding::DOUBLE[]) >= 0.35
+         ORDER BY idA, idB""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

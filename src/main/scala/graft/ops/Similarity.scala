@@ -155,6 +155,45 @@ object Similarity {
     KMeansModel(codebook, assigned, iter)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings by nearest centroid, then compare
+    * pairs ONLY within a cluster — the cluster granularity bounds the
+    * quadratic pair blow-up, exactly the paper's trick. Returns
+    * (idA, idB, cluster, cosine) for within-cluster pairs with
+    * cosine ≥ `tau`, idA < idB, cosine rounded to `roundTo`.
+    *
+    * Scale shape: one codebook pass per row (no shuffle), ONE shuffle on the
+    * small cluster key (both sides SHUFFLE_HASH so AQE reuses the assignment
+    * exchange), per-cluster equi-join. Size k so corpus/k rows fit a task's
+    * quadratic budget (the paper uses k ≈ √n · c for exactly this reason). */
+  def semanticPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[Seq[Double]], tau: Double, roundTo: Int = 6): DataFrame = {
+    require(codebook.nonEmpty, "codebook must be non-empty")
+    val cb = typedLit(codebook)
+    val assigned = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      element_at(gf.nearest_centroids(col(vecCol), cb, 1), 1).as("__c"))
+    val a = assigned.select(col("__c"), col("__id").as("idA"), col("__v").as("__va"))
+    val b = assigned.select(col("__c"), col("__id").as("idB"), col("__v").as("__vb"))
+    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"), Seq("__c"))
+      .where(col("idA") < col("idB"))
+      .withColumn("__cos", gf.vec_cosine(col("__va"), col("__vb")))
+      .where(col("__cos") >= tau)
+      .select(col("idA"), col("idB"), col("__c").as("cluster"),
+        round(col("__cos"), roundTo).as("cosine"))
+  }
+
+  /** Semantic dedup: drop all but one representative of every semantic-dup
+    * group (connected components over [[semanticPairs]], keep the minimum
+    * id — deterministic). Returns the corpus minus dropped rows. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[Seq[Double]], tau: Double): DataFrame = {
+    val pairs = semanticPairs(corpus, idCol, vecCol, codebook, tau)
+    val drop = Dedup.components(pairs.select("idA", "idB"))
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Rank scored pairs into top-k per query with a deterministic tie-break
     * (cosine desc, neighbor_id asc). */
   def topK(scored: DataFrame, k: Int): DataFrame = {
