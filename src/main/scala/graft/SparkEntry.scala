@@ -685,6 +685,15 @@ object SparkEntry {
           codebook, tau = 0.35)
         .orderBy("idA", "idB")
     }),
+    "q79_bm25" -> ((s, dir) => {
+      // BM25 retrieval: the first 3 docs replay as queries, top-10 each.
+      // Ordering is on the ROUNDED score then id, so rank is reproducible;
+      // ln() agrees across engines to ≪ the rounding grain
+      val docs = t(s, dir, "documents")
+      graft.ops.Text.bm25TopK(docs, docs.where(col("doc_id") < 3),
+          "doc_id", "text", k = 10)
+        .orderBy("query_id", "rank")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1504,6 +1513,30 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          WHERE list_cosine_similarity(ex.embedding::DOUBLE[],
                                       ey.embedding::DOUBLE[]) >= 0.35
          ORDER BY idA, idB""",
+    "q79_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+                       FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+                WHERE term <> '' GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         st AS (SELECT count(*)::BIGINT AS n, avg(dl::DOUBLE) AS avgdl FROM dl),
+         qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 3),
+         dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                 WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.query_id, tf.doc_id,
+                  sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * (tf.tf * (1.2 + 1))
+                      / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl::DOUBLE / st.avgdl))) AS score
+                FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id, st
+                GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, round(score, 6) AS score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(score, 6) DESC, doc_id) AS rank
+               FROM sc)
+         SELECT query_id, doc_id, score, cast(rank AS int) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

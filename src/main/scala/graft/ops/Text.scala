@@ -28,6 +28,55 @@ object Text {
   def tfidfScore(tf: Column, df: Column, nDocs: Long): Column =
     tf * (log(lit(nDocs + 1.0) / (df + 1.0)) + 1.0)
 
+  /** BM25 top-k retrieval (Robertson/Sparck-Jones probabilistic ranking,
+    * Lucene-style non-negative idf): score(q,d) =
+    * Σ_t  ln(1 + (N − df + ½)/(df + ½)) · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))
+    * over the DISTINCT terms of the query.
+    *
+    * Scale shape: corpus statistics (tf, dl) build with shuffles keyed by
+    * (doc, term)/(doc); the query side broadcasts everywhere — term
+    * frequencies are semi-join-pruned to query terms BEFORE df aggregation,
+    * so document frequencies are computed only for the terms that matter,
+    * never the whole vocabulary. Corpus-global N/avgdl ride a broadcast
+    * 1-row frame (no driver action). Ranking sorts by score rounded to
+    * `roundTo` then id, so ordering is reproducible across engines.
+    *
+    * Returns (query_id, idCol, score, rank) with rank 1..k per query. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = docTermFrequencies(corpus, idCol, textCol)
+    val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val qt = queries
+      .select(col(idCol).as("query_id"),
+        explode(split(col(textCol), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    val tfq = tf.join(broadcast(qt.select("term").distinct()), Seq("term"),
+      "left_semi")
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tfq
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(sum(
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl").cast("double") / col("avgdl")))).as("__score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("__score"), roundTo).desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc").as(idCol),
+        round(col("__score"), roundTo).as("score"), col("rank"))
+  }
+
   /** Top-k most distinctive terms per document, ranked by the exact
     * rational tf/df (monotone in tf and 1/df like tf·idf, but free of
     * transcendental rounding — the ranking is bit-reproducible across

@@ -55,6 +55,51 @@ class TextOpsSpec extends SparkTestBase {
       Seq((1L, 4L)))
   }
 
+  private val bm25Docs = Seq(
+    (1L, "quick brown fox jumps"),
+    (2L, "quick quick brown dog"),
+    (3L, "lazy dog sleeps all day long here"),
+    (4L, "fox fox fox den"),
+    (5L, "unrelated words entirely different")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: self-match first, term-bearing docs only, k respected") {
+    val got = Text.bm25TopK(bm25Docs, bm25Docs.where($"doc_id" === 1),
+        "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 3)
+    assert(got.forall(_._1 == 1L))
+    assert(got.map(_._4).toSeq == Seq(1, 2, 3))
+    // the query doc scores every one of its own terms → ranks itself first
+    assert(got.head._2 == 1L)
+    // scores are non-increasing down the ranking
+    assert(got.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+    // doc 5 shares no term with the query → never retrieved
+    assert(!got.exists(_._2 == 5L))
+  }
+
+  test("bm25TopK: symmetric terms tie exactly, id breaks the tie") {
+    // query 'jumps den': doc 1 holds 'jumps', doc 4 holds 'den' — tf=1,
+    // df=1, dl=4 on both sides, so the scores are bit-identical and the
+    // deterministic id tiebreak puts doc 1 first
+    val q = Seq((99L, "jumps den")).toDF("doc_id", "text")
+    val got = Text.bm25TopK(bm25Docs, q, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(_._1).toSet == Set(1L, 4L))
+    assert(got.map(t => t._1 -> t._3).toMap == Map(1L -> 1, 4L -> 2))
+    assert(got.map(_._2).distinct.length == 1) // exact score tie
+  }
+
+  test("bm25TopK: a rarer term outranks a common one at equal tf/dl") {
+    // 'brown' appears in docs 1,2 (df=2); 'jumps' only in doc 1 (df=1).
+    // Query 'brown' scores doc 2 lower than query 'jumps' scores doc 1
+    // at the same tf=1, dl=4 — pure idf effect
+    val qs = Seq((1L, "jumps"), (2L, "brown")).toDF("doc_id", "text")
+    val got = Text.bm25TopK(bm25Docs, qs, "doc_id", "text", k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 1L)) > got((2L, 2L)))
+  }
+
   private val tfidfDocs = Seq(
     (1L, "apple apple banana"),
     (2L, "banana cherry"),
