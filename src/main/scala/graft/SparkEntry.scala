@@ -694,6 +694,16 @@ object SparkEntry {
           "doc_id", "text", k = 10)
         .orderBy("query_id", "rank")
     }),
+    "q80_mixture_sample" -> ((s, dir) => {
+      // source-mixture sampling at a 50/30/20 recipe over three sources,
+      // 60-row target → quotas 30/18/12; src0 holds fewer rows than its
+      // quota at small sf, exercising the under-fill path. Membership is
+      // bit-exact (hash bottom-k per group)
+      graft.ops.Sampling.mixtureSample(t(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 60L)
+        .select("source", "doc_id").orderBy("source", "doc_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1537,6 +1547,16 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                FROM sc)
          SELECT query_id, doc_id, score, cast(rank AS int) AS rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q80_mixture_sample" ->
+      (hashMacros +
+        """WITH r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY g_av(doc_id::UBIGINT)) AS rn
+           FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+         SELECT source, doc_id FROM r
+         WHERE rn <= CASE source WHEN 'src0' THEN 30
+                                 WHEN 'src1' THEN 18 ELSE 12 END
+         ORDER BY source, doc_id"""),
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

@@ -124,6 +124,43 @@ object Sampling {
       .where(col("__rn") <= kPerGroup).drop("__rn")
   }
 
+  /** Deterministic source-mixture sampling: draw ≈`totalRows` rows with
+    * group proportions matching `targets` (label → weight, normalized) —
+    * the data-mixing step that rebalances corpus sources to a training
+    * recipe (e.g. 50% web / 30% books / 20% code). Per-group quota =
+    * ⌊totalRows · w/Σw⌋; within each group membership is the quota-many
+    * smallest unsigned `hash64(key)` rows, so the draw is a pure function
+    * of the key (reproducible, subset-stable as quotas grow). Groups absent
+    * from `targets` are dropped; a group smaller than its quota contributes
+    * everything it has (the mixture then under-fills rather than
+    * over-sampling others).
+    *
+    * Scale shape: one rank-filter window per group. The literal
+    * max-quota bound keeps Spark's WindowGroupLimit rewrite applicable, so
+    * each task retains at most maxQuota rows per group BEFORE the shuffle;
+    * the exact per-group quota then filters after ranking. */
+  def mixtureSample(df: DataFrame, groupCol: Column, key: Column,
+      targets: Seq[(String, Double)], totalRows: Long): DataFrame = {
+    require(totalRows > 0, "totalRows must be > 0")
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty with positive weights")
+    require(targets.map(_._1).distinct.length == targets.length,
+      "duplicate target labels")
+    val total = targets.map(_._2).sum
+    val quotas = targets.map { case (l, w) =>
+      l -> math.floor(totalRows * w / total).toLong }
+    val maxQ = quotas.map(_._2).max
+    val quotaCol = quotas.foldRight(lit(0L): Column) { case ((l, q), acc) =>
+      when(groupCol === lit(l), lit(q)).otherwise(acc)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(gf.hash64(key).bitwiseXOR(lit(Long.MinValue)))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= lit(maxQ) && col("__rn") <= quotaCol)
+      .drop("__rn")
+  }
+
   /** Deterministic fixed-size sample: the `k` rows with the smallest
     * `hash64(key)` in UNSIGNED order. Runs as TakeOrderedAndProject —
     * per-partition top-k then a k-row driver merge, never a global sort.

@@ -81,6 +81,35 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("mixtureSample: quotas honored, brute-force membership, under-fill") {
+    val df = (0L until 900L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
+    // weights 2:1:1 at total 100 → quotas 50/25/25
+    val got = Sampling.mixtureSample(df, col("g"), col("id"),
+        Seq("s0" -> 2.0, "s1" -> 1.0, "s2" -> 1.0), 100L)
+      .select("g", "id").collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val want = (0L until 900L).groupBy(i => s"s${i % 3}").map {
+      case (g, ids) =>
+        val q = if (g == "s0") 50 else 25
+        g -> ids.sortBy(i => TextHash.avalanche(i) ^ Long.MinValue)
+          .take(q).toSet
+    }
+    assert(got == want)
+    // unlisted group dropped; small group under-fills (no over-sampling)
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "g")
+    val m = Sampling.mixtureSample(tiny, col("g"), col("id"),
+        Seq("a" -> 1.0, "b" -> 1.0), 20L)
+      .select("g").collect().map(_.getString(0)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(m == Map("a" -> 2, "b" -> 1)) // quotas 10/10, groups exhausted
+    // the literal max-quota bound keeps the WindowGroupLimit rewrite alive
+    val plan = Sampling.mixtureSample(
+        spark.read.parquet(sf("documents")), col("source"), col("doc_id"),
+        Seq("src0" -> 0.5, "src1" -> 0.5), 40L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("hash64: string/binary keys byte-hash; no numeric-cast collisions") {
     import spark.implicits._
     // '1' and '01' must NOT collide (the old implicit string→long cast
