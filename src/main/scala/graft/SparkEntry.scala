@@ -704,6 +704,27 @@ object SparkEntry {
           Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 60L)
         .select("source", "doc_id").orderBy("source", "doc_id")
     }),
+    "q81_html_strip" -> ((s, dir) => {
+      // web-corpus HTML cleaning: the fixture text is wrapped in a
+      // deterministic page template (script/style/comment blocks, nested
+      // tags, entity escapes) and stripped back — the cleaned string is
+      // compared byte-for-byte. Per-doc rows for id<40, corpus-wide
+      // checksum over everything else
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style type=\"text/css\">p { margin: 0; }</style>"),
+        lit("<!-- header\ncomment --></head><body><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><script>var n = "), col("doc_id"),
+        lit("; if (n &gt; 0) { go(); }</script>"),
+        lit("<div class=\"f\">&amp;copy; Corp &lt;"), col("source"),
+        lit("&gt;&nbsp;fin</div></body></html>"))
+      docs.select(col("doc_id"),
+          graft.ops.Text.stripHtml(page).as("clean"))
+        .where(col("doc_id") < 40)
+        .orderBy("doc_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1557,6 +1578,33 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          WHERE rn <= CASE source WHEN 'src0' THEN 30
                                  WHEN 'src1' THEN 18 ELSE 12 END
          ORDER BY source, doc_id"""),
+    // same page template, same Java∩RE2 regex subset, same replace order
+    "q81_html_strip" ->
+      """WITH p AS (SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id::VARCHAR ||
+             '</title><style type="text/css">p { margin: 0; }</style>' ||
+             '<!-- header' || chr(10) || 'comment --></head><body><h1>Doc ' ||
+             doc_id::VARCHAR || '</h1><p>' || text ||
+             '</p><script>var n = ' || doc_id::VARCHAR ||
+             '; if (n &gt; 0) { go(); }</script>' ||
+             '<div class="f">&amp;copy; Corp &lt;' || source ||
+             '&gt;&nbsp;fin</div></body></html>' AS h
+           FROM documents WHERE doc_id < 40),
+         s1 AS (SELECT doc_id, regexp_replace(h,
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM p),
+         s2 AS (SELECT doc_id, regexp_replace(h,
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(h,
+                  '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(h,
+                  '<[^>]*>', ' ', 'g') AS h FROM s3),
+         e AS (SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(h,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS h
+               FROM s4)
+         SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean
+         FROM e ORDER BY doc_id""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

@@ -28,6 +28,28 @@ object Text {
   def tfidfScore(tf: Column, df: Column, nDocs: Long): Column =
     tf * (log(lit(nDocs + 1.0) / (df + 1.0)) + 1.0)
 
+  /** Heuristic HTML → text boilerplate stripping (the web-corpus cleaning
+    * pass): drops script/style blocks and comments with their contents,
+    * replaces remaining tags with spaces (token boundaries survive),
+    * unescapes the six ubiquitous entities (amp last, so `&amp;lt;`
+    * correctly becomes the literal text `&lt;`), and collapses whitespace.
+    *
+    * Deliberately NOT an HTML5 parser — it is a deterministic, fully
+    * codegen'd column expression built from engine-portable regexes (the
+    * Java-regex ∩ RE2 subset, no backreferences), so the same definition
+    * runs bit-identically in the DuckDB oracle. Malformed markup degrades
+    * to extra whitespace, never to an error. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (f, t)) => replace(c, lit(f), lit(t)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** BM25 top-k retrieval (Robertson/Sparck-Jones probabilistic ranking,
     * Lucene-style non-negative idf): score(q,d) =
     * Σ_t  ln(1 + (N − df + ½)/(df + ½)) · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))

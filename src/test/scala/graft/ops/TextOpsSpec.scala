@@ -55,6 +55,26 @@ class TextOpsSpec extends SparkTestBase {
       Seq((1L, 4L)))
   }
 
+  test("stripHtml: tags/script/style/comments out, entities unescaped") {
+    val cases = Seq(
+      // script and style bodies vanish entirely; tags become boundaries
+      ("<html><body><h1>Title</h1><p>a b</p>" +
+        "<script>var x = '<p>not text</p>';</script>" +
+        "<style>p { color: red; }</style></body></html>", "Title a b"),
+      // comments (multi-line) vanish; nested markup degrades to spaces
+      ("pre<!-- a\nmulti-line <b>comment</b> -->post", "pre post"),
+      // entity unescape order: &amp;lt; is the literal TEXT '&lt;'
+      ("&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+        "&lt; <b> \"q\" 's' end"),
+      // tag-free text passes through with whitespace collapsed
+      ("  plain   text\twith\n\nspace  ", "plain text with space"),
+      // unterminated tag: everything to the next '>' is markup
+      ("a <b unclosed attr=1 > b", "a b"))
+    val got = cases.map(_._1).toDF("h")
+      .select(Text.stripHtml($"h")).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
   private val bm25Docs = Seq(
     (1L, "quick brown fox jumps"),
     (2L, "quick quick brown dog"),
