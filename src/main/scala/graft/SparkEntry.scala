@@ -725,6 +725,17 @@ object SparkEntry {
         .where(col("doc_id") < 40)
         .orderBy("doc_id")
     }),
+    "q82_para_dedup" -> ((s, dir) => {
+      // corpus-wide paragraph dedup (CCNet/RefinedWeb boilerplate removal):
+      // the single-line fixture splits on the common ' table ' token;
+      // each distinct paragraph survives only at its first (id, idx)
+      // occurrence. Dedup runs over the WHOLE corpus; output is sliced to
+      // id<40 to keep the gate small
+      graft.ops.Dedup.dedupParagraphs(t(s, dir, "documents"),
+          "doc_id", "text", sep = " table ")
+        .where(col("doc_id") < 40)
+        .orderBy("doc_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1605,6 +1616,23 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                FROM s4)
          SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean
          FROM e ORDER BY doc_id""",
+    // string_split == Spark's quoted split (left-to-right, keeps empties);
+    // fully-deduped docs come back as '' on both sides
+    "q82_para_dedup" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' table ') AS ps
+                     FROM documents),
+         ex AS (SELECT doc_id, i, ps[i] AS p
+                FROM sp, unnest(range(1, len(ps) + 1)) t(i)),
+         r AS (SELECT doc_id, i, p,
+                 row_number() OVER (PARTITION BY p ORDER BY doc_id, i) AS rn
+               FROM ex)
+         SELECT doc_id,
+                coalesce(string_agg(p, ' table ' ORDER BY i)
+                  FILTER (WHERE rn = 1), '') AS clean_text,
+                count(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+                count(*) FILTER (WHERE rn > 1)::BIGINT AS n_dropped
+         FROM r WHERE doc_id < 40
+         GROUP BY doc_id ORDER BY doc_id""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

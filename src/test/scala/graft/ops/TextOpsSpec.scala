@@ -55,6 +55,30 @@ class TextOpsSpec extends SparkTestBase {
       Seq((1L, 4L)))
   }
 
+  test("dedupParagraphs: first occurrence wins, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "intro|common footer|body one"),
+      (2L, "body two|common footer"),     // footer already seen in doc 1
+      (3L, "common footer"),              // fully boilerplate → empty
+      (4L, "intro")                       // 'intro' seen in doc 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text", sep = "|")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "intro|common footer|body one", 3L, 0L),
+      (2L, "body two", 1L, 1L),
+      (3L, "", 0L, 1L),
+      (4L, "", 0L, 1L)))
+  }
+
+  test("dedupParagraphs: within-doc repeats collapse to the first position") {
+    val docs = Seq((9L, "a|b|a|a|c")).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(docs, "doc_id", "text", sep = "|")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).head
+    assert(got == (("a|b|c", 3L, 2L)))
+  }
+
   test("stripHtml: tags/script/style/comments out, entities unescaped") {
     val cases = Seq(
       // script and style bodies vanish entirely; tags become boundaries
