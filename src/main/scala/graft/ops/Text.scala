@@ -66,24 +66,54 @@ object Text {
     * Returns (query_id, idCol, score, rank) with rank 1..k per query. */
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6, materializePostings: Boolean = false): DataFrame = {
+    // the search has three postings consumers (tf pruning, df aggregation,
+    // corpus stats); without materialization each re-derives the postings
+    // from the text — fastest for a one-shot query on a scan-cheap corpus.
+    // `materializePostings` trades one localCheckpoint write for the two
+    // extra scans when the raw text is the expensive part; long-lived
+    // deployments should instead write bm25Postings out bucketed by term
+    // and call bm25Search directly.
+    val p = bm25Postings(corpus, idCol, textCol)
+    val pp = if (materializePostings) p.localCheckpoint() else p
+    bm25Search(pp, queries, idCol, textCol, k, k1, b, roundTo)
+  }
+
+  /** The BM25 postings list: one row per (doc, term) with the term
+    * frequency and the document length — everything per-query scoring
+    * needs, built in a SINGLE corpus scan (dl rides a window over the tf
+    * aggregate instead of a second explode). At scale this is the index:
+    * write it out bucketed/partitioned by `term` once, and every
+    * subsequent [[bm25Search]] runs off the (pruned) postings without ever
+    * touching the raw text again. Columns: (doc, term, tf, dl). */
+  def bm25Postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    docTermFrequencies(corpus, idCol, textCol)
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc")))
+
+  /** BM25 scoring over a prebuilt [[bm25Postings]] frame. The query side
+    * broadcasts everywhere; postings are semi-join-pruned to query terms
+    * BEFORE the df aggregation, so document frequencies are computed only
+    * for terms that matter, never the whole vocabulary. Corpus-global
+    * N/avgdl ride a broadcast 1-row frame (no driver action). */
+  def bm25Search(postings: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
       roundTo: Int = 6): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val tf = docTermFrequencies(corpus, idCol, textCol)
-    val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"),
-      avg(col("dl").cast("double")).as("avgdl"))
+    // (doc, dl) pairs are unique per doc and already clustered by doc, so
+    // neither the distinct nor the 1-row agg re-shuffles the postings
+    val stats = postings.select(col("doc"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
     val qt = queries
       .select(col(idCol).as("query_id"),
         explode(split(col(textCol), "\\s+")).as("term"))
       .where(length(col("term")) > 0)
       .distinct()
-    val tfq = tf.join(broadcast(qt.select("term").distinct()), Seq("term"),
-      "left_semi")
+    val tfq = postings.join(broadcast(qt.select("term").distinct()),
+      Seq("term"), "left_semi")
     val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tfq
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(dfq), Seq("term"))
-      .join(dl, Seq("doc"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc"))
       .agg(sum(

@@ -122,6 +122,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(!got.exists(_._2 == 5L))
   }
 
+  test("bm25Search over round-tripped postings == one-shot bm25TopK") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_postings").toString
+    Text.bm25Postings(bm25Docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val indexed = Text.bm25Search(spark.read.parquet(dir),
+      bm25Docs.where($"doc_id" <= 2), "doc_id", "text", k = 4)
+    val oneShot = Text.bm25TopK(bm25Docs, bm25Docs.where($"doc_id" <= 2),
+      "doc_id", "text", k = 4)
+    assert(indexed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(indexed).isEmpty)
+    // materialized one-shot agrees too
+    val mat = Text.bm25TopK(bm25Docs, bm25Docs.where($"doc_id" <= 2),
+      "doc_id", "text", k = 4, materializePostings = true)
+    assert(mat.exceptAll(oneShot).isEmpty && oneShot.exceptAll(mat).isEmpty)
+  }
+
   test("bm25TopK: symmetric terms tie exactly, id breaks the tie") {
     // query 'jumps den': doc 1 holds 'jumps', doc 4 holds 'den' — tf=1,
     // df=1, dl=4 on both sides, so the scores are bit-identical and the
