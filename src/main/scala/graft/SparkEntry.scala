@@ -736,6 +736,17 @@ object SparkEntry {
         .where(col("doc_id") < 40)
         .orderBy("doc_id")
     }),
+    "q83_ngram_lm" -> ((s, dir) => {
+      // char-trigram LM self-scoring (CCNet-style quality filter): add-k
+      // smoothed avg log-prob per doc; context totals derive from the
+      // model itself, so training + scoring is one corpus pass each
+      graft.ops.LangModel.scoreSelf(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, addK = 0.5, vocabSize = 128L)
+        .where(col("doc_id") < 40)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1633,6 +1644,20 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                 count(*) FILTER (WHERE rn > 1)::BIGINT AS n_dropped
          FROM r WHERE doc_id < 40
          GROUP BY doc_id ORDER BY doc_id""",
+    "q83_ngram_lm" ->
+      """WITH g AS (SELECT doc_id, substring(text, i, 3) AS gram
+                    FROM documents, unnest(range(1, length(text) - 1)) t(i)),
+         model AS (SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1),
+         ctx AS (SELECT substring(gram, 1, 2) AS c, sum(cnt)::BIGINT AS tot
+                 FROM model GROUP BY 1),
+         sc AS (SELECT doc_id,
+                  ln((coalesce(m.cnt, 0) + 0.5) /
+                     (coalesce(ctx.tot, 0) + 0.5 * 128)) AS lp
+                FROM g LEFT JOIN model m USING (gram)
+                     LEFT JOIN ctx ON ctx.c = substring(g.gram, 1, 2))
+         SELECT doc_id, count(*)::BIGINT AS n_grams,
+                round(avg(lp), 6) AS avg_logp
+         FROM sc WHERE doc_id < 40 GROUP BY 1 ORDER BY 1""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram language-model quality scoring — the CCNet-style
+  * statistical filter: train n-gram counts on a (reference) corpus, score
+  * every document by its average per-character log-probability, and gate or
+  * bucket documents on the score. Self-scoring (train on the corpus being
+  * scored) ranks documents by how "typical" their character distribution
+  * is; cross-scoring (train on a trusted reference, score a crawl) is the
+  * classic quality filter.
+  *
+  * Everything is plain DataFrame algebra: one explode pass for counts
+  * (map-side combinable), broadcast model joins for scoring. No RNG, no
+  * driver loops; ln() is the only transcendental and scores round to a
+  * grain far coarser than engine libm drift.
+  */
+object LangModel {
+
+  /** All overlapping character n-grams of `text`, in order (length−n+1 of
+    * them; empty array when the text is shorter than n). */
+  def charGrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array())
+  }
+
+  /** The trained model: (gram, cnt) counts over the corpus — one explode +
+    * one count aggregation (partial aggregation does the heavy lifting;
+    * the shuffle carries only distinct grams per partition). The model is
+    * vocabulary-bounded (≪ corpus), so score-side joins broadcast it. */
+  def charNgramCounts(corpus: DataFrame, textCol: String, n: Int): DataFrame =
+    corpus.select(explode(charGrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** Score documents under a trained model: per-doc average of
+    * ln((cnt(gram)+k) / (ctxTotal+k·V)) over the doc's n-grams, add-k
+    * smoothed with alphabet size `vocabSize`. Context totals derive from
+    * the model itself (sum of continuations), so held-out scoring needs no
+    * second corpus pass; unseen grams/contexts fall back to the smoothing
+    * floor. Documents shorter than n characters have no grams and are
+    * absent from the output.
+    *
+    * Returns (idCol, n_grams, avg_logp). The model broadcasts — the scored
+    * corpus never shuffles before the per-doc aggregation. */
+  def charNgramLogProb(corpus: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, n: Int, addK: Double = 0.5,
+      vocabSize: Long = 128L): DataFrame = {
+    require(addK > 0, "addK must be > 0 (unseen grams need mass)")
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val ctx = model.groupBy(substring(col("gram"), 1, n - 1).as("c"))
+      .agg(sum("cnt").as("tot"))
+    val grams = corpus.select(col(idCol),
+      explode(charGrams(col(textCol), n)).as("gram"))
+    grams
+      .join(broadcast(model), Seq("gram"), "left")
+      .join(broadcast(ctx),
+        substring(col("gram"), 1, n - 1) === col("c"), "left")
+      .select(col(idCol),
+        log((coalesce(col("cnt"), lit(0L)) + addK) /
+          (coalesce(col("tot"), lit(0L)) + addK * vocabSize)).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), avg("__lp").as("avg_logp"))
+  }
+
+  /** One-shot self-scoring: train on the corpus, score every document
+    * against it. The (tiny) model is localCheckpoint'd so its aggregation
+    * runs once, not once per scoring consumer. */
+  def scoreSelf(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, addK: Double = 0.5, vocabSize: Long = 128L): DataFrame =
+    charNgramLogProb(corpus, idCol, textCol,
+      charNgramCounts(corpus, textCol, n).localCheckpoint(), n, addK,
+      vocabSize)
+}
