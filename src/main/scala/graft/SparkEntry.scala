@@ -747,6 +747,26 @@ object SparkEntry {
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")
     }),
+    "q84_url_parse" -> ((s, dir) => {
+      // URL decomposition + registrable domain over a deterministic
+      // id-derived URL corpus (www/no-www, .com vs .co.uk second-level
+      // suffix, path + query): per-row parse for id<40, plus the
+      // per-domain doc count the blocklist/quota passes key on
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 7 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/p/"), col("doc_id").cast("string"),
+        lit("?q="), (col("doc_id") % 5).cast("string"))
+      val u = graft.ops.Web.parseUrl(url)
+      docs.select(col("doc_id"), u.as("u"))
+        .where(col("doc_id") < 40)
+        .select(col("doc_id"), col("u.scheme").as("scheme"),
+          col("u.host").as("host"), col("u.domain").as("domain"),
+          col("u.path").as("path"), col("u.query").as("query"))
+        .orderBy("doc_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1658,6 +1678,32 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          SELECT doc_id, count(*)::BIGINT AS n_grams,
                 round(avg(lp), 6) AS avg_logp
          FROM sc WHERE doc_id < 40 GROUP BY 1 ORDER BY 1""",
+    "q84_url_parse" ->
+      """WITH p AS (SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+             'site' || (doc_id % 50)::VARCHAR ||
+             CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END ||
+             '/p/' || doc_id::VARCHAR || '?q=' || (doc_id % 5)::VARCHAR AS url
+           FROM documents WHERE doc_id < 40),
+         h AS (SELECT doc_id, url,
+                 regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                 regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                 regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS query
+               FROM p),
+         d AS (SELECT doc_id, scheme, host, path, query,
+                 string_split(host, '.') AS hp
+               FROM h)
+         SELECT doc_id, scheme, host,
+                CASE WHEN len(hp) <= 2 THEN host
+                     WHEN hp[-2] || '.' || hp[-1] IN ('co.uk','ac.uk','gov.uk',
+                       'co.jp','ne.jp','or.jp','com.au','net.au','org.au',
+                       'com.br','com.cn','com.mx','co.in','co.kr','com.sg',
+                       'com.tr')
+                     THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+                     ELSE hp[-2] || '.' || hp[-1] END AS domain,
+                path, query
+         FROM d ORDER BY doc_id""",
     "q70_image_phash" ->
       (mediaMacros + """WITH d AS (SELECT doc_id AS media_id, 4+doc_id%5 AS w,
            3+doc_id%4 AS h, (doc_id%3=2) AS gray

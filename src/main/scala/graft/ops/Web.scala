@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL structure operations for web-corpus pipelines: scheme/host/path
+  * decomposition (Spark's codegen'd `parse_url`) plus registrable-domain
+  * extraction — the key for domain blocklists, per-domain quotas, and
+  * provenance stats at crawl scale. Everything is a pure column
+  * expression: no UDFs, no shuffle until the caller aggregates by the
+  * extracted key. */
+object Web {
+
+  /** Second-level public suffixes treated as part of the TLD when
+    * extracting the registrable domain. A deliberately small, explicit
+    * subset of the Public Suffix List — callers with real crawl data pass
+    * their own (the full PSL is data, not code). */
+  val DefaultTwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp", "com.au",
+    "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in", "co.kr",
+    "com.sg", "com.tr")
+
+  def urlScheme(url: Column): Column = call_function("try_parse_url", url, lit("PROTOCOL"))
+  def urlHost(url: Column): Column = call_function("try_parse_url", url, lit("HOST"))
+  def urlPath(url: Column): Column = call_function("try_parse_url", url, lit("PATH"))
+  def urlQuery(url: Column): Column = call_function("try_parse_url", url, lit("QUERY"))
+
+  /** The registrable ("pay-level") domain of a host: the last two labels,
+    * or three when the last two form a listed second-level public suffix
+    * (site.co.uk → site.co.uk, www.site.com → site.com). Hosts with fewer
+    * labels pass through unchanged. */
+  def registrableDomain(host: Column,
+      twoLevelSuffixes: Seq[String] = DefaultTwoLevelSuffixes): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val lastTwo = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    when(n <= 2, host)
+      .when(lastTwo.isin(twoLevelSuffixes: _*),
+        concat_ws(".", element_at(parts, -3), lastTwo))
+      .otherwise(lastTwo)
+  }
+
+  /** One-struct decomposition: (scheme, host, domain, path, query). */
+  def parseUrl(url: Column,
+      twoLevelSuffixes: Seq[String] = DefaultTwoLevelSuffixes): Column = {
+    val host = urlHost(url)
+    struct(
+      urlScheme(url).as("scheme"),
+      host.as("host"),
+      registrableDomain(host, twoLevelSuffixes).as("domain"),
+      urlPath(url).as("path"),
+      urlQuery(url).as("query"))
+  }
+}
