@@ -61,6 +61,19 @@ object SparkEntry {
       (s"g61_li_$tag", s"g61_sup_$tag")
     })
 
+  /** One-time JSONL layout for q86, keyed by sf dir (same memoization as
+    * the bucketed layout): bench reps measure the read-back, not the
+    * conversion write. */
+  private val jsonlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureJsonl(s: SparkSession, dir: String): String =
+    jsonlCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      graft.sources.Tables.writeJsonl(
+        t(s, d, "documents").select("doc_id", "text", "source"), base)
+      base
+    })
+
   private def mediaWavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.media.Media.asMediaTable(
@@ -766,6 +779,33 @@ object SparkEntry {
           col("u.host").as("host"), col("u.domain").as("domain"),
           col("u.path").as("path"), col("u.query").as("query"))
         .orderBy("doc_id")
+    }),
+    "q85_contamination_pairs" -> ((s, dir) => {
+      // contamination attribution: WHICH eval doc each flagged training
+      // doc overlaps (same broadcast shape as q77, plus the bench id)
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.overlapPairs(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", windowTokens = 8, minShared = 1)
+        .orderBy("doc_id", "bench_id")
+    }),
+    "q86_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL interchange fidelity: documents → JSON-Lines → explicit-schema
+      // read-back; per-source row counts, byte lengths and 64-bit content
+      // checksums must equal the parquet originals (the oracle computes them
+      // from parquet directly — any escaping/encoding loss breaks the xor)
+      import org.apache.spark.sql.types._
+      val path = ensureJsonl(s, dir)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType)))
+      graft.sources.Tables.loadJsonl(s, path, schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          bit_xor(gf.hash64(col("text"))).as("text_xor"),
+          bit_xor(gf.hash64(col("doc_id"))).as("id_xor"))
+        .orderBy("source")
     }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
@@ -1568,6 +1608,27 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          SELECT doc_id, count(*)::BIGINT AS shared_spans
          FROM corp JOIN bench USING (g)
          GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id""",
+    "q85_contamination_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 6, 1)),
+                  i -> array_to_string(t[i:i+7], chr(1))))) AS g
+                FROM tk),
+         bench AS (SELECT doc_id AS bench_id, g FROM sp WHERE doc_id % 10 = 0),
+         corp AS (SELECT doc_id, g FROM sp WHERE doc_id % 10 <> 0)
+         SELECT corp.doc_id, bench.bench_id, count(*)::BIGINT AS shared_spans
+         FROM corp JOIN bench USING (g)
+         GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_id, bench_id""",
+    // computed from the parquet ORIGINALS: the gate's jsonl round-trip must
+    // reproduce these counts/lengths/checksums exactly
+    "q86_jsonl_roundtrip" ->
+      (hashMacros +
+        """SELECT source, count(*)::BIGINT AS cnt,
+             sum(length(text))::BIGINT AS sum_len,
+             bit_xor(g_sb(g_thash(text))) AS text_xor,
+             bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor
+           FROM documents GROUP BY source ORDER BY source"""),
     "q78_semantic_dedup" ->
       """WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
          sc AS (SELECT e.vec_id, cb.cid,

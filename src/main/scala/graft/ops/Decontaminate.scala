@@ -49,6 +49,28 @@ object Decontaminate {
       .where(col("shared_spans") >= minShared)
   }
 
+  /** Contamination attribution: (idCol, bench_id, shared_spans) — which
+    * benchmark document each contaminated training doc overlaps, and by how
+    * many distinct spans. Same broadcast shape as [[sharedSpans]] (the
+    * (bench_id, gram) table is still eval-set-sized); the corpus side
+    * shuffles only the matched (corpus_id, bench_id) pairs. */
+  def overlapPairs(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int = 8, minShared: Long = 1,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(minShared >= 1, "minShared must be >= 1")
+    val bg0 = bench.select(col(idCol).as("bench_id"), explode(
+      gf.shingle_hashes(col(textCol), windowTokens)).as("__g"))
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    corpus
+      .select(col(idCol), explode(
+        gf.shingle_hashes(col(textCol), windowTokens)).as("__g"))
+      .join(bg, Seq("__g"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .where(col("shared_spans") >= minShared)
+  }
+
   /** The corpus minus contaminated documents (anti-join on the flag set) —
     * the actual decontamination pass. Column set is preserved. */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,

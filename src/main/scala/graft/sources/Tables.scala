@@ -33,6 +33,27 @@ object Tables {
     normalize(name, spark.readStream.schema(raw).options(options).parquet(path))
   }
 
+  /** Write a frame as JSON-Lines — the interchange format of text-corpus
+    * pipelines (one JSON object per line; splittable when uncompressed or
+    * per-file compressed, so downstream reads stay parallel). */
+  def writeJsonl(df: DataFrame, path: String,
+      compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** Read JSON-Lines with an EXPLICIT schema. Schema inference is a full
+    * extra pass over the data — at corpus scale always pass the schema
+    * (or read one file's worth via [[inferJsonlSchema]] first). Malformed
+    * lines yield NULL columns (PERMISSIVE) rather than failing the job. */
+  def loadJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Dev convenience: infer a JSONL schema; lower `sampleRatio` to bound
+    * the inference pass on large inputs. */
+  def inferJsonlSchema(spark: SparkSession, path: String,
+      sampleRatio: Double = 1.0): org.apache.spark.sql.types.StructType =
+    spark.read.option("samplingRatio", sampleRatio).json(path).schema
+
   private def normalize(name: String, df: DataFrame): DataFrame =
     if (name == "events" && df.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType) {

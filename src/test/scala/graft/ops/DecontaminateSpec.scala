@@ -40,6 +40,17 @@ class DecontaminateSpec extends SparkTestBase {
       Seq(2L, 4L))
   }
 
+  test("overlapPairs attributes contamination to the right bench doc") {
+    val multiBench = bench.union(Seq(
+      (200L, "x1 x2 x3 x4 x5 x6 x7 x8 tail9")).toDF("doc_id", "text"))
+    val got = Decontaminate.overlapPairs(corpus, multiBench, "doc_id", "text",
+        windowTokens = 8, minShared = 1)
+      .orderBy("doc_id", "bench_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1 ↔ bench100 (2 spans); doc2 ↔ bench200 (x1..x8); doc3 ↔ bench100
+    assert(got.toSeq == Seq((1L, 100L, 2L), (2L, 200L, 1L), (3L, 100L, 1L)))
+  }
+
   test("probe side broadcasts: no shuffle touches the corpus grams") {
     val df = Decontaminate.sharedSpans(corpus, bench, "doc_id", "text")
     df.collect() // finalize the adaptive plan before inspecting it
