@@ -807,6 +807,32 @@ object SparkEntry {
           bit_xor(gf.hash64(col("doc_id"))).as("id_xor"))
         .orderBy("source")
     }),
+    "q87_prepare_corpus" -> ((s, dir) => {
+      // pipeline v2 end-to-end: constant page template wrapped around the
+      // corpus (so exact dups survive templating) → stripHtml → exact
+      // dedup → decontaminate vs the raw id%10==0 eval set → 40/30/20/10
+      // mixture. One row: stage counts + sampled-id checksum, every stage
+      // mirrored in the oracle
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><head><style>p { margin: 0; }</style><!-- c --></head>" +
+          "<body><h1>Title</h1><p>"), col("text"),
+        lit("</p><script>var n = 1;</script><div>&amp;copy; Corp " +
+          "&lt;x&gt;&nbsp;fin</div></body></html>"))
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), page.as("text"), col("source"))
+      val bench = docs.where(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      // integer weights: quota arithmetic (80·w/Σw) stays exact in fp
+      val (sampled, rep) = graft.ops.Pipeline.prepareCorpus(
+        corpus, bench, "doc_id", "text", "source",
+        Seq("src0" -> 8.0, "src1" -> 6.0, "src2" -> 4.0, "src3" -> 2.0),
+        totalRows = 80L)
+      val idXor = sampled.agg(bit_xor(col("doc_id"))).head.getLong(0)
+      Seq((rep.input, rep.afterDedup, rep.afterDecontam, rep.sampled, idXor))
+        .toDF("input", "after_dedup", "after_decontam", "sampled", "id_xor")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1620,6 +1646,59 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          SELECT corp.doc_id, bench.bench_id, count(*)::BIGINT AS shared_spans
          FROM corp JOIN bench USING (g)
          GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_id, bench_id""",
+    // every stage mirrored: template+strip (q81 chain), normalized-text
+    // exact dedup, span decontamination (q77 chain), hash-rank mixture
+    "q87_prepare_corpus" ->
+      (hashMacros +
+        """WITH p AS (SELECT doc_id, source,
+             '<html><head><style>p { margin: 0; }</style><!-- c --></head><body><h1>Title</h1><p>' ||
+             text ||
+             '</p><script>var n = 1;</script><div>&amp;copy; Corp &lt;x&gt;&nbsp;fin</div></body></html>' AS h
+           FROM documents WHERE doc_id % 10 <> 0),
+         s1 AS (SELECT doc_id, source, regexp_replace(h,
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM p),
+         s2 AS (SELECT doc_id, source, regexp_replace(h,
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+         s3 AS (SELECT doc_id, source, regexp_replace(h,
+                  '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+         s4 AS (SELECT doc_id, source, regexp_replace(h,
+                  '<[^>]*>', ' ', 'g') AS h FROM s3),
+         c AS (SELECT doc_id, source, trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(h,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                 '\s+', ' ', 'g')) AS clean
+               FROM s4),
+         dd AS (SELECT doc_id, source, clean FROM (
+                  SELECT doc_id, source, clean, row_number() OVER (
+                    PARTITION BY lower(regexp_replace(trim(clean), '\s+', ' ', 'g'))
+                    ORDER BY doc_id) AS rn
+                  FROM c) WHERE rn = 1),
+         csp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 6, 1)),
+                   i -> array_to_string(t[i:i+7], chr(1))))) AS g
+                 FROM (SELECT doc_id, string_split_regex(trim(clean), '\s+') AS t
+                       FROM dd)),
+         bsp AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 6, 1)),
+                   i -> array_to_string(t[i:i+7], chr(1))))) AS g
+                 FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+                       FROM documents WHERE doc_id % 10 = 0)),
+         flagged AS (SELECT DISTINCT csp.doc_id
+                     FROM csp JOIN bsp USING (g)),
+         dec AS (SELECT dd.* FROM dd LEFT JOIN flagged USING (doc_id)
+                 WHERE flagged.doc_id IS NULL),
+         mix AS (SELECT doc_id, source FROM (
+                   SELECT doc_id, source, row_number() OVER (
+                     PARTITION BY source ORDER BY g_av(doc_id::UBIGINT)) AS rn
+                   FROM dec WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+                 WHERE rn <= CASE source WHEN 'src0' THEN 32
+                   WHEN 'src1' THEN 24 WHEN 'src2' THEN 16 ELSE 8 END)
+         SELECT (SELECT count(*) FROM p)::BIGINT AS input,
+                (SELECT count(*) FROM dd)::BIGINT AS after_dedup,
+                (SELECT count(*) FROM dec)::BIGINT AS after_decontam,
+                (SELECT count(*) FROM mix)::BIGINT AS sampled,
+                (SELECT bit_xor(doc_id) FROM mix) AS id_xor"""),
     // computed from the parquet ORIGINALS: the gate's jsonl round-trip must
     // reproduce these counts/lengths/checksums exactly
     "q86_jsonl_roundtrip" ->

@@ -57,4 +57,39 @@ object Pipeline {
 
     (cleaned, CleanReport(input, afterQuality, afterExact, afterNearDup))
   }
+
+  case class PrepareReport(input: Long, afterDedup: Long,
+      afterDecontam: Long, sampled: Long)
+
+  /** Web-corpus preparation v2 — the stages a crawl-to-training-set run
+    * chains AFTER near-dup removal ([[cleanCorpus]]): markup stripping,
+    * exact dedup on the CLEANED text (stripping creates new duplicates),
+    * benchmark decontamination, and source-mixture sampling to the
+    * training recipe. Deterministic end to end: every stage is hash-based
+    * column algebra, so two runs — or two engines — produce identical
+    * membership.
+    *
+    * Scale shape: stripHtml is a row-local expression chain at the scan;
+    * dedup is one text-keyed shuffle; decontamination broadcasts the eval
+    * gram set (corpus side stays map-side); the mixture is a
+    * WindowGroupLimit rank filter. Nothing quadratic, nothing driver-side
+    * but the 4 report counts. */
+  def prepareCorpus(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, targets: Seq[(String, Double)],
+      totalRows: Long, stripMarkup: Boolean = true, windowTokens: Int = 8,
+      minShared: Long = 1): (DataFrame, PrepareReport) = {
+    val cleaned0 =
+      if (stripMarkup) docs.withColumn(textCol, Text.stripHtml(col(textCol)))
+      else docs
+    val input = cleaned0.count()
+    val deduped = Dedup.exact(cleaned0, idCol, textCol)
+    val afterDedup = deduped.count()
+    val decontam = Decontaminate.decontaminate(deduped, bench, idCol,
+      textCol, windowTokens, minShared)
+    val afterDecontam = decontam.count()
+    val sampled = Sampling.mixtureSample(decontam, col(sourceCol),
+      col(idCol), targets, totalRows)
+    (sampled, PrepareReport(input, afterDedup, afterDecontam,
+      sampled.count()))
+  }
 }

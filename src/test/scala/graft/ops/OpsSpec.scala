@@ -282,6 +282,29 @@ class OpsSpec extends SparkTestBase {
     assert(cleaned.count() == report.afterNearDup)
   }
 
+  test("prepareCorpus: strip→dedup→decontaminate→mixture, every stage drops") {
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8" // 8-token leak from the eval set
+    val corpus = Seq(
+      (1L, s"<p>alpha beta gamma</p>", "a"),
+      (2L, s"<b>alpha   BETA gamma</b>", "a"),    // dup of 1 after strip+normalize
+      (3L, s"<p>$run tail</p>", "a"),             // contaminated
+      (4L, "<p>delta epsilon</p>", "a"),
+      (5L, "<p>zeta eta theta</p>", "b"),
+      (6L, "<p>iota kappa</p>", "b"),
+      (7L, "<p>lambda mu</p>", "c")               // source absent from targets
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, run)).toDF("doc_id", "text")
+    val (sampled, rep) = Pipeline.prepareCorpus(corpus, bench,
+      "doc_id", "text", "source",
+      Seq("a" -> 1.0, "b" -> 1.0), totalRows = 2L)
+    assert(rep == Pipeline.PrepareReport(7, 6, 5, 2)) // -dup, -leak, quota 1+1
+    val kept = sampled.select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 2 && !kept.contains(3L) && !kept.contains(7L))
+    // text column came out stripped
+    val texts = sampled.select("text").as[String].collect()
+    assert(texts.forall(t => !t.contains("<") && !t.contains(">")))
+  }
+
   test("components handles empty pair sets; cleanCorpus survives clean corpora") {
     val empty = Seq.empty[(Long, Long)].toDF("idA", "idB")
     val ids = (1L to 5L).toDF("id")
