@@ -833,6 +833,31 @@ object SparkEntry {
       Seq((rep.input, rep.afterDedup, rep.afterDecontam, rep.sampled, idXor))
         .toDF("input", "after_dedup", "after_decontam", "sampled", "id_xor")
     }),
+    "q88_pq_encode" -> ((s, dir) => {
+      // product quantization: 64-dim → 4×16-dim sub-codes against a fixed
+      // deterministic codebook (vec_id<8 slices), plus ADC scoring against
+      // query vec 0 — encode is a pure scan-side expression; ADC sums 4
+      // broadcast-LUT entries per row. pqTrain's Lloyd's loop is
+      // spec-tested; this gates the encode/ADC kernels exactly
+      val emb = t(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val cbs: graft.ops.Similarity.PqCodebooks =
+        (0 until 4).map(i => base.map(v => v.slice(i * 16, i * 16 + 16)))
+      val encoded = emb.select(col("vec_id"),
+        graft.ops.Similarity.pqEncode(col("embedding"), cbs, 16).as("codes"))
+      val scores = graft.ops.Similarity.pqAdcScores(encoded,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", "codes", cbs, 16)
+      encoded
+        .select(col("vec_id"), element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 2).as("c1"),
+          element_at(col("codes"), 3).as("c2"),
+          element_at(col("codes"), 4).as("c3"))
+        .join(scores.select(col("vec_id"), round(col("adc_dot"), 6).as("adc")),
+          Seq("vec_id"))
+        .orderBy("vec_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1699,6 +1724,34 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                 (SELECT count(*) FROM dec)::BIGINT AS after_decontam,
                 (SELECT count(*) FROM mix)::BIGINT AS sampled,
                 (SELECT bit_xor(doc_id) FROM mix) AS id_xor"""),
+    "q88_pq_encode" ->
+      """WITH cb AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 8),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sub AS (SELECT i FROM unnest(range(0, 4)) t(i)),
+         sc AS (SELECT e.vec_id, s.i AS sub, cb.cid,
+                  list_cosine_similarity(
+                    list_slice(e.v, s.i*16 + 1, (s.i+1)*16),
+                    list_slice(cb.v, s.i*16 + 1, (s.i+1)*16)) AS cos
+                FROM e, sub s, cb),
+         a AS (SELECT vec_id, sub, cid FROM (
+                 SELECT vec_id, sub, cid, row_number() OVER (
+                   PARTITION BY vec_id, sub ORDER BY cos DESC, cid) AS rn
+                 FROM sc) WHERE rn = 1),
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         ad AS (SELECT a.vec_id,
+                  sum(list_dot_product(
+                    list_slice(q.qv, sub*16 + 1, (sub+1)*16),
+                    list_slice(cb.v, sub*16 + 1, (sub+1)*16))) AS adc
+                FROM a JOIN cb ON cb.cid = a.cid, q GROUP BY 1),
+         codes AS (SELECT vec_id,
+                     max(CASE WHEN sub = 0 THEN cid END)::INT AS c0,
+                     max(CASE WHEN sub = 1 THEN cid END)::INT AS c1,
+                     max(CASE WHEN sub = 2 THEN cid END)::INT AS c2,
+                     max(CASE WHEN sub = 3 THEN cid END)::INT AS c3
+                   FROM a GROUP BY 1)
+         SELECT codes.vec_id, c0, c1, c2, c3, round(ad.adc, 6) AS adc
+         FROM codes JOIN ad USING (vec_id) ORDER BY vec_id""",
     // computed from the parquet ORIGINALS: the gate's jsonl round-trip must
     // reproduce these counts/lengths/checksums exactly
     "q86_jsonl_roundtrip" ->

@@ -194,6 +194,64 @@ object Similarity {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Product-quantization codebooks: `m` sub-codebooks, one per contiguous
+    * `dim/m` slice of the vector. Spherical variant — sub-assignment is
+    * max-cosine, consistent with the cosine ANN stack (classic PQ uses L2;
+    * for normalized-embedding corpora the spherical form ranks the same
+    * inner products the searcher uses). */
+  type PqCodebooks = Seq[Seq[Seq[Double]]]
+
+  /** Train PQ codebooks: an independent deterministic [[kmeansFit]] per
+    * subspace (m fits, each a distributed Lloyd's run over the sliced
+    * corpus — the driver holds only m·ksub·(dim/m) doubles). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      subDim: Int, ksub: Int, maxIters: Int = 10): PqCodebooks =
+    (0 until m).map { i =>
+      kmeansFit(
+        corpus.select(col(idCol).as("__id"),
+          slice(col(vecCol), i * subDim + 1, subDim).as("__v")),
+        "__id", "__v", ksub, maxIters).codebook
+    }
+
+  /** Encode a vector into its `m` sub-codes (0-based centroid indices,
+    * ties to the lowest index) — a pure column expression: the 100 TB
+    * corpus encodes at the scan, no shuffle. Codes are `m` small ints per
+    * row (e.g. 64-dim float → 4 bytes-ish), the representation ADC search
+    * and IVF-PQ lists store. */
+  def pqEncode(vec: Column, codebooks: PqCodebooks, subDim: Int): Column =
+    array(codebooks.zipWithIndex.map { case (cb, i) =>
+      element_at(gf.nearest_centroids(
+        slice(vec, i * subDim + 1, subDim), typedLit(cb), 1), 1)
+    }: _*)
+
+  /** Asymmetric-distance (ADC) scoring: per query, a lookup table of
+    * partial inner products query-slice·centroid (m·ksub doubles) replaces
+    * the full vectors; each encoded corpus row is scored by summing its m
+    * table entries. The LUT frame broadcasts; the corpus side ships only
+    * (id, sub, code) rows into the per-(query, id) sum. Returns
+    * (query_id, idCol, adc_dot) — the approximate inner product PQ search
+    * ranks by. */
+  def pqAdcScores(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codesCol: String, codebooks: PqCodebooks,
+      subDim: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val cbRows = for ((cb, i) <- codebooks.zipWithIndex.toSeq;
+                      (c, j) <- cb.zipWithIndex)
+      yield (i, j, c)
+    val cbDf = cbRows.toDF("__sub", "__code", "__centroid")
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(cbDf)
+      .select(col("query_id"), col("__sub"), col("__code"),
+        gf.vec_dot(slice(col("__qv"), col("__sub") * subDim + 1, lit(subDim)),
+          col("__centroid")).as("__partial"))
+    encoded
+      .select(col(idCol), posexplode(col(codesCol)).as(Seq("__sub", "__code")))
+      .join(broadcast(lut), Seq("__sub", "__code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("__partial").as("adc_dot"))
+  }
+
   /** Rank scored pairs into top-k per query with a deterministic tie-break
     * (cosine desc, neighbor_id asc). */
   def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -5,6 +5,48 @@ import graft.SparkTestBase
 
 /** Deterministic Lloyd's k-means (Similarity.kmeansFit). */
 class KMeansSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions.{element_at => elemAt}
+
+  test("PQ: encode codes match per-subspace brute-force argmax; ADC ranks dups first") {
+    import spark.implicits._
+    // 4-dim vectors, 2 subspaces of 2; codebook = first 2 vectors' slices
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),   // near vec 0 in both subspaces
+      (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f)),   // near vec 1 in both subspaces
+      (4L, Seq(1.0f, 0.0f, 1.0f, 0.0f))    // mixed: sub0→0, sub1→1
+    ).toDF("id", "vec")
+    val base = vecs.where($"id" < 2).orderBy("id")
+      .select($"vec".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq)
+    val cbs: Similarity.PqCodebooks =
+      (0 until 2).map(i => base.map(v => v.slice(i * 2, i * 2 + 2)))
+    val encoded = vecs.select($"id",
+      Similarity.pqEncode($"vec", cbs, 2).as("codes"))
+    val codes = encoded.select($"id", elemAt($"codes", 1), elemAt($"codes", 2))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(codes == Map(0L -> ((0, 0)), 1L -> ((1, 1)), 2L -> ((0, 0)),
+      3L -> ((1, 1)), 4L -> ((0, 1))))
+    // ADC vs query vec 0: its own cluster (ids 0, 2) must outrank cluster 1
+    val adc = Similarity.pqAdcScores(encoded, vecs.where($"id" === 0),
+        "id", "vec", "codes", cbs, 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(adc(0L) == adc(2L))            // same codes → identical ADC
+    assert(adc(0L) > adc(4L) && adc(4L) > adc(1L))
+    assert(adc(1L) == adc(3L))
+  }
+
+  test("pqTrain: deterministic across runs, codebook shape m×ksub×subDim") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat))).toDF("id", "vec")
+    val a = Similarity.pqTrain(vecs, "id", "vec", m = 2, subDim = 4, ksub = 3)
+    val b = Similarity.pqTrain(vecs, "id", "vec", m = 2, subDim = 4, ksub = 3)
+    assert(a == b)
+    assert(a.length == 2 && a.forall(cb => cb.length == 3 &&
+      cb.forall(_.length == 4)))
+  }
   import spark.implicits._
 
   // two tight, well-separated direction blobs (cosine k-means separates by
