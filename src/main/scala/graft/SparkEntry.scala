@@ -858,6 +858,17 @@ object SparkEntry {
           Seq("vec_id"))
         .orderBy("vec_id")
     }),
+    "q89_bpe_merges" -> ((s, dir) => {
+      // distributed BPE vocabulary learning: the first 4 merges over the
+      // corpus word table (pair-count argmax with (cnt desc, l, r)
+      // tie-break; greedy left-to-right merge fold). The oracle replays
+      // all 4 rounds in chained SQL
+      import s.implicits._
+      graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text", 4)
+        .zipWithIndex
+        .map { case (m, i) => (i + 1, m.left, m.right, m.freq) }
+        .toDF("rank", "left", "right", "freq")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1752,6 +1763,33 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                    FROM a GROUP BY 1)
          SELECT codes.vec_id, c0, c1, c2, c3, round(ad.adc, 6) AS adc
          FROM codes JOIN ad USING (vec_id) ORDER BY vec_id""",
+    // 4 BPE rounds replayed: pair counts → argmax → greedy list_reduce
+    // merge, state chained through s1..s4
+    "q89_bpe_merges" ->
+      ("""WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+                        FROM documents),
+         w AS (SELECT word, count(*)::BIGINT AS freq FROM toks
+               WHERE word <> '' GROUP BY 1),
+         s0 AS (SELECT list_transform(range(1, length(word)+1),
+                  i -> word[i:i]) AS syms, freq FROM w),""" +
+        (1 to 4).map { k =>
+          s"""
+         p$k AS (SELECT syms[j] AS l, syms[j+1] AS r, sum(freq)::BIGINT AS cnt
+               FROM s${k - 1}, unnest(range(1, len(syms))) t(j) GROUP BY 1, 2),
+         m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         s$k AS (SELECT list_reduce(
+                 list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$k.l
+                                       AND x[1] = m$k.r
+                   THEN list_append(acc[1:len(acc)-1], m$k.l || m$k.r)
+                   ELSE list_append(acc, x[1]) END) AS syms, freq
+               FROM s${k - 1}, m$k)"""
+        }.mkString(",") + """
+         SELECT 1::INT AS rank, l AS "left", r AS "right", cnt AS freq FROM m1
+         UNION ALL SELECT 2, l, r, cnt FROM m2
+         UNION ALL SELECT 3, l, r, cnt FROM m3
+         UNION ALL SELECT 4, l, r, cnt FROM m4
+         ORDER BY rank"""),
     // computed from the parquet ORIGINALS: the gate's jsonl round-trip must
     // reproduce these counts/lengths/checksums exactly
     "q86_jsonl_roundtrip" ->
