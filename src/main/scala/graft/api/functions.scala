@@ -5,7 +5,7 @@ import graft.expr._
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.graftshim.{toColumn, toExpr}
+import org.apache.spark.sql.graftshim.{toColumn, toExpr, toExprTree}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions._
@@ -218,7 +218,8 @@ object GraftFunctions {
               n == "hash64" ||
               n == "text_stats" || n == "pii_stats" || n == "redact_pii" ||
               n == "ss_capacity" || n == "kmv_distinct" || n == "kmv_size" ||
-              n == "vec_norm" => Seq(1)
+              n == "vec_norm" || n == "strip_html" ||
+              n == "registrable_domain" => Seq(1)
     case _ => Seq(2)
   }
 
@@ -320,7 +321,16 @@ object GraftFunctions {
       case Seq(st, fi) => StatsFinishers.kurt(st, foldBool(fi, "fisher"), bias = true)
       case Seq(st, fi, b) => StatsFinishers.kurt(st, foldBool(fi, "fisher"),
         foldBool(b, "bias"))
-    }
+    },
+    // text/web compositions: built from stock codegen'd expressions, so
+    // SQL users get the identical tree the Column DSL builds (toExprTree
+    // unwraps to a real Catalyst tree the analyzer can resolve)
+    "strip_html" -> { case Seq(t) =>
+      toExprTree(graft.ops.Text.stripHtml(toColumn(t))) },
+    "char_grams" -> { case Seq(t, n) =>
+      toExprTree(graft.ops.LangModel.charGrams(toColumn(t), foldInt(n, "n"))) },
+    "registrable_domain" -> { case Seq(h) =>
+      toExprTree(graft.ops.Web.registrableDomain(toColumn(h))) }
   )
 
   private def foldInt(e: Expression, name: String): Int = {

@@ -9,6 +9,15 @@ package object graftshim {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Convert a Column into a genuine Catalyst expression TREE (nested
+    * UnresolvedFunction nodes and all) instead of the opaque lazy
+    * ColumnNodeExpression wrapper `toExpr` yields. Required when the
+    * expression is returned from a FunctionRegistry builder: the analyzer
+    * resolves unresolved nodes inside a real tree, but cannot see through
+    * the wrapper (which then fails codegen as Unevaluable). */
+  def toExprTree(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   // private[sql] in Spark 4; re-exported for graft's expression definitions
   type AbstractDataType = types.AbstractDataType
   val TypeCollection = types.TypeCollection

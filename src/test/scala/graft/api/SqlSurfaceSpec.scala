@@ -70,6 +70,15 @@ class SqlSurfaceSpec extends SparkTestBase {
       FROM emb LIMIT 1""")
     assert(math.abs(r4.getDouble(1) - 1.0) < 1e-9)
     assert(math.abs(math.sqrt(r4.getDouble(0)) - r4.getDouble(2)) < 1e-9)
+
+    // text/web compositions registered for SQL
+    val r5 = one("""
+      SELECT strip_html('<p>a &amp; b</p><script>x()</script>') s,
+             char_grams('abcd', 3) g,
+             registrable_domain('www.shop.co.uk') d""")
+    assert(r5.getString(0) == "a & b")
+    assert(r5.getSeq[String](1).toList == List("abc", "bcd"))
+    assert(r5.getString(2) == "shop.co.uk")
   }
 
   test("stats finishers callable from SQL with variant args") {

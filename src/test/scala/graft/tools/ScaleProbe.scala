@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (test scope): order-of-magnitude scale measurements for the
+  * round-4 operator families on synthetic data ~10–100× the sf0.1
+  * fixtures. Deterministic generation (id arithmetic, no RNG) so runs are
+  * comparable; numbers land in SURVEY §8.2.
+  *
+  * Usage: sbt "Test/runMain graft.tools.ScaleProbe [nDocs] [nVecs]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val nVecs = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.api.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    }
+    def force(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // ~30-token docs from id arithmetic; every 97th doc quotes an 8-token
+    // run that also appears in the bench set (plants contamination)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), ((col("id") * 31 + j * 7) % 5000).cast("string"))): _*)
+        .as("text"),
+      concat(lit("s"), (col("id") % 20).cast("string")).as("source"))
+      .withColumn("text", when(col("doc_id") % 97 === 0,
+        concat(lit("b1 b2 b3 b4 b5 b6 b7 b8 "), col("text")))
+        .otherwise(col("text")))
+    val bench = spark.range(10000).select(col("id").as("doc_id"),
+      concat(lit("b1 b2 b3 b4 b5 b6 b7 b8 tail"),
+        col("id").cast("string")).as("text"))
+
+    println(s"== ScaleProbe: nDocs=$nDocs nVecs=$nVecs (local[32]) ==")
+    time(s"generate+count corpus") { docs.count() }
+
+    val page = concat(lit("<html><head><style>p{m:0}</style></head><body><p>"),
+      col("text"), lit("</p><script>var x = 1;</script></body></html>"))
+    time(s"stripHtml $nDocs docs (regex chain)") {
+      force(docs.select(graft.ops.Text.stripHtml(page).as("t")))
+    }
+
+    time(s"decontaminate $nDocs vs 10k bench") {
+      force(graft.ops.Decontaminate.sharedSpans(docs, bench, "doc_id", "text",
+        windowTokens = 8, minShared = 1))
+    }
+
+    time(s"mixtureSample $nDocs -> 1M (20 sources)") {
+      force(graft.ops.Sampling.mixtureSample(docs, col("source"),
+        col("doc_id"), (0 until 20).map(i => s"s$i" -> 1.0), 1000000L))
+    }
+
+    time(s"dedupParagraphs $nDocs (sep=' ', 30 paras/doc)") {
+      force(graft.ops.Dedup.dedupParagraphs(docs, "doc_id", "text", " "))
+    }
+
+    val lmDocs = docs.where(col("doc_id") % 5 === 0)
+    time(s"LM trigram scoreSelf ${nDocs / 5} docs") {
+      force(graft.ops.LangModel.scoreSelf(lmDocs, "doc_id", "text"))
+    }
+
+    time(s"bm25 postings+search ${nDocs / 5} docs, 10 queries") {
+      force(graft.ops.Text.bm25TopK(lmDocs,
+        lmDocs.where(col("doc_id") < 50), "doc_id", "text", 10))
+    }
+
+    time(s"BPE learnMerges k=8 over $nDocs docs") {
+      graft.ops.Bpe.learnMerges(docs, "text", 8)
+    }
+
+    // embeddings: 64-dim unit-ish vectors from id arithmetic
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => ((col("id") * 37 + d * 11) % 1000).cast("float") / 1000.0f - 0.5f)
+        .as("embedding"))
+    val base = vecs.where(col("vec_id") < 8)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cbs: graft.ops.Similarity.PqCodebooks =
+      (0 until 4).map(i => base.map(v => v.slice(i * 16, i * 16 + 16)))
+    time(s"pqEncode $nVecs x 64-dim (m=4)") {
+      force(vecs.select(col("vec_id"),
+        graft.ops.Similarity.pqEncode(col("embedding"), cbs, 16).as("codes")))
+    }
+    val encoded = vecs.select(col("vec_id"),
+      graft.ops.Similarity.pqEncode(col("embedding"), cbs, 16).as("codes"))
+    time(s"pqAdcScores $nVecs rows, 5 queries") {
+      force(graft.ops.Similarity.pqAdcScores(encoded,
+        vecs.where(col("vec_id") < 5), "vec_id", "embedding", "codes", cbs, 16))
+    }
+
+    // SemDeDup probe: k ≈ √n clusters (the paper's sizing) bounds the
+    // within-cluster quadratic work; 100k vectors / 256 clusters ≈ 20M
+    // cosine evaluations
+    val semBase = vecs.where(col("vec_id") < 256)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val semCorpus = vecs.where(col("vec_id") % 20 === 0)
+    time(s"semanticPairs ${nVecs / 20} vecs (256 clusters, tau=0.9)") {
+      println("  pairs=" + graft.ops.Similarity.semanticPairs(
+        semCorpus, "vec_id", "embedding", semBase, 0.9).count())
+    }
+    spark.stop()
+  }
+}
