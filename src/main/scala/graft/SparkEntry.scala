@@ -869,6 +869,26 @@ object SparkEntry {
         .map { case (m, i) => (i + 1, m.left, m.right, m.freq) }
         .toDF("rank", "left", "right", "freq")
     }),
+    "q90_ivfpq" -> ((s, dir) => {
+      // IVF-PQ search end-to-end over fixed deterministic structures
+      // (coarse cells + sub-codebooks from vec_id<8): route each query to
+      // its 2 nearest cells, ADC-score only those cells' codes, top-5.
+      // The trained-index path (ivfPqBuild) is spec-covered
+      val emb = t(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val cbs: graft.ops.Similarity.PqCodebooks =
+        (0 until 4).map(i => base.map(v => v.slice(i * 16, i * 16 + 16)))
+      val assigned = emb.select(col("vec_id"),
+        element_at(gf.nearest_centroids(col("embedding"), typedLit(base), 1), 1)
+          .as("centroid"),
+        graft.ops.Similarity.pqEncode(col("embedding"), cbs, 16).as("codes"))
+      val idx = graft.ops.Similarity.IvfPqIndex(base, cbs, 16, assigned)
+      graft.ops.Similarity.ivfPqTopK(idx, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1763,6 +1783,44 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                    FROM a GROUP BY 1)
          SELECT codes.vec_id, c0, c1, c2, c3, round(ad.adc, 6) AS adc
          FROM codes JOIN ad USING (vec_id) ORDER BY vec_id""",
+    "q90_ivfpq" ->
+      """WITH cb AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 8),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ca AS (SELECT vec_id, cid AS centroid FROM (
+                  SELECT e.vec_id, cb.cid, row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, cb.v) DESC, cb.cid) AS rn
+                  FROM e, cb) WHERE rn = 1),
+         sub AS (SELECT i FROM unnest(range(0, 4)) t(i)),
+         pa AS (SELECT vec_id, sub, cid FROM (
+                  SELECT e.vec_id, s.i AS sub, cb.cid, row_number() OVER (
+                    PARTITION BY e.vec_id, s.i ORDER BY
+                      list_cosine_similarity(
+                        list_slice(e.v, s.i*16 + 1, (s.i+1)*16),
+                        list_slice(cb.v, s.i*16 + 1, (s.i+1)*16)) DESC, cb.cid) AS rn
+                  FROM e, sub s, cb) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+         pr AS (SELECT query_id, cid AS centroid FROM (
+                  SELECT q.query_id, cb.cid, row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(q.qv, cb.v) DESC, cb.cid) AS rn
+                  FROM q, cb) WHERE rn <= 2),
+         cand AS (SELECT pr.query_id, ca.vec_id FROM ca JOIN pr USING (centroid)),
+         ad AS (SELECT c.query_id, c.vec_id,
+                  sum(list_dot_product(
+                    list_slice(q.qv, pa.sub*16 + 1, (pa.sub+1)*16),
+                    list_slice(cb.v, pa.sub*16 + 1, (pa.sub+1)*16))) AS adc
+                FROM cand c JOIN pa ON pa.vec_id = c.vec_id
+                     JOIN cb ON cb.cid = pa.cid
+                     JOIN q ON q.query_id = c.query_id
+                GROUP BY 1, 2),
+         r AS (SELECT query_id, vec_id, round(adc, 6) AS adc_dot,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(adc, 6) DESC, vec_id) AS rank
+               FROM ad)
+         SELECT query_id, vec_id, adc_dot, cast(rank AS int) AS rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     // 4 BPE rounds replayed: pair counts → argmax → greedy list_reduce
     // merge, state chained through s1..s4
     "q89_bpe_merges" ->

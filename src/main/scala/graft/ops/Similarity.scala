@@ -252,6 +252,68 @@ object Similarity {
       .agg(sum("__partial").as("adc_dot"))
   }
 
+  /** IVF-PQ index: coarse centroids route queries to inverted lists; PQ
+    * codes stand in for the vectors inside each list. `assigned` =
+    * (idCol, centroid, codes) — at scale, write it partitioned by
+    * `centroid` so a search reads only the probed lists' files, and the
+    * codes column (m small ints) instead of the raw vectors is what makes
+    * the lists cheap to scan. */
+  case class IvfPqIndex(centroids: Seq[Seq[Double]], codebooks: PqCodebooks,
+      subDim: Int, assigned: DataFrame)
+
+  /** Build an IVF-PQ index: deterministic hash-selected coarse centroids
+    * ([[ivfBuild]]'s rule) + per-subspace PQ codebooks ([[pqTrain]]), then
+    * one scan that both routes and encodes every vector. */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nCenters: Int, m: Int, subDim: Int, ksub: Int, seed: Long = 42L,
+      maxIters: Int = 10): IvfPqIndex = {
+    val coarse = ivfBuild(corpus, idCol, vecCol, nCenters, seed)
+    val cbs = pqTrain(corpus, idCol, vecCol, m, subDim, ksub, maxIters)
+    val assigned = corpus.select(col(idCol),
+      element_at(gf.nearest_centroids(col(vecCol),
+        typedLit(coarse.codebook), 1), 1).as("centroid"),
+      pqEncode(col(vecCol), cbs, subDim).as("codes"))
+    IvfPqIndex(coarse.codebook, cbs, subDim, assigned)
+  }
+
+  /** IVF-PQ search: each query probes its `nProbe` nearest coarse cells
+    * and ADC-scores ONLY those cells' codes — the corpus contributes
+    * (id, centroid, codes) rows, never vectors; the per-query LUT and the
+    * probe set broadcast. Ranking is by the ADC approximate inner product
+    * rounded to `roundTo` (engine-reproducible), ties to the lower id.
+    * Returns (query_id, idCol, adc_dot, rank). */
+  def ivfPqTopK(index: IvfPqIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probed = q.select(col("query_id"), explode(
+      gf.nearest_centroids(col("__qv"), typedLit(index.centroids), nProbe))
+      .as("centroid"))
+    val cbRows = for ((cb, i) <- index.codebooks.zipWithIndex.toSeq;
+                      (c, j) <- cb.zipWithIndex)
+      yield (i, j, c)
+    val lut = q.crossJoin(cbRows.toDF("__sub", "__code", "__centroid"))
+      .select(col("query_id"), col("__sub"), col("__code"),
+        gf.vec_dot(slice(col("__qv"), col("__sub") * index.subDim + 1,
+          lit(index.subDim)), col("__centroid")).as("__partial"))
+    val cand = index.assigned
+      .join(broadcast(probed), Seq("centroid"))
+      .select(col("query_id"), col(idCol),
+        posexplode(col("codes")).as(Seq("__sub", "__code")))
+    val scored = cand
+      .join(broadcast(lut), Seq("query_id", "__sub", "__code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("__partial").as("adc_dot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("adc_dot"), roundTo).desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("adc_dot"), roundTo).as("adc_dot"), col("rank"))
+  }
+
   /** Rank scored pairs into top-k per query with a deterministic tie-break
     * (cosine desc, neighbor_id asc). */
   def topK(scored: DataFrame, k: Int): DataFrame = {

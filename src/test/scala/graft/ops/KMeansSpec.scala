@@ -37,6 +37,34 @@ class KMeansSpec extends SparkTestBase {
     assert(adc(1L) == adc(3L))
   }
 
+  test("ivfPq: full probe == global ADC ranking; partial probe restricts cells") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(8)(d => (((i * 13 + d * 5) % 17).toFloat - 8f) / 8f)))
+      .toDF("id", "vec")
+    val idx = Similarity.ivfPqBuild(vecs, "id", "vec",
+      nCenters = 4, m = 2, subDim = 4, ksub = 4, maxIters = 3)
+    // probing EVERY cell makes IVF-PQ == plain ADC ranking over all codes
+    val full = Similarity.ivfPqTopK(idx, vecs.where($"id" < 3), "id", "vec",
+      k = 10, nProbe = 4)
+    val adcAll = Similarity.pqAdcScores(
+        idx.assigned.select("id", "codes"), vecs.where($"id" < 3),
+        "id", "vec", "codes", idx.codebooks, idx.subDim)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(round($"adc_dot", 6).desc, $"id")
+    val expect = adcAll.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 10)
+      .select($"query_id", $"id", round($"adc_dot", 6).as("adc_dot"), $"rank")
+    assert(full.exceptAll(expect).isEmpty && expect.exceptAll(full).isEmpty)
+    // nProbe=1: every hit lives in the query's own probed cell
+    val narrow = Similarity.ivfPqTopK(idx, vecs.where($"id" < 3), "id", "vec",
+      k = 5, nProbe = 1)
+    val cells = idx.assigned.select($"id", $"centroid")
+    val joined = narrow.join(cells, Seq("id"))
+      .join(cells.select($"id".as("query_id"), $"centroid".as("qc")), Seq("query_id"))
+    assert(joined.where($"centroid" =!= $"qc").isEmpty)
+  }
+
   test("pqTrain: deterministic across runs, codebook shape m×ksub×subDim") {
     import spark.implicits._
     val vecs = (0L until 60L).map(i =>
