@@ -889,6 +889,15 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
+    "q91_chunking" -> ((s, dir) => {
+      // RAG-style character chunking: 120-char windows, 20-char overlap
+      // (step 100); per-chunk rows compared byte-for-byte
+      val c = graft.ops.Text.chunk(col("text"), size = 120, overlap = 20)
+      t(s, dir, "documents")
+        .where(col("doc_id") < 15)
+        .select(col("doc_id"), posexplode(c).as(Seq("idx", "chunk")))
+        .orderBy("doc_id", "idx")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1821,6 +1830,11 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                FROM ad)
          SELECT query_id, vec_id, adc_dot, cast(rank AS int) AS rank
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q91_chunking" ->
+      """SELECT doc_id, (i)::INT AS idx, substring(text, i*100 + 1, 120) AS chunk
+         FROM documents, unnest(range(0, (length(text)-1)//100 + 1)) t(i)
+         WHERE doc_id < 15 AND length(text) >= 1
+         ORDER BY doc_id, idx""",
     // 4 BPE rounds replayed: pair counts → argmax → greedy list_reduce
     // merge, state chained through s1..s4
     "q89_bpe_merges" ->

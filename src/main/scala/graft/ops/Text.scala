@@ -28,6 +28,24 @@ object Text {
   def tfidfScore(tf: Column, df: Column, nDocs: Long): Column =
     tf * (log(lit(nDocs + 1.0) / (df + 1.0)) + 1.0)
 
+  /** Fixed-size character chunking with overlap — the embedding/context
+    * windowing pass (RAG indexing, long-doc splitting). Windows start
+    * every `size − overlap` characters; every character of the text is
+    * covered, the last window may be short, and consecutive windows share
+    * exactly `overlap` characters (except before a short tail). Empty
+    * text → empty array. Pure column expression: chunking happens at the
+    * scan; explode downstream if chunk-per-row is wanted. */
+  def chunk(text: Column, size: Int, overlap: Int = 0): Column = {
+    require(size >= 1, "size must be >= 1")
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val step = size - overlap
+    when(length(text) >= 1,
+      transform(sequence(lit(0L),
+          floor((length(text).cast("double") - 1) / step).cast("long")),
+        i => text.substr((i * step + 1).cast("int"), lit(size))))
+      .otherwise(array())
+  }
+
   /** Heuristic HTML → text boilerplate stripping (the web-corpus cleaning
     * pass): drops script/style blocks and comments with their contents,
     * replaces remaining tags with spaces (token boundaries survive),

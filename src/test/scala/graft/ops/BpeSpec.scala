@@ -41,6 +41,50 @@ class BpeSpec extends SparkTestBase {
       List("x", "y")))            // untouched by either merge
   }
 
+  test("learnMerges matches an in-memory reference on randomized corpora") {
+    // independent reference: true left-to-right greedy merge (index walk,
+    // not the check-last fold) + explicit (cnt desc, l, r) selection
+    def reference(text: String, k: Int): Seq[Bpe.Merge] = {
+      var vocab: Map[List[String], Long] = text.split("\\s+")
+        .filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, ws) => w.map(_.toString).toList -> ws.length.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Bpe.Merge]
+      var done = false
+      while (out.length < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.zip(syms.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + f } }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          out += Bpe.Merge(l, r, c)
+          vocab = vocab.map { case (syms, f) =>
+            val b = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.toList -> f
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val text = Seq.fill(40)(
+        (0 to rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        .mkString(" ")
+      val want = reference(text, 5)
+      val got = Bpe.learnMerges(Seq(text).toDF("text"), "text", 5)
+      assert(got == want, s"trial $trial corpus=$text")
+    }
+  }
+
   test("learnMerges exhausts when every word is one symbol") {
     val m = Bpe.learnMerges(Seq("ab ab cd").toDF("text"), "text", 10)
     // only 2 possible merges exist: (a,b) then (c,d)

@@ -79,6 +79,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == (("a|b|c", 3L, 2L)))
   }
 
+  test("chunk: coverage, exact overlap, short tail, empty text") {
+    val got = Seq("abcdefghij", "abc", "", "abcdefgh")
+      .toDF("t").select(Text.chunk($"t", size = 4, overlap = 2))
+      .collect().map(_.getSeq[String](0).toList)
+    // step 2: windows at 1,3,5,7,9
+    assert(got(0) == List("abcd", "cdef", "efgh", "ghij", "ij"))
+    assert(got(1) == List("abc", "c"))
+    assert(got(2) == Nil)
+    assert(got(3) == List("abcd", "cdef", "efgh", "gh"))
+    // invariants: every char covered, consecutive windows share the overlap
+    got(0).sliding(2).foreach { case List(a, b) =>
+      assert(a.takeRight(2) == b.take(2.min(b.length)) || b.length < 2) }
+    assert(got(0).map(_.drop(2)).mkString.length +
+      got(0).head.take(2).length == 10)
+    // no overlap: plain partition
+    val flat = Seq("abcdefgh").toDF("t")
+      .select(Text.chunk($"t", 3)).head.getSeq[String](0)
+    assert(flat.toList == List("abc", "def", "gh") && flat.mkString == "abcdefgh")
+  }
+
   test("stripHtml: tags/script/style/comments out, entities unescaped") {
     val cases = Seq(
       // script and style bodies vanish entirely; tags become boundaries

@@ -267,6 +267,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedWin.nonEmpty)
   }
 
+  test("stateless curation kernels stream per-row: strip/chunk/domain/pii ≡ batch") {
+    // the scan-side curation expressions carry no state, so they must run
+    // unchanged on a readStream and emit exactly the batch rows (append
+    // mode, no watermark needed)
+    val base = java.nio.file.Files.createTempDirectory("graft_cstream").toString
+    val docsB = spark.read.parquet(sf("documents"))
+    docsB.coalesce(2).write.parquet(s"$base/documents.parquet")
+    def curate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.ops.Text.stripHtml(concat(lit("<p>"), col("text"),
+        lit("</p><script>x()</script> &amp; t"))).as("clean"),
+      graft.ops.Web.registrableDomain(
+        concat(lit("www.s"), (col("doc_id") % 7).cast("string"),
+          lit(".co.uk"))).as("domain"),
+      gf.pii_stats(col("text")).getField("n_emails").as("pii_emails"),
+      graft.ops.Text.chunk(col("text"), 150, 30).as("chunks"))
+    val q = curate(graft.sources.Tables.loadStream(spark, base, "documents",
+        Map("maxFilesPerTrigger" -> "1")))
+      .writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("cur_stream")
+    val batch = curate(spark.read.parquet(s"$base/documents.parquet"))
+    assert(streamed.count() == docsB.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming windowed kmv_distinct == batch (set-union state)") {
     val rows = eventRows()
     implicit val sqlCtx = spark.sqlContext
