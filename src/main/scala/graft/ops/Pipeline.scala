@@ -82,10 +82,14 @@ object Pipeline {
       if (stripMarkup) docs.withColumn(textCol, Text.stripHtml(col(textCol)))
       else docs
     val input = cleaned0.count()
-    val deduped = Dedup.exact(cleaned0, idCol, textCol)
+    // checkpoint each stage output: the report needs a count per stage, and
+    // without lineage truncation stage k's count would re-execute stages
+    // 1..k−1 — O(stages²) corpus passes at 100 TB. With it, every stage
+    // runs exactly once and its count reads the materialized result.
+    val deduped = Dedup.exact(cleaned0, idCol, textCol).localCheckpoint()
     val afterDedup = deduped.count()
     val decontam = Decontaminate.decontaminate(deduped, bench, idCol,
-      textCol, windowTokens, minShared)
+      textCol, windowTokens, minShared).localCheckpoint()
     val afterDecontam = decontam.count()
     val sampled = Sampling.mixtureSample(decontam, col(sourceCol),
       col(idCol), targets, totalRows)
