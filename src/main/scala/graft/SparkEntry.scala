@@ -898,6 +898,15 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(c).as(Seq("idx", "chunk")))
         .orderBy("doc_id", "idx")
     }),
+    "q92_nb_classify" -> ((s, dir) => {
+      // multinomial NB language classifier: exact-count training (one
+      // pass), broadcast model, per-doc argmax with rounded-score ranking
+      val docs = t(s, dir, "documents")
+      val model = graft.ops.Classify.nbTrain(docs, "lang", "text")
+      graft.ops.Classify.nbPredict(docs, "doc_id", "text", model)
+        .where(col("doc_id") < 40)
+        .orderBy("doc_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1835,6 +1844,34 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          FROM documents, unnest(range(0, (length(text)-1)//100 + 1)) t(i)
          WHERE doc_id < 15 AND length(text) >= 1
          ORDER BY doc_id, idx""",
+    "q92_nb_classify" ->
+      """WITH tk AS (SELECT doc_id, lang, unnest(string_split_regex(text, '\s+')) AS term
+                     FROM documents),
+         t2 AS (SELECT doc_id, lang, term FROM tk WHERE term <> ''),
+         tc AS (SELECT lang AS label, term, count(*)::BIGINT AS cnt
+                FROM t2 GROUP BY 1, 2),
+         ld AS (SELECT lang AS label, count(*)::BIGINT AS n_docs
+                FROM documents GROUP BY 1),
+         tot AS (SELECT label, sum(cnt)::BIGINT AS tot FROM tc GROUP BY 1),
+         voc AS (SELECT count(DISTINCT term)::BIGINT AS v FROM tc),
+         nd AS (SELECT sum(n_docs)::BIGINT AS n FROM ld),
+         ts AS (SELECT t2.doc_id, l.label,
+                  sum(ln((coalesce(tc.cnt, 0) + 0.5) /
+                         (tot.tot + 0.5 * voc.v))) AS tok_lp
+                FROM t2
+                CROSS JOIN (SELECT label FROM ld) l
+                LEFT JOIN tc ON tc.term = t2.term AND tc.label = l.label
+                JOIN tot ON tot.label = l.label, voc
+                GROUP BY 1, 2),
+         sc AS (SELECT ts.doc_id, ts.label,
+                  ln(ld.n_docs::DOUBLE / nd.n) + ts.tok_lp AS logp
+                FROM ts JOIN ld ON ld.label = ts.label, nd),
+         r AS (SELECT doc_id, label, round(logp, 6) AS logp,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY round(logp, 6) DESC, label) AS rn
+               FROM sc)
+         SELECT doc_id, label, logp FROM r
+         WHERE rn = 1 AND doc_id < 40 ORDER BY doc_id""",
     // 4 BPE rounds replayed: pair counts → argmax → greedy list_reduce
     // merge, state chained through s1..s4
     "q89_bpe_merges" ->
