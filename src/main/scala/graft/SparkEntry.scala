@@ -907,6 +907,19 @@ object SparkEntry {
         .where(col("doc_id") < 40)
         .orderBy("doc_id")
     }),
+    "q93_keep_best" -> ((s, dir) => {
+      // curation keep-policy: one representative per near-dup cluster by
+      // QUALITY (longest doc wins, ties to smaller id) instead of min-id —
+      // same cluster structure as q37, different canonical choice
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+      val clusters = graft.ops.Dedup.components(pairs,
+        allIds = Some(docs.select("doc_id")))
+      graft.ops.Dedup.keepBest(docs.select("doc_id", "n_chars"), "doc_id",
+          clusters, "n_chars")
+        .orderBy("component")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1486,6 +1499,30 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
              SELECT id, min(r) AS component FROM reach GROUP BY id)
            GROUP BY component)
          GROUP BY cluster_size ORDER BY cluster_size""",
+    // q37's transitive closure + per-cluster argmax by (n_chars, -id)
+    "q93_keep_best" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+         ), pairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+         ), edges AS (
+           SELECT idA AS s, idB AS d FROM pairs UNION SELECT idB, idA FROM pairs
+         ), reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+         SELECT doc_id, n_chars, component FROM (
+           SELECT c.component, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+           FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) c
+           JOIN documents d ON d.doc_id = c.id)
+         WHERE rn = 1 ORDER BY component""",
     "q33_langid" ->
       """WITH hits AS (
            SELECT cjk, nonws,

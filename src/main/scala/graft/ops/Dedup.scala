@@ -235,6 +235,23 @@ object Dedup {
     else componentsLoop(edgeList, maxIterations, allIds)
   }
 
+  /** One representative per near-dup cluster chosen by SCORE (quality,
+    * length, freshness…) rather than the min id — the curation policy most
+    * pipelines actually want ("keep the best copy, drop the rest").
+    * `clusters` is the (id, component) frame from [[components]]; ties
+    * break toward the smaller id (numeric ids). One shuffle on the
+    * component key; the winning row is selected inside the aggregate, so
+    * only one row per cluster survives the exchange. */
+  def keepBest(df: DataFrame, idCol: String, clusters: DataFrame,
+      scoreCol: String): DataFrame = {
+    val cols = df.columns
+    df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
+      .groupBy("component")
+      .agg(max_by(struct((cols :+ "component").map(col): _*),
+        struct(col(scoreCol), col(idCol) * -1)).as("__r"))
+      .select((cols :+ "component").map(c => col(s"__r.$c")): _*)
+  }
+
   /** Driver-side union-find over an already-collected edge list; labels ship
     * back as a (broadcast-sized) frame. Identical (id, min-reachable-id)
     * contract as [[componentsLoop]]. */

@@ -282,6 +282,18 @@ class OpsSpec extends SparkTestBase {
     assert(cleaned.count() == report.afterNearDup)
   }
 
+  test("keepBest: score wins over min-id, ties break to the smaller id") {
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (4L, 7L), (9L, 3L))
+      .toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (9L, 9L))
+      .toDF("id", "component")
+    val got = Dedup.keepBest(docs, "doc_id", clusters, "score")
+      .orderBy("component")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    // cluster 1: ids 2 and 3 tie at 50 → 2 wins; singletons keep themselves
+    assert(got.toSeq == Seq((1L, 2L, 50L), (4L, 4L, 7L), (9L, 9L, 3L)))
+  }
+
   test("prepareCorpus: strip→dedup→decontaminate→mixture, every stage drops") {
     val run = "r1 r2 r3 r4 r5 r6 r7 r8" // 8-token leak from the eval set
     val corpus = Seq(
