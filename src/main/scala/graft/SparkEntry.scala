@@ -920,6 +920,19 @@ object SparkEntry {
           clusters, "n_chars")
         .orderBy("component")
     }),
+    "q94_delta_dedup" -> ((s, dir) => {
+      // incremental dedup: the odd-id "new shard" matched against the
+      // even-id "existing corpus" — cross-frame banded candidates, never
+      // corpus×corpus; verified exact bigram jaccard
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.minhashPairsAcross(
+          docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", shingleN = 2, numHashes = 128, bands = 32,
+          threshold = 0.5)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("idA", "idB")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1477,6 +1490,18 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                   len(list_intersect(a.s, b.s))::DOUBLE
                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
            FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         WHERE j >= 0.5 ORDER BY idA, idB""",
+    // q34's jaccard mirror across the odd/even shard split
+    "q94_delta_dedup" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents))
+         SELECT idA, idB, round(j, 6) AS jaccard FROM (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+                  len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+           FROM sh a, sh b WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
          WHERE j >= 0.5 ORDER BY idA, idB""",
     "q37_dedup_components" ->
       """WITH RECURSIVE sh AS (

@@ -119,6 +119,38 @@ object Dedup {
     verifyJaccard(df, cand, idCol, textCol, shingleN, threshold)
   }
 
+  /** Cross-corpus MinHash near-duplicate matching: pairs (idA from `left`,
+    * idB from `right`) with verified Jaccard ≥ threshold — the incremental
+    * ("delta") dedup shape: match a NEW shard against the EXISTING corpus
+    * without comparing the corpus to itself. Same banded candidate
+    * generation as [[minhashPairs]]; the band join crosses the two frames,
+    * so candidate volume scales with shard×corpus collisions, never
+    * corpus². Returns (idA, idB, jaccard) — one row per matched pair; drop
+    * `left` rows that appear as idA to dedup the new shard. */
+  def minhashPairsAcross(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(df: DataFrame, as: String): DataFrame = {
+      val sig = gf.minhash_signature(col(textCol), shingleN, numHashes, seed)
+      df.select(col(idCol).as("__id"), sig.as("__sig"))
+        .select(col("__id"), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col("__sig"), b * r + lit(1), lit(r))))))
+        .toDF(as, "__band", "__key")
+    }
+    val cand = banded(left, "idA").hint("SHUFFLE_HASH")
+      .join(banded(right, "idB").hint("SHUFFLE_HASH"), Seq("__band", "__key"))
+      .select("idA", "idB").distinct()
+    val ta = left.select(col(idCol).as("idA"), col(textCol).as("__ta"))
+    val tb = right.select(col(idCol).as("idB"), col(textCol).as("__tb"))
+    cand.join(ta, Seq("idA")).join(tb, Seq("idB"))
+      .select(col("idA"), col("idB"),
+        gf.ngram_jaccard(col("__ta"), col("__tb"), shingleN).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Join candidate (idA, idB) pairs back to their texts and keep pairs with
     * exact n-gram Jaccard ≥ threshold. */
   private def verifyJaccard(df: DataFrame, cand: DataFrame, idCol: String,

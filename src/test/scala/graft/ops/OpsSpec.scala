@@ -282,6 +282,28 @@ class OpsSpec extends SparkTestBase {
     assert(cleaned.count() == report.afterNearDup)
   }
 
+  test("minhashPairsAcross: cross-frame matches only, exact jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val old = Seq(
+      (1L, base),
+      (2L, "unrelated totally different words entirely here now"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota NEW")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, base),                                  // exact dup of old 1
+      (102L, "nothing shared with anything at all"), // clean
+      (103L, base)                                   // dup of old 1 AND fresh 101
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashPairsAcross(fresh, old, "doc_id", "text",
+        shingleN = 2, threshold = 0.5)
+      .orderBy("idA", "idB")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // fresh 101/103 each match old 1 (j=1.0) and old 3 (8/10 shared bigrams
+    // → j = 8/(9+9-8) = 0.8); the fresh-fresh dup (101,103) must NOT appear
+    assert(got.toSeq == Seq((101L, 1L, 1.0), (101L, 3L, 0.8),
+      (103L, 1L, 1.0), (103L, 3L, 0.8)))
+  }
+
   test("keepBest: score wins over min-id, ties break to the smaller id") {
     val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (4L, 7L), (9L, 3L))
       .toDF("doc_id", "score")
