@@ -933,6 +933,20 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("idA", "idB")
     }),
+    "q95_sign_projection" -> ((s, dir) => {
+      // JL sign projection 64→8 dims: hash-derived ±1 matrix, no stored
+      // state — first 4 output dims verified value-for-value (the fold
+      // order is pinned, so both engines run the identical fp sequence)
+      val p = graft.ops.Similarity.signProjection(col("embedding"), 8)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), p.as("p"))
+        .select(col("vec_id"),
+          round(element_at(col("p"), 1), 6).as("p0"),
+          round(element_at(col("p"), 2), 6).as("p1"),
+          round(element_at(col("p"), 3), 6).as("p2"),
+          round(element_at(col("p"), 4), 6).as("p3"))
+        .orderBy("vec_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1503,6 +1517,18 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
            FROM sh a, sh b WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
          WHERE j >= 0.5 ORDER BY idA, idB""",
+    "q95_sign_projection" ->
+      (hashMacros +
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           p AS (SELECT vec_id, list_transform(range(0, 4), i ->
+               list_reduce(
+                 list_prepend(0.0, list_transform(range(0, len(v)), d ->
+                   v[d+1] * (((g_av((i*1000003 + d*7 + 42)::UBIGINT) & 1)*2)::BIGINT - 1))),
+                 (acc, x) -> acc + x)) AS pr
+             FROM e)
+           SELECT vec_id, round(pr[1], 6) AS p0, round(pr[2], 6) AS p1,
+                  round(pr[3], 6) AS p2, round(pr[4], 6) AS p3
+           FROM p ORDER BY vec_id"""),
     "q37_dedup_components" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),

@@ -155,6 +155,26 @@ object Similarity {
     KMeansModel(codebook, assigned, iter)
   }
 
+  /** Deterministic sign random projection (Achlioptas 2003): out[i] =
+    * Σ_d vec[d] · s(i,d) with s(i,d) ∈ {−1,+1} derived from the engine's
+    * splitmix64 hash of (seed, i, d) — a Johnson–Lindenstrauss dimension
+    * reduction with NO stored matrix and NO RNG state: any task (or any
+    * engine) regenerates the same projection from the seed. Use it to cut
+    * embedding width before ANN/near-dup passes. Pure column expression;
+    * the fold over dimensions runs left-to-right, so sums are
+    * bit-reproducible. Output is array<double> of length `outDim`
+    * (unnormalized; divide by √outDim for distance-preserving scale). */
+  def signProjection(vec: Column, outDim: Int, seed: Long = 42L): Column = {
+    require(outDim >= 1, "outDim must be >= 1")
+    transform(sequence(lit(0), lit(outDim - 1)), i =>
+      aggregate(
+        zip_with(vec.cast("array<double>"),
+          sequence(lit(0L), size(vec).cast("long") - 1),
+          (v, d) => v * (gf.hash64(i.cast("long") * 1000003L + d * 7L + seed)
+            .bitwiseAND(lit(1L)) * 2L - 1L).cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings by nearest centroid, then compare
     * pairs ONLY within a cluster — the cluster granularity bounds the

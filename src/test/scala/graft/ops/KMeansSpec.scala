@@ -65,6 +65,42 @@ class KMeansSpec extends SparkTestBase {
     assert(joined.where($"centroid" =!= $"qc").isEmpty)
   }
 
+  test("signProjection: manual recomputation, determinism, JL correlation") {
+    import spark.implicits._
+    import graft.expr.TextHash
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(16)(d => (((i * 11 + d * 3) % 7).toFloat - 3f))))
+      .toDF("id", "vec")
+    val got = vecs.select($"id",
+        Similarity.signProjection($"vec", 4, seed = 42L).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // manual recomputation of row 0 with the same hash-derived signs
+    val v0 = Seq.tabulate(16)(d => (((0 * 11 + d * 3) % 7).toDouble - 3))
+    val manual = (0 until 4).map { i =>
+      v0.zipWithIndex.map { case (v, d) =>
+        v * ((TextHash.avalanche(i * 1000003L + d * 7L + 42L) & 1L) * 2L - 1L)
+      }.sum
+    }
+    assert(got(0L).zip(manual).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // JL: projected squared distances correlate with true squared distances
+    val raw = (0L until 200L).map(i =>
+      Seq.tabulate(16)(d => (((i * 11 + d * 3) % 7).toDouble - 3)))
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val pairs = (0 until 50).map(k => (k, 199 - k))
+    val tr = pairs.map { case (a, b) => d2(raw(a), raw(b)) }
+    val pr = pairs.map { case (a, b) => d2(got(a), got(b)) / 4 }
+    val corr = {
+      val n = tr.length
+      val (mx, my) = (tr.sum / n, pr.sum / n)
+      val cov = tr.zip(pr).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sx = math.sqrt(tr.map(x => (x - mx) * (x - mx)).sum)
+      val sy = math.sqrt(pr.map(y => (y - my) * (y - my)).sum)
+      cov / (sx * sy)
+    }
+    assert(corr > 0.3, s"JL distance correlation too low: $corr")
+  }
+
   test("pqTrain: deterministic across runs, codebook shape m×ksub×subDim") {
     import spark.implicits._
     val vecs = (0L until 60L).map(i =>
