@@ -947,6 +947,19 @@ object SparkEntry {
           round(element_at(col("p"), 4), 6).as("p3"))
         .orderBy("vec_id")
     }),
+    "q96_cms_counts" -> ((s, dir) => {
+      // Count-Min frequency sketch over l_partkey (4×4096 grid): point
+      // estimates for 20 probe keys + the absorbed total. The oracle
+      // rebuilds the identical grid in SQL (splitmix bucket, power-of-two
+      // mask), so estimates compare bit-exact — collisions and all
+      val cms = t(s, dir, "lineitem")
+        .agg(gf.cms_agg(col("l_partkey"), 4, 4096).as("c"))
+      cms.select(explode(sequence(lit(1), lit(20))).as("item"), col("c"))
+        .select(col("item").cast("long").as("item"),
+          gf.cms_count(col("c"), col("item")).as("est"),
+          gf.cms_total(col("c")).as("total"))
+        .orderBy("item")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1529,6 +1542,20 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            SELECT vec_id, round(pr[1], 6) AS p0, round(pr[2], 6) AS p1,
                   round(pr[3], 6) AS p2, round(pr[4], 6) AS p3
            FROM p ORDER BY vec_id"""),
+    "q96_cms_counts" ->
+      (hashMacros +
+        """WITH b AS (SELECT r, g_av(g_am(l_partkey::UBIGINT,
+                 (r * 2654435761)::UBIGINT)) & 4095 AS bk,
+               count(*)::BIGINT AS cnt
+             FROM lineitem, unnest(range(0, 4)) t(r) GROUP BY 1, 2),
+           p AS (SELECT i AS item, r, g_av(g_am(i::UBIGINT,
+                 (r * 2654435761)::UBIGINT)) & 4095 AS bk
+               FROM unnest(range(1, 21)) t1(i), unnest(range(0, 4)) t2(r)),
+           tot AS (SELECT count(*)::BIGINT AS n FROM lineitem)
+           SELECT p.item, min(coalesce(b.cnt, 0))::BIGINT AS est,
+                  tot.n AS total
+           FROM p LEFT JOIN b USING (r, bk), tot
+           GROUP BY 1, 3 ORDER BY item"""),
     "q37_dedup_components" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),

@@ -128,6 +128,15 @@ object functions {
   def kmv_merge_agg(sketch: Column): Column = agg(KmvMergeAgg(toExpr(sketch)))
   def kmv_distinct(sketch: Column): Column = toColumn(KmvDistinct(toExpr(sketch)))
   def kmv_size(sketch: Column): Column = toColumn(KmvSize(toExpr(sketch)))
+  // ---- Count-Min frequency sketch (beyond-reference) ----
+  def cms_agg(item: Column): Column = agg(new CountMinAgg(toExpr(item)))
+  def cms_agg(item: Column, depth: Int, width: Int): Column =
+    agg(new CountMinAgg(toExpr(item), Literal(depth), Literal(width)))
+  def cms_merge_agg(sketch: Column): Column = agg(CountMinMergeAgg(toExpr(sketch)))
+  def cms_count(sketch: Column, item: Column): Column =
+    toColumn(CmsCount(toExpr(sketch), toExpr(item)))
+  def cms_total(sketch: Column): Column = toColumn(CmsTotal(toExpr(sketch)))
+
   def kmv_jaccard(a: Column, b: Column): Column =
     toColumn(KmvJaccard(toExpr(a), toExpr(b)))
   def kmv_set_ops(a: Column, b: Column): Column =
@@ -205,6 +214,7 @@ object GraftFunctions {
   /** Arity accepted by each SQL function, for clean WRONG_NUM_ARGS errors. */
   private val arities: Map[String, Seq[Int]] = Map(
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
+    "cms_agg" -> Seq(1, 3), "cms_total" -> Seq(1),
     "kmv_agg" -> Seq(1, 2), "kmv_jaccard" -> Seq(2), "kmv_set_ops" -> Seq(2),
     "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
     "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3),
@@ -277,6 +287,13 @@ object GraftFunctions {
       case Seq(v, k) => KmvAgg(v, k)
     },
     "kmv_merge_agg" -> aggB { case Seq(s) => KmvMergeAgg(s) },
+    "cms_agg" -> aggB {
+      case Seq(i) => new CountMinAgg(i)
+      case Seq(i, d, w) => new CountMinAgg(i, d, w)
+    },
+    "cms_merge_agg" -> aggB { case Seq(s) => CountMinMergeAgg(s) },
+    "cms_count" -> { case Seq(s, i) => CmsCount(s, i) },
+    "cms_total" -> { case Seq(s) => CmsTotal(s) },
     "kmv_distinct" -> { case Seq(s) => KmvDistinct(s) },
     "kmv_size" -> { case Seq(s) => KmvSize(s) },
     "kmv_jaccard" -> { case Seq(a, b) => KmvJaccard(a, b) },

@@ -1,0 +1,88 @@
+package graft.core
+
+import graft.expr.TextHash
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005): a depth×width counter
+  * grid; every update increments one counter per row, a point query takes
+  * the MINIMUM over rows — an overestimate by at most εN with probability
+  * 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. Complements Space-Saving:
+  * SS answers "which items are heavy", CMS answers "how often is THIS
+  * item" for arbitrary items in O(depth) with no per-item state.
+  *
+  * Mergeable monoid: element-wise counter addition — partial aggregation,
+  * shuffle, persist→re-aggregate all follow. Buckets are
+  * splitmix64(key + row·RowMix) masked to the power-of-two width, the same
+  * engine-portable construction as the sampling grid, so an external
+  * engine rebuilds the identical grid from SQL.
+  */
+final class CountMin(val depth: Int, val width: Int) extends Serializable {
+  require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+  require(width >= 2 && (width & (width - 1)) == 0 && width <= (1 << 24),
+    "width must be a power of two in [2, 2^24]")
+
+  val counts = new Array[Long](depth * width)
+  var total: Long = 0L
+
+  @inline private def bucket(row: Int, key: Long): Int =
+    (TextHash.avalanche(key + row.toLong * CountMin.RowMix)
+      & (width - 1)).toInt
+
+  def add(key: Long, w: Long = 1L): Unit = {
+    var r = 0
+    while (r < depth) {
+      counts(r * width + bucket(r, key)) += w
+      r += 1
+    }
+    total += w
+  }
+
+  /** Point estimate: ≥ the true count, ≤ true + εN w.h.p. */
+  def estimate(key: Long): Long = {
+    var m = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = counts(r * width + bucket(r, key))
+      if (c < m) m = c
+      r += 1
+    }
+    if (m == Long.MaxValue) 0L else m
+  }
+
+  def merge(other: CountMin): Unit = {
+    require(other.depth == depth && other.width == width,
+      s"cannot merge CMS($depth,$width) with CMS(${other.depth},${other.width})")
+    var i = 0
+    while (i < counts.length) { counts(i) += other.counts(i); i += 1 }
+    total += other.total
+  }
+
+  def serialize(): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 8 + counts.length * 8)
+    bb.put(CountMin.Magic).putInt(depth).putInt(width).putLong(total)
+    var i = 0
+    while (i < counts.length) { bb.putLong(counts(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object CountMin {
+  /** Per-row decorrelation constant (Knuth's 32-bit golden multiplier —
+    * small, so key + row·RowMix wraps identically under mod-2^64 SQL). */
+  final val RowMix: Long = 2654435761L
+  final val Magic: Byte = 0x43 // 'C'
+
+  def deserialize(bytes: Array[Byte]): CountMin = {
+    require(bytes.length >= 17, s"CMS blob too short: ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = bb.get()
+    require(magic == Magic, f"bad CMS magic 0x$magic%02x")
+    val depth = bb.getInt; val width = bb.getInt
+    val s = new CountMin(depth, width)
+    s.total = bb.getLong
+    require(bytes.length == 17 + depth * width * 8,
+      s"CMS blob length ${bytes.length} != ${17 + depth * width * 8}")
+    var i = 0
+    while (i < s.counts.length) { s.counts(i) = bb.getLong; i += 1 }
+    s
+  }
+}
