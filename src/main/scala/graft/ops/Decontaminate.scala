@@ -59,6 +59,8 @@ object Decontaminate {
       broadcastBench: Boolean = true): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
     require(minShared >= 1, "minShared must be >= 1")
+    require(!corpus.columns.exists(Set("__g", "bench_id")),
+      "corpus may not contain reserved columns __g, bench_id")
     val bg0 = bench.select(col(idCol).as("bench_id"), explode(
       gf.shingle_hashes(col(textCol), windowTokens)).as("__g"))
     val bg = if (broadcastBench) broadcast(bg0) else bg0

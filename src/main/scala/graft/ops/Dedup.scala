@@ -276,6 +276,8 @@ object Dedup {
     * only one row per cluster survives the exchange. */
   def keepBest(df: DataFrame, idCol: String, clusters: DataFrame,
       scoreCol: String): DataFrame = {
+    require(!df.columns.exists(Set("component", "__r")),
+      "input may not contain reserved columns component, __r")
     val cols = df.columns
     df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
       .groupBy("component")

@@ -141,6 +141,8 @@ object Sampling {
     * the exact per-group quota then filters after ranking. */
   def mixtureSample(df: DataFrame, groupCol: Column, key: Column,
       targets: Seq[(String, Double)], totalRows: Long): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input may not contain reserved column __rn")
     require(totalRows > 0, "totalRows must be > 0")
     require(targets.nonEmpty && targets.forall(_._2 > 0),
       "targets must be non-empty with positive weights")
