@@ -333,11 +333,12 @@ object SparkEntry {
             col("est").isNotNull).as("heavy_covered"))
     }),
     "q20_topk_partkey" -> ((s, dir) => {
-      // capacity 4096 ≥ distinct part keys at sf≤0.01 → counts are exact;
-      // deterministic tie-break (count desc, item asc) on both sides
+      // capacity 32768 ≥ distinct part keys at sf≤0.1 → counts are exact
+      // (verified at both gate scales); deterministic tie-break
+      // (count desc, item asc) on both sides
       t(s, dir, "lineitem")
-        .agg(gf.ss_topk_agg(col("l_partkey"), lit(1L), 4096).as("sk"))
-        .select(explode(gf.ss_topk_long(col("sk"), 4096)).as("c"))
+        .agg(gf.ss_topk_agg(col("l_partkey"), lit(1L), 32768).as("sk"))
+        .select(explode(gf.ss_topk_long(col("sk"), 32768)).as("c"))
         .select(col("c.item").as("item"), col("c.count").as("cnt"))
         .orderBy(desc("cnt"), asc("item"))
         .limit(10)
@@ -1041,12 +1042,13 @@ object SparkEntry {
     }),
     "q41_ann_lsh" -> ((s, dir) => {
       // OR-amplification sized for full recall on the fixture (verified:
-      // top-5 == brute force at sf0.01), so the exact-ANN oracle applies;
-      // recall degradation bounds asserted separately in ScalaTest
+      // top-5 == brute force at sf0.01 AND sf0.1 — 64 tables push the
+      // per-neighbor miss rate below 1e-4), so the exact-ANN oracle
+      // applies; recall degradation bounds asserted separately in ScalaTest
       val emb = t(s, dir, "embeddings")
       graft.ops.Similarity.lshTopK(
           emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5,
-          bits = 4, tables = 32)
+          bits = 4, tables = 64)
         .select("query_id", "rank", "neighbor_id", "cosine")
     }),
     "q42_embed_nearpairs" -> ((s, dir) => {
