@@ -961,6 +961,21 @@ object SparkEntry {
           gf.cms_total(col("c")).as("total"))
         .orderBy("item")
     }),
+    "q97_domain_cap" -> ((s, dir) => {
+      // per-domain crawl cap over the q84 URL corpus: ≤3 docs per
+      // registrable domain, membership by smallest unsigned hash64(doc_id)
+      // — bit-exact vs the DuckDB splitmix mirror
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 7 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/p/"), col("doc_id").cast("string"))
+      graft.ops.Web.capPerDomain(docs.select(col("doc_id"), url.as("u")),
+          col("u"), col("doc_id"), maxPerDomain = 3)
+        .select("domain", "doc_id")
+        .orderBy("domain", "doc_id")
+    }),
     "q70_image_phash" -> ((s, dir) => {
       // perceptual average-hash over REAL decoded rasters (all three codec
       // arms): 8×8 NN luminance grid, strict integer mean threshold — the
@@ -1558,6 +1573,17 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                   tot.n AS total
            FROM p LEFT JOIN b USING (r, bk), tot
            GROUP BY 1, 3 ORDER BY item"""),
+    "q97_domain_cap" ->
+      (hashMacros +
+        """WITH u AS (SELECT doc_id,
+             'site' || (doc_id % 50)::VARCHAR ||
+             CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END AS dom
+           FROM documents),
+         r AS (SELECT dom AS domain, doc_id, row_number() OVER (
+                 PARTITION BY dom ORDER BY g_av(doc_id::UBIGINT)) AS rn
+               FROM u)
+         SELECT domain, doc_id FROM r WHERE rn <= 3
+         ORDER BY domain, doc_id"""),
     "q37_dedup_components" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),

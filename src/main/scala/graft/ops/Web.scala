@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL structure operations for web-corpus pipelines: scheme/host/path
@@ -38,6 +38,23 @@ object Web {
       .when(lastTwo.isin(twoLevelSuffixes: _*),
         concat_ws(".", element_at(parts, -3), lastTwo))
       .otherwise(lastTwo)
+  }
+
+  /** Per-domain crawl cap — "at most N pages per registrable domain", the
+    * anti-SEO-farm quota every web pipeline applies. Membership within a
+    * domain is the N smallest unsigned hash64(key) rows (deterministic,
+    * retry/partitioning-stable, subset-stable as N grows). Adds `outCol`
+    * with the registrable domain; runs as a WindowGroupLimit rank filter —
+    * each task keeps ≤N rows per domain BEFORE the shuffle. */
+  def capPerDomain(df: DataFrame, url: Column, key: Column,
+      maxPerDomain: Int, outCol: String = "domain",
+      twoLevelSuffixes: Seq[String] = DefaultTwoLevelSuffixes): DataFrame = {
+    require(maxPerDomain >= 1, "maxPerDomain must be >= 1")
+    require(!df.columns.contains(outCol),
+      s"input already contains column $outCol")
+    Sampling.stratifiedBottomK(
+      df.withColumn(outCol, registrableDomain(urlHost(url), twoLevelSuffixes)),
+      col(outCol), key, maxPerDomain)
   }
 
   /** One-struct decomposition: (scheme, host, domain, path, query). */

@@ -31,6 +31,27 @@ class WebSpec extends SparkTestBase {
       "localhost"))
   }
 
+  test("capPerDomain: quota per registrable domain, WindowGroupLimit plan") {
+    val df = (0L until 300L).map(i =>
+      (i, s"https://${if (i % 2 == 0) "www." else ""}d${i % 5}.com/p/$i"))
+      .toDF("id", "u")
+    val got = Web.capPerDomain(df, $"u", $"id", maxPerDomain = 7)
+    val byDom = got.groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom.keys.toSet == (0 until 5).map(i => s"d$i.com").toSet)
+    assert(byDom.values.forall(_ == 7))
+    // membership = smallest unsigned hash64(id) per domain (brute force)
+    import graft.expr.TextHash
+    val want = (0L until 300L).groupBy(i => s"d${i % 5}.com").toSeq.flatMap {
+      case (d, ids) => ids.sortBy(i => TextHash.avalanche(i) ^ Long.MinValue)
+        .take(7).map(d -> _)
+    }.toSet
+    assert(got.select("domain", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet == want)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("malformed URLs degrade to NULL fields, never errors") {
     val got = Seq("not a url", "", "https://").toDF("u")
       .select(Web.parseUrl($"u").as("p")).select("p.host")
