@@ -318,4 +318,38 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming windowed cms == batch (grid-addition state)") {
+    val rows = eventRows()
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Double, String, Long)]
+    val sdf = stream.toDF().toDF("ts", "value", "event_type", "user_id")
+    val agg = sdf.groupBy(window(col("ts"), "1 day"))
+      .agg(gf.cms_agg(col("user_id"), 4, 4096).as("sk"))
+    val q = agg.writeStream.format("memory")
+      .queryName("win_cms").outputMode("complete").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      Seq(a, b).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+      // the wide grid is collision-free for this key set: streaming CMS
+      // estimates must equal the exact per-window per-user counts
+      val streamed = spark.table("win_cms")
+        .select(col("window.start").as("ws"), col("sk")).collect().map { r =>
+          val ws = r.getAs[Timestamp]("ws")
+          val sk = graft.core.CountMin.deserialize(r.getAs[Array[Byte]]("sk"))
+          ws -> sk
+        }.toMap
+      val batch = rows.toDF("ts", "value", "event_type", "user_id")
+        .groupBy(window(col("ts"), "1 day"), col("user_id")).count()
+        .select(col("window.start").as("ws"), col("user_id"), col("count"))
+        .collect().groupBy(_.getAs[Timestamp]("ws"))
+      batch.foreach { case (ws, rs) =>
+        rs.foreach { r =>
+          assert(streamed(ws).estimate(r.getLong(1)) == r.getLong(2),
+            s"window $ws user ${r.getLong(1)}")
+        }
+        assert(streamed(ws).total == rs.map(_.getLong(2)).sum)
+      }
+    } finally q.stop()
+  }
 }
