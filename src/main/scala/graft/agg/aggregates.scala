@@ -368,6 +368,49 @@ case class SpaceSavingAgg(
     copy(first = f, second = s, third = t)
 }
 
+/** exact_sum(x) → DoubleType: bit-reproducible distributed sum. The buffer
+  * is a [[graft.core.ExactSum]] fixed-point superaccumulator, so the result
+  * is the exact total rounded ONCE (ties to even) — identical bits for any
+  * input order, partitioning, or merge tree, unlike the built-in `sum`
+  * whose value drifts with fp addition order. Null for an empty/all-null
+  * group, like stock sum. */
+case class ExactSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ExactSum]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "exact_sum"
+
+  override def createAggregationBuffer(): ExactSum = new ExactSum
+
+  override def update(buf: ExactSum, input: InternalRow): ExactSum = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: ExactSum, b2: ExactSum): ExactSum = {
+    b1.merge(b2); b1
+  }
+
+  override def eval(buf: ExactSum): Any =
+    if (buf.seen == 0L) null else buf.result()
+  override def serialize(buf: ExactSum): Array[Byte] = buf.serialize()
+  override def deserialize(b: Array[Byte]): ExactSum = ExactSum.deserialize(b)
+
+  override def withNewMutableAggBufferOffset(n: Int): ExactSumAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): ExactSumAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): ExactSumAgg =
+    copy(child = c)
+}
+
 final class SSHolder(var tag: Byte, var s: SpaceSavingBase)
 
 /** ss_merge_agg(sketch_col) → merged Space-Saving sketch (Cafaro merge S8). */

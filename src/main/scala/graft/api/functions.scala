@@ -161,6 +161,12 @@ object functions {
     * primitive (see [[graft.ops.Sampling]]). */
   def hash64(key: Column): Column = toColumn(Hash64(toExpr(key)))
 
+  /** Bit-reproducible distributed sum: the exact total of the group rounded
+    * once to the nearest double — identical bits under any partitioning or
+    * merge order (see [[graft.core.ExactSum]]). The reproducibility
+    * primitive behind [[graft.ops.Similarity.kmeansFit]]. */
+  def exact_sum(x: Column): Column = agg(ExactSumAgg(toExpr(x)))
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
   def rep_stats(text: Column, ngramN: Int): Column =
@@ -216,6 +222,7 @@ object GraftFunctions {
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
     "cms_agg" -> Seq(1, 3), "cms_total" -> Seq(1),
     "kmv_agg" -> Seq(1, 2), "kmv_jaccard" -> Seq(2), "kmv_set_ops" -> Seq(2),
+    "exact_sum" -> Seq(1),
     "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
     "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3),
     "nearest_centroids" -> Seq(3), "stats_mean" -> Seq(1),
@@ -292,6 +299,7 @@ object GraftFunctions {
       case Seq(i, d, w) => new CountMinAgg(i, d, w)
     },
     "cms_merge_agg" -> aggB { case Seq(s) => CountMinMergeAgg(s) },
+    "exact_sum" -> aggB { case Seq(x) => ExactSumAgg(x) },
     "cms_count" -> { case Seq(s, i) => CmsCount(s, i) },
     "cms_total" -> { case Seq(s) => CmsTotal(s) },
     "kmv_distinct" -> { case Seq(s) => KmvDistinct(s) },

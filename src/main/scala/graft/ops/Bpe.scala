@@ -77,12 +77,32 @@ object Bpe {
           top(0).getLong(2))
         merges += m
         // checkpoint per round: bounds the fold-chain lineage and reuses
-        // the merged state for the next round's pair counts
+        // the merged state for the next round's pair counts; the PREVIOUS
+        // round's checkpoint is dead the moment the new one materializes —
+        // unpersist it, or k=32000 rounds would pin thousands of vocab
+        // tables in block storage
+        val prev = state
         state = state.select(
           mergeOnce(col("syms"), m.left, m.right).as("syms"), col("freq"))
           .localCheckpoint()
+        freeCheckpoint(prev)
       }
     }
+    // the final state is consumed only through the returned merge list —
+    // release its blocks too
+    freeCheckpoint(state)
     merges.toSeq
   }
+
+  /** Release the storage behind a localCheckpoint'd frame. Dataset.unpersist
+    * is a no-op here (checkpoint blocks live on the RDD, not in the cache
+    * manager), so unpersist the LogicalRDD leaf's RDD directly. Safe only
+    * once nothing will read the frame again — each BPE round's state is
+    * eagerly materialized before its predecessor is freed. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -271,18 +271,26 @@ object Dedup {
     * length, freshness…) rather than the min id — the curation policy most
     * pipelines actually want ("keep the best copy, drop the rest").
     * `clusters` is the (id, component) frame from [[components]]; ties
-    * break toward the smaller id (numeric ids). One shuffle on the
-    * component key; the winning row is selected inside the aggregate, so
-    * only one row per cluster survives the exchange. */
+    * break toward the SMALLEST id under Spark's ordering for the id's own
+    * type (numeric, string, binary, …): the winner is min_by over
+    * (−score, id), so the id never needs negating — a `* -1` tie-break
+    * would silently cast string ids to double → null → a nondeterministic
+    * representative. Scores must be numeric (that's what −score needs).
+    * One shuffle on the component key; the winning row is selected inside
+    * the aggregate, so only one row per cluster survives the exchange. */
   def keepBest(df: DataFrame, idCol: String, clusters: DataFrame,
       scoreCol: String): DataFrame = {
     require(!df.columns.exists(Set("component", "__r")),
       "input may not contain reserved columns component, __r")
+    require(df.schema(scoreCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"scoreCol '$scoreCol' must be numeric, got ${df.schema(scoreCol).dataType}")
     val cols = df.columns
     df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
       .groupBy("component")
-      .agg(max_by(struct((cols :+ "component").map(col): _*),
-        struct(col(scoreCol), col(idCol) * -1)).as("__r"))
+      .agg(min_by(struct((cols :+ "component").map(col): _*),
+        struct((col(scoreCol) * -1).as("__neg_score"), col(idCol).as("__id")))
+        .as("__r"))
       .select((cols :+ "component").map(c => col(s"__r.$c")): _*)
   }
 

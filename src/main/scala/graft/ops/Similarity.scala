@@ -107,18 +107,22 @@ object Similarity {
     *  - assignment: max-cosine centroid (ties → lowest index), one codebook
     *    pass per row via the same codegen'd [[graft.expr.NearestCentroids]]
     *    kernel IVF uses — no shuffle;
-    *  - update: per-(cluster, dim) mean whose summation ORDER is pinned by a
-    *    running-sum window ordered by id (the value at the max id is the
-    *    sequential fold), so the fit is bit-identical across partitionings,
-    *    retries, and cluster sizes — floating-point sums are not
-    *    order-associative, and an unordered agg would make re-runs disagree
-    *    in the last ulp and occasionally flip an assignment.
+    *  - update: per-(cluster, dim) EXACT mean — dimension values fold into
+    *    [[graft.api.functions.exact_sum]]'s fixed-point superaccumulator,
+    *    whose rounded total is a function of the value multiset alone, so
+    *    the fit is bit-identical across partitionings, retries, and cluster
+    *    sizes WITHOUT ordering anything. (Floating-point adds are not
+    *    order-associative; an earlier design pinned summation order with a
+    *    rows×dim running-sum window — a per-iteration sort-shuffle that
+    *    would dominate codebook training at scale. The exact sum keeps the
+    *    determinism and drops the sort: see [[kmeansIterStats]].)
     *
     * Scale shape per iteration: one posexplode (rows × dim slim rows of
-    * (cluster, dim, id, x)), one shuffle on (cluster, dim), one window +
-    * partial agg; the driver holds only k×dim centroid stats (= the
-    * codebook it must hold anyway). Empty clusters keep their previous
-    * centroid. Stops at codebook fixpoint or `maxIters`. */
+    * (cluster, dim, x)), partial aggregation map-side (≤ partitions × k×dim
+    * ~1 KB buffers ride the wire), ONE shuffle on (cluster, dim), no sort,
+    * no window; the driver holds only k×dim centroid stats (= the codebook
+    * it must hold anyway). Empty clusters keep their previous centroid.
+    * Stops at codebook fixpoint or `maxIters`. */
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIters: Int = 10): KMeansModel = {
     require(k >= 1, "k must be >= 1")
@@ -131,16 +135,7 @@ object Similarity {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val assignedNow = base.withColumn("__c",
-        element_at(gf.nearest_centroids(col("__v"), typedLit(codebook), 1), 1))
-      val dims = assignedNow.select(col("__c"), col("__id"),
-        posexplode(col("__v").cast("array<double>")).as(Seq("__d", "__x")))
-      val w = Window.partitionBy("__c", "__d").orderBy("__id")
-      val stats = dims.withColumn("__rs", sum("__x").over(w))
-        .groupBy("__c", "__d")
-        .agg(max_by(col("__rs"), col("__id")).as("__tot"),
-          count(lit(1)).as("__n"))
-        .collect()
+      val stats = kmeansIterStats(base, codebook).collect()
       val next = Array.tabulate(codebook.length)(i => codebook(i).toArray)
       stats.foreach { r =>
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
@@ -155,6 +150,20 @@ object Similarity {
     KMeansModel(codebook, assigned, iter)
   }
 
+  /** One Lloyd's update step as a DataFrame: per-(cluster, dim) exact sum
+    * and count of `base` = (__id, __v) against `codebook`. Exposed for plan
+    * tests: the physical plan must contain NO Sort and NO Window — just
+    * scan → posexplode → partial ObjectHashAggregate → one Exchange on the
+    * k×dim key → final aggregate. */
+  private[graft] def kmeansIterStats(base: DataFrame,
+      codebook: Seq[Seq[Double]]): DataFrame =
+    base.select(
+        element_at(gf.nearest_centroids(col("__v"), typedLit(codebook), 1), 1)
+          .as("__c"),
+        posexplode(col("__v").cast("array<double>")).as(Seq("__d", "__x")))
+      .groupBy("__c", "__d")
+      .agg(gf.exact_sum(col("__x")).as("__tot"), count(lit(1)).as("__n"))
+
   /** Deterministic sign random projection (Achlioptas 2003): out[i] =
     * Σ_d vec[d] · s(i,d) with s(i,d) ∈ {−1,+1} derived from the engine's
     * splitmix64 hash of (seed, i, d) — a Johnson–Lindenstrauss dimension
@@ -166,13 +175,18 @@ object Similarity {
     * (unnormalized; divide by √outDim for distance-preserving scale). */
   def signProjection(vec: Column, outDim: Int, seed: Long = 42L): Column = {
     require(outDim >= 1, "outDim must be >= 1")
-    transform(sequence(lit(0), lit(outDim - 1)), i =>
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), i =>
       aggregate(
         zip_with(vec.cast("array<double>"),
           sequence(lit(0L), size(vec).cast("long") - 1),
           (v, d) => v * (gf.hash64(i.cast("long") * 1000003L + d * 7L + seed)
             .bitwiseAND(lit(1L)) * 2L - 1L).cast("double")),
         lit(0.0), (acc, x) => acc + x))
+    // empty input: sequence(0, size-1) would count DOWN [0,-1] and zip_with
+    // would null-pad — guard to the mathematically right all-zero projection
+    when(vec.isNull, lit(null).cast("array<double>"))
+      .when(size(vec) > 0, proj)
+      .otherwise(array_repeat(lit(0.0), lit(outDim)))
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,

@@ -90,4 +90,17 @@ class BpeSpec extends SparkTestBase {
     // only 2 possible merges exist: (a,b) then (c,d)
     assert(m.map(x => (x.left, x.right)) == Seq(("a", "b"), ("c", "d")))
   }
+
+  test("learnMerges leaves no checkpointed state behind (bounded storage)") {
+    // each round localCheckpoints the next vocab table; the previous round's
+    // blocks must be released or k rounds pin k tables — at k=32000 that is
+    // thousands of dead materializations
+    def live: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = live
+    val corpus = Seq("aaab aaab aaab aab abab baba").toDF("text")
+    val m = Bpe.learnMerges(corpus, "text", 6)
+    assert(m.nonEmpty)
+    assert(live == before,
+      s"learnMerges leaked ${live - before} persistent RDDs")
+  }
 }

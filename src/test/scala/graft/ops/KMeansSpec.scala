@@ -99,6 +99,14 @@ class KMeansSpec extends SparkTestBase {
       cov / (sx * sy)
     }
     assert(corr > 0.3, s"JL distance correlation too low: $corr")
+    // empty vector → all-zero projection (not null padding); null → null
+    val edge = Seq((0L, Some(Seq.empty[Float])), (1L, None))
+      .toDF("id", "vec")
+      .select($"id", Similarity.signProjection($"vec", 4).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(edge(0L) == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(edge(1L) == null)
   }
 
   test("pqTrain: deterministic across runs, codebook shape m×ksub×subDim") {
@@ -140,6 +148,20 @@ class KMeansSpec extends SparkTestBase {
     val b = Similarity.kmeansFit(blobs.repartition(2), "vec_id", "embedding", 2)
     assert(a.codebook == b.codebook) // exact Double equality, not approx
     assert(a.iterations == b.iterations)
+  }
+
+  test("kmeansFit update step plans with no Sort, no Window, one Exchange") {
+    // the exact_sum-based update must be scan → generate → partial agg →
+    // one shuffle on (cluster, dim) → final agg: the old ordered-window
+    // design paid a rows×dim sort-shuffle every iteration
+    val base = blobs.select(col("vec_id").as("__id"), col("embedding").as("__v"))
+    val cb = Seq(Seq(10.0, 0.2, 0.1), Seq(0.1, 10.0, 0.3))
+    val plan = Similarity.kmeansIterStats(base, cb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"update step must not sort:\n$plan")
+    assert(!plan.contains("Window"), s"update step must not window:\n$plan")
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"update step must shuffle exactly once:\n$plan")
   }
 
   test("empty clusters keep their previous centroid") {

@@ -316,6 +316,23 @@ class OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 50L), (4L, 4L, 7L), (9L, 9L, 3L)))
   }
 
+  test("keepBest: string ids tie-break deterministically (no numeric cast)") {
+    val docs = Seq(("b", 50L), ("a", 50L), ("c", 10L), ("z", 7L))
+      .toDF("doc_id", "score")
+    val clusters = Seq(("a", "a"), ("b", "a"), ("c", "a"), ("z", "z"))
+      .toDF("id", "component")
+    val got = Dedup.keepBest(docs, "doc_id", clusters, "score")
+      .orderBy("component")
+      .collect().map(r => (r.getString(2), r.getString(0), r.getLong(1)))
+    // tie at 50 between "a" and "b" → lexicographically smaller "a" wins
+    assert(got.toSeq == Seq(("a", "a", 50L), ("z", "z", 7L)))
+    // and a non-numeric score column fails fast instead of nulling out
+    val bad = docs.withColumn("score", col("score").cast("string"))
+    intercept[IllegalArgumentException] {
+      Dedup.keepBest(bad, "doc_id", clusters, "score")
+    }
+  }
+
   test("prepareCorpus: strip→dedup→decontaminate→mixture, every stage drops") {
     val run = "r1 r2 r3 r4 r5 r6 r7 r8" // 8-token leak from the eval set
     val corpus = Seq(
