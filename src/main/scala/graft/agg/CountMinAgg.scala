@@ -17,16 +17,17 @@ import graft.core.CountMin
 object CmsKey {
   @inline def ofAny(dataType: DataType, v: Any): Long = dataType match {
     case LongType => v.asInstanceOf[Long]
-    case DoubleType =>
-      val d = v.asInstanceOf[Double]
-      java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
-    case BinaryType =>
-      val b = v.asInstanceOf[Array[Byte]]
-      graft.expr.TextHash.hashBytes(b, 0, b.length, 0L)
-    case _ =>
-      val b = v.asInstanceOf[UTF8String].getBytes
-      graft.expr.TextHash.hashBytes(b, 0, b.length, 0L)
+    case DoubleType => doubleKey(v.asInstanceOf[Double])
+    case BinaryType => binaryKey(v.asInstanceOf[Array[Byte]])
+    case _ => utf8Key(v.asInstanceOf[UTF8String])
   }
+
+  // per-arm kernels, also called from generated code (CmsCount.doGenCode)
+  @inline def doubleKey(d: Double): Long =
+    java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+  @inline def binaryKey(b: Array[Byte]): Long =
+    graft.expr.TextHash.hashBytes(b, 0, b.length, 0L)
+  @inline def utf8Key(s: UTF8String): Long = binaryKey(s.getBytes)
 }
 
 /** cms_agg(item[, depth, width]) → binary sketch: Count-Min frequency

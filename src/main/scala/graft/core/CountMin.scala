@@ -71,6 +71,55 @@ object CountMin {
   final val RowMix: Long = 2654435761L
   final val Magic: Byte = 0x43 // 'C'
 
+  /** O(depth) point estimate straight off the serialized blob: header +
+    * `depth` 8-byte reads at computed offsets. Probing n items against one
+    * sketch is O(n·depth), NOT O(n·depth·width) — the full-grid deserialize
+    * (128 KB at 4×4096) never happens on the query path. Called from
+    * generated code (see [[graft.expr.CmsCount]]). */
+  def estimateFromBlob(bytes: Array[Byte], key: Long): Long = {
+    val width = checkHeader(bytes)
+    val depth = readIntBE(bytes, 1)
+    var m = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val b = (TextHash.avalanche(key + r.toLong * RowMix) & (width - 1)).toInt
+      val c = readLongBE(bytes, 17 + (r * width + b) * 8)
+      if (c < m) m = c
+      r += 1
+    }
+    m
+  }
+
+  /** O(1) total straight off the serialized blob's header. */
+  def totalFromBlob(bytes: Array[Byte]): Long = {
+    checkHeader(bytes)
+    readLongBE(bytes, 9)
+  }
+
+  /** Validates magic/shape/length; returns the width. */
+  private def checkHeader(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 17, s"CMS blob too short: ${bytes.length} bytes")
+    require(bytes(0) == Magic, f"bad CMS magic 0x${bytes(0)}%02x")
+    val depth = readIntBE(bytes, 1)
+    val width = readIntBE(bytes, 5)
+    require(depth >= 1 && depth <= 16 && width >= 2 &&
+      (width & (width - 1)) == 0 && width <= (1 << 24),
+      s"corrupt CMS header: depth=$depth width=$width")
+    require(bytes.length == 17 + depth * width * 8,
+      s"CMS blob length ${bytes.length} != ${17 + depth * width * 8}")
+    width
+  }
+
+  @inline private def readIntBE(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  @inline private def readLongBE(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 56) | ((b(off + 1) & 0xffL) << 48) |
+      ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
+      ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
+      ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+
   def deserialize(bytes: Array[Byte]): CountMin = {
     require(bytes.length >= 17, s"CMS blob too short: ${bytes.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes)

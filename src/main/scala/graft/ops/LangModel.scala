@@ -51,17 +51,27 @@ object LangModel {
       vocabSize: Long = 128L): DataFrame = {
     require(addK > 0, "addK must be > 0 (unseen grams need mass)")
     require(vocabSize >= 1, "vocabSize must be >= 1")
-    val ctx = model.groupBy(substring(col("gram"), 1, n - 1).as("c"))
-      .agg(sum("cnt").as("tot"))
+    // ONE broadcast probe instead of two: regroup the model by its
+    // (n−1)-prefix into (prefix, final-char→cnt map, context total); each
+    // exploded corpus gram joins once on its prefix and resolves its own
+    // count with a map lookup. Semantics match the former
+    // gram-join + prefix-join pair exactly — an unseen gram under a SEEN
+    // context still finds the context total (prefix matches, map lookup
+    // nulls → 0), and a fully unseen context falls to the smoothing floor.
+    val pre = model
+      .groupBy(substring(col("gram"), 1, n - 1).as("__ctx"))
+      .agg(map_from_entries(collect_list(struct(
+          substring(col("gram"), n, 1).as("k"), col("cnt").as("v")))).as("__m"),
+        sum("cnt").as("__tot"))
     val grams = corpus.select(col(idCol),
       explode(charGrams(col(textCol), n)).as("gram"))
     grams
-      .join(broadcast(model), Seq("gram"), "left")
-      .join(broadcast(ctx),
-        substring(col("gram"), 1, n - 1) === col("c"), "left")
+      .join(broadcast(pre),
+        substring(col("gram"), 1, n - 1) === col("__ctx"), "left")
       .select(col(idCol),
-        log((coalesce(col("cnt"), lit(0L)) + addK) /
-          (coalesce(col("tot"), lit(0L)) + addK * vocabSize)).as("__lp"))
+        log((coalesce(element_at(col("__m"),
+            substring(col("gram"), n, 1)), lit(0L)) + addK) /
+          (coalesce(col("__tot"), lit(0L)) + addK * vocabSize)).as("__lp"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"), avg("__lp").as("avg_logp"))
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
 
 /** Sequence packing for LLM training pipelines: assign documents to
   * fixed-token-budget bins in a deterministic global order, so a 100 TB
@@ -25,19 +26,40 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Rows-per-bucket floor for auto-sizing: below this, extra buckets buy
+    * no parallelism but still pay a longer assignment when-chain and a
+    * wider offsets literal. */
+  private val MinRowsPerBucket = 16L
+
+  /** Cap the requested bucket count by the observed rows (≥ 2 always). */
+  private[graft] def effectiveBuckets(requested: Int, rows: Long): Int =
+    math.max(2L, math.min(requested.toLong, rows / MinRowsPerBucket)).toInt
+
   /** Adds `outCol` = inclusive prefix sum of `valueCol` in ascending
     * `orderCol` order. `orderCol` must be numeric with UNIQUE values (ties
     * would make the scan order, and thus the result, nondeterministic).
     * `buckets` bounds the parallelism of the scan (default: shuffle
-    * partitions). */
+    * partitions, CAPPED by the observed row count so a 7-row frame never
+    * pays a 200-boundary chain — the digest that finds the boundaries
+    * already knows the count, so the cap costs nothing extra; the result
+    * is exact for ANY bucketing, so the cap cannot change values). */
   def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
       outCol: String, buckets: Int = 0): DataFrame = {
     val reserved = Seq("__bkt", "__local")
     require(!df.columns.exists(reserved.contains),
       s"input may not contain reserved columns ${reserved.mkString(", ")}")
-    val n = math.max(2, if (buckets > 0) buckets
+    val requested = math.max(2, if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions)
-    val bounds = Partitioning.quantileBoundaries(df, orderCol, n)
+    // ONE sketch pass yields both the row count (auto-size) and the
+    // boundary quantiles (driver-side extraction from the same digest)
+    val blob = df.agg(gf.tdigest(col(orderCol).cast("double"), lit(1.0),
+        200.0).as("s")).head.getAs[Array[Byte]](0)
+    val td = graft.core.TDigest.deserialize(blob)
+    val rows = td.totalSize.toLong
+    val n = effectiveBuckets(requested, rows)
+    val bounds =
+      if (rows == 0) Array.empty[Double]
+      else (1 until n).map(i => td.quantile(i.toDouble / n)).toArray
     val bucketed = Partitioning.assignBuckets(df, orderCol, bounds, "__bkt")
     // per-bucket totals: one map-side-combined aggregation, driver gets
     // `buckets` rows; prefix offsets broadcast back as a literal array

@@ -75,6 +75,36 @@ class CmsSpec extends SparkTestBase {
     assert(r.getLong(1) == spark.table("li_cms").count())
   }
 
+  test("blob probe == grid estimate for every key arm; codegen'd plan") {
+    // estimateFromBlob reads depth longs at offsets; must agree with the
+    // materialized grid bit-for-bit on every key arm
+    val grid = new CountMin(4, 1024)
+    val keys = Seq(0L, 1L, -1L, Long.MinValue, 42L, 9999L)
+    keys.foreach(k => (0 until 3).foreach(_ => grid.add(k)))
+    val blob = grid.serialize()
+    keys.foreach { k =>
+      assert(CountMin.estimateFromBlob(blob, k) == grid.estimate(k), s"key $k")
+    }
+    assert(CountMin.totalFromBlob(blob) == grid.total)
+    // corrupt blobs fail fast, not garbage
+    intercept[IllegalArgumentException] {
+      CountMin.estimateFromBlob(blob.take(10), 1L)
+    }
+    intercept[IllegalArgumentException] {
+      val bad = blob.clone(); bad(0) = 0x00; CountMin.totalFromBlob(bad)
+    }
+    // probe stage stays inside whole-stage codegen (no CodegenFallback)
+    val df = Seq(1L, 2L, 3L).toDF("k")
+      .agg(gf.cms_agg(col("k"), 4, 1024).as("c"))
+      .select(gf.cms_count(col("c"), lit(1L)).as("e"), gf.cms_total(col("c")).as("n"))
+    df.collect()
+    // the "*(n)" prefix on the probing Project marks a WholeStageCodegen
+    // span — a CodegenFallback expression would strip it
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[cms_count""".r.findFirstIn(plan).isDefined,
+      s"cms probe must sit inside a codegen stage:\n$plan")
+  }
+
   test("string keys byte-hash (no numeric-cast collisions)") {
     val s = Seq("1", "01", "a", "b", "a").toDF("k")
       .agg(gf.cms_agg(col("k"), 4, 1024).as("c"))

@@ -39,6 +39,29 @@ class LangModelSpec extends SparkTestBase {
     assert(math.abs(got._2 - math.log(0.25)) < 1e-12) // (0+1)/(0+1·4)
   }
 
+  test("unseen gram under a SEEN context uses the context total") {
+    // model has ab/ba/bc/cd; "ad" is unseen but context "a" has total 3
+    val model = LangModel.charNgramCounts(corpus, "text", 2)
+    val held = Seq((9L, "ad")).toDF("doc_id", "text")
+    val got = LangModel.charNgramLogProb(held, "doc_id", "text", model,
+        n = 2, addK = 1.0, vocabSize = 4L)
+      .collect().map(r => r.getDouble(2)).head
+    assert(math.abs(got - math.log(1.0 / 7)) < 1e-12) // (0+1)/(3+1·4)
+  }
+
+  test("scoring plans exactly ONE broadcast join (consolidated probe)") {
+    val model = LangModel.charNgramCounts(corpus, "text", 2)
+    val scored = LangModel.charNgramLogProb(corpus, "doc_id", "text", model,
+      n = 2, addK = 1.0, vocabSize = 4L)
+    scored.collect()
+    // AQE prints Final + Initial sections — count joins in the final only
+    val plan = scored.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val joins = "BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one broadcast probe, got $joins:\n$plan")
+  }
+
   test("short docs produce no grams and drop out; scoreSelf ranks typicality") {
     val docs = Seq((1L, "aaaa aaaa"), (2L, "aaaa aaab"), (3L, "xqz vwxq"), (4L, "z"))
       .toDF("doc_id", "text")

@@ -27,6 +27,24 @@ class PackingSpec extends SparkTestBase {
     assert(plan.contains("__bkt"), plan)
   }
 
+  test("bucket auto-sizing: tiny inputs collapse to 2 buckets, exact anyway") {
+    // the cap itself
+    assert(Packing.effectiveBuckets(200, 7L) == 2)
+    assert(Packing.effectiveBuckets(200, 31L) == 2)
+    assert(Packing.effectiveBuckets(200, 320L) == 20)
+    assert(Packing.effectiveBuckets(8, 1000000L) == 8)
+    // a 7-row frame with a huge requested bucket count: still exact
+    val rows = Seq((1L, 2.0), (2L, 5.0), (3L, 1.0), (4L, 4.0), (5L, 3.0),
+      (6L, 7.0), (7L, 6.0))
+    val got = Packing.withPrefixSum(rows.toDF("k", "v"), "k", "v", "cum",
+        buckets = 200)
+      .select("k", "cum").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val want = rows.scanLeft((0L, 0.0)) { case ((_, a), (k, v)) => (k, a + v) }
+      .drop(1).toMap
+    assert(got == want)
+  }
+
   test("packByTokenBudget: deterministic contiguous fill, offsets within budget") {
     val docs = (0L until 2000L).map(i => (i, (i * 13 % 200 + 1).toInt))
     val df = docs.toDF("doc_id", "n_tok")
