@@ -658,6 +658,30 @@ object SparkEntry {
           windowTokens = 8, minShared = 1, maxDocsPerSpan = 500)
         .orderBy("idA", "idB")
     }),
+    "q99_shared_runs" -> ((s, dir) => {
+      // maximal shared token runs: q75's fixed-length span signal chained
+      // along (posA−posB) diagonals into full-extent repeats — one row per
+      // maximal run with 0-based token starts and total run length. Same
+      // string-span oracle argument as q75 (guard inactive at fixture scale)
+      graft.ops.Dedup.sharedRuns(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 8, maxDocsPerSpan = 500)
+        .orderBy("idA", "idB", "start_a", "start_b")
+    }),
+    "q98_exact_sum" -> ((s, dir) => {
+      // bit-reproducible distributed sum: signed, binary-exact inputs
+      // (integer + k/1024) so BOTH engines' totals are exact and the gate
+      // hash-compares the doubles bit-for-bit; exact_sum's value is
+      // partitioning-independent by construction (ExactSumSpec proves the
+      // wide-exponent cases DuckDB SQL cannot mirror)
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(gf.exact_sum(
+            (floor(col("l_extendedprice")) + floor(col("l_quantity")) / 1024.0) *
+              when(col("l_orderkey") % 2 === 0, 1.0).otherwise(-1.0))
+          .as("exact_total"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
     "q76_kmeans_assign" -> ((s, dir) => {
       // the Lloyd's-step / IVF-routing kernel: nearest-centroid assignment
       // of every embedding against a fixed deterministic codebook (the 8
@@ -1826,6 +1850,34 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
          SELECT a.doc_id AS idA, b.doc_id AS idB, count(*)::BIGINT AS shared_spans
          FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY idA, idB""",
+    // positional string spans mirror the engine's positional span hashes
+    // (q75's collision argument); DuckDB slice t[i:i+7] is 1-based inclusive,
+    // so pos = i−1 matches Spark's 0-based posexplode
+    "q99_shared_runs" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         sp AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 6, 1))) AS i, t
+                FROM tk),
+         sg AS (SELECT doc_id, i - 1 AS pos,
+                  array_to_string(t[i:i+7], chr(1)) AS gram FROM sp),
+         ok AS (SELECT gram FROM sg
+                GROUP BY gram HAVING count(*) BETWEEN 2 AND 500),
+         f AS (SELECT sg.doc_id, sg.pos, sg.gram FROM sg JOIN ok USING (gram)),
+         m AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+                 a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+               FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         r AS (SELECT *, pa - row_number() OVER (
+                 PARTITION BY idA, idB, diag ORDER BY pa) AS isl FROM m)
+         SELECT idA, idB, min(pa)::INT AS start_a, min(pb)::INT AS start_b,
+           (max(pa) - min(pa) + 8)::INT AS run_tokens
+         FROM r GROUP BY idA, idB, diag, isl
+         ORDER BY idA, idB, start_a, start_b""",
+    "q98_exact_sum" ->
+      """SELECT l_returnflag,
+           sum((floor(l_extendedprice) + floor(l_quantity) / 1024)
+               * (CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE -1 END)) AS exact_total,
+           count(*)::BIGINT AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q76_kmeans_assign" ->
       """WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
          sc AS (SELECT e.vec_id, cb.cid,

@@ -94,15 +94,6 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Release the storage behind a localCheckpoint'd frame. Dataset.unpersist
-    * is a no-op here (checkpoint blocks live on the RDD, not in the cache
-    * manager), so unpersist the LogicalRDD leaf's RDD directly. Safe only
-    * once nothing will read the frame again — each BPE round's state is
-    * eagerly materialized before its predecessor is freed. */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    CheckpointUtil.freeCheckpoint(df)
 }

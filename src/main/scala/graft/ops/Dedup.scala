@@ -194,6 +194,64 @@ object Dedup {
       .where(col("shared_spans") >= minShared)
   }
 
+  /** Maximal shared token RUNS: extends [[spanPairs]]'s fixed-length signal
+    * to full-extent repeats (the report Lee et al.'s exact-substring dedup
+    * actually wants — "docs A and B share THIS 240-token block", not "233
+    * overlapping 8-token windows").
+    *
+    * Positional span matches (idA, idB, posA, posB) chain along the
+    * (posA − posB) DIAGONAL: consecutive positions on one diagonal are one
+    * contiguous repeat, so maximal runs fall out of the classic
+    * gaps-and-islands trick (posA − row_number() per diagonal) with no
+    * iteration. Returns (idA, idB, start_a, start_b, run_tokens), idA < idB,
+    * positions 0-based in TOKENS, run_tokens = token length of the maximal
+    * run (≥ `windowTokens`); one row per maximal run, so a repeat that
+    * occurs twice in B yields two runs on different diagonals.
+    *
+    * Scale shape: same as [[spanPairs]] — span hashes (longs, never text)
+    * shuffle once, boilerplate spans (> `maxDocsPerSpan` docs) drop before
+    * the self-join, both sides reuse one exchange — plus one window over
+    * (pair, diagonal), whose input is only the MATCHED positions (bounded by
+    * the pair-filtered span collisions, not the corpus). Note: dropping a
+    * boilerplate span can split a surviving run in two — at the guard's
+    * intended setting those spans are corpus chrome, not pair signal. */
+  def sharedRuns(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 16, maxDocsPerSpan: Long = 1000,
+      minRunTokens: Int = 0): DataFrame = {
+    // positional spans (shingle_hashes dedupes+sorts, which destroys
+    // positions): token window i → xxhash64 of the -joined window.
+    // Stock codegen'd expressions; only (id, pos, long) rows ever shuffle.
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nSpans = size(toks) - (windowTokens - 1)
+    val spanArr = when(nSpans > 0,
+      transform(sequence(lit(0), nSpans - 1), i =>
+        xxhash64(concat_ws("\u0001", slice(toks, i + 1, lit(windowTokens))))))
+      .otherwise(array().cast("array<long>"))
+    val spans = df.select(col(idCol).as("__id"),
+      posexplode(spanArr).as(Seq("__pos", "__span")))
+    val keep = spans.groupBy("__span").agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2L, maxDocsPerSpan))
+      .select("__span")
+    val filtered = spans.join(keep, Seq("__span"))
+    val a = filtered.select(col("__span"), col("__id").as("idA"),
+      col("__pos").as("__pa"))
+    val b = filtered.select(col("__span"), col("__id").as("idB"),
+      col("__pos").as("__pb"))
+    val matches = a.hint("SHUFFLE_HASH")
+      .join(b.hint("SHUFFLE_HASH"), Seq("__span"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("__pa"), col("__pb"),
+        (col("__pa") - col("__pb")).as("__diag"))
+    val w = Window.partitionBy("idA", "idB", "__diag").orderBy("__pa")
+    matches
+      .withColumn("__isl", col("__pa") - row_number().over(w))
+      .groupBy("idA", "idB", "__diag", "__isl")
+      .agg(min("__pa").as("start_a"), min("__pb").as("start_b"),
+        (max("__pa") - min("__pa") + lit(windowTokens)).as("run_tokens"))
+      .where(col("run_tokens") >= math.max(minRunTokens, windowTokens))
+      .select("idA", "idB", "start_a", "start_b", "run_tokens")
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash, split into `chunks`
     * equal bit-chunks; by pigeonhole, any pair within hamming distance
     * `chunks − 1` shares ≥1 exact chunk, so candidates are equi-join
@@ -262,9 +320,15 @@ object Dedup {
     // re-reads the edges every iteration anyway
     val edgeList = pairs.select(col("idA"), col("idB")).localCheckpoint()
     val probe = edgeList.limit(localEdgeThreshold + 1).collect()
-    if (probe.length <= localEdgeThreshold)
-      componentsLocal(edgeList, probe, allIds)
-    else componentsLoop(edgeList, maxIterations, allIds)
+    val result =
+      if (probe.length <= localEdgeThreshold)
+        componentsLocal(edgeList, probe, allIds)
+      else componentsLoop(edgeList, maxIterations, allIds)
+    // both tiers are done with the edge snapshot by now (local: labels built
+    // driver-side; loop: final labels checkpoint truncates lineage) — free
+    // its blocks instead of waiting for driver GC
+    CheckpointUtil.freeCheckpoint(edgeList)
+    result
   }
 
   /** One representative per near-dup cluster chosen by SCORE (quality,
@@ -394,6 +458,10 @@ object Dedup {
       // label is a fixpoint — an early-exit existence probe over the
       // checkpointed partitions, no aggregation or extra join
       converged = jumped.where(col("__old") =!= col("component")).limit(1).isEmpty
+      // the superseded round's checkpoint is dead once `jumped` materialized
+      // (localCheckpoint is eager): free it now — O(log n) rounds would
+      // otherwise pin O(log n) full label tables
+      CheckpointUtil.freeCheckpoint(labels)
       labels = jumped.select("id", "component")
       i += 1
     }

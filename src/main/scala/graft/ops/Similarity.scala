@@ -235,17 +235,60 @@ object Similarity {
     * inner products the searcher uses). */
   type PqCodebooks = Seq[Seq[Seq[Double]]]
 
-  /** Train PQ codebooks: an independent deterministic [[kmeansFit]] per
-    * subspace (m fits, each a distributed Lloyd's run over the sliced
-    * corpus — the driver holds only m·ksub·(dim/m) doubles). */
+  /** Train PQ codebooks: all `m` subspaces advance TOGETHER — one corpus
+    * scan per Lloyd's iteration, one shuffle on the small (subspace,
+    * cluster, dim) key, with the same exact_sum update [[kmeansFit]] uses.
+    * (m independent fits would scan the corpus m times per iteration; at
+    * 100 TB the scans, not the k×dim driver state, are the bill.)
+    *
+    * Per-subspace codebooks are IDENTICAL to independent [[kmeansFit]] runs
+    * over the sliced corpus (spec-verified): each subspace's assignment and
+    * update touch only its own slice, the Lloyd's update is idempotent at a
+    * fixpoint — a subspace that converged early just reproduces its
+    * codebook while stragglers finish — and exact_sum makes every total a
+    * pure function of its value multiset. The driver holds only
+    * m·ksub·subDim doubles. */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
-      subDim: Int, ksub: Int, maxIters: Int = 10): PqCodebooks =
-    (0 until m).map { i =>
-      kmeansFit(
-        corpus.select(col(idCol).as("__id"),
-          slice(col(vecCol), i * subDim + 1, subDim).as("__v")),
-        "__id", "__v", ksub, maxIters).codebook
+      subDim: Int, ksub: Int, maxIters: Int = 10): PqCodebooks = {
+    require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+    val base = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    // init: per-subspace slices of the ksub smallest-id vectors — exactly
+    // kmeansFit's rule applied to each sliced frame
+    val initRows = base.orderBy("__id").limit(ksub)
+      .select("__v").collect().map(_.getSeq[Double](0))
+    require(initRows.nonEmpty, "corpus is empty")
+    var books: IndexedSeq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      initRows.map(v => v.slice(s * subDim, (s + 1) * subDim).toSeq).toSeq)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val perSub = (0 until m).map { s =>
+        val sv = slice(col("__v"), s * subDim + 1, subDim)
+        struct(lit(s).as("s"),
+          element_at(gf.nearest_centroids(sv, typedLit(books(s)), 1), 1).as("c"),
+          sv.as("sv"))
+      }
+      val stats = base
+        .select(explode(array(perSub: _*)).as("a"))
+        .select(col("a.s").as("__s"), col("a.c").as("__c"),
+          posexplode(col("a.sv")).as(Seq("__d", "__x")))
+        .groupBy("__s", "__c", "__d")
+        .agg(gf.exact_sum(col("__x")).as("__tot"), count(lit(1)).as("__n"))
+        .collect()
+      val next = books.map(cb => cb.map(_.toArray).toArray).toArray
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3) / r.getLong(4)
+      }
+      val newBooks: IndexedSeq[Seq[Seq[Double]]] =
+        next.map(cb => cb.map(_.toSeq).toSeq).toIndexedSeq
+      converged = newBooks == books
+      books = newBooks
+      iter += 1
     }
+    books
+  }
 
   /** Encode a vector into its `m` sub-codes (0-based centroid indices,
     * ties to the lowest index) — a pure column expression: the 100 TB

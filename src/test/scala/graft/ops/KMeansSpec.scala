@@ -119,6 +119,21 @@ class KMeansSpec extends SparkTestBase {
     assert(a.length == 2 && a.forall(cb => cb.length == 3 &&
       cb.forall(_.length == 4)))
   }
+
+  test("pqTrain == m independent kmeansFit runs (one-scan path is exact)") {
+    import spark.implicits._
+    val vecs = (0L until 120L).map(i =>
+      (i, Seq.tabulate(8)(d => (((i * 19 + d * 7) % 23).toFloat - 11f) / 4f)))
+      .toDF("id", "vec")
+    val joint = Similarity.pqTrain(vecs, "id", "vec", m = 2, subDim = 4,
+      ksub = 3, maxIters = 7)
+    val indep = (0 until 2).map { s =>
+      Similarity.kmeansFit(vecs.select(col("id").as("__id"),
+          slice(col("vec"), s * 4 + 1, 4).as("__v")),
+        "__id", "__v", 3, maxIters = 7).codebook
+    }
+    assert(joint == indep) // exact Double equality per centroid coordinate
+  }
   import spark.implicits._
 
   // two tight, well-separated direction blobs (cosine k-means separates by
