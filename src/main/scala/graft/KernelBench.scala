@@ -42,6 +42,19 @@ object KernelBench {
       var i = 0
       while (i < n) { s.add(keysUniform(i)); i += 1 }
     }
+    bench("exactsum.add", n) { () =>
+      val s = new ExactSum
+      var i = 0
+      while (i < n) { s.add(xs(i)); i += 1 }
+      s.result()
+    }
+    // reference point for exactsum.add: a plain double += loop
+    bench("naive += (baseline)", n) { () =>
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += xs(i); i += 1 }
+      if (acc == Double.MinValue) println("") // defeat DCE
+    }
     // merge throughput: 1024 pre-built partials folded pairwise
     val parts = Array.fill(256) {
       val t = TDigest(100.0)
@@ -52,6 +65,17 @@ object KernelBench {
     bench("tdigest.merge 256 partials", 256) { () =>
       val acc = TDigest(100.0)
       parts.foreach(p => acc.merge(TDigest.deserialize(p)))
+    }
+    // CMS blob-direct probe vs full-grid deserialize per probe
+    val cms = new CountMin(4, 1 << 16)
+    var i = 0
+    while (i < 1000000) { cms.add(keysUniform(i)); i += 1 }
+    val blob = cms.serialize()
+    bench("cms.estimateFromBlob d4w64k", n) { () =>
+      var j = 0
+      var acc = 0L
+      while (j < n) { acc += CountMin.estimateFromBlob(blob, keysUniform(j % 1000000)); j += 1 }
+      if (acc == Long.MinValue) println("")
     }
   }
 }

@@ -183,6 +183,8 @@ object functions {
     toColumn(NgramJaccard(toExpr(a), toExpr(b), Literal(shingleN)))
   def shingle_hashes(text: Column, window: Int): Column =
     toColumn(ShingleHashes(toExpr(text), Literal(window)))
+  def shingle_hashes_pos(text: Column, window: Int): Column =
+    toColumn(ShingleHashesPos(toExpr(text), Literal(window)))
 
   /** Composite [0,1] quality score over text_stats fields: penalizes very
     * short/long docs, low alpha ratio, high punct/digit ratios, extreme
@@ -321,6 +323,7 @@ object GraftFunctions {
     "simhash64" -> { case Seq(t, n) => SimHash64(t, n) },
     "ngram_jaccard" -> { case Seq(a, b, n) => NgramJaccard(a, b, n) },
     "shingle_hashes" -> { case Seq(t, n) => ShingleHashes(t, n) },
+    "shingle_hashes_pos" -> { case Seq(t, n) => ShingleHashesPos(t, n) },
     "vec_dot" -> { case Seq(a, b) => VecDot(a, b) },
     "vec_cosine" -> { case Seq(a, b) => VecCosine(a, b) },
     "vec_norm" -> { case Seq(a) => VecNorm(a) },

@@ -302,6 +302,27 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Positional n-token-window hashes in WINDOW ORDER (not distinct, not
+    * sorted): element i = hash of tokens [i, i+n) — the positional span
+    * stream maximal-run chaining needs ([[graft.ops.Dedup.sharedRuns]]).
+    * Same tokenization + gram-hash chain as [[shingleHashes]]. */
+  def shingleHashesPos(t: UTF8String, n: Int): GenericArrayData = {
+    require(n >= 1, "window must be >= 1")
+    val nTok = TextHash.tokenHashes(t, null, 0L)
+    val toks = new Array[Long](nTok)
+    TextHash.tokenHashes(t, toks, 0L)
+    val out = new Array[Long](math.max(nTok - n + 1, 0))
+    var i = 0
+    while (i + n <= nTok) {
+      var h = 0x27d4eb2f165667c5L
+      var j = 0
+      while (j < n) { h = TextHash.combine(h, toks(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def langId(input: UTF8String): UTF8String = {
     val s = input.toString
     if (s.isEmpty) return UTF8String.fromString("und")
@@ -519,6 +540,25 @@ case class ShingleHashes(left: Expression, right: Expression)
       ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (t, n) =>
       s"${ev.value} = ${TextKernels.RefName}.shingleHashes($t, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** shingle_hashes_pos(text, n) → array<long>: n-token window hashes in
+  * POSITION order (duplicates kept) — posexplode yields (token position,
+  * span hash), the input of maximal-run chaining. */
+case class ShingleHashesPos(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_pos"
+
+  override protected def nullSafeEval(t: Any, nAny: Any): Any =
+    TextKernels.shingleHashesPos(t.asInstanceOf[UTF8String], nAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = ${TextKernels.RefName}.shingleHashesPos($t, $n);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -218,17 +218,13 @@ object Dedup {
   def sharedRuns(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 16, maxDocsPerSpan: Long = 1000,
       minRunTokens: Int = 0): DataFrame = {
-    // positional spans (shingle_hashes dedupes+sorts, which destroys
-    // positions): token window i → xxhash64 of the -joined window.
-    // Stock codegen'd expressions; only (id, pos, long) rows ever shuffle.
-    val toks = split(trim(col(textCol)), "\\s+")
-    val nSpans = size(toks) - (windowTokens - 1)
-    val spanArr = when(nSpans > 0,
-      transform(sequence(lit(0), nSpans - 1), i =>
-        xxhash64(concat_ws("\u0001", slice(toks, i + 1, lit(windowTokens))))))
-      .otherwise(array().cast("array<long>"))
+    // positional spans via the codegen'd kernel (shingle_hashes dedupes +
+    // sorts, which destroys positions; a string-building transform/slice/
+    // concat_ws formulation measured ~6× slower — allocation per window).
+    // Only (id, pos, long) rows ever shuffle.
     val spans = df.select(col(idCol).as("__id"),
-      posexplode(spanArr).as(Seq("__pos", "__span")))
+      posexplode(gf.shingle_hashes_pos(col(textCol), windowTokens))
+        .as(Seq("__pos", "__span")))
     val keep = spans.groupBy("__span").agg(count(lit(1)).as("__n"))
       .where(col("__n").between(2L, maxDocsPerSpan))
       .select("__span")

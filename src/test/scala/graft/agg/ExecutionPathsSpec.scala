@@ -27,7 +27,12 @@ class ExecutionPathsSpec extends SparkTestBase {
     val ss = li.agg(gf.ss_topk_agg(col("l_partkey"), lit(1L), 4096).as("sk"))
       .select(explode(gf.ss_topk_long(col("sk"), 4096)).as("c"))
       .select("c.item", "c.count").orderBy("item").collect().map(_.toString).toSeq
-    Map("stats" -> stats, "tdigest" -> td, "ss" -> ss)
+    // exact_sum: the spill path serializes the superaccumulator mid-group,
+    // so fallback exercises deserialize→merge (bit-equality is the contract)
+    val es = li.groupBy("l_orderkey")
+      .agg(gf.exact_sum(col("l_extendedprice")).as("t"))
+      .orderBy("l_orderkey").collect().map(_.toString).toSeq
+    Map("stats" -> stats, "tdigest" -> td, "ss" -> ss, "exact_sum" -> es)
   }
 
   test("sort-based fallback (threshold=2) produces identical exact results") {
