@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * fixtures. Deterministic generation (id arithmetic, no RNG) so runs are
   * comparable; numbers land in SURVEY §8.2.
   *
-  * Usage: sbt "Test/runMain graft.tools.ScaleProbe [nDocs] [nVecs]"
+  * Usage: sbt "Test/runMain graft.tools.ScaleProbe [nDocs] [nVecs] [labelFilter]"
+  * (labelFilter: only probes whose label contains the substring run)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
     val nVecs = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
+    val labelFilter = args.drop(2).headOption.getOrElse("")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -22,12 +24,12 @@ object ScaleProbe {
     graft.api.GraftFunctions.register(spark)
     import spark.implicits._
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
-      r
-    }
+    def time[A](label: String)(f: => A): Unit =
+      if (labelFilter.isEmpty || label.contains(labelFilter)) {
+        val t0 = System.nanoTime()
+        f
+        println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      }
     def force(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
@@ -80,6 +82,23 @@ object ScaleProbe {
 
     time(s"BPE learnMerges k=8 over $nDocs docs") {
       graft.ops.Bpe.learnMerges(docs, "text", 8)
+    }
+
+    // sharedRuns: every 500th doc carries one of 100 distinct 12-token
+    // blocks (→ ~nDocs/500/100 docs per block, well under the hot-span
+    // guard; the 51k-doc "b1..b8" boilerplate run IS over it and must be
+    // guard-dropped). Measures span emission + occurrence filter over
+    // ~23·nDocs positional spans plus the diagonal-island window on the
+    // matched tail.
+    val runDocs = docs.withColumn("text",
+      when(col("doc_id") % 500 === 0,
+        concat(concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("r"), (col("doc_id") / 500 % 100).cast("string"),
+            lit("_" + j))): _*), lit(" "), col("text")))
+        .otherwise(col("text")))
+    time(s"sharedRuns $nDocs docs (8-token windows)") {
+      println("  runs=" + graft.ops.Dedup.sharedRuns(runDocs, "doc_id",
+        "text", windowTokens = 8, maxDocsPerSpan = 1000).count())
     }
 
     // embeddings: 64-dim unit-ish vectors from id arithmetic
