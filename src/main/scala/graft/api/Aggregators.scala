@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.core.{MomentsSketch, TDigest}
+import graft.core.{ExactSum, MomentsSketch, TDigest}
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -54,6 +54,19 @@ object Aggregators {
       override def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
       override def finish(b: TDigest): Double = b.quantile(q)
       override def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+      override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  /** Bit-reproducible exact sum for Dataset[Double]: same contract as the
+    * exact_sum column aggregate — identical bits under any partitioning or
+    * merge order; 0.0 for an empty Dataset (the typed API has no SQL null). */
+  def exactSum: Aggregator[Double, ExactSum, Double] =
+    new Aggregator[Double, ExactSum, Double] {
+      override def zero: ExactSum = new ExactSum
+      override def reduce(b: ExactSum, x: Double): ExactSum = { b.add(x); b }
+      override def merge(a: ExactSum, b: ExactSum): ExactSum = { a.merge(b); a }
+      override def finish(b: ExactSum): Double = b.result()
+      override def bufferEncoder: Encoder[ExactSum] = Encoders.kryo[ExactSum]
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 }

@@ -47,4 +47,19 @@ class TypedApiSpec extends SparkTestBase {
     val n = spark.read.parquet(sf("orders")).count()
     assert(t.totalSize == n.toDouble)
   }
+
+  test("typed exactSum == exact_sum column aggregate, partitioning-invariant") {
+    import spark.implicits._
+    val li = spark.read.parquet(sf("lineitem"))
+    val viaCol = li.agg(graft.api.functions.exact_sum(col("l_extendedprice")))
+      .head().getDouble(0)
+    val vals = li.select(col("l_extendedprice")).as[Double]
+    Seq(vals.repartition(1), vals.repartition(13)).foreach { ds =>
+      val got = ds.select(Aggregators.exactSum.toColumn).head()
+      assert(got == viaCol) // identical bits, typed path included
+    }
+    // empty Dataset → 0.0 (typed API has no SQL null)
+    assert(spark.emptyDataset[Double]
+      .select(Aggregators.exactSum.toColumn).head() == 0.0)
+  }
 }
