@@ -667,6 +667,16 @@ object SparkEntry {
           windowTokens = 8, maxDocsPerSpan = 500)
         .orderBy("idA", "idB", "start_a", "start_b")
     }),
+    "q28_remove_runs" -> ((s, dir) => {
+      // exact-substring dedup as a corpus TRANSFORMATION: every maximal
+      // shared 8-token run deleted at full extent from the larger id of
+      // its pair, survivors reassembled in token order; fully-shared docs
+      // come back empty. The oracle extends q99's chain with
+      // covered-position subtraction + ordered reassembly
+      graft.ops.Dedup.removeSharedRuns(t(s, dir, "documents"), "doc_id",
+          "text", windowTokens = 8, maxDocsPerSpan = 500)
+        .orderBy("doc_id")
+    }),
     "q98_exact_sum" -> ((s, dir) => {
       // bit-reproducible distributed sum: signed, binary-exact inputs
       // (integer + k/1024) so BOTH engines' totals are exact and the gate
@@ -1872,6 +1882,39 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            (max(pa) - min(pa) + 8)::INT AS run_tokens
          FROM r GROUP BY idA, idB, diag, isl
          ORDER BY idA, idB, start_a, start_b""",
+    "q28_remove_runs" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         sp AS (SELECT doc_id, unnest(range(1, greatest(len(t) - 6, 1))) AS i, t
+                FROM tk),
+         sg AS (SELECT doc_id, i - 1 AS pos,
+                  array_to_string(t[i:i+7], chr(1)) AS gram FROM sp),
+         ok AS (SELECT gram FROM sg
+                GROUP BY gram HAVING count(*) BETWEEN 2 AND 500),
+         f AS (SELECT sg.doc_id, sg.pos, sg.gram FROM sg JOIN ok USING (gram)),
+         m AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+                 a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+               FROM f a JOIN f b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         r AS (SELECT *, pa - row_number() OVER (
+                 PARTITION BY idA, idB, diag ORDER BY pa) AS isl FROM m),
+         runs AS (SELECT idB, min(pb) AS sb, max(pa) - min(pa) + 8 AS rt
+                  FROM r GROUP BY idA, idB, diag, isl),
+         cov AS (SELECT DISTINCT doc_id, pos FROM
+                   (SELECT idB AS doc_id, unnest(range(sb, sb + rt)) AS pos
+                    FROM runs) c),
+         tokpos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM
+                      (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t
+                       FROM tk) x),
+         kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+                  ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos),
+         ag AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS total FROM tokpos GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(ag.clean_text, '') AS clean_text,
+           coalesce(ag.n_kept, 0)::BIGINT AS n_kept,
+           (tot.total - coalesce(ag.n_kept, 0))::BIGINT AS n_dropped
+         FROM documents d LEFT JOIN ag USING (doc_id) JOIN tot USING (doc_id)
+         ORDER BY doc_id""",
     "q98_exact_sum" ->
       """SELECT l_returnflag,
            sum((floor(l_extendedprice) + floor(l_quantity) / 1024)

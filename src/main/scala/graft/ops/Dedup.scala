@@ -248,6 +248,49 @@ object Dedup {
       .select("idA", "idB", "start_a", "start_b", "run_tokens")
   }
 
+  /** Remove shared runs at their FULL extent, keeping the first (smallest
+    * id) occurrence — Lee et al.'s exact-substring dedup as a corpus
+    * transformation: every maximal shared run found by [[sharedRuns]] is
+    * deleted from the LARGER id of each pair (union of covered token
+    * positions, so overlapping runs from different partners compose), and
+    * the survivor text reassembles in original token order. Documents whose
+    * every token was shared come back EMPTY rather than disappearing (same
+    * contract as [[dedupParagraphs]]). Output: (idCol, clean_text, n_kept,
+    * n_dropped); text is whitespace-normalized by the tokenization.
+    *
+    * Scale shape: [[sharedRuns]]'s cost plus one posexplode of the corpus
+    * tokens, an anti-join on (id, position) against the covered set (which
+    * is bounded by the DUPLICATED mass, not the corpus), and one group-back
+    * by id. */
+  def removeSharedRuns(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 16, maxDocsPerSpan: Long = 1000,
+      minRunTokens: Int = 0): DataFrame = {
+    val runs = sharedRuns(df, idCol, textCol, windowTokens, maxDocsPerSpan,
+      minRunTokens)
+    val covered = runs.select(col("idB").as("__id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("run_tokens") - 1)).as("__pos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
+    val kept = toks.join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy("__id")
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos").as("i"),
+            col("__tok").as("t")))),
+          s => s.getField("t"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = toks.groupBy("__id").agg(count(lit(1)).as("__total"))
+    df.select(col(idCol))
+      .join(kept.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .join(totals.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__total"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash, split into `chunks`
     * equal bit-chunks; by pigeonhole, any pair within hamming distance
     * `chunks − 1` shares ≥1 exact chunk, so candidates are equi-join

@@ -55,6 +55,43 @@ class SharedRunsSpec extends SparkTestBase {
     assert(runsOf(df2, 8).toSeq == Seq((1L, 2L, 0, 0, 20)))
   }
 
+  test("removeSharedRuns deletes planted repeats at full extent, keeps first") {
+    val d1 = (0 until 40).map(i => s"a$i")
+    // doc 2: 5 own tokens, then a copy of a10..a29 (20 tokens), then own
+    val d2 = (0 until 5).map(i => s"b$i") ++ (10 to 29).map(i => s"a$i") ++
+      (5 until 13).map(i => s"b$i")
+    // doc 3: an exact copy of doc 1 → comes back empty
+    val df = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+      (3L, d1.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.removeSharedRuns(df, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 is the first occurrence everywhere: untouched
+    assert(got(1L) == ((d1.mkString(" "), 40L, 0L)))
+    // doc 2 loses EXACTLY the 20-token block; its own tokens survive intact
+    val d2kept = (0 until 5).map(i => s"b$i") ++ (5 until 13).map(i => s"b$i")
+    assert(got(2L) == ((d2kept.mkString(" "), 13L, 20L)))
+    // doc 3 is fully shared with doc 1 → empty, not missing
+    assert(got(3L) == (("", 0L, 40L)))
+  }
+
+  test("removeSharedRuns composes overlapping runs from different partners") {
+    // doc 3 shares tokens 0..19 with doc 1 and tokens 12..31 with doc 2;
+    // the union 0..31 must go, not just one run
+    val base = (0 until 40).map(i => s"c$i")
+    val d1 = base.slice(0, 20) ++ (0 until 10).map(i => s"x$i")
+    val d2 = (0 until 10).map(i => s"y$i") ++ base.slice(12, 32)
+    val df = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+      (3L, base.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.removeSharedRuns(df, "doc_id", "text", windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((30L, 0L))) // smallest id keeps everything
+    // docs 1 and 2 also overlap on c12..c19 (exactly one 8-token window) —
+    // doc 2, the larger id of THAT pair, loses those 8 tokens too
+    assert(got(2L) == ((22L, 8L)))
+    assert(got(3L) == ((8L, 32L))) // union 0..31 gone; kept = c32..c39 only
+  }
+
   test("matches a brute-force reference on random small-vocab corpora") {
     val rnd = new scala.util.Random(1234)
     val w = 3
