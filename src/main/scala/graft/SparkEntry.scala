@@ -667,6 +667,16 @@ object SparkEntry {
           windowTokens = 8, maxDocsPerSpan = 500)
         .orderBy("idA", "idB", "start_a", "start_b")
     }),
+    "q29_cdc_pairs" -> ((s, dir) => {
+      // byte-level content-defined chunking: pairs sharing ≥1 Rabin-CDC
+      // chunk (expected chunk ≈ 64 bytes at bits=6). Boundaries and chunk
+      // hashes are independently recomputed in DuckDB (g_winhash +
+      // g_fnv_seed), so the gate verifies the rolling hash, the boundary
+      // rule, AND the chunk slicing bit-for-bit
+      graft.ops.Dedup.cdcPairs(t(s, dir, "documents"), "doc_id", "text",
+          bits = 6, minShared = 1, maxDocsPerChunk = 500)
+        .orderBy("idA", "idB")
+    }),
     "q28_remove_runs" -> ((s, dir) => {
       // exact-substring dedup as a corpus TRANSFORMATION: every maximal
       // shared 8-token run deleted at full extent from the larger id of
@@ -1882,6 +1892,37 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            (max(pa) - min(pa) + 8)::INT AS run_tokens
          FROM r GROUP BY idA, idB, diag, isl
          ORDER BY idA, idB, start_a, start_b""",
+    // CDC chunks: boundary after byte w+15 (1-based) when the 16-byte
+    // window hash g_winhash(bs, w) has its low 6 bits zero; chunks slice
+    // between consecutive boundaries, tail always emitted; short docs are
+    // one whole-text chunk. Chunk hash = the engine's FNV(+avalanche).
+    "q29_cdc_pairs" ->
+      (hashMacros +
+        """WITH bt AS MATERIALIZED (SELECT doc_id, g_bytes(text) AS bs FROM documents),
+         cuts AS MATERIALIZED (
+           SELECT doc_id, w + 15 AS cut
+           FROM bt, unnest(range(1, greatest(len(bs) - 14, 1))) t1(w)
+           WHERE len(bs) >= 16 AND (g_winhash(bs, w) % 64) = 0),
+         spans AS (SELECT doc_id,
+             coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS a,
+             cut AS b2
+           FROM cuts),
+         mx AS (SELECT bt.doc_id, len(bt.bs) AS n,
+             coalesce((SELECT max(cut) FROM cuts c WHERE c.doc_id = bt.doc_id), 0) AS lc
+           FROM bt),
+         chunks AS (SELECT doc_id, a, b2 FROM spans
+                    UNION ALL
+                    SELECT doc_id, lc + 1, n FROM mx WHERE lc < n),
+         ch AS (SELECT chunks.doc_id,
+             g_sb(g_fnv_seed(bt.bs[a:b2], 0::UBIGINT)) AS h
+           FROM chunks JOIN bt USING (doc_id)),
+         dch AS (SELECT DISTINCT doc_id, h FROM ch),
+         okc AS (SELECT h FROM dch GROUP BY h HAVING count(*) BETWEEN 2 AND 500),
+         fc AS (SELECT dch.doc_id, dch.h FROM dch JOIN okc USING (h))
+         SELECT a.doc_id AS idA, b.doc_id AS idB,
+           count(*)::BIGINT AS shared_chunks
+         FROM fc a JOIN fc b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY idA, idB"""),
     "q28_remove_runs" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                      FROM documents),

@@ -185,6 +185,8 @@ object functions {
     toColumn(ShingleHashes(toExpr(text), Literal(window)))
   def shingle_hashes_pos(text: Column, window: Int): Column =
     toColumn(ShingleHashesPos(toExpr(text), Literal(window)))
+  def cdc_chunk_hashes(text: Column, bits: Int): Column =
+    toColumn(CdcChunkHashes(toExpr(text), Literal(bits)))
 
   /** Composite [0,1] quality score over text_stats fields: penalizes very
     * short/long docs, low alpha ratio, high punct/digit ratios, extreme
@@ -324,6 +326,7 @@ object GraftFunctions {
     "ngram_jaccard" -> { case Seq(a, b, n) => NgramJaccard(a, b, n) },
     "shingle_hashes" -> { case Seq(t, n) => ShingleHashes(t, n) },
     "shingle_hashes_pos" -> { case Seq(t, n) => ShingleHashesPos(t, n) },
+    "cdc_chunk_hashes" -> { case Seq(t, b) => CdcChunkHashes(t, b) },
     "vec_dot" -> { case Seq(a, b) => VecDot(a, b) },
     "vec_cosine" -> { case Seq(a, b) => VecCosine(a, b) },
     "vec_norm" -> { case Seq(a) => VecNorm(a) },

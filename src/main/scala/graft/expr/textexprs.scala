@@ -302,6 +302,48 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunk hashes (byte-level Rabin-style CDC): a chunk
+    * boundary falls AFTER byte i whenever the avalanched 16-byte polynomial
+    * window hash ending at i has its low `bits` bits zero; each chunk is
+    * FNV-1a(+avalanche)-hashed. Boundaries depend only on the local 16
+    * bytes, so an edit re-synchronizes within one window and every
+    * untouched chunk keeps its hash — the dedup signal for content WITHOUT
+    * token structure (code, CJK, whitespace-free streams), where token
+    * spans cannot exist. Texts shorter than the window yield one
+    * whole-text chunk; empty text yields no chunks. Expected chunk length
+    * ≈ 2^bits bytes. */
+  def cdcChunkHashes(t: UTF8String, bits: Int): GenericArrayData = {
+    require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
+    val b = t.getBytes
+    val k = 16
+    if (b.length == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (b.length < k)
+      return new GenericArrayData(Array(TextHash.hashBytes(b, 0, b.length, 0L)))
+    val mask = (1L << bits) - 1
+    val base = TextHash.FnvPrime
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * base + (b(i) & 0xffL); i += 1 }
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    var start = 0
+    if ((TextHash.avalanche(h) & mask) == 0L) {
+      out += TextHash.hashBytes(b, 0, i, 0L); start = i
+    }
+    while (i < b.length) {
+      h = (h - (b(i - k) & 0xffL) * pow) * base + (b(i) & 0xffL)
+      i += 1
+      if ((TextHash.avalanche(h) & mask) == 0L) {
+        out += TextHash.hashBytes(b, start, i, 0L)
+        start = i
+      }
+    }
+    if (start < b.length) out += TextHash.hashBytes(b, start, b.length, 0L)
+    new GenericArrayData(out.result())
+  }
+
   /** Positional n-token-window hashes in WINDOW ORDER (not distinct, not
     * sorted): element i = hash of tokens [i, i+n) — the positional span
     * stream maximal-run chaining needs ([[graft.ops.Dedup.sharedRuns]]).
@@ -559,6 +601,25 @@ case class ShingleHashesPos(left: Expression, right: Expression)
       ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (t, n) =>
       s"${ev.value} = ${TextKernels.RefName}.shingleHashesPos($t, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** cdc_chunk_hashes(text, bits) → array<long>: content-defined chunk hashes
+  * in stream order (duplicates kept) — the byte-level CDC dedup key set;
+  * see [[TextKernels.cdcChunkHashes]]. */
+case class CdcChunkHashes(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override protected def nullSafeEval(t: Any, bAny: Any): Any =
+    TextKernels.cdcChunkHashes(t.asInstanceOf[UTF8String], bAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, b) =>
+      s"${ev.value} = ${TextKernels.RefName}.cdcChunkHashes($t, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

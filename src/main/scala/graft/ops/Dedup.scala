@@ -291,6 +291,37 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** Byte-level content-defined-chunking (CDC) duplicate pairs: documents
+    * sharing ≥ `minShared` distinct Rabin-CDC chunk hashes
+    * ([[graft.expr.TextKernels.cdcChunkHashes]]; expected chunk ≈ 2^bits
+    * bytes). Chunk boundaries are content-local, so an insertion
+    * re-synchronizes within one 16-byte window and every untouched chunk
+    * still matches — the dedup signal for content WITHOUT token structure
+    * (code, CJK, whitespace-free streams), where [[spanPairs]]'s token
+    * windows cannot exist.
+    *
+    * Same scale shape as [[spanPairs]]: per-doc DISTINCT chunk hashes
+    * (longs, never text) shuffle once; chunks in more than
+    * `maxDocsPerChunk` docs are corpus boilerplate and drop before the
+    * self-join; both sides reuse one exchange. Returns
+    * (idA, idB, shared_chunks) with idA < idB. */
+  def cdcPairs(df: DataFrame, idCol: String, textCol: String, bits: Int = 6,
+      minShared: Long = 1, maxDocsPerChunk: Long = 1000): DataFrame = {
+    val chunks = df.select(col(idCol).as("__id"),
+        explode(gf.cdc_chunk_hashes(col(textCol), bits)).as("__chunk"))
+      .distinct()
+    val keep = chunks.groupBy("__chunk").agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2L, maxDocsPerChunk))
+      .select("__chunk")
+    val filtered = chunks.join(keep, Seq("__chunk"))
+    val a = filtered.select(col("__chunk"), col("__id").as("idA"))
+    val b = filtered.select(col("__chunk"), col("__id").as("idB"))
+    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"), Seq("__chunk"))
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("shared_chunks"))
+      .where(col("shared_chunks") >= minShared)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash, split into `chunks`
     * equal bit-chunks; by pigeonhole, any pair within hamming distance
     * `chunks − 1` shares ≥1 exact chunk, so candidates are equi-join
