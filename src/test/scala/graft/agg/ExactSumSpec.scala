@@ -44,11 +44,16 @@ class ExactSumSpec extends SparkTestBase {
       java.lang.Double.longBitsToDouble((bits & 0x800fffffffffffffL) | (e << 52))
     }
     val got = sumOf(xs)
-    val exact = xs.map(x => BigDecimal(x)).sum // BigDecimal(double) is exact
-    val err = (exact - BigDecimal(got)).abs
-    val halfUlp = BigDecimal(math.ulp(got)) / 2
-    assert(err <= halfUlp, s"not correctly rounded: err=$err halfUlp=$halfUlp")
-    if (err == halfUlp) // tie must have gone to even
+    // java.math.BigDecimal without a MathContext is exact for doubles
+    // (scala.math.BigDecimal defaults to 34-digit DECIMAL128 and would
+    // round the reference itself — see ExactSumPropSpec)
+    def jbd(x: Double) = new java.math.BigDecimal(x)
+    val exact = xs.foldLeft(java.math.BigDecimal.ZERO)((a, x) => a.add(jbd(x)))
+    val err = exact.subtract(jbd(got)).abs
+    val halfUlp = jbd(math.ulp(got)).divide(jbd(2.0))
+    val cmp = err.compareTo(halfUlp)
+    assert(cmp <= 0, s"not correctly rounded: err=$err halfUlp=$halfUlp")
+    if (cmp == 0) // tie must have gone to even
       assert((java.lang.Double.doubleToLongBits(got) & 1L) == 0L)
   }
 
