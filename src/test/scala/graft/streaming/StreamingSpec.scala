@@ -79,6 +79,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed exact_sum is BIT-identical to batch") {
+    // the stats-sum equivalence above needs a 1e-6 tolerance (fp sums are
+    // merge-tree dependent); exact_sum's streaming state merges must yield
+    // the same bits as one batch pass — that is its contract
+    val rows = eventRows()
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Double, String, Long)]
+    val sdf = stream.toDF().toDF("ts", "value", "event_type", "user_id")
+    val agg = sdf.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(gf.exact_sum(col("value")).as("es"))
+    val q = agg.writeStream.format("memory")
+      .queryName("es_stream").outputMode("complete").start()
+    try {
+      val (a, rest) = rows.splitAt(rows.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      Seq(a, b, c).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getStruct(0).getAs[Timestamp](0), r.getString(1))
+      val streamed = spark.table("es_stream").collect()
+        .map(r => key(r) -> r.getDouble(2)).toMap
+      val batch = rows.toDF("ts", "value", "event_type", "user_id")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(gf.exact_sum(col("value")).as("es"))
+        .collect().map(r => key(r) -> r.getDouble(2)).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToRawLongBits(v) ==
+          java.lang.Double.doubleToRawLongBits(batch(k)), s"bits differ at $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming top-k with watermark+append finalizes windows") {
     val rows = eventRows().sortBy(_._1.getTime)
     implicit val sqlCtx = spark.sqlContext
