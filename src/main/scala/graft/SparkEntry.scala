@@ -1309,6 +1309,32 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    "q100_pagerank" -> ((s, dir) => {
+      // domain-graph PageRank (crawl quality weighting): 3 outlinks per doc
+      // via pure modular arithmetic (mirrored verbatim in SQL), dst range
+      // mod 60 vs src range mod 50 so sites 50–59 are dangling sinks —
+      // exercising the dangling-mass redistribution path. exact_sum keeps
+      // ranks partitioning-independent; round(6) absorbs the ≤1-ulp gap
+      // between the correctly-rounded sum and DuckDB's sequential fold
+      val docs = t(s, dir, "documents")
+      def dom(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("site"),
+        (v % 50).cast("string"),
+        when(v % 7 === 0, lit(".co.uk")).otherwise(lit(".com")))
+      def domWide(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("site"),
+        (v % 60).cast("string"),
+        when(v % 7 === 0, lit(".co.uk")).otherwise(lit(".com")))
+      val edges = docs
+        .select(col("doc_id"), explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+        .select(dom(col("doc_id")).as("src"),
+          domWide(col("doc_id") * 7 + col("j") * 13 + 3).as("dst"))
+      graft.ops.Graph.pageRank(edges, "src", "dst",
+          iterations = 10, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1399,7 +1425,43 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** q100's oracle: fixed-iteration PageRank unrolled as chained CTEs —
+    * each r{k} is the standard update over r{k-1}, with the dangling mass
+    * redistributed uniformly. The arithmetic mirrors Graph.pageRank's
+    * association order exactly ((1-d)/n + d*(contrib + dm/n)), so the only
+    * engine difference is summation order, absorbed by round(6). */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (SELECT
+           'site' || (doc_id % 50)::VARCHAR ||
+             CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END AS src,
+           'site' || ((doc_id*7 + j*13 + 3) % 60)::VARCHAR ||
+             CASE WHEN (doc_id*7 + j*13 + 3) % 7 = 0 THEN '.co.uk' ELSE '.com' END AS dst
+         FROM documents, unnest([0,1,2]) t(j)),
+       nd AS MATERIALIZED (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       c AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nd),
+       deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY 1),
+       r0 AS MATERIALIZED (SELECT node, 1.0/(SELECT n FROM c) AS rank FROM nd)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+       r$k AS MATERIALIZED (SELECT nd.node,
+                (1-0.85)/(SELECT n FROM c) + 0.85 * (coalesce(ct.s, 0) +
+                  (SELECT coalesce(sum(r.rank), 0) FROM r${k - 1} r
+                   LEFT JOIN deg ON r.node = deg.src
+                   WHERE deg.src IS NULL) / (SELECT n FROM c)) AS rank
+              FROM nd LEFT JOIN
+                (SELECT e.dst AS node, sum(r.rank / deg.d) AS s
+                 FROM e JOIN r${k - 1} r ON e.src = r.node
+                      JOIN deg ON deg.src = e.src
+                 GROUP BY 1) ct USING (node))"""
+    }.mkString
+    head + steps +
+      s" SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q100_pagerank" -> pageRankOracle(10),
     "q01_stats_global" ->
       """SELECT count(l_quantity) AS cnt, sum(l_quantity) AS sum_qty,
          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.api.functions.exact_sum
+
+/** Link-graph centrality for web-corpus curation.
+  *
+  * Crawl pipelines weight documents by the authority of their host: a
+  * PageRank-style score over the domain link graph separates organic sites
+  * from SEO farms, and feeds quality mixing the same way CCNet-style
+  * pipelines feed perplexity. The graph here is edges-as-data — (src, dst)
+  * rows at any granularity (domain, host, page) — and the computation is a
+  * fixed-iteration power method expressed as joins + aggregations, so
+  * Catalyst plans every step and AQE handles skewed hubs.
+  *
+  * Determinism: every floating-point reduction (contribution fan-in and
+  * dangling mass) runs through [[graft.core.ExactSum]], so ranks are a
+  * function of the edge MULTISET alone — bit-identical across
+  * partitionings, retries, and cluster sizes, the property that makes a
+  * quality-weighting stage reproducible end to end.
+  *
+  * Scale: rank state is O(nodes) — for a web corpus, domains ≪ pages — and
+  * each iteration shuffles contributions keyed by destination node with
+  * map-side partial aggregation (the exact_sum buffer is ~KB per group).
+  * The degree-annotated edge table is localCheckpoint'd once and re-read
+  * per iteration; per-iteration rank state is checkpointed and the previous
+  * round's blocks are freed eagerly ([[CheckpointUtil.freeCheckpoint]]), so
+  * storage stays bounded at two rank tables regardless of iteration count.
+  */
+object Graph {
+
+  /** Power-iteration PageRank over an edge list.
+    *
+    * Semantics (uniform teleport, dangling mass redistributed uniformly —
+    * the standard formulation):
+    *
+    *   rank0(v)   = 1/n
+    *   rank_t+1(v) = (1−d)/n + d·( Σ_{(u,v)∈E} rank_t(u)/outdeg(u)
+    *                               + Σ_{u dangling} rank_t(u)/n )
+    *
+    * Parallel edges carry proportional weight (an edge listed twice
+    * contributes twice its 1/outdeg share); callers wanting simple-graph
+    * semantics `.distinct()` first. Self-loops are honored. Node ids may be
+    * any equatable type (strings at domain granularity).
+    *
+    * @param edges      (src, dst) rows; null endpoints are dropped
+    * @param srcCol     source-node column name in `edges`
+    * @param dstCol     destination-node column name in `edges`
+    * @param iterations fixed iteration count (deterministic output; no
+    *                   convergence test, so no driver-side loop exit reads)
+    * @param damping    d in the update above
+    * @return           one row per node: (node, rank); ranks sum to 1
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, damping: Double = 0.85,
+      nodeOut: String = "node", rankOut: String = "rank"): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(damping >= 0.0 && damping <= 1.0, "damping must be in [0,1]")
+
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+    // Pin the edge set once: every iteration re-reads these blocks instead
+    // of re-running the upstream plan (which may itself contain shuffles).
+    val e = e0.localCheckpoint(true)
+
+    val nodes = e.select(col("__src").as("__node"))
+      .union(e.select(col("__dst").as("__node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0) {
+      CheckpointUtil.freeCheckpoint(e)
+      CheckpointUtil.freeCheckpoint(nodes)
+      return edges.select(col(srcCol).as(nodeOut), lit(0.0).as(rankOut))
+        .limit(0)
+    }
+
+    val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    // (node, deg) with deg null for dangling nodes; shuffled once, reused
+    // every iteration via the checkpoint.
+    val nodeDeg = nodes.join(outdeg, nodes("__node") === outdeg("__src"), "left")
+      .select(col("__node"), col("__deg"))
+      .localCheckpoint(true)
+    CheckpointUtil.freeCheckpoint(nodes)
+
+    var ranks = nodeDeg.select(col("__node"),
+      lit(1.0 / n).as("__rank")).localCheckpoint(true)
+    var prev: DataFrame = null
+
+    var it = 0
+    while (it < iterations) {
+      val r = ranks
+      // (node, rank/outdeg | null-if-dangling): node-sized, built once per
+      // iteration, probed by the edge scan below.
+      val rd = r.join(nodeDeg, Seq("__node"))
+        .select(col("__node"), col("__rank"),
+          (col("__rank") / col("__deg")).as("__share"))
+      // Dangling mass: one-row frame, broadcast into the update. exact_sum
+      // keeps the scalar partitioning-independent.
+      val dangling = rd.where(col("__share").isNull)
+        .agg(coalesce(exact_sum(col("__rank")), lit(0.0)).as("__dm"))
+      // Contributions keyed by destination; exact_sum's merge is
+      // order-independent, so the shuffle needs no ordering.
+      val contrib = e.join(rd.where(col("__share").isNotNull),
+          e("__src") === rd("__node"))
+        .select(e("__dst").as("__node"), col("__share").as("__c"))
+        .groupBy("__node")
+        .agg(exact_sum(col("__c")).as("__contrib"))
+      val next = nodeDeg.select(col("__node"))
+        .join(contrib, Seq("__node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("__node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("__contrib"), lit(0.0)) + col("__dm") / n))
+            .as("__rank"))
+        .localCheckpoint(true)
+      // The new checkpoint is materialized; the grandparent's blocks are
+      // no longer reachable by any future iteration.
+      if (prev != null) CheckpointUtil.freeCheckpoint(prev)
+      prev = r
+      ranks = next
+      it += 1
+    }
+
+    ranks.select(col("__node").as(nodeOut), col("__rank").as(rankOut))
+  }
+
+  /** In/out degree per node — the cheap structural signal (hub/authority
+    * counts) pipelines use before paying for PageRank. One pass over the
+    * edge list; nodes appearing only as src (or only as dst) get 0 for the
+    * missing side. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String,
+      nodeOut: String = "node"): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+    val out = e.groupBy(col("__src").as(nodeOut))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("__dst").as(nodeOut))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq(nodeOut), "full")
+      .select(col(nodeOut),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+}
