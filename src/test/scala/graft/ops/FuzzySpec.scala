@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** PassJoin edit-distance join (Fuzzy.editDistanceJoin / editDistancePairs). */
+class FuzzySpec extends SparkTestBase {
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Deterministic corpus with planted near-duplicates: substitutions,
+    * deletions, insertions at various positions, plus unrelated strings. */
+  private def corpus: Seq[(Long, String)] = {
+    val bases = Seq(
+      "the quick brown fox", "jumps over the lazy dog", "pack my box",
+      "with five dozen jugs", "lorem ipsum dolor", "a tiny doc",
+      "abcdefghij", "zzzzzzzzzz")
+    val rng = new scala.util.Random(42)
+    val mutated = bases.zipWithIndex.flatMap { case (b, i) =>
+      val sub = { val p = rng.nextInt(b.length); b.updated(p, 'x') }
+      val del = { val p = rng.nextInt(b.length); b.take(p) + b.drop(p + 1) }
+      val ins = { val p = rng.nextInt(b.length); b.take(p) + "q" + b.drop(p) }
+      val two = { val p = rng.nextInt(b.length - 1)
+        b.updated(p, 'x').updated(p + 1, 'y') }
+      Seq(b, sub, del, ins, two)
+    }
+    // short strings exercise the sub-τ+1 bucket
+    val shorts = Seq("a", "ab", "b", "", "xy")
+    (mutated ++ shorts).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  private def bruteforce(tau: Int): Set[(Long, Long, Int)] = {
+    val c = corpus
+    (for {
+      (ia, sa) <- c; (ib, sb) <- c
+      if ia < ib
+      d = lev(sa, sb)
+      if d <= tau
+    } yield (ia, ib, d)).toSet
+  }
+
+  private def viaOp(tau: Int): Set[(Long, Long, Int)] = {
+    import spark.implicits._
+    Fuzzy.editDistancePairs(corpus.toDF("id", "text"), "id", "text", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("self-join pairs == brute force at tau=1") {
+    assert(viaOp(1) == bruteforce(1))
+  }
+
+  test("self-join pairs == brute force at tau=2 (incl. planted 2-edit pairs)") {
+    val got = viaOp(2)
+    val want = bruteforce(2)
+    assert(got == want)
+    assert(want.exists(_._3 == 2), "fixture must contain distance-2 pairs")
+  }
+
+  test("self-join pairs == brute force at tau=3") {
+    assert(viaOp(3) == bruteforce(3))
+  }
+
+  test("tau=0 degenerates to an equality join") {
+    import spark.implicits._
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("id", "text")
+    val got = Fuzzy.editDistancePairs(df, "id", "text", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
+
+  test("two-table join: typo'd lookups resolve, distances are true") {
+    import spark.implicits._
+    val catalog = Seq((10L, "anthracite"), (11L, "graphite"),
+      (12L, "basalt")).toDF("cid", "name")
+    val queries = Seq((1L, "anthrcite"), (2L, "graphitee"), (3L, "gneiss"))
+      .toDF("qid", "q")
+    val got = Fuzzy.editDistanceJoin(queries, "qid", "q",
+        catalog, "cid", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 10L, 1), (2L, 11L, 1)))
+  }
+
+  test("length-difference boundary: |len(a)-len(b)| == tau pairs are found") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefgh"), (2L, "abcdefghXY")).toDF("id", "text")
+    val got = Fuzzy.editDistancePairs(df, "id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 2)))
+  }
+
+  test("null texts are dropped, not matched") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]),
+      (3L, "alphq")).toDF("id", "text")
+    val got = Fuzzy.editDistancePairs(df, "id", "text", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L)))
+  }
+}
