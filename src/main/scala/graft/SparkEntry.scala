@@ -1335,6 +1335,40 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "q101_fuzzy_join" -> ((s, dir) => {
+      // edit-distance record linkage (PassJoin blocking, never cartesian):
+      // left = 12-char doc prefixes, right = the same prefixes with
+      // deterministic planted mutations (substitution / end deletion /
+      // unchanged by doc_id mod 3), joined at τ=2. Exercises dist 0, 1, 2
+      // and cross-doc coincidental matches; the oracle brute-forces
+      // levenshtein over the same derived corpus
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      val left = docs.select(col("doc_id").as("qid"),
+        substring(col("text"), 1, 12).as("q"))
+      val right = docs.select(col("doc_id").as("cid"),
+        when(col("doc_id") % 3 === 0,
+          concat(substring(col("text"), 1, 5), lit("x"),
+            substring(col("text"), 7, 6)))
+        .when(col("doc_id") % 3 === 1, substring(col("text"), 1, 11))
+        .otherwise(substring(col("text"), 1, 12)).as("name"))
+      graft.ops.Fuzzy.editDistanceJoin(left, "qid", "q",
+          right, "cid", "name", maxDist = 2)
+        .orderBy("qid", "cid")
+    }),
+
+    "q102_blocklist" -> ((s, dir) => {
+      // banned-phrase stats via one Aho–Corasick pass (C4-style badwords):
+      // total occurrences (overlaps counted — "a a" hits twice in "a a a")
+      // + distinct patterns per doc. Patterns include a nested pair
+      // (tab ⊂ table) exercising the dict-suffix chain; the oracle counts
+      // every start position independently per pattern in SQL
+      graft.ops.Blocklist.matchStats(
+          t(s, dir, "documents").select("doc_id", "text"), "text",
+          Seq("spark", "slow", "tab", "table", "a a", "merge batch", "zzz"))
+        .select("doc_id", "n_matches", "n_patterns")
+        .orderBy("doc_id")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1462,6 +1496,30 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
 
   def oracleSql: Map[String, String] = Map(
     "q100_pagerank" -> pageRankOracle(10),
+    "q102_blocklist" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('spark'), ('slow'), ('tab'),
+             ('table'), ('a a'), ('merge batch'), ('zzz')) p(pat)),
+         m AS (SELECT doc_id, pat, count(*) AS cnt
+               FROM documents, pats,
+                    unnest(range(1, length(text) - length(pat) + 2)) t(i)
+               WHERE substring(text, i, length(pat)) = pat
+               GROUP BY doc_id, pat)
+         SELECT d.doc_id, coalesce(sum(m.cnt), 0)::BIGINT AS n_matches,
+                count(m.pat)::INT AS n_patterns
+         FROM documents d LEFT JOIN m USING (doc_id)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "q101_fuzzy_join" ->
+      """WITH l AS (SELECT doc_id AS qid, substring(text, 1, 12) AS q
+                    FROM documents WHERE doc_id < 200),
+         r AS (SELECT doc_id AS cid,
+                 CASE WHEN doc_id % 3 = 0 THEN
+                        substring(text, 1, 5) || 'x' || substring(text, 7, 6)
+                      WHEN doc_id % 3 = 1 THEN substring(text, 1, 11)
+                      ELSE substring(text, 1, 12) END AS name
+               FROM documents WHERE doc_id < 200)
+         SELECT qid, cid, levenshtein(q, name)::INT AS dist
+         FROM l, r WHERE levenshtein(q, name) <= 2
+         ORDER BY qid, cid""",
     "q01_stats_global" ->
       """SELECT count(l_quantity) AS cnt, sum(l_quantity) AS sum_qty,
          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
