@@ -1369,6 +1369,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q103_boilerplate" -> ((s, dir) => {
+      // corpus-frequency boilerplate removal: paragraphs (split on the
+      // ' table ' fixture separator, as q82) present in ≥3 distinct docs
+      // are template text — every occurrence dropped, docs reassembled in
+      // paragraph order. Frequency counts over the WHOLE corpus; output
+      // sliced to id<40
+      graft.ops.Text.removeFrequentParagraphs(t(s, dir, "documents"),
+          "doc_id", "text", sep = " table ", minDocs = 3)
+        .where(col("doc_id") < 40)
+        .orderBy("doc_id")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1496,6 +1508,22 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
 
   def oracleSql: Map[String, String] = Map(
     "q100_pagerank" -> pageRankOracle(10),
+    "q103_boilerplate" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' table ') AS ps
+                     FROM documents),
+         ex AS (SELECT doc_id, i, ps[i] AS p
+                FROM sp, unnest(range(1, len(ps) + 1)) t(i)),
+         f AS (SELECT p FROM (SELECT p, count(DISTINCT doc_id) AS df
+                              FROM ex GROUP BY 1) WHERE df >= 3),
+         fl AS (SELECT ex.doc_id, ex.i, ex.p, f.p IS NOT NULL AS b
+                FROM ex LEFT JOIN f USING (p))
+         SELECT doc_id,
+                coalesce(string_agg(p, ' table ' ORDER BY i)
+                  FILTER (WHERE NOT b), '') AS clean_text,
+                count(*) FILTER (WHERE NOT b)::BIGINT AS n_kept,
+                count(*) FILTER (WHERE b)::BIGINT AS n_dropped
+         FROM fl WHERE doc_id < 40
+         GROUP BY doc_id ORDER BY doc_id""",
     "q102_blocklist" ->
       """WITH pats AS (SELECT * FROM (VALUES ('spark'), ('slow'), ('tab'),
              ('table'), ('a a'), ('merge batch'), ('zzz')) p(pat)),

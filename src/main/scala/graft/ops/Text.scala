@@ -168,4 +168,54 @@ object Text {
       .select(col("doc").as(idCol), col("term"), col("tf"), col("df"),
         col("rank"))
   }
+
+  /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb header-
+    * footer pass): drop EVERY occurrence of any paragraph appearing in at
+    * least `minDocs` distinct documents — nav bars, cookie banners, share
+    * buttons — and reassemble each document in original paragraph order.
+    * Complements [[Dedup.dedupParagraphs]] (which keeps first occurrences):
+    * a paragraph above the frequency threshold is presumed template, so no
+    * occurrence survives, while below-threshold repeats are left alone.
+    *
+    * With `scopeCols` the frequency is counted within each scope (the
+    * CCNet per-domain-shard convention) — a paragraph is boilerplate only
+    * where it is locally common.
+    *
+    * Scale: paragraph doc-frequencies aggregate with map-side partials
+    * (one paragraph-keyed shuffle, the [[Dedup.dedupParagraphs]] cost);
+    * the boilerplate SET is small by construction (high-frequency lines
+    * are few), so flagging is a broadcast join against the un-shuffled
+    * exploded corpus, and the only other shuffle is the doc-keyed
+    * reassembly. Output: (idCol, clean_text, n_kept, n_dropped). */
+  def removeFrequentParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String, minDocs: Int,
+      scopeCols: Seq[String] = Nil): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would drop everything)")
+    val reserved = Seq("__did", "__idx", "__para", "__df", "__boiler")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val scope = scopeCols.map(col)
+    val exploded = df.select(
+      (col(idCol).as("__did") +: scope) :+
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__para")): _*)
+    val boiler = exploded
+      .select((col("__did") +: col("__para") +: scope): _*).distinct()
+      .groupBy(col("__para") +: scope: _*)
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("__para") +: scope: _*)
+      .withColumn("__boiler", lit(true))
+    exploded
+      .join(broadcast(boiler), ("__para" +: scopeCols).toSeq, "left")
+      .groupBy(col("__did").as(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("__idx").as("i"), col("__para").as("p"))))),
+          s => s.getField("p"))).as("clean_text"),
+        sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+  }
 }
