@@ -77,5 +77,20 @@ object KernelBench {
       while (j < n) { acc += CountMin.estimateFromBlob(blob, keysUniform(j % 1000000)); j += 1 }
       if (acc == Long.MinValue) println("")
     }
+    // Aho-Corasick scan throughput (chars/s): 1000 patterns over ~180 MB
+    // of synthetic word salad — the blocklist hot loop
+    val vocab = (0 until 5000).map(i => s"w$i")
+    val sb = new StringBuilder
+    while (sb.length < 200_000) { sb.append(vocab(rnd.nextInt(5000))).append(' ') }
+    val page = sb.toString
+    val pats = (0 until 1000).map(i => s"w${(i * 17) % 5000} w${(i * 29) % 5000}")
+    val ac = AhoCorasick.build(pats)
+    val repeats = 900 // ~180M chars total
+    bench(s"ahocorasick.count 1k pats (chars)", page.length.toLong * repeats) { () =>
+      var j = 0
+      var acc = 0L
+      while (j < repeats) { acc += ac.countMatches(page); j += 1 }
+      if (acc == Long.MinValue) println("")
+    }
   }
 }

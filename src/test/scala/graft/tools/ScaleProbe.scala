@@ -133,6 +133,42 @@ object ScaleProbe {
       println("  pairs=" + graft.ops.Similarity.semanticPairs(
         semCorpus, "vec_id", "embedding", semBase, 0.9).count())
     }
+
+    // round-6 ops ------------------------------------------------------
+
+    // link graph: nDocs edges over ~100k domain nodes (power-ish skew via
+    // modular squares: low ids collect many in-links)
+    val edges = spark.range(nDocs).select(
+      concat(lit("d"), (col("id") % 100000).cast("string")).as("src"),
+      concat(lit("d"), ((col("id") * col("id") + 7) % 100000).cast("string"))
+        .as("dst"))
+    time(s"pageRank $nDocs edges / 100k nodes, 5 iters") {
+      force(graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5))
+    }
+
+    // blocklist: 1000 patterns, one AC pass over the full corpus
+    val blockPats = (0 until 1000).map(i => s"w${(i * 17) % 5000} w${(i * 29) % 5000}")
+    time(s"blocklist matchStats $nDocs docs x 1000 patterns") {
+      force(graft.ops.Blocklist.matchStats(docs, "text", blockPats))
+    }
+
+    // fuzzy join: 1M 12-char strings, tau=1; every 10th string is a
+    // planted 1-edit mutation of its neighbor
+    val nFuzzy = math.min(nDocs / 5, 1000000L)
+    val fuzzyBase = spark.range(nFuzzy).select(col("id"),
+      concat(lit("rec"), lpad(((col("id") / 10) * 10).cast("string"), 8, "0"),
+        when(col("id") % 10 === 0, lit("x")).otherwise(lit("y"))).as("s"))
+    time(s"editDistancePairs $nFuzzy strings tau=1") {
+      println("  pairs=" + graft.ops.Fuzzy.editDistancePairs(
+        fuzzyBase, "id", "s", maxDist = 1).count())
+    }
+
+    // boilerplate: paragraph frequencies over the full corpus ('w0 '
+    // prefixed docs share their first paragraphs heavily)
+    time(s"removeFrequentParagraphs $nDocs docs") {
+      force(graft.ops.Text.removeFrequentParagraphs(docs, "doc_id", "text",
+        sep = " w", minDocs = 1000))
+    }
     spark.stop()
   }
 }
