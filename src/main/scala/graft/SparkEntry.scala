@@ -1381,6 +1381,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q104_tokenize_pack" -> ((s, dir) => {
+      // the LLM-pipeline finale, end to end in one declarative chain:
+      // blocklist hard filter (AC pass) → corpus-frequency boilerplate
+      // removal → BPE-regex token counts on the CLEANED text → contiguous
+      // 2048-token sequence packing via the distributed prefix sum.
+      // Every stage's mirror exists standalone (q102/q103/q46/q69); this
+      // gates their composition
+      val pats = Seq("slow merge", "spark spark")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val kept = graft.ops.Blocklist.filterBlocked(docs, "text", pats)
+      val cleaned = graft.ops.Text.removeFrequentParagraphs(
+        kept, "doc_id", "text", sep = " table ", minDocs = 3)
+      val toks = cleaned.select(col("doc_id"),
+        gf.token_count_bpe(col("clean_text")).as("n_tok"))
+      graft.ops.Packing.packByTokenBudget(toks, "doc_id", "n_tok", 2048L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("tok_sum"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1508,6 +1530,31 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
 
   def oracleSql: Map[String, String] = Map(
     "q100_pagerank" -> pageRankOracle(10),
+    "q104_tokenize_pack" ->
+      """WITH kept AS (SELECT doc_id, text FROM documents
+                       WHERE NOT contains(text, 'slow merge')
+                         AND NOT contains(text, 'spark spark')),
+         sp AS (SELECT doc_id, string_split(text, ' table ') AS ps FROM kept),
+         ex AS (SELECT doc_id, i, ps[i] AS p
+                FROM sp, unnest(range(1, len(ps) + 1)) t(i)),
+         f AS (SELECT p FROM (SELECT p, count(DISTINCT doc_id) AS df
+                              FROM ex GROUP BY 1) WHERE df >= 3),
+         fl AS (SELECT ex.doc_id, ex.i, ex.p, f.p IS NOT NULL AS b
+                FROM ex LEFT JOIN f USING (p)),
+         cl AS (SELECT doc_id,
+                  coalesce(string_agg(p, ' table ' ORDER BY i)
+                    FILTER (WHERE NOT b), '') AS clean_text
+                FROM fl GROUP BY doc_id),
+         tk AS (SELECT doc_id, len(regexp_extract_all(clean_text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))::BIGINT AS n_tok
+           FROM cl),
+         c AS (SELECT doc_id, n_tok, sum(n_tok) OVER (
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS before
+               FROM tk)
+         SELECT (before // 2048)::BIGINT AS bin, count(*) AS n_docs,
+                cast(sum(n_tok) AS BIGINT) AS tok_sum,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q103_boilerplate" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' table ') AS ps
                      FROM documents),

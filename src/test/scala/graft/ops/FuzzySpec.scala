@@ -96,6 +96,29 @@ class FuzzySpec extends SparkTestBase {
     assert(got == Set((1L, 2L, 2)))
   }
 
+  test("randomized small-alphabet corpora == brute force (segment boundaries)") {
+    // short strings over {a,b} maximize coincidental near-matches and
+    // exercise every segment-length remainder case (L mod tau+1)
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 3; tau <- 1 to 2) {
+      val strs = (0 until 40).map { i =>
+        (i.toLong, (0 until (tau + 1 + rng.nextInt(8)))
+          .map(_ => if (rng.nextBoolean()) 'a' else 'b').mkString)
+      }
+      val got = Fuzzy.editDistancePairs(strs.toDF("id", "text"),
+          "id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib
+        d = lev(sa, sb)
+        if d <= tau
+      } yield (ia, ib, d)).toSet
+      assert(got == want, s"trial=$trial tau=$tau")
+    }
+  }
+
   test("null texts are dropped, not matched") {
     import spark.implicits._
     val df = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]),

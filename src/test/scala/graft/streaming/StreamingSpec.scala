@@ -326,6 +326,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("blocklist matchStats/filterBlocked stream per-row ≡ batch (broadcast automaton)") {
+    // the AC automaton is broadcast state built on the driver, not
+    // streaming state — both transforms must run unchanged on a
+    // readStream and emit exactly the batch rows
+    val pats = Seq("spark", "slow", "a a", "table")
+    val base = java.nio.file.Files.createTempDirectory("graft_blstream").toString
+    val docsB = spark.read.parquet(sf("documents")).select("doc_id", "text")
+    docsB.coalesce(2).write.parquet(s"$base/documents.parquet")
+    val streamIn = graft.sources.Tables.loadStream(spark, base, "documents",
+        Map("maxFilesPerTrigger" -> "1")).select("doc_id", "text")
+    val q = graft.ops.Blocklist.matchStats(streamIn, "text", pats)
+      .writeStream.format("memory").queryName("bl_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("bl_stream")
+    val batch = graft.ops.Blocklist.matchStats(docsB, "text", pats)
+    assert(streamed.count() == docsB.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    val q2 = graft.ops.Blocklist.filterBlocked(streamIn, "text", pats)
+      .writeStream.format("memory").queryName("blf_stream")
+      .outputMode("append").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val streamedF = spark.table("blf_stream")
+    val batchF = graft.ops.Blocklist.filterBlocked(docsB, "text", pats)
+    assert(streamedF.count() == batchF.count())
+    assert(streamedF.exceptAll(batchF).isEmpty)
+  }
+
   test("streaming windowed kmv_distinct == batch (set-union state)") {
     val rows = eventRows()
     implicit val sqlCtx = spark.sqlContext

@@ -152,12 +152,13 @@ object ScaleProbe {
       force(graft.ops.Blocklist.matchStats(docs, "text", blockPats))
     }
 
-    // fuzzy join: 1M 12-char strings, tau=1; every 10th string is a
-    // planted 1-edit mutation of its neighbor
+    // fuzzy join: 13-char hash-derived strings (realistic sparsity: random
+    // hex ≈ no coincidental near-pairs); ids 2k/2k+1 share a base and
+    // differ in the last char — nFuzzy/2 planted dist-1 pairs
     val nFuzzy = math.min(nDocs / 5, 1000000L)
     val fuzzyBase = spark.range(nFuzzy).select(col("id"),
-      concat(lit("rec"), lpad(((col("id") / 10) * 10).cast("string"), 8, "0"),
-        when(col("id") % 10 === 0, lit("x")).otherwise(lit("y"))).as("s"))
+      concat(substring(md5((col("id") - col("id") % 2).cast("string")), 1, 12),
+        when(col("id") % 2 === 0, lit("a")).otherwise(lit("b"))).as("s"))
     time(s"editDistancePairs $nFuzzy strings tau=1") {
       println("  pairs=" + graft.ops.Fuzzy.editDistancePairs(
         fuzzyBase, "id", "s", maxDist = 1).count())
