@@ -1403,6 +1403,16 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q105_entropy" -> ((s, dir) => {
+      // byte-distribution Shannon entropy (compression-proxy quality
+      // filter): one codegen'd pass per doc; ASCII fixture ⇒ byte ≡ char
+      // distribution, so the DuckDB per-char mirror is exact to round(6)
+      t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id"),
+          round(gf.char_entropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1530,6 +1540,16 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
 
   def oracleSql: Map[String, String] = Map(
     "q100_pagerank" -> pageRankOracle(10),
+    "q105_entropy" ->
+      """WITH ch AS (SELECT doc_id, substring(text, i, 1) AS c
+                     FROM documents, unnest(range(1, length(text) + 1)) t(i)
+                     WHERE doc_id < 40),
+         cc AS (SELECT doc_id, c, count(*)::DOUBLE AS cnt
+                FROM ch GROUP BY 1, 2),
+         h AS (SELECT doc_id,
+                 log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt) AS ent
+               FROM cc GROUP BY 1)
+         SELECT doc_id, round(ent, 6) AS entropy FROM h ORDER BY doc_id""",
     "q104_tokenize_pack" ->
       """WITH kept AS (SELECT doc_id, text FROM documents
                        WHERE NOT contains(text, 'slow merge')

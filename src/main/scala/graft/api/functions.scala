@@ -169,6 +169,8 @@ object functions {
 
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))
+  def char_entropy(text: Column): Column =
+    toColumn(CharEntropyExpr(toExpr(text)))
   def rep_stats(text: Column, ngramN: Int): Column =
     toColumn(RepStatsExpr(toExpr(text), Literal(ngramN)))
   def pii_stats(text: Column): Column = toColumn(PiiStatsExpr(toExpr(text)))
@@ -237,7 +239,8 @@ object GraftFunctions {
               n == "tdigest_size" || n == "tdigest_min" || n == "tdigest_max" ||
               n == "token_count" || n == "token_count_bpe" || n == "lang_id" ||
               n == "hash64" ||
-              n == "text_stats" || n == "pii_stats" || n == "redact_pii" ||
+              n == "text_stats" || n == "char_entropy" ||
+              n == "pii_stats" || n == "redact_pii" ||
               n == "ss_capacity" || n == "kmv_distinct" || n == "kmv_size" ||
               n == "vec_norm" || n == "strip_html" ||
               n == "registrable_domain" => Seq(1)
@@ -317,6 +320,7 @@ object GraftFunctions {
         Literal(functions.BpeTokenPattern)) },
     "lang_id" -> { case Seq(t) => LangId(t) },
     "text_stats" -> { case Seq(t) => TextStatsExpr(t) },
+    "char_entropy" -> { case Seq(t) => CharEntropyExpr(t) },
     "rep_stats" -> { case Seq(t, n) => RepStatsExpr(t, n) },
     "pii_stats" -> { case Seq(t) => PiiStatsExpr(t) },
     "redact_pii" -> { case Seq(t) => RedactPii(t) },

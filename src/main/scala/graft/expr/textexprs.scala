@@ -418,6 +418,28 @@ object TextKernels {
     row
   }
 
+  /** Shannon entropy of the UTF-8 BYTE distribution, in bits per byte —
+    * the cheap garbage/binary/compression-proxy quality signal (near 0:
+    * degenerate repetition; ~4.1: English text; ~6+: base64/binary soup).
+    * Byte-level (not codepoint) so the kernel never decodes; on ASCII text
+    * byte == char distribution. H = log2(n) − (Σ cnt·log2(cnt))/n, summed
+    * in byte-value order (deterministic). Empty text → 0.0. */
+  def charEntropy(input: UTF8String): Double = {
+    val n = input.numBytes()
+    if (n == 0) return 0.0
+    val cnt = new Array[Int](256)
+    var i = 0
+    while (i < n) { cnt(input.getByte(i) & 0xff) += 1; i += 1 }
+    var s = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = cnt(b)
+      if (c > 0) s += c * (math.log(c) / math.log(2.0))
+      b += 1
+    }
+    math.log(n) / math.log(2.0) - s / n
+  }
+
   /** Java-reachable name of this object for generated code. */
   val RefName: String =
     classOf[TextKernels.type].getName.stripSuffix("$") + "$.MODULE$"
@@ -734,5 +756,23 @@ case class TextStatsExpr(child: Expression)
       ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = ${TextKernels.RefName}.textStats($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** char_entropy(text) → double: Shannon entropy of the UTF-8 byte
+  * distribution in bits/byte ([[TextKernels.charEntropy]]) — the
+  * compression-proxy quality filter. One pass, codegen'd. */
+case class CharEntropyExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextKernels.RefName}.charEntropy($c);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -121,4 +121,62 @@ class TextSignalsSpec extends SparkTestBase {
       assert(math.abs(got(id)._2 - dup) < 1e-12, s"dup mismatch doc $id")
     }
   }
+
+  private def entropy(text: String): Double =
+    Seq(text).toDF("t").select(gf.char_entropy(col("t")))
+      .head().getDouble(0)
+
+  test("char_entropy: hand-computed values") {
+    assert(entropy("aaaa") == 0.0)
+    assert(entropy("ab") == 1.0)
+    assert(entropy("abcd") == 2.0)
+    assert(entropy("aabb") == 1.0)
+    assert(entropy("") == 0.0)
+    // 256 distinct bytes impossible in a short ASCII test; 8 distinct
+    // equiprobable chars → exactly 3 bits
+    assert(entropy("abcdefgh") == 3.0)
+  }
+
+  test("char_entropy: byte-level on multi-byte UTF-8, null-safe, SQL path") {
+    // "é" is 2 bytes (0xC3 0xA9): two distinct bytes → 1 bit/byte
+    assert(entropy("é") == 1.0)
+    val r = Seq((1L, "abab"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .selectExpr("id", "char_entropy(t) AS e")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+    assert(r(1L) == 1.0)
+    assert(r(2L) == null)
+  }
+
+  test("char_entropy matches an independent reference on fixture docs") {
+    val docs = spark.read.parquet(sf("documents")).limit(50)
+    val got = docs.select(col("doc_id"), gf.char_entropy(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = docs.select("doc_id", "text").collect().map { r =>
+      val bs = r.getString(1).getBytes("UTF-8")
+      val cnt = bs.groupBy(identity).view.mapValues(_.length).values
+      val n = bs.length.toDouble
+      val h = cnt.map(c => -c / n * (math.log(c / n) / math.log(2))).sum
+      r.getLong(0) -> h
+    }.toMap
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - ref(id)) < 1e-9, s"doc $id: $v vs ${ref(id)}")
+    }
+    // English-ish word salad sits in the 3.5-4.5 bits/byte band
+    assert(got.values.forall(v => v > 3.0 && v < 5.0))
+  }
+
+  test("char_entropy is codegen'd (no CodegenFallback in the plan)") {
+    val df = spark.read.parquet(sf("documents")).limit(10)
+      .select(gf.char_entropy(col("text")).as("e"))
+    df.collect()
+    // the starred stage marker is whole-stage codegen in the compact plan
+    // string; a fallback expression would both unstar the Project and name
+    // CodegenFallback
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("char_entropy") && l.contains("*(")), plan)
+  }
 }
