@@ -1413,6 +1413,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q106_profile" -> ((s, dir) => {
+      // one-pass multi-sketch column profiling: 5 columns' counts, nulls,
+      // distincts (KMV, exact below k=8192), min/max, dominant value
+      // (Space-Saving, exact at capacity ≥ distinct) from a SINGLE
+      // aggregation job; oracle recomputes each column exactly
+      graft.ops.Profile.profile(t(s, dir, "lineitem"),
+          Seq("l_partkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_linestatus"),
+          kmvK = 8192, topCapacity = 4096)
+        .orderBy("column")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1538,7 +1550,26 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
       s" SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"
   }
 
+  /** q106's oracle: exact per-column profile, one UNION ALL branch per
+    * column (count/nulls/distinct plain SQL; dominant value by
+    * (count desc, value asc) — the same tie-break Profile applies). */
+  private def profileOracle(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+         count($c)::BIGINT AS n_nonnull,
+         count(DISTINCT $c)::BIGINT AS n_distinct,
+         min($c::VARCHAR) AS min_value, max($c::VARCHAR) AS max_value,
+         (SELECT $c::VARCHAR FROM lineitem WHERE $c IS NOT NULL
+          GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1) AS top_value,
+         (SELECT count(*)::BIGINT FROM lineitem WHERE $c IS NOT NULL
+          GROUP BY $c::VARCHAR ORDER BY count(*) DESC, $c::VARCHAR ASC
+          LIMIT 1) AS top_count
+       FROM lineitem"""
+    }.mkString(" UNION ALL ") + " ORDER BY 1"
+
   def oracleSql: Map[String, String] = Map(
+    "q106_profile" -> profileOracle(Seq("l_partkey", "l_linenumber",
+      "l_quantity", "l_returnflag", "l_linestatus")),
     "q100_pagerank" -> pageRankOracle(10),
     "q105_entropy" ->
       """WITH ch AS (SELECT doc_id, substring(text, i, 1) AS c
