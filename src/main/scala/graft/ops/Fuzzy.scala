@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   * touch every nonempty segment), so they flow through a separate tiny
   * all-short bucket — documents below 4 chars are vanishingly rare in any
   * real corpus, and the bucket never mixes with the main path.
+  *
+  * Candidate rows deliberately carry the probe-side text: edit distance is
+  * a short-string operation (titles, names, keys — it is meaningless on
+  * documents), so shipping the text costs less than the extra id-rejoin
+  * the ids-only discipline of the document-dedup family would require.
   */
 object Fuzzy {
 

@@ -75,6 +75,23 @@ class GraphSpec extends SparkTestBase {
     assert(bits(1) == bits(7))
   }
 
+  test("randomized graphs match the sequential reference (dangling mixes, multi-edges)") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 0 until 5) {
+      val nNodes = 5 + rng.nextInt(20)
+      val nEdges = 3 + rng.nextInt(60)
+      val edges = Seq.fill(nEdges)(
+        (s"n${rng.nextInt(nNodes)}", s"n${rng.nextInt(nNodes)}"))
+      val got = run(edges, iters = 6)
+      val want = refPageRank(edges, 6, 0.85)
+      assert(got.keySet == want.keySet, s"trial $trial")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) < 1e-12, s"trial $trial $k: $v vs ${want(k)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"trial $trial mass")
+    }
+  }
+
   test("self-loops are honored, empty edge set yields empty result") {
     val got = run(Seq("a" -> "a", "a" -> "b", "b" -> "a"), iters = 5)
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
