@@ -1558,7 +1558,7 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
       s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
          count($c)::BIGINT AS n_nonnull,
          count(DISTINCT $c)::BIGINT AS n_distinct,
-         min($c::VARCHAR) AS min_value, max($c::VARCHAR) AS max_value,
+         min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value,
          (SELECT $c::VARCHAR FROM lineitem WHERE $c IS NOT NULL
           GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1) AS top_value,
          (SELECT count(*)::BIGINT FROM lineitem WHERE $c IS NOT NULL

@@ -149,10 +149,9 @@ object AhoCorasick {
       goto(u).foreach { case (c, v) =>
         var f = fail(u)
         while (f != 0 && !goto(f).contains(c)) f = fail(f)
-        fail(v) = goto(f).getOrElse(c, 0) match {
-          case `v` => 0 // self (happens when f==0 lacks c... guard anyway)
-          case t => t
-        }
+        // any c-child of f sits strictly shallower than v, so this can
+        // never resolve to v itself
+        fail(v) = goto(f).getOrElse(c, 0)
         queue += v
       }
     }

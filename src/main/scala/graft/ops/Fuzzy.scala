@@ -37,8 +37,10 @@ object Fuzzy {
   /** All (leftId, rightId, dist) pairs with levenshtein(leftText,
     * rightText) ≤ maxDist. Nulls on either text side are dropped.
     *
-    * Output is exact (blocking is complete + every candidate is verified);
-    * `dist` is the true edit distance. */
+    * Output is exact (blocking is complete + every candidate is verified)
+    * with PAIR-SET semantics: one row per distinct (leftId, rightId)
+    * combination — duplicate input rows with the same id do not multiply
+    * output rows. `dist` is the true edit distance. */
   def editDistanceJoin(left: DataFrame, leftId: String, leftText: String,
       right: DataFrame, rightId: String, rightText: String,
       maxDist: Int): DataFrame = {
@@ -51,10 +53,12 @@ object Fuzzy {
       .where(col("__rt").isNotNull)
 
     if (tau == 0) {
-      // Degenerate case: plain equality join.
+      // Degenerate case: equality join, deduped to the same pair-set
+      // semantics as the blocked path.
       return l.join(r, col("__lt") === col("__rt"))
         .select(col("__lid").as(leftId), col("__rid").as(rightId),
           lit(0).as("dist"))
+        .distinct()
     }
 
     // ---- index side: τ+1 even segments per string (long L only) ----
@@ -108,21 +112,28 @@ object Fuzzy {
       .distinct()
 
     // ---- short bucket: indexed strings with < τ+1 chars ----
-    // Partners must have length ≤ len + τ ≤ 2τ: a bounded-size bucket on
-    // both sides (join key is a constant; both inputs are length-filtered
-    // to < τ+1 and ≤ 2τ chars respectively, so this never grows with the
-    // corpus under the documented "real text" assumption).
+    // Partners must have length ≤ len + τ ≤ 2τ, so both inputs are
+    // length-bounded constants of the corpus under the documented
+    // "real text" assumption. Keying the join on the right string's
+    // length (τ possible values) keeps the bucket a keyed join rather
+    // than a single-task cross product, and the |lenL − lenR| ≤ τ
+    // constraint prunes infeasible pairs before verification.
     val rShort = r.where(length(col("__rt")) < tau + 1)
+      .select(col("__rid"), length(col("__rt")).as("__rlen"))
     val lShort = l.where(M <= 2 * tau)
-    val shortPairs = lShort.crossJoin(rShort)
+      .select(col("__lid"), col("__lt"), M.as("__llen"),
+        explode(sequence(
+          greatest(lit(0), M - tau), least(lit(tau), M + tau))).as("__rlen"))
+    val shortPairs = lShort.join(rShort, Seq("__rlen"))
       .select(col("__lid"), col("__lt"), col("__rid"))
 
-    val cands = mainPairs.union(shortPairs)
+    val verified = mainPairs.union(shortPairs)
       .join(r, Seq("__rid"))
-      .where(levenshtein(col("__lt"), col("__rt")) <= tau)
-      .select(col("__lid").as(leftId), col("__rid").as(rightId),
+      .select(col("__lid"), col("__rid"),
         levenshtein(col("__lt"), col("__rt")).as("dist"))
-    cands
+      .where(col("dist") <= tau)
+    verified.select(col("__lid").as(leftId), col("__rid").as(rightId),
+      col("dist"))
   }
 
   /** Self-join flavor: unordered pairs (idA < idB) within edit distance

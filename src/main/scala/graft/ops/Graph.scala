@@ -123,6 +123,12 @@ object Graph {
       it += 1
     }
 
+    // The result checkpoint is materialized; everything else this loop
+    // pinned — the edge table, the degree table, and the second-to-last
+    // rank round — can be freed now rather than waiting for driver GC.
+    CheckpointUtil.freeCheckpoint(e)
+    CheckpointUtil.freeCheckpoint(nodeDeg)
+    if (prev != null) CheckpointUtil.freeCheckpoint(prev)
     ranks.select(col("__node").as(nodeOut), col("__rank").as(rankOut))
   }
 

@@ -35,16 +35,20 @@ object Profile {
         count(lit(1)).as(s"__rows_$c"),
         count(col(c)).as(s"__nn_$c"),
         gf.kmv_distinct(gf.kmv_agg(s, kmvK)).as(s"__nd_$c"),
-        min(s).as(s"__min_$c"),
-        max(s).as(s"__max_$c"),
+        // min/max on the NATIVE type (numeric columns report numeric
+        // extremes), rendered as strings only for the long-format output
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
         gf.ss_topk_string(
-          gf.ss_topk_agg(s, lit(1L), topCapacity), 16).as(s"__top_$c"))
+          gf.ss_topk_agg(s, lit(1L), topCapacity), topCapacity)
+          .as(s"__top_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
 
     // deterministic dominant value: the SS list's tie order is
-    // update-sequence-dependent, so re-sort the top slice by
-    // (count desc, item asc) before taking the head
+    // update-sequence-dependent, so re-sort the FULL counter list by
+    // (count desc, item asc) before taking the head — a top-N slice
+    // before the sort would make a >N-way tie partitioning-dependent
     def topSorted(c: String): Column = array_sort(col(s"__top_$c"),
       (a, b) =>
         when(a.getField("count") > b.getField("count"), lit(-1))
@@ -61,8 +65,12 @@ object Profile {
         round(col(s"__nd_$c")).cast("long").as("n_distinct"),
         col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"),
-        element_at(topSorted(c), 1).getField("item").as("top_value"),
-        element_at(topSorted(c), 1).getField("count").as("top_count"))
+        // try_element_at: an all-null column (or empty table) has an empty
+        // counter list — null top, not an ANSI index error
+        try_element_at(topSorted(c), lit(1)).getField("item")
+          .as("top_value"),
+        try_element_at(topSorted(c), lit(1)).getField("count")
+          .as("top_count"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }

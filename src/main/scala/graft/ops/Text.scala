@@ -183,32 +183,40 @@ object Text {
     *
     * Scale: paragraph doc-frequencies aggregate with map-side partials
     * (one paragraph-keyed shuffle, the [[Dedup.dedupParagraphs]] cost);
-    * the boilerplate SET is small by construction (high-frequency lines
-    * are few), so flagging is a broadcast join against the un-shuffled
-    * exploded corpus, and the only other shuffle is the doc-keyed
-    * reassembly. Output: (idCol, clean_text, n_kept, n_dropped). */
+    * the boilerplate set is small whenever minDocs is a genuine
+    * boilerplate threshold, so flagging defaults to a broadcast join
+    * against the un-shuffled exploded corpus — pass
+    * `broadcastFlags = false` for aggressive thresholds (minDocs near 2
+    * on a huge corpus), where the flagged set is data-sized and must
+    * shuffle-join instead. The only other shuffle is the doc-keyed
+    * reassembly. Null text rows pass through as ("", 0, 0) — consistent
+    * with [[Blocklist.filterBlocked]]'s null passthrough, and they never
+    * pollute the frequency pool. Output: (idCol, clean_text, n_kept,
+    * n_dropped). */
   def removeFrequentParagraphs(df: DataFrame, idCol: String, textCol: String,
       sep: String, minDocs: Int,
-      scopeCols: Seq[String] = Nil): DataFrame = {
+      scopeCols: Seq[String] = Nil,
+      broadcastFlags: Boolean = true): DataFrame = {
     require(sep.nonEmpty, "separator must be non-empty")
     require(minDocs >= 2, "minDocs must be >= 2 (1 would drop everything)")
     val reserved = Seq("__did", "__idx", "__para", "__df", "__boiler")
     require(!df.columns.exists(reserved.contains),
       s"input may not contain reserved columns ${reserved.mkString(", ")}")
     val scope = scopeCols.map(col)
-    val exploded = df.select(
+    val exploded = df.where(col(textCol).isNotNull).select(
       (col(idCol).as("__did") +: scope) :+
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__para")): _*)
-    val boiler = exploded
+    val boiler0 = exploded
       .select((col("__did") +: col("__para") +: scope): _*).distinct()
       .groupBy(col("__para") +: scope: _*)
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") >= minDocs)
       .select(col("__para") +: scope: _*)
       .withColumn("__boiler", lit(true))
-    exploded
-      .join(broadcast(boiler), ("__para" +: scopeCols).toSeq, "left")
+    val boiler = if (broadcastFlags) broadcast(boiler0) else boiler0
+    val cleaned = exploded
+      .join(boiler, ("__para" +: scopeCols).toSeq, "left")
       .groupBy(col("__did").as(idCol))
       .agg(
         concat_ws(sep, transform(
@@ -217,5 +225,9 @@ object Text {
           s => s.getField("p"))).as("clean_text"),
         sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("__boiler").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+    val nullRows = df.where(col(textCol).isNull)
+      .select(col(idCol), lit("").as("clean_text"),
+        lit(0L).as("n_kept"), lit(0L).as("n_dropped"))
+    cleaned.unionByName(nullRows)
   }
 }

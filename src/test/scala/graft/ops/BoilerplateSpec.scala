@@ -72,6 +72,18 @@ class BoilerplateSpec extends SparkTestBase {
     assert(out(4L) == "promo|d")
   }
 
+  test("null-text rows survive as empty profiles and skip the frequency pool") {
+    import spark.implicits._
+    val df = Seq((1L, "B|a"), (2L, "B|b"), (3L, "B|c"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Text.removeFrequentParagraphs(df, "id", "text", "|", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(4L) == (("", 0L, 0L)))
+    assert(out(1L) == (("a", 1L, 1L)))   // B still hits its threshold of 3
+  }
+
   test("separator with regex metacharacters is treated literally") {
     val df = mk((1L, "a.b"), (2L, "a.c"), (3L, "a.d"))
     val out = Text.removeFrequentParagraphs(df, "id", "text", ".", minDocs = 3)

@@ -119,6 +119,20 @@ class FuzzySpec extends SparkTestBase {
     }
   }
 
+  test("pair-set semantics: duplicate input rows don't multiply output, any tau") {
+    import spark.implicits._
+    val left = Seq((1L, "abc"), (1L, "abc"), (2L, "abc")).toDF("id", "t")
+    val right = Seq((9L, "abc")).toDF("id", "t")
+    for (tau <- 0 to 1) {
+      val got = Fuzzy.editDistanceJoin(left, "id", "t", right, "id", "t", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = Fuzzy.editDistanceJoin(left, "id", "t", right, "id", "t", tau)
+        .count()
+      assert(got == Set((1L, 9L), (2L, 9L)), s"tau=$tau")
+      assert(n == 2, s"tau=$tau expected 2 rows, got $n")
+    }
+  }
+
   test("null texts are dropped, not matched") {
     import spark.implicits._
     val df = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]),

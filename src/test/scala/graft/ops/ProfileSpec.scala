@@ -56,6 +56,40 @@ class ProfileSpec extends SparkTestBase {
     assert(nAggs == 1, out.queryExecution.optimizedPlan.toString)
   }
 
+  test("all-null column and empty table profile without ANSI errors") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("id", "dead")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val dead = p("dead")
+    assert(dead.getLong(1) == 2L && dead.getLong(2) == 0L &&
+      dead.getLong(3) == 0L)
+    assert(dead.isNullAt(4) && dead.isNullAt(5))      // min/max
+    assert(dead.isNullAt(6) && dead.isNullAt(7))      // top value/count
+    val empty = Profile.profile(
+      Seq.empty[(Long, String)].toDF("a", "b")).collect()
+    assert(empty.length == 2 && empty.forall(r => r.getLong(1) == 0L))
+  }
+
+  test("numeric columns report numeric extremes, not lexicographic") {
+    import spark.implicits._
+    val df = Seq(1.0, 9.0, 10.0, 50.0).toDF("x")
+    val p = Profile.profile(df).collect().head
+    assert(p.getString(4) == "1.0" && p.getString(5) == "50.0")
+  }
+
+  test("wide ties stay deterministic (full counter list sorted, not a slice)") {
+    import spark.implicits._
+    val vals = (0 until 30).map(i => f"t$i%02d")   // 30-way tie at count 1
+    def top(parts: Int): (String, Long) = {
+      val p = Profile.profile(vals.toDF("c").repartition(parts)).collect().head
+      (p.getString(6), p.getLong(7))
+    }
+    assert(top(1) == (("t00", 1L)))
+    assert(top(7) == (("t00", 1L)))
+  }
+
   test("matches exact recomputation on fixture lineitem") {
     val li = spark.read.parquet(sf("lineitem"))
     val p = Profile.profile(li, Seq("l_returnflag", "l_quantity"),
