@@ -1425,6 +1425,15 @@ object SparkEntry {
         .orderBy("column")
     }),
 
+    "q107_collocations" -> ((s, dir) => {
+      // PMI phrase mining: top-30 adjacent-token collocations at
+      // pair_count ≥ 8; ranking on the round(6) PMI with (a,b) tie-break
+      // keeps the order engine-reproducible
+      graft.ops.Text.collocations(t(s, dir, "documents"),
+          "doc_id", "text", k = 30, minCount = 8L)
+        .orderBy("rank")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1571,6 +1580,30 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
     "q106_profile" -> profileOracle(Seq("l_partkey", "l_linenumber",
       "l_quantity", "l_returnflag", "l_linestatus")),
     "q100_pagerank" -> pageRankOracle(10),
+    "q107_collocations" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+         toks AS (SELECT doc_id, i, ws[i] AS w
+                  FROM tk, unnest(range(1, len(ws) + 1)) t(i)
+                  WHERE ws[i] <> ''),
+         uni AS (SELECT w, count(*)::DOUBLE AS ca FROM toks GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n FROM toks),
+         bi AS (SELECT ws[i] AS a, ws[i+1] AS b, count(*)::DOUBLE AS cab
+                FROM tk, unnest(range(1, len(ws))) t(i)
+                WHERE ws[i] <> '' AND ws[i+1] IS NOT NULL AND ws[i+1] <> ''
+                GROUP BY 1, 2),
+         m AS (SELECT sum(cab) AS m FROM bi),
+         sc AS (SELECT a, b, cab,
+                  round(ln((cab / (SELECT m FROM m)) /
+                    ((ua.ca / (SELECT n FROM n)) *
+                     (ub.ca / (SELECT n FROM n)))), 6) AS pmi
+                FROM bi JOIN uni ua ON bi.a = ua.w
+                        JOIN uni ub ON bi.b = ub.w
+                WHERE cab >= 8),
+         r AS (SELECT a AS token_a, b AS token_b, cab::BIGINT AS pair_count,
+                 pmi, row_number() OVER (ORDER BY pmi DESC, a, b)::INT AS rank
+               FROM sc)
+         SELECT * FROM r WHERE rank <= 30 ORDER BY rank""",
     "q105_entropy" ->
       """WITH ch AS (SELECT doc_id, substring(text, i, 1) AS c
                      FROM documents, unnest(range(1, length(text) + 1)) t(i)

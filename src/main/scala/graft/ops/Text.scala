@@ -230,4 +230,58 @@ object Text {
         lit(0L).as("n_kept"), lit(0L).as("n_dropped"))
     cleaned.unionByName(nullRows)
   }
+
+  /** Top-k collocations by pointwise mutual information — the phrase-mining
+    * pass (Church & Hanks 1990, public literature): adjacent token pairs
+    * whose co-occurrence beats the independence assumption,
+    * PMI = ln( (c_ab/M) / ((c_a/N)·(c_b/N)) ) with N total tokens and M
+    * total bigrams. High-PMI pairs are multi-word expressions ("New York",
+    * "machine learning"); `minCount` suppresses the unstable low-count
+    * tail that PMI notoriously over-scores.
+    *
+    * Scale: one token explode feeds both count passes (unigrams and
+    * adjacent bigrams — map-side-combinable aggregations); the unigram
+    * table is vocabulary-bounded, so both probability joins broadcast; the
+    * global top-k is a TakeOrdered, never a full sort. PMI is ranked on
+    * its round(6) value with an (a, b) tie-break, so the ranking is
+    * reproducible across engines and partitionings. Output:
+    * (token_a, token_b, pair_count, pmi, rank). */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 5L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = df.select(col(idCol).as("__did"),
+        posexplode(split(col(textCol), " ")).as(Seq("__i", "__w")))
+      .where(col("__w") =!= "")
+    val uni = toks.groupBy(col("__w")).agg(count(lit(1)).as("__ca"))
+    val bi = df.select(col(idCol).as("__did"),
+        split(col(textCol), " ").as("__ws"))
+      .select(col("__did"), posexplode(col("__ws")).as(Seq("__i", "__a")),
+        col("__ws"))
+      .select(col("__a"),
+        try_element_at(col("__ws"), col("__i") + 2).as("__b"))
+      .where(col("__a") =!= "" && col("__b").isNotNull && col("__b") =!= "")
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__cab"))
+    val n = math.max(toks.count().toDouble, 1.0)
+    // coalesce: an empty bigram frame sums to NULL; the value is never
+    // used then (everything downstream is empty), it just must not throw
+    val m = math.max(bi.agg(coalesce(sum("__cab"), lit(0L)))
+      .collect()(0).getLong(0).toDouble, 1.0)
+    val scored = bi.where(col("__cab") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("__w", "__a")
+        .withColumnRenamed("__ca", "__na")), Seq("__a"))
+      .join(broadcast(uni.withColumnRenamed("__w", "__b")
+        .withColumnRenamed("__ca", "__nb")), Seq("__b"))
+      .select(col("__a"), col("__b"), col("__cab"),
+        round(log((col("__cab") / lit(m)) /
+          ((col("__na") / lit(n)) * (col("__nb") / lit(n)))), 6).as("pmi"))
+    scored
+      .orderBy(desc("pmi"), asc("__a"), asc("__b"))
+      .limit(k)
+      .select(col("__a").as("token_a"), col("__b").as("token_b"),
+        col("__cab").as("pair_count"), col("pmi"))
+      // k rows at this point — the unpartitioned ranking window is cheap
+      .withColumn("rank", row_number().over(Window
+        .orderBy(desc("pmi"), asc("token_a"), asc("token_b"))))
+  }
 }

@@ -217,4 +217,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
       || !plan.contains("Exchange"), s"no exchange reuse in:\n$plan")
   }
+
+  test("collocations: hand-computed PMI, minCount floor, deterministic rank") {
+    import spark.implicits._
+    // "x y" always adjacent (c_xy=3, c_x=3, c_y=3); "p q" once; fillers
+    val df = Seq(
+      (1L, "x y p q a"), (2L, "x y b c"), (3L, "x y d e")).toDF("id", "t")
+    val got = Text.collocations(df, "id", "t", k = 10, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    // only (x,y) reaches minCount=2
+    assert(got.length == 1)
+    val (a, b, cab, pmi, rank) = got.head
+    // N=13 tokens, M=10 bigrams; PMI = ln((3/10)/((3/13)*(3/13)))
+    val want = math.log((3.0 / 10.0) / ((3.0 / 13.0) * (3.0 / 13.0)))
+    assert(a == "x" && b == "y" && cab == 3L && rank == 1)
+    assert(math.abs(pmi - want) < 1e-6)
+  }
+
+  test("collocations: empty tokens from multi-space never pair; ANSI-safe tail") {
+    import spark.implicits._
+    val df = Seq((1L, "aa  bb"), (2L, "aa  bb")).toDF("id", "t")
+    // "aa  bb" splits to [aa, "", bb]: (aa,"") and ("",bb) must not count,
+    // and the final token's missing successor must not throw under ANSI
+    val got = Text.collocations(df, "id", "t", k = 5, minCount = 2)
+      .collect()
+    assert(got.isEmpty) // no adjacent non-empty pairs exist
+  }
 }
