@@ -84,6 +84,13 @@ object Graph {
       .localCheckpoint(true)
     CheckpointUtil.freeCheckpoint(nodes)
 
+    // Every iteration MUST cut lineage (the per-round localCheckpoint
+    // below): the update references the previous rank frame twice — once
+    // for per-node contributions and once for the dangling-mass scalar —
+    // so an uncheckpointed chain doubles both plan size and recomputation
+    // work per round (2^k after k uncut rounds; measured as a hang at 12
+    // rounds on sf0.001). Per-iteration materialization of the node-sized
+    // rank table is the structurally required cost, not an amortizable one.
     var ranks = nodeDeg.select(col("__node"),
       lit(1.0 / n).as("__rank")).localCheckpoint(true)
     var prev: DataFrame = null
