@@ -1434,6 +1434,33 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q108_auc" -> ((s, dir) => {
+      // exact ROC AUC of a length-based quality score against a synthetic
+      // label (integer-modular, mirrored verbatim in SQL); n_chars ties
+      // exercise the half-pair trapezoid. num2 is the exact integer pair
+      // count — the float division only happens once, at the very end
+      val docs = t(s, dir, "documents")
+      val label = (col("doc_id") * 37 + col("n_chars")) % 100 <
+        when(col("n_chars") > 310, 60).otherwise(25)
+      graft.ops.Eval.auc(docs, col("n_chars"), label)
+        .select(col("n_pos"), col("n_neg"),
+          col("num2").cast("long").as("num2"), round(col("auc"), 6).as("auc"))
+    }),
+    "q109_pr_curve" -> ((s, dir) => {
+      // precision/recall/F1 at five operating points in one scan; exact
+      // integer confusion counts, ratios rounded at the edge
+      val docs = t(s, dir, "documents")
+      val label = (col("doc_id") * 37 + col("n_chars")) % 100 <
+        when(col("n_chars") > 310, 60).otherwise(25)
+      graft.ops.Eval.prAtThresholds(docs, col("n_chars"), label,
+          Seq(100.0, 200.0, 300.0, 400.0, 500.0))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+        .orderBy("threshold")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1580,6 +1607,45 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
     "q106_profile" -> profileOracle(Seq("l_partkey", "l_linenumber",
       "l_quantity", "l_returnflag", "l_linestatus")),
     "q100_pagerank" -> pageRankOracle(10),
+    "q108_auc" ->
+      """WITH r AS (SELECT n_chars::DOUBLE AS s,
+             CASE WHEN (doc_id * 37 + n_chars) % 100 <
+                    (CASE WHEN n_chars > 310 THEN 60 ELSE 25 END)
+               THEN 1 ELSE 0 END AS y
+           FROM documents),
+         g AS (SELECT s, sum(y) AS p, count(*) - sum(y) AS neg
+               FROM r GROUP BY s),
+         c AS (SELECT s, p, neg, sum(neg) OVER (ORDER BY s) AS cn FROM g)
+         SELECT cast(sum(p) AS BIGINT) AS n_pos,
+                cast(sum(neg) AS BIGINT) AS n_neg,
+                cast(sum(p * (2 * cn - neg)) AS BIGINT) AS num2,
+                round(sum(p * (2 * cn - neg))::DOUBLE /
+                  (2.0 * sum(p) * sum(neg)), 6) AS auc
+         FROM c""",
+    "q109_pr_curve" ->
+      """WITH r AS (SELECT n_chars::DOUBLE AS s,
+             CASE WHEN (doc_id * 37 + n_chars) % 100 <
+                    (CASE WHEN n_chars > 310 THEN 60 ELSE 25 END)
+               THEN 1 ELSE 0 END AS y
+           FROM documents),
+         c AS (SELECT t.threshold,
+                 cast(sum(CASE WHEN y = 1 AND s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 cast(sum(CASE WHEN y = 0 AND s >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 cast(sum(CASE WHEN y = 1 AND s < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 cast(sum(CASE WHEN y = 0 AND s < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
+               FROM r, (SELECT unnest([100.0, 200.0, 300.0, 400.0, 500.0])
+                        AS threshold) t
+               GROUP BY 1),
+         pr AS (SELECT threshold, tp, fp, fn, tn,
+                  CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END AS p0,
+                  CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END AS r0
+                FROM c)
+         SELECT threshold, tp, fp, fn, tn,
+                round(p0, 6) AS precision, round(r0, 6) AS recall,
+                round(CASE WHEN p0 IS NOT NULL AND r0 IS NOT NULL
+                        AND p0 + r0 > 0
+                        THEN 2.0 * p0 * r0 / (p0 + r0) END, 6) AS f1
+         FROM pr ORDER BY threshold""",
     "q107_collocations" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ws
                      FROM documents),

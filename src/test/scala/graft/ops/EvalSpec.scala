@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Classifier evaluation (Eval.auc / Eval.prAtThresholds). */
+class EvalSpec extends SparkTestBase {
+
+  /** Brute-force pair-counting reference: concordant + half-ties over all
+    * (pos, neg) pairs — exact rational, so comparisons are equality. */
+  private def refAuc(data: Seq[(Double, Boolean)]): Option[Double] = {
+    val pos = data.collect { case (s, true) => s }
+    val neg = data.collect { case (s, false) => s }
+    if (pos.isEmpty || neg.isEmpty) None
+    else {
+      val num2 = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      Some(num2.toDouble / (2.0 * pos.size * neg.size))
+    }
+  }
+
+  private def runAuc(data: Seq[(Double, Boolean)]): (Long, Long, Option[Double]) = {
+    import spark.implicits._
+    val row = Eval.auc(data.toDF("score", "label"),
+      col("score"), col("label")).head()
+    (row.getLong(0), row.getLong(1),
+      if (row.isNullAt(3)) None else Some(row.getDouble(3)))
+  }
+
+  test("auc matches brute-force pair counting, with and without ties") {
+    val clean = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, true),
+      (0.4, false), (0.2, false))
+    assert(runAuc(clean)._3 == refAuc(clean))
+
+    val tied = Seq((0.5, true), (0.5, false), (0.5, true), (0.3, false),
+      (0.7, true), (0.7, false), (0.1, false))
+    val (np, nn, got) = runAuc(tied)
+    assert((np, nn) == (3L, 4L))
+    assert(got == refAuc(tied))
+  }
+
+  test("auc extremes: perfect, inverted, all-tied, single-class, empty") {
+    assert(runAuc(Seq((0.9, true), (0.8, true), (0.2, false)))._3 ==
+      Some(1.0))
+    assert(runAuc(Seq((0.1, true), (0.2, false)))._3 == Some(0.0))
+    // every score identical: all pairs are half-ties -> 0.5 exactly
+    assert(runAuc(Seq.fill(5)((0.3, true)) ++ Seq.fill(7)((0.3, false)))._3 ==
+      Some(0.5))
+    assert(runAuc(Seq((0.9, true), (0.8, true)))._3.isEmpty)
+    assert(runAuc(Seq((0.9, false)))._3.isEmpty)
+    val (np, nn, a) = runAuc(Seq.empty)
+    assert((np, nn, a) == (0L, 0L, None))
+  }
+
+  test("auc randomized: equals pair counting under heavy ties, any bucketing") {
+    val rnd = new scala.util.Random(42)
+    val data = (0 until 400).map { _ =>
+      (math.floor(rnd.nextDouble() * 10) / 10.0, rnd.nextBoolean())
+    }
+    val expect = refAuc(data)
+    import spark.implicits._
+    val df = data.toDF("score", "label").repartition(13)
+    for (buckets <- Seq(0, 2, 7)) {
+      val row = Eval.auc(df, col("score"), col("label"), buckets).head()
+      assert(Some(row.getDouble(3)) == expect, s"buckets=$buckets")
+    }
+  }
+
+  test("auc ignores null scores and labels") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Boolean)](
+      (0.9, true), (null, true), (0.4, null), (0.2, false))
+      .toDF("score", "label")
+    val row = Eval.auc(df, col("score"), col("label")).head()
+    assert((row.getLong(0), row.getLong(1)) == (1L, 1L))
+    assert(row.getDouble(3) == 1.0)
+  }
+
+  test("prAtThresholds: exact counts and ratios at each operating point") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.7, false), (0.5, true), (0.3, false),
+      (0.1, true)).toDF("score", "label")
+    val got = Eval.prAtThresholds(df, col("score"), col("label"),
+        Seq(0.5, 0.8, 0.05))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // τ=0.5: predicted {0.9,0.7,0.5} -> tp=2 fp=1 fn=1 tn=1
+    assert(got(0.5) == ((2L, 1L, 1L, 1L)))
+    // τ=0.8: predicted {0.9} -> tp=1 fp=0 fn=2 tn=2
+    assert(got(0.8) == ((1L, 0L, 2L, 2L)))
+    // τ=0.05: everything predicted positive
+    assert(got(0.05) == ((3L, 2L, 0L, 0L)))
+
+    val r08 = Eval.prAtThresholds(df, col("score"), col("label"), Seq(0.8))
+      .head()
+    assert(r08.getDouble(5) == 1.0)           // precision 1/1
+    assert(r08.getDouble(6) == 1.0 / 3.0)     // recall 1/3
+    assert(math.abs(r08.getDouble(7) - 0.5) < 1e-15) // f1 = 2pr/(p+r)
+  }
+
+  test("prAtThresholds: zero-denominator ratios are null, not 0 or NaN") {
+    import spark.implicits._
+    // τ above every score: no predicted positives -> precision null
+    val df = Seq((0.2, false), (0.1, false)).toDF("score", "label")
+    val r = Eval.prAtThresholds(df, col("score"), col("label"), Seq(0.5))
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((0L, 0L, 0L, 2L)))
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+  }
+}
