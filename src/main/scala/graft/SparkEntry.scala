@@ -1461,6 +1461,25 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    "q110_logreg" -> ((s, dir) => {
+      // full-batch logistic regression on two exactly-representable
+      // features (/128, /8 are scalings by powers of two) against the
+      // q108 modular label; 8 iterations, lr 0.5. exact_sum gradients make
+      // the weights partitioning-invariant; the oracle replays the same
+      // association order sequentially and round(6) absorbs the ulps
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val x1 = col("n_chars").cast("double") / 128.0
+      val x2 = (col("doc_id") % 7).cast("double") / 8.0
+      val label = (col("doc_id") * 37 + col("n_chars")) % 100 <
+        when(col("n_chars") > 310, 60).otherwise(25)
+      val w = graft.ops.Classify.logisticFit(docs, Seq(x1, x2), label,
+        iterations = 8, lr = 0.5)
+      Seq((w(0), w(1), w(2))).toDF("w0", "w1", "w2")
+        .select(round(col("w0"), 6).as("w0"), round(col("w1"), 6).as("w1"),
+          round(col("w2"), 6).as("w2"))
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1603,7 +1622,41 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
        FROM lineitem"""
     }.mkString(" UNION ALL ") + " ORDER BY 1"
 
+  /** q110's oracle: full-batch logistic GD unrolled as chained weight CTEs,
+    * mirroring logisticFit's association order exactly —
+    * z = (w0 + w1·x1) + w2·x2, update w − lr·(sum/n) — so the only engine
+    * difference is summation order (exact_sum vs sequential fold) and exp
+    * ulps, absorbed by round(6). */
+  private def logRegOracle(iters: Int): String = {
+    val head =
+      """WITH f AS MATERIALIZED (SELECT
+           CASE WHEN (doc_id * 37 + n_chars) % 100 <
+                  (CASE WHEN n_chars > 310 THEN 60 ELSE 25 END)
+             THEN 1.0 ELSE 0.0 END AS y,
+           n_chars::DOUBLE / 128 AS x1,
+           (doc_id % 7)::DOUBLE / 8 AS x2
+         FROM documents),
+       c AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM f),
+       w0 AS MATERIALIZED (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+                                  0.0::DOUBLE AS w2)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+       w$k AS MATERIALIZED (SELECT
+           max(w0) - 0.5 * (sum(r) / (SELECT n FROM c)) AS w0,
+           max(w1) - 0.5 * (sum(r * x1) / (SELECT n FROM c)) AS w1,
+           max(w2) - 0.5 * (sum(r * x2) / (SELECT n FROM c)) AS w2
+         FROM (SELECT w.w0, w.w1, w.w2, f.x1, f.x2,
+                 (1.0 / (1.0 + exp(-((w.w0 + w.w1 * f.x1) + w.w2 * f.x2)))
+                   - f.y) AS r
+               FROM f, w${k - 1} w))"""
+    }.mkString
+    head + steps +
+      s""" SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
+             round(w2, 6) AS w2 FROM w$iters"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q110_logreg" -> logRegOracle(8),
     "q106_profile" -> profileOracle(Seq("l_partkey", "l_linenumber",
       "l_quantity", "l_returnflag", "l_linestatus")),
     "q100_pagerank" -> pageRankOracle(10),

@@ -75,4 +75,75 @@ object Classify {
       .where(col("__rn") === 1)
       .select(col(idCol), col("label"), round(col("logp"), roundTo).as("logp"))
   }
+
+  /** Distributed logistic regression by full-batch gradient descent — the
+    * linear quality-classifier complement to Naive Bayes (numeric features
+    * instead of token counts: length, entropy, stopword ratio, LM score…).
+    *
+    * Each iteration is ONE map-side-combined aggregation producing d+1
+    * gradient components; the driver holds only the (tiny) weight vector.
+    * No per-row state, no shuffle keyed by data — the aggregation tree is
+    * the whole communication pattern, so an iteration costs a corpus scan
+    * regardless of cluster width.
+    *
+    * Gradients use `exact_sum` (correctly-rounded Shewchuk accumulation),
+    * making every iteration — and therefore the final weights —
+    * independent of partitioning and task order: full-batch GD with exact
+    * sums is bit-reproducible where SGD fundamentally is not, and an
+    * external engine replaying the same float ops sequentially lands
+    * within an ulp per iteration.
+    *
+    * Update (mean gradient, no regularization):
+    *   p_i = 1/(1+exp(−(w·x_i)));  g = Σ_i (p_i − y_i)·x_i / n;
+    *   w ← w − lr·g          (x_i has an implicit leading 1 = intercept)
+    *
+    * @return weights of length features.size + 1: (intercept, w_1, …) —
+    *         all-zero when the input has no rows (n = 0).
+    */
+  def logisticFit(df: DataFrame, features: Seq[Column], label: Column,
+      iterations: Int, lr: Double): Array[Double] = {
+    require(features.nonEmpty, "need at least one feature")
+    require(iterations >= 0, "iterations must be >= 0")
+    require(lr > 0.0, "lr must be > 0")
+    import graft.api.{functions => gf}
+    val d = features.size
+    // project once: y plus x1..xd, NULL-feature/label rows excluded so a
+    // sparse bad row cannot poison the whole gradient with NULL
+    val cols = when(label, 1.0).when(!label, 0.0).as("__y") +:
+      features.zipWithIndex.map { case (f, j) => f.cast("double").as(s"__x$j") }
+    val base = df.select(cols: _*)
+      .where(col("__y").isNotNull &&
+        (0 until d).map(j => col(s"__x$j").isNotNull).reduce(_ && _))
+    val n = base.count().toDouble
+    val w = new Array[Double](d + 1)
+    if (n == 0) return w
+    var it = 0
+    while (it < iterations) {
+      val z = (0 until d).foldLeft(lit(w(0))) { (acc, j) =>
+        acc + lit(w(j + 1)) * col(s"__x$j") }
+      val resid = (lit(1.0) / (lit(1.0) + exp(-z)) - col("__y")).as("__r")
+      val sums = base.select(resid +: (0 until d).map(j => col(s"__x$j")): _*)
+        .agg(gf.exact_sum(col("__r")).as("g0"),
+          (0 until d).map(j =>
+            gf.exact_sum(col("__r") * col(s"__x$j")).as(s"g${j + 1}")): _*)
+        .head()
+      var j = 0
+      while (j <= d) {
+        w(j) = w(j) - lr * (sums.getDouble(j) / n)
+        j += 1
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** σ(w·x) under [[logisticFit]] weights — the score column for
+    * threshold-gating ([[Eval.prAtThresholds]]) or AUC ([[Eval.auc]]). */
+  def logisticScore(features: Seq[Column], weights: Array[Double]): Column = {
+    require(weights.length == features.size + 1,
+      s"got ${weights.length} weights for ${features.size} features")
+    val z = features.zipWithIndex.foldLeft(lit(weights(0))) { case (acc, (f, j)) =>
+      acc + lit(weights(j + 1)) * f.cast("double") }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
 }
