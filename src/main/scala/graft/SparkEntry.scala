@@ -1480,6 +1480,18 @@ object SparkEntry {
           round(col("w2"), 6).as("w2"))
     }),
 
+    "q111_weighted_es" -> ((s, dir) => {
+      // Efraimidis–Spirakis weighted sample, k=50 ∝ n_chars. The priority
+      // is float (−ln(u)/w), but only the SELECTION BOUNDARY decides the
+      // output; measured relative gap between ranks 50/51 on this fixture
+      // is 1.4e-2 — fourteen orders above cross-engine libm ulps, so the
+      // doc_id set is engine-stable even though the priorities aren't
+      // bit-portable. Output is ids only, never the float priority.
+      graft.ops.Sampling.weightedBottomKES(t(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), 50)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1657,6 +1669,17 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
 
   def oracleSql: Map[String, String] = Map(
     "q110_logreg" -> logRegOracle(8),
+    "q111_weighted_es" ->
+      (hashMacros +
+        """WITH p AS (SELECT doc_id,
+             -ln((((g_av(doc_id::UBIGINT) >> 32)::DOUBLE * 4294967296.0 +
+                   (g_av(doc_id::UBIGINT) & 4294967295::UBIGINT)::DOUBLE)
+                  + 1.0) / 1.8446744073709552e19)
+               / n_chars::DOUBLE AS pr
+           FROM documents WHERE n_chars > 0)
+         SELECT doc_id FROM (
+           SELECT doc_id FROM p ORDER BY pr, doc_id LIMIT 50)
+         ORDER BY doc_id"""),
     "q106_profile" -> profileOracle(Seq("l_partkey", "l_linenumber",
       "l_quantity", "l_returnflag", "l_linestatus")),
     "q100_pagerank" -> pageRankOracle(10),
