@@ -1492,6 +1492,38 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    "q112_robust_outliers" -> ((s, dir) => {
+      // per-source median/MAD robust z outlier report (exact path). The
+      // z>1.2 boundary is decided on identical float products in both
+      // engines (same med/mad bits, same literals), so the counts are
+      // engine-stable without rounding games
+      val docs = t(s, dir, "documents")
+      val stats = graft.ops.Robust.medianMad(docs, Seq("source"),
+        col("n_chars"))
+      val outs = graft.ops.Robust.outliers(docs, Seq("source"),
+          col("n_chars"), 1.2)
+        .groupBy("source").agg(count(lit(1)).as("n_out"))
+      stats.join(outs, Seq("source"), "left")
+        .select(col("source"), round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"))
+        .orderBy("source")
+    }),
+    "q113_quantile_band" -> ((s, dir) => {
+      // per-language p05–p95 length trim, summarized with exact integers;
+      // interpolated band edges either fall strictly between integer
+      // lengths (comparison slack ≫ ulp) or collapse onto a duplicated
+      // exact value — either way both engines cut identically
+      val docs = t(s, dir, "documents")
+      graft.ops.Robust.quantileBand(docs, Seq("lang"), col("n_chars"),
+          0.05, 0.95)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1669,6 +1701,33 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
 
   def oracleSql: Map[String, String] = Map(
     "q110_logreg" -> logRegOracle(8),
+    "q112_robust_outliers" ->
+      """WITH m AS (SELECT source, quantile_cont(n_chars::DOUBLE, 0.5) AS med
+                    FROM documents GROUP BY 1),
+         d AS (SELECT source, med,
+                 quantile_cont(abs(n_chars::DOUBLE - med), 0.5) AS mad
+               FROM documents JOIN m USING (source) GROUP BY source, med),
+         z AS (SELECT d.source, med, mad,
+                 sum(CASE WHEN mad <> 0 AND
+                       abs((n_chars::DOUBLE - med) / (1.4826 * mad)) > 1.2
+                     THEN 1 ELSE 0 END) AS n_out
+               FROM documents JOIN d ON documents.source = d.source
+               GROUP BY 1, 2, 3)
+         SELECT source, round(med, 6) AS med, round(mad, 6) AS mad,
+                cast(n_out AS BIGINT) AS n_out
+         FROM z ORDER BY source""",
+    "q113_quantile_band" ->
+      """WITH b AS (SELECT lang,
+             quantile_cont(n_chars::DOUBLE, 0.05) AS lo,
+             quantile_cont(n_chars::DOUBLE, 0.95) AS hi
+           FROM documents GROUP BY 1)
+         SELECT lang, count(*)::BIGINT AS cnt,
+                cast(sum(n_chars) AS BIGINT) AS sum_chars,
+                cast(min(n_chars) AS BIGINT) AS min_chars,
+                cast(max(n_chars) AS BIGINT) AS max_chars
+         FROM documents JOIN b USING (lang)
+         WHERE n_chars::DOUBLE >= lo AND n_chars::DOUBLE <= hi
+         GROUP BY lang ORDER BY lang""",
     "q111_weighted_es" ->
       (hashMacros +
         """WITH p AS (SELECT doc_id,

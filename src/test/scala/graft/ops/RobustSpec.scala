@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Robust per-group statistics (Robust.medianMad / robustZ / outliers /
+  * quantileBand). */
+class RobustSpec extends SparkTestBase {
+
+  /** Sequential reference median with linear interpolation at (n−1)·q —
+    * the percentile/quantile_cont convention. */
+  private def refQuantile(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    val pos = (s.size - 1) * q
+    val lo = pos.toInt
+    if (lo == s.size - 1) s(lo)
+    else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+  }
+
+  private val data: Seq[(String, Double)] =
+    Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "a" -> 4.0, "a" -> 100.0,
+      "b" -> 10.0, "b" -> 12.0, "b" -> 14.0,
+      "c" -> 5.0, "c" -> 5.0, "c" -> 5.0)
+
+  test("medianMad exact matches the sequential reference per group") {
+    import spark.implicits._
+    val df = data.toDF("g", "x")
+    val got = Robust.medianMad(df, Seq("g"), col("x"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val xs = rows.map(_._2)
+      val med = refQuantile(xs, 0.5)
+      val mad = refQuantile(xs.map(x => math.abs(x - med)), 0.5)
+      assert(got(g) == ((med, mad)), s"group $g")
+    }
+    // spot values: a -> med 3, deviations {2,1,0,1,97} -> mad 1
+    assert(got("a") == ((3.0, 1.0)))
+    assert(got("c") == ((5.0, 0.0)))
+  }
+
+  test("outliers: the planted extreme is flagged; constant group never is") {
+    import spark.implicits._
+    val df = data.toDF("g", "x")
+    val out = Robust.outliers(df, Seq("g"), col("x"), 3.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    // a: z(100) = 97/1.4826 = 65.4 -> out; z(1)=2/1.4826=1.35 -> in
+    assert(out == Set("a" -> 100.0))
+    // c has MAD 0: z is NULL there, never an outlier — and robustZ says so
+    val zc = Robust.robustZ(df, Seq("g"), col("x"), "z")
+      .where(col("g") === "c").select("z").collect()
+    assert(zc.forall(_.isNullAt(0)))
+  }
+
+  test("quantileBand trims exactly at the interpolated edges, inclusive") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "x")
+    val kept = Robust.quantileBand(df, Seq("g"), col("x"), 0.05, 0.90)
+      .select("x").collect().map(_.getDouble(0)).sorted
+    // p05 of 1..100 = 1 + 99*0.05 = 5.95; p90 = 1 + 99*0.9 = 90.1
+    assert(kept.head == 6.0 && kept.last == 90.0)
+    assert(kept.length == 85)
+  }
+
+  test("sketch path tracks exact within digest tolerance and scales keys") {
+    import spark.implicits._
+    // two groups with different spreads; 20k rows each
+    val df = (0 until 40000).map { i =>
+      val g = if (i % 2 == 0) "u" else "n"
+      val x = if (g == "u") (i % 1000).toDouble
+        else 500.0 + ((i * 2654435761L) % 97).toDouble / 10.0
+      (g, x)
+    }.toDF("g", "x")
+    val exact = Robust.medianMad(df, Seq("g"), col("x"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val approx = Robust.medianMad(df, Seq("g"), col("x"), approx = true)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    exact.foreach { case (g, (med, mad)) =>
+      val (amed, amad) = approx(g)
+      val tolMed = math.max(1e-9, math.abs(med) * 0.02)
+      assert(math.abs(amed - med) <= tolMed, s"$g med $amed vs $med")
+      assert(math.abs(amad - mad) <= math.max(0.5, mad * 0.05),
+        s"$g mad $amad vs $mad")
+    }
+  }
+
+  test("reserved/duplicate column guards fail fast") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 0.0)).toDF("g", "x", "mad")
+    intercept[IllegalArgumentException] {
+      Robust.medianMad(df, Seq("g"), col("x"))
+    }
+    val ok = Seq(("a", 1.0)).toDF("g", "x")
+    intercept[IllegalArgumentException] {
+      Robust.robustZ(ok, Seq("g"), col("x"), "x")
+    }
+    intercept[IllegalArgumentException] {
+      Robust.quantileBand(ok, Seq("g"), col("x"), 0.6, 0.4)
+    }
+  }
+}
