@@ -1524,6 +1524,33 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q114_auc_by_group" -> ((s, dir) => {
+      // slice-wise exact AUC per source: same rank-sum identity as q108,
+      // prefix sum as a group-partitioned window over distinct scores
+      val docs = t(s, dir, "documents")
+      val label = (col("doc_id") * 37 + col("n_chars")) % 100 <
+        when(col("n_chars") > 310, 60).otherwise(25)
+      graft.ops.Eval.aucByGroup(docs, Seq("source"), col("n_chars"), label)
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          col("num2").cast("long").as("num2"), round(col("auc"), 6).as("auc"))
+        .orderBy("source")
+    }),
+    "q115_calibration" -> ((s, dir) => {
+      // reliability bins over an exactly-representable score (k/1024 —
+      // power-of-two denominator, so even the float mean is the same
+      // correctly-rounded value in both engines before round(6))
+      val docs = t(s, dir, "documents")
+      val score = ((col("doc_id") * 37 + 5) % 1024).cast("double") / 1024.0
+      val label = (col("doc_id") * 37 + col("n_chars")) % 100 <
+        when(col("n_chars") > 310, 60).otherwise(25)
+      graft.ops.Eval.calibrationBins(docs.select(score.as("s"), label.as("y")),
+          col("s"), col("y"), bins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("mean_score"), 6).as("mean_score"),
+          round(col("pos_rate"), 6).as("pos_rate"))
+        .orderBy("bin")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1701,6 +1728,38 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
 
   def oracleSql: Map[String, String] = Map(
     "q110_logreg" -> logRegOracle(8),
+    "q114_auc_by_group" ->
+      """WITH r AS (SELECT source, n_chars::DOUBLE AS s,
+             CASE WHEN (doc_id * 37 + n_chars) % 100 <
+                    (CASE WHEN n_chars > 310 THEN 60 ELSE 25 END)
+               THEN 1 ELSE 0 END AS y
+           FROM documents),
+         g AS (SELECT source, s, sum(y) AS p, count(*) - sum(y) AS neg
+               FROM r GROUP BY source, s),
+         c AS (SELECT source, s, p, neg,
+                 sum(neg) OVER (PARTITION BY source ORDER BY s) AS cn
+               FROM g)
+         SELECT source, cast(sum(p) AS BIGINT) AS n_pos,
+                cast(sum(neg) AS BIGINT) AS n_neg,
+                cast(sum(p * (2 * cn - neg)) AS BIGINT) AS num2,
+                CASE WHEN sum(p) > 0 AND sum(neg) > 0 THEN
+                  round(sum(p * (2 * cn - neg))::DOUBLE /
+                    (2.0 * sum(p) * sum(neg)), 6) END AS auc
+         FROM c GROUP BY source ORDER BY source""",
+    "q115_calibration" ->
+      """WITH r AS (SELECT
+             ((doc_id * 37 + 5) % 1024)::DOUBLE / 1024.0 AS s,
+             CASE WHEN (doc_id * 37 + n_chars) % 100 <
+                    (CASE WHEN n_chars > 310 THEN 60 ELSE 25 END)
+               THEN 1 ELSE 0 END AS y
+           FROM documents),
+         b AS (SELECT least(9, floor(s * 10))::INTEGER AS bin, s, y FROM r
+               WHERE s >= 0 AND s <= 1)
+         SELECT bin, count(*)::BIGINT AS n,
+                cast(sum(y) AS BIGINT) AS n_pos,
+                round(sum(s) / count(*), 6) AS mean_score,
+                round(sum(y)::DOUBLE / count(*), 6) AS pos_rate
+         FROM b GROUP BY bin ORDER BY bin""",
     "q112_robust_outliers" ->
       """WITH m AS (SELECT source, quantile_cont(n_chars::DOUBLE, 0.5) AS med
                     FROM documents GROUP BY 1),

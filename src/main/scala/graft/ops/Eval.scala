@@ -63,6 +63,63 @@ object Eval {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** Per-group exact AUC — slice-wise evaluation (per source, language,
+    * shard): a classifier that grades well in aggregate can still be
+    * broken on one slice, and the slice report is what catches it.
+    *
+    * Same rank-sum identity as [[auc]], but the prefix sum runs as a
+    * window PARTITIONED BY GROUP over the per-(group, distinct-score)
+    * counts — that frame is distinct-scores-sized, not corpus-sized, so
+    * the window is cheap and the corpus itself still only shuffles once
+    * into the grouped count. Returns one row per group:
+    * (groupCols…, n_pos, n_neg, num2, auc); auc NULL for single-class
+    * groups. */
+  def aucByGroup(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val g = groupCols.map(col)
+    val rows = df.select(g ++ Seq(scoreCol.cast("double").as("__s"),
+        when(labelCol, 1L).when(!labelCol, 0L).as("__y")): _*)
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val byScore = rows.groupBy(g :+ col("__s"): _*)
+      .agg(sum(col("__y")).as("__p"),
+        (count(lit(1)) - sum(col("__y"))).as("__neg"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+      .orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dec = "decimal(38,0)"
+    byScore.withColumn("__cn", sum(col("__neg")).over(w))
+      .groupBy(g: _*)
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum((lit(2) * col("__cn") - col("__neg")).cast(dec) *
+          col("__p").cast(dec)).as("num2"))
+      .select(g ++ Seq(col("n_pos"), col("n_neg"), col("num2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc")): _*)
+  }
+
+  /** Calibration (reliability) bins: scores in [0, 1] bucketed into
+    * `bins` equal intervals (the top edge closes into the last bin), each
+    * reporting count, positives, mean score, and empirical positive rate
+    * — a well-calibrated quality classifier has mean_score ≈ pos_rate per
+    * bin. One grouped aggregation; exact integer counts. */
+  def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val rows = df.select(scoreCol.cast("double").as("__s"),
+        when(labelCol, 1L).when(!labelCol, 0L).as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull &&
+        col("__s") >= 0.0 && col("__s") <= 1.0)
+    rows.select(least(lit(bins - 1), floor(col("__s") * bins).cast("int"))
+        .as("bin"), col("__s"), col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        (sum(col("__s")) / count(lit(1))).as("mean_score"),
+        (sum(col("__y")).cast("double") / count(lit(1))).as("pos_rate"))
+  }
+
   /** Precision/recall/F1 at each threshold (score ≥ τ ⇒ predicted
     * positive), one output row per τ, computed in a single scan: rows
     * explode onto the literal threshold list (small — operating points,

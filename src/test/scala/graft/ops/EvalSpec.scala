@@ -76,6 +76,40 @@ class EvalSpec extends SparkTestBase {
     assert(row.getDouble(3) == 1.0)
   }
 
+  test("aucByGroup matches per-group brute force; single-class groups null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 300).map { i =>
+      val g = s"g${i % 4}"
+      // group g3 is all-positive -> auc undefined there
+      val y = if (g == "g3") true else rnd.nextBoolean()
+      (g, math.floor(rnd.nextDouble() * 20) / 20.0, y)
+    }
+    val got = Eval.aucByGroup(data.toDF("g", "score", "label").repartition(11),
+        Seq("g"), col("score"), col("label"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val expect = refAuc(rows.map(t => (t._2, t._3)))
+      assert(got(g) == expect, s"group $g")
+    }
+    assert(got("g3").isEmpty)
+  }
+
+  test("calibrationBins: exact counts, edge score 1.0 in last bin, range filter") {
+    import spark.implicits._
+    val df = Seq((0.0, false), (0.04, false), (0.05, true), (0.5, true),
+      (0.95, true), (1.0, true), (1.5, false), (-0.1, true))
+      .toDF("score", "label")
+    val got = Eval.calibrationBins(df, col("score"), col("label"), 20)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0) == ((2L, 0L)))      // 0.0, 0.04
+    assert(got(1) == ((1L, 1L)))      // 0.05 opens bin 1
+    assert(got(10) == ((1L, 1L)))     // 0.5
+    assert(got(19) == ((2L, 2L)))     // 0.95 and the closed top edge 1.0
+    assert(!got.contains(30) && got.values.map(_._1).sum == 6) // 1.5/-0.1 dropped
+  }
+
   test("prAtThresholds: exact counts and ratios at each operating point") {
     import spark.implicits._
     val df = Seq((0.9, true), (0.7, false), (0.5, true), (0.3, false),
