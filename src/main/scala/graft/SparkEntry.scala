@@ -1551,6 +1551,18 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q116_corr_matrix" -> ((s, dir) => {
+      // one-pass exact-sum Pearson correlation matrix over three lineitem
+      // measures. Both engines evaluate the IDENTICAL closed form on sums
+      // that agree to ≤1 ulp (exact_sum is correctly rounded, DuckDB's
+      // fold is sequential); round(6) absorbs the closed form's
+      // amplification. The diagonal is pinned to exactly 1.0 by the op.
+      graft.ops.Profile.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("corr"))
+        .orderBy("col_a", "col_b")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1726,7 +1738,39 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
              round(w2, 6) AS w2 FROM w$iters"""
   }
 
+  /** q116's oracle: the same correlation closed form over DuckDB's own
+    * sums. Per-row products round identically (IEEE multiply); the sums
+    * differ by ≤1 ulp (exact_sum is correctly rounded vs DuckDB's fold);
+    * round(6) absorbs the closed form's amplification of that ulp. */
+  private def corrOracle(cols: Seq[String]): String = {
+    val pairs = for (i <- cols.indices; j <- i until cols.size)
+      yield (cols(i), cols(j))
+    def sm(c: String) = s"s_$c"
+    def pr(a: String, b: String) = s"p_${a}_$b"
+    val sums = cols.map(c => s"sum($c::DOUBLE) AS ${sm(c)}") ++
+      pairs.map { case (a, b) =>
+        s"sum($a::DOUBLE * $b::DOUBLE) AS ${pr(a, b)}" }
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    def covN(a: String, b: String) =
+      s"(n * ${pr(a, b)} - ${sm(a)} * ${sm(b)})"
+    val rows = pairs.map { case (a, b) =>
+      val corr =
+        if (a == b) s"CASE WHEN ${covN(a, a)} > 0 THEN 1.0::DOUBLE END"
+        else
+          s"""CASE WHEN n > 0 AND ${covN(a, a)} > 0 AND ${covN(b, b)} > 0
+             THEN round(${covN(a, b)} / sqrt(${covN(a, a)})
+                        / sqrt(${covN(b, b)}), 6) END"""
+      s"SELECT '$a' AS col_a, '$b' AS col_b, $corr AS corr FROM m"
+    }
+    s"""WITH m AS (SELECT count(*)::DOUBLE AS n, ${sums.mkString(", ")}
+       FROM lineitem WHERE $notNull)
+       SELECT * FROM (${rows.mkString(" UNION ALL ")})
+       ORDER BY col_a, col_b"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q116_corr_matrix" -> corrOracle(
+      Seq("l_quantity", "l_extendedprice", "l_discount")),
     "q110_logreg" -> logRegOracle(8),
     "q114_auc_by_group" ->
       """WITH r AS (SELECT source, n_chars::DOUBLE AS s,

@@ -74,4 +74,45 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Pairwise Pearson correlation over `cols` in ONE aggregation pass —
+    * the feature-redundancy check before training a quality classifier.
+    * All d·(d+3)/2 moments (Σx_i, Σx_i·x_j, n) are `exact_sum`
+    * aggregates in the same job, so the matrix is partitioning-invariant
+    * and an external engine recomputing the same closed form from its own
+    * exact sums lands within ulps. Rows with ANY null among `cols` are
+    * excluded (listwise deletion — every pair sees the same n, making the
+    * matrix a true Gram correlation, positive semidefinite).
+    *
+    * Returns long format: (col_a, col_b, corr) for a ≤ b, NULL corr when
+    * either column is constant (zero variance) or n = 0.
+    *
+    * corr = (n·Σxy − Σx·Σy) / √(n·Σx² − (Σx)²) / √(n·Σy² − (Σy)²)
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    import graft.api.{functions => gf}
+    val base = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .where(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for (i <- cols.indices; j <- i until cols.size)
+      yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.map(c => gf.exact_sum(col(c)).as(s"__s_$c")) ++
+        pairs.map { case (a, b) =>
+          gf.exact_sum(col(a) * col(b)).as(s"__p_${a}__$b") })
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    def covN(a: String, b: String): Column =
+      n * col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+    val rows = pairs.map { case (a, b) =>
+      // diagonal pinned to exactly 1.0 (the closed form lands within an
+      // ulp of 1 but not on it; users expect the identity)
+      val c = if (a == b) when(covN(a, a) > 0, lit(1.0))
+        else when(col("__n") > 0 && covN(a, a) > 0 && covN(b, b) > 0,
+          covN(a, b) / sqrt(covN(a, a)) / sqrt(covN(b, b)))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), c.as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
 }

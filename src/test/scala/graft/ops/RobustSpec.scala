@@ -86,6 +86,34 @@ class RobustSpec extends SparkTestBase {
     }
   }
 
+  test("corrMatrix: hand-checked values, self-corr 1, constant col null") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0),
+      (4.0, 7.0, 5.0)).toDF("x", "y", "c")
+    val got = Profile.corrMatrix(df, Seq("x", "y", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(("x", "x")) == Some(1.0))
+    assert(got(("y", "y")) == Some(1.0))
+    // x=1..4, y=2,4,6,7: corr = cov/sd — sequential reference
+    val xs = Seq(1.0, 2.0, 3.0, 4.0); val ys = Seq(2.0, 4.0, 6.0, 7.0)
+    val n = 4.0
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+    val den = math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+      math.sqrt(n * ys.map(b => b * b).sum - ys.sum * ys.sum)
+    assert(math.abs(got(("x", "y")).get - num / den) < 1e-12)
+    // constant column: zero variance -> null, for self and cross pairs
+    assert(got(("c", "c")).isEmpty && got(("x", "c")).isEmpty)
+    // listwise deletion: a null row drops from EVERY pair's n
+    val withNull = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 2.0, 1.0), (2.0, 4.0, null), (3.0, 6.0, 2.0))
+      .toDF("x", "y", "c")
+    val m2 = Profile.corrMatrix(withNull, Seq("x", "y", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(m2(("x", "y")).get - 1.0) < 1e-12) // 2 rows, perfectly linear
+  }
+
   test("reserved/duplicate column guards fail fast") {
     import spark.implicits._
     val df = Seq(("a", 1.0, 0.0)).toDF("g", "x", "mad")

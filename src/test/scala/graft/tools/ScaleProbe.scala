@@ -170,6 +170,39 @@ object ScaleProbe {
       force(graft.ops.Text.removeFrequentParagraphs(docs, "doc_id", "text",
         sep = " w", minDocs = 1000))
     }
+
+    // round-6 eval/robust ops -------------------------------------------
+
+    // scored corpus: exact-rational score, modular label, ~40k distinct
+    // scores so the AUC grouping genuinely compresses
+    val scored = spark.range(nDocs).select(col("id"),
+      (((col("id") * 37 + 5) % 40960).cast("double") / 40960.0).as("s"),
+      ((col("id") * 2654435761L) % 100 < 37).as("y"),
+      concat(lit("s"), (col("id") % 20).cast("string")).as("source"))
+    time(s"exact AUC $nDocs rows (40k distinct scores)") {
+      force(graft.ops.Eval.auc(scored, col("s"), col("y")))
+    }
+    time(s"aucByGroup $nDocs rows x 20 sources") {
+      force(graft.ops.Eval.aucByGroup(scored, Seq("source"), col("s"),
+        col("y")))
+    }
+    time(s"prAtThresholds $nDocs rows x 9 taus") {
+      force(graft.ops.Eval.prAtThresholds(scored, col("s"), col("y"),
+        (1 to 9).map(_ / 10.0)))
+    }
+    time(s"logisticFit $nDocs rows, 2 features, 5 iters") {
+      graft.ops.Classify.logisticFit(scored,
+        Seq(col("s"), (col("id") % 7).cast("double") / 8.0), col("y"),
+        iterations = 5, lr = 0.5)
+    }
+    time(s"robustZ sketch $nDocs rows x 20 groups") {
+      force(graft.ops.Robust.robustZ(scored, Seq("source"), col("s"), "z",
+        approx = true))
+    }
+    time(s"quantileBand sketch $nDocs rows x 20 groups") {
+      force(graft.ops.Robust.quantileBand(scored, Seq("source"), col("s"),
+        0.05, 0.95, approx = true))
+    }
     spark.stop()
   }
 }
