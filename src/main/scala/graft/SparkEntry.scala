@@ -1563,6 +1563,37 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q118_token_drift" -> ((s, dir) => {
+      // token-distribution drift between the even- and odd-id halves of
+      // the corpus (snapshot-monitoring shape). Scalars are exact_sum
+      // fan-ins; round(6) margins measured ≥ 4.8e-8 absolute (sf0.01)
+      // and ≥ 1.0e-7 (sf0.1) vs ~1e-17 cross-engine term ulps
+      graft.ops.Drift.tokenDrift(t(s, dir, "documents"), col("text"),
+          col("doc_id") % 2 === 0, 0.5)
+        .select(round(col("kl_ab"), 6).as("kl_ab"),
+          round(col("kl_ba"), 6).as("kl_ba"),
+          round(col("js_div"), 6).as("js_div"),
+          round(col("tv_dist"), 6).as("tv_dist"),
+          col("n_a"), col("n_b"), col("vocab"))
+    }),
+
+    "q119_top_drifters" -> ((s, dir) => {
+      // the "what changed" diagnostic: top-10 tokens by JS contribution.
+      // Ranking uses the UNROUNDED term (rank-k/k+1 gaps ≥ 2.7e-7 at both
+      // scales); p_a/p_b are single IEEE divisions of exactly-representable
+      // operands — bit-equal cross-engine unrounded; js_term round(9)
+      // margins ≥ 3.4e-11
+      val toks = t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("__a"),
+          explode(split(col("text"), " ")).as("__w"))
+        .where(col("__w") =!= "")
+      graft.ops.Drift.topDrifters(toks, col("__w"), col("__a"), 10, 0.5)
+        .select(col("category"), col("cnt_a"), col("cnt_b"),
+          col("p_a"), col("p_b"), round(col("js_term"), 9).as("js_term"),
+          col("rank"))
+        .orderBy("rank")
+    }),
+
     "q117_temperature_mixture" -> ((s, dir) => {
       // temperature-scaled (alpha = 0.5) language rebalance: quotas
       // ∝ √n_lang — the T5/mT5 mixing rule. The ⌊300·√n/Σ√n⌋ boundary is
@@ -1783,6 +1814,43 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q118_token_drift" ->
+      """WITH tok AS (SELECT doc_id % 2 = 0 AS a,
+               unnest(string_split(text, ' ')) AS w FROM documents),
+         t2 AS (SELECT * FROM tok WHERE w <> ''),
+         c AS (SELECT w, count(*) FILTER (a) AS ca,
+                 count(*) FILTER (NOT a) AS cb FROM t2 GROUP BY 1),
+         tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+                 count(*) AS v FROM c),
+         p AS (SELECT (ca + 0.5) / (na::DOUBLE + 0.5 * v) AS pa,
+                 (cb + 0.5) / (nb::DOUBLE + 0.5 * v) AS pb FROM c, tot)
+         SELECT round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+           round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+           round(sum(0.5 * (pa * ln(pa / ((pa + pb) / 2))
+             + pb * ln(pb / ((pa + pb) / 2)))), 6) AS js_div,
+           round(sum(0.5 * abs(pa - pb)), 6) AS tv_dist,
+           (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+           (SELECT v FROM tot) AS vocab
+         FROM p""",
+    "q119_top_drifters" ->
+      """WITH tok AS (SELECT doc_id % 2 = 0 AS a,
+               unnest(string_split(text, ' ')) AS w FROM documents),
+         t2 AS (SELECT * FROM tok WHERE w <> ''),
+         c AS (SELECT w, count(*) FILTER (a) AS ca,
+                 count(*) FILTER (NOT a) AS cb FROM t2 GROUP BY 1),
+         tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+                 count(*) AS v FROM c),
+         p AS (SELECT w, ca, cb,
+                 (ca + 0.5) / (na::DOUBLE + 0.5 * v) AS pa,
+                 (cb + 0.5) / (nb::DOUBLE + 0.5 * v) AS pb FROM c, tot),
+         s AS (SELECT w AS category, ca AS cnt_a, cb AS cnt_b,
+                 pa AS p_a, pb AS p_b,
+                 0.5 * (pa * ln(pa / ((pa + pb) / 2))
+                   + pb * ln(pb / ((pa + pb) / 2))) AS js FROM p)
+         SELECT category, cnt_a, cnt_b, p_a, p_b,
+           round(js, 9) AS js_term,
+           row_number() OVER (ORDER BY js DESC, category)::INT AS rank
+         FROM s ORDER BY js DESC, category LIMIT 10""",
     "q117_temperature_mixture" ->
       (hashMacros +
         """WITH c AS (SELECT lang, count(*)::DOUBLE AS n

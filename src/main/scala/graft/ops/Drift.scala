@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Distribution-drift measurement between two slices of a corpus — the
+  * monitoring side of a training-data pipeline: is this week's crawl
+  * token-distributed like last week's? does shard 7 look like the rest?
+  * did a source swap change the language mix?
+  *
+  * Everything is computed from ONE categorical count aggregation (one
+  * shuffle keyed by category, map-side combine shrinks it to
+  * distinct-categories × partitions rows); the count table — vocabulary
+  * bounded, corpus-size independent — is localCheckpoint'd so totals and
+  * per-category terms never re-scan the corpus. The divergence scalars
+  * fan in through [[graft.api.functions.exact_sum]], so results are
+  * bit-identical under any partitioning, task retry, or merge tree.
+  *
+  * Probabilities are additive-smoothed over the OBSERVED vocabulary
+  * (union of both sides): `p_i = (cnt_i + alpha) / (N + alpha·V)`.
+  * A category present on one side only gets `alpha` pseudo-mass on the
+  * other, keeping the KL terms finite; the reference "what changed"
+  * pipelines (CCNet, RefinedWeb quality dashboards) use the same rule.
+  */
+object Drift {
+
+  /** One-row drift summary between the `isA === true` slice (A) and the
+    * `isA === false` slice (B) of `df`, over the categorical column
+    * `cat`: both KL directions, Jensen–Shannon divergence, and total
+    * variation distance (all natural-log, all smoothed), plus the side
+    * totals and observed-vocabulary size. Null categories and null
+    * side flags are excluded. `alpha` must be positive — it is what
+    * keeps one-sided categories finite. */
+  def categoricalDrift(df: DataFrame, cat: Column, isA: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val (cnts, na, nb, v) = sideCounts(df, cat, isA, alpha)
+    val (pa, pb) = smoothed(na, nb, v, alpha)
+    val m = (pa + pb) / lit(2.0)
+    cnts.select(
+        (pa * log(pa / pb)).as("__klab"),
+        (pb * log(pb / pa)).as("__klba"),
+        (lit(0.5) * (pa * log(pa / m) + pb * log(pb / m))).as("__js"),
+        (lit(0.5) * abs(pa - pb)).as("__tv"))
+      .agg(gf.exact_sum(col("__klab")).as("kl_ab"),
+        gf.exact_sum(col("__klba")).as("kl_ba"),
+        gf.exact_sum(col("__js")).as("js_div"),
+        gf.exact_sum(col("__tv")).as("tv_dist"))
+      .select(col("kl_ab"), col("kl_ba"), col("js_div"), col("tv_dist"),
+        lit(na).as("n_a"), lit(nb).as("n_b"), lit(v).as("vocab"))
+  }
+
+  /** The `k` categories contributing most to the Jensen–Shannon
+    * divergence — the "what changed" diagnostic behind
+    * [[categoricalDrift]]'s scalar. Output: category, both counts, both
+    * smoothed probabilities, the JS contribution, and a dense 1-based
+    * rank; ordered by (contribution desc, category asc) so ties are
+    * deterministic. Ranking runs as a TakeOrdered (per-partition top-k,
+    * k-row driver merge), never a global sort. */
+  def topDrifters(df: DataFrame, cat: Column, isA: Column, k: Int,
+      alpha: Double = 0.5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val (cnts, na, nb, v) = sideCounts(df, cat, isA, alpha)
+    val (pa, pb) = smoothed(na, nb, v, alpha)
+    val m = (pa + pb) / lit(2.0)
+    val scored = cnts.select(col("category"), col("cnt_a"), col("cnt_b"),
+      pa.as("p_a"), pb.as("p_b"),
+      (lit(0.5) * (pa * log(pa / m) + pb * log(pb / m))).as("js_term"))
+    scored.orderBy(desc("js_term"), asc("category")).limit(k)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(desc("js_term"), asc("category"))))
+  }
+
+  /** Convenience: token-distribution drift — whitespace-tokenize
+    * `text` (empty tokens dropped, the corpus tokenization every text
+    * op here uses) and delegate to [[categoricalDrift]]. */
+  def tokenDrift(df: DataFrame, text: Column, isA: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = df.select(isA.as("__a"),
+        explode(split(text, " ")).as("__w"))
+      .where(col("__w") =!= "")
+    categoricalDrift(toks, col("__w"), col("__a"), alpha)
+  }
+
+  /** One count pass: (category, cnt_a, cnt_b) plus the collected side
+    * totals and vocabulary size. The checkpoint pins the vocabulary-sized
+    * count table so the totals job and the callers' term scans reuse it
+    * instead of re-scanning the corpus. */
+  private def sideCounts(df: DataFrame, cat: Column, isA: Column,
+      alpha: Double): (DataFrame, Long, Long, Long) = {
+    require(alpha > 0.0, "alpha must be > 0 (it keeps one-sided categories finite)")
+    val cnts = df.where(cat.isNotNull && isA.isNotNull)
+      .groupBy(cat.as("category"))
+      .agg(count(when(isA, 1)).as("cnt_a"),
+        count(when(!isA, 1)).as("cnt_b"))
+      .localCheckpoint()
+    // empty-frame sums are NULL under ANSI; an empty corpus is a valid
+    // "no drift observed" input and must not throw
+    val t = cnts.agg(coalesce(sum("cnt_a"), lit(0L)),
+      coalesce(sum("cnt_b"), lit(0L)), count(lit(1))).collect()(0)
+    (cnts, t.getLong(0), t.getLong(1), t.getLong(2))
+  }
+
+  /** Smoothed probability columns over the observed vocabulary. */
+  private def smoothed(na: Long, nb: Long, v: Long, alpha: Double)
+      : (Column, Column) =
+    ((col("cnt_a") + lit(alpha)) / lit(na + alpha * v),
+      (col("cnt_b") + lit(alpha)) / lit(nb + alpha * v))
+}

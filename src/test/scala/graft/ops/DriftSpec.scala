@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Distribution drift (Drift.categoricalDrift / topDrifters / tokenDrift). */
+class DriftSpec extends SparkTestBase {
+
+  /** Sequential reference for the smoothed divergences. */
+  private def ref(ca: Map[String, Long], cb: Map[String, Long],
+      alpha: Double): (Double, Double, Double, Double) = {
+    val vocab = (ca.keySet ++ cb.keySet).toSeq.sorted
+    val na = ca.values.sum.toDouble
+    val nb = cb.values.sum.toDouble
+    val v = vocab.size
+    val terms = vocab.map { w =>
+      val pa = (ca.getOrElse(w, 0L) + alpha) / (na + alpha * v)
+      val pb = (cb.getOrElse(w, 0L) + alpha) / (nb + alpha * v)
+      val m = (pa + pb) / 2.0
+      (pa * math.log(pa / pb), pb * math.log(pb / pa),
+        0.5 * (pa * math.log(pa / m) + pb * math.log(pb / m)),
+        0.5 * math.abs(pa - pb))
+    }
+    (terms.map(_._1).sum, terms.map(_._2).sum,
+      terms.map(_._3).sum, terms.map(_._4).sum)
+  }
+
+  private val rowsA = Seq.fill(60)("x") ++ Seq.fill(30)("y") ++ Seq.fill(10)("z")
+  private val rowsB = Seq.fill(30)("x") ++ Seq.fill(30)("y") ++ Seq.fill(30)("w")
+
+  test("categoricalDrift matches the sequential smoothed reference") {
+    import spark.implicits._
+    val df = (rowsA.map(_ -> true) ++ rowsB.map(_ -> false)).toDF("cat", "a")
+    val r = Drift.categoricalDrift(df, col("cat"), col("a"), 0.5)
+      .collect()(0)
+    val ca = rowsA.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cb = rowsB.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (klab, klba, js, tv) = ref(ca, cb, 0.5)
+    assert(math.abs(r.getDouble(0) - klab) < 1e-12)
+    assert(math.abs(r.getDouble(1) - klba) < 1e-12)
+    assert(math.abs(r.getDouble(2) - js) < 1e-12)
+    assert(math.abs(r.getDouble(3) - tv) < 1e-12)
+    assert(r.getLong(4) == 100L && r.getLong(5) == 90L && r.getLong(6) == 4L)
+    // divergence sanity: KL ≥ 0 both ways, JS ≤ ln 2, TV ∈ [0, 1]
+    assert(r.getDouble(0) > 0 && r.getDouble(1) > 0)
+    assert(r.getDouble(2) > 0 && r.getDouble(2) < math.log(2.0))
+    assert(r.getDouble(3) > 0 && r.getDouble(3) < 1.0)
+  }
+
+  test("identical slices drift to exactly zero") {
+    import spark.implicits._
+    val df = (rowsA.map(_ -> true) ++ rowsA.map(_ -> false)).toDF("cat", "a")
+    val r = Drift.categoricalDrift(df, col("cat"), col("a")).collect()(0)
+    // pa == pb bit-for-bit per category → every term is exactly 0.0
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+  }
+
+  test("bit-identical across partitionings (exact_sum fan-in)") {
+    import spark.implicits._
+    val rows = rowsA.map(_ -> true) ++ rowsB.map(_ -> false)
+    val one = Drift.categoricalDrift(
+      rows.toDF("cat", "a").repartition(1), col("cat"), col("a")).collect()(0)
+    val many = Drift.categoricalDrift(
+      rows.toDF("cat", "a").repartition(13), col("cat"), col("a")).collect()(0)
+    (0 until 4).foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(one.getDouble(i)) ==
+        java.lang.Double.doubleToLongBits(many.getDouble(i)), s"col $i")
+    }
+  }
+
+  test("one-sided categories get alpha mass; nulls excluded; empty ok") {
+    import spark.implicits._
+    // 'z' only in A, 'w' only in B — finite divergences, counted in vocab
+    val df = (rowsA.map(_ -> true) ++ rowsB.map(_ -> false)).toDF("cat", "a")
+    val r = Drift.categoricalDrift(df, col("cat"), col("a")).collect()(0)
+    assert(!r.getDouble(0).isInfinite && !r.getDouble(1).isInfinite)
+    // null category and null side rows are dropped from counts and totals
+    val withNulls = (rowsA.map(s => (s: String, Some(true): Option[Boolean])) ++
+      rowsB.map(s => (s, Some(false))) ++
+      Seq((null: String, Some(true)), ("x", None))).toDF("cat", "a")
+    val rn = Drift.categoricalDrift(withNulls, col("cat"), col("a")).collect()(0)
+    assert(rn.getLong(4) == 100L && rn.getLong(5) == 90L && rn.getLong(6) == 4L)
+    // empty input: zero totals, zero vocab, null-free zero divergences
+    val empty = Seq.empty[(String, Boolean)].toDF("cat", "a")
+    val re = Drift.categoricalDrift(empty, col("cat"), col("a")).collect()(0)
+    assert(re.isNullAt(0) || re.getDouble(0) == 0.0) // exact_sum of empty → null
+    assert(re.getLong(4) == 0L && re.getLong(6) == 0L)
+    // alpha = 0 is rejected (one-sided categories would be infinite)
+    intercept[IllegalArgumentException] {
+      Drift.categoricalDrift(df, col("cat"), col("a"), 0.0).collect()
+    }
+  }
+
+  test("topDrifters ranks by JS contribution, deterministic ties") {
+    import spark.implicits._
+    val df = (rowsA.map(_ -> true) ++ rowsB.map(_ -> false)).toDF("cat", "a")
+    val top = Drift.topDrifters(df, col("cat"), col("a"), 3)
+      .collect().map(r => (r.getInt(r.length - 1), r.getString(0),
+        r.getDouble(5)))
+    assert(top.map(_._1).toSeq == Seq(1, 2, 3))
+    // contributions non-increasing; 'y' (equal counts, both sides) not top
+    assert(top.map(_._3).toSeq == top.map(_._3).sortBy(-_).toSeq)
+    assert(top.map(_._2).toSet == Set("x", "z", "w"))
+    // sums of ALL contributions == the scalar js_div, bit-for-bit paths
+    val all = Drift.topDrifters(df, col("cat"), col("a"), 10)
+    assert(all.count() == 4L)
+  }
+
+  test("tokenDrift over the documents fixture: nonzero, parity-split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = Drift.tokenDrift(docs, col("text"), col("doc_id") % 2 === 0)
+      .collect()(0)
+    assert(r.getLong(4) > 0 && r.getLong(5) > 0 && r.getLong(6) > 10)
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 0.01) // same generator → tiny JS
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 0.2)
+  }
+}
