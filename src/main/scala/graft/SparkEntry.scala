@@ -1563,6 +1563,28 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q120_group_centroids" -> ((s, dir) => {
+      // per-label mean embedding, unnested to (grp, d, m). exact_sum/count
+      // means vs DuckDB's parallel sum: round(6) margins measured ≥ 2.9e-10
+      // absolute at sf0.1 (≥ 1.7e-9 at sf0.01) vs ~1e-15 sum-order drift
+      graft.ops.Similarity.groupCentroids(t(s, dir, "embeddings"),
+          col("label"), col("embedding"))
+        .select(col("group").as("grp"),
+          posexplode(col("centroid")).as(Seq("__p", "__m")))
+        .select(col("grp"), (col("__p") + 1).as("d"),
+          round(col("__m"), 6).as("m"))
+        .orderBy("grp", "d")
+    }),
+
+    "q121_centroid_cosines" -> ((s, dir) => {
+      // source-similarity map: pairwise cosine between the 10 label
+      // centroids (45 pairs). round(6) margins ≥ 5.5e-9 at sf0.1
+      graft.ops.Similarity.centroidCosines(t(s, dir, "embeddings"),
+          col("label"), col("embedding"))
+        .select(col("group_a"), col("group_b"), col("cosine"))
+        .orderBy("group_a", "group_b")
+    }),
+
     "q118_token_drift" -> ((s, dir) => {
       // token-distribution drift between the even- and odd-id halves of
       // the corpus (snapshot-monitoring shape). Scalars are exact_sum
@@ -1814,6 +1836,23 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q120_group_centroids" ->
+      """WITH u AS (SELECT label, i AS d, embedding[i]::DOUBLE AS x
+               FROM embeddings, generate_series(1, 64) g(i))
+         SELECT label AS grp, d::INT AS d,
+           round(sum(x) / count(*), 6) AS m
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q121_centroid_cosines" ->
+      """WITH u AS (SELECT label, i AS d, embedding[i]::DOUBLE AS x
+               FROM embeddings, generate_series(1, 64) g(i)),
+         c AS (SELECT label, d, sum(x) / count(*) AS m
+               FROM u GROUP BY 1, 2),
+         cent AS (SELECT label, list(m ORDER BY d) AS centroid
+                  FROM c GROUP BY 1)
+         SELECT a.label AS group_a, b.label AS group_b,
+           round(list_cosine_similarity(a.centroid, b.centroid), 6) AS cosine
+         FROM cent a, cent b WHERE a.label < b.label
+         ORDER BY 1, 2""",
     "q118_token_drift" ->
       """WITH tok AS (SELECT doc_id % 2 = 0 AS a,
                unnest(string_split(text, ' ')) AS w FROM documents),

@@ -216,6 +216,43 @@ object Similarity {
         round(col("__cos"), roundTo).as("cosine"))
   }
 
+  /** Per-group mean embedding (centroid) — the summary behind a
+    * source/language similarity map or a cluster prototype table. One
+    * posexplode pass, one shuffle keyed by the SMALL (group, dim) key with
+    * map-side combine (the corpus never shuffles vectors); per-dim sums
+    * fan in through `exact_sum`, and the mean is one IEEE division — so
+    * centroids are bit-identical under any partitioning. Output: (group,
+    * centroid array<double>, n_vectors). Null groups/vectors are dropped;
+    * empty vectors contribute nothing; with ragged dimensions each dim
+    * averages over the vectors that HAVE it (uniform-width embeddings are
+    * the expected input). */
+  def groupCentroids(df: DataFrame, groupCol: Column, vecCol: Column): DataFrame =
+    df.where(groupCol.isNotNull && vecCol.isNotNull)
+      .select(groupCol.as("group"),
+        posexplode(vecCol.cast("array<double>")).as(Seq("__d", "__x")))
+      .groupBy("group", "__d")
+      .agg(gf.exact_sum(col("__x")).as("__tot"), count(lit(1)).as("__n"))
+      .groupBy("group")
+      .agg(transform(
+          array_sort(collect_list(struct(col("__d"), (col("__tot") / col("__n")).as("__m")))),
+          e => e.getField("__m")).as("centroid"),
+        max(col("__n")).as("n_vectors"))
+
+  /** Pairwise cosine similarity between [[groupCentroids]] — which
+    * sources/languages are semantically close (mixture design, redundancy
+    * maps). The centroid table is group-count-sized, so the pair join is a
+    * trivially broadcast k×k; output (group_a, group_b, cosine) for
+    * group_a < group_b, cosine rounded to `roundTo`. */
+  def centroidCosines(df: DataFrame, groupCol: Column, vecCol: Column,
+      roundTo: Int = 6): DataFrame = {
+    val cent = groupCentroids(df, groupCol, vecCol)
+    val a = cent.select(col("group").as("group_a"), col("centroid").as("__ca"))
+    val b = cent.select(col("group").as("group_b"), col("centroid").as("__cb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        round(gf.vec_cosine(col("__ca"), col("__cb")), roundTo).as("cosine"))
+  }
+
   /** Semantic dedup: drop all but one representative of every semantic-dup
     * group (connected components over [[semanticPairs]], keep the minimum
     * id — deterministic). Returns the corpus minus dropped rows. */

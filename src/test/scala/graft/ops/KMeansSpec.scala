@@ -216,4 +216,65 @@ class KMeansSpec extends SparkTestBase {
       assert(got(id) == best, s"vec $id")
     }
   }
+
+  test("groupCentroids: per-dim means, dim order, nulls/empties dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f, 3.0f)),
+      ("a", Seq(3.0f, 6.0f, 9.0f)),
+      ("b", Seq(2.0f, 0.0f, -2.0f)),
+      ("b", Seq.empty[Float]),            // contributes nothing
+      (null.asInstanceOf[String], Seq(9.0f, 9.0f, 9.0f)),
+      ("c", null.asInstanceOf[Seq[Float]])).toDF("g", "v")
+    val got = Similarity.groupCentroids(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1).toSeq, r.getLong(2))).toMap
+    assert(got == Map(
+      "a" -> (Seq(2.0, 4.0, 6.0), 2L),
+      "b" -> (Seq(2.0, 0.0, -2.0), 1L)))
+  }
+
+  test("groupCentroids: bit-identical across partitionings") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i =>
+      (s"g${i % 7}", Seq.tabulate(16)(d => (math.sin(i * 16 + d) * 1e3).toFloat)))
+    def run(parts: Int) = Similarity.groupCentroids(
+        rows.toDF("g", "v").repartition(parts), col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    val one = run(1); val many = run(17)
+    assert(one.keySet == many.keySet)
+    one.foreach { case (g, c) =>
+      assert(c.zip(many(g)).forall { case (x, y) =>
+        java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y) }, s"group $g")
+    }
+  }
+
+  test("centroidCosines: hand-checked pairs, a<b orientation, self-sim 1") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)),   // centroid (1,0)
+      ("b", Seq(0.0f, 2.0f)),                            // centroid (0,2)
+      ("c", Seq(2.0f, 0.0f))                             // centroid (2,0)
+    ).toDF("g", "v")
+    val got = Similarity.centroidCosines(df, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b")) == 0.0)       // orthogonal
+    assert(got(("a", "c")) == 1.0)       // parallel
+    assert(got(("b", "c")) == 0.0)
+  }
+
+  test("centroidCosines on the embeddings fixture: k*(k-1)/2 pairs in [-1,1]") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.centroidCosines(emb, col("label"), col("embedding"))
+      .collect()
+    val k = emb.select("label").distinct().count()
+    assert(rows.length == (k * (k - 1) / 2).toInt)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+      assert(r.getInt(0) < r.getInt(1))
+    }
+  }
 }
