@@ -1563,6 +1563,21 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q122_psi_drift" -> ((s, dir) => {
+      // numeric drift of the length distribution between the corpus halves:
+      // PSI over 10 exact-quantile bins (edges = Catalyst percentile ==
+      // DuckDB quantile_cont bit-identically; bins then integer-exact).
+      // round(6) margins measured ≥ 6.8e-8 at both scales
+      graft.ops.Drift.numericDrift(t(s, dir, "documents"),
+          col("n_chars"), col("doc_id") % 2 === 0, bins = 10)
+        .select(round(col("psi"), 6).as("psi"),
+          round(col("kl_ab"), 6).as("kl_ab"),
+          round(col("kl_ba"), 6).as("kl_ba"),
+          round(col("js_div"), 6).as("js_div"),
+          round(col("tv_dist"), 6).as("tv_dist"),
+          col("n_a"), col("n_b"), col("bins_used"))
+    }),
+
     "q120_group_centroids" -> ((s, dir) => {
       // per-label mean embedding, unnested to (grp, d, m). exact_sum/count
       // means vs DuckDB's parallel sum: round(6) margins measured ≥ 2.9e-10
@@ -1836,6 +1851,28 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q122_psi_drift" ->
+      """WITH b AS (SELECT n_chars::DOUBLE AS x, doc_id % 2 = 0 AS a
+               FROM documents),
+         e AS (SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                 AS edges FROM b),
+         bi AS (SELECT a, list_sum(list_transform((SELECT edges FROM e),
+                  t -> CASE WHEN x > t THEN 1 ELSE 0 END)) AS bin FROM b),
+         c AS (SELECT bin, count(*) FILTER (a) AS ca,
+                 count(*) FILTER (NOT a) AS cb FROM bi GROUP BY 1),
+         tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+                 count(*) AS v FROM c),
+         p AS (SELECT (ca + 0.5) / (na::DOUBLE + 0.5 * v) AS pa,
+                 (cb + 0.5) / (nb::DOUBLE + 0.5 * v) AS pb FROM c, tot)
+         SELECT round(sum(pa * ln(pa / pb)) + sum(pb * ln(pb / pa)), 6) AS psi,
+           round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+           round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+           round(sum(0.5 * (pa * ln(pa / ((pa + pb) / 2))
+             + pb * ln(pb / ((pa + pb) / 2)))), 6) AS js_div,
+           round(sum(0.5 * abs(pa - pb)), 6) AS tv_dist,
+           (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+           (SELECT v FROM tot) AS bins_used
+         FROM p""",
     "q120_group_centroids" ->
       """WITH u AS (SELECT label, i AS d, embedding[i]::DOUBLE AS x
                FROM embeddings, generate_series(1, 64) g(i))

@@ -71,6 +71,43 @@ object Drift {
         .Window.orderBy(desc("js_term"), asc("category"))))
   }
 
+  /** Numeric-column drift via the Population Stability Index — the
+    * standard "did this score/length/feature distribution move" monitor.
+    * The value range is cut into `bins` equal-population bins by EXACT
+    * quantiles of the COMBINED (A ∪ B) distribution (Catalyst
+    * `percentile`, the same (n−1)·q interpolation DuckDB's
+    * `quantile_cont` computes bit-identically), each row is assigned the
+    * bin counting the edges strictly below its value (ties go left), and
+    * the binned frame flows through [[categoricalDrift]] — PSI is exactly
+    * the symmetrized KL `kl_ab + kl_ba` on those bins. Output adds `psi`
+    * and renames the category count to `bins_used` (bins left empty by
+    * skew/ties are absent from the observed set, and the α smoothing
+    * keeps one-sided bins finite).
+    *
+    * Scale shape: one exact-quantile aggregation (driver collects
+    * `bins−1` doubles), then the one count shuffle of
+    * [[categoricalDrift]] keyed by ≤ `bins` values. For corpora whose
+    * single-column sort-in-buffer percentile is too hot, compute edges
+    * with the t-digest path and pass pre-binned data to
+    * [[categoricalDrift]] directly. */
+  def numericDrift(df: DataFrame, value: Column, isA: Column,
+      bins: Int = 10, alpha: Double = 0.5): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val base = df.where(value.isNotNull && isA.isNotNull)
+      .select(value.cast("double").as("__x"), isA.as("__a"))
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val eRow = base.agg(percentile(col("__x"), typedLit(qs))).collect()(0)
+    val edges: Seq[Double] =
+      if (eRow.isNullAt(0)) Seq.empty else eRow.getSeq[Double](0).toSeq
+    val binCol = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("__x") > lit(e), 1).otherwise(0) }
+    categoricalDrift(base.select(binCol.as("__bin"), col("__a")),
+        col("__bin"), col("__a"), alpha)
+      .select((col("kl_ab") + col("kl_ba")).as("psi"),
+        col("kl_ab"), col("kl_ba"), col("js_div"), col("tv_dist"),
+        col("n_a"), col("n_b"), col("vocab").as("bins_used"))
+  }
+
   /** Convenience: token-distribution drift — whitespace-tokenize
     * `text` (empty tokens dropped, the corpus tokenization every text
     * op here uses) and delegate to [[categoricalDrift]]. */

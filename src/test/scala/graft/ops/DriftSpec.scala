@@ -107,6 +107,51 @@ class DriftSpec extends SparkTestBase {
     assert(all.count() == 4L)
   }
 
+  test("numericDrift: PSI == symmetrized KL over hand-binned data") {
+    import spark.implicits._
+    // A uniform 0..99, B uniform 50..149 — half the mass shifts
+    val rows = (0 until 100).map(i => (i.toDouble, true)) ++
+      (0 until 100).map(i => (i + 50.0, false))
+    val df = rows.toDF("x", "a")
+    val r = Drift.numericDrift(df, col("x"), col("a"), bins = 4).collect()(0)
+    // reference: combined quantiles at (n-1)q over the sorted multiset
+    val all = rows.map(_._1).sorted
+    def q(p: Double): Double = {
+      val pos = (all.size - 1) * p
+      val lo = pos.toInt
+      if (lo == all.size - 1) all(lo) else all(lo) + (pos - lo) * (all(lo + 1) - all(lo))
+    }
+    val edges = Seq(q(0.25), q(0.5), q(0.75))
+    def bin(x: Double) = edges.count(x > _)
+    val ca = rows.filter(_._2).groupBy(t => bin(t._1)).view.mapValues(_.size.toLong).toMap
+    val cb = rows.filterNot(_._2).groupBy(t => bin(t._1)).view.mapValues(_.size.toLong).toMap
+    val vocab = (ca.keySet ++ cb.keySet).toSeq.sorted
+    val na = 100.0; val nb = 100.0; val v = vocab.size
+    val psi = vocab.map { b =>
+      val pa = (ca.getOrElse(b, 0L) + 0.5) / (na + 0.5 * v)
+      val pb = (cb.getOrElse(b, 0L) + 0.5) / (nb + 0.5 * v)
+      pa * math.log(pa / pb) + pb * math.log(pb / pa)
+    }.sum
+    assert(math.abs(r.getDouble(0) - psi) < 1e-12)
+    assert(r.getDouble(0) > 0.5)                  // a real shift registers
+    assert(r.getLong(7) == 4L)                    // all four bins observed
+    // identical slices → psi exactly 0
+    val same = ((0 until 100).map(i => (i.toDouble, true)) ++
+      (0 until 100).map(i => (i.toDouble, false))).toDF("x", "a")
+    val z = Drift.numericDrift(same, col("x"), col("a"), bins = 5).collect()(0)
+    assert(z.getDouble(0) == 0.0)
+  }
+
+  test("numericDrift: ties go left, skewed dup mass collapses bins") {
+    import spark.implicits._
+    // 90% of mass at one value: most quantile edges coincide → few bins
+    val rows = Seq.fill(90)(7.0) ++ (1 to 10).map(_.toDouble * 100)
+    val df = (rows.map(_ -> true) ++ rows.map(_ -> false)).toDF("x", "a")
+    val r = Drift.numericDrift(df, col("x"), col("a"), bins = 10).collect()(0)
+    assert(r.getDouble(0) == 0.0)                 // identical sides
+    assert(r.getLong(7) < 10L)                    // collapsed edges → fewer observed bins
+  }
+
   test("tokenDrift over the documents fixture: nonzero, parity-split") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val r = Drift.tokenDrift(docs, col("text"), col("doc_id") % 2 === 0)
