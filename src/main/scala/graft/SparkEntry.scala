@@ -1563,6 +1563,20 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q123_split_leakage" -> ((s, dir) => {
+      // the pre-eval leakage audit: near-dup pairs straddling the 80/10/10
+      // deterministic split. LSH settings = q34's proven-selective ones;
+      // jaccard is the exact verified value, so the oracle is brute-force
+      // cross-jaccard + the q58 splitmix split mirror
+      val docs = graft.ops.Sampling.hashSplit(t(s, dir, "documents"),
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      graft.ops.Pipeline.splitLeakage(docs, "doc_id", "text", "split",
+          shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("idA"), col("idB"), col("splitA"), col("splitB"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("idA", "idB")
+    }),
+
     "q122_psi_drift" -> ((s, dir) => {
       // numeric drift of the length distribution between the corpus halves:
       // PSI over 10 exact-quantile bins (edges = Catalyst percentile ==
@@ -1851,6 +1865,26 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q123_split_leakage" ->
+      (hashMacros +
+        """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         sp AS (SELECT doc_id,
+             CASE WHEN (g_av(doc_id::UBIGINT) & 1048575::UBIGINT)::BIGINT < 838860 THEN 'train'
+                  WHEN (g_av(doc_id::UBIGINT) & 1048575::UBIGINT)::BIGINT < 943718 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT idA, idB, splitA, splitB, round(j, 6) AS jaccard FROM (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+                  sa.split AS splitA, sb.split AS splitB,
+                  len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+           FROM sh a, sh b, sp sa, sp sb
+           WHERE a.doc_id < b.doc_id
+             AND sa.doc_id = a.doc_id AND sb.doc_id = b.doc_id)
+         WHERE j >= 0.5 AND splitA <> splitB ORDER BY idA, idB"""),
     "q122_psi_drift" ->
       """WITH b AS (SELECT n_chars::DOUBLE AS x, doc_id % 2 = 0 AS a
                FROM documents),

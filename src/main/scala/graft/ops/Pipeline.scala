@@ -96,4 +96,32 @@ object Pipeline {
     (sampled, PrepareReport(input, afterDedup, afterDecontam,
       sampled.count()))
   }
+
+  /** Split-contamination report: near-duplicate pairs that STRADDLE a
+    * train/val/test boundary — the leakage check every split must pass
+    * before an eval number is trusted (a test doc whose near-dup sits in
+    * train inflates the score). Candidates come from
+    * [[Dedup.minhashPairs]] (banded LSH + exact-Jaccard verification —
+    * the corpus never self-joins), then each id picks up its split label
+    * by equi-join on the SMALL (id, split) projection, and only
+    * cross-split pairs survive. Output: (idA, idB, splitA, splitB,
+    * jaccard). Pair split labels come from the same deterministic
+    * `splitCol` the training job uses, so the report is reproducible
+    * run-to-run. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      splitCol: String, shingleN: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, threshold: Double = 0.7,
+      seed: Long = 42L): DataFrame = {
+    val pairs = Dedup.minhashPairs(docs, idCol, textCol, shingleN,
+      numHashes, bands, threshold, seed)
+    val labels = docs.select(col(idCol), col(splitCol))
+    pairs
+      .join(labels.select(col(idCol).as("idA"), col(splitCol).as("splitA")),
+        Seq("idA"))
+      .join(labels.select(col(idCol).as("idB"), col(splitCol).as("splitB")),
+        Seq("idB"))
+      .where(col("splitA") =!= col("splitB"))
+      .select(col("idA"), col("idB"), col("splitA"), col("splitB"),
+        col("jaccard"))
+  }
 }

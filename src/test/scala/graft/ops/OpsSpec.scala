@@ -390,4 +390,26 @@ class OpsSpec extends SparkTestBase {
     assert(probes.toSet.size == 3, s"probes must be distinct: $probes")
   }
 
+  test("splitLeakage: only cross-split near-dup pairs survive") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base, "train"),
+      (2L, base + " mu", "test"),              // near-dup of 1, straddles
+      (3L, base + " nu", "train"),             // near-dup of 1, same split
+      (4L, "completely different words here about other topics entirely", "val"),
+      (5L, base + " mu xi", "val")             // near-dup chain into val
+    ).toDF("doc_id", "text", "split")
+    val got = Pipeline.splitLeakage(corpus, "doc_id", "text", "split",
+        shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    // (1,3) is within-train → excluded; 4 matches nothing
+    assert(got.map(t => (t._1, t._2)) == Set((1L, 2L), (1L, 5L), (2L, 5L), (2L, 3L), (3L, 5L)))
+    got.foreach { case (_, _, sa, sb) => assert(sa != sb) }
+    // a clean (single-split) corpus reports nothing
+    val clean = corpus.withColumn("split", lit("train"))
+    assert(Pipeline.splitLeakage(clean, "doc_id", "text", "split",
+      shingleN = 2, threshold = 0.5).count() == 0L)
+  }
 }
