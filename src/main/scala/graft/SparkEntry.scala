@@ -1563,6 +1563,21 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q124_novelty" -> ((s, dir) => {
+      // shard novelty vs a reference slice (doc_id % 10 == 0, the q77
+      // bench convention): fraction of each doc's distinct 4-token windows
+      // unseen in the reference. Counts are integer-exact; novelty is one
+      // IEEE division of them — engine-exact unrounded (same argument as
+      // the q77 family: distinct window strings ≡ distinct 64-bit hashes
+      // modulo ~1e-16-improbable collisions)
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.noveltyScores(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "doc_id", "text", windowTokens = 4)
+        .orderBy("doc_id")
+    }),
+
     "q123_split_leakage" -> ((s, dir) => {
       // the pre-eval leakage audit: near-dup pairs straddling the 80/10/10
       // deterministic split. LSH settings = q34's proven-selective ones;
@@ -1865,6 +1880,25 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q124_novelty" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                     FROM documents),
+         sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(len(t) - 2, 1)),
+                  i -> array_to_string(t[i:i+3], chr(1))))) AS g
+                FROM tk),
+         ref AS (SELECT DISTINCT g FROM sp WHERE doc_id % 10 = 0),
+         corp AS (SELECT doc_id, g FROM sp WHERE doc_id % 10 <> 0),
+         agg AS (SELECT c.doc_id, count(*) AS tot, count(r.g) AS seen
+                 FROM corp c LEFT JOIN ref r ON c.g = r.g GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(tot, 0)::BIGINT AS total_grams,
+           coalesce(seen, 0)::BIGINT AS seen_grams,
+           CASE WHEN coalesce(tot, 0) > 0
+                THEN 1 - seen::DOUBLE / tot END AS novelty
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         LEFT JOIN agg ON d.doc_id = agg.doc_id
+         ORDER BY d.doc_id""",
     "q123_split_leakage" ->
       (hashMacros +
         """WITH sh AS (

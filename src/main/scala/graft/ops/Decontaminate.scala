@@ -88,4 +88,39 @@ object Decontaminate {
   // corpus — so the anti-join broadcasts whenever the gram set did
   private def broadcastMaybe(df: DataFrame, b: Boolean): DataFrame =
     if (b) broadcast(df) else df
+
+  /** Per-document novelty against a reference corpus: the fraction of the
+    * doc's DISTINCT `windowTokens`-token windows found nowhere in `ref` —
+    * the curation signal for "is this shard new material or a rehash"
+    * (and, inverted, a memorization-risk score against an already-trained
+    * corpus). Output: (idCol, total_grams, seen_grams, novelty) for EVERY
+    * corpus doc — zero-overlap docs score 1.0, docs too short to form a
+    * single window have total_grams = 0 and NULL novelty.
+    *
+    * Same 64-bit rolling window hashes and scale shape as [[sharedSpans]]:
+    * the reference's distinct-gram set broadcasts (or both sides shuffle
+    * on the gram when `broadcastRef = false`), the corpus side is
+    * explode → probe → per-doc count with map-side partials — the corpus
+    * never shuffles its text. Novelty is one IEEE division of exact
+    * counts, so scores are engine- and partitioning-exact. */
+  def noveltyScores(corpus: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int = 8,
+      broadcastRef: Boolean = true): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(!corpus.columns.exists(Set("__g", "__hit")),
+      "corpus may not contain reserved columns __g, __hit")
+    val rg0 = ref
+      .select(explode(gf.shingle_hashes(col(textCol), windowTokens)).as("__g"))
+      .distinct().withColumn("__hit", lit(1))
+    val rg = if (broadcastRef) broadcast(rg0) else rg0
+    corpus
+      .select(col(idCol), explode_outer(array_distinct(
+        gf.shingle_hashes(col(textCol), windowTokens))).as("__g"))
+      .join(rg, Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__g")).as("total_grams"),
+        count(col("__hit")).as("seen_grams"))
+      .withColumn("novelty", when(col("total_grams") > 0,
+        lit(1.0) - col("seen_grams").cast("double") / col("total_grams")))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.{abs, col, max}
 
 /** Benchmark decontamination (ops.Decontaminate): n-gram collision test
   * against an eval set, broadcast-probe shape. */
@@ -57,5 +58,30 @@ class DecontaminateSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast semi-join, got:\n$plan")
+  }
+
+  test("noveltyScores: hand-checked fractions, every doc present, edges") {
+    val corp = Seq(
+      (1L, "a b c d e"),       // windows(2): ab bc cd de → 4 distinct
+      (2L, "a b a b a b"),     // windows: ab ba → 2 distinct
+      (3L, "z1 z2 z3"),        // z1z2 z2z3 — nothing in ref
+      (4L, "solo")             // too short for a 2-token window
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, "a b c x y"), (101L, "q r"))  // ref grams: ab bc cx xy qr
+      .toDF("doc_id", "text")
+    val got = Decontaminate.noveltyScores(corp, ref, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((4L, 2L, 0.5)))         // ab, bc seen; cd, de novel
+    assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 0.5)
+    assert(got(3L) == ((2L, 0L, 1.0)))         // fully novel
+    assert(got(4L)._1 == 0L && got(4L)._3.isNaN) // no windows → NULL novelty
+    // novelty against ONESELF is exactly zero
+    val self = Decontaminate.noveltyScores(corp, corp, "doc_id", "text", 2)
+      .where(col("novelty").isNotNull)
+      .agg(max(abs(col("novelty")))).collect()(0).getDouble(0)
+    assert(self == 0.0)
   }
 }
