@@ -1563,6 +1563,28 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q125_link_graph" -> ((s, dir) => {
+      // raw HTML → domain-level link graph: deterministic page template
+      // with two absolute links (a .com and a two-level-suffix .co.uk), a
+      // relative link and a mailto (both dropped); oracle mirrors the
+      // anchor regex, host extraction and registrable-domain rule in RE2
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://www.host"), col("doc_id") % 20,
+        lit(".com/doc/"), col("doc_id"))
+      val page = concat(
+        lit("<html><body><p>"), col("text"),
+        lit("</p><a href=\"https://www.site"), col("doc_id") % 50,
+        lit(".com/p/"), col("doc_id"),
+        lit("\">l1</a><A HREF='https://cdn.asset"), (col("doc_id") * 7) % 50,
+        lit(".co.uk/x.js'>l2</A><a href=\"/rel/"), col("doc_id"),
+        lit("\">r</a><a href=\"mailto:a@b.c\">m</a></body></html>"))
+      graft.ops.Web.linkGraph(
+          docs.select(url.as("u"), page.as("h")), col("u"), col("h"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(count(lit(1)).as("edges"))
+        .orderBy("src_domain", "dst_domain")
+    }),
+
     "q124_novelty" -> ((s, dir) => {
       // shard novelty vs a reference slice (doc_id % 10 == 0, the q77
       // bench convention): fraction of each doc's distinct 4-token windows
@@ -1880,6 +1902,39 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q125_link_graph" ->
+      """WITH d AS (SELECT doc_id,
+           'https://www.host' || (doc_id % 20)::VARCHAR || '.com/doc/'
+             || doc_id::VARCHAR AS u,
+           '<html><body><p>' || text || '</p><a href="https://www.site'
+             || (doc_id % 50)::VARCHAR || '.com/p/' || doc_id::VARCHAR
+             || '">l1</a><A HREF=''https://cdn.asset'
+             || ((doc_id * 7) % 50)::VARCHAR
+             || '.co.uk/x.js''>l2</A><a href="/rel/' || doc_id::VARCHAR
+             || '">r</a><a href="mailto:a@b.c">m</a></body></html>' AS h
+           FROM documents),
+         l AS (SELECT u, unnest(regexp_extract_all(h,
+                 '(?i)<a\b[^>]*?href\s*=\s*["'']([^"''>]+)["'']', 1)) AS lnk
+               FROM d),
+         f AS (SELECT regexp_extract(u, '^[a-zA-Z]+://([^/]+)', 1) AS shost,
+                 regexp_extract(lnk, '^[a-zA-Z]+://([^/]+)', 1) AS dhost
+               FROM l WHERE regexp_matches(lnk, '(?i)^https?://')),
+         doms AS (SELECT
+             CASE WHEN len(string_split(shost, '.')) <= 2 THEN shost
+                  WHEN string_split(shost, '.')[-2] || '.'
+                       || string_split(shost, '.')[-1] = 'co.uk'
+                    THEN string_split(shost, '.')[-3] || '.co.uk'
+                  ELSE string_split(shost, '.')[-2] || '.'
+                       || string_split(shost, '.')[-1] END AS src_domain,
+             CASE WHEN len(string_split(dhost, '.')) <= 2 THEN dhost
+                  WHEN string_split(dhost, '.')[-2] || '.'
+                       || string_split(dhost, '.')[-1] = 'co.uk'
+                    THEN string_split(dhost, '.')[-3] || '.co.uk'
+                  ELSE string_split(dhost, '.')[-2] || '.'
+                       || string_split(dhost, '.')[-1] END AS dst_domain
+           FROM f)
+         SELECT src_domain, dst_domain, count(*) AS edges
+         FROM doms GROUP BY 1, 2 ORDER BY 1, 2""",
     "q124_novelty" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                      FROM documents),

@@ -57,6 +57,34 @@ object Web {
       col(outCol), key, maxPerDomain)
   }
 
+  /** All `href` targets of anchor tags in an HTML document, in document
+    * order — the crawl-frontier / link-graph extraction step. Pure
+    * scan-side codegen'd expression (one RE2∩Java-compatible regex pass,
+    * no UDF); double- and single-quoted attribute values, any attribute
+    * order, case-insensitive. Null HTML → null. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"'>]+)[\"']"), lit(1))
+
+  /** Domain-level link edges (src_domain, dst_domain) from crawled pages:
+    * every absolute http(s) link of every page becomes one edge from the
+    * page's registrable domain to the target's — the input
+    * [[Graph.pageRank]] ranks. Relative, mailto:, javascript: and other
+    * non-http targets are dropped, as are unparseable hosts. Pure
+    * scan-side work (extract → explode → parse); the caller's
+    * aggregation/pageRank owns the first shuffle. One page with k links
+    * emits k rows, so an edge appears once per occurrence — aggregate
+    * with count to weight parallel edges. */
+  def linkGraph(df: DataFrame, pageUrl: Column, html: Column,
+      twoLevelSuffixes: Seq[String] = DefaultTwoLevelSuffixes): DataFrame =
+    df.select(
+        registrableDomain(urlHost(pageUrl), twoLevelSuffixes).as("src_domain"),
+        explode(extractLinks(html)).as("__l"))
+      .where(col("__l").rlike("(?i)^https?://"))
+      .select(col("src_domain"),
+        registrableDomain(urlHost(col("__l")), twoLevelSuffixes).as("dst_domain"))
+      .where(col("src_domain").isNotNull && col("dst_domain").isNotNull)
+
   /** One-struct decomposition: (scheme, host, domain, path, query). */
   def parseUrl(url: Column,
       twoLevelSuffixes: Seq[String] = DefaultTwoLevelSuffixes): Column = {

@@ -58,4 +58,63 @@ class WebSpec extends SparkTestBase {
       .collect().map(r => Option(r.getString(0)))
     assert(got.forall(_.isEmpty))
   }
+
+  test("extractLinks: quoting styles, attribute order, case, non-anchors") {
+    import spark.implicits._
+    val html =
+      """<html><body>
+        |<a href="https://a.com/x">one</a>
+        |<A HREF='http://b.org/y'>two</A>
+        |<a class="z" data-x="1" href="https://c.net">three</a>
+        |<a href="/relative">rel</a>
+        |<a href="mailto:u@d.com">mail</a>
+        |<link href="https://not-an-anchor.com/css">
+        |<a name="no-href">anchor-less</a>
+        |</body></html>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(Web.extractLinks($"h")).collect()(0).getSeq[String](0)
+    assert(got == Seq("https://a.com/x", "http://b.org/y", "https://c.net",
+      "/relative", "mailto:u@d.com"))
+    // null html → null
+    val n = Seq(Option.empty[String]).toDF("h")
+      .select(Web.extractLinks($"h")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("linkGraph: domain edges, non-http dropped, parallel edges kept") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://www.src1.com/p",
+        """<a href="https://www.dst1.com/a">x</a>
+          |<a href='https://cdn.dst2.co.uk/b'>y</a>
+          |<a href="https://www.dst1.com/c">again</a>
+          |<a href="/rel">r</a><a href="mailto:m@x.com">m</a>""".stripMargin),
+      ("https://sub.src2.co.uk/q", """<a href="http://dst3.org/z">z</a>"""),
+      ("https://bare/q", """<a href="https://www.dst1.com/d">w</a>""")
+    ).toDF("u", "h")
+    val got = Web.linkGraph(pages, $"u", $"h")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // parallel dst1 edges preserved (2 rows), suffix-aware domains
+    assert(got.count(_ == ("src1.com", "dst1.com")) == 2)
+    assert(got.contains(("src1.com", "dst2.co.uk")))
+    assert(got.contains(("src2.co.uk", "dst3.org")))
+    assert(got.contains(("bare", "dst1.com")))   // 1-label host passes through
+    assert(got.length == 5)
+  }
+
+  test("linkGraph feeds pageRank end-to-end") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/1", """<a href="https://b.com/x">.</a><a href="https://c.com/x">.</a>"""),
+      ("https://b.com/1", """<a href="https://c.com/x">.</a>"""),
+      ("https://c.com/1", """<a href="https://a.com/x">.</a>""")
+    ).toDF("u", "h")
+    val edges = Web.linkGraph(pages, $"u", $"h")
+    val ranks = Graph.pageRank(edges, "src_domain", "dst_domain", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet == Set("a.com", "b.com", "c.com"))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-12)
+    // c receives from both a and b → highest rank
+    assert(ranks("c.com") > ranks("b.com"))
+  }
 }
