@@ -1563,6 +1563,19 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q126_snapshot_diff" -> ((s, dir) => {
+      // incremental-crawl snapshot diff: old drops ids ≡ 3 (mod 7), new
+      // drops ids ≡ 2 (mod 5) and rewrites text on ids ≡ 0 (mod 11) —
+      // all four statuses exercised; oracle reproduces the partition logic
+      val docs = t(s, dir, "documents")
+      val old = docs.where(col("doc_id") % 7 =!= 3).select("doc_id", "text")
+      val neu = docs.where(col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"), when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      graft.ops.Dedup.snapshotDiff(old, neu, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q125_link_graph" -> ((s, dir) => {
       // raw HTML → domain-level link graph: deterministic page template
       // with two absolute links (a .com and a two-level-suffix .co.uk), a
@@ -1902,6 +1915,15 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q126_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 3),
+         n AS (SELECT doc_id, doc_id % 11 = 0 AS mut FROM documents
+               WHERE doc_id % 5 <> 2)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN n.mut THEN 'changed' ELSE 'unchanged' END AS status
+         FROM o FULL JOIN n ON o.doc_id = n.doc_id ORDER BY 1""",
     "q125_link_graph" ->
       """WITH d AS (SELECT doc_id,
            'https://www.host' || (doc_id % 20)::VARCHAR || '.com/doc/'

@@ -594,4 +594,27 @@ object Dedup {
         gf.vec_cosine(col("__va"), col("__vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Snapshot diff between two corpus versions — the incremental-pipeline
+    * primitive ("what changed since the last crawl/process run"): every id
+    * is classified `added` (new only), `removed` (old only), `changed`
+    * (both, text differs), or `unchanged`. Presence is tracked with
+    * marker columns so NULL text still diffs correctly; content compare
+    * ships 64-bit text hashes, so the full-outer join shuffles (id, hash)
+    * rows — the text itself never moves (the standard 64-bit collision
+    * caveat: a changed doc colliding with its old self reads `unchanged`,
+    * ~1e-19 per doc). Output: (idCol, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"),
+      gf.hash64(col(textCol)).as("__ho"), lit(1).as("__po"))
+    val n = newDf.select(col(idCol).as("__id"),
+      gf.hash64(col(textCol)).as("__hn"), lit(1).as("__pn"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(!(col("__ho") <=> col("__hn")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

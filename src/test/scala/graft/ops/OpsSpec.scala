@@ -412,4 +412,26 @@ class OpsSpec extends SparkTestBase {
     assert(Pipeline.splitLeakage(clean, "doc_id", "text", "split",
       shingleN = 2, threshold = 0.5).count() == 0L)
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-text safe") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will be removed"),
+      (5L, null.asInstanceOf[String]),       // null text, persists
+      (6L, null.asInstanceOf[String])        // null → text (changed)
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same text"), (2L, "has changed"), (4L, "brand new"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "now has text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"))
+    // diff against self: everything unchanged
+    val self = Dedup.snapshotDiff(old, old, "doc_id", "text")
+      .select("status").distinct().collect().map(_.getString(0)).toSeq
+    assert(self == Seq("unchanged"))
+  }
 }
