@@ -1563,6 +1563,17 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q127_leak_free_split" -> ((s, dir) => {
+      // the full split-hygiene pipeline: 80/10/10 assignment, then every
+      // non-train member of a cross-split near-dup pair is dropped —
+      // eval sets that can't be inflated by train near-dups
+      graft.ops.Pipeline.leakFreeSplit(t(s, dir, "documents"),
+          "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q126_snapshot_diff" -> ((s, dir) => {
       // incremental-crawl snapshot diff: old drops ids ≡ 3 (mod 7), new
       // drops ids ≡ 2 (mod 5) and rewrites text on ids ≡ 0 (mod 11) —
@@ -1915,6 +1926,32 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q127_leak_free_split" ->
+      (hashMacros +
+        """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         sp AS (SELECT doc_id,
+             CASE WHEN (g_av(doc_id::UBIGINT) & 1048575::UBIGINT)::BIGINT < 838860 THEN 'train'
+                  WHEN (g_av(doc_id::UBIGINT) & 1048575::UBIGINT)::BIGINT < 943718 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                     sa.split AS sa_s, sb.split AS sb_s
+           FROM sh a, sh b, sp sa, sp sb
+           WHERE a.doc_id < b.doc_id
+             AND sa.doc_id = a.doc_id AND sb.doc_id = b.doc_id
+             AND sa.split <> sb.split
+             AND len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         dropset AS (SELECT DISTINCT doc_id FROM (
+             SELECT ia AS doc_id, sa_s AS s FROM pairs
+             UNION ALL SELECT ib, sb_s FROM pairs)
+           WHERE s <> 'train')
+         SELECT doc_id, split FROM sp
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropset)
+         ORDER BY doc_id"""),
     "q126_snapshot_diff" ->
       """WITH o AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 3),
          n AS (SELECT doc_id, doc_id % 11 = 0 AS mut FROM documents

@@ -108,6 +108,33 @@ object Pipeline {
     * jaccard). Pair split labels come from the same deterministic
     * `splitCol` the training job uses, so the report is reproducible
     * run-to-run. */
+  /** Deterministic train/val/test split with the leakage already removed:
+    * assign splits with [[Sampling.hashSplit]] (first entry of `splits`
+    * is the training split by convention), find cross-split near-dup
+    * pairs with [[splitLeakage]], then drop every NON-train member of a
+    * leaking pair — training mass is kept, and an eval doc whose
+    * near-dup sits anywhere else can no longer inflate a score (a
+    * val↔test pair loses both sides). The drop set is leak-sized (tiny
+    * next to the corpus), so the final filter is a broadcast anti-join;
+    * everything upstream is [[splitLeakage]]'s banded-LSH shape.
+    * Returns the corpus + `splitCol`, minus dropped rows —
+    * deterministic under any partitioning, like both ingredients. */
+  def leakFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split",
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val trainLabel = splits.head._1
+    val assigned = Sampling.hashSplit(docs, col(idCol), splits, splitCol)
+    val leaks = splitLeakage(assigned, idCol, textCol, splitCol, shingleN,
+      numHashes, bands, threshold, seed)
+    val drop = leaks.select(col("idA").as(idCol), col("splitA").as("__sp"))
+      .unionAll(leaks.select(col("idB").as(idCol), col("splitB").as("__sp")))
+      .where(col("__sp") =!= trainLabel)
+      .select(idCol).distinct()
+    assigned.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
       splitCol: String, shingleN: Int = 3, numHashes: Int = 128,
       bands: Int = 32, threshold: Double = 0.7,

@@ -413,6 +413,36 @@ class OpsSpec extends SparkTestBase {
       shingleN = 2, threshold = 0.5).count() == 0L)
   }
 
+  test("leakFreeSplit: non-train members of leaking pairs dropped") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base), (2L, base + " mu"), (3L, base + " nu"),
+      (4L, "completely different words here about other topics entirely"),
+      (5L, base + " mu xi")).toDF("doc_id", "text")
+    // force a known assignment by driving hashSplit first and reusing it
+    val assigned = Sampling.hashSplit(corpus, col("doc_id"),
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+    val splitOf = assigned.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val got = Pipeline.leakFreeSplit(corpus, "doc_id", "text",
+        Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2),
+        shingleN = 2, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // same assignment for the survivors
+    got.foreach { case (id, sp) => assert(splitOf(id) == sp) }
+    // reference: pairs among {1,2,3,5} (4 matches nothing); drop the
+    // non-train side of every cross-split pair
+    val dupIds = Set(1L, 2L, 3L, 5L)
+    val wantDropped = (for {
+      a <- dupIds; b <- dupIds if a < b && splitOf(a) != splitOf(b)
+      d <- Seq(a, b) if splitOf(d) != "train"
+    } yield d).toSet
+    assert(got.keySet == corpus.collect().map(_.getLong(0)).toSet -- wantDropped)
+    // doc 4 (no near-dup) always survives
+    assert(got.contains(4L))
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, null-text safe") {
     import spark.implicits._
     val old = Seq(
