@@ -1563,6 +1563,17 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q128_dup_crosstab" -> ((s, dir) => {
+      // dedup analytics: which source pairs share near-dup mass (mirror /
+      // syndication detection). Pairs = q34's verified-jaccard set;
+      // orientation-normalized source cells
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+      graft.ops.Dedup.pairCrossTab(pairs, docs, "doc_id", "source")
+        .orderBy("label_a", "label_b")
+    }),
+
     "q127_leak_free_split" -> ((s, dir) => {
       // the full split-hygiene pipeline: 80/10/10 assignment, then every
       // non-train member of a cross-split near-dup pair is dropped —
@@ -1926,6 +1937,23 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q128_dup_crosstab" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id
+             AND len(list_intersect(a.s, b.s))::DOUBLE
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+         SELECT least(x.source, y.source) AS label_a,
+           greatest(x.source, y.source) AS label_b,
+           count(*) AS pairs
+         FROM pr
+         JOIN documents x ON pr.ia = x.doc_id
+         JOIN documents y ON pr.ib = y.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q127_leak_free_split" ->
       (hashMacros +
         """WITH sh AS (

@@ -595,6 +595,27 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Cross-tabulate a duplicate-pair frame (idA, idB, …) by a per-id label
+    * (source, lang, shard) — the dedup ANALYTICS view: which source pairs
+    * share near-dup mass (mirror sites, syndication, scraper overlap), the
+    * input to "which feeds do we drop". Labels are order-normalized
+    * (label_a ≤ label_b) so a pair counts once regardless of orientation;
+    * pairs whose either label is NULL are dropped. Scale shape: the pair
+    * frame is dup-sized (tiny next to the corpus); two id-keyed joins pick
+    * up labels, then one label-pair-keyed count — the corpus itself only
+    * ever ships (id, label). */
+  def pairCrossTab(pairs: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val l = labels.select(col(idCol), col(labelCol))
+    pairs
+      .join(l.select(col(idCol).as("idA"), col(labelCol).as("__la")), Seq("idA"))
+      .join(l.select(col(idCol).as("idB"), col(labelCol).as("__lb")), Seq("idB"))
+      .where(col("__la").isNotNull && col("__lb").isNotNull)
+      .select(least(col("__la"), col("__lb")).as("label_a"),
+        greatest(col("__la"), col("__lb")).as("label_b"))
+      .groupBy("label_a", "label_b").agg(count(lit(1)).as("pairs"))
+  }
+
   /** Snapshot diff between two corpus versions — the incremental-pipeline
     * primitive ("what changed since the last crawl/process run"): every id
     * is classified `added` (new only), `removed` (old only), `changed`

@@ -443,6 +443,21 @@ class OpsSpec extends SparkTestBase {
     assert(got.contains(4L))
   }
 
+  test("pairCrossTab: orientation-normalized label-pair counts, nulls dropped") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("idA", "idB")
+    val labels = Seq(
+      (1L, "srcX"), (2L, "srcY"),     // X↔Y
+      (3L, "srcY"), (4L, "srcX"),     // Y↔X — same cell after normalization
+      (5L, "srcX"), (6L, "srcX"),     // within-X
+      (7L, "srcZ"), (8L, null.asInstanceOf[String])  // dropped
+    ).toDF("doc_id", "src")
+    val got = Dedup.pairCrossTab(pairs, labels, "doc_id", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("srcX", "srcY") -> 2L, ("srcX", "srcX") -> 1L))
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, null-text safe") {
     import spark.implicits._
     val old = Seq(
