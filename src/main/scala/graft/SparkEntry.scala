@@ -1563,6 +1563,19 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q129_js_matrix" -> ((s, dir) => {
+      // which languages are token-distributed alike: pairwise JS over the
+      // global vocabulary grid (5 langs → 10 pairs). round(6) margins
+      // measured ≥ 3.5e-8 at both scales
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("__w"))
+        .where(col("__w") =!= "")
+      graft.ops.Drift.jsMatrix(toks, col("__w"), col("lang"))
+        .select(col("group_a"), col("group_b"),
+          round(col("js_div"), 6).as("js_div"))
+        .orderBy("group_a", "group_b")
+    }),
+
     "q128_dup_crosstab" -> ((s, dir) => {
       // dedup analytics: which source pairs share near-dup mass (mirror /
       // syndication detection). Pairs = q34's verified-jaccard set;
@@ -1937,6 +1950,24 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q129_js_matrix" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+         t2 AS (SELECT * FROM tok WHERE w <> ''),
+         c AS (SELECT lang, w, count(*) AS n FROM t2 GROUP BY 1, 2),
+         v AS (SELECT count(DISTINCT w) AS nv FROM t2),
+         tot AS (SELECT lang, sum(n)::DOUBLE AS t FROM c GROUP BY 1),
+         grid AS (SELECT g.lang, vv.w,
+             (coalesce(c.n, 0) + 0.5) / (tot.t + 0.5 * (SELECT nv FROM v)) AS p
+           FROM (SELECT DISTINCT lang FROM c) g
+           CROSS JOIN (SELECT DISTINCT w FROM c) vv
+           LEFT JOIN c ON c.lang = g.lang AND c.w = vv.w
+           JOIN tot ON tot.lang = g.lang)
+         SELECT a.lang AS group_a, b.lang AS group_b,
+           round(sum(0.5 * (a.p * ln(a.p / ((a.p + b.p) / 2))
+             + b.p * ln(b.p / ((a.p + b.p) / 2)))), 6) AS js_div
+         FROM grid a JOIN grid b ON a.w = b.w AND a.lang < b.lang
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q128_dup_crosstab" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),

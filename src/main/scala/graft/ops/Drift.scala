@@ -108,6 +108,48 @@ object Drift {
         col("n_a"), col("n_b"), col("vocab").as("bins_used"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between ALL groups' categorical
+    * distributions — the distribution counterpart of
+    * `Similarity.centroidCosines`: which sources/languages/shards are
+    * distributed alike (mixture design, redundancy maps, "which feeds
+    * look the same"). One count aggregation builds the (group, category)
+    * table; a dense group × observed-vocabulary grid (zero-filled,
+    * α-smoothed over the GLOBAL vocabulary so every pair is comparable)
+    * self-joins on category — the grid is groups × vocabulary, corpus-size
+    * independent — and per-pair terms fan in through `exact_sum`. Output:
+    * (group_a, group_b, js_div) for group_a < group_b, symmetric,
+    * deterministic under any partitioning. */
+  def jsMatrix(df: DataFrame, cat: Column, group: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, "alpha must be > 0")
+    val cnts = df.where(cat.isNotNull && group.isNotNull)
+      .groupBy(group.as("__g"), cat.as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val groups = cnts.select(col("__g")).distinct()
+    val vocab = cnts.select(col("__c")).distinct()
+    val v = vocab.count()
+    val totals = cnts.groupBy("__g").agg(sum("__n").as("__tot"))
+    // dense grid: every (group, category) with its smoothed probability
+    val grid = groups.crossJoin(vocab)
+      .join(cnts, Seq("__g", "__c"), "left")
+      .join(totals, Seq("__g"))
+      .select(col("__g"), col("__c"),
+        ((coalesce(col("__n"), lit(0L)) + lit(alpha)) /
+          (col("__tot") + lit(alpha * v))).as("__p"))
+    val a = grid.select(col("__g").as("group_a"), col("__c"),
+      col("__p").as("__pa"))
+    val b = grid.select(col("__g").as("group_b"), col("__c"),
+      col("__p").as("__pb"))
+    val m = (col("__pa") + col("__pb")) / lit(2.0)
+    a.join(b, Seq("__c")).where(col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        (lit(0.5) * (col("__pa") * log(col("__pa") / m)
+          + col("__pb") * log(col("__pb") / m))).as("__t"))
+      .groupBy("group_a", "group_b")
+      .agg(gf.exact_sum(col("__t")).as("js_div"))
+  }
+
   /** Convenience: token-distribution drift — whitespace-tokenize
     * `text` (empty tokens dropped, the corpus tokenization every text
     * op here uses) and delegate to [[categoricalDrift]]. */

@@ -152,6 +152,38 @@ class DriftSpec extends SparkTestBase {
     assert(r.getLong(7) < 10L)                    // collapsed edges → fewer observed bins
   }
 
+  test("jsMatrix: pairwise JS vs the two-slice reference, symmetry, zero") {
+    import spark.implicits._
+    val rows = Seq.fill(60)("g1" -> "x") ++ Seq.fill(40)("g1" -> "y") ++
+      Seq.fill(30)("g2" -> "x") ++ Seq.fill(70)("g2" -> "y") ++
+      Seq.fill(50)("g3" -> "x") ++ Seq.fill(25)("g3" -> "y") ++
+      Seq.fill(25)("g3" -> "z")
+    val df = rows.toDF("g", "c")
+    val got = Drift.jsMatrix(df, col("c"), col("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet ==
+      Set(("g1", "g2"), ("g1", "g3"), ("g2", "g3")))
+    // reference for one pair, smoothing over the GLOBAL vocab {x,y,z}
+    def dist(cs: Map[String, Long], tot: Double) =
+      Seq("x", "y", "z").map(w => (cs.getOrElse(w, 0L) + 0.5) / (tot + 1.5))
+    val p1 = dist(Map("x" -> 60L, "y" -> 40L), 100)
+    val p2 = dist(Map("x" -> 30L, "y" -> 70L), 100)
+    val want12 = p1.zip(p2).map { case (pa, pb) =>
+      val m = (pa + pb) / 2
+      0.5 * (pa * math.log(pa / m) + pb * math.log(pb / m))
+    }.sum
+    assert(math.abs(got(("g1", "g2")) - want12) < 1e-12)
+    // all values in [0, ln 2); identical groups → 0
+    got.values.foreach(x => assert(x >= 0 && x < math.log(2.0)))
+    val dup = (rows ++ rows.filter(_._1 == "g1").map { case (_, c) => "g4" -> c })
+      .toDF("g", "c")
+    val z = Drift.jsMatrix(dup, col("c"), col("g"))
+      .where(col("group_a") === "g1" && col("group_b") === "g4")
+      .collect()(0).getDouble(2)
+    assert(z == 0.0)
+  }
+
   test("tokenDrift over the documents fixture: nonzero, parity-split") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val r = Drift.tokenDrift(docs, col("text"), col("doc_id") % 2 === 0)
