@@ -1563,6 +1563,19 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q130_windowed_drift" -> ((s, dir) => {
+      // day-over-day event-type drift: each daily window vs its
+      // predecessor (29 windows at both scales). round(6) margins
+      // measured ≥ 2.8e-9
+      graft.ops.Drift.windowedDrift(t(s, dir, "events"),
+          col("ts"), col("event_type"), "1 day")
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          round(col("js_div"), 6).as("js_div"),
+          round(col("tv_dist"), 6).as("tv_dist"),
+          col("n_prev"), col("n_cur"), col("vocab"))
+        .orderBy("day")
+    }),
+
     "q129_js_matrix" -> ((s, dir) => {
       // which languages are token-distributed alike: pairwise JS over the
       // global vocabulary grid (5 langs → 10 pairs). round(6) margins
@@ -1950,6 +1963,32 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q130_windowed_drift" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS w, event_type AS ct,
+               count(*) AS n FROM events GROUP BY 1, 2),
+         wins AS (SELECT DISTINCT w FROM c),
+         pairs AS (SELECT a.w FROM wins a
+                   JOIN wins b ON b.w = a.w - INTERVAL 1 DAY),
+         un AS (SELECT DISTINCT p.w, c.ct FROM pairs p
+                JOIN c ON c.w = p.w OR c.w = p.w - INTERVAL 1 DAY),
+         tot AS (SELECT w, sum(n)::DOUBLE AS t FROM c GROUP BY 1),
+         vc AS (SELECT w, count(*) AS v FROM un GROUP BY 1),
+         g AS (SELECT un.w, vc.v, tc.t AS tc_t, tp.t AS tp_t,
+             (coalesce(prv.n, 0) + 0.5) / (tp.t + 0.5 * vc.v) AS pa,
+             (coalesce(cur.n, 0) + 0.5) / (tc.t + 0.5 * vc.v) AS pb
+           FROM un
+           LEFT JOIN c cur ON cur.w = un.w AND cur.ct = un.ct
+           LEFT JOIN c prv ON prv.w = un.w - INTERVAL 1 DAY AND prv.ct = un.ct
+           JOIN tot tc ON tc.w = un.w
+           JOIN tot tp ON tp.w = un.w - INTERVAL 1 DAY
+           JOIN vc ON vc.w = un.w)
+         SELECT strftime(w, '%Y-%m-%d') AS day,
+           round(sum(0.5 * (pa * ln(pa / ((pa + pb) / 2))
+             + pb * ln(pb / ((pa + pb) / 2)))), 6) AS js_div,
+           round(sum(0.5 * abs(pa - pb)), 6) AS tv_dist,
+           max(tp_t)::BIGINT AS n_prev, max(tc_t)::BIGINT AS n_cur,
+           max(v)::BIGINT AS vocab
+         FROM g GROUP BY 1 ORDER BY 1""",
     "q129_js_matrix" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
                FROM documents),

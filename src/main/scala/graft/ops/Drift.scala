@@ -108,6 +108,66 @@ object Drift {
         col("n_a"), col("n_b"), col("vocab").as("bins_used"))
   }
 
+  /** Time-series drift: each tumbling event-time window's categorical
+    * distribution compared to the PREVIOUS window's — the "did last
+    * night's crawl change the mix" monitor, one row per window that has a
+    * predecessor: (window_start, js_div, tv_dist, n_prev, n_cur, vocab).
+    * Smoothing is over the UNION vocabulary of the two windows (same rule
+    * as [[categoricalDrift]] per pair), so a category appearing or
+    * vanishing registers as finite drift.
+    *
+    * Scale shape: ONE (window, category)-keyed count shuffle over the
+    * corpus (map-side combined); everything after runs on the
+    * windows × categories count table (localCheckpoint'd, corpus-size
+    * independent); per-window scalars fan in through `exact_sum`.
+    * Tumbling windows only — `windowDuration` must be a valid
+    * `INTERVAL` string (e.g. "1 day"). */
+  def windowedDrift(df: DataFrame, ts: Column, cat: Column,
+      windowDuration: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, "alpha must be > 0")
+    val cnts = df.where(cat.isNotNull && ts.isNotNull)
+      .groupBy(window(ts, windowDuration).as("__w"), cat.as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__w.start").as("__ws"), col("__c"), col("__n"))
+      .localCheckpoint()
+    val step = expr(s"INTERVAL $windowDuration")
+    val wins = cnts.select(col("__ws")).distinct()
+    // windows whose predecessor window exists
+    val paired = wins.join(
+      wins.select((col("__ws") + step).as("__ws")), Seq("__ws"), "left_semi")
+    // union vocabulary per (current) window: categories of w ∪ w−1
+    val un = paired
+      .join(cnts.select(col("__ws"), col("__c"))
+          .unionAll(cnts.select((col("__ws") + step).as("__ws"), col("__c"))),
+        Seq("__ws"))
+      .select(col("__ws"), col("__c")).distinct()
+    val tot = cnts.groupBy("__ws").agg(sum("__n").as("__t"))
+    val vsz = un.groupBy("__ws").agg(count(lit(1)).as("__v"))
+    val cur = cnts.withColumnRenamed("__n", "__ncur")
+    val prv = cnts.select((col("__ws") + step).as("__ws"), col("__c"),
+      col("__n").as("__nprv"))
+    val g = un
+      .join(cur, Seq("__ws", "__c"), "left")
+      .join(prv, Seq("__ws", "__c"), "left")
+      .join(tot.withColumnRenamed("__t", "__tc"), Seq("__ws"))
+      .join(tot.select((col("__ws") + step).as("__ws"),
+        col("__t").as("__tp")), Seq("__ws"))
+      .join(vsz, Seq("__ws"))
+    val pa = (coalesce(col("__nprv"), lit(0L)) + lit(alpha)) /
+      (col("__tp") + lit(alpha) * col("__v"))
+    val pb = (coalesce(col("__ncur"), lit(0L)) + lit(alpha)) /
+      (col("__tc") + lit(alpha) * col("__v"))
+    val m = (pa + pb) / lit(2.0)
+    g.select(col("__ws"), col("__tc"), col("__tp"), col("__v"),
+        (lit(0.5) * (pa * log(pa / m) + pb * log(pb / m))).as("__js"),
+        (lit(0.5) * abs(pa - pb)).as("__tv"))
+      .groupBy(col("__ws").as("window_start"))
+      .agg(gf.exact_sum(col("__js")).as("js_div"),
+        gf.exact_sum(col("__tv")).as("tv_dist"),
+        max(col("__tp")).as("n_prev"), max(col("__tc")).as("n_cur"),
+        max(col("__v")).as("vocab"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between ALL groups' categorical
     * distributions — the distribution counterpart of
     * `Similarity.centroidCosines`: which sources/languages/shards are

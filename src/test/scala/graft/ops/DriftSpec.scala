@@ -152,6 +152,50 @@ class DriftSpec extends SparkTestBase {
     assert(r.getLong(7) < 10L)                    // collapsed edges → fewer observed bins
   }
 
+  test("windowedDrift: per-window vs previous, gaps skipped, zero on repeat") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // day1: 60a/40b; day2: identical mix; day3: 20a/80b; day5 (gap): 50a/50b
+    val rows =
+      (0 until 60).map(i => (t(1, i % 24), "a")) ++
+      (0 until 40).map(i => (t(1, i % 24), "b")) ++
+      (0 until 60).map(i => (t(2, i % 24), "a")) ++
+      (0 until 40).map(i => (t(2, i % 24), "b")) ++
+      (0 until 20).map(i => (t(3, i % 24), "a")) ++
+      (0 until 80).map(i => (t(3, i % 24), "b")) ++
+      (0 until 50).map(i => (t(5, i % 24), "a")) ++
+      (0 until 50).map(i => (t(5, i % 24), "b"))
+    val df = rows.toDF("ts", "c")
+    val got = Drift.windowedDrift(df, col("ts"), col("c"), "1 day")
+      .collect().map(r => r.getTimestamp(0).toString.take(10) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // day2 and day3 have predecessors; day1 has none; day5's predecessor
+    // (day4) is missing → skipped
+    assert(got.keySet == Set("2024-01-02", "2024-01-03"))
+    val (js2, tv2, np2, nc2, v2) = got("2024-01-02")
+    assert(js2 == 0.0 && tv2 == 0.0 && np2 == 100L && nc2 == 100L && v2 == 2L)
+    // day3 reference vs day2, smoothed over union vocab {a, b}
+    val (js3, tv3, _, _, _) = got("2024-01-03")
+    def p(n: Long, tot: Long) = (n + 0.5) / (tot + 1.0)
+    val ref = Seq((60L, 20L), (40L, 80L)).map { case (na, nb) =>
+      val (pa, pb) = (p(na, 100), p(nb, 100))
+      val m = (pa + pb) / 2
+      (0.5 * (pa * math.log(pa / m) + pb * math.log(pb / m)),
+        0.5 * math.abs(pa - pb))
+    }
+    assert(math.abs(js3 - ref.map(_._1).sum) < 1e-12)
+    assert(math.abs(tv3 - ref.map(_._2).sum) < 1e-12)
+    // a category vanishing between windows stays finite
+    val vanish = ((0 until 50).map(i => (t(7, i % 24), "x")) ++
+      (0 until 50).map(i => (t(7, i % 24), "y")) ++
+      (0 until 100).map(i => (t(8, i % 24), "x"))).toDF("ts", "c")
+    val v8 = Drift.windowedDrift(vanish, col("ts"), col("c"), "1 day")
+      .collect()(0)
+    assert(!v8.getDouble(1).isInfinite && v8.getLong(5) == 2L)
+  }
+
   test("jsMatrix: pairwise JS vs the two-slice reference, symmetry, zero") {
     import spark.implicits._
     val rows = Seq.fill(60)("g1" -> "x") ++ Seq.fill(40)("g1" -> "y") ++
