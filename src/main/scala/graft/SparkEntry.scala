@@ -1563,6 +1563,13 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    "q131_centroid_shift" -> ((s, dir) => {
+      // embedding drift between the even/odd vec_id halves: centroid
+      // cosine + norms. round(6) margins measured ≥ 9.4e-8
+      graft.ops.Similarity.centroidShift(t(s, dir, "embeddings"),
+        col("embedding"), col("vec_id") % 2 === 0)
+    }),
+
     "q130_windowed_drift" -> ((s, dir) => {
       // day-over-day event-type drift: each daily window vs its
       // predecessor (29 windows at both scales). round(6) margins
@@ -1963,6 +1970,19 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q131_centroid_shift" ->
+      """WITH u AS (SELECT vec_id % 2 = 0 AS a, i AS d,
+               embedding[i]::DOUBLE AS x
+           FROM embeddings, generate_series(1, 64) g(i)),
+         c AS (SELECT a, d, sum(x) / count(*) AS m, count(*) AS n
+               FROM u GROUP BY 1, 2),
+         cent AS (SELECT a, list(m ORDER BY d) AS v, max(n) AS nv
+                  FROM c GROUP BY 1)
+         SELECT round(list_cosine_similarity(x.v, y.v), 6) AS cosine,
+           round(sqrt(list_sum(list_transform(x.v, e -> e * e))), 6) AS norm_a,
+           round(sqrt(list_sum(list_transform(y.v, e -> e * e))), 6) AS norm_b,
+           x.nv::BIGINT AS n_a, y.nv::BIGINT AS n_b
+         FROM cent x, cent y WHERE x.a AND NOT y.a""",
     "q130_windowed_drift" ->
       """WITH c AS (SELECT date_trunc('day', ts) AS w, event_type AS ct,
                count(*) AS n FROM events GROUP BY 1, 2),

@@ -253,6 +253,28 @@ object Similarity {
         round(gf.vec_cosine(col("__ca"), col("__cb")), roundTo).as("cosine"))
   }
 
+  /** Embedding drift between two corpus slices — the semantic-space
+    * counterpart of `Drift.categoricalDrift`: did the new snapshot MEAN
+    * anything different, even where token statistics look stable? One row:
+    * cosine between the two slices' mean embeddings, both centroid L2
+    * norms (a norm collapse flags degenerate/duplicated content), and the
+    * slice sizes. Built on [[groupCentroids]] over the boolean slice flag,
+    * so the corpus never shuffles vectors and the centroids are
+    * bit-reproducible; the final comparison is a 2-row join. */
+  def centroidShift(df: DataFrame, vecCol: Column, isA: Column,
+      roundTo: Int = 6): DataFrame = {
+    val cent = groupCentroids(df.where(isA.isNotNull), isA, vecCol)
+    val a = cent.where(col("group") === true)
+      .select(col("centroid").as("__ca"), col("n_vectors").as("n_a"))
+    val b = cent.where(col("group") === false)
+      .select(col("centroid").as("__cb"), col("n_vectors").as("n_b"))
+    a.crossJoin(b).select(
+      round(gf.vec_cosine(col("__ca"), col("__cb")), roundTo).as("cosine"),
+      round(gf.vec_norm(col("__ca")), roundTo).as("norm_a"),
+      round(gf.vec_norm(col("__cb")), roundTo).as("norm_b"),
+      col("n_a"), col("n_b"))
+  }
+
   /** Semantic dedup: drop all but one representative of every semantic-dup
     * group (connected components over [[semanticPairs]], keep the minimum
     * id — deterministic). Returns the corpus minus dropped rows. */

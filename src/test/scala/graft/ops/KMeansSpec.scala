@@ -266,6 +266,25 @@ class KMeansSpec extends SparkTestBase {
     assert(got(("b", "c")) == 0.0)
   }
 
+  test("centroidShift: hand-checked cosine/norms, self-shift is 1.0") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),     // even: centroid (1,0)
+      (1L, Seq(0.0f, 3.0f)), (3L, Seq(0.0f, 1.0f))      // odd: centroid (0,2)
+    ).toDF("id", "v")
+    val r = Similarity.centroidShift(df, col("v"), col("id") % 2 === 0)
+      .collect()(0)
+    assert(r.getDouble(0) == 0.0)                       // orthogonal centroids
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 2.0)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
+    // identical slices → cosine exactly 1
+    val same = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(1.0f, 2.0f)))
+      .toDF("id", "v")
+    val s = Similarity.centroidShift(same, col("v"), col("id") % 2 === 0)
+      .collect()(0)
+    assert(s.getDouble(0) == 1.0)
+  }
+
   test("centroidCosines on the embeddings fixture: k*(k-1)/2 pairs in [-1,1]") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rows = Similarity.centroidCosines(emb, col("label"), col("embedding"))
