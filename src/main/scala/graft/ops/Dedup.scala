@@ -271,8 +271,14 @@ object Dedup {
         explode(sequence(col("start_b"),
           col("start_b") + col("run_tokens") - 1)).as("__pos"))
       .distinct()
+    // split(trim(""), "\s+") yields a single EMPTY token — dropping
+    // zero-length tokens keeps empty/whitespace-only docs at n_kept=0,
+    // consistent with shingle_hashes_pos's zero-token view of the same
+    // input. Non-empty trimmed text never produces empty tokens, so
+    // positions are undisturbed for every real document.
     val toks = df.select(col(idCol).as("__id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
+      .where(length(col("__tok")) > 0)
     val kept = toks.join(covered, Seq("__id", "__pos"), "left_anti")
       .groupBy("__id")
       .agg(concat_ws(" ", transform(

@@ -216,8 +216,8 @@ object Drift {
   def tokenDrift(df: DataFrame, text: Column, isA: Column,
       alpha: Double = 0.5): DataFrame = {
     val toks = df.select(isA.as("__a"),
-        explode(split(text, " ")).as("__w"))
-      .where(col("__w") =!= "")
+        explode(split(text, "\\s+")).as("__w"))
+      .where(length(col("__w")) > 0)
     categoricalDrift(toks, col("__w"), col("__a"), alpha)
   }
 

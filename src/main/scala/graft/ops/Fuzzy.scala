@@ -39,8 +39,10 @@ object Fuzzy {
     *
     * Output is exact (blocking is complete + every candidate is verified)
     * with PAIR-SET semantics: one row per distinct (leftId, rightId)
-    * combination — duplicate input rows with the same id do not multiply
-    * output rows. `dist` is the true edit distance. */
+    * combination — duplicate input rows with the same id (on EITHER side,
+    * even with differing text under one id) do not multiply output rows.
+    * `dist` is the smallest edit distance over the texts observed for the
+    * pair (the true edit distance when ids are unique keys). */
   def editDistanceJoin(left: DataFrame, leftId: String, leftText: String,
       right: DataFrame, rightId: String, rightText: String,
       maxDist: Int): DataFrame = {
@@ -55,7 +57,7 @@ object Fuzzy {
     if (tau == 0) {
       // Degenerate case: equality join, deduped to the same pair-set
       // semantics as the blocked path.
-      return l.join(r, col("__lt") === col("__rt"))
+      return l.distinct().join(r.distinct(), col("__lt") === col("__rt"))
         .select(col("__lid").as(leftId), col("__rid").as(rightId),
           lit(0).as("dist"))
         .distinct()
@@ -127,13 +129,18 @@ object Fuzzy {
     val shortPairs = lShort.join(rShort, Seq("__rlen"))
       .select(col("__lid"), col("__lt"), col("__rid"))
 
-    val verified = mainPairs.union(shortPairs)
-      .join(r, Seq("__rid"))
+    // Verify against the DEDUPED right side and reduce to one row per
+    // (leftId, rightId): duplicate right rows would otherwise multiply
+    // through this join (mainPairs is distinct, but the verification
+    // join is not), and duplicate ids carrying different texts would
+    // yield several distances — min() restores the pair-set contract.
+    val verified = mainPairs.union(shortPairs).distinct()
+      .join(r.distinct(), Seq("__rid"))
       .select(col("__lid"), col("__rid"),
         levenshtein(col("__lt"), col("__rt")).as("dist"))
       .where(col("dist") <= tau)
-    verified.select(col("__lid").as(leftId), col("__rid").as(rightId),
-      col("dist"))
+    verified.groupBy(col("__lid").as(leftId), col("__rid").as(rightId))
+      .agg(min(col("dist")).as("dist"))
   }
 
   /** Self-join flavor: unordered pairs (idA < idB) within edit distance

@@ -144,7 +144,7 @@ object Sampling {
     * each task retains at most maxQuota rows per group BEFORE the shuffle;
     * the exact per-group quota then filters after ranking. */
   def mixtureSample(df: DataFrame, groupCol: Column, key: Column,
-      targets: Seq[(String, Double)], totalRows: Long): DataFrame = {
+      targets: Seq[(Any, Double)], totalRows: Long): DataFrame = {
     require(!df.columns.contains("__rn"),
       "input may not contain reserved column __rn")
     require(totalRows > 0, "totalRows must be > 0")
@@ -184,12 +184,18 @@ object Sampling {
   def temperatureMixture(df: DataFrame, groupCol: Column, key: Column,
       alpha: Double, totalRows: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
-    val counts = df.groupBy(groupCol.as("__g"))
+    // NULL groups are excluded up front (a null can never equal a quota
+    // label, so its quota would be silently wasted); group values stay
+    // NATIVE-typed so the quota comparison in [[mixtureSample]] never
+    // relies on implicit string casts. Sort order only fixes the
+    // when-chain fold order — labels are distinct, so it is cosmetic.
+    val counts = df.where(groupCol.isNotNull).groupBy(groupCol.as("__g"))
       .agg(count(lit(1)).as("__n")).collect()
-      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
-      .sortBy(_._1)
+      .map(r => (r.get(0), r.getLong(1)))
+      .sortBy(t => String.valueOf(t._1))
+    if (counts.isEmpty) return df.limit(0) // no observed groups → empty
     val targets = counts.toSeq.map { case (g, n) =>
-      g -> math.pow(n.toDouble, alpha) }
+      (g, math.pow(n.toDouble, alpha)) }
     mixtureSample(df, groupCol, key, targets, totalRows)
   }
 

@@ -250,17 +250,21 @@ object Text {
       k: Int, minCount: Long = 5L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(minCount >= 1, "minCount must be >= 1")
+    // Corpus tokenization: \s+ runs with empties dropped — the same rule
+    // docTermFrequencies / Classify / tokenHashes use. Adjacency is over
+    // the FILTERED sequence, so "a  b" (double space, tabs, newlines)
+    // counts as the adjacent pair (a, b) instead of silently vanishing.
+    val wsCol = filter(split(col(textCol), "\\s+"),
+      w => length(w) > 0)
     val toks = df.select(col(idCol).as("__did"),
-        posexplode(split(col(textCol), " ")).as(Seq("__i", "__w")))
-      .where(col("__w") =!= "")
+        posexplode(wsCol).as(Seq("__i", "__w")))
     val uni = toks.groupBy(col("__w")).agg(count(lit(1)).as("__ca"))
-    val bi = df.select(col(idCol).as("__did"),
-        split(col(textCol), " ").as("__ws"))
+    val bi = df.select(col(idCol).as("__did"), wsCol.as("__ws"))
       .select(col("__did"), posexplode(col("__ws")).as(Seq("__i", "__a")),
         col("__ws"))
       .select(col("__a"),
         try_element_at(col("__ws"), col("__i") + 2).as("__b"))
-      .where(col("__a") =!= "" && col("__b").isNotNull && col("__b") =!= "")
+      .where(col("__b").isNotNull)
       .groupBy("__a", "__b").agg(count(lit(1)).as("__cab"))
     val n = math.max(toks.count().toDouble, 1.0)
     // coalesce: an empty bigram frame sums to NULL; the value is never

@@ -236,4 +236,14 @@ class DriftSpec extends SparkTestBase {
     assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 0.01) // same generator → tiny JS
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 0.2)
   }
+
+  test("tokenDrift tokenizes \\s+ runs — multi-space text equals single-space") {
+    import spark.implicits._
+    val spaced = Seq((true, "a  b\tc"), (false, "a\nb  c")).toDF("f", "t")
+    val plain = Seq((true, "a b c"), (false, "a b c")).toDF("f", "t")
+    val got = Drift.tokenDrift(spaced, col("t"), col("f")).collect()(0)
+    val want = Drift.tokenDrift(plain, col("t"), col("f")).collect()(0)
+    assert(got == want)
+    assert(got.getLong(6) == 3L) // vocab {a,b,c}, no phantom "" token
+  }
 }

@@ -133,6 +133,30 @@ class FuzzySpec extends SparkTestBase {
     }
   }
 
+  test("duplicate RIGHT rows don't multiply output (main + short buckets)") {
+    import spark.implicits._
+    // "abc" exercises the main blocked path; "a" the short bucket (τ=1)
+    val left = Seq((1L, "abc"), (2L, "a")).toDF("id", "t")
+    val right = Seq((9L, "abc"), (9L, "abc"), (8L, "a"), (8L, "a"))
+      .toDF("id", "t")
+    for (tau <- 0 to 1) {
+      val rows = Fuzzy.editDistanceJoin(left, "id", "t", right, "id", "t", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.length == rows.map(r => (r._1, r._2)).distinct.length,
+        s"tau=$tau duplicated pair rows: ${rows.toSeq}")
+      assert(rows.toSet == Set((1L, 9L, 0), (2L, 8L, 0)), s"tau=$tau")
+    }
+  }
+
+  test("one id with two texts yields one pair row with the min distance") {
+    import spark.implicits._
+    val left = Seq((1L, "abc")).toDF("id", "t")
+    val right = Seq((9L, "abd"), (9L, "abc")).toDF("id", "t")
+    val rows = Fuzzy.editDistanceJoin(left, "id", "t", right, "id", "t", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, 9L, 0)))
+  }
+
   test("null texts are dropped, not matched") {
     import spark.implicits._
     val df = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]),

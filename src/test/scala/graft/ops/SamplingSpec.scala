@@ -140,6 +140,28 @@ class SamplingSpec extends SparkTestBase {
     assert(got == wantIds)
   }
 
+  test("temperatureMixture: NULL groups excluded, native int keys, empty input") {
+    // a NULL group must not become a phantom "null" quota that wastes rows
+    val withNull = (Seq((0L, null.asInstanceOf[String])) ++
+      (1L until 101L).map(i => (i, if (i <= 60) "a" else "b"))).toDF("id", "g")
+    val got = Sampling.temperatureMixture(withNull, col("g"), col("id"), 1.0, 50L)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas over the 100 NON-null rows: ⌊50·60/100⌋=30, ⌊50·40/100⌋=20
+    assert(got == Map("a" -> 30L, "b" -> 20L))
+    // integer group column: quota comparison is native-typed, no string casts
+    val intGroups = (0L until 300L).map(i => (i, (i % 3).toInt)).toDF("id", "g")
+    val gi = Sampling.temperatureMixture(intGroups, col("g"), col("id"), 1.0, 90L)
+      .groupBy("g").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gi == Map(0 -> 30L, 1 -> 30L, 2 -> 30L))
+    // empty input (or all-null groups) → empty result, not a throw
+    assert(Sampling.temperatureMixture(
+      withNull.where(col("g").isNull), col("g"), col("id"), 1.0, 10L).count() == 0L)
+    assert(Sampling.temperatureMixture(
+      withNull.limit(0), col("g"), col("id"), 1.0, 10L).count() == 0L)
+  }
+
   test("hash64: string/binary keys byte-hash; no numeric-cast collisions") {
     import spark.implicits._
     // '1' and '01' must NOT collide (the old implicit string→long cast

@@ -92,6 +92,19 @@ class SharedRunsSpec extends SparkTestBase {
     assert(got(3L) == ((8L, 32L))) // union 0..31 gone; kept = c32..c39 only
   }
 
+  test("removeSharedRuns: empty/whitespace-only docs report n_kept=0") {
+    // split(trim(""), "\s+") yields [""] — the phantom token must not
+    // survive as n_kept=1 / clean_text="" built from a bogus token
+    val df = Seq((1L, ""), (2L, "   \t "), (3L, "real tokens here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeSharedRuns(df, "doc_id", "text", windowTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("", 0L, 0L)))
+    assert(got(2L) == (("", 0L, 0L)))
+    assert(got(3L) == (("real tokens here", 3L, 0L)))
+  }
+
   test("matches a brute-force reference on random small-vocab corpora") {
     val rnd = new scala.util.Random(1234)
     val w = 3

@@ -235,13 +235,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(math.abs(pmi - want) < 1e-6)
   }
 
-  test("collocations: empty tokens from multi-space never pair; ANSI-safe tail") {
+  test("collocations: \\s+ runs collapse — 'aa  bb' IS the adjacent pair (aa,bb)") {
     import spark.implicits._
-    val df = Seq((1L, "aa  bb"), (2L, "aa  bb")).toDF("id", "t")
-    // "aa  bb" splits to [aa, "", bb]: (aa,"") and ("",bb) must not count,
-    // and the final token's missing successor must not throw under ANSI
-    val got = Text.collocations(df, "id", "t", k = 5, minCount = 2)
-      .collect()
-    assert(got.isEmpty) // no adjacent non-empty pairs exist
+    // corpus tokenization = \s+ with empties dropped (same as
+    // docTermFrequencies / tokenHashes): double spaces, tabs and newlines
+    // are separators, not token-killers; the final token's missing
+    // successor must not throw under ANSI
+    val df = Seq((1L, "aa  bb"), (2L, "aa\tbb"), (3L, "aa\nbb"))
+      .toDF("id", "t")
+    val got = Text.collocations(df, "id", "t", k = 5, minCount = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("aa", "bb", 3L)))
+    // single-space text is unaffected by the tokenization rule
+    val plain = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "aa bb")).toDF("id", "t")
+    val gotPlain = Text.collocations(plain, "id", "t", k = 5, minCount = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(gotPlain.toSeq == got.toSeq)
   }
 }
