@@ -1570,6 +1570,35 @@ object SparkEntry {
         col("embedding"), col("vec_id") % 2 === 0)
     }),
 
+    "q132_streaming_drift" -> ((s, dir) => {
+      // drift monitoring as DEPLOYED: the corpus-touching count stage
+      // runs as a real Structured Streaming aggregation (readStream over
+      // the events parquet replayed in 8 micro-batches, complete mode),
+      // then driftFromCounts on the sink — the same code path q130's
+      // batch twin uses. Counts are exact longs and the sink is
+      // materialized (localCheckpoint) before the stream is dropped, so
+      // the streamed result is bit-identical to batch windowedDrift.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q132").toString
+      s.read.parquet(s"$dir/events.parquet").repartition(8)
+        .write.parquet(s"$tmp/events.parquet")
+      val stream = graft.sources.Tables.loadStream(s, tmp, "events",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val sink = "q132_counts_sink"
+      val q = graft.ops.Drift.windowedCounts(stream, col("ts"),
+          col("event_type"), "1 day")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = graft.ops.Drift.driftFromCounts(s.table(sink), "1 day")
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          round(col("js_div"), 6).as("js_div"),
+          round(col("tv_dist"), 6).as("tv_dist"),
+          col("n_prev"), col("n_cur"), col("vocab"))
+        .orderBy("day")
+      s.sql(s"DROP TABLE IF EXISTS $sink")
+      out
+    }),
+
     "q130_windowed_drift" -> ((s, dir) => {
       // day-over-day event-type drift: each daily window vs its
       // predecessor (29 windows at both scales). round(6) margins
@@ -1984,6 +2013,34 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            x.nv::BIGINT AS n_a, y.nv::BIGINT AS n_b
          FROM cent x, cent y WHERE x.a AND NOT y.a""",
     "q130_windowed_drift" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS w, event_type AS ct,
+               count(*) AS n FROM events GROUP BY 1, 2),
+         wins AS (SELECT DISTINCT w FROM c),
+         pairs AS (SELECT a.w FROM wins a
+                   JOIN wins b ON b.w = a.w - INTERVAL 1 DAY),
+         un AS (SELECT DISTINCT p.w, c.ct FROM pairs p
+                JOIN c ON c.w = p.w OR c.w = p.w - INTERVAL 1 DAY),
+         tot AS (SELECT w, sum(n)::DOUBLE AS t FROM c GROUP BY 1),
+         vc AS (SELECT w, count(*) AS v FROM un GROUP BY 1),
+         g AS (SELECT un.w, vc.v, tc.t AS tc_t, tp.t AS tp_t,
+             (coalesce(prv.n, 0) + 0.5) / (tp.t + 0.5 * vc.v) AS pa,
+             (coalesce(cur.n, 0) + 0.5) / (tc.t + 0.5 * vc.v) AS pb
+           FROM un
+           LEFT JOIN c cur ON cur.w = un.w AND cur.ct = un.ct
+           LEFT JOIN c prv ON prv.w = un.w - INTERVAL 1 DAY AND prv.ct = un.ct
+           JOIN tot tc ON tc.w = un.w
+           JOIN tot tp ON tp.w = un.w - INTERVAL 1 DAY
+           JOIN vc ON vc.w = un.w)
+         SELECT strftime(w, '%Y-%m-%d') AS day,
+           round(sum(0.5 * (pa * ln(pa / ((pa + pb) / 2))
+             + pb * ln(pb / ((pa + pb) / 2)))), 6) AS js_div,
+           round(sum(0.5 * abs(pa - pb)), 6) AS tv_dist,
+           max(tp_t)::BIGINT AS n_prev, max(tc_t)::BIGINT AS n_cur,
+           max(v)::BIGINT AS vocab
+         FROM g GROUP BY 1 ORDER BY 1""",
+    // identical semantics to q130: the streaming path must land on the
+    // exact same day-over-day drift table the batch path computes
+    "q132_streaming_drift" ->
       """WITH c AS (SELECT date_trunc('day', ts) AS w, event_type AS ct,
                count(*) AS n FROM events GROUP BY 1, 2),
          wins AS (SELECT DISTINCT w FROM c),

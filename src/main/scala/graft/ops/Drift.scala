@@ -123,12 +123,37 @@ object Drift {
     * Tumbling windows only — `windowDuration` must be a valid
     * `INTERVAL` string (e.g. "1 day"). */
   def windowedDrift(df: DataFrame, ts: Column, cat: Column,
-      windowDuration: String, alpha: Double = 0.5): DataFrame = {
+      windowDuration: String, alpha: Double = 0.5): DataFrame =
+    driftFromCounts(windowedCounts(df, ts, cat, windowDuration),
+      windowDuration, alpha)
+
+  /** The corpus-touching HALF of [[windowedDrift]]: the per-(tumbling
+    * window, category) count table — (window_start, category, n). This is
+    * the only stage whose cost scales with the corpus, and it is a plain
+    * windowed count aggregation, so it runs UNCHANGED as a Structured
+    * Streaming stateful aggregation: `readStream → withWatermark(tsCol, …)
+    * → windowedCounts → writeStream` (append mode finalizes each window
+    * once the watermark passes it; state is one counter per open
+    * (window, category) — O(open windows × vocabulary), never O(rows),
+    * and eviction on window close keeps it from growing). Feed the sink
+    * table to [[driftFromCounts]] — the same code path batch uses, so
+    * streaming and batch drift agree bit-for-bit on the same counts. */
+  def windowedCounts(df: DataFrame, ts: Column, cat: Column,
+      windowDuration: String): DataFrame =
+    df.where(cat.isNotNull && ts.isNotNull)
+      .groupBy(window(ts, windowDuration).as("__w"), cat.as("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("__w.start").as("window_start"), col("category"), col("n"))
+
+  /** The count-table HALF of [[windowedDrift]]: consecutive-window JS/TV
+    * from a (window_start, category, n) frame ([[windowedCounts]]'s shape,
+    * batch or streamed into a sink). Corpus-size independent — every
+    * operand is windows × vocabulary. */
+  def driftFromCounts(counts: DataFrame, windowDuration: String,
+      alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0, "alpha must be > 0")
-    val cnts = df.where(cat.isNotNull && ts.isNotNull)
-      .groupBy(window(ts, windowDuration).as("__w"), cat.as("__c"))
-      .agg(count(lit(1)).as("__n"))
-      .select(col("__w.start").as("__ws"), col("__c"), col("__n"))
+    val cnts = counts.select(col("window_start").as("__ws"),
+        col("category").as("__c"), col("n").as("__n"))
       .localCheckpoint()
     val step = expr(s"INTERVAL $windowDuration")
     val wins = cnts.select(col("__ws")).distinct()

@@ -355,6 +355,88 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedF.exceptAll(batchF).isEmpty)
   }
 
+  test("streaming drift monitoring: windowedCounts via readStream ≡ batch windowedDrift") {
+    // the round-7 deployment story: the corpus-touching count stage runs
+    // as a streaming stateful aggregation (watermark + append, state
+    // evicted on window close); driftFromCounts on the sink table must
+    // equal batch windowedDrift window-for-window, BIT-identical (the
+    // counts are exact longs and the drift math is the same code path)
+    val base = java.nio.file.Files.createTempDirectory("graft_dstream").toString
+    val evRaw = spark.read.parquet(sf("events"))
+    evRaw.coalesce(1).write.parquet(s"$base/events.parquet")
+    val maxTs = evRaw.agg(max("ts")).head().getLong(0)
+    Thread.sleep(1100) // distinct mod time → deterministic file order
+    evRaw.limit(1)
+      .withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
+      .withColumn("event_type", lit("flush"))
+      .coalesce(1).write.mode("append").parquet(s"$base/events.parquet")
+
+    val stream = graft.sources.Tables.loadStream(spark, base, "events",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      .withWatermark("ts", "0 seconds")
+    val q = graft.ops.Drift.windowedCounts(stream, col("ts"),
+        col("event_type"), "1 day")
+      .writeStream.format("memory").queryName("drift_counts")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    // state must EVICT on window close: after the far-future flush file
+    // every real window is finalized, so the store holds only the flush
+    // window's (window, category) rows — not windows × vocab history
+    val vocab = evRaw.select("event_type").distinct().count()
+    val lastState = q.lastProgress.stateOperators(0).numRowsTotal
+    assert(lastState <= vocab + 1,
+      s"state not evicted: $lastState rows for vocab=$vocab")
+
+    val streamed = graft.ops.Drift.driftFromCounts(
+        spark.table("drift_counts").where(col("category") =!= "flush"),
+        "1 day")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val batch = graft.ops.Drift.windowedDrift(
+        graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events"),
+        col("ts"), col("event_type"), "1 day")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    spark.sql("DROP TABLE IF EXISTS drift_counts")
+  }
+
+  test("streaming profile (complete mode) == batch profile — live data-quality monitor") {
+    // Profile.profile is ONE aggregation of mergeable sketches, so it runs
+    // as a streaming global aggregation in complete mode with no code
+    // changes. With kmvK/topCapacity ≥ every column's cardinality (events:
+    // ≤952 distinct) the sketches are in their exact regimes, so the
+    // streamed profile must equal the batch profile EXACTLY even though
+    // the merge tree differs (KMV = set union; SS exact below capacity;
+    // profile re-sorts SS ties deterministically).
+    val base = java.nio.file.Files.createTempDirectory("graft_pstream").toString
+    val evRaw = spark.read.parquet(sf("events"))
+    evRaw.repartition(4).write.option("maxRecordsPerFile", "300")
+      .parquet(s"$base/events.parquet") // several files → several batches
+    val cols = Seq("event_type", "user_id", "value")
+    val q = graft.ops.Profile.profile(
+        graft.sources.Tables.loadStream(spark, base, "events",
+          Map("maxFilesPerTrigger" -> "1")),
+        cols, kmvK = 8192, topCapacity = 1024)
+      .writeStream.format("memory").queryName("stream_profile")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.toSeq
+    val streamed = spark.table("stream_profile").collect().map(key).toSet
+    val batch = graft.ops.Profile.profile(
+        graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events"),
+        cols, kmvK = 8192, topCapacity = 1024)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
+    assert(streamed.size == cols.size)
+    spark.sql("DROP TABLE IF EXISTS stream_profile")
+  }
+
   test("streaming windowed kmv_distinct == batch (set-union state)") {
     val rows = eventRows()
     implicit val sqlCtx = spark.sqlContext
