@@ -1570,6 +1570,30 @@ object SparkEntry {
         col("embedding"), col("vec_id") % 2 === 0)
     }),
 
+    "q133_robust_sketch" -> ((s, dir) => {
+      // the 100 TB robust-stats path: grouped t-digest median/MAD
+      // (constant per-group state, no executor-sized sort buffer),
+      // verified in q-space like q11/q12 mirror the reference's own
+      // accuracy contract (test_tdigest.py:99-107): the EXACT rank of the
+      // sketch median inside its group, and of the sketch MAD inside the
+      // group's |x − med| distribution, each rounded to one decimal, must
+      // BE 0.5 — digest rank error ~1% ≪ the 5% rounding radius
+      val docs = t(s, dir, "documents")
+      val stats = graft.ops.Robust.medianMad(docs, Seq("lang"),
+        col("n_chars"), approx = true)
+      docs.join(broadcast(stats), Seq("lang"))
+        .groupBy("lang")
+        .agg(
+          (sum(when(col("n_chars") <= col("med"), 1).otherwise(0))
+            / count(lit(1))).as("__mf"),
+          (sum(when(abs(col("n_chars") - col("med")) <= col("mad"), 1)
+            .otherwise(0)) / count(lit(1))).as("__df"))
+        .select(col("lang"),
+          round(col("__mf"), 1).as("med_rank_bucket"),
+          round(col("__df"), 1).as("mad_rank_bucket"))
+        .orderBy("lang")
+    }),
+
     "q132_streaming_drift" -> ((s, dir) => {
       // drift monitoring as DEPLOYED: the corpus-touching count stage
       // runs as a real Structured Streaming aggregation (readStream over
@@ -2038,6 +2062,13 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            max(tp_t)::BIGINT AS n_prev, max(tc_t)::BIGINT AS n_cur,
            max(v)::BIGINT AS vocab
          FROM g GROUP BY 1 ORDER BY 1""",
+    // the q11-style q-space contract: the oracle asserts the BUCKETS are
+    // exactly the target quantile — the digest's rank error (~1%) must
+    // vanish inside the 5% rounding radius for every group
+    "q133_robust_sketch" ->
+      """SELECT DISTINCT lang, 0.5 AS med_rank_bucket,
+           0.5 AS mad_rank_bucket
+         FROM documents ORDER BY lang""",
     // identical semantics to q130: the streaming path must land on the
     // exact same day-over-day drift table the batch path computes
     "q132_streaming_drift" ->

@@ -15,12 +15,23 @@ import graft.api.{functions => gf}
   *  - EXACT (`approx = false`): Catalyst's `percentile` aggregate — sorts
   *    each group's values inside the aggregation buffer. Right for
   *    reporting/eval and any group that fits an executor (the inherent
-  *    contract of every exact selection); this is the oracle-gated path.
+  *    contract of every exact selection); oracle-gated hash-exact
+  *    (q112/q113).
   *  - SKETCH (`approx = true`): grouped t-digest quantiles — two corpus
   *    scans (values, then absolute deviations), per-group state is a
   *    digest of ~compression centroids regardless of group size. This is
   *    the 100 TB path: no per-group buffering, map-side combined, the
-  *    group count only sizes a broadcast.
+  *    group count only sizes a broadcast. Oracle-gated in q-space
+  *    (q133): each estimate's exact rank must round to its target
+  *    quantile (the reference's own tolerance contract,
+  *    test_tdigest.py:99-107).
+  *
+  * Choosing: exact buffers every group value as unaggregated doubles in
+  * ONE task's percentile buffer — keep it below ~10^7 rows per group
+  * (~100 MB with overhead); beyond that, or when the max group size is
+  * unknown (any open-ended corpus), use the sketch path — its per-group
+  * state is a few KB at any group size, and its rank error is
+  * ~1% (compression 200), the same contract the reference ships.
   *
   * Both paths: two aggregation passes + broadcast joins of the (tiny)
   * per-group stats back onto the corpus — the corpus itself never
