@@ -1570,6 +1570,49 @@ object SparkEntry {
         col("embedding"), col("vec_id") % 2 === 0)
     }),
 
+    "q134_ivfpq_rerank" -> ((s, dir) => {
+      // exact re-rank recovers what PQ quantization misranks: same fixed
+      // deterministic index as q90; per query, how many of the brute-force
+      // top-10 (self excluded, q40's semantics) each path finds — raw ADC
+      // top-10 vs top-40-ADC-candidates re-scored on TRUE vectors. The
+      // refined path can only gain (it keeps the exact-best 10 of a
+      // superset), and the gate data shows it gaining; only the 40-row
+      // candidate set per query ever ships vectors
+      val emb = t(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val cbs: graft.ops.Similarity.PqCodebooks =
+        (0 until 4).map(i => base.map(v => v.slice(i * 16, i * 16 + 16)))
+      val assigned = emb.select(col("vec_id"),
+        element_at(gf.nearest_centroids(col("embedding"), typedLit(base), 1), 1)
+          .as("centroid"),
+        graft.ops.Similarity.pqEncode(col("embedding"), cbs, 16).as("codes"))
+      val idx = graft.ops.Similarity.IvfPqIndex(base, cbs, 16, assigned)
+      val queries = emb.where(col("vec_id") < 10)
+      val adc = graft.ops.Similarity.ivfPqTopK(idx, queries,
+          "vec_id", "embedding", k = 10, nProbe = 2)
+        .select(col("query_id"), col("vec_id"))
+      val refined = graft.ops.Similarity.ivfPqTopKRefined(idx, emb, queries,
+          "vec_id", "embedding", k = 10, rerank = 40, nProbe = 2)
+        .select(col("query_id"), col("vec_id"))
+      val truth = graft.ops.Similarity.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      val qids = queries.select(col("vec_id").as("query_id"))
+      qids
+        .join(adc.join(truth, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits_adc")),
+          Seq("query_id"), "left")
+        .join(refined.join(truth, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits_refined")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits_adc"), lit(0L)).as("hits_adc"),
+          coalesce(col("hits_refined"), lit(0L)).as("hits_refined"))
+        .orderBy("query_id")
+    }),
+
     "q133_robust_sketch" -> ((s, dir) => {
       // the 100 TB robust-stats path: grouped t-digest median/MAD
       // (constant per-group state, no executor-sized sort buffer),
@@ -2062,6 +2105,71 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            max(tp_t)::BIGINT AS n_prev, max(tc_t)::BIGINT AS n_cur,
            max(v)::BIGINT AS vocab
          FROM g GROUP BY 1 ORDER BY 1""",
+    // q90's fixed-index CTE chain extended with the re-rank stage: top-40
+    // ADC candidates re-scored on true vectors, both paths' hit counts
+    // against the brute-force top-10 recomputed independently
+    "q134_ivfpq_rerank" ->
+      """WITH cb AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id < 8),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ca AS (SELECT vec_id, cid AS centroid FROM (
+                  SELECT e.vec_id, cb.cid, row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, cb.v) DESC, cb.cid) AS rn
+                  FROM e, cb) WHERE rn = 1),
+         sub AS (SELECT i FROM unnest(range(0, 4)) t(i)),
+         pa AS (SELECT vec_id, sub, cid FROM (
+                  SELECT e.vec_id, s.i AS sub, cb.cid, row_number() OVER (
+                    PARTITION BY e.vec_id, s.i ORDER BY
+                      list_cosine_similarity(
+                        list_slice(e.v, s.i*16 + 1, (s.i+1)*16),
+                        list_slice(cb.v, s.i*16 + 1, (s.i+1)*16)) DESC, cb.cid) AS rn
+                  FROM e, sub s, cb) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         pr AS (SELECT query_id, cid AS centroid FROM (
+                  SELECT q.query_id, cb.cid, row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(q.qv, cb.v) DESC, cb.cid) AS rn
+                  FROM q, cb) WHERE rn <= 2),
+         cand AS (SELECT pr.query_id, ca.vec_id FROM ca JOIN pr USING (centroid)),
+         ad AS (SELECT c.query_id, c.vec_id,
+                  sum(list_dot_product(
+                    list_slice(q.qv, pa.sub*16 + 1, (pa.sub+1)*16),
+                    list_slice(cb.v, pa.sub*16 + 1, (pa.sub+1)*16))) AS adc
+                FROM cand c JOIN pa ON pa.vec_id = c.vec_id
+                     JOIN cb ON cb.cid = pa.cid
+                     JOIN q ON q.query_id = c.query_id
+                GROUP BY 1, 2),
+         adcr AS (SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY round(adc, 6) DESC, vec_id) AS rank FROM ad),
+         ref AS (SELECT query_id, vec_id FROM (
+                  SELECT c.query_id, c.vec_id, row_number() OVER (
+                    PARTITION BY c.query_id
+                    ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                      c.vec_id) AS rn
+                  FROM (SELECT query_id, vec_id FROM adcr WHERE rank <= 40) c
+                  JOIN e ON e.vec_id = c.vec_id
+                  JOIN q ON q.query_id = c.query_id) WHERE rn <= 10),
+         tr AS (SELECT query_id, vec_id FROM (
+                  SELECT q.query_id, e.vec_id, row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                      e.vec_id) AS rn
+                  FROM q JOIN e ON e.vec_id <> q.query_id) WHERE rn <= 10),
+         ha AS (SELECT a.query_id, count(*) AS hits_adc
+                FROM (SELECT query_id, vec_id FROM adcr WHERE rank <= 10) a
+                JOIN tr ON tr.query_id = a.query_id AND tr.vec_id = a.vec_id
+                GROUP BY 1),
+         hr AS (SELECT r.query_id, count(*) AS hits_refined
+                FROM ref r
+                JOIN tr ON tr.query_id = r.query_id AND tr.vec_id = r.vec_id
+                GROUP BY 1)
+         SELECT q.query_id, coalesce(ha.hits_adc, 0) AS hits_adc,
+           coalesce(hr.hits_refined, 0) AS hits_refined
+         FROM q LEFT JOIN ha ON ha.query_id = q.query_id
+              LEFT JOIN hr ON hr.query_id = q.query_id
+         ORDER BY q.query_id""",
     // the q11-style q-space contract: the oracle asserts the BUCKETS are
     // exactly the target quantile — the digest's rank error (~1%) must
     // vanish inside the 5% rounding radius for every group

@@ -450,6 +450,42 @@ object Similarity {
         round(col("adc_dot"), roundTo).as("adc_dot"), col("rank"))
   }
 
+  /** IVF-PQ search WITH an exact re-rank stage — standard ANN practice:
+    * ADC ranks are quantized (each sub-slice snaps to one of ksub
+    * centroids), so the true nearest neighbor can sit a few places down
+    * the ADC list; re-scoring the top `rerank` ADC candidates against
+    * their TRUE vectors and taking the exact top-k recovers it whenever
+    * it entered the candidate list at all (recall is then bounded only by
+    * the coarse probe, not by quantization).
+    *
+    * Scale shape: the ADC stage is [[ivfPqTopK]] unchanged (codes, never
+    * vectors); the refinement joins the queries × rerank candidate id set
+    * — BROADCAST, it is the small side by construction — against the
+    * corpus, so only the candidates' vectors ever leave the scan, and the
+    * exact scoring window is rerank rows per query. Returns
+    * (query_id, idCol, cosine, rank) ranked by exact cosine (round
+    * `roundTo`, ties to the lower id). */
+  def ivfPqTopKRefined(index: IvfPqIndex, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      rerank: Int, nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    require(k >= 1 && rerank >= k, "need rerank >= k >= 1")
+    val cand = ivfPqTopK(index, queries, idCol, vecCol, rerank, nProbe,
+      roundTo).select(col("query_id"), col(idCol))
+    val cv = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val exact = cv.join(broadcast(cand), Seq(idCol))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(gf.vec_cosine(col("__qv"), col("__cv")), roundTo).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col(idCol))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Rank scored pairs into top-k per query with a deterministic tie-break
     * (cosine desc, neighbor_id asc). */
   def topK(scored: DataFrame, k: Int): DataFrame = {

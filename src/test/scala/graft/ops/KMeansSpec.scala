@@ -65,6 +65,52 @@ class KMeansSpec extends SparkTestBase {
     assert(joined.where($"centroid" =!= $"qc").isEmpty)
   }
 
+  test("ivfPqTopKRefined: exact-best of the candidate superset; recall strictly improves") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val base = emb.where($"vec_id" < 8)
+      .select($"vec_id", $"embedding".cast("array<double>").as("__v"))
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cbs: Similarity.PqCodebooks =
+      (0 until 4).map(i => base.map(v => v.slice(i * 16, i * 16 + 16)))
+    val assigned = emb.select($"vec_id",
+      element_at(graft.api.functions.nearest_centroids(
+        $"embedding", typedLit(base), 1), 1).as("centroid"),
+      Similarity.pqEncode($"embedding", cbs, 16).as("codes"))
+    val idx = Similarity.IvfPqIndex(base, cbs, 16, assigned)
+    val queries = emb.where($"vec_id" < 10)
+
+    val adc = Similarity.ivfPqTopK(idx, queries, "vec_id", "embedding",
+      k = 10, nProbe = 2)
+    val refined = Similarity.ivfPqTopKRefined(idx, emb, queries, "vec_id",
+      "embedding", k = 10, rerank = 40, nProbe = 2)
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      .select($"query_id", $"neighbor_id".as("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(truth).size
+    val (ha, hr) = (hits(adc), hits(refined))
+    assert(hr > ha, s"re-rank must strictly improve recall: adc=$ha refined=$hr")
+
+    // refined keeps every true top-10 member that entered the candidate
+    // list at all — quantization can no longer evict it
+    val cand40 = Similarity.ivfPqTopK(idx, queries, "vec_id", "embedding",
+        k = 40, nProbe = 2)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refinedSet = refined.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.intersect(cand40).subsetOf(refinedSet))
+
+    // only the candidate set ships vectors: both refinement joins broadcast
+    refined.collect()
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("signProjection: manual recomputation, determinism, JL correlation") {
     import spark.implicits._
     import graft.expr.TextHash
