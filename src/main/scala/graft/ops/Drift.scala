@@ -203,10 +203,18 @@ object Drift {
     * self-joins on category — the grid is groups × vocabulary, corpus-size
     * independent — and per-pair terms fan in through `exact_sum`. Output:
     * (group_a, group_b, js_div) for group_a < group_b, symmetric,
-    * deterministic under any partitioning. */
+    * deterministic under any partitioning.
+    *
+    * The grid is groups × GLOBAL vocabulary: fine for the intended
+    * category columns (sources, languages, shards, buckets), ruinous for
+    * an unbounded one (raw tokens, URLs). `maxVocab` makes that misuse
+    * fail fast instead of materializing a billion-cell grid — pre-bucket
+    * the category (top-V by count + an "other" bucket) or raise the cap
+    * deliberately. */
   def jsMatrix(df: DataFrame, cat: Column, group: Column,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5, maxVocab: Long = 1L << 20): DataFrame = {
     require(alpha > 0.0, "alpha must be > 0")
+    require(maxVocab >= 1, "maxVocab must be >= 1")
     val cnts = df.where(cat.isNotNull && group.isNotNull)
       .groupBy(group.as("__g"), cat.as("__c"))
       .agg(count(lit(1)).as("__n"))
@@ -214,6 +222,10 @@ object Drift {
     val groups = cnts.select(col("__g")).distinct()
     val vocab = cnts.select(col("__c")).distinct()
     val v = vocab.count()
+    require(v <= maxVocab,
+      s"jsMatrix would build a groups x $v category grid (maxVocab=" +
+        s"$maxVocab): the category column looks unbounded - bucket it " +
+        "(top-V by count + 'other') or raise maxVocab explicitly")
     val totals = cnts.groupBy("__g").agg(sum("__n").as("__tot"))
     // dense grid: every (group, category) with its smoothed probability
     val grid = groups.crossJoin(vocab)

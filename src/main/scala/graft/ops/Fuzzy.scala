@@ -42,11 +42,24 @@ object Fuzzy {
     * combination — duplicate input rows with the same id (on EITHER side,
     * even with differing text under one id) do not multiply output rows.
     * `dist` is the smallest edit distance over the texts observed for the
-    * pair (the true edit distance when ids are unique keys). */
+    * pair (the true edit distance when ids are unique keys).
+    *
+    * `maxStringsPerSeg` guards the blocking join against hot segment keys
+    * (the fuzzy-join analog of [[Dedup.sharedRuns]]' `maxDocsPerSpan`): a
+    * segment shared by millions of indexed strings — a common prefix like
+    * a URL scheme or a boilerplate title stem — would hot-spot one join
+    * key AND multiply candidates quadratically. Keys indexing more than
+    * `maxStringsPerSeg` strings are dropped from the blocking index. This
+    * trades exactness for a skew bound, with a precise recall contract: a
+    * true pair is missed ONLY if every one of its witnessing (length,
+    * segment-index, segment-text) keys is hot — a pair sharing any
+    * non-boilerplate segment always survives. The default (Long.MaxValue)
+    * disables the guard and keeps the join exact. */
   def editDistanceJoin(left: DataFrame, leftId: String, leftText: String,
       right: DataFrame, rightId: String, rightText: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxStringsPerSeg: Long = Long.MaxValue): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
+    require(maxStringsPerSeg >= 1, "maxStringsPerSeg must be >= 1")
     val tau = maxDist
 
     val l = left.select(col(leftId).as("__lid"), col(leftText).as("__lt"))
@@ -77,8 +90,21 @@ object Fuzzy {
       when(col("__i") >= lit(tau + 1) - col("__r"), 1).otherwise(0)
     val segStart = col("__i") * col("__q") +
       greatest(lit(0), col("__i") - (lit(tau + 1) - col("__r")))
-    val rSegs = rLong.select(col("__rid"), col("__len"), col("__i"),
+    val rSegsAll = rLong.select(col("__rid"), col("__len"), col("__i"),
       substring(col("__rt"), segStart + 1, segLen).as("__seg"))
+    // Hot-key guard: one count aggregation over the (τ+1)·|R| segment
+    // rows (cheap next to the candidate join it protects), then an
+    // inner join against the surviving keys — same shape as sharedRuns'
+    // span-frequency filter. Skipped entirely when the guard is off.
+    val rSegs =
+      if (maxStringsPerSeg == Long.MaxValue) rSegsAll
+      else {
+        val keep = rSegsAll.groupBy("__len", "__i", "__seg")
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxStringsPerSeg)
+          .select("__len", "__i", "__seg")
+        rSegsAll.join(keep, Seq("__len", "__i", "__seg"))
+      }
 
     // ---- probe side: substrings at the feasible (L, i, position) grid ----
     val M = length(col("__lt"))
@@ -145,14 +171,14 @@ object Fuzzy {
 
   /** Self-join flavor: unordered pairs (idA < idB) within edit distance
     * maxDist — the fuzzy-dedup primitive (typo'd titles, OCR noise,
-    * boilerplate variants). */
+    * boilerplate variants). `maxStringsPerSeg` as in [[editDistanceJoin]]. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxStringsPerSeg: Long = Long.MaxValue): DataFrame = {
     val out = editDistanceJoin(
       df.select(col(idCol).as("__a_id"), col(textCol).as("__a_t")),
       "__a_id", "__a_t",
       df.select(col(idCol).as("__b_id"), col(textCol).as("__b_t")),
-      "__b_id", "__b_t", maxDist)
+      "__b_id", "__b_t", maxDist, maxStringsPerSeg)
     out.where(col("__a_id") < col("__b_id"))
       .select(col("__a_id").as("idA"), col("__b_id").as("idB"), col("dist"))
   }

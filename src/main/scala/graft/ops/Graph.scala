@@ -47,16 +47,26 @@ object Graph {
     * @param edges      (src, dst) rows; null endpoints are dropped
     * @param srcCol     source-node column name in `edges`
     * @param dstCol     destination-node column name in `edges`
-    * @param iterations fixed iteration count (deterministic output; no
-    *                   convergence test, so no driver-side loop exit reads)
+    * @param iterations maximum iteration count
     * @param damping    d in the update above
+    * @param tol        optional early exit: stop once the L1 rank delta
+    *                   Σ|rank_t+1 − rank_t| drops below `tol`. The delta
+    *                   is one node-sized join of two already-materialized
+    *                   checkpoints fanned into `exact_sum`, so the scalar
+    *                   the driver reads — and therefore the stop decision
+    *                   and the output — is bit-deterministic under any
+    *                   partitioning. 0.0 (default) disables the test and
+    *                   runs exactly `iterations` rounds with no extra
+    *                   per-round job.
     * @return           one row per node: (node, rank); ranks sum to 1
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85,
-      nodeOut: String = "node", rankOut: String = "rank"): DataFrame = {
+      nodeOut: String = "node", rankOut: String = "rank",
+      tol: Double = 0.0): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping >= 0.0 && damping <= 1.0, "damping must be in [0,1]")
+    require(tol >= 0.0, "tol must be >= 0")
 
     val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
@@ -128,6 +138,14 @@ object Graph {
       prev = r
       ranks = next
       it += 1
+      if (tol > 0.0 && it < iterations) {
+        val delta = next.as("__nw").join(r.as("__pv"),
+            col("__nw.__node") === col("__pv.__node"))
+          .agg(coalesce(exact_sum(
+            abs(col("__nw.__rank") - col("__pv.__rank"))), lit(0.0)))
+          .collect()(0).getDouble(0)
+        if (delta < tol) it = iterations
+      }
     }
 
     // The result checkpoint is materialized; everything else this loop

@@ -228,6 +228,19 @@ class DriftSpec extends SparkTestBase {
     assert(z == 0.0)
   }
 
+  test("jsMatrix fails fast when the category column exceeds maxVocab") {
+    import spark.implicits._
+    // 50 distinct categories against a cap of 10: the misuse signature
+    // (unbounded cat column) must throw before the grid materializes.
+    val df = (0 until 50).map(i => (s"g${i % 2}", s"cat$i")).toDF("g", "c")
+    val ex = intercept[IllegalArgumentException] {
+      Drift.jsMatrix(df, col("c"), col("g"), maxVocab = 10)
+    }
+    assert(ex.getMessage.contains("maxVocab"))
+    // the default cap leaves bounded-vocab callers (q129's shape) unchanged
+    assert(Drift.jsMatrix(df, col("c"), col("g")).count() == 1)
+  }
+
   test("tokenDrift over the documents fixture: nonzero, parity-split") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val r = Drift.tokenDrift(docs, col("text"), col("doc_id") % 2 === 0)

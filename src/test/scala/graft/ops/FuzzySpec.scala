@@ -157,6 +157,35 @@ class FuzzySpec extends SparkTestBase {
     assert(rows == Seq((1L, 9L, 0)))
   }
 
+  test("hot-segment guard drops only pairs whose every witness is hot") {
+    import spark.implicits._
+    // 20 strings share the (len=8, i=0, "AAAA") segment key — the planted
+    // boilerplate-prefix hot spot. Their suffixes never witness a pair
+    // (shifted probe substrings mix prefix chars and digits), so every
+    // filler pair is hot-witness-only. The "BBBB" pair's shared segment
+    // indexes just 2 strings and must survive the guard.
+    val hot = (0 until 20).map(i => (i.toLong, f"AAAA$i%04d"))
+    val planted = Seq((100L, "BBBBcdef"), (101L, "BBBBcdeg"))
+    val df = (hot ++ planted).toDF("id", "text")
+    val exact = Fuzzy.editDistancePairs(df, "id", "text", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val guarded = Fuzzy.editDistancePairs(df, "id", "text", 1,
+        maxStringsPerSeg = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact.exists(p => p._1 < 20 && p._2 < 20),
+      "fixture must contain hot-witness-only pairs")
+    assert(guarded.subsetOf(exact))
+    assert(guarded.contains((100L, 101L, 1)),
+      "pair with a non-hot witnessing segment must survive")
+    assert(!guarded.exists(p => p._1 < 20 && p._2 < 20),
+      "hot-witness-only pairs must be dropped under the guard")
+    // guard wide enough to keep every key ≡ exact
+    val loose = Fuzzy.editDistancePairs(df, "id", "text", 1,
+        maxStringsPerSeg = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(loose == exact)
+  }
+
   test("null texts are dropped, not matched") {
     import spark.implicits._
     val df = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]),

@@ -101,6 +101,32 @@ class GraphSpec extends SparkTestBase {
     assert(empty.count() == 0)
   }
 
+  test("tol early exit: converged ranks match the full fixed-iteration run") {
+    import spark.implicits._
+    val df = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
+      "b" -> "d", "c" -> "d").toDF("src", "dst")
+    def m(out: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val full = m(Graph.pageRank(df, "src", "dst", 60, 0.85))
+    val early = m(Graph.pageRank(df, "src", "dst", 60, 0.85, tol = 1e-10))
+    assert(full.keySet == early.keySet)
+    full.foreach { case (k, v) => assert(math.abs(v - early(k)) < 1e-8,
+      s"$k: $v vs ${early(k)}") }
+    assert(math.abs(early.values.sum - 1.0) < 1e-12)
+  }
+
+  test("tol stop actually triggers: huge tol == exactly one iteration, bit-for-bit") {
+    import spark.implicits._
+    val df = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d")
+      .toDF("src", "dst")
+    def bits(out: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      out.collect().map(r => r.getString(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    val one = bits(Graph.pageRank(df, "src", "dst", 1, 0.85))
+    val stopped = bits(Graph.pageRank(df, "src", "dst", 50, 0.85, tol = 10.0))
+    assert(stopped == one)
+  }
+
   test("degrees counts both sides with zero-fill") {
     import spark.implicits._
     val d = Graph.degrees(
