@@ -14,6 +14,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,14 +37,21 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision is plenty and keeps the line short enough that a
+    // tail-truncated capture still shows most of it
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // -1.0 sentinels mark failed queries: they must not shrink the headline
     // total, so sum only real timings and surface the failure count
     val ok = results.map(_._2).filter(_ >= 0.0)
     val total = ok.sum
     val nFailed = results.size - ok.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    // queries FIRST, summary fields LAST: round-capture keeps the TAIL of
+    // stdout, so a truncated capture must still retain total + n_failed
+    // (rounds 1-7 lost the header and with it the failure count)
+    println(s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

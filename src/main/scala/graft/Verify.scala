@@ -22,13 +22,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A thrown gate must NOT vanish from the correctness report: write a
+        // 1-row marker result whose schema can never match the oracle, so the
+        // driver's compare emits a visible mismatch entry for this query
+        // instead of silently shrinking coverage (round-7 lesson: four gates
+        // disappeared from CORRECTNESS_r07.json with every remaining entry
+        // green).
+        import spark.implicits._
+        Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
+          .toDF("__verify_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
+    System.err.println(s"[verify] n_failed=$nFailed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Readers for the driver test tables (TESTDATA.md).
   *
-  * `events.parquet` carries TIMESTAMP(NANOS) which Spark 4 only reads with
-  * spark.sql.legacy.parquet.nanosAsLong=true (set in [[sessionConfigs]]);
-  * [[load]] normalizes the resulting long-nanos column back to a proper
-  * TimestampType (microsecond) column so event-time windowing works.
+  * `events.parquet` has carried two timestamp encodings across driver
+  * regenerations: TIMESTAMP(NANOS) (readable only with
+  * spark.sql.legacy.parquet.nanosAsLong=true, set in [[sessionConfigs]])
+  * and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4
+  * infers as TIMESTAMP_NTZ. [[load]] normalizes BOTH back to a proper
+  * TimestampType (microsecond, UTC-session) column so event-time windowing
+  * (`unix_micros`, `session_window`) works and semantics match the DuckDB
+  * oracle's naive timestamps under a UTC session timezone.
   */
 object Tables {
   /** Configs every graft session should set (see also Verify/Bench mains). */
@@ -55,8 +59,17 @@ object Tables {
     spark.read.option("samplingRatio", sampleRatio).json(path).schema
 
   private def normalize(name: String, df: DataFrame): DataFrame =
-    if (name == "events" && df.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // legacy TIMESTAMP(NANOS) read as long nanos via nanosAsLong=true
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS) isAdjustedToUTC=false inferred as NTZ; with the
+      // session timezone pinned to UTC this cast is value-preserving and
+      // matches DuckDB's naive-timestamp reading of the same file
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }

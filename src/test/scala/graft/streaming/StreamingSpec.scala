@@ -16,10 +16,12 @@ class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
   private def eventRows(): Seq[(Timestamp, Double, String, Long)] = {
-    val df = spark.read.parquet(sf("events"))
+    // go through Tables.load so ts is TimestampType whatever parquet
+    // encoding the driver last generated (long nanos / NTZ micros)
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
     df.select(col("ts"), col("value"), col("event_type"), col("user_id"))
       .collect()
-      .map(r => (new Timestamp(r.getLong(0) / 1000000L), r.getDouble(1),
+      .map(r => (r.getTimestamp(0), r.getDouble(1),
         r.getString(2), r.getLong(3))).toSeq
   }
 
@@ -226,17 +228,18 @@ class StreamingSpec extends SparkTestBase {
 
   test("file readStream (Tables.loadStream): sessionize + windowed sketches hash-match batch") {
     // the REAL file-source path: events parquet streamed via readStream in
-    // multiple micro-batches (maxFilesPerTrigger=1), per-batch nanos→ts
+    // multiple micro-batches (maxFilesPerTrigger=1), per-batch ts
     // normalization, watermark + append — sink rows must equal the batch
     // twin exactly on every deterministic field
     val base = java.nio.file.Files.createTempDirectory("graft_fstream").toString
-    val evRaw = spark.read.parquet(sf("events")) // ts = raw long nanos
-    evRaw.coalesce(1).write.parquet(s"$base/events.parquet")
-    val maxTs = evRaw.agg(max("ts")).head().getLong(0)
+    val evNorm = graft.sources.Tables.load(
+      spark, "/root/testdata/sf0.001", "events")
+    evNorm.coalesce(1).write.parquet(s"$base/events.parquet")
+    val maxTs = evNorm.agg(max("ts")).head().getTimestamp(0)
     // a far-future flush file pushes the watermark past every real window
     Thread.sleep(1100) // distinct mod time → deterministic file order
-    evRaw.limit(1)
-      .withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
+    evNorm.limit(1)
+      .withColumn("ts", lit(new Timestamp(maxTs.getTime + 365L * 86400L * 1000L)))
       .withColumn("user_id", lit(-1L))
       .withColumn("event_type", lit("flush"))
       .coalesce(1).write.mode("append").parquet(s"$base/events.parquet")
@@ -288,7 +291,7 @@ class StreamingSpec extends SparkTestBase {
       gf.stats_min(col("value_stats")).as("mn"),
       gf.stats_max(col("value_stats")).as("mx"))
     val streamedWin = winCols(spark.table("file_win"))
-      .where(col("ws") <= new Timestamp(maxTs / 1000000L * 1000L))
+      .where(col("ws") <= lit(maxTs))
       .collect().map(winKey).toSet
     val batchWin = winCols(StreamingSketches.windowedSketches(batch, "ts",
         "1 hour", "value", "event_type"))
@@ -362,12 +365,13 @@ class StreamingSpec extends SparkTestBase {
     // equal batch windowedDrift window-for-window, BIT-identical (the
     // counts are exact longs and the drift math is the same code path)
     val base = java.nio.file.Files.createTempDirectory("graft_dstream").toString
-    val evRaw = spark.read.parquet(sf("events"))
-    evRaw.coalesce(1).write.parquet(s"$base/events.parquet")
-    val maxTs = evRaw.agg(max("ts")).head().getLong(0)
+    val evNorm = graft.sources.Tables.load(
+      spark, "/root/testdata/sf0.001", "events")
+    evNorm.coalesce(1).write.parquet(s"$base/events.parquet")
+    val maxTs = evNorm.agg(max("ts")).head().getTimestamp(0)
     Thread.sleep(1100) // distinct mod time → deterministic file order
-    evRaw.limit(1)
-      .withColumn("ts", lit(maxTs + 365L * 86400L * 1000000000L))
+    evNorm.limit(1)
+      .withColumn("ts", lit(new Timestamp(maxTs.getTime + 365L * 86400L * 1000L)))
       .withColumn("event_type", lit("flush"))
       .coalesce(1).write.mode("append").parquet(s"$base/events.parquet")
 
@@ -383,7 +387,7 @@ class StreamingSpec extends SparkTestBase {
     // state must EVICT on window close: after the far-future flush file
     // every real window is finalized, so the store holds only the flush
     // window's (window, category) rows — not windows × vocab history
-    val vocab = evRaw.select("event_type").distinct().count()
+    val vocab = evNorm.select("event_type").distinct().count()
     val lastState = q.lastProgress.stateOperators(0).numRowsTotal
     assert(lastState <= vocab + 1,
       s"state not evicted: $lastState rows for vocab=$vocab")
