@@ -1613,6 +1613,80 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "q135_vocab_coverage" -> ((s, dir) => {
+      // tokenizer-design table: coverage of the top-N token types at five
+      // candidate vocabulary sizes. ONE corpus token-count shuffle; the
+      // rank/prefix-sum window runs over the vocabulary-sized count table
+      graft.ops.Vocab.coverage(t(s, dir, "documents"), col("text"),
+        Seq(10L, 100L, 1000L, 5000L, 20000L))
+    }),
+
+    "q136_vocab_encode" -> ((s, dir) => {
+      // corpus → id sequences under a minCount=2 frequency vocabulary:
+      // per-doc id-array invariants (length, OOV count, id sum/min/max)
+      // for doc_id < 200. The vocabulary builds from the FULL corpus and
+      // broadcast-joins the token stream; only (doc, pos, int-id) rows
+      // ride the regroup shuffle
+      val docs = t(s, dir, "documents")
+      val vocab = graft.ops.Vocab.build(docs, col("text"), minCount = 2)
+      graft.ops.Vocab.encode(docs.where(col("doc_id") < 200),
+          "doc_id", col("text"), vocab, unkId = -1L)
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_ids"),
+          size(filter(col("ids"), x => x === -1L)).cast("long").as("n_unk"),
+          coalesce(aggregate(col("ids"), lit(0L), (acc, x) => acc + x),
+            lit(0L)).as("sum_ids"),
+          coalesce(array_min(col("ids")), lit(-2L)).as("min_id"),
+          coalesce(array_max(col("ids")), lit(-2L)).as("max_id"))
+        .orderBy("doc_id")
+    }),
+
+    "q137_filter_funnel" -> ((s, dir) => {
+      // quality-cascade audit: per-stage entered/failed/survived counts +
+      // the standalone-failure overlap diagnostic, all from ONE scan (a
+      // single aggregation of 2k+1 conditional sums). Rules use integer
+      // arithmetic only (counts x multipliers, no fp ratios) so the
+      // DuckDB mirror is exact by construction
+      graft.ops.Pipeline.filterFunnel(t(s, dir, "documents"), Seq(
+        "min_len" -> (length(col("text")) >= 100),
+        "max_len" -> (length(col("text")) <= 450),
+        "digit_ratio" ->
+          (length(regexp_replace(col("text"), "[^0-9]", "")) * 5
+            <= length(col("text"))),
+        "upper_ratio" ->
+          (length(regexp_replace(col("text"), "[^A-Z]", "")) * 10
+            <= length(col("text")) * 3),
+        "min_tokens" -> (size(split(col("text"), " ")) >= 10)))
+    }),
+
+    "q138_sq_recall" -> ((s, dir) => {
+      // INT8 scalar quantization: per-dim ranges train in one (dim)-keyed
+      // agg, codes are 1 byte/dim (4x less candidate-join traffic than
+      // float32), and decoded-cosine top-10 recall vs brute force is the
+      // gate — the oracle re-derives ranges, codes, decode, and both
+      // rankings independently in SQL
+      val emb = t(s, dir, "embeddings")
+      val ranges = graft.ops.Similarity.sqRanges(emb, col("embedding"))
+        .orderBy("dim").collect()
+      val lo = ranges.map(_.getDouble(1)).toSeq
+      val hi = ranges.map(_.getDouble(2)).toSeq
+      val coded = emb.select(col("vec_id"),
+        graft.ops.Similarity.sqQuantize(col("embedding"), lo, hi).as("codes"))
+      val queries = emb.where(col("vec_id") < 10)
+      val approx = graft.ops.Similarity.sqTopK(coded, queries, "vec_id",
+          "codes", "embedding", lo, hi, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = graft.ops.Similarity.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(approx.join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits_sq")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits_sq"), lit(0L)).as("hits_sq"))
+        .orderBy("query_id")
+    }),
+
     "q133_robust_sketch" -> ((s, dir) => {
       // the 100 TB robust-stats path: grouped t-digest median/MAD
       // (constant per-group state, no executor-sized sort buffer),
@@ -2066,6 +2140,107 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q137_filter_funnel" ->
+      """WITH d AS (SELECT length(text) AS l,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS dg,
+               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS up,
+               len(string_split(text, ' ')) AS tk
+             FROM documents),
+         a AS (SELECT count(*) AS total,
+             sum(CASE WHEN l >= 100 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN l >= 100 AND l <= 450 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN l >= 100 AND l <= 450 AND dg * 5 <= l
+                 THEN 1 ELSE 0 END) AS c3,
+             sum(CASE WHEN l >= 100 AND l <= 450 AND dg * 5 <= l
+                 AND up * 10 <= l * 3 THEN 1 ELSE 0 END) AS c4,
+             sum(CASE WHEN l >= 100 AND l <= 450 AND dg * 5 <= l
+                 AND up * 10 <= l * 3 AND tk >= 10 THEN 1 ELSE 0 END) AS c5,
+             sum(CASE WHEN l >= 100 THEN 0 ELSE 1 END) AS a1,
+             sum(CASE WHEN l <= 450 THEN 0 ELSE 1 END) AS a2,
+             sum(CASE WHEN dg * 5 <= l THEN 0 ELSE 1 END) AS a3,
+             sum(CASE WHEN up * 10 <= l * 3 THEN 0 ELSE 1 END) AS a4,
+             sum(CASE WHEN tk >= 10 THEN 0 ELSE 1 END) AS a5
+           FROM d)
+         SELECT 1::BIGINT AS stage, 'min_len' AS rule, total::BIGINT AS n_in,
+             (total - c1)::BIGINT AS n_fail, c1::BIGINT AS n_out,
+             a1::BIGINT AS n_fail_alone FROM a
+         UNION ALL SELECT 2, 'max_len', c1, c1 - c2, c2, a2 FROM a
+         UNION ALL SELECT 3, 'digit_ratio', c2, c2 - c3, c3, a3 FROM a
+         UNION ALL SELECT 4, 'upper_ratio', c3, c3 - c4, c4, a4 FROM a
+         UNION ALL SELECT 5, 'min_tokens', c4, c4 - c5, c5, a5 FROM a
+         ORDER BY stage""",
+    "q138_sq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         r AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM e, generate_series(1, 64) g(i) GROUP BY i),
+         dec AS (SELECT e.vec_id,
+               list(r.lo + (CASE WHEN r.hi <= r.lo THEN 0
+                 ELSE least(255, greatest(0,
+                   floor((v[r.dim] - r.lo) / (r.hi - r.lo) * 256)))::INT END
+                 + 0.5) / 256.0 * (r.hi - r.lo) ORDER BY r.dim) AS dv
+             FROM e, r GROUP BY e.vec_id),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         ap AS (SELECT query_id, vec_id FROM (
+                  SELECT q.query_id, d.vec_id, row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY round(list_cosine_similarity(q.qv, d.dv), 6)
+                      DESC, d.vec_id) AS rn
+                  FROM q JOIN dec d ON d.vec_id <> q.query_id)
+                WHERE rn <= 10),
+         tr AS (SELECT query_id, vec_id FROM (
+                  SELECT q.query_id, e.vec_id, row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY round(list_cosine_similarity(q.qv, e.v), 6)
+                      DESC, e.vec_id) AS rn
+                  FROM q JOIN e ON e.vec_id <> q.query_id)
+                WHERE rn <= 10),
+         h AS (SELECT a.query_id, count(*) AS hits_sq
+               FROM ap a JOIN tr ON tr.query_id = a.query_id
+                 AND tr.vec_id = a.vec_id
+               GROUP BY 1)
+         SELECT q.query_id, coalesce(h.hits_sq, 0) AS hits_sq
+         FROM q LEFT JOIN h ON h.query_id = q.query_id
+         ORDER BY q.query_id""",
+    "q135_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                FROM documents),
+         tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
+         cnt AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok),
+         ranked AS (SELECT n,
+               row_number() OVER (ORDER BY n DESC, tok) - 1 AS tid
+             FROM cnt),
+         cum AS (SELECT tid, sum(n) OVER (ORDER BY tid) AS c FROM ranked),
+         total AS (SELECT sum(n)::BIGINT AS t FROM cnt),
+         ranks(vocab_size) AS (VALUES (10), (100), (1000), (5000), (20000))
+         SELECT vocab_size::BIGINT AS vocab_size,
+           coalesce((SELECT max(c) FROM cum WHERE tid < vocab_size), 0)::BIGINT
+             AS covered,
+           total.t AS total,
+           round(coalesce((SELECT max(c) FROM cum WHERE tid < vocab_size), 0)
+             / greatest(total.t, 1), 9) AS coverage
+         FROM ranks, total ORDER BY vocab_size""",
+    "q136_vocab_encode" ->
+      """WITH toks AS (SELECT doc_id,
+               unnest(string_split_regex(text, '\s+')) AS tok
+             FROM documents),
+         tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+         cnt AS (SELECT tok, count(*) AS n FROM tk
+                 GROUP BY tok HAVING count(*) >= 2),
+         v AS (SELECT tok,
+               row_number() OVER (ORDER BY n DESC, tok) - 1 AS tid
+             FROM cnt),
+         enc AS (SELECT t.doc_id, coalesce(v.tid, -1) AS tid
+                 FROM tk t LEFT JOIN v USING (tok)
+                 WHERE t.doc_id < 200)
+         SELECT d.doc_id,
+           coalesce(count(e.tid), 0)::BIGINT AS n_ids,
+           coalesce(sum(CASE WHEN e.tid = -1 THEN 1 END), 0)::BIGINT AS n_unk,
+           coalesce(sum(e.tid), 0)::BIGINT AS sum_ids,
+           coalesce(min(e.tid), -2)::BIGINT AS min_id,
+           coalesce(max(e.tid), -2)::BIGINT AS max_id
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+         LEFT JOIN enc e USING (doc_id)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "q131_centroid_shift" ->
       """WITH u AS (SELECT vec_id % 2 = 0 AS a, i AS d,
                embedding[i]::DOUBLE AS x

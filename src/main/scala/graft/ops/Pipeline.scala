@@ -135,6 +135,47 @@ object Pipeline {
     assigned.join(broadcast(drop), Seq(idCol), "left_anti")
   }
 
+  /** Quality-filter funnel audit: apply `rules` (name → keep-predicate) IN
+    * ORDER and report, per stage, how many docs entered, failed, and
+    * survived — plus how many fail the rule against the WHOLE corpus
+    * (`n_fail_alone`, the overlap diagnostic: a rule whose sequential
+    * `n_fail` is far below its standalone count is shadowed by earlier
+    * rules). The table every filter-cascade tuning session starts from.
+    *
+    * Output: (stage, rule, n_in, n_fail, n_out, n_fail_alone), stage 1..k.
+    *
+    * Scale shape: ONE corpus scan — every cumulative conjunction and
+    * standalone failure count is a conditional sum in a single
+    * aggregation; the collected row is 2k+1 longs (k = #rules, bounded),
+    * and the k-row result is built driver-side from it. Nothing shuffles
+    * but the one-row aggregate. */
+  def filterFunnel(docs: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val cums = rules.scanLeft(lit(true))((acc, r) => acc && coalesce(r._2,
+      lit(false))).tail
+    val aggs =
+      count(lit(1)).as("__total") +:
+      cums.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__cum_$i")
+      } ++:
+      rules.zipWithIndex.map { case ((_, r), i) =>
+        sum(when(coalesce(r, lit(false)), 0L).otherwise(1L)).as(s"__alone_$i")
+      }
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getLong(0)
+    val k = rules.length
+    val out = (0 until k).map { i =>
+      val nIn = if (i == 0) total else row.getLong(i) // __cum_{i-1}
+      val nOut = row.getLong(i + 1)
+      val alone = row.getLong(1 + k + i)
+      (i + 1L, rules(i)._1, nIn, nIn - nOut, nOut, alone)
+    }
+    val session = docs.sparkSession
+    import session.implicits._
+    out.toDF("stage", "rule", "n_in", "n_fail", "n_out", "n_fail_alone")
+  }
+
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
       splitCol: String, shingleN: Int = 3, numHashes: Int = 128,
       bands: Int = 32, threshold: Double = 0.7,

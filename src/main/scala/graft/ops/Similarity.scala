@@ -495,4 +495,72 @@ object Similarity {
       .where(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  // --- INT8 scalar quantization (SQ8) --------------------------------------
+  //
+  // The third compression point on the ANN memory/recall curve, between
+  // full vectors and PQ codes: each dimension stores one byte, so a
+  // 64-dim float32 corpus shrinks 4x (256 B -> 64 B/vector) with far less
+  // quantization error than PQ's 4x16-dim codebooks. At 100 TB this is the
+  // difference between shipping 25 TB and 100 TB through the candidate
+  // join; ranges train in ONE (dim)-keyed aggregation pass and broadcast
+  // as d-sized literals, so encoding is a pure scan-side map.
+
+  /** Per-dimension [lo, hi] training ranges: one posexplode +
+    * (dim)-keyed min/max aggregation — output is d rows, corpus-size
+    * independent. min/max of floats is exact (no fp accumulation), so two
+    * engines agree bit-for-bit. */
+  def sqRanges(df: DataFrame, vecCol: Column): DataFrame =
+    df.select(posexplode(vecCol).as(Seq("dim", "__x")))
+      .groupBy("dim")
+      .agg(min(col("__x").cast("double")).as("lo"),
+        max(col("__x").cast("double")).as("hi"))
+      .orderBy("dim")
+
+  /** Quantize a float vector to int codes 0..255 under driver-side
+    * per-dim ranges (d-sized, from [[sqRanges]]): floor((x−lo)/(hi−lo)·256)
+    * clamped — floor, not round, so engines can't disagree on half-way
+    * cases. Degenerate dims (hi == lo) code to 0. */
+  def sqQuantize(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column = {
+    require(lo.length == hi.length, "lo/hi must have equal length")
+    val loL = typedLit(lo)
+    val hiL = typedLit(hi)
+    transform(vec, (x, i) => {
+      val l = element_at(loL, (i + 1).cast("int"))
+      val h = element_at(hiL, (i + 1).cast("int"))
+      when(h <= l, lit(0)).otherwise(
+        least(lit(255), greatest(lit(0),
+          floor((x.cast("double") - l) / (h - l) * 256.0))).cast("int"))
+    })
+  }
+
+  /** Midpoint-reconstruct a code vector: lo + (q + 0.5)/256 · (hi − lo).
+    * The decode every SQ score path shares. */
+  def sqDecode(codes: Column, lo: Seq[Double], hi: Seq[Double]): Column = {
+    require(lo.length == hi.length, "lo/hi must have equal length")
+    val loL = typedLit(lo)
+    val hiL = typedLit(hi)
+    transform(codes, (q, i) => {
+      val l = element_at(loL, (i + 1).cast("int"))
+      val h = element_at(hiL, (i + 1).cast("int"))
+      l + (q.cast("double") + 0.5) / 256.0 * (h - l)
+    })
+  }
+
+  /** Approximate top-k over an SQ8-encoded corpus: queries broadcast (full
+    * precision), corpus rows decode on the fly and score by cosine. Same
+    * output shape and tie-break as [[bruteForceTopK]]; only (id, codes)
+    * rows — 1 byte/dim — ever leave the corpus scan. */
+  def sqTopK(corpusCodes: DataFrame, queries: DataFrame, idCol: String,
+      codesCol: String, vecCol: String, lo: Seq[Double], hi: Seq[Double],
+      k: Int, roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val c = corpusCodes.select(col(idCol).as("neighbor_id"),
+      sqDecode(col(codesCol), lo, hi).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gf.vec_cosine(col("__qv"), col("__cv")), roundTo).as("cosine"))
+    topK(scored, k)
+  }
 }

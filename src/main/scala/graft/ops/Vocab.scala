@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vocabulary construction and application — the token-frequency side of
+  * tokenizer design (BPE merge learning lives in [[Bpe]]; this is the
+  * word/type-level vocabulary a pipeline builds to budget token counts,
+  * choose vocab sizes, and encode corpora to id sequences).
+  *
+  * Scale shape: everything here reduces to ONE (token) count shuffle over
+  * the corpus; the vocabulary table that comes out is type-count sized
+  * (≤ maxSize rows), corpus-size independent, and every downstream step
+  * (ranking, coverage curve, encode-join) works off that small table —
+  * ranking windows run over the vocabulary, never the corpus, and
+  * [[encode]] broadcasts the vocabulary to the token stream.
+  *
+  * Determinism: ranks tie-break on (count DESC, token ASC), so the
+  * vocabulary — and with it every encoded id — is reproducible across runs
+  * and partitionings.
+  */
+object Vocab {
+
+  /** Frequency vocabulary over whitespace tokens: the top-`maxSize` token
+    * types with count ≥ `minCount`, ranked densely by (count DESC, token
+    * ASC). Output: (token, token_id, n) with ids 0..V−1.
+    *
+    * One corpus-sized count shuffle; the rank window runs over the
+    * vocabulary-sized count table (a single-partition window over ≤ a few
+    * million rows — if your type count exceeds executor memory, raise
+    * `minCount`: a vocabulary you cannot rank is not a vocabulary you can
+    * train a tokenizer on). */
+  def build(df: DataFrame, text: Column, minCount: Long = 1L,
+      maxSize: Long = Long.MaxValue): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(maxSize >= 1, "maxSize must be >= 1")
+    val counts = df
+      .select(explode(split(text, "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    counts
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+      .where(col("token_id") < maxSize)
+      .select(col("token"), col("token_id").cast("long").as("token_id"),
+        col("n"))
+  }
+
+  /** Encode documents to id sequences under a [[build]]-shaped vocabulary
+    * table (token, token_id, …): whitespace tokens map to their ids, OOV
+    * tokens to `unkId`. Output: original id column + `ids` array.
+    *
+    * Scale shape: the corpus explodes to (doc, pos, token) AT THE SCAN
+    * (no pre-shuffle), the vocabulary — small by construction — broadcast
+    * joins onto the token stream map-side, and the only shuffle regroups
+    * (doc, pos, int-id) triples, i.e. ships 12-byte ids instead of token
+    * text. Empty/null docs yield empty arrays, preserving corpus rows. */
+  def encode(df: DataFrame, idCol: String, text: Column,
+      vocab: DataFrame, unkId: Long = -1L): DataFrame = {
+    val toks = df.select(col(idCol),
+        posexplode_outer(split(text, "\\s+")).as(Seq("__pos", "__tok")))
+    val mapped = toks.join(
+        broadcast(vocab.select(col("token").as("__tok"),
+          col("token_id").as("__tid"))),
+        Seq("__tok"), "left")
+      .select(col(idCol), col("__pos"),
+        when(col("__tok").isNull || length(col("__tok")) === 0, lit(null))
+          .otherwise(coalesce(col("__tid"), lit(unkId))).as("__tid"))
+    mapped.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__tid"))))
+        .as("__ps"))
+      .select(col(idCol),
+        filter(transform(col("__ps"), p => p.getField("__tid")),
+          x => x.isNotNull).as("ids"))
+  }
+
+  /** Vocabulary coverage curve (the Zipf head/tail question): for each
+    * checkpoint rank N in `ranks`, the fraction of all token OCCURRENCES
+    * covered by the top-N token types, plus the OOV rate a vocab of size N
+    * would pay. Output: (vocab_size, covered, total, coverage) ordered by
+    * vocab_size — the table a team reads to pick a vocabulary size.
+    *
+    * Same single count shuffle as [[build]]; the prefix sum runs over the
+    * vocabulary-sized ranked table, and checkpoints join against that
+    * cumulative table — nothing here rescans the corpus. */
+  def coverage(df: DataFrame, text: Column, ranks: Seq[Long]): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(_ >= 1), "ranks must be >= 1")
+    val ranked = build(df, text)
+      .withColumn("cum",
+        sum(col("n")).over(Window.orderBy(col("token_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = ranked.agg(coalesce(sum(col("n")), lit(0L)).as("t"))
+    val session = df.sparkSession
+    import session.implicits._
+    val checkpoints = ranks.distinct.sorted
+      .toDF("vocab_size").select(col("vocab_size").cast("long"))
+    // per checkpoint: the cumulative count at the largest rank ≤ N — a
+    // vocab-sized range join on the small ranked table
+    checkpoints.join(ranked, col("token_id") < col("vocab_size"), "left")
+      .groupBy("vocab_size")
+      .agg(coalesce(max(col("cum")), lit(0L)).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered"), col("t").as("total"),
+        round(col("covered") / greatest(col("t"), lit(1L)), 9)
+          .as("coverage"))
+      .orderBy("vocab_size")
+  }
+}

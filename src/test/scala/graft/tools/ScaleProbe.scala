@@ -203,6 +203,28 @@ object ScaleProbe {
       force(graft.ops.Robust.quantileBand(scored, Seq("source"), col("s"),
         0.05, 0.95, approx = true))
     }
+
+    // round-6 drift ops at token scale: the 30-token docs make the corpus
+    // 30·nDocs tokens (nDocs=33M → ~1B tokens, 5k-token vocabulary); all
+    // three ops reduce to ONE (group/side, token) count shuffle, so the
+    // post-count grids are corpus-size independent
+    time(s"tokenDrift ${30 * nDocs} tokens (5k vocab)") {
+      force(graft.ops.Drift.tokenDrift(docs, col("text"),
+        col("doc_id") % 2 === 0))
+    }
+    time(s"jsMatrix ${30 * nDocs} tokens x 20 sources") {
+      force(graft.ops.Drift.jsMatrix(
+        docs.select(explode(split(col("text"), " ")).as("tok"), col("source")),
+        col("tok"), col("source")))
+    }
+    time(s"windowedDrift $nDocs events x 30 days") {
+      force(graft.ops.Drift.windowedDrift(
+        docs.select(col("doc_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            (col("doc_id") % 30) * 86400000000L).as("ts"),
+          concat(lit("t"), (col("doc_id") % 500).cast("string")).as("cat")),
+        col("ts"), col("cat"), "1 day"))
+    }
     spark.stop()
   }
 }
