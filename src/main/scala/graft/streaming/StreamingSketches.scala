@@ -59,44 +59,92 @@ object StreamingSketches {
   }
 
   /** Streaming exact deduplication: emits only the FIRST row seen per
-    * normalized content hash, across micro-batches, using
+    * normalized content, across micro-batches, using
     * flatMapGroupsWithState (custom keyed state; one boolean per key).
     *
-    * State is the smallest possible (a seen-marker per distinct content
-    * hash); pair with a TTL-style cleanup (state timeout) in production if
-    * the key space is unbounded. Works on batch frames too (degenerates to
-    * per-key first()). Output columns = input columns.
-    */
-  def dedupStream(df: DataFrame, textCol: String): DataFrame = {
+    * State-size knobs for unbounded corpora:
+    *
+    *  - `keyByHash` (default true): key state by the 128-bit hash of the
+    *    normalized text instead of the text itself — 32 state bytes per
+    *    distinct document rather than the document, i.e. the state store
+    *    holds fingerprints, not the corpus. Collision odds at 2^64 docs
+    *    are ~2^-64·n²; set false to key by full text (Spark's own
+    *    streaming dropDuplicates stores key columns the same way) when
+    *    absolute exactness beats state size.
+    *  - `ttl` (e.g. "30 days") with `tsCol`: EVENT-TIME state expiry —
+    *    the input stream must carry `withWatermark(tsCol, ...)`. A key is
+    *    evicted once the watermark passes its last sighting's event time
+    *    plus the TTL, so state is bounded by the distinct-content volume
+    *    per TTL window; a duplicate arriving after expiry re-emits (the
+    *    standard streaming-dedup tradeoff, like dropDuplicates' watermark
+    *    eviction). Event time, not processing time, keeps eviction
+    *    DETERMINISTIC under replay and backfill — and a processing-time
+    *    timeout would make the engine run batches continuously (its
+    *    shouldRunAnotherBatch is always true once wall-clock advances),
+    *    burning cluster cycles even on an idle stream.
+    *
+    * The key is computed with the SAME Column-level normalization as
+    * Dedup.exact so batch and streaming agree (a JVM-side
+    * reimplementation would diverge on trim/locale semantics). Works on
+    * batch frames too (degenerates to per-key first(); TTL requires a
+    * stream). Output columns = input columns. */
+  def dedupStream(df: DataFrame, textCol: String,
+      keyByHash: Boolean = true, ttl: Option[String] = None,
+      tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.{Encoders, Row}
-    // key = the normalized text itself (like Spark's own streaming
-    // dropDuplicates, which stores key columns in state): exact dedup with
-    // no hash-collision risk. The key column is computed with the SAME
-    // Column-level normalization as Dedup.exact so batch and streaming agree
-    // (a JVM-side reimplementation would diverge on trim/locale semantics).
     require(!df.columns.contains("__graft_dedup_key"),
       "input already has a __graft_dedup_key column")
+    val ttlMs: Long = ttl.map { s =>
+      val d = scala.concurrent.duration.Duration(s)
+      require(d.isFinite && d.toMillis > 0, s"ttl must be positive: $s")
+      d.toMillis
+    }.getOrElse(0L)
+    if (ttlMs > 0) require(df.columns.contains(tsCol),
+      s"ttl needs event-time column '$tsCol' (watermarked) in the input")
+    val norm = graft.ops.Dedup.normalized(col(textCol))
     val keyed = df.withColumn("__graft_dedup_key",
-      graft.ops.Dedup.normalized(col(textCol)))
+      if (keyByHash) md5(norm.cast("binary")) else norm)
     val keyIdx = keyed.schema.fieldIndex("__graft_dedup_key")
+    val tsIdx = if (ttlMs > 0) keyed.schema.fieldIndex(tsCol) else -1
     val ds = keyed.as[Row](Encoders.row(keyed.schema))
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey { r =>
       val v = if (r.isNullAt(keyIdx)) null else r.getString(keyIdx)
       (v == null, if (v == null) "" else v) // null text is its own group
     }(Encoders.tuple(Encoders.scalaBoolean, Encoders.STRING))
       .flatMapGroupsWithState[Boolean, Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        OutputMode.Append(), timeout)(
         (_: (Boolean, String), rows: Iterator[Row], state: GroupState[Boolean]) => {
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            state.update(true)
-            val first = rows.next()
-            // drop the key column by position
-            val vals = first.toSeq.zipWithIndex.collect {
-              case (v, i) if i != keyIdx => v
+            val buf = rows.toArray // bounded: this key's rows in THIS batch
+            def refreshTtl(): Unit = if (ttlMs > 0) {
+              // deadline = last sighting's EVENT time + ttl (event-driven,
+              // replay-deterministic); clamped above the watermark because
+              // Spark rejects deadlines at or before it (late sightings)
+              val maxTs = buf.iterator.filterNot(_.isNullAt(tsIdx))
+                .map(_.getTimestamp(tsIdx).getTime)
+                .foldLeft(Long.MinValue)(math.max)
+              val wm = state.getCurrentWatermarkMs()
+              val base = if (maxTs == Long.MinValue) wm else maxTs
+              state.setTimeoutTimestamp(math.max(base + ttlMs, wm + 1))
             }
-            Iterator(Row.fromSeq(vals))
+            if (state.exists) {
+              refreshTtl() // TTL measures time since last sighting
+              Iterator.empty
+            } else {
+              state.update(true)
+              refreshTtl()
+              val first = buf(0)
+              // drop the key column by position
+              val vals = first.toSeq.zipWithIndex.collect {
+                case (v, i) if i != keyIdx => v
+              }
+              Iterator(Row.fromSeq(vals))
+            }
           }
         })(Encoders.scalaBoolean, Encoders.row(df.schema))
       .toDF()

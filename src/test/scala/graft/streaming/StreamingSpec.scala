@@ -166,6 +166,65 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStream hash-key and full-text-key modes agree") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(byHash: Boolean): Seq[Long] = {
+      val stream = MemoryStream[(Long, String)]
+      val out = StreamingSketches.dedupStream(
+        stream.toDF().toDF("id", "text"), "text", keyByHash = byHash)
+      val name = s"dedup_mode_$byHash"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        stream.addData(Seq((1L, "alpha"), (2L, "beta")))
+        q.processAllAvailable()
+        stream.addData(Seq((3L, "ALPHA"), (4L, "gamma")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val ids = spark.table(name).orderBy("id")
+        .collect().map(_.getLong(0)).toSeq
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      ids
+    }
+    assert(run(byHash = true) == Seq(1L, 2L, 4L))
+    assert(run(byHash = false) == Seq(1L, 2L, 4L))
+  }
+
+  test("dedupStream event-time TTL: in-window dups suppressed, expiry re-admits") {
+    // event-time eviction: deterministic (watermark-driven), no wall-clock
+    // sleeps — a processing-time timeout would also make the engine run
+    // batches forever (shouldRunAnotherBatch always true), hanging
+    // processAllAvailable
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingSketches.dedupStream(
+      stream.toDF().toDF("id", "ts", "text").withWatermark("ts", "0 seconds"),
+      "text", ttl = Some("1 hour"))
+    val q = out.writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, new Timestamp(t0), "alpha")))
+      q.processAllAvailable() // watermark -> t0; alpha expires at t0+1h
+      // in-window duplicate: suppressed (wm still < t0+1h)
+      stream.addData(Seq((2L, new Timestamp(t0 + 60_000L), "alpha"),
+        (3L, new Timestamp(t0 + 60_000L), "beta")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_ttl").orderBy("id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      // advance the watermark past alpha's refreshed deadline (t0+1m+1h)
+      stream.addData(Seq((4L, new Timestamp(t0 + 7_200_000L), "gamma")))
+      q.processAllAvailable() // timeout fires: alpha (and beta) evicted
+      // alpha re-admitted after event-time expiry
+      stream.addData(Seq((5L, new Timestamp(t0 + 7_260_000L), "alpha")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ttl").orderBy("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 3L, 4L, 5L), s"got $ids")
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS dedup_ttl")
+  }
+
   test("dedupStream works on batch frames too") {
     import spark.implicits._
     val df = Seq((1L, "x y"), (2L, "x  Y"), (3L, "z")).toDF("id", "text")
