@@ -81,7 +81,10 @@ object StreamingSketches {
     *    DETERMINISTIC under replay and backfill — and a processing-time
     *    timeout would make the engine run batches continuously (its
     *    shouldRunAnotherBatch is always true once wall-clock advances),
-    *    burning cluster cycles even on an idle stream.
+    *    burning cluster cycles even on an idle stream. NB: the watermark
+    *    also late-drops input rows older than it — size the watermark
+    *    delay to the stream's real event-time disorder, or arrivals that
+    *    lag the watermark are dropped before they reach the dedup state.
     *
     * The key is computed with the SAME Column-level normalization as
     * Dedup.exact so batch and streaming agree (a JVM-side
