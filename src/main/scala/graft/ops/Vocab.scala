@@ -56,9 +56,16 @@ object Vocab {
     * (no pre-shuffle), the vocabulary — small by construction — broadcast
     * joins onto the token stream map-side, and the only shuffle regroups
     * (doc, pos, int-id) triples, i.e. ships 12-byte ids instead of token
-    * text. Empty/null docs yield empty arrays, preserving corpus rows. */
+    * text. Array assembly is a SORTED STREAMING walk (repartition by doc,
+    * sort by (doc, pos), one doc's ids in memory at a time) — a
+    * collect_list aggregation holds every in-flight group's buffer on the
+    * heap and OOMs at the billion-token scale (measured: 33M docs × 30
+    * tokens on an 8 GB executor heap). Empty/null docs yield empty
+    * arrays, preserving corpus rows. */
   def encode(df: DataFrame, idCol: String, text: Column,
       vocab: DataFrame, unkId: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
     val toks = df.select(col(idCol),
         posexplode_outer(split(text, "\\s+")).as(Seq("__pos", "__tok")))
     val mapped = toks.join(
@@ -68,12 +75,31 @@ object Vocab {
       .select(col(idCol), col("__pos"),
         when(col("__tok").isNull || length(col("__tok")) === 0, lit(null))
           .otherwise(coalesce(col("__tid"), lit(unkId))).as("__tid"))
-    mapped.groupBy(idCol)
-      .agg(sort_array(collect_list(struct(col("__pos"), col("__tid"))))
-        .as("__ps"))
-      .select(col(idCol),
-        filter(transform(col("__ps"), p => p.getField("__tid")),
-          x => x.isNotNull).as("ids"))
+    val outSchema = StructType(Seq(
+      mapped.schema.fields(0),
+      StructField("ids", ArrayType(LongType, containsNull = false))))
+    mapped
+      .repartition(col(idCol))
+      .sortWithinPartitions(col(idCol), col("__pos"))
+      .mapPartitions { it =>
+        // NB the name: inside an Iterator subclass, a bare `buffered`
+        // resolves to the INHERITED Iterator.buffered method (self-wrap →
+        // infinite recursion), so the upstream iterator gets a distinct name
+        val in = it.buffered
+        new Iterator[Row] {
+          def hasNext: Boolean = in.hasNext
+          def next(): Row = {
+            val id = in.head.get(0)
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            while (in.hasNext && in.head.get(0) == id) {
+              val r = in.next()
+              if (!r.isNullAt(2)) ids += r.getLong(2)
+            }
+            Row(id, ids.toSeq)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
   }
 
   /** Vocabulary coverage curve (the Zipf head/tail question): for each

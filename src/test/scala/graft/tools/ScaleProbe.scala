@@ -217,6 +217,45 @@ object ScaleProbe {
         docs.select(explode(split(col("text"), " ")).as("tok"), col("source")),
         col("tok"), col("source")))
     }
+    // round-8 ops ------------------------------------------------------
+
+    time(s"vocabCoverage ${30 * nDocs} tokens (5k vocab)") {
+      force(graft.ops.Vocab.coverage(docs, col("text"),
+        Seq(100L, 1000L, 5000L)))
+    }
+    time(s"vocabEncode $nDocs docs (5k vocab, minCount=100)") {
+      val v = graft.ops.Vocab.build(docs, col("text"), minCount = 100)
+      force(graft.ops.Vocab.encode(docs, "doc_id", col("text"), v))
+    }
+    time(s"filterFunnel $nDocs docs x 4 rules") {
+      force(graft.ops.Pipeline.filterFunnel(docs, Seq(
+        "min_len" -> (length(col("text")) >= 50),
+        "max_len" -> (length(col("text")) <= 500),
+        "digit_ratio" ->
+          (length(regexp_replace(col("text"), "[^0-9]", "")) * 2
+            <= length(col("text"))),
+        "min_tokens" -> (size(split(col("text"), " ")) >= 10))))
+    }
+    time(s"sqQuantize $nVecs x 64-dim") {
+      val r = graft.ops.Similarity.sqRanges(vecs, col("embedding"))
+        .orderBy("dim").collect()
+      val lo = r.map(_.getDouble(1)).toSeq
+      val hi = r.map(_.getDouble(2)).toSeq
+      force(vecs.select(col("vec_id"),
+        graft.ops.Similarity.sqQuantize(col("embedding"), lo, hi).as("codes")))
+    }
+    time(s"sqTopK $nVecs rows, 5 queries") {
+      val r = graft.ops.Similarity.sqRanges(vecs, col("embedding"))
+        .orderBy("dim").collect()
+      val lo = r.map(_.getDouble(1)).toSeq
+      val hi = r.map(_.getDouble(2)).toSeq
+      val coded = vecs.select(col("vec_id"),
+        graft.ops.Similarity.sqQuantize(col("embedding"), lo, hi).as("codes"))
+      force(graft.ops.Similarity.sqTopK(coded,
+        vecs.where(col("vec_id") < 5), "vec_id", "codes", "embedding",
+        lo, hi, 10))
+    }
+
     time(s"windowedDrift $nDocs events x 30 days") {
       force(graft.ops.Drift.windowedDrift(
         docs.select(col("doc_id"),
