@@ -1641,6 +1641,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q139_budget_sample" -> ((s, dir) => {
+      // per-source TOKEN budget cap (the budgeting step after mixture
+      // proportions: "take ~3000 tokens per source"): membership is a
+      // pure function of hash64(doc_id) rank + prefix token sums, so the
+      // oracle recomputes the identical walk in DuckDB. Output proves
+      // membership bit-exactly via per-source count + id/token sums
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.budgetSample(docs, col("source"), col("doc_id"),
+          gf.token_count(col("text")), 3000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(gf.token_count(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     "q137_filter_funnel" -> ((s, dir) => {
       // quality-cascade audit: per-stage entered/failed/survived counts +
       // the standalone-failure overlap diagnostic, all from ONE scan (a
@@ -2140,6 +2156,22 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
   def oracleSql: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q139_budget_sample" ->
+      (hashMacros +
+        """WITH d AS (SELECT doc_id, source,
+             len(string_split(text, ' ')) AS tok
+           FROM documents),
+         r AS (SELECT doc_id, source, tok,
+             coalesce(sum(tok) OVER (PARTITION BY source
+               ORDER BY g_av(doc_id::UBIGINT), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+           FROM d)
+         SELECT source, count(*) AS n_docs,
+           cast(sum(doc_id) AS BIGINT) AS sum_id,
+           cast(sum(tok) AS BIGINT) AS sum_tokens
+         FROM r WHERE before < 3000
+         GROUP BY source ORDER BY source"""),
     "q137_filter_funnel" ->
       """WITH d AS (SELECT length(text) AS l,
                length(regexp_replace(text, '[^0-9]', '', 'g')) AS dg,

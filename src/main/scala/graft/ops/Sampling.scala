@@ -167,6 +167,40 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic per-group COST-budget sampling — "take ≈N tokens per
+    * source", the budgeting step a training recipe runs after choosing
+    * mixture proportions (mixture quotas count ROWS; corpora with skewed
+    * document lengths need the budget in tokens/bytes, which is this op).
+    * Docs rank within their group by unsigned `hash64(key)` (the same
+    * reproducible, subset-monotone order every sampler here uses), and a
+    * doc is kept iff the cumulative cost of all docs BEFORE it is strictly
+    * under `budgetPerGroup` — so each non-empty group keeps at least one
+    * doc and overshoots by at most one document.
+    *
+    * Scale shape: membership is computed on a (group, key, cost)
+    * PROJECTION — three narrow columns ride the per-group window sort,
+    * never text or vectors — and the kept keys semi-join back to the full
+    * rows. NULL costs count as 0 (kept for free); rows with NULL group are
+    * dropped (no budget to charge them against). */
+  def budgetSample(df: DataFrame, groupCol: Column, key: Column,
+      cost: Column, budgetPerGroup: Long): DataFrame = {
+    require(budgetPerGroup > 0, "budgetPerGroup must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val proj = df.select(groupCol.as("__g"), key.as("__k"),
+        coalesce(cost.cast("long"), lit(0L)).as("__c"))
+      .where(col("__g").isNotNull)
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(gf.hash64(col("__k")).bitwiseXOR(lit(Long.MinValue)),
+        col("__k"))
+    val before = coalesce(
+      sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val members = proj.withColumn("__before", before)
+      .where(col("__before") < lit(budgetPerGroup))
+      .select(col("__k"))
+    df.join(members, key === col("__k"), "left_semi")
+  }
+
   /** Temperature-scaled mixture sampling: per-group weights w_g ∝ n_g^alpha
     * (n_g = the group's row count), the multilingual/multi-source rebalance
     * rule popularized by T5/mT5 — alpha = 1 keeps natural proportions,
