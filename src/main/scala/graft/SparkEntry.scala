@@ -74,6 +74,16 @@ object SparkEntry {
       base
     })
 
+  private val csvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureCsv(s: SparkSession, dir: String): String =
+    csvCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      graft.sources.Tables.writeCsv(
+        t(s, d, "documents").select("doc_id", "text", "source"), base)
+      base
+    })
+
   private def mediaWavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.media.Media.asMediaTable(
@@ -852,6 +862,24 @@ object SparkEntry {
           bit_xor(gf.hash64(col("doc_id"))).as("id_xor"))
         .orderBy("source")
     }),
+    "q140_csv_roundtrip" -> ((s, dir) => {
+      // CSV interchange fidelity (the other arrival format): documents →
+      // quoted/escaped headered CSV → explicit-schema read-back; same
+      // per-source checksum contract as q86 — commas and quotes in free
+      // text must survive RFC-4180 quoting bit-for-bit
+      import org.apache.spark.sql.types._
+      val path = ensureCsv(s, dir)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType)))
+      graft.sources.Tables.loadCsv(s, path, schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          bit_xor(gf.hash64(col("text"))).as("text_xor"),
+          bit_xor(gf.hash64(col("doc_id"))).as("id_xor"))
+        .orderBy("source")
+    }),
+
     "q87_prepare_corpus" -> ((s, dir) => {
       // pipeline v2 end-to-end: constant page template wrapped around the
       // corpus (so exact dups survive templating) → stripHtml → exact
@@ -1641,6 +1669,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q141_sq_rerank" -> ((s, dir) => {
+      // two-stage SQ8, the q134 pattern at the scalar-quantization point
+      // of the curve: raw decoded-cosine top-10 vs top-40 candidates
+      // re-scored on TRUE vectors — refined recall can only gain; only
+      // the 40-row candidate sets ship full-precision vectors
+      val emb = t(s, dir, "embeddings")
+      val ranges = graft.ops.Similarity.sqRanges(emb, col("embedding"))
+        .orderBy("dim").collect()
+      val lo = ranges.map(_.getDouble(1)).toSeq
+      val hi = ranges.map(_.getDouble(2)).toSeq
+      val coded = emb.select(col("vec_id"),
+        graft.ops.Similarity.sqQuantize(col("embedding"), lo, hi).as("codes"))
+      val queries = emb.where(col("vec_id") < 10)
+      val raw = graft.ops.Similarity.sqTopK(coded, queries, "vec_id",
+          "codes", "embedding", lo, hi, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val refined = graft.ops.Similarity.sqTopKRefined(coded, emb, queries,
+          "vec_id", "codes", "embedding", lo, hi, k = 10, rerank = 40)
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = graft.ops.Similarity.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(raw.join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits_sq")),
+          Seq("query_id"), "left")
+        .join(refined.join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits_refined")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("hits_sq"), lit(0L)).as("hits_sq"),
+          coalesce(col("hits_refined"), lit(0L)).as("hits_refined"))
+        .orderBy("query_id")
+    }),
+
     "q139_budget_sample" -> ((s, dir) => {
       // per-source TOKEN budget cap (the budgeting step after mixture
       // proportions: "take ~3000 tokens per source"): membership is a
@@ -2232,6 +2295,51 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                GROUP BY 1)
          SELECT q.query_id, coalesce(h.hits_sq, 0) AS hits_sq
          FROM q LEFT JOIN h ON h.query_id = q.query_id
+         ORDER BY q.query_id""",
+    "q141_sq_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         r AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM e, generate_series(1, 64) g(i) GROUP BY i),
+         dec AS (SELECT e.vec_id,
+               list(r.lo + (CASE WHEN r.hi <= r.lo THEN 0
+                 ELSE least(255, greatest(0,
+                   floor((v[r.dim] - r.lo) / (r.hi - r.lo) * 256)))::INT END
+                 + 0.5) / 256.0 * (r.hi - r.lo) ORDER BY r.dim) AS dv
+             FROM e, r GROUP BY e.vec_id),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         sqr AS (SELECT q.query_id, d.vec_id, row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qv, d.dv), 6)
+                     DESC, d.vec_id) AS rn
+                 FROM q JOIN dec d ON d.vec_id <> q.query_id),
+         ref AS (SELECT query_id, vec_id FROM (
+                  SELECT c.query_id, c.vec_id, row_number() OVER (
+                    PARTITION BY c.query_id
+                    ORDER BY round(list_cosine_similarity(q.qv, e.v), 6)
+                      DESC, c.vec_id) AS rn2
+                  FROM (SELECT query_id, vec_id FROM sqr WHERE rn <= 40) c
+                  JOIN e ON e.vec_id = c.vec_id
+                  JOIN q ON q.query_id = c.query_id) WHERE rn2 <= 10),
+         tr AS (SELECT query_id, vec_id FROM (
+                  SELECT q.query_id, e.vec_id, row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY round(list_cosine_similarity(q.qv, e.v), 6)
+                      DESC, e.vec_id) AS rn
+                  FROM q JOIN e ON e.vec_id <> q.query_id)
+                WHERE rn <= 10),
+         ha AS (SELECT a.query_id, count(*) AS hits_sq
+                FROM (SELECT query_id, vec_id FROM sqr WHERE rn <= 10) a
+                JOIN tr ON tr.query_id = a.query_id AND tr.vec_id = a.vec_id
+                GROUP BY 1),
+         hr AS (SELECT r2.query_id, count(*) AS hits_refined
+                FROM ref r2
+                JOIN tr ON tr.query_id = r2.query_id
+                  AND tr.vec_id = r2.vec_id
+                GROUP BY 1)
+         SELECT q.query_id, coalesce(ha.hits_sq, 0) AS hits_sq,
+           coalesce(hr.hits_refined, 0) AS hits_refined
+         FROM q LEFT JOIN ha ON ha.query_id = q.query_id
+              LEFT JOIN hr ON hr.query_id = q.query_id
          ORDER BY q.query_id""",
     "q135_vocab_coverage" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
@@ -3638,6 +3746,15 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
     // computed from the parquet ORIGINALS: the gate's jsonl round-trip must
     // reproduce these counts/lengths/checksums exactly
     "q86_jsonl_roundtrip" ->
+      (hashMacros +
+        """SELECT source, count(*)::BIGINT AS cnt,
+             sum(length(text))::BIGINT AS sum_len,
+             bit_xor(g_sb(g_thash(text))) AS text_xor,
+             bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor
+           FROM documents GROUP BY source ORDER BY source"""),
+    // identical contract to q86: the round-trip must hand back the parquet
+    // originals bit-for-bit, so the oracle is the same parquet checksum
+    "q140_csv_roundtrip" ->
       (hashMacros +
         """SELECT source, count(*)::BIGINT AS cnt,
              sum(length(text))::BIGINT AS sum_len,

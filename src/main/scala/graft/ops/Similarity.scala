@@ -563,4 +563,28 @@ object Similarity {
         round(gf.vec_cosine(col("__qv"), col("__cv")), roundTo).as("cosine"))
     topK(scored, k)
   }
+
+  /** Two-stage SQ8 search, mirroring [[ivfPqTopKRefined]]: the top-`rerank`
+    * decoded-cosine candidates from [[sqTopK]] join their TRUE vectors by
+    * id and re-rank exactly — recall can only improve (the exact-best k of
+    * a candidate superset), and only the rerank-sized candidate set ever
+    * ships full-precision vectors. */
+  def sqTopKRefined(corpusCodes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, codesCol: String, vecCol: String,
+      lo: Seq[Double], hi: Seq[Double], k: Int, rerank: Int = -1,
+      roundTo: Int = 6): DataFrame = {
+    val r = if (rerank > 0) rerank else 4 * k
+    require(r >= k, s"rerank ($r) must be >= k ($k)")
+    val cand = sqTopK(corpusCodes, queries, idCol, codesCol, vecCol,
+        lo, hi, r, roundTo)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gf.vec_cosine(col("__qv"), col("__cv")), roundTo).as("cosine"))
+    topK(scored, k)
+  }
 }

@@ -58,6 +58,31 @@ object Tables {
       sampleRatio: Double = 1.0): org.apache.spark.sql.types.StructType =
     spark.read.option("samplingRatio", sampleRatio).json(path).schema
 
+  /** Write a frame as headered CSV with full quoting/escaping — the other
+    * interchange format corpora arrive in. Splittable like JSONL when
+    * uncompressed; free text survives because every field is quoted and
+    * embedded quotes escape by doubling (RFC 4180). */
+  def writeCsv(df: DataFrame, path: String,
+      compression: String = "none"): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      // the WRITER trims field whitespace by default — corpus text must
+      // survive byte-for-byte
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("compression", compression).csv(path)
+
+  /** Read CSV with an EXPLICIT schema (inference is a full extra pass —
+    * at corpus scale always pass the schema). Options mirror [[writeCsv]]
+    * so a round-trip is lossless for printable text; malformed lines
+    * yield NULL columns (PERMISSIVE) rather than failing the job. */
+  def loadCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .csv(path)
+
   private def normalize(name: String, df: DataFrame): DataFrame =
     if (name != "events") df
     else df.schema("ts").dataType match {

@@ -58,6 +58,23 @@ class SqQuantizeSpec extends AnyFunSuite with SparkTestBase {
       s"recall ${hits.toDouble / total} < 0.9")
   }
 
+  test("refined top-k recall is >= raw SQ recall and <= truth") {
+    val coded = emb.select(col("vec_id"),
+      Similarity.sqQuantize(col("embedding"), lo, hi).as("codes"))
+    val queries = emb.where(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 5).select("query_id", "neighbor_id")
+    val raw = Similarity.sqTopK(coded, queries, "vec_id", "codes",
+      "embedding", lo, hi, 5).select("query_id", "neighbor_id")
+    val refined = Similarity.sqTopKRefined(coded, emb, queries, "vec_id",
+      "codes", "embedding", lo, hi, k = 5, rerank = 20)
+      .select("query_id", "neighbor_id")
+    val rawHits = raw.join(truth, Seq("query_id", "neighbor_id")).count()
+    val refHits = refined.join(truth, Seq("query_id", "neighbor_id")).count()
+    assert(refHits >= rawHits, s"refined $refHits < raw $rawHits")
+    assert(refHits <= truth.count())
+  }
+
   test("quantize is deterministic under repartitioning") {
     val a = emb.select(col("vec_id"),
         Similarity.sqQuantize(col("embedding"), lo, hi).as("c"))
