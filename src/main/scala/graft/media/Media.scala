@@ -49,6 +49,11 @@ object Media {
   final case class AudioStatsRow(media_id: Long, ok: Boolean,
       sample_rate: Option[Int], n_samples: Option[Int],
       sum_abs: Option[Long], n_cross: Option[Long])
+  final case class AudioFpRow(media_id: Long, ok: Boolean,
+      n_frames: Option[Int], fingerprint: Option[Long])
+  final case class SceneRow(media_id: Long, ok: Boolean,
+      n_frames: Option[Int], n_scenes: Option[Int],
+      sum_diff: Option[Long], max_diff: Option[Long])
 
   /** Dispatch to the right image decoder from the magic bytes. */
   def decodeImage(payload: Array[Byte]): Option[MImage] =
@@ -329,6 +334,98 @@ object Media {
               Some(a.samples.length), Some(sumAbs), Some(cross))
           case None =>
             AudioStatsRow(id, ok = false, None, None, None, None)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Per-clip acoustic fingerprint for audio near-dup detection
+    * (Haitsma–Kalker-style delta-sign bits, time-domain only so the kernel
+    * stays integer-exact and oracle-checkable): the PCM stream is framed
+    * into consecutive `frameSize`-sample frames (full frames only), each
+    * frame's energy is the integer Σ|s|, and bit i−1 of the fingerprint is
+    * set iff energy[i] > energy[i−1] (first 64 deltas). Delta SIGNS are
+    * invariant under positive gain (Σ|s| scales linearly), so re-levelled
+    * copies of a clip fingerprint identically; feed the result to
+    * [[graft.ops.Dedup.hammingPairs]] for banded near-dup pairs — the
+    * multimodal analog of simhash dedup. Partition-local, no shuffle;
+    * corrupt payloads yield ok=false with NULL fields. */
+  def audioFingerprints(media: DataFrame, frameSize: Int = 8): DataFrame = {
+    require(frameSize >= 1)
+    val session = media.sparkSession
+    import session.implicits._
+    val ds: Dataset[Row] = media
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(r.fieldIndex("media_id"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        Codecs.Wav.decode(payload) match {
+          case Some(a) =>
+            val nf = a.samples.length / frameSize
+            val e = new Array[Long](nf)
+            var f = 0
+            while (f < nf) {
+              var s = 0L
+              var i = f * frameSize
+              val end = i + frameSize
+              while (i < end) { s += math.abs(a.samples(i).toLong); i += 1 }
+              e(f) = s
+              f += 1
+            }
+            var fp = 0L
+            var i = 1
+            while (i < nf && i - 1 < 64) {
+              if (e(i) > e(i - 1)) fp |= 1L << (i - 1)
+              i += 1
+            }
+            AudioFpRow(id, ok = true, Some(nf), Some(fp))
+          case None => AudioFpRow(id, ok = false, None, None)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Shot/scene-change detection over PPM-stream video: consecutive frames
+    * are compared by integer raster distance Σ|a−b| over every byte, and a
+    * scene boundary is declared where that distance exceeds
+    * `threshold × n_bytes` (i.e. mean per-byte change > `threshold`, kept
+    * as pure Long arithmetic so an external oracle reproduces it exactly).
+    * Returns per video: frame count, scene count (= boundaries + 1; the
+    * shot-sampling prior for frame extraction), total and max consecutive
+    * distance (a motion-intensity signal). Partition-local mapPartitions —
+    * the decode-heavy work never shuffles; corrupt payloads → ok=false. */
+  def sceneChanges(media: DataFrame, threshold: Int = 64): DataFrame = {
+    require(threshold >= 0)
+    val session = media.sparkSession
+    import session.implicits._
+    val ds: Dataset[Row] = media
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(r.fieldIndex("media_id"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        Codecs.PpmStream.decode(payload) match {
+          case Some(frames) if frames.nonEmpty =>
+            var sumD = 0L
+            var maxD = 0L
+            var scenes = 1
+            var f = 1
+            while (f < frames.length) {
+              val a = frames(f - 1).pixels
+              val b = frames(f).pixels
+              var d = 0L
+              var i = 0
+              val n = math.min(a.length, b.length)
+              while (i < n) {
+                d += math.abs((a(i) & 0xFF) - (b(i) & 0xFF)); i += 1
+              }
+              sumD += d
+              if (d > maxD) maxD = d
+              if (d > threshold.toLong * n) scenes += 1
+              f += 1
+            }
+            SceneRow(id, ok = true, Some(frames.length), Some(scenes),
+              Some(sumD), Some(maxD))
+          case _ => SceneRow(id, ok = false, None, None, None, None)
         }
       }
     }.toDF()

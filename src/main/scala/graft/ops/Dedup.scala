@@ -338,13 +338,29 @@ object Dedup {
     * maxHamming ≤ chunks − 1.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 2, maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+      shingleN: Int = 2, maxHamming: Int = 3, chunks: Int = 4): DataFrame =
+    hammingPairs(df.select(col(idCol).as("__id"),
+        gf.simhash64(col(textCol), shingleN).as("__sh")),
+      "__id", "__sh", maxHamming, chunks)
+
+  /** Near-duplicate pairs among arbitrary 64-bit fingerprints — the
+    * banding+verify core of [[simhashPairs]], reusable for ANY 64-bit
+    * content signature: image perceptual hashes
+    * ([[graft.media.Media.imagePhashes]]), audio fingerprints
+    * ([[graft.media.Media.audioFingerprints]]), doc fingerprints. Rows
+    * with a NULL fingerprint are dropped (undecodable media). Same scale
+    * shape: only (chunk, bits, id, fp) rows shuffle, never payloads.
+    *
+    * Returns (idA, idB, hamming); complete for maxHamming ≤ chunks − 1. */
+  def hammingPairs(df: DataFrame, idCol: String, bitsCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     require(chunks >= 1 && 64 % chunks == 0, "chunks must divide 64")
     require(maxHamming <= chunks - 1,
       s"chunk banding only guarantees recall for hamming <= ${chunks - 1}")
     val w = 64 / chunks
     val sh = df.select(col(idCol).as("__id"),
-      gf.simhash64(col(textCol), shingleN).as("__sh"))
+        col(bitsCol).cast("long").as("__sh"))
+      .where(col("__sh").isNotNull)
     val banded = sh.select(col("__id"), col("__sh"), posexplode(
       transform(sequence(lit(0), lit(chunks - 1)),
         c => toColumn(ShiftRightUnsigned(toExpr(col("__sh")),

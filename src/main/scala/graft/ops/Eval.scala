@@ -158,4 +158,78 @@ object Eval {
         lit(2.0) * col("precision") * col("recall") /
           (col("precision") + col("recall"))))
   }
+
+  /** Multi-class classifier report in ONE corpus shuffle: the confusion
+    * matrix is a (label, pred)-keyed count aggregation (classes² rows —
+    * vocabulary-sized, corpus-size independent), and every metric folds
+    * from it with exact integer/rational arithmetic:
+    *
+    *  - accuracy;
+    *  - Cohen's κ — chance-corrected agreement, the standard guard
+    *    against "95% accurate" claims on a 95%-majority-class corpus;
+    *  - multi-class MCC (Gorodkin's R_K):
+    *    (c·s − Σ_k t_k·p_k) / √((s² − Σp_k²)(s² − Σt_k²));
+    *  - macro precision/recall/F1, averaged over the TRUE classes
+    *    (classes present in `labelCol`), with a class's precision/F1
+    *    taken as 0 when it is never predicted — the convention that
+    *    penalizes dropping a class instead of silently skipping it.
+    *
+    * Products of marginals are held in DECIMAL(38,0) (t_k·p_k overflows
+    * Int64 past ~3·10^9 rows per class). NULL labels/preds are excluded;
+    * κ and MCC are NULL when their denominator is 0 (single class /
+    * constant predictions). Returns one row: (n, n_classes, accuracy,
+    * kappa, mcc, macro_precision, macro_recall, macro_f1). */
+  def classifierReport(df: DataFrame, labelCol: Column,
+      predCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val conf = df.select(labelCol.as("__l"), predCol.as("__p"))
+      .where(col("__l").isNotNull && col("__p").isNotNull)
+      .groupBy("__l", "__p").agg(count(lit(1)).as("__c"))
+    // per-true-class marginals + diagonal
+    val byTrue = conf.groupBy("__l").agg(sum(col("__c")).as("__t"),
+      coalesce(sum(when(col("__l") === col("__p"), col("__c"))), lit(0L))
+        .as("__tp"))
+    // per-predicted-class marginals
+    val byPred = conf.groupBy("__p").agg(sum(col("__c")).as("__pk"))
+    val cls = byTrue.join(byPred, col("__l") === col("__p"), "left")
+      .select(col("__l"), col("__t"), col("__tp"),
+        coalesce(col("__pk"), lit(0L)).as("__pk"))
+    val prec = when(col("__pk") > 0,
+      col("__tp").cast("double") / col("__pk")).otherwise(lit(0.0))
+    val rec = col("__tp").cast("double") / col("__t")
+    val f1 = when(prec + rec > 0,
+      lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0))
+    // macro averages fan in through exact_sum so the one-row report is
+    // bit-deterministic under any partitioning of the class frame
+    val fromTrue = cls.agg(
+      sum(col("__t")).as("n"), count(lit(1)).as("n_classes"),
+      sum(col("__tp")).as("__correct"),
+      sum(col("__t").cast(dec) * col("__pk").cast(dec)).as("__stp"),
+      sum(col("__t").cast(dec) * col("__t").cast(dec)).as("__st2"),
+      (graft.api.functions.exact_sum(prec) / count(lit(1)))
+        .as("macro_precision"),
+      (graft.api.functions.exact_sum(rec) / count(lit(1)))
+        .as("macro_recall"),
+      (graft.api.functions.exact_sum(f1) / count(lit(1))).as("macro_f1"))
+    // Σp² over ALL predicted classes (incl. those never true)
+    val fromPred = byPred.agg(
+      coalesce(sum(col("__pk").cast(dec) * col("__pk").cast(dec)),
+        lit(0).cast(dec)).as("__sp2"))
+    val j = fromTrue.crossJoin(fromPred)
+    val nD = col("n").cast(dec)
+    val mccNum = (col("__correct").cast(dec) * nD - col("__stp"))
+      .cast("double")
+    // sqrt of the PRODUCT (not sqrt·sqrt): keeps perfect agreement at
+    // exactly 1.0 and loses no range (operands ≤ n² ≤ 1e20 each)
+    val mccDen = sqrt((nD * nD - col("__sp2")).cast("double") *
+      (nD * nD - col("__st2")).cast("double"))
+    val po = col("__correct").cast("double") / col("n")
+    val pe = col("__stp").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    j.select(col("n"), col("n_classes"),
+      po.as("accuracy"),
+      when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"),
+      when(mccDen > 0.0, mccNum / mccDen).as("mcc"),
+      col("macro_precision"), col("macro_recall"), col("macro_f1"))
+  }
 }

@@ -115,4 +115,55 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** Exact Spearman rank correlation between two numeric columns — the
+    * monotone-association check (quality score vs downstream loss, token
+    * count vs dup rate) that Pearson's linearity assumption breaks on.
+    *
+    * The classic formulation ranks every row with a global `rank()` window
+    * — a single-task sort funnel at scale. This one never globally sorts
+    * the corpus: per column, rows group by DISTINCT VALUE (cardinality ≪
+    * rows), the tie-averaged rank of each distinct value comes from the
+    * two-level bucketed prefix scan of [[Packing.withPrefixSum]] (rank =
+    * cum − (cnt−1)/2 over the inclusive cumulative count), and the
+    * value-sized rank tables join back to the rows (broadcast when small —
+    * left to the planner/AQE). Spearman ρ is then the Pearson correlation
+    * of the two rank columns, folded in ONE aggregation whose sums run
+    * through `exact_sum` — tie-averaged ranks are exact multiples of ½, so
+    * every product is exactly representable and ρ is bit-deterministic
+    * under any partitioning.
+    *
+    * Rows where either value is NULL or NaN are excluded listwise. Returns
+    * one row (n, rho); rho is NULL when n < 2 or either column is
+    * constant. */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column,
+      buckets: Int = 0): DataFrame = {
+    val rows = df.select(xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        !isnan(col("__x")) && !isnan(col("__y")))
+    def rankTable(c: String): DataFrame = {
+      val counts = rows.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      Packing.withPrefixSum(counts, c, "__cnt", "__cum", buckets)
+        .select(col(c),
+          (col("__cum") - (col("__cnt") - lit(1L)) / lit(2.0))
+            .as(s"__r$c"))
+    }
+    val ranked = rows
+      .join(rankTable("__x"), Seq("__x"))
+      .join(rankTable("__y"), Seq("__y"))
+    val one = ranked.agg(count(lit(1)).as("n"),
+      gf.exact_sum(col("__r__x")).as("__sx"),
+      gf.exact_sum(col("__r__y")).as("__sy"),
+      gf.exact_sum(col("__r__x") * col("__r__x")).as("__sxx"),
+      gf.exact_sum(col("__r__y") * col("__r__y")).as("__syy"),
+      gf.exact_sum(col("__r__x") * col("__r__y")).as("__sxy"))
+    val n = col("n").cast("double")
+    val covN = n * col("__sxy") - col("__sx") * col("__sy")
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    one.select(col("n"),
+      when(col("n") >= 2 && varX > 0 && varY > 0,
+        covN / sqrt(varX) / sqrt(varY)).as("rho"))
+  }
 }

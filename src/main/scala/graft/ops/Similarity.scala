@@ -587,4 +587,176 @@ object Similarity {
         round(gf.vec_cosine(col("__qv"), col("__cv")), roundTo).as("cosine"))
     topK(scored, k)
   }
+
+  /** Hard-negative mining for contrastive/retrieval training: per query,
+    * the top-`k` most cosine-similar corpus docs that are NOT lexical
+    * near-duplicates of it — semantically close (informative negatives)
+    * but textually distinct (not just the same doc again; a near-dup
+    * labelled "negative" teaches the model the wrong lesson).
+    *
+    * Shape: candidate generation is [[bruteForceTopK]] over `candidates`
+    * ≥ k neighbors (swap in [[sqTopK]]/[[ivfPqTopK]] upstream for the
+    * indexed path — any (query_id, neighbor_id, cosine) frame re-ranks the
+    * same way via [[hardNegativesFrom]]); only the candidate-sized id set
+    * ever joins back to TEXT (corpus text never shuffles wholesale), the
+    * n-gram Jaccard verify runs per candidate pair, and survivors re-rank
+    * to the final k. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, textCol: String, k: Int, candidates: Int = 0,
+      shingleN: Int = 3, tau: Double = 0.5, roundTo: Int = 6): DataFrame = {
+    val cand = if (candidates > 0) candidates else 4 * k
+    require(cand >= k, s"candidates ($cand) must be >= k ($k)")
+    val scored = bruteForceTopK(corpus, queries, idCol, vecCol, cand, roundTo)
+    hardNegativesFrom(scored, corpus, queries, idCol, textCol, k,
+      shingleN, tau)
+  }
+
+  /** Re-rank any candidate frame (query_id, neighbor_id, cosine) into
+    * hard negatives: drop pairs whose texts are near-dups
+    * (ngram_jaccard ≥ tau), keep the top-k survivors per query. */
+  def hardNegativesFrom(scored: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, textCol: String, k: Int,
+      shingleN: Int = 3, tau: Double = 0.5): DataFrame = {
+    val ct = corpus.select(col(idCol).as("neighbor_id"),
+      col(textCol).as("__nt"))
+    val qt = queries.select(col(idCol).as("query_id"),
+      col(textCol).as("__qt"))
+    val verified = scored
+      .join(ct, Seq("neighbor_id"))
+      .join(broadcast(qt), Seq("query_id"))
+      .withColumn("jaccard",
+        gf.ngram_jaccard(col("__qt"), col("__nt"), shingleN))
+      .where(col("jaccard") < tau)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("jaccard"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    verified.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  // --- PCA / whitening over embedding columns ------------------------------
+  //
+  // Dimensionality reduction for the embedding side of the pipeline:
+  // project 768-dim encoder outputs to the 64 dims that carry the
+  // variance before ANN indexing / near-dup search, or whiten them so
+  // cosine stops being dominated by the encoder's anisotropic top
+  // directions. The expensive half (second moments of the corpus) is ONE
+  // aggregation-shaped job; the eigensolve runs on the driver over a
+  // d×d matrix ([[graft.core.Jacobi]] — deterministic cyclic sweeps), and
+  // projection is a pure scan-side expression.
+
+  /** Second-moment frame behind PCA: one row per (i, j) with j ≥ i holding
+    * exact_sum(x_i·x_j), plus per-dim (i, −1) rows holding exact_sum(x_i),
+    * and the observation count. The d(d+3)/2 terms are generated
+    * SCAN-SIDE from each vector and fold through a (i, j)-keyed
+    * aggregation with map-side combine — the shuffle carries
+    * partitions × d(d+3)/2 tiny rows, never vectors, and `exact_sum`
+    * makes every total a pure function of the corpus multiset
+    * (bit-identical under any partitioning). Uniform-width embeddings
+    * expected (as [[groupCentroids]]); null/empty vectors are dropped. */
+  private[graft] def covMoments(df: DataFrame, vecCol: Column): DataFrame = {
+    val v = df.select(vecCol.cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) > 0)
+    val dTop = size(col("__v")) - 1
+    val terms = flatten(transform(sequence(lit(0), dTop), i =>
+      concat(
+        array(struct(i.as("i"), lit(-1).as("j"),
+          element_at(col("__v"), i + 1).as("p"))),
+        transform(sequence(i, dTop), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("__v"), i + 1) *
+              element_at(col("__v"), j + 1)).as("p"))))))
+    v.select(explode(terms).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy("i", "j")
+      .agg(gf.exact_sum(col("p")).as("s"), count(lit(1)).as("n"))
+  }
+
+  /** Population covariance matrix of an embedding column, upper triangle:
+    * (dim_a, dim_b, n, cov) for dim_a ≤ dim_b, cov = E[x_a·x_b] −
+    * E[x_a]·E[x_b]. Distributed output (the matrix is d²-sized, not
+    * corpus-sized); the corpus is touched exactly once. */
+  def covarianceMatrix(df: DataFrame, vecCol: Column): DataFrame = {
+    val m = covMoments(df, vecCol)
+    val means = m.where(col("j") === -1)
+      .select(col("i").as("__k"), (col("s") / col("n")).as("__mean"))
+    m.where(col("j") >= 0)
+      .join(broadcast(means), col("i") === col("__k"))
+      .withColumnRenamed("__mean", "__ma").drop("__k")
+      .join(broadcast(means), col("j") === col("__k"))
+      .withColumnRenamed("__mean", "__mb").drop("__k")
+      .select(col("i").as("dim_a"), col("j").as("dim_b"), col("n"),
+        (col("s") / col("n") - col("__ma") * col("__mb")).as("cov"))
+  }
+
+  /** Driver-held PCA model: corpus mean, eigenvalues (variance per
+    * component, descending) and unit principal components (components(k)
+    * is the k-th eigenvector over the original dims). */
+  final case class PcaModel(nRows: Long, mean: Array[Double],
+      eigenvalues: Array[Double], components: Array[Array[Double]])
+
+  /** Fit PCA: one corpus-scan moment job ([[covMoments]]) + a driver-side
+    * deterministic Jacobi eigensolve of the d×d covariance. `k` bounds the
+    * retained components (0 = all d). The model is d·(k+1) doubles — ship
+    * it anywhere. */
+  def pcaFit(df: DataFrame, vecCol: Column, k: Int = 0): PcaModel = {
+    val rows = covMoments(df, vecCol).collect()
+    require(rows.nonEmpty, "pcaFit: empty corpus")
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    val n = rows.find(r => r.getInt(1) == -1).map(_.getLong(3)).getOrElse(0L)
+    require(n > 0, "pcaFit: no observations")
+    val sums = new Array[Double](d)
+    val prods = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val s = r.getDouble(2)
+      if (j == -1) sums(i) = s else { prods(i)(j) = s; prods(j)(i) = s }
+    }
+    val mean = sums.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      prods(i)(j) / n - mean(i) * mean(j))
+    val (evals, evecs) = graft.core.Jacobi.symEigen(cov)
+    val kk = if (k > 0) math.min(k, d) else d
+    PcaModel(n, mean, evals.take(kk), evecs.take(kk))
+  }
+
+  /** Project a vector onto the model's first `k` components (0 = all
+    * retained), scan-side: component c's coordinate is dot(v−μ, c),
+    * computed as dot(v, c) − dot(μ, c) so the centering is a precomputed
+    * scalar and the whole projection stays one fused codegen'd pass over
+    * the vector (algebraically identical; ulp-level fp rearrangement). */
+  def pcaProject(vec: Column, model: PcaModel, k: Int = 0): Column = {
+    val kk = if (k > 0) math.min(k, model.components.length)
+      else model.components.length
+    array((0 until kk).map { c =>
+      val comp = model.components(c)
+      var off = 0.0
+      var i = 0
+      while (i < comp.length) { off += model.mean(i) * comp(i); i += 1 }
+      gf.vec_dot(vec.cast("array<double>"), typedLit(comp.toSeq)) - lit(off)
+    }: _*)
+  }
+
+  /** Whitened projection: each PCA coordinate divided by √eigenvalue, so
+    * every retained direction carries unit variance (the anisotropy fix
+    * for cosine over encoder embeddings). Components with eigenvalue ≤ 0
+    * (numerically degenerate directions) yield 0.0 rather than an
+    * explosion. */
+  def pcaWhiten(vec: Column, model: PcaModel, k: Int = 0): Column = {
+    val kk = if (k > 0) math.min(k, model.components.length)
+      else model.components.length
+    array((0 until kk).map { c =>
+      val ev = model.eigenvalues(c)
+      if (ev <= 0.0) lit(0.0)
+      else {
+        val comp = model.components(c)
+        var off = 0.0
+        var i = 0
+        while (i < comp.length) { off += model.mean(i) * comp(i); i += 1 }
+        (gf.vec_dot(vec.cast("array<double>"), typedLit(comp.toSeq)) -
+          lit(off)) / lit(math.sqrt(ev))
+      }
+    }: _*)
+  }
 }

@@ -142,4 +142,64 @@ class EvalSpec extends SparkTestBase {
       ((0L, 0L, 0L, 2L)))
     assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
   }
+
+  test("classifierReport: hand-computed 3-class confusion") {
+    import spark.implicits._
+    // confusion (label, pred, count):
+    //   a->a 4, a->b 1, b->b 3, b->c 2, c->c 1, c->a 1   (n = 12)
+    val rows = Seq.fill(4)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(3)(("b", "b")) ++ Seq.fill(2)(("b", "c")) ++
+      Seq(("c", "c"), ("c", "a"))
+    val df = rows.toDF("label", "pred")
+    val r = Eval.classifierReport(df, col("label"), col("pred")).head()
+    val n = 12.0
+    assert(r.getLong(0) == 12L && r.getLong(1) == 3L)
+    val acc = 8.0 / n
+    assert(math.abs(r.getDouble(2) - acc) < 1e-15)
+    // marginals: t = (5,5,2); p = (5,4,3)
+    val pe = (5.0 * 5 + 5.0 * 4 + 2.0 * 3) / (n * n)
+    assert(math.abs(r.getDouble(3) - (acc - pe) / (1 - pe)) < 1e-15)
+    val mccNum = 8.0 * 12 - (5.0 * 5 + 5.0 * 4 + 2.0 * 3)
+    val mccDen = math.sqrt(144.0 - (25 + 16 + 9)) *
+      math.sqrt(144.0 - (25 + 25 + 4))
+    assert(math.abs(r.getDouble(4) - mccNum / mccDen) < 1e-15)
+    val precs = Seq(4.0 / 5, 3.0 / 4, 1.0 / 3)
+    val recs = Seq(4.0 / 5, 3.0 / 5, 1.0 / 2)
+    val f1s = precs.zip(recs).map { case (p, c) => 2 * p * c / (p + c) }
+    assert(math.abs(r.getDouble(5) - precs.sum / 3) < 1e-15)
+    assert(math.abs(r.getDouble(6) - recs.sum / 3) < 1e-15)
+    assert(math.abs(r.getDouble(7) - f1s.sum / 3) < 1e-15)
+  }
+
+  test("classifierReport: perfect and degenerate cases") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("l", "p")
+    val rp = Eval.classifierReport(perfect, col("l"), col("p")).head()
+    assert(rp.getDouble(2) == 1.0 && rp.getDouble(3) == 1.0 &&
+      rp.getDouble(4) == 1.0 && rp.getDouble(7) == 1.0)
+    // single class + constant prediction: kappa/mcc undefined -> NULL
+    val const = Seq(("x", "x"), ("x", "x")).toDF("l", "p")
+    val rc = Eval.classifierReport(const, col("l"), col("p")).head()
+    assert(rc.getDouble(2) == 1.0 && rc.isNullAt(3) && rc.isNullAt(4))
+    // a class never predicted: its precision contributes 0 to the macro
+    val dropped = Seq(("a", "a"), ("b", "a")).toDF("l", "p")
+    val rd = Eval.classifierReport(dropped, col("l"), col("p")).head()
+    assert(math.abs(rd.getDouble(5) - 0.25) < 1e-15) // (1/2 + 0)/2
+    // NULLs excluded
+    val withNull = Seq(("a", "a"), (null, "a"), ("a", null)).toDF("l", "p")
+    assert(Eval.classifierReport(withNull, col("l"), col("p"))
+      .head().getLong(0) == 1L)
+  }
+
+  test("classifierReport is partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map { _ =>
+      (s"c${rnd.nextInt(4)}", s"c${rnd.nextInt(4)}") }
+    val r1 = Eval.classifierReport(rows.toDF("l", "p").repartition(1),
+      col("l"), col("p")).head()
+    val r7 = Eval.classifierReport(rows.toDF("l", "p").repartition(7),
+      col("l"), col("p")).head()
+    assert(r1.toSeq == r7.toSeq)
+  }
 }

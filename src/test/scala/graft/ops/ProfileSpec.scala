@@ -106,4 +106,67 @@ class ProfileSpec extends SparkTestBase {
     val qDistinct = li.select("l_quantity").distinct().count()
     assert(p("l_quantity")._3 == qDistinct)
   }
+
+  /** Sequential Spearman reference: tie-averaged ranks + Pearson. */
+  private def refSpearman(data: Seq[(Double, Double)]): Option[Double] = {
+    if (data.size < 2) return None
+    def ranks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val below = sorted.count(_ < x)
+        val eq = sorted.count(_ == x)
+        below + (eq + 1) / 2.0
+      }
+    }
+    val rx = ranks(data.map(_._1)); val ry = ranks(data.map(_._2))
+    val n = data.size
+    val sx = rx.sum; val sy = ry.sum
+    val num = n * rx.zip(ry).map { case (a, b) => a * b }.sum - sx * sy
+    val dx = n * rx.map(r => r * r).sum - sx * sx
+    val dy = n * ry.map(r => r * r).sum - sy * sy
+    if (dx <= 0 || dy <= 0) None
+    else Some(num / math.sqrt(dx) / math.sqrt(dy))
+  }
+
+  test("spearman: monotone nonlinear relation scores 1.0; reversed -1.0") {
+    import spark.implicits._
+    val xs = (1 to 40).map(_.toDouble)
+    val up = xs.map(x => (x, x * x * x)).toDF("x", "y")
+    val r = Profile.spearman(up, col("x"), col("y")).head()
+    assert(r.getLong(0) == 40L && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    val down = xs.map(x => (x, -math.log(x))).toDF("x", "y")
+    assert(math.abs(Profile.spearman(down, col("x"), col("y"))
+      .head().getDouble(1) + 1.0) < 1e-12)
+  }
+
+  test("spearman: ties + noise match the sequential reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val data = (0 until 300).map { _ =>
+      (rnd.nextInt(12).toDouble, rnd.nextInt(9) - rnd.nextInt(4) * 0.5) }
+    val want = refSpearman(data).get
+    val got = Profile.spearman(data.toDF("x", "y"), col("x"), col("y"))
+      .head().getDouble(1)
+    assert(math.abs(got - want) < 1e-12, s"$got != $want")
+  }
+
+  test("spearman: partitioning-invariant to the bit; edge cases NULL") {
+    import spark.implicits._
+    val data = (0 until 200).map(i =>
+      ((i % 17).toDouble, math.sin(i.toDouble)))
+    val r1 = Profile.spearman(data.toDF("x", "y").repartition(1),
+      col("x"), col("y")).head().getDouble(1)
+    val r7 = Profile.spearman(data.toDF("x", "y").repartition(7),
+      col("x"), col("y")).head().getDouble(1)
+    assert(java.lang.Double.doubleToRawLongBits(r1) ==
+      java.lang.Double.doubleToRawLongBits(r7))
+    // constant column -> NULL rho; NaN/NULL rows excluded listwise
+    val const = Seq((1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    assert(Profile.spearman(const, col("x"), col("y")).head().isNullAt(1))
+    val withNulls = Seq((Some(1.0), Some(2.0)), (None, Some(1.0)),
+      (Some(Double.NaN), Some(0.0)), (Some(3.0), Some(4.0)))
+      .toDF("x", "y")
+    assert(Profile.spearman(withNulls, col("x"), col("y"))
+      .head().getLong(0) == 2L)
+  }
 }
