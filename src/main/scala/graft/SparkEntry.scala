@@ -86,6 +86,42 @@ object SparkEntry {
       base
     })
 
+  /** One-time 8-shard layout for q148, keyed by sf dir (same memoization
+    * as the CSV/JSONL layouts): bench reps measure the manifest over the
+    * read-back, not the layout write. */
+  private val shardsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureShards(s: SparkSession, dir: String): String =
+    shardsCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      graft.sources.Shards.writeShards(
+        t(s, d, "documents").select("doc_id", "text", "source"),
+        col("doc_id"), 8, base)
+      base
+    })
+
+  /** One-time persisted IVF-PQ index for q149 (q90's fixed deterministic
+    * structures, written via saveIvfPqIndex), keyed by sf dir. */
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureIvfPqIndex(s: SparkSession, dir: String): String =
+    ivfPqCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val cbs: graft.ops.Similarity.PqCodebooks =
+        (0 until 4).map(i => cents.map(v => v.slice(i * 16, i * 16 + 16)))
+      val assigned = emb.select(col("vec_id"),
+        element_at(gf.nearest_centroids(col("embedding"), typedLit(cents), 1),
+          1).as("centroid"),
+        graft.ops.Similarity.pqEncode(col("embedding"), cbs, 16).as("codes"))
+      graft.ops.Similarity.saveIvfPqIndex(
+        graft.ops.Similarity.IvfPqIndex(cents, cbs, 16, assigned), base)
+      base
+    })
+
   private def mediaWavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.media.Media.asMediaTable(
@@ -1706,6 +1742,117 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "q142_spearman" -> ((s, dir) => {
+      // exact Spearman rank correlation with NO global sort: tie-averaged
+      // ranks from the bucketed prefix scan, Pearson-on-ranks through
+      // exact_sum. Ranks are exact halves, so every sum is exact through
+      // sf0.1 in BOTH engines and the closed form matches to ulps;
+      // round(6) absorbs them
+      graft.ops.Profile.spearman(t(s, dir, "lineitem"),
+          col("l_quantity"), col("l_extendedprice"))
+        .select(col("n"), round(col("rho"), 6).as("rho"))
+    }),
+
+    "q143_audio_fp" -> ((s, dir) => {
+      // REAL WAV decode -> frame-energy delta-sign fingerprints (the audio
+      // near-dup signature): integer Σ|s| energies over 8-sample frames,
+      // bit i−1 = energy rose. Pure Long arithmetic end to end, so the
+      // DuckDB oracle regenerates every sample and matches bit-for-bit
+      graft.media.Media.audioFingerprints(mediaWavs(s, dir), frameSize = 8)
+        .where(col("ok"))
+        .select(col("media_id"), col("n_frames"), col("fingerprint"))
+        .orderBy("media_id")
+    }),
+
+    "q144_scene_changes" -> ((s, dir) => {
+      // shot detection over PPM-stream video: consecutive-frame raster
+      // distance Σ|a−b| (integer), boundary where mean per-byte change
+      // > 64; scenes = boundaries + 1. The oracle regenerates every pixel
+      // of every frame pair
+      graft.media.Media.sceneChanges(mediaVideos(s, dir), threshold = 64)
+        .where(col("ok"))
+        .select(col("media_id"), col("n_frames"), col("n_scenes"),
+          col("sum_diff"), col("max_diff"))
+        .orderBy("media_id")
+    }),
+
+    "q145_pca_cov" -> ((s, dir) => {
+      // the corpus-touching half of PCA: exact-sum second moments ->
+      // population covariance, gated over a 16-dim slice (the op is
+      // dim-generic; the slice keeps the oracle's self-join linear in the
+      // corpus). exact_sum vs DuckDB's sequential fold agree to ~1e-15;
+      // round(8) absorbs it with wide margins
+      graft.ops.Similarity.covarianceMatrix(
+          t(s, dir, "embeddings")
+            .select(slice(col("embedding"), 1, 16).as("emb16")),
+          col("emb16"))
+        .select(col("dim_a"), col("dim_b"), col("n"),
+          round(col("cov"), 8).as("cov"))
+        .orderBy("dim_a", "dim_b")
+    }),
+
+    "q146_hard_negatives" -> ((s, dir) => {
+      // contrastive-training hard negatives: top-3 cosine neighbors per
+      // query that are NOT lexical near-dups (token-trigram jaccard
+      // < 0.35 verified on candidate-sized text joins only). Candidate
+      // ranking, the jaccard filter (raw value) and the re-rank are all
+      // mirrored stage-for-stage in DuckDB
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val corpus = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("text"))
+      val queries = corpus.where(col("id") < 5)
+      graft.ops.Similarity.hardNegatives(corpus, queries, "id", "vec",
+          "text", k = 3, candidates = 12, shingleN = 3, tau = 0.35)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cosine"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q147_classifier_report" -> ((s, dir) => {
+      // multi-class evaluation of a deterministic synthetic classifier
+      // (%7 -> forced 'en', %4 -> an uppercase ghost class never in the
+      // labels — exercising the predicted-only-class marginals): kappa,
+      // Gorodkin MCC and macro P/R/F1 from one confusion shuffle, every
+      // count exact, every ratio mirrored op-for-op in DuckDB
+      val pred = when(col("doc_id") % 7 === 0, lit("en"))
+        .when(col("doc_id") % 4 === 0, upper(col("lang")))
+        .otherwise(col("lang"))
+      graft.ops.Eval.classifierReport(t(s, dir, "documents"),
+          col("lang"), pred)
+        .select(col("n"), col("n_classes"),
+          round(col("accuracy"), 6).as("accuracy"),
+          round(col("kappa"), 6).as("kappa"),
+          round(col("mcc"), 6).as("mcc"),
+          round(col("macro_precision"), 6).as("macro_precision"),
+          round(col("macro_recall"), 6).as("macro_recall"),
+          round(col("macro_f1"), 6).as("macro_f1"))
+    }),
+
+    "q149_index_persist" -> ((s, dir) => {
+      // IVF-PQ index persistence: q90's fixed index saved as parquet
+      // (assigned/ partitioned by cell + a meta row) and RELOADED before
+      // searching — the train-once / search-many decoupling. Must produce
+      // exactly q90's rows, so it shares q90's oracle verbatim
+      val base = ensureIvfPqIndex(s, dir)
+      val idx = graft.ops.Similarity.loadIvfPqIndex(s, base)
+      graft.ops.Similarity.ivfPqTopK(idx,
+          t(s, dir, "embeddings").where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q148_shards" -> ((s, dir) => {
+      // deterministic training-shard sink: hash-assigned parquet shards +
+      // per-shard manifest receipts (rows, tokens, order-insensitive
+      // id/text xor checksums) computed from the READ-BACK files — the
+      // oracle recomputes the assignment rule and every receipt straight
+      // from the source table, so layout loss/duplication cannot hide
+      graft.sources.Shards.manifest(s, ensureShards(s, dir),
+        "doc_id", "text")
+    }),
+
     "q139_budget_sample" -> ((s, dir) => {
       // per-source TOKEN budget cap (the budgeting step after mixture
       // proportions: "take ~3000 tokens per source"): membership is a
@@ -2224,7 +2371,11 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
        ORDER BY col_a, col_b"""
   }
 
-  def oracleSql: Map[String, String] = Map(
+  // q149 persists-then-reloads the exact q90 index, so its oracle IS q90's
+  def oracleSql: Map[String, String] =
+    oracleBase + ("q149_index_persist" -> oracleBase("q90_ivfpq"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "q116_corr_matrix" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount")),
     "q139_budget_sample" ->
@@ -2243,6 +2394,139 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q148_shards" ->
+      (hashMacros +
+        """SELECT ((g_av(doc_id::UBIGINT) & 1048575::UBIGINT)
+             % 8::UBIGINT)::INT AS shard,
+           count(*)::BIGINT AS n_rows,
+           sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+           bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor,
+           bit_xor(g_sb(g_thash(text))) AS text_xor
+         FROM documents GROUP BY 1 ORDER BY shard"""),
+    "q142_spearman" ->
+      """WITH r AS (SELECT l_quantity::DOUBLE AS x,
+               l_extendedprice::DOUBLE AS y FROM lineitem),
+         cx AS (SELECT x, count(*) AS c FROM r GROUP BY x),
+         rx AS (SELECT x, sum(c) OVER (ORDER BY x) - (c - 1) / 2.0 AS rnk
+                FROM cx),
+         cy AS (SELECT y, count(*) AS c FROM r GROUP BY y),
+         ry AS (SELECT y, sum(c) OVER (ORDER BY y) - (c - 1) / 2.0 AS rnk
+                FROM cy),
+         j AS (SELECT rx.rnk AS a, ry.rnk AS b
+               FROM r JOIN rx USING (x) JOIN ry USING (y)),
+         s AS (SELECT count(*)::BIGINT AS n, sum(a) AS sa, sum(b) AS sb,
+               sum(a*a) AS saa, sum(b*b) AS sbb, sum(a*b) AS sab FROM j)
+         SELECT n, round((n*sab - sa*sb)
+           / sqrt(n*saa - sa*sa) / sqrt(n*sbb - sb*sb), 6) AS rho FROM s""",
+    "q143_audio_fp" ->
+      (mediaMacros + """WITH d AS (SELECT doc_id AS id,
+           64 + doc_id % 64 AS n FROM documents),
+         s AS MATERIALIZED (SELECT id, i // 8 AS f, abs(g_smp(id, i)) AS a
+           FROM d, unnest(range(0, (n // 8) * 8)) t(i)),
+         e AS (SELECT id, f, sum(a) AS en FROM s GROUP BY id, f),
+         l AS (SELECT id, f, en,
+             lag(en) OVER (PARTITION BY id ORDER BY f) AS pe FROM e),
+         fp AS (SELECT id, (max(f) + 1)::INT AS nf,
+             coalesce(sum(CASE WHEN pe IS NOT NULL AND en > pe
+               THEN (1::BIGINT << (f - 1)::INT) ELSE 0 END), 0)::BIGINT
+               AS fingerprint
+           FROM l GROUP BY id)
+         SELECT id AS media_id, nf AS n_frames, fingerprint
+         FROM fp ORDER BY media_id"""),
+    "q144_scene_changes" ->
+      (mediaMacros + """WITH d AS (SELECT doc_id AS id,
+           4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+           2 + doc_id % 3 AS nf FROM documents),
+         px AS MATERIALIZED (SELECT id, f,
+             sum(abs(g_px(id, f, y, x, c) - g_px(id, f-1, y, x, c))) AS dd,
+             max(w * h * 3) AS nb
+           FROM d, unnest(range(1, nf)) tf(f), unnest(range(0, h)) ty(y),
+             unnest(range(0, w)) tx(x), unnest(range(0, 3)) tc(c)
+           GROUP BY id, f),
+         agg AS (SELECT id, sum(dd) AS sd, max(dd) AS md,
+             1 + sum(CASE WHEN dd > 64 * nb THEN 1 ELSE 0 END) AS ns
+           FROM px GROUP BY id)
+         SELECT d.id AS media_id, d.nf::INT AS n_frames, ns::INT AS n_scenes,
+           sd::BIGINT AS sum_diff, md::BIGINT AS max_diff
+         FROM agg JOIN d ON agg.id = d.id ORDER BY media_id"""),
+    "q145_pca_cov" ->
+      """WITH u AS (SELECT vec_id, i AS d, embedding[i]::DOUBLE AS x
+             FROM embeddings, generate_series(1, 16) g(i)),
+         s AS (SELECT d, sum(x) AS sx, count(*)::BIGINT AS n
+               FROM u GROUP BY d),
+         p AS (SELECT a.d AS da, b.d AS db, sum(a.x * b.x) AS sp
+               FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.d >= a.d
+               GROUP BY 1, 2)
+         SELECT (p.da - 1)::INT AS dim_a, (p.db - 1)::INT AS dim_b,
+           sa.n AS n,
+           round(sp / sa.n - (sa.sx / sa.n) * (sb.sx / sb.n), 8) AS cov
+         FROM p JOIN s sa ON sa.d = p.da JOIN s sb ON sb.d = p.db
+         ORDER BY dim_a, dim_b""",
+    "q146_hard_negatives" ->
+      """WITH corpus AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS vec,
+               d.text FROM embeddings e JOIN documents d
+               ON e.vec_id = d.doc_id),
+         q AS (SELECT * FROM corpus WHERE id < 5),
+         scored AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+             round(list_cosine_similarity(q.vec, c.vec), 6) AS cosine
+           FROM q JOIN corpus c ON c.id <> q.id),
+         cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rk FROM scored),
+         c12 AS (SELECT query_id, neighbor_id, cosine FROM cand
+                 WHERE rk <= 12),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])) AS s3
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         v AS (SELECT c12.query_id, c12.neighbor_id, c12.cosine,
+             len(list_intersect(a.s3, b.s3))::DOUBLE
+               / (len(a.s3) + len(b.s3) - len(list_intersect(a.s3, b.s3)))
+               AS jraw
+           FROM c12 JOIN sh a ON a.doc_id = c12.query_id
+             JOIN sh b ON b.doc_id = c12.neighbor_id),
+         f AS (SELECT query_id, neighbor_id, cosine, round(jraw, 6) AS jaccard,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM v WHERE jraw < 0.35)
+         SELECT query_id, rank::INT AS rank, neighbor_id, cosine, jaccard
+         FROM f WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q147_classifier_report" ->
+      """WITH r AS (SELECT lang AS l,
+             CASE WHEN doc_id % 7 = 0 THEN 'en'
+                  WHEN doc_id % 4 = 0 THEN upper(lang)
+                  ELSE lang END AS p FROM documents),
+         conf AS (SELECT l, p, count(*) AS c FROM r GROUP BY 1, 2),
+         bt AS (SELECT l, sum(c)::BIGINT AS t,
+             coalesce(sum(CASE WHEN l = p THEN c END), 0)::BIGINT AS tp
+           FROM conf GROUP BY l),
+         bp AS (SELECT p, sum(c)::BIGINT AS pk FROM conf GROUP BY p),
+         cls AS (SELECT bt.l, bt.t, bt.tp, coalesce(bp.pk, 0) AS pk,
+             CASE WHEN coalesce(bp.pk, 0) > 0
+               THEN bt.tp::DOUBLE / bp.pk ELSE 0.0 END AS prec,
+             bt.tp::DOUBLE / bt.t AS rec
+           FROM bt LEFT JOIN bp ON bt.l = bp.p),
+         m AS (SELECT sum(t)::BIGINT AS n, count(*)::BIGINT AS nc,
+             sum(tp)::BIGINT AS correct,
+             sum(t::HUGEINT * pk::HUGEINT) AS stp,
+             sum(t::HUGEINT * t::HUGEINT) AS st2,
+             sum(prec) AS sprec, sum(rec) AS srec,
+             sum(CASE WHEN prec + rec > 0
+               THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END) AS sf1
+           FROM cls),
+         p2 AS (SELECT sum(pk::HUGEINT * pk::HUGEINT) AS sp2 FROM bp)
+         SELECT n, nc AS n_classes,
+           round(correct::DOUBLE / n, 6) AS accuracy,
+           round((correct::DOUBLE / n
+               - stp::DOUBLE / (n::DOUBLE * n::DOUBLE))
+             / (1.0 - stp::DOUBLE / (n::DOUBLE * n::DOUBLE)), 6) AS kappa,
+           round((correct::HUGEINT * n::HUGEINT - stp)::DOUBLE
+             / sqrt((n::HUGEINT * n::HUGEINT - sp2)::DOUBLE
+               * (n::HUGEINT * n::HUGEINT - st2)::DOUBLE), 6) AS mcc,
+           round(sprec / nc, 6) AS macro_precision,
+           round(srec / nc, 6) AS macro_recall,
+           round(sf1 / nc, 6) AS macro_f1
+         FROM m, p2""",
     "q137_filter_funnel" ->
       """WITH d AS (SELECT length(text) AS l,
                length(regexp_replace(text, '[^0-9]', '', 'g')) AS dg,

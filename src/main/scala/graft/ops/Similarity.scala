@@ -412,6 +412,41 @@ object Similarity {
     IvfPqIndex(coarse.codebook, cbs, subDim, assigned)
   }
 
+  /** Persist an IVF-PQ index as parquet under `path`: `assigned/` holds
+    * the corpus-sized (id, centroid, codes) table written PARTITIONED BY
+    * centroid — so at scale a search touching nProbe cells prunes to
+    * nProbe/nCenters of the files at the directory level before any scan
+    * — and `meta/` holds one row of driver-side structures (coarse
+    * centroids, PQ codebooks, subDim). Indexes train once and serve many
+    * search jobs; persistence is what decouples the two. */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite")
+      .partitionBy("centroid").parquet(s"$path/assigned")
+    Seq((index.centroids.map(_.toSeq).toSeq,
+        index.codebooks.map(_.map(_.toSeq).toSeq).toSeq, index.subDim))
+      .toDF("centroids", "codebooks", "sub_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load an index written by [[saveIvfPqIndex]]. The assigned table
+    * comes back lazily (searches prune its centroid partitions); the
+    * meta row is collected to the driver. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    // Row nests arrays as MUTABLE ArraySeq — convert level by level
+    def vec(a: Any): Seq[Double] =
+      a.asInstanceOf[scala.collection.Seq[Double]].toSeq
+    val centroids = meta.getAs[scala.collection.Seq[Any]](0).toSeq.map(vec)
+    val codebooks: PqCodebooks =
+      meta.getAs[scala.collection.Seq[Any]](1).toSeq.map(
+        _.asInstanceOf[scala.collection.Seq[Any]].toSeq.map(vec))
+    IvfPqIndex(centroids, codebooks, meta.getInt(2),
+      spark.read.parquet(s"$path/assigned"))
+  }
+
   /** IVF-PQ search: each query probes its `nProbe` nearest coarse cells
     * and ADC-scores ONLY those cells' codes — the corpus contributes
     * (id, centroid, codes) rows, never vectors; the per-query LUT and the

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Deterministic training-shard output — the sink side of the pipeline:
+  * after cleaning/dedup/mixing, a corpus ships to the trainer as N
+  * self-describing shards plus a manifest the consuming job verifies
+  * before it burns GPU-hours on a truncated copy.
+  *
+  * Everything is a pure function of the data (no RNG, no task identity):
+  *  - shard assignment hashes the id onto [[graft.ops.Sampling]]'s 2^20
+  *    bucket grid and folds it mod nShards — any engine, any retry, any
+  *    partitioning produces the same membership (the same contract as
+  *    hashSplit; the ≤ 2^-20-relative bucket-grid nonuniformity is
+  *    irrelevant at shard granularity);
+  *  - files are written `partitionBy(shard)` so a trainer reads shard k
+  *    by path with no filter scan;
+  *  - the manifest is per-shard (rows, token sum, id/text 64-bit xor
+  *    checksums) — order-insensitive receipts that catch truncation,
+  *    duplication, and reordering-with-loss, computable identically by
+  *    any engine (xor is associative/commutative, so it is also the rare
+  *    checksum that parallel aggregation reproduces bit-for-bit).
+  */
+object Shards {
+
+  /** Add a deterministic `shardCol` (0 until nShards) keyed on `key`. */
+  def assignShards(df: DataFrame, key: Column, nShards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    df.withColumn(shardCol,
+      (graft.ops.Sampling.bucket(key) % nShards).cast("int"))
+  }
+
+  /** Write `df` as `nShards` hash shards under `path` (parquet,
+    * `shard=k/` directories). One shuffle keyed by shard; rows sort
+    * within each shard by `key` so re-runs lay out byte-stable files. */
+  def writeShards(df: DataFrame, key: Column, nShards: Int,
+      path: String): Unit = {
+    val assigned = assignShards(df, key, nShards)
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), key)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** Per-shard manifest of a written shard layout: (shard, n_rows,
+    * n_tokens, id_xor, text_xor), one aggregation over the read-back.
+    * Token counts use the whitespace tokenizer ([[gf.token_count]]);
+    * checksums are xors of `hash64` so the receipt is order-insensitive
+    * and engine-reproducible. */
+  def manifest(spark: SparkSession, path: String, idCol: String,
+      textCol: String): DataFrame =
+    manifestOf(spark.read.parquet(path), idCol, textCol)
+
+  /** Manifest of an already-assigned frame (must carry a `shard` col). */
+  def manifestOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(gf.token_count(col(textCol)).cast("long")).as("n_tokens"),
+        bit_xor(gf.hash64(col(idCol))).as("id_xor"),
+        bit_xor(gf.hash64(col(textCol))).as("text_xor"))
+      .orderBy("shard")
+}

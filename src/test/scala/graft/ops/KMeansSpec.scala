@@ -331,6 +331,37 @@ class KMeansSpec extends SparkTestBase {
     assert(s.getDouble(0) == 1.0)
   }
 
+  test("IVF-PQ index save/load: searches are identical, layout prunes by cell") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(8)(d => (((i * 13 + d * 5) % 17).toFloat - 8f) / 8f)))
+      .toDF("id", "vec")
+    val idx = Similarity.ivfPqBuild(vecs, "id", "vec",
+      nCenters = 4, m = 2, subDim = 4, ksub = 4, maxIters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.saveIvfPqIndex(idx, dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    assert(loaded.centroids == idx.centroids)
+    assert(loaded.codebooks == idx.codebooks)
+    assert(loaded.subDim == idx.subDim)
+    // cell-partitioned directories on disk (the probe-pruning layout)
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("centroid="))
+    assert(cellDirs.nonEmpty)
+    // searches over the reloaded index are row-for-row identical
+    val q = vecs.where($"id" < 3)
+    val a = Similarity.ivfPqTopK(idx, q, "id", "vec", k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.ivfPqTopK(loaded, q, "id", "vec", k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val ar = Similarity.ivfPqTopKRefined(idx, vecs, q, "id", "vec",
+      k = 3, rerank = 10, nProbe = 4).collect().map(_.toSeq).toSeq
+    val br = Similarity.ivfPqTopKRefined(loaded, vecs, q, "id", "vec",
+      k = 3, rerank = 10, nProbe = 4).collect().map(_.toSeq).toSeq
+    assert(ar == br)
+  }
+
   test("centroidCosines on the embeddings fixture: k*(k-1)/2 pairs in [-1,1]") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rows = Similarity.centroidCosines(emb, col("label"), col("embedding"))

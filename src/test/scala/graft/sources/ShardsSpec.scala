@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ShardsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("documents"))
+    .select("doc_id", "text", "source")
+
+  test("assignShards: in range, deterministic, partition-invariant") {
+    val a1 = Shards.assignShards(docs.repartition(1), col("doc_id"), 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().sortBy(_._1)
+    val a7 = Shards.assignShards(docs.repartition(7), col("doc_id"), 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().sortBy(_._1)
+    assert(a1.sameElements(a7))
+    assert(a1.forall { case (_, s) => s >= 0 && s < 8 })
+    // every shard populated on 500 rows / 8 shards
+    assert(a1.map(_._2).distinct.length == 8)
+  }
+
+  test("writeShards + manifest: lossless round-trip receipts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Shards.writeShards(docs, col("doc_id"), 8, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // shard dirs on disk
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == 8)
+    // manifest from the files == manifest from the in-memory assignment
+    val m1 = Shards.manifest(spark, dir, "doc_id", "text").collect()
+    val m2 = Shards.manifestOf(
+      Shards.assignShards(docs, col("doc_id"), 8), "doc_id", "text")
+      .collect()
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    // receipts detect loss: dropping one row changes its shard's checksum
+    val victim = docs.limit(1).select("doc_id").as[Long].head()
+    val m3 = Shards.manifestOf(
+      Shards.assignShards(docs.where(col("doc_id") =!= victim),
+        col("doc_id"), 8), "doc_id", "text").collect()
+    assert(m1.map(_.toSeq).toSeq != m3.map(_.toSeq).toSeq)
+    // full-corpus id checksum is shard-partition independent:
+    // xor of per-shard xors == xor over the whole corpus
+    val whole = docs.agg(bit_xor(graft.api.functions.hash64(col("doc_id"))))
+      .head().getLong(0)
+    val folded = m1.map(_.getLong(3)).reduce(_ ^ _)
+    assert(folded == whole)
+  }
+
+  test("single shard degenerates to a plain sorted write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard1").toString
+    Shards.writeShards(docs.limit(50), col("doc_id"), 1, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 50)
+    assert(back.select("shard").distinct().as[Int].collect()
+      .sameElements(Array(0)))
+  }
+}

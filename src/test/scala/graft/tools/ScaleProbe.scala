@@ -256,6 +256,42 @@ object ScaleProbe {
         lo, hi, 10))
     }
 
+    time(s"spearman $nDocs rows (40k x 97 distinct — broadcast ranks)") {
+      force(graft.ops.Profile.spearman(
+        docs.select(((col("doc_id") * 2654435761L) % 40000).cast("double")
+            .as("x"), ((col("doc_id") * 31) % 97).cast("double").as("y")),
+        col("x"), col("y")))
+    }
+    time(s"spearman $nDocs rows (~all-distinct x — corpus-sized ranks)") {
+      force(graft.ops.Profile.spearman(
+        docs.select((col("doc_id") * 2654435761L % 999999937L)
+            .cast("double").as("x"),
+          ((col("doc_id") * 31) % 97).cast("double").as("y")),
+        col("x"), col("y")))
+    }
+    time(s"pca covMoments ${nVecs / 4} x 64-dim (2080-cell shuffle)") {
+      force(graft.ops.Similarity.covarianceMatrix(
+        vecs.where(col("vec_id") < nVecs / 4), col("embedding")))
+    }
+    time(s"classifierReport $nDocs rows x 20 classes") {
+      force(graft.ops.Eval.classifierReport(
+        docs.select(col("source").as("l"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("s"), ((col("doc_id") + 1) % 20).cast("string")))
+            .otherwise(col("source")).as("p")),
+        col("l"), col("p")))
+    }
+    time(s"hammingPairs ${nDocs / 5} uniform fingerprints (chunks=4)") {
+      // uniform 64-bit fps are the ADVERSARIAL case for 16-bit bands:
+      // candidate volume ~ 4·n²/2^16 — at n ≫ 1M widen bands (chunks=2)
+      // or pre-cluster; real simhash corpora are far from uniform
+      force(graft.ops.Dedup.hammingPairs(
+        docs.where(col("doc_id") < nDocs / 5)
+          .select(col("doc_id"),
+            graft.api.functions.hash64(col("doc_id")).as("fp")),
+        "doc_id", "fp", maxHamming = 3, chunks = 4))
+    }
+
     time(s"windowedDrift $nDocs events x 30 days") {
       force(graft.ops.Drift.windowedDrift(
         docs.select(col("doc_id"),
