@@ -1830,6 +1830,54 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q150_incremental" -> ((s, dir) => {
+      // incremental ingest: a synthetic previous snapshot (modified %11
+      // texts, missing %7==2 ids, extra soon-removed ids) diffs against
+      // the current corpus; process runs ONLY over the delta, unchanged
+      // rows reuse the previous output. The single-row receipt proves
+      // both the diff classification AND that the merged output equals a
+      // full recompute (the oracle computes it straight from the corpus)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val old = docs
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(lit("OLDVERSION "), col("text"))).otherwise(col("text")))
+        .where(col("doc_id") % 7 =!= 2)
+        .unionByName(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def proc(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        gf.token_count(col("text")).cast("long").as("tok"),
+        length(col("text")).cast("long").as("len"))
+      val out = graft.ops.Pipeline.incrementalProcess(old, docs,
+        proc(old), "doc_id", "text")(proc)
+      val diff = graft.ops.Dedup.snapshotDiff(old, docs, "doc_id", "text")
+      val counts = diff.agg(
+        coalesce(sum(when(col("status") === "added", 1L)), lit(0L))
+          .as("n_added"),
+        coalesce(sum(when(col("status") === "changed", 1L)), lit(0L))
+          .as("n_changed"),
+        coalesce(sum(when(col("status") === "removed", 1L)), lit(0L))
+          .as("n_removed"),
+        coalesce(sum(when(col("status") === "unchanged", 1L)), lit(0L))
+          .as("n_unchanged"))
+      counts.crossJoin(out.agg(count(lit(1)).as("out_rows"),
+        sum(col("tok")).as("out_tokens"), sum(col("len")).as("out_len"),
+        bit_xor(gf.hash64(col("doc_id"))).as("id_xor")))
+    }),
+
+    "q151_margin_mining" -> ((s, dir) => {
+      // margin-criterion parallel-pair mining between the even/odd halves
+      // of the embedding corpus: cosine normalized by both endpoints'
+      // top-4 neighborhood means, per-a max-margin partner at margin ≥ 1.
+      // Candidate scoring, both neighborhood averages, the margin and the
+      // argmax are mirrored stage-for-stage in DuckDB
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.marginPairs(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .orderBy("a_id")
+    }),
+
     "q149_index_persist" -> ((s, dir) => {
       // IVF-PQ index persistence: q90's fixed index saved as parquet
       // (assigned/ partitioned by cell + a meta row) and RELOADED before
@@ -2394,6 +2442,46 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q150_incremental" ->
+      (hashMacros +
+        """WITH n AS (SELECT doc_id, text FROM documents)
+         SELECT
+           (SELECT count(*) FROM n WHERE doc_id % 7 = 2)::BIGINT AS n_added,
+           (SELECT count(*) FROM n WHERE doc_id % 7 <> 2
+              AND doc_id % 11 = 0)::BIGINT AS n_changed,
+           (SELECT count(*) FROM n WHERE doc_id % 13 = 0)::BIGINT
+             AS n_removed,
+           (SELECT count(*) FROM n WHERE doc_id % 7 <> 2
+              AND doc_id % 11 <> 0)::BIGINT AS n_unchanged,
+           (SELECT count(*) FROM n)::BIGINT AS out_rows,
+           (SELECT sum(len(string_split(text, ' '))) FROM n)::BIGINT
+             AS out_tokens,
+           (SELECT sum(length(text)) FROM n)::BIGINT AS out_len,
+           (SELECT bit_xor(g_sb(g_av(doc_id::UBIGINT))) FROM n) AS id_xor"""),
+    "q151_margin_mining" ->
+      """WITH av AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id % 2 = 0),
+         bv AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id % 2 = 1),
+         sc AS MATERIALIZED (SELECT a_id, b_id,
+             round(list_cosine_similarity(av.v, bv.v), 6) AS cosine
+           FROM av, bv),
+         ra AS (SELECT a_id, avg(cosine) AS avga FROM (
+             SELECT *, row_number() OVER (PARTITION BY a_id
+               ORDER BY cosine DESC, b_id) AS rn FROM sc)
+           WHERE rn <= 4 GROUP BY a_id),
+         rb AS (SELECT b_id, avg(cosine) AS avgb FROM (
+             SELECT *, row_number() OVER (PARTITION BY b_id
+               ORDER BY cosine DESC, a_id) AS rn FROM sc)
+           WHERE rn <= 4 GROUP BY b_id),
+         m AS (SELECT sc.a_id, sc.b_id, sc.cosine,
+             round(sc.cosine / ((ra.avga + rb.avgb) / 2), 6) AS margin
+           FROM sc JOIN ra USING (a_id) JOIN rb USING (b_id)
+           WHERE ra.avga + rb.avgb > 0),
+         f AS (SELECT *, row_number() OVER (PARTITION BY a_id
+             ORDER BY margin DESC, b_id) AS rk FROM m WHERE margin >= 1.0)
+         SELECT a_id, b_id, cosine, margin FROM f WHERE rk = 1
+         ORDER BY a_id""",
     "q148_shards" ->
       (hashMacros +
         """SELECT ((g_av(doc_id::UBIGINT) & 1048575::UBIGINT)

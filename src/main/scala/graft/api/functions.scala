@@ -166,6 +166,7 @@ object functions {
     * merge order (see [[graft.core.ExactSum]]). The reproducibility
     * primitive behind [[graft.ops.Similarity.kmeansFit]]. */
   def exact_sum(x: Column): Column = agg(ExactSumAgg(toExpr(x)))
+  def gram_agg(vec: Column): Column = agg(GramAgg(toExpr(vec)))
 
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))

@@ -192,4 +192,29 @@ object Pipeline {
       .select(col("idA"), col("idB"), col("splitA"), col("splitB"),
         col("jaccard"))
   }
+
+  /** Incremental corpus processing — the "only touch what changed" step
+    * every recurring-crawl pipeline needs: [[Dedup.snapshotDiff]]
+    * classifies ids against the previous snapshot, `process` (any
+    * deterministic ROW-LOCAL transform: cleaning, feature extraction,
+    * tokenization) runs ONLY over added/changed rows, unchanged rows
+    * reuse the previous output by id, removed rows drop. For a row-local
+    * `process` the result provably equals `process(newCorpus)` — at a
+    * cost proportional to the DELTA, not the corpus: the diff ships
+    * (id, hash64, marker) rows, the reuse path ships previous OUTPUT
+    * rows, and only delta-sized text reaches `process`.
+    *
+    * Not for corpus-global transforms (dedup, df-based filters): those
+    * depend on rows outside the delta — run them on the merged result. */
+  def incrementalProcess(oldCorpus: DataFrame, newCorpus: DataFrame,
+      prevOutput: DataFrame, idCol: String, textCol: String)(
+      process: DataFrame => DataFrame): DataFrame = {
+    val diff = Dedup.snapshotDiff(oldCorpus, newCorpus, idCol, textCol)
+    val delta = diff.where(col("status").isin("added", "changed"))
+      .select(idCol)
+    val unchanged = diff.where(col("status") === "unchanged").select(idCol)
+    val fresh = process(newCorpus.join(delta, Seq(idCol)))
+    val reused = prevOutput.join(unchanged, Seq(idCol))
+    fresh.unionByName(reused)
+  }
 }

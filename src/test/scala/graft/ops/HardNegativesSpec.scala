@@ -60,6 +60,86 @@ class HardNegativesSpec extends SparkTestBase {
     assert(got == Seq((2L, 1), (3L, 2)), s"got $got")
   }
 
+  test("marginPairs: hand-computed margins; hub partner suppressed") {
+    // a0's raw-cosine best is the HUB b9 (cos 0.9 to every a), but the
+    // margin criterion normalizes by b9's saturated neighborhood and
+    // picks the exclusive partner b0 instead
+    def unit(x: Double, y: Double, z: Double) = {
+      val n = math.sqrt(x * x + y * y + z * z); Seq(x / n, y / n, z / n)
+    }
+    val c = math.sqrt(1 - 0.9 * 0.9)
+    val as = Seq(
+      (0L, unit(1, 0, 0)), (1L, unit(0, 1, 0)), (2L, unit(0, 0, 1)))
+      .toDF("id", "vec")
+    // b0 ~ a0 at cos ~0.95; b9 = hub at cos 0.9 to a0 and high to others
+    val bs = Seq(
+      (10L, unit(0.95, math.sqrt(1 - 0.95 * 0.95), 0)),
+      (19L, unit(0.9, c / math.sqrt(2), c / math.sqrt(2))),
+      (11L, unit(0.1, 1, 0.1)), (12L, unit(0.1, 0.1, 1)))
+      .toDF("id", "vec")
+    val got = Similarity.marginPairs(as, bs, "id", "vec", k = 2,
+      minMargin = 0.0).orderBy("a_id")
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    // reference margins computed independently
+    def cos(u: Seq[Double], v: Seq[Double]) =
+      BigDecimal(u.zip(v).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val aV = Map(0L -> unit(1, 0, 0), 1L -> unit(0, 1, 0), 2L -> unit(0, 0, 1))
+    val bV = Map(10L -> unit(0.95, math.sqrt(1 - 0.95 * 0.95), 0),
+      19L -> unit(0.9, c / math.sqrt(2), c / math.sqrt(2)),
+      11L -> unit(0.1, 1, 0.1), 12L -> unit(0.1, 0.1, 1))
+    def topAvg(m: Map[Long, Seq[Double]], v: Seq[Double], k: Int) =
+      m.values.map(cos(_, v)).toSeq.sorted.reverse.take(k).sum / k
+    val want = aV.map { case (aid, av) =>
+      val best = bV.map { case (bid, bv) =>
+        val margin = BigDecimal(cos(av, bv) /
+            ((topAvg(bV, av, 2) + topAvg(aV, bv, 2)) / 2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (bid, margin)
+      }.toSeq.maxBy { case (bid, mg) => (mg, -bid) }
+      aid -> best._1
+    }
+    got.foreach { case (aid, bid) =>
+      assert(bid == want(aid), s"a=$aid got $bid want ${want(aid)}")
+    }
+  }
+
+  test("marginPairsFrom: threshold filters, one row per a, rank determinism") {
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (2L, 10L, 0.5), (2L, 11L, 0.85))
+      .toDF("a_id", "b_id", "cosine")
+    val all = Similarity.marginPairsFrom(scored, k = 2, minMargin = 0.0)
+      .collect()
+    assert(all.length == 2) // one per a_id
+    val high = Similarity.marginPairsFrom(scored, k = 2, minMargin = 2.0)
+      .collect()
+    assert(high.isEmpty)
+  }
+
+  test("incrementalProcess ≡ full recompute; unchanged rows truly reuse") {
+    val newC = (0L until 40L).map(i => (i, s"text number $i body")).toDF("id", "text")
+    // old: ids 0-34 present; 30-34 had different text (changed); 100-102 removed
+    val oldC = ((0L until 35L).map(i =>
+        (i, if (i >= 30) s"OLD $i" else s"text number $i body")) ++
+      Seq((100L, "gone"), (101L, "gone"), (102L, "gone")))
+      .toDF("id", "text")
+    def proc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), upper(col("text")).as("out"))
+    // prev output carries a SENTINEL so reuse is distinguishable from
+    // reprocessing
+    val prev = proc(oldC).withColumn("out",
+      concat(lit("PREV:"), col("out")))
+    val got = graft.ops.Pipeline.incrementalProcess(oldC, newC, prev,
+      "id", "text")(proc).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 40)
+    // unchanged ids (0-29) came from prev (sentinel intact)
+    (0L until 30L).foreach(i => assert(got(i) == s"PREV:TEXT NUMBER $i BODY"))
+    // changed (30-34) and added (35-39) were freshly processed
+    (30L until 40L).foreach(i => assert(got(i) == s"TEXT NUMBER $i BODY"))
+    // removed ids absent
+    assert(!got.contains(100L))
+  }
+
   test("hardNegatives keeps jaccard column and respects k") {
     val docs = spark.read.parquet(sf("documents"))
       .select(col("doc_id"), col("text")).where(col("doc_id") < 60)

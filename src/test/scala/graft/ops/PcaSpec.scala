@@ -139,6 +139,21 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(m1.mean.sameElements(m7.mean))
   }
 
+  test("covMoments fails fast on ragged vector widths; skips nulls/empties") {
+    val ragged = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 3.0)))
+      .toDF("id", "vec")
+    val ex = intercept[Exception] {
+      Similarity.covarianceMatrix(ragged, col("vec")).collect()
+    }
+    assert(ex.getMessage != null)
+    val withNulls = Seq((1L, Some(Seq(1.0, 2.0))), (2L, None),
+      (3L, Some(Seq.empty[Double])), (4L, Some(Seq(3.0, 4.0))))
+      .toDF("id", "vec")
+    val got = Similarity.covarianceMatrix(withNulls, col("vec"))
+      .where(col("dim_a") === 0 && col("dim_b") === 0).head()
+    assert(got.getLong(2) == 2L) // only the two real vectors counted
+  }
+
   test("pcaProject truncation: k components keep the top-k coordinates") {
     val data = (0 until 50).map(i =>
       Seq(i.toDouble, (i * i % 13).toDouble, -i * 0.5, (i % 5).toDouble))

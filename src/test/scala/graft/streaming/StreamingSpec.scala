@@ -417,6 +417,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedF.exceptAll(batchF).isEmpty)
   }
 
+  test("media decode kernels stream per-row: audio fingerprints + scene changes ≡ batch") {
+    // decode/fingerprint/scene-cut are partition-local (mapPartitions, no
+    // state, no shuffle) so they must run unchanged on a readStream —
+    // the multimodal analog of the stateless curation-kernel contract
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_mstream").toString
+    val ids = spark.read.parquet(sf("documents")).select("doc_id")
+      .where(col("doc_id") < 100)
+    ids.coalesce(2).write.parquet(s"$base/documents.parquet")
+    def wavs(df: org.apache.spark.sql.DataFrame) =
+      graft.media.Media.asMediaTable(
+        df.select("doc_id").as[Long]
+          .map(id => (id, graft.media.MediaGen.wavPayload(id)))
+          .toDF("doc_id", "payload"), "doc_id", "payload")
+    def vids(df: org.apache.spark.sql.DataFrame) =
+      graft.media.Media.asMediaTable(
+        df.select("doc_id").as[Long]
+          .map(id => (id, graft.media.MediaGen.videoPayload(id)))
+          .toDF("doc_id", "payload"), "doc_id", "payload")
+    val streamIn = graft.sources.Tables.loadStream(spark, base, "documents",
+      Map("maxFilesPerTrigger" -> "1"))
+    val q1 = graft.media.Media.audioFingerprints(wavs(streamIn), 8)
+      .writeStream.format("memory").queryName("afp_stream")
+      .outputMode("append").start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    val batch1 = graft.media.Media.audioFingerprints(wavs(ids), 8)
+    assert(spark.table("afp_stream").exceptAll(batch1).isEmpty &&
+      batch1.exceptAll(spark.table("afp_stream")).isEmpty)
+    val q2 = graft.media.Media.sceneChanges(vids(streamIn), 64)
+      .writeStream.format("memory").queryName("scn_stream")
+      .outputMode("append").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val batch2 = graft.media.Media.sceneChanges(vids(ids), 64)
+    assert(spark.table("scn_stream").exceptAll(batch2).isEmpty &&
+      batch2.exceptAll(spark.table("scn_stream")).isEmpty)
+  }
+
   test("streaming drift monitoring: windowedCounts via readStream ≡ batch windowedDrift") {
     // the round-7 deployment story: the corpus-touching count stage runs
     // as a streaming stateful aggregation (watermark + append, state

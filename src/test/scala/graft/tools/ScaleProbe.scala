@@ -269,9 +269,8 @@ object ScaleProbe {
           ((col("doc_id") * 31) % 97).cast("double").as("y")),
         col("x"), col("y")))
     }
-    time(s"pca covMoments ${nVecs / 4} x 64-dim (2080-cell shuffle)") {
-      force(graft.ops.Similarity.covarianceMatrix(
-        vecs.where(col("vec_id") < nVecs / 4), col("embedding")))
+    time(s"pca covMoments $nVecs x 64-dim (GramAgg fold)") {
+      force(graft.ops.Similarity.covarianceMatrix(vecs, col("embedding")))
     }
     time(s"classifierReport $nDocs rows x 20 classes") {
       force(graft.ops.Eval.classifierReport(
