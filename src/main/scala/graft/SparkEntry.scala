@@ -2621,20 +2621,20 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
                length(regexp_replace(text, '[^A-Z]', '', 'g')) AS up,
                len(string_split(text, ' ')) AS tk
              FROM documents),
-         a AS (SELECT count(*) AS total,
-             sum(CASE WHEN l >= 100 THEN 1 ELSE 0 END) AS c1,
-             sum(CASE WHEN l >= 100 AND l <= 450 THEN 1 ELSE 0 END) AS c2,
+         a AS (SELECT count(*)::BIGINT AS total,
+             sum(CASE WHEN l >= 100 THEN 1 ELSE 0 END)::BIGINT AS c1,
+             sum(CASE WHEN l >= 100 AND l <= 450 THEN 1 ELSE 0 END)::BIGINT AS c2,
              sum(CASE WHEN l >= 100 AND l <= 450 AND dg * 5 <= l
-                 THEN 1 ELSE 0 END) AS c3,
+                 THEN 1 ELSE 0 END)::BIGINT AS c3,
              sum(CASE WHEN l >= 100 AND l <= 450 AND dg * 5 <= l
-                 AND up * 10 <= l * 3 THEN 1 ELSE 0 END) AS c4,
+                 AND up * 10 <= l * 3 THEN 1 ELSE 0 END)::BIGINT AS c4,
              sum(CASE WHEN l >= 100 AND l <= 450 AND dg * 5 <= l
-                 AND up * 10 <= l * 3 AND tk >= 10 THEN 1 ELSE 0 END) AS c5,
-             sum(CASE WHEN l >= 100 THEN 0 ELSE 1 END) AS a1,
-             sum(CASE WHEN l <= 450 THEN 0 ELSE 1 END) AS a2,
-             sum(CASE WHEN dg * 5 <= l THEN 0 ELSE 1 END) AS a3,
-             sum(CASE WHEN up * 10 <= l * 3 THEN 0 ELSE 1 END) AS a4,
-             sum(CASE WHEN tk >= 10 THEN 0 ELSE 1 END) AS a5
+                 AND up * 10 <= l * 3 AND tk >= 10 THEN 1 ELSE 0 END)::BIGINT AS c5,
+             sum(CASE WHEN l >= 100 THEN 0 ELSE 1 END)::BIGINT AS a1,
+             sum(CASE WHEN l <= 450 THEN 0 ELSE 1 END)::BIGINT AS a2,
+             sum(CASE WHEN dg * 5 <= l THEN 0 ELSE 1 END)::BIGINT AS a3,
+             sum(CASE WHEN up * 10 <= l * 3 THEN 0 ELSE 1 END)::BIGINT AS a4,
+             sum(CASE WHEN tk >= 10 THEN 0 ELSE 1 END)::BIGINT AS a5
            FROM d)
          SELECT 1::BIGINT AS stage, 'min_len' AS rule, total::BIGINT AS n_in,
              (total - c1)::BIGINT AS n_fail, c1::BIGINT AS n_out,

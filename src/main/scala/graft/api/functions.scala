@@ -229,7 +229,7 @@ object GraftFunctions {
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
     "cms_agg" -> Seq(1, 3), "cms_total" -> Seq(1),
     "kmv_agg" -> Seq(1, 2), "kmv_jaccard" -> Seq(2), "kmv_set_ops" -> Seq(2),
-    "exact_sum" -> Seq(1),
+    "exact_sum" -> Seq(1), "gram_agg" -> Seq(1),
     "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
     "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3),
     "nearest_centroids" -> Seq(3), "stats_mean" -> Seq(1),
@@ -308,6 +308,7 @@ object GraftFunctions {
     },
     "cms_merge_agg" -> aggB { case Seq(s) => CountMinMergeAgg(s) },
     "exact_sum" -> aggB { case Seq(x) => ExactSumAgg(x) },
+    "gram_agg" -> aggB { case Seq(v) => GramAgg(v) },
     "cms_count" -> { case Seq(s, i) => CmsCount(s, i) },
     "cms_total" -> { case Seq(s) => CmsTotal(s) },
     "kmv_distinct" -> { case Seq(s) => KmvDistinct(s) },

@@ -81,6 +81,21 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(r5.getString(2) == "shop.co.uk")
   }
 
+  test("gram_agg callable from SQL; terms match exact_sum of the parts") {
+    val r = one("""
+      SELECT g.n, size(g.terms) nt,
+             filter(g.terms, t -> t.i = 0 AND t.j = -1)[0].s s0,
+             filter(g.terms, t -> t.i = 0 AND t.j = 1)[0].s p01
+      FROM (SELECT gram_agg(array(cast(l_quantity AS double),
+                                  cast(l_discount AS double))) g FROM li)""")
+    assert(r.getLong(0) == 6000L && r.getInt(1) == 2 + 3)
+    val ref = one("""SELECT exact_sum(cast(l_quantity AS double)),
+      exact_sum(cast(l_quantity AS double) * cast(l_discount AS double))
+      FROM li""")
+    assert(r.getDouble(2) == ref.getDouble(0))
+    assert(r.getDouble(3) == ref.getDouble(1))
+  }
+
   test("stats finishers callable from SQL with variant args") {
     val r = one("""
       SELECT stats_mean(summary_stats(l_quantity)) m,
