@@ -1830,6 +1830,33 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q152_pseudonymize" -> ((s, dir) => {
+      // PII pseudonymization over q73's synthesized corpus: matches become
+      // deterministic <CAT_xxxx> tokens from the engine's string hash64.
+      // The gate parses the entity ids BACK out of the emitted tokens
+      // (hex round-trip verified) and the oracle recomputes them from the
+      // known synthesized matches via g_thash; lengths pin token widths
+      val p = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail"),
+        (col("doc_id") % 7).cast("string"), lit(".com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" at 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 250).cast("string"))
+      def eid(cat: String) = conv(regexp_extract(col("ps"),
+        s"<${cat}_([0-9a-f]{4})>", 1), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .select(col("lang"), gf.pseudonymize_pii(p).as("ps"))
+        .select(col("lang"), length(col("ps")).cast("long").as("plen"),
+          eid("EMAIL").as("e"), eid("PHONE").as("f"), eid("IP").as("i"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("plen")).as("sum_pseudo_len"),
+          countDistinct(col("e")).as("n_email_ids"),
+          countDistinct(col("f")).as("n_phone_ids"),
+          countDistinct(col("i")).as("n_ip_ids"))
+        .orderBy("lang")
+    }),
+
     "q150_incremental" -> ((s, dir) => {
       // incremental ingest: a synthetic previous snapshot (modified %11
       // texts, missing %7==2 ids, extra soon-removed ids) diffs against
@@ -2442,6 +2469,26 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q152_pseudonymize" ->
+      (hashMacros +
+        """WITH d AS (SELECT lang, doc_id,
+             'user' || doc_id || '@mail' || (doc_id % 7) || '.com' AS em,
+             '+1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS ph,
+             '10.' || (doc_id % 200) || '.0.' || ((doc_id * 7) % 250) AS ip,
+             length(text) + length(' contact user' || doc_id || '@mail'
+               || (doc_id % 7) || '.com or +1-555-'
+               || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' at 10.'
+               || (doc_id % 200) || '.0.' || ((doc_id * 7) % 250)) AS rawlen
+           FROM documents)
+         SELECT lang, count(*)::BIGINT AS cnt,
+           sum(rawlen + (12 - length(em)) + (12 - length(ph))
+               + (9 - length(ip)))::BIGINT AS sum_pseudo_len,
+           count(DISTINCT g_thash(em) & 65535::UBIGINT)::BIGINT
+             AS n_email_ids,
+           count(DISTINCT g_thash(ph) & 65535::UBIGINT)::BIGINT
+             AS n_phone_ids,
+           count(DISTINCT g_thash(ip) & 65535::UBIGINT)::BIGINT AS n_ip_ids
+         FROM d GROUP BY lang ORDER BY lang"""),
     "q150_incremental" ->
       (hashMacros +
         """WITH n AS (SELECT doc_id, text FROM documents)

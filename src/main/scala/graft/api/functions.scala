@@ -176,6 +176,8 @@ object functions {
     toColumn(RepStatsExpr(toExpr(text), Literal(ngramN)))
   def pii_stats(text: Column): Column = toColumn(PiiStatsExpr(toExpr(text)))
   def redact_pii(text: Column): Column = toColumn(RedactPii(toExpr(text)))
+  def pseudonymize_pii(text: Column): Column =
+    toColumn(PseudonymizePii(toExpr(text)))
   def doc_fingerprint(text: Column, window: Int): Column =
     toColumn(DocFingerprint(toExpr(text), Literal(window)))
   def minhash_signature(text: Column, shingleN: Int, numHashes: Int, seed: Long): Column =
@@ -242,6 +244,7 @@ object GraftFunctions {
               n == "hash64" ||
               n == "text_stats" || n == "char_entropy" ||
               n == "pii_stats" || n == "redact_pii" ||
+              n == "pseudonymize_pii" ||
               n == "ss_capacity" || n == "kmv_distinct" || n == "kmv_size" ||
               n == "vec_norm" || n == "strip_html" ||
               n == "registrable_domain" => Seq(1)
@@ -326,6 +329,7 @@ object GraftFunctions {
     "rep_stats" -> { case Seq(t, n) => RepStatsExpr(t, n) },
     "pii_stats" -> { case Seq(t) => PiiStatsExpr(t) },
     "redact_pii" -> { case Seq(t) => RedactPii(t) },
+    "pseudonymize_pii" -> { case Seq(t) => PseudonymizePii(t) },
     "doc_fingerprint" -> { case Seq(t, w) => DocFingerprint(t, w) },
     "minhash_signature" -> { case Seq(t, n, k, s) => MinHashSignature(t, n, k, s) },
     "simhash64" -> { case Seq(t, n) => SimHash64(t, n) },

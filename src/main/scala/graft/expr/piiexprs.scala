@@ -56,6 +56,38 @@ object PiiKernels {
     UTF8String.fromString(s)
   }
 
+  private def tokenize(p: Pattern, s: String, label: String): String = {
+    val m = p.matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val bytes = m.group()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = graft.expr.TextHash.hashBytes(bytes, 0, bytes.length, 0L)
+      val tok = f"<${label}_${(h & 0xFFFFL).toInt}%04x>"
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(tok))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** Pseudonymize instead of redact: every PII match becomes a
+    * DETERMINISTIC entity token `<EMAIL_xxxx>` / `<PHONE_xxxx>` /
+    * `<IP_xxxx>` derived from the low 16 bits of the engine's string
+    * hash64 (FNV-1a + avalanche — the same pipeline an external oracle
+    * mirrors), so the same address maps to the same token EVERYWHERE in
+    * the corpus: referential integrity survives anonymization ("the same
+    * user appears in 40 docs" stays learnable; a plain <EMAIL> redaction
+    * destroys it). 16-bit ids are a privacy/utility knob, not identity —
+    * collisions are expected and acceptable for training text. Passes run
+    * email → phone → IP on the running result, exactly as [[redact]]. */
+  def pseudonymize(t: UTF8String): UTF8String = {
+    var s = t.toString
+    s = tokenize(email, s, "EMAIL")
+    s = tokenize(phone, s, "PHONE")
+    s = tokenize(ipv4, s, "IP")
+    UTF8String.fromString(s)
+  }
+
   /** Java-reachable name of this object for generated code. */
   val RefName: String =
     classOf[PiiKernels.type].getName.stripSuffix("$") + "$.MODULE$"
@@ -99,5 +131,23 @@ case class RedactPii(child: Expression)
       ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = ${PiiKernels.RefName}.redact($c);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** pseudonymize_pii(text) → string: PII replaced with deterministic
+  * hash-derived entity tokens (see [[PiiKernels.pseudonymize]]) —
+  * referential integrity survives anonymization. */
+case class PseudonymizePii(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "pseudonymize_pii"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiKernels.pseudonymize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${PiiKernels.RefName}.pseudonymize($c);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

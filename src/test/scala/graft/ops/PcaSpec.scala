@@ -139,6 +139,17 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(m1.mean.sameElements(m7.mean))
   }
 
+  test("covMoments is ONE logical Aggregate (single corpus pass)") {
+    val data = (0 until 200).map(i =>
+      Seq(i * 0.5, (i % 9).toDouble, -i * 0.25))
+    val out = Similarity.covMoments(vecsDf(data), col("vec"))
+    out.collect()
+    val nAggs = out.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs == 1, out.queryExecution.optimizedPlan.toString)
+  }
+
   test("covMoments fails fast on ragged vector widths; skips nulls/empties") {
     val ragged = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 3.0)))
       .toDF("id", "vec")

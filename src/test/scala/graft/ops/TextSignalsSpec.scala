@@ -86,6 +86,29 @@ class TextSignalsSpec extends SparkTestBase {
     assert(red == "x <EMAIL> y")
   }
 
+  test("pseudonymize_pii: deterministic hash tokens, referential integrity") {
+    def ps(t: String): String = Seq(t).toDF("t")
+      .select(gf.pseudonymize_pii(col("t"))).head().getString(0)
+    // hand-compute the expected email token from the engine hash
+    val b = "a@b.io".getBytes("UTF-8")
+    val h = graft.expr.TextHash.hashBytes(b, 0, b.length, 0L)
+    val tok = f"<EMAIL_${(h & 0xFFFFL).toInt}%04x>"
+    assert(ps("mail a@b.io now") == s"mail $tok now")
+    // SAME address -> SAME token, everywhere, incl. across category mix
+    val out = ps("a@b.io wrote to c@d.io then a@b.io pinged 10.0.0.1")
+    val toks = "<EMAIL_[0-9a-f]{4}>".r.findAllIn(out).toSeq
+    assert(toks.length == 3 && toks(0) == tok && toks(2) == tok &&
+      toks(1) != tok)
+    assert("<IP_[0-9a-f]{4}>".r.findAllIn(out).size == 1)
+    // token lengths are fixed per category (12 / 12 / 9)
+    assert(ps("x 1.2.3.4 y").length == "x ".length + 9 + " y".length)
+    // null-safe + SQL path
+    val r = spark.sql("SELECT pseudonymize_pii(NULL) n, " +
+      "pseudonymize_pii('call +1-555-0100 ok') p").head()
+    assert(r.isNullAt(0) &&
+      r.getString(1).matches("call <PHONE_[0-9a-f]{4}> ok"))
+  }
+
   test("pii: no false positives on plain text and bare numbers") {
     val (st, red) = pii("version 1.2.3 of spark at 3.5 runs 12345 rows")
     assert(st.getInt(0) == 0 && st.getInt(1) == 0 && st.getInt(2) == 0)
