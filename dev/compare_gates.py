@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Dev-side gate checker mirroring the driver's correctness harness.
+
+Usage: python3 dev/compare_gates.py <sfDir> <outDir> [query...]
+
+Reads each <outDir>/<query> parquet (written by graft.tools.GateRunner),
+runs the matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over
+the <sfDir> tables, sorts columns by name and rows by all columns, and
+compares values exactly (the driver hashes — exact equality here implies a
+hash match there).
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    names = sys.argv[3:] or sorted(oracle)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_bad = 0
+    for name in names:
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            cols = sorted(spark_rel.columns)
+            collist = ", ".join(f'"{c}"' for c in cols)
+            s_rows = con.execute(
+                f"SELECT {collist} FROM spark_rel ORDER BY ALL").fetchall()
+            oracle_rel = con.sql(oracle[name])
+            ocols = sorted(oracle_rel.columns)
+            ocollist = ", ".join(f'"{c}"' for c in ocols)
+            o_rows = con.execute(
+                f"SELECT {ocollist} FROM oracle_rel ORDER BY ALL").fetchall()
+            if cols != ocols:
+                print(f"FAIL {name}: columns {cols} vs {ocols}")
+                n_bad += 1
+            elif len(s_rows) != len(o_rows):
+                print(f"FAIL {name}: rows {len(s_rows)} vs {len(o_rows)}")
+                n_bad += 1
+            elif s_rows != o_rows:
+                bad = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows))
+                           if a != b)
+                print(f"FAIL {name}: first diff at row {bad}:\n"
+                      f"  spark : {s_rows[bad]}\n  oracle: {o_rows[bad]}")
+                n_bad += 1
+            else:
+                print(f"ok   {name} ({len(s_rows)} rows)")
+        except Exception as e:  # surface, never skip
+            print(f"ERR  {name}: {e}")
+            n_bad += 1
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

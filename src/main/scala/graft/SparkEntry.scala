@@ -1830,6 +1830,30 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q153_normalize_text" -> ((s, dir) => {
+      // Unicode corpus normalization: decomposed combining marks
+      // (a → a+U+0301), composed accents (e → é), case flips and
+      // whitespace runs are injected deterministically (regexp_replace /
+      // translate / upper are engine-identical on the ASCII corpus), then
+      // folded back by unicode_normalize — NFC composes, strip_accents
+      // decomposes-and-drops-marks, root-locale casefold, ASCII \s+
+      // squash. Oracle mirrors with DuckDB's nfc_normalize /
+      // strip_accents / lower / regexp_replace — two independent Unicode
+      // implementations must agree byte-for-byte
+      val inj = translate(
+        regexp_replace(col("text"), "a", "a\u0301"), "e", "\u00e9")
+      val cased = when(col("doc_id") % 3 === 0, upper(inj)).otherwise(inj)
+      val y = regexp_replace(cased, " ", " \t ")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          gf.unicode_normalize(y, "clean").as("norm"),
+          length(gf.unicode_normalize(y, "nfc")).cast("long").as("nfc_len"),
+          length(gf.unicode_normalize(y, "strip_accents")).cast("long")
+            .as("plain_len"),
+          length(y).cast("long").as("raw_len"))
+        .orderBy("doc_id")
+    }),
+
     "q152_pseudonymize" -> ((s, dir) => {
       // PII pseudonymization over q73's synthesized corpus: matches become
       // deterministic <CAT_xxxx> tokens from the engine's string hash64.
@@ -2469,6 +2493,22 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q153_normalize_text" ->
+      """WITH d AS (SELECT doc_id,
+           regexp_replace(
+             CASE WHEN doc_id % 3 = 0 THEN upper(x) ELSE x END,
+             ' ', ' ' || chr(9) || ' ', 'g') AS y
+         FROM (SELECT doc_id,
+                 translate(regexp_replace(text, 'a', 'a' || chr(769), 'g'),
+                           'e', chr(233)) AS x
+               FROM documents))
+       SELECT doc_id,
+         trim(regexp_replace(strip_accents(lower(nfc_normalize(y))),
+              '\s+', ' ', 'g')) AS norm,
+         length(nfc_normalize(y))::BIGINT AS nfc_len,
+         length(strip_accents(y))::BIGINT AS plain_len,
+         length(y)::BIGINT AS raw_len
+       FROM d ORDER BY doc_id""",
     "q152_pseudonymize" ->
       (hashMacros +
         """WITH d AS (SELECT lang, doc_id,

@@ -174,6 +174,11 @@ object functions {
     toColumn(CharEntropyExpr(toExpr(text)))
   def rep_stats(text: Column, ngramN: Int): Column =
     toColumn(RepStatsExpr(toExpr(text), Literal(ngramN)))
+  def unicode_normalize(text: Column, mode: String): Column =
+    toColumn(UnicodeNormalize(toExpr(text), Literal(mode)))
+  /** The composite corpus normalizer: nfc → casefold → strip_accents →
+    * squash_ws. Run BEFORE hashing/shingling/dedup. */
+  def normalize_text(text: Column): Column = unicode_normalize(text, "clean")
   def pii_stats(text: Column): Column = toColumn(PiiStatsExpr(toExpr(text)))
   def redact_pii(text: Column): Column = toColumn(RedactPii(toExpr(text)))
   def pseudonymize_pii(text: Column): Column =
@@ -244,7 +249,7 @@ object GraftFunctions {
               n == "hash64" ||
               n == "text_stats" || n == "char_entropy" ||
               n == "pii_stats" || n == "redact_pii" ||
-              n == "pseudonymize_pii" ||
+              n == "pseudonymize_pii" || n == "normalize_text" ||
               n == "ss_capacity" || n == "kmv_distinct" || n == "kmv_size" ||
               n == "vec_norm" || n == "strip_html" ||
               n == "registrable_domain" => Seq(1)
@@ -328,6 +333,9 @@ object GraftFunctions {
     "char_entropy" -> { case Seq(t) => CharEntropyExpr(t) },
     "rep_stats" -> { case Seq(t, n) => RepStatsExpr(t, n) },
     "pii_stats" -> { case Seq(t) => PiiStatsExpr(t) },
+    "unicode_normalize" -> { case Seq(t, m) => UnicodeNormalize(t, m) },
+    "normalize_text" -> { case Seq(t) =>
+      UnicodeNormalize(t, Literal("clean")) },
     "redact_pii" -> { case Seq(t) => RedactPii(t) },
     "pseudonymize_pii" -> { case Seq(t) => PseudonymizePii(t) },
     "doc_fingerprint" -> { case Seq(t, w) => DocFingerprint(t, w) },

@@ -1,0 +1,116 @@
+package graft.expr
+
+import java.text.Normalizer
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.graftshim.AbstractDataType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode text normalization for corpus cleaning.
+  *
+  * The single most common preprocessing step of a web-scale text pipeline:
+  * fold the billion raw byte-sequences that mean the same text ("Café",
+  * "café", "café") onto one canonical form BEFORE hashing, dedup,
+  * shingling, or vocabulary building — otherwise every dedup family
+  * upstream silently under-recalls on the encoded variants.
+  *
+  * Modes (all pure per-row functions — scan-side, shuffle-free,
+  * partitioning-independent):
+  *  - `nfc` / `nfd` / `nfkc` / `nfkd`: the four standard Unicode
+  *    normalization forms (java.text.Normalizer).
+  *  - `strip_accents`: NFD, drop all Mark codepoints (Mn/Mc/Me), NFC —
+  *    "Ångström" → "Angstrom". Canonical decomposition only, so ligatures
+  *    and fullwidth forms survive (parity with utf8proc's strip-accents
+  *    semantics, which external oracles implement).
+  *  - `casefold`: Unicode-aware lowercase in the root locale (no Turkish
+  *    dotless-i surprises).
+  *  - `squash_ws`: runs of ASCII whitespace [ \t\n\x0B\f\r] collapse to a
+  *    single space, then ends trim. The \s class is deliberately ASCII —
+  *    the same set RE2 and Java agree on — so oracle regexes match.
+  *  - `clean`: the composite pipeline normalizer
+  *    nfc → casefold → strip_accents → squash_ws, in that order.
+  */
+object NormKernels {
+  /** ASCII \s — the intersection regex engines agree on. */
+  private val WsRun = Pattern.compile("\\s+")
+
+  def nfc(s: String): String = Normalizer.normalize(s, Normalizer.Form.NFC)
+  def nfd(s: String): String = Normalizer.normalize(s, Normalizer.Form.NFD)
+  def nfkc(s: String): String = Normalizer.normalize(s, Normalizer.Form.NFKC)
+  def nfkd(s: String): String = Normalizer.normalize(s, Normalizer.Form.NFKD)
+
+  def stripAccents(s: String): String = {
+    val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val cp = decomposed.codePointAt(i)
+      val cat = Character.getType(cp)
+      if (cat != Character.NON_SPACING_MARK &&
+          cat != Character.COMBINING_SPACING_MARK &&
+          cat != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+  }
+
+  def casefold(s: String): String = s.toLowerCase(Locale.ROOT)
+
+  def squashWs(s: String): String =
+    WsRun.matcher(s).replaceAll(" ").trim
+
+  def clean(s: String): String =
+    squashWs(stripAccents(casefold(nfc(s))))
+
+  private val MNfc = UTF8String.fromString("nfc")
+  private val MNfd = UTF8String.fromString("nfd")
+  private val MNfkc = UTF8String.fromString("nfkc")
+  private val MNfkd = UTF8String.fromString("nfkd")
+  private val MStrip = UTF8String.fromString("strip_accents")
+  private val MCase = UTF8String.fromString("casefold")
+  private val MWs = UTF8String.fromString("squash_ws")
+  private val MClean = UTF8String.fromString("clean")
+
+  /** Dispatch on the (almost always literal) mode. The byte-compare is
+    * nanoseconds next to the normalization itself. */
+  def normalize(t: UTF8String, mode: UTF8String): UTF8String = {
+    val s = t.toString
+    val out =
+      if (mode.equals(MClean)) clean(s)
+      else if (mode.equals(MNfc)) nfc(s)
+      else if (mode.equals(MNfd)) nfd(s)
+      else if (mode.equals(MNfkc)) nfkc(s)
+      else if (mode.equals(MNfkd)) nfkd(s)
+      else if (mode.equals(MStrip)) stripAccents(s)
+      else if (mode.equals(MCase)) casefold(s)
+      else if (mode.equals(MWs)) squashWs(s)
+      else throw new IllegalArgumentException(
+        s"unicode_normalize: unknown mode '$mode' (expected nfc|nfd|nfkc|" +
+          "nfkd|strip_accents|casefold|squash_ws|clean)")
+    UTF8String.fromString(out)
+  }
+
+  /** Java-reachable name of this object for generated code. */
+  val RefName: String =
+    classOf[NormKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+}
+
+/** unicode_normalize(text, mode) → string. See [[NormKernels]]. */
+case class UnicodeNormalize(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    NormKernels.normalize(t.asInstanceOf[UTF8String], m.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, m) =>
+      s"${ev.value} = ${NormKernels.RefName}.normalize($t, $m);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.api.{functions => gf}
+import org.apache.spark.sql.functions._
+
+/** Unicode normalization (expr/normexprs.scala): each mode against
+  * hand-computed expectations, plus the composite `clean` pipeline and the
+  * SQL surface. Strings are written with explicit \uXXXX escapes so the
+  * expectations are visible in the source. */
+class NormalizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(s: String, mode: String): String =
+    Seq(s).toDF("t")
+      .select(gf.unicode_normalize(col("t"), mode).as("r"))
+      .head().getString(0)
+
+  test("nfc composes, nfd decomposes") {
+    // "a" + combining acute (U+0301) composes to U+00E1
+    assert(norm("á", "nfc") == "á")
+    assert(norm("á", "nfd") == "á")
+    // Hangul syllable round-trips through NFC
+    val hangul = "각"
+    assert(norm(norm(hangul, "nfd"), "nfc") == hangul)
+  }
+
+  test("nfkc folds compatibility forms, nfc does not") {
+    // LATIN SMALL LIGATURE FI (U+FB01) is compatibility-only
+    assert(norm("ﬁle", "nfc") == "ﬁle")
+    assert(norm("ﬁle", "nfkc") == "file")
+    // fullwidth A (U+FF21)
+    assert(norm("Ａ", "nfkc") == "A")
+  }
+
+  test("strip_accents drops marks from composed AND decomposed input") {
+    assert(norm("café", "strip_accents") == "cafe")
+    assert(norm("café", "strip_accents") == "cafe")
+    assert(norm("naïve Ångström", "strip_accents")
+      == "naive Angstrom")
+    // ligature survives (canonical decomposition only — utf8proc parity)
+    assert(norm("ﬁle", "strip_accents") == "ﬁle")
+    // Hangul survives (NFC recomposition after the NFD pass)
+    assert(norm("각", "strip_accents") == "각")
+    // Greek tonos drops
+    assert(norm("ά", "strip_accents") == "α")
+  }
+
+  test("casefold lowers in the root locale") {
+    assert(norm("Straße ABC", "casefold") == "straße abc")
+    assert(norm("ÉCLAIR", "casefold") == "éclair")
+  }
+
+  test("squash_ws collapses ASCII whitespace runs and trims") {
+    assert(norm("  a \t\t b\r\nc  ", "squash_ws") == "a b c")
+    assert(norm("\t", "squash_ws") == "")
+  }
+
+  test("clean = nfc then casefold then strip_accents then squash_ws") {
+    assert(norm("  CAFÉ   du\tMonde ", "clean") == "cafe du monde")
+    assert(norm("Naïve  ÅNGSTRÖM", "clean")
+      == "naive angstrom")
+  }
+
+  test("null propagates; unknown mode fails") {
+    val r = Seq[(Integer, String)]((1, null)).toDF("i", "t")
+      .select(gf.normalize_text(col("t")).as("r")).head()
+    assert(r.isNullAt(0))
+    val e = intercept[Exception](norm("x", "bogus"))
+    assert(e.getMessage.contains("unknown mode") ||
+      e.getCause != null && e.getCause.getMessage.contains("unknown mode"))
+  }
+
+  test("SQL surface: unicode_normalize and normalize_text") {
+    val r = spark.sql(
+      "SELECT unicode_normalize('café', 'nfc') AS a, " +
+        "normalize_text('  CAFÉ ') AS b").head()
+    assert(r.getString(0) == "café")
+    assert(r.getString(1) == "cafe")
+  }
+
+  test("normalization folds variants onto one dedup key") {
+    // the motivating property: all encodings of "café du monde" hash equal
+    val variants = Seq("Café du Monde", "café  du monde",
+      "CAFÉ\tDU MONDE", " cafe du  monde ")
+    val keys = variants.toDF("t")
+      .select(gf.hash64(gf.normalize_text(col("t"))).as("k"))
+      .distinct().count()
+    assert(keys == 1L)
+  }
+}
