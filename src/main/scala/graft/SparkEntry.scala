@@ -1830,6 +1830,31 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q154_hits" -> ((s, dir) => {
+      // HITS hubs/authorities over q100's deterministic site graph.
+      // Sites 50–59 appear only as destinations → pure authorities
+      // (hub 0); every site0–49 links out → nonzero hubs. The oracle
+      // unrolls the L1-normalized mutual recursion in materialized CTEs;
+      // round(6) absorbs the ≤1-ulp exact_sum vs sequential-fold gap
+      val docs = t(s, dir, "documents")
+      def dom(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("site"),
+        (v % 50).cast("string"),
+        when(v % 7 === 0, lit(".co.uk")).otherwise(lit(".com")))
+      def domWide(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("site"),
+        (v % 60).cast("string"),
+        when(v % 7 === 0, lit(".co.uk")).otherwise(lit(".com")))
+      val edges = docs
+        .select(col("doc_id"), explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+        .select(dom(col("doc_id")).as("src"),
+          domWide(col("doc_id") * 7 + col("j") * 13 + 3).as("dst"))
+      graft.ops.Graph.hits(edges, "src", "dst", iterations = 8)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("node")
+    }),
+
     "q153_normalize_text" -> ((s, dir) => {
       // Unicode corpus normalization: decomposed combining marks
       // (a → a+U+0301), composed accents (e → é), case flips and
@@ -2360,6 +2385,47 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
     * redistributed uniformly. The arithmetic mirrors Graph.pageRank's
     * association order exactly ((1-d)/n + d*(contrib + dm/n)), so the only
     * engine difference is summation order, absorbed by round(6). */
+  /** q154's oracle: HITS with the L1-normalized mutual recursion unrolled
+    * — per iteration, raw authority fan-in, its sum, the normalized
+    * authority table, then the same for hubs off the FRESH authorities.
+    * MATERIALIZED is load-bearing (inlined CTEs re-evaluate the chain
+    * exponentially). */
+  private def hitsOracle(iters: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (SELECT
+           'site' || (doc_id % 50)::VARCHAR ||
+             CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END AS src,
+           'site' || ((doc_id*7 + j*13 + 3) % 60)::VARCHAR ||
+             CASE WHEN (doc_id*7 + j*13 + 3) % 7 = 0 THEN '.co.uk' ELSE '.com' END AS dst
+         FROM documents, unnest([0,1,2]) t(j)),
+       nd AS MATERIALIZED (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nd)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+       ar$k AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS r
+              FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1),
+       asum$k AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS s FROM ar$k),
+       a$k AS MATERIALIZED (SELECT nd.node,
+              CASE WHEN (SELECT s FROM asum$k) > 0
+                   THEN coalesce(ar$k.r, 0) / (SELECT s FROM asum$k)
+                   ELSE 0 END AS auth
+            FROM nd LEFT JOIN ar$k ON nd.node = ar$k.node),
+       hr$k AS MATERIALIZED (SELECT e.src AS node, sum(a.auth) AS r
+              FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1),
+       hsum$k AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS s FROM hr$k),
+       h$k AS MATERIALIZED (SELECT nd.node,
+              CASE WHEN (SELECT s FROM hsum$k) > 0
+                   THEN coalesce(hr$k.r, 0) / (SELECT s FROM hsum$k)
+                   ELSE 0 END AS hub
+            FROM nd LEFT JOIN hr$k ON nd.node = hr$k.node)"""
+    }.mkString
+    head + steps +
+      s""" SELECT h.node, round(h.hub, 6) AS hub,
+             round(a.auth, 6) AS authority
+           FROM h$iters h JOIN a$iters a USING (node) ORDER BY node"""
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val head =
       """WITH e AS MATERIALIZED (SELECT
@@ -2493,6 +2559,7 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q154_hits" -> hitsOracle(8),
     "q153_normalize_text" ->
       """WITH d AS (SELECT doc_id,
            regexp_replace(

@@ -174,4 +174,97 @@ object Graph {
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
   }
+
+  /** HITS hubs & authorities (Kleinberg) over an edge list — the
+    * complement of [[pageRank]] for crawl curation: authority separates
+    * cited content sites from the link-farm hubs that cite them, and hub
+    * scores identify directory/aggregator pages whose OUTLINKS are worth
+    * crawling next.
+    *
+    * Update (mutual recursion, L1-normalized each half-step so scores are
+    * comparable across graphs and iterations — sums are exact, so the
+    * choice of norm does not cost determinism):
+    *
+    *   auth_t+1(v) ∝ Σ_{(u,v)∈E} hub_t(u)
+    *   hub_t+1(u)  ∝ Σ_{(u,v)∈E} auth_t+1(v)
+    *
+    * Parallel edges contribute once per occurrence (weighted-graph
+    * semantics, as in [[pageRank]]); `.distinct()` first for simple-graph
+    * semantics. Nodes with no in-edges get authority 0; no out-edges →
+    * hub 0. An edgeless graph returns all zeros rather than NaN.
+    *
+    * Determinism and scale mirror [[pageRank]]: score state is O(nodes);
+    * each half-step is one shuffle keyed by the receiving endpoint with
+    * map-side exact_sum partials; the normalization scalar is a one-row
+    * broadcast; per-round localCheckpoint cuts the doubling lineage
+    * (the hub update references the fresh authority frame, which
+    * references the previous hub frame) and the previous round's blocks
+    * are freed eagerly — storage bounded at two score tables.
+    *
+    * @return one row per node: (node, hub, authority); each column sums
+    *         to 1 (or is all-zero for a side with no edges)
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, nodeOut: String = "node",
+      hubOut: String = "hub", authOut: String = "authority"): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+    val e = e0.localCheckpoint(true)
+
+    val nodes = e.select(col("__src").as("__node"))
+      .union(e.select(col("__dst").as("__node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0) {
+      CheckpointUtil.freeCheckpoint(e)
+      CheckpointUtil.freeCheckpoint(nodes)
+      return edges.select(col(srcCol).as(nodeOut), lit(0.0).as(hubOut),
+        lit(0.0).as(authOut)).limit(0)
+    }
+
+    // L1-normalize a non-negative (node, __raw) frame against the full
+    // node set; all-zero stays all-zero instead of dividing by zero.
+    def spread(raw: DataFrame, outCol: String): DataFrame = {
+      val total = raw.agg(
+        coalesce(exact_sum(col("__raw")), lit(0.0)).as("__tot"))
+      nodes.join(raw, Seq("__node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("__node"),
+          when(col("__tot") > 0.0,
+            coalesce(col("__raw"), lit(0.0)) / col("__tot"))
+            .otherwise(lit(0.0)).as(outCol))
+    }
+
+    var state = nodes.select(col("__node"),
+      lit(1.0).as("__hub"), lit(1.0).as("__auth")).localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      val prev = state
+      // auth is referenced twice below (hub update + state join):
+      // materialize the node-sized frame once instead of re-running its
+      // aggregation, and cut the lineage into prev while at it.
+      val auth = spread(
+        e.join(prev, e("__src") === prev("__node"))
+          .groupBy(e("__dst").as("__node"))
+          .agg(exact_sum(col("__hub")).as("__raw")), "__auth")
+        .localCheckpoint(true)
+      val hub = spread(
+        e.join(auth, e("__dst") === auth("__node"))
+          .groupBy(e("__src").as("__node"))
+          .agg(exact_sum(col("__auth")).as("__raw")), "__hub")
+      state = hub.join(auth, Seq("__node"))
+        .select(col("__node"), col("__hub"), col("__auth"))
+        .localCheckpoint(true)
+      CheckpointUtil.freeCheckpoint(prev)
+      CheckpointUtil.freeCheckpoint(auth)
+      it += 1
+    }
+    CheckpointUtil.freeCheckpoint(e)
+    CheckpointUtil.freeCheckpoint(nodes)
+    state.select(col("__node").as(nodeOut), col("__hub").as(hubOut),
+      col("__auth").as(authOut))
+  }
 }

@@ -127,6 +127,86 @@ class GraphSpec extends SparkTestBase {
     assert(stopped == one)
   }
 
+  /** Sequential HITS reference: L1-normalized half-steps, plain doubles.
+    * exact_sum is correctly rounded → compare at 1e-12. */
+  private def refHits(edges: Seq[(String, String)],
+      iters: Int): Map[String, (Double, Double)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    def norm(m: Map[String, Double]): Map[String, Double] = {
+      val s = m.values.sum
+      if (s > 0) m.view.mapValues(_ / s).toMap else m.view.mapValues(_ => 0.0).toMap
+    }
+    for (_ <- 0 until iters) {
+      auth = norm(nodes.map(v => v ->
+        edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap)
+      hub = norm(nodes.map(v => v ->
+        edges.filter(_._1 == v).map(e => auth(e._2)).sum).toMap)
+    }
+    nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+  }
+
+  private def runHits(edges: Seq[(String, String)],
+      iters: Int = 10): Map[String, (Double, Double)] = {
+    import spark.implicits._
+    Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+  }
+
+  test("hits matches the sequential reference on a hand-built graph") {
+    val edges = Seq("a" -> "c", "b" -> "c", "c" -> "d", "a" -> "d")
+    val got = runHits(edges)
+    val want = refHits(edges, 10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (h, a)) =>
+      assert(math.abs(h - want(k)._1) < 1e-12, s"hub $k: $h vs ${want(k)._1}")
+      assert(math.abs(a - want(k)._2) < 1e-12, s"auth $k: $a vs ${want(k)._2}")
+    }
+    // both sides L1-normalized
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+    // d is cited by the best hub AND c → top authority; a links to both
+    // strong authorities → top hub; d links nowhere → hub 0
+    assert(got("d")._2 >= got.values.map(_._2).max - 1e-15)
+    assert(got("a")._1 >= got.values.map(_._1).max - 1e-15)
+    assert(got("d")._1 == 0.0)
+  }
+
+  test("hits: source-only nodes have authority 0, sink-only nodes hub 0") {
+    val got = runHits(Seq("s" -> "t", "s" -> "u"), iters = 3)
+    assert(got("s")._2 == 0.0)
+    assert(got("t")._1 == 0.0 && got("u")._1 == 0.0)
+    assert(math.abs(got("t")._2 + got("u")._2 - 1.0) < 1e-12)
+  }
+
+  test("hits: parallel edges weight the endpoint proportionally") {
+    val dup = runHits(Seq("a" -> "b", "a" -> "b", "a" -> "c"), iters = 1)
+    // authority from a's unit hub: b gets 2 raw, c gets 1 → 2/3 vs 1/3
+    assert(math.abs(dup("b")._2 - 2.0 / 3) < 1e-12)
+    assert(math.abs(dup("c")._2 - 1.0 / 3) < 1e-12)
+  }
+
+  test("hits: empty edge set yields an empty typed frame") {
+    import spark.implicits._
+    val out = Graph.hits(Seq.empty[(String, String)].toDF("src", "dst"),
+      "src", "dst", 5)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("node", "hub", "authority"))
+  }
+
+  test("hits is bit-deterministic across partitionings") {
+    import spark.implicits._
+    val edges = (0 until 300).map(i => (s"n${i % 37}", s"n${(i * 7 + 3) % 41}"))
+    def bits(parts: Int): Map[String, (Long, Long)] =
+      Graph.hits(edges.toDF("src", "dst").repartition(parts), "src", "dst", 6)
+        .collect().map(r => r.getString(0) ->
+          ((java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+            java.lang.Double.doubleToRawLongBits(r.getDouble(2))))).toMap
+    assert(bits(1) == bits(13))
+  }
+
   test("degrees counts both sides with zero-fill") {
     import spark.implicits._
     val d = Graph.degrees(
