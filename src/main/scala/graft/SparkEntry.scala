@@ -1830,6 +1830,28 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q155_dsir" -> ((s, dir) => {
+      // DSIR data selection: target = the English slice, raw = the full
+      // pool; hashed unigram+bigram bucket models (B=65536, add-0.5
+      // smoothing), per-doc mean log importance ratio via exact_sum.
+      // Per-source receipt: doc/gram mass, mean score, target-like count.
+      // The oracle re-derives the whole pipeline — token hashes, shingle
+      // combine, bucket mod, both models, log-ratios — in DuckDB SQL
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en")
+      val w = graft.ops.Dsir.importanceWeights(docs, target, "doc_id",
+        "text", buckets = 65536, alpha = 0.5, bigrams = true)
+      docs.select(col("doc_id"), col("source"))
+        .join(w, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_grams").as("n_grams"),
+          round(gf.exact_sum(col("score")) / count(lit(1)), 6)
+            .as("avg_score"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_target_like"))
+        .orderBy("source")
+    }),
+
     "q154_hits" -> ((s, dir) => {
       // HITS hubs/authorities over q100's deterministic site graph.
       // Sites 50–59 appear only as destinations → pure authorities
@@ -2559,6 +2581,40 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q155_dsir" ->
+      (hashMacros + """WITH tok AS MATERIALIZED (
+  SELECT doc_id, source, lang, string_split_regex(trim(text), '\s+') AS t
+  FROM documents),
+th AS MATERIALIZED (SELECT doc_id, source, lang,
+  list_transform(t, x -> g_thash(x)) AS hs FROM tok),
+gr AS MATERIALIZED (SELECT doc_id, source, lang,
+  list_concat(
+    list_transform(hs, h -> g_comb(2870177450012600261::UBIGINT, h)),
+    CASE WHEN len(hs) >= 2
+      THEN list_transform(range(1, len(hs)), i -> g_shingle2(hs[i], hs[i+1]))
+      ELSE [] END) AS gs FROM th),
+ex AS MATERIALIZED (SELECT doc_id, source, lang,
+  unnest(list_transform(gs, g -> ((g >> 1) % 65536::UBIGINT)::BIGINT))
+    AS bucket FROM gr),
+tc AS MATERIALIZED (SELECT bucket, count(*)::DOUBLE AS c FROM ex
+  WHERE lang = 'en' GROUP BY 1),
+rc AS MATERIALIZED (SELECT bucket, count(*)::DOUBLE AS c FROM ex GROUP BY 1),
+tt AS MATERIALIZED (SELECT coalesce(sum(c), 0) AS s FROM tc),
+rt AS MATERIALIZED (SELECT coalesce(sum(c), 0) AS s FROM rc),
+lr AS MATERIALIZED (SELECT rc.bucket,
+    ln((coalesce(tc.c, 0) + 0.5) / ((SELECT s FROM tt) + 0.5*65536))
+  - ln((rc.c + 0.5) / ((SELECT s FROM rt) + 0.5*65536)) AS log_ratio
+  FROM rc LEFT JOIN tc USING (bucket)),
+ds AS MATERIALIZED (SELECT ex.doc_id, sum(lr.log_ratio) AS ssum,
+  count(*)::BIGINT AS ng FROM ex JOIN lr USING (bucket) GROUP BY ex.doc_id),
+w AS MATERIALIZED (SELECT d.doc_id, d.source,
+  coalesce(ds.ssum / ds.ng, 0) AS score, coalesce(ds.ng, 0) AS ng
+  FROM (SELECT doc_id, source FROM documents) d
+  LEFT JOIN ds ON d.doc_id = ds.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs, sum(ng)::BIGINT AS n_grams,
+  round(sum(score)/count(*), 6) AS avg_score,
+  sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_target_like
+FROM w GROUP BY source ORDER BY source"""),
     "q154_hits" -> hitsOracle(8),
     "q153_normalize_text" ->
       """WITH d AS (SELECT doc_id,
