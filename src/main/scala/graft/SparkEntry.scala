@@ -1830,6 +1830,24 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q156_mixture_plan" -> ((s, dir) => {
+      // training-recipe budgeting: availability = chars per source,
+      // target weights 1..5 by source index, budget = 80% of the pool —
+      // heavy-weight sources saturate and the shortfall re-spreads
+      // proportionally (water-filling). The oracle solves the same
+      // closed form with SQL window prefix/suffix sums; integer
+      // availabilities + integer-valued weights make λ and the floors
+      // bit-identical across engines
+      val docs = t(s, dir, "documents")
+      val avail = docs.groupBy("source").agg(sum("n_chars").as("avail"))
+      val total = avail.agg(coalesce(sum("avail"), lit(0L)))
+        .collect()(0).getLong(0)
+      val targets = (0 until 20).map(i => (s"src$i", (1 + i % 5).toDouble))
+      graft.ops.Sampling.mixturePlan(avail, "source", "avail", targets,
+          total * 4 / 5)
+        .orderBy("label")
+    }),
+
     "q155_dsir" -> ((s, dir) => {
       // DSIR data selection: target = the English slice, raw = the full
       // pool; hashed unigram+bigram bucket models (B=65536, add-0.5
@@ -2581,6 +2599,32 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q156_mixture_plan" ->
+      """WITH a AS MATERIALIZED (SELECT source,
+           sum(n_chars)::BIGINT AS avail FROM documents GROUP BY 1),
+       t AS MATERIALIZED (SELECT ((sum(avail)::HUGEINT * 4) // 5)::BIGINT
+           AS tt FROM a),
+       w AS MATERIALIZED (SELECT source, avail,
+           (1 + (substr(source, 4)::INT % 5))::DOUBLE AS wt FROM a),
+       ord AS MATERIALIZED (SELECT source, avail, wt, avail / wt AS r,
+           row_number() OVER (ORDER BY avail / wt, source) AS rn FROM w),
+       pre AS MATERIALIZED (SELECT *,
+           coalesce(sum(avail) OVER (ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS pa,
+           sum(wt) OVER (ORDER BY rn
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sw
+         FROM ord),
+       lam AS MATERIALIZED (SELECT *,
+           ((SELECT tt FROM t) - pa) / sw AS lamk FROM pre),
+       cut AS MATERIALIZED (SELECT coalesce(min(rn), 2147483647) AS c
+           FROM lam WHERE lamk < r)
+       SELECT source AS label, avail AS available, wt AS weight,
+         CASE WHEN rn < (SELECT c FROM cut) THEN avail
+              ELSE least(avail, floor(
+                (SELECT lamk FROM lam WHERE rn = (SELECT c FROM cut))
+                * wt)::BIGINT) END AS quota
+       FROM lam ORDER BY label""",
     "q155_dsir" ->
       (hashMacros + """WITH tok AS MATERIALIZED (
   SELECT doc_id, source, lang, string_split_regex(trim(text), '\s+') AS t

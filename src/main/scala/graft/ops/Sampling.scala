@@ -155,6 +155,23 @@ object Sampling {
     val total = targets.map(_._2).sum
     val quotas = targets.map { case (l, w) =>
       l -> math.floor(totalRows * w / total).toLong }
+    quotaSample(df, groupCol, key, quotas)
+  }
+
+  /** Membership filter for EXPLICIT per-group row quotas: each group keeps
+    * its quota-many smallest unsigned `hash64(key)` rows (the same
+    * reproducible hash bottom-k as [[mixtureSample]], which delegates
+    * here). Groups absent from `quotas` are dropped. The literal max-quota
+    * bound keeps the WindowGroupLimit rewrite applicable — each task
+    * retains at most maxQuota rows per group BEFORE the shuffle. */
+  def quotaSample(df: DataFrame, groupCol: Column, key: Column,
+      quotas: Seq[(Any, Long)]): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input may not contain reserved column __rn")
+    require(quotas.map(_._1).distinct.length == quotas.length,
+      "duplicate quota labels")
+    require(quotas.forall(_._2 >= 0), "quotas must be >= 0")
+    if (quotas.isEmpty) return df.limit(0)
     val maxQ = quotas.map(_._2).max
     val quotaCol = quotas.foldRight(lit(0L): Column) { case ((l, q), acc) =>
       when(groupCol === lit(l), lit(q)).otherwise(acc)
@@ -231,6 +248,84 @@ object Sampling {
     val targets = counts.toSeq.map { case (g, n) =>
       (g, math.pow(n.toDouble, alpha)) }
     mixtureSample(df, groupCol, key, targets, totalRows)
+  }
+
+  /** Feasible mixture plan: water-filling allocation of a total row/token
+    * budget across sources with availability caps — the solver a training
+    * recipe runs BEFORE sampling. Target weights say what the mixture
+    * SHOULD be; availability says what each source HAS; the plan is the
+    * unique allocation q_s = min(a_s, λ·w_s) with Σq = min(total, Σa):
+    * sources that can't fill their proportional share are capped at
+    * everything they have and the shortfall re-spreads over the rest —
+    * exactly proportionally, not greedily.
+    *
+    * Closed form instead of iteration: sort sources by saturation ratio
+    * r_s = a_s/w_s ascending; the capped set is a prefix of that order,
+    * and λ = (total − Σ_{capped} a) / Σ_{uncapped} w at the first row
+    * where λ < r. Prefix/suffix sums run over LONG availabilities, so
+    * with integer-valued weights every intermediate is exact and the plan
+    * is bit-reproducible across engines (fractional weights stay correct,
+    * merely summing in this implementation's order).
+    *
+    * Scale shape: `avail` is a per-source aggregate (sources, not
+    * documents — bounded like a recipe; collected to the driver the same
+    * way [[temperatureMixture]] collects counts). The result is a
+    * sources-sized plan table: (label, available, weight, quota). Apply
+    * it with [[quotaSample]] — quotas count whatever unit `avail` counts
+    * (rows here; pair with [[budgetSample]] for cost units).
+    *
+    * @param avail    (label, available) one row per source; label must be
+    *                 a string column (sources/domains/languages)
+    * @param targets  label → target weight (≥ 0; missing labels get 0)
+    * @param total    budget in the same unit as `available`
+    */
+  def mixturePlan(avail: DataFrame, labelCol: String, availCol: String,
+      targets: Seq[(String, Double)], total: Long): DataFrame = {
+    require(total >= 0, "total must be >= 0")
+    require(targets.map(_._1).distinct.length == targets.length,
+      "duplicate target labels")
+    require(targets.forall(_._2 >= 0), "target weights must be >= 0")
+    val wmap = targets.toMap
+    val rows = avail
+      .select(col(labelCol).cast("string").as("__l"),
+        col(availCol).cast("long").as("__a"))
+      .where(col("__l").isNotNull)
+      .collect()
+      .map(r => (r.getString(0), math.max(r.getLong(1), 0L)))
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"duplicate labels in $labelCol — pass a per-source aggregate")
+    // saturation order; weight-0 sources sort last (never capped, quota 0)
+    val sorted = rows.map { case (l, a) => (l, a, wmap.getOrElse(l, 0.0)) }
+      .sortBy { case (l, a, w) =>
+        (if (w > 0) a.toDouble / w else Double.PositiveInfinity, l) }
+    val n = sorted.length
+    // exact suffix weight sums (integer-valued weights stay exact in
+    // double; the reverse-fold order matches a window suffix sum)
+    val suffixW = new Array[Double](n + 1)
+    for (i <- (n - 1) to 0 by -1) suffixW(i) = suffixW(i + 1) + sorted(i)._3
+    var pa = 0L
+    var cut = n // first uncapped index; n = everything capped
+    var lambda = 0.0
+    var i = 0
+    while (i < n && cut == n) {
+      val (_, a, w) = sorted(i)
+      if (suffixW(i) > 0) {
+        val lam = (total - pa).toDouble / suffixW(i)
+        val r = if (w > 0) a.toDouble / w else Double.PositiveInfinity
+        if (lam < r) { cut = i; lambda = lam }
+        else pa += a
+      } else pa += a // zero-weight tail: capped at quota 0 below
+      i += 1
+    }
+    val plan = sorted.zipWithIndex.map { case ((l, a, w), idx) =>
+      val q =
+        if (w <= 0) 0L // unweighted sources contribute nothing
+        else if (idx < cut) a // saturated: capped at availability
+        else math.min(a, math.floor(lambda * w).toLong)
+      (l, a, w, q)
+    }
+    import avail.sparkSession.implicits._
+    plan.toSeq.toDF("label", "available", "weight", "quota")
   }
 
   /** Deterministic fixed-size sample: the `k` rows with the smallest

@@ -238,4 +238,82 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.thresholds(Seq(3.0, 1.0)) ==
       Seq(Sampling.Buckets * 3 / 4, Sampling.Buckets))
   }
+
+  private def plan(avail: Seq[(String, Long)], targets: Seq[(String, Double)],
+      total: Long): Map[String, (Long, Double, Long)] = {
+    Sampling.mixturePlan(avail.toDF("src", "a"), "src", "a", targets, total)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("mixturePlan: water-filling caps the scarce source and re-spreads") {
+    // equal weights, c can only supply 10 of its 50 share: the shortfall
+    // re-spreads to a and b equally → 70/70/10
+    val p = plan(Seq("a" -> 100L, "b" -> 100L, "c" -> 10L),
+      Seq("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), 150L)
+    assert(p("a")._3 == 70L && p("b")._3 == 70L && p("c")._3 == 10L)
+  }
+
+  test("mixturePlan: budget beyond the pool caps everything at availability") {
+    val p = plan(Seq("a" -> 30L, "b" -> 20L),
+      Seq("a" -> 1.0, "b" -> 9.0), 1000L)
+    assert(p("a")._3 == 30L && p("b")._3 == 20L)
+  }
+
+  test("mixturePlan: unweighted and unlisted sources get quota 0") {
+    val p = plan(Seq("a" -> 100L, "z" -> 100L, "u" -> 100L),
+      Seq("a" -> 1.0, "z" -> 0.0), 100L)
+    assert(p("a")._3 == 100L) // sole weighted source absorbs the budget
+    assert(p("z")._3 == 0L && p("u")._3 == 0L)
+    assert(p("u")._2 == 0.0) // missing target surfaces as weight 0
+  }
+
+  test("mixturePlan: uncapped quotas stay proportional to weights") {
+    val p = plan(Seq("a" -> 1000L, "b" -> 1000L, "c" -> 5L),
+      Seq("a" -> 1.0, "b" -> 3.0, "c" -> 1.0), 405L)
+    // c capped at 5; remaining 400 splits 1:3 → 100/300
+    assert(p("c")._3 == 5L)
+    assert(p("a")._3 == 100L && p("b")._3 == 300L)
+    val total = p.values.map(_._3).sum
+    assert(total <= 405L && total >= 405L - 3) // floors lose < 1/source
+  }
+
+  test("mixturePlan: zero budget and empty availability behave") {
+    val p = plan(Seq("a" -> 10L), Seq("a" -> 1.0), 0L)
+    assert(p("a")._3 == 0L)
+    val empty = Sampling.mixturePlan(
+      Seq.empty[(String, Long)].toDF("src", "a"), "src", "a",
+      Seq("a" -> 1.0), 10L)
+    assert(empty.count() == 0)
+  }
+
+  test("quotaSample: explicit quotas == brute-force hash bottom-k per group") {
+    val df = (0 until 600).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val quotas = Seq[(Any, Long)]("g0" -> 50L, "g1" -> 10L, "g2" -> 0L)
+    val got = Sampling.quotaSample(df, col("g"), col("id"), quotas)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // brute force: per group, quota-many smallest unsigned hashes
+    val want = (0 until 600).map(i => (s"g${i % 3}", i.toLong))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val q = quotas.toMap.apply(g)
+        rows.sortBy(r => TextHash.avalanche(r._2) ^ Long.MinValue)
+          .take(q.toInt)
+      }.toSet
+    assert(got == want)
+    assert(got.count(_._1 == "g2") == 0)
+  }
+
+  test("mixturePlan + quotaSample compose: per-source kept counts == plan") {
+    val df = (0 until 900).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "id")
+    val avail = df.groupBy("src").agg(count(lit(1)).as("n"))
+    val p = Sampling.mixturePlan(avail, "src", "n",
+      Seq("s0" -> 2.0, "s1" -> 1.0, "s2" -> 1.0), 400L)
+    val quotas = p.collect()
+      .map(r => (r.getString(0): Any) -> r.getLong(3)).toSeq
+    val kept = Sampling.quotaSample(df, col("src"), col("id"), quotas)
+      .groupBy("src").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("s0" -> 200L, "s1" -> 100L, "s2" -> 100L))
+  }
 }
