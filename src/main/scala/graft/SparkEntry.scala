@@ -1830,6 +1830,35 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q157_hashed_classifier" -> ((s, dir) => {
+      // fastText-style quality classifier trained entirely in-engine:
+      // features = L1-normalized hashed unigram bucket histogram (B=32,
+      // the hashing-trick front end of q155's DSIR machinery), label =
+      // document mentions 'spark', model = q110's full-batch exact_sum
+      // logistic GD (10 iterations, lr 1). The oracle re-derives the
+      // bucket features from the hash mirror and replays every gradient
+      // step in the same association order; round(6) absorbs exp/fold
+      // ulps. Output = the 33 learned weights
+      import s.implicits._
+      val B = 32
+      val docs = t(s, dir, "documents")
+      val withB = docs.select(col("doc_id"), col("text"),
+          graft.ops.Dsir.gramBuckets(col("text"), B, bigrams = false)
+            .as("bs"))
+        .withColumn("n", size(col("bs")))
+        .where(col("n") > 0)
+      val feats = (0 until B).map(b =>
+        size(filter(col("bs"), x => x === lit(b.toLong))).cast("double")
+          / col("n"))
+      val label = col("text").contains("spark")
+      val w = graft.ops.Classify.logisticFit(withB, feats, label,
+        iterations = 10, lr = 1.0)
+      w.toSeq.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("j", "weight")
+        .select(col("j"), round(col("weight"), 6).as("weight"))
+        .orderBy("j")
+    }),
+
     "q156_mixture_plan" -> ((s, dir) => {
       // training-recipe budgeting: availability = chars per source,
       // target weights 1..5 by source index, budget = 80% of the pool —
@@ -2425,6 +2454,53 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
     * redistributed uniformly. The arithmetic mirrors Graph.pageRank's
     * association order exactly ((1-d)/n + d*(contrib + dm/n)), so the only
     * engine difference is summation order, absorbed by round(6). */
+  /** q157's oracle: hashed-unigram bucket features re-derived from the
+    * hash mirror, then [[logRegOracle]]'s replay with B+1 weights —
+    * z accumulates left-associated exactly like logisticFit's foldLeft. */
+  private def hashedLogRegOracle(b: Int, iters: Int, lr: Double): String = {
+    val xs = (0 until b).map(j => s"x$j")
+    val ws = (0 to b).map(j => s"w$j")
+    val head = hashMacros +
+      s"""WITH tok AS MATERIALIZED (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents),
+th AS MATERIALIZED (SELECT doc_id, text,
+  list_transform(t, x -> g_thash(x)) AS hs FROM tok),
+bk AS MATERIALIZED (SELECT doc_id, text,
+  list_transform(hs, h ->
+    ((g_comb(2870177450012600261::UBIGINT, h) >> 1) % $b::UBIGINT)::BIGINT)
+    AS bs FROM th WHERE len(hs) > 0),
+f AS MATERIALIZED (SELECT
+  CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END AS y,
+  ${(0 until b).map(j =>
+        s"len(list_filter(bs, v -> v = $j))::DOUBLE / len(bs) AS x$j")
+        .mkString(",\n  ")}
+  FROM bk),
+c AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM f),
+i0 AS MATERIALIZED (SELECT ${ws.map(w => s"0.0::DOUBLE AS $w")
+        .mkString(", ")})"""
+    val steps = (1 to iters).map { k =>
+      val z = (0 until b).foldLeft("w.w0") { (acc, j) =>
+        s"($acc + w.w${j + 1} * f.x$j)" }
+      val updates = (s"max(w0) - $lr * (sum(r) / (SELECT n FROM c)) AS w0" +:
+        (1 to b).map(j =>
+          s"max(w$j) - $lr * (sum(r * x${j - 1}) / (SELECT n FROM c)) AS w$j"))
+        .mkString(",\n    ")
+      s""",
+i$k AS MATERIALIZED (SELECT
+    $updates
+  FROM (SELECT ${ws.map(w => s"w.$w").mkString(", ")},
+          ${xs.map(x => s"f.$x").mkString(", ")},
+          (1.0 / (1.0 + exp(-$z)) - f.y) AS r
+        FROM f, i${k - 1} w))"""
+    }.mkString
+    head + steps +
+      s""" SELECT j, round(l[j + 1], 6) AS weight
+  FROM (SELECT [${ws.mkString(", ")}] AS l FROM i$iters),
+       (SELECT unnest(range(0, ${b + 1})) AS j)
+  ORDER BY j"""
+  }
+
   /** q154's oracle: HITS with the L1-normalized mutual recursion unrolled
     * — per iteration, raw authority fan-in, its sum, the normalized
     * authority table, then the same for hubs off the FRESH authorities.
@@ -2599,6 +2675,7 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q157_hashed_classifier" -> hashedLogRegOracle(32, 10, 1.0),
     "q156_mixture_plan" ->
       """WITH a AS MATERIALIZED (SELECT source,
            sum(n_chars)::BIGINT AS avail FROM documents GROUP BY 1),

@@ -233,17 +233,26 @@ object Sampling {
     * ulps of an integer — at the gate fixtures the measured distance is
     * ≥ 1e-2 quota units, ~13 orders above cross-engine libm drift. */
   def temperatureMixture(df: DataFrame, groupCol: Column, key: Column,
-      alpha: Double, totalRows: Long): DataFrame = {
+      alpha: Double, totalRows: Long, maxGroups: Int = 100000): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    require(maxGroups > 0, "maxGroups must be > 0")
     // NULL groups are excluded up front (a null can never equal a quota
     // label, so its quota would be silently wasted); group values stay
     // NATIVE-typed so the quota comparison in [[mixtureSample]] never
     // relies on implicit string casts. Sort order only fixes the
     // when-chain fold order — labels are distinct, so it is cosmetic.
+    // the bounded-cardinality contract is ENFORCED, not just documented:
+    // collecting through a maxGroups+1 limit keeps the driver safe even
+    // when misuse groups by document, and the overflow fails fast with a
+    // usable message instead of an OOM
     val counts = df.where(groupCol.isNotNull).groupBy(groupCol.as("__g"))
-      .agg(count(lit(1)).as("__n")).collect()
+      .agg(count(lit(1)).as("__n")).limit(maxGroups + 1).collect()
       .map(r => (r.get(0), r.getLong(1)))
       .sortBy(t => String.valueOf(t._1))
+    require(counts.length <= maxGroups,
+      s"temperatureMixture saw more than maxGroups=$maxGroups distinct " +
+        "groups — the group column must be recipe-sized (sources/" +
+        "languages), not document-sized; raise maxGroups if intended")
     if (counts.isEmpty) return df.limit(0) // no observed groups → empty
     val targets = counts.toSeq.map { case (g, n) =>
       (g, math.pow(n.toDouble, alpha)) }

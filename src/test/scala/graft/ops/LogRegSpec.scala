@@ -93,4 +93,46 @@ class LogRegSpec extends SparkTestBase {
     val b = Classify.logisticFit(clean, Seq(col("x1")), col("label"), 8, 0.5)
     assert(a.toList == b.toList)
   }
+
+  test("hashed-feature text classifier learns a planted token end-to-end") {
+    // the q157 composition: hashed unigram bucket histogram (Dsir front
+    // end) + logisticFit. Half the docs contain the marker token; the
+    // trained model must separate them (every marker doc scores above
+    // every clean doc — AUC 1 on the training set is expected here
+    // because the marker's bucket is a perfect feature).
+    import spark.implicits._
+    import graft.expr.TextHash
+    val B = 16
+    // keep the marker's hash bucket collision-free by construction: only
+    // base tokens that land in OTHER buckets (collisions merely blur
+    // features — the method tolerates them, but the perfect-separation
+    // assertion below shouldn't depend on hash luck)
+    def bucketOf(tok: String): Long = {
+      val bs = tok.getBytes("UTF-8")
+      val h = TextHash.combine(0x27d4eb2f165667c5L,
+        TextHash.hashBytes(bs, 0, bs.length, 0L))
+      (h >>> 1) % B
+    }
+    val mb = bucketOf("marker")
+    val toks = (0 until 100).map(j => s"tok$j")
+      .filter(bucketOf(_) != mb).take(11).toIndexedSeq
+    val docs = (0 until 200).map { i =>
+      val base = s"${toks(i % 5)} ${toks(5 + i % 3)} ${toks(8 + i % 3)}"
+      (i.toLong, if (i % 2 == 0) s"$base marker $base" else s"$base $base",
+        i % 2 == 0)
+    }.toDF("id", "text", "y")
+    val withB = docs
+      .withColumn("bs", Dsir.gramBuckets(col("text"), B, bigrams = false))
+      .withColumn("n", size(col("bs")))
+    val feats = (0 until B).map(b =>
+      size(filter(col("bs"), x => x === lit(b.toLong))).cast("double")
+        / col("n"))
+    val w = Classify.logisticFit(withB, feats, col("y"), 30, 2.0)
+    val scored = withB.select(col("y"),
+      Classify.logisticScore(feats, w).as("s"))
+    val minPos = scored.where(col("y")).agg(min("s")).head().getDouble(0)
+    val maxNeg = scored.where(!col("y")).agg(max("s")).head().getDouble(0)
+    assert(minPos > maxNeg,
+      s"classifier failed to separate: minPos=$minPos maxNeg=$maxNeg")
+  }
 }
