@@ -1830,6 +1830,22 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q158_rank_blend" -> ((s, dir) => {
+      // multi-signal rank-ensemble quality blending: exact average ranks
+      // (prefix-sum tables, no global window) of length & token count
+      // (higher better) and a synthetic noise signal (lower better),
+      // blended 2:1:1. Every pct/blend value is plain IEEE on identical
+      // operands in both engines, so the gate compares all per-doc
+      // doubles UNROUNDED — bit-for-bit
+      val docs = t(s, dir, "documents")
+      graft.ops.Quality.rankBlend(docs, "doc_id", Seq(
+          ("len", col("n_chars"), true),
+          ("toks", gf.token_count(col("text")), true),
+          ("noise", (col("doc_id") * 37) % 1000, false)),
+        weights = Seq(2.0, 1.0, 1.0))
+        .orderBy("doc_id")
+    }),
+
     "q157_hashed_classifier" -> ((s, dir) => {
       // fastText-style quality classifier trained entirely in-engine:
       // features = L1-normalized hashed unigram bucket histogram (B=32,
@@ -2675,6 +2691,40 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q158_rank_blend" ->
+      """WITH r AS MATERIALIZED (SELECT doc_id,
+           n_chars::DOUBLE AS len,
+           len(string_split_regex(trim(text), '\s+'))::DOUBLE AS toks,
+           ((doc_id * 37) % 1000)::DOUBLE AS noise
+         FROM documents),
+       c AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM r),
+       rl AS MATERIALIZED (SELECT len AS v, count(*)::BIGINT AS cnt FROM r
+         GROUP BY 1),
+       rlr AS MATERIALIZED (SELECT v,
+           (sum(cnt) OVER (ORDER BY v))::BIGINT - (cnt - 1) / 2.0 AS rk
+         FROM rl),
+       rt AS MATERIALIZED (SELECT toks AS v, count(*)::BIGINT AS cnt FROM r
+         GROUP BY 1),
+       rtr AS MATERIALIZED (SELECT v,
+           (sum(cnt) OVER (ORDER BY v))::BIGINT - (cnt - 1) / 2.0 AS rk
+         FROM rt),
+       rn AS MATERIALIZED (SELECT noise AS v, count(*)::BIGINT AS cnt FROM r
+         GROUP BY 1),
+       rnr AS MATERIALIZED (SELECT v,
+           (sum(cnt) OVER (ORDER BY v))::BIGINT - (cnt - 1) / 2.0 AS rk
+         FROM rn),
+       p AS (SELECT r.doc_id,
+           rlr.rk / (SELECT n FROM c) AS pct_len,
+           rtr.rk / (SELECT n FROM c) AS pct_toks,
+           (((SELECT n FROM c) + 1.0) - rnr.rk) / (SELECT n FROM c)
+             AS pct_noise
+         FROM r JOIN rlr ON r.len = rlr.v
+                JOIN rtr ON r.toks = rtr.v
+                JOIN rnr ON r.noise = rnr.v)
+       SELECT doc_id, pct_len, pct_toks, pct_noise,
+         (((0.0 + 2.0 * pct_len) + 1.0 * pct_toks) + 1.0 * pct_noise) / 4.0
+           AS blend
+       FROM p ORDER BY doc_id""",
     "q157_hashed_classifier" -> hashedLogRegOracle(32, 10, 1.0),
     "q156_mixture_plan" ->
       """WITH a AS MATERIALIZED (SELECT source,

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-signal quality ensembling — the selection stage that combines
+  * heterogeneous document signals (length, entropy, LM score, classifier
+  * probability, link authority…) into ONE ranking.
+  *
+  * Raw signals live on incompatible scales, so averaging them directly
+  * lets the widest-ranged signal dominate. The standard fix (FineWeb-style
+  * pipelines, rank-average ensembles) is to replace every signal by its
+  * fractional rank in the corpus and blend THOSE: scale-free, outlier-
+  * robust, and monotone-transform-invariant per signal.
+  *
+  * Ranks are exact average ranks (ties share the mean of their positions —
+  * the same convention as [[Profile.spearman]]), computed per signal as a
+  * distinct-VALUE count table run through [[Packing.withPrefixSum]]'s
+  * two-level scan — no corpus-sized global window; only (value, count)
+  * pairs and the final value-keyed join shuffle. Every arithmetic step is
+  * plain IEEE on identical operands, so blended scores are bit-identical
+  * across engines and partitionings (weights should be integer-valued for
+  * cross-engine exactness of the weighted sum; any weights are fine
+  * within Spark).
+  *
+  * Scale: k signals cost k count-shuffles + k value-keyed joins of the
+  * (id, signals) projection — the exact-rank analog of q142's design. At
+  * 100 TB with near-continuous signals, each rank table is corpus-sized;
+  * that is inherent to EXACT ranks (the approximate alternative — t-digest
+  * `cdf` per signal — is one broadcast probe, at sketch accuracy).
+  */
+object Quality {
+
+  /** Blend `signals` into one fractional-rank score per row.
+    *
+    * @param signals (name, column, higherIsBetter): per signal, the
+    *                normalized percentile is rank/n when higher values
+    *                are better, (n+1−rank)/n when lower values are —
+    *                so pct is always in (0, 1] and HIGHER pct = better.
+    * @param weights optional per-signal blend weights (default: equal)
+    * @param buckets [[Packing.withPrefixSum]] bucket hint (0 = auto)
+    * @return (idCol, pct_<name>…, blend) — blend = Σ w·pct / Σw; rows
+    *         with any NULL/NaN signal are dropped (they have no rank)
+    */
+  def rankBlend(df: DataFrame, idCol: String,
+      signals: Seq[(String, Column, Boolean)],
+      weights: Seq[Double] = Nil, buckets: Int = 0): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    require(signals.map(_._1).distinct.length == signals.length,
+      "duplicate signal names")
+    require(weights.isEmpty || weights.length == signals.length,
+      "weights must match signals")
+    require(weights.forall(_ > 0), "weights must be > 0")
+    val ws = if (weights.isEmpty) Seq.fill(signals.size)(1.0) else weights
+    val wSum = ws.sum
+
+    val proj = df.select(col(idCol).as("__id") +:
+        signals.map { case (n, c, _) => c.cast("double").as(s"__s_$n") }: _*)
+      .where(signals.map { case (n, _, _) =>
+        col(s"__s_$n").isNotNull && !isnan(col(s"__s_$n")) }
+        .reduce(_ && _))
+    // one integer scalar: the rank denominator (deterministic)
+    val n = proj.count()
+    if (n == 0) {
+      return proj.select(col("__id").as(idCol) +:
+        (signals.map { case (s, _, _) => lit(0.0).as(s"pct_$s") } :+
+          lit(0.0).as("blend")): _*).limit(0)
+    }
+
+    // per signal: distinct-value average-rank table, joined back on value
+    val ranked = signals.foldLeft(proj) { case (acc, (name, _, _)) =>
+      val v = s"__s_$name"
+      val counts = proj.groupBy(col(v)).agg(count(lit(1)).as("__cnt"))
+      val rt = Packing.withPrefixSum(counts, v, "__cnt", "__cum", buckets)
+        .select(col(v),
+          (col("__cum") - (col("__cnt") - lit(1L)) / lit(2.0))
+            .as(s"__r_$name"))
+      acc.join(rt, Seq(v))
+    }
+    val pcts = signals.map { case (name, _, higherIsBetter) =>
+      val r = col(s"__r_$name")
+      val pct =
+        if (higherIsBetter) r / n.toDouble
+        else (lit((n + 1).toDouble) - r) / n.toDouble
+      pct.as(s"pct_$name")
+    }
+    val blend = (signals.zip(ws).foldLeft(lit(0.0)) {
+      case (acc, ((name, _, _), w)) => acc + lit(w) * col(s"pct_$name")
+    } / wSum).as("blend")
+    ranked.select(col("__id").as(idCol) +: pcts: _*)
+      .select(col(idCol) +: signals.map(s => col(s"pct_${s._1}")) :+ blend: _*)
+  }
+}
