@@ -111,12 +111,17 @@ object Classify {
     // sparse bad row cannot poison the whole gradient with NULL
     val cols = when(label, 1.0).when(!label, 0.0).as("__y") +:
       features.zipWithIndex.map { case (f, j) => f.cast("double").as(s"__x$j") }
+    // materialize the (y, x…) projection ONCE: every iteration re-reads
+    // these d+1 doubles per row instead of re-running the upstream plan —
+    // decisive when features are derived (hashed n-gram histograms cost
+    // far more to recompute than to store; q157 measured 11 s → 2 s)
     val base = df.select(cols: _*)
       .where(col("__y").isNotNull &&
         (0 until d).map(j => col(s"__x$j").isNotNull).reduce(_ && _))
+      .localCheckpoint(true)
     val n = base.count().toDouble
     val w = new Array[Double](d + 1)
-    if (n == 0) return w
+    if (n == 0) { CheckpointUtil.freeCheckpoint(base); return w }
     var it = 0
     while (it < iterations) {
       val z = (0 until d).foldLeft(lit(w(0))) { (acc, j) =>
@@ -134,6 +139,7 @@ object Classify {
       }
       it += 1
     }
+    CheckpointUtil.freeCheckpoint(base)
     w
   }
 
