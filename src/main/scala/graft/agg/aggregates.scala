@@ -571,6 +571,116 @@ case class GramAgg(
     copy(child = c)
 }
 
+/** Mutable per-component exact-sum buffer: width fixed by the first
+  * vector seen. */
+final class VecSumBuffer(var d: Int, var n: Long, var cells: Array[ExactSum])
+
+/** vec_exact_sum(vec) → array<double>: per-component bit-reproducible sums
+  * of a uniform-width array<double> column.
+  *
+  * The d-separate-`exact_sum` formulation of the same reduction pays d
+  * typed-imperative buffers, d serialization round-trips per partial, and
+  * d expression evaluations of aggregate plumbing per row; this folds the
+  * whole vector in place into ONE buffer per partition (d
+  * superaccumulators, ~16 KB at d=64) — the gradient/centroid shape of
+  * iterative fits. Each component is still correctly rounded, so results
+  * are bit-identical to the d-aggregate path under any partitioning.
+  *
+  * Vectors must share one width (ragged input → IllegalArgumentException);
+  * null rows are skipped; an empty/all-null group yields NULL. */
+case class VecExactSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecSumBuffer]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_exact_sum"
+
+  override def createAggregationBuffer(): VecSumBuffer =
+    new VecSumBuffer(-1, 0L, null)
+
+  override def update(buf: VecSumBuffer, input: InternalRow): VecSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray()
+      if (buf.d == -1) {
+        buf.d = x.length
+        buf.cells = Array.fill(x.length)(new ExactSum)
+      }
+      require(x.length == buf.d,
+        s"vec_exact_sum: ragged vector widths (${x.length} vs ${buf.d})")
+      var i = 0
+      while (i < buf.d) { buf.cells(i).add(x(i)); i += 1 }
+      buf.n += 1
+    }
+    buf
+  }
+
+  override def merge(b1: VecSumBuffer, b2: VecSumBuffer): VecSumBuffer = {
+    if (b2.d == -1) b1
+    else if (b1.d == -1) b2
+    else {
+      require(b1.d == b2.d,
+        s"vec_exact_sum: ragged vector widths (${b1.d} vs ${b2.d})")
+      var k = 0
+      while (k < b1.cells.length) { b1.cells(k).merge(b2.cells(k)); k += 1 }
+      b1.n += b2.n
+      b1
+    }
+  }
+
+  override def eval(buf: VecSumBuffer): Any =
+    if (buf.d == -1) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.cells.map(_.result()))
+
+  override def serialize(buf: VecSumBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.d)
+    if (buf.d != -1) {
+      out.writeLong(buf.n)
+      var k = 0
+      while (k < buf.cells.length) {
+        val b = buf.cells(k).serialize()
+        out.writeInt(b.length); out.write(b)
+        k += 1
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecSumBuffer = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val d = in.readInt()
+    if (d == -1) new VecSumBuffer(-1, 0L, null)
+    else {
+      val n = in.readLong()
+      val cells = Array.tabulate(d) { _ =>
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        ExactSum.deserialize(b)
+      }
+      new VecSumBuffer(d, n, cells)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): VecExactSumAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VecExactSumAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): VecExactSumAgg =
+    copy(child = c)
+}
+
 final class SSHolder(var tag: Byte, var s: SpaceSavingBase)
 
 /** ss_merge_agg(sketch_col) → merged Space-Saving sketch (Cafaro merge S8). */

@@ -166,6 +166,7 @@ object functions {
     * merge order (see [[graft.core.ExactSum]]). The reproducibility
     * primitive behind [[graft.ops.Similarity.kmeansFit]]. */
   def exact_sum(x: Column): Column = agg(ExactSumAgg(toExpr(x)))
+  def vec_exact_sum(v: Column): Column = agg(VecExactSumAgg(toExpr(v)))
   def gram_agg(vec: Column): Column = agg(GramAgg(toExpr(vec)))
 
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
@@ -236,7 +237,7 @@ object GraftFunctions {
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
     "cms_agg" -> Seq(1, 3), "cms_total" -> Seq(1),
     "kmv_agg" -> Seq(1, 2), "kmv_jaccard" -> Seq(2), "kmv_set_ops" -> Seq(2),
-    "exact_sum" -> Seq(1), "gram_agg" -> Seq(1),
+    "exact_sum" -> Seq(1), "vec_exact_sum" -> Seq(1), "gram_agg" -> Seq(1),
     "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
     "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3),
     "nearest_centroids" -> Seq(3), "stats_mean" -> Seq(1),
@@ -316,6 +317,7 @@ object GraftFunctions {
     },
     "cms_merge_agg" -> aggB { case Seq(s) => CountMinMergeAgg(s) },
     "exact_sum" -> aggB { case Seq(x) => ExactSumAgg(x) },
+    "vec_exact_sum" -> aggB { case Seq(x) => VecExactSumAgg(x) },
     "gram_agg" -> aggB { case Seq(v) => GramAgg(v) },
     "cms_count" -> { case Seq(s, i) => CmsCount(s, i) },
     "cms_total" -> { case Seq(s) => CmsTotal(s) },

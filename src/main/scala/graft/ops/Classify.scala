@@ -114,32 +114,53 @@ object Classify {
     // materialize the (y, x…) projection ONCE: every iteration re-reads
     // these d+1 doubles per row instead of re-running the upstream plan —
     // decisive when features are derived (hashed n-gram histograms cost
-    // far more to recompute than to store; q157 measured 11 s → 2 s)
-    val base = df.select(cols: _*)
-      .where(col("__y").isNotNull &&
-        (0 until d).map(j => col(s"__x$j").isNotNull).reduce(_ && _))
-      .localCheckpoint(true)
+    // far more to recompute than to store; q157 measured 11 s → 2 s).
+    // The null filter goes ABOVE the checkpoint: filtering the projection
+    // directly makes Catalyst alias-substitute every `__x IS NOT NULL`
+    // into a fresh copy of the feature expression — each feature computed
+    // twice-plus before materialization (measured 119 s vs 19 s for the
+    // same d=64 projection at 2M rows)
+    val proj = df.select(cols: _*).localCheckpoint(true)
+    val base = proj.where(col("__y").isNotNull &&
+      (0 until d).map(j => col(s"__x$j").isNotNull).reduce(_ && _))
     val n = base.count().toDouble
     val w = new Array[Double](d + 1)
-    if (n == 0) { CheckpointUtil.freeCheckpoint(base); return w }
+    if (n == 0) { CheckpointUtil.freeCheckpoint(proj); return w }
     var it = 0
     while (it < iterations) {
-      val z = (0 until d).foldLeft(lit(w(0))) { (acc, j) =>
-        acc + lit(w(j + 1)) * col(s"__x$j") }
+      // weights enter as ONE array literal: array literals reach the
+      // generated code through the references table, so the source text —
+      // and therefore the Janino compilation — is identical across
+      // iterations. Inlined scalar lit()s changed the source every round
+      // and recompiled the d-term expression per iteration (measured 157 s
+      // → 44 s for d=64 × 5 iterations at 2M rows). Same doubles, same
+      // association order — results are bit-identical.
+      val warr = typedLit(w.toSeq)
+      val z = (0 until d).foldLeft(element_at(warr, 1)) { (acc, j) =>
+        acc + element_at(warr, j + 2) * col(s"__x$j") }
       val resid = (lit(1.0) / (lit(1.0) + exp(-z)) - col("__y")).as("__r")
+      // the whole gradient folds through ONE vec_exact_sum buffer per
+      // partition instead of d+1 separate aggregates — bit-identical
+      // components (each is still correctly rounded), far less aggregate
+      // plumbing per row at wide d
+      val gvec = array(col("__r") +:
+        (0 until d).map(j => col("__r") * col(s"__x$j")): _*)
+      // build the gradient array in a codegen'd PROJECTION so the
+      // aggregate's child is a bare attribute — TypedImperativeAggregate
+      // evaluates its child interpreted per row, which at wide d would
+      // otherwise dominate the iteration
       val sums = base.select(resid +: (0 until d).map(j => col(s"__x$j")): _*)
-        .agg(gf.exact_sum(col("__r")).as("g0"),
-          (0 until d).map(j =>
-            gf.exact_sum(col("__r") * col(s"__x$j")).as(s"g${j + 1}")): _*)
-        .head()
+        .select(gvec.as("__g"))
+        .agg(gf.vec_exact_sum(col("__g")).as("g"))
+        .head().getSeq[Double](0)
       var j = 0
       while (j <= d) {
-        w(j) = w(j) - lr * (sums.getDouble(j) / n)
+        w(j) = w(j) - lr * (sums(j) / n)
         j += 1
       }
       it += 1
     }
-    CheckpointUtil.freeCheckpoint(base)
+    CheckpointUtil.freeCheckpoint(proj)
     w
   }
 

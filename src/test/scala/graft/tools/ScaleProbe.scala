@@ -299,6 +299,51 @@ object ScaleProbe {
           concat(lit("t"), (col("doc_id") % 500).cast("string")).as("cat")),
         col("ts"), col("cat"), "1 day"))
     }
+
+    time(s"normalizeText $nDocs docs") {
+      force(docs.select(col("doc_id"),
+        graft.api.functions.normalize_text(col("text")).as("t")))
+    }
+
+    time(s"dsir weights $nDocs docs B=1048576") {
+      // target = 5% slice; the 1M-bucket ratio table broadcasts (~tens of
+      // MB) — the corpus ships only (id, bucket) pairs into exact_sum
+      force(graft.ops.Dsir.importanceWeights(docs,
+        docs.where(col("doc_id") % 20 === 0), "doc_id", "text",
+        buckets = 1 << 20, alpha = 0.5, bigrams = true))
+    }
+
+    time("hits 100k nodes / 1M edges x 5 iters") {
+      val edges = spark.range(1000000L).select(
+        concat(lit("n"), (col("id") % 100000).cast("string")).as("src"),
+        concat(lit("n"), ((col("id") * 7 + 13) % 100000).cast("string"))
+          .as("dst"))
+      force(graft.ops.Graph.hits(edges, "src", "dst", iterations = 5))
+    }
+
+    time(s"rankBlend 3 near-continuous signals x $nDocs") {
+      // (id*2654435761)%1e9 gives ~nDocs distinct values per signal —
+      // corpus-sized rank tables, the documented exact-rank worst case
+      force(graft.ops.Quality.rankBlend(
+        docs.select(col("doc_id"),
+          ((col("doc_id") * 2654435761L) % 1000000000L).as("a"),
+          ((col("doc_id") * 1103515245L + 12345L) % 1000000000L).as("b"),
+          (col("doc_id") % 1000).as("c")),
+        "doc_id", Seq(("a", col("a"), true), ("b", col("b"), true),
+          ("c", col("c"), false))))
+    }
+
+    time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
+      val withB = docs.select(col("doc_id"),
+          graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
+            .as("bs"))
+        .withColumn("n", size(col("bs"))).where(col("n") > 0)
+      val feats = (0 until 64).map(b =>
+        size(filter(col("bs"), x => x === lit(b.toLong))).cast("double")
+          / col("n"))
+      graft.ops.Classify.logisticFit(withB, feats,
+        col("doc_id") % 3 === 0, iterations = 5, lr = 1.0)
+    }
     spark.stop()
   }
 }
