@@ -117,4 +117,50 @@ class ExactSumSpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(got == Map(0 -> None, 1 -> Some(2.0)))
   }
+
+  test("vec_exact_sum: per-component bits == d separate exact_sums") {
+    val df = (0 until 10000).map { i =>
+      (i % 7, 1e15 + i * 1.1, -1e15 + i * 0.3, (i % 13) / 7.0)
+    }.toDF("g", "a", "b", "c")
+    val vec = df.groupBy("g")
+      .agg(gf.vec_exact_sum(array($"a", $"b", $"c")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val sep = df.groupBy("g")
+      .agg(gf.exact_sum($"a"), gf.exact_sum($"b"), gf.exact_sum($"c"))
+      .collect().map(r => r.getInt(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(vec.keySet == sep.keySet)
+    vec.foreach { case (g, v) =>
+      v.zip(sep(g)).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y), s"group $g: $x vs $y") }
+    }
+  }
+
+  test("vec_exact_sum: bit-identical across partitionings; null rows skipped") {
+    val rows = (0 until 5000).map(i => Seq(i * 0.7, 1e12 - i * 1.3))
+    def run(parts: Int): Seq[Long] =
+      rows.toDF("v").repartition(parts)
+        .agg(gf.vec_exact_sum($"v")).head().getSeq[Double](0)
+        .map(java.lang.Double.doubleToRawLongBits)
+    assert(run(1) == run(13))
+    val withNull = Seq(Some(Seq(1.0, 2.0)), None, Some(Seq(3.0, 4.0)))
+      .toDF("v")
+    assert(withNull.agg(gf.vec_exact_sum($"v")).head().getSeq[Double](0)
+      == Seq(4.0, 6.0))
+  }
+
+  test("vec_exact_sum: empty input null, ragged widths fail, SQL surface") {
+    val empty = Seq.empty[Seq[Double]].toDF("v")
+    assert(empty.agg(gf.vec_exact_sum($"v")).head().isNullAt(0))
+    val ragged = Seq(Seq(1.0), Seq(1.0, 2.0)).toDF("v")
+    val e = intercept[Exception](
+      ragged.agg(gf.vec_exact_sum($"v")).head())
+    assert(e.getMessage.contains("ragged") ||
+      (e.getCause != null && e.getCause.getMessage.contains("ragged")))
+    val viaSql = spark.sql(
+      "SELECT vec_exact_sum(v) FROM VALUES (array(1.0d, 2.0d)), " +
+        "(array(3.0d, 4.0d)) AS t(v)").head().getSeq[Double](0)
+    assert(viaSql == Seq(4.0, 6.0))
+  }
 }
