@@ -78,6 +78,25 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One-time 8-shard WebDataset tar layout for q159, keyed by sf dir. */
+  private val tarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureTar(s: SparkSession, dir: String): String =
+    tarCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft_tar").toString
+      val docs = t(s, d, "documents")
+      val key = lpad(col("doc_id").cast("string"), 8, "0")
+      val members = docs.select(key.as("key"), lit("txt").as("ext"),
+          col("text").cast("binary").as("body"))
+        .unionByName(docs.select(key.as("key"), lit("json").as("ext"),
+          concat(lit("{\"lang\":\""), col("lang"),
+            lit("\",\"source\":\""), col("source"), lit("\"}"))
+            .cast("binary").as("body")))
+      graft.sources.TarShards.write(members, col("key"), col("ext"),
+        col("body"), 8, base)
+      base
+    })
+
   private def ensureCsv(s: SparkSession, dir: String): String =
     csvCache.computeIfAbsent(dir, { d =>
       val base = java.nio.file.Files.createTempDirectory("graft_csv").toString
@@ -1830,6 +1849,26 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q159_webdataset" -> ((s, dir) => {
+      // WebDataset tar-shard round-trip: documents become two members per
+      // sample (<key>.txt + <key>.json) across 8 hand-rolled POSIX ustar
+      // shards (layout cached per dir as setup — reps measure the
+      // read-back). The gate re-reads the ACTUAL tar bytes and the
+      // oracle predicts the full membership — names, shard assignment
+      // (g_thash bucket contract), byte totals, content checksums — from
+      // the raw table, so any header/size/padding bug breaks the hash
+      val path = ensureTar(s, dir)
+      graft.sources.TarShards.read(s, path)
+        .select(col("shard"), col("name"),
+          col("content").cast("string").as("body"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          sum(length(col("body"))).cast("long").as("sum_bytes"),
+          bit_xor(gf.hash64(col("name"))).as("name_xor"),
+          bit_xor(gf.hash64(col("body"))).as("body_xor"))
+        .orderBy("shard")
+    }),
+
     "q158_rank_blend" -> ((s, dir) => {
       // multi-signal rank-ensemble quality blending: exact average ranks
       // (prefix-sum tables, no global window) of length & token count
@@ -2691,6 +2730,22 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q159_webdataset" ->
+      (hashMacros + """WITH m AS MATERIALIZED (
+  SELECT lpad(doc_id::VARCHAR, 8, '0') AS key, 'txt' AS ext, text AS body
+  FROM documents
+  UNION ALL
+  SELECT lpad(doc_id::VARCHAR, 8, '0'), 'json',
+    '{"lang":"' || lang || '","source":"' || source || '"}'
+  FROM documents),
+g AS MATERIALIZED (SELECT
+  ((g_thash(key) & 1048575::UBIGINT) % 8::UBIGINT)::INT AS shard,
+  key || '.' || ext AS name, body FROM m)
+SELECT shard, count(*)::BIGINT AS n_members,
+  sum(length(body))::BIGINT AS sum_bytes,
+  bit_xor(g_sb(g_thash(name))) AS name_xor,
+  bit_xor(g_sb(g_thash(body))) AS body_xor
+FROM g GROUP BY shard ORDER BY shard"""),
     "q158_rank_blend" ->
       """WITH r AS MATERIALIZED (SELECT doc_id,
            n_chars::DOUBLE AS len,
