@@ -1849,6 +1849,26 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q160_k_anonymity" -> ((s, dir) => {
+      // release-gate privacy audit: quasi-identifiers (lang, source,
+      // 100-char length bucket), sensitive attribute doc_id%7 (coprime with the source cycle, so classes are genuinely diverse); k=3
+      // anonymity + l=2 diversity, audited before and after the
+      // standard suppression repair. Exact integer counts end to end
+      val docs = t(s, dir, "documents")
+      val q = docs.select(col("lang"), col("source"),
+        (col("n_chars") - col("n_chars") % 100).as("nb"),
+        (col("doc_id") % 7).as("sens"))
+      val quasi = Seq("lang", "source", "nb")
+      def audit(d: org.apache.spark.sql.DataFrame, stage: String) =
+        graft.ops.Privacy.kAnonymityAudit(d, quasi, 3,
+            Some(col("sens")), 2)
+          .withColumn("stage", lit(stage))
+      audit(q, "before")
+        .unionByName(audit(
+          graft.ops.Privacy.suppressViolations(q, quasi, 3), "after"))
+        .orderBy("stage")
+    }),
+
     "q159_webdataset" -> ((s, dir) => {
       // WebDataset tar-shard round-trip: documents become two members per
       // sample (<key>.txt + <key>.json) across 8 hand-rolled POSIX ustar
@@ -2730,6 +2750,39 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q160_k_anonymity" ->
+      """WITH q AS MATERIALIZED (SELECT lang, source,
+           n_chars - n_chars % 100 AS nb, doc_id % 7 AS sens
+         FROM documents),
+       c AS MATERIALIZED (SELECT lang, source, nb, count(*) AS cs,
+           count(DISTINCT sens) AS ld FROM q GROUP BY 1, 2, 3),
+       q2 AS MATERIALIZED (SELECT q.* FROM q JOIN c
+           ON q.lang = c.lang AND q.source = c.source AND q.nb = c.nb
+         WHERE c.cs >= 3),
+       c2 AS MATERIALIZED (SELECT lang, source, nb, count(*) AS cs,
+           count(DISTINCT sens) AS ld FROM q2 GROUP BY 1, 2, 3),
+       a1 AS (SELECT 'before' AS stage, sum(cs)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_classes, min(cs)::BIGINT AS min_class_size,
+           sum(CASE WHEN cs < 3 THEN 1 ELSE 0 END)::BIGINT
+             AS n_violating_classes,
+           sum(CASE WHEN cs < 3 THEN cs ELSE 0 END)::BIGINT
+             AS n_violating_rows,
+           min(ld)::BIGINT AS min_l_diversity,
+           sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_low_diversity_classes,
+           (sum(CASE WHEN cs < 3 THEN 1 ELSE 0 END) = 0 AND
+            sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END) = 0) AS passes
+         FROM c),
+       a2 AS (SELECT 'after' AS stage, coalesce(sum(cs), 0)::BIGINT,
+           count(*)::BIGINT, coalesce(min(cs), 0)::BIGINT,
+           coalesce(sum(CASE WHEN cs < 3 THEN 1 ELSE 0 END), 0)::BIGINT,
+           coalesce(sum(CASE WHEN cs < 3 THEN cs ELSE 0 END), 0)::BIGINT,
+           coalesce(min(ld), 0)::BIGINT,
+           coalesce(sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END), 0)::BIGINT,
+           (coalesce(sum(CASE WHEN cs < 3 THEN 1 ELSE 0 END), 0) = 0 AND
+            coalesce(sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END), 0) = 0)
+         FROM c2)
+       SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY stage""",
     "q159_webdataset" ->
       (hashMacros + """WITH m AS MATERIALIZED (
   SELECT lpad(doc_id::VARCHAR, 8, '0') AS key, 'txt' AS ext, text AS body
