@@ -1849,6 +1849,25 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q161_skew_metrics" -> ((s, dir) => {
+      // pre-shuffle skew diagnosis over three key candidates: row/key
+      // masses, heaviest-key share, and the EXACT tie-corrected Gini
+      // (integer 2r ranks through the prefix-sum scan). All outputs are
+      // pure functions of exact integers with mirrored operation order —
+      // compared UNROUNDED
+      val ev = t(s, dir, "events")
+      val docs = t(s, dir, "documents")
+      def m(df: org.apache.spark.sql.DataFrame, k: String, label: String) =
+        graft.ops.Skew.skewMetrics(df, col(k))
+          .withColumn("key_col", lit(label))
+      m(ev, "user_id", "events.user_id")
+        .unionByName(m(ev, "event_type", "events.event_type"))
+        .unionByName(m(docs, "source", "documents.source"))
+        .select(col("key_col"), col("n_rows"), col("n_keys"),
+          col("max_count"), col("avg_count"), col("top_share"), col("gini"))
+        .orderBy("key_col")
+    }),
+
     "q160_k_anonymity" -> ((s, dir) => {
       // release-gate privacy audit: quasi-identifiers (lang, source,
       // 100-char length bucket), sensitive attribute doc_id%7 (coprime with the source cycle, so classes are genuinely diverse); k=3
@@ -2750,6 +2769,26 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q161_skew_metrics" -> (Seq(
+      ("events.user_id", "events", "user_id"),
+      ("events.event_type", "events", "event_type"),
+      ("documents.source", "documents", "source")).map { case (lbl, tb, k) =>
+        s"""SELECT '$lbl' AS key_col, n_rows, n_keys, max_count,
+             n_rows::DOUBLE / n_keys::DOUBLE AS avg_count,
+             max_count::DOUBLE / n_rows::DOUBLE AS top_share,
+             CASE WHEN n_keys > 0 AND n_rows > 0 THEN
+               num2r::DOUBLE / (n_keys::DOUBLE * n_rows::DOUBLE)
+                 - (n_keys + 1)::DOUBLE / n_keys::DOUBLE
+             ELSE 0.0 END AS gini
+           FROM (SELECT sum(c*f)::BIGINT AS n_rows, sum(f)::BIGINT AS n_keys,
+                   max(c)::BIGINT AS max_count,
+                   sum(c*f*(2*cum - f + 1))::BIGINT AS num2r
+                 FROM (SELECT c, f, sum(f) OVER (ORDER BY c) AS cum
+                       FROM (SELECT c, count(*) AS f
+                             FROM (SELECT $k AS kk, count(*) AS c FROM $tb
+                                   WHERE $k IS NOT NULL GROUP BY 1)
+                             GROUP BY 1)))"""
+      }.mkString(" UNION ALL ") + " ORDER BY key_col"),
     "q160_k_anonymity" ->
       """WITH q AS MATERIALIZED (SELECT lang, source,
            n_chars - n_chars % 100 AS nb, doc_id % 7 AS sens

@@ -137,6 +137,61 @@ object Partitioning {
   }
 }
 
+private[ops] object SkewMetricsImpl {
+
+  /** One-row EXACT skew summary of `key`'s distribution — measure BEFORE
+    * you shuffle: row/key counts, the heaviest key's count and share,
+    * mean count, and the tie-corrected Gini coefficient (0 = perfectly
+    * uniform, → 1 = one key dominates). The Gini folds over the
+    * COUNT-OF-COUNTS table (distinct count values — tiny even when keys
+    * are corpus-sized) through [[Packing.withPrefixSum]]'s two-level
+    * scan, with tie-averaged ranks kept in INTEGER arithmetic
+    * (2r = 2·cum − f + 1), so the final doubles are bit-identical
+    * across engines and partitionings. NULL keys are excluded. */
+  def skewMetrics(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.where(key.isNotNull)
+      .groupBy(key.as("__k")).agg(count(lit(1)).as("__c"))
+    val cc = counts.groupBy(col("__c")).agg(count(lit(1)).as("__f"))
+    val pre = Packing.withPrefixSum(cc, "__c", "__f", "__cum")
+    pre.agg(
+        coalesce(sum(col("__c") * col("__f")), lit(0L)).as("n_rows"),
+        coalesce(sum(col("__f")), lit(0L)).as("n_keys"),
+        coalesce(max(col("__c")), lit(0L)).as("max_count"),
+        // Σ count · f · 2r with 2r = 2·cum − f + 1 — exact integers
+        coalesce(sum(col("__c") * col("__f") *
+          (lit(2L) * col("__cum") - col("__f") + lit(1L))), lit(0L))
+          .as("__num2r"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        when(col("n_keys") > 0,
+          col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .otherwise(lit(0.0)).as("avg_count"),
+        when(col("n_rows") > 0,
+          col("max_count").cast("double") / col("n_rows").cast("double"))
+          .otherwise(lit(0.0)).as("top_share"),
+        when(col("n_keys") > 0 && col("n_rows") > 0,
+          col("__num2r").cast("double") /
+            (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+            (col("n_keys") + lit(1L)).cast("double") /
+              col("n_keys").cast("double"))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+
+  /** The `n` heaviest keys with counts and corpus share — the candidates
+    * for broadcasting or salting, EXACT (one count shuffle + TakeOrdered
+    * by (count desc, key asc); [[Skew.heavyHitters]] is the sketch-pass
+    * alternative when even the count shuffle is too much). */
+  def heavyKeysExact(df: DataFrame, key: Column, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val counts = df.where(key.isNotNull)
+      .groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(coalesce(sum("cnt"), lit(0L)).as("__t"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(n)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("__t")).as("share"))
+  }
+}
+
 /** Semi-join reduction: cut the probe side of a join down to (almost) the
   * rows that can match BEFORE the join shuffle. At 100 TB the dominant cost
   * of `big ⋈ small-filtered-dim` is shuffling big's non-matching rows; a
@@ -203,6 +258,16 @@ object Skew {
     * State is `capacity` counters per partial — the keys that
     * matter for skew handling at any scale fit in a driver String/Long
     * array. Key type follows the column type (long/double/string). */
+  /** Exact one-row skew summary (counts, top share, tie-corrected Gini);
+    * see [[SkewMetricsImpl.skewMetrics]]. */
+  def skewMetrics(df: DataFrame, key: Column): DataFrame =
+    SkewMetricsImpl.skewMetrics(df, key)
+
+  /** Exact top-n heavy keys with shares; see
+    * [[SkewMetricsImpl.heavyKeysExact]]. */
+  def heavyKeysExact(df: DataFrame, key: Column, n: Int): DataFrame =
+    SkewMetricsImpl.heavyKeysExact(df, key, n)
+
   def heavyHitters(df: DataFrame, keyCol: String,
       capacity: Int = 256, topK: Int = 16): DataFrame = {
     import org.apache.spark.sql.types._

@@ -257,4 +257,58 @@ class ScaleSpec extends SparkTestBase {
       .select("v").as[String].collect().toSet
     assert(got == Set("x", "z"))
   }
+
+  /** Sequential Gini reference: tie-averaged ranks over ascending counts. */
+  private def refGini(counts: Seq[Long]): Double = {
+    val n = counts.size
+    val s = counts.sum
+    val sorted = counts.sorted
+    // average rank per value
+    val byV = sorted.groupBy(identity)
+    var cum = 0L
+    val num = sorted.distinct.sorted.map { v =>
+      val f = byV(v).size
+      val r = cum + (f + 1) / 2.0
+      cum += f
+      v.toDouble * f * 2 * r
+    }.sum
+    num / (n.toDouble * s) - (n + 1).toDouble / n
+  }
+
+  test("skewMetrics matches hand counts and the sequential Gini") {
+    // key a×6, b×2, c×1, d×1
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = Skew.skewMetrics(df, col("k")).head()
+    assert(r.getAs[Long]("n_rows") == 10)
+    assert(r.getAs[Long]("n_keys") == 4)
+    assert(r.getAs[Long]("max_count") == 6)
+    assert(r.getAs[Double]("avg_count") == 2.5)
+    assert(r.getAs[Double]("top_share") == 0.6)
+    assert(math.abs(r.getAs[Double]("gini") - refGini(Seq(6, 2, 1, 1)))
+      < 1e-12)
+  }
+
+  test("skewMetrics: uniform keys → gini 0; extremes; nulls excluded; empty") {
+    val uniform = (0 until 100).map(i => s"k${i % 10}").toDF("k")
+    assert(math.abs(Skew.skewMetrics(uniform, col("k")).head()
+      .getAs[Double]("gini")) < 1e-12)
+    val onehot = (Seq.fill(99)("hot") :+ "cold").toDF("k")
+    assert(Skew.skewMetrics(onehot, col("k")).head()
+      .getAs[Double]("gini") > 0.45)
+    val withNull = Seq(Some("a"), Some("a"), None).toDF("k")
+    assert(Skew.skewMetrics(withNull, col("k")).head()
+      .getAs[Long]("n_rows") == 2)
+    val empty = Skew.skewMetrics(uniform.where(lit(false)), col("k")).head()
+    assert(empty.getAs[Long]("n_rows") == 0 &&
+      empty.getAs[Double]("gini") == 0.0)
+  }
+
+  test("heavyKeysExact: top-n by (count desc, key asc) with shares") {
+    val df = (Seq.fill(5)("x") ++ Seq.fill(5)("w") ++ Seq.fill(3)("y")
+      ++ Seq("z")).toDF("k")
+    val got = Skew.heavyKeysExact(df, col("k"), 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("w", 5L, 5.0 / 14), ("x", 5L, 5.0 / 14)))
+  }
 }
