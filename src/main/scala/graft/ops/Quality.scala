@@ -90,4 +90,53 @@ object Quality {
     ranked.select(col("__id").as(idCol) +: pcts: _*)
       .select(col(idCol) +: signals.map(s => col(s"pct_${s._1}")) :+ blend: _*)
   }
+
+  /** Sketch-path [[rankBlend]] for the 100× case: each signal's
+    * percentile comes from a t-digest `cdf` probe instead of an exact
+    * rank table — ONE sketch aggregation over all signals, the k digest
+    * blobs broadcast back as literals, and scoring is a pure scan (no
+    * value-keyed joins, no corpus-sized rank tables). Percentiles are
+    * sketch-accurate (t-digest cdf error concentrates at the tails);
+    * orientation and blending match [[rankBlend]], so results converge
+    * to the exact path as compression grows.
+    *
+    * Same output shape as [[rankBlend]]; rows with NULL/NaN signals are
+    * dropped for parity with the exact path. */
+  def rankBlendApprox(df: DataFrame, idCol: String,
+      signals: Seq[(String, Column, Boolean)],
+      weights: Seq[Double] = Nil, compression: Double = 200.0): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    require(signals.map(_._1).distinct.length == signals.length,
+      "duplicate signal names")
+    require(weights.isEmpty || weights.length == signals.length,
+      "weights must match signals")
+    require(weights.forall(_ > 0), "weights must be > 0")
+    val ws = if (weights.isEmpty) Seq.fill(signals.size)(1.0) else weights
+    val wSum = ws.sum
+    import graft.api.{functions => gf}
+
+    val proj = df.select(col(idCol).as("__id") +:
+        signals.map { case (n, c, _) => c.cast("double").as(s"__s_$n") }: _*)
+      .where(signals.map { case (n, _, _) =>
+        col(s"__s_$n").isNotNull && !isnan(col(s"__s_$n")) }
+        .reduce(_ && _))
+    // ONE pass: a digest per signal; k blobs return to the driver
+    val blobs = proj.agg(
+        gf.tdigest(col(s"__s_${signals.head._1}"), lit(1.0), compression)
+          .as("d0"),
+        signals.tail.zipWithIndex.map { case ((n, _, _), i) =>
+          gf.tdigest(col(s"__s_$n"), lit(1.0), compression).as(s"d${i + 1}")
+        }: _*)
+      .head()
+    val pcts = signals.zipWithIndex.map { case ((name, _, higher), i) =>
+      val blob = blobs.getAs[Array[Byte]](i)
+      val cdf = gf.tdigest_cdf(lit(blob), col(s"__s_$name"))
+      (if (higher) cdf else lit(1.0) - cdf).as(s"pct_$name")
+    }
+    val blend = (signals.zip(ws).foldLeft(lit(0.0)) {
+      case (acc, ((name, _, _), w)) => acc + lit(w) * col(s"pct_$name")
+    } / wSum).as("blend")
+    proj.select(col("__id").as(idCol) +: pcts: _*)
+      .select(col(idCol) +: signals.map(s => col(s"pct_${s._1}")) :+ blend: _*)
+  }
 }

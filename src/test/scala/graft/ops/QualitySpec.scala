@@ -52,6 +52,28 @@ class QualitySpec extends SparkTestBase {
     assert(empty.columns.toSeq == Seq("id", "pct_v", "blend"))
   }
 
+  test("rankBlendApprox tracks the exact path within sketch tolerance") {
+    val docs = (0 until 4000).map(i =>
+      (i.toLong, ((i * 2654435761L) % 100000L).toDouble,
+        ((i * 1103515245L + 12345L) % 100000L).toDouble))
+      .toDF("id", "a", "b")
+    val signals = Seq(("a", col("a"), true), ("b", col("b"), false))
+    val exact = Quality.rankBlend(docs, "id", signals)
+      .select(col("id"), col("blend")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = Quality.rankBlendApprox(docs, "id", signals)
+      .select(col("id"), col("blend")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    val maxErr = exact.map { case (k, v) => math.abs(approx(k) - v) }.max
+    assert(maxErr < 0.02, s"max |approx − exact| = $maxErr")
+    // approximate path still preserves gross ordering: top decile by
+    // exact blend overlaps top decile by approx blend heavily
+    val topE = exact.toSeq.sortBy(-_._2).take(400).map(_._1).toSet
+    val topA = approx.toSeq.sortBy(-_._2).take(400).map(_._1).toSet
+    assert((topE & topA).size >= 360, s"overlap ${(topE & topA).size}")
+  }
+
   test("blend is monotone in every signal and bit-stable across partitionings") {
     val docs = (0 until 500).map(i =>
       (i.toLong, (i % 37).toDouble, ((i * 13) % 101).toDouble))
