@@ -18,6 +18,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def norm(rows):
+    """NaN compares equal to NaN and DECIMAL compares by value (the driver
+    normalizes before hashing; raw tuple equality would false-alarm)."""
+    import decimal
+    import math
+
+    def nv(v):
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, float) and math.isnan(v):
+            return "__nan__"
+        return v
+    return [tuple(nv(v) for v in r) for r in rows]
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     with open(f"{out_dir}/oracle_sql.json") as f:
@@ -34,13 +49,13 @@ def main():
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             cols = sorted(spark_rel.columns)
             collist = ", ".join(f'"{c}"' for c in cols)
-            s_rows = con.execute(
-                f"SELECT {collist} FROM spark_rel ORDER BY ALL").fetchall()
+            s_rows = norm(con.execute(
+                f"SELECT {collist} FROM spark_rel ORDER BY ALL").fetchall())
             oracle_rel = con.sql(oracle[name])
             ocols = sorted(oracle_rel.columns)
             ocollist = ", ".join(f'"{c}"' for c in ocols)
-            o_rows = con.execute(
-                f"SELECT {ocollist} FROM oracle_rel ORDER BY ALL").fetchall()
+            o_rows = norm(con.execute(
+                f"SELECT {ocollist} FROM oracle_rel ORDER BY ALL").fetchall())
             if cols != ocols:
                 print(f"FAIL {name}: columns {cols} vs {ocols}")
                 n_bad += 1
