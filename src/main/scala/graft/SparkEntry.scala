@@ -1849,6 +1849,19 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q162_zipf" -> ((s, dir) => {
+      // corpus-naturalness fingerprint: OLS fit of ln(count) on ln(rank)
+      // over the type-frequency table (tie-averaged integer 2r ranks
+      // through the prefix scan, exact_sum moment folds). The oracle
+      // re-derives ranks and the regression with SQL window sums;
+      // round(6) absorbs ln/fold ulps
+      graft.ops.Text.zipfFit(t(s, dir, "documents"), "text")
+        .select(col("n_tokens"), col("n_types"), col("max_count"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+    }),
+
     "q161_skew_metrics" -> ((s, dir) => {
       // pre-shuffle skew diagnosis over three key candidates: row/key
       // masses, heaviest-key share, and the EXACT tie-corrected Gini
@@ -2769,6 +2782,30 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q162_zipf" ->
+      """WITH t AS MATERIALIZED (SELECT
+           unnest(string_split_regex(trim(text), '\s+')) AS w
+         FROM documents WHERE text IS NOT NULL),
+       ty AS MATERIALIZED (SELECT w, count(*) AS c FROM t
+         WHERE length(w) > 0 GROUP BY 1),
+       cc AS MATERIALIZED (SELECT c, count(*) AS f FROM ty GROUP BY 1),
+       pre AS MATERIALIZED (SELECT c, f,
+           sum(f) OVER (ORDER BY c DESC) AS cum FROM cc),
+       pt AS MATERIALIZED (SELECT c, f,
+           ln((2*cum - f + 1)::DOUBLE / 2.0) AS x, ln(c::DOUBLE) AS y
+         FROM pre),
+       s AS MATERIALIZED (SELECT sum(c*f)::BIGINT AS n_tokens,
+           sum(f)::BIGINT AS n_types, max(c)::BIGINT AS max_count,
+           sum(f*x) AS sx, sum(f*y) AS sy, sum(f*x*x) AS sxx,
+           sum(f*x*y) AS sxy, sum(f*y*y) AS syy FROM pt)
+       SELECT n_tokens, n_types, max_count,
+         round(-((n_types*sxy - sx*sy) / (n_types*sxx - sx*sx)), 6)
+           AS slope,
+         round((sy - ((n_types*sxy - sx*sy) / (n_types*sxx - sx*sx)) * sx)
+           / n_types, 6) AS intercept,
+         round((n_types*sxy - sx*sy) * (n_types*sxy - sx*sy)
+           / ((n_types*sxx - sx*sx) * (n_types*syy - sy*sy)), 6) AS r2
+       FROM s""",
     "q161_skew_metrics" -> (Seq(
       ("events.user_id", "events", "user_id"),
       ("events.event_type", "events", "event_type"),

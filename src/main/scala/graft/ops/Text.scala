@@ -288,4 +288,56 @@ object Text {
       .withColumn("rank", row_number().over(Window
         .orderBy(desc("pmi"), asc("token_a"), asc("token_b"))))
   }
+
+  /** Zipf-law diagnostic of a corpus's token frequency distribution —
+    * the classic naturalness check: real language has log(count) ≈
+    * intercept − slope·log(rank) with slope near 1; templated or
+    * machine-spun text bends the curve (and the r² drops). Pipelines run
+    * it as a cheap corpus fingerprint before and after cleaning.
+    *
+    * Estimator: type counts group once (the only corpus-sized shuffle);
+    * ranks come from the COUNT-OF-COUNTS table (distinct count values —
+    * tiny) through [[Packing.withPrefixSum]], tie-averaged in exact
+    * integer 2r form; the OLS fit of ln(count) on ln(rank) folds Σx, Σy,
+    * Σxx, Σxy, Σyy through `exact_sum` over that same tiny table.
+    * Deterministic under any partitioning; ln/division ulps only.
+    *
+    * @return one row: n_tokens, n_types, max_count, slope (NEGATED so
+    *         Zipf-like corpora read ≈ +1), intercept, r2 — NaN fit
+    *         columns when fewer than 2 distinct counts exist
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    import graft.api.{functions => gf}
+    val toks = df.where(col(textCol).isNotNull)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .where(length(col("__w")) > 0)
+    val types = toks.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val cc = types.groupBy(col("__c")).agg(count(lit(1)).as("__f"))
+      .withColumn("__negc", -col("__c"))
+    // rank by count DESC: inclusive prefix of −c ascending; tie-averaged
+    // rank in exact integers: 2r = 2·cum − f + 1
+    val pre = Packing.withPrefixSum(cc, "__negc", "__f", "__cum")
+      .withColumn("__x", log((lit(2L) * col("__cum") - col("__f") + 1L)
+        .cast("double") / 2.0))
+      .withColumn("__y", log(col("__c").cast("double")))
+    val s = pre.agg(
+      coalesce(sum(col("__c") * col("__f")), lit(0L)).as("n_tokens"),
+      coalesce(sum(col("__f")), lit(0L)).as("n_types"),
+      coalesce(max(col("__c")), lit(0L)).as("max_count"),
+      gf.exact_sum(col("__f") * col("__x")).as("__sx"),
+      gf.exact_sum(col("__f") * col("__y")).as("__sy"),
+      gf.exact_sum(col("__f") * col("__x") * col("__x")).as("__sxx"),
+      gf.exact_sum(col("__f") * col("__x") * col("__y")).as("__sxy"),
+      gf.exact_sum(col("__f") * col("__y") * col("__y")).as("__syy"))
+    val n = col("n_types").cast("double")
+    val covN = n * col("__sxy") - col("__sx") * col("__sy")
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    s.select(col("n_tokens"), col("n_types"), col("max_count"),
+      when(varX > 0, -(covN / varX)).otherwise(lit(Double.NaN)).as("slope"),
+      when(varX > 0, (col("__sy") - (covN / varX) * col("__sx")) / n)
+        .otherwise(lit(Double.NaN)).as("intercept"),
+      when(varX > 0 && varY > 0, covN * covN / (varX * varY))
+        .otherwise(lit(Double.NaN)).as("r2"))
+  }
 }

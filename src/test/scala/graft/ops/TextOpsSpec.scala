@@ -252,4 +252,44 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(gotPlain.toSeq == got.toSeq)
   }
+
+  test("zipfFit: a planted power law fits slope ≈ 1 with high r2") {
+    import spark.implicits._
+    // type t_r appears ⌈1000/r⌉ times, r = 1..50 — textbook Zipf
+    val words = (1 to 50).flatMap(r => Seq.fill(1000 / r)(s"t$r"))
+    val docs = words.grouped(40).map(_.mkString(" ")).toSeq.toDF("text")
+    val row = Text.zipfFit(docs, "text").head()
+    val slope = row.getAs[Double]("slope")
+    val r2 = row.getAs[Double]("r2")
+    assert(math.abs(slope - 1.0) < 0.05, s"slope $slope")
+    assert(r2 > 0.99, s"r2 $r2")
+    assert(row.getAs[Long]("n_tokens") == words.size)
+    assert(row.getAs[Long]("n_types") == 50)
+    assert(row.getAs[Long]("max_count") == 1000)
+  }
+
+  test("zipfFit: degenerate cases — uniform counts and empty corpus") {
+    import spark.implicits._
+    // all types equally frequent → one distinct count → no fit (NaN)
+    val uniform = Seq("a b c d", "a b c d").toDF("text")
+    val u = Text.zipfFit(uniform, "text").head()
+    assert(u.getAs[Long]("n_types") == 4)
+    assert(u.getAs[Double]("slope").isNaN && u.getAs[Double]("r2").isNaN)
+    val e = Text.zipfFit(uniform.where(lit(false)), "text").head()
+    assert(e.getAs[Long]("n_tokens") == 0)
+    assert(e.getAs[Double]("slope").isNaN)
+  }
+
+  test("zipfFit is deterministic across partitionings") {
+    import spark.implicits._
+    val docs = (0 until 500).map(i =>
+      (0 to i % 17).map(j => s"w${(i * j) % 97}").mkString(" "))
+      .toDF("text")
+    def bits(p: Int): (Long, Long) = {
+      val r = Text.zipfFit(docs.repartition(p), "text").head()
+      (java.lang.Double.doubleToRawLongBits(r.getAs[Double]("slope")),
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("r2")))
+    }
+    assert(bits(1) == bits(13))
+  }
 }
