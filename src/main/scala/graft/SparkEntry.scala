@@ -1849,6 +1849,23 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q163_compressibility" -> ((s, dir) => {
+      // deflate-ratio quality signal. No SQL oracle — zlib is not
+      // expressible in DuckDB SQL, so the driver records the weaker
+      // rows-only check; semantics are pinned in NormalizeSpec against
+      // java.util.zip directly. Per-source ratio profile + count of
+      // suspiciously compressible (repetitive) docs
+      t(s, dir, "documents")
+        .select(col("source"), gf.deflate_ratio(col("text")).as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("r")), 6).as("avg_ratio"),
+          round(min(col("r")), 6).as("min_ratio"),
+          round(max(col("r")), 6).as("max_ratio"),
+          sum(when(col("r") < 0.35, 1L).otherwise(0L)).as("n_suspicious"))
+        .orderBy("source")
+    }),
+
     "q162_zipf" -> ((s, dir) => {
       // corpus-naturalness fingerprint: OLS fit of ln(count) on ln(rank)
       // over the type-frequency table (tie-averaged integer 2r ranks

@@ -98,6 +98,61 @@ object NormKernels {
     classOf[NormKernels.type].getName.stripSuffix("$") + "$.MODULE$"
 }
 
+/** DEFLATE compression ratio — the Gopher-style repetitiveness signal:
+  * natural prose deflates to ~0.4–0.6 of its size; templated, spun, or
+  * looping text crushes far smaller, and random noise barely compresses.
+  * Cheap (one zlib pass per row, scan-side) and surprisingly hard to
+  * game, which is why production quality filters keep it alongside the
+  * learned classifiers.
+  *
+  * Fixed parameters (level 6, raw deflate, one reusable per-thread
+  * Deflater) so the ratio is a pure function of the bytes. zlib's output
+  * is stable for a given library version; treat the ratio as a HEURISTIC
+  * signal (threshold it), not a portable checksum. */
+object DeflateKernels {
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  private val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 16)
+  }
+
+  /** deflated_bytes / raw_bytes; empty input → 1.0. */
+  def ratio(t: UTF8String): Double = {
+    val raw = t.getBytes
+    if (raw.length == 0) return 1.0
+    val d = deflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    var out = 0L
+    val b = buf.get()
+    while (!d.finished()) out += d.deflate(b)
+    out.toDouble / raw.length
+  }
+
+  val RefName: String =
+    classOf[DeflateKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+}
+
+/** deflate_ratio(text) → double. See [[DeflateKernels]]. */
+case class DeflateRatio(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateKernels.ratio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${DeflateKernels.RefName}.ratio($c);")
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}
+
 /** unicode_normalize(text, mode) → string. See [[NormKernels]]. */
 case class UnicodeNormalize(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {

@@ -79,6 +79,40 @@ class NormalizeSpec extends SparkTestBase {
     assert(r.getString(1) == "cafe")
   }
 
+  test("deflate_ratio matches java.util.zip and orders text by redundancy") {
+    def direct(s: String): Double = {
+      val raw = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      d.end()
+      out.toDouble / raw.length
+    }
+    val repetitive = "spam " * 200
+    val natural = (0 until 200).map(i => s"w${(i * 37) % 151}").mkString(" ")
+    val noise = (0 until 1000).map(i =>
+      (graft.expr.TextHash.avalanche(i.toLong) & 0x7f | 0x20).toChar)
+      .mkString
+    val got = Seq(repetitive, natural, noise).toDF("t")
+      .select(gf.deflate_ratio(col("t")).as("r")).collect().map(_.getDouble(0))
+    assert(got(0) == direct(repetitive))
+    assert(got(1) == direct(natural))
+    assert(got(2) == direct(noise))
+    assert(got(0) < got(1) && got(1) < got(2),
+      s"ordering: ${got.toSeq}")
+    // 96-symbol pseudo-noise still carries ~6.6 bits/char of the 8 zlib
+    // sees, so it lands near 0.78 — well above prose, far above spam
+    assert(got(0) < 0.1 && got(2) > 0.7)
+    // empty → 1.0; null → null; SQL path
+    val edge = Seq[(Integer, String)]((1, ""), (2, null)).toDF("i", "t")
+      .select(gf.deflate_ratio(col("t")).as("r")).collect()
+    assert(edge(0).getDouble(0) == 1.0 && edge(1).isNullAt(0))
+    assert(spark.sql("SELECT deflate_ratio('aaaaaaaaaaaaaaaa')")
+      .head().getDouble(0) < 1.0)
+  }
+
   test("normalization folds variants onto one dedup key") {
     // the motivating property: all encodings of "café du monde" hash equal
     val variants = Seq("Café du Monde", "café  du monde",
