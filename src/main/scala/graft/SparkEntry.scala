@@ -1849,6 +1849,30 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q164_procrustes" -> ((s, dir) => {
+      // embedding-space alignment, corpus-touching half: exact cross-
+      // moment cells M = Σ x·yᵀ between a 16-dim slice and a planted
+      // Givens rotation of it (0.6/0.8 pairs — engine-identical
+      // arithmetic). The oracle recomputes y and every cell; the SVD
+      // half (W = UVᵀ recovery) is spec-gated — an SVD is not
+      // SQL-expressible, but its INPUT is fully verified here
+      import s.implicits._
+      def xel(j: Int) = element_at(col("x"), j + 1)
+      val paired = t(s, dir, "embeddings")
+        .select(slice(col("embedding"), 1, 16).cast("array<double>")
+          .as("x"))
+        .withColumn("y", array((0 until 16).map { j =>
+          if (j % 2 == 0) lit(0.6) * xel(j) - lit(0.8) * xel(j + 1)
+          else lit(0.8) * xel(j - 1) + lit(0.6) * xel(j)
+        }: _*))
+      val m = graft.ops.Similarity.crossMoments(paired, col("x"), col("y"))
+      m.zipWithIndex.flatMap { case (row, i) =>
+        row.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
+      }.toSeq.toDF("i", "j", "m")
+        .select(col("i"), col("j"), round(col("m"), 6).as("m"))
+        .orderBy("i", "j")
+    }),
+
     "q163_compressibility" -> ((s, dir) => {
       // deflate-ratio quality signal. No SQL oracle — zlib is not
       // expressible in DuckDB SQL, so the driver records the weaker
@@ -2799,6 +2823,21 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q164_procrustes" ->
+      """WITH x AS MATERIALIZED (SELECT vec_id,
+           list_transform(embedding[1:16], v -> v::DOUBLE) AS xv
+         FROM embeddings),
+       xd AS MATERIALIZED (SELECT vec_id, i, xv[i] AS xval
+         FROM x, generate_series(1, 16) g(i)),
+       yd AS MATERIALIZED (SELECT vec_id, i,
+           CASE WHEN i % 2 = 1 THEN 0.6*xv[i] - 0.8*xv[i+1]
+                ELSE 0.8*xv[i-1] + 0.6*xv[i] END AS yval
+         FROM x, generate_series(1, 16) g(i)),
+       m AS (SELECT xd.i AS di, yd.i AS dj, sum(xd.xval * yd.yval) AS v
+             FROM xd JOIN yd USING (vec_id) GROUP BY 1, 2)
+       SELECT (di - 1)::BIGINT AS i, (dj - 1)::BIGINT AS j,
+         round(v, 6) AS m
+       FROM m ORDER BY i, j""",
     "q162_zipf" ->
       """WITH t AS MATERIALIZED (SELECT
            unnest(string_split_regex(trim(text), '\s+')) AS w

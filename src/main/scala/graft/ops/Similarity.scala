@@ -838,4 +838,106 @@ object Similarity {
       }
     }: _*)
   }
+
+  /** Cross-moment matrix M = Σ x·yᵀ over paired vectors — the sufficient
+    * statistic of orthogonal Procrustes alignment. ONE pass: the flattened
+    * outer product (d² doubles per row, built in a codegen'd projection)
+    * folds through `vec_exact_sum`, so every cell is correctly rounded and
+    * partitioning-independent; width consistency is enforced in the same
+    * aggregation (NULL/ragged rows fail fast, not silently skew M).
+    * Row-major d_x × d_y result on the driver (d² doubles — alignment
+    * dims, not corpus data). */
+  def crossMoments(pairs: DataFrame, xCol: Column,
+      yCol: Column): Array[Array[Double]] = {
+    val proj = pairs.select(xCol.cast("array<double>").as("__x"),
+        yCol.cast("array<double>").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val outer = flatten(transform(col("__x"),
+      xi => transform(col("__y"), yi => xi * yi)))
+    val row = proj
+      .select(outer.as("__o"), size(col("__x")).as("__dx"),
+        size(col("__y")).as("__dy"))
+      .agg(gf.vec_exact_sum(col("__o")).as("m"),
+        min("__dx").as("dx0"), max("__dx").as("dx1"),
+        min("__dy").as("dy0"), max("__dy").as("dy1"))
+      .head()
+    if (row.isNullAt(0))
+      return Array.empty
+    require(row.getInt(1) == row.getInt(2) && row.getInt(3) == row.getInt(4),
+      "crossMoments: ragged vector widths")
+    val (dx, dy) = (row.getInt(1), row.getInt(3))
+    val flat = row.getSeq[Double](0)
+    Array.tabulate(dx, dy)((i, j) => flat(i * dy + j))
+  }
+
+  /** Orthogonal Procrustes fit: the rotation(+reflection) W minimizing
+    * ‖XW − Y‖_F over paired vectors — the embedding-space MIGRATION map
+    * (encoder v1 → v2, or bilingual alignment à la Artetxe/Conneau:
+    * fit W on anchor pairs, then [[procrustesAlign]] re-embeds the whole
+    * corpus scan-side and every ANN/dedup structure keeps working).
+    *
+    * W = U·Vᵀ from the SVD of M = XᵀY, computed deterministically:
+    * M via [[crossMoments]] (exact cells), V and σ² from
+    * [[graft.core.Jacobi.symEigen]] on MᵀM (fixed sweep order, fixed sign
+    * convention), U = M·V·Σ⁻¹. Components with σ ≤ `tol`·σ_max (null
+    * directions — only when the pairs don't span the space) are DROPPED
+    * from the sum, mapping that subspace to 0; pass vectors that span ℝᵈ
+    * for a true orthogonal map.
+    *
+    * @return row-major d×d W, so aligned = x·W ([[procrustesAlign]])
+    */
+  def procrustesFit(pairs: DataFrame, xCol: Column, yCol: Column,
+      tol: Double = 1e-12): Array[Array[Double]] = {
+    val m = crossMoments(pairs, xCol, yCol)
+    if (m.isEmpty) return Array.empty
+    val d = m.length
+    require(m(0).length == d,
+      s"procrustes needs square spaces (got ${d}×${m(0).length})")
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += m(k)(i) * m(k)(j); k += 1 }
+      s
+    }
+    val (lam, vRows) = graft.core.Jacobi.symEigen(mtm)
+    val sigma = lam.map(l => math.sqrt(math.max(l, 0.0)))
+    val sMax = if (sigma.isEmpty) 0.0 else sigma.max
+    val w = Array.fill(d, d)(0.0)
+    var k = 0
+    while (k < d) {
+      if (sigma(k) > tol * sMax && sigma(k) > 0.0) {
+        // u_k = M v_k / σ_k ; W += u_k v_kᵀ
+        val v = vRows(k)
+        val u = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += m(i)(j) * v(j); j += 1 }
+          u(i) = s / sigma(k)
+          i += 1
+        }
+        i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { w(i)(j) += u(i) * v(j); j += 1 }
+          i += 1
+        }
+      }
+      k += 1
+    }
+    w
+  }
+
+  /** Apply a [[procrustesFit]] map scan-side: out_j = Σ_i x_i·W_ij, one
+    * fused dot per output dim against a broadcast literal column — no
+    * shuffle, no UDF. */
+  def procrustesAlign(vec: Column, w: Array[Array[Double]]): Column = {
+    require(w.nonEmpty, "empty alignment map")
+    val d = w.length
+    array((0 until w(0).length).map { j =>
+      gf.vec_dot(vec.cast("array<double>"),
+        typedLit((0 until d).map(i => w(i)(j))))
+    }: _*)
+  }
 }

@@ -177,4 +177,79 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
       .as("n")).distinct().as[Int].collect()
     assert(p.sameElements(Array(2)))
   }
+
+  // ---- orthogonal Procrustes ----
+
+  /** Deterministic full-rank test vectors. */
+  private def vecs(n: Int, d: Int): Seq[Seq[Double]] =
+    (0 until n).map { i =>
+      (0 until d).map(j =>
+        ((graft.expr.TextHash.avalanche(i.toLong * 31 + j) % 1000L)
+          / 250.0) - 2.0)
+    }
+
+  /** Apply a row-major map: out = x · W. */
+  private def app(x: Seq[Double], w: Array[Array[Double]]): Seq[Double] =
+    w(0).indices.map(j => x.indices.map(i => x(i) * w(i)(j)).sum)
+
+  test("procrustesFit recovers a planted rotation exactly") {
+    import spark.implicits._
+    val d = 6
+    // planted W: product of Givens rotations on (0,1), (2,3), (4,5)
+    val r = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def givens(a: Int, b: Int, c: Double, s: Double): Unit = {
+      r(a)(a) = c; r(a)(b) = s; r(b)(a) = -s; r(b)(b) = c
+    }
+    givens(0, 1, 0.6, 0.8); givens(2, 3, 0.8, -0.6); givens(4, 5, 0.28, 0.96)
+    val xs = vecs(300, d)
+    val pairs = xs.map(x => (x, app(x, r))).toDF("x", "y")
+    val w = Similarity.procrustesFit(pairs, col("x"), col("y"))
+    val maxDiff = (for (i <- 0 until d; j <- 0 until d)
+      yield math.abs(w(i)(j) - r(i)(j))).max
+    assert(maxDiff < 1e-10, s"‖W − R‖∞ = $maxDiff")
+    // W is orthogonal: WᵀW = I
+    val orth = (for (i <- 0 until d; j <- 0 until d) yield {
+      val dot = (0 until d).map(k => w(k)(i) * w(k)(j)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    assert(orth < 1e-10, s"orthogonality defect $orth")
+  }
+
+  test("procrustesAlign maps the corpus onto the target space scan-side") {
+    import spark.implicits._
+    val d = 4
+    val r = Array(
+      Array(0.0, 1.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.96, 0.28), Array(0.0, 0.0, -0.28, 0.96))
+    val xs = vecs(200, d)
+    val pairs = xs.map(x => (x, app(x, r))).toDF("x", "y")
+    val w = Similarity.procrustesFit(pairs, col("x"), col("y"))
+    val resid = pairs
+      .select(Similarity.procrustesAlign(col("x"), w).as("ax"), col("y"))
+      .select(aggregate(zip_with(col("ax"), col("y"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v)
+        .as("sq"))
+      .agg(max("sq")).head().getDouble(0)
+    assert(resid < 1e-18, s"max residual² $resid")
+    // plan is scan-only: no shuffle in the alignment projection
+    val plan = pairs.select(Similarity.procrustesAlign(col("x"), w))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("procrustes degenerate inputs: empty pairs, rank-deficient tolerance") {
+    import spark.implicits._
+    val empty = Seq.empty[(Seq[Double], Seq[Double])].toDF("x", "y")
+    assert(Similarity.procrustesFit(empty, col("x"), col("y")).isEmpty)
+    // x confined to a plane in 3D: the fit still reproduces y on that
+    // plane (the null direction maps to 0 by the tol rule)
+    val planar = (0 until 100).map { i =>
+      val x = Seq((i % 13).toDouble - 6, (i % 7).toDouble - 3, 0.0)
+      (x, Seq(x(1), -x(0), 0.0))
+    }.toDF("x", "y")
+    val w = Similarity.procrustesFit(planar, col("x"), col("y"))
+    val back = app(Seq(2.0, 1.0, 0.0), w)
+    assert(math.abs(back(0) - 1.0) < 1e-10 &&
+      math.abs(back(1) + 2.0) < 1e-10, back.toString)
+  }
 }
