@@ -1849,6 +1849,42 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q165_script_stats" -> ((s, dir) => {
+      // multilingual script routing: three cohorts get their 9 most
+      // common letters transliterated into Cyrillic/Greek/CJK (translate
+      // is engine-identical), the fourth stays Latin; script_stats must
+      // count every class and pick the dominant script per doc. The
+      // oracle classifies every codepoint with the same explicit ranges
+      val cyr = "абвгдежзи"
+      val grk = "αβγδεζηθι"
+      val cjk = "一二三四五六七八九"
+      val src = "aeiounrst"
+      val y = when(col("doc_id") % 4 === 0, translate(col("text"), src, cyr))
+        .when(col("doc_id") % 4 === 1, translate(col("text"), src, grk))
+        .when(col("doc_id") % 4 === 2, translate(col("text"), src, cjk))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select((col("doc_id") % 4).as("cohort"),
+          gf.script_stats(y).as("st"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("st.n_latin")).as("latin_chars"),
+          sum(col("st.n_cyrillic")).as("cyrillic_chars"),
+          sum(col("st.n_greek")).as("greek_chars"),
+          sum(col("st.n_cjk")).as("cjk_chars"),
+          sum(col("st.n_digit") + col("st.n_other"))
+            .as("digit_other_chars"),
+          sum(when(col("st.main_script") === "latin", 1L).otherwise(0L))
+            .as("main_latin"),
+          sum(when(col("st.main_script") === "cyrillic", 1L).otherwise(0L))
+            .as("main_cyrillic"),
+          sum(when(col("st.main_script") === "greek", 1L).otherwise(0L))
+            .as("main_greek"),
+          sum(when(col("st.main_script") === "cjk", 1L).otherwise(0L))
+            .as("main_cjk"))
+        .orderBy("cohort")
+    }),
+
     "q164_procrustes" -> ((s, dir) => {
       // embedding-space alignment, corpus-touching half: exact cross-
       // moment cells M = Σ x·yᵀ between a 16-dim slice and a planted
@@ -2823,6 +2859,77 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q165_script_stats" ->
+      """WITH y AS MATERIALIZED (SELECT doc_id, doc_id % 4 AS cohort,
+           CASE WHEN doc_id % 4 = 0 THEN translate(text, 'aeiounrst',
+                  chr(1072)||chr(1073)||chr(1074)||chr(1075)||chr(1076)||
+                  chr(1077)||chr(1078)||chr(1079)||chr(1080))
+                WHEN doc_id % 4 = 1 THEN translate(text, 'aeiounrst',
+                  chr(945)||chr(946)||chr(947)||chr(948)||chr(949)||
+                  chr(950)||chr(951)||chr(952)||chr(953))
+                WHEN doc_id % 4 = 2 THEN translate(text, 'aeiounrst',
+                  chr(19968)||chr(20108)||chr(19977)||chr(22235)||
+                  chr(20116)||chr(20845)||chr(19971)||chr(20843)||
+                  chr(20061))
+                ELSE text END AS t
+         FROM documents),
+       u AS MATERIALIZED (SELECT cohort, doc_id,
+           unnest(list_transform(range(1, length(t) + 1),
+             i -> unicode(t[i]))) AS c FROM y),
+       cl AS MATERIALIZED (SELECT cohort, doc_id,
+           CASE WHEN (c BETWEEN 65 AND 90) OR (c BETWEEN 97 AND 122)
+                  OR (c BETWEEN 192 AND 591) THEN 'latin'
+                WHEN c BETWEEN 48 AND 57 THEN 'digit'
+                WHEN c BETWEEN 880 AND 1023 THEN 'greek'
+                WHEN c BETWEEN 1024 AND 1279 THEN 'cyrillic'
+                WHEN c BETWEEN 1424 AND 1535 THEN 'hebrew'
+                WHEN c BETWEEN 1536 AND 1791 THEN 'arabic'
+                WHEN c BETWEEN 2304 AND 2431 THEN 'devanagari'
+                WHEN (c BETWEEN 4352 AND 4607)
+                  OR (c BETWEEN 44032 AND 55215) THEN 'hangul'
+                WHEN (c BETWEEN 12352 AND 12543)
+                  OR (c BETWEEN 13312 AND 19903)
+                  OR (c BETWEEN 19968 AND 40959) THEN 'cjk'
+                ELSE 'other' END AS f
+         FROM u WHERE c NOT IN (9, 10, 11, 12, 13, 32)),
+       dc AS MATERIALIZED (SELECT cohort, doc_id, f, count(*) AS n
+         FROM cl GROUP BY 1, 2, 3),
+       dm AS MATERIALIZED (SELECT cohort, doc_id,
+           (array_agg(f ORDER BY n DESC,
+             CASE f WHEN 'latin' THEN 0 WHEN 'digit' THEN 1
+               WHEN 'greek' THEN 2 WHEN 'cyrillic' THEN 3
+               WHEN 'hebrew' THEN 4 WHEN 'arabic' THEN 5
+               WHEN 'devanagari' THEN 6 WHEN 'hangul' THEN 7
+               WHEN 'cjk' THEN 8 ELSE 9 END))[1] AS main
+         FROM dc GROUP BY 1, 2),
+       agg AS (SELECT cohort,
+           sum(CASE WHEN f = 'latin' THEN n ELSE 0 END)::BIGINT
+             AS latin_chars,
+           sum(CASE WHEN f = 'cyrillic' THEN n ELSE 0 END)::BIGINT
+             AS cyrillic_chars,
+           sum(CASE WHEN f = 'greek' THEN n ELSE 0 END)::BIGINT
+             AS greek_chars,
+           sum(CASE WHEN f = 'cjk' THEN n ELSE 0 END)::BIGINT AS cjk_chars,
+           sum(CASE WHEN f IN ('digit', 'other') THEN n ELSE 0 END)::BIGINT
+             AS digit_other_chars
+         FROM dc GROUP BY 1),
+       ma AS (SELECT cohort,
+           sum(CASE WHEN main = 'latin' THEN 1 ELSE 0 END)::BIGINT
+             AS main_latin,
+           sum(CASE WHEN main = 'cyrillic' THEN 1 ELSE 0 END)::BIGINT
+             AS main_cyrillic,
+           sum(CASE WHEN main = 'greek' THEN 1 ELSE 0 END)::BIGINT
+             AS main_greek,
+           sum(CASE WHEN main = 'cjk' THEN 1 ELSE 0 END)::BIGINT
+             AS main_cjk
+         FROM dm GROUP BY 1),
+       nd AS (SELECT doc_id % 4 AS cohort, count(*)::BIGINT AS n_docs
+         FROM documents GROUP BY 1)
+       SELECT nd.cohort, n_docs, latin_chars, cyrillic_chars, greek_chars,
+         cjk_chars, digit_other_chars, main_latin, main_cyrillic,
+         main_greek, main_cjk
+       FROM nd JOIN agg USING (cohort) JOIN ma USING (cohort)
+       ORDER BY cohort""",
     "q164_procrustes" ->
       """WITH x AS MATERIALIZED (SELECT vec_id,
            list_transform(embedding[1:16], v -> v::DOUBLE) AS xv

@@ -182,6 +182,8 @@ object functions {
   def normalize_text(text: Column): Column = unicode_normalize(text, "clean")
   def deflate_ratio(text: Column): Column =
     toColumn(DeflateRatio(toExpr(text)))
+  def script_stats(text: Column): Column =
+    toColumn(ScriptStatsExpr(toExpr(text)))
   def pii_stats(text: Column): Column = toColumn(PiiStatsExpr(toExpr(text)))
   def redact_pii(text: Column): Column = toColumn(RedactPii(toExpr(text)))
   def pseudonymize_pii(text: Column): Column =
@@ -253,7 +255,7 @@ object GraftFunctions {
               n == "text_stats" || n == "char_entropy" ||
               n == "pii_stats" || n == "redact_pii" ||
               n == "pseudonymize_pii" || n == "normalize_text" ||
-              n == "deflate_ratio" ||
+              n == "deflate_ratio" || n == "script_stats" ||
               n == "ss_capacity" || n == "kmv_distinct" || n == "kmv_size" ||
               n == "vec_norm" || n == "strip_html" ||
               n == "registrable_domain" => Seq(1)
@@ -342,6 +344,7 @@ object GraftFunctions {
     "normalize_text" -> { case Seq(t) =>
       UnicodeNormalize(t, Literal("clean")) },
     "deflate_ratio" -> { case Seq(t) => DeflateRatio(t) },
+    "script_stats" -> { case Seq(t) => ScriptStatsExpr(t) },
     "redact_pii" -> { case Seq(t) => RedactPii(t) },
     "pseudonymize_pii" -> { case Seq(t) => PseudonymizePii(t) },
     "doc_fingerprint" -> { case Seq(t, w) => DocFingerprint(t, w) },

@@ -98,6 +98,97 @@ object NormKernels {
     classOf[NormKernels.type].getName.stripSuffix("$") + "$.MODULE$"
 }
 
+/** Per-script character histogram — the multilingual routing signal:
+  * which writing systems a document actually uses (vs the `lang` column
+  * someone scraped). Script mixes catch mislabeled documents, transliterated
+  * spam, and code-switching, and decide which language-specific pipeline
+  * (tokenizer, stopwords, LM) a document should enter.
+  *
+  * Classification is by EXPLICIT codepoint ranges (not the JDK's
+  * Character.UnicodeScript) so an external SQL oracle can reproduce every
+  * count from the same integer comparisons. Ranges cover the majors;
+  * anything else lands in `n_other`. Whitespace is excluded from all
+  * counts. */
+object ScriptKernels {
+  // (field, lo, hi) inclusive codepoint ranges, first match wins
+  val Ranges: Array[(String, Int, Int)] = Array(
+    ("latin", 0x41, 0x5A), ("latin", 0x61, 0x7A), ("latin", 0xC0, 0x24F),
+    ("digit", 0x30, 0x39),
+    ("greek", 0x370, 0x3FF),
+    ("cyrillic", 0x400, 0x4FF),
+    ("hebrew", 0x590, 0x5FF),
+    ("arabic", 0x600, 0x6FF),
+    ("devanagari", 0x900, 0x97F),
+    ("hangul", 0x1100, 0x11FF), ("hangul", 0xAC00, 0xD7AF),
+    ("cjk", 0x3040, 0x30FF), ("cjk", 0x3400, 0x4DBF),
+    ("cjk", 0x4E00, 0x9FFF))
+
+  val Fields: Array[String] = Array("latin", "digit", "greek", "cyrillic",
+    "hebrew", "arabic", "devanagari", "hangul", "cjk", "other")
+
+  def scriptStats(t: UTF8String): GenericInternalRow = {
+    val s = t.toString
+    val counts = new Array[Int](Fields.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (!Character.isWhitespace(cp)) {
+        var hit = -1
+        var r = 0
+        while (hit < 0 && r < Ranges.length) {
+          if (cp >= Ranges(r)._2 && cp <= Ranges(r)._3)
+            hit = Fields.indexOf(Ranges(r)._1)
+          r += 1
+        }
+        counts(if (hit < 0) Fields.length - 1 else hit) += 1
+      }
+      i += Character.charCount(cp)
+    }
+    // dominant script: max count, ties to the earlier field (stable)
+    var best = 0
+    var b = 1
+    while (b < counts.length) {
+      if (counts(b) > counts(best)) best = b
+      b += 1
+    }
+    val row = new GenericInternalRow(Fields.length + 1)
+    var f = 0
+    while (f < counts.length) { row.setInt(f, counts(f)); f += 1 }
+    row.update(Fields.length, UTF8String.fromString(
+      if (counts(best) == 0) "none" else Fields(best)))
+    row
+  }
+
+  val RefName: String =
+    classOf[ScriptKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+}
+
+object ScriptStatsExpr {
+  val schema: StructType = StructType(
+    ScriptKernels.Fields.map(f =>
+      StructField(s"n_$f", IntegerType, nullable = false)) :+
+      StructField("main_script", StringType, nullable = false))
+}
+
+/** script_stats(text) → struct{n_latin, n_digit, n_greek, n_cyrillic,
+  * n_hebrew, n_arabic, n_devanagari, n_hangul, n_cjk, n_other,
+  * main_script}. See [[ScriptKernels]]. */
+case class ScriptStatsExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ScriptStatsExpr.schema
+  override def prettyName: String = "script_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ScriptKernels.scriptStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${ScriptKernels.RefName}.scriptStats($c);")
+  override protected def withNewChildInternal(c: Expression) =
+    copy(child = c)
+}
+
 /** DEFLATE compression ratio — the Gopher-style repetitiveness signal:
   * natural prose deflates to ~0.4–0.6 of its size; templated, spun, or
   * looping text crushes far smaller, and random noise barely compresses.

@@ -113,6 +113,37 @@ class NormalizeSpec extends SparkTestBase {
       .head().getDouble(0) < 1.0)
   }
 
+  test("script_stats classifies by range, picks the dominant script, SQL path") {
+    val r = Seq(Tuple1("ab1 абв 一二 א xyz"))
+      .toDF("t")
+      .select(gf.script_stats(col("t")).as("s"))
+      .select(col("s.n_latin"), col("s.n_digit"), col("s.n_cyrillic"),
+        col("s.n_cjk"), col("s.n_hebrew"), col("s.n_other"),
+        col("s.main_script"))
+      .head()
+    assert(r.getInt(0) == 5) // ab xyz
+    assert(r.getInt(1) == 1)
+    assert(r.getInt(2) == 3)
+    assert(r.getInt(3) == 2)
+    assert(r.getInt(4) == 1)
+    assert(r.getInt(5) == 0)
+    assert(r.getString(6) == "latin")
+    // tie goes to the earlier field: 1 latin vs 1 cyrillic → latin
+    val tie = Seq(Tuple1("a а")).toDF("t")
+      .select(gf.script_stats(col("t")).as("s"))
+      .select(col("s.main_script")).head().getString(0)
+    assert(tie == "latin")
+    // empty → all zero, main 'none'; null propagates
+    val e = Seq(Tuple1("")).toDF("t")
+      .select(gf.script_stats(col("t")).as("s"))
+      .select(col("s.n_latin"), col("s.main_script")).head()
+    assert(e.getInt(0) == 0 && e.getString(1) == "none")
+    val viaSql = spark.sql(
+      "SELECT script_stats('αβγ ok').main_script")
+      .head().getString(0)
+    assert(viaSql == "greek")
+  }
+
   test("normalization folds variants onto one dedup key") {
     // the motivating property: all encodings of "café du monde" hash equal
     val variants = Seq("Café du Monde", "café  du monde",
