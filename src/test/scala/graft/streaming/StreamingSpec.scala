@@ -388,6 +388,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("round-8 scan-side signals stream per-row: normalize/script/deflate ≡ batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sstream").toString
+    val docsB = spark.read.parquet(sf("documents"))
+    docsB.coalesce(2).write.parquet(s"$base/documents.parquet")
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      gf.normalize_text(concat(lit("  MIX  "), col("text"))).as("norm"),
+      gf.script_stats(translate(col("text"), "ae", "αб"))
+        .getField("main_script").as("script"),
+      gf.deflate_ratio(col("text")).as("zr"),
+      gf.unicode_normalize(col("text"), "nfkc").as("nfkc"))
+    val q = score(graft.sources.Tables.loadStream(spark, base, "documents",
+        Map("maxFilesPerTrigger" -> "1")))
+      .writeStream.format("memory").queryName("sig_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sig_stream")
+    val batch = score(spark.read.parquet(s"$base/documents.parquet"))
+    assert(streamed.count() == docsB.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("blocklist matchStats/filterBlocked stream per-row ≡ batch (broadcast automaton)") {
     // the AC automaton is broadcast state built on the driver, not
     // streaming state — both transforms must run unchanged on a
