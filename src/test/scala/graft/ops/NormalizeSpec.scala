@@ -144,6 +144,19 @@ class NormalizeSpec extends SparkTestBase {
     assert(viaSql == "greek")
   }
 
+  test("round-8 signal expressions are codegen'd (no CodegenFallback)") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+      .select(gf.normalize_text(col("text")).as("a"),
+        gf.deflate_ratio(col("text")).as("b"),
+        gf.script_stats(col("text")).as("c"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("deflate_ratio") && l.contains("*(")), plan)
+  }
+
   test("normalization folds variants onto one dedup key") {
     // the motivating property: all encodings of "café du monde" hash equal
     val variants = Seq("Café du Monde", "café  du monde",
