@@ -1849,6 +1849,30 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q166_hll" -> ((s, dir) => {
+      // HyperLogLog across four cardinality regimes (20 … 150k distinct —
+      // both the linear-counting and raw-HLL estimator branches). The
+      // oracle recomputes the ENTIRE sketch in SQL — per-key hash,
+      // bucket, ρ, per-register max — and verifies the register state
+      // bit-for-bit via an order-insensitive xor, plus the estimate
+      // (round(4)) and occupancy (exact)
+      def row(df: org.apache.spark.sql.DataFrame, c: String, label: String) =
+        df.agg(gf.hll_agg(col(c), 12).as("sk"),
+            countDistinct(col(c)).as("exact_distinct"))
+          .select(lit(label).as("key_col"),
+            round(gf.hll_distinct(col("sk")), 4).as("estimate"),
+            gf.hll_nonzero(col("sk")).cast("long").as("nonzero"),
+            gf.hll_register_xor(col("sk")).as("reg_xor"),
+            col("exact_distinct"))
+      row(t(s, dir, "orders"), "o_custkey", "orders.o_custkey")
+        .unionByName(row(t(s, dir, "orders"), "o_orderkey",
+          "orders.o_orderkey"))
+        .unionByName(row(t(s, dir, "events"), "user_id", "events.user_id"))
+        .unionByName(row(t(s, dir, "documents"), "source",
+          "documents.source"))
+        .orderBy("key_col")
+    }),
+
     "q165_script_stats" -> ((s, dir) => {
       // multilingual script routing: three cohorts get their 9 most
       // common letters transliterated into Cyrillic/Greek/CJK (translate
@@ -2859,6 +2883,42 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q166_hll" ->
+      (hashMacros +
+        """CREATE OR REPLACE MACRO g_kh(v) AS
+  g_av(xor(v::UBIGINT, 11400714819323198485::UBIGINT));
+WITH src AS MATERIALIZED (
+  SELECT 'orders.o_custkey' AS key_col, g_kh(o_custkey) AS h FROM orders
+  UNION ALL SELECT 'orders.o_orderkey', g_kh(o_orderkey) FROM orders
+  UNION ALL SELECT 'events.user_id', g_kh(user_id) FROM events
+  UNION ALL SELECT 'documents.source', g_thash(source) FROM documents),
+br AS MATERIALIZED (SELECT key_col, (h >> 52)::BIGINT AS b,
+    CASE WHEN (h & 4503599627370495::UBIGINT) = 0::UBIGINT THEN 53
+         ELSE 53 - length(printf('%b',
+           (h & 4503599627370495::UBIGINT)::BIGINT)) END AS rho
+  FROM src),
+reg AS MATERIALIZED (SELECT key_col, b, max(rho) AS r FROM br GROUP BY 1, 2),
+est AS MATERIALIZED (SELECT key_col, count(*)::BIGINT AS nonzero,
+    sum(pow(2.0, -r)) AS occsum,
+    bit_xor(g_sb(g_av((b * 256 + r)::UBIGINT))) AS reg_xor
+  FROM reg GROUP BY 1),
+fin AS (SELECT key_col, nonzero, reg_xor,
+    (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 /
+      ((4096 - nonzero) * 1.0 + occsum) AS raw
+  FROM est),
+ex AS (SELECT 'orders.o_custkey' AS key_col,
+    count(DISTINCT o_custkey)::BIGINT AS exact_distinct FROM orders
+  UNION ALL SELECT 'orders.o_orderkey', count(DISTINCT o_orderkey)
+    FROM orders
+  UNION ALL SELECT 'events.user_id', count(DISTINCT user_id) FROM events
+  UNION ALL SELECT 'documents.source', count(DISTINCT source)
+    FROM documents)
+SELECT f.key_col,
+  round(CASE WHEN raw <= 2.5 * 4096 AND nonzero < 4096
+        THEN 4096 * ln(4096.0 / (4096 - nonzero)) ELSE raw END, 4)
+    AS estimate,
+  nonzero, reg_xor, exact_distinct
+FROM fin f JOIN ex USING (key_col) ORDER BY key_col"""),
     "q165_script_stats" ->
       """WITH y AS MATERIALIZED (SELECT doc_id, doc_id % 4 AS cohort,
            CASE WHEN doc_id % 4 = 0 THEN translate(text, 'aeiounrst',

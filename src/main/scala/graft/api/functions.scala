@@ -137,6 +137,16 @@ object functions {
     toColumn(CmsCount(toExpr(sketch), toExpr(item)))
   def cms_total(sketch: Column): Column = toColumn(CmsTotal(toExpr(sketch)))
 
+  def hll_agg(value: Column): Column = agg(new HllAgg(toExpr(value)))
+  def hll_agg(value: Column, p: Int): Column =
+    agg(HllAgg(toExpr(value), Literal(p)))
+  def hll_merge_agg(sketch: Column): Column = agg(HllMergeAgg(toExpr(sketch)))
+  def hll_distinct(sketch: Column): Column =
+    toColumn(HllDistinct(toExpr(sketch)))
+  def hll_nonzero(sketch: Column): Column =
+    toColumn(HllNonzero(toExpr(sketch)))
+  def hll_register_xor(sketch: Column): Column =
+    toColumn(HllRegisterXor(toExpr(sketch)))
   def kmv_jaccard(a: Column, b: Column): Column =
     toColumn(KmvJaccard(toExpr(a), toExpr(b)))
   def kmv_set_ops(a: Column, b: Column): Column =
@@ -241,6 +251,7 @@ object GraftFunctions {
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
     "cms_agg" -> Seq(1, 3), "cms_total" -> Seq(1),
     "kmv_agg" -> Seq(1, 2), "kmv_jaccard" -> Seq(2), "kmv_set_ops" -> Seq(2),
+    "hll_agg" -> Seq(1, 2),
     "exact_sum" -> Seq(1), "vec_exact_sum" -> Seq(1), "gram_agg" -> Seq(1),
     "ss_topk_agg" -> Seq(1, 2, 3), "minhash_signature" -> Seq(4),
     "ngram_jaccard" -> Seq(3), "srp_signature" -> Seq(3),
@@ -257,6 +268,8 @@ object GraftFunctions {
               n == "pseudonymize_pii" || n == "normalize_text" ||
               n == "deflate_ratio" || n == "script_stats" ||
               n == "ss_capacity" || n == "kmv_distinct" || n == "kmv_size" ||
+              n == "hll_distinct" || n == "hll_nonzero" ||
+              n == "hll_register_xor" ||
               n == "vec_norm" || n == "strip_html" ||
               n == "registrable_domain" => Seq(1)
     case _ => Seq(2)
@@ -316,6 +329,14 @@ object GraftFunctions {
       case Seq(v, k) => KmvAgg(v, k)
     },
     "kmv_merge_agg" -> aggB { case Seq(s) => KmvMergeAgg(s) },
+    "hll_agg" -> aggB {
+      case Seq(v) => new HllAgg(v)
+      case Seq(v, p) => HllAgg(v, p)
+    },
+    "hll_merge_agg" -> aggB { case Seq(s) => HllMergeAgg(s) },
+    "hll_distinct" -> { case Seq(s) => HllDistinct(s) },
+    "hll_nonzero" -> { case Seq(s) => HllNonzero(s) },
+    "hll_register_xor" -> { case Seq(s) => HllRegisterXor(s) },
     "cms_agg" -> aggB {
       case Seq(i) => new CountMinAgg(i)
       case Seq(i, d, w) => new CountMinAgg(i, d, w)
