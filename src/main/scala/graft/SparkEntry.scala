@@ -1849,6 +1849,33 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q167_hll_setops" -> ((s, dir) => {
+      // HLL set algebra: customer keys vs ordering customers — union by
+      // per-register max (exact wrt sketch state, xor-verified), and the
+      // inclusion–exclusion intersection estimate next to the exact
+      // counts. The oracle recomputes all three register sets in SQL
+      // %3 / %2 filters make the overlap PARTIAL (the raw fixture has
+      // every customer ordering, which would degenerate union==intersect)
+      val cust = t(s, dir, "customer").where(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("k"))
+      val ords = t(s, dir, "orders").where(col("o_custkey") % 2 =!= 0)
+        .select(col("o_custkey").as("k"))
+      val exactI = cust.distinct().join(ords.distinct(), Seq("k")).count()
+      val exactU = cust.union(ords).distinct().count()
+      val a = cust.agg(gf.hll_agg(col("k"), 12).as("ska"))
+      val b = ords.agg(gf.hll_agg(col("k"), 12).as("skb"))
+      a.crossJoin(b).select(
+        round(gf.hll_distinct(col("ska")), 4).as("est_a"),
+        round(gf.hll_distinct(col("skb")), 4).as("est_b"),
+        round(gf.hll_distinct(gf.hll_union(col("ska"), col("skb"))), 4)
+          .as("est_union"),
+        gf.hll_register_xor(gf.hll_union(col("ska"), col("skb")))
+          .as("union_xor"),
+        round(gf.hll_intersect_est(col("ska"), col("skb")), 4)
+          .as("est_intersect"),
+        lit(exactU).as("exact_union"), lit(exactI).as("exact_intersect"))
+    }),
+
     "q166_hll" -> ((s, dir) => {
       // HyperLogLog across four cardinality regimes (20 … 150k distinct —
       // both the linear-counting and raw-HLL estimator branches). The
@@ -2662,6 +2689,22 @@ CREATE OR REPLACE MACRO g_smp(id,i) AS
     * redistributed uniformly. The arithmetic mirrors Graph.pageRank's
     * association order exactly ((1-d)/n + d*(contrib + dm/n)), so the only
     * engine difference is summation order, absorbed by round(6). */
+  /** q167's oracle pieces: per-prefix HLL register table + estimate CTEs
+    * over a hash CTE named `k<prefix>` (p=12, m=4096). */
+  private def hllRegSql(prefix: String): String =
+    s"""r$prefix AS MATERIALIZED (SELECT (h >> 52)::BIGINT AS b,
+        max(CASE WHEN (h & 4503599627370495::UBIGINT) = 0::UBIGINT THEN 53
+             ELSE 53 - length(printf('%b',
+               (h & 4503599627370495::UBIGINT)::BIGINT)) END) AS r
+      FROM k$prefix GROUP BY 1),
+    e$prefix AS MATERIALIZED (SELECT
+        CASE WHEN raw <= 2.5 * 4096 AND nz < 4096
+          THEN 4096 * ln(4096.0 / (4096 - nz)) ELSE raw END AS est
+      FROM (SELECT nz, (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 /
+              ((4096 - nz) * 1.0 + s) AS raw
+            FROM (SELECT count(*)::BIGINT AS nz, sum(pow(2.0, -r)) AS s
+                  FROM r$prefix)))"""
+
   /** q157's oracle: hashed-unigram bucket features re-derived from the
     * hash mirror, then [[logRegOracle]]'s replay with B+1 weights —
     * z accumulates left-associated exactly like logisticFit's foldLeft. */
@@ -2883,6 +2926,38 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q167_hll_setops" ->
+      (hashMacros +
+        s"""CREATE OR REPLACE MACRO g_kh(v) AS
+  g_av(xor(v::UBIGINT, 11400714819323198485::UBIGINT));
+WITH ka AS MATERIALIZED (SELECT g_kh(c_custkey) AS h FROM customer
+  WHERE c_custkey % 3 <> 0),
+kb AS MATERIALIZED (SELECT g_kh(o_custkey) AS h FROM orders
+  WHERE o_custkey % 2 <> 0),
+ku AS MATERIALIZED (SELECT h FROM ka UNION ALL SELECT h FROM kb),
+${hllRegSql("a")},
+${hllRegSql("b")},
+${hllRegSql("u")},
+ux AS (SELECT bit_xor(g_sb(g_av((b * 256 + r)::UBIGINT))) AS x FROM ru),
+ex AS (SELECT
+    (SELECT count(*) FROM (
+       SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+       INTERSECT
+       SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 2 <> 0
+     ))::BIGINT AS x_int,
+    (SELECT count(*) FROM (
+       SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+       UNION
+       SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 2 <> 0
+     ))::BIGINT AS x_uni)
+SELECT round((SELECT est FROM ea), 4) AS est_a,
+  round((SELECT est FROM eb), 4) AS est_b,
+  round((SELECT est FROM eu), 4) AS est_union,
+  (SELECT x FROM ux) AS union_xor,
+  round(greatest(0.0, ((SELECT est FROM ea) + (SELECT est FROM eb))
+    - (SELECT est FROM eu)), 4) AS est_intersect,
+  x_uni AS exact_union, x_int AS exact_intersect
+FROM ex"""),
     "q166_hll" ->
       (hashMacros +
         """CREATE OR REPLACE MACRO g_kh(v) AS

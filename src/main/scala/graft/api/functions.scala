@@ -147,6 +147,13 @@ object functions {
     toColumn(HllNonzero(toExpr(sketch)))
   def hll_register_xor(sketch: Column): Column =
     toColumn(HllRegisterXor(toExpr(sketch)))
+  def hll_union(a: Column, b: Column): Column =
+    toColumn(HllUnion(toExpr(a), toExpr(b)))
+  /** |A ∩ B| by inclusion–exclusion over three HLL estimates; clamp at 0
+    * (the estimator difference can dip negative for near-disjoint sets). */
+  def hll_intersect_est(a: Column, b: Column): Column =
+    greatest(lit(0.0),
+      hll_distinct(a) + hll_distinct(b) - hll_distinct(hll_union(a, b)))
   def kmv_jaccard(a: Column, b: Column): Column =
     toColumn(KmvJaccard(toExpr(a), toExpr(b)))
   def kmv_set_ops(a: Column, b: Column): Column =
@@ -335,6 +342,7 @@ object GraftFunctions {
     },
     "hll_merge_agg" -> aggB { case Seq(s) => HllMergeAgg(s) },
     "hll_distinct" -> { case Seq(s) => HllDistinct(s) },
+    "hll_union" -> { case Seq(a, b) => HllUnion(a, b) },
     "hll_nonzero" -> { case Seq(s) => HllNonzero(s) },
     "hll_register_xor" -> { case Seq(s) => HllRegisterXor(s) },
     "cms_agg" -> aggB {

@@ -32,6 +32,26 @@ case class HllNonzero(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** hll_union(a, b) → binary: merged sketch (per-register max) — the HLL
+  * union is EXACT with respect to sketch state, so
+  * `hll_distinct(hll_union(a, b))` estimates |A ∪ B| with the same error
+  * as a sketch built over the union stream. Intersection follows by
+  * inclusion–exclusion: est(a) + est(b) − est(union) — compose it in the
+  * DSL ([[graft.api.functions.hll_intersect_est]]). */
+case class HllUnion(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_union"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ha = Hll.deserialize(a.asInstanceOf[Array[Byte]]).copy()
+    ha.merge(Hll.deserialize(b.asInstanceOf[Array[Byte]]))
+    ha.serialize()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** hll_register_xor(sketch) → long: order-insensitive checksum of the
   * register state, Σ-free (xor of avalanche(index·256 + ρ) over occupied
   * registers) — lets an external engine verify the ENTIRE register array

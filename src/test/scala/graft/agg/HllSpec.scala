@@ -75,6 +75,32 @@ class HllSpec extends SparkTestBase {
     assert(reagg.getDouble(1) == direct.getDouble(1))
   }
 
+  test("set ops: union registers == union-stream sketch; intersection tracks truth") {
+    // A = [0, 60k), B = [40k, 120k) → |A∪B| = 120k, |A∩B| = 20k
+    val a = (0 until 60000).map(_.toLong).toDF("v")
+      .agg(gf.hll_agg(col("v"), 12).as("sk"))
+    val b = (40000 until 120000).map(_.toLong).toDF("v")
+      .agg(gf.hll_agg(col("v"), 12).as("sk"))
+    val u = (0 until 120000).map(_.toLong).toDF("v")
+      .agg(gf.hll_register_xor(gf.hll_agg(col("v"), 12)).as("x"))
+      .head().getLong(0)
+    val r = a.crossJoin(b.withColumnRenamed("sk", "skb")).select(
+      gf.hll_register_xor(gf.hll_union(col("sk"), col("skb"))).as("ux"),
+      gf.hll_distinct(gf.hll_union(col("sk"), col("skb"))).as("du"),
+      gf.hll_intersect_est(col("sk"), col("skb")).as("di")).head()
+    assert(r.getLong(0) == u) // union sketch ≡ sketch of union stream
+    assert(math.abs(r.getDouble(1) - 120000) / 120000 < 0.05)
+    assert(math.abs(r.getDouble(2) - 20000) / 20000 < 0.30,
+      s"intersect est ${r.getDouble(2)}") // |A∩B| error scales with |A∪B|
+    // disjoint sets clamp at 0, never negative
+    val dj = (0 until 1000).map(_.toLong).toDF("v")
+      .agg(gf.hll_agg(col("v"), 12).as("sk"))
+      .crossJoin((1000000 until 1001000).map(_.toLong).toDF("v")
+        .agg(gf.hll_agg(col("v"), 12).as("skb")))
+      .select(gf.hll_intersect_est(col("sk"), col("skb"))).head().getDouble(0)
+    assert(dj >= 0.0 && dj < 200.0, s"disjoint est $dj")
+  }
+
   test("SQL surface and precision validation") {
     val est = spark.sql(
       "SELECT hll_distinct(hll_agg(id, 12)) FROM range(1000)")
