@@ -32,7 +32,11 @@ object StreamingSketches {
       .agg(
         gf.tdigest(col(valueCol), lit(1.0), compression).as("value_tdigest"),
         gf.ss_topk_agg(col(itemCol), lit(1L), capacity).as("item_topk"),
-        gf.summary_stats(col(valueCol)).as("value_stats"))
+        gf.summary_stats(col(valueCol)).as("value_stats"),
+        // per-window distinct items: HLL registers merge exactly under
+        // Spark's streaming-state partial aggregation, so window distinct
+        // counts are replay-stable like every other sketch here
+        gf.hll_agg(col(itemCol), 12).as("item_hll"))
   }
 
   /** Gap-based sessionization: one row per (keys, session) where a session
