@@ -1849,6 +1849,24 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q168_threshold_calibration" -> ((s, dir) => {
+      // dedup-threshold calibration: the cosine threshold that admits a
+      // TARGET pair rate = the (1−r) percentile of the candidate-pair
+      // similarity distribution (deterministic (i, i+250) pairing), with
+      // an at-or-above census on 6-dp similarities. Oracle recomputes
+      // via quantile_cont + the same census
+      val emb = t(s, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("ida"),
+        col("embedding").as("va"))
+      val b = emb.select((col("vec_id") - 250).as("ida"),
+        col("embedding").as("vb"))
+      val pairs = a.join(b, Seq("ida"))
+        .select(gf.vec_cosine(col("va"), col("vb")).as("sim"))
+      graft.ops.Similarity.thresholdForRate(pairs, col("sim"),
+          Seq(0.01, 0.05, 0.2))
+        .orderBy("rate")
+    }),
+
     "q167_hll_setops" -> ((s, dir) => {
       // HLL set algebra: customer keys vs ordering customers — union by
       // per-register max (exact wrt sketch state, xor-verified), and the
@@ -2926,6 +2944,23 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q168_threshold_calibration" ->
+      """WITH p AS MATERIALIZED (SELECT
+           list_cosine_similarity(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]) AS s
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 250),
+       t AS MATERIALIZED (SELECT count(*)::BIGINT AS n,
+           round(quantile_cont(s, 0.99), 6) AS t0,
+           round(quantile_cont(s, 0.95), 6) AS t1,
+           round(quantile_cont(s, 0.8), 6) AS t2 FROM p)
+       SELECT 0.01 AS rate, t0 AS threshold, n AS n_pairs,
+         (SELECT count(*) FROM p WHERE round(s, 6) >= t0)::BIGINT
+           AS n_above FROM t
+       UNION ALL SELECT 0.05, t1, n,
+         (SELECT count(*) FROM p WHERE round(s, 6) >= t1)::BIGINT FROM t
+       UNION ALL SELECT 0.2, t2, n,
+         (SELECT count(*) FROM p WHERE round(s, 6) >= t2)::BIGINT FROM t
+       ORDER BY rate""",
     "q167_hll_setops" ->
       (hashMacros +
         s"""CREATE OR REPLACE MACRO g_kh(v) AS

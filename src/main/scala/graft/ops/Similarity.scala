@@ -839,6 +839,43 @@ object Similarity {
     }: _*)
   }
 
+  /** Calibrate a near-dup similarity threshold from TARGET PAIR RATES —
+    * the step that turns "dedup at cosine ≥ τ" from folklore into a
+    * measured choice: given a (sampled) candidate-pair similarity
+    * distribution, the threshold for rate r is its (1−r) quantile (exact
+    * Catalyst `percentile` — interpolated, engine-standard), reported with
+    * the pair count at-or-above it (on 6-dp-rounded similarities, so the
+    * census is reproducible across engines).
+    *
+    * Scale: run it on the ANN/LSH candidate pairs (already bounded), not
+    * all pairs; the exact percentile sorts only the similarity COLUMN.
+    * NULL/NaN similarities are excluded. */
+  def thresholdForRate(pairSims: DataFrame, simCol: Column,
+      rates: Seq[Double]): DataFrame = {
+    require(rates.nonEmpty && rates.forall(r => r > 0.0 && r < 1.0),
+      "rates must be in (0, 1)")
+    val sims = pairSims.select(simCol.cast("double").as("__s"))
+      .where(col("__s").isNotNull && !isnan(col("__s")))
+      .localCheckpoint(true)
+    val n = sims.count()
+    import pairSims.sparkSession.implicits._
+    if (n == 0) {
+      CheckpointUtil.freeCheckpoint(sims)
+      return Seq.empty[(Double, Double, Long, Long)]
+        .toDF("rate", "threshold", "n_pairs", "n_above")
+    }
+    val aggCols = rates.zipWithIndex.map { case (r, i) =>
+      round(percentile(col("__s"), lit(1.0 - r)), 6).as(s"__t$i") }
+    val t = sims.agg(aggCols.head, aggCols.tail: _*).head()
+    val out = rates.zipWithIndex.map { case (r, i) =>
+      val th = t.getDouble(i)
+      val above = sims.where(round(col("__s"), 6) >= lit(th)).count()
+      (r, th, n, above)
+    }
+    CheckpointUtil.freeCheckpoint(sims)
+    out.toDF("rate", "threshold", "n_pairs", "n_above")
+  }
+
   /** Cross-moment matrix M = Σ x·yᵀ over paired vectors — the sufficient
     * statistic of orthogonal Procrustes alignment. ONE pass: the flattened
     * outer product (d² doubles per row, built in a codegen'd projection)

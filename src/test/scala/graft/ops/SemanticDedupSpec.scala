@@ -38,4 +38,24 @@ class SemanticDedupSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L, 10L)) // 2 dups to 1, 11 dups to 10, 3 survives
   }
+
+  test("thresholdForRate: percentile thresholds and censuses by hand") {
+    import org.apache.spark.sql.functions._
+    // sims 0.01..1.00 — quantile_cont(1−r) is exactly interpolable
+    val sims = (1 to 100).map(i => i / 100.0).toDF("sim")
+    val out = Similarity.thresholdForRate(sims, col("sim"),
+        Seq(0.1, 0.5)).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    // (1−0.1) quantile of 0.01..1.00: h=(99)(0.9)=89.1 → 0.90+0.1*0.01
+    assert(math.abs(out(0.1)._1 - 0.901) < 1e-9)
+    assert(out(0.1)._2 == 100 && out(0.1)._3 == 10) // 0.91..1.00
+    assert(math.abs(out(0.5)._1 - 0.505) < 1e-9)
+    assert(out(0.5)._3 == 50)
+    // empty input → typed empty; invalid rates rejected
+    assert(Similarity.thresholdForRate(sims.where(lit(false)),
+      col("sim"), Seq(0.1)).count() == 0)
+    intercept[IllegalArgumentException](
+      Similarity.thresholdForRate(sims, col("sim"), Seq(1.5)))
+  }
 }

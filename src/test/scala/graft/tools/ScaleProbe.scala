@@ -333,6 +333,12 @@ object ScaleProbe {
           ("c", col("c"), false))))
     }
 
+    time(s"hll grouped p=14 over $nDocs rows x 20 groups") {
+      force(docs.groupBy("source").agg(
+        graft.api.functions.hll_distinct(
+          graft.api.functions.hll_agg(col("doc_id"), 14)).as("d")))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
