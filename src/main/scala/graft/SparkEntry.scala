@@ -1849,6 +1849,16 @@ object SparkEntry {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    "q169_data_card" -> ((s, dir) => {
+      // the release receipt: corpus mass, composition concentration,
+      // exact-dup rate, Zipf fingerprint — every metric independently
+      // recomputed by the oracle (integers exact, ratios/fits round(6))
+      graft.ops.Profile.dataCard(t(s, dir, "documents"),
+          "doc_id", "text", "source", "lang")
+        .select(col("metric"), round(col("value"), 6).as("value"))
+        .orderBy("metric")
+    }),
+
     "q168_threshold_calibration" -> ((s, dir) => {
       // dedup-threshold calibration: the cosine threshold that admits a
       // TARGET pair rate = the (1−r) percentile of the candidate-pair
@@ -2944,6 +2954,50 @@ i$k AS MATERIALIZED (SELECT
            cast(sum(tok) AS BIGINT) AS sum_tokens
          FROM r WHERE before < 3000
          GROUP BY source ORDER BY source"""),
+    "q169_data_card" ->
+      (hashMacros + """WITH m AS MATERIALIZED (SELECT
+    count(*)::DOUBLE AS n_docs,
+    sum(len(string_split_regex(trim(text), '\s+')))::DOUBLE AS n_tokens,
+    sum(length(text))::DOUBLE AS n_chars,
+    count(DISTINCT source)::DOUBLE AS n_sources,
+    count(DISTINCT lang)::DOUBLE AS n_langs,
+    count(DISTINCT g_thash(text))::DOUBLE AS n_dt
+  FROM documents),
+ts AS (SELECT max(n)::DOUBLE AS v FROM
+  (SELECT count(*) AS n FROM documents GROUP BY source)),
+tl AS (SELECT max(n)::DOUBLE AS v FROM
+  (SELECT count(*) AS n FROM documents GROUP BY lang)),
+zt AS MATERIALIZED (SELECT
+    unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL),
+zty AS MATERIALIZED (SELECT w, count(*) AS c FROM zt
+  WHERE length(w) > 0 GROUP BY 1),
+zcc AS MATERIALIZED (SELECT c, count(*) AS f FROM zty GROUP BY 1),
+zpre AS MATERIALIZED (SELECT c, f,
+    sum(f) OVER (ORDER BY c DESC) AS cum FROM zcc),
+zpt AS MATERIALIZED (SELECT c, f,
+    ln((2*cum - f + 1)::DOUBLE / 2.0) AS x, ln(c::DOUBLE) AS y FROM zpre),
+zs AS MATERIALIZED (SELECT sum(f)::BIGINT AS n, sum(f*x) AS sx,
+    sum(f*y) AS sy, sum(f*x*x) AS sxx, sum(f*x*y) AS sxy,
+    sum(f*y*y) AS syy FROM zpt),
+zf AS (SELECT
+    -((n*sxy - sx*sy) / (n*sxx - sx*sx)) AS slope,
+    (n*sxy - sx*sy) * (n*sxy - sx*sy)
+      / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2 FROM zs)
+SELECT metric, round(value, 6) AS value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM m
+  UNION ALL SELECT 'n_tokens', n_tokens FROM m
+  UNION ALL SELECT 'n_chars', n_chars FROM m
+  UNION ALL SELECT 'n_sources', n_sources FROM m
+  UNION ALL SELECT 'n_langs', n_langs FROM m
+  UNION ALL SELECT 'exact_dup_docs', n_docs - n_dt FROM m
+  UNION ALL SELECT 'exact_dup_rate', (n_docs - n_dt) / n_docs FROM m
+  UNION ALL SELECT 'avg_doc_tokens', n_tokens / n_docs FROM m
+  UNION ALL SELECT 'top_source_share', (SELECT v FROM ts) / n_docs FROM m
+  UNION ALL SELECT 'top_lang_share', (SELECT v FROM tl) / n_docs FROM m
+  UNION ALL SELECT 'zipf_slope', slope FROM zf
+  UNION ALL SELECT 'zipf_r2', r2 FROM zf)
+ORDER BY metric"""),
     "q168_threshold_calibration" ->
       """WITH p AS MATERIALIZED (SELECT
            list_cosine_similarity(a.embedding::DOUBLE[],

@@ -136,6 +136,65 @@ object Profile {
     * Rows where either value is NULL or NaN are excluded listwise. Returns
     * one row (n, rho); rho is NULL when n < 2 or either column is
     * constant. */
+  /** One-call dataset card — the quantitative half of a "datasheet for
+    * datasets": corpus mass, composition concentration, exact-duplicate
+    * rate, and the Zipf naturalness fingerprint as a tall (metric, value)
+    * receipt. Ships with every released corpus snapshot so downstream
+    * consumers can diff cards instead of corpora.
+    *
+    * A handful of small aggregation jobs (counts, distincts via the text
+    * hash, top-share, [[Text.zipfFit]]); every metric is mirrorable by an
+    * external engine — integers exact, ratios/fits at round(6). Optional
+    * `includeCompressibility` adds the mean zlib deflate ratio (a
+    * heuristic signal with no SQL mirror — excluded from oracle-gated
+    * runs by default). */
+  def dataCard(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String,
+      includeCompressibility: Boolean = false): DataFrame = {
+    import graft.api.{functions => gf2}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      col(sourceCol).as("__src"), col(langCol).as("__lang"))
+      .localCheckpoint(true)
+    val m = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(gf2.token_count(col("__t")).cast("long")).as("n_tokens"),
+      sum(length(col("__t")).cast("long")).as("n_chars"),
+      count_distinct(col("__src")).as("n_sources"),
+      count_distinct(col("__lang")).as("n_langs"),
+      count_distinct(gf2.hash64(col("__t"))).as("n_distinct_texts")).head()
+    val nDocs = m.getLong(0).toDouble
+    def topShare(c: String): Double =
+      if (nDocs == 0) 0.0
+      else base.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .agg(max("n")).head().getLong(0) / nDocs
+    val zipf = Text.zipfFit(base, "__t").head()
+    val rows = Seq.newBuilder[(String, Double)]
+    rows += ("n_docs" -> m.getLong(0).toDouble)
+    rows += ("n_tokens" -> m.getLong(1).toDouble)
+    rows += ("n_chars" -> m.getLong(2).toDouble)
+    rows += ("n_sources" -> m.getLong(3).toDouble)
+    rows += ("n_langs" -> m.getLong(4).toDouble)
+    rows += ("exact_dup_docs" -> (m.getLong(0) - m.getLong(5)).toDouble)
+    rows += ("exact_dup_rate" ->
+      (if (nDocs == 0) 0.0 else (m.getLong(0) - m.getLong(5)) / nDocs))
+    rows += ("avg_doc_tokens" ->
+      (if (nDocs == 0) 0.0 else m.getLong(1) / nDocs))
+    rows += ("top_source_share" -> topShare("__src"))
+    rows += ("top_lang_share" -> topShare("__lang"))
+    rows += ("zipf_slope" -> zipf.getAs[Double]("slope"))
+    rows += ("zipf_r2" -> zipf.getAs[Double]("r2"))
+    if (includeCompressibility) {
+      rows += ("avg_deflate_ratio" ->
+        (if (nDocs == 0) 0.0
+         else base.agg(avg(gf2.deflate_ratio(col("__t"))))
+           .head().getDouble(0)))
+    }
+    CheckpointUtil.freeCheckpoint(base)
+    rows.result().toDF("metric", "value")
+  }
+
   def spearman(df: DataFrame, xCol: Column, yCol: Column,
       buckets: Int = 0): DataFrame = {
     val rows = df.select(xCol.cast("double").as("__x"),

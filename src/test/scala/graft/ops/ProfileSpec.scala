@@ -5,6 +5,34 @@ import graft.SparkTestBase
 
 /** One-pass multi-sketch column profiling (Profile.profile). */
 class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dataCard: every metric matches hand arithmetic on a tiny corpus") {
+    // 4 docs, one exact dup, 2 sources, 2 langs
+    val docs = Seq(
+      (1L, "a b c", "s1", "en"), (2L, "a b c", "s1", "en"),
+      (3L, "d e", "s2", "fr"), (4L, "a a a b", "s1", "en"))
+      .toDF("id", "text", "src", "lang")
+    val card = Profile.dataCard(docs, "id", "text", "src", "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 4.0)
+    assert(card("n_tokens") == 12.0)
+    assert(card("n_chars") == (5 + 5 + 3 + 7).toDouble)
+    assert(card("n_sources") == 2.0 && card("n_langs") == 2.0)
+    assert(card("exact_dup_docs") == 1.0)
+    assert(card("exact_dup_rate") == 0.25)
+    assert(card("avg_doc_tokens") == 3.0)
+    assert(card("top_source_share") == 0.75)
+    assert(card("top_lang_share") == 0.75)
+    assert(card.contains("zipf_slope") && card.contains("zipf_r2"))
+    assert(!card.contains("avg_deflate_ratio"))
+    // optional compressibility row appears on request, in (0, 1+]
+    val withZ = Profile.dataCard(docs, "id", "text", "src", "lang",
+      includeCompressibility = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(withZ("avg_deflate_ratio") > 0.0)
+  }
+
 
   private def run(parts: Int = 4) = {
     import spark.implicits._
