@@ -159,6 +159,27 @@ object TarShards {
     }
   }
 
+  /** Streaming variant of [[write]]: each micro-batch lands as its own
+    * complete WebDataset layout under `dir/batch-<id>/` (append-only —
+    * re-writing a tar member in place is not a thing; trainers consume
+    * batch directories in order, or a compaction job re-shards). The
+    * per-batch write keeps [[write]]'s determinism, so replaying a batch
+    * after a failure reproduces its directory byte-for-byte — exactly-once
+    * output from at-least-once execution.
+    *
+    * Caller starts/stops the returned query (set checkpointLocation via
+    * `options`). */
+  def writeStream(df: DataFrame, keyCol: Column, extCol: Column,
+      dataCol: Column, nShards: Int, dir: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    df.writeStream.options(options)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        write(batch, keyCol, extCol, dataCol, nShards,
+          f"$dir/batch-$batchId%05d")
+      }
+  }
+
   /** Read tar shards back: (shard, name, content) — one row per member.
     * Whole-file reads via binaryFile (shards sized ~≤1 GB by contract). */
   def read(spark: SparkSession, dir: String): DataFrame = {

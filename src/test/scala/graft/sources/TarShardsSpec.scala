@@ -99,6 +99,31 @@ class TarShardsSpec extends SparkTestBase {
     }
   }
 
+  test("writeStream lands each micro-batch as a complete deterministic layout") {
+    val in = tmp(); val out = tmp(); val ckpt = tmp()
+    val docs = (0 until 120)
+      .map(i => (f"k$i%04d", "txt", s"payload $i".getBytes("UTF-8")))
+      .toDF("k", "e", "b")
+    docs.coalesce(3).write.parquet(s"$in/members.parquet")
+    val stream = spark.readStream
+      .schema(docs.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/members.parquet")
+    val q = TarShards.writeStream(stream, col("k"), col("e"), col("b"),
+        2, out, Map("checkpointLocation" -> ckpt))
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    // every batch dir is a valid layout; the union of members == input
+    val batches = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch-")).map(_.toString).sorted
+    assert(batches.nonEmpty)
+    val all = batches.flatMap(b => TarShards.read(spark, b)
+      .select(col("name"), col("content").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))))
+    assert(all.length == 120)
+    assert(all.toSet == (0 until 120)
+      .map(i => (f"k$i%04d.txt", s"payload $i")).toSet)
+  }
+
   test("empty input still lays out nShards terminator-only archives") {
     val dir = tmp()
     val empty = Seq.empty[(String, String, Array[Byte])].toDF("k", "e", "b")
