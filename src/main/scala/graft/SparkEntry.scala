@@ -1989,10 +1989,13 @@ object SparkEntry {
     }),
 
     "q163_compressibility" -> ((s, dir) => {
-      // deflate-ratio quality signal. No SQL oracle — zlib is not
-      // expressible in DuckDB SQL, so the driver records the weaker
-      // rows-only check; semantics are pinned in NormalizeSpec against
-      // java.util.zip directly. Per-source ratio profile + count of
+      // deflate-ratio quality signal. zlib is not expressible in DuckDB
+      // SQL, so the oracle reads a GOLDEN per-doc ratio fixture
+      // (dev/fixtures/deflate/sf0.01, produced by graft.tools.FixtureGen
+      // calling java.util.zip.Deflater directly with the same pinned
+      // parameters — a separate code path from the engine's codegen'd
+      // expression) and re-derives this per-source profile independently.
+      // The gate stays pure-engine. Per-source ratio profile + count of
       // suspiciously compressible (repetitive) docs
       t(s, dir, "documents")
         .select(col("source"), gf.deflate_ratio(col("text")).as("r"))
@@ -3169,6 +3172,23 @@ FROM fin f JOIN ex USING (key_col) ORDER BY key_col"""),
        SELECT (di - 1)::BIGINT AS i, (dj - 1)::BIGINT AS j,
          round(v, 6) AS m
        FROM m ORDER BY i, j""",
+    "q163_compressibility" ->
+      // zlib DEFLATE is not expressible in DuckDB SQL; the oracle reads
+      // golden per-doc ratios precomputed by graft.tools.FixtureGen (direct
+      // java.util.zip.Deflater calls, pinned level-6/raw parameters — a
+      // separate code path from the engine's expression) and re-derives the
+      // per-source profile from them. Correctness runs at sf0.01 only, so
+      // the sf0.01 fixture path is pinned here.
+      """SELECT d.source, count(*)::BIGINT AS n_docs,
+         round(avg(f.r), 6) AS avg_ratio,
+         round(min(f.r), 6) AS min_ratio,
+         round(max(f.r), 6) AS max_ratio,
+         cast(sum(CASE WHEN f.r < 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suspicious
+       FROM documents d
+       JOIN read_parquet('/root/repo/dev/fixtures/deflate/sf0.01/data.parquet') f
+         USING (doc_id)
+       GROUP BY d.source ORDER BY d.source""",
     "q162_zipf" ->
       """WITH t AS MATERIALIZED (SELECT
            unnest(string_split_regex(trim(text), '\s+')) AS w
