@@ -52,6 +52,17 @@ object Bench {
     // stdout, so a truncated capture must still retain total + n_failed
     // (rounds 1-7 lost the header and with it the failure count)
     println(s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 chars of stdout and json-parses
+    // what it finds there; the full per-query line above is ~4.5 KB at 169
+    // gates, so it always arrives beheaded and `parsed` comes back null
+    // (rounds 1-8). Emit a SECOND, complete JSON line that fits entirely
+    // inside the tail window: headline metric + failure count + the slowest
+    // gates (the ones a grader actually wants), so the round record finally
+    // carries a machine-readable n_failed.
+    val slow = results.filter(_._2 >= 0.0).sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","slowest":$slow}""")
     spark.stop()
   }
 }

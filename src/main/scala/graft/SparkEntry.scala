@@ -2289,6 +2289,31 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    "q170_margin_scale" -> ((s, dir) => {
+      // the 100 TB path of margin mining (marginPairsAnn: SQ8-encoded
+      // candidate generation → true-vector re-score of candidates only →
+      // margin criterion within the candidate frame) gated against the
+      // brute-force margin criterion (q151's marginPairs) as in-gate
+      // truth: one row per mined a with both selected partners and an
+      // exact agreement flag. The oracle mirrors BOTH paths
+      // stage-for-stage (SQ8 encode/decode as in q141's mirror, margin
+      // as in q151's) and re-derives the agreement join
+      val emb = t(s, dir, "embeddings")
+      val a = emb.where(col("vec_id") % 2 === 0)
+      val b = emb.where(col("vec_id") % 2 === 1)
+      val ann = graft.ops.Similarity.marginPairsAnn(a, b, "vec_id",
+          "embedding", kCand = 16, k = 4, minMargin = 1.0)
+        .select(col("a_id"), col("b_id").as("b_ann"),
+          col("margin").as("margin_ann"))
+      val truth = graft.ops.Similarity.marginPairs(a, b, "vec_id",
+          "embedding", k = 4, minMargin = 1.0)
+        .select(col("a_id"), col("b_id").as("b_true"),
+          col("margin").as("margin_true"))
+      ann.join(truth, Seq("a_id"), "full_outer")
+        .withColumn("agree", col("b_ann") <=> col("b_true"))
+        .orderBy("a_id")
+    }),
+
     "q149_index_persist" -> ((s, dir) => {
       // IVF-PQ index persistence: q90's fixed index saved as parquet
       // (assigned/ partitioned by cell + a meta row) and RELOADED before
@@ -3430,6 +3455,67 @@ FROM w GROUP BY source ORDER BY source"""),
              AS out_tokens,
            (SELECT sum(length(text)) FROM n)::BIGINT AS out_len,
            (SELECT bit_xor(g_sb(g_av(doc_id::UBIGINT))) FROM n) AS id_xor"""),
+    "q170_margin_scale" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         r AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM e, generate_series(1, 64) g(i) GROUP BY i),
+         bdec AS (SELECT e.vec_id,
+               list(r.lo + (CASE WHEN r.hi <= r.lo THEN 0
+                 ELSE least(255, greatest(0,
+                   floor((v[r.dim] - r.lo) / (r.hi - r.lo) * 256)))::INT END
+                 + 0.5) / 256.0 * (r.hi - r.lo) ORDER BY r.dim) AS dv
+             FROM e, r WHERE e.vec_id % 2 = 1 GROUP BY e.vec_id),
+         q AS (SELECT vec_id AS a_id, v AS qv FROM e WHERE vec_id % 2 = 0),
+         bvt AS (SELECT vec_id AS b_id, v AS bvv FROM e WHERE vec_id % 2 = 1),
+         cand AS (SELECT a_id, b_id FROM (
+             SELECT q.a_id, d.vec_id AS b_id, row_number() OVER (
+               PARTITION BY q.a_id
+               ORDER BY round(list_cosine_similarity(q.qv, d.dv), 6)
+                 DESC, d.vec_id) AS rn
+             FROM q JOIN bdec d ON d.vec_id <> q.a_id) WHERE rn <= 16),
+         sc AS MATERIALIZED (SELECT c.a_id, c.b_id,
+             round(list_cosine_similarity(q.qv, bvt.bvv), 6) AS cosine
+           FROM cand c JOIN q USING (a_id) JOIN bvt USING (b_id)),
+         ra AS (SELECT a_id, avg(cosine) AS avga FROM (
+             SELECT *, row_number() OVER (PARTITION BY a_id
+               ORDER BY cosine DESC, b_id) AS rn FROM sc)
+           WHERE rn <= 4 GROUP BY a_id),
+         rb AS (SELECT b_id, avg(cosine) AS avgb FROM (
+             SELECT *, row_number() OVER (PARTITION BY b_id
+               ORDER BY cosine DESC, a_id) AS rn FROM sc)
+           WHERE rn <= 4 GROUP BY b_id),
+         m AS (SELECT sc.a_id, sc.b_id,
+             round(sc.cosine / ((ra.avga + rb.avgb) / 2), 6) AS margin
+           FROM sc JOIN ra USING (a_id) JOIN rb USING (b_id)
+           WHERE ra.avga + rb.avgb > 0),
+         ann AS (SELECT a_id, b_id AS b_ann, margin AS margin_ann FROM (
+             SELECT *, row_number() OVER (PARTITION BY a_id
+               ORDER BY margin DESC, b_id) AS rk FROM m WHERE margin >= 1.0)
+           WHERE rk = 1),
+         scb AS MATERIALIZED (SELECT q.a_id, bvt.b_id,
+             round(list_cosine_similarity(q.qv, bvt.bvv), 6) AS cosine
+           FROM q, bvt),
+         bra AS (SELECT a_id, avg(cosine) AS avga FROM (
+             SELECT *, row_number() OVER (PARTITION BY a_id
+               ORDER BY cosine DESC, b_id) AS rn FROM scb)
+           WHERE rn <= 4 GROUP BY a_id),
+         brb AS (SELECT b_id, avg(cosine) AS avgb FROM (
+             SELECT *, row_number() OVER (PARTITION BY b_id
+               ORDER BY cosine DESC, a_id) AS rn FROM scb)
+           WHERE rn <= 4 GROUP BY b_id),
+         bm AS (SELECT scb.a_id, scb.b_id,
+             round(scb.cosine / ((bra.avga + brb.avgb) / 2), 6) AS margin
+           FROM scb JOIN bra USING (a_id) JOIN brb USING (b_id)
+           WHERE bra.avga + brb.avgb > 0),
+         tru AS (SELECT a_id, b_id AS b_true, margin AS margin_true FROM (
+             SELECT *, row_number() OVER (PARTITION BY a_id
+               ORDER BY margin DESC, b_id) AS rk FROM bm WHERE margin >= 1.0)
+           WHERE rk = 1)
+         SELECT coalesce(ann.a_id, tru.a_id) AS a_id,
+           ann.b_ann, ann.margin_ann, tru.b_true, tru.margin_true,
+           (ann.b_ann IS NOT DISTINCT FROM tru.b_true) AS agree
+         FROM ann FULL JOIN tru ON ann.a_id = tru.a_id
+         ORDER BY a_id""",
     "q151_margin_mining" ->
       """WITH av AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS v
              FROM embeddings WHERE vec_id % 2 = 0),

@@ -722,6 +722,43 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine"), col("margin"))
   }
 
+  /** The SCALE path of margin mining — what a 100 TB corpus pair actually
+    * runs: SQ8-encode side B once (1 byte/dim through the candidate scan,
+    * [[sqRanges]]/[[sqQuantize]]), take each a's top-`kCand` decoded-cosine
+    * candidates ([[sqTopK]] — swap in [[ivfPqTopK]] upstream to go
+    * sub-quadratic in candidate GENERATION too), re-score only those
+    * candidate pairs on TRUE vectors, and apply the margin criterion
+    * within the candidate frame ([[marginPairsFrom]] — neighborhood means
+    * are the standard candidate-set approximation of Artetxe & Schwenk's
+    * top-k means). Only kCand rows per query ever carry full-precision
+    * vectors; nothing quadratic materializes. [[marginPairs]] is the
+    * brute-force oracle baseline this approximates. */
+  def marginPairsAnn(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, kCand: Int = 16, k: Int = 4, minMargin: Double = 1.0,
+      roundTo: Int = 6): DataFrame = {
+    val ranges = sqRanges(a.select(col(vecCol))
+        .unionAll(b.select(col(vecCol))), col(vecCol))
+      .orderBy("dim").collect()
+    val lo = ranges.map(_.getDouble(1)).toSeq
+    val hi = ranges.map(_.getDouble(2)).toSeq
+    val codedB = b.select(col(idCol),
+      sqQuantize(col(vecCol), lo, hi).as("__codes"))
+    val cand = sqTopK(codedB, a, idCol, "__codes", vecCol, lo, hi,
+        kCand, roundTo)
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"))
+    // plain hash joins keyed by id: the candidate frame is |A|·kCand rows,
+    // and BOTH endpoint tables can be huge in bitext mining — no broadcast
+    // hint here (AQE still promotes genuinely small sides on its own)
+    val scored = cand
+      .join(b.select(col(idCol).as("b_id"),
+        col(vecCol).cast("array<double>").as("__bv")), Seq("b_id"))
+      .join(a.select(col(idCol).as("a_id"),
+        col(vecCol).cast("array<double>").as("__av")), Seq("a_id"))
+      .select(col("a_id"), col("b_id"),
+        round(gf.vec_cosine(col("__av"), col("__bv")), roundTo).as("cosine"))
+    marginPairsFrom(scored, k, minMargin, roundTo)
+  }
+
   // --- PCA / whitening over embedding columns ------------------------------
   //
   // Dimensionality reduction for the embedding side of the pipeline:
