@@ -119,6 +119,21 @@ object SparkEntry {
       base
     })
 
+  /** One-time 8-shard TFRecord layout for q172, keyed by sf dir. */
+  private val recordsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureRecords(s: SparkSession, dir: String): String =
+    recordsCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft_tfrec").toString
+      val docs = t(s, d, "documents")
+      graft.sources.RecordShards.write(
+        docs.select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+          concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+            .cast("binary").as("body")),
+        col("key"), col("body"), 8, base)
+      base
+    })
+
   /** One-time persisted IVF-PQ index for q149 (q90's fixed deterministic
     * structures, written via saveIvfPqIndex), keyed by sf dir. */
   private val ivfPqCache =
@@ -2289,6 +2304,43 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    "q172_record_shards" -> ((s, dir) => {
+      // TFRecord-framed training-shard round-trip (q159's contract for
+      // the length-prefixed loader format): documents become one
+      // "<doc_id>\t<text>" record each across 8 shards (layout cached as
+      // setup — reps measure the read-back). The gate re-reads the
+      // ACTUAL shard bytes through the CRC-verifying parser; the oracle
+      // predicts membership, per-shard record order (pos), byte totals,
+      // and content checksums straight from the raw table, so a framing/
+      // CRC/ordering bug breaks the hash
+      val path = ensureRecords(s, dir)
+      graft.sources.RecordShards.read(s, path)
+        .select(col("shard"), col("pos"),
+          col("record").cast("string").as("payload"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_records"),
+          sum(length(col("payload"))).cast("long").as("sum_bytes"),
+          bit_xor(gf.hash64(col("payload"))).as("payload_xor"),
+          bit_xor(gf.hash64(concat(col("pos").cast("string"), lit("|"),
+            col("payload")))).as("order_xor"))
+        .orderBy("shard")
+    }),
+
+    "q171_bpe_encode" -> ((s, dir) => {
+      // corpus-scale BPE tokenizer APPLICATION: learn 8 merges in-engine
+      // (q89 gates merge learning itself), induce the symbol vocabulary
+      // (chars then fused symbols, first-occurrence dedup), segment word
+      // TYPES once, and stream-assemble per-doc piece-id sequences. The
+      // oracle replays all 8 merges in unrolled (MATERIALIZED) CTEs,
+      // rebuilds the same id space, and re-derives every doc's ids
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.learnMerges(docs, "text", 8)
+      graft.ops.Bpe.encode(docs, "doc_id", col("text"), merges)
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_pieces"), col("ids"))
+        .orderBy("doc_id")
+    }),
+
     "q170_margin_scale" -> ((s, dir) => {
       // the 100 TB path of margin mining (marginPairsAnn: SQ8-encoded
       // candidate generation → true-vector re-score of candidates only →
@@ -3455,6 +3507,79 @@ FROM w GROUP BY source ORDER BY source"""),
              AS out_tokens,
            (SELECT sum(length(text)) FROM n)::BIGINT AS out_len,
            (SELECT bit_xor(g_sb(g_av(doc_id::UBIGINT))) FROM n) AS id_xor"""),
+    "q172_record_shards" ->
+      (hashMacros + """WITH m AS (SELECT
+    lpad(doc_id::VARCHAR, 8, '0') AS key,
+    doc_id::VARCHAR || chr(9) || text AS payload
+  FROM documents),
+g AS (SELECT
+    ((g_thash(key) & 1048575::UBIGINT) % 8::UBIGINT)::INT AS shard,
+    key, payload FROM m),
+p AS (SELECT shard, payload,
+    row_number() OVER (PARTITION BY shard ORDER BY key) - 1 AS pos
+  FROM g)
+SELECT shard, count(*)::BIGINT AS n_records,
+  sum(length(payload))::BIGINT AS sum_bytes,
+  bit_xor(g_sb(g_thash(payload))) AS payload_xor,
+  bit_xor(g_sb(g_thash(pos::VARCHAR || '|' || payload))) AS order_xor
+FROM p GROUP BY shard ORDER BY shard"""),
+    "q171_bpe_encode" ->
+      // replays the 8-merge learning loop (q89's machinery, MATERIALIZED —
+      // each s_k is read twice, and an inlined 8-level chain re-evaluates
+      // 2^8 times), then rebuilds the symbol-id space (sorted chars, then
+      // fused symbols in first-occurrence merge order) and every doc's
+      // flattened piece-id sequence
+      ("""WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+                        FROM documents),
+         w AS (SELECT word, count(*)::BIGINT AS freq FROM toks
+               WHERE word <> '' GROUP BY 1),
+         s0 AS MATERIALIZED (SELECT word, list_transform(
+                  range(1, length(word)+1), i -> word[i:i]) AS syms, freq
+               FROM w),""" +
+        (1 to 8).map { k =>
+          s"""
+         p$k AS (SELECT syms[j] AS l, syms[j+1] AS r, sum(freq)::BIGINT AS cnt
+               FROM s${k - 1}, unnest(range(1, len(syms))) t(j) GROUP BY 1, 2),
+         m$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         s$k AS MATERIALIZED (SELECT word, list_reduce(
+                 list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$k.l
+                                       AND x[1] = m$k.r
+                   THEN list_append(acc[1:len(acc)-1], m$k.l || m$k.r)
+                   ELSE list_append(acc, x[1]) END) AS syms, freq
+               FROM s${k - 1}, m$k)"""
+        }.mkString(",") + """,
+         cv AS (SELECT symbol, row_number() OVER (ORDER BY symbol) - 1 AS sid
+               FROM (SELECT DISTINCT unnest(list_transform(
+                   range(1, length(word)+1), i -> word[i:i])) AS symbol
+                 FROM w)),
+         nc AS (SELECT count(*)::BIGINT AS c FROM cv),
+         mv0 AS (""" +
+        (1 to 8).map { k =>
+          s"SELECT $k AS mi, l || r AS symbol FROM m$k"
+        }.mkString("\n           UNION ALL ") + """),
+         mvd AS (SELECT symbol, min(mi) AS mi FROM mv0 GROUP BY symbol),
+         mv AS (SELECT symbol,
+               nc.c + row_number() OVER (ORDER BY mi) - 1 AS sid
+             FROM mvd, nc),
+         sv AS MATERIALIZED (SELECT symbol, sid::BIGINT AS sid FROM cv
+           UNION ALL SELECT symbol, sid::BIGINT FROM mv),
+         wpe AS (SELECT word, t.j AS j, syms[j] AS symbol
+               FROM s8, unnest(range(1, len(syms)+1)) t(j)),
+         wp AS MATERIALIZED (SELECT wpe.word,
+               list(sv.sid ORDER BY wpe.j) AS wids
+             FROM wpe JOIN sv USING (symbol) GROUP BY wpe.word),
+         dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+               FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+                 FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+         dn AS (SELECT dt.doc_id, dt.pos, wp.wids
+               FROM dt JOIN wp USING (word)),
+         o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+               FROM dn GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(len(o.ids), 0)::BIGINT AS n_pieces,
+           coalesce(o.ids, []::BIGINT[]) AS ids
+         FROM documents d LEFT JOIN o USING (doc_id)
+         ORDER BY d.doc_id"""),
     "q170_margin_scale" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          r AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi

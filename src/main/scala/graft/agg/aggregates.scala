@@ -411,9 +411,12 @@ case class ExactSumAgg(
     copy(child = c)
 }
 
-/** Mutable Gram-moment buffer: per-dim exact sums + upper-triangle exact
-  * product sums. `d` is fixed by the first vector seen. */
-final class GramBuffer(var d: Int, var n: Long, var cells: Array[ExactSum])
+/** Mutable Gram-moment buffer: per-dim sums + upper-triangle product
+  * sums, as superaccumulators (`cells`, exact mode) or plain doubles
+  * (`raw`). `d` is fixed by the first vector seen; exactly one of
+  * cells/raw is non-null once initialized. */
+final class GramBuffer(var d: Int, var n: Long, var cells: Array[ExactSum],
+    var raw: Array[Double] = null)
 
 /** gram_agg(vec) → one-pass exact second moments of a uniform-width
   * array<double> column: (n, terms[(i, −1, Σx_i) ++ (i, j≥i, Σx_i·x_j)]).
@@ -429,9 +432,19 @@ final class GramBuffer(var d: Int, var n: Long, var cells: Array[ExactSum])
   *
   * Vectors must share one width (ragged input → IllegalArgumentException;
   * nulls are skipped). Buffer size is d(d+3)/2 superaccumulators —
-  * ~1–2 MB at d=64 — per PARTITION (global aggregate), not per group. */
+  * ~1–2 MB at d=64 — per PARTITION (global aggregate), not per group.
+  *
+  * `exact = false` swaps the superaccumulator cells for plain doubles:
+  * the buffer shrinks ~16× (one double per cell — ~2.4 MB at d=768
+  * instead of ~130 MB, which at 32 partitions is the difference between
+  * 75 MB and 4 GB of aggregation state), at the cost of bit-exactness —
+  * results then carry ordinary fp accumulation error (~1e-12 relative on
+  * unit-scale embeddings) and can vary in the last ulps across
+  * partitionings. Use it at encoder widths (d ≳ 128); the default stays
+  * exact. */
 case class GramAgg(
     child: Expression,
+    exact: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[GramBuffer]
@@ -454,7 +467,8 @@ case class GramAgg(
 
   private def init(buf: GramBuffer, d: Int): Unit = {
     buf.d = d
-    buf.cells = Array.fill(nCells(d))(new ExactSum)
+    if (exact) buf.cells = Array.fill(nCells(d))(new ExactSum)
+    else buf.raw = new Array[Double](nCells(d))
   }
 
   override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
@@ -467,14 +481,24 @@ case class GramAgg(
         require(x.length == buf.d,
           s"gram_agg: ragged vector widths (${x.length} vs ${buf.d})")
         val d = buf.d
-        val cells = buf.cells
         var i = 0
         var tri = d
-        while (i < d) {
-          cells(i).add(x(i))
-          var j = i
-          while (j < d) { cells(tri).add(x(i) * x(j)); tri += 1; j += 1 }
-          i += 1
+        if (exact) {
+          val cells = buf.cells
+          while (i < d) {
+            cells(i).add(x(i))
+            var j = i
+            while (j < d) { cells(tri).add(x(i) * x(j)); tri += 1; j += 1 }
+            i += 1
+          }
+        } else {
+          val raw = buf.raw
+          while (i < d) {
+            raw(i) += x(i)
+            var j = i
+            while (j < d) { raw(tri) += x(i) * x(j); tri += 1; j += 1 }
+            i += 1
+          }
         }
         buf.n += 1
       }
@@ -489,7 +513,10 @@ case class GramAgg(
       require(b1.d == b2.d,
         s"gram_agg: ragged vector widths (${b1.d} vs ${b2.d})")
       var k = 0
-      while (k < b1.cells.length) { b1.cells(k).merge(b2.cells(k)); k += 1 }
+      if (exact)
+        while (k < b1.cells.length) { b1.cells(k).merge(b2.cells(k)); k += 1 }
+      else
+        while (k < b1.raw.length) { b1.raw(k) += b2.raw(k); k += 1 }
       b1.n += b2.n
       b1
     }
@@ -502,12 +529,14 @@ case class GramAgg(
       out.update(1, new GenericArrayData(Array.empty[Any]))
     } else {
       val d = buf.d
+      def cell(k: Int): Double =
+        if (exact) buf.cells(k).result() else buf.raw(k)
       val terms = new Array[Any](nCells(d))
       var i = 0
       while (i < d) {
         val r = new GenericInternalRow(3)
         r.setInt(0, i); r.setInt(1, -1)
-        r.setDouble(2, buf.cells(i).result())
+        r.setDouble(2, cell(i))
         terms(i) = r
         i += 1
       }
@@ -518,7 +547,7 @@ case class GramAgg(
         while (j < d) {
           val r = new GenericInternalRow(3)
           r.setInt(0, i); r.setInt(1, j)
-          r.setDouble(2, buf.cells(tri).result())
+          r.setDouble(2, cell(tri))
           terms(tri) = r
           tri += 1; j += 1
         }
@@ -536,10 +565,14 @@ case class GramAgg(
     if (buf.d != -1) {
       out.writeLong(buf.n)
       var k = 0
-      while (k < buf.cells.length) {
-        val b = buf.cells(k).serialize()
-        out.writeInt(b.length); out.write(b)
-        k += 1
+      if (exact) {
+        while (k < buf.cells.length) {
+          val b = buf.cells(k).serialize()
+          out.writeInt(b.length); out.write(b)
+          k += 1
+        }
+      } else {
+        while (k < buf.raw.length) { out.writeDouble(buf.raw(k)); k += 1 }
       }
     }
     out.flush()
@@ -553,13 +586,18 @@ case class GramAgg(
     if (d == -1) new GramBuffer(-1, 0L, null)
     else {
       val n = in.readLong()
-      val cells = Array.tabulate(nCells(d)) { _ =>
-        val len = in.readInt()
-        val b = new Array[Byte](len)
-        in.readFully(b)
-        ExactSum.deserialize(b)
+      if (exact) {
+        val cells = Array.tabulate(nCells(d)) { _ =>
+          val len = in.readInt()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          ExactSum.deserialize(b)
+        }
+        new GramBuffer(d, n, cells)
+      } else {
+        val raw = Array.tabulate(nCells(d))(_ => in.readDouble())
+        new GramBuffer(d, n, null, raw)
       }
-      new GramBuffer(d, n, cells)
     }
   }
 

@@ -185,6 +185,11 @@ object functions {
   def exact_sum(x: Column): Column = agg(ExactSumAgg(toExpr(x)))
   def vec_exact_sum(v: Column): Column = agg(VecExactSumAgg(toExpr(v)))
   def gram_agg(vec: Column): Column = agg(GramAgg(toExpr(vec)))
+  /** `exact = false` trades bit-exact superaccumulator cells for plain
+    * doubles — ~16× smaller aggregation buffers, for encoder widths
+    * (d ≳ 128). See [[graft.agg.GramAgg]]. */
+  def gram_agg(vec: Column, exact: Boolean): Column =
+    agg(GramAgg(toExpr(vec), exact))
 
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def text_stats(text: Column): Column = toColumn(TextStatsExpr(toExpr(text)))

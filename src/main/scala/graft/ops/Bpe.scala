@@ -96,4 +96,148 @@ object Bpe {
 
   private def freeCheckpoint(df: DataFrame): Unit =
     CheckpointUtil.freeCheckpoint(df)
+
+  // --- corpus-scale encode-to-ids ------------------------------------------
+  //
+  // The tokenizer-APPLICATION step every training pipeline runs after
+  // merge learning: turn each document into its BPE piece-id sequence.
+  // Scale shape mirrors [[Vocab.encode]] but with one extra trick: BPE
+  // segmentation is a pure function of the WORD, so it runs once per word
+  // TYPE (vocab-sized table, ≪ corpus) and the corpus only ever joins
+  // (doc, pos, word) against the precomputed (word → piece ids) table —
+  // the k-merge fold never touches a corpus-sized frame.
+
+  /** Symbol vocabulary induced by a corpus + merge list, the id space of
+    * [[encode]]: distinct single characters of the corpus's word types
+    * (sorted) take ids 0..C−1, then each merge's fused symbol takes
+    * C+i in merge order (first occurrence wins when two merges fuse to
+    * the same string — ("ab","c") and ("a","bc") both yield "abc").
+    * Output: (symbol, symbol_id). The window ranks the CHARACTER table —
+    * alphabet-sized, single-partition by construction. */
+  def symbolVocab(df: DataFrame, text: Column,
+      merges: Seq[Merge]): DataFrame =
+    symbolVocabFromWords(
+      df.select(explode(split(text, "\\s+")).as("word"))
+        .where(length(col("word")) > 0),
+      merges)
+
+  /** [[symbolVocab]] over an already-extracted (word) frame — lets
+    * [[encode]] reuse its word-type table instead of rescanning the
+    * corpus. */
+  def symbolVocabFromWords(words: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val chars = words
+      .select(explode(charSymbols(col("word"))).as("symbol"))
+      .distinct()
+      .withColumn("symbol_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("symbol")).cast("long") - 1)
+    // fused symbols are always ≥ 2 chars, so they can never collide with
+    // the single-char block; dedup among themselves preserving merge order
+    val fused = merges.map(m => m.left + m.right).distinct
+    if (fused.isEmpty) chars
+    else {
+      val base = chars.agg(coalesce(max(col("symbol_id")) + 1, lit(0L))
+        .as("__c"))
+      chars.unionByName(
+        fused.zipWithIndex.toDF("symbol", "__i")
+          .crossJoin(base) // 1×1 scalar join: alphabet size
+          .select(col("symbol"),
+            (col("__c") + col("__i")).cast("long").as("symbol_id")))
+    }
+  }
+
+  /** Segment a (word)-column frame under an ordered merge list, applied in
+    * expression-fold chunks of `chunk` merges with a localCheckpoint
+    * between chunks: one [[mergeOnce]] fold per merge nests codegen k
+    * deep, and an uncut thousand-merge chain would blow the janino method
+    * limit — the checkpoint runs over the word-TYPE table, so its cost is
+    * vocabulary-sized, not corpus-sized. Returns the input plus `syms`. */
+  def segmentWords(words: DataFrame, merges: Seq[Merge],
+      chunk: Int = 16): DataFrame = {
+    require(chunk >= 1, "chunk must be >= 1")
+    var cur = words.withColumn("syms", charSymbols(col("word")))
+    val checkpoints = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    merges.grouped(chunk).foreach { grp =>
+      val folded = grp.foldLeft(col("syms")) { (c, m) =>
+        mergeOnce(c, m.left, m.right)
+      }
+      cur = cur.withColumn("syms", folded).localCheckpoint()
+      checkpoints += cur
+    }
+    // all but the LAST checkpoint are dead intermediates — free them
+    checkpoints.dropRight(1).foreach(freeCheckpoint)
+    cur
+  }
+
+  /** Encode documents to BPE piece-id sequences under a learned merge
+    * list: the composition a 100 TB tokenization job actually runs.
+    * Output: (idCol, ids array<long>), empty/null docs → empty arrays.
+    *
+    * Scale shape: segmentation + symbol-id mapping run over the word-TYPE
+    * table ([[segmentWords]] — corpus-size independent); the corpus
+    * explodes to (doc, pos, word) at the scan, joins the (word → piece
+    * ids) table by word (plain hash join — the type table is NOT
+    * broadcast: at web scale it can reach 10⁸ rows), and the only
+    * corpus-sized shuffle regroups (doc, pos, ids) rows. Array assembly
+    * is the same sorted streaming walk as [[Vocab.encode]] (one doc in
+    * memory at a time — collect_list OOMs at billion-token scale),
+    * flattening per-word piece arrays in (doc, pos) order. */
+  def encode(df: DataFrame, idCol: String, text: Column,
+      merges: Seq[Merge], unkId: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    // word TYPES once (one corpus-sized distinct shuffle); chars and
+    // segmentation both derive from this small table, so the corpus is
+    // scanned exactly twice overall: here and in the token explode below
+    val types = df
+      .select(explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct()
+      .localCheckpoint()
+    val vocab = symbolVocabFromWords(types, merges)
+    val wordIds = segmentWords(types, merges)
+      .select(col("word"), posexplode(col("syms")).as(Seq("__sp", "__sym")))
+      .join(broadcast(vocab.select(col("symbol").as("__sym"),
+        col("symbol_id").as("__sid"))), Seq("__sym"), "left")
+      // a symbol outside the vocab (encode under merges learned elsewhere)
+      // maps to unkId rather than silently dropping the piece
+      .select(col("word"), col("__sp"), coalesce(col("__sid"), lit(unkId))
+        .as("__sid"))
+      .groupBy("word")
+      .agg(transform(array_sort(collect_list(struct(col("__sp"),
+        col("__sid")))), x => x.getField("__sid")).as("__wids"))
+    val toks = df.select(col(idCol),
+      posexplode_outer(split(text, "\\s+")).as(Seq("__pos", "__tok")))
+    val mapped = toks
+      .join(wordIds.select(col("word").as("__tok"), col("__wids")),
+        Seq("__tok"), "left")
+      .select(col(idCol), col("__pos"),
+        when(col("__tok").isNull || length(col("__tok")) === 0, lit(null))
+          .otherwise(col("__wids")).as("__wids"))
+    val outSchema = StructType(Seq(
+      mapped.schema.fields(0),
+      StructField("ids", ArrayType(LongType, containsNull = false))))
+    mapped
+      .repartition(col(idCol))
+      .sortWithinPartitions(col(idCol), col("__pos"))
+      .mapPartitions { it =>
+        val in = it.buffered // see Vocab.encode on the naming trap here
+        new Iterator[Row] {
+          def hasNext: Boolean = in.hasNext
+          def next(): Row = {
+            val id = in.head.get(0)
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            while (in.hasNext && in.head.get(0) == id) {
+              val r = in.next()
+              if (!r.isNullAt(2)) r.getSeq[Long](2).foreach(ids += _)
+            }
+            Row(id, ids.toSeq)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
 }

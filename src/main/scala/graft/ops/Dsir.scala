@@ -68,7 +68,18 @@ object Dsir {
     * counts and pushes every score toward −log(T_t/T_r)). */
   def logRatioTable(raw: DataFrame, target: DataFrame, textCol: String,
       buckets: Int, alpha: Double = 0.5,
-      bigrams: Boolean = true): DataFrame = {
+      bigrams: Boolean = true): DataFrame =
+    logRatioModel(raw, target, textCol, buckets, alpha, bigrams)._1
+
+  /** [[logRatioTable]] plus the SMOOTHED-FLOOR log-ratio — the score a
+    * bucket unseen in both fit corpora would take under the same add-α
+    * model: log(α/(T_t+αB)) − log(α/(T_r+αB)). Pass it as
+    * [[importanceWeights]]'s `missingLogRatio` when the scored pool is
+    * not a subset of the fit pool, so its novel grams score as
+    * maximally-out-of-target rather than being dropped. */
+  def logRatioModel(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int, alpha: Double = 0.5,
+      bigrams: Boolean = true): (DataFrame, Double) = {
     require(alpha > 0.0, "alpha must be > 0 (unsmoothed logs diverge)")
     val tc = bucketCounts(target, textCol, buckets, bigrams)
       .withColumnRenamed("cnt", "__tc")
@@ -80,24 +91,34 @@ object Dsir {
     val rTot = rc.agg(coalesce(sum("__rc"), lit(0L)))
       .collect()(0).getLong(0).toDouble
     val aB = alpha * buckets
-    tc.join(rc, Seq("bucket"), "full")
+    val table = tc.join(rc, Seq("bucket"), "full")
       .select(col("bucket"),
         (log((coalesce(col("__tc"), lit(0L)) + alpha) / (tTot + aB)) -
           log((coalesce(col("__rc"), lit(0L)) + alpha) / (rTot + aB)))
           .as("log_ratio"))
+    val floor = math.log(alpha / (tTot + aB)) - math.log(alpha / (rTot + aB))
+    (table, floor)
   }
 
   /** Per-document importance scores against a precomputed
     * [[logRatioTable]]: (idCol, n_grams, score). Documents with no grams
-    * (empty/null text) score 0 with n_grams 0. */
+    * (empty/null text) score 0 with n_grams 0.
+    *
+    * Grams whose bucket is absent from `ratios` (possible only when the
+    * scored pool is not a subset of the fit pool) are LEFT-joined and
+    * scored at `missingLogRatio` — counted in n_grams, not silently
+    * dropped (an inner join here undercounted n_grams and biased the
+    * mean toward covered buckets). Pass [[logRatioModel]]'s smoothed
+    * floor for model-consistent treatment; the 0.0 default is neutral. */
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
       ratios: DataFrame, buckets: Int,
-      bigrams: Boolean = true): DataFrame = {
+      bigrams: Boolean = true, missingLogRatio: Double = 0.0): DataFrame = {
     val grams = raw.select(col(idCol).as("__id"),
       explode(gramBuckets(col(textCol), buckets, bigrams)).as("bucket"))
-    val scored = grams.join(broadcast(ratios), Seq("bucket"))
+    val scored = grams.join(broadcast(ratios), Seq("bucket"), "left")
       .groupBy("__id")
-      .agg(gf.exact_sum(col("log_ratio")).as("__sum"),
+      .agg(gf.exact_sum(coalesce(col("log_ratio"), lit(missingLogRatio)))
+        .as("__sum"),
         count(lit(1)).as("__ng"))
     raw.select(col(idCol).as("__id"))
       .join(scored, Seq("__id"), "left")
@@ -106,13 +127,16 @@ object Dsir {
         coalesce(col("__sum") / col("__ng"), lit(0.0)).as("score"))
   }
 
-  /** End-to-end convenience: fit both models and score the raw pool. */
+  /** End-to-end convenience: fit both models and score the raw pool.
+    * Every scored bucket is in the fit pool by construction, but the
+    * smoothed floor is threaded through anyway for consistency. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int, alpha: Double,
-      bigrams: Boolean): DataFrame =
-    importanceWeights(raw, idCol, textCol,
-      logRatioTable(raw, target, textCol, buckets, alpha, bigrams),
-      buckets, bigrams)
+      bigrams: Boolean): DataFrame = {
+    val (table, floor) =
+      logRatioModel(raw, target, textCol, buckets, alpha, bigrams)
+    importanceWeights(raw, idCol, textCol, table, buckets, bigrams, floor)
+  }
 
   /** Deterministic MAP selection: top `k` documents by (score desc,
     * id asc) — a TakeOrdered, not a global sort. */

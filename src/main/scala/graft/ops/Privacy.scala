@@ -31,7 +31,12 @@ object Privacy {
     sensitive match {
       case None => g.agg(count(lit(1)).as("class_size"))
       case Some(s) => g.agg(count(lit(1)).as("class_size"),
-        count_distinct(s).as("l_diversity"))
+        // NULL is a sensitive VALUE here too (consistent with the class-key
+        // convention above): count_distinct skips NULLs, so add one when
+        // the class contains any — {NULL, x} is diversity 2, all-NULL is 1.
+        (count_distinct(s) +
+          coalesce(max(when(s.isNull, 1L).otherwise(0L)), lit(0L)))
+          .as("l_diversity"))
     }
   }
 

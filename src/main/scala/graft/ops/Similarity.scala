@@ -780,11 +780,19 @@ object Similarity {
     * partition ships through the shuffle, and every cell remains a
     * correctly-rounded function of the corpus multiset — bit-identical
     * under any partitioning. Vectors must share one width (ragged input
-    * fails fast); null/empty vectors are dropped. */
-  private[graft] def covMoments(df: DataFrame, vecCol: Column): DataFrame = {
+    * fails fast); null/empty vectors are dropped.
+    *
+    * `exact = false` switches [[graft.agg.GramAgg]] to its plain-double
+    * buffer — mandatory reading at encoder widths: the superaccumulator
+    * buffer is ~130 MB/partition at d=768 (4 GB of aggregation state at
+    * 32 partitions), the double buffer ~2.4 MB, at the cost of ~1e-12
+    * relative fp drift in the moments (and thus last-ulp variation across
+    * partitionings). */
+  private[graft] def covMoments(df: DataFrame, vecCol: Column,
+      exact: Boolean = true): DataFrame = {
     val v = df.select(vecCol.cast("array<double>").as("__v"))
       .where(col("__v").isNotNull && size(col("__v")) > 0)
-    v.agg(gf.gram_agg(col("__v")).as("g"))
+    v.agg(gf.gram_agg(col("__v"), exact).as("g"))
       .select(col("g.n").as("__n"), explode(col("g.terms")).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("t.s").as("s"),
         col("__n").as("n"))
@@ -794,8 +802,9 @@ object Similarity {
     * (dim_a, dim_b, n, cov) for dim_a ≤ dim_b, cov = E[x_a·x_b] −
     * E[x_a]·E[x_b]. Distributed output (the matrix is d²-sized, not
     * corpus-sized); the corpus is touched exactly once. */
-  def covarianceMatrix(df: DataFrame, vecCol: Column): DataFrame = {
-    val m = covMoments(df, vecCol)
+  def covarianceMatrix(df: DataFrame, vecCol: Column,
+      exact: Boolean = true): DataFrame = {
+    val m = covMoments(df, vecCol, exact)
     val means = m.where(col("j") === -1)
       .select(col("i").as("__k"), (col("s") / col("n")).as("__mean"))
     m.where(col("j") >= 0)
@@ -817,8 +826,9 @@ object Similarity {
     * deterministic Jacobi eigensolve of the d×d covariance. `k` bounds the
     * retained components (0 = all d). The model is d·(k+1) doubles — ship
     * it anywhere. */
-  def pcaFit(df: DataFrame, vecCol: Column, k: Int = 0): PcaModel = {
-    val rows = covMoments(df, vecCol).collect()
+  def pcaFit(df: DataFrame, vecCol: Column, k: Int = 0,
+      exact: Boolean = true): PcaModel = {
+    val rows = covMoments(df, vecCol, exact).collect()
     require(rows.nonEmpty, "pcaFit: empty corpus")
     val d = rows.iterator.map(_.getInt(0)).max + 1
     val n = rows.find(r => r.getInt(1) == -1).map(_.getLong(3)).getOrElse(0L)

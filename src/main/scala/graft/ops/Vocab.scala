@@ -26,11 +26,19 @@ object Vocab {
     * types with count ≥ `minCount`, ranked densely by (count DESC, token
     * ASC). Output: (token, token_id, n) with ids 0..V−1.
     *
-    * One corpus-sized count shuffle; the rank window runs over the
-    * vocabulary-sized count table (a single-partition window over ≤ a few
-    * million rows — if your type count exceeds executor memory, raise
-    * `minCount`: a vocabulary you cannot rank is not a vocabulary you can
-    * train a tokenizer on). */
+    * One corpus-sized count shuffle. The global rank is a TWO-LEVEL scan,
+    * not a partition-less `row_number` window (which funnels the whole
+    * type table through one task): range-partition the count table by the
+    * rank order itself, freeze the layout (localCheckpoint — the bucket
+    * assignment must be identical in the size-count job and the final
+    * plan), collect the per-partition row counts (≤ shuffle-partitions
+    * rows), and add each partition's broadcast prefix offset to a
+    * partition-LOCAL row_number. Same scheme as
+    * [[Packing.withPrefixSum]], adapted to a composite (n DESC, token
+    * ASC) key that a numeric bucket boundary cannot express but a range
+    * partitioner can — and because the partitioner splits the huge tied
+    * n=1 tail across partitions by token, Zipfian skew cannot recreate
+    * the single-task bottleneck. Exact for any partitioning. */
   def build(df: DataFrame, text: Column, minCount: Long = 1L,
       maxSize: Long = Long.MaxValue): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
@@ -40,9 +48,24 @@ object Vocab {
       .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
-    counts
+    val parts = math.max(2,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = counts
+      .repartitionByRange(parts, col("n").desc, col("token"))
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint()
+    val sizes = ranged.groupBy("__bkt").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxB = if (sizes.isEmpty) 0 else sizes.keys.max
+    val offsets = new Array[Long](maxB + 1)
+    var acc = 0L
+    (0 to maxB).foreach { b => offsets(b) = acc; acc += sizes.getOrElse(b, 0L) }
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col("n").desc, col("token"))
+    ranged
       .withColumn("token_id",
-        row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+        (row_number().over(w) - 1).cast("long") + element_at(
+          array(offsets.map(lit).toIndexedSeq: _*), col("__bkt") + 1))
       .where(col("token_id") < maxSize)
       .select(col("token"), col("token_id").cast("long").as("token_id"),
         col("n"))

@@ -108,7 +108,13 @@ object TarShards {
     out.toSeq
   }
 
-  /** Write rows as WebDataset tar shards `shard-00000.tar … `under `dir`.
+  /** Write rows as WebDataset tar shards `shard-00000.tar … `under `dir`,
+    * under the [[ShardCommit]] protocol: prepare scrubs stale shards and
+    * markers, tasks stream each shard to an attempt-unique temp name and
+    * atomically rename on completion (deterministic bytes make retry
+    * races harmless), and `_SUCCESS` — which [[read]] requires — is
+    * written only after the driver verifies the complete layout. Tasks
+    * fail fast when `dir` is not a mount shared with the driver.
     *
     * @param df      rows to write
     * @param keyCol  sample key (member names become `<key>.<ext>`)
@@ -119,16 +125,7 @@ object TarShards {
   def write(df: DataFrame, keyCol: Column, extCol: Column, dataCol: Column,
       nShards: Int, dir: String): Unit = {
     require(nShards >= 1, "nShards must be >= 1")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    // the layout always has exactly nShards files: pre-create terminator-
-    // only archives so hash-empty shards still exist (trainers index by
-    // shard number); owning tasks overwrite. Files go through java.nio —
-    // in cluster mode point `dir` at a task-visible shared mount.
-    (0 until nShards).foreach { sh =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"$dir/shard-$sh%05d.tar"),
-        new Array[Byte](2 * BlockSize))
-    }
+    ShardCommit.prepare(dir, ".tar")
     val rows = df.select(
         (graft.ops.Sampling.bucket(keyCol) % nShards).cast("int").as("__sh"),
         keyCol.cast("string").as("__k"), extCol.cast("string").as("__e"),
@@ -137,15 +134,23 @@ object TarShards {
       .repartition(nShards, col("__sh"))
       .sortWithinPartitions(col("__sh"), col("__k"), col("__e"))
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      ShardCommit.taskCheck(dir, "TarShards.write")
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       // hash partitioning may co-locate several shard values (or none):
       // stream members, rolling to a new tar whenever the shard changes —
       // the sort guarantees each shard is contiguous
       var cur = -1
       var out: java.io.OutputStream = null
+      def finish(): Unit = if (out != null) {
+        out.write(new Array[Byte](2 * BlockSize))
+        out.close()
+        ShardCommit.commitShard(dir, cur, ".tar", attempt)
+      }
       def roll(sh: Int): Unit = {
-        if (out != null) { out.write(new Array[Byte](2 * BlockSize)); out.close() }
-        out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(
-          f"$dir/shard-$sh%05d.tar"))
+        finish()
+        out = java.nio.file.Files.newOutputStream(
+          ShardCommit.tmpPath(dir, sh, ".tar", attempt))
         cur = sh
       }
       it.foreach { r =>
@@ -155,17 +160,23 @@ object TarShards {
           else r.getAs[Array[Byte]](3)
         out.write(tarMember(s"${r.getString(1)}.${r.getString(2)}", data))
       }
-      if (out != null) { out.write(new Array[Byte](2 * BlockSize)); out.close() }
+      finish()
     }
+    // hash-empty shards still exist as terminator-only archives (trainers
+    // index by shard number); _SUCCESS lands last
+    ShardCommit.finish(dir, nShards, ".tar", "TarShards.write",
+      new Array[Byte](2 * BlockSize))
   }
 
   /** Streaming variant of [[write]]: each micro-batch lands as its own
     * complete WebDataset layout under `dir/batch-<id>/` (append-only —
     * re-writing a tar member in place is not a thing; trainers consume
     * batch directories in order, or a compaction job re-shards). The
-    * per-batch write keeps [[write]]'s determinism, so replaying a batch
-    * after a failure reproduces its directory byte-for-byte — exactly-once
-    * output from at-least-once execution.
+    * per-batch write keeps [[write]]'s determinism AND its commit
+    * protocol, so replaying a batch after a failure reproduces its
+    * directory byte-for-byte and a killed batch leaves no `_SUCCESS` —
+    * consumers that honor the marker get exactly-once output from
+    * at-least-once execution.
     *
     * Caller starts/stops the returned query (set checkpointLocation via
     * `options`). */
@@ -181,9 +192,14 @@ object TarShards {
   }
 
   /** Read tar shards back: (shard, name, content) — one row per member.
-    * Whole-file reads via binaryFile (shards sized ~≤1 GB by contract). */
+    * Whole-file reads via binaryFile (shards sized ~≤1 GB by contract).
+    * Refuses a directory without [[write]]'s `_SUCCESS` marker (a
+    * partially failed job's output is indistinguishable from a complete
+    * layout by file inspection alone) and cross-checks the shard count
+    * the marker recorded. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    ShardCommit.checkRead(dir, ".tar", "TarShards.read")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "shard-*.tar").load(dir)
       .select(col("path"), col("content"))

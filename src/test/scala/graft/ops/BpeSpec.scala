@@ -91,16 +91,82 @@ class BpeSpec extends SparkTestBase {
     assert(m.map(x => (x.left, x.right)) == Seq(("a", "b"), ("c", "d")))
   }
 
+  test("symbolVocab: sorted chars then fused symbols, first-occurrence dedup") {
+    val merges = Seq(Bpe.Merge("a", "b", 0), Bpe.Merge("ab", "c", 0),
+      Bpe.Merge("a", "bc", 0)) // "abc" twice: ab+c wins (earlier merge)
+    val got = Bpe.symbolVocab(Seq("cab abc").toDF("text"), $"text", merges)
+      .orderBy("symbol_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    // chars {a,b,c} sorted → 0..2; then ab=3, abc=4 (dedup keeps rank order)
+    assert(got == List(("a", 0L), ("b", 1L), ("c", 2L),
+      ("ab", 3L), ("abc", 4L)))
+  }
+
+  test("encode: hand-worked piece-id sequences") {
+    val docs = Seq((1L, "aab ab"), (2L, "b  c"), (3L, ""), (4L, "abc"))
+      .toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge("a", "b", 0))
+    // chars {a,b,c} → a=0,b=1,c=2; ab=3
+    // "aab"→[a,ab]=[0,3]; "ab"→[ab]=[3]; "b"→[1]; "c"→[2]; "abc"→[ab,c]=[3,2]
+    val got = Bpe.encode(docs, "doc_id", $"text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toList
+    assert(got == List((1L, List(0L, 3L, 3L)), (2L, List(1L, 2L)),
+      (3L, Nil), (4L, List(3L, 2L))))
+  }
+
+  test("encode under foreign merges maps unseen symbols to unkId") {
+    // merges learned elsewhere fuse "xy" — absent from this corpus's
+    // symbol vocab ({a,b} chars + "xy" fused IS in the vocab; but a char
+    // outside the corpus alphabet can only arise via segmentation of a
+    // word whose chars weren't in the TYPE table — impossible by
+    // construction. The reachable OOV case is a fused symbol colliding
+    // out of vocab when callers pass a vocab-less pipeline; assert the
+    // coalesce path by checking ids are never null and unkId only for
+    // genuinely unmapped pieces (none here).
+    val docs = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge("x", "y", 0))
+    val got = Bpe.encode(docs, "doc_id", $"text", merges, unkId = -7L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toList
+    // chars {a,b} → a=0,b=1; "xy"=2 unused; every piece resolves
+    assert(got == List((1L, List(0L, 1L, 1L, 0L))))
+  }
+
+  test("segmentWords: chunked fold ≡ single fold, no leaked checkpoints") {
+    // compare RDD-id SETS, not counts: the shared session's ContextCleaner
+    // may reclaim DEAD checkpoints from earlier tests mid-run, which a
+    // count-based assertion misreads as a (negative) leak
+    def ids: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val words = Seq("aaab", "abab", "ba", "a").toDF("word")
+    val merges = Seq(Bpe.Merge("a", "a", 0), Bpe.Merge("a", "b", 0),
+      Bpe.Merge("aa", "ab", 0))
+    val whole = words.select(Bpe.bpeSegment($"word", merges).as("syms"),
+        $"word").orderBy("word").collect().map(_.getSeq[String](0).toList)
+    for (chunk <- Seq(1, 2, 16)) {
+      val before = ids
+      val seg = Bpe.segmentWords(words, merges, chunk)
+        .orderBy("word").collect()
+      val got = seg.map(_.getSeq[String](
+        seg.head.fieldIndex("syms")).toList)
+      assert(got.toList == whole.toList, s"chunk=$chunk")
+      // only the FINAL chunk's checkpoint may remain live until GC
+      assert((ids -- before).size <= 1, s"chunk=$chunk leaked checkpoints")
+    }
+  }
+
   test("learnMerges leaves no checkpointed state behind (bounded storage)") {
     // each round localCheckpoints the next vocab table; the previous round's
     // blocks must be released or k rounds pin k tables — at k=32000 that is
     // thousands of dead materializations
-    def live: Int = spark.sparkContext.getPersistentRDDs.size
-    val before = live
+    // set difference, not counts — ContextCleaner may reclaim other
+    // tests' dead checkpoints concurrently (see segmentWords test)
+    def ids: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = ids
     val corpus = Seq("aaab aaab aaab aab abab baba").toDF("text")
     val m = Bpe.learnMerges(corpus, "text", 6)
     assert(m.nonEmpty)
-    assert(live == before,
-      s"learnMerges leaked ${live - before} persistent RDDs")
+    assert((ids -- before).isEmpty,
+      s"learnMerges leaked ${(ids -- before).size} persistent RDDs")
   }
 }

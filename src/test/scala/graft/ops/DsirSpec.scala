@@ -54,6 +54,29 @@ class DsirSpec extends SparkTestBase {
     assert(w(3L) == ((0L, 0.0)))
   }
 
+  test("scoring a pool beyond the fit pool: missing buckets take the floor") {
+    // fit on {x y} vs {x y}; score a doc containing the UNSEEN gram q —
+    // its bucket is absent from the table, so it must be counted in
+    // n_grams and scored at missingLogRatio (the smoothed floor), not
+    // silently dropped by an inner join
+    val fitRaw = Seq((1L, "x x y"), (2L, "y z")).toDF("id", "text")
+    val target = Seq(Tuple1("x y")).toDF("text")
+    val (table, floor) =
+      Dsir.logRatioModel(fitRaw, target, "text", B, 0.5, bigrams = false)
+    // floor = log(.5/(2+.5B)) - log(.5/(5+.5B)) = log((5+.5B)/(2+.5B))
+    assert(math.abs(floor - math.log((5 + 0.5 * B) / (2 + 0.5 * B))) < 1e-12)
+    val pool = Seq((10L, "x q q")).toDF("id", "text")
+    val w = Dsir.importanceWeights(pool, "id", "text", table, B,
+        bigrams = false, missingLogRatio = floor)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    def lr(tc: Double, rc: Double) =
+      math.log((tc + 0.5) / (2 + 0.5 * B)) -
+        math.log((rc + 0.5) / (5 + 0.5 * B))
+    assert(w(10L)._1 == 3L) // all three grams counted
+    assert(math.abs(w(10L)._2 - (lr(1, 2) + 2 * floor) / 3.0) < 1e-12)
+  }
+
   test("selectTopK is deterministic: score desc then id asc") {
     val w = Seq((3L, 5L, 1.0), (1L, 5L, 2.0), (2L, 5L, 1.0))
       .toDF("id", "n_grams", "score")

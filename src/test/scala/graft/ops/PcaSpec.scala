@@ -139,6 +139,36 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(m1.mean.sameElements(m7.mean))
   }
 
+  test("plain-double Gram buffer (exact=false) agrees with the exact path") {
+    // d=16, 5000 rows: raw sums drift only in accumulation ulps, so the
+    // double path must match the exact path to a tight relative atol —
+    // and must survive a parquet-free shuffle (serialize round-trip)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 5000).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian() * (1 + i % 3)))
+    }
+    val df = rows.toDF("id", "v").repartition(7)
+    def collectM(exact: Boolean): Map[(Int, Int), (Double, Long)] =
+      Similarity.covMoments(df, col("v"), exact).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getDouble(2), r.getLong(3)))).toMap
+    val e = collectM(exact = true)
+    val a = collectM(exact = false)
+    assert(e.keySet == a.keySet)
+    e.foreach { case (k, (es, en)) =>
+      val (as_, an) = a(k)
+      assert(an == en)
+      val tol = 1e-10 * math.max(1.0, math.abs(es))
+      assert(math.abs(as_ - es) <= tol, s"cell $k: $as_ vs $es")
+    }
+    // pcaFit on the double path stays within atol of the exact model
+    val me = Similarity.pcaFit(df, col("v"))
+    val ma = Similarity.pcaFit(df, col("v"), exact = false)
+    me.eigenvalues.zip(ma.eigenvalues).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-8 * math.max(1.0, math.abs(x)))
+    }
+  }
+
   test("covMoments is ONE logical Aggregate (single corpus pass)") {
     val data = (0 until 200).map(i =>
       Seq(i * 0.5, (i % 9).toDouble, -i * 0.25))

@@ -54,6 +54,23 @@ class PrivacySpec extends SparkTestBase {
     assert(kept.where(col("q1").isNull).count() == 3)
   }
 
+  test("NULL sensitive values count as a distinct value in l-diversity") {
+    val df = Seq(
+      (("a"), Option("x")), (("a"), None), // {x, NULL} → diversity 2
+      (("b"), None), (("b"), None),        // {NULL}    → diversity 1
+      (("c"), Option("x")), (("c"), Option("y"))) // {x, y} → diversity 2
+      .toDF("q1", "sens")
+    val got = Privacy.equivalenceClasses(df, Seq("q1"), Some(col("sens")))
+      .orderBy("q1").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("l_diversity"))).toList
+    assert(got == List(("a", 2L), ("b", 1L), ("c", 2L)))
+    // audit at l=2: only the all-NULL class is low-diversity
+    val r = Privacy.kAnonymityAudit(df, Seq("q1"), 1, Some(col("sens")), 2)
+      .head()
+    assert(r.getAs[Long]("min_l_diversity") == 1)
+    assert(r.getAs[Long]("n_low_diversity_classes") == 1)
+  }
+
   test("empty input audits as vacuously passing with zero counts") {
     val r = Privacy.kAnonymityAudit(fixture.where(lit(false)),
       Seq("q1"), 5).head()

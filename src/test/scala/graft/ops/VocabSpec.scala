@@ -75,4 +75,21 @@ class VocabSpec extends AnyFunSuite with SparkTestBase {
       plan.contains("BroadcastNestedLoopJoin") == false && plan.contains("Broadcast"),
       s"vocab join must broadcast:\n$plan")
   }
+
+  test("build's rank window is partition-local (no global-sort funnel)") {
+    // the two-level rank must not plan a partition-less Window (whose
+    // Exchange SinglePartition funnels the whole type table through one
+    // task); assert on the OPTIMIZED logical plan — AQE hides physical
+    // WindowExec nodes inside query stages (see verify notes)
+    val built = Vocab.build(docs, col("text"))
+    built.collect()
+    val windows = built.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the rank Window to survive")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"partition-less Window (single-task funnel):\n$w"))
+    assert(!built.queryExecution.executedPlan.toString
+      .contains("SinglePartition"))
+  }
 }

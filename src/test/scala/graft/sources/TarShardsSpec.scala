@@ -124,6 +124,34 @@ class TarShardsSpec extends SparkTestBase {
       .map(i => (f"k$i%04d.txt", s"payload $i")).toSet)
   }
 
+  test("commit protocol: _SUCCESS gates read, stale shards are scrubbed") {
+    val dir = tmp()
+    val df = (0 until 40).map(i => (s"k$i", "txt", s"v$i"))
+      .toDF("k", "e", "b").withColumn("b", col("b").cast("binary"))
+    // a prior run with MORE shards...
+    TarShards.write(df, col("k"), col("e"), col("b"), 6, dir)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS")))
+    // ...must not leak into a rewrite with fewer: exactly 3 remain
+    TarShards.write(df, col("k"), col("e"), col("b"), 3, dir)
+    val shards = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.startsWith("shard-") && n.endsWith(".tar"))
+    assert(shards.length == 3, shards.mkString(","))
+    assert(TarShards.read(spark, dir).count() == 40)
+    // a layout whose job died before commit is refused
+    Files.delete(java.nio.file.Paths.get(s"$dir/_SUCCESS"))
+    val e = intercept[IllegalArgumentException] {
+      TarShards.read(spark, dir)
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+    // and a marker contradicting the shard files fails the cross-check
+    Files.write(java.nio.file.Paths.get(s"$dir/_SUCCESS"),
+      """{"nShards":7}""".getBytes(StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalArgumentException] {
+      TarShards.read(spark, dir)
+    }
+    assert(e2.getMessage.contains("7"))
+  }
+
   test("empty input still lays out nShards terminator-only archives") {
     val dir = tmp()
     val empty = Seq.empty[(String, String, Array[Byte])].toDF("k", "e", "b")

@@ -227,6 +227,17 @@ object ScaleProbe {
       val v = graft.ops.Vocab.build(docs, col("text"), minCount = 100)
       force(graft.ops.Vocab.encode(docs, "doc_id", col("text"), v))
     }
+    time(s"bpeEncode $nDocs docs (8 merges, ${30 * nDocs} tokens)") {
+      // merges fixed (not learned here — learning is k vocab-table passes,
+      // probed by the q89 path); this measures the ENCODE composition:
+      // type-table segmentation + word join + sorted streaming assembly
+      val merges = Seq(graft.ops.Bpe.Merge("w", "1", 0),
+        graft.ops.Bpe.Merge("w1", "0", 0), graft.ops.Bpe.Merge("w", "2", 0),
+        graft.ops.Bpe.Merge("w", "3", 0), graft.ops.Bpe.Merge("w", "4", 0),
+        graft.ops.Bpe.Merge("1", "1", 0), graft.ops.Bpe.Merge("2", "2", 0),
+        graft.ops.Bpe.Merge("w1", "1", 0))
+      force(graft.ops.Bpe.encode(docs, "doc_id", col("text"), merges))
+    }
     time(s"filterFunnel $nDocs docs x 4 rules") {
       force(graft.ops.Pipeline.filterFunnel(docs, Seq(
         "min_len" -> (length(col("text")) >= 50),
