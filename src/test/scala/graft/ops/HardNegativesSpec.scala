@@ -39,6 +39,36 @@ class HardNegativesSpec extends SparkTestBase {
     assert(direct == viaFp)
   }
 
+  test("hammingPairsAdaptive: both tiers reproduce brute force exactly") {
+    // 400 random fingerprints + planted near-pairs; brute-force truth at
+    // maxHamming = 3. budget=Long.MaxValue → single-level tier;
+    // budget=0 → forced two-level (multi-index) tier. The recall
+    // contract (complete for hamming ≤ chunks−1) must hold on BOTH.
+    val rnd = new scala.util.Random(91)
+    val base = (0 until 400).map(i => (i.toLong, rnd.nextLong()))
+    val planted = (0 until 40).map { i =>
+      val (src, fp) = base(rnd.nextInt(400))
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      var v = fp
+      (0 until flips).foreach(_ => v ^= 1L << rnd.nextInt(64))
+      (1000L + i, v)
+    }
+    val all = base ++ planted
+    val truth = (for {
+      (ia, fa) <- all; (ib, fb) <- all
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb))).toSet
+    val df = all.toDF("id", "fp").repartition(5)
+    val single = Dedup.hammingPairsAdaptive(df, "id", "fp", 3, 4,
+        candidateBudget = Long.MaxValue)
+      .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect().toSet
+    val multi = Dedup.hammingPairsAdaptive(df, "id", "fp", 3, 4,
+        candidateBudget = 0L)
+      .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(single == truth, s"single-level missed/invented pairs")
+    assert(multi == truth, s"two-level missed/invented pairs")
+  }
+
   test("hardNegatives: near-dup neighbors are excluded, ranking is preserved") {
     // query 0; corpus: 1 = exact copy (near-dup, high cosine), 2 = close
     // vector + different text (the hard negative), 3 = medium, 4 = far

@@ -410,6 +410,60 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming windowed per-script source top-k (update mode) ≡ batch") {
+    // closes the round-8 loop: a SCAN-SIDE signal (script_stats) feeding
+    // STATEFUL windowed Space-Saving state, through the real file
+    // readStream protocol in update mode. Synthetic event-time from
+    // doc_id; scripts made non-trivial by transliterating vowels; SS
+    // capacity 64 ≥ 20 sources → exact counts, so streamed final state
+    // must EQUAL batch (set equality per (window, script) key).
+    val base = java.nio.file.Files.createTempDirectory("graft_stopk").toString
+    val docsB = spark.read.parquet(sf("documents"))
+    docsB.coalesce(3).write.parquet(s"$base/documents.parquet")
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("source"),
+        // flip every third doc's MAJORITY script so the group key is real
+        gf.script_stats(when(col("doc_id") % 3 === 0,
+            translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+              "αβγδεζηθικλμνξοπρστυφχψωαβ"))
+          .otherwise(col("text")))
+          .getField("main_script").as("script"),
+        timestamp_millis(lit(1700000000000L) +
+          (col("doc_id") % 6) * 3600000L).as("ts"))
+      .groupBy(window(col("ts"), "2 hours"), col("script"))
+      .agg(count(lit(1)).as("n"),
+        gf.ss_topk_agg(col("source"), lit(1L), 64).as("topk"))
+    val q = aggOf(graft.sources.Tables.loadStream(spark, base, "documents",
+        Map("maxFilesPerTrigger" -> "1")))
+      .writeStream.format("memory").queryName("script_topk")
+      .outputMode("update").start()
+    try { q.processAllAvailable() } finally q.stop()
+    def finalize(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").as("ws"), col("script"), col("n"),
+        gf.ss_topk_string(col("topk"), 5).as("top"))
+      .collect()
+      .map { r =>
+        val top = r.getSeq[org.apache.spark.sql.Row](3)
+          .map(t => (t.getString(0), t.getLong(1), t.getLong(2))).toSet
+        (r.getAs[java.sql.Timestamp](0), r.getString(1)) ->
+          ((r.getLong(2), top))
+      }
+    // update mode emits one row per key per refining micro-batch; n is
+    // strictly increasing per key, so the final state is the max-n row
+    val streamed = finalize(spark.table("script_topk"))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2._1)._2 }
+    val batch = finalize(aggOf(
+      spark.read.parquet(s"$base/documents.parquet"))).toMap
+    assert(streamed.keySet == batch.keySet, "window×script key sets differ")
+    streamed.foreach { case (k, (n, top)) =>
+      assert(n == batch(k)._1, s"count differs for $k")
+      assert(top == batch(k)._2, s"top-k differs for $k: $top vs ${batch(k)._2}")
+    }
+    // the run must actually have exercised multiple scripts and windows
+    assert(streamed.keySet.map(_._2).size >= 2)
+    assert(streamed.keySet.map(_._1).size >= 2)
+  }
+
   test("blocklist matchStats/filterBlocked stream per-row ≡ batch (broadcast automaton)") {
     // the AC automaton is broadcast state built on the driver, not
     // streaming state — both transforms must run unchanged on a

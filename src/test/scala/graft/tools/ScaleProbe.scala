@@ -293,9 +293,19 @@ object ScaleProbe {
     }
     time(s"hammingPairs ${nDocs / 5} uniform fingerprints (chunks=4)") {
       // uniform 64-bit fps are the ADVERSARIAL case for 16-bit bands:
-      // candidate volume ~ 4·n²/2^16 — at n ≫ 1M widen bands (chunks=2)
-      // or pre-cluster; real simhash corpora are far from uniform
+      // candidate volume ~ 4·n²/2^16 — hammingPairsAdaptive (below)
+      // detects this and switches tiers; real simhash corpora are far
+      // from uniform
       force(graft.ops.Dedup.hammingPairs(
+        docs.where(col("doc_id") < nDocs / 5)
+          .select(col("doc_id"),
+            graft.api.functions.hash64(col("doc_id")).as("fp")),
+        "doc_id", "fp", maxHamming = 3, chunks = 4))
+    }
+    time(s"hammingPairsAdaptive ${nDocs / 5} uniform fps (auto two-level)") {
+      // same adversary through the estimate → multi-index path: the
+      // 28-bit composite keys cut uniform buckets by ~2^12
+      force(graft.ops.Dedup.hammingPairsAdaptive(
         docs.where(col("doc_id") < nDocs / 5)
           .select(col("doc_id"),
             graft.api.functions.hash64(col("doc_id")).as("fp")),
