@@ -128,25 +128,19 @@ object Bpe {
       merges: Seq[Merge]): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
+    // the alphabet is bounded (≤ distinct code points of the corpus —
+    // thousands at most), so rank it on the DRIVER: one distinct shuffle,
+    // a tiny collect, and no partition-less Window in any plan
     val chars = words
       .select(explode(charSymbols(col("word"))).as("symbol"))
       .distinct()
-      .withColumn("symbol_id",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy("symbol")).cast("long") - 1)
+      .as[String].collect().sorted
     // fused symbols are always ≥ 2 chars, so they can never collide with
     // the single-char block; dedup among themselves preserving merge order
     val fused = merges.map(m => m.left + m.right).distinct
-    if (fused.isEmpty) chars
-    else {
-      val base = chars.agg(coalesce(max(col("symbol_id")) + 1, lit(0L))
-        .as("__c"))
-      chars.unionByName(
-        fused.zipWithIndex.toDF("symbol", "__i")
-          .crossJoin(base) // 1×1 scalar join: alphabet size
-          .select(col("symbol"),
-            (col("__c") + col("__i")).cast("long").as("symbol_id")))
-    }
+    (chars.toSeq ++ fused).zipWithIndex
+      .map { case (sym, i) => (sym, i.toLong) }
+      .toDF("symbol", "symbol_id")
   }
 
   /** Segment a (word)-column frame under an ordered merge list, applied in
@@ -170,6 +164,43 @@ object Bpe {
     // all but the LAST checkpoint are dead intermediates — free them
     checkpoints.dropRight(1).foreach(freeCheckpoint)
     cur
+  }
+
+  /** Tokenizer fertility report, grouped by `key` (usually language):
+    * the table a team reads before committing to a merge budget —
+    * fertility (pieces per word) and compression (chars per piece) per
+    * group expose which languages a vocabulary under-serves (fertility
+    * ≫ 1.3 on a language means its text costs that many more sequence
+    * positions per word).
+    *
+    * Output: (key, n_words, n_pieces, n_chars, fertility,
+    * chars_per_piece), fertility/chars rounded to 6.
+    *
+    * Scale shape: segmentation runs over the word-TYPE table
+    * ([[segmentWords]]); the corpus token stream joins the tiny
+    * (word → piece count, char count) table and aggregates straight to
+    * the group key — no per-doc regroup, two corpus-sized passes total
+    * (type distinct + token explode). */
+  def fertilityByKey(df: DataFrame, text: Column, key: Column,
+      merges: Seq[Merge]): DataFrame = {
+    val types = df
+      .select(explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct()
+    val wordPieces = segmentWords(types, merges)
+      .select(col("word"), size(col("syms")).cast("long").as("__p"),
+        length(col("word")).cast("long").as("__c"))
+    df.select(key.as("key"), explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(wordPieces, Seq("word"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__p")).as("n_pieces"),
+        sum(col("__c")).as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_pieces") / col("n_words"), 6))
+      .withColumn("chars_per_piece",
+        round(col("n_chars") / col("n_pieces"), 6))
   }
 
   /** Encode documents to BPE piece-id sequences under a learned merge

@@ -133,6 +133,21 @@ class BpeSpec extends SparkTestBase {
     assert(got == List((1L, List(0L, 1L, 1L, 0L))))
   }
 
+  test("fertilityByKey: hand-worked pieces/words/chars per group") {
+    val docs = Seq(("en", "ab ab cd"), ("en", "ab"), ("de", "cd e"))
+      .toDF("lang", "text")
+    val merges = Seq(Bpe.Merge("a", "b", 0)) // "ab"→1 piece; "cd"→2; "e"→1
+    val got = Bpe.fertilityByKey(docs, $"text", $"lang", merges)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toList
+    // en: words {ab, ab, cd, ab} → 4 words, pieces 1+1+2+1=5, chars 8
+    // de: words {cd, e} → 2 words, pieces 2+1=3, chars 3
+    assert(got == List(
+      ("de", 2L, 3L, 3L, 1.5, 1.0),
+      ("en", 4L, 5L, 8L, 1.25, 1.6)))
+  }
+
   test("segmentWords: chunked fold ≡ single fold, no leaked checkpoints") {
     // compare RDD-id SETS, not counts: the shared session's ContextCleaner
     // may reclaim DEAD checkpoints from earlier tests mid-run, which a
