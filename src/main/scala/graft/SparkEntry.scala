@@ -2156,6 +2156,42 @@ object SparkEntry {
         .orderBy("j")
     }),
 
+    "q176_epoch_expand" -> ((s, dir) => {
+      // the execution half of epoch planning: materialize the repeated
+      // training stream. src0 gets 2 full epochs + 10 extra docs, src1
+      // exactly 1 epoch, src2 a fractional 12-doc epoch — the extra-
+      // epoch members are the smallest-unsigned-hash docs (q80's
+      // membership rule). Receipts per (source, epoch): doc counts +
+      // id/order-key xors, so membership AND the interleave key are
+      // both pinned
+      val docs = t(s, dir, "documents")
+        .where(col("source").isin("src0", "src1", "src2"))
+      graft.ops.Sampling.expandEpochs(docs, "doc_id", "source",
+          Seq(("src0", 60L), ("src1", 25L), ("src2", 12L)))
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("n_docs"),
+          bit_xor(gf.hash64(col("doc_id"))).as("id_xor"),
+          bit_xor(col("order_key")).as("key_xor"))
+        .orderBy("source", "epoch")
+    }),
+
+    "q175_epoch_plan" -> ((s, dir) => {
+      // data-CONSTRAINED recipe budgeting (q156's water-filling with
+      // repetition): budget = 150% of the unique pool, sources may
+      // repeat up to 2 epochs — heavy-weight sources go past 1 epoch
+      // and the derived epochs/unique/repeated masses expose exactly
+      // how much data the trainer sees twice. Integer capacities
+      // (avail×2) keep λ and the floors bit-identical cross-engine
+      val docs = t(s, dir, "documents")
+      val avail = docs.groupBy("source").agg(sum("n_chars").as("avail"))
+      val total = avail.agg(coalesce(sum("avail"), lit(0L)))
+        .collect()(0).getLong(0)
+      val targets = (0 until 20).map(i => (s"src$i", (1 + i % 5).toDouble))
+      graft.ops.Sampling.epochPlan(avail, "source", "avail", targets,
+          total * 3 / 2, maxEpochs = 2)
+        .orderBy("label")
+    }),
+
     "q156_mixture_plan" -> ((s, dir) => {
       // training-recipe budgeting: availability = chars per source,
       // target weights 1..5 by source index, budget = 80% of the pool —
@@ -3471,6 +3507,62 @@ FROM g GROUP BY shard ORDER BY shard"""),
            AS blend
        FROM p ORDER BY doc_id""",
     "q157_hashed_classifier" -> hashedLogRegOracle(32, 10, 1.0),
+    "q176_epoch_expand" ->
+      (hashMacros +
+        """WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
+             WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+         r AS (SELECT source, doc_id, row_number() OVER (
+               PARTITION BY source ORDER BY g_av(doc_id::UBIGINT)) AS rn
+             FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         q(source, quota) AS (VALUES ('src0', 60), ('src1', 25),
+             ('src2', 12)),
+         e AS (SELECT r.source, r.doc_id,
+             (q.quota // c.n) + CASE WHEN rn <= q.quota % c.n
+               THEN 1 ELSE 0 END AS ep
+           FROM r JOIN q USING (source) JOIN c USING (source)),
+         x AS (SELECT source, doc_id, unnest(range(0, ep)) AS epoch
+             FROM e WHERE ep > 0)
+         SELECT source, epoch::BIGINT AS epoch, count(*)::BIGINT AS n_docs,
+           bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor,
+           bit_xor(g_sb(g_thash(doc_id::VARCHAR || '#'
+             || epoch::VARCHAR))) AS key_xor
+         FROM x GROUP BY 1, 2 ORDER BY source, epoch"""),
+    "q175_epoch_plan" ->
+      // q156's closed-form mirror with capacity = avail×2 and budget =
+      // 150% of the unique pool, plus the derived repetition columns
+      """WITH a AS MATERIALIZED (SELECT source,
+           sum(n_chars)::BIGINT AS uavail FROM documents GROUP BY 1),
+       ac AS MATERIALIZED (SELECT source, uavail,
+           (uavail * 2)::BIGINT AS avail FROM a),
+       t AS MATERIALIZED (SELECT ((sum(uavail)::HUGEINT * 3) // 2)::BIGINT
+           AS tt FROM ac),
+       w AS MATERIALIZED (SELECT source, uavail, avail,
+           (1 + (substr(source, 4)::INT % 5))::DOUBLE AS wt FROM ac),
+       ord AS MATERIALIZED (SELECT source, uavail, avail, wt,
+           avail / wt AS r,
+           row_number() OVER (ORDER BY avail / wt, source) AS rn FROM w),
+       pre AS MATERIALIZED (SELECT *,
+           coalesce(sum(avail) OVER (ORDER BY rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS pa,
+           sum(wt) OVER (ORDER BY rn
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sw
+         FROM ord),
+       lam AS MATERIALIZED (SELECT *,
+           ((SELECT tt FROM t) - pa) / sw AS lamk FROM pre),
+       cut AS MATERIALIZED (SELECT coalesce(min(rn), 2147483647) AS c
+           FROM lam WHERE lamk < r),
+       q AS (SELECT source, uavail, wt,
+         CASE WHEN rn < (SELECT c FROM cut) THEN avail
+              ELSE least(avail, floor(
+                (SELECT lamk FROM lam WHERE rn = (SELECT c FROM cut))
+                * wt)::BIGINT) END AS quota
+       FROM lam)
+       SELECT source AS label, uavail AS available, wt AS weight, quota,
+         round(quota::DOUBLE / uavail, 6) AS epochs,
+         least(quota, uavail)::BIGINT AS unique_tokens,
+         greatest(0, quota - uavail)::BIGINT AS repeated_tokens
+       FROM q ORDER BY label""",
     "q156_mixture_plan" ->
       """WITH a AS MATERIALIZED (SELECT source,
            sum(n_chars)::BIGINT AS avail FROM documents GROUP BY 1),

@@ -337,6 +337,100 @@ object Sampling {
     plan.toSeq.toDF("label", "available", "weight", "quota")
   }
 
+  /** Data-CONSTRAINED mixture planning: [[mixturePlan]] where a source
+    * may be repeated up to `maxEpochs` epochs before it saturates (the
+    * Muennighoff et al. 2023 data-constrained scaling regime — repeated
+    * tokens retain most of their value for a few epochs, so capacity is
+    * maxEpochs·available rather than available). Same closed-form
+    * water-filling, bit-identical cross-engine with integer availabilities
+    * and integer-valued weights (integer maxEpochs keeps capacities
+    * integral).
+    *
+    * Output: (label, available, weight, quota, epochs, unique_tokens,
+    * repeated_tokens) — epochs = quota/available (round 6),
+    * unique = min(quota, available), repeated = the mass the trainer
+    * will see more than once. */
+  def epochPlan(avail: DataFrame, labelCol: String, availCol: String,
+      targets: Seq[(String, Double)], total: Long,
+      maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val capped = avail.select(col(labelCol),
+      (col(availCol).cast("long") * maxEpochs).as(availCol))
+    mixturePlan(capped, labelCol, availCol, targets, total)
+      .select(col("label"),
+        // capacities were scaled by an integer — recover the true
+        // availability exactly
+        (col("available") / maxEpochs).cast("long").as("available"),
+        col("weight"), col("quota"))
+      .withColumn("epochs", when(col("available") > 0,
+        round(col("quota") / col("available"), 6)).otherwise(lit(0.0)))
+      .withColumn("unique_tokens", least(col("quota"), col("available")))
+      .withColumn("repeated_tokens",
+        greatest(lit(0L), col("quota") - col("available")))
+  }
+
+  /** Materialize an epoch-aware training stream from per-source
+    * doc-instance quotas (the execution half of [[epochPlan]] — that op
+    * decides HOW MUCH of each source to repeat, this one emits the
+    * actual repeated rows): a source with quota q over its n docs
+    * appears ⌊q/n⌋ full epochs, and the q mod n docs with the smallest
+    * unsigned `hash64(id)` appear once more — the same deterministic,
+    * subset-stable membership rule as every sampler here, so retries
+    * and engines agree row-for-row.
+    *
+    * Output: input columns + `epoch` (0-based instance index) +
+    * `order_key` (hash of id and epoch) — sort or shard by `order_key`
+    * for a reproducible interleaved training order in which a doc's
+    * repeats land far apart.
+    *
+    * Scale shape: the label → (base, remainder) table is label-sized
+    * and folds into a scan-side when-chain; the extra-epoch membership
+    * comes from [[quotaSample]]'s WindowGroupLimit bottom-k (remainder-
+    * sized output) joined back by id — the corpus itself never sees a
+    * window, and the explode emits exactly quota rows per source. */
+  def expandEpochs(df: DataFrame, idCol: String, labelCol: String,
+      quotas: Seq[(String, Long)]): DataFrame = {
+    require(quotas.map(_._1).distinct.length == quotas.length,
+      "duplicate quota labels")
+    require(quotas.forall(_._2 >= 0), "quotas must be >= 0")
+    val counts = df.groupBy(col(labelCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = quotas.filter { case (l, q) =>
+      q > 0 && counts.getOrElse(l, 0L) > 0 }
+    if (present.isEmpty) return df
+      .withColumn("epoch", lit(0L)).withColumn("order_key", lit(0L))
+      .limit(0)
+    val split = present.map { case (l, q) =>
+      val n = counts(l)
+      (l, q / n, q % n)
+    }
+    val baseCol = split.foldRight(lit(0L): Column) { case ((l, b, _), acc) =>
+      when(col(labelCol) === lit(l), lit(b)).otherwise(acc)
+    }
+    val remainders = split.collect { case (l, _, r) if r > 0 => (l: Any, r) }
+    val extra =
+      if (remainders.isEmpty) null
+      else quotaSample(df.select(col(labelCol), col(idCol)),
+          col(labelCol), col(idCol), remainders)
+        .select(col(labelCol).as("__xl"), col(idCol).as("__xi"),
+          lit(1L).as("__extra"))
+    val flagged =
+      if (extra == null) df.withColumn("__extra", lit(0L))
+      else df.join(extra,
+        df(labelCol) === col("__xl") && df(idCol) === col("__xi"), "left")
+        .drop("__xl", "__xi")
+        .withColumn("__extra", coalesce(col("__extra"), lit(0L)))
+    flagged
+      .withColumn("__epochs", baseCol + col("__extra"))
+      .where(col("__epochs") > 0) // guards the ANSI descending-sequence trap
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__epochs") - 1)))
+      .drop("__extra", "__epochs")
+      .withColumn("order_key", gf.hash64(concat(
+        col(idCol).cast("string"), lit("#"), col("epoch").cast("string"))))
+  }
+
   /** Deterministic fixed-size sample: the `k` rows with the smallest
     * `hash64(key)` in UNSIGNED order. Runs as TakeOrderedAndProject —
     * per-partition top-k then a k-row driver merge, never a global sort.

@@ -288,6 +288,59 @@ class SamplingSpec extends SparkTestBase {
     assert(empty.count() == 0)
   }
 
+  test("epochPlan: repetition capacity, epochs/unique/repeated arithmetic") {
+    def eplan(avail: Seq[(String, Long)], targets: Seq[(String, Double)],
+        total: Long, maxE: Int) =
+      Sampling.epochPlan(avail.toDF("src", "a"), "src", "a", targets,
+          total, maxE)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(5),
+            r.getLong(6)))).toMap
+    // equal weights, budget 150 over {a:100, c:10} with maxEpochs=2:
+    // capacities {200, 20}; c saturates at 20 (its 75 share > 20 cap),
+    // shortfall re-spreads to a → a=130, c=20
+    val p = eplan(Seq("a" -> 100L, "c" -> 10L),
+      Seq("a" -> 1.0, "c" -> 1.0), 150L, 2)
+    assert(p("a") == ((100L, 130L, 1.3, 100L, 30L)))
+    assert(p("c") == ((10L, 20L, 2.0, 10L, 10L)))
+    // maxEpochs=1 degenerates to mixturePlan exactly
+    val p1 = eplan(Seq("a" -> 100L, "b" -> 100L, "c" -> 10L),
+      Seq("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), 150L, 1)
+    assert(p1("a")._2 == 70L && p1("b")._2 == 70L && p1("c")._2 == 10L)
+    assert(p1.values.forall(v => v._5 == 0L)) // no repetition at 1 epoch
+    // zero-availability source: quota 0, epochs 0.0
+    val pz = eplan(Seq("a" -> 50L, "z" -> 0L),
+      Seq("a" -> 1.0, "z" -> 1.0), 40L, 3)
+    assert(pz("z") == ((0L, 0L, 0.0, 0L, 0L)))
+  }
+
+  test("expandEpochs: quota-exact repetition, extra epochs = smallest hashes") {
+    val df = (0 until 10).map(i => (i.toLong, if (i < 6) "a" else "b"))
+      .toDF("id", "src")
+    // a: 6 docs, quota 14 → 2 full epochs + 2 extra; b: 4 docs, quota 4
+    // → exactly 1 epoch; c quota ignored (absent); zero-quota label drops
+    val out = Sampling.expandEpochs(df, "id", "src",
+        Seq(("a", 14L), ("b", 4L), ("c", 5L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 18)
+    val perSrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perSrc == Map("a" -> 14, "b" -> 4))
+    // every b doc exactly once; a docs 2 or 3 times, extras = the two
+    // smallest unsigned hash64 ids (quotaSample's membership rule)
+    val aCounts = out.filter(_._2 == "a").groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    assert(aCounts.values.toSet == Set(2, 3))
+    val wantExtra = (0 until 6).map(_.toLong)
+      .sortBy(i => graft.expr.TextHash.avalanche(i) ^ Long.MinValue)
+      .take(2).toSet
+    assert(aCounts.filter(_._2 == 3).keySet == wantExtra)
+    // epoch indices are dense 0..e-1 per doc
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val eps = rows.map(_._3).sorted.toList
+      assert(eps == (0L until eps.length.toLong).toList)
+    }
+  }
+
   test("quotaSample: explicit quotas == brute-force hash bottom-k per group") {
     val df = (0 until 600).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
     val quotas = Seq[(Any, Long)]("g0" -> 50L, "g1" -> 10L, "g2" -> 0L)
