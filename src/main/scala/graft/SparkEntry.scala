@@ -860,6 +860,40 @@ object SparkEntry {
           Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 60L)
         .select("source", "doc_id").orderBy("source", "doc_id")
     }),
+    "q178_span_corrupt" -> ((s, dir) => {
+      // deterministic T5 denoising pairs: hash-triggered 3-token spans at
+      // every=20 (≈15% corruption), sentinel inputs + span targets. The
+      // oracle replays triggers, span merging, sentinel numbering and
+      // both assembled strings per doc — full byte compare on all docs
+      graft.ops.Text.spanCorrupt(t(s, dir, "documents"), "doc_id",
+          col("text"), every = 20, spanLen = 3)
+        .orderBy("doc_id")
+    }),
+
+    "q177_markdown_strip" -> ((s, dir) => {
+      // q81's contract for the OTHER web-corpus format: the fixture text
+      // is wrapped in a deterministic markdown page (header, blockquote,
+      // bullets + ordered list, fenced + inline code, image/link, bold/
+      // italic, hr) and stripped back; cleaned strings compare
+      // byte-for-byte for id<40, corpus-wide checksum for the rest
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("# Doc "), col("doc_id"),
+        lit("\n\n> a quoted *line*\n\n- item one\n- item **two**\n"),
+        lit("3. third\n\n```scala\nval n = "), col("doc_id"),
+        lit("\n```\n\nSee `inline` and [ref "), col("source"),
+        lit("](http://x/"), col("doc_id"),
+        lit(") and ![pic](u.png)\n\n---\n\n"), col("text"))
+      val stripped = docs.select(col("doc_id"),
+        graft.ops.Text.stripMarkdown(page).as("clean"))
+      stripped.where(col("doc_id") < 40)
+        .select(col("doc_id").cast("string").as("k"), col("clean"))
+        .unionByName(stripped.agg(
+          bit_xor(gf.hash64(col("clean"))).cast("string").as("clean"))
+          .select(lit("xor_all").as("k"), col("clean")))
+        .orderBy("k")
+    }),
+
     "q81_html_strip" -> ((s, dir) => {
       // web-corpus HTML cleaning: the fixture text is wrapped in a
       // deterministic page template (script/style/comment blocks, nested
@@ -5526,6 +5560,83 @@ FROM p GROUP BY shard ORDER BY shard"""),
          WHERE rn <= CASE source WHEN 'src0' THEN 30
                                  WHEN 'src1' THEN 18 ELSE 12 END
          ORDER BY source, doc_id"""),
+    "q178_span_corrupt" ->
+      (hashMacros + """WITH d AS (SELECT doc_id,
+    string_split_regex(text, '\s+') AS tk FROM documents),
+tok AS (SELECT doc_id, j - 1 AS p, tk[j] AS t
+  FROM d, unnest(range(1, len(tk)+1)) u(j) WHERE tk[j] <> ''),
+tr AS (SELECT doc_id, p, t,
+    CASE WHEN ((g_sb(g_thash(doc_id::VARCHAR || ':' || p::VARCHAR))
+      % 20) + 20) % 20 = 0 THEN 1 ELSE 0 END AS trig FROM tok),
+m AS (SELECT *, max(trig) OVER (PARTITION BY doc_id ORDER BY p
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mk FROM tr),
+n AS (SELECT *, CASE WHEN mk = 1 AND coalesce(lag(mk) OVER (
+    PARTITION BY doc_id ORDER BY p), 0) = 0 THEN 1 ELSE 0 END AS ns
+  FROM m),
+k AS (SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY p) - 1 AS sk
+  FROM n),
+tt AS (SELECT doc_id, p, mk, ns,
+    CASE WHEN mk = 0 THEN t
+         WHEN ns = 1 THEN '<extra_id_' || sk::VARCHAR || '>' END AS it,
+    CASE WHEN mk = 1 THEN CASE WHEN ns = 1
+      THEN '<extra_id_' || sk::VARCHAR || '> ' || t ELSE t END END AS ttk
+  FROM k),
+agg AS (SELECT doc_id,
+    coalesce(string_agg(it, ' ' ORDER BY p)
+      FILTER (WHERE it IS NOT NULL), '') AS input_text,
+    coalesce(string_agg(ttk, ' ' ORDER BY p)
+      FILTER (WHERE ttk IS NOT NULL), '') AS target_text,
+    count(*)::BIGINT AS n_tokens, sum(mk)::BIGINT AS n_masked,
+    sum(ns)::BIGINT AS n_spans
+  FROM tt GROUP BY doc_id)
+SELECT d0.doc_id, coalesce(a.input_text, '') AS input_text,
+  coalesce(a.target_text, '') AS target_text,
+  coalesce(a.n_tokens, 0) AS n_tokens,
+  coalesce(a.n_masked, 0) AS n_masked,
+  coalesce(a.n_spans, 0) AS n_spans
+FROM documents d0 LEFT JOIN agg a USING (doc_id)
+ORDER BY d0.doc_id"""),
+    // same markdown template, same Java∩RE2 regex subset, same pass order
+    "q177_markdown_strip" ->
+      (hashMacros + """WITH p AS (SELECT doc_id,
+    '# Doc ' || doc_id::VARCHAR || chr(10) || chr(10) ||
+    '> a quoted *line*' || chr(10) || chr(10) ||
+    '- item one' || chr(10) || '- item **two**' || chr(10) ||
+    '3. third' || chr(10) || chr(10) ||
+    '```scala' || chr(10) || 'val n = ' || doc_id::VARCHAR || chr(10) ||
+    '```' || chr(10) || chr(10) ||
+    'See `inline` and [ref ' || source || '](http://x/' ||
+    doc_id::VARCHAR || ') and ![pic](u.png)' || chr(10) || chr(10) ||
+    '---' || chr(10) || chr(10) || text AS m
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(m,
+    '(?s)```[^\n]*\n(.*?)```', '\1', 'g') AS m FROM p),
+s2 AS (SELECT doc_id, regexp_replace(m, '`([^`]*)`', '\1', 'g') AS m FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(m,
+    '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS m FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(m,
+    '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS m FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(m,
+    '(?m)^#{1,6}[ \t]+', '', 'g') AS m FROM s4),
+s6 AS (SELECT doc_id, regexp_replace(m,
+    '(?m)^[ \t]*>[ \t]?', '', 'g') AS m FROM s5),
+s7 AS (SELECT doc_id, regexp_replace(m,
+    '(?m)^[ \t]*([-*_][ \t]*){3,}$', '', 'g') AS m FROM s6),
+s8 AS (SELECT doc_id, regexp_replace(m,
+    '(?m)^[ \t]*[-*+][ \t]+', '', 'g') AS m FROM s7),
+s9 AS (SELECT doc_id, regexp_replace(m,
+    '(?m)^[ \t]*\d+\.[ \t]+', '', 'g') AS m FROM s8),
+s10 AS (SELECT doc_id, regexp_replace(m,
+    '\*\*([^*]+)\*\*', '\1', 'g') AS m FROM s9),
+s11 AS (SELECT doc_id, regexp_replace(m, '__([^_]+)__', '\1', 'g') AS m FROM s10),
+s12 AS (SELECT doc_id, regexp_replace(m, '\*([^*]+)\*', '\1', 'g') AS m FROM s11),
+s13 AS (SELECT doc_id, regexp_replace(m, '_([^_]+)_', '\1', 'g') AS m FROM s12),
+f AS MATERIALIZED (SELECT doc_id,
+    trim(regexp_replace(m, '\s+', ' ', 'g')) AS clean FROM s13)
+SELECT doc_id::VARCHAR AS k, clean FROM f WHERE doc_id < 40
+UNION ALL
+SELECT 'xor_all', bit_xor(g_sb(g_thash(clean)))::VARCHAR FROM f
+ORDER BY k"""),
     // same page template, same Java∩RE2 regex subset, same replace order
     "q81_html_strip" ->
       """WITH p AS (SELECT doc_id,

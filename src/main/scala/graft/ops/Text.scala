@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
 
 /** Corpus-level term statistics: term/document frequencies and TF-IDF term
   * ranking — the classic vocabulary/feature-extraction pass of a text
@@ -66,6 +67,107 @@ object Text {
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (f, t)) => replace(c, lit(f), lit(t)) }
     trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Markdown → plain text, the [[stripHtml]] sibling for the other big
+    * web-corpus source format (READMEs, wikis, forum exports): fenced and
+    * inline code keep their CONTENT but lose the markers, images reduce
+    * to their alt text and links to their anchor text, structural
+    * prefixes (headers, blockquotes, bullets, ordered-list numbers,
+    * horizontal rules) drop, bold/italic emphasis unwraps, and
+    * whitespace collapses. A heuristic cleaner, not a CommonMark parser
+    * — intra-word underscores can unwrap (documented trade-off), nested
+    * constructs resolve in the fixed pass order below. Every regex stays
+    * inside the Java∩RE2 subset so a SQL engine replays the chain
+    * byte-for-byte. Pure per-row scan-side column, shuffle-free. */
+  def stripMarkdown(md: Column): Column = {
+    // pass order is load-bearing: fences before inline code (a fence's
+    // body may contain backticks? no — [^`]; but the ``` marker itself
+    // must not be eaten as two inline spans), images before links
+    // (![a](u) contains [a](u)), hr before bullets (- - - is not a list)
+    val noFence = regexp_replace(md, "(?s)```[^\\n]*\\n(.*?)```", "$1")
+    val noInline = regexp_replace(noFence, "`([^`]*)`", "$1")
+    val noImg = regexp_replace(noInline,
+      "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg, "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noHeader = regexp_replace(noLink, "(?m)^#{1,6}[ \\t]+", "")
+    val noQuote = regexp_replace(noHeader, "(?m)^[ \\t]*>[ \\t]?", "")
+    val noHr = regexp_replace(noQuote,
+      "(?m)^[ \\t]*([-*_][ \\t]*){3,}$", "")
+    val noBullet = regexp_replace(noHr, "(?m)^[ \\t]*[-*+][ \\t]+", "")
+    val noOrdered = regexp_replace(noBullet, "(?m)^[ \\t]*\\d+\\.[ \\t]+", "")
+    val noBold1 = regexp_replace(noOrdered, "\\*\\*([^*]+)\\*\\*", "$1")
+    val noBold2 = regexp_replace(noBold1, "__([^_]+)__", "$1")
+    val noItal1 = regexp_replace(noBold2, "\\*([^*]+)\\*", "$1")
+    val noItal2 = regexp_replace(noItal1, "_([^_]+)_", "$1")
+    trim(regexp_replace(noItal2, "\\s+", " "))
+  }
+
+  /** Deterministic T5-style span corruption (Raffel et al. 2020's
+    * denoising objective, made a pure function of the data): token
+    * position p of doc d starts a masked span iff
+    * pmod(hash64("d:p"), every) == 0, each trigger masks `spanLen`
+    * consecutive tokens, and overlapping triggers merge into one span.
+    * Expected corruption ≈ spanLen/every (defaults ≈ 15%). The masked
+    * input replaces each span with `<extra_id_k>` (k = span index within
+    * the doc, 0-based, in order); the target lists each sentinel
+    * followed by the span's original tokens — exactly the seq2seq pair a
+    * denoising trainer consumes, reproducible across engines, retries,
+    * and partitionings (no RNG anywhere).
+    *
+    * Output: (idCol, input_text, target_text, n_tokens, n_masked,
+    * n_spans); empty/null docs yield empty strings and zero counts.
+    *
+    * Scale shape: one (doc)-keyed explode + windows ordered by position
+    * WITHIN each doc (doc-length bounded — the scale axis is document
+    * count, not document size) + one per-doc aggregation; corpus text
+    * shuffles once, keyed by doc. */
+  def spanCorrupt(df: DataFrame, idCol: String, text: Column,
+      every: Int = 20, spanLen: Int = 3): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    require(spanLen >= 1, "spanLen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(text, "\\s+")).as(Seq("__p", "__t")))
+      .where(length(col("__t")) > 0)
+    val trig = (pmod(gf.hash64(concat(col("__id").cast("string"), lit(":"),
+      col("__p").cast("string"))), lit(every.toLong)) === 0).cast("int")
+    val wSpan = Window.partitionBy("__id").orderBy("__p")
+      .rowsBetween(-(spanLen - 1), 0)
+    val wSeq = Window.partitionBy("__id").orderBy("__p")
+    val marked = toks
+      .withColumn("__m", max(trig).over(wSpan))
+      .withColumn("__new",
+        (col("__m") === 1 &&
+          coalesce(lag(col("__m"), 1).over(wSeq), lit(0)) === 0).cast("int"))
+      .withColumn("__k", sum(col("__new")).over(wSeq) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("__k").cast("string"),
+      lit(">"))
+    val itok = when(col("__m") === 0, col("__t"))
+      .when(col("__new") === 1, sentinel)
+      .otherwise(lit(null).cast("string"))
+    val ttok = when(col("__m") === 1,
+        when(col("__new") === 1, concat(sentinel, lit(" "), col("__t")))
+          .otherwise(col("__t")))
+      .otherwise(lit(null).cast("string"))
+    def joinToks(field: String): Column = array_join(transform(
+      filter(array_sort(collect_list(struct(col("__p"), itok.as("__it"),
+        ttok.as("__tt")))), x => x.getField(field).isNotNull),
+      x => x.getField(field)), " ")
+    val agg = marked.groupBy("__id").agg(
+      joinToks("__it").as("input_text"),
+      joinToks("__tt").as("target_text"),
+      count(lit(1)).as("n_tokens"),
+      sum(col("__m").cast("long")).as("n_masked"),
+      sum(col("__new").cast("long")).as("n_spans"))
+    df.select(col(idCol)).join(agg, df(idCol) === agg("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
   /** BM25 top-k retrieval (Robertson/Sparck-Jones probabilistic ranking,

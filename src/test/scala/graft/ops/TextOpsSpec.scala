@@ -119,6 +119,72 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("stripMarkdown: structure out, content kept, fixed pass order") {
+    val cases = Seq(
+      // headers/quotes/bullets/ordered prefixes drop, text stays
+      ("# Title\n\n> quoted line\n\n- one\n- two\n2. three",
+        "Title quoted line one two three"),
+      // fenced code keeps its BODY, loses markers + info string
+      ("before\n```scala\nval x = 1\n```\nafter", "before val x = 1 after"),
+      // inline code, image alt, link anchor survive; urls vanish
+      ("see `cmd -x` and [anchor](http://u/1) and ![alt text](i.png).",
+        "see cmd -x and anchor and alt text."),
+      // emphasis unwraps, bold before italic so ** doesn't half-match
+      ("**bold** and *ital* and __bu__ and _iu_", "bold and ital and bu and iu"),
+      // horizontal rule vanishes and is NOT a bullet
+      ("a\n\n---\n\nb", "a b"),
+      // documented heuristic trade-off: intra-word underscores unwrap
+      ("snake_case_name", "snakecasename"))
+    val got = cases.map(_._1).toDF("m")
+      .select(Text.stripMarkdown($"m")).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"input <$in>: got <$g>")
+    }
+  }
+
+  test("spanCorrupt: reconstruction inverts corruption; invariants hold") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text")).limit(200)
+    val out = Text.spanCorrupt(docs, "doc_id", col("text"),
+        every = 20, spanLen = 3)
+      .join(docs, Seq("doc_id"))
+      .collect()
+    assert(out.length == 200)
+    var masked = 0L; var total = 0L
+    out.foreach { r =>
+      val (inp, tgt) = (r.getAs[String]("input_text"),
+        r.getAs[String]("target_text"))
+      val orig = r.getAs[String]("text").trim.split("\\s+")
+        .filter(_.nonEmpty).mkString(" ")
+      val nSpans = r.getAs[Long]("n_spans")
+      masked += r.getAs[Long]("n_masked"); total += r.getAs[Long]("n_tokens")
+      // parse target: sentinel k introduces span k's tokens
+      val spans = scala.collection.mutable.Map.empty[Int, List[String]]
+      var cur = -1
+      tgt.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(cur) = Nil
+        } else spans(cur) = spans(cur) :+ t
+      }
+      // sentinels are dense 0..n-1, in order of appearance
+      assert(spans.keySet == (0 until nSpans.toInt).toSet, s"doc ${r.get(0)}")
+      // substitution inverts the corruption exactly
+      val rebuilt = inp.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == orig, s"doc ${r.get(0)} reconstruction differs")
+      // every span in target has 1..spanLen tokens... merged spans can
+      // exceed spanLen; each has at least one token
+      assert(spans.values.forall(_.nonEmpty))
+    }
+    // corruption rate ≈ spanLen/every = 15% (loose band on 200 docs)
+    val rate = masked.toDouble / total
+    assert(rate > 0.08 && rate < 0.25, s"rate $rate")
+  }
+
   private val bm25Docs = Seq(
     (1L, "quick brown fox jumps"),
     (2L, "quick quick brown dog"),
