@@ -860,6 +860,33 @@ object SparkEntry {
           Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 60L)
         .select("source", "doc_id").orderBy("source", "doc_id")
     }),
+    "q180_readability" -> ((s, dir) => {
+      // per-source readability profile: pinned vowel-run syllable rule,
+      // [.!?]+ sentences, Flesch ease + FK grade; integer masses exact,
+      // per-doc doubles bit-identical (same operand order), avgs round(6)
+      graft.ops.Text.readability(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("text")), col("text"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("words"),
+          sum("n_sentences").as("sentences"),
+          sum("n_syllables").as("syllables"),
+          round(avg("flesch_ease"), 6).as("avg_ease"),
+          round(avg("fk_grade"), 6).as("avg_grade"))
+        .orderBy("source")
+    }),
+
+    "q179_fim" -> ((s, dir) => {
+      // deterministic fill-in-the-middle: half the docs (hash-selected)
+      // split at two hash-derived character cuts and re-serialize in PSM
+      // sentinel order; full byte compare of out_text on every doc plus
+      // the cut coordinates
+      graft.ops.Text.fimTransform(t(s, dir, "documents"), "doc_id",
+          col("text"), fimRate = 2)
+        .orderBy("doc_id")
+    }),
+
     "q178_span_corrupt" -> ((s, dir) => {
       // deterministic T5 denoising pairs: hash-triggered 3-token spans at
       // every=20 (≈15% corruption), sentinel inputs + span targets. The
@@ -5560,6 +5587,47 @@ FROM p GROUP BY shard ORDER BY shard"""),
          WHERE rn <= CASE source WHEN 'src0' THEN 30
                                  WHEN 'src1' THEN 18 ELSE 12 END
          ORDER BY source, doc_id"""),
+    "q180_readability" ->
+      """WITH r AS (SELECT source,
+    len(list_filter(string_split_regex(text, '\s+'),
+      w -> w <> ''))::BIGINT AS w,
+    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS s,
+    (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+     + len(list_filter(string_split_regex(lower(text), '\s+'),
+         x -> x <> '' AND NOT regexp_matches(x, '[aeiouy]'))))::BIGINT AS y
+  FROM documents),
+d AS (SELECT source, w, s, y,
+    CASE WHEN w > 0 THEN round(206.835 - 1.015*(w::DOUBLE/s)
+      - 84.6*(y::DOUBLE/w), 6) END AS ease,
+    CASE WHEN w > 0 THEN round(0.39*(w::DOUBLE/s)
+      + 11.8*(y::DOUBLE/w) - 15.59, 6) END AS grade
+  FROM r)
+SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS words,
+  sum(s)::BIGINT AS sentences, sum(y)::BIGINT AS syllables,
+  round(avg(ease), 6) AS avg_ease, round(avg(grade), 6) AS avg_grade
+FROM d GROUP BY source ORDER BY source""",
+    "q179_fim" ->
+      (hashMacros + """WITH b AS (SELECT doc_id, text,
+    length(text)::BIGINT AS n,
+    CASE WHEN ((g_sb(g_thash(doc_id::VARCHAR || '|fim')) % 2) + 2) % 2 = 0
+      THEN 1 ELSE 0 END AS sel
+  FROM documents),
+c AS (SELECT doc_id, text, n, sel,
+    ((g_sb(g_thash(doc_id::VARCHAR || '|c1')) % (n + 1)) + (n + 1))
+      % (n + 1) AS c1 FROM b),
+c2t AS (SELECT *, c1 +
+    ((g_sb(g_thash(doc_id::VARCHAR || '|c2')) % (n - c1 + 1))
+      + (n - c1 + 1)) % (n - c1 + 1) AS c2 FROM c)
+SELECT doc_id,
+  CASE WHEN sel = 1 AND n > 0 THEN 1 ELSE 0 END AS fim,
+  CASE WHEN sel = 1 AND n > 0 THEN c1 ELSE 0 END AS c1,
+  CASE WHEN sel = 1 AND n > 0 THEN c2 ELSE 0 END AS c2,
+  CASE WHEN sel = 1 AND n > 0 THEN
+    '<fim_prefix>' || text[1:c1] ||
+    '<fim_suffix>' || text[c2+1:n] ||
+    '<fim_middle>' || text[c1+1:c2]
+  ELSE text END AS out_text
+FROM c2t ORDER BY doc_id"""),
     "q178_span_corrupt" ->
       (hashMacros + """WITH d AS (SELECT doc_id,
     string_split_regex(text, '\s+') AS tk FROM documents),

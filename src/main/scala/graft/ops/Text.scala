@@ -170,6 +170,76 @@ object Text {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
+  /** Deterministic fill-in-the-middle transformation (Bavarian et al.
+    * 2022 — the infilling objective code models train on), as a pure
+    * function of the data: a `fimRate` hash-selected subset of docs is
+    * split at two hash-derived character cuts into (prefix, middle,
+    * suffix) and re-serialized in PSM order
+    * `<fim_prefix>P<fim_suffix>S<fim_middle>M`; the rest pass through
+    * untouched. Cut arithmetic (c1 = pmod(h1, n+1),
+    * c2 = c1 + pmod(h2, n−c1+1)) is integer-exact, so any engine, retry,
+    * or partitioning produces identical splits. Scan-side only — no
+    * shuffle, no RNG.
+    *
+    * Output: (idCol, fim (0/1), c1, c2, out_text). */
+  def fimTransform(df: DataFrame, idCol: String, text: Column,
+      fimRate: Int = 2): DataFrame = {
+    require(fimRate >= 1, "fimRate must be >= 1 (1 = every doc)")
+    val idS = col(idCol).cast("string")
+    val n = length(text)
+    val sel = pmod(gf.hash64(concat(idS, lit("|fim"))),
+      lit(fimRate.toLong)) === 0
+    val c1 = pmod(gf.hash64(concat(idS, lit("|c1"))), (n + 1).cast("long"))
+    val c2 = c1 + pmod(gf.hash64(concat(idS, lit("|c2"))),
+      (n - c1 + 1).cast("long"))
+    // substr is 1-based; prefix = [1, c1], middle = (c1, c2], suffix past c2
+    val prefix = substring(text, lit(1), c1.cast("int"))
+    val middle = text.substr(c1.cast("int") + 1, (c2 - c1).cast("int"))
+    val suffix = text.substr(c2.cast("int") + 1, (n - c2).cast("int"))
+    val fimText = concat(lit("<fim_prefix>"), prefix,
+      lit("<fim_suffix>"), suffix, lit("<fim_middle>"), middle)
+    df.select(col(idCol),
+      when(sel && n > 0, lit(1)).otherwise(lit(0)).as("fim"),
+      when(sel && n > 0, c1).otherwise(lit(0L)).as("c1"),
+      when(sel && n > 0, c2).otherwise(lit(0L)).as("c2"),
+      when(sel && n > 0, fimText).otherwise(text).as("out_text"))
+  }
+
+  /** Readability scores (Flesch reading-ease + Flesch–Kincaid grade) as
+    * a deterministic quality signal: syllables(word) = max(1, number of
+    * [aeiouy]+ runs, case-insensitive) — the standard vowel-run
+    * approximation WITHOUT the silent-e heuristic, pinned so two engines
+    * cannot disagree on edge words; sentences = [.!?]+ runs (min 1);
+    * words = whitespace tokens. ease = 206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W); grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59. Pure
+    * scan-side arithmetic on three regexp counts — no shuffle, null/empty
+    * text → NULL scores.
+    *
+    * Output: original columns + n_words, n_sentences, n_syllables,
+    * flesch_ease, fk_grade (rounded to `roundTo`). */
+  def readability(df: DataFrame, text: Column,
+      roundTo: Int = 6): DataFrame = {
+    val words = size(filter(split(text, "\\s+"), w => length(w) > 0))
+      .cast("long")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+    // per-word max(1, runs): total = runs + number of vowel-less words
+    val vowelRuns = size(regexp_extract_all(lower(text),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val vowellessWords = size(filter(split(lower(text), "\\s+"),
+      w => length(w) > 0 && !w.rlike("[aeiouy]"))).cast("long")
+    val syllables = vowelRuns + vowellessWords
+    val wps = words.cast("double") / sentences
+    val spw = syllables.cast("double") / words
+    df.withColumn("n_words", words)
+      .withColumn("n_sentences", sentences)
+      .withColumn("n_syllables", syllables)
+      .withColumn("flesch_ease", when(words > 0, round(
+        lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, roundTo)))
+      .withColumn("fk_grade", when(words > 0, round(
+        lit(0.39) * wps + lit(11.8) * spw - lit(15.59), roundTo)))
+  }
+
   /** BM25 top-k retrieval (Robertson/Sparck-Jones probabilistic ranking,
     * Lucene-style non-negative idf): score(q,d) =
     * Σ_t  ln(1 + (N − df + ½)/(df + ½)) · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))

@@ -185,6 +185,55 @@ class TextOpsSpec extends SparkTestBase {
     assert(rate > 0.08 && rate < 0.25, s"rate $rate")
   }
 
+  test("fimTransform: PSM parts reassemble the original; cuts in range") {
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text")).limit(200)
+    val out = Text.fimTransform(docs, "doc_id", col("text"), fimRate = 2)
+      .join(docs, Seq("doc_id")).collect()
+    val P = "<fim_prefix>"; val S = "<fim_suffix>"; val M = "<fim_middle>"
+    var nFim = 0
+    out.foreach { r =>
+      val (orig, o) = (r.getAs[String]("text"), r.getAs[String]("out_text"))
+      if (r.getAs[Int]("fim") == 1) {
+        nFim += 1
+        val c1 = r.getAs[Long]("c1"); val c2 = r.getAs[Long]("c2")
+        assert(0 <= c1 && c1 <= c2 && c2 <= orig.length)
+        assert(o.startsWith(P))
+        val body = o.stripPrefix(P)
+        val iS = body.indexOf(S); val iM = body.indexOf(M)
+        assert(iS >= 0 && iM > iS)
+        val pfx = body.substring(0, iS)
+        val sfx = body.substring(iS + S.length, iM)
+        val mid = body.substring(iM + M.length)
+        assert(pfx + mid + sfx == orig, s"doc ${r.get(0)}")
+        assert(pfx.length == c1 && mid.length == c2 - c1)
+      } else assert(o == orig)
+    }
+    // fimRate=2 selects about half (loose band)
+    assert(nFim > 60 && nFim < 140, s"nFim=$nFim")
+  }
+
+  test("readability: hand-counted syllables/sentences, formula values") {
+    val df = Seq(
+      (1L, "The cat sat."),                    // 3 words, 1 sentence, 3 syl
+      (2L, "Hello beautiful world! Yes."),     // 4 w, 2 s, hello=2 beau-ti-ful? vowel runs: e-o=2, eau-i-u=3, o=1, e=1 → 7
+      (3L, "zzz pfft"),                        // vowel-less words count 1 each
+      (4L, ""))                                // empty → zero counts, NULL scores
+      .toDF("id", "text")
+    val got = Text.readability(df, col("text")).orderBy("id").collect()
+    def row(i: Int) = got(i)
+    assert(row(0).getAs[Long]("n_words") == 3 &&
+      row(0).getAs[Long]("n_sentences") == 1 &&
+      row(0).getAs[Long]("n_syllables") == 3)
+    val ease0 = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert(math.abs(row(0).getAs[Double]("flesch_ease") - ease0) < 1e-9)
+    assert(row(1).getAs[Long]("n_sentences") == 2 &&
+      row(1).getAs[Long]("n_syllables") == 7)
+    assert(row(2).getAs[Long]("n_syllables") == 2) // max(1, runs) per word
+    assert(row(3).getAs[Long]("n_words") == 0 &&
+      row(3).isNullAt(row(3).fieldIndex("flesch_ease")))
+  }
+
   private val bm25Docs = Seq(
     (1L, "quick brown fox jumps"),
     (2L, "quick quick brown dog"),
