@@ -860,6 +860,29 @@ object SparkEntry {
           Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 60L)
         .select("source", "doc_id").orderBy("source", "doc_id")
     }),
+    "q181_chat_render" -> ((s, dir) => {
+      // SFT serialization: each doc becomes a 3-turn conversation
+      // (system meta, user = first half of the text, assistant = second
+      // half), rendered to one training string + exact character spans
+      // of the loss-masked assistant content. Byte compare of text AND
+      // spans for every conversation
+      val docs = t(s, dir, "documents")
+      val half = floor(length(col("text")) / 2).cast("int")
+      val turns = docs.select(col("doc_id"), lit(0).as("turn"),
+          lit("system").as("role"),
+          concat(lit("You are a helpful assistant for "), col("source"))
+            .as("content"))
+        .unionByName(docs.select(col("doc_id"), lit(1).as("turn"),
+          lit("user").as("role"),
+          col("text").substr(lit(1), half).as("content")))
+        .unionByName(docs.select(col("doc_id"), lit(2).as("turn"),
+          lit("assistant").as("role"),
+          col("text").substr(half + 1, length(col("text")) - half)
+            .as("content")))
+      graft.ops.Chat.render(turns, "doc_id", "turn", "role", "content")
+        .orderBy("doc_id")
+    }),
+
     "q180_readability" -> ((s, dir) => {
       // per-source readability profile: pinned vowel-run syllable rule,
       // [.!?]+ sentences, Flesch ease + FK grade; integer masses exact,
@@ -5587,6 +5610,32 @@ FROM p GROUP BY shard ORDER BY shard"""),
          WHERE rn <= CASE source WHEN 'src0' THEN 30
                                  WHEN 'src1' THEN 18 ELSE 12 END
          ORDER BY source, doc_id"""),
+    "q181_chat_render" ->
+      """WITH t0 AS (
+    SELECT doc_id AS conv, 0 AS t, 'system' AS role,
+      'You are a helpful assistant for ' || source AS c FROM documents
+    UNION ALL SELECT doc_id, 1, 'user',
+      text[1:length(text)//2] FROM documents
+    UNION ALL SELECT doc_id, 2, 'assistant',
+      text[length(text)//2+1:length(text)] FROM documents),
+p AS (SELECT conv, t, role, c,
+    '<|' || role || '|>' || chr(10) AS mk,
+    '<|' || role || '|>' || chr(10) || c || chr(10) || '<|end|>'
+      || chr(10) AS piece FROM t0),
+o AS (SELECT *, coalesce(sum(length(piece)) OVER (PARTITION BY conv
+    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    0)::BIGINT AS o FROM p),
+sp AS (SELECT conv, t, piece,
+    CASE WHEN role = 'assistant' THEN
+      (o + length(mk))::VARCHAR || ':' ||
+      (o + length(mk) + length(c))::VARCHAR END AS span,
+    CASE WHEN role = 'assistant' THEN length(c) ELSE 0 END AS mc
+  FROM o)
+SELECT conv AS doc_id, string_agg(piece, '' ORDER BY t) AS text,
+  count(*)::BIGINT AS n_turns, sum(mc)::BIGINT AS n_mask_chars,
+  coalesce(string_agg(span, ',' ORDER BY t)
+    FILTER (WHERE span IS NOT NULL), '') AS mask_spans
+FROM sp GROUP BY conv ORDER BY doc_id""",
     "q180_readability" ->
       """WITH r AS (SELECT source,
     len(list_filter(string_split_regex(text, '\s+'),
