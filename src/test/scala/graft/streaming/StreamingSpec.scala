@@ -464,6 +464,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.keySet.map(_._1).size >= 2)
   }
 
+  test("round-9 scan-side transforms stream per-row: markdown/FIM/readability ≡ batch") {
+    // stripMarkdown, fimTransform, and readability are pure per-row
+    // columns (no window, no shuffle) — they must run unchanged on a
+    // streaming frame and agree with batch row-for-row
+    val base = java.nio.file.Files.createTempDirectory("graft_r9s").toString
+    val docsB = spark.read.parquet(sf("documents"))
+    docsB.coalesce(2).write.parquet(s"$base/documents.parquet")
+    def score(df: org.apache.spark.sql.DataFrame) = {
+      val md = graft.ops.Text.fimTransform(
+        df.select(col("doc_id"),
+          graft.ops.Text.stripMarkdown(
+            concat(lit("# T\n\n- a\n\n"), col("text"))).as("text")),
+        "doc_id", col("text"), fimRate = 2)
+      graft.ops.Text.readability(md, col("out_text"))
+        .select(col("doc_id"), col("fim"), col("out_text"),
+          col("n_words"), col("n_syllables"), col("fk_grade"))
+    }
+    val q = score(graft.sources.Tables.loadStream(spark, base, "documents",
+        Map("maxFilesPerTrigger" -> "1")))
+      .writeStream.format("memory").queryName("r9_scan")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("r9_scan")
+    val batch = score(spark.read.parquet(s"$base/documents.parquet"))
+    assert(streamed.count() == docsB.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("blocklist matchStats/filterBlocked stream per-row ≡ batch (broadcast automaton)") {
     // the AC automaton is broadcast state built on the driver, not
     // streaming state — both transforms must run unchanged on a
