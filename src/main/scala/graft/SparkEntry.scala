@@ -1229,6 +1229,15 @@ object SparkEntry {
         .select(col("media_id"), col("phash"))
         .orderBy("media_id")
     }),
+    "q182_packing_stats" -> ((s, dir) => {
+      // packing-efficiency receipt over q69's 4096-token contiguous
+      // fill: sequence counts, fill rate, straddler overflow, and the
+      // naive per-doc-padding baseline with the packing gain
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
+      graft.ops.Packing.packingStats(docs, "doc_id", "n_tok", 4096L)
+    }),
+
     "q69_seq_packing" -> ((s, dir) => {
       // sequence packing: deterministic contiguous fill of ~4096-token bins
       // in doc_id order via the distributed prefix sum (quantile-bucket
@@ -5856,6 +5865,25 @@ ORDER BY k"""),
          SELECT media_id,
                 g_sb((hu % 18446744073709551616::HUGEINT)::UBIGINT) AS phash
          FROM ph ORDER BY media_id"""),
+    "q182_packing_stats" ->
+      """WITH d AS (SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+         c AS (SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - n_tok AS before FROM d),
+         b AS (SELECT (before // 4096)::BIGINT AS bin,
+             sum(n_tok)::BIGINT AS t, count(*)::BIGINT AS docs
+           FROM c GROUP BY 1),
+         n AS (SELECT sum((n_tok + 4095) // 4096)::BIGINT AS naive FROM d)
+         SELECT count(*)::BIGINT AS n_bins, sum(docs)::BIGINT AS n_docs,
+           sum(t)::BIGINT AS total_tokens,
+           round(avg(t / 4096.0), 6) AS avg_fill,
+           max(t)::BIGINT AS max_bin_tokens,
+           sum(CASE WHEN t > 4096 THEN 1 ELSE 0 END)::BIGINT
+             AS n_overflow_bins,
+           (SELECT naive FROM n) AS naive_seqs,
+           round((SELECT naive FROM n) * 1.0 / count(*), 6) AS packing_gain
+         FROM b""",
     "q69_seq_packing" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
            FROM documents),

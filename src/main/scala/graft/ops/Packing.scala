@@ -82,6 +82,38 @@ object Packing {
       .drop("__bkt", "__local")
   }
 
+  /** One-row packing-efficiency receipt for a token budget — the numbers
+    * a team reads to justify packing over per-document padding: packed
+    * sequence count and fill statistics from [[packByTokenBudget]]'s
+    * contiguous fill, against the naive baseline where every doc sits
+    * alone in ⌈tokens/budget⌉ padded sequences. `packing_gain` =
+    * naive_seqs / n_bins (how many× fewer sequences the trainer runs);
+    * `avg_fill` can exceed 1 only via the straddler contract (a bin's
+    * LAST doc may overflow — see class doc). Bin table is bins-sized;
+    * the receipt is one aggregation over it plus one corpus-scan sum. */
+  def packingStats(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long, buckets: Int = 0): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val packed = packByTokenBudget(df, orderCol, tokenCol, budget, buckets)
+    val bins = packed.groupBy("bin")
+      .agg(sum(col(tokenCol).cast("long")).as("__t"),
+        count(lit(1)).as("__docs"))
+    val naive = df.agg(coalesce(sum(
+      floor((col(tokenCol).cast("double") + (budget - 1)) / budget)
+        .cast("long")), lit(0L)).as("naive_seqs"))
+    bins.agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("__docs")).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        round(avg(col("__t") / lit(budget.toDouble)), 6).as("avg_fill"),
+        max(col("__t")).as("max_bin_tokens"),
+        sum(when(col("__t") > budget, 1L).otherwise(0L))
+          .as("n_overflow_bins"))
+      .crossJoin(naive) // 1×1 scalar join
+      .withColumn("packing_gain",
+        round(col("naive_seqs") * lit(1.0) / col("n_bins"), 6))
+  }
+
   /** Packs rows into bins of ≈`budget` tokens: adds `bin` (0-based) and
     * `bin_offset` (tokens before this row within its bin). Deterministic in
     * `orderCol` order; see the class doc for the straddler contract. */

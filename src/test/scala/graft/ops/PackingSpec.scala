@@ -76,6 +76,25 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("packingStats: hand-computed receipt incl. straddler and naive baseline") {
+    import spark.implicits._
+    // budget 10, doc order 1..4 with tokens 6,6,9,2:
+    // before = 0,6,12,21 → bins 0,0,1,2. bin0 = {6,6}=12 (straddler
+    // overflow), bin1 = {9}, bin2 = {2} → 3 bins.
+    // naive = ceil(6/10)+ceil(6/10)+ceil(9/10)+ceil(2/10) = 4 → gain 4/3
+    val df = Seq((1L, 6L), (2L, 6L), (3L, 9L), (4L, 2L)).toDF("id", "tok")
+    val r = Packing.packingStats(df, "id", "tok", 10L).head()
+    assert(r.getAs[Long]("n_bins") == 3)
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("total_tokens") == 23)
+    assert(r.getAs[Long]("max_bin_tokens") == 12)
+    assert(r.getAs[Long]("n_overflow_bins") == 1)
+    assert(r.getAs[Long]("naive_seqs") == 4)
+    assert(math.abs(r.getAs[Double]("avg_fill") -
+      ((1.2 + 0.9 + 0.2) / 3)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("packing_gain") - 4.0 / 3) < 1e-6)
+  }
+
   test("packing works end-to-end on the documents fixture") {
     val docs = spark.read.parquet(sf("documents"))
       .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
