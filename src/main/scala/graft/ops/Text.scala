@@ -120,54 +120,64 @@ object Text {
     *
     * Scale shape: one (doc)-keyed explode + windows ordered by position
     * WITHIN each doc (doc-length bounded — the scale axis is document
-    * count, not document size) + one per-doc aggregation; corpus text
-    * shuffles once, keyed by doc. */
+    * count, not document size) + one per-doc aggregation that REUSES the
+    * window's hash partitioning: the corpus shuffles exactly once.
+    * Empty/null docs ride through the outer explode as a placeholder
+    * row, so no restore-join (a second corpus-sized shuffle) is needed. */
   def spanCorrupt(df: DataFrame, idCol: String, text: Column,
       every: Int = 20, spanLen: Int = 3): DataFrame = {
     require(every >= 1, "every must be >= 1")
     require(spanLen >= 1, "spanLen must be >= 1")
     import org.apache.spark.sql.expressions.Window
+    // outer explode + validity flag instead of a filter: an empty/null
+    // doc keeps one placeholder row (valid=0) and thus its output row
     val toks = df
       .select(col(idCol).as("__id"),
-        posexplode(split(text, "\\s+")).as(Seq("__p", "__t")))
-      .where(length(col("__t")) > 0)
-    val trig = (pmod(gf.hash64(concat(col("__id").cast("string"), lit(":"),
-      col("__p").cast("string"))), lit(every.toLong)) === 0).cast("int")
-    val wSpan = Window.partitionBy("__id").orderBy("__p")
+        posexplode_outer(split(text, "\\s+")).as(Seq("__p", "__t")))
+      .withColumn("__v",
+        (col("__t").isNotNull && length(col("__t")) > 0).cast("int"))
+    val trig = when(col("__v") === 1,
+      (pmod(gf.hash64(concat(col("__id").cast("string"), lit(":"),
+        col("__p").cast("string"))), lit(every.toLong)) === 0).cast("int"))
+      .otherwise(lit(0))
+    // windows order VALID tokens first (then by position): an invalid
+    // placeholder row (leading-whitespace empty token, empty doc) must
+    // never occupy a row slot inside a span window, or it would shift
+    // which tokens fall within spanLen−1 rows of a trigger
+    val wSpan = Window.partitionBy("__id")
+      .orderBy(col("__v").desc, col("__p"))
       .rowsBetween(-(spanLen - 1), 0)
-    val wSeq = Window.partitionBy("__id").orderBy("__p")
+    val wSeq = Window.partitionBy("__id")
+      .orderBy(col("__v").desc, col("__p"))
     val marked = toks
-      .withColumn("__m", max(trig).over(wSpan))
+      .withColumn("__m",
+        when(col("__v") === 1, max(trig).over(wSpan)).otherwise(lit(0)))
       .withColumn("__new",
         (col("__m") === 1 &&
           coalesce(lag(col("__m"), 1).over(wSeq), lit(0)) === 0).cast("int"))
       .withColumn("__k", sum(col("__new")).over(wSeq) - 1)
     val sentinel = concat(lit("<extra_id_"), col("__k").cast("string"),
       lit(">"))
-    val itok = when(col("__m") === 0, col("__t"))
+    val itok = when(col("__v") === 0, lit(null).cast("string"))
+      .when(col("__m") === 0, col("__t"))
       .when(col("__new") === 1, sentinel)
       .otherwise(lit(null).cast("string"))
-    val ttok = when(col("__m") === 1,
+    val ttok = when(col("__v") === 1 && col("__m") === 1,
         when(col("__new") === 1, concat(sentinel, lit(" "), col("__t")))
           .otherwise(col("__t")))
       .otherwise(lit(null).cast("string"))
-    def joinToks(field: String): Column = array_join(transform(
-      filter(array_sort(collect_list(struct(col("__p"), itok.as("__it"),
-        ttok.as("__tt")))), x => x.getField(field).isNotNull),
-      x => x.getField(field)), " ")
-    val agg = marked.groupBy("__id").agg(
-      joinToks("__it").as("input_text"),
-      joinToks("__tt").as("target_text"),
-      count(lit(1)).as("n_tokens"),
+    marked.groupBy(col("__id").as(idCol)).agg(
+      array_join(transform(
+        filter(array_sort(collect_list(struct(col("__p"),
+          itok.as("__it")))), x => x.getField("__it").isNotNull),
+        x => x.getField("__it")), " ").as("input_text"),
+      array_join(transform(
+        filter(array_sort(collect_list(struct(col("__p"),
+          ttok.as("__tt")))), x => x.getField("__tt").isNotNull),
+        x => x.getField("__tt")), " ").as("target_text"),
+      sum(col("__v").cast("long")).as("n_tokens"),
       sum(col("__m").cast("long")).as("n_masked"),
       sum(col("__new").cast("long")).as("n_spans"))
-    df.select(col(idCol)).join(agg, df(idCol) === agg("__id"), "left")
-      .select(col(idCol),
-        coalesce(col("input_text"), lit("")).as("input_text"),
-        coalesce(col("target_text"), lit("")).as("target_text"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
   /** Deterministic fill-in-the-middle transformation (Bavarian et al.

@@ -234,6 +234,36 @@ class TextOpsSpec extends SparkTestBase {
       row(3).isNullAt(row(3).fieldIndex("flesch_ease")))
   }
 
+  test("spanCorrupt: empty/whitespace/null docs survive; one corpus shuffle") {
+    val df = Seq((1L, ""), (2L, "  lead tok"),
+        (3L, null.asInstanceOf[String]), (4L, "a b"))
+      .toDF("id", "text")
+    // every=1 masks EVERY token → one span per non-empty doc
+    val out = Text.spanCorrupt(df, "id", col("text"), every = 1,
+        spanLen = 2)
+      .orderBy("id").collect()
+    assert(out.length == 4)
+    def r(i: Int) = out(i)
+    Seq(0, 2).foreach { i => // empty + null docs: empty outputs, zero counts
+      assert(r(i).getAs[String]("input_text") == "" &&
+        r(i).getAs[String]("target_text") == "" &&
+        r(i).getAs[Long]("n_tokens") == 0 &&
+        r(i).getAs[Long]("n_spans") == 0)
+    }
+    // leading whitespace: the empty split token is NOT a window slot
+    assert(r(1).getAs[String]("input_text") == "<extra_id_0>")
+    assert(r(1).getAs[String]("target_text") == "<extra_id_0> lead tok")
+    assert(r(1).getAs[Long]("n_tokens") == 2 &&
+      r(1).getAs[Long]("n_masked") == 2 && r(1).getAs[Long]("n_spans") == 1)
+    // plan: exactly ONE real shuffle (AQE prints the tree twice)
+    val df2 = Text.spanCorrupt(spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text")), "doc_id", col("text"))
+    df2.collect()
+    val nEx = "Exchange".r
+      .findAllIn(df2.queryExecution.executedPlan.toString).length
+    assert(nEx <= 2, s"expected one real shuffle, plan shows $nEx prints")
+  }
+
   private val bm25Docs = Seq(
     (1L, "quick brown fox jumps"),
     (2L, "quick quick brown dog"),
