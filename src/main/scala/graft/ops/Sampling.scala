@@ -403,6 +403,12 @@ object Sampling {
       .limit(0)
     val split = present.map { case (l, q) =>
       val n = counts(l)
+      // the explode below emits one row per epoch instance; a quota that
+      // implies thousands of epochs of one source is a recipe bug (and
+      // would build epoch arrays that large per row) — fail loudly
+      require(q / n <= 10000,
+        s"expandEpochs: label $l implies ${q / n} epochs per doc " +
+          s"(quota $q over $n docs) — cap the quota or split the source")
       (l, q / n, q % n)
     }
     val baseCol = split.foldRight(lit(0L): Column) { case ((l, b, _), acc) =>

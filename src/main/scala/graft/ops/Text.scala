@@ -123,7 +123,14 @@ object Text {
     * count, not document size) + one per-doc aggregation that REUSES the
     * window's hash partitioning: the corpus shuffles exactly once.
     * Empty/null docs ride through the outer explode as a placeholder
-    * row, so no restore-join (a second corpus-sized shuffle) is needed. */
+    * row, so no restore-join (a second corpus-sized shuffle) is needed.
+    *
+    * SIZE THE SHUFFLE to the token volume, not the doc count: each
+    * shuffle partition materializes its docs' (pos, token) rows for the
+    * window sort, so keep tokens/partition in the low millions
+    * (spark.sql.shuffle.partitions, or AQE advisory partition size) —
+    * measured: 990M tokens at 32 partitions OOMs an 8 GB heap, at 256
+    * partitions it completes (SURVEY §8.2). */
   def spanCorrupt(df: DataFrame, idCol: String, text: Column,
       every: Int = 20, spanLen: Int = 3): DataFrame = {
     require(every >= 1, "every must be >= 1")

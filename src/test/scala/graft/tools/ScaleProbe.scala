@@ -360,6 +360,51 @@ object ScaleProbe {
           graft.api.functions.hll_agg(col("doc_id"), 14)).as("d")))
     }
 
+    time(s"spanCorrupt $nDocs docs (~${30 * nDocs} tokens, 256 parts)") {
+      // the exploded (doc, pos, token) frame rides ONE hash(doc) shuffle
+      // whose partitions must hold their docs' token rows: at 32
+      // partitions a 990M-token corpus is ~31M rows/partition and OOMs
+      // an 8 GB heap — size shuffle partitions to the token volume
+      // (~4M rows/partition here), exactly the
+      // spark.sql.shuffle.partitions / maxPartitionBytes discipline the
+      // op's scaladoc prescribes
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      try force(graft.ops.Text.spanCorrupt(docs, "doc_id", col("text")))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    time(s"chatRender $nDocs 3-turn conversations") {
+      val half = floor(length(col("text")) / 2).cast("int")
+      val turns = docs.select(col("doc_id"), lit(0).as("turn"),
+          lit("system").as("role"), col("source").as("content"))
+        .unionByName(docs.select(col("doc_id"), lit(1).as("turn"),
+          lit("user").as("role"),
+          col("text").substr(lit(1), half).as("content")))
+        .unionByName(docs.select(col("doc_id"), lit(2).as("turn"),
+          lit("assistant").as("role"),
+          col("text").substr(half + 1, length(col("text")) - half)
+            .as("content")))
+      force(graft.ops.Chat.render(turns, "doc_id", "turn", "role",
+        "content"))
+    }
+    time(s"bpeFertility $nDocs docs x 8 merges x 20 groups") {
+      val merges = Seq(graft.ops.Bpe.Merge("w", "1", 0),
+        graft.ops.Bpe.Merge("w1", "0", 0), graft.ops.Bpe.Merge("w", "2", 0),
+        graft.ops.Bpe.Merge("w", "3", 0), graft.ops.Bpe.Merge("w", "4", 0),
+        graft.ops.Bpe.Merge("1", "1", 0), graft.ops.Bpe.Merge("2", "2", 0),
+        graft.ops.Bpe.Merge("w1", "1", 0))
+      force(graft.ops.Bpe.fertilityByKey(docs, col("text"), col("source"),
+        merges))
+    }
+    time(s"markdown+fim+readability $nDocs docs (scan-side chain)") {
+      val md = graft.ops.Text.fimTransform(
+        docs.select(col("doc_id"),
+          graft.ops.Text.stripMarkdown(
+            concat(lit("# T\n\n- a\n\n"), col("text"))).as("text")),
+        "doc_id", col("text"))
+      force(graft.ops.Text.readability(md, col("out_text")))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
