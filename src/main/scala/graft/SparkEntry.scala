@@ -883,6 +883,64 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q183_bleu" -> ((s, dir) => {
+      // corpus BLEU per language against a deterministic synthetic
+      // "decoder": the candidate drops every token whose (doc, pos) hash
+      // lands on 0 mod 10, so clipping, pooled counts, and the brevity
+      // penalty all bite. The oracle re-derives the candidates and every
+      // n-gram count independently
+      val toks = filter(split(col("text"), "\\s+"),
+        tk => length(tk) > 0)
+      val cand = array_join(transform(
+        filter(transform(toks, (tk, i) => struct(tk.as("t"), i.as("i"))),
+          st => pmod(gf.hash64(concat(col("doc_id"), lit(":"),
+            st.getField("i"))), lit(10)) =!= 0),
+        st => st.getField("t")), " ")
+      val df = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), cand.as("cand"))
+      graft.ops.Eval.bleu(df, "doc_id", col("text"), col("cand"),
+          Seq("lang"), 4)
+        .select(col("lang"), col("n_pairs"), col("ref_len"),
+          col("cand_len"), round(col("p1"), 6).as("p1"),
+          round(col("p2"), 6).as("p2"), round(col("p3"), 6).as("p3"),
+          round(col("p4"), 6).as("p4"), round(col("bp"), 6).as("bp"),
+          round(col("bleu"), 6).as("bleu"))
+        .orderBy("lang")
+    }),
+
+    "q185_fleiss" -> ((s, dir) => {
+      // inter-annotator agreement receipt: 5 deterministic raters per doc
+      // — each independently rates the doc's language, agreeing with the
+      // truth 70% of the time (hash-decided) and otherwise emitting a
+      // hash-picked 'alt' class — then Fleiss' kappa over the (item,
+      // category) vote counts. Every count exact; kappa mirrored in SQL
+      val rated = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), lit(4))).as("r"))
+        .withColumn("cat",
+          when(pmod(gf.hash64(concat(col("doc_id"), lit(":"), col("r"))),
+            lit(10)) < 7, col("lang"))
+          .otherwise(concat(lit("alt"),
+            pmod(gf.hash64(concat(col("doc_id"), lit(":"), col("r"),
+              lit(":x"))), lit(3)))))
+      graft.ops.Eval.fleissKappa(rated, col("doc_id"), col("cat"))
+        .select(col("n_items"), col("n_ratings"), col("n_categories"),
+          col("min_raters"), col("max_raters"),
+          round(col("p_bar"), 6).as("p_bar"),
+          round(col("pe_bar"), 6).as("pe_bar"),
+          round(col("kappa"), 6).as("kappa"))
+    }),
+
+    "q187_metric_stability" -> ((s, dir) => {
+      // seedless bootstrap: 16 hash-selected half-corpus replicates of a
+      // doc-length metric — the spread says how many digits of the
+      // corpus mean are real. Memberships and counts exact per replicate
+      graft.ops.Eval.metricReplicates(t(s, dir, "documents"),
+          col("doc_id"), length(col("text")), 16)
+        .select(col("replicate"), col("n"), round(col("mean"), 6).as("mean"))
+        .orderBy("replicate")
+    }),
+
     "q180_readability" -> ((s, dir) => {
       // per-source readability profile: pinned vowel-run syllable rule,
       // [.!?]+ sentences, Flesch ease + FK grade; integer masses exact,
@@ -5619,6 +5677,90 @@ FROM p GROUP BY shard ORDER BY shard"""),
          WHERE rn <= CASE source WHEN 'src0' THEN 30
                                  WHEN 'src1' THEN 18 ELSE 12 END
          ORDER BY source, doc_id"""),
+    "q183_bleu" ->
+      (hashMacros + """WITH d AS (SELECT doc_id, lang,
+    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS r
+  FROM documents),
+c AS MATERIALIZED (SELECT doc_id, lang, r,
+    list_transform(list_filter(range(1, len(r)+1),
+      j -> ((g_sb(g_thash(doc_id::VARCHAR || ':' || (j-1)::VARCHAR))
+            % 10) + 10) % 10 <> 0), j -> r[j]) AS cd
+  FROM d),
+sides AS (
+  SELECT doc_id, lang, u.n AS n, r AS x, 'r' AS side
+    FROM c, unnest([1,2,3,4]) u(n)
+  UNION ALL
+  SELECT doc_id, lang, u.n, cd, 'c' FROM c, unnest([1,2,3,4]) u(n)),
+grams AS (SELECT doc_id, lang, n, gr, side
+  FROM sides, unnest(CASE WHEN len(x) >= n
+      THEN list_transform(range(1, len(x)-n+2),
+        i -> array_to_string(x[i:i+n-1], ' '))
+      ELSE [] END) t(gr)),
+cnt AS (SELECT doc_id, lang, n, gr,
+    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END)::BIGINT AS cc,
+    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END)::BIGINT AS cr
+  FROM grams GROUP BY 1, 2, 3, 4),
+ord AS (SELECT lang, n, sum(least(cc, cr))::BIGINT AS clip,
+    sum(cc)::BIGINT AS den FROM cnt GROUP BY 1, 2),
+lens AS (SELECT lang, count(*)::BIGINT AS n_pairs,
+    sum(len(r))::BIGINT AS ref_len, sum(len(cd))::BIGINT AS cand_len
+  FROM c GROUP BY 1),
+pv AS (SELECT lang,
+    max(CASE WHEN n=1 THEN clip END) * 1.0
+      / nullif(max(CASE WHEN n=1 THEN den END), 0) AS p1,
+    max(CASE WHEN n=2 THEN clip END) * 1.0
+      / nullif(max(CASE WHEN n=2 THEN den END), 0) AS p2,
+    max(CASE WHEN n=3 THEN clip END) * 1.0
+      / nullif(max(CASE WHEN n=3 THEN den END), 0) AS p3,
+    max(CASE WHEN n=4 THEN clip END) * 1.0
+      / nullif(max(CASE WHEN n=4 THEN den END), 0) AS p4
+  FROM ord GROUP BY 1),
+j AS (SELECT lens.*, p1, p2, p3, p4,
+    CASE WHEN cand_len >= ref_len OR ref_len = 0 THEN 1.0
+         ELSE exp(1.0 - ref_len::DOUBLE / cand_len) END AS bp
+  FROM lens JOIN pv USING (lang))
+SELECT lang, n_pairs, ref_len, cand_len,
+  round(p1, 6) AS p1, round(p2, 6) AS p2,
+  round(p3, 6) AS p3, round(p4, 6) AS p4, round(bp, 6) AS bp,
+  round(CASE
+    WHEN p1 IS NULL OR p2 IS NULL OR p3 IS NULL OR p4 IS NULL THEN NULL
+    WHEN p1 = 0 OR p2 = 0 OR p3 = 0 OR p4 = 0 THEN 0.0
+    ELSE bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4) END, 6) AS bleu
+FROM j ORDER BY lang"""),
+    "q185_fleiss" ->
+      (hashMacros + """WITH rt AS (SELECT doc_id, lang, u.r AS r
+    FROM documents, unnest(range(0, 5)) u(r)),
+rated AS (SELECT doc_id,
+    CASE WHEN ((g_sb(g_thash(doc_id::VARCHAR || ':' || r::VARCHAR))
+          % 10) + 10) % 10 < 7 THEN lang
+      ELSE 'alt' || (((g_sb(g_thash(doc_id::VARCHAR || ':' || r::VARCHAR
+          || ':x')) % 3) + 3) % 3)::VARCHAR END AS cat
+  FROM rt),
+v AS (SELECT doc_id, cat, count(*)::BIGINT AS nn
+  FROM rated GROUP BY 1, 2),
+bi AS (SELECT doc_id, sum(nn)::BIGINT AS ni,
+    sum(nn * (nn - 1))::BIGINT AS agree FROM v GROUP BY 1
+  HAVING sum(nn) >= 2),
+it AS (SELECT count(*)::BIGINT AS n_items, sum(ni)::BIGINT AS n_ratings,
+    min(ni)::BIGINT AS min_raters, max(ni)::BIGINT AS max_raters,
+    avg(agree::DOUBLE / (ni * (ni - 1.0))) AS p_bar FROM bi),
+bc AS (SELECT count(*)::BIGINT AS n_categories,
+    sum(nc * nc)::DOUBLE AS sc2 FROM (
+      SELECT v.cat, sum(v.nn)::BIGINT AS nc FROM v
+      JOIN bi USING (doc_id) GROUP BY 1))
+SELECT n_items, n_ratings, n_categories, min_raters, max_raters,
+  round(p_bar, 6) AS p_bar,
+  round(sc2 / (n_ratings::DOUBLE * n_ratings), 6) AS pe_bar,
+  round((p_bar - sc2 / (n_ratings::DOUBLE * n_ratings))
+    / (1.0 - sc2 / (n_ratings::DOUBLE * n_ratings)), 6) AS kappa
+FROM it, bc"""),
+    "q187_metric_stability" ->
+      (hashMacros + """SELECT r::INT AS replicate, count(*)::BIGINT AS n,
+  round(avg(length(text)), 6) AS mean
+FROM documents, unnest(range(0, 16)) u(r)
+WHERE ((g_sb(g_thash(doc_id::VARCHAR || ':' || r::VARCHAR)) % 2) + 2) % 2
+      = 0
+GROUP BY 1 ORDER BY 1"""),
     "q181_chat_render" ->
       """WITH t0 AS (
     SELECT doc_id AS conv, 0 AS t, 'system' AS role,

@@ -232,4 +232,179 @@ object Eval {
       when(mccDen > 0.0, mccNum / mccDen).as("mcc"),
       col("macro_precision"), col("macro_recall"), col("macro_f1"))
   }
+
+  /** Fleiss' kappa — chance-corrected agreement among MANY raters
+    * (Fleiss 1971), the multi-rater sibling of [[classifierReport]]'s
+    * Cohen's κ: the receipt a labeling campaign reads before trusting a
+    * crowd-sourced quality/toxicity label column. Input is one row per
+    * RATING (item, category assigned by one anonymous rater).
+    *
+    * Per item i with n_i ratings and n_ij votes for category j:
+    * P_i = (Σ_j n_ij(n_ij−1)) / (n_i(n_i−1)); P̄ = mean over items;
+    * P̄_e = Σ_j p_j² with p_j the pooled category share;
+    * κ = (P̄ − P̄_e)/(1 − P̄_e). The classical statistic assumes a
+    * constant rater count; this generalizes to variable n_i the standard
+    * way (per-item pairwise agreement, pooled marginals) and reports
+    * min/max raters so a caller can SEE whether the classical assumption
+    * held. Items with fewer than 2 ratings carry no agreement information
+    * and are EXCLUDED entirely (they'd divide by zero in P_i).
+    *
+    * Scale shape: ONE corpus shuffle into (item, category) counts
+    * (map-side combined); everything after operates on that counts frame
+    * (≤ items × categories rows) and the category-sized marginal table.
+    * Vote-pair products are held in DECIMAL(38,0); the P_i average fans
+    * in through exact_sum, so the one-row report is bit-deterministic
+    * under any partitioning. Returns one row:
+    * (n_items, n_ratings, n_categories, min_raters, max_raters,
+    *  p_bar, pe_bar, kappa) — kappa NULL when P̄_e = 1 (all mass in one
+    * category) or no item has ≥ 2 ratings. */
+  def fleissKappa(df: DataFrame, itemCol: Column,
+      categoryCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    // the counts frame is read twice (item fold + marginal fold) —
+    // checkpoint so the corpus shuffles into it exactly once
+    val votes = df.select(itemCol.as("__i"), categoryCol.as("__c"))
+      .where(col("__i").isNotNull && col("__c").isNotNull)
+      .groupBy("__i", "__c").agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    // per-item totals + pairwise-agreement numerator, items with ≥ 2 votes
+    val byItem = votes.groupBy("__i")
+      .agg(sum(col("__n")).as("__ni"),
+        sum(col("__n").cast(dec) * (col("__n") - 1).cast(dec)).as("__agree"))
+      .where(col("__ni") >= 2)
+    val pi = col("__agree").cast("double") /
+      (col("__ni").cast("double") * (col("__ni") - 1).cast("double"))
+    val items = byItem.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("__ni")), lit(0L)).as("n_ratings"),
+      min(col("__ni")).as("min_raters"),
+      max(col("__ni")).as("max_raters"),
+      (graft.api.functions.exact_sum(pi) / count(lit(1))).as("p_bar"))
+    // pooled category marginals over the SAME included items
+    val byCat = votes.join(byItem.select(col("__i")), Seq("__i"))
+      .groupBy("__c").agg(sum(col("__n")).as("__nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(col("__nc").cast(dec) * col("__nc").cast(dec)),
+          lit(0).cast(dec)).as("__sc2"))
+    val j = items.crossJoin(byCat) // 1×1 scalar join
+    val peBar = col("__sc2").cast("double") /
+      (col("n_ratings").cast("double") * col("n_ratings").cast("double"))
+    j.select(col("n_items"), col("n_ratings"), col("n_categories"),
+      col("min_raters"), col("max_raters"),
+      when(col("n_items") > 0, col("p_bar")).as("p_bar"),
+      when(col("n_items") > 0, peBar).as("pe_bar"),
+      when(col("n_items") > 0 && peBar < 1.0,
+        (col("p_bar") - peBar) / (lit(1.0) - peBar)).as("kappa"))
+  }
+
+  /** Corpus-level BLEU (Papineni et al. 2002) per group — the n-gram
+    * overlap score a generation/translation pipeline reports over
+    * millions of (reference, candidate) pairs. Whitespace tokenization
+    * (empty tokens dropped), modified n-gram precision with per-pair
+    * clipping, corpus brevity penalty from the summed lengths; BLEU = 0
+    * when any order's precision is 0 (corpus-level counts make smoothing
+    * unnecessary at scale).
+    *
+    * Scale shape: both sides' n-grams stream through ONE union keyed by
+    * (group, pair, n, gram) with conditional counts — no join of two
+    * shuffled gram frames — then fold to (group, n). The gram shuffle
+    * carries ≈ 2·maxN× the token volume (the honest cost of n-gram
+    * precision); lengths fold in a separate cheap pass. Everything is
+    * exact integer arithmetic until the final ratios.
+    *
+    * Returns one row per group: (groupCols…, n_pairs, ref_len, cand_len,
+    * p1..p{maxN}, bp, bleu); p_n is NULL when the candidate side has no
+    * n-grams of that order, and bleu NULL when any order is NULL. */
+  def bleu(df: DataFrame, idCol: String, refCol: Column, candCol: Column,
+      groupCols: Seq[String] = Nil, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val g = groupCols.map(col)
+    val tok = (c: Column) =>
+      filter(split(c, "\\s+"), t => length(t) > 0)
+    val base = df.select(g ++ Seq(col(idCol).as("__id"),
+      tok(refCol).as("__r"), tok(candCol).as("__c")): _*)
+      .where(col("__r").isNotNull && col("__c").isNotNull)
+    // lengths + pair count fold straight to the group key
+    val lens = base.groupBy(g: _*).agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(size(col("__r"))), lit(0L)).as("ref_len"),
+      coalesce(sum(size(col("__c"))), lit(0L)).as("cand_len"))
+    // n-grams of one order from a token array (empty when too short)
+    def grams(tc: Column, n: Int): Column =
+      when(size(tc) >= n, transform(sequence(lit(0), size(tc) - n),
+        i => array_join(slice(tc, i + lit(1), lit(n)), " ")))
+        .otherwise(array())
+    def side(tc: Column, tag: String): Column =
+      flatten(array((1 to maxN).map(n =>
+        transform(grams(tc, n),
+          gr => struct(lit(n).as("n"), gr.as("gram"),
+            lit(tag).as("side")))): _*))
+    // one exploded stream for BOTH sides → one (pair, n, gram) count
+    // shuffle with conditional sums; clipping is least() on the counts
+    val both = base.select(g ++ Seq(col("__id"),
+        explode(concat(side(col("__c"), "c"), side(col("__r"), "r")))
+          .as("__g")): _*)
+      .groupBy(g ++ Seq(col("__id"), col("__g.n").as("__n"),
+        col("__g.gram").as("__gram")): _*)
+      .agg(coalesce(sum(when(col("__g.side") === "c", 1L)), lit(0L))
+          .as("__cc"),
+        coalesce(sum(when(col("__g.side") === "r", 1L)), lit(0L))
+          .as("__cr"))
+    val byOrder = both.groupBy(g :+ col("__n"): _*)
+      .agg(sum(least(col("__cc"), col("__cr"))).as("__clip"),
+        sum(col("__cc")).as("__den"))
+    val pCols = (1 to maxN).map { n =>
+      (coalesce(sum(when(col("__n") === n, col("__clip"))), lit(0L))
+        .cast("double") /
+        nullif(coalesce(sum(when(col("__n") === n, col("__den"))),
+          lit(0L)), lit(0L)).cast("double")).as(s"p$n")
+    }
+    val perN = byOrder.groupBy(g: _*).agg(pCols.head, pCols.tail: _*)
+    val joined =
+      if (g.isEmpty) lens.crossJoin(perN) // both single-row
+      else lens.join(perN, groupCols, "inner")
+    val bp = when(col("cand_len") >= col("ref_len") || col("ref_len") === 0,
+      lit(1.0)).otherwise(
+      exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")))
+    val ps = (1 to maxN).map(n => col(s"p$n"))
+    val logSum = ps.map(p => log(p)).reduce(_ + _)
+    val anyNullOrZero = ps.map(p => p.isNull || p === 0.0).reduce(_ || _)
+    val anyNull = ps.map(_.isNull).reduce(_ || _)
+    joined.select(g ++ Seq(col("n_pairs"), col("ref_len"), col("cand_len")) ++
+      ps ++ Seq(bp.as("bp"),
+        when(anyNull, lit(null).cast("double"))
+          .when(anyNullOrZero, lit(0.0))
+          .otherwise(bp * exp(logSum / maxN)).as("bleu")): _*)
+  }
+
+  /** Metric stability under deterministic resampling — the "how many
+    * digits of that score are real" receipt. Each of `replicates`
+    * replicas is a HASH-SELECTED half of the corpus (row id r-salted
+    * through the engine's 64-bit hash, bit 0 decides membership), so the
+    * replica set is identical on any engine, partitioning, or retry — a
+    * seedless bootstrap whose spread estimates the metric's sampling
+    * noise. Returns one row per replicate: (replicate, n, mean); the
+    * caller folds spread statistics (or gates the rows directly).
+    *
+    * Scale shape: the corpus scans ONCE and explodes onto the (small,
+    * literal) replicate list; the shuffle after map-side combine is
+    * replicates × partitions partial rows — corpus-size independent. The
+    * per-replicate mean accumulates through exact_sum, so every digit is
+    * partitioning-invariant. */
+  def metricReplicates(df: DataFrame, idCol: Column, valueCol: Column,
+      replicates: Int = 32): DataFrame = {
+    require(replicates >= 2 && replicates <= 64,
+      "replicates must be in [2, 64]")
+    val rows = df.select(idCol.cast("string").as("__id"),
+        valueCol.cast("double").as("__v"))
+      .where(col("__id").isNotNull && col("__v").isNotNull)
+    rows.select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
+      .where(pmod(graft.api.functions.hash64(
+        concat(col("__id"), lit(":"), col("replicate"))), lit(2)) === 0)
+      .groupBy(col("replicate"))
+      .agg(count(lit(1)).as("n"),
+        (graft.api.functions.exact_sum(col("__v")) / count(lit(1)))
+          .as("mean"))
+  }
 }

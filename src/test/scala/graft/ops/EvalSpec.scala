@@ -202,4 +202,178 @@ class EvalSpec extends SparkTestBase {
       col("l"), col("p")).head()
     assert(r1.toSeq == r7.toSeq)
   }
+
+  // ---- Fleiss' kappa ----
+
+  /** Independent reimplementation of the (variable-n) Fleiss formula. */
+  private def refFleiss(ratings: Seq[(Int, String)])
+      : Option[(Double, Double, Double)] = {
+    val byItem = ratings.groupBy(_._1).filter(_._2.size >= 2)
+    if (byItem.isEmpty) return None
+    val pis = byItem.values.map { rs =>
+      val ni = rs.size
+      val agree = rs.groupBy(_._2).values.map(v =>
+        v.size.toLong * (v.size - 1)).sum
+      agree.toDouble / (ni.toLong * (ni - 1))
+    }
+    val pBar = pis.sum / pis.size
+    val total = byItem.values.map(_.size.toLong).sum
+    val catTotals = byItem.values.flatten.groupBy(_._2).values
+      .map(_.size.toLong)
+    val peBar = catTotals.map(c => c.toDouble * c).sum /
+      (total.toDouble * total)
+    Some((pBar, peBar, (pBar - peBar) / (1.0 - peBar)))
+  }
+
+  test("fleissKappa reproduces the Fleiss 1971 textbook table") {
+    import spark.implicits._
+    // 10 subjects x 14 raters x 5 categories (Fleiss 1971, the worked
+    // example everywhere): kappa rounds to 0.210
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val ratings = table.zipWithIndex.flatMap { case (cs, i) =>
+      cs.zipWithIndex.flatMap { case (c, j) =>
+        Seq.fill(c)((i, s"cat$j")) } }
+    val r = Eval.fleissKappa(ratings.toDF("item", "cat"),
+      col("item"), col("cat")).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 140L &&
+      r.getLong(2) == 5L && r.getLong(3) == 14L && r.getLong(4) == 14L)
+    val Some((pb, pe, k)) = refFleiss(ratings)
+    assert(math.abs(r.getDouble(5) - pb) < 1e-12)
+    assert(math.abs(r.getDouble(6) - pe) < 1e-12)
+    assert(math.abs(r.getDouble(7) - k) < 1e-12)
+    assert(math.round(r.getDouble(7) * 1000) == 210L)
+  }
+
+  test("fleissKappa: variable raters, <2-vote items excluded, edge cases") {
+    import spark.implicits._
+    // item 3 has one rating -> excluded entirely (from marginals too)
+    val mixed = Seq((1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "b"),
+      (3, "zzz"))
+    val r = Eval.fleissKappa(mixed.toDF("item", "cat"),
+      col("item"), col("cat")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 3L)
+    val Some((pb, pe, k)) = refFleiss(mixed)
+    assert(math.abs(r.getDouble(5) - pb) < 1e-12)
+    assert(math.abs(r.getDouble(7) - k) < 1e-12)
+
+    // perfect agreement in ONE category: pe = 1 -> kappa NULL
+    val onecat = Seq((1, "a"), (1, "a"), (2, "a"), (2, "a"))
+    assert(Eval.fleissKappa(onecat.toDF("item", "cat"),
+      col("item"), col("cat")).head().isNullAt(7))
+
+    // perfect agreement across DIFFERENT categories: kappa = 1 exactly
+    val perfect = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"))
+    assert(Eval.fleissKappa(perfect.toDF("item", "cat"),
+      col("item"), col("cat")).head().getDouble(7) == 1.0)
+
+    // nothing usable -> all-NULL stats row
+    val tiny = Seq((1, "a")).toDF("item", "cat")
+    val rt = Eval.fleissKappa(tiny, col("item"), col("cat")).head()
+    assert(rt.getLong(0) == 0L && rt.isNullAt(7))
+  }
+
+  test("fleissKappa is partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      (i % 40, s"c${rnd.nextInt(3)}") }
+    val a = Eval.fleissKappa(rows.toDF("item", "cat").repartition(1),
+      col("item"), col("cat")).head()
+    val b = Eval.fleissKappa(rows.toDF("item", "cat").repartition(7),
+      col("item"), col("cat")).head()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  // ---- BLEU ----
+
+  test("bleu: clipping, brevity penalty, identity, zero overlap") {
+    import spark.implicits._
+    // the classic clipping example: candidate "the the the cat mat" vs
+    // reference "the cat is on the mat":
+    // p1 = (min(3,2)+1+1)/5 = 0.8; p2 = 1/4 ("the cat" only)
+    val df = Seq((1L, "the cat is on the mat", "the the the cat mat"))
+      .toDF("id", "ref", "cand")
+    val r = Eval.bleu(df, "id", col("ref"), col("cand"), Nil, 2).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 6L && r.getLong(2) == 5L)
+    assert(math.abs(r.getDouble(3) - 0.8) < 1e-15)
+    assert(math.abs(r.getDouble(4) - 0.25) < 1e-15)
+    val bp = math.exp(1.0 - 6.0 / 5.0)
+    assert(math.abs(r.getDouble(5) - bp) < 1e-15)
+    assert(math.abs(r.getDouble(6) -
+      bp * math.exp((math.log(0.8) + math.log(0.25)) / 2)) < 1e-15)
+
+    // identical candidate: every precision 1, bp 1, bleu 1
+    val same = Seq((1L, "a b c d e", "a b c d e")).toDF("id", "ref", "cand")
+    val rs = Eval.bleu(same, "id", col("ref"), col("cand")).head()
+    (3 to 6).foreach(i => assert(rs.getDouble(i) == 1.0))
+    assert(rs.getDouble(8) == 1.0)
+
+    // zero n-gram overlap -> bleu 0 (not NULL: candidate HAS n-grams)
+    val none = Seq((1L, "a b c d", "x y z w")).toDF("id", "ref", "cand")
+    assert(Eval.bleu(none, "id", col("ref"), col("cand")).head()
+      .getDouble(8) == 0.0)
+
+    // candidate shorter than maxN: p4 NULL -> bleu NULL
+    val short = Seq((1L, "a b c d e", "a b")).toDF("id", "ref", "cand")
+    val rn = Eval.bleu(short, "id", col("ref"), col("cand")).head()
+    assert(!rn.isNullAt(3) && rn.isNullAt(6) && rn.isNullAt(8))
+  }
+
+  test("bleu: corpus pooling and groups") {
+    import spark.implicits._
+    // corpus-level = pooled counts, NOT mean of sentence scores
+    val df = Seq(
+      (1L, "g1", "a b c", "a b c"),
+      (2L, "g1", "d e f g", "d e x g"),
+      (3L, "g2", "h i", "h i")).toDF("id", "grp", "ref", "cand")
+    val g1 = Eval.bleu(df.where(col("grp") === "g1"), "id",
+      col("ref"), col("cand"), Nil, 2).head()
+    // unigrams: (3 + 3)/7 ; bigrams: (2 + 1)/5  ("d e" x, "x g" x, "e x" x
+    //   -> of cand bigrams d-e? no: cand bigrams g1 = (a b)(b c)(d e)(e x)(x g):
+    //   clipped (a b)(b c) + (d e) = 3
+    assert(math.abs(g1.getDouble(3) - 6.0 / 7) < 1e-15)
+    assert(math.abs(g1.getDouble(4) - 3.0 / 5) < 1e-15)
+    val grouped = Eval.bleu(df, "id", col("ref"), col("cand"),
+      Seq("grp"), 2).orderBy("grp").collect()
+    assert(grouped.length == 2)
+    assert(grouped(0).getString(0) == "g1" &&
+      math.abs(grouped(0).getDouble(5) - g1.getDouble(4)) < 1e-15)
+    assert(grouped(1).getString(0) == "g2" && grouped(1).getDouble(7) == 1.0)
+  }
+
+  // ---- metric stability replicates ----
+
+  test("metricReplicates: deterministic membership, exact means") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (s"d$i", i.toDouble))
+    val df = rows.toDF("id", "v")
+    val got = Eval.metricReplicates(df, col("id"), col("v"), 8)
+      .orderBy("replicate").collect()
+    assert(got.length == 8)
+    // recompute membership through the engine's own hash64 column
+    val member = df.select(col("id"), col("v"),
+        explode(org.apache.spark.sql.functions.sequence(lit(0), lit(7)))
+          .as("r"))
+      .withColumn("h", pmod(graft.api.functions.hash64(
+        concat(col("id"), lit(":"), col("r"))), lit(2)))
+      .where(col("h") === 0)
+      .collect().map(r => (r.getInt(2), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    got.foreach { r =>
+      val vs = member(r.getInt(0))
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(math.abs(r.getDouble(2) - vs.sum / vs.length) < 1e-9)
+    }
+    // half-subsample: every replicate holds roughly half the corpus
+    got.foreach(r => assert(r.getLong(1) > 60 && r.getLong(1) < 140))
+    // partitioning-invariant, bit for bit
+    val again = Eval.metricReplicates(df.repartition(7), col("id"),
+      col("v"), 8).orderBy("replicate").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
