@@ -908,6 +908,20 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q184_winnow_pairs" -> ((s, dir) => {
+      // MOSS winnowing overlap: 24-byte grams, window 16, pairs sharing
+      // >= 2 selected fingerprints with containment overlap. The oracle
+      // re-derives every rolling hash, replays the rightmost-min
+      // selection via a (hash, -pos)-packed HUGEINT window minimum, and
+      // rebuilds the document-frequency cap and the pair join
+      graft.ops.Dedup.winnowPairs(t(s, dir, "documents"), "doc_id",
+          col("text"), k = 24, window = 16, minShared = 2,
+          maxDocFreq = 256)
+        .select(col("idA"), col("idB"), col("n_shared"), col("n_a"),
+          col("n_b"), round(col("overlap"), 6).as("overlap"))
+        .orderBy("idA", "idB")
+    }),
+
     "q185_fleiss" -> ((s, dir) => {
       // inter-annotator agreement receipt: 5 deterministic raters per doc
       // — each independently rates the doc's language, agreeing with the
@@ -5727,6 +5741,38 @@ SELECT lang, n_pairs, ref_len, cand_len,
     WHEN p1 = 0 OR p2 = 0 OR p3 = 0 OR p4 = 0 THEN 0.0
     ELSE bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4) END, 6) AS bleu
 FROM j ORDER BY lang"""),
+    "q184_winnow_pairs" ->
+      (hashMacros + """WITH d AS (SELECT doc_id, g_bytes(text) AS bs
+    FROM documents),
+g AS (SELECT doc_id, len(bs) - 24 + 1 AS m, bs FROM d
+  WHERE len(bs) >= 24),
+h AS MATERIALIZED (SELECT doc_id, m, j AS p,
+    g_sb(g_av(list_reduce(list_prepend(0::UBIGINT, bs[j+1:j+24]),
+      (h, b) -> g_am(g_mm(h, 1099511628211::UBIGINT), b)))) AS hv
+  FROM g, unnest(range(0, m)) u(j)),
+ky AS (SELECT doc_id, m, p,
+    hv::HUGEINT * 4294967296 + (4294967295 - p) AS kk FROM h),
+wm AS (SELECT doc_id, m, p,
+    min(kk) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS mk
+  FROM ky),
+sel AS MATERIALIZED (SELECT DISTINCT doc_id,
+    ((mk - (((mk % 4294967296) + 4294967296) % 4294967296))
+      // 4294967296)::BIGINT AS fp
+  FROM wm WHERE p >= least(16, m) - 1),
+freq AS (SELECT fp, count(*) AS df FROM sel GROUP BY 1),
+kept AS MATERIALIZED (SELECT sel.doc_id, sel.fp FROM sel
+  JOIN freq USING (fp) WHERE df <= 256),
+npr AS (SELECT doc_id, count(*)::BIGINT AS nf FROM kept GROUP BY 1),
+pr AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+    count(*)::BIGINT AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
+  round(n_shared * 1.0 / least(na.nf, nb.nf), 6) AS overlap
+FROM pr JOIN npr na ON pr.idA = na.doc_id
+JOIN npr nb ON pr.idB = nb.doc_id
+ORDER BY idA, idB"""),
     "q185_fleiss" ->
       (hashMacros + """WITH rt AS (SELECT doc_id, lang, u.r AS r
     FROM documents, unnest(range(0, 5)) u(r)),

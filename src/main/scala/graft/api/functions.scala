@@ -224,6 +224,8 @@ object functions {
     toColumn(ShingleHashesPos(toExpr(text), Literal(window)))
   def cdc_chunk_hashes(text: Column, bits: Int): Column =
     toColumn(CdcChunkHashes(toExpr(text), Literal(bits)))
+  def winnow_fingerprints(text: Column, k: Int, window: Int): Column =
+    toColumn(WinnowFingerprints(toExpr(text), Literal(k), Literal(window)))
 
   /** Composite [0,1] quality score over text_stats fields: penalizes very
     * short/long docs, low alpha ratio, high punct/digit ratios, extreme
@@ -388,6 +390,7 @@ object GraftFunctions {
     "shingle_hashes" -> { case Seq(t, n) => ShingleHashes(t, n) },
     "shingle_hashes_pos" -> { case Seq(t, n) => ShingleHashesPos(t, n) },
     "cdc_chunk_hashes" -> { case Seq(t, b) => CdcChunkHashes(t, b) },
+    "winnow_fingerprints" -> { case Seq(t, k, w) => WinnowFingerprints(t, k, w) },
     "vec_dot" -> { case Seq(a, b) => VecDot(a, b) },
     "vec_cosine" -> { case Seq(a, b) => VecCosine(a, b) },
     "vec_norm" -> { case Seq(a) => VecNorm(a) },

@@ -365,6 +365,65 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken 2003, the
+    * MOSS algorithm): hash every k-byte window with the same rolling
+    * polynomial as [[docFingerprint]], then from each run of `w`
+    * consecutive window hashes select the MINIMUM, ties to the RIGHTMOST —
+    * the guarantee is that any shared substring of length ≥ k + w − 1
+    * yields at least one shared selected fingerprint, while only ~1/w of
+    * positions are kept. Selected positions are non-decreasing as the
+    * window slides, so recording position changes yields the distinct
+    * (pos, hash) set. O(n) via a monotone deque (pushing j evicts every
+    * back entry with hash ≥ h[j], so the newest of tied minima survives —
+    * the winnowing tie rule). Texts with fewer than k bytes yield no
+    * fingerprints; fewer than w window hashes winnow as one window.
+    * Comparisons are on SIGNED avalanched hashes (mirrors the SQL replay). */
+  def winnow(t: UTF8String, k: Int, w: Int): GenericArrayData = {
+    require(k >= 1, "k must be >= 1")
+    require(w >= 1, "window must be >= 1")
+    val b = t.getBytes
+    val m = b.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](m)
+    val base = TextHash.FnvPrime
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * base + (b(i) & 0xffL); i += 1 }
+    hs(0) = TextHash.avalanche(h)
+    while (i < b.length) {
+      h = (h - (b(i - k) & 0xffL) * pow) * base + (b(i) & 0xffL)
+      hs(i - k + 1) = TextHash.avalanche(h)
+      i += 1
+    }
+    val win = math.min(w, m)
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    val out = scala.collection.mutable.ArrayBuilder.make[Any]
+    var last = -1
+    var j = 0
+    while (j < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+      dq(tail) = j; tail += 1
+      if (j >= win - 1) {
+        while (dq(head) < j - win + 1) head += 1
+        val sel = dq(head)
+        if (sel != last) {
+          val r = new GenericInternalRow(2)
+          r.setInt(0, sel)
+          r.setLong(1, hs(sel))
+          out += r
+          last = sel
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
   def langId(input: UTF8String): UTF8String = {
     val s = input.toString
     if (s.isEmpty) return UTF8String.fromString("und")
@@ -665,6 +724,32 @@ case class DocFingerprint(left: Expression, right: Expression)
       s"${ev.value} = ${TextKernels.RefName}.docFingerprint($t, $k);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** winnow_fingerprints(text, k, w) → array<struct<pos:int, fp:long>>: the
+  * document's winnowed k-gram fingerprints (MOSS selection; see
+  * [[TextKernels.winnow]]) — exploding this array is the candidate
+  * generation of substring-overlap detection at ~1/w the density of the
+  * full shingle stream. */
+case class WinnowFingerprints(first: Expression, second: Expression,
+    third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(t: Any, kAny: Any, wAny: Any): Any =
+    TextKernels.winnow(t.asInstanceOf[UTF8String],
+      kAny.asInstanceOf[Int], wAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k, w) =>
+      s"${ev.value} = ${TextKernels.RefName}.winnow($t, $k, $w);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(a, b, c)
 }
 
 object LangProfiles {

@@ -766,4 +766,54 @@ object Dedup {
           .when(!(col("__ho") <=> col("__hn")), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Winnowing overlap detection (Schleimer–Wilkerson–Aiken 2003 — the
+    * MOSS plagiarism detector): each document keeps only its winnowed
+    * k-byte-gram fingerprints (~1/`window` of positions, selection
+    * guarantee: any shared substring of ≥ k + window − 1 bytes yields a
+    * shared fingerprint), and pairs sharing ≥ `minShared` fingerprints
+    * come back with overlap = shared / min(|A|, |B|) — a containment
+    * estimate that catches a short doc embedded in a long one, where
+    * whole-doc Jaccard ([[minhashPairs]]) dilutes away.
+    *
+    * Scale shape: the corpus shuffles as (fp, id) rows only — ~len/window
+    * per doc, text never moves. Fingerprints present in more than
+    * `maxDocFreq` documents (site boilerplate, license headers) are
+    * DROPPED before the self-join — the df² pair blowup guard, same role
+    * as the hot-bucket tiers of [[hammingPairsAdaptive]]; drops are
+    * content-deterministic, so results stay partitioning-invariant. The
+    * fingerprint frame is localCheckpointed: it feeds the doc-frequency
+    * filter, both join sides, and the per-doc counts, and must not
+    * re-derive the winnow scan four times.
+    *
+    * Returns (idA, idB, n_shared, n_a, n_b, overlap), idA < idB. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: Column,
+      k: Int = 24, window: Int = 16, minShared: Int = 2,
+      maxDocFreq: Int = 256): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDocFreq >= 2, "maxDocFreq must be >= 2")
+    val fps = df.select(col(idCol).as("__id"),
+        explode(gf.winnow_fingerprints(textCol, k, window)).as("__f"))
+      .select(col("__id"), col("__f.fp").as("__fp"))
+      .distinct()
+      .localCheckpoint()
+    val kept = fps.withColumn("__df",
+        count(lit(1)).over(Window.partitionBy("__fp")))
+      .where(col("__df") <= maxDocFreq)
+      .drop("__df")
+    val perDoc = kept.groupBy("__id").agg(count(lit(1)).as("__nf"))
+    val a = kept.select(col("__fp"), col("__id").as("idA"))
+    val b = kept.select(col("__fp"), col("__id").as("idB"))
+    a.join(b, Seq("__fp")).where(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(perDoc.select(col("__id").as("idA"), col("__nf").as("n_a")),
+        Seq("idA"))
+      .join(perDoc.select(col("__id").as("idB"), col("__nf").as("n_b")),
+        Seq("idB"))
+      .select(col("idA"), col("idB"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("overlap"))
+  }
 }
