@@ -76,6 +76,8 @@ object SparkEntry {
 
   private val csvCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val orcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** One-time 8-shard WebDataset tar layout for q159, keyed by sf dir. */
@@ -94,6 +96,14 @@ object SparkEntry {
             .cast("binary").as("body")))
       graft.sources.TarShards.write(members, col("key"), col("ext"),
         col("body"), 8, base)
+      base
+    })
+
+  private def ensureOrc(s: SparkSession, dir: String): String =
+    orcCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      graft.sources.Tables.writeOrc(
+        t(s, d, "documents").select("doc_id", "text", "lang", "source"), base)
       base
     })
 
@@ -943,6 +953,23 @@ object SparkEntry {
           round(col("p_bar"), 6).as("p_bar"),
           round(col("pe_bar"), 6).as("pe_bar"),
           round(col("kappa"), 6).as("kappa"))
+    }),
+
+    "q186_orc_roundtrip" -> ((s, dir) => {
+      // ORC interchange fidelity (the Hive/Trino columnar arrival
+      // format): documents → ORC → read-back UNDER a pushed-down filter
+      // and projection (OrcSpec asserts PushedFilters reaches the stripe
+      // reader); per-source checksum contract mirrors q140's
+      val path = ensureOrc(s, dir)
+      graft.sources.Tables.loadOrc(s, path)
+        .where(col("doc_id") % 3 === 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          sum(length(col("text"))).cast("long").as("sum_len"),
+          bit_xor(gf.hash64(col("text"))).as("text_xor"),
+          bit_xor(gf.hash64(concat(col("lang"), lit("|"),
+            col("doc_id")))).as("meta_xor"))
+        .orderBy("source")
     }),
 
     "q187_metric_stability" -> ((s, dir) => {
@@ -5800,6 +5827,13 @@ SELECT n_items, n_ratings, n_categories, min_raters, max_raters,
   round((p_bar - sc2 / (n_ratings::DOUBLE * n_ratings))
     / (1.0 - sc2 / (n_ratings::DOUBLE * n_ratings)), 6) AS kappa
 FROM it, bc"""),
+    "q186_orc_roundtrip" ->
+      (hashMacros + """SELECT source, count(*)::BIGINT AS cnt,
+  sum(length(text))::BIGINT AS sum_len,
+  bit_xor(g_sb(g_thash(text))) AS text_xor,
+  bit_xor(g_sb(g_thash(lang || '|' || doc_id::VARCHAR))) AS meta_xor
+FROM documents WHERE doc_id % 3 = 0
+GROUP BY source ORDER BY source"""),
     "q187_metric_stability" ->
       (hashMacros + """SELECT r::INT AS replicate, count(*)::BIGINT AS n,
   round(avg(length(text)), 6) AS mean

@@ -83,6 +83,21 @@ object Tables {
       .option("header", "true").option("escape", "\"")
       .csv(path)
 
+  /** Write a frame as ORC — the other columnar warehouse format corpora
+    * arrive in (Hive/Trino shops). Self-describing schema, splittable
+    * stripes, min/max stripe statistics, so read-back gets predicate
+    * pushdown and column pruning like parquet. */
+  def writeOrc(df: DataFrame, path: String,
+      compression: String = "zlib"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+  /** Read ORC. The file carries its own schema (no explicit-schema dance
+    * like CSV/JSONL); filters and projections push into the stripe reader
+    * — assert `PushedFilters` in the scan when a pipeline depends on it
+    * (OrcSpec does). */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   private def normalize(name: String, df: DataFrame): DataFrame =
     if (name != "events") df
     else df.schema("ts").dataType match {
