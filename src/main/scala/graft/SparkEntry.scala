@@ -955,6 +955,24 @@ object SparkEntry {
           round(col("kappa"), 6).as("kappa"))
     }),
 
+    "q188_embedding_outliers" -> ((s, dir) => {
+      // semantic-outlier prune receipt: label-mod-4 groups, distance =
+      // 1 − cosine to the group centroid, within-group z, flag at z > 2.
+      // Group stats + flagged-id checksum per group; the oracle rebuilds
+      // centroids, distances, moments, and the flag set independently
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.embeddingOutliers(emb, "vec_id",
+          pmod(col("label"), lit(4)), col("embedding"), zThreshold = 2.0)
+        .groupBy("group")
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_outlier").cast("long")).as("n_outliers"),
+          round(max(col("z")), 6).as("max_z"),
+          coalesce(bit_xor(when(col("is_outlier"),
+            gf.hash64(col("vec_id").cast("string")))), lit(0L))
+            .as("out_xor"))
+        .orderBy("group")
+    }),
+
     "q186_orc_roundtrip" -> ((s, dir) => {
       // ORC interchange fidelity (the Hive/Trino columnar arrival
       // format): documents → ORC → read-back UNDER a pushed-down filter
@@ -5827,6 +5845,26 @@ SELECT n_items, n_ratings, n_categories, min_raters, max_raters,
   round((p_bar - sc2 / (n_ratings::DOUBLE * n_ratings))
     / (1.0 - sc2 / (n_ratings::DOUBLE * n_ratings)), 6) AS kappa
 FROM it, bc"""),
+    "q188_embedding_outliers" ->
+      (hashMacros + """WITH u AS (SELECT vec_id,
+    ((label % 4) + 4) % 4 AS g, i AS d, embedding[i]::DOUBLE AS x
+  FROM embeddings, generate_series(1, 64) gs(i)),
+c AS (SELECT g, d, sum(x) / count(*) AS m FROM u GROUP BY 1, 2),
+cent AS (SELECT g, list(m ORDER BY d) AS v FROM c GROUP BY 1),
+dist AS (SELECT e.vec_id, ((e.label % 4) + 4) % 4 AS g,
+    1.0 - list_cosine_similarity(e.embedding::DOUBLE[], cent.v) AS dd
+  FROM embeddings e JOIN cent ON ((e.label % 4) + 4) % 4 = cent.g),
+st AS (SELECT g, avg(dd) AS mu, stddev_samp(dd) AS sd FROM dist
+  GROUP BY 1),
+f AS (SELECT d.g, d.vec_id, d.dd,
+    CASE WHEN sd > 0 THEN (d.dd - mu) / sd END AS z
+  FROM dist d JOIN st ON d.g = st.g)
+SELECT g AS "group", count(*)::BIGINT AS n,
+  sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+  round(max(z), 6) AS max_z,
+  coalesce(bit_xor(CASE WHEN z > 2.0
+    THEN g_sb(g_thash(vec_id::VARCHAR)) END), 0) AS out_xor
+FROM f GROUP BY 1 ORDER BY 1"""),
     "q186_orc_roundtrip" ->
       (hashMacros + """SELECT source, count(*)::BIGINT AS cnt,
   sum(length(text))::BIGINT AS sum_len,

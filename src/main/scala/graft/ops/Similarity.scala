@@ -275,6 +275,54 @@ object Similarity {
       col("n_a"), col("n_b"))
   }
 
+  /** Per-group embedding outlier flagging — the data-cleaning receipt for
+    * a 100 TB embedded corpus: rows whose vector sits far from their
+    * group's mean direction are mislabeled, off-topic, or corrupted
+    * content (the SemDeDup-family "semantic outlier" prune). Distance =
+    * 1 − cosine(vec, group centroid), z-scored WITHIN the group (a tight
+    * group flags at a much smaller absolute distance than a diffuse one).
+    *
+    * Scale shape: two corpus passes — [[groupCentroids]]'s one
+    * (group, dim) exact-sum shuffle, then a scan-side distance pass with
+    * the group-count-sized centroid and stats tables BROADCAST — the
+    * corpus itself never shuffles and no vector moves twice. Distance
+    * moments come from the one-pass summary_stats sketch (exact Pébay
+    * combine, partitioning-invariant). z is NULL (and the row never
+    * flags) when the group's distance spread is zero or the group has
+    * < 2 rows.
+    *
+    * Returns (group, idCol, cosine_dist, z, is_outlier). */
+  def embeddingOutliers(df: DataFrame, idCol: String, groupCol: Column,
+      vecCol: Column, zThreshold: Double = 3.0): DataFrame = {
+    val cent = groupCentroids(df, groupCol, vecCol)
+    val rows = df.where(groupCol.isNotNull && vecCol.isNotNull)
+      .select(col(idCol).as("__id"), groupCol.as("group"),
+        vecCol.cast("array<double>").as("__v"))
+    // narrow (group, id, dist) frame is read twice (moments + final z) —
+    // checkpoint it so the vector scan and centroid broadcast run ONCE,
+    // and what persists is 3 scalar columns, not the vectors
+    val dists = rows
+      .join(broadcast(cent.select(col("group"), col("centroid"))),
+        Seq("group"))
+      .select(col("group"), col("__id"),
+        (lit(1.0) - gf.vec_cosine(col("__v"), col("centroid")))
+          .as("__dist"))
+      .localCheckpoint()
+    val stats = dists.groupBy("group")
+      .agg(gf.summary_stats(col("__dist")).as("__st"))
+      .select(col("group"), gf.stats_mean(col("__st")).as("__mu"),
+        gf.stats_std(col("__st"), 1).as("__sd"))
+    dists.join(broadcast(stats), Seq("group"))
+      .select(col("group"), col("__id").as(idCol),
+        col("__dist").as("cosine_dist"),
+        // NaN sorts ABOVE every double in Spark SQL, so a bare sd > 0
+        // would pass the single-row group (ddof-1 std = 0/0 = NaN)
+        when(!isnan(col("__sd")) && col("__sd") > 0,
+          (col("__dist") - col("__mu")) / col("__sd")).as("z"))
+      .withColumn("is_outlier",
+        coalesce(col("z") > zThreshold, lit(false)))
+  }
+
   /** Semantic dedup: drop all but one representative of every semantic-dup
     * group (connected components over [[semanticPairs]], keep the minimum
     * id — deterministic). Returns the corpus minus dropped rows. */

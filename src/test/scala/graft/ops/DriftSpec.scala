@@ -259,4 +259,56 @@ class DriftSpec extends SparkTestBase {
     assert(got == want)
     assert(got.getLong(6) == 3L) // vocab {a,b,c}, no phantom "" token
   }
+
+  test("embeddingOutliers flags the planted far vector, z matches reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // group A: 30 vectors near +e1 with small noise, plus ONE near -e1;
+    // group B: tight cluster near e2 (zero spread in dims beyond noise)
+    val near = (0 until 30).map { i =>
+      (i.toLong, "A", Seq(1.0, rnd.nextDouble() * 0.1, rnd.nextDouble() * 0.1))
+    }
+    val planted = Seq((99L, "A", Seq(-1.0, 0.0, 0.0)))
+    val b = (100 until 110).map { i =>
+      (i.toLong, "B", Seq(0.0, 1.0, rnd.nextDouble() * 0.01))
+    }
+    val df = (near ++ planted ++ b).toDF("id", "g", "v")
+    val out = Similarity.embeddingOutliers(df, "id", col("g"), col("v"),
+      zThreshold = 3.0).collect()
+    val flagged = out.filter(_.getBoolean(4)).map(_.getLong(1)).toSet
+    assert(flagged == Set(99L))
+    // z of the planted row matches a from-scratch reference
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val all = near ++ planted
+    val cent = (0 until 3).map(d => all.map(_._3(d)).sum / all.size)
+    val ds = all.map(r => 1.0 - cos(r._3, cent))
+    val mu = ds.sum / ds.size
+    val sd = math.sqrt(ds.map(x => (x - mu) * (x - mu)).sum / (ds.size - 1))
+    val zRef = (ds.last - mu) / sd
+    val zGot = out.find(_.getLong(1) == 99L).get.getDouble(3)
+    assert(math.abs(zGot - zRef) < 1e-9)
+    // single-row group: sd undefined -> z NULL, never flagged
+    val single = Seq((1L, "X", Seq(1.0, 0.0))).toDF("id", "g", "v")
+    val s1 = Similarity.embeddingOutliers(single, "id", col("g"),
+      col("v")).collect()(0)
+    assert(s1.isNullAt(3) && !s1.getBoolean(4))
+    // partitioning-stable: distances and flags identical; z only to
+    // ~1e-15 (the one-pass moment combine is partition-order-sensitive
+    // in the last ulp — why the gate rounds z to 6)
+    val again = Similarity.embeddingOutliers(df.repartition(7), "id",
+      col("g"), col("v"), zThreshold = 3.0).collect()
+    val byId = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.sortBy(_.getLong(1))
+    byId(out).zip(byId(again)).foreach { case (x, y) =>
+      assert(x.getString(0) == y.getString(0) &&
+        x.getLong(1) == y.getLong(1) &&
+        x.getDouble(2) == y.getDouble(2) &&
+        math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-12 &&
+        x.getBoolean(4) == y.getBoolean(4))
+    }
+  }
 }
