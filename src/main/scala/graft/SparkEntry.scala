@@ -932,6 +932,45 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q189_winnow_decontam" -> ((s, dir) => {
+      // substring-level decontamination: which training docs (doc_id%10
+      // <> 0) contain a winnowed run of the eval split (doc_id%10 = 0)?
+      // Catches shared byte runs through whitespace/markup differences
+      // that token-n-gram decontamination (q77) can miss; the union-df
+      // boilerplate cap guards the pair join
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.winnowPairsBetween(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "doc_id", col("text"), k = 24, window = 16, minShared = 2,
+          maxDocFreq = 256)
+        .select(col("idA"), col("idB"), col("n_shared"), col("n_a"),
+          col("n_b"), round(col("overlap"), 6).as("overlap"))
+        .orderBy("idA", "idB")
+    }),
+
+    "q190_chrf" -> ((s, dir) => {
+      // chrF (character-n-gram F2, Popović 2015) of the same synthetic
+      // hash-dropping decoder as q183 — the tokenization-robust second
+      // metric; whitespace stripped, n = 1..6, corpus-pooled per lang
+      val toks = filter(split(col("text"), "\\s+"),
+        tk => length(tk) > 0)
+      val cand = array_join(transform(
+        filter(transform(toks, (tk, i) => struct(tk.as("t"), i.as("i"))),
+          st => pmod(gf.hash64(concat(col("doc_id"), lit(":"),
+            st.getField("i"))), lit(10)) =!= 0),
+        st => st.getField("t")), " ")
+      val df = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), cand.as("cand"))
+      graft.ops.Eval.chrF(df, "doc_id", col("text"), col("cand"),
+          Seq("lang"), 6)
+        .select(col("lang"), col("n_pairs"),
+          round(col("chrp"), 6).as("chrp"),
+          round(col("chrr"), 6).as("chrr"),
+          round(col("chrf"), 6).as("chrf"))
+        .orderBy("lang")
+    }),
+
     "q185_fleiss" -> ((s, dir) => {
       // inter-annotator agreement receipt: 5 deterministic raters per doc
       // — each independently rates the doc's language, agreeing with the
@@ -3322,6 +3361,35 @@ i$k AS MATERIALIZED (SELECT
                    ELSE list_append(acc, x[1]) END) AS syms, freq
                FROM s${k - 1}, m$k)"""
       }.mkString(",")
+
+  /** Shared winnow-oracle prefix (q184/q189): re-derives every 24-byte
+    * rolling hash, replays rightmost-min window selection via a
+    * (hash, −pos)-packed HUGEINT window minimum, and applies the
+    * document-frequency cap. For q189's two disjoint sides (id parity on
+    * %10) the union-df cap equals the whole-corpus cap, so `kept` is the
+    * same frame both gates consume. */
+  private lazy val winnowKeptPrefix: String =
+    hashMacros + """WITH d AS (SELECT doc_id, g_bytes(text) AS bs
+    FROM documents),
+g AS (SELECT doc_id, len(bs) - 24 + 1 AS m, bs FROM d
+  WHERE len(bs) >= 24),
+h AS MATERIALIZED (SELECT doc_id, m, j AS p,
+    g_sb(g_av(list_reduce(list_prepend(0::UBIGINT, bs[j+1:j+24]),
+      (h, b) -> g_am(g_mm(h, 1099511628211::UBIGINT), b)))) AS hv
+  FROM g, unnest(range(0, m)) u(j)),
+ky AS (SELECT doc_id, m, p,
+    hv::HUGEINT * 4294967296 + (4294967295 - p) AS kk FROM h),
+wm AS (SELECT doc_id, m, p,
+    min(kk) OVER (PARTITION BY doc_id ORDER BY p
+      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS mk
+  FROM ky),
+sel AS MATERIALIZED (SELECT DISTINCT doc_id,
+    ((mk - (((mk % 4294967296) + 4294967296) % 4294967296))
+      // 4294967296)::BIGINT AS fp
+  FROM wm WHERE p >= least(16, m) - 1),
+freq AS (SELECT fp, count(*) AS df FROM sel GROUP BY 1),
+kept AS MATERIALIZED (SELECT sel.doc_id, sel.fp FROM sel
+  JOIN freq USING (fp) WHERE df <= 256)"""
 
   private lazy val oracleBase: Map[String, String] = Map(
     "q174_tokenizer_fertility" ->
@@ -5787,27 +5855,7 @@ SELECT lang, n_pairs, ref_len, cand_len,
     ELSE bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4) END, 6) AS bleu
 FROM j ORDER BY lang"""),
     "q184_winnow_pairs" ->
-      (hashMacros + """WITH d AS (SELECT doc_id, g_bytes(text) AS bs
-    FROM documents),
-g AS (SELECT doc_id, len(bs) - 24 + 1 AS m, bs FROM d
-  WHERE len(bs) >= 24),
-h AS MATERIALIZED (SELECT doc_id, m, j AS p,
-    g_sb(g_av(list_reduce(list_prepend(0::UBIGINT, bs[j+1:j+24]),
-      (h, b) -> g_am(g_mm(h, 1099511628211::UBIGINT), b)))) AS hv
-  FROM g, unnest(range(0, m)) u(j)),
-ky AS (SELECT doc_id, m, p,
-    hv::HUGEINT * 4294967296 + (4294967295 - p) AS kk FROM h),
-wm AS (SELECT doc_id, m, p,
-    min(kk) OVER (PARTITION BY doc_id ORDER BY p
-      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS mk
-  FROM ky),
-sel AS MATERIALIZED (SELECT DISTINCT doc_id,
-    ((mk - (((mk % 4294967296) + 4294967296) % 4294967296))
-      // 4294967296)::BIGINT AS fp
-  FROM wm WHERE p >= least(16, m) - 1),
-freq AS (SELECT fp, count(*) AS df FROM sel GROUP BY 1),
-kept AS MATERIALIZED (SELECT sel.doc_id, sel.fp FROM sel
-  JOIN freq USING (fp) WHERE df <= 256),
+      (winnowKeptPrefix + """,
 npr AS (SELECT doc_id, count(*)::BIGINT AS nf FROM kept GROUP BY 1),
 pr AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
     count(*)::BIGINT AS n_shared
@@ -5818,6 +5866,52 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q189_winnow_decontam" ->
+      (winnowKeptPrefix + """,
+npr AS (SELECT doc_id, count(*)::BIGINT AS nf FROM kept GROUP BY 1),
+pr AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+    count(*)::BIGINT AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp
+  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
+  round(n_shared * 1.0 / least(na.nf, nb.nf), 6) AS overlap
+FROM pr JOIN npr na ON pr.idA = na.doc_id
+JOIN npr nb ON pr.idB = nb.doc_id
+ORDER BY idA, idB"""),
+    "q190_chrf" ->
+      (hashMacros + """WITH d AS (SELECT doc_id, lang,
+    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS r
+  FROM documents),
+c AS MATERIALIZED (SELECT doc_id, lang,
+    array_to_string(r, '') AS rs,
+    array_to_string(list_transform(list_filter(range(1, len(r)+1),
+      j -> ((g_sb(g_thash(doc_id::VARCHAR || ':' || (j-1)::VARCHAR))
+            % 10) + 10) % 10 <> 0), j -> r[j]), '') AS cs
+  FROM d),
+sides AS (
+  SELECT doc_id, lang, u.n AS n, rs AS x, 'r' AS side
+    FROM c, unnest([1,2,3,4,5,6]) u(n)
+  UNION ALL
+  SELECT doc_id, lang, u.n, cs, 'c' FROM c, unnest([1,2,3,4,5,6]) u(n)),
+grams AS (SELECT doc_id, lang, n, x[i:i+n-1] AS gr, side
+  FROM sides, unnest(range(1, greatest(length(x)-n+2, 1))) t(i)),
+cnt AS (SELECT doc_id, lang, n, gr,
+    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END)::BIGINT AS cc,
+    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END)::BIGINT AS cr
+  FROM grams GROUP BY 1, 2, 3, 4),
+ord AS (SELECT lang, n, sum(least(cc, cr))::BIGINT AS clip,
+    sum(cc)::BIGINT AS denc, sum(cr)::BIGINT AS denr
+  FROM cnt GROUP BY 1, 2),
+pg AS (SELECT lang,
+    sum(CASE WHEN clip > 0 THEN clip * 1.0 / denc ELSE 0 END) / 6 AS p,
+    sum(CASE WHEN clip > 0 THEN clip * 1.0 / denr ELSE 0 END) / 6 AS r
+  FROM ord GROUP BY 1),
+np AS (SELECT lang, count(*)::BIGINT AS n_pairs FROM c GROUP BY 1)
+SELECT lang, n_pairs, round(p, 6) AS chrp, round(r, 6) AS chrr,
+  round(CASE WHEN p + r > 0 THEN 5 * p * r / (4 * p + r)
+        ELSE 0.0 END, 6) AS chrf
+FROM np JOIN pg USING (lang) ORDER BY lang"""),
     "q185_fleiss" ->
       (hashMacros + """WITH rt AS (SELECT doc_id, lang, u.r AS r
     FROM documents, unnest(range(0, 5)) u(r)),

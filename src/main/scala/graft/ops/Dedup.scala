@@ -792,28 +792,74 @@ object Dedup {
       maxDocFreq: Int = 256): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(maxDocFreq >= 2, "maxDocFreq must be >= 2")
-    val fps = df.select(col(idCol).as("__id"),
-        explode(gf.winnow_fingerprints(textCol, k, window)).as("__f"))
-      .select(col("__id"), col("__f.fp").as("__fp"))
-      .distinct()
-      .localCheckpoint()
-    val kept = fps.withColumn("__df",
-        count(lit(1)).over(Window.partitionBy("__fp")))
-      .where(col("__df") <= maxDocFreq)
-      .drop("__df")
+    val kept = cappedWinnowFps(
+      winnowFps(df, idCol, textCol, k, window).localCheckpoint(),
+      maxDocFreq)
     val perDoc = kept.groupBy("__id").agg(count(lit(1)).as("__nf"))
     val a = kept.select(col("__fp"), col("__id").as("idA"))
     val b = kept.select(col("__fp"), col("__id").as("idB"))
-    a.join(b, Seq("__fp")).where(col("idA") < col("idB"))
-      .groupBy("idA", "idB").agg(count(lit(1)).as("n_shared"))
+    finishWinnowPairs(
+      a.join(b, Seq("__fp")).where(col("idA") < col("idB")),
+      perDoc, perDoc, minShared)
+  }
+
+  /** [[winnowPairs]] across TWO corpora — the substring-level
+    * decontamination check: which training documents contain a run of a
+    * benchmark/eval document (or vice versa)? Token-n-gram
+    * decontamination ([[Decontaminate]]) needs the gram to survive
+    * tokenization; the winnowed byte-gram fingerprints catch shared runs
+    * through whitespace/markup differences too, and the containment
+    * overlap flags a short eval item embedded inside a long page. The
+    * document-frequency cap is computed over the UNION of both sides
+    * (boilerplate is boilerplate wherever it appears). Same scale shape
+    * as [[winnowPairs]]; returns (idA from `a`, idB from `b`, n_shared,
+    * n_a, n_b, overlap). */
+  def winnowPairsBetween(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: Column, k: Int = 24, window: Int = 16, minShared: Int = 2,
+      maxDocFreq: Int = 256): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDocFreq >= 2, "maxDocFreq must be >= 2")
+    val fa = winnowFps(a, idCol, textCol, k, window).localCheckpoint()
+    val fb = winnowFps(b, idCol, textCol, k, window).localCheckpoint()
+    val hot = fa.select("__fp").unionAll(fb.select("__fp"))
+      .groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select("__fp")
+    val ka = fa.join(hot, Seq("__fp"), "left_anti")
+    val kb = fb.join(hot, Seq("__fp"), "left_anti")
+    finishWinnowPairs(
+      ka.select(col("__fp"), col("__id").as("idA"))
+        .join(kb.select(col("__fp"), col("__id").as("idB")), Seq("__fp")),
+      ka.groupBy("__id").agg(count(lit(1)).as("__nf")),
+      kb.groupBy("__id").agg(count(lit(1)).as("__nf")),
+      minShared)
+  }
+
+  /** Distinct (id, winnowed fingerprint) rows — the only thing that ever
+    * shuffles in the winnow family. */
+  private def winnowFps(df: DataFrame, idCol: String, textCol: Column,
+      k: Int, window: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(gf.winnow_fingerprints(textCol, k, window)).as("__f"))
+      .select(col("__id"), col("__f.fp").as("__fp"))
+      .distinct()
+
+  private def cappedWinnowFps(fps: DataFrame, maxDocFreq: Int): DataFrame =
+    fps.withColumn("__df",
+        count(lit(1)).over(Window.partitionBy("__fp")))
+      .where(col("__df") <= maxDocFreq)
+      .drop("__df")
+
+  private def finishWinnowPairs(joined: DataFrame, perA: DataFrame,
+      perB: DataFrame, minShared: Int): DataFrame =
+    joined.groupBy("idA", "idB").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-      .join(perDoc.select(col("__id").as("idA"), col("__nf").as("n_a")),
+      .join(perA.select(col("__id").as("idA"), col("__nf").as("n_a")),
         Seq("idA"))
-      .join(perDoc.select(col("__id").as("idB"), col("__nf").as("n_b")),
+      .join(perB.select(col("__id").as("idB"), col("__nf").as("n_b")),
         Seq("idB"))
       .select(col("idA"), col("idB"), col("n_shared"), col("n_a"),
         col("n_b"),
         (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
           .as("overlap"))
-  }
 }

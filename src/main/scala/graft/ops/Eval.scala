@@ -377,6 +377,74 @@ object Eval {
           .otherwise(bp * exp(logSum / maxN)).as("bleu")): _*)
   }
 
+  /** Corpus-level chrF (Popović 2015) per group — the character-n-gram
+    * F-score that complements [[bleu]]: robust to tokenization and
+    * morphology differences, the standard second metric on translation
+    * pipelines. Whitespace is removed entirely (the paper's convention),
+    * character n-grams run n = 1..`maxN` (default 6), counts pool over
+    * the whole group (corpus-level), and the score follows the original
+    * macro formulation: P = mean over orders of clipped-match precision,
+    * R = mean over orders of recall, chrF_β = (1+β²)·P·R/(β²·P+R) with
+    * β = 2 (recall-weighted). An order with an empty candidate
+    * (resp. reference) side contributes precision (resp. recall) 0 —
+    * pinned so engines cannot disagree; chrF = 0 when P + R = 0.
+    *
+    * Same scale shape as [[bleu]]: ONE union of both sides' char-gram
+    * streams keyed by (group, pair, n, gram) with conditional counts —
+    * the gram shuffle carries ≈ 2·maxN× the character volume. Returns
+    * one row per group: (groupCols…, n_pairs, chrp, chrr, chrf). */
+  def chrF(df: DataFrame, idCol: String, refCol: Column, candCol: Column,
+      groupCols: Seq[String] = Nil, maxN: Int = 6,
+      beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    require(beta > 0, "beta must be positive")
+    val g = groupCols.map(col)
+    val strip = (c: Column) => regexp_replace(c, "\\s+", "")
+    val base = df.select(g ++ Seq(col(idCol).as("__id"),
+      strip(refCol).as("__r"), strip(candCol).as("__c")): _*)
+      .where(col("__r").isNotNull && col("__c").isNotNull)
+    val lens = base.groupBy(g: _*).agg(count(lit(1)).as("n_pairs"))
+    def grams(sc: Column, n: Int): Column =
+      when(length(sc) >= n, transform(sequence(lit(0), length(sc) - n),
+        i => sc.substr(i + lit(1), lit(n)))).otherwise(array())
+    def side(sc: Column, tag: String): Column =
+      flatten(array((1 to maxN).map(n =>
+        transform(grams(sc, n),
+          gr => struct(lit(n).as("n"), gr.as("gram"),
+            lit(tag).as("side")))): _*))
+    val both = base.select(g ++ Seq(col("__id"),
+        explode(concat(side(col("__c"), "c"), side(col("__r"), "r")))
+          .as("__g")): _*)
+      .groupBy(g ++ Seq(col("__id"), col("__g.n").as("__n"),
+        col("__g.gram").as("__gram")): _*)
+      .agg(coalesce(sum(when(col("__g.side") === "c", 1L)), lit(0L))
+          .as("__cc"),
+        coalesce(sum(when(col("__g.side") === "r", 1L)), lit(0L))
+          .as("__cr"))
+    val byOrder = both.groupBy(g :+ col("__n"): _*)
+      .agg(sum(least(col("__cc"), col("__cr"))).as("__clip"),
+        sum(col("__cc")).as("__denc"),
+        sum(col("__cr")).as("__denr"))
+    // per-order P/R with the pinned zero convention, then macro-average;
+    // a gram order entirely absent from the group (doc shorter than n on
+    // both sides) still divides by maxN — orders are fixed, not observed
+    val pTerm = sum(when(col("__clip") > 0,
+      col("__clip").cast("double") / col("__denc")).otherwise(lit(0.0)))
+    val rTerm = sum(when(col("__clip") > 0,
+      col("__clip").cast("double") / col("__denr")).otherwise(lit(0.0)))
+    val perG = byOrder.groupBy(g: _*)
+      .agg((pTerm / maxN).as("chrp"), (rTerm / maxN).as("chrr"))
+    val joined =
+      if (g.isEmpty) lens.crossJoin(perG)
+      else lens.join(perG, groupCols, "inner")
+    val b2 = beta * beta
+    joined.select(g ++ Seq(col("n_pairs"), col("chrp"), col("chrr"),
+      when(col("chrp") + col("chrr") > 0,
+        lit(1 + b2) * col("chrp") * col("chrr") /
+          (lit(b2) * col("chrp") + col("chrr"))).otherwise(lit(0.0))
+        .as("chrf")): _*)
+  }
+
   /** Metric stability under deterministic resampling — the "how many
     * digits of that score are real" receipt. Each of `replicates`
     * replicas is a HASH-SELECTED half of the corpus (row id r-salted

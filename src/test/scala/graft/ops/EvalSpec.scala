@@ -346,6 +346,59 @@ class EvalSpec extends SparkTestBase {
     assert(grouped(1).getString(0) == "g2" && grouped(1).getDouble(7) == 1.0)
   }
 
+  // ---- chrF ----
+
+  test("chrF: hand-computed orders, identity, disjoint, whitespace, beta") {
+    import spark.implicits._
+    // ref abcd vs cand abdc at maxN=2: P1=R1=1, P2=R2=1/3 -> P=R=2/3,
+    // and with P=R the F-beta collapses to P for any beta
+    val df = Seq((1L, "abcd", "abdc")).toDF("id", "ref", "cand")
+    val r = Eval.chrF(df, "id", col("ref"), col("cand"), Nil, 2).head()
+    assert(math.abs(r.getDouble(1) - 2.0 / 3) < 1e-15)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-15)
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-15)
+
+    val same = Seq((1L, "hello world", "hello world")).toDF("id", "ref", "cand")
+    assert(Eval.chrF(same, "id", col("ref"), col("cand")).head()
+      .getDouble(3) == 1.0)
+    val none = Seq((1L, "aaaa", "bbbb")).toDF("id", "ref", "cand")
+    assert(Eval.chrF(none, "id", col("ref"), col("cand")).head()
+      .getDouble(3) == 0.0)
+    // whitespace is removed entirely before gramming: "a b c" vs "abc"
+    // scores exactly like "abc" vs itself (0.5 here — only 3 of 6 fixed
+    // orders have grams in a 3-char doc, the pinned corpus convention)
+    val ws = Eval.chrF(Seq((1L, "a b\tc", "abc")).toDF("id", "ref", "cand"),
+      "id", col("ref"), col("cand")).head()
+    val wsRef = Eval.chrF(Seq((1L, "abc", "abc")).toDF("id", "ref", "cand"),
+      "id", col("ref"), col("cand")).head()
+    assert(ws.getDouble(3) == wsRef.getDouble(3) && ws.getDouble(3) == 0.5)
+    // orders beyond the doc length still divide the macro average
+    val short = Seq((1L, "ab", "ab")).toDF("id", "ref", "cand")
+    val rs = Eval.chrF(short, "id", col("ref"), col("cand"), Nil, 4).head()
+    assert(math.abs(rs.getDouble(3) - 0.5) < 1e-15)
+    // beta = 2 weights recall: ref aaa vs cand a at maxN=1 ->
+    // P=1, R=1/3, chrF2 = 5*(1/3)/(4 + 1/3) = 5/13
+    val rb = Eval.chrF(Seq((1L, "aaa", "a")).toDF("id", "ref", "cand"),
+      "id", col("ref"), col("cand"), Nil, 1).head()
+    assert(math.abs(rb.getDouble(3) - 5.0 / 13) < 1e-15)
+  }
+
+  test("chrF groups pool corpus-level counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g1", "abcd", "abcd"),
+      (2L, "g1", "wxyz", "wxqz"),
+      (3L, "g2", "mm", "mm")).toDF("id", "grp", "ref", "cand")
+    val rows = Eval.chrF(df, "id", col("ref"), col("cand"), Seq("grp"), 2)
+      .orderBy("grp").collect()
+    assert(rows.length == 2)
+    // g1 pooled n=1: clip 7 of 8; n=2: clip 4 of 6 ("wx","qz" miss... )
+    //   cand bigrams: ab,bc,cd + wx,xq,qz -> clip ab,bc,cd,wx = 4
+    val p = (7.0 / 8 + 4.0 / 6) / 2
+    assert(math.abs(rows(0).getDouble(2) - p) < 1e-15) // symmetric: R = P
+    assert(rows(1).getString(0) == "g2" && rows(1).getDouble(4) == 1.0)
+  }
+
   // ---- metric stability replicates ----
 
   test("metricReplicates: deterministic membership, exact means") {

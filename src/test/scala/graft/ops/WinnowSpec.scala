@@ -116,4 +116,43 @@ class WinnowSpec extends SparkTestBase {
       .orderBy("idA", "idB").collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("winnowPairsBetween: cross-side contamination only, union df cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    def rndText(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val evalItem = rndText(100)
+    val boiler = rndText(80)
+    // train: two docs embed the eval item (contaminated), one clean pair
+    // shares a run ONLY within the train side (must NOT be reported)
+    val trainRun = rndText(100)
+    val train = Seq(
+      (1L, rndText(50) + evalItem + rndText(50)),
+      (2L, evalItem + " " + boiler),
+      (3L, trainRun + rndText(40) + " " + boiler),
+      (4L, rndText(40) + trainRun + " " + boiler)).toDF("id", "text")
+    val bench = Seq(
+      (100L, evalItem),
+      (101L, rndText(90) + " " + boiler)).toDF("id", "text")
+    val got = Dedup.winnowPairsBetween(train, bench, "id", col("text"),
+        k = 24, window = 8, minShared = 2, maxDocFreq = 5)
+      .orderBy("idA", "idB").collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 100L)) && pairs.contains((2L, 100L)))
+    // output is strictly cross-side: the train-train run (3,4) never
+    // appears, idA is always a train id, idB always a bench id
+    assert(!pairs.exists { case (a, b) => a >= 100L || b < 100L })
+    // bench doc embedded in train doc 1: near-total containment (only
+    // edge windows — within `window` grams of the boundary — may select
+    // differently in the larger context)
+    val c = got.find(r => r.getLong(0) == 1L && r.getLong(1) == 100L).get
+    assert(c.getDouble(5) >= 0.75, c.toString)
+    // tighter cap drops boilerplate pairings entirely
+    val capped = Dedup.winnowPairsBetween(train, bench, "id", col("text"),
+        k = 24, window = 8, minShared = 2, maxDocFreq = 3)
+      .orderBy("idA", "idB").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.forall { case (_, b) => b == 100L })
+  }
 }
