@@ -949,6 +949,34 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q191_rouge_l" -> ((s, dir) => {
+      // ROUGE-L of a synthetic decoder that DROPS every 10th token
+      // (hash-decided) and REPLACES every 7th survivor with "xx" (absent
+      // from the fixture vocabulary — verified): the replaced tokens
+      // break the subsequence, so the true LCS is exactly the kept
+      // unreplaced count and the oracle derives P/R/F in closed form
+      // while the GATE runs the real O(n·m) DP kernel. EvalSpec pins
+      // the kernel against a from-scratch LCS on random inputs.
+      val toks = filter(split(col("text"), "\\s+"),
+        tk => length(tk) > 0)
+      val cand = array_join(transform(
+        filter(transform(toks, (tk, i) => struct(tk.as("t"), i.as("i"))),
+          st => pmod(gf.hash64(concat(col("doc_id"), lit(":"),
+            st.getField("i"))), lit(10)) =!= 0),
+        st => when(pmod(gf.hash64(concat(col("doc_id"), lit(":"),
+            st.getField("i"), lit(":m"))), lit(7)) === 0, lit("xx"))
+          .otherwise(st.getField("t"))), " ")
+      val df = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), cand.as("cand"))
+      graft.ops.Eval.rougeL(df, "doc_id", col("text"), col("cand"),
+          Seq("lang"))
+        .select(col("lang"), col("n_pairs"), col("lcs_sum"),
+          round(col("avg_p"), 6).as("avg_p"),
+          round(col("avg_r"), 6).as("avg_r"),
+          round(col("avg_f"), 6).as("avg_f"))
+        .orderBy("lang")
+    }),
+
     "q190_chrf" -> ((s, dir) => {
       // chrF (character-n-gram F2, Popović 2015) of the same synthetic
       // hash-dropping decoder as q183 — the tokenization-robust second
@@ -5879,6 +5907,30 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q191_rouge_l" ->
+      (hashMacros + """WITH d0 AS (SELECT doc_id, lang,
+    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS tk
+  FROM documents),
+tok AS (SELECT doc_id, lang, j - 1 AS p
+  FROM d0, unnest(range(1, len(tk)+1)) u(j)),
+fl AS (SELECT doc_id, lang,
+    CASE WHEN ((g_sb(g_thash(doc_id::VARCHAR || ':' || p::VARCHAR))
+          % 10) + 10) % 10 <> 0 THEN 1 ELSE 0 END AS kp,
+    CASE WHEN ((g_sb(g_thash(doc_id::VARCHAR || ':' || p::VARCHAR
+          || ':m')) % 7) + 7) % 7 = 0 THEN 1 ELSE 0 END AS repl
+  FROM tok),
+d AS (SELECT doc_id, lang, count(*)::BIGINT AS nr,
+    sum(kp)::BIGINT AS nc,
+    sum(CASE WHEN kp = 1 AND repl = 0 THEN 1 ELSE 0 END)::BIGINT AS k
+  FROM fl GROUP BY 1, 2),
+s AS (SELECT doc_id, lang, k,
+    CASE WHEN nc > 0 THEN k * 1.0 / nc ELSE 0 END AS p,
+    CASE WHEN nr > 0 THEN k * 1.0 / nr ELSE 0 END AS r FROM d)
+SELECT lang, count(*)::BIGINT AS n_pairs, sum(k)::BIGINT AS lcs_sum,
+  round(avg(p), 6) AS avg_p, round(avg(r), 6) AS avg_r,
+  round(avg(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)
+        ELSE 0 END), 6) AS avg_f
+FROM s GROUP BY 1 ORDER BY 1"""),
     "q190_chrf" ->
       (hashMacros + """WITH d AS (SELECT doc_id, lang,
     list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS r

@@ -226,6 +226,10 @@ object functions {
     toColumn(CdcChunkHashes(toExpr(text), Literal(bits)))
   def winnow_fingerprints(text: Column, k: Int, window: Int): Column =
     toColumn(WinnowFingerprints(toExpr(text), Literal(k), Literal(window)))
+  def token_lcs(a: Column, b: Column): Column =
+    toColumn(TokenLcs(toExpr(a), toExpr(b)))
+  def char_gram_hashes(text: Column, n: Int): Column =
+    toColumn(CharGramHashes(toExpr(text), Literal(n)))
 
   /** Composite [0,1] quality score over text_stats fields: penalizes very
     * short/long docs, low alpha ratio, high punct/digit ratios, extreme
@@ -391,6 +395,8 @@ object GraftFunctions {
     "shingle_hashes_pos" -> { case Seq(t, n) => ShingleHashesPos(t, n) },
     "cdc_chunk_hashes" -> { case Seq(t, b) => CdcChunkHashes(t, b) },
     "winnow_fingerprints" -> { case Seq(t, k, w) => WinnowFingerprints(t, k, w) },
+    "token_lcs" -> { case Seq(a, b) => TokenLcs(a, b) },
+    "char_gram_hashes" -> { case Seq(t, n) => CharGramHashes(t, n) },
     "vec_dot" -> { case Seq(a, b) => VecDot(a, b) },
     "vec_cosine" -> { case Seq(a, b) => VecCosine(a, b) },
     "vec_norm" -> { case Seq(a) => VecNorm(a) },

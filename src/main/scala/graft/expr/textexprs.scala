@@ -424,6 +424,67 @@ object TextKernels {
     new GenericArrayData(out.result())
   }
 
+  /** Character n-gram window hashes in position order (duplicates kept) —
+    * the chrF gram stream. Codepoint-aware: each window spans n UTF-8
+    * codepoints and its BYTES hash through the same FNV-1a + avalanche
+    * chain as `hash64`, so a SQL replay hashing the equivalent substring
+    * computes the identical value. O(len·n) bytes hashed (n ≤ 8 — no
+    * rolling needed). Fewer than n codepoints → empty. */
+  def charGramHashes(t: UTF8String, n: Int): GenericArrayData = {
+    require(n >= 1 && n <= 64, "n must be in [1, 64]")
+    val b = t.getBytes
+    val starts = new Array[Int](b.length + 1)
+    var nc = 0
+    var i = 0
+    while (i < b.length) {
+      if ((b(i) & 0xc0) != 0x80) { starts(nc) = i; nc += 1 }
+      i += 1
+    }
+    starts(nc) = b.length
+    if (nc < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nc - n + 1)
+    i = 0
+    while (i + n <= nc) {
+      out(i) = TextHash.hashBytes(b, starts(i), starts(i + n), 0L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Token-level longest-common-subsequence LENGTH — the ROUGE-L core.
+    * Tokens compare by their 64-bit FNV hash (same whitespace
+    * tokenization as [[tokenHashes]]; a collision shortening/lengthening
+    * the LCS needs two distinct tokens at ~2^-64 — far below every
+    * gate's rounding grain). Classic O(n·m) two-row DP, rows over the
+    * SHORTER side so memory is O(min(n, m)); LCS is symmetric, so the
+    * swap is free. Empty/blank inputs give 0. */
+  def tokenLcs(a: UTF8String, b: UTF8String): Int = {
+    val na = TextHash.tokenHashes(a, null, 0L)
+    val nb = TextHash.tokenHashes(b, null, 0L)
+    if (na == 0 || nb == 0) return 0
+    val ha = new Array[Long](na)
+    TextHash.tokenHashes(a, ha, 0L)
+    val hb = new Array[Long](nb)
+    TextHash.tokenHashes(b, hb, 0L)
+    val (x, y) = if (nb <= na) (ha, hb) else (hb, ha)
+    val m = y.length
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var i = 0
+    while (i < x.length) {
+      var j = 0
+      while (j < m) {
+        cur(j + 1) =
+          if (x(i) == y(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
   def langId(input: UTF8String): UTF8String = {
     val s = input.toString
     if (s.isEmpty) return UTF8String.fromString("und")
@@ -722,6 +783,45 @@ case class DocFingerprint(left: Expression, right: Expression)
       ev: codegen.ExprCode): codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (t, k) =>
       s"${ev.value} = ${TextKernels.RefName}.docFingerprint($t, $k);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** char_gram_hashes(text, n) → array<long>: character n-gram window hashes
+  * in position order (see [[TextKernels.charGramHashes]]) — chrF's gram
+  * stream as fixed-width keys instead of substring strings. */
+case class CharGramHashes(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override protected def nullSafeEval(t: Any, nAny: Any): Any =
+    TextKernels.charGramHashes(t.asInstanceOf[UTF8String],
+      nAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = ${TextKernels.RefName}.charGramHashes($t, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** token_lcs(a, b) → int: token-level longest-common-subsequence length
+  * (see [[TextKernels.tokenLcs]]) — the ROUGE-L numerator, evaluated
+  * scan-side inside whole-stage codegen. */
+case class TokenLcs(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_lcs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.tokenLcs(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${TextKernels.RefName}.tokenLcs($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -399,6 +399,66 @@ class EvalSpec extends SparkTestBase {
     assert(rows(1).getString(0) == "g2" && rows(1).getDouble(4) == 1.0)
   }
 
+  // ---- ROUGE-L ----
+
+  /** Exponential-identity-free reference LCS over token sequences. */
+  private def refLcs(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  test("token_lcs kernel == DP reference; edges") {
+    import graft.expr.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def lcs(a: String, b: String): Int =
+      TextKernels.tokenLcs(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(lcs("a b c d", "a c d") == 3)
+    assert(lcs("a b c", "x y z") == 0)
+    assert(lcs("", "a b") == 0 && lcs("a", "") == 0 && lcs("  ", "a") == 0)
+    assert(lcs("a b a b a", "b a b a b") == 4)
+    // multi-space runs tokenize like single spaces
+    assert(lcs("a  b\tc", "a b c") == 3)
+    val rnd = new scala.util.Random(17)
+    (0 until 80).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(5)}")
+      val b = Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(5)}")
+      assert(lcs(a.mkString(" "), b.mkString(" ")) == refLcs(a, b),
+        s"a=$a b=$b")
+    }
+  }
+
+  test("rougeL: hand pair, empty candidate, groups, symmetry of P/R") {
+    import spark.implicits._
+    // ref "a b c d" vs cand "a c d x": LCS 3, P 3/4, R 3/4, F 3/4
+    val df = Seq((1L, "a b c d", "a c d x")).toDF("id", "ref", "cand")
+    val r = Eval.rougeL(df, "id", col("ref"), col("cand")).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 0.75 &&
+      r.getDouble(4) == 0.75)
+    // empty candidate: P = R = F = 0, not NULL/NaN
+    val e = Eval.rougeL(Seq((1L, "a b", "")).toDF("id", "ref", "cand"),
+      "id", col("ref"), col("cand")).head()
+    assert(e.getLong(1) == 0L && e.getDouble(4) == 0.0)
+    // swapping ref and cand swaps P and R, keeps F
+    val asym = Seq((1L, "a b c d e", "a c")).toDF("id", "ref", "cand")
+    val x = Eval.rougeL(asym, "id", col("ref"), col("cand")).head()
+    val y = Eval.rougeL(asym, "id", col("cand"), col("ref")).head()
+    assert(x.getDouble(2) == y.getDouble(3) &&
+      x.getDouble(3) == y.getDouble(2) &&
+      math.abs(x.getDouble(4) - y.getDouble(4)) < 1e-15)
+    // groups macro-average per group
+    val gdf = Seq((1L, "g1", "a b", "a b"), (2L, "g1", "c d", "c x"),
+      (3L, "g2", "m", "m")).toDF("id", "grp", "ref", "cand")
+    val rows = Eval.rougeL(gdf, "id", col("ref"), col("cand"), Seq("grp"))
+      .orderBy("grp").collect()
+    assert(rows(0).getLong(2) == 3L) // 2 + 1
+    assert(math.abs(rows(0).getDouble(3) - 0.75) < 1e-15) // (1 + 0.5)/2
+    assert(rows(1).getDouble(5) == 1.0)
+  }
+
   // ---- metric stability replicates ----
 
   test("metricReplicates: deterministic membership, exact means") {

@@ -493,6 +493,32 @@ class StreamingSpec extends SparkTestBase {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("round-9 eval kernels stream per-row: winnow/char-gram/lcs ≡ batch") {
+    // winnow_fingerprints, char_gram_hashes, and token_lcs are pure
+    // per-row expressions — a streaming quality monitor can score
+    // documents with them with no state and batch-identical results
+    val base = java.nio.file.Files.createTempDirectory("graft_r9e").toString
+    val docsB = spark.read.parquet(sf("documents"))
+    docsB.coalesce(2).write.parquet(s"$base/documents.parquet")
+    val gfn = graft.api.functions
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        size(gfn.winnow_fingerprints(col("text"), 24, 16)).as("n_fp"),
+        hash(gfn.winnow_fingerprints(col("text"), 24, 16)).as("fp_sig"),
+        size(gfn.char_gram_hashes(col("text"), 6)).as("n_cg"),
+        gfn.token_lcs(col("text"), reverse(col("text"))).as("lcs_rev"))
+    val q = score(graft.sources.Tables.loadStream(spark, base, "documents",
+        Map("maxFilesPerTrigger" -> "1")))
+      .writeStream.format("memory").queryName("r9_eval")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("r9_eval")
+    val batch = score(spark.read.parquet(s"$base/documents.parquet"))
+    assert(streamed.count() == docsB.count())
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("blocklist matchStats/filterBlocked stream per-row ≡ batch (broadcast automaton)") {
     // the AC automaton is broadcast state built on the driver, not
     // streaming state — both transforms must run unchanged on a

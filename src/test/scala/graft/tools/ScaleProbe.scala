@@ -405,6 +405,52 @@ object ScaleProbe {
       force(graft.ops.Text.readability(md, col("out_text")))
     }
 
+    time(s"bleu ${nDocs / 5} pairs (~${6 * nDocs} tokens, n<=4)") {
+      // candidate = every 10th token hash-dropped; the (pair, n, gram)
+      // union shuffle carries ~8x the token volume — the honest cost of
+      // clipped n-gram precision, measured
+      val sub = docs.where(col("doc_id") % 5 === 0)
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val cand = array_join(transform(
+        filter(transform(toks, (t, i) => struct(t.as("t"), i.as("i"))),
+          st => pmod(graft.api.functions.hash64(
+            concat(col("doc_id"), lit(":"), st.getField("i"))),
+            lit(10)) =!= 0),
+        st => st.getField("t")), " ")
+      force(graft.ops.Eval.bleu(
+        sub.select(col("doc_id"), col("source"), col("text"),
+          cand.as("cand")),
+        "doc_id", col("text"), col("cand"), Seq("source"), 4))
+    }
+    time(s"winnowPairs ${nDocs / 5} docs (5000-way planted dup groups)") {
+      // the synthetic text repeats every 5000 ids -> each doc has
+      // nDocs/25000 exact replicas; winnow fps shared by the whole group
+      // (df <= 256 cap holds at the default probe size), so the pair
+      // aggregation materializes the full duplicate clique — the
+      // worst-case shape dedup exists to find. The %97 planted prefix
+      // fps exceed the df cap and are dropped (boilerplate path).
+      force(graft.ops.Dedup.winnowPairs(docs.where(col("doc_id") % 5 === 0),
+        "doc_id", col("text"), k = 24, window = 16, minShared = 2,
+        maxDocFreq = 256))
+    }
+    time(s"metricReplicates 32 x $nDocs") {
+      force(graft.ops.Eval.metricReplicates(docs, col("doc_id"),
+        length(col("text")), 32))
+    }
+    time(s"fleissKappa ${nDocs / 5} items x 5 raters") {
+      val rated = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0), lit(4))).as("r"))
+        .withColumn("cat", when(pmod(graft.api.functions.hash64(
+            concat(col("doc_id"), lit(":"), col("r"))), lit(10)) < 7,
+          col("source")).otherwise(lit("alt")))
+      force(graft.ops.Eval.fleissKappa(rated, col("doc_id"), col("cat")))
+    }
+    time(s"embeddingOutliers $nVecs x 64d (16 groups)") {
+      force(graft.ops.Similarity.embeddingOutliers(vecs, "vec_id",
+        pmod(col("vec_id"), lit(16)), col("embedding")))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
