@@ -949,6 +949,22 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q192_truncation_sweep" -> ((s, dir) => {
+      // context-length selection receipt: exact truncation cost per
+      // source at four candidate max_lens — the table read before
+      // committing a corpus to a sequence length (packing q182 covers
+      // the padding side; this is the cut-off side)
+      graft.ops.Packing.truncationStats(
+          t(s, dir, "documents").select(col("source"),
+            gf.token_count(col("text")).as("tok")),
+          col("tok"), Seq(32, 64, 96, 128), Seq("source"))
+        .select(col("source"), col("max_len"), col("n_docs"),
+          col("n_trunc_docs"), col("n_tokens"), col("tokens_kept"),
+          round(col("token_loss_rate"), 6).as("token_loss_rate"),
+          round(col("doc_trunc_rate"), 6).as("doc_trunc_rate"))
+        .orderBy("source", "max_len")
+    }),
+
     "q191_rouge_l" -> ((s, dir) => {
       // ROUGE-L of a synthetic decoder that DROPS every 10th token
       // (hash-decided) and REPLACES every 7th survivor with "xx" (absent
@@ -5907,6 +5923,18 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q192_truncation_sweep" ->
+      """SELECT source, ml AS max_len, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN t > ml THEN 1 ELSE 0 END)::BIGINT AS n_trunc_docs,
+  sum(t)::BIGINT AS n_tokens,
+  sum(least(t, ml))::BIGINT AS tokens_kept,
+  round((sum(t) - sum(least(t, ml))) * 1.0 / sum(t), 6)
+    AS token_loss_rate,
+  round(sum(CASE WHEN t > ml THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    AS doc_trunc_rate
+FROM (SELECT source, len(string_split(text, ' '))::BIGINT AS t
+      FROM documents), unnest([32, 64, 96, 128]) u(ml)
+GROUP BY 1, 2 ORDER BY 1, 2""",
     "q191_rouge_l" ->
       (hashMacros + """WITH d0 AS (SELECT doc_id, lang,
     list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS tk

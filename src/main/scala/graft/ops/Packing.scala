@@ -114,6 +114,47 @@ object Packing {
         round(col("naive_seqs") * lit(1.0) / col("n_bins"), 6))
   }
 
+  /** Context-length selection receipt: for each candidate maximum
+    * sequence length, the EXACT truncation cost — how many documents get
+    * cut and what fraction of the token mass falls off the end. The
+    * table a team reads (next to [[packingStats]]'s padding side) before
+    * committing a corpus to a max_len: token_loss_rate is the training
+    * signal thrown away, doc_trunc_rate the fraction of docs affected.
+    *
+    * One corpus scan exploding each row onto the (small, literal)
+    * candidate-length list; after map-side combine the shuffle is
+    * |maxLens| × groups × partitions partial rows — corpus-size
+    * independent. Exact integer sums; NULL token counts are excluded.
+    * Returns one row per (groupCols…, max_len): (…, max_len, n_docs,
+    * n_trunc_docs, n_tokens, tokens_kept, token_loss_rate,
+    * doc_trunc_rate). */
+  def truncationStats(df: DataFrame, tokenCol: Column, maxLens: Seq[Int],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(maxLens.nonEmpty, "maxLens must be non-empty")
+    require(maxLens.forall(_ >= 1), "every candidate length must be >= 1")
+    require(maxLens.distinct.size == maxLens.size,
+      "candidate lengths must be distinct")
+    val g = groupCols.map(col)
+    val rows = df.select(g :+ tokenCol.cast("long").as("__t"): _*)
+      .where(col("__t").isNotNull)
+      .select(g ++ Seq(col("__t"),
+        explode(array(maxLens.map(lit).toIndexedSeq: _*))
+          .as("max_len")): _*)
+    rows.groupBy(g :+ col("max_len"): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("__t") > col("max_len"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_trunc_docs"),
+        coalesce(sum(col("__t")), lit(0L)).as("n_tokens"),
+        coalesce(sum(least(col("__t"), col("max_len").cast("long")))
+          , lit(0L)).as("tokens_kept"))
+      .withColumn("token_loss_rate",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("tokens_kept")).cast("double") /
+            col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("doc_trunc_rate",
+        col("n_trunc_docs").cast("double") / col("n_docs"))
+  }
+
   /** Packs rows into bins of ≈`budget` tokens: adds `bin` (0-based) and
     * `bin_offset` (tokens before this row within its bin). Deterministic in
     * `orderCol` order; see the class doc for the straddler contract. */

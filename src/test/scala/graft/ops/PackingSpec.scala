@@ -105,4 +105,31 @@ class PackingSpec extends SparkTestBase {
       nBins == math.max(1, total / 4096), s"bins $nBins for $total tokens")
     assert(packed.count() == docs.count())
   }
+
+  test("truncationStats: hand-computed sweep, groups, nulls, edge lengths") {
+    import spark.implicits._
+    // lengths 10, 20, 30 in group a; 5 in group b; one NULL excluded
+    val df = Seq(("a", Some(10L)), ("a", Some(20L)), ("a", Some(30L)),
+      ("b", Some(5L)), ("b", None)).toDF("g", "t")
+    val out = Packing.truncationStats(df, col("t"), Seq(15, 25), Seq("g"))
+      .orderBy("g", "max_len").collect()
+    assert(out.length == 4)
+    // a @15: trunc 2 (20, 30), kept 10+15+15 = 40 of 60
+    val a15 = out(0)
+    assert(a15.getString(0) == "a" && a15.getInt(1) == 15)
+    assert(a15.getLong(2) == 3L && a15.getLong(3) == 2L)
+    assert(a15.getLong(4) == 60L && a15.getLong(5) == 40L)
+    assert(math.abs(a15.getDouble(6) - 20.0 / 60) < 1e-15)
+    assert(math.abs(a15.getDouble(7) - 2.0 / 3) < 1e-15)
+    // a @25: trunc 1 (30), kept 10+20+25 = 55
+    assert(out(1).getLong(5) == 55L)
+    // b: never truncated at either length; NULL row excluded from n_docs
+    assert(out(2).getLong(2) == 1L && out(2).getLong(3) == 0L &&
+      out(2).getDouble(6) == 0.0)
+    // ungrouped = one row per candidate length over everything
+    val flat = Packing.truncationStats(df, col("t"), Seq(15))
+      .collect()
+    assert(flat.length == 1 && flat(0).getLong(1) == 4L &&
+      flat(0).getLong(4) == 45L) // 10 + 15 + 15 + 5 kept at max_len 15
+  }
 }
