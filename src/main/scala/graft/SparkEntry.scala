@@ -949,6 +949,19 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q193_winnow_crosstab" -> ((s, dir) => {
+      // cross-source substring-duplication map: distinct winnowed
+      // fingerprints shared per source pair (q128 counts exact dups;
+      // this sees partial runs) — the mirror/re-post diagnostic read
+      // before trusting per-source mixture weights
+      graft.ops.Dedup.winnowSourceCrosstab(t(s, dir, "documents"),
+          "doc_id", col("text"), col("source"), k = 24, window = 16,
+          maxDocFreq = 256)
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          col("n_b"), round(col("overlap"), 6).as("overlap"))
+        .orderBy("src_a", "src_b")
+    }),
+
     "q192_truncation_sweep" -> ((s, dir) => {
       // context-length selection receipt: exact truncation cost per
       // source at four candidate max_lens — the table read before
@@ -5923,6 +5936,20 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q193_winnow_crosstab" ->
+      (winnowKeptPrefix + """,
+sf AS (SELECT DISTINCT d2.source AS src, kept.fp
+  FROM kept JOIN documents d2 ON kept.doc_id = d2.doc_id),
+per AS (SELECT src, count(*)::BIGINT AS nf FROM sf GROUP BY 1),
+pr AS (SELECT a.src AS src_a, b.src AS src_b,
+    count(*)::BIGINT AS n_shared
+  FROM sf a JOIN sf b ON a.fp = b.fp AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT src_a, src_b, n_shared, pa.nf AS n_a, pb.nf AS n_b,
+  round(n_shared * 1.0 / least(pa.nf, pb.nf), 6) AS overlap
+FROM pr JOIN per pa ON pr.src_a = pa.src
+JOIN per pb ON pr.src_b = pb.src
+ORDER BY src_a, src_b"""),
     "q192_truncation_sweep" ->
       """SELECT source, ml AS max_len, count(*)::BIGINT AS n_docs,
   sum(CASE WHEN t > ml THEN 1 ELSE 0 END)::BIGINT AS n_trunc_docs,

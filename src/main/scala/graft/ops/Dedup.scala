@@ -835,6 +835,44 @@ object Dedup {
       minShared)
   }
 
+  /** Cross-source duplication map at the substring level — which corpus
+    * sources copy from each other (mirrors, scraped re-posts, shared
+    * boilerplate beyond the df cap)? For every source pair: the count of
+    * distinct winnowed fingerprints present in BOTH, with overlap =
+    * shared / min(|A|, |B|). The source-level sibling of the per-doc
+    * crosstab (q128 counts exact dups; this sees partial runs).
+    *
+    * Scale shape: (id, fp) rows shuffle once (df-capped like
+    * [[winnowPairs]]), collapse to the distinct (source, fp) frame —
+    * bounded by sources × distinct fps — and the pair join runs on THAT,
+    * never on documents. Output is sources²/2 rows. */
+  def winnowSourceCrosstab(df: DataFrame, idCol: String, textCol: Column,
+      sourceCol: Column, k: Int = 24, window: Int = 16,
+      maxDocFreq: Int = 256): DataFrame = {
+    require(maxDocFreq >= 2, "maxDocFreq must be >= 2")
+    val fps = df.select(col(idCol).as("__id"), sourceCol.as("__src"),
+        explode(gf.winnow_fingerprints(textCol, k, window)).as("__f"))
+      .select(col("__id"), col("__src"), col("__f.fp").as("__fp"))
+      .distinct()
+      .localCheckpoint()
+    val kept = cappedWinnowFps(fps, maxDocFreq)
+    val srcFps = kept.select(col("__src"), col("__fp")).distinct()
+      .localCheckpoint()
+    val per = srcFps.groupBy("__src").agg(count(lit(1)).as("__nf"))
+    val a = srcFps.select(col("__fp"), col("__src").as("src_a"))
+    val b = srcFps.select(col("__fp"), col("__src").as("src_b"))
+    a.join(b, Seq("__fp")).where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(per.select(col("__src").as("src_a"), col("__nf").as("n_a")),
+        Seq("src_a"))
+      .join(per.select(col("__src").as("src_b"), col("__nf").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("overlap"))
+  }
+
   /** Distinct (id, winnowed fingerprint) rows — the only thing that ever
     * shuffles in the winnow family. */
   private def winnowFps(df: DataFrame, idCol: String, textCol: Column,

@@ -155,4 +155,30 @@ class WinnowSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.forall { case (_, b) => b == 100L })
   }
+
+  test("winnowSourceCrosstab: shared run links its sources, others don't") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def rndText(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val run = rndText(120)
+    val docs = Seq(
+      (1L, "sA", run + rndText(60)),
+      (2L, "sA", rndText(150)),
+      (3L, "sB", rndText(40) + run),
+      (4L, "sB", rndText(150)),
+      (5L, "sC", rndText(150))).toDF("id", "src", "text")
+    val out = Dedup.winnowSourceCrosstab(docs, "id", col("text"),
+        col("src"), k = 24, window = 8, maxDocFreq = 10)
+      .collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byPair.contains(("sA", "sB")))
+    val ab = byPair(("sA", "sB"))
+    assert(ab.getLong(2) >= 5) // the 120-byte run winnows to many fps
+    // sC shares nothing with anyone
+    assert(!out.exists(r => r.getString(0) == "sC" ||
+      r.getString(1) == "sC"))
+    // totals count DISTINCT fps per source, so overlap <= 1
+    out.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0))
+  }
 }
