@@ -230,6 +230,12 @@ object functions {
     toColumn(TokenLcs(toExpr(a), toExpr(b)))
   def char_gram_hashes(text: Column, n: Int): Column =
     toColumn(CharGramHashes(toExpr(text), Literal(n)))
+  def gram_overlap_counts(ref: Column, cand: Column, maxN: Int): Column =
+    toColumn(GramOverlapCounts(toExpr(ref), toExpr(cand), Literal(maxN),
+      chars = false))
+  def char_gram_overlap_counts(ref: Column, cand: Column, maxN: Int): Column =
+    toColumn(GramOverlapCounts(toExpr(ref), toExpr(cand), Literal(maxN),
+      chars = true))
 
   /** Composite [0,1] quality score over text_stats fields: penalizes very
     * short/long docs, low alpha ratio, high punct/digit ratios, extreme
@@ -397,6 +403,10 @@ object GraftFunctions {
     "winnow_fingerprints" -> { case Seq(t, k, w) => WinnowFingerprints(t, k, w) },
     "token_lcs" -> { case Seq(a, b) => TokenLcs(a, b) },
     "char_gram_hashes" -> { case Seq(t, n) => CharGramHashes(t, n) },
+    "gram_overlap_counts" -> { case Seq(r, c, n) =>
+      GramOverlapCounts(r, c, n, chars = false) },
+    "char_gram_overlap_counts" -> { case Seq(r, c, n) =>
+      GramOverlapCounts(r, c, n, chars = true) },
     "vec_dot" -> { case Seq(a, b) => VecDot(a, b) },
     "vec_cosine" -> { case Seq(a, b) => VecCosine(a, b) },
     "vec_norm" -> { case Seq(a) => VecNorm(a) },

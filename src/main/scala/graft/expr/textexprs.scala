@@ -451,6 +451,66 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-pair clipped n-gram overlap counts for orders 1..maxN — the BLEU
+    * (token grams) / chrF (char grams via `chars = true`) inner loop,
+    * evaluated entirely scan-side: element n−1 is
+    * (clip, denc, denr) = (Σ_g min(c_cand, c_ref), |cand grams|,
+    * |ref grams|) for order n. Clipping is per-pair in both metrics, so
+    * corpus scores need only SUMS of these triples — no gram ever
+    * shuffles. Multiset intersection by sort + two-pointer merge over
+    * 64-bit gram hashes (collision odds ~2^-64); O(L·maxN·log L) per
+    * pair. */
+  def gramOverlapCounts(ref: UTF8String, cand: UTF8String, maxN: Int,
+      chars: Boolean): GenericArrayData = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    def grams(t: UTF8String, n: Int): Array[Long] =
+      if (chars) {
+        val a = charGramHashes(t, n)
+        val out = new Array[Long](a.numElements())
+        var i = 0
+        while (i < out.length) { out(i) = a.getLong(i); i += 1 }
+        out
+      } else {
+        val nt = TextHash.tokenHashes(t, null, 0L)
+        val ht = new Array[Long](nt)
+        TextHash.tokenHashes(t, ht, 0L)
+        val m = math.max(nt - n + 1, 0)
+        val out = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          var h = 0x27d4eb2f165667c5L
+          var j = 0
+          while (j < n) { h = TextHash.combine(h, ht(i + j)); j += 1 }
+          out(i) = h
+          i += 1
+        }
+        out
+      }
+    val out = new Array[Any](maxN)
+    var n = 1
+    while (n <= maxN) {
+      val gc = grams(cand, n)
+      val gr = grams(ref, n)
+      java.util.Arrays.sort(gc)
+      java.util.Arrays.sort(gr)
+      var i = 0
+      var j = 0
+      var clip = 0L
+      while (i < gc.length && j < gr.length) {
+        if (gc(i) == gr(j)) { clip += 1; i += 1; j += 1 }
+        else if (gc(i) < gr(j)) i += 1
+        else j += 1
+      }
+      val r = new GenericInternalRow(3)
+      r.setLong(0, clip)
+      r.setLong(1, gc.length)
+      r.setLong(2, gr.length)
+      out(n - 1) = r
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Token-level longest-common-subsequence LENGTH — the ROUGE-L core.
     * Tokens compare by their 64-bit FNV hash (same whitespace
     * tokenization as [[tokenHashes]]; a collision shortening/lengthening
@@ -785,6 +845,34 @@ case class DocFingerprint(left: Expression, right: Expression)
       s"${ev.value} = ${TextKernels.RefName}.docFingerprint($t, $k);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** gram_overlap_counts(ref, cand, maxN) / char_gram_overlap_counts(...) →
+  * array<struct<clip,denc,denr>> — per-pair clipped n-gram overlap for
+  * orders 1..maxN (see [[TextKernels.gramOverlapCounts]]): the BLEU/chrF
+  * inner loop as ONE scan-side codegen'd expression, so corpus metrics
+  * reduce to a group-keyed fold of 3·maxN sums with no gram shuffle. */
+case class GramOverlapCounts(first: Expression, second: Expression,
+    third: Expression, chars: Boolean)
+  extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("clip", LongType, nullable = false),
+    StructField("denc", LongType, nullable = false),
+    StructField("denr", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String =
+    if (chars) "char_gram_overlap_counts" else "gram_overlap_counts"
+
+  override protected def nullSafeEval(r: Any, c: Any, nAny: Any): Any =
+    TextKernels.gramOverlapCounts(r.asInstanceOf[UTF8String],
+      c.asInstanceOf[UTF8String], nAny.asInstanceOf[Int], chars)
+  override protected def doGenCode(ctx: codegen.CodegenContext,
+      ev: codegen.ExprCode): codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, c, n) =>
+      s"${ev.value} = ${TextKernels.RefName}.gramOverlapCounts($r, $c, $n, $chars);")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression) = copy(a, b, c)
 }
 
 /** char_gram_hashes(text, n) → array<long>: character n-gram window hashes

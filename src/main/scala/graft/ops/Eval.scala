@@ -305,12 +305,14 @@ object Eval {
     * when any order's precision is 0 (corpus-level counts make smoothing
     * unnecessary at scale).
     *
-    * Scale shape: both sides' n-grams stream through ONE union keyed by
-    * (group, pair, n, gram) with conditional counts — no join of two
-    * shuffled gram frames — then fold to (group, n). The gram shuffle
-    * carries ≈ 2·maxN× the token volume (the honest cost of n-gram
-    * precision); lengths fold in a separate cheap pass. Everything is
-    * exact integer arithmetic until the final ratios.
+    * Scale shape: clipping is PER-PAIR in BLEU, so the entire gram inner
+    * loop runs scan-side in one codegen'd expression
+    * (gram_overlap_counts: sorted-merge multiset intersection of 64-bit
+    * gram hashes per order) — NO gram ever shuffles; the only shuffle is
+    * the group-keyed fold of 3 + 2·maxN exact integer sums. (An earlier
+    * (pair, n, gram)-keyed count-shuffle formulation of the same numbers
+    * measured 182 s at 5M pairs / 150M tokens per side — §8.2 records
+    * what this replaced.)
     *
     * Returns one row per group: (groupCols…, n_pairs, ref_len, cand_len,
     * p1..p{maxN}, bp, bleu); p_n is NULL when the candidate side has no
@@ -323,48 +325,25 @@ object Eval {
     val base = df.select(g ++ Seq(col(idCol).as("__id"),
       refCol.as("__r"), candCol.as("__c")): _*)
       .where(col("__r").isNotNull && col("__c").isNotNull)
-    // lengths + pair count fold straight to the group key
-    val lens = base.groupBy(g: _*).agg(
+      .select(g ++ Seq(
+        gfn.token_count(col("__r")).cast("long").as("__nr"),
+        gfn.token_count(col("__c")).cast("long").as("__nc"),
+        gfn.gram_overlap_counts(col("__r"), col("__c"), maxN)
+          .as("__oc")): _*)
+    def fld(n: Int, f: String): Column =
+      element_at(col("__oc"), n).getField(f)
+    val aggCols = Seq(
       count(lit(1)).as("n_pairs"),
-      coalesce(sum(gfn.token_count(col("__r")).cast("long")), lit(0L))
-        .as("ref_len"),
-      coalesce(sum(gfn.token_count(col("__c")).cast("long")), lit(0L))
-        .as("cand_len"))
-    // grams travel as 64-bit window hashes (codegen'd kernel, no token
-    // arrays or gram strings built): the count shuffle carries
-    // fixed-width keys — measured 182 s vs 534 s for the gram-STRING
-    // formulation at 5M pairs / 150M tokens per side (§8.2); hash
-    // equality collides at ~2^-64, far below every consumer's rounding
-    // grain
-    def side(tc: Column, tag: String): Column =
-      flatten(array((1 to maxN).map(n =>
-        transform(gfn.shingle_hashes_pos(tc, n),
-          gr => struct(lit(n).as("n"), gr.as("gram"),
-            lit(tag).as("side")))): _*))
-    // one exploded stream for BOTH sides → one (pair, n, gram) count
-    // shuffle with conditional sums; clipping is least() on the counts
-    val both = base.select(g ++ Seq(col("__id"),
-        explode(concat(side(col("__c"), "c"), side(col("__r"), "r")))
-          .as("__g")): _*)
-      .groupBy(g ++ Seq(col("__id"), col("__g.n").as("__n"),
-        col("__g.gram").as("__gram")): _*)
-      .agg(coalesce(sum(when(col("__g.side") === "c", 1L)), lit(0L))
-          .as("__cc"),
-        coalesce(sum(when(col("__g.side") === "r", 1L)), lit(0L))
-          .as("__cr"))
-    val byOrder = both.groupBy(g :+ col("__n"): _*)
-      .agg(sum(least(col("__cc"), col("__cr"))).as("__clip"),
-        sum(col("__cc")).as("__den"))
-    val pCols = (1 to maxN).map { n =>
-      (coalesce(sum(when(col("__n") === n, col("__clip"))), lit(0L))
-        .cast("double") /
-        nullif(coalesce(sum(when(col("__n") === n, col("__den"))),
-          lit(0L)), lit(0L)).cast("double")).as(s"p$n")
-    }
-    val perN = byOrder.groupBy(g: _*).agg(pCols.head, pCols.tail: _*)
-    val joined =
-      if (g.isEmpty) lens.crossJoin(perN) // both single-row
-      else lens.join(perN, groupCols, "inner")
+      coalesce(sum(col("__nr")), lit(0L)).as("ref_len"),
+      coalesce(sum(col("__nc")), lit(0L)).as("cand_len")) ++
+      (1 to maxN).flatMap(n => Seq(
+        coalesce(sum(fld(n, "clip")), lit(0L)).as(s"__clip$n"),
+        coalesce(sum(fld(n, "denc")), lit(0L)).as(s"__den$n")))
+    val joined = base.groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
+      .select(g ++ Seq(col("n_pairs"), col("ref_len"), col("cand_len")) ++
+        (1 to maxN).map(n =>
+          (col(s"__clip$n").cast("double") /
+            nullif(col(s"__den$n"), lit(0L)).cast("double")).as(s"p$n")): _*)
     val bp = when(col("cand_len") >= col("ref_len") || col("ref_len") === 0,
       lit(1.0)).otherwise(
       exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")))
@@ -391,55 +370,46 @@ object Eval {
     * (resp. reference) side contributes precision (resp. recall) 0 —
     * pinned so engines cannot disagree; chrF = 0 when P + R = 0.
     *
-    * Same scale shape as [[bleu]]: ONE union of both sides' char-gram
-    * streams keyed by (group, pair, n, gram) with conditional counts —
-    * the gram shuffle carries ≈ 2·maxN× the character volume. Returns
-    * one row per group: (groupCols…, n_pairs, chrp, chrr, chrf). */
+    * Same scale shape as [[bleu]]: the clipped char-gram overlap is
+    * per-pair, computed scan-side in one codegen'd expression
+    * (char_gram_overlap_counts) — no gram shuffles; the only shuffle is
+    * the group-keyed fold of 1 + 3·maxN exact integer sums. (The
+    * (pair, n, gram)-count formulation this replaced benched 19.3 s at
+    * sf0.1 — the suite's slowest gate — vs ~1 s for this shape.)
+    * Returns one row per group: (groupCols…, n_pairs, chrp, chrr, chrf). */
   def chrF(df: DataFrame, idCol: String, refCol: Column, candCol: Column,
       groupCols: Seq[String] = Nil, maxN: Int = 6,
       beta: Double = 2.0): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
     require(beta > 0, "beta must be positive")
     val g = groupCols.map(col)
+    val gfn = graft.api.functions
     val strip = (c: Column) => regexp_replace(c, "\\s+", "")
     val base = df.select(g ++ Seq(col(idCol).as("__id"),
       strip(refCol).as("__r"), strip(candCol).as("__c")): _*)
       .where(col("__r").isNotNull && col("__c").isNotNull)
-    val lens = base.groupBy(g: _*).agg(count(lit(1)).as("n_pairs"))
-    // char grams travel as 64-bit codepoint-window hashes (codegen'd
-    // kernel) — fixed-width count-shuffle keys instead of substring
-    // strings; same collision-odds caveat as [[bleu]]'s gram hashes
-    val gfn = graft.api.functions
-    def side(sc: Column, tag: String): Column =
-      flatten(array((1 to maxN).map(n =>
-        transform(gfn.char_gram_hashes(sc, n),
-          gr => struct(lit(n).as("n"), gr.as("gram"),
-            lit(tag).as("side")))): _*))
-    val both = base.select(g ++ Seq(col("__id"),
-        explode(concat(side(col("__c"), "c"), side(col("__r"), "r")))
-          .as("__g")): _*)
-      .groupBy(g ++ Seq(col("__id"), col("__g.n").as("__n"),
-        col("__g.gram").as("__gram")): _*)
-      .agg(coalesce(sum(when(col("__g.side") === "c", 1L)), lit(0L))
-          .as("__cc"),
-        coalesce(sum(when(col("__g.side") === "r", 1L)), lit(0L))
-          .as("__cr"))
-    val byOrder = both.groupBy(g :+ col("__n"): _*)
-      .agg(sum(least(col("__cc"), col("__cr"))).as("__clip"),
-        sum(col("__cc")).as("__denc"),
-        sum(col("__cr")).as("__denr"))
+      .select(g :+ gfn.char_gram_overlap_counts(col("__r"), col("__c"),
+        maxN).as("__oc"): _*)
+    def fld(n: Int, f: String): Column =
+      element_at(col("__oc"), n).getField(f)
+    val aggCols = Seq(count(lit(1)).as("n_pairs")) ++
+      (1 to maxN).flatMap(n => Seq(
+        coalesce(sum(fld(n, "clip")), lit(0L)).as(s"__clip$n"),
+        coalesce(sum(fld(n, "denc")), lit(0L)).as(s"__denc$n"),
+        coalesce(sum(fld(n, "denr")), lit(0L)).as(s"__denr$n")))
     // per-order P/R with the pinned zero convention, then macro-average;
     // a gram order entirely absent from the group (doc shorter than n on
     // both sides) still divides by maxN — orders are fixed, not observed
-    val pTerm = sum(when(col("__clip") > 0,
-      col("__clip").cast("double") / col("__denc")).otherwise(lit(0.0)))
-    val rTerm = sum(when(col("__clip") > 0,
-      col("__clip").cast("double") / col("__denr")).otherwise(lit(0.0)))
-    val perG = byOrder.groupBy(g: _*)
-      .agg((pTerm / maxN).as("chrp"), (rTerm / maxN).as("chrr"))
-    val joined =
-      if (g.isEmpty) lens.crossJoin(perG)
-      else lens.join(perG, groupCols, "inner")
+    def ratio(n: Int, den: String): Column =
+      when(col(s"__clip$n") > 0,
+        col(s"__clip$n").cast("double") / col(s"__$den$n"))
+        .otherwise(lit(0.0))
+    val joined = base.groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
+      .select(g ++ Seq(col("n_pairs"),
+        ((1 to maxN).map(n => ratio(n, "denc")).reduce(_ + _) / maxN)
+          .as("chrp"),
+        ((1 to maxN).map(n => ratio(n, "denr")).reduce(_ + _) / maxN)
+          .as("chrr")): _*)
     val b2 = beta * beta
     joined.select(g ++ Seq(col("n_pairs"), col("chrp"), col("chrr"),
       when(col("chrp") + col("chrr") > 0,
