@@ -949,6 +949,34 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q194_distinct_n" -> ((s, dir) => {
+      // n-gram diversity (distinct-n) per source — the mode-collapse
+      // diagnostic for synthetic corpora; exact distinct counts over
+      // 64-bit gram hashes, string-replayed by the oracle
+      graft.ops.Eval.distinctN(
+          t(s, dir, "documents").select(col("source"), col("text")),
+          col("text"), 4, Seq("source"))
+        .select(col("source"), col("n"), col("n_grams"),
+          col("n_distinct"),
+          round(col("distinct_ratio"), 6).as("distinct_ratio"))
+        .orderBy("source", "n")
+    }),
+
+    "q195_self_bleu" -> ((s, dir) => {
+      // pooled pairwise self-BLEU per source: every doc scores against
+      // its source's 8 smallest-hash partner docs, counts pool into one
+      // corpus BLEU — high = documents paraphrase each other. The
+      // oracle replays pool selection, every pair's clipped gram
+      // counts, and the pooled formula
+      graft.ops.Eval.selfBleu(t(s, dir, "documents"), "doc_id",
+          col("text"), Seq("source"), poolSize = 8, maxN = 2)
+        .select(col("source"), col("n_pairs"), col("ref_len"),
+          col("cand_len"), round(col("p1"), 6).as("p1"),
+          round(col("p2"), 6).as("p2"), round(col("bp"), 6).as("bp"),
+          round(col("bleu"), 6).as("self_bleu"))
+        .orderBy("source")
+    }),
+
     "q193_winnow_crosstab" -> ((s, dir) => {
       // cross-source substring-duplication map: distinct winnowed
       // fingerprints shared per source pair (q128 counts exact dups;
@@ -5936,6 +5964,60 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q194_distinct_n" ->
+      """WITH d AS (SELECT source,
+    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS r
+  FROM documents),
+s AS (SELECT source, u.n AS n, r AS x FROM d, unnest([1,2,3,4]) u(n)),
+grams AS (SELECT source, n, array_to_string(x[i:i+n-1], ' ') AS gr
+  FROM s, unnest(range(1, greatest(len(x)-n+2, 1))) t(i))
+SELECT source, n, count(*)::BIGINT AS n_grams,
+  count(DISTINCT gr)::BIGINT AS n_distinct,
+  round(count(DISTINCT gr) * 1.0 / count(*), 6) AS distinct_ratio
+FROM grams GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q195_self_bleu" ->
+      (hashMacros + """WITH b AS (SELECT doc_id, source,
+    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS tk
+  FROM documents),
+rk AS (SELECT doc_id, source, tk, row_number() OVER (
+    PARTITION BY source ORDER BY g_av(doc_id::UBIGINT)) AS rn FROM b),
+pool AS (SELECT source, doc_id AS pid, tk AS ptk FROM rk WHERE rn <= 8),
+pairs AS MATERIALIZED (SELECT b.source, b.doc_id AS cid, pool.pid,
+    b.tk AS ck, pool.ptk
+  FROM b JOIN pool ON b.source = pool.source AND b.doc_id <> pool.pid),
+sides AS (
+  SELECT source, cid, pid, u.n AS n, ck AS x, 'c' AS side
+    FROM pairs, unnest([1, 2]) u(n)
+  UNION ALL
+  SELECT source, cid, pid, u.n, ptk, 'r' FROM pairs, unnest([1, 2]) u(n)),
+grams AS (SELECT source, cid, pid, n,
+    array_to_string(x[i:i+n-1], ' ') AS gr, side
+  FROM sides, unnest(range(1, greatest(len(x)-n+2, 1))) t(i)),
+cnt AS (SELECT source, cid, pid, n, gr,
+    sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END)::BIGINT AS cc,
+    sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END)::BIGINT AS cr
+  FROM grams GROUP BY 1, 2, 3, 4, 5),
+ord AS (SELECT source, n, sum(least(cc, cr))::BIGINT AS clip,
+    sum(cc)::BIGINT AS den FROM cnt GROUP BY 1, 2),
+lens AS (SELECT source, count(*)::BIGINT AS n_pairs,
+    sum(len(ptk))::BIGINT AS ref_len, sum(len(ck))::BIGINT AS cand_len
+  FROM pairs GROUP BY 1),
+pv AS (SELECT source,
+    max(CASE WHEN n=1 THEN clip END) * 1.0
+      / nullif(max(CASE WHEN n=1 THEN den END), 0) AS p1,
+    max(CASE WHEN n=2 THEN clip END) * 1.0
+      / nullif(max(CASE WHEN n=2 THEN den END), 0) AS p2
+  FROM ord GROUP BY 1),
+j AS (SELECT lens.*, p1, p2,
+    CASE WHEN cand_len >= ref_len OR ref_len = 0 THEN 1.0
+         ELSE exp(1.0 - ref_len::DOUBLE / cand_len) END AS bp
+  FROM lens JOIN pv USING (source))
+SELECT source, n_pairs, ref_len, cand_len,
+  round(p1, 6) AS p1, round(p2, 6) AS p2, round(bp, 6) AS bp,
+  round(CASE WHEN p1 IS NULL OR p2 IS NULL THEN NULL
+        WHEN p1 = 0 OR p2 = 0 THEN 0.0
+        ELSE bp * exp((ln(p1) + ln(p2)) / 2) END, 6) AS self_bleu
+FROM j ORDER BY source"""),
     "q193_winnow_crosstab" ->
       (winnowKeptPrefix + """,
 sf AS (SELECT DISTINCT d2.source AS src, kept.fp

@@ -358,6 +358,77 @@ object Eval {
           .otherwise(bp * exp(logSum / maxN)).as("bleu")): _*)
   }
 
+  /** N-gram diversity (distinct-n) per group — the mode-collapse
+    * diagnostic for synthetic/generated corpora: the ratio of DISTINCT
+    * token n-grams to total n-grams per order. A generator looping on
+    * templates shows it immediately (distinct-2 collapses long before
+    * eyeballing does). Exact counts: grams travel as 64-bit window
+    * hashes (one scan, one (group, n, gram)-keyed distinct aggregation
+    * — the honest exact path; at extreme scale swap the countDistinct
+    * for the engine's `hll_agg` when ±1% suffices). Returns one row per
+    * (groupCols…, n): (…, n, n_grams, n_distinct, distinct_ratio). */
+  def distinctN(df: DataFrame, textCol: Column, maxN: Int = 4,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val g = groupCols.map(col)
+    val gfn = graft.api.functions
+    val grams = df.where(textCol.isNotNull)
+      .select(g :+ explode(flatten(array((1 to maxN).map(n =>
+        transform(gfn.shingle_hashes_pos(textCol, n),
+          h => struct(lit(n).as("n"), h.as("gr")))): _*))).as("__g"): _*)
+    grams.groupBy(g :+ col("__g.n").as("n"): _*)
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("__g.gr")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_grams"))
+  }
+
+  /** Pooled pairwise self-BLEU per group — the companion diversity
+    * receipt to [[distinctN]]: every document scores as a CANDIDATE
+    * against `poolSize` deterministic partner documents (the group's
+    * smallest-unsigned-hash docs — the same subset-monotone hash order
+    * every sampler here uses), and the pair counts pool into ONE corpus
+    * BLEU per group. High self-BLEU = documents paraphrase each other =
+    * mode collapse; natural corpora sit low. Pooling avoids the
+    * sentence-BLEU smoothing question entirely (zero-overlap pairs just
+    * contribute zeros to the pooled counts).
+    *
+    * Scale shape: the pool is poolSize × groups rows and BROADCASTS;
+    * each doc meets only its group's pool (corpus × poolSize pairs,
+    * scan-side gram kernel via [[bleu]]) — the corpus never self-joins.
+    * Returns [[bleu]]'s schema per group; read `bleu` as `self_bleu`. */
+  def selfBleu(df: DataFrame, idCol: String, textCol: Column,
+      groupCols: Seq[String] = Nil, poolSize: Int = 8,
+      maxN: Int = 4): DataFrame = {
+    require(poolSize >= 1, "poolSize must be >= 1")
+    val g = groupCols.map(col)
+    val gfn = graft.api.functions
+    val base = df.select(g ++ Seq(col(idCol).as("__id"),
+      textCol.as("__t")): _*)
+      .where(col("__t").isNotNull)
+    val unsignedOrd = gfn.hash64(col("__id")).bitwiseXOR(lit(Long.MinValue))
+    val pool =
+      if (g.isEmpty)
+        // global bottom-k: TakeOrdered, no single-partition window
+        base.orderBy(unsignedOrd).limit(poolSize)
+          .select(col("__id").as("__pid"), col("__t").as("__pt"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(g: _*).orderBy(unsignedOrd)
+        // rank <= k collapses to WindowGroupLimit (no per-group sort
+        // materialization), the quotaSample shape
+        base.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= poolSize)
+          .select(g ++ Seq(col("__id").as("__pid"),
+            col("__t").as("__pt")): _*)
+      }
+    val pairs =
+      (if (g.isEmpty) base.crossJoin(broadcast(pool))
+       else base.join(broadcast(pool), groupCols))
+        .where(col("__id") =!= col("__pid"))
+    bleu(pairs, "__id", col("__pt"), col("__t"), groupCols, maxN)
+  }
+
   /** Corpus-level chrF (Popović 2015) per group — the character-n-gram
     * F-score that complements [[bleu]]: robust to tokenization and
     * morphology differences, the standard second metric on translation

@@ -399,6 +399,46 @@ class EvalSpec extends SparkTestBase {
     assert(rows(1).getString(0) == "g2" && rows(1).getDouble(4) == 1.0)
   }
 
+  // ---- distinct-n / self-BLEU diversity ----
+
+  test("distinctN: hand counts, collapse detection, groups") {
+    import spark.implicits._
+    // "a b a b": unigrams 4 total 2 distinct; bigrams 3 total 2 distinct
+    val df = Seq(("g", "a b a b")).toDF("src", "t")
+    val rows = Eval.distinctN(df, col("t"), 2, Seq("src"))
+      .orderBy("n").collect()
+    assert(rows(0).getInt(1) == 1 && rows(0).getLong(2) == 4L &&
+      rows(0).getLong(3) == 2L && rows(0).getDouble(4) == 0.5)
+    assert(rows(1).getLong(2) == 3L && rows(1).getLong(3) == 2L)
+    // a template-looping "generator" collapses; varied text does not
+    val gen = (0 until 50).map(i => ("loop", "the same template again"))
+    val var_ = (0 until 50).map(i => ("vary", s"doc $i token${i * 7} x$i"))
+    val d2 = Eval.distinctN((gen ++ var_).toDF("src", "t"), col("t"), 2,
+      Seq("src")).where(col("n") === 2).orderBy("src").collect()
+    assert(d2(0).getDouble(4) <= 0.02 && d2(1).getDouble(4) > 0.5)
+  }
+
+  test("selfBleu: identical docs -> 1, disjoint docs -> 0, pool size") {
+    import spark.implicits._
+    val same = (0 until 10).map(i => (i.toLong, "g", "w1 w2 w3 w4 w5"))
+      .toDF("id", "src", "t")
+    val r1 = Eval.selfBleu(same, "id", col("t"), Seq("src"),
+      poolSize = 4, maxN = 2).head()
+    // 10 docs x 4 partners minus self-pairs (pool members meet
+    // themselves): 40 - 4 = 36
+    assert(r1.getLong(1) == 36L)
+    assert(r1.getDouble(7) == 1.0) // identical docs: total mode collapse
+    val disj = (0 until 10).map(i =>
+      (i.toLong, "g", s"a$i b$i c$i d$i")).toDF("id", "src", "t")
+    val r0 = Eval.selfBleu(disj, "id", col("t"), Seq("src"),
+      poolSize = 4, maxN = 2).head()
+    assert(r0.getDouble(7) == 0.0)
+    // ungrouped path (global bottom-k pool, no window)
+    val rg = Eval.selfBleu(same, "id", col("t"), Nil, poolSize = 3,
+      maxN = 2).head()
+    assert(rg.getLong(0) == 27L && rg.getDouble(6) == 1.0)
+  }
+
   // ---- ROUGE-L ----
 
   /** Exponential-identity-free reference LCS over token sequences. */
