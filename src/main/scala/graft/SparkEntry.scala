@@ -949,6 +949,21 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q196_dim_truncation" -> ((s, dir) => {
+      // matryoshka retrieval receipt: recall@10 when the index keeps
+      // only the first 8/16/32/64 dims, vs the full-width truth — read
+      // before shrinking an ANN index; d=64 scores 1.0 by construction.
+      // Queries are the bounded vec_id<20 panel (oracle-baseline shape)
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.dimTruncationReport(emb,
+          emb.where(col("vec_id") < 20), "vec_id", "embedding",
+          Seq(8, 16, 32, 64), k = 10)
+        .select(col("dim"), col("k"), col("n_queries"),
+          round(col("mean_recall"), 6).as("mean_recall"),
+          round(col("min_recall"), 6).as("min_recall"))
+        .orderBy("dim")
+    }),
+
     "q194_distinct_n" -> ((s, dir) => {
       // n-gram diversity (distinct-n) per source — the mode-collapse
       // diagnostic for synthetic corpora; exact distinct counts over
@@ -5964,6 +5979,36 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q196_dim_truncation" ->
+      """WITH t AS (SELECT u.d AS dim FROM unnest([8, 16, 32, 64]) u(d)),
+tk AS (SELECT dim, query_id, neighbor_id FROM (
+    SELECT t.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY t.dim, q.vec_id
+        ORDER BY round(list_cosine_similarity(
+            q.embedding[1:t.dim]::DOUBLE[],
+            c.embedding[1:t.dim]::DOUBLE[]), 6) DESC,
+          c.vec_id) AS rk
+    FROM t, embeddings q, embeddings c
+    WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+  WHERE rk <= 10),
+tru AS (SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+            c.embedding::DOUBLE[]), 6) DESC, c.vec_id) AS rk
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+  WHERE rk <= 10),
+pq AS (SELECT tk.dim, tk.query_id,
+    sum(CASE WHEN tru.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
+      AS recall
+  FROM tk LEFT JOIN tru ON tk.query_id = tru.query_id
+    AND tk.neighbor_id = tru.neighbor_id
+  GROUP BY 1, 2)
+SELECT dim, 10 AS k, count(*)::BIGINT AS n_queries,
+  round(avg(recall), 6) AS mean_recall,
+  round(min(recall), 6) AS min_recall
+FROM pq GROUP BY 1 ORDER BY 1""",
     "q194_distinct_n" ->
       """WITH d AS (SELECT source,
     list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS r

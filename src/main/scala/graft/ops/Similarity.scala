@@ -275,6 +275,52 @@ object Similarity {
       col("n_a"), col("n_b"))
   }
 
+  /** Dimension-truncation (matryoshka) retrieval report — how much
+    * recall survives indexing only the first d dimensions? The receipt
+    * read before shrinking an ANN index (truncated-then-rerank is the
+    * standard matryoshka serving pattern; this measures the truncation
+    * side). For each d in `dims`: brute-force top-k over vectors sliced
+    * to their first d components vs the full-dimension top-k truth;
+    * recall@k per query, aggregated per d. Queries are a BOUNDED panel
+    * (the eval set), so the brute-force scans are |queries| broadcast
+    * passes over the corpus — the same oracle-baseline shape as
+    * [[bruteForceTopK]]; rank ties break on rounded cosine then id, so
+    * the sets are engine-independent.
+    *
+    * Returns one row per d: (dim, k, n_queries, mean_recall,
+    * min_recall); the full-width entry (d = vector width) scores 1.0 by
+    * construction — a built-in sanity row. */
+  def dimTruncationReport(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dims: Seq[Int],
+      k: Int = 10): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    require(dims.forall(_ >= 1), "dims must be >= 1")
+    require(dims.distinct.size == dims.size, "dims must be distinct")
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      .localCheckpoint()
+    val perDim = dims.map { d =>
+      val cT = corpus.select(col(idCol),
+        slice(col(vecCol), 1, d).as("__tv"))
+      val qT = queries.select(col(idCol),
+        slice(col(vecCol), 1, d).as("__tv"))
+      bruteForceTopK(cT, qT, idCol, "__tv", k)
+        .select(lit(d).as("dim"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    perDim
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dim", "query_id")
+      .agg((coalesce(sum(col("__hit")), lit(0L)).cast("double") / k)
+        .as("__recall"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_queries"),
+        (gf.exact_sum(col("__recall")) / count(lit(1))).as("mean_recall"),
+        min(col("__recall")).as("min_recall"))
+      .withColumn("k", lit(k))
+      .select(col("dim"), col("k"), col("n_queries"), col("mean_recall"),
+        col("min_recall"))
+  }
+
   /** Per-group embedding outlier flagging — the data-cleaning receipt for
     * a 100 TB embedded corpus: rows whose vector sits far from their
     * group's mean direction are mislabeled, off-topic, or corrupted

@@ -187,4 +187,30 @@ class HardNegativesSpec extends SparkTestBase {
     assert(perQuery.forall(_ <= 5))
     assert(got.where(col("jaccard") >= 0.5).count() == 0)
   }
+  test("dimTruncationReport: full width = 1.0, recall monotone-ish, " +
+      "hand-verifiable on axis vectors") {
+    // corpus of 2-dim one-hot-ish vectors where the FIRST dim alone
+    // already ranks correctly for q0 but inverts for q1
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.8, 0.6)))
+    val df = rows.toDF("id", "vec")
+    val got = Similarity.dimTruncationReport(df, df.where(col("id") < 2),
+        "id", "vec", Seq(1, 2), k = 2)
+      .orderBy("dim").collect()
+    assert(got.length == 2)
+    // full width reproduces the truth exactly
+    assert(got(1).getInt(0) == 2 && got(1).getDouble(3) == 1.0 &&
+      got(1).getDouble(4) == 1.0)
+    // d=1: every vector collapses to cosine 1 on dim 1 (sign aside), so
+    // ranking degrades -> recall at most 1, at least the id-tiebreak floor
+    assert(got(0).getDouble(3) <= 1.0 && got(0).getDouble(3) >= 0.25)
+    // fixture embeddings: d=64 row is exact-1 sanity on real data
+    val emb = spark.read.parquet(sf("embeddings"))
+    val rep = Similarity.dimTruncationReport(emb,
+        emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        Seq(16, 64), k = 5).orderBy("dim").collect()
+    assert(rep(1).getDouble(3) == 1.0)
+    assert(rep(0).getDouble(3) > 0.0)
+  }
 }
