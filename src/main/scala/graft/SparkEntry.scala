@@ -949,6 +949,21 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q197_dup_closed_split" -> ((s, dir) => {
+      // duplicate-closed train/eval split: near-dup components (q34's
+      // verified minhash pairs) split as one unit keyed by the
+      // representative's hash, so no near-dup pair can straddle the
+      // boundary; singletons split by their own id
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+      graft.ops.Sampling.splitByComponents(docs, "doc_id", pairs, 10)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          bit_xor(gf.hash64(col("doc_id"))).as("id_xor"))
+        .orderBy("split")
+    }),
+
     "q196_dim_truncation" -> ((s, dir) => {
       // matryoshka retrieval receipt: recall@10 when the index keeps
       // only the first 8/16/32/64 dims, vs the full-width truth — read
@@ -5979,6 +5994,36 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q197_dup_closed_split" ->
+      (hashMacros + """WITH RECURSIVE sh AS (
+    SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(t), 1)),
+        i -> t[i] || chr(1) || t[i+1])) AS s
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents)),
+pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        >= 0.5),
+edges AS (SELECT idA AS s, idB AS d FROM pairs
+  UNION SELECT idB, idA FROM pairs),
+members AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM members
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+k AS (SELECT d.doc_id,
+    coalesce(c.component, d.doc_id) AS key
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+sp AS (SELECT doc_id,
+    CASE WHEN ((g_sb(g_av(key::UBIGINT)) % 10) + 10) % 10 = 0
+      THEN 'eval' ELSE 'train' END AS split FROM k)
+SELECT split, count(*)::BIGINT AS n_docs,
+  bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor
+FROM sp GROUP BY 1 ORDER BY 1"""),
     "q196_dim_truncation" ->
       """WITH t AS (SELECT u.d AS dim FROM unnest([8, 16, 32, 64]) u(d)),
 tk AS (SELECT dim, query_id, neighbor_id FROM (

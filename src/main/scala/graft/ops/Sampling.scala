@@ -448,4 +448,32 @@ object Sampling {
     df.withColumn("__h", gf.hash64(key).bitwiseXOR(lit(Long.MinValue)))
       .orderBy(col("__h")).limit(k).drop("__h")
   }
+
+  /** Duplicate-closed train/eval split — the near-dup sibling of the
+    * group-keyed leak-free split (q127): a plain hash split leaks when a
+    * document's NEAR-DUPLICATE lands on the other side (the eval set
+    * silently memorized). Here every connected component of the
+    * caller-supplied near-dup `pairs` frame (from
+    * [[Dedup.minhashPairs]], [[Dedup.winnowPairs]], …) splits as ONE
+    * unit, keyed by the hash of its representative (min id); documents
+    * in no pair split by their own id — identical to the plain hash
+    * split for them, so tightening the pair generator only MOVES dup
+    * groups, never reshuffles singletons.
+    *
+    * Scale shape: [[Dedup.components]] runs on the verified pair graph
+    * (minuscule next to the corpus); the (id, component) table
+    * broadcasts into a scan-side split decision — the corpus never
+    * shuffles. One row in `evalOneIn` lands in eval, in expectation.
+    * Returns the input plus a `split` column ("train" / "eval"). */
+  def splitByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+      evalOneIn: Int = 10): DataFrame = {
+    require(evalOneIn >= 2, "evalOneIn must be >= 2")
+    val comp = Dedup.components(pairs)
+      .select(col("id").as("__cid"), col("component").as("__comp"))
+    df.join(broadcast(comp), col(idCol) === col("__cid"), "left")
+      .withColumn("split",
+        when(pmod(gf.hash64(coalesce(col("__comp"), col(idCol))),
+          lit(evalOneIn)) === 0, lit("eval")).otherwise(lit("train")))
+      .drop("__cid", "__comp")
+  }
 }

@@ -369,4 +369,32 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kept == Map("s0" -> 200L, "s1" -> 100L, "s2" -> 100L))
   }
+
+  test("splitByComponents: no pair straddles, components move as units, " +
+      "singletons = plain hash split") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // components: {0,1,2} (chain), {10,11}, rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("idA", "idB")
+    val out = Sampling.splitByComponents(docs, "id", pairs, 4)
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200)
+    // every component lands whole on one side
+    assert(Set(out(0L), out(1L), out(2L)).size == 1)
+    assert(out(10L) == out(11L))
+    // singletons match the plain per-id hash split exactly
+    val plain = docs.where(!col("id").isin(0L, 1L, 2L, 10L, 11L))
+      .select(col("id"), when(pmod(graft.api.functions.hash64(col("id")),
+        lit(4)) === 0, "eval").otherwise("train").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    plain.foreach { case (id, s) => assert(out(id) == s, s"id $id") }
+    // both sides populated at this size and the eval share is ~1/4
+    val nEval = out.values.count(_ == "eval")
+    assert(nEval > 20 && nEval < 80, s"eval $nEval")
+    // straddle check, the op's whole point
+    Seq((0L, 1L), (1L, 2L), (10L, 11L)).foreach { case (a, b) =>
+      assert(out(a) == out(b))
+    }
+  }
 }
