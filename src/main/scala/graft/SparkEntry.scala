@@ -949,6 +949,23 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q198_calibration_summary" -> ((s, dir) => {
+      // the one-row calibration verdict over q115's synthetic scorer:
+      // ECE (bin-weighted reliability gap), MCE (worst bin), Brier —
+      // exactly-representable k/1024 scores keep both engines' means
+      // correctly rounded before round(6)
+      val docs = t(s, dir, "documents")
+      val score = ((col("doc_id") * 37 + 5) % 1024).cast("double") / 1024.0
+      val label = (col("doc_id") * 37 + col("n_chars")) % 100 <
+        when(col("n_chars") > 310, 60).otherwise(25)
+      graft.ops.Eval.calibrationSummary(
+          docs.select(score.as("s"), label.as("y")), col("s"), col("y"),
+          bins = 10)
+        .select(col("n"), col("n_bins"), round(col("ece"), 6).as("ece"),
+          round(col("mce"), 6).as("mce"),
+          round(col("brier"), 6).as("brier"))
+    }),
+
     "q197_dup_closed_split" -> ((s, dir) => {
       // duplicate-closed train/eval split: near-dup components (q34's
       // verified minhash pairs) split as one unit keyed by the
@@ -5994,6 +6011,23 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q198_calibration_summary" ->
+      """WITH r AS (SELECT
+    ((doc_id * 37 + 5) % 1024)::DOUBLE / 1024.0 AS s,
+    CASE WHEN (doc_id * 37 + n_chars) % 100 <
+           (CASE WHEN n_chars > 310 THEN 60 ELSE 25 END)
+      THEN 1 ELSE 0 END AS y
+  FROM documents),
+f AS (SELECT s, y FROM r WHERE s >= 0 AND s <= 1),
+b AS (SELECT least(9, floor(s * 10))::INTEGER AS bin,
+    count(*)::BIGINT AS n, sum(s) / count(*) AS ms,
+    sum(y)::DOUBLE / count(*) AS pr
+  FROM f GROUP BY 1)
+SELECT (SELECT sum(n) FROM b)::BIGINT AS n,
+  (SELECT count(*) FROM b)::BIGINT AS n_bins,
+  round((SELECT sum(abs(pr - ms) * n) / sum(n) FROM b), 6) AS ece,
+  round((SELECT max(abs(pr - ms)) FROM b), 6) AS mce,
+  round((SELECT avg((s - y) * (s - y)) FROM f), 6) AS brier""",
     "q197_dup_closed_split" ->
       (hashMacros + """WITH RECURSIVE sh AS (
     SELECT doc_id, list_distinct(list_transform(

@@ -120,6 +120,30 @@ object Eval {
         (sum(col("__y")).cast("double") / count(lit(1))).as("pos_rate"))
   }
 
+  /** Calibration summary scalars over [[calibrationBins]]' bins plus the
+    * bin-free Brier score — the one-row verdict next to the reliability
+    * table: ECE (bin-weight-averaged |pos_rate − mean_score|), MCE (the
+    * worst bin), and Brier = mean squared (score − label). Same one
+    * grouped aggregation as the bins (bins-sized frame) plus one scalar
+    * fold; scores outside [0, 1] and NULLs are excluded, matching the
+    * bins' contract. Returns (n, n_bins, ece, mce, brier); ECE/MCE NULL
+    * on an empty input. */
+  def calibrationSummary(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    val b = calibrationBins(df, scoreCol, labelCol, bins)
+    val gap = abs(col("pos_rate") - col("mean_score"))
+    b.agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        count(lit(1)).as("n_bins"),
+        (sum(gap * col("n")) / sum(col("n"))).as("ece"),
+        max(gap).as("mce"))
+      .crossJoin(df.select(scoreCol.cast("double").as("__s"),
+          when(labelCol, 1.0).when(!labelCol, 0.0).as("__y"))
+        .where(col("__s").isNotNull && col("__y").isNotNull &&
+          col("__s") >= 0.0 && col("__s") <= 1.0)
+        .agg(avg((col("__s") - col("__y")) * (col("__s") - col("__y")))
+          .as("brier")))
+  }
+
   /** Precision/recall/F1 at each threshold (score ≥ τ ⇒ predicted
     * positive), one output row per τ, computed in a single scan: rows
     * explode onto the literal threshold list (small — operating points,

@@ -110,6 +110,21 @@ class EvalSpec extends SparkTestBase {
     assert(!got.contains(30) && got.values.map(_._1).sum == 6) // 1.5/-0.1 dropped
   }
 
+  test("calibrationSummary: hand ECE/MCE/Brier, perfect scorer zeros") {
+    import spark.implicits._
+    // bin 1: (0.1,F),(0.1,T) -> gap 0.4 ; bin 9: (0.9,T),(0.9,T) -> 0.1
+    val df = Seq((0.1, false), (0.1, true), (0.9, true), (0.9, true))
+      .toDF("s", "y")
+    val r = Eval.calibrationSummary(df, col("s"), col("y"), 10).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 0.25) < 1e-15)  // (2*.4+2*.1)/4
+    assert(math.abs(r.getDouble(3) - 0.4) < 1e-15)
+    assert(math.abs(r.getDouble(4) - 0.21) < 1e-15)  // mean sq error
+    val perfect = Seq((1.0, true), (0.0, false), (1.0, true)).toDF("s", "y")
+    val p = Eval.calibrationSummary(perfect, col("s"), col("y"), 10).head()
+    assert(p.getDouble(2) == 0.0 && p.getDouble(4) == 0.0)
+  }
+
   test("prAtThresholds: exact counts and ratios at each operating point") {
     import spark.implicits._
     val df = Seq((0.9, true), (0.7, false), (0.5, true), (0.3, false),
