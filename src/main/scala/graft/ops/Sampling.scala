@@ -461,16 +461,19 @@ object Sampling {
     * groups, never reshuffles singletons.
     *
     * Scale shape: [[Dedup.components]] runs on the verified pair graph
-    * (minuscule next to the corpus); the (id, component) table
-    * broadcasts into a scan-side split decision — the corpus never
-    * shuffles. One row in `evalOneIn` lands in eval, in expectation.
-    * Returns the input plus a `split` column ("train" / "eval"). */
+    * (minuscule next to the corpus); the (id, component) table joins
+    * into a scan-side split decision — auto-broadcast when it fits (the
+    * normal case), degrading to an id-keyed shuffle join on a
+    * pathological everything-is-a-dup corpus rather than forcing an
+    * oversized broadcast onto the driver. One row in `evalOneIn` lands
+    * in eval, in expectation. Returns the input plus a `split` column
+    * ("train" / "eval"). */
   def splitByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
       evalOneIn: Int = 10): DataFrame = {
     require(evalOneIn >= 2, "evalOneIn must be >= 2")
     val comp = Dedup.components(pairs)
       .select(col("id").as("__cid"), col("component").as("__comp"))
-    df.join(broadcast(comp), col(idCol) === col("__cid"), "left")
+    df.join(comp, col(idCol) === col("__cid"), "left")
       .withColumn("split",
         when(pmod(gf.hash64(coalesce(col("__comp"), col(idCol))),
           lit(evalOneIn)) === 0, lit("eval")).otherwise(lit("train")))
