@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round harness keeps only the TAIL of stdout and json-parses the last
+// line; sbt's "[success] Total time" banner printed after the forked main's
+// output would displace graft.Bench's final JSON line (BENCH parsed=null,
+// rounds 7-9). The exit code still reports success/failure.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

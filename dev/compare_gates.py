@@ -47,6 +47,18 @@ def main():
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            # The external driver's pandas comparator crashes sorting
+            # array/map/struct cells (round-9: q171) — refuse them here so
+            # this mirror can never pass what the driver crashes on.
+            nested = [f"{c} {t}" for c, t in
+                      zip(spark_rel.columns, map(str, spark_rel.types))
+                      if "[]" in str(t) or str(t).startswith(("STRUCT",
+                                                              "MAP"))]
+            if nested:
+                print(f"FAIL {name}: non-scalar output column(s) "
+                      f"{nested} — driver comparator cannot sort these")
+                n_bad += 1
+                continue
             cols = sorted(spark_rel.columns)
             collist = ", ".join(f'"{c}"' for c in cols)
             s_rows = norm(con.execute(

@@ -62,7 +62,16 @@ object Bench {
     val slow = results.filter(_._2 >= 0.0).sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","slowest":$slow}""")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","slowest":$slow}"""
+    // side artifact: the same compact JSON, readable even if stdout capture
+    // mangles the tail (build.sbt's showSuccess := false keeps sbt's
+    // [success] banner from displacing the line below as stdout's last)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("dev/bench_last.json"), compact + "\n")
+    catch { case _: Throwable => }
     spark.stop()
+    // AFTER spark.stop(): no stray executor/cleaner log line can print
+    // after this, so the JSON is the process's genuinely-last stdout line
+    println(compact)
   }
 }

@@ -2784,9 +2784,23 @@ object SparkEntry {
       // (ensureTar pattern) so bench reps time the ENCODE composition
       val merges = bpeMergeCache.computeIfAbsent(dir,
         d => graft.ops.Bpe.learnMerges(t(s, d, "documents"), "text", 8))
+      // comparator-safe SCALAR receipts of the id sequence (q136's
+      // convention — the external comparator cannot sort array columns):
+      // the position-weighted sum pins the exact ORDER of pieces, the
+      // plain sum/min/max pin the multiset, n_pieces pins the length
       graft.ops.Bpe.encode(docs, "doc_id", col("text"), merges)
         .select(col("doc_id"),
-          size(col("ids")).cast("long").as("n_pieces"), col("ids"))
+          size(col("ids")).cast("long").as("n_pieces"),
+          coalesce(aggregate(col("ids"), lit(0L), (acc, x) => acc + x),
+            lit(0L)).as("ids_sum"),
+          aggregate(col("ids"),
+            struct(lit(0L).as("s"), lit(0L).as("j")),
+            (acc, x) => struct(
+              (acc.getField("s") + (acc.getField("j") + 1L) * x).as("s"),
+              (acc.getField("j") + 1L).as("j")),
+            acc => acc.getField("s")).as("ids_pw"),
+          coalesce(array_min(col("ids")), lit(-1L)).as("min_id"),
+          coalesce(array_max(col("ids")), lit(-1L)).as("max_id"))
         .orderBy("doc_id")
     }),
 
@@ -3460,13 +3474,71 @@ i$k AS MATERIALIZED (SELECT
        ORDER BY col_a, col_b"""
   }
 
+  /** Set by Verify/GateRunner before [[oracleSql]] is dumped: the sf dir
+    * the gates ran against, used to resolve sf-dependent fixture paths
+    * (q163's golden deflate ratios) instead of pinning an absolute
+    * sf0.01 literal into the SQL. */
+  @volatile var oracleSfDir: String = "/root/testdata/sf0.01"
+
+  private def deflateFixturePath: String = {
+    val sfName = new java.io.File(oracleSfDir).getName
+    new java.io.File(s"dev/fixtures/deflate/$sfName/data.parquet")
+      .getAbsolutePath
+  }
+
   // q149 persists-then-reloads the exact q90 index, so its oracle IS q90's
   def oracleSql: Map[String, String] =
     oracleBase +
       ("q149_index_persist" -> oracleBase("q90_ivfpq")) +
       // identical-output contract: the multi-index tier must reproduce
       // single-level banding row-for-row
-      ("q173_hamming_multiindex" -> oracleBase("q35_simhash_pairs"))
+      ("q173_hamming_multiindex" -> oracleBase("q35_simhash_pairs")) +
+      ("q163_compressibility" -> oracleBase("q163_compressibility")
+        .replace("__DEFLATE_FIXTURE__", deflateFixturePath))
+
+  /** Shared oracle fragment: exact-Jaccard pair scores over a preceding
+    * sh(doc_id, s) shingle-set CTE via an inverted index — join docs on
+    * shared shingles and COUNT matches per pair (s is list_distinct, so
+    * the count IS |A∩B|) instead of evaluating list_intersect over the
+    * full n²/2 cross join (measured 553 → 6.5 s at sf0.1, identical
+    * rows). Emits jln/jex/jint and jp(idA, idB, j) with idA < idB and
+    * |A∩B| ≥ 1 — a pair with j above any positive threshold always
+    * shares a shingle, so downstream `WHERE j >= t` loses nothing. */
+  private lazy val jaccardPairCtes: String = """
+ jln AS MATERIALIZED (SELECT doc_id, len(s) AS l FROM sh),
+ jex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+ jint AS MATERIALIZED (SELECT a.doc_id AS idA, b.doc_id AS idB,
+     count(*)::DOUBLE AS c
+   FROM jex a JOIN jex b USING (g) WHERE a.doc_id < b.doc_id
+   GROUP BY 1, 2),
+ jp AS MATERIALIZED (SELECT idA, idB, c / (la.l + lb.l - c) AS j
+   FROM jint JOIN jln la ON la.doc_id = jint.idA
+   JOIN jln lb ON lb.doc_id = jint.idB)"""
+
+  /** Shared oracle fragment: connected components of a preceding
+    * pairs(idA, idB) CTE via 8 unrolled MATERIALIZED min-label-
+    * propagation rounds with pointer jumping (one-hop gather + label-of-
+    * label shortcut per round → reach roughly doubles each round; exact
+    * for component diameters ≤ ~2^8, far beyond any near-dup clique in
+    * the fixtures) — replaces recursive transitive-closure CTEs whose
+    * (id, reachable) pair frames cost ~25 min at sf0.1 where this runs
+    * in seconds. Emits edges/l0..l8 and comp(id, component) where
+    * component = min doc_id of the cluster; only pair-graph MEMBERS
+    * appear (singletons are absent — callers re-attach them). */
+  private lazy val lpComponentCtes: String = """
+ edges AS MATERIALIZED (SELECT idA AS s, idB AS d FROM pairs
+   UNION SELECT idB, idA FROM pairs
+   UNION SELECT idA, idA FROM pairs UNION SELECT idB, idB FROM pairs),
+ l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM edges),
+""" +
+    (1 to 8).map { k =>
+      s""" g$k AS MATERIALIZED (SELECT e.s AS id, min(p.lbl) AS lbl
+   FROM edges e JOIN l${k - 1} p ON p.id = e.d GROUP BY e.s),
+ l$k AS MATERIALIZED (SELECT g.id,
+     least(g.lbl, coalesce(h.lbl, g.lbl)) AS lbl
+   FROM g$k g LEFT JOIN g$k h ON h.id = g.lbl),
+"""
+    }.mkString + """ comp AS (SELECT id, lbl AS component FROM l8)"""
 
   /** Shared oracle prefix: replay 8 BPE merges over the documents word
     * table, carrying the word through (s8 = fully segmented word types).
@@ -3777,8 +3849,9 @@ FROM fin f JOIN ex USING (key_col) ORDER BY key_col"""),
       // golden per-doc ratios precomputed by graft.tools.FixtureGen (direct
       // java.util.zip.Deflater calls, pinned level-6/raw parameters — a
       // separate code path from the engine's expression) and re-derives the
-      // per-source profile from them. Correctness runs at sf0.01 only, so
-      // the sf0.01 fixture path is pinned here.
+      // per-source profile from them. The placeholder is resolved at
+      // oracleSql-dump time from the repo root + the sf dir the gates ran
+      // against (FixtureGen covers sf0.001/0.01/0.1).
       """SELECT d.source, count(*)::BIGINT AS n_docs,
          round(avg(f.r), 6) AS avg_ratio,
          round(min(f.r), 6) AS min_ratio,
@@ -3786,7 +3859,7 @@ FROM fin f JOIN ex USING (key_col) ORDER BY key_col"""),
          cast(sum(CASE WHEN f.r < 0.35 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_suspicious
        FROM documents d
-       JOIN read_parquet('/root/repo/dev/fixtures/deflate/sf0.01/data.parquet') f
+       JOIN read_parquet('__DEFLATE_FIXTURE__') f
          USING (doc_id)
        GROUP BY d.source ORDER BY d.source""",
     "q162_zipf" ->
@@ -4137,7 +4210,11 @@ FROM p GROUP BY shard ORDER BY shard"""),
          o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
                FROM dn GROUP BY doc_id)
          SELECT d.doc_id, coalesce(len(o.ids), 0)::BIGINT AS n_pieces,
-           coalesce(o.ids, []::BIGINT[]) AS ids
+           coalesce(list_sum(o.ids), 0)::BIGINT AS ids_sum,
+           coalesce(list_sum(list_transform(range(1, len(o.ids) + 1),
+             j -> j * o.ids[j])), 0)::BIGINT AS ids_pw,
+           coalesce(list_min(o.ids), -1)::BIGINT AS min_id,
+           coalesce(list_max(o.ids), -1)::BIGINT AS max_id
          FROM documents d LEFT JOIN o USING (doc_id)
          ORDER BY d.doc_id"""),
     "q170_margin_scale" ->
@@ -4662,41 +4739,36 @@ FROM p GROUP BY shard ORDER BY shard"""),
          FROM grid a JOIN grid b ON a.w = b.w AND a.lang < b.lang
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q128_dup_crosstab" ->
-      """WITH sh AS (
+      ("""WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
                i -> t[i] || chr(1) || t[i+1])) AS s
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
-         pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-           FROM sh a, sh b
-           WHERE a.doc_id < b.doc_id
-             AND len(list_intersect(a.s, b.s))::DOUBLE
-                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),""" +
+        jaccardPairCtes + """,
+         pr AS (SELECT idA AS ia, idB AS ib FROM jp WHERE j >= 0.5)
          SELECT least(x.source, y.source) AS label_a,
            greatest(x.source, y.source) AS label_b,
            count(*) AS pairs
          FROM pr
          JOIN documents x ON pr.ia = x.doc_id
          JOIN documents y ON pr.ib = y.doc_id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
     "q127_leak_free_split" ->
       (hashMacros +
         """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
                i -> t[i] || chr(1) || t[i+1])) AS s
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),""" +
+        jaccardPairCtes + """,
          sp AS (SELECT doc_id,
              CASE WHEN (g_av(doc_id::UBIGINT) & 1048575::UBIGINT)::BIGINT < 838860 THEN 'train'
                   WHEN (g_av(doc_id::UBIGINT) & 1048575::UBIGINT)::BIGINT < 943718 THEN 'val'
                   ELSE 'test' END AS split
            FROM documents),
-         pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         pairs AS (SELECT jp.idA AS ia, jp.idB AS ib,
                      sa.split AS sa_s, sb.split AS sb_s
-           FROM sh a, sh b, sp sa, sp sb
-           WHERE a.doc_id < b.doc_id
-             AND sa.doc_id = a.doc_id AND sb.doc_id = b.doc_id
-             AND sa.split <> sb.split
-             AND len(list_intersect(a.s, b.s))::DOUBLE
-                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+           FROM jp, sp sa, sp sb
+           WHERE sa.doc_id = jp.idA AND sb.doc_id = jp.idB
+             AND sa.split <> sb.split AND jp.j >= 0.5),
          dropset AS (SELECT DISTINCT doc_id FROM (
              SELECT ia AS doc_id, sa_s AS s FROM pairs
              UNION ALL SELECT ib, sb_s FROM pairs)
@@ -4770,21 +4842,19 @@ FROM p GROUP BY shard ORDER BY shard"""),
         """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
                i -> t[i] || chr(1) || t[i+1])) AS s
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),""" +
+        jaccardPairCtes + """,
          sp AS (SELECT doc_id,
              CASE WHEN (g_av(doc_id::UBIGINT) & 1048575::UBIGINT)::BIGINT < 838860 THEN 'train'
                   WHEN (g_av(doc_id::UBIGINT) & 1048575::UBIGINT)::BIGINT < 943718 THEN 'val'
                   ELSE 'test' END AS split
            FROM documents)
-         SELECT idA, idB, splitA, splitB, round(j, 6) AS jaccard FROM (
-           SELECT a.doc_id AS idA, b.doc_id AS idB,
-                  sa.split AS splitA, sb.split AS splitB,
-                  len(list_intersect(a.s, b.s))::DOUBLE
-                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-           FROM sh a, sh b, sp sa, sp sb
-           WHERE a.doc_id < b.doc_id
-             AND sa.doc_id = a.doc_id AND sb.doc_id = b.doc_id)
-         WHERE j >= 0.5 AND splitA <> splitB ORDER BY idA, idB"""),
+         SELECT jp.idA, jp.idB, sa.split AS splitA, sb.split AS splitB,
+           round(jp.j, 6) AS jaccard
+         FROM jp JOIN sp sa ON sa.doc_id = jp.idA
+         JOIN sp sb ON sb.doc_id = jp.idB
+         WHERE jp.j >= 0.5 AND sa.split <> sb.split
+         ORDER BY jp.idA, jp.idB"""),
     "q122_psi_drift" ->
       """WITH b AS (SELECT n_chars::DOUBLE AS x, doc_id % 2 = 0 AS a
                FROM documents),
@@ -5257,28 +5327,32 @@ FROM p GROUP BY shard ORDER BY shard"""),
     // engine's hashed shingles: equal sets ⇔ equal hashed sets (64-bit,
     // collision-free at fixture scale), so exact Jaccard matches exactly
     "q34_minhash_pairs" ->
-      """WITH sh AS (
+      ("""WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
                i -> t[i] || chr(1) || t[i+1])) AS s
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents))
-         SELECT idA, idB, round(j, 6) AS jaccard FROM (
-           SELECT a.doc_id AS idA, b.doc_id AS idB,
-                  len(list_intersect(a.s, b.s))::DOUBLE
-                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-           FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-         WHERE j >= 0.5 ORDER BY idA, idB""",
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),""" +
+        jaccardPairCtes + """
+         SELECT idA, idB, round(j, 6) AS jaccard FROM jp
+         WHERE j >= 0.5 ORDER BY idA, idB"""),
     // q34's jaccard mirror across the odd/even shard split
+    // odd→even orientation (no idA < idB), so it adapts jaccardPairCtes'
+    // inverted-index shape inline rather than reusing jp
     "q94_delta_dedup" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
                i -> t[i] || chr(1) || t[i+1])) AS s
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents))
-         SELECT idA, idB, round(j, 6) AS jaccard FROM (
-           SELECT a.doc_id AS idA, b.doc_id AS idB,
-                  len(list_intersect(a.s, b.s))::DOUBLE
-                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-           FROM sh a, sh b WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
-         WHERE j >= 0.5 ORDER BY idA, idB""",
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         jln AS MATERIALIZED (SELECT doc_id, len(s) AS l FROM sh),
+         jex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+         jint AS MATERIALIZED (SELECT a.doc_id AS idA, b.doc_id AS idB,
+             count(*)::DOUBLE AS c
+           FROM jex a JOIN jex b USING (g)
+           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           GROUP BY 1, 2)
+         SELECT idA, idB, round(c / (la.l + lb.l - c), 6) AS jaccard
+         FROM jint JOIN jln la ON la.doc_id = jint.idA
+         JOIN jln lb ON lb.doc_id = jint.idB
+         WHERE c / (la.l + lb.l - c) >= 0.5 ORDER BY idA, idB""",
     "q95_sign_projection" ->
       (hashMacros +
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5316,51 +5390,43 @@ FROM p GROUP BY shard ORDER BY shard"""),
                FROM u)
          SELECT domain, doc_id FROM r WHERE rn <= 3
          ORDER BY domain, doc_id"""),
+    // comp covers pair-graph members only; singletons (docs − members)
+    // re-attach as one cluster_size=1 bucket (pair-graph components are
+    // always ≥ 2, so the buckets can never collide)
     "q37_dedup_components" ->
-      """WITH RECURSIVE sh AS (
+      ("""WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
                i -> t[i] || chr(1) || t[i+1])) AS s
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
-         ), pairs AS (
-           SELECT a.doc_id AS idA, b.doc_id AS idB FROM sh a, sh b
-           WHERE a.doc_id < b.doc_id
-             AND len(list_intersect(a.s, b.s))::DOUBLE
-                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-         ), edges AS (
-           SELECT idA AS s, idB AS d FROM pairs UNION SELECT idB, idA FROM pairs
-         ), reach(id, r) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),""" +
+        jaccardPairCtes + """,
+         pairs AS (SELECT idA, idB FROM jp WHERE j >= 0.5),""" +
+        lpComponentCtes + """
          SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
-           SELECT component, count(*)::BIGINT AS cluster_size FROM (
-             SELECT id, min(r) AS component FROM reach GROUP BY id)
+           SELECT component, count(*)::BIGINT AS cluster_size FROM comp
            GROUP BY component)
-         GROUP BY cluster_size ORDER BY cluster_size""",
-    // q37's transitive closure + per-cluster argmax by (n_chars, -id)
+         GROUP BY cluster_size
+         UNION ALL
+         SELECT 1::BIGINT,
+           (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+         WHERE (SELECT count(*) FROM documents) > (SELECT count(*) FROM comp)
+         ORDER BY cluster_size"""),
+    // q37's components + per-cluster argmax by (n_chars, -id); singleton
+    // docs (absent from comp) are their own component
     "q93_keep_best" ->
-      """WITH RECURSIVE sh AS (
+      ("""WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
                i -> t[i] || chr(1) || t[i+1])) AS s
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
-         ), pairs AS (
-           SELECT a.doc_id AS idA, b.doc_id AS idB FROM sh a, sh b
-           WHERE a.doc_id < b.doc_id
-             AND len(list_intersect(a.s, b.s))::DOUBLE
-                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-         ), edges AS (
-           SELECT idA AS s, idB AS d FROM pairs UNION SELECT idB, idA FROM pairs
-         ), reach(id, r) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),""" +
+        jaccardPairCtes + """,
+         pairs AS (SELECT idA, idB FROM jp WHERE j >= 0.5),""" +
+        lpComponentCtes + """
          SELECT doc_id, n_chars, component FROM (
-           SELECT c.component, d.doc_id, d.n_chars,
-             row_number() OVER (PARTITION BY c.component
+           SELECT coalesce(c.component, d.doc_id) AS component,
+             d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY coalesce(c.component, d.doc_id)
                ORDER BY d.n_chars DESC, d.doc_id) AS rn
-           FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) c
-           JOIN documents d ON d.doc_id = c.id)
-         WHERE rn = 1 ORDER BY component""",
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         WHERE rn = 1 ORDER BY component"""),
     "q33_langid" ->
       """WITH hits AS (
            SELECT cjk, nonws,
@@ -5383,8 +5449,10 @@ FROM p GROUP BY shard ORDER BY shard"""),
              ELSE 'fr' END AS pred_lang
            FROM hits)
          GROUP BY pred_lang ORDER BY pred_lang""",
+    // near-dup stage count = distinct pair-graph components + singleton
+    // kept docs (absent from comp — each its own cluster)
     "q38_clean_corpus" ->
-      """WITH RECURSIVE qual AS (
+      ("""WITH qual AS (
            SELECT doc_id, text FROM documents
            WHERE round(least(len(string_split(text, ' ')) / 20.0, 1.0), 6) >= 0.3
          ), kept AS (
@@ -5394,23 +5462,16 @@ FROM p GROUP BY shard ORDER BY shard"""),
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
                i -> t[i] || chr(1) || t[i+1])) AS s
            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM kept)
-         ), pairs AS (
-           SELECT a.doc_id AS idA, b.doc_id AS idB FROM sh a, sh b
-           WHERE a.doc_id < b.doc_id
-             AND len(list_intersect(a.s, b.s))::DOUBLE
-                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
-         ), edges AS (
-           SELECT idA AS s, idB AS d FROM pairs UNION SELECT idB, idA FROM pairs
-         ), reach(id, r) AS (
-           SELECT doc_id, doc_id FROM kept
-           UNION
-           SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+         ),""" + jaccardPairCtes + """,
+         pairs AS (SELECT idA, idB FROM jp WHERE j >= 0.5),""" +
+        lpComponentCtes + """
          SELECT (SELECT count(*) FROM documents)::BIGINT AS input,
                 (SELECT count(*) FROM qual)::BIGINT AS after_quality,
                 (SELECT count(*) FROM kept)::BIGINT AS after_exact,
-                (SELECT count(DISTINCT component) FROM (
-                   SELECT id, min(r) AS component FROM reach GROUP BY id))::BIGINT
-                  AS after_neardup""",
+                ((SELECT count(DISTINCT component) FROM comp)
+                 + (SELECT count(*) FROM kept)
+                 - (SELECT count(*) FROM comp))::BIGINT
+                  AS after_neardup"""),
     "q44_quantile_buckets" ->
       """SELECT i::INT AS bucket, 0.1 AS frac FROM range(0, 10) t(i) ORDER BY bucket""",
     "q45_salted_join" ->
@@ -6028,27 +6089,18 @@ SELECT (SELECT sum(n) FROM b)::BIGINT AS n,
   round((SELECT sum(abs(pr - ms) * n) / sum(n) FROM b), 6) AS ece,
   round((SELECT max(abs(pr - ms)) FROM b), 6) AS mce,
   round((SELECT avg((s - y) * (s - y)) FROM f), 6) AS brier""",
+    // inverted-index Jaccard pairs + unrolled label-propagation components
+    // (jaccardPairCtes/lpComponentCtes) — the recursive transitive-closure
+    // original cost ~25 min at sf0.1 where this runs in seconds
     "q197_dup_closed_split" ->
-      (hashMacros + """WITH RECURSIVE sh AS (
+      (hashMacros + """WITH sh AS (
     SELECT doc_id, list_distinct(list_transform(
         range(1, greatest(len(t), 1)),
         i -> t[i] || chr(1) || t[i+1])) AS s
     FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-          FROM documents)),
-pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB
-  FROM sh a, sh b
-  WHERE a.doc_id < b.doc_id
-    AND len(list_intersect(a.s, b.s))::DOUBLE
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-        >= 0.5),
-edges AS (SELECT idA AS s, idB AS d FROM pairs
-  UNION SELECT idB, idA FROM pairs),
-members AS (SELECT DISTINCT s AS id FROM edges),
-reach(id, r) AS (
-  SELECT id, id FROM members
-  UNION
-  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
-comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          FROM documents)),""" + jaccardPairCtes + """,
+pairs AS (SELECT idA, idB FROM jp WHERE j >= 0.5),""" +
+        lpComponentCtes + """,
 k AS (SELECT d.doc_id,
     coalesce(c.component, d.doc_id) AS key
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),

@@ -4,6 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The external driver's pandas comparator sorts every output column and
+    * crashes on non-scalar cells (round-9 lesson: q171's raw ids array →
+    * `TypeError: unhashable type: 'numpy.ndarray'`). Refuse such schemas
+    * HERE so the local mirror can never pass what the driver crashes on. */
+  def assertComparatorSafe(df: org.apache.spark.sql.DataFrame,
+      name: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.sql}"
+    }
+    require(bad.isEmpty, s"gate $name emits non-scalar column(s) the " +
+      s"driver comparator cannot sort: ${bad.mkString(", ")} — emit scalar " +
+      "receipts instead (q136 convention)")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated name prefixes (dev-only filter;
@@ -21,11 +38,15 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.oracleSfDir = sfDir
     new java.io.File(outDir).mkdirs()
     var nFailed = 0
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        assertComparatorSafe(df, name)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -121,6 +121,25 @@ object Bpe {
         .where(length(col("word")) > 0),
       merges)
 
+  /** Code-point lexicographic string order ≡ UTF-8 byte order — the
+    * collation DuckDB's ORDER BY uses, so driver-side symbol ranking
+    * matches the oracle's for all of Unicode. */
+  private[ops] val codePointOrdering: Ordering[String] =
+    new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        var i = 0
+        var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i)
+          val cb = b.codePointAt(j)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca)
+          j += Character.charCount(cb)
+        }
+        Integer.compare(a.length - i, b.length - j)
+      }
+    }
+
   /** [[symbolVocab]] over an already-extracted (word) frame — lets
     * [[encode]] reuse its word-type table instead of rescanning the
     * corpus. */
@@ -130,11 +149,15 @@ object Bpe {
     import spark.implicits._
     // the alphabet is bounded (≤ distinct code points of the corpus —
     // thousands at most), so rank it on the DRIVER: one distinct shuffle,
-    // a tiny collect, and no partition-less Window in any plan
+    // a tiny collect, and no partition-less Window in any plan.
+    // Sort by CODE POINT, not Scala's default UTF-16 code-unit order: for
+    // supplementary-plane symbols (emoji, rare CJK) surrogate pairs sort
+    // below U+E000–U+FFFF under UTF-16, which would diverge from the
+    // oracle's UTF-8-byte ORDER BY id space on non-BMP corpora
     val chars = words
       .select(explode(charSymbols(col("word"))).as("symbol"))
       .distinct()
-      .as[String].collect().sorted
+      .as[String].collect().sorted(codePointOrdering)
     // fused symbols are always ≥ 2 chars, so they can never collide with
     // the single-char block; dedup among themselves preserving merge order
     val fused = merges.map(m => m.left + m.right).distinct

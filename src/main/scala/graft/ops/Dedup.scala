@@ -352,6 +352,12 @@ object Dedup {
     * shape: only (chunk, bits, id, fp) rows shuffle, never payloads.
     *
     * Returns (idA, idB, hamming); complete for maxHamming ≤ chunks − 1. */
+  /** w-bit low mask that survives w = 64 (chunks = 1): JVM shifts are
+    * mod-64, so `(1L << 64) - 1` is 0 — every fingerprint would mask to
+    * bucket 0 and the banding join would silently become a full cross
+    * join. chunks = 1 is legitimate (exact-fingerprint join). */
+  private def chunkMask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+
   def hammingPairs(df: DataFrame, idCol: String, bitsCol: String,
       maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     require(chunks >= 1 && 64 % chunks == 0, "chunks must divide 64")
@@ -364,7 +370,7 @@ object Dedup {
     val banded = sh.select(col("__id"), col("__sh"), posexplode(
       transform(sequence(lit(0), lit(chunks - 1)),
         c => toColumn(ShiftRightUnsigned(toExpr(col("__sh")),
-          toExpr((c * w).cast("int")))).bitwiseAND(lit((1L << w) - 1)))))
+          toExpr((c * w).cast("int")))).bitwiseAND(lit(chunkMask(w))))))
       .toDF("__id", "__sh", "__chunk", "__bits")
     val a = banded.select(col("__chunk"), col("__bits"),
       col("__id").as("idA"), col("__sh").as("__shA"))
@@ -425,7 +431,7 @@ object Dedup {
     val banded1 = sh.select(col("__id"), col("__sh"), posexplode(
       transform(sequence(lit(0), lit(chunks - 1)),
         c => toColumn(ShiftRightUnsigned(toExpr(col("__sh")),
-          toExpr((c * w).cast("int")))).bitwiseAND(lit((1L << w) - 1)))))
+          toExpr((c * w).cast("int")))).bitwiseAND(lit(chunkMask(w))))))
       .toDF("__id", "__sh", "__chunk", "__bits")
     val est = banded1.groupBy("__chunk", "__bits")
       .agg(count(lit(1)).cast("double").as("__n"))
@@ -458,7 +464,7 @@ object Dedup {
       val rem = hi.bitwiseOR(lo)
       val cb = toColumn(ShiftRightUnsigned(toExpr(col("__sh")),
         toExpr(lit(c * w).cast("int"))))
-        .bitwiseAND(lit((1L << w) - 1))
+        .bitwiseAND(lit(chunkMask(w)))
       (0 until k2).map { s =>
         val sb = toColumn(ShiftRightUnsigned(toExpr(rem),
           toExpr(lit(offsets(s)).cast("int"))))

@@ -19,8 +19,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *     deterministic function of the data, so a speculative or retried
   *     attempt produces identical bytes and the last rename winning is
   *     harmless;
-  *  3. [[finish]]: fill hash-empty shards, verify exactly nShards files
-  *     and no leftover temps, and only then write `_SUCCESS` (recording
+  *  3. [[finish]]: fill hash-empty shards, scrub orphaned attempt temps
+  *     (a task killed mid-write never reaches commitShard; its temp is
+  *     superseded by the retry's committed rename), verify exactly
+  *     nShards files, and only then write `_SUCCESS` (recording
   *     nShards). [[checkRead]] refuses a directory without it.
   */
 private[sources] object ShardCommit {
@@ -69,10 +71,14 @@ private[sources] object ShardCommit {
     val it = Files.list(Paths.get(dir)).iterator()
     var nFinal = 0
     while (it.hasNext) {
-      val n = it.next().getFileName.toString
-      require(!n.contains(s"$ext.tmp-"),
-        s"$sink: uncommitted temp file $n after job completion")
-      if (n.startsWith("shard-") && n.endsWith(ext)) nFinal += 1
+      val p = it.next()
+      val n = p.getFileName.toString
+      // A task attempt killed mid-write (failure or speculation) never
+      // reaches commitShard and leaves its attempt-unique temp behind even
+      // though a retry committed the shard — temps are superseded by the
+      // committed renames, so scrub them rather than failing the job.
+      if (n.contains(s"$ext.tmp-")) Files.delete(p)
+      else if (n.startsWith("shard-") && n.endsWith(ext)) nFinal += 1
     }
     require(nFinal == nShards,
       s"$sink: expected $nShards shard files, found $nFinal")

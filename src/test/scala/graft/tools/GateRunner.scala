@@ -25,9 +25,11 @@ object GateRunner {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.oracleSfDir = sfDir
     names.foreach { n =>
-      SparkEntry.queries(n)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      graft.Verify.assertComparatorSafe(df, n)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
     }
     val osql = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
     val json = osql.map { case (k, v) =>
