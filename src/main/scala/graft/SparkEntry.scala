@@ -133,6 +133,19 @@ object SparkEntry {
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]()
 
+  /** One-time unigram-LM model for q199–q201, keyed by sf dir (the
+    * fixture replay geometry: vocab 40, pieces ≤ 4 chars, minCount 2,
+    * seed cap 64, 2 hard-EM iterations — mirrored constant-for-constant
+    * by the unigramReplay oracle prefix). */
+  private val unigramModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Unigram.Model]()
+  private def ensureUnigram(s: SparkSession,
+      dir: String): graft.ops.Unigram.Model =
+    unigramModelCache.computeIfAbsent(dir, d =>
+      graft.ops.Unigram.learn(t(s, d, "documents"), col("text"),
+        vocabSize = 40, maxPieceLen = 4, minCount = 2, seedCap = 64,
+        emIters = 2))
+
   /** One-time 8-shard TFRecord layout for q172, keyed by sf dir. */
   private val recordsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -947,6 +960,50 @@ object SparkEntry {
         .select(col("idA"), col("idB"), col("n_shared"), col("n_a"),
           col("n_b"), round(col("overlap"), 6).as("overlap"))
         .orderBy("idA", "idB")
+    }),
+
+    "q199_unigram_learn" -> ((s, dir) => {
+      // unigram-LM (SentencePiece-style) vocabulary fit: substring seed
+      // counts over word types → 2 hard-EM (Viterbi-count) iterations →
+      // prune to the vocab budget. The oracle replays seeding, both EM
+      // rounds (position-unrolled Viterbi DP in exact integer-scaled
+      // scores), and the prune/id assignment CTE-for-CTE
+      graft.ops.Unigram.vocabTable(t(s, dir, "documents"),
+          ensureUnigram(s, dir))
+        .orderBy("piece_id")
+    }),
+
+    "q200_unigram_encode" -> ((s, dir) => {
+      // unigram tokenizer APPLICATION (q171's contract for the second
+      // tokenizer family): Viterbi-segment word types under the learned
+      // model, assemble per-doc id sequences, emit comparator-safe
+      // scalar receipts (order pinned by the position-weighted sum)
+      val docs = t(s, dir, "documents")
+      graft.ops.Unigram.encode(docs, "doc_id", col("text"),
+          ensureUnigram(s, dir))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_pieces"),
+          coalesce(aggregate(col("ids"), lit(0L), (acc, x) => acc + x),
+            lit(0L)).as("ids_sum"),
+          aggregate(col("ids"),
+            struct(lit(0L).as("s"), lit(0L).as("j")),
+            (acc, x) => struct(
+              (acc.getField("s") + (acc.getField("j") + 1L) * x).as("s"),
+              (acc.getField("j") + 1L).as("j")),
+            acc => acc.getField("s")).as("ids_pw"),
+          coalesce(array_min(col("ids")), lit(-1L)).as("min_id"),
+          coalesce(array_max(col("ids")), lit(-1L)).as("max_id"))
+        .orderBy("doc_id")
+    }),
+
+    "q201_unigram_fertility" -> ((s, dir) => {
+      // per-language fertility under the unigram model (q174's
+      // diagnostic for the second tokenizer family)
+      val docs = t(s, dir, "documents")
+      graft.ops.Unigram.fertilityByKey(docs, col("text"), col("lang"),
+          ensureUnigram(s, dir))
+        .withColumnRenamed("key", "lang")
+        .orderBy("lang")
     }),
 
     "q198_calibration_summary" -> ((s, dir) => {
@@ -3566,6 +3623,115 @@ i$k AS MATERIALIZED (SELECT
                FROM s${k - 1}, m$k)"""
       }.mkString(",")
 
+  /** One position-unrolled Viterbi segmentation pass for the unigram
+    * oracle: DP over code-point positions 1..L with pieces ≤ K chars,
+    * each level a MATERIALIZED CTE choosing the canonical cell by
+    * (score desc, pieces asc, start-of-last-piece asc) — exactly
+    * [[graft.core.UnigramLm.segment]]'s integer DP. Scores are integer-
+    * scaled, so every comparison is exact. Emits ${p}b0..bL, ${p}seg
+    * (word → piece list) and ${p}cnt (piece usage weighted by word
+    * freq); needs preceding w(word, freq) and a scores CTE
+    * (piece, score). L = 12 covers the fixtures' max word length (8)
+    * with margin. */
+  private def unigramVitPass(p: String, scoresCte: String): String = {
+    val L = 12
+    val K = 4
+    val levels = (1 to L).map { i =>
+      val branches = (math.max(0, i - K) until i).map { j =>
+        s"""SELECT b.word, b.score + s.score AS score, b.np + 1 AS np,
+          list_append(b.seg, s.piece) AS seg, $j AS j
+        FROM ${p}b$j b JOIN $scoresCte s ON s.piece = b.word[${j + 1}:$i]
+        WHERE length(b.word) >= $i"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+ ${p}b$i AS MATERIALIZED (SELECT word, score, np, seg FROM (
+    SELECT word, score, np, seg, row_number() OVER (
+      PARTITION BY word ORDER BY score DESC, np ASC, j ASC) AS rn
+    FROM ($branches)) WHERE rn = 1),"""
+    }.mkString
+    val segUnion = (1 to L).map(i =>
+      s"SELECT word, seg FROM ${p}b$i WHERE length(word) = $i")
+      .mkString("\n   UNION ALL ")
+    s"""
+ ${p}b0 AS MATERIALIZED (SELECT word, 0::BIGINT AS score, 0 AS np,
+    []::VARCHAR[] AS seg FROM w),$levels
+ ${p}seg AS MATERIALIZED (
+   $segUnion),
+ ${p}cnt AS MATERIALIZED (SELECT t.piece AS piece,
+     sum(x.freq)::BIGINT AS cnt
+   FROM (SELECT ps.word, ps.seg, w.freq
+         FROM ${p}seg ps JOIN w USING (word)) x, unnest(x.seg) t(piece)
+   GROUP BY 1)"""
+  }
+
+  /** Unigram hard-EM M-step CTEs: multi-char pieces keep their Viterbi
+    * usage count (unused → dropped), single chars floor at 1 (required-
+    * character coverage), scores renormalize over the survivors. */
+  private def unigramRescore(p: String): String =
+    s"""
+ ${p}kept AS MATERIALIZED (
+   SELECT piece, cnt FROM ${p}cnt WHERE length(piece) >= 2
+   UNION ALL
+   SELECT c.piece, greatest(coalesce(n.cnt, 0), 1) AS cnt
+   FROM chars c LEFT JOIN ${p}cnt n ON n.piece = c.piece),
+ ${p}tot AS (SELECT sum(cnt)::BIGINT AS t FROM ${p}kept),
+ ${p}sc AS MATERIALIZED (SELECT piece, cnt,
+     round(ln(cnt::DOUBLE / t::DOUBLE) * 1000000)::BIGINT AS score
+   FROM ${p}kept, ${p}tot)"""
+
+  /** Shared oracle prefix for q199–q201: replays [[graft.ops.Unigram]]'s
+    * learn pipeline constant-for-constant at the gate geometry (vocab 40,
+    * maxPieceLen 4, minCount 2, seedCap 64, 2 EM iterations) — substring
+    * seeding, two Viterbi-count EM rounds, prune + id assignment
+    * (chars by code point, then multi by count desc/piece asc), and the
+    * final segmentation pass `fseg` under the pruned vocabulary. */
+  private lazy val unigramReplay: String =
+    """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+           FROM documents),
+ w AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM toks
+   WHERE word <> '' GROUP BY 1),
+ sub AS MATERIALIZED (SELECT word[i:i+l-1] AS piece,
+     sum(freq)::BIGINT AS cnt
+   FROM w, unnest(range(1, length(word)+1)) t(i),
+     unnest(range(1, 5)) u(l)
+   WHERE i + l <= length(word) + 1
+   GROUP BY 1),
+ chars AS MATERIALIZED (SELECT piece, cnt FROM sub
+   WHERE length(piece) = 1),
+ multi0 AS MATERIALIZED (SELECT piece, cnt FROM sub
+   WHERE length(piece) >= 2 AND cnt >= 2
+   ORDER BY cnt DESC, piece LIMIT 64),
+ s0kept AS (SELECT piece, cnt FROM chars
+   UNION ALL SELECT piece, cnt FROM multi0),
+ s0tot AS (SELECT sum(cnt)::BIGINT AS t FROM s0kept),
+ s0sc AS MATERIALIZED (SELECT piece,
+     round(ln(cnt::DOUBLE / t::DOUBLE) * 1000000)::BIGINT AS score
+   FROM s0kept, s0tot),""" +
+      unigramVitPass("e1", "s0sc") + "," +
+      unigramRescore("e1") + "," +
+      unigramVitPass("e2", "e1sc") + "," +
+      unigramRescore("e2") + """,
+ nch AS (SELECT count(*)::BIGINT AS c FROM chars),
+ fmv AS MATERIALIZED (SELECT piece, cnt FROM (
+     SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+     FROM e2kept WHERE length(piece) >= 2)
+   WHERE rn <= 40 - (SELECT c FROM nch)),
+ fkept AS MATERIALIZED (
+   SELECT piece, cnt FROM e2kept WHERE length(piece) = 1
+   UNION ALL SELECT piece, cnt FROM fmv),
+ ftot AS (SELECT sum(cnt)::BIGINT AS t FROM fkept),
+ fvocab AS MATERIALIZED (SELECT piece, cnt,
+     round(ln(cnt::DOUBLE / (SELECT t FROM ftot)) * 1000000)::BIGINT
+       AS score, pid
+   FROM (
+     SELECT piece, cnt, row_number() OVER (ORDER BY piece) - 1 AS pid
+     FROM fkept WHERE length(piece) = 1
+     UNION ALL
+     SELECT piece, cnt, (SELECT c FROM nch)
+       + row_number() OVER (ORDER BY cnt DESC, piece) - 1
+     FROM fkept WHERE length(piece) >= 2))""" +
+      "," + unigramVitPass("f", "fvocab")
+
   /** Shared winnow-oracle prefix (q184/q189): re-derives every 24-byte
     * rolling hash, replays rightmost-min window selection via a
     * (hash, −pos)-packed HUGEINT window minimum, and applies the
@@ -6072,6 +6238,44 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q199_unigram_learn" ->
+      (unigramReplay + """
+ SELECT piece, cnt AS "count", score, pid AS piece_id
+ FROM fvocab ORDER BY pid"""),
+    "q200_unigram_encode" ->
+      (unigramReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM fseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id)
+ SELECT d.doc_id, coalesce(len(o.ids), 0)::BIGINT AS n_pieces,
+   coalesce(list_sum(o.ids), 0)::BIGINT AS ids_sum,
+   coalesce(list_sum(list_transform(range(1, len(o.ids) + 1),
+     j -> j * o.ids[j])), 0)::BIGINT AS ids_pw,
+   coalesce(list_min(o.ids), -1)::BIGINT AS min_id,
+   coalesce(list_max(o.ids), -1)::BIGINT AS max_id
+ FROM documents d LEFT JOIN o USING (doc_id)
+ ORDER BY d.doc_id"""),
+    "q201_unigram_fertility" ->
+      (unigramReplay + """,
+ wpc AS (SELECT word, len(seg)::BIGINT AS p,
+     length(word)::BIGINT AS c FROM fseg),
+ dtk AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS word
+     FROM documents),
+ jj AS (SELECT dtk.lang, wpc.p, wpc.c FROM dtk JOIN wpc USING (word))
+ SELECT lang, count(*)::BIGINT AS n_words, sum(p)::BIGINT AS n_pieces,
+   sum(c)::BIGINT AS n_chars,
+   round(sum(p)::DOUBLE / count(*), 6) AS fertility,
+   round(sum(c)::DOUBLE / sum(p), 6) AS chars_per_piece
+ FROM jj GROUP BY lang ORDER BY lang"""),
     "q198_calibration_summary" ->
       """WITH r AS (SELECT
     ((doc_id * 37 + 5) % 1024)::DOUBLE / 1024.0 AS s,

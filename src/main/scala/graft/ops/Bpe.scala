@@ -213,6 +213,16 @@ object Bpe {
     val wordPieces = segmentWords(types, merges)
       .select(col("word"), size(col("syms")).cast("long").as("__p"),
         length(col("word")).cast("long").as("__c"))
+    fertilityFromWordPieces(df, text, key, wordPieces)
+  }
+
+  /** Fertility aggregation shared by the tokenizer families ([[Bpe]],
+    * [[Unigram]]): joins the corpus token stream against a tiny
+    * (word → piece count, char count) table and aggregates straight to
+    * the group key — no per-doc regroup. `wordPieces` must carry
+    * (word, __p, __c). */
+  private[ops] def fertilityFromWordPieces(df: DataFrame, text: Column,
+      key: Column, wordPieces: DataFrame): DataFrame =
     df.select(key.as("key"), explode(split(text, "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .join(wordPieces, Seq("word"))
@@ -224,7 +234,6 @@ object Bpe {
         round(col("n_pieces") / col("n_words"), 6))
       .withColumn("chars_per_piece",
         round(col("n_chars") / col("n_pieces"), 6))
-  }
 
   /** Encode documents to BPE piece-id sequences under a learned merge
     * list: the composition a 100 TB tokenization job actually runs.
@@ -263,6 +272,21 @@ object Bpe {
       .groupBy("word")
       .agg(transform(array_sort(collect_list(struct(col("__sp"),
         col("__sid")))), x => x.getField("__sid")).as("__wids"))
+    assembleIds(df, idCol, text, wordIds)
+  }
+
+  /** Corpus id-sequence assembly shared by the tokenizer families
+    * ([[Bpe.encode]], [[Unigram.encode]]): explode the corpus to
+    * (doc, pos, word) at the scan, hash-join the (word → piece ids)
+    * type table (`wordIds` carrying (word, __wids) — NOT broadcast: at
+    * web scale it can reach 10⁸ rows), regroup on the doc key, and
+    * flatten per-word piece arrays in (doc, pos) order with the sorted
+    * streaming walk (one doc in memory at a time — collect_list OOMs at
+    * billion-token scale). */
+  private[ops] def assembleIds(df: DataFrame, idCol: String, text: Column,
+      wordIds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
     val toks = df.select(col(idCol),
       posexplode_outer(split(text, "\\s+")).as(Seq("__pos", "__tok")))
     val mapped = toks

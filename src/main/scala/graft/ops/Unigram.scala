@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{toColumn, toExpr}
+
+import graft.core.UnigramLm
+import graft.expr.UnigramSegmentExpr
+
+/** Unigram-LM (SentencePiece-style) tokenizer — the OTHER dominant
+  * subword family next to BPE ([[Bpe]]): a piece vocabulary scored by a
+  * unigram language model, fit with fixed-iteration hard EM (Viterbi
+  * counts) and applied by Viterbi segmentation (Kudo 2018).
+  *
+  * Deterministic by construction (see [[UnigramLm]]'s contract): integer-
+  * scaled log scores, canonical DP tie-breaks, fixed iteration count, and
+  * every ranking ordered by (count desc, piece code-point asc) — so the
+  * whole learn → prune → encode pipeline is replayable in DuckDB SQL as
+  * unrolled MATERIALIZED CTEs (the q199–q201 oracles).
+  *
+  * Scale shape (the 100 TB contract, mirroring [[Bpe]]):
+  *  - the corpus is scanned twice total (word-type distinct + the token
+  *    explode in encode/fertility); EVERYTHING else — seeding, EM,
+  *    pruning, segmentation — runs over the word-TYPE table (millions of
+  *    rows at web scale, not billions);
+  *  - per EM iteration: one scan-side Viterbi pass over types + one
+  *    vocabulary-sized count shuffle; the only driver state is the
+  *    codebook itself (seedCap + alphabet entries, like [[Bpe]]'s merge
+  *    table), refreshed emIters times;
+  *  - seed candidates are capped at `seedCap` via TakeOrdered (no global
+  *    window, no full collect of the substring table).
+  */
+object Unigram {
+  /** One vocabulary entry: final EM count, integer-scaled log score
+    * (see [[UnigramLm.scaledLogProb]]), and the piece id (chars first in
+    * code-point order, then multi-char pieces by count desc, piece asc). */
+  case class PieceEntry(piece: String, count: Long, score: Long, id: Long)
+
+  /** A learned unigram tokenizer: `entries` in id order. */
+  case class Model(entries: IndexedSeq[PieceEntry], maxPieceLen: Int) {
+    def segmentCol(word: Column): Column =
+      toColumn(UnigramSegmentExpr(entries.map(_.piece).toArray,
+        entries.map(_.score).toArray, maxPieceLen, toExpr(word)))
+  }
+
+  private def wordTypes(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  /** All substrings of length 1..maxLen of `word`, one array element per
+    * (start, len) occurrence — the unigram seed candidate stream. */
+  private def substrPieces(word: Column, maxLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(word)), i =>
+      filter(transform(sequence(lit(1), lit(maxLen)),
+        l => when(i + l - 1 <= length(word), word.substr(i, l))),
+        p => p.isNotNull)))
+
+  /** Fit a unigram-LM vocabulary. `vocabSize` is the TOTAL size including
+    * the full single-char alphabet (always retained for coverage, with a
+    * count floor of 1 — SentencePiece's required-character rule). */
+  def learn(df: DataFrame, text: Column, vocabSize: Int,
+      maxPieceLen: Int = 4, minCount: Int = 2, seedCap: Int = 64,
+      emIters: Int = 2): Model = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && emIters >= 0)
+    val types = wordTypes(df, text).localCheckpoint()
+    // seed candidate counts: one explode over word TYPES (vocab-sized),
+    // weighted by corpus frequency
+    val subCnt = types
+      .select(explode(substrPieces(col("word"), maxPieceLen)).as("piece"),
+        col("freq"))
+      .groupBy("piece")
+      .agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    // the alphabet is bounded — collect fully; multi-char candidates are
+    // capped via TakeOrdered (distributed top-k, no global window)
+    val chars = subCnt.where(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val multi0 = subCnt
+      .where(length(col("piece")) >= 2 && col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(seedCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    CheckpointUtil.freeCheckpoint(subCnt)
+
+    def rescore(charCnts: Seq[(String, Long)],
+        multiCnts: Seq[(String, Long)]): Array[(String, Long)] = {
+      val total = charCnts.map(_._2).sum + multiCnts.map(_._2).sum
+      (charCnts ++ multiCnts).map { case (p, c) =>
+        p -> UnigramLm.scaledLogProb(c, total)
+      }.toArray
+    }
+
+    var charCnts: Seq[(String, Long)] =
+      chars.toSeq.sortBy(_._1)(Bpe.codePointOrdering)
+    var multiCnts: Seq[(String, Long)] =
+      multi0.toSeq.sortBy(t => (-t._2, t._1))(
+        Ordering.Tuple2(Ordering.Long, Bpe.codePointOrdering))
+
+    // hard EM: segment word types under current scores (scan-side
+    // Viterbi), re-count pieces weighted by word frequency (one
+    // vocab-sized shuffle), drop unused multi-char pieces, floor chars
+    (1 to emIters).foreach { _ =>
+      val scores = rescore(charCnts, multiCnts)
+      val seg = toColumn(UnigramSegmentExpr(scores.map(_._1),
+        scores.map(_._2), maxPieceLen, toExpr(col("word"))))
+      val used = types.select(explode(seg).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      charCnts = charCnts.map { case (p, _) =>
+        p -> math.max(used.getOrElse(p, 0L), 1L)
+      }
+      multiCnts = multiCnts
+        .flatMap { case (p, _) => used.get(p).map(p -> _) }
+        .sortBy(t => (-t._2, t._1))(
+          Ordering.Tuple2(Ordering.Long, Bpe.codePointOrdering))
+    }
+    CheckpointUtil.freeCheckpoint(types)
+
+    // prune to the vocab budget; ids: chars first (code-point order),
+    // then multi by (count desc, piece asc)
+    val keptMulti = multiCnts.take(math.max(vocabSize - charCnts.size, 0))
+    val totalF = charCnts.map(_._2).sum + keptMulti.map(_._2).sum
+    val entries = (charCnts ++ keptMulti).zipWithIndex.map {
+      case ((p, c), i) =>
+        PieceEntry(p, c, UnigramLm.scaledLogProb(c, totalF), i.toLong)
+    }
+    Model(entries.toIndexedSeq, maxPieceLen)
+  }
+
+  /** The learned vocabulary as a DataFrame (piece, count, score,
+    * piece_id) — the q199 gate surface. */
+  def vocabTable(df: DataFrame, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    model.entries.map(e => (e.piece, e.count, e.score, e.id))
+      .toDF("piece", "count", "score", "piece_id")
+  }
+
+  /** Encode documents to unigram piece-id sequences — [[Bpe.encode]]'s
+    * exact scale shape (shared assembly): segmentation + id mapping over
+    * word TYPES, corpus joins the (word → ids) table, one doc-keyed
+    * regroup, sorted streaming array assembly. */
+  def encode(df: DataFrame, idCol: String, text: Column, model: Model,
+      unkId: Long = -1L): DataFrame = {
+    val types = df
+      .select(explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct()
+      .localCheckpoint()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idMap = model.entries.map(e => (e.piece, e.id))
+      .toDF("__sym", "__sid")
+    val wordIds = types
+      .select(col("word"),
+        posexplode(model.segmentCol(col("word"))).as(Seq("__sp", "__sym")))
+      .join(broadcast(idMap), Seq("__sym"), "left")
+      // a piece outside the vocab (an unknown char's fallback piece)
+      // maps to unkId rather than silently dropping the position
+      .select(col("word"), col("__sp"),
+        coalesce(col("__sid"), lit(unkId)).as("__sid"))
+      .groupBy("word")
+      .agg(transform(array_sort(collect_list(struct(col("__sp"),
+        col("__sid")))), x => x.getField("__sid")).as("__wids"))
+    // the checkpoint must stay live until the returned (lazy) frame
+    // executes; the ContextCleaner reclaims it once unreachable
+    Bpe.assembleIds(df, idCol, text, wordIds)
+  }
+
+  /** Tokenizer fertility by group key under a unigram model — the same
+    * vocabulary-budget diagnostic as [[Bpe.fertilityByKey]]. */
+  def fertilityByKey(df: DataFrame, text: Column, key: Column,
+      model: Model): DataFrame = {
+    val types = df
+      .select(explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct()
+    val wordPieces = types.select(col("word"),
+      size(model.segmentCol(col("word"))).cast("long").as("__p"),
+      length(col("word")).cast("long").as("__c"))
+    Bpe.fertilityFromWordPieces(df, text, key, wordPieces)
+  }
+}

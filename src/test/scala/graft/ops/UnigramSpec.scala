@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.UnigramLm
+
+/** Unigram-LM tokenizer (ops.Unigram / core.UnigramLm): hand-worked
+  * Viterbi DP + tie-breaks, hard-EM learn dynamics, encode round-trip. */
+class UnigramSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tbl(entries: (String, Long)*)
+      : java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    entries.foreach { case (p, s) => m.put(p, java.lang.Long.valueOf(s)) }
+    m
+  }
+
+  test("segment: picks the max-score path") {
+    // ab as one piece (-10) beats a|b (-3 + -8 = -11)
+    val t = tbl("a" -> -3L, "b" -> -8L, "ab" -> -10L)
+    assert(UnigramLm.segment("ab", t, 4).toList == List("ab"))
+    // but a|b (-3 + -4 = -7) beats ab (-10)
+    val t2 = tbl("a" -> -3L, "b" -> -4L, "ab" -> -10L)
+    assert(UnigramLm.segment("ab", t2, 4).toList == List("a", "b"))
+  }
+
+  test("segment: equal score prefers fewer pieces, then smaller start") {
+    // ab=-7 ties a|b=-3-4=-7 → fewer pieces wins
+    val t = tbl("a" -> -3L, "b" -> -4L, "ab" -> -7L)
+    assert(UnigramLm.segment("ab", t, 4).toList == List("ab"))
+    // 'aaa': a|aa = -5-6=-11, aa|a = -6-5=-11, a|a|a=-15 → both 2-piece
+    // paths tie on (score, np); smaller start-of-last-piece j wins → a|aa
+    val t3 = tbl("a" -> -5L, "aa" -> -6L)
+    assert(UnigramLm.segment("aaa", t3, 4).toList == List("a", "aa"))
+  }
+
+  test("segment: unknown single chars fall back, never fail") {
+    val t = tbl("a" -> -3L)
+    assert(UnigramLm.segment("axa", t, 4).toList == List("a", "x", "a"))
+    // a|x: fallback x = UnkScore; ax is NOT synthesized as a piece
+    assert(UnigramLm.segment("ax", t, 4).toList == List("a", "x"))
+    assert(UnigramLm.segment("", t, 4).isEmpty)
+  }
+
+  test("segment: maxPieceLen bounds candidate pieces") {
+    val t = tbl("a" -> -9L, "aaaa" -> -1L)
+    // with K=2 the -1 piece is out of reach
+    assert(UnigramLm.segment("aaaa", t, 2).toList ==
+      List("a", "a", "a", "a"))
+    assert(UnigramLm.segment("aaaa", t, 4).toList == List("aaaa"))
+  }
+
+  test("segment: code-point positions (non-BMP safe)") {
+    // 😀 is a surrogate pair in UTF-16; piece boundaries must not split it
+    val t = tbl("😀" -> -2L, "a" -> -3L, "a😀" -> -4L)
+    assert(UnigramLm.segment("a😀a", t, 4).toList == List("a😀", "a"))
+  }
+
+  test("scaledLogProb: half-away-from-zero at 1e-6, DuckDB round parity") {
+    // ln(1/2)·1e6 = -693147.18... → -693147
+    assert(UnigramLm.scaledLogProb(1, 2) == -693147L)
+    // ln(1/e^2)≈-2e6 exactly-ish: ln(cnt/total) negative rounds AWAY
+    assert(UnigramLm.scaledLogProb(1, 1) == 0L)
+  }
+
+  test("learn: chars always kept, vocab budget respected, deterministic") {
+    val docs = Seq.fill(4)("the cat then that hat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m1 = Unigram.learn(docs, col("text"), vocabSize = 12,
+      maxPieceLen = 3, minCount = 2, seedCap = 16, emIters = 2)
+    val m2 = Unigram.learn(docs, col("text"), vocabSize = 12,
+      maxPieceLen = 3, minCount = 2, seedCap = 16, emIters = 2)
+    assert(m1.entries == m2.entries, "learn must be deterministic")
+    val chars = m1.entries.filter(_.piece.length == 1).map(_.piece)
+    assert(chars.toSet == Set("t", "h", "e", "c", "a", "n"))
+    assert(chars == chars.sorted, "char ids in code-point order")
+    assert(m1.entries.size <= 12)
+    // ids are 0..n-1 in order
+    assert(m1.entries.map(_.id) == m1.entries.indices.map(_.toLong))
+    // multi-char pieces ranked by (count desc, piece asc) after chars
+    val multi = m1.entries.filter(_.piece.length > 1)
+    assert(multi == multi.sortBy(e => (-e.count, e.piece)))
+  }
+
+  test("encode: ids concatenate per-word segmentations in order") {
+    // 'ab' survives EM: p(ab)=3/12 > p(a)·p(b)=(3/12)(6/12) — a piece
+    // lives iff it beats its own char decomposition under the unigram LM
+    val docs = Seq((1L, "ab b"), (2L, "b ab ab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val m = Unigram.learn(docs, col("text"), vocabSize = 10,
+      maxPieceLen = 2, minCount = 1, seedCap = 8, emIters = 1)
+    val byPiece = m.entries.map(e => e.piece -> e.id).toMap
+    val got = Unigram.encode(docs, "doc_id", col("text"), m)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val ab = byPiece("ab")
+    val b = byPiece("b")
+    assert(got(1L) == List(ab, b))
+    assert(got(2L) == List(b, ab, ab))
+    assert(got(3L) == Nil)
+  }
+
+  test("encode: unseen chars map to unkId") {
+    val learnDocs = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val m = Unigram.learn(learnDocs, col("text"), vocabSize = 8,
+      maxPieceLen = 2, minCount = 1, seedCap = 8, emIters = 1)
+    val got = Unigram.encode(Seq((9L, "axz")).toDF("doc_id", "text"),
+        "doc_id", col("text"), m, unkId = -1L)
+      .collect().map(r => r.getSeq[Long](1).toList)
+    assert(got.head.count(_ == -1L) == 2, s"x,z must be unk: ${got.head}")
+  }
+
+  test("fertility: weighted by corpus tokens, grouped") {
+    val docs = Seq((1L, "ab ab b", "x"), (2L, "ab", "y"))
+      .toDF("doc_id", "text", "g")
+    val m = Unigram.learn(docs, col("text"), vocabSize = 10,
+      maxPieceLen = 2, minCount = 1, seedCap = 8, emIters = 1)
+    val rows = Unigram.fertilityByKey(docs, col("text"), col("g"), m)
+      .orderBy("key").collect()
+    assert(rows.length == 2)
+    val x = rows(0)
+    assert(x.getAs[Long]("n_words") == 3)
+    // 'ab' one piece, 'b' one piece → 3 pieces over 3 words
+    assert(x.getAs[Long]("n_pieces") == 3)
+    assert(x.getAs[Double]("fertility") == 1.0)
+  }
+
+  test("expression stays codegen-compatible (no CodegenFallback)") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = Unigram.learn(docs, col("text"), vocabSize = 8,
+      maxPieceLen = 2, minCount = 1, seedCap = 8, emIters = 1)
+    val df = Seq("ab", "ba").toDF("word")
+      .select(m.segmentCol(col("word")).as("seg"))
+    df.collect() // force execution through codegen
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+}
