@@ -962,6 +962,30 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q202_pack_fit" -> ((s, dir) => {
+      // whole-document (no-straddler) harmonic-fit packing at a 128-token
+      // budget: per-bin membership, mass, and id range — the oracle
+      // replays class assignment (k = budget // len), per-class ranks,
+      // the tail class's effective-capacity contiguous fill, and the
+      // class-prefixed bin ids
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
+      graft.ops.Packing.packFitWhole(docs, "doc_id", "n_tok", 128L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("tok_sum"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
+    }),
+
+    "q203_pack_fit_stats" -> ((s, dir) => {
+      // the padding-efficiency receipt for the no-straddler packer,
+      // q182's shape (same naive baseline → gains directly comparable)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
+      graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
+    }),
+
     "q199_unigram_learn" -> ((s, dir) => {
       // unigram-LM (SentencePiece-style) vocabulary fit: substring seed
       // counts over word types → 2 hard-EM (Viterbi-count) iterations →
@@ -6238,6 +6262,55 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q202_pack_fit" ->
+      """WITH d AS (SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS t FROM documents),
+         c AS (SELECT doc_id, t, CASE WHEN t > 128 THEN 0
+             WHEN t <= 0 THEN 8
+             ELSE least(8, 128 // t) END AS cls FROM d),
+         r AS (SELECT doc_id, t, cls,
+             row_number() OVER (PARTITION BY cls ORDER BY doc_id) AS rn,
+             sum(t) OVER (PARTITION BY cls ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+         b AS (SELECT doc_id, t, cls,
+             CASE WHEN cls = 0 THEN rn - 1
+                  WHEN cls < 8 THEN (rn - 1) // cls
+                  ELSE (cum - t) // 112 END AS cbin FROM r),
+         p AS (SELECT doc_id, t,
+             cls * 1099511627776 + cbin AS bin FROM b)
+         SELECT bin, count(*)::BIGINT AS n_docs,
+           sum(t)::BIGINT AS tok_sum,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM p GROUP BY bin ORDER BY bin""",
+    "q203_pack_fit_stats" ->
+      """WITH d AS (SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS t FROM documents),
+         c AS (SELECT doc_id, t, CASE WHEN t > 128 THEN 0
+             WHEN t <= 0 THEN 8
+             ELSE least(8, 128 // t) END AS cls FROM d),
+         r AS (SELECT doc_id, t, cls,
+             row_number() OVER (PARTITION BY cls ORDER BY doc_id) AS rn,
+             sum(t) OVER (PARTITION BY cls ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+         b AS (SELECT doc_id, t, cls,
+             CASE WHEN cls = 0 THEN rn - 1
+                  WHEN cls < 8 THEN (rn - 1) // cls
+                  ELSE (cum - t) // 112 END AS cbin FROM r),
+         bins AS (SELECT cls * 1099511627776 + cbin AS bin,
+             sum(t)::BIGINT AS bt, count(*)::BIGINT AS docs
+           FROM b GROUP BY 1),
+         n AS (SELECT sum((t + 127) // 128)::BIGINT AS naive,
+             sum(CASE WHEN t > 128 THEN 1 ELSE 0 END)::BIGINT AS nover
+           FROM d)
+         SELECT count(*)::BIGINT AS n_bins, sum(docs)::BIGINT AS n_docs,
+           sum(bt)::BIGINT AS total_tokens,
+           round(avg(bt / 128.0), 6) AS avg_fill,
+           max(bt)::BIGINT AS max_bin_tokens,
+           (SELECT naive FROM n) AS naive_seqs,
+           (SELECT nover FROM n) AS n_oversize_docs,
+           round((SELECT naive FROM n) * 1.0 / count(*), 6)
+             AS packing_gain
+         FROM bins""",
     "q199_unigram_learn" ->
       (unigramReplay + """
  SELECT piece, cnt AS "count", score, pid AS piece_id

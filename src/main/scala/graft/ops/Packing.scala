@@ -155,6 +155,100 @@ object Packing {
         col("n_trunc_docs").cast("double") / col("n_docs"))
   }
 
+  /** Whole-document bin packing — NO straddler: every bin's payload fits
+    * within `budget` and documents are never split, the contract when
+    * sequences carry per-document attention masks and a doc must not
+    * span bins. The cost of that guarantee is padding; this packer
+    * bounds it with HARMONIC FIRST-FIT (Lee & Lee 1985, the classic
+    * online bin-packing family), which is embarrassingly parallel where
+    * true first-fit-decreasing is inherently sequential bin state:
+    *
+    *  - class k (1 ≤ k < classes) holds docs with
+    *    k = ⌊budget/len⌋, i.e. budget/(k+1) < len ≤ budget/k — ANY k of
+    *    them fit a bin and k+1 never do, so the class packs exactly k
+    *    per bin by rank and the order within the class cannot change the
+    *    bin count;
+    *  - the tail class (len ≤ budget/classes) contiguous-fills against
+    *    the EFFECTIVE capacity budget − ⌊budget/classes⌋, so the
+    *    floor-division bin assignment can never overflow the true
+    *    budget (a bin's fill is < capacity + max tail length ≤ budget);
+    *  - docs LONGER than budget get a bin of their own (class 0) —
+    *    flagged by [[packingStatsFit]], truncated downstream by policy.
+    *
+    * Every class is a distributed prefix rank/sum over `idCol`
+    * ([[withPrefixSum]]'s two-level scan — no sequential bin walk, no
+    * global single-partition window), so a 100 TB corpus packs
+    * identically on every rerun. Returns the input plus `bin`: UNIQUE
+    * (not dense) long ids, class-prefixed as class·2⁴⁰ + ordinal so no
+    * cross-class coordination pass is needed. */
+  def packFitWhole(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, classes: Int = 8, buckets: Int = 0): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(classes >= 2 && classes <= 64, "classes must be in [2, 64]")
+    val capTail = budget - budget / classes
+    val t = col(tokenCol).cast("long")
+    val cls = when(t > budget, lit(0))
+      .when(t <= 0, lit(classes))
+      .otherwise(least(lit(classes),
+        floor(lit(budget).cast("double") / t).cast("int")))
+    // the classes + 1 per-class rank passes run over a checkpointed
+    // NARROW (id, tokens, class) projection — ~20 bytes/row — so the
+    // (possibly text-wide) input is scanned once here and once for the
+    // final join-back, never per class
+    val narrow = df.select(col(idCol), t.as("__t"), cls.as("__cls"))
+      .localCheckpoint()
+    val parts = (0 to classes).map { k =>
+      val sub = narrow.where(col("__cls") === k)
+      if (k == classes)
+        withPrefixSum(sub, idCol, "__t", "__cum", buckets)
+          .withColumn("__cbin", floor((col("__cum") - col("__t"))
+            / lit(capTail.toDouble)).cast("long"))
+          .drop("__cum")
+      else {
+        val perBin = math.max(k, 1) // class 0: one doc per bin
+        withPrefixSum(sub.withColumn("__one", lit(1.0)), idCol, "__one",
+            "__rk", buckets)
+          .withColumn("__cbin", floor((col("__rk") - 1)
+            / lit(perBin.toDouble)).cast("long"))
+          .drop("__one", "__rk")
+      }
+    }
+    val assigned = parts.reduce(_.unionByName(_))
+      .select(col(idCol),
+        (col("__cls").cast("long") * lit(1L << 40) + col("__cbin"))
+          .as("bin"))
+    // plain hash join (assignments are corpus-sized — never broadcast)
+    df.join(assigned, Seq(idCol))
+  }
+
+  /** One-row receipt for [[packFitWhole]] — [[packingStats]]'s shape for
+    * the no-straddler packer, directly comparable to the contiguous-fill
+    * gain: bins can never overflow (oversize docs are counted apart), so
+    * `avg_fill` IS the padding efficiency and
+    * `packing_gain = naive_seqs / n_bins` uses the same naive baseline
+    * as [[packingStats]]. */
+  def packingStatsFit(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, classes: Int = 8, buckets: Int = 0): DataFrame = {
+    val packed = packFitWhole(df, idCol, tokenCol, budget, classes, buckets)
+    val t = col(tokenCol).cast("long")
+    val bins = packed.groupBy("bin")
+      .agg(sum(t).as("__t"), count(lit(1)).as("__docs"))
+    val naive = df.agg(
+      coalesce(sum(floor((t.cast("double") + (budget - 1)) / budget)
+        .cast("long")), lit(0L)).as("naive_seqs"),
+      coalesce(sum(when(t > budget, 1L).otherwise(0L)), lit(0L))
+        .as("n_oversize_docs"))
+    bins.agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("__docs")).as("n_docs"),
+        sum(col("__t")).as("total_tokens"),
+        round(avg(col("__t") / lit(budget.toDouble)), 6).as("avg_fill"),
+        max(col("__t")).as("max_bin_tokens"))
+      .crossJoin(naive) // 1×1 scalar join
+      .withColumn("packing_gain",
+        round(col("naive_seqs") * lit(1.0) / col("n_bins"), 6))
+  }
+
   /** Packs rows into bins of ≈`budget` tokens: adds `bin` (0-based) and
     * `bin_offset` (tokens before this row within its bin). Deterministic in
     * `orderCol` order; see the class doc for the straddler contract. */
