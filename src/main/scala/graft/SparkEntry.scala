@@ -80,6 +80,9 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One-time 8-file documents layout for q204's micro-batch replay. */
+  private val docStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** One-time 8-shard WebDataset tar layout for q159, keyed by sf dir. */
   private val tarCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -960,6 +963,55 @@ object SparkEntry {
         .select(col("idA"), col("idB"), col("n_shared"), col("n_a"),
           col("n_b"), round(col("overlap"), 6).as("overlap"))
         .orderBy("idA", "idB")
+    }),
+
+    "q205_heldout_ppl" -> ((s, dir) => {
+      // per-language held-out perplexity under the q83 char-trigram LM:
+      // 1/10 hash-held-out eval docs scored against a model trained on
+      // the other 9/10 — the quality-filter calibration table (pooled
+      // gram-weighted ppl next to the doc-mean, which hides short-doc
+      // skew)
+      graft.ops.LangModel.heldOutReport(t(s, dir, "documents"),
+          "doc_id", "text", Seq("lang"), n = 3, addK = 0.5,
+          vocabSize = 128L, holdOutMod = 10)
+        .select(col("lang"), col("n_docs"), col("n_grams"),
+          round(col("mean_logp"), 6).as("mean_logp"),
+          round(col("pooled_logp"), 6).as("pooled_logp"),
+          round(col("pooled_ppl"), 6).as("pooled_ppl"))
+        .orderBy("lang")
+    }),
+
+    "q204_streaming_dedup" -> ((s, dir) => {
+      // exact content dedup as DEPLOYED on a stream (q132's pattern for
+      // the dedup path): documents replayed in 8 real micro-batches
+      // through dedupStream's flatMapGroupsWithState state store, append
+      // sink. The kept ROW per content key depends on within-batch
+      // arrival order, so the receipt aggregates only key-determined
+      // quantities (normalized text is identical across any winner);
+      // the oracle recomputes them from the raw corpus's distinct
+      // normalized contents
+      val tmp = docStreamDirCache.computeIfAbsent(dir, { d =>
+        val base = java.nio.file.Files.createTempDirectory("graft_q204")
+          .toString
+        s.read.parquet(s"$d/documents.parquet").repartition(8)
+          .write.parquet(s"$base/documents.parquet")
+        base
+      })
+      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val sink = "q204_dedup_sink"
+      val q = graft.streaming.StreamingSketches.dedupStream(stream, "text")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // materialize before dropping the memory sink (q132's contract)
+      val snap = s.table(sink).localCheckpoint()
+      s.sql(s"DROP TABLE IF EXISTS $sink")
+      snap.select(graft.ops.Dedup.normalized(col("text")).as("__n"))
+        .agg(count(lit(1)).as("n_kept"),
+          bit_xor(gf.hash64(col("__n"))).as("norm_xor"),
+          coalesce(sum(length(col("__n")).cast("long")), lit(0L))
+            .as("sum_len"))
     }),
 
     "q202_pack_fit" -> ((s, dir) => {
@@ -6262,6 +6314,41 @@ SELECT idA, idB, n_shared, na.nf AS n_a, nb.nf AS n_b,
 FROM pr JOIN npr na ON pr.idA = na.doc_id
 JOIN npr nb ON pr.idB = nb.doc_id
 ORDER BY idA, idB"""),
+    "q205_heldout_ppl" ->
+      (hashMacros + """WITH sp AS (SELECT doc_id,
+           ((g_sb(g_av(doc_id::UBIGINT)) % 10) + 10) % 10 = 0 AS held
+         FROM documents),
+         g AS (SELECT doc_id, substring(text, i, 3) AS gram
+               FROM documents, unnest(range(1, length(text) - 1)) t(i)),
+         model AS (SELECT gram, count(*)::BIGINT AS cnt
+                   FROM g JOIN sp USING (doc_id)
+                   WHERE NOT sp.held GROUP BY 1),
+         ctx AS (SELECT substring(gram, 1, 2) AS c, sum(cnt)::BIGINT AS tot
+                 FROM model GROUP BY 1),
+         sc AS (SELECT g.doc_id,
+                  ln((coalesce(m.cnt, 0) + 0.5) /
+                     (coalesce(ctx.tot, 0) + 0.5 * 128)) AS lp
+                FROM g JOIN sp USING (doc_id)
+                LEFT JOIN model m USING (gram)
+                LEFT JOIN ctx ON ctx.c = substring(g.gram, 1, 2)
+                WHERE sp.held),
+         docsc AS (SELECT doc_id, count(*)::BIGINT AS ng, avg(lp) AS alp
+                   FROM sc GROUP BY 1)
+         SELECT d.lang, count(*)::BIGINT AS n_docs,
+           sum(ng)::BIGINT AS n_grams,
+           round(avg(alp), 6) AS mean_logp,
+           round(sum(alp * ng) / sum(ng), 6) AS pooled_logp,
+           round(exp(-sum(alp * ng) / sum(ng)), 6) AS pooled_ppl
+         FROM docsc JOIN documents d USING (doc_id)
+         GROUP BY 1 ORDER BY 1"""),
+    "q204_streaming_dedup" ->
+      (hashMacros + """WITH n AS (SELECT DISTINCT
+           lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nm
+         FROM documents)
+         SELECT count(*)::BIGINT AS n_kept,
+           bit_xor(g_sb(g_thash(nm))) AS norm_xor,
+           coalesce(sum(length(nm)), 0)::BIGINT AS sum_len
+         FROM n"""),
     "q202_pack_fit" ->
       """WITH d AS (SELECT doc_id,
            len(string_split(text, ' '))::BIGINT AS t FROM documents),

@@ -84,4 +84,39 @@ object LangModel {
     charNgramLogProb(corpus, idCol, textCol,
       charNgramCounts(corpus, textCol, n).localCheckpoint(), n, addK,
       vocabSize)
+
+  /** Held-out per-group perplexity report — the standard quality-filter
+    * calibration table: a deterministic 1/holdOutMod hash split holds out
+    * eval docs, the model trains on the REST, and each group (language,
+    * source, …) gets its doc/gram mass, the doc-weighted mean per-char
+    * log-prob, and the POOLED (gram-weighted) perplexity
+    * exp(−Σ lp / Σ grams) — the number actually compared across
+    * tokenizer/filter configurations (doc-mean hides short-doc skew).
+    *
+    * Scale shape: one corpus pass for counts, one for scoring (model
+    * broadcasts, q83's shape); the split is a pure hash of the id, so
+    * train/eval never shuffle. Groups are bounded → the report is a
+    * groups-sized aggregate. */
+  def heldOutReport(corpus: DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String], n: Int = 3, addK: Double = 0.5,
+      vocabSize: Long = 128L, holdOutMod: Int = 10): DataFrame = {
+    require(holdOutMod >= 2, "holdOutMod must be >= 2")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val held = pmod(graft.api.functions.hash64(col(idCol)),
+      lit(holdOutMod.toLong)) === 0L
+    val model = charNgramCounts(corpus.where(!held), textCol, n)
+      .localCheckpoint()
+    val scored = charNgramLogProb(corpus.where(held), idCol, textCol,
+      model, n, addK, vocabSize)
+    scored
+      .join(corpus.select(col(idCol) +: groupCols.map(col): _*),
+        Seq(idCol))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        avg(col("avg_logp")).as("mean_logp"),
+        (sum(col("avg_logp") * col("n_grams")) / sum(col("n_grams")))
+          .as("pooled_logp"))
+      .withColumn("pooled_ppl", exp(-col("pooled_logp")))
+  }
 }
