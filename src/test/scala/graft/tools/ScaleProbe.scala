@@ -451,6 +451,43 @@ object ScaleProbe {
         pmod(col("vec_id"), lit(16)), col("embedding")))
     }
 
+    // round-10 ops -----------------------------------------------------
+
+    time(s"r10 bpeEncode $nDocs docs, k=1000 merges (chunked fold)") {
+      // production-scale merge table: 1000 merges over the synthetic
+      // w<digits> vocabulary, all of which actually fire. The fold runs
+      // 63 chunked checkpoint rounds over the word-TYPE table (5000
+      // rows); the measured cost is fold machinery + the corpus-scale
+      // encode assembly — the k >> 8 regime q171 never exercises.
+      val digits = (0 to 9).map(_.toString)
+      val merges =
+        (digits.map(d => graft.ops.Bpe.Merge("w", d, 0)) ++
+          (for (a <- digits; b <- digits)
+            yield graft.ops.Bpe.Merge("w" + a, b, 0)) ++
+          (for (a <- digits; b <- digits; c <- digits)
+            yield graft.ops.Bpe.Merge("w" + a + b, c, 0))).take(1000)
+      force(graft.ops.Bpe.encode(docs, "doc_id", col("text"), merges))
+    }
+    time(s"r10 unigram learn $nDocs docs (vocab 2000, 2 EM iters)") {
+      graft.ops.Unigram.learn(docs, col("text"), vocabSize = 2000,
+        maxPieceLen = 4, minCount = 2, seedCap = 4000, emIters = 2)
+    }
+    time(s"r10 unigram encode $nDocs docs (vocab 2000)") {
+      val m = graft.ops.Unigram.learn(docs, col("text"), vocabSize = 2000,
+        maxPieceLen = 4, minCount = 2, seedCap = 4000, emIters = 2)
+      force(graft.ops.Unigram.encode(docs, "doc_id", col("text"), m))
+    }
+    time(s"r10 packFitWhole $nDocs docs (budget 128)") {
+      force(graft.ops.Packing.packFitWhole(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok")),
+        "doc_id", "n_tok", 128L))
+    }
+    time(s"r10 heldOutReport $nDocs docs (trigram, 20 groups)") {
+      force(graft.ops.LangModel.heldOutReport(docs, "doc_id", "text",
+        Seq("source")))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
