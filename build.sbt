@@ -16,6 +16,9 @@ run / fork := true
 // output would displace graft.Bench's final JSON line (BENCH parsed=null,
 // rounds 7-9). The exit code still reports success/failure.
 Global / showSuccess := false
+// Pass the forked main's stdout through VERBATIM (no "[info] " logger
+// prefix) so the final JSON line is parseable as-is from the tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

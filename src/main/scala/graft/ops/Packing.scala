@@ -182,7 +182,8 @@ object Packing {
     * (not dense) long ids, class-prefixed as class·2⁴⁰ + ordinal so no
     * cross-class coordination pass is needed. */
   def packFitWhole(df: DataFrame, idCol: String, tokenCol: String,
-      budget: Long, classes: Int = 8, buckets: Int = 0): DataFrame = {
+      budget: Long, classes: Int = 8, buckets: Int = 0,
+      smallInputRows: Long = 2000000L): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     require(classes >= 2 && classes <= 64, "classes must be in [2, 64]")
     val capTail = budget - budget / classes
@@ -191,32 +192,50 @@ object Packing {
       .when(t <= 0, lit(classes))
       .otherwise(least(lit(classes),
         floor(lit(budget).cast("double") / t).cast("int")))
-    // the classes + 1 per-class rank passes run over a checkpointed
-    // NARROW (id, tokens, class) projection — ~20 bytes/row — so the
-    // (possibly text-wide) input is scanned once here and once for the
-    // final join-back, never per class
+    // the rank passes run over a checkpointed NARROW (id, tokens, class)
+    // projection — ~20 bytes/row — so the (possibly text-wide) input is
+    // scanned once here and once for the final join-back, never per class
     val narrow = df.select(col(idCol), t.as("__t"), cls.as("__cls"))
       .localCheckpoint()
-    val parts = (0 to classes).map { k =>
-      val sub = narrow.where(col("__cls") === k)
-      if (k == classes)
-        withPrefixSum(sub, idCol, "__t", "__cum", buckets)
-          .withColumn("__cbin", floor((col("__cum") - col("__t"))
-            / lit(capTail.toDouble)).cast("long"))
-          .drop("__cum")
-      else {
-        val perBin = math.max(k, 1) // class 0: one doc per bin
-        withPrefixSum(sub.withColumn("__one", lit(1.0)), idCol, "__one",
-            "__rk", buckets)
-          .withColumn("__cbin", floor((col("__rk") - 1)
-            / lit(perBin.toDouble)).cast("long"))
-          .drop("__one", "__rk")
-      }
-    }
-    val assigned = parts.reduce(_.unionByName(_))
-      .select(col(idCol),
-        (col("__cls").cast("long") * lit(1L << 40) + col("__cbin"))
-          .as("bin"))
+    // two tiers (Dedup.components precedent, identical results): below
+    // smallInputRows one window pass partitioned by class does all the
+    // ranks/cumsums (classes+1 partitions — fine for small frames, a
+    // single-task-per-class bottleneck at corpus scale); above it, one
+    // DISTRIBUTED prefix scan per class (classes+1 bounded passes over
+    // the narrow checkpoint, no global window anywhere)
+    val assigned = (if (narrow.count() <= smallInputRows) {
+      val w = Window.partitionBy(col("__cls")).orderBy(col(idCol))
+      narrow
+        .withColumn("__rk", row_number().over(w).cast("double"))
+        .withColumn("__cum", sum(col("__t")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+        .withColumn("__cbin",
+          when(col("__cls") === 0, (col("__rk") - 1).cast("long"))
+            .when(col("__cls") < classes,
+              floor((col("__rk") - 1) / col("__cls")).cast("long"))
+            .otherwise(floor((col("__cum") - col("__t"))
+              / lit(capTail.toDouble)).cast("long")))
+    } else {
+      (0 to classes).map { k =>
+        val sub = narrow.where(col("__cls") === k)
+        if (k == classes)
+          withPrefixSum(sub, idCol, "__t", "__cum", buckets)
+            .withColumn("__cbin", floor((col("__cum") - col("__t"))
+              / lit(capTail.toDouble)).cast("long"))
+            .drop("__cum")
+        else {
+          val perBin = math.max(k, 1) // class 0: one doc per bin
+          withPrefixSum(sub.withColumn("__one", lit(1.0)), idCol, "__one",
+              "__rk", buckets)
+            .withColumn("__cbin", floor((col("__rk") - 1)
+              / lit(perBin.toDouble)).cast("long"))
+            .drop("__one", "__rk")
+        }
+      }.reduce(_.unionByName(_))
+    }).select(col(idCol),
+      (col("__cls").cast("long") * lit(1L << 40) + col("__cbin"))
+        .as("bin"))
     // plain hash join (assignments are corpus-sized — never broadcast)
     df.join(assigned, Seq(idCol))
   }
@@ -228,8 +247,10 @@ object Packing {
     * `packing_gain = naive_seqs / n_bins` uses the same naive baseline
     * as [[packingStats]]. */
   def packingStatsFit(df: DataFrame, idCol: String, tokenCol: String,
-      budget: Long, classes: Int = 8, buckets: Int = 0): DataFrame = {
-    val packed = packFitWhole(df, idCol, tokenCol, budget, classes, buckets)
+      budget: Long, classes: Int = 8, buckets: Int = 0,
+      smallInputRows: Long = 2000000L): DataFrame = {
+    val packed = packFitWhole(df, idCol, tokenCol, budget, classes,
+      buckets, smallInputRows)
     val t = col(tokenCol).cast("long")
     val bins = packed.groupBy("bin")
       .agg(sum(t).as("__t"), count(lit(1)).as("__docs"))

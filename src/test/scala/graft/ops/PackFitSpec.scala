@@ -81,6 +81,18 @@ class PackFitSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("small-window tier ≡ distributed per-class tier") {
+    val df = corpus(400, 100)
+    val small = Packing.packFitWhole(df, "id", "len", 100L)
+      .select("id", "bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toList
+    val big = Packing.packFitWhole(df, "id", "len", 100L,
+        smallInputRows = 0L) // force the distributed tier
+      .select("id", "bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toList
+    assert(small == big)
+  }
+
   test("stats receipt: oversize counted, gain vs naive baseline") {
     val df = Seq((1L, 150), (2L, 50), (3L, 50), (4L, 10), (5L, 10))
       .toDF("id", "len")
