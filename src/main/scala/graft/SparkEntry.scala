@@ -83,6 +83,18 @@ object SparkEntry {
   /** One-time 8-file documents layout for q204's micro-batch replay. */
   private val docStreamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One-time persisted MinHash index over the EVEN docs for q206. */
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureMinhashIndex(s: SparkSession, dir: String): String =
+    minhashIndexCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft_mhidx")
+        .toString
+      graft.ops.Dedup.buildMinhashIndex(
+        t(s, d, "documents").where(col("doc_id") % 2 === 0),
+        "doc_id", "text", base, shingleN = 2, numHashes = 128, bands = 32)
+      base
+    })
   /** One-time 8-shard WebDataset tar layout for q159, keyed by sf dir. */
   private val tarCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -962,6 +974,23 @@ object SparkEntry {
           maxDocFreq = 256)
         .select(col("idA"), col("idB"), col("n_shared"), col("n_a"),
           col("n_b"), round(col("overlap"), 6).as("overlap"))
+        .orderBy("idA", "idB")
+    }),
+
+    "q206_dedup_index" -> ((s, dir) => {
+      // persisted-dedup-index decoupling (q149's train-once/search-many
+      // pattern for the dedup side): the EVEN docs are indexed ONCE to
+      // parquet (bands + stored shingle sets + geometry meta — setup
+      // cached per dir), the ODD "new crawl shard" is deduped against
+      // the stored layout without touching the indexed corpus' text.
+      // Identical-output contract: must equal q94's cross-frame pairs
+      // row-for-row, so it shares q94's oracle verbatim
+      val base = ensureMinhashIndex(s, dir)
+      graft.ops.Dedup.pairsAgainstIndex(
+          t(s, dir, "documents").where(col("doc_id") % 2 === 1),
+          "doc_id", "text", base, threshold = 0.5)
+        .select(col("idA"), col("idB"),
+          round(col("jaccard"), 6).as("jaccard"))
         .orderBy("idA", "idB")
     }),
 
@@ -3626,6 +3655,9 @@ i$k AS MATERIALIZED (SELECT
       // identical-output contract: the multi-index tier must reproduce
       // single-level banding row-for-row
       ("q173_hamming_multiindex" -> oracleBase("q35_simhash_pairs")) +
+      // identical-output contract: dedup-against-stored-index must
+      // reproduce the cross-frame delta dedup row-for-row
+      ("q206_dedup_index" -> oracleBase("q94_delta_dedup")) +
       ("q163_compressibility" -> oracleBase("q163_compressibility")
         .replace("__DEFLATE_FIXTURE__", deflateFixturePath))
 

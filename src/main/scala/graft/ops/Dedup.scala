@@ -151,6 +151,95 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // --- persisted MinHash index (build-once / dedup-many) -------------------
+
+  /** Build a PERSISTED MinHash dedup index over `df` — the incremental-
+    * ingestion decoupling (q149's train-once/search-many pattern for the
+    * dedup side): index the existing corpus ONCE, then dedup every new
+    * crawl increment against it with [[pairsAgainstIndex]] without
+    * re-signaturing a byte of the indexed corpus.
+    *
+    * Layout under `dir`:
+    *  - `bands/`    (band INT, key LONG, id LONG) — the LSH candidate
+    *    join surface, (bands × nDocs) rows of 20 bytes;
+    *  - `shingles/` (id LONG, sh ARRAY<LONG>) — each doc's sorted
+    *    distinct shingle-hash set ([[graft.api.functions.shingle_hashes]]
+    *    — the EXACT sets `ngram_jaccard` compares, so index-side
+    *    verification is bit-identical to text-side verification);
+    *  - `meta/`     one row (shingle_n, num_hashes, bands, seed) — query
+    *    time re-derives signatures from the STORED geometry, so a
+    *    mismatched caller cannot silently produce an incompatible join.
+    *
+    * One corpus pass; both tables partition on nothing special — the
+    * band join repartitions by (band, key) at query time anyway. */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String, shingleN: Int = 3, numHashes: Int = 128,
+      bands: Int = 32, seed: Long = 42L): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = gf.minhash_signature(col(textCol), shingleN, numHashes, seed)
+    df.select(col(idCol).as("id"), sig.as("__sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("__sig"), b * r + lit(1), lit(r))))))
+      .toDF("id", "band", "key")
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    df.select(col(idCol).as("id"),
+        gf.shingle_hashes(col(textCol), shingleN).as("sh"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shingleN, numHashes, bands, seed))
+      .toDF("shingle_n", "num_hashes", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Match a NEW shard against a persisted [[buildMinhashIndex]] layout:
+    * returns (idA = new-shard id, idB = indexed id, jaccard) with exact
+    * verified Jaccard ≥ threshold — row-identical to
+    * [[minhashPairsAcross]](newDf, indexedCorpus, …) at the index's
+    * geometry, WITHOUT touching the indexed corpus' text. The new shard
+    * is signatured once; candidate volume is shard×index band
+    * collisions; stored shingle sets ship only for candidate idBs
+    * (semi-join pruned before the verify join). */
+  def pairsAgainstIndex(newDf: DataFrame, idCol: String, textCol: String,
+      dir: String, threshold: Double): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").head
+    val shingleN = meta.getAs[Int]("shingle_n")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val seed = meta.getAs[Long]("seed")
+    val r = numHashes / bands
+    val sig = gf.minhash_signature(col(textCol), shingleN, numHashes, seed)
+    val qb = newDf.select(col(idCol).as("__id"), sig.as("__sig"))
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("__sig"), b * r + lit(1), lit(r))))))
+      .toDF("idA", "__band", "__key")
+    val ib = spark.read.parquet(s"$dir/bands")
+      .select(col("id").as("idB"), col("band").as("__band"),
+        col("key").as("__key"))
+    val cand = qb.hint("SHUFFLE_HASH")
+      .join(ib.hint("SHUFFLE_HASH"), Seq("__band", "__key"))
+      .select("idA", "idB").distinct()
+    val qs = newDf.select(col(idCol).as("idA"),
+      gf.shingle_hashes(col(textCol), shingleN).as("__sa"))
+    val is = spark.read.parquet(s"$dir/shingles")
+      .select(col("id").as("idB"), col("sh").as("__sb"))
+    // same arithmetic as TextKernels.ngramJaccard over the same hash
+    // sets, including the both-empty → 1.0 convention
+    cand.join(qs, Seq("idA")).join(is, Seq("idB"))
+      .withColumn("__i",
+        size(array_intersect(col("__sa"), col("__sb"))))
+      .select(col("idA"), col("idB"),
+        when(size(col("__sa")) === 0 && size(col("__sb")) === 0, lit(1.0))
+          .otherwise(col("__i") /
+            (size(col("__sa")) + size(col("__sb")) - col("__i")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Join candidate (idA, idB) pairs back to their texts and keep pairs with
     * exact n-gram Jaccard ≥ threshold. */
   private def verifyJaccard(df: DataFrame, cand: DataFrame, idCol: String,

@@ -66,9 +66,14 @@ object Drift {
     val scored = cnts.select(col("category"), col("cnt_a"), col("cnt_b"),
       pa.as("p_a"), pb.as("p_b"),
       (lit(0.5) * (pa * log(pa / m) + pb * log(pb / m))).as("js_term"))
+    // the window input is the TakeOrdered limit(k) frame — ≤ k rows by
+    // construction, so a single-partition rank is the right plan; the
+    // literal partition key declares that intent (and keeps WindowExec's
+    // move-everything-to-one-partition warning out of corpus-scale logs)
     scored.orderBy(desc("js_term"), asc("category")).limit(k)
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(desc("js_term"), asc("category"))))
+        .Window.partitionBy(lit(0))
+        .orderBy(desc("js_term"), asc("category"))))
   }
 
   /** Numeric-column drift via the Population Stability Index — the

@@ -136,10 +136,13 @@ object Vocab {
     * cumulative table — nothing here rescans the corpus. */
   def coverage(df: DataFrame, text: Column, ranks: Seq[Long]): DataFrame = {
     require(ranks.nonEmpty && ranks.forall(_ >= 1), "ranks must be >= 1")
-    val ranked = build(df, text)
-      .withColumn("cum",
-        sum(col("n")).over(Window.orderBy(col("token_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // distributed prefix sum (Packing's two-level scan) instead of a
+    // global single-partition window: the ranked table is vocab-sized,
+    // but a web-scale vocabulary is still millions of rows — no reason
+    // to funnel it through one task
+    val ranked = Packing.withPrefixSum(build(df, text), "token_id", "n",
+        "__cumd")
+      .withColumn("cum", col("__cumd").cast("long")).drop("__cumd")
     val total = ranked.agg(coalesce(sum(col("n")), lit(0L)).as("t"))
     val session = df.sparkSession
     import session.implicits._
