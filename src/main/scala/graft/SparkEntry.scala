@@ -161,6 +161,20 @@ object SparkEntry {
         vocabSize = 40, maxPieceLen = 4, minCount = 2, seedCap = 64,
         emIters = 2))
 
+  /** One-time WordPiece model for q207–q209, keyed by sf dir (gate
+    * geometry: 6 likelihood-scored merges — mirrored round-for-round by
+    * the wordpieceReplay oracle prefix). */
+  private val wordpieceModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Wordpiece.Model]()
+  private def ensureWordpiece(s: SparkSession,
+      dir: String): graft.ops.Wordpiece.Model = {
+    wordpieceModelCache.computeIfAbsent(dir, { d =>
+      val docs = t(s, d, "documents")
+      val merges = graft.ops.Wordpiece.learnMerges(docs, "text", 6)
+      graft.ops.Wordpiece.model(docs, col("text"), merges)
+    })
+  }
+
   /** One-time 8-shard TFRecord layout for q172, keyed by sf dir. */
   private val recordsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -992,6 +1006,51 @@ object SparkEntry {
         .select(col("idA"), col("idB"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("idA", "idB")
+    }),
+
+    "q207_wordpiece_learn" -> ((s, dir) => {
+      // WordPiece vocabulary fit (the third tokenizer family): 6
+      // likelihood-scored merges (cnt/(cl·cr) in identical IEEE
+      // doubles) over the ##-marked word-type table. The oracle replays
+      // every round — symbol counts, pair counts, score argmax, merge
+      // fold — and the alphabet-then-merges id assignment
+      graft.ops.Wordpiece.vocabTable(s, ensureWordpiece(s, dir))
+        .orderBy("piece_id")
+    }),
+
+    "q208_wordpiece_encode" -> ((s, dir) => {
+      // WordPiece tokenizer APPLICATION (q171/q200's contract for the
+      // third family): greedy longest-match segmentation over word
+      // types (whole-word [UNK] → unkId), per-doc id assembly,
+      // comparator-safe scalar receipts (order pinned by the
+      // position-weighted sum)
+      val docs = t(s, dir, "documents")
+      graft.ops.Wordpiece.encode(docs, "doc_id", col("text"),
+          ensureWordpiece(s, dir))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_pieces"),
+          coalesce(aggregate(col("ids"), lit(0L), (acc, x) => acc + x),
+            lit(0L)).as("ids_sum"),
+          aggregate(col("ids"),
+            struct(lit(0L).as("s"), lit(0L).as("j")),
+            (acc, x) => struct(
+              (acc.getField("s") + (acc.getField("j") + 1L) * x).as("s"),
+              (acc.getField("j") + 1L).as("j")),
+            acc => acc.getField("s")).as("ids_pw"),
+          coalesce(array_min(col("ids")), lit(-1L)).as("min_id"),
+          coalesce(array_max(col("ids")), lit(-1L)).as("max_id"))
+        .orderBy("doc_id")
+    }),
+
+    "q209_wordpiece_fertility" -> ((s, dir) => {
+      // per-language fertility under the WordPiece model (q174/q201's
+      // diagnostic for the third family; [UNK]-collapsed words count
+      // one piece)
+      val docs = t(s, dir, "documents")
+      graft.ops.Wordpiece.fertilityByKey(docs, col("text"), col("lang"),
+          ensureWordpiece(s, dir))
+        .withColumnRenamed("key", "lang")
+        .orderBy("lang")
     }),
 
     "q205_heldout_ppl" -> ((s, dir) => {
@@ -3840,6 +3899,86 @@ i$k AS MATERIALIZED (SELECT
      FROM fkept WHERE length(piece) >= 2))""" +
       "," + unigramVitPass("f", "fvocab")
 
+  /** Shared oracle prefix for q207–q209: replays
+    * [[graft.ops.Wordpiece]] round-for-round at the gate geometry
+    * (6 merges) — ##-marked symbol init, per-round symbol counts + pair
+    * counts + likelihood argmax (`cnt::DOUBLE / (cl::DOUBLE ·
+    * cr::DOUBLE)`, the engine's identical IEEE expression; ties by cnt
+    * desc, l, r) + merge fold — then the alphabet-then-merges id
+    * assignment (`wvocab`) and a 12-step unrolled greedy
+    * longest-match-first segmentation (`wseg`: per step, the longest
+    * vocabulary hit at the cursor wins; a word with an unmatched
+    * position collapses to ['[UNK]']). */
+  private lazy val wordpieceReplay: String =
+    """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+           FROM documents),
+ w AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM toks
+   WHERE word <> '' GROUP BY 1),
+ ws0 AS MATERIALIZED (SELECT word, list_transform(
+     range(1, length(word)+1),
+     i -> CASE WHEN i = 1 THEN word[1:1] ELSE '##' || word[i:i] END)
+       AS syms, freq
+   FROM w),""" +
+      (1 to 6).map { k =>
+        s"""
+ wc$k AS MATERIALIZED (SELECT sym, sum(freq)::BIGINT AS c
+   FROM ws${k - 1}, unnest(syms) t(sym) GROUP BY 1),
+ wp$k AS (SELECT syms[j] AS l, syms[j+1] AS r, sum(freq)::BIGINT AS cnt
+   FROM ws${k - 1}, unnest(range(1, len(syms))) t(j) GROUP BY 1, 2),
+ wm$k AS (SELECT l, r,
+     l || CASE WHEN r[1:2] = '##' THEN r[3:] ELSE r END AS mg
+   FROM wp$k JOIN wc$k cl ON cl.sym = wp$k.l
+   JOIN wc$k cr ON cr.sym = wp$k.r
+   ORDER BY wp$k.cnt::DOUBLE / (cl.c::DOUBLE * cr.c::DOUBLE) DESC,
+     wp$k.cnt DESC, l, r LIMIT 1),
+ ws$k AS MATERIALIZED (SELECT word, list_reduce(
+     list_prepend([]::VARCHAR[], list_transform(syms, x -> [x])),
+     (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = wm$k.l
+                           AND x[1] = wm$k.r
+       THEN list_append(acc[1:len(acc)-1], wm$k.mg)
+       ELSE list_append(acc, x[1]) END) AS syms, freq
+   FROM ws${k - 1}, wm$k)"""
+      }.mkString(",") + """,
+ walpha AS MATERIALIZED (SELECT DISTINCT sym FROM ws0, unnest(syms) t(sym)),
+ wna AS (SELECT count(*)::BIGINT AS n FROM walpha),
+ wmg AS MATERIALIZED (""" +
+      (1 to 6).map(k => s"SELECT $k AS k, mg FROM wm$k")
+        .mkString("\n   UNION ALL ") + """),
+ wmgk AS (SELECT k, mg FROM wmg m
+   WHERE NOT EXISTS (SELECT 1 FROM walpha a WHERE a.sym = m.mg)
+     AND NOT EXISTS (SELECT 1 FROM wmg e WHERE e.mg = m.mg AND e.k < m.k)),
+ wvocab AS MATERIALIZED (
+   SELECT sym AS piece, row_number() OVER (ORDER BY sym) - 1 AS pid
+   FROM walpha
+   UNION ALL
+   SELECT mg, (SELECT n FROM wna) + row_number() OVER (ORDER BY k) - 1
+   FROM wmgk),
+ wg0 AS MATERIALIZED (SELECT word, length(word) AS n, 0 AS pos,
+   []::VARCHAR[] AS seg, false AS unk FROM w)""" +
+      (1 to 12).map { t =>
+        s""",
+ wmt$t AS MATERIALIZED (
+   SELECT c.word, c.n, c.pos, c.seg, v.piece, c.l,
+     row_number() OVER (PARTITION BY c.word ORDER BY c.l DESC) AS rn
+   FROM (SELECT a.word, a.n, a.pos, a.seg, u.l,
+       CASE WHEN a.pos = 0 THEN a.word[1:u.l]
+         ELSE '##' || a.word[a.pos+1:a.pos+u.l] END AS cand
+     FROM wg${t - 1} a, unnest(range(1, 13)) u(l)
+     WHERE NOT a.unk AND a.pos < a.n AND a.pos + u.l <= a.n) c
+   JOIN wvocab v ON v.piece = c.cand),
+ wg$t AS MATERIALIZED (
+   SELECT word, n, pos, seg, unk FROM wg${t - 1} WHERE unk OR pos >= n
+   UNION ALL
+   SELECT word, n, pos + l, list_append(seg, piece), false
+   FROM wmt$t WHERE rn = 1
+   UNION ALL
+   SELECT a.word, a.n, a.pos, a.seg, true FROM wg${t - 1} a
+   WHERE NOT a.unk AND a.pos < a.n
+     AND NOT EXISTS (SELECT 1 FROM wmt$t m WHERE m.word = a.word))"""
+      }.mkString + """,
+ wseg AS MATERIALIZED (SELECT word,
+   CASE WHEN unk THEN ['[UNK]'] ELSE seg END AS seg FROM wg12)"""
+
   /** Shared winnow-oracle prefix (q184/q189): re-derives every 24-byte
     * rolling hash, replays rightmost-min window selection via a
     * (hash, −pos)-packed HUGEINT window minimum, and applies the
@@ -6456,6 +6595,43 @@ ORDER BY idA, idB"""),
    coalesce(list_max(o.ids), -1)::BIGINT AS max_id
  FROM documents d LEFT JOIN o USING (doc_id)
  ORDER BY d.doc_id"""),
+    "q207_wordpiece_learn" ->
+      (wordpieceReplay + """
+ SELECT piece, pid AS piece_id FROM wvocab ORDER BY pid"""),
+    "q208_wordpiece_encode" ->
+      (wordpieceReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM wseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN wvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id)
+ SELECT d.doc_id, coalesce(len(o.ids), 0)::BIGINT AS n_pieces,
+   coalesce(list_sum(o.ids), 0)::BIGINT AS ids_sum,
+   coalesce(list_sum(list_transform(range(1, len(o.ids) + 1),
+     j -> j * o.ids[j])), 0)::BIGINT AS ids_pw,
+   coalesce(list_min(o.ids), -1)::BIGINT AS min_id,
+   coalesce(list_max(o.ids), -1)::BIGINT AS max_id
+ FROM documents d LEFT JOIN o USING (doc_id)
+ ORDER BY d.doc_id"""),
+    "q209_wordpiece_fertility" ->
+      (wordpieceReplay + """,
+ wpc AS (SELECT word, len(seg)::BIGINT AS p,
+     length(word)::BIGINT AS c FROM wseg),
+ dtk AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS word
+     FROM documents),
+ jj AS (SELECT dtk.lang, wpc.p, wpc.c FROM dtk JOIN wpc USING (word))
+ SELECT lang, count(*)::BIGINT AS n_words, sum(p)::BIGINT AS n_pieces,
+   sum(c)::BIGINT AS n_chars,
+   round(sum(p)::DOUBLE / count(*), 6) AS fertility,
+   round(sum(c)::DOUBLE / sum(p), 6) AS chars_per_piece
+ FROM jj GROUP BY lang ORDER BY lang"""),
     "q201_unigram_fertility" ->
       (unigramReplay + """,
  wpc AS (SELECT word, len(seg)::BIGINT AS p,
