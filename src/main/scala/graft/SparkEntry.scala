@@ -175,6 +175,14 @@ object SparkEntry {
     })
   }
 
+  /** One-time Kneser-Ney bigram model for q210, keyed by sf dir. */
+  private val knModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.LangModel.KneserNeyModel]()
+  private def ensureKneserNey(s: SparkSession,
+      dir: String): graft.ops.LangModel.KneserNeyModel =
+    knModelCache.computeIfAbsent(dir, d =>
+      graft.ops.LangModel.kneserNeyTrain(t(s, d, "documents"), "text"))
+
   /** One-time 8-shard TFRecord layout for q172, keyed by sf dir. */
   private val recordsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1006,6 +1014,18 @@ object SparkEntry {
         .select(col("idA"), col("idB"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("idA", "idB")
+    }),
+
+    "q210_kneser_ney" -> ((s, dir) => {
+      // interpolated Kneser-Ney bigram scoring (Chen & Goodman's
+      // benchmark smoothing, next to q83's add-k): self-trained on the
+      // corpus, per-doc mean ln p(w|u) with continuation-count backoff.
+      // The oracle re-derives every count table and the single-division
+      // probability expression bit-for-bit before the ln
+      val docs = t(s, dir, "documents")
+      graft.ops.LangModel.kneserNeyScore(docs, "doc_id", "text",
+          ensureKneserNey(s, dir))
+        .orderBy("doc_id")
     }),
 
     "q207_wordpiece_learn" -> ((s, dir) => {
@@ -6595,6 +6615,35 @@ ORDER BY idA, idB"""),
    coalesce(list_max(o.ids), -1)::BIGINT AS max_id
  FROM documents d LEFT JOIN o USING (doc_id)
  ORDER BY d.doc_id"""),
+    "q210_kneser_ney" ->
+      """WITH ws AS MATERIALIZED (SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents),
+ bg AS MATERIALIZED (SELECT doc_id, ws[j] AS u, ws[j+1] AS w
+   FROM ws, unnest(range(1, len(ws))) t(j) WHERE len(ws) >= 2),
+ bt AS MATERIALIZED (SELECT u, w, count(*)::BIGINT AS cuw
+   FROM bg GROUP BY 1, 2),
+ ctx AS MATERIALIZED (SELECT u, sum(cuw)::BIGINT AS cu,
+   count(*)::BIGINT AS n1u FROM bt GROUP BY 1),
+ cont AS MATERIALIZED (SELECT w, count(*)::BIGINT AS n1w
+   FROM bt GROUP BY 1),
+ nbv AS (SELECT (SELECT count(*) FROM bt)
+   + (SELECT count(DISTINCT x)
+      FROM (SELECT unnest(ws) AS x FROM ws)) + 1 AS nbv),
+ sc AS (SELECT g.doc_id, ln(CASE WHEN c.cu IS NOT NULL
+     THEN (greatest(coalesce(b.cuw, 0)::DOUBLE - 0.75, 0.0)
+       + 0.75 * c.n1u::DOUBLE
+         * ((coalesce(n.n1w, 0) + 1)::DOUBLE
+            / (SELECT nbv FROM nbv)::DOUBLE)) / c.cu::DOUBLE
+     ELSE (coalesce(n.n1w, 0) + 1)::DOUBLE
+       / (SELECT nbv FROM nbv)::DOUBLE END) AS lp
+   FROM bg g LEFT JOIN bt b ON b.u = g.u AND b.w = g.w
+   LEFT JOIN ctx c ON c.u = g.u
+   LEFT JOIN cont n ON n.w = g.w)
+ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+   round(avg(lp), 6) AS avg_logp
+ FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
     "q207_wordpiece_learn" ->
       (wordpieceReplay + """
  SELECT piece, pid AS piece_id FROM wvocab ORDER BY pid"""),

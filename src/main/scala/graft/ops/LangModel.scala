@@ -119,4 +119,93 @@ object LangModel {
           .as("pooled_logp"))
       .withColumn("pooled_ppl", exp(-col("pooled_logp")))
   }
+
+  // --- interpolated Kneser-Ney (word bigram) -------------------------------
+
+  /** Per-doc word-bigram stream: adjacent (u, w) pairs of the
+    * whitespace-token sequence (empties dropped BEFORE pairing, so a run
+    * of whitespace doesn't break adjacency). Docs with < 2 words emit
+    * nothing. `keep` columns ride along. */
+  private def bigramStream(df: DataFrame, textCol: String,
+      keep: Seq[Column]): DataFrame =
+    df.select(keep :+
+        filter(split(col(textCol), "\\s+"), x => length(x) > 0)
+          .as("__ws"): _*)
+      .where(size(col("__ws")) >= 2)
+      .select(keep :+ explode(transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        j => struct(element_at(col("__ws"), j).as("u"),
+          element_at(col("__ws"), j + 1).as("w")))).as("__b"): _*)
+      .select(keep ++ Seq(col("__b.u").as("u"), col("__b.w").as("w")): _*)
+
+  /** A trained interpolated Kneser-Ney bigram model (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated variant) — the standard count-LM
+    * smoothing, complementing [[charNgramLogProb]]'s add-k:
+    *
+    *   p(w|u) = (max(c(u,w) − D, 0) + D · N1+(u,·) · pcont(w)) / c(u)
+    *   pcont(w) = (N1+(·,w) + 1) / (N1+(·,·) + V)
+    *
+    * with fixed discount D, continuation counts N1+ (DISTINCT
+    * continuations/contexts — the "how many contexts has w followed"
+    * insight), and an unseen context backing off to pcont alone. The +1/+V
+    * floor on pcont (V = train word types + 1) is this engine's documented
+    * totality convention: every score is finite, even for unseen words.
+    *
+    * `bigrams` (u, w, cuw), `contexts` (u, cu, n1u), `continuations`
+    * (w, n1w) are all bigram-TYPE-bounded tables (≪ corpus); `nbv` =
+    * N1+(·,·) + V. */
+  case class KneserNeyModel(bigrams: DataFrame, contexts: DataFrame,
+      continuations: DataFrame, nbv: Long, discount: Double)
+
+  /** Train the KN model: one bigram-type count pass over the corpus;
+    * contexts/continuations re-aggregate the TYPE table, never the
+    * corpus. */
+  def kneserNeyTrain(train: DataFrame, textCol: String,
+      discount: Double = 0.75): KneserNeyModel = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val bt = bigramStream(train, textCol, Seq.empty)
+      .groupBy("u", "w").agg(count(lit(1)).as("cuw"))
+      .localCheckpoint()
+    val ctx = bt.groupBy("u")
+      .agg(sum("cuw").as("cu"), count(lit(1)).as("n1u"))
+    val cont = bt.groupBy("w").agg(count(lit(1)).as("n1w"))
+    val nb = bt.count()
+    val v = train
+      .select(explode(split(col(textCol), "\\s+")).as("x"))
+      .where(length(col("x")) > 0)
+      .agg(count_distinct(col("x"))).head.getLong(0) + 1L
+    KneserNeyModel(bt, ctx, cont, nb + v, discount)
+  }
+
+  /** Score documents under a KN model: (idCol, n_bigrams, avg_logp) —
+    * per-doc mean ln p(w|u) over the doc's bigram stream, rounded to 6
+    * (the grain that absorbs cross-engine sum-order drift, q83's
+    * convention). Docs with < 2 words are absent.
+    *
+    * Scale shape: the corpus bigram stream joins the three type-bounded
+    * model tables by (u,w)/(u)/(w) — broadcast-able at fixture scale,
+    * plain hash joins at web scale where the bigram-type table itself is
+    * huge; the corpus never shuffles except the final per-doc regroup.
+    * The probability is ONE division deep (numerator folded first), so
+    * the oracle's identical IEEE expression reproduces every bit before
+    * the ln. */
+  def kneserNeyScore(corpus: DataFrame, idCol: String, textCol: String,
+      m: KneserNeyModel): DataFrame = {
+    val d = m.discount
+    val pcont = (coalesce(col("n1w"), lit(0L)) + 1L).cast("double") /
+      lit(m.nbv.toDouble)
+    val p = when(col("cu").isNotNull,
+      (greatest(coalesce(col("cuw"), lit(0L)).cast("double") - d,
+        lit(0.0)) + lit(d) * col("n1u").cast("double") * pcont) /
+        col("cu").cast("double"))
+      .otherwise(pcont)
+    bigramStream(corpus, textCol, Seq(col(idCol)))
+      .join(m.bigrams, Seq("u", "w"), "left")
+      .join(m.contexts, Seq("u"), "left")
+      .join(m.continuations, Seq("w"), "left")
+      .select(col(idCol), log(p).as("__lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__lp")), 6).as("avg_logp"))
+  }
 }
