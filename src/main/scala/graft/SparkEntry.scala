@@ -1016,6 +1016,24 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q211_ppl_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail perplexity bucketing per language: q83's
+      // self-trained trigram score (rounded to the oracle grain BEFORE
+      // ranking, so both engines rank the same values), exact per-lang
+      // ranks via the two-level range rank (no per-group skew
+      // partition), 10/40/50 cutoffs. Higher log-prob = lower ppl =
+      // head; ties (at the 1e-6 grain) break by doc_id
+      val docs = t(s, dir, "documents")
+      val scored = graft.ops.LangModel.scoreSelf(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("avg_logp"), 6).as("score"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      graft.ops.Quality.rankBuckets(scored, col("lang"), -col("score"),
+          col("doc_id"), headPct = 10, midPct = 40)
+        .select(col("doc_id"), col("lang"), col("score"),
+          col("rank_in_group"), col("n_group"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     "q210_kneser_ney" -> ((s, dir) => {
       // interpolated Kneser-Ney bigram scoring (Chen & Goodman's
       // benchmark smoothing, next to q83's add-k): self-trained on the
@@ -6615,6 +6633,30 @@ ORDER BY idA, idB"""),
    coalesce(list_max(o.ids), -1)::BIGINT AS max_id
  FROM documents d LEFT JOIN o USING (doc_id)
  ORDER BY d.doc_id"""),
+    "q211_ppl_buckets" ->
+      """WITH g AS (SELECT doc_id, substring(text, i, 3) AS gram
+    FROM documents, unnest(range(1, length(text) - 1)) t(i)),
+ model AS MATERIALIZED (SELECT gram, count(*)::BIGINT AS cnt
+   FROM g GROUP BY 1),
+ ctx AS MATERIALIZED (SELECT substring(gram, 1, 2) AS c,
+   sum(cnt)::BIGINT AS tot FROM model GROUP BY 1),
+ sc AS (SELECT doc_id,
+     ln((coalesce(m.cnt, 0) + 0.5) /
+        (coalesce(ctx.tot, 0) + 0.5 * 128)) AS lp
+   FROM g LEFT JOIN model m USING (gram)
+   LEFT JOIN ctx ON ctx.c = substring(g.gram, 1, 2)),
+ d AS (SELECT doc_id, round(avg(lp), 6) AS score FROM sc GROUP BY 1),
+ r AS (SELECT d.doc_id, l.lang, d.score,
+     row_number() OVER (PARTITION BY l.lang
+       ORDER BY d.score DESC, d.doc_id)::BIGINT AS rank_in_group,
+     count(*) OVER (PARTITION BY l.lang)::BIGINT AS n_group
+   FROM d JOIN documents l USING (doc_id))
+ SELECT doc_id, lang, score, rank_in_group, n_group,
+   CASE WHEN rank_in_group <= floor(n_group * 10 / 100.0) THEN 'head'
+        WHEN rank_in_group <= floor(n_group * 50 / 100.0) THEN 'middle'
+        ELSE 'tail' END AS bucket
+ FROM r ORDER BY doc_id""",
+
     "q210_kneser_ney" ->
       """WITH ws AS MATERIALIZED (SELECT doc_id,
     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws

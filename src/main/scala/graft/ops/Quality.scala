@@ -139,4 +139,83 @@ object Quality {
     proj.select(col("__id").as(idCol) +: pcts: _*)
       .select(col(idCol) +: signals.map(s => col(s"pct_${s._1}")) :+ blend: _*)
   }
+
+  /** CCNet-style per-group quantile bucketing (Wenzek et al. 2020):
+    * rank every row WITHIN its group by `order` (ascending; break ties
+    * with the unique `tie` column — rankings must be total for
+    * determinism) and label the first `headPct`% "head", the next
+    * `midPct`% "middle", the rest "tail". The canonical use: bucket
+    * documents by LM perplexity per language, keep head+middle.
+    *
+    * Cutoffs are `rank ≤ floor(n·pct/100)` in the identical double
+    * expression both engines evaluate — no float-boundary ambiguity at
+    * any realistic corpus size.
+    *
+    * Scale shape (the [[Vocab.build]] two-level rank, per group): ONE
+    * range shuffle on (group, order, tie) — no single-partition window,
+    * no per-group skew partition: a group spans many range partitions,
+    * each ranked locally, stitched by broadcast (partition, group)
+    * offsets. The offsets collect is (partitions × groups-per-partition)
+    * rows — groups must be modest-cardinality (languages, sources), which
+    * is what per-group quality bucketing means; ranges sample once and
+    * are pinned by a localCheckpoint so the collect and the rank pass see
+    * the same boundaries.
+    *
+    * Returns the input columns + (rank_in_group, n_group, bucket). */
+  def rankBuckets(df: DataFrame, group: Column, order: Column, tie: Column,
+      headPct: Int, midPct: Int): DataFrame = {
+    require(headPct >= 0 && midPct >= 0 && headPct + midPct <= 100,
+      "headPct/midPct must be >= 0 and sum to <= 100")
+    val spark = df.sparkSession
+    val base = df.withColumn("__g", group).withColumn("__o", order)
+      .withColumn("__t", tie)
+    val parts = math.max(2,
+      spark.sessionState.conf.numShufflePartitions)
+    val ranged = base
+      .repartitionByRange(parts, col("__g"), col("__o"), col("__t"))
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint()
+    val gType = base.schema("__g").dataType
+    val sizes = ranged.groupBy("__bkt", "__g")
+      .agg(count(lit(1)).as("c")).collect()
+    // per-group prefix over partitions in range order + group totals
+    val byG = sizes.groupBy(_.get(1)).map { case (g, rows) =>
+      val sorted = rows.sortBy(_.getInt(0))
+      val total = sorted.map(_.getLong(2)).sum
+      var acc = 0L
+      g -> (total, sorted.map { r =>
+        val off = acc; acc += r.getLong(2); r.getInt(0) -> off
+      }.toMap)
+    }
+    val offRows = byG.flatMap { case (g, (total, offs)) =>
+      offs.map { case (b, off) =>
+        org.apache.spark.sql.Row(b, g, off, total)
+      }
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__bkt",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__g", gType),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__n",
+        org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt"), col("__g"))
+      .orderBy(col("__o"), col("__t"))
+    val headCut = floor(col("__n") * lit(headPct) / lit(100.0))
+    val midCut = floor(col("__n") * lit(headPct + midPct) / lit(100.0))
+    ranged
+      .withColumn("__lr", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), Seq("__bkt", "__g"))
+      .withColumn("rank_in_group", col("__lr") + col("__off"))
+      .withColumn("n_group", col("__n"))
+      .withColumn("bucket",
+        when(col("rank_in_group") <= headCut, lit("head"))
+          .when(col("rank_in_group") <= midCut, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__g", "__o", "__t", "__bkt", "__lr", "__off", "__n")
+  }
 }
