@@ -33,6 +33,30 @@ def norm(rows):
     return [tuple(nv(v) for v in r) for r in rows]
 
 
+def dump_diff(out_dir, name, cols, ocols, s_rows, o_rows):
+    """On any mismatch, write both sorted frames and a row-level diff to
+    <out_dir>/<name>.diff.txt so the failure is diagnosable offline
+    (round-10 lesson: q202's driver red cell was unreproducible with no
+    row artifact to compare)."""
+    path = f"{out_dir}/{name}.diff.txt"
+    with open(path, "w") as f:
+        f.write(f"spark cols : {cols}\noracle cols: {ocols}\n")
+        f.write(f"spark rows : {len(s_rows)}\noracle rows: {len(o_rows)}\n")
+        diffs = [(i, a, b) for i, (a, b)
+                 in enumerate(zip(s_rows, o_rows)) if a != b]
+        f.write(f"differing rows: {len(diffs)} "
+                f"(+{abs(len(s_rows) - len(o_rows))} unpaired)\n\n")
+        for i, a, b in diffs[:50]:
+            f.write(f"row {i}:\n  spark : {a}\n  oracle: {b}\n")
+        f.write("\n--- spark (sorted) ---\n")
+        for r in s_rows:
+            f.write("\t".join(map(repr, r)) + "\n")
+        f.write("--- oracle (sorted) ---\n")
+        for r in o_rows:
+            f.write("\t".join(map(repr, r)) + "\n")
+    print(f"     wrote {path}")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     with open(f"{out_dir}/oracle_sql.json") as f:
@@ -70,15 +94,18 @@ def main():
                 f"SELECT {ocollist} FROM oracle_rel ORDER BY ALL").fetchall())
             if cols != ocols:
                 print(f"FAIL {name}: columns {cols} vs {ocols}")
+                dump_diff(out_dir, name, cols, ocols, s_rows, o_rows)
                 n_bad += 1
             elif len(s_rows) != len(o_rows):
                 print(f"FAIL {name}: rows {len(s_rows)} vs {len(o_rows)}")
+                dump_diff(out_dir, name, cols, ocols, s_rows, o_rows)
                 n_bad += 1
             elif s_rows != o_rows:
                 bad = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows))
                            if a != b)
                 print(f"FAIL {name}: first diff at row {bad}:\n"
                       f"  spark : {s_rows[bad]}\n  oracle: {o_rows[bad]}")
+                dump_diff(out_dir, name, cols, ocols, s_rows, o_rows)
                 n_bad += 1
             else:
                 print(f"ok   {name} ({len(s_rows)} rows)")

@@ -21,6 +21,39 @@ object Verify {
       "receipts instead (q136 convention)")
   }
 
+  /** Canonical row-dump artifact: the gate's rows exactly as the driver's
+    * comparator sees them (columns sorted by name, rows sorted as formatted
+    * tuples), written as `<name>.rows.tsv` next to the parquet. Round-10
+    * lesson: q202's driver-side hash mismatch did not reproduce under the
+    * local mirror, an independent reimplementation at three scales, or
+    * three back-to-back runs — with no row-level artifact from the
+    * driver's own sweep, the divergence was unobservable. This file makes
+    * any future red cell diffable: compare the sweep's artifact against a
+    * local rerun — identical ⇒ the oracle side differs; different ⇒ the
+    * engine is nondeterministic, and the diff shows exactly where.
+    * Reads back the just-written parquet (never re-executes the gate). */
+  def dumpCanonicalRows(spark: SparkSession, parquetDir: String,
+      artifactPath: String): Unit = {
+    val df = spark.read.parquet(parquetDir)
+    val cols = df.columns.sorted.toIndexedSeq
+    def fmt(v: Any): String = v match {
+      case null => "␀" // ␀: distinct from the literal string "null"
+      case b: Array[Byte] => "0x" + b.map(x => f"$x%02x").mkString
+      case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+      case d: java.lang.Double => java.lang.Double.toString(d)
+      case f: java.lang.Float => java.lang.Float.toString(f)
+      case other => other.toString
+    }
+    val lines = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(r => (0 until r.length).map(i => fmt(r.get(i))).mkString("\t"))
+      .sorted
+    val sb = new StringBuilder
+    sb.append(cols.mkString("\t")).append('\n')
+    lines.foreach(l => sb.append(l).append('\n'))
+    Files.writeString(Paths.get(artifactPath), sb.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated name prefixes (dev-only filter;
@@ -46,6 +79,7 @@ object Verify {
         val df = fn(spark, sfDir)
         assertComparatorSafe(df, name)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        dumpCanonicalRows(spark, s"$outDir/$name", s"$outDir/$name.rows.tsv")
       }
       catch { case e: Throwable =>
         nFailed += 1

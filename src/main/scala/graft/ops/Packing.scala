@@ -31,6 +31,16 @@ object Packing {
     * wider offsets literal. */
   private val MinRowsPerBucket = 16L
 
+  /** LONG integral division (Spark's `div`, = SQL `a div b`). Packing
+    * arithmetic is integer end to end: `floor(a.toDouble / b)` silently
+    * loses exactness past 2^53 — real territory for cumulative token
+    * sums over a 100 TB corpus — and a float boundary that rounds the
+    * other way moves a document into the wrong bin. All packing
+    * dividends/divisors here are non-negative, so truncating `div`
+    * equals floor division (the oracle's `//`). */
+  private def idiv(a: Column, b: Column): Column =
+    call_function("div", a.cast("long"), b.cast("long"))
+
   /** Cap the requested bucket count by the observed rows (≥ 2 always). */
   private[graft] def effectiveBuckets(requested: Int, rows: Long): Int =
     math.max(2L, math.min(requested.toLong, rows / MinRowsPerBucket)).toInt
@@ -82,6 +92,49 @@ object Packing {
       .drop("__bkt", "__local")
   }
 
+  /** [[withPrefixSum]] with LONG-exact arithmetic throughout: per-bucket
+    * totals, broadcast offsets, and the partition-local window sum all
+    * stay BIGINT, so the cumulative sum is bit-exact at ANY scale — the
+    * double variant is exact only below 2^53, which a 100 TB corpus's
+    * cumulative token count exceeds. `valueCol` must be integral (token
+    * counts, ranks); the t-digest pass is still used, but only to place
+    * bucket BOUNDARIES on the order key — it never touches the values,
+    * so its float arithmetic cannot change the result. */
+  def withPrefixSumLong(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, buckets: Int = 0): DataFrame = {
+    val reserved = Seq("__bkt", "__local")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val requested = math.max(2, if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions)
+    val blob = df.agg(gf.tdigest(col(orderCol).cast("double"), lit(1.0),
+        200.0).as("s")).head.getAs[Array[Byte]](0)
+    val td = graft.core.TDigest.deserialize(blob)
+    val rows = td.totalSize.toLong
+    val n = effectiveBuckets(requested, rows)
+    val bounds =
+      if (rows == 0) Array.empty[Double]
+      else (1 until n).map(i => td.quantile(i.toDouble / n)).toArray
+    val bucketed = Partitioning.assignBuckets(df, orderCol, bounds, "__bkt")
+    val totals = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col(valueCol).cast("long")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](bounds.length + 1)
+    var acc = 0L
+    (0 to bounds.length).foreach { b =>
+      offsets(b) = acc
+      acc += totals.getOrElse(b, 0L)
+    }
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("__local", sum(col(valueCol).cast("long")).over(w))
+      .withColumn(outCol,
+        col("__local") + element_at(
+          array(offsets.map(lit).toIndexedSeq: _*), col("__bkt") + 1))
+      .drop("__bkt", "__local")
+  }
+
   /** One-row packing-efficiency receipt for a token budget — the numbers
     * a team reads to justify packing over per-document padding: packed
     * sequence count and fill statistics from [[packByTokenBudget]]'s
@@ -99,8 +152,8 @@ object Packing {
       .agg(sum(col(tokenCol).cast("long")).as("__t"),
         count(lit(1)).as("__docs"))
     val naive = df.agg(coalesce(sum(
-      floor((col(tokenCol).cast("double") + (budget - 1)) / budget)
-        .cast("long")), lit(0L)).as("naive_seqs"))
+      idiv(col(tokenCol).cast("long") + (budget - 1), lit(budget))),
+      lit(0L)).as("naive_seqs"))
     bins.agg(
         count(lit(1)).as("n_bins"),
         sum(col("__docs")).as("n_docs"),
@@ -188,10 +241,12 @@ object Packing {
     require(classes >= 2 && classes <= 64, "classes must be in [2, 64]")
     val capTail = budget - budget / classes
     val t = col(tokenCol).cast("long")
+    // integer-only end to end (the q202 oracle is pure BIGINT `//`): a
+    // double division that rounds differently at a class boundary would
+    // misclassify a doc — idiv is bit-identical to the oracle
     val cls = when(t > budget, lit(0))
       .when(t <= 0, lit(classes))
-      .otherwise(least(lit(classes),
-        floor(lit(budget).cast("double") / t).cast("int")))
+      .otherwise(least(lit(classes.toLong), idiv(lit(budget), t)).cast("int"))
     // the rank passes run over a checkpointed NARROW (id, tokens, class)
     // projection — ~20 bytes/row — so the (possibly text-wide) input is
     // scanned once here and once for the final join-back, never per class
@@ -206,30 +261,27 @@ object Packing {
     val assigned = (if (narrow.count() <= smallInputRows) {
       val w = Window.partitionBy(col("__cls")).orderBy(col(idCol))
       narrow
-        .withColumn("__rk", row_number().over(w).cast("double"))
+        .withColumn("__rk", row_number().over(w).cast("long"))
         .withColumn("__cum", sum(col("__t")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double"))
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("__cbin",
-          when(col("__cls") === 0, (col("__rk") - 1).cast("long"))
+          when(col("__cls") === 0, col("__rk") - 1)
             .when(col("__cls") < classes,
-              floor((col("__rk") - 1) / col("__cls")).cast("long"))
-            .otherwise(floor((col("__cum") - col("__t"))
-              / lit(capTail.toDouble)).cast("long")))
+              idiv(col("__rk") - 1, col("__cls")))
+            .otherwise(idiv(col("__cum") - col("__t"), lit(capTail))))
     } else {
       (0 to classes).map { k =>
         val sub = narrow.where(col("__cls") === k)
         if (k == classes)
-          withPrefixSum(sub, idCol, "__t", "__cum", buckets)
-            .withColumn("__cbin", floor((col("__cum") - col("__t"))
-              / lit(capTail.toDouble)).cast("long"))
+          withPrefixSumLong(sub, idCol, "__t", "__cum", buckets)
+            .withColumn("__cbin",
+              idiv(col("__cum") - col("__t"), lit(capTail)))
             .drop("__cum")
         else {
           val perBin = math.max(k, 1) // class 0: one doc per bin
-          withPrefixSum(sub.withColumn("__one", lit(1.0)), idCol, "__one",
+          withPrefixSumLong(sub.withColumn("__one", lit(1L)), idCol, "__one",
               "__rk", buckets)
-            .withColumn("__cbin", floor((col("__rk") - 1)
-              / lit(perBin.toDouble)).cast("long"))
+            .withColumn("__cbin", idiv(col("__rk") - 1, lit(perBin.toLong)))
             .drop("__one", "__rk")
         }
       }.reduce(_.unionByName(_))
@@ -255,8 +307,8 @@ object Packing {
     val bins = packed.groupBy("bin")
       .agg(sum(t).as("__t"), count(lit(1)).as("__docs"))
     val naive = df.agg(
-      coalesce(sum(floor((t.cast("double") + (budget - 1)) / budget)
-        .cast("long")), lit(0L)).as("naive_seqs"),
+      coalesce(sum(idiv(t + (budget - 1), lit(budget))), lit(0L))
+        .as("naive_seqs"),
       coalesce(sum(when(t > budget, 1L).otherwise(0L)), lit(0L))
         .as("n_oversize_docs"))
     bins.agg(
@@ -276,10 +328,12 @@ object Packing {
   def packByTokenBudget(df: DataFrame, orderCol: String, tokenCol: String,
       budget: Long, buckets: Int = 0): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
-    val withCum = withPrefixSum(df, orderCol, tokenCol, "__cum", buckets)
-    val before = (col("__cum") - col(tokenCol)).cast("long")
+    // token counts are integral by contract — LONG-exact cumsum + integral
+    // div keep bin boundaries bit-exact past 2^53 cumulative tokens
+    val withCum = withPrefixSumLong(df, orderCol, tokenCol, "__cum", buckets)
+    val before = col("__cum") - col(tokenCol).cast("long")
     withCum
-      .withColumn("bin", floor(before / lit(budget.toDouble)).cast("long"))
+      .withColumn("bin", idiv(before, lit(budget)))
       .withColumn("bin_offset", (before - col("bin") * lit(budget)).cast("long"))
       .drop("__cum")
   }

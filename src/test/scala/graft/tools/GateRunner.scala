@@ -30,6 +30,8 @@ object GateRunner {
       val df = SparkEntry.queries(n)(spark, sfDir)
       graft.Verify.assertComparatorSafe(df, n)
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      graft.Verify.dumpCanonicalRows(spark, s"$outDir/$n",
+        s"$outDir/$n.rows.tsv")
     }
     val osql = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
     val json = osql.map { case (k, v) =>
