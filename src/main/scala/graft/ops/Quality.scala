@@ -166,6 +166,12 @@ object Quality {
       headPct: Int, midPct: Int): DataFrame = {
     require(headPct >= 0 && midPct >= 0 && headPct + midPct <= 100,
       "headPct/midPct must be >= 0 and sum to <= 100")
+    // temp AND output names: an input already carrying any of these would
+    // silently collide (same guard as Packing.withPrefixSum's)
+    val reserved = Seq("__g", "__o", "__t", "__bkt", "__lr", "__off", "__n",
+      "rank_in_group", "n_group", "bucket")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
     val spark = df.sparkSession
     val base = df.withColumn("__g", group).withColumn("__o", order)
       .withColumn("__t", tie)

@@ -64,6 +64,31 @@ private[sources] object ShardCommit {
 
   def finish(dir: String, nShards: Int, ext: String, sink: String,
       emptyShard: Array[Byte]): Unit = {
+    // Scrub orphaned attempt temps BEFORE the empty-shard fill, so "the
+    // committed shard exists" still distinguishes the two temp origins:
+    // a temp whose shard-NNNNN was committed is a killed/speculative
+    // attempt superseded by its retry's atomic rename (scrub, logged);
+    // a temp whose shard was NEVER committed means a writer died and no
+    // retry landed — that is a failed job, not housekeeping, so fail
+    // loudly instead of deleting the only evidence.
+    val tmpIt = Files.list(Paths.get(dir)).iterator()
+    var scrubbed = 0
+    while (tmpIt.hasNext) {
+      val p = tmpIt.next()
+      val n = p.getFileName.toString
+      val tmpAt = n.indexOf(s"$ext.tmp-")
+      if (tmpAt >= 0) {
+        val committed = Paths.get(dir, n.substring(0, tmpAt + ext.length))
+        require(Files.exists(committed),
+          s"$sink: orphaned temp $n has no committed ${
+            committed.getFileName} — a writer never committed this shard")
+        System.err.println(s"[$sink] scrubbing superseded attempt temp $n")
+        Files.delete(p)
+        scrubbed += 1
+      }
+    }
+    if (scrubbed > 0)
+      System.err.println(s"[$sink] scrubbed $scrubbed superseded temp(s)")
     (0 until nShards).foreach { sh =>
       val p = Paths.get(dir, shardName(sh, ext))
       if (!Files.exists(p)) Files.write(p, emptyShard)
@@ -73,12 +98,7 @@ private[sources] object ShardCommit {
     while (it.hasNext) {
       val p = it.next()
       val n = p.getFileName.toString
-      // A task attempt killed mid-write (failure or speculation) never
-      // reaches commitShard and leaves its attempt-unique temp behind even
-      // though a retry committed the shard — temps are superseded by the
-      // committed renames, so scrub them rather than failing the job.
-      if (n.contains(s"$ext.tmp-")) Files.delete(p)
-      else if (n.startsWith("shard-") && n.endsWith(ext)) nFinal += 1
+      if (n.startsWith("shard-") && n.endsWith(ext)) nFinal += 1
     }
     require(nFinal == nShards,
       s"$sink: expected $nShards shard files, found $nFinal")

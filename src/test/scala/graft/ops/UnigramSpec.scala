@@ -64,6 +64,28 @@ class UnigramSpec extends SparkTestBase {
     assert(UnigramLm.scaledLogProb(1, 1) == 0L)
   }
 
+  test("scaledLogProb ≡ DuckDB ln over the boundary-adversarial fixture") {
+    // 6000 (cnt,total,score) rows computed ONCE by DuckDB's
+    // round(ln(cnt::DOUBLE/total)*1e6)::BIGINT (dev/gen_unigram_score_
+    // fixture.py), 4000 of them chosen as the candidates CLOSEST to a .5
+    // rounding boundary out of 200k — the exact spots where a 1-ulp JVM
+    // libm drift vs DuckDB would flip an integer piece score and desync
+    // the whole q199–q201 Viterbi replay. Any platform drift fails here,
+    // not as an unreproducible red gate.
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/unigram_scores.tsv"), "UTF-8")
+    try {
+      val rows = src.getLines().drop(1).map { l =>
+        val Array(c, t, s) = l.split('\t'); (c.toLong, t.toLong, s.toLong)
+      }.toList
+      assert(rows.size == 6000)
+      val bad = rows.filter { case (c, t, s) =>
+        UnigramLm.scaledLogProb(c, t) != s }
+      assert(bad.isEmpty,
+        s"JVM-vs-DuckDB score drift on ${bad.size} rows, e.g. ${bad.take(3)}")
+    } finally src.close()
+  }
+
   test("learn: chars always kept, vocab budget respected, deterministic") {
     val docs = Seq.fill(4)("the cat then that hat").zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
