@@ -148,6 +148,45 @@ object SparkEntry {
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]()
 
+  /** One-time 8-merge BYTE-mode BPE table for q212, keyed by sf dir —
+    * learned through the real byte seed (learnMergesBytes), not reusing
+    * the char-mode cache, so the gate exercises the byte path end to
+    * end. */
+  private val bpeByteMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]()
+
+  /** One-time unigram model for q213 trained on `[qj]`-stripped text
+    * (q199's geometry otherwise), so encoding the RAW corpus genuinely
+    * exercises byte fallback: every q/j becomes an unknown char. */
+  private val unigramStrippedModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Unigram.Model]()
+  private def ensureUnigramStripped(s: SparkSession,
+      dir: String): graft.ops.Unigram.Model =
+    unigramStrippedModelCache.computeIfAbsent(dir, d =>
+      graft.ops.Unigram.learn(t(s, d, "documents"),
+        regexp_replace(col("text"), "[qj]", ""),
+        vocabSize = 40, maxPieceLen = 4, minCount = 2, seedCap = 64,
+        emIters = 2))
+
+  /** Comparator-safe SCALAR receipts of an (id, ids array) encode result
+    * (q136/q171's convention — the external comparator cannot sort array
+    * columns): position-weighted sum pins piece ORDER, sum/min/max pin
+    * the multiset, n_pieces the length. */
+  private def idSeqReceipts(enc: DataFrame): DataFrame =
+    enc.select(col("doc_id"),
+      size(col("ids")).cast("long").as("n_pieces"),
+      coalesce(aggregate(col("ids"), lit(0L), (acc, x) => acc + x),
+        lit(0L)).as("ids_sum"),
+      aggregate(col("ids"),
+        struct(lit(0L).as("s"), lit(0L).as("j")),
+        (acc, x) => struct(
+          (acc.getField("s") + (acc.getField("j") + 1L) * x).as("s"),
+          (acc.getField("j") + 1L).as("j")),
+        acc => acc.getField("s")).as("ids_pw"),
+      coalesce(array_min(col("ids")), lit(-1L)).as("min_id"),
+      coalesce(array_max(col("ids")), lit(-1L)).as("max_id"))
+      .orderBy("doc_id")
+
   /** One-time unigram-LM model for q199–q201, keyed by sf dir (the
     * fixture replay geometry: vocab 40, pieces ≤ 4 chars, minCount 2,
     * seed cap 64, 2 hard-EM iterations — mirrored constant-for-constant
@@ -1162,6 +1201,35 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
+    }),
+
+    "q212_bpe_byte_encode" -> ((s, dir) => {
+      // BPE over the BYTE alphabet (GPT-2/Llama convention): merges
+      // learned through the real byte seed, ids from the FIXED 256-byte
+      // base space (id = byte value, corpus-independent) + 256+i per
+      // fused symbol — no unk id exists. On the ASCII fixture byte ≡
+      // char, so the oracle replays the same 8 merges (bpeReplay8) and
+      // only the id space differs; non-ASCII byte splitting is
+      // spec-covered (BpeSpec)
+      val docs = t(s, dir, "documents")
+      val merges = bpeByteMergeCache.computeIfAbsent(dir,
+        d => graft.ops.Bpe.learnMergesBytes(t(s, d, "documents"), "text", 8))
+      idSeqReceipts(
+        graft.ops.Bpe.encodeBytes(docs, "doc_id", col("text"), merges))
+    }),
+
+    "q213_unigram_byte_fallback" -> ((s, dir) => {
+      // SentencePiece --byte_fallback semantics: the model is trained on
+      // [qj]-STRIPPED text (so its alphabet genuinely misses two chars
+      // the corpus contains), then the RAW corpus is encoded — every
+      // q/j segments as an unknown single char and decomposes to its
+      // UTF-8 byte ids at vocabSize+byte, with no unk id anywhere. The
+      // oracle replays the stripped-corpus learn (unigramReplay over the
+      // stripped text), re-segments RAW words under the pruned vocab
+      // with the DP's UNK arm, and applies the same V+byte rule
+      val docs = t(s, dir, "documents")
+      idSeqReceipts(graft.ops.Unigram.encodeByteFallback(docs, "doc_id",
+        col("text"), ensureUnigramStripped(s, dir)))
     }),
 
     "q199_unigram_learn" -> ((s, dir) => {
@@ -3838,12 +3906,25 @@ i$k AS MATERIALIZED (SELECT
     * freq); needs preceding w(word, freq) and a scores CTE
     * (piece, score). L = 12 covers the fixtures' max word length (8)
     * with margin. */
-  private def unigramVitPass(p: String, scoresCte: String): String = {
+  private def unigramVitPass(p: String, scoresCte: String,
+      wordsCte: String = "w", unkArm: Boolean = false): String = {
     val L = 12
     val K = 4
     val levels = (1 to L).map { i =>
       val branches = (math.max(0, i - K) until i).map { j =>
-        s"""SELECT b.word, b.score + s.score AS score, b.np + 1 AS np,
+        // the single-char step (j = i-1) optionally carries the DP's UNK
+        // fallback arm: a char absent from the piece table scores the
+        // engine's UnkScore instead of dropping the path — exactly
+        // UnigramLm.segment's total-DP contract (byte-fallback gates
+        // segment RAW-corpus words under a model missing some chars)
+        if (unkArm && j == i - 1)
+          s"""SELECT b.word, b.score + coalesce(s.score, -100000000)
+            AS score, b.np + 1 AS np,
+          list_append(b.seg, b.word[$i:$i]) AS seg, $j AS j
+        FROM ${p}b$j b LEFT JOIN $scoresCte s ON s.piece = b.word[$i:$i]
+        WHERE length(b.word) >= $i"""
+        else
+          s"""SELECT b.word, b.score + s.score AS score, b.np + 1 AS np,
           list_append(b.seg, s.piece) AS seg, $j AS j
         FROM ${p}b$j b JOIN $scoresCte s ON s.piece = b.word[${j + 1}:$i]
         WHERE length(b.word) >= $i"""
@@ -3859,13 +3940,14 @@ i$k AS MATERIALIZED (SELECT
       .mkString("\n   UNION ALL ")
     s"""
  ${p}b0 AS MATERIALIZED (SELECT word, 0::BIGINT AS score, 0 AS np,
-    []::VARCHAR[] AS seg FROM w),$levels
+    []::VARCHAR[] AS seg FROM $wordsCte),$levels
  ${p}seg AS MATERIALIZED (
    $segUnion),
  ${p}cnt AS MATERIALIZED (SELECT t.piece AS piece,
      sum(x.freq)::BIGINT AS cnt
-   FROM (SELECT ps.word, ps.seg, w.freq
-         FROM ${p}seg ps JOIN w USING (word)) x, unnest(x.seg) t(piece)
+   FROM (SELECT ps.word, ps.seg, wx.freq
+         FROM ${p}seg ps JOIN $wordsCte wx USING (word)) x,
+     unnest(x.seg) t(piece)
    GROUP BY 1)"""
   }
 
@@ -3890,9 +3972,16 @@ i$k AS MATERIALIZED (SELECT
     * seeding, two Viterbi-count EM rounds, prune + id assignment
     * (chars by code point, then multi by count desc/piece asc), and the
     * final segmentation pass `fseg` under the pruned vocabulary. */
-  private lazy val unigramReplay: String =
-    """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
-           FROM documents),
+  private lazy val unigramReplay: String = unigramReplayFrom("text")
+
+  /** [[unigramReplay]] with a caller-chosen text expression — the
+    * byte-fallback gate (q213) trains on `[qj]`-stripped text so the
+    * learned alphabet genuinely misses chars the raw corpus contains. */
+  private def unigramReplayFrom(textExpr: String): String =
+    s"""WITH toks AS (SELECT unnest(string_split_regex($textExpr, '\\s+'))
+             AS word
+           FROM documents),""" +
+    """
  w AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM toks
    WHERE word <> '' GROUP BY 1),
  sub AS MATERIALIZED (SELECT word[i:i+l-1] AS piece,
@@ -6607,6 +6696,80 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    "q212_bpe_byte_encode" ->
+      // byte ≡ char on the ASCII fixture, so the 8-merge replay is
+      // bpeReplay8 verbatim; the id space is the byte convention:
+      // single-byte symbols take their byte value (= unicode code point
+      // on ASCII), fused symbols 256+i in first-occurrence merge order
+      (bpeReplay8 + """,
+         mv0 AS (""" +
+        (1 to 8).map { k =>
+          s"SELECT $k AS mi, l || r AS symbol FROM m$k"
+        }.mkString("\n           UNION ALL ") + """),
+         mvd AS (SELECT symbol, min(mi) AS mi FROM mv0 GROUP BY symbol),
+         mv AS (SELECT symbol,
+               255 + row_number() OVER (ORDER BY mi) AS sid FROM mvd),
+         cv AS (SELECT DISTINCT unnest(list_transform(
+               range(1, length(word)+1), i -> word[i:i])) AS symbol
+             FROM w),
+         sv AS MATERIALIZED (
+           SELECT symbol, unicode(symbol)::BIGINT AS sid FROM cv
+           UNION ALL SELECT symbol, sid::BIGINT FROM mv),
+         wpe AS (SELECT word, t.j AS j, syms[j] AS symbol
+               FROM s8, unnest(range(1, len(syms)+1)) t(j)),
+         wp AS MATERIALIZED (SELECT wpe.word,
+               list(sv.sid ORDER BY wpe.j) AS wids
+             FROM wpe JOIN sv USING (symbol) GROUP BY wpe.word),
+         dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+               FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+                 FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+         dn AS (SELECT dt.doc_id, dt.pos, wp.wids
+               FROM dt JOIN wp USING (word)),
+         o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+               FROM dn GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(len(o.ids), 0)::BIGINT AS n_pieces,
+           coalesce(list_sum(o.ids), 0)::BIGINT AS ids_sum,
+           coalesce(list_sum(list_transform(range(1, len(o.ids) + 1),
+             j -> j * o.ids[j])), 0)::BIGINT AS ids_pw,
+           coalesce(list_min(o.ids), -1)::BIGINT AS min_id,
+           coalesce(list_max(o.ids), -1)::BIGINT AS max_id
+         FROM documents d LEFT JOIN o USING (doc_id)
+         ORDER BY d.doc_id"""),
+    "q213_unigram_byte_fallback" ->
+      // learn replay over [qj]-STRIPPED text (unigramReplayFrom), then
+      // RAW-corpus words re-segmented under the pruned vocab with the
+      // DP's UNK arm; unknown single chars map to V + byte (one byte per
+      // char on ASCII), known pieces to their model pid
+      (unigramReplayFrom("regexp_replace(text, '[qj]', '', 'g')") + """,
+ rtoks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+       FROM documents),
+ wenc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM rtoks
+   WHERE word <> '' GROUP BY 1),""" +
+        unigramVitPass("g", "fvocab", wordsCte = "wenc", unkArm = true) +
+        """,
+ nv AS (SELECT count(*)::BIGINT AS v FROM fvocab),
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM gseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     flatten(list(CASE WHEN f.pid IS NOT NULL THEN [f.pid]
+       ELSE [(SELECT v FROM nv) + unicode(wpe.piece)::BIGINT] END
+       ORDER BY wpe.j)) AS wids
+   FROM wpe LEFT JOIN fvocab f ON f.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id)
+ SELECT d.doc_id, coalesce(len(o.ids), 0)::BIGINT AS n_pieces,
+   coalesce(list_sum(o.ids), 0)::BIGINT AS ids_sum,
+   coalesce(list_sum(list_transform(range(1, len(o.ids) + 1),
+     j -> j * o.ids[j])), 0)::BIGINT AS ids_pw,
+   coalesce(list_min(o.ids), -1)::BIGINT AS min_id,
+   coalesce(list_max(o.ids), -1)::BIGINT AS max_id
+ FROM documents d LEFT JOIN o USING (doc_id)
+ ORDER BY d.doc_id"""),
     "q199_unigram_learn" ->
       (unigramReplay + """
  SELECT piece, cnt AS "count", score, pid AS piece_id

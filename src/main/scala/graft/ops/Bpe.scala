@@ -35,6 +35,25 @@ object Bpe {
   def charSymbols(word: Column): Column =
     transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
 
+  /** Split a word into single-BYTE symbols (UTF-8 bytes, each represented
+    * as its Latin-1 character U+0000..U+00FF) — the GPT-2/Llama production
+    * convention: a FIXED 256-symbol base alphabet means no `[UNK]` and no
+    * unrepresentable input, at the cost of multi-byte characters starting
+    * as 2–4 symbols. Pure built-in expressions (encode → 1-byte slice →
+    * Latin-1 decode), so the split stays inside whole-stage codegen and,
+    * like [[charSymbols]], only ever runs over word TYPES. */
+  def byteSymbols(word: Column): Column = {
+    import org.apache.spark.sql.{functions => F}
+    transform(sequence(lit(1), octet_length(word)), i =>
+      F.decode(F.encode(word, "UTF-8").substr(i, lit(1)), "ISO-8859-1"))
+  }
+
+  /** UTF-8 bytes of a string as array<long> values 0..255 — the
+    * byte-fallback id arithmetic of [[Unigram.encodeByteFallback]] and
+    * the single-byte id rule of [[encodeBytes]]. */
+  private[ops] def utf8ByteValues(s: Column): Column =
+    transform(byteSymbols(s), c => ascii(c).cast("long"))
+
   /** Greedy left-to-right application of ONE merge to a symbol array. */
   def mergeOnce(syms: Column, left: String, right: String): Column =
     aggregate(syms, array().cast("array<string>"),
@@ -51,10 +70,23 @@ object Bpe {
 
   /** Learn the first `k` merges. Stops early when no adjacent pair is left
     * (every word fused to one symbol). */
-  def learnMerges(corpus: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+  def learnMerges(corpus: DataFrame, textCol: String, k: Int): Seq[Merge] =
+    learnMergesSeeded(corpus, textCol, k, charSymbols)
+
+  /** [[learnMerges]] over the byte alphabet ([[byteSymbols]]): merges fuse
+    * byte sequences, so the learned tokenizer covers ANY input with no
+    * unknown symbol — identical merges to the char mode on pure-ASCII
+    * corpora (where byte ≡ char), diverging only where multi-byte
+    * characters appear. */
+  def learnMergesBytes(corpus: DataFrame, textCol: String,
+      k: Int): Seq[Merge] =
+    learnMergesSeeded(corpus, textCol, k, byteSymbols)
+
+  private def learnMergesSeeded(corpus: DataFrame, textCol: String, k: Int,
+      seed: Column => Column): Seq[Merge] = {
     require(k >= 1, "k must be >= 1")
     var state = wordCounts(corpus, textCol)
-      .select(charSymbols(col("word")).as("syms"), col("freq"))
+      .select(seed(col("word")).as("syms"), col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
@@ -173,9 +205,15 @@ object Bpe {
     * limit — the checkpoint runs over the word-TYPE table, so its cost is
     * vocabulary-sized, not corpus-sized. Returns the input plus `syms`. */
   def segmentWords(words: DataFrame, merges: Seq[Merge],
-      chunk: Int = 16): DataFrame = {
+      chunk: Int = 16): DataFrame =
+    segmentWordsSeeded(words, merges, charSymbols, chunk)
+
+  /** [[segmentWords]] with a caller-chosen base split ([[charSymbols]] or
+    * [[byteSymbols]]) — the merge fold is alphabet-agnostic. */
+  def segmentWordsSeeded(words: DataFrame, merges: Seq[Merge],
+      seed: Column => Column, chunk: Int = 16): DataFrame = {
     require(chunk >= 1, "chunk must be >= 1")
-    var cur = words.withColumn("syms", charSymbols(col("word")))
+    var cur = words.withColumn("syms", seed(col("word")))
     val checkpoints = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     merges.grouped(chunk).foreach { grp =>
       val folded = grp.foldLeft(col("syms")) { (c, m) =>
@@ -269,6 +307,41 @@ object Bpe {
       // maps to unkId rather than silently dropping the piece
       .select(col("word"), col("__sp"), coalesce(col("__sid"), lit(unkId))
         .as("__sid"))
+      .groupBy("word")
+      .agg(transform(array_sort(collect_list(struct(col("__sp"),
+        col("__sid")))), x => x.getField("__sid")).as("__wids"))
+    assembleIds(df, idCol, text, wordIds)
+  }
+
+  /** [[encode]] over the byte alphabet — the GPT-2/Llama id convention:
+    * the base id space is the FIXED 256 bytes (id = byte value,
+    * corpus-INDEPENDENT — two shards of a 100 TB job never disagree on
+    * base ids and need no alphabet-ranking pass at all), each merge's
+    * fused symbol takes 256+i in merge order (first occurrence wins).
+    * Consequently there is NO unk id: every input byte is representable
+    * by construction. Same scale shape as [[encode]] — segmentation and
+    * id mapping over word TYPES, one corpus-sized regroup. */
+  def encodeBytes(df: DataFrame, idCol: String, text: Column,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val types = df
+      .select(explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct()
+      .localCheckpoint()
+    // fused symbols are ≥ 2 byte-chars, so they can never collide with
+    // the single-byte block; single-byte symbols map arithmetically
+    // (Latin-1 char ↔ byte value), not through any table
+    val fused = merges.map(m => m.left + m.right).distinct
+      .zipWithIndex.map { case (s, i) => (s, 256L + i) }
+      .toDF("__sym", "__sid")
+    val wordIds = segmentWordsSeeded(types, merges, byteSymbols)
+      .select(col("word"), posexplode(col("syms")).as(Seq("__sp", "__sym")))
+      .join(broadcast(fused), Seq("__sym"), "left")
+      .select(col("word"), col("__sp"),
+        coalesce(col("__sid"), ascii(col("__sym")).cast("long"))
+          .as("__sid"))
       .groupBy("word")
       .agg(transform(array_sort(collect_list(struct(col("__sp"),
         col("__sid")))), x => x.getField("__sid")).as("__wids"))

@@ -169,6 +169,44 @@ object Unigram {
     Bpe.assembleIds(df, idCol, text, wordIds)
   }
 
+  /** [[encode]] with SentencePiece `--byte_fallback` semantics instead of
+    * an unk id: a character absent from the piece table (the Viterbi
+    * DP's single-char fallback arm) decomposes into its UTF-8 BYTES, each
+    * mapped to a reserved byte-piece id `vocabSize + byte` — so every
+    * input is representable and downstream detokenization is lossless,
+    * the production convention for multilingual corpora where the learned
+    * alphabet can never cover all of Unicode. Known pieces keep their
+    * model ids; the fallback only fires where the DP already chose an
+    * unknown single char. Same scale shape as [[encode]]: the per-symbol
+    * byte expansion happens on the word-TYPE table, never the corpus. */
+  def encodeByteFallback(df: DataFrame, idCol: String, text: Column,
+      model: Model): DataFrame = {
+    val v = model.entries.size.toLong
+    val types = df
+      .select(explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct()
+      .localCheckpoint()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idMap = model.entries.map(e => (e.piece, e.id))
+      .toDF("__sym", "__sid")
+    val wordIds = types
+      .select(col("word"),
+        posexplode(model.segmentCol(col("word"))).as(Seq("__sp", "__sym")))
+      .join(broadcast(idMap), Seq("__sym"), "left")
+      // known piece → its model id; unknown piece (always a single char,
+      // by the DP's fallback contract) → one id per UTF-8 byte
+      .select(col("word"), col("__sp"),
+        when(col("__sid").isNotNull, array(col("__sid")))
+          .otherwise(transform(Bpe.utf8ByteValues(col("__sym")),
+            b => b + lit(v))).as("__pids"))
+      .groupBy("word")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("__sp"),
+        col("__pids")))), x => x.getField("__pids"))).as("__wids"))
+    Bpe.assembleIds(df, idCol, text, wordIds)
+  }
+
   /** Tokenizer fertility by group key under a unigram model — the same
     * vocabulary-budget diagnostic as [[Bpe.fertilityByKey]]. */
   def fertilityByKey(df: DataFrame, text: Column, key: Column,

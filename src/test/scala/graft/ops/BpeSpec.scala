@@ -184,4 +184,46 @@ class BpeSpec extends SparkTestBase {
     assert((ids -- before).isEmpty,
       s"learnMerges leaked ${(ids -- before).size} persistent RDDs")
   }
+
+  test("byteSymbols: ASCII ≡ charSymbols; multi-byte chars split per byte") {
+    val df = Seq("abc", "héllo", "a😀").toDF("word")
+    val got = df.select(Bpe.byteSymbols($"word"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == List("a", "b", "c"))
+    // é = 0xC3 0xA9 → Latin-1 chars U+00C3 U+00A9
+    assert(got(1) == List("h", "Ã", "©", "l", "l", "o"))
+    // 😀 = 0xF0 0x9F 0x98 0x80
+    assert(got(2) == List("a", "\u00F0", "\u009F", "\u0098", "\u0080"))
+  }
+
+  test("learnMergesBytes ≡ learnMerges on a pure-ASCII corpus") {
+    val corpus = Seq("aaab aaab aaab aab abab").toDF("text")
+    assert(Bpe.learnMergesBytes(corpus, "text", 3) ==
+      Bpe.learnMerges(corpus, "text", 3))
+  }
+
+  test("encodeBytes: fixed byte id space, no unk, lossless round-trip") {
+    val texts = Map(1L -> "héé héé ha", 2L -> "ha ha héé")
+    val corpus = texts.toSeq.toDF("doc_id", "text")
+    val merges = Bpe.learnMergesBytes(corpus, "text", 2)
+    assert(merges.size == 2)
+    val fusedBytes: Map[Long, Array[Byte]] =
+      merges.map(m => m.left + m.right).distinct.zipWithIndex
+        .map { case (s, i) =>
+          (256L + i) -> s.map(_.toByte).toArray }.toMap
+    val enc = Bpe.encodeBytes(corpus, "doc_id", col("text"), merges)
+      .collect()
+    assert(enc.length == 2)
+    enc.foreach { r =>
+      val ids = r.getSeq[Long](1)
+      assert(ids.forall(_ >= 0L), "byte mode can never emit an unk id")
+      // decode ids back to bytes: singles are the byte value, fused are
+      // their merge's byte string — must equal the words' exact UTF-8
+      val back = ids.flatMap(id =>
+        if (id < 256) Seq(id.toByte) else fusedBytes(id).toSeq)
+      val want = texts(r.getLong(0)).split("\\s+").toSeq
+        .flatMap(_.getBytes("UTF-8").toSeq)
+      assert(back == want, "byte-mode encode must be lossless")
+    }
+  }
 }

@@ -133,6 +133,23 @@ class UnigramSpec extends SparkTestBase {
     assert(got.head.count(_ == -1L) == 2, s"x,z must be unk: ${got.head}")
   }
 
+  test("encodeByteFallback: unknown chars → V+byte ids, known keep ids") {
+    // model learned WITHOUT 'z' or 'é'; encoding text containing them must
+    // decompose each unknown char into UTF-8 bytes at reserved ids V+b
+    val train = Seq((1L, "aba aba ab")).toDF("doc_id", "text")
+    val m = Unigram.learn(train, col("text"), vocabSize = 8,
+      maxPieceLen = 3, minCount = 1, seedCap = 8, emIters = 1)
+    val v = m.entries.size.toLong
+    val docs = Seq((1L, "aba zé")).toDF("doc_id", "text")
+    val got = Unigram.encodeByteFallback(docs, "doc_id", col("text"), m)
+      .collect().head.getSeq[Long](1)
+    val plain = Unigram.encode(Seq((1L, "aba")).toDF("doc_id", "text"),
+      "doc_id", col("text"), m).collect().head.getSeq[Long](1)
+    // 'z' = byte 122; 'é' = bytes 0xC3 0xA9 = 195, 169
+    assert(got == plain ++ Seq(v + 122L, v + 195L, v + 169L))
+    assert(got.forall(_ >= 0L), "byte fallback can never emit unk")
+  }
+
   test("fertility: weighted by corpus tokens, grouped") {
     val docs = Seq((1L, "ab ab b", "x"), (2L, "ab", "y"))
       .toDF("doc_id", "text", "g")
