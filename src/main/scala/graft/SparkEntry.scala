@@ -168,6 +168,23 @@ object SparkEntry {
         vocabSize = 40, maxPieceLen = 4, minCount = 2, seedCap = 64,
         emIters = 2))
 
+  /** One-time persisted tokenizer layouts for q214/q215: the q199 unigram
+    * model and q171's 8-merge list saved ONCE per sf dir (TokenizerStore);
+    * every gate rep loads the stored layout fresh. */
+  private val tokenizerStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureTokenizerStore(s: SparkSession, dir: String): String =
+    tokenizerStoreCache.computeIfAbsent(dir, { d =>
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_tokstore").toString
+      graft.ops.TokenizerStore.saveUnigram(s, ensureUnigram(s, d),
+        s"$base/unigram")
+      val merges = bpeMergeCache.computeIfAbsent(d,
+        dd => graft.ops.Bpe.learnMerges(t(s, dd, "documents"), "text", 8))
+      graft.ops.TokenizerStore.saveBpe(s, merges, s"$base/bpe")
+      base
+    })
+
   /** Comparator-safe SCALAR receipts of an (id, ids array) encode result
     * (q136/q171's convention — the external comparator cannot sort array
     * columns): position-weighted sum pins piece ORDER, sum/min/max pin
@@ -1201,6 +1218,27 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
+    }),
+
+    "q214_unigram_store_encode" -> ((s, dir) => {
+      // train-once/encode-many (q206's persisted-layout pattern for
+      // tokenizers): the q199 unigram model and the q171 merge list are
+      // persisted to parquet layouts ONCE per sf dir; every rep loads
+      // the layout fresh and encodes — identical-output contract vs
+      // q200 (shares its oracle verbatim)
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      idSeqReceipts(graft.ops.Unigram.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), m))
+    }),
+
+    "q215_bpe_store_encode" -> ((s, dir) => {
+      // the BPE side of q214: stored merge list reloaded in exact order,
+      // encode must reproduce q171 row-for-row (shares its oracle)
+      val base = ensureTokenizerStore(s, dir)
+      val merges = graft.ops.TokenizerStore.loadBpe(s, s"$base/bpe")
+      idSeqReceipts(graft.ops.Bpe.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), merges))
     }),
 
     "q212_bpe_byte_encode" -> ((s, dir) => {
@@ -3823,6 +3861,10 @@ i$k AS MATERIALIZED (SELECT
       // identical-output contract: dedup-against-stored-index must
       // reproduce the cross-frame delta dedup row-for-row
       ("q206_dedup_index" -> oracleBase("q94_delta_dedup")) +
+      // identical-output contract: encode under a persisted-then-reloaded
+      // model must reproduce the in-session model's encode row-for-row
+      ("q214_unigram_store_encode" -> oracleBase("q200_unigram_encode")) +
+      ("q215_bpe_store_encode" -> oracleBase("q171_bpe_encode")) +
       ("q163_compressibility" -> oracleBase("q163_compressibility")
         .replace("__DEFLATE_FIXTURE__", deflateFixturePath))
 

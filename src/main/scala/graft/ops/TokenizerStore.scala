@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted tokenizer-model layouts — the train-once/encode-many
+  * decoupling every production tokenization job needs (the q206
+  * stored-index pattern applied to the three tokenizer families): a 100 TB
+  * encode runs as MANY independent shard jobs over weeks, and each must
+  * load the SAME frozen model artifact rather than re-learn (or even
+  * re-rank an alphabet from its shard, which would silently fork the id
+  * space between shards).
+  *
+  * Layout under `dir` (one subdir per table, parquet):
+  *  - BPE: `merges/` (ord INT, left, right, freq) — order IS the model;
+  *  - unigram: `vocab/` (piece, count, score, piece_id) — exactly the
+  *    q199 gate surface, so a stored model is directly auditable;
+  *  - WordPiece: `vocab/` (piece, piece_id);
+  *  - all: `meta/` one row carrying the family tag + the geometry the
+  *    apply side needs (maxPieceLen / maxContentLen) — load re-derives
+  *    NOTHING from any corpus, and refuses a layout written by a
+  *    different family rather than misreading it.
+  *
+  * Models are vocabulary-sized (KBs to MBs) — each table coalesces to one
+  * file; determinism comes from the explicit ord/piece_id columns, never
+  * from file order. Round-trip contract (gated the q15 sketch way):
+  * encode under a loaded model is bit-identical to encode under the
+  * in-session model. */
+object TokenizerStore {
+
+  private def writeMeta(spark: SparkSession, dir: String, family: String,
+      geometry: Int): Unit = {
+    import spark.implicits._
+    Seq((family, geometry)).toDF("family", "geometry")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String,
+      family: String): Int = {
+    val m = spark.read.parquet(s"$dir/meta").head
+    val got = m.getAs[String]("family")
+    require(got == family,
+      s"$dir holds a '$got' tokenizer layout, not '$family'")
+    m.getAs[Int]("geometry")
+  }
+
+  /** Persist an ordered BPE merge list (char- or byte-alphabet — the
+    * merge table is representation-agnostic; pair byte-mode layouts with
+    * [[Bpe.encodeBytes]], whose id space needs no corpus pass at all). */
+  def saveBpe(spark: SparkSession, merges: Seq[Bpe.Merge],
+      dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i, m.left, m.right, m.freq) }
+      .toDF("ord", "left", "right", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    writeMeta(spark, dir, "bpe", merges.size)
+  }
+
+  /** Load a [[saveBpe]] layout in its exact learned order. */
+  def loadBpe(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
+    val k = readMeta(spark, dir, "bpe")
+    val rows = spark.read.parquet(s"$dir/merges")
+      .orderBy("ord").collect()
+      .map(r => Bpe.Merge(r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("freq")))
+    require(rows.length == k,
+      s"$dir/merges holds ${rows.length} merges, meta records $k — " +
+        "partial or corrupted layout")
+    rows.toSeq
+  }
+
+  /** Persist a unigram-LM model (pieces, EM counts, integer-scaled
+    * scores, ids — the full q199 surface). */
+  def saveUnigram(spark: SparkSession, model: Unigram.Model,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.entries.map(e => (e.piece, e.count, e.score, e.id))
+      .toDF("piece", "count", "score", "piece_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    writeMeta(spark, dir, "unigram", model.maxPieceLen)
+  }
+
+  /** Load a [[saveUnigram]] layout; entries come back in piece-id order
+    * so the model is byte-identical to the one saved. */
+  def loadUnigram(spark: SparkSession, dir: String): Unigram.Model = {
+    val maxPieceLen = readMeta(spark, dir, "unigram")
+    val entries = spark.read.parquet(s"$dir/vocab")
+      .orderBy("piece_id").collect()
+      .map(r => Unigram.PieceEntry(r.getAs[String]("piece"),
+        r.getAs[Long]("count"), r.getAs[Long]("score"),
+        r.getAs[Long]("piece_id")))
+    require(entries.nonEmpty, s"$dir/vocab is empty")
+    Unigram.Model(entries.toIndexedSeq, maxPieceLen)
+  }
+
+  /** Persist a WordPiece model (piece, piece_id). */
+  def saveWordpiece(spark: SparkSession, model: Wordpiece.Model,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.entries.toDF("piece", "piece_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    writeMeta(spark, dir, "wordpiece", model.maxContentLen)
+  }
+
+  /** Load a [[saveWordpiece]] layout. */
+  def loadWordpiece(spark: SparkSession, dir: String): Wordpiece.Model = {
+    val maxContentLen = readMeta(spark, dir, "wordpiece")
+    val entries = spark.read.parquet(s"$dir/vocab")
+      .orderBy("piece_id").collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("piece_id")))
+    require(entries.nonEmpty, s"$dir/vocab is empty")
+    Wordpiece.Model(entries.toIndexedSeq, maxContentLen)
+  }
+}

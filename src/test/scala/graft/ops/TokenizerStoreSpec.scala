@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Persisted tokenizer layouts (TokenizerStore): exact model round-trips
+  * for all three families, bit-identical encode under a reloaded model,
+  * and the family-tag refusal that keeps a WordPiece layout from being
+  * misread as a unigram one. */
+class TokenizerStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("tokstore").toString
+
+  test("BPE merges round-trip in exact learned order") {
+    val corpus = Seq("aaab aaab aaab aab abab").toDF("text")
+    val merges = Bpe.learnMerges(corpus, "text", 4)
+    val dir = tmp()
+    TokenizerStore.saveBpe(spark, merges, dir)
+    assert(TokenizerStore.loadBpe(spark, dir) == merges)
+  }
+
+  test("unigram model round-trips; reloaded encode is bit-identical") {
+    val corpus = Seq((1L, "the cat then that"), (2L, "hat the then"))
+      .toDF("doc_id", "text")
+    val m = Unigram.learn(corpus, col("text"), vocabSize = 16,
+      maxPieceLen = 3, minCount = 1, seedCap = 16, emIters = 2)
+    val dir = tmp()
+    TokenizerStore.saveUnigram(spark, m, dir)
+    val m2 = TokenizerStore.loadUnigram(spark, dir)
+    assert(m2.entries == m.entries && m2.maxPieceLen == m.maxPieceLen)
+    val a = Unigram.encode(corpus, "doc_id", col("text"), m)
+      .orderBy("doc_id").collect().map(r => r.getSeq[Long](1)).toList
+    val b = Unigram.encode(corpus, "doc_id", col("text"), m2)
+      .orderBy("doc_id").collect().map(r => r.getSeq[Long](1)).toList
+    assert(a == b, "reloaded-model encode must be bit-identical")
+  }
+
+  test("WordPiece model round-trips; reloaded segmentation identical") {
+    val corpus = Seq("aab aab ab ba").toDF("text")
+    val merges = Wordpiece.learnMerges(corpus, "text", 3)
+    val m = Wordpiece.model(corpus, col("text"), merges)
+    val dir = tmp()
+    TokenizerStore.saveWordpiece(spark, m, dir)
+    val m2 = TokenizerStore.loadWordpiece(spark, dir)
+    assert(m2.entries == m.entries && m2.maxContentLen == m.maxContentLen)
+    val words = Seq("aab", "ba", "abab").toDF("word")
+    val a = words.select(m.segmentCol(col("word"))).collect()
+      .map(_.getSeq[String](0).toList).toList
+    val b = words.select(m2.segmentCol(col("word"))).collect()
+      .map(_.getSeq[String](0).toList).toList
+    assert(a == b)
+  }
+
+  test("a layout refuses to load as a different family") {
+    val corpus = Seq("ab ab").toDF("text")
+    val dir = tmp()
+    TokenizerStore.saveBpe(spark, Bpe.learnMerges(corpus, "text", 1), dir)
+    val e = intercept[IllegalArgumentException] {
+      TokenizerStore.loadUnigram(spark, dir)
+    }
+    assert(e.getMessage.contains("'bpe'"))
+  }
+}
