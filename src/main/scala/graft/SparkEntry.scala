@@ -1220,6 +1220,44 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q216_rank_blend_approx" -> ((s, dir) => {
+      // the 100 TB path of q158's rank-ensemble blending (rankBlendApprox:
+      // one t-digest per signal broadcast back as cdf probes — no
+      // corpus-sized rank tables, no value-keyed joins), gated against
+      // the exact path as in-gate truth the q11/q12 way: the max per-doc
+      // |approx − exact| per signal and for the blend, bucketed at the
+      // 0.1 grain (t-digest cdf error at compression 200 is ~0.01,
+      // 5× inside the 0.05 rounding radius; the exact avg-rank vs
+      // cdf mid-run convention differ by 1/(2n) more). Any valid digest
+      // passes regardless of merge-tree shape, so the receipt is
+      // partitioning-independent
+      val docs = t(s, dir, "documents")
+      val sigs = Seq(
+        ("len", col("n_chars").cast("double"), true),
+        ("toks", gf.token_count(col("text")).cast("double"), true),
+        ("noise", ((col("doc_id") * 37) % 1000).cast("double"), false))
+      val w = Seq(2.0, 1.0, 1.0)
+      val exact = graft.ops.Quality.rankBlend(docs, "doc_id", sigs, w)
+        .select(col("doc_id"), col("pct_len").as("e_len"),
+          col("pct_toks").as("e_toks"), col("pct_noise").as("e_noise"),
+          col("blend").as("e_blend"))
+      val approx = graft.ops.Quality.rankBlendApprox(docs, "doc_id",
+          sigs, w)
+        .select(col("doc_id"), col("pct_len").as("a_len"),
+          col("pct_toks").as("a_toks"), col("pct_noise").as("a_noise"),
+          col("blend").as("a_blend"))
+      exact.join(approx, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(max(abs(col("a_len") - col("e_len"))), 1)
+            .as("len_err_bucket"),
+          round(max(abs(col("a_toks") - col("e_toks"))), 1)
+            .as("toks_err_bucket"),
+          round(max(abs(col("a_noise") - col("e_noise"))), 1)
+            .as("noise_err_bucket"),
+          round(max(abs(col("a_blend") - col("e_blend"))), 1)
+            .as("blend_err_bucket"))
+    }),
+
     "q214_unigram_store_encode" -> ((s, dir) => {
       // train-once/encode-many (q206's persisted-layout pattern for
       // tokenizers): the q199 unigram model and the q171 merge list are
@@ -6738,6 +6776,11 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    "q216_rank_blend_approx" ->
+      """SELECT count(*)::BIGINT AS n_docs, 0.0 AS len_err_bucket,
+           0.0 AS toks_err_bucket, 0.0 AS noise_err_bucket,
+           0.0 AS blend_err_bucket
+         FROM documents""",
     "q212_bpe_byte_encode" ->
       // byte ≡ char on the ASCII fixture, so the 8-merge replay is
       // bpeReplay8 verbatim; the id space is the byte convention:
