@@ -488,6 +488,21 @@ object ScaleProbe {
         Seq("source")))
     }
 
+    // round-11 ops -----------------------------------------------------
+
+    time(s"r11 wordpiece learnMerges k=1000, $nDocs docs") {
+      // production-k WordPiece TRAINING: k driver-coordinated rounds,
+      // each = symbol-count shuffle + likelihood-scored pair argmax +
+      // fold/checkpoint, ALL over the word-TYPE table (5000 types here —
+      // corpus size only enters through the one wordCounts pass). The
+      // question this probe answers: does the per-round argmax collect
+      // become a driver bottleneck at k=1000 (the q207 gate only runs
+      // k=6)? The synthetic w<digits> vocabulary sustains >1000 merges
+      // (every distinct word prefix is one fusable pair).
+      val m = graft.ops.Wordpiece.learnMerges(docs, "text", 1000)
+      require(m.size == 1000, s"exhausted at ${m.size}")
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
