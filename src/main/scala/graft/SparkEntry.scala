@@ -1220,6 +1220,21 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q217_bpe_batched_merges" -> ((s, dir) => {
+      // batched-greedy BPE training (the production-k path: ONE
+      // pair-count shuffle per round of `batch` symbol-disjoint merges,
+      // ~k/batch driver rounds instead of k): 8 merges at batch=2 = 4
+      // rounds. The oracle replays each round's shared count table, the
+      // rank-1 pair, the first window-ranked pair disjoint from it
+      // (inputs AND fused output), and both folds in rank order
+      import s.implicits._
+      graft.ops.Bpe.learnMergesBatched(t(s, dir, "documents"), "text", 8,
+          batch = 2)
+        .zipWithIndex
+        .map { case (m, i) => (i + 1, m.left, m.right, m.freq) }
+        .toDF("rank", "left", "right", "freq")
+    }),
+
     "q216_rank_blend_approx" -> ((s, dir) => {
       // the 100 TB path of q158's rank-ensemble blending (rankBlendApprox:
       // one t-digest per signal broadcast back as cdf probes — no
@@ -6776,6 +6791,61 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    "q217_bpe_batched_merges" ->
+      // replays learnMergesBatched(batch=2) rule-for-rule: per round one
+      // MATERIALIZED ranked pair table (cnt desc, l, r), a = rank 1,
+      // b = min-rank pair within the 64-wide window whose symbols avoid
+      // {a.l, a.r, a.l||a.r} (inputs and fused output both blocked —
+      // the mutual-count-faithfulness invariant), then both merges
+      // folded in rank order into the next state
+      ("""WITH toks AS (SELECT unnest(string_split_regex(text, '\s+'))
+                        AS word FROM documents),
+         w AS (SELECT word, count(*)::BIGINT AS freq FROM toks
+               WHERE word <> '' GROUP BY 1),
+         s0 AS MATERIALIZED (SELECT list_transform(
+                  range(1, length(word)+1),
+                  i -> word[i:i]) AS syms, freq FROM w)""" +
+        (1 to 4).map { i =>
+          s""",
+         p$i AS MATERIALIZED (SELECT l, r, cnt,
+               row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+             FROM (SELECT syms[j] AS l, syms[j+1] AS r,
+                 sum(freq)::BIGINT AS cnt
+               FROM s${i - 1}, unnest(range(1, len(syms))) t(j)
+               GROUP BY 1, 2)),
+         a$i AS (SELECT l, r, cnt, rn FROM p$i WHERE rn = 1),
+         b$i AS (SELECT l, r, cnt, rn FROM p$i WHERE rn = (
+             SELECT min(p.rn) FROM p$i p, a$i a
+             WHERE p.rn > a.rn AND p.rn <= ${graft.ops.Bpe.BatchWindow}
+               AND p.l NOT IN (a.l, a.r, a.l || a.r)
+               AND p.r NOT IN (a.l, a.r, a.l || a.r)
+               AND p.l || p.r NOT IN (a.l, a.r, a.l || a.r))),
+         s$i AS MATERIALIZED (SELECT list_reduce(
+               list_prepend([]::VARCHAR[],
+                 list_transform(t1, x -> [x])),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$i.l
+                                     AND x[1] = b$i.r
+                 THEN list_append(acc[1:len(acc)-1], b$i.l || b$i.r)
+                 ELSE list_append(acc, x[1]) END) AS syms, freq
+             FROM (SELECT list_reduce(
+                 list_prepend([]::VARCHAR[],
+                   list_transform(syms, x -> [x])),
+                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = a$i.l
+                                       AND x[1] = a$i.r
+                   THEN list_append(acc[1:len(acc)-1], a$i.l || a$i.r)
+                   ELSE list_append(acc, x[1]) END) AS t1, freq
+               FROM s${i - 1}, a$i), b$i)"""
+        }.mkString + """
+         SELECT 1::INT AS rank, l AS "left", r AS "right", cnt AS freq
+         FROM a1
+         UNION ALL SELECT 2, l, r, cnt FROM b1
+         UNION ALL SELECT 3, l, r, cnt FROM a2
+         UNION ALL SELECT 4, l, r, cnt FROM b2
+         UNION ALL SELECT 5, l, r, cnt FROM a3
+         UNION ALL SELECT 6, l, r, cnt FROM b3
+         UNION ALL SELECT 7, l, r, cnt FROM a4
+         UNION ALL SELECT 8, l, r, cnt FROM b4
+         ORDER BY rank"""),
     "q216_rank_blend_approx" ->
       """SELECT count(*)::BIGINT AS n_docs, 0.0 AS len_err_bucket,
            0.0 AS toks_err_bucket, 0.0 AS noise_err_bucket,

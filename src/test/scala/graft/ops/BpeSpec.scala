@@ -185,6 +185,44 @@ class BpeSpec extends SparkTestBase {
       s"learnMerges leaked ${(ids -- before).size} persistent RDDs")
   }
 
+  test("learnMergesBatched: batch=1 ≡ sequential learnMerges") {
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 1 to 3) {
+      val text = Seq.fill(40)(
+        (0 to rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        .mkString(" ")
+      val corpus = Seq(text).toDF("text")
+      assert(Bpe.learnMergesBatched(corpus, "text", 5, batch = 1) ==
+        Bpe.learnMerges(corpus, "text", 5), s"trial $trial corpus=$text")
+    }
+  }
+
+  test("learnMergesBatched: per-round disjoint selection, shared-symbol skip") {
+    // word counts: cd ×3, aab ×2 → round-1 pairs ranked
+    // (c,d)=3 > (a,a)=2 > (a,b)=2 (tie → lexicographic). batch=3:
+    // keep (c,d); keep (a,a) (disjoint); SKIP (a,b) — shares 'a'.
+    // round 2 recounts: aab=[aa,b] → (aa,b)=2 is the only pair left.
+    val corpus = Seq("cd cd cd aab aab").toDF("text")
+    val got = Bpe.learnMergesBatched(corpus, "text", 3, batch = 3)
+    assert(got == Seq(Bpe.Merge("c", "d", 3), Bpe.Merge("a", "a", 2),
+      Bpe.Merge("aa", "b", 2)))
+  }
+
+  test("learnMergesBatched: fused-output collision blocks same-round reuse") {
+    // ranked round-1 pairs: (a,b)=4 first; candidate (ab,c) uses the
+    // PRE-EXISTING fused symbol 'ab' (from words starting [ab,c…] — here
+    // via a prior-round-free corpus where 'ab' never appears as a symbol,
+    // so instead pin the rule directly: (a,b) kept → 'ab' enters the used
+    // set → any candidate touching 'ab' is deferred to the next round.
+    // corpus: 'ab'×4 as chars (a,b)=4; 'xy'×3 → (x,y)=3; 'za'×2 → (z,a)=2
+    // shares 'a' → skipped; batch=3 keeps only (a,b),(x,y) this round.
+    val corpus = Seq("ab ab ab ab xy xy xy za za").toDF("text")
+    val got = Bpe.learnMergesBatched(corpus, "text", 3, batch = 3)
+    assert(got.take(2) == Seq(Bpe.Merge("a", "b", 4), Bpe.Merge("x", "y", 3)))
+    // (z,a) lands in round 2 with its recount (unchanged: 2)
+    assert(got(2) == Bpe.Merge("z", "a", 2))
+  }
+
   test("byteSymbols: ASCII ≡ charSymbols; multi-byte chars split per byte") {
     val df = Seq("abc", "héllo", "a😀").toDF("word")
     val got = df.select(Bpe.byteSymbols($"word"))
