@@ -1220,6 +1220,43 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q218_tokenize_shard_roundtrip" -> ((s, dir) => {
+      // the 100 TB tokenization job END TO END: frozen tokenizer layout →
+      // encode → fixed-width binary payloads → TFRecord shard layout
+      // (commit protocol) → read back → decode → receipts. "What landed
+      // on disk is what the model trains on", gated as an
+      // identical-output contract: the decoded receipts must equal the
+      // direct encode's (shares q200's oracle verbatim). Payload framing
+      // is 8-byte big-endian doc_id + 8 bytes per id — pure codegen'd
+      // expressions both directions
+      val docs = t(s, dir, "documents")
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      def be8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        unhex(lpad(hex(c), 16, "0"))
+      val enc = graft.ops.Unigram.encode(docs, "doc_id", col("text"), m)
+        .select(col("doc_id"),
+          aggregate(col("ids"), be8(col("doc_id")),
+            (acc, x) => concat(acc, be8(x))).as("rec"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_tokshards").toString
+      graft.sources.RecordShards.write(enc, col("doc_id"), col("rec"),
+        8, out)
+      val back = graft.sources.RecordShards.read(s, out)
+      val decoded = back.select(
+        conv(hex(col("record").substr(lit(1), lit(8))), 16, 10)
+          .cast("long").as("doc_id"),
+        // sequence(1, 0) counts DOWN — guard the empty-ids record
+        when(octet_length(col("record")) > 8,
+          transform(
+            sequence(lit(1),
+              ((octet_length(col("record")) - 8) / 8).cast("int")),
+            i => conv(hex(col("record").substr(i * 8 + 1, lit(8))), 16, 10)
+              .cast("long")))
+          .otherwise(array().cast("array<long>")).as("ids"))
+      idSeqReceipts(decoded)
+    }),
+
     "q217_bpe_batched_merges" -> ((s, dir) => {
       // batched-greedy BPE training (the production-k path: ONE
       // pair-count shuffle per round of `batch` symbol-disjoint merges,
@@ -3918,6 +3955,9 @@ i$k AS MATERIALIZED (SELECT
       // model must reproduce the in-session model's encode row-for-row
       ("q214_unigram_store_encode" -> oracleBase("q200_unigram_encode")) +
       ("q215_bpe_store_encode" -> oracleBase("q171_bpe_encode")) +
+      // identical-output contract: encode → TFRecord shards → read back →
+      // decode must reproduce the direct encode row-for-row
+      ("q218_tokenize_shard_roundtrip" -> oracleBase("q200_unigram_encode")) +
       ("q163_compressibility" -> oracleBase("q163_compressibility")
         .replace("__DEFLATE_FIXTURE__", deflateFixturePath))
 
