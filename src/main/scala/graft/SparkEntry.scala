@@ -1220,6 +1220,39 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q219_streaming_encode" -> ((s, dir) => {
+      // tokenization as DEPLOYED on an arriving stream (q204's replay
+      // pattern for the encode path): 8 real micro-batches through file
+      // readStream, each encoded in foreachBatch under the FROZEN stored
+      // model (ids are model-determined, never batch-derived — the
+      // whole point of the persisted layout) and appended to the output
+      // dataset. Batch-equivalence contract: the union of per-batch
+      // encodes must equal the one-shot batch encode row-for-row
+      // (shares q200's oracle verbatim)
+      val tmp = docStreamDirCache.computeIfAbsent(dir, { d =>
+        val base = java.nio.file.Files.createTempDirectory("graft_q204")
+          .toString
+        s.read.parquet(s"$d/documents.parquet").repartition(8)
+          .write.parquet(s"$base/documents.parquet")
+        base
+      })
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val outBase = java.nio.file.Files
+        .createTempDirectory("graft_q219").toString
+      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.Unigram.encode(batch, "doc_id", col("text"), m)
+            .write.mode("append").parquet(s"$outBase/enc")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      idSeqReceipts(s.read.parquet(s"$outBase/enc"))
+    }),
+
     "q218_tokenize_shard_roundtrip" -> ((s, dir) => {
       // the 100 TB tokenization job END TO END: frozen tokenizer layout →
       // encode → fixed-width binary payloads → TFRecord shard layout
@@ -3958,6 +3991,9 @@ i$k AS MATERIALIZED (SELECT
       // identical-output contract: encode → TFRecord shards → read back →
       // decode must reproduce the direct encode row-for-row
       ("q218_tokenize_shard_roundtrip" -> oracleBase("q200_unigram_encode")) +
+      // batch-equivalence: per-micro-batch encode under the frozen model
+      // unioned over the stream ≡ the one-shot batch encode
+      ("q219_streaming_encode" -> oracleBase("q200_unigram_encode")) +
       ("q163_compressibility" -> oracleBase("q163_compressibility")
         .replace("__DEFLATE_FIXTURE__", deflateFixturePath))
 
