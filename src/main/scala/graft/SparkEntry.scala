@@ -1220,6 +1220,20 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q220_vocab_coverage" -> ((s, dir) => {
+      // vocabulary-coverage report under the [qj]-stripped model: per
+      // language, how much of the emitted id stream is byte fallback —
+      // the "which groups does this vocab under-serve" diagnostic next
+      // to fertility (q201). The oracle re-derives per-word piece/unk/
+      // fallback-byte counts from the q213 replay prefix (char ≡ byte on
+      // ASCII; real multi-byte counting is spec-covered)
+      val docs = t(s, dir, "documents")
+      graft.ops.Unigram.coverageByKey(docs, col("text"), col("lang"),
+          ensureUnigramStripped(s, dir))
+        .withColumnRenamed("key", "lang")
+        .orderBy("lang")
+    }),
+
     "q219_streaming_encode" -> ((s, dir) => {
       // tokenization as DEPLOYED on an arriving stream (q204's replay
       // pattern for the encode path): 8 real micro-batches through file
@@ -4145,6 +4159,18 @@ i$k AS MATERIALIZED (SELECT
     * final segmentation pass `fseg` under the pruned vocabulary. */
   private lazy val unigramReplay: String = unigramReplayFrom("text")
 
+  /** Shared q213/q220 oracle prefix: the [qj]-stripped learn replay plus
+    * RAW-corpus word types re-segmented under the pruned vocab with the
+    * DP's UNK arm — emits wenc (raw words), gseg (raw segmentations),
+    * fvocab (pruned model). */
+  private lazy val strippedUnigramPrefix: String =
+    unigramReplayFrom("regexp_replace(text, '[qj]', '', 'g')") + """,
+ rtoks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+       FROM documents),
+ wenc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM rtoks
+   WHERE word <> '' GROUP BY 1),""" +
+      unigramVitPass("g", "fvocab", wordsCte = "wenc", unkArm = true)
+
   /** [[unigramReplay]] with a caller-chosen text expression — the
     * byte-fallback gate (q213) trains on `[qj]`-stripped text so the
     * learned alphabet genuinely misses chars the raw corpus contains. */
@@ -6867,6 +6893,30 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    "q220_vocab_coverage" ->
+      // per-word piece/unk/fallback counts from the stripped-model replay
+      // (unknown pieces are single chars; length ≡ UTF-8 bytes on ASCII),
+      // aggregated per language over the corpus token stream
+      (strippedUnigramPrefix + """,
+ wpe AS (SELECT ps.word, ps.seg[t.j] AS piece
+     FROM gseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wstats AS MATERIALIZED (SELECT wpe.word,
+     count(*)::BIGINT AS np,
+     sum(CASE WHEN f.piece IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu,
+     sum(CASE WHEN f.piece IS NULL THEN length(wpe.piece) ELSE 0
+       END)::BIGINT AS nfb
+   FROM wpe LEFT JOIN fvocab f USING (piece) GROUP BY wpe.word),
+ dt AS (SELECT doc_id, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)
+     WHERE tk[j] <> '')
+ SELECT d.lang, count(*)::BIGINT AS n_words,
+   sum(np - nu + nfb)::BIGINT AS n_ids,
+   sum(nu)::BIGINT AS n_unk_pieces,
+   sum(nfb)::BIGINT AS n_fallback_ids,
+   round(sum(nfb) * 1.0 / sum(np - nu + nfb), 6) AS fallback_rate
+ FROM dt JOIN wstats USING (word) JOIN documents d USING (doc_id)
+ GROUP BY 1 ORDER BY 1"""),
     "q217_bpe_batched_merges" ->
       // replays learnMergesBatched(batch=2) rule-for-rule: per round one
       // MATERIALIZED ranked pair table (cnt desc, l, r), a = rank 1,
@@ -6971,13 +7021,7 @@ ORDER BY idA, idB"""),
       // RAW-corpus words re-segmented under the pruned vocab with the
       // DP's UNK arm; unknown single chars map to V + byte (one byte per
       // char on ASCII), known pieces to their model pid
-      (unigramReplayFrom("regexp_replace(text, '[qj]', '', 'g')") + """,
- rtoks AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
-       FROM documents),
- wenc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM rtoks
-   WHERE word <> '' GROUP BY 1),""" +
-        unigramVitPass("g", "fvocab", wordsCte = "wenc", unkArm = true) +
-        """,
+      (strippedUnigramPrefix + """,
  nv AS (SELECT count(*)::BIGINT AS v FROM fvocab),
  wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
      FROM gseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),

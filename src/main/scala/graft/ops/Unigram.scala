@@ -207,6 +207,53 @@ object Unigram {
     Bpe.assembleIds(df, idCol, text, wordIds)
   }
 
+  /** Vocabulary-coverage report by group key — the companion diagnostic
+    * to [[fertilityByKey]] for [[encodeByteFallback]] deployments: per
+    * group, how much of the emitted id stream is byte-fallback (a high
+    * `fallback_rate` means the learned vocabulary under-serves that
+    * group's script/domain and its text costs fallback bytes instead of
+    * learned pieces). Output: (key, n_words, n_ids, n_unk_pieces,
+    * n_fallback_ids, fallback_rate) where n_ids counts the ids
+    * [[encodeByteFallback]] would emit (known pieces 1 each, unknown
+    * pieces their UTF-8 byte count) and fallback_rate =
+    * n_fallback_ids / n_ids (rounded 6).
+    *
+    * Scale shape: [[Bpe.fertilityFromWordPieces]]'s — segmentation and
+    * per-word stats over the word-TYPE table, the corpus token stream
+    * joins the small table and aggregates straight to the group key. */
+  def coverageByKey(df: DataFrame, text: Column, key: Column,
+      model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val types = df
+      .select(explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct()
+    val pieces = model.entries.map(_.piece).toDF("__sym")
+      .withColumn("__known", lit(true))
+    val wordStats = types
+      .select(col("word"),
+        explode(model.segmentCol(col("word"))).as("__sym"))
+      .join(broadcast(pieces), Seq("__sym"), "left")
+      .groupBy("word")
+      .agg(count(lit(1)).as("__p"),
+        coalesce(sum(when(col("__known").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("__u"),
+        coalesce(sum(when(col("__known").isNull,
+          octet_length(col("__sym")).cast("long")).otherwise(0L)),
+          lit(0L)).as("__fb"))
+    df.select(key.as("key"), explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(wordStats, Seq("word"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__p") - col("__u") + col("__fb")).as("n_ids"),
+        sum(col("__u")).as("n_unk_pieces"),
+        sum(col("__fb")).as("n_fallback_ids"))
+      .withColumn("fallback_rate",
+        round(col("n_fallback_ids") * lit(1.0) / col("n_ids"), 6))
+  }
+
   /** Tokenizer fertility by group key under a unigram model — the same
     * vocabulary-budget diagnostic as [[Bpe.fertilityByKey]]. */
   def fertilityByKey(df: DataFrame, text: Column, key: Column,

@@ -150,6 +150,26 @@ class UnigramSpec extends SparkTestBase {
     assert(got.forall(_ >= 0L), "byte fallback can never emit unk")
   }
 
+  test("coverageByKey: fallback bytes per group, known pieces one id each") {
+    val train = Seq((1L, "aba aba ab")).toDF("doc_id", "text")
+    val m = Unigram.learn(train, col("text"), vocabSize = 8,
+      maxPieceLen = 3, minCount = 1, seedCap = 8, emIters = 1)
+    // how many ids the model emits for each fully-known word
+    def nIds(w: String): Long =
+      Unigram.encode(Seq((1L, w)).toDF("doc_id", "text"),
+        "doc_id", col("text"), m).collect().head.getSeq[Long](1).size.toLong
+    val docs = Seq(("g1", "aba zé"), ("g2", "ab ab")).toDF("grp", "text")
+    val got = Unigram.coverageByKey(docs, col("text"), col("grp"), m)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    // g1: 'zé' = 2 unknown single chars → 'z' 1 byte + 'é' 2 bytes = 3
+    // fallback ids; g2: fully known, zero fallback
+    assert(got == List(
+      ("g1", 2L, nIds("aba") + 3L, 2L, 3L),
+      ("g2", 2L, 2L * nIds("ab"), 0L, 0L)))
+  }
+
   test("fertility: weighted by corpus tokens, grouped") {
     val docs = Seq((1L, "ab ab b", "x"), (2L, "ab", "y"))
       .toDF("doc_id", "text", "g")
