@@ -1220,6 +1220,23 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q221_bpe_continue_merges" -> ((s, dir) => {
+      // continuation identity (domain adaptation / vocabulary extension
+      // without retraining): the first 4 merges of q171's cached table,
+      // extended by learnMergesContinue(4), must reproduce the one-shot
+      // 8-merge learn — the oracle is the same 8-round replay, so any
+      // drift in the fold-then-continue path is a hash mismatch
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val first = bpeMergeCache.computeIfAbsent(dir,
+        d => graft.ops.Bpe.learnMerges(t(s, d, "documents"), "text", 8))
+        .take(4)
+      val more = graft.ops.Bpe.learnMergesContinue(docs, "text", first, 4)
+      (first ++ more).zipWithIndex
+        .map { case (m, i) => (i + 1, m.left, m.right, m.freq) }
+        .toDF("rank", "left", "right", "freq")
+    }),
+
     "q220_vocab_coverage" -> ((s, dir) => {
       // vocabulary-coverage report under the [qj]-stripped model: per
       // language, how much of the emitted id stream is byte fallback —
@@ -6893,6 +6910,15 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    "q221_bpe_continue_merges" ->
+      // the one-shot 8-round replay (bpeReplay8), each selected pair
+      // joined back to its round's count table for the recorded freq
+      (bpeReplay8 + "\n" +
+        (1 to 8).map { k =>
+          s"""SELECT $k::INT AS rank, p.l AS "left", p.r AS "right",
+             p.cnt AS freq
+           FROM p$k p JOIN m$k m ON m.l = p.l AND m.r = p.r"""
+        }.mkString("\n         UNION ALL ") + "\n         ORDER BY rank"),
     "q220_vocab_coverage" ->
       // per-word piece/unk/fallback counts from the stripped-model replay
       // (unknown pieces are single chars; length ≡ UTF-8 bytes on ASCII),

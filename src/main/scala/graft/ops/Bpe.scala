@@ -82,12 +82,33 @@ object Bpe {
       k: Int): Seq[Merge] =
     learnMergesSeeded(corpus, textCol, k, byteSymbols)
 
+  /** Continue merge learning from an existing (e.g. [[TokenizerStore]]-
+    * loaded) merge list: the corpus types are folded under `existing`
+    * first (chunked like [[segmentWordsSeeded]] — an uncut fold of a
+    * 32000-merge table would blow codegen), then the learn loop runs `k`
+    * MORE rounds. Returns only the new merges; callers append. The
+    * continuation identity — learn(a+b) ≡ learn(a) then continue(b) on
+    * the same corpus — is gate-pinned (q221): extension is exact, not
+    * approximate, because the sequential trainer's state is a pure
+    * function of (corpus, merge list). */
+  def learnMergesContinue(corpus: DataFrame, textCol: String,
+      existing: Seq[Merge], k: Int): Seq[Merge] =
+    learnMergesSeeded(corpus, textCol, k, charSymbols, existing)
+
   private def learnMergesSeeded(corpus: DataFrame, textCol: String, k: Int,
-      seed: Column => Column): Seq[Merge] = {
+      seed: Column => Column,
+      existing: Seq[Merge] = Nil): Seq[Merge] = {
     require(k >= 1, "k must be >= 1")
     var state = wordCounts(corpus, textCol)
       .select(seed(col("word")).as("syms"), col("freq"))
       .localCheckpoint()
+    existing.grouped(16).foreach { grp =>
+      val prev = state
+      state = state.select(grp.foldLeft(col("syms")) { (c, m) =>
+        mergeOnce(c, m.left, m.right) }.as("syms"), col("freq"))
+        .localCheckpoint()
+      freeCheckpoint(prev)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     while (merges.length < k && !exhausted) {
@@ -185,13 +206,17 @@ object Bpe {
         }
         merges ++= sel
         // apply in selection order — disjointness makes each application
-        // invisible to the others, so the order is only a convention
-        val prev = state
-        state = state.select(
-          sel.foldLeft(col("syms")) { (c, mm) =>
-            mergeOnce(c, mm.left, mm.right) }.as("syms"), col("freq"))
-          .localCheckpoint()
-        freeCheckpoint(prev)
+        // invisible to the others, so the order is only a convention;
+        // chunked (segmentWords' 16) so a batch=256 round never nests
+        // codegen 256 folds deep
+        sel.grouped(16).foreach { grp =>
+          val prev = state
+          state = state.select(
+            grp.foldLeft(col("syms")) { (c, mm) =>
+              mergeOnce(c, mm.left, mm.right) }.as("syms"), col("freq"))
+            .localCheckpoint()
+          freeCheckpoint(prev)
+        }
       }
     }
     freeCheckpoint(state)

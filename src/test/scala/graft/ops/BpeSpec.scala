@@ -185,6 +185,20 @@ class BpeSpec extends SparkTestBase {
       s"learnMerges leaked ${(ids -- before).size} persistent RDDs")
   }
 
+  test("learnMergesContinue: learn(a) + continue(b) ≡ learn(a+b)") {
+    val rnd = new scala.util.Random(9090)
+    for (trial <- 1 to 3) {
+      val text = Seq.fill(40)(
+        (0 to rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        .mkString(" ")
+      val corpus = Seq(text).toDF("text")
+      val whole = Bpe.learnMerges(corpus, "text", 6)
+      val first = Bpe.learnMerges(corpus, "text", 3)
+      val more = Bpe.learnMergesContinue(corpus, "text", first, 3)
+      assert(first ++ more == whole, s"trial $trial corpus=$text")
+    }
+  }
+
   test("learnMergesBatched: batch=1 ≡ sequential learnMerges") {
     val rnd = new scala.util.Random(1717)
     for (trial <- 1 to 3) {

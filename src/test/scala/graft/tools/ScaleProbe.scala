@@ -503,6 +503,19 @@ object ScaleProbe {
       require(m.size == 1000, s"exhausted at ${m.size}")
     }
 
+    time(s"r11 bpe learnMerges SEQUENTIAL k=256, $nDocs docs") {
+      // the round-latency baseline the batched trainer amortizes:
+      // one pair-count shuffle + argmax collect + fold PER MERGE
+      val m = graft.ops.Bpe.learnMerges(docs, "text", 256)
+      require(m.size == 256, s"exhausted at ${m.size}")
+    }
+    time(s"r11 bpe learnMergesBatched k=1000 batch=64, $nDocs docs") {
+      // same corpus, ~k/batch rounds: the production-k path q217 gates
+      val m = graft.ops.Bpe.learnMergesBatched(docs, "text", 1000,
+        batch = 64)
+      require(m.size == 1000, s"exhausted at ${m.size}")
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
