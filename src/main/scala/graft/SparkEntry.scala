@@ -1220,6 +1220,20 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q222_wordpiece_continue" -> ((s, dir) => {
+      // continuation identity for the likelihood-scored family: 3
+      // merges learned, then 3 continued, must induce the SAME model as
+      // the one-shot 6-merge learn (extension is exact — trainer state
+      // is a pure function of corpus + merges); shares q207's oracle
+      val docs = t(s, dir, "documents")
+      val first = graft.ops.Wordpiece.learnMerges(docs, "text", 3)
+      val more = graft.ops.Wordpiece.learnMergesContinue(docs, "text",
+        first, 3)
+      graft.ops.Wordpiece.vocabTable(s,
+          graft.ops.Wordpiece.model(docs, col("text"), first ++ more))
+        .orderBy("piece_id")
+    }),
+
     "q221_bpe_continue_merges" -> ((s, dir) => {
       // continuation identity (domain adaptation / vocabulary extension
       // without retraining): the first 4 merges of q171's cached table,
@@ -4025,6 +4039,9 @@ i$k AS MATERIALIZED (SELECT
       // batch-equivalence: per-micro-batch encode under the frozen model
       // unioned over the stream ≡ the one-shot batch encode
       ("q219_streaming_encode" -> oracleBase("q200_unigram_encode")) +
+      // continuation identity: 3 learned + 3 continued merges must
+      // induce the one-shot 6-merge model
+      ("q222_wordpiece_continue" -> oracleBase("q207_wordpiece_learn")) +
       ("q163_compressibility" -> oracleBase("q163_compressibility")
         .replace("__DEFLATE_FIXTURE__", deflateFixturePath))
 

@@ -72,11 +72,27 @@ object Wordpiece {
 
   /** Learn the first `k` WordPiece merges by likelihood score. Stops
     * early when no adjacent pair remains. */
-  def learnMerges(corpus: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+  def learnMerges(corpus: DataFrame, textCol: String, k: Int): Seq[Merge] =
+    learnMergesContinue(corpus, textCol, Nil, k)
+
+  /** Continue WordPiece merge learning from an existing merge list —
+    * [[Bpe.learnMergesContinue]]'s contract for the likelihood-scored
+    * family: the ##-marked types fold under `existing` first (chunked),
+    * then the scored loop runs `k` MORE rounds. Exact extension:
+    * learn(a)+continue(b) ≡ learn(a+b) (spec-pinned, gate q222). */
+  def learnMergesContinue(corpus: DataFrame, textCol: String,
+      existing: Seq[Merge], k: Int): Seq[Merge] = {
     require(k >= 1, "k must be >= 1")
     var state = Bpe.wordCounts(corpus, textCol)
       .select(initSymbols(col("word")).as("syms"), col("freq"))
       .localCheckpoint()
+    existing.grouped(16).foreach { grp =>
+      val prev = state
+      state = state.select(grp.foldLeft(col("syms")) { (c, m) =>
+        mergeOnce(c, m.left, m.right, m.merged) }.as("syms"), col("freq"))
+        .localCheckpoint()
+      CheckpointUtil.freeCheckpoint(prev)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     while (merges.length < k && !exhausted) {

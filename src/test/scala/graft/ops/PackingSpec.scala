@@ -27,6 +27,27 @@ class PackingSpec extends SparkTestBase {
     assert(plan.contains("__bkt"), plan)
   }
 
+  test("withPrefixSumLong: LONG-exact cumsum, partitioning-invariant, bucketed plan") {
+    // values near 2^53 where the DOUBLE variant would lose exactness:
+    // the long path must stay bit-exact
+    val big = (1L << 52)
+    val rows = (0L until 200L).map(i => (i, big + i * 37L % 91L + 1L))
+    val df = rows.toDF("k", "v")
+    val want = rows.sortBy(_._1).scanLeft((-1L, 0L)) {
+      case ((_, acc), (k, v)) => (k, acc + v)
+    }.drop(1).toMap
+    for (reparted <- Seq(df, df.repartition(7), df.orderBy(desc("k")))) {
+      val got = Packing
+        .withPrefixSumLong(reparted, "k", "v", "cum", buckets = 8)
+        .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == want)
+    }
+    val plan = Packing.withPrefixSumLong(df, "k", "v", "cum", buckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"), plan)
+  }
+
   test("bucket auto-sizing: tiny inputs collapse to 2 buckets, exact anyway") {
     // the cap itself
     assert(Packing.effectiveBuckets(200, 7L) == 2)

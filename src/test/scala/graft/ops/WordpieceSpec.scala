@@ -126,6 +126,14 @@ class WordpieceSpec extends SparkTestBase {
     }
   }
 
+  test("learnMergesContinue: learn(a) + continue(b) ≡ learn(a+b)") {
+    val corpus = Seq("aab aab ab ba bab aab ba").toDF("text")
+    val whole = Wordpiece.learnMerges(corpus, "text", 4)
+    val first = Wordpiece.learnMerges(corpus, "text", 2)
+    val more = Wordpiece.learnMergesContinue(corpus, "text", first, 2)
+    assert(first ++ more == whole)
+  }
+
   test("learnMerges deterministic under repartitioning") {
     val docs = spark.read.parquet(sf("documents"))
     val a = Wordpiece.learnMerges(docs, "text", 4)
