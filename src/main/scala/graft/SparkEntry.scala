@@ -1220,6 +1220,24 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q223_bpe_lossless_roundtrip" -> ((s, dir) => {
+      // lossless byte-level tokenization: GPT-2-style whitespace-attached
+      // pre-tokens → byte-merge encode → DETOKENIZE (decodeBytes) — the
+      // recovered text must hash-equal the raw corpus per document
+      // (whitespace rides inside the id stream; nothing is lost). The
+      // oracle hashes the originals via the shared 64-bit hash mirror —
+      // the engine can only match it by reconstructing every byte
+      val docs = t(s, dir, "documents")
+      val merges = bpeByteMergeCache.computeIfAbsent(dir,
+        d => graft.ops.Bpe.learnMergesBytes(t(s, d, "documents"), "text", 8))
+      val enc = graft.ops.Bpe.encodeBytesLossless(docs, "doc_id",
+        col("text"), merges)
+      graft.ops.Bpe.decodeBytes(enc, "doc_id", "ids", merges)
+        .select(col("doc_id"), gf.hash64(col("text")).as("rec_hash"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q222_wordpiece_continue" -> ((s, dir) => {
       // continuation identity for the likelihood-scored family: 3
       // merges learned, then 3 continued, must induce the SAME model as
@@ -6927,6 +6945,12 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    "q223_bpe_lossless_roundtrip" ->
+      // the originals' per-doc hash/length — matchable only by
+      // reconstructing every byte of every document from the id stream
+      (hashMacros + """SELECT doc_id, g_sb(g_thash(text)) AS rec_hash,
+           length(text)::BIGINT AS n_chars
+         FROM documents ORDER BY doc_id"""),
     "q221_bpe_continue_merges" ->
       // the one-shot 8-round replay (bpeReplay8), each selected pair
       // joined back to its round's count table for the recorded freq

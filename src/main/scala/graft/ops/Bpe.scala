@@ -419,11 +419,34 @@ object Bpe {
     * by construction. Same scale shape as [[encode]] — segmentation and
     * id mapping over word TYPES, one corpus-sized regroup. */
   def encodeBytes(df: DataFrame, idCol: String, text: Column,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge]): DataFrame =
+    encodeBytesTokens(df, idCol, split(text, "\\s+"), merges)
+
+  /** Whitespace-preserving token array: every `\s*\S+` run keeps its
+    * LEADING whitespace (the GPT-2 pre-tokenization convention) and a
+    * trailing whitespace run survives as its own token — so
+    * `concat(tokens) == text` for ANY input, which is what makes
+    * [[encodeBytesLossless]]/[[decodeBytes]] a true inverse pair. */
+  def losslessTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\s*\\S+|\\s+$"), lit(0))
+
+  /** [[encodeBytes]] over [[losslessTokens]]: whitespace travels INSIDE
+    * the id stream (space bytes are ordinary symbols of the fixed
+    * 256-byte alphabet), so [[decodeBytes]] reconstructs the original
+    * text byte-for-byte — the round-trip a byte-level production
+    * tokenizer owes its detokenizer. Token types roughly double (a word
+    * type may occur bare and space-prefixed); everything else matches
+    * [[encodeBytes]]' scale shape. */
+  def encodeBytesLossless(df: DataFrame, idCol: String, text: Column,
+      merges: Seq[Merge]): DataFrame =
+    encodeBytesTokens(df, idCol, losslessTokens(text), merges)
+
+  private def encodeBytesTokens(df: DataFrame, idCol: String,
+      tokens: Column, merges: Seq[Merge]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val types = df
-      .select(explode(split(text, "\\s+")).as("word"))
+      .select(explode(tokens).as("word"))
       .where(length(col("word")) > 0)
       .distinct()
       .localCheckpoint()
@@ -442,7 +465,42 @@ object Bpe {
       .groupBy("word")
       .agg(transform(array_sort(collect_list(struct(col("__sp"),
         col("__sid")))), x => x.getField("__sid")).as("__wids"))
-    assembleIds(df, idCol, text, wordIds)
+    assembleIdsTokens(df, idCol, tokens, wordIds)
+  }
+
+  /** Detokenization — the exact inverse of the byte-mode encodes: single
+    * ids are their byte, fused ids their merge's byte string; the byte
+    * stream decodes as UTF-8. For [[encodeBytesLossless]] output,
+    * `decodeBytes(encode(text)) == text` byte-for-byte (whitespace rides
+    * inside the ids); for [[encodeBytes]] output it returns the
+    * space-collapsed word stream. Pure per-row reconstruction — the
+    * fused table broadcasts, one doc's bytes in memory at a time. */
+  def decodeBytes(encoded: DataFrame, idCol: String, idsCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val fusedBytes: Map[Long, Array[Byte]] =
+      merges.map(m => m.left + m.right).distinct.zipWithIndex
+        .map { case (s, i) => (256L + i) -> s.map(_.toByte).toArray }
+        .toMap
+    val spark = encoded.sparkSession
+    val bc = spark.sparkContext.broadcast(fusedBytes)
+    val outSchema = StructType(Seq(
+      encoded.schema(idCol),
+      StructField("text", StringType)))
+    encoded.select(col(idCol), col(idsCol)).mapPartitions { it =>
+      val tbl = bc.value
+      it.map { r =>
+        val ids = r.getSeq[Long](1)
+        val buf = new java.io.ByteArrayOutputStream(ids.length * 2)
+        ids.foreach { id =>
+          if (id < 256L) buf.write(id.toInt)
+          else buf.write(tbl(id))
+        }
+        Row(r.get(0),
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }(Encoders.row(outSchema)).toDF()
   }
 
   /** Corpus id-sequence assembly shared by the tokenizer families
@@ -454,11 +512,18 @@ object Bpe {
     * streaming walk (one doc in memory at a time — collect_list OOMs at
     * billion-token scale). */
   private[ops] def assembleIds(df: DataFrame, idCol: String, text: Column,
-      wordIds: DataFrame): DataFrame = {
+      wordIds: DataFrame): DataFrame =
+    assembleIdsTokens(df, idCol, split(text, "\\s+"), wordIds)
+
+  /** [[assembleIds]] over a caller-chosen token array — the lossless
+    * encode path passes whitespace-preserving tokens instead of the
+    * `\s+` split. */
+  private[ops] def assembleIdsTokens(df: DataFrame, idCol: String,
+      tokens: Column, wordIds: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.{Encoders, Row}
     val toks = df.select(col(idCol),
-      posexplode_outer(split(text, "\\s+")).as(Seq("__pos", "__tok")))
+      posexplode_outer(tokens).as(Seq("__pos", "__tok")))
     val mapped = toks
       .join(wordIds.select(col("word").as("__tok"), col("__wids")),
         Seq("__tok"), "left")

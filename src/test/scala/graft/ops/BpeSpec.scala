@@ -237,6 +237,29 @@ class BpeSpec extends SparkTestBase {
     assert(got(2) == Bpe.Merge("z", "a", 2))
   }
 
+  test("encodeBytesLossless ∘ decodeBytes == identity on adversarial text") {
+    val texts = Seq(
+      1L -> "plain words here",
+      2L -> "  leading and trailing  ",
+      3L -> "runs   of\t mixed \n whitespace",
+      4L -> "héé multi✓byte 😀 text",
+      5L -> "",
+      6L -> "   ")
+    val df = texts.toDF("doc_id", "text")
+    val merges = Bpe.learnMergesBytes(df, "text", 3)
+    val enc = Bpe.encodeBytesLossless(df, "doc_id", col("text"), merges)
+    val got = Bpe.decodeBytes(enc, "doc_id", "ids", merges)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == t, s"doc $id: '${got(id)}' != '$t'")
+    }
+    // losslessTokens must concatenate back to the input exactly
+    val toks = df.select(col("doc_id"),
+        array_join(Bpe.losslessTokens(col("text")), "").as("back"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) => assert(toks(id) == t) }
+  }
+
   test("byteSymbols: ASCII ≡ charSymbols; multi-byte chars split per byte") {
     val df = Seq("abc", "héllo", "a😀").toDF("word")
     val got = df.select(Bpe.byteSymbols($"word"))
