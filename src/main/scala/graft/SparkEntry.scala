@@ -158,6 +158,10 @@ object SparkEntry {
   /** One-time unigram model for q213 trained on `[qj]`-stripped text
     * (q199's geometry otherwise), so encoding the RAW corpus genuinely
     * exercises byte fallback: every q/j becomes an unknown char. */
+  /** One-time whitespace-in-alphabet lossless unigram model for q224. */
+  private val unigramLosslessModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Unigram.Model]()
+
   private val unigramStrippedModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Unigram.Model]()
   private def ensureUnigramStripped(s: SparkSession,
@@ -1218,6 +1222,25 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
+    }),
+
+    "q224_unigram_lossless_roundtrip" -> ((s, dir) => {
+      // the unigram side of q223's contract: whitespace-in-alphabet
+      // lossless model (learnLossless) → encodeLossless → decode — the
+      // recovered text must hash-equal the raw corpus per document
+      // (space pieces ride inside the id stream, unknown bytes via the
+      // fallback block). Shares q223's oracle (the originals' hashes)
+      val docs = t(s, dir, "documents")
+      val m = unigramLosslessModelCache.computeIfAbsent(dir, d =>
+        graft.ops.Unigram.learnLossless(t(s, d, "documents"), col("text"),
+          vocabSize = 40, maxPieceLen = 4, minCount = 2, seedCap = 64,
+          emIters = 2))
+      val enc = graft.ops.Unigram.encodeLossless(docs, "doc_id",
+        col("text"), m)
+      graft.ops.Unigram.decode(enc, "doc_id", "ids", m)
+        .select(col("doc_id"), gf.hash64(col("text")).as("rec_hash"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
     }),
 
     "q223_bpe_lossless_roundtrip" -> ((s, dir) => {
@@ -4060,6 +4083,9 @@ i$k AS MATERIALIZED (SELECT
       // continuation identity: 3 learned + 3 continued merges must
       // induce the one-shot 6-merge model
       ("q222_wordpiece_continue" -> oracleBase("q207_wordpiece_learn")) +
+      // same contract as q223: only byte-exact reconstruction matches
+      ("q224_unigram_lossless_roundtrip" ->
+        oracleBase("q223_bpe_lossless_roundtrip")) +
       ("q163_compressibility" -> oracleBase("q163_compressibility")
         .replace("__DEFLATE_FIXTURE__", deflateFixturePath))
 

@@ -44,7 +44,10 @@ object Unigram {
   }
 
   private def wordTypes(df: DataFrame, text: Column): DataFrame =
-    df.select(explode(split(text, "\\s+")).as("word"))
+    tokenTypes(df, split(text, "\\s+"))
+
+  private def tokenTypes(df: DataFrame, tokens: Column): DataFrame =
+    df.select(explode(tokens).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
@@ -62,9 +65,27 @@ object Unigram {
     * count floor of 1 — SentencePiece's required-character rule). */
   def learn(df: DataFrame, text: Column, vocabSize: Int,
       maxPieceLen: Int = 4, minCount: Int = 2, seedCap: Int = 64,
-      emIters: Int = 2): Model = {
+      emIters: Int = 2): Model =
+    learnTokens(df, split(text, "\\s+"), vocabSize, maxPieceLen, minCount,
+      seedCap, emIters)
+
+  /** [[learn]] over [[Bpe.losslessTokens]] — whitespace enters the
+    * alphabet (each token keeps its leading spaces), so pieces can span
+    * the space/word boundary and [[decode]] of an [[encodeLossless]]
+    * stream reconstructs the original text exactly (the SentencePiece
+    * whitespace-meta-symbol idea, but with REAL space bytes, so runs of
+    * whitespace survive too). */
+  def learnLossless(df: DataFrame, text: Column, vocabSize: Int,
+      maxPieceLen: Int = 4, minCount: Int = 2, seedCap: Int = 64,
+      emIters: Int = 2): Model =
+    learnTokens(df, Bpe.losslessTokens(text), vocabSize, maxPieceLen,
+      minCount, seedCap, emIters)
+
+  private def learnTokens(df: DataFrame, tokens: Column, vocabSize: Int,
+      maxPieceLen: Int, minCount: Int, seedCap: Int,
+      emIters: Int): Model = {
     require(vocabSize >= 1 && maxPieceLen >= 1 && emIters >= 0)
-    val types = wordTypes(df, text).localCheckpoint()
+    val types = tokenTypes(df, tokens).localCheckpoint()
     // seed candidate counts: one explode over word TYPES (vocab-sized),
     // weighted by corpus frequency
     val subCnt = types
@@ -180,10 +201,23 @@ object Unigram {
     * unknown single char. Same scale shape as [[encode]]: the per-symbol
     * byte expansion happens on the word-TYPE table, never the corpus. */
   def encodeByteFallback(df: DataFrame, idCol: String, text: Column,
-      model: Model): DataFrame = {
+      model: Model): DataFrame =
+    encodeByteFallbackTokens(df, idCol, split(text, "\\s+"), model)
+
+  /** [[encodeByteFallback]] over [[Bpe.losslessTokens]] under a
+    * [[learnLossless]] model: whitespace rides inside the id stream
+    * (space is an alphabet char, so it is always representable), every
+    * non-space byte is representable via the fallback — [[decode]]
+    * reconstructs the original text exactly. */
+  def encodeLossless(df: DataFrame, idCol: String, text: Column,
+      model: Model): DataFrame =
+    encodeByteFallbackTokens(df, idCol, Bpe.losslessTokens(text), model)
+
+  private def encodeByteFallbackTokens(df: DataFrame, idCol: String,
+      tokens: Column, model: Model): DataFrame = {
     val v = model.entries.size.toLong
     val types = df
-      .select(explode(split(text, "\\s+")).as("word"))
+      .select(explode(tokens).as("word"))
       .where(length(col("word")) > 0)
       .distinct()
       .localCheckpoint()
@@ -204,7 +238,42 @@ object Unigram {
       .groupBy("word")
       .agg(flatten(transform(array_sort(collect_list(struct(col("__sp"),
         col("__pids")))), x => x.getField("__pids"))).as("__wids"))
-    Bpe.assembleIds(df, idCol, text, wordIds)
+    Bpe.assembleIdsTokens(df, idCol, tokens, wordIds)
+  }
+
+  /** Detokenization — the inverse of the byte-fallback encodes: ids
+    * below vocabSize emit their piece's UTF-8 bytes, fallback ids emit
+    * the byte `id − vocabSize`; the stream decodes as UTF-8. For
+    * [[encodeLossless]] output this reconstructs the original text
+    * byte-for-byte; for [[encodeByteFallback]] output it returns the
+    * space-collapsed word stream. One doc's bytes in memory at a time. */
+  def decode(encoded: DataFrame, idCol: String, idsCol: String,
+      model: Model): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val v = model.entries.size.toLong
+    val pieceBytes: Array[Array[Byte]] = model.entries
+      .map(_.piece.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .toArray
+    val spark = encoded.sparkSession
+    val bc = spark.sparkContext.broadcast(pieceBytes)
+    val outSchema = StructType(Seq(
+      encoded.schema(idCol),
+      StructField("text", StringType)))
+    encoded.select(col(idCol), col(idsCol)).mapPartitions { it =>
+      val tbl = bc.value
+      it.map { r =>
+        val ids = r.getSeq[Long](1)
+        val buf = new java.io.ByteArrayOutputStream(ids.length * 2)
+        ids.foreach { id =>
+          if (id < v) buf.write(tbl(id.toInt))
+          else buf.write((id - v).toInt)
+        }
+        Row(r.get(0),
+          new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }(Encoders.row(outSchema)).toDF()
   }
 
   /** Vocabulary-coverage report by group key — the companion diagnostic

@@ -170,6 +170,25 @@ class UnigramSpec extends SparkTestBase {
       ("g2", 2L, 2L * nIds("ab"), 0L, 0L)))
   }
 
+  test("encodeLossless ∘ decode == identity on adversarial text") {
+    val texts = Seq(
+      1L -> "plain words here",
+      2L -> "  leading and trailing  ",
+      3L -> "runs   of\t mixed \n whitespace",
+      4L -> "héé multi✓byte 😀 text",
+      5L -> "",
+      6L -> "   ")
+    val df = texts.toDF("doc_id", "text")
+    val m = Unigram.learnLossless(df, col("text"), vocabSize = 24,
+      maxPieceLen = 3, minCount = 1, seedCap = 16, emIters = 1)
+    val enc = Unigram.encodeLossless(df, "doc_id", col("text"), m)
+    val got = Unigram.decode(enc, "doc_id", "ids", m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == t, s"doc $id: '${got(id)}' != '$t'")
+    }
+  }
+
   test("fertility: weighted by corpus tokens, grouped") {
     val docs = Seq((1L, "ab ab b", "x"), (2L, "ab", "y"))
       .toDF("doc_id", "text", "g")
