@@ -516,6 +516,17 @@ object ScaleProbe {
       require(m.size == 1000, s"exhausted at ${m.size}")
     }
 
+    time(s"r11 lossless encode+decode $nDocs docs (8 byte merges)") {
+      // the detokenization contract at corpus scale: whitespace-attached
+      // byte encode, then full decode back to text — two corpus passes
+      // for the encode assembly plus one per-row reconstruction pass
+      val digits = (0 to 9).map(_.toString)
+      val merges = digits.take(8).map(d => graft.ops.Bpe.Merge("w", d, 0))
+      val enc = graft.ops.Bpe.encodeBytesLossless(docs, "doc_id",
+        col("text"), merges)
+      force(graft.ops.Bpe.decodeBytes(enc, "doc_id", "ids", merges))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
