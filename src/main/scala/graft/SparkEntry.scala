@@ -2486,13 +2486,16 @@ object SparkEntry {
 
     "q106_profile" -> ((s, dir) => {
       // one-pass multi-sketch column profiling: 5 columns' counts, nulls,
-      // distincts (KMV, exact below k=8192), min/max, dominant value
+      // distincts (KMV, exact below k), min/max, dominant value
       // (Space-Saving, exact at capacity ≥ distinct) from a SINGLE
-      // aggregation job; oracle recomputes each column exactly
+      // aggregation job; oracle recomputes each column exactly. Sizes
+      // follow the margin convention (exact THROUGH sf0.1): l_partkey
+      // has 20k distinct there — the old 8192/4096 was exact only at
+      // sf0.01, the round-11 .diff artifact caught the sf0.1 drift
       graft.ops.Profile.profile(t(s, dir, "lineitem"),
           Seq("l_partkey", "l_linenumber", "l_quantity",
             "l_returnflag", "l_linestatus"),
-          kmvK = 8192, topCapacity = 4096)
+          kmvK = 32768, topCapacity = 32768)
         .orderBy("column")
     }),
 
