@@ -95,6 +95,25 @@ object SparkEntry {
         "doc_id", "text", base, shingleN = 2, numHashes = 128, bands = 32)
       base
     })
+  /** One-time INCREMENTALLY-built MinHash index for q225: doc_id%4==0
+    * built whole, doc_id%4==2 appended — together exactly q206's even
+    * docs, so querying the odd docs must reproduce q94's oracle. */
+  private val minhashAppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureMinhashAppendIndex(s: SparkSession,
+      dir: String): String =
+    minhashAppendIndexCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft_mhidx2")
+        .toString
+      val docs = t(s, d, "documents")
+      graft.ops.Dedup.buildMinhashIndex(
+        docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", base, shingleN = 2, numHashes = 128, bands = 32)
+      graft.ops.Dedup.appendToMinhashIndex(
+        docs.where(col("doc_id") % 4 === 2), "doc_id", "text", base)
+      base
+    })
+
   /** One-time 8-shard WebDataset tar layout for q159, keyed by sf dir. */
   private val tarCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1222,6 +1241,20 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
+    }),
+
+    "q225_dedup_index_append" -> ((s, dir) => {
+      // incremental index lifecycle: a quarter of the corpus indexed,
+      // another quarter APPENDED with the stored geometry — the grown
+      // layout must behave exactly like q206's built-whole even-doc
+      // index, so the odd-doc query shares q94's oracle verbatim
+      val base = ensureMinhashAppendIndex(s, dir)
+      graft.ops.Dedup.pairsAgainstIndex(
+          t(s, dir, "documents").where(col("doc_id") % 2 === 1),
+          "doc_id", "text", base, threshold = 0.5)
+        .select(col("idA"), col("idB"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("idA", "idB")
     }),
 
     "q224_unigram_lossless_roundtrip" -> ((s, dir) => {
@@ -4073,6 +4106,8 @@ i$k AS MATERIALIZED (SELECT
       // identical-output contract: dedup-against-stored-index must
       // reproduce the cross-frame delta dedup row-for-row
       ("q206_dedup_index" -> oracleBase("q94_delta_dedup")) +
+      // identical-output: an appended index ≡ the built-whole index
+      ("q225_dedup_index_append" -> oracleBase("q94_delta_dedup")) +
       // identical-output contract: encode under a persisted-then-reloaded
       // model must reproduce the in-session model's encode row-for-row
       ("q214_unigram_store_encode" -> oracleBase("q200_unigram_encode")) +

@@ -194,6 +194,40 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Append a new shard to a persisted [[buildMinhashIndex]] layout —
+    * the index grows with the corpus, the production lifecycle of a
+    * dedup index (daily crawls arrive; re-signaturing the whole history
+    * per shard would be O(corpus) per day instead of O(shard)).
+    * Signatures come from the STORED geometry (never caller guesses, the
+    * [[pairsAgainstIndex]] contract), and new rows land as additional
+    * parquet files in `bands/` and `shingles/` — readers union files, so
+    * an appended index is indistinguishable from one built whole
+    * (gate-pinned identical-output, q225). Ids must be globally unique
+    * across the original build and every append; the caller owns that
+    * (same as any keyed layout). NOT crash-atomic the way the shard
+    * sinks are: parquet append is two directory writes — rerun the
+    * append after a failure rather than reading a half-appended layout. */
+  def appendToMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").head
+    val shingleN = meta.getAs[Int]("shingle_n")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val seed = meta.getAs[Long]("seed")
+    val r = numHashes / bands
+    val sig = gf.minhash_signature(col(textCol), shingleN, numHashes, seed)
+    df.select(col(idCol).as("id"), sig.as("__sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("__sig"), b * r + lit(1), lit(r))))))
+      .toDF("id", "band", "key")
+      .write.mode("append").parquet(s"$dir/bands")
+    df.select(col(idCol).as("id"),
+        gf.shingle_hashes(col(textCol), shingleN).as("sh"))
+      .write.mode("append").parquet(s"$dir/shingles")
+  }
+
   /** Match a NEW shard against a persisted [[buildMinhashIndex]] layout:
     * returns (idA = new-shard id, idB = indexed id, jaccard) with exact
     * verified Jaccard ≥ threshold — row-identical to

@@ -29,6 +29,25 @@ class MinhashIndexSpec extends SparkTestBase {
     assert(viaIndex == direct)
   }
 
+  test("appendToMinhashIndex: grown layout ≡ built-whole layout") {
+    val whole = java.nio.file.Files.createTempDirectory("mhidxW").toString
+    val grown = java.nio.file.Files.createTempDirectory("mhidxG").toString
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    Dedup.buildMinhashIndex(even, "doc_id", "text", whole,
+      shingleN = 2, numHashes = 128, bands = 32)
+    Dedup.buildMinhashIndex(docs.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", grown, shingleN = 2, numHashes = 128, bands = 32)
+    Dedup.appendToMinhashIndex(docs.where(col("doc_id") % 4 === 2),
+      "doc_id", "text", grown)
+    def rows(dir: String) = Dedup
+      .pairsAgainstIndex(odd, "doc_id", "text", dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toList
+    val w = rows(whole)
+    assert(w.nonEmpty && rows(grown) == w)
+  }
+
   test("query side uses the STORED geometry, not caller guesses") {
     val dir = java.nio.file.Files.createTempDirectory("mhidx3").toString
     val even = docs.where(col("doc_id") % 2 === 0)
