@@ -299,6 +299,33 @@ object SparkEntry {
       base
     })
 
+  /** One-time INCREMENTALLY-grown IVF-PQ index for q226: even vec_ids
+    * assigned at build, odd vec_ids appended under the STORED quantizers
+    * — together exactly q149's full-corpus index. */
+  private val ivfPqAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureIvfPqAppendIndex(s: SparkSession, dir: String): String =
+    ivfPqAppendCache.computeIfAbsent(dir, { d =>
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_ivfpq2").toString
+      val emb = t(s, d, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val cbs: graft.ops.Similarity.PqCodebooks =
+        (0 until 4).map(i => cents.map(v => v.slice(i * 16, i * 16 + 16)))
+      val evens = emb.where(col("vec_id") % 2 === 0)
+      val assigned = evens.select(col("vec_id"),
+        element_at(gf.nearest_centroids(col("embedding"), typedLit(cents), 1),
+          1).as("centroid"),
+        graft.ops.Similarity.pqEncode(col("embedding"), cbs, 16).as("codes"))
+      graft.ops.Similarity.saveIvfPqIndex(
+        graft.ops.Similarity.IvfPqIndex(cents, cbs, 16, assigned), base)
+      graft.ops.Similarity.appendToIvfPqIndex(
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", base)
+      base
+    })
+
   private def mediaWavs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.media.Media.asMediaTable(
@@ -1241,6 +1268,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
+    }),
+
+    "q226_ann_index_append" -> ((s, dir) => {
+      // the FAISS add() lifecycle for the ANN side: half the vectors
+      // assigned at build, the other half APPENDED under the stored
+      // frozen quantizers — the grown index must search exactly like
+      // q149's built-whole one (shares q90's oracle verbatim)
+      val base = ensureIvfPqAppendIndex(s, dir)
+      val idx = graft.ops.Similarity.loadIvfPqIndex(s, base)
+      graft.ops.Similarity.ivfPqTopK(idx,
+          t(s, dir, "embeddings").where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
     }),
 
     "q225_dedup_index_append" -> ((s, dir) => {
@@ -4108,6 +4148,8 @@ i$k AS MATERIALIZED (SELECT
       ("q206_dedup_index" -> oracleBase("q94_delta_dedup")) +
       // identical-output: an appended index ≡ the built-whole index
       ("q225_dedup_index_append" -> oracleBase("q94_delta_dedup")) +
+      // identical-output: an appended ANN index ≡ the built-whole index
+      ("q226_ann_index_append" -> oracleBase("q90_ivfpq")) +
       // identical-output contract: encode under a persisted-then-reloaded
       // model must reproduce the in-session model's encode row-for-row
       ("q214_unigram_store_encode" -> oracleBase("q200_unigram_encode")) +

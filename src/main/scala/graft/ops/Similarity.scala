@@ -524,6 +524,28 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append new vectors to a persisted [[saveIvfPqIndex]] layout — the
+    * FAISS `add()` lifecycle: quantizers (coarse centroids + PQ
+    * codebooks) are FROZEN at train time and come from the stored meta,
+    * never from the new shard, so the grown index is indistinguishable
+    * from one assigned whole (gate-pinned, q226) and search results can
+    * never fork on who did the adding. New rows land as additional files
+    * under their `centroid=` partition directories — directory-level
+    * probe pruning keeps working. O(shard) per append; ids must be
+    * globally unique across build and appends (caller-owned). Not
+    * crash-atomic: rerun a failed append rather than reading half. */
+  def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val idx = loadIvfPqIndex(spark, path)
+    df.select(col(idCol),
+        element_at(gf.nearest_centroids(col(vecCol),
+          typedLit(idx.centroids), 1), 1).as("centroid"),
+        pqEncode(col(vecCol), idx.codebooks, idx.subDim).as("codes"))
+      .write.mode("append").partitionBy("centroid")
+      .parquet(s"$path/assigned")
+  }
+
   /** Load an index written by [[saveIvfPqIndex]]. The assigned table
     * comes back lazily (searches prune its centroid partitions); the
     * meta row is collected to the driver. */

@@ -111,6 +111,34 @@ class KMeansSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("appendToIvfPqIndex: grown layout searches ≡ built-whole layout") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(sf("embeddings"))
+    val whole = java.nio.file.Files.createTempDirectory("ivfW").toString
+    val grown = java.nio.file.Files.createTempDirectory("ivfG").toString
+    // TRAINED quantizers (not the fixture's fixed ones): train on the
+    // full corpus once, then assign whole vs build-half-append-half —
+    // append must pick the quantizers up from the stored meta
+    val idx = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      nCenters = 4, m = 4, subDim = 16, ksub = 8, maxIters = 3)
+    Similarity.saveIvfPqIndex(idx, whole)
+    Similarity.saveIvfPqIndex(
+      Similarity.IvfPqIndex(idx.centroids, idx.codebooks, idx.subDim,
+        idx.assigned.join(emb.where(col("vec_id") % 2 === 0)
+          .select("vec_id"), Seq("vec_id"))),
+      grown)
+    Similarity.appendToIvfPqIndex(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", grown)
+    val queries = emb.where(col("vec_id") < 4)
+    def rows(path: String) = Similarity.ivfPqTopK(
+        Similarity.loadIvfPqIndex(spark, path), queries, "vec_id",
+        "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3)).toList
+    val w = rows(whole)
+    assert(w.nonEmpty && rows(grown) == w)
+  }
+
   test("signProjection: manual recomputation, determinism, JL correlation") {
     import spark.implicits._
     import graft.expr.TextHash
