@@ -1270,6 +1270,44 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q227_streaming_index_append" -> ((s, dir) => {
+      // the dedup-index lifecycle as DEPLOYED: the index starts EMPTY
+      // (geometry committed up front) and each arriving micro-batch of
+      // the even-doc crawl is appended under the stored geometry via
+      // foreachBatch; after 8 real batches the grown index must behave
+      // exactly like q206's built-whole even index (q94's oracle).
+      // Composition of q204's replay pattern with q225's append path
+      val tmp = docStreamDirCache.computeIfAbsent(dir, { d =>
+        val base = java.nio.file.Files.createTempDirectory("graft_q204")
+          .toString
+        s.read.parquet(s"$d/documents.parquet").repartition(8)
+          .write.parquet(s"$base/documents.parquet")
+        base
+      })
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_mhidx_stream").toString
+      // commit geometry on an empty frame; every row arrives by append
+      graft.ops.Dedup.buildMinhashIndex(docs.where(lit(false)),
+        "doc_id", "text", base, shingleN = 2, numHashes = 128, bands = 32)
+      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.Dedup.appendToMinhashIndex(
+            batch.where(col("doc_id") % 2 === 0), "doc_id", "text", base)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.Dedup.pairsAgainstIndex(
+          docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", base, threshold = 0.5)
+        .select(col("idA"), col("idB"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("idA", "idB")
+    }),
+
     "q226_ann_index_append" -> ((s, dir) => {
       // the FAISS add() lifecycle for the ANN side: half the vectors
       // assigned at build, the other half APPENDED under the stored
@@ -4150,6 +4188,8 @@ i$k AS MATERIALIZED (SELECT
       ("q225_dedup_index_append" -> oracleBase("q94_delta_dedup")) +
       // identical-output: an appended ANN index ≡ the built-whole index
       ("q226_ann_index_append" -> oracleBase("q90_ivfpq")) +
+      // identical-output: stream-appended index ≡ built-whole index
+      ("q227_streaming_index_append" -> oracleBase("q94_delta_dedup")) +
       // identical-output contract: encode under a persisted-then-reloaded
       // model must reproduce the in-session model's encode row-for-row
       ("q214_unigram_store_encode" -> oracleBase("q200_unigram_encode")) +
