@@ -527,6 +527,23 @@ object ScaleProbe {
       force(graft.ops.Bpe.decodeBytes(enc, "doc_id", "ids", merges))
     }
 
+    time(s"r11 index append 1/10 shard onto $nDocs-doc index") {
+      // the daily-crawl lifecycle cost claim: appending a shard is
+      // O(shard), independent of the indexed history's size
+      val dir = java.nio.file.Files
+        .createTempDirectory("probe_mhidx").toString
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.buildMinhashIndex(
+        docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text", dir,
+        shingleN = 3, numHashes = 64, bands = 16)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.ops.Dedup.appendToMinhashIndex(
+        docs.where(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+      val tApp = (System.nanoTime() - t1) / 1e9
+      println(f"    build 9/10: $tBuild%.1f s; append 1/10: $tApp%.1f s")
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
