@@ -1270,6 +1270,23 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q228_ordered_shards" -> ((s, dir) => {
+      // curriculum sharding: global (token_count, doc_id) rank → 16
+      // contiguous-rank shards (shard 0 = shortest docs … shard 15 =
+      // longest), sizes within one row. The oracle replays the exact
+      // rank and the integer shard rule; the per-shard id xor pins
+      // MEMBERSHIP, min/max pin the order boundaries
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), gf.token_count(col("text")).as("n_tok"))
+      graft.sources.Shards.assignShardsOrdered(docs, col("n_tok"),
+          col("doc_id"), 16)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tok").as("min_tok"), max("n_tok").as("max_tok"),
+          bit_xor(gf.hash64(col("doc_id"))).as("id_xor"))
+        .orderBy("shard")
+    }),
+
     "q227_streaming_index_append" -> ((s, dir) => {
       // the dedup-index lifecycle as DEPLOYED: the index starts EMPTY
       // (geometry committed up front) and each arriving micro-batch of
@@ -7091,6 +7108,20 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    "q228_ordered_shards" ->
+      // exact global rank + the same integer shard rule, per-shard
+      // membership/boundary receipts
+      (hashMacros + """WITH r AS (SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS t,
+           row_number() OVER (
+             ORDER BY len(string_split(text, ' ')), doc_id) AS rn,
+           count(*) OVER () AS n
+         FROM documents)
+         SELECT (((rn - 1) * 16) // n)::INT AS shard,
+           count(*)::BIGINT AS n_docs,
+           min(t) AS min_tok, max(t) AS max_tok,
+           bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor
+         FROM r GROUP BY 1 ORDER BY 1"""),
     "q223_bpe_lossless_roundtrip" ->
       // the originals' per-doc hash/length — matchable only by
       // reconstructing every byte of every document from the id stream

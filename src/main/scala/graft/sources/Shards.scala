@@ -33,6 +33,29 @@ object Shards {
       (graft.ops.Sampling.bucket(key) % nShards).cast("int"))
   }
 
+  /** Add `shardCol` (0 until nShards) by GLOBAL RANK in `(order, tie)`
+    * order — curriculum sharding: shard 0 holds the lowest-ranked
+    * nDocs/nShards rows, shard k−1 the highest, so a trainer consuming
+    * shards in index order sees the corpus in (e.g.) easiest-to-hardest
+    * order. The exact rank comes from [[graft.ops.Quality.rankBuckets]]'
+    * two-level range rank with a constant group (ONE range shuffle,
+    * partition-local ranks stitched by broadcast offsets — no global
+    * window), and shard = (rank−1)·nShards div n in LONG arithmetic, so
+    * shard sizes differ by at most one row and the assignment is
+    * bit-deterministic at any parallelism. `tie` must make the ranking
+    * total (unique — the usual doc id). */
+  def assignShardsOrdered(df: DataFrame, order: Column, tie: Column,
+      nShards: Int, shardCol: String = "shard"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    graft.ops.Quality.rankBuckets(df, lit(0), order, tie,
+        headPct = 0, midPct = 0)
+      .withColumn(shardCol,
+        call_function("div",
+          ((col("rank_in_group") - 1) * nShards).cast("long"),
+          col("n_group").cast("long")).cast("int"))
+      .drop("rank_in_group", "n_group", "bucket")
+  }
+
   /** Write `df` as `nShards` hash shards under `path` (parquet,
     * `shard=k/` directories). One shuffle keyed by shard; rows sort
     * within each shard by `key` so re-runs lay out byte-stable files. */

@@ -20,6 +20,28 @@ class ShardsSpec extends SparkTestBase {
     assert(a1.map(_._2).distinct.length == 8)
   }
 
+  test("assignShardsOrdered: rank-contiguous, balanced, partition-invariant") {
+    val n = docs.count()
+    def assigned(parts: Int) = Shards.assignShardsOrdered(
+        docs.repartition(parts).withColumn("len", length(col("text"))),
+        col("len"), col("doc_id"), 8)
+      .select("doc_id", "len", "shard")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    val a1 = assigned(1)
+    assert(a1.sameElements(assigned(7)), "partition-invariant")
+    // sizes within one row of each other
+    val sizes = a1.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    assert(sizes.values.sum == n)
+    // curriculum contract: shard boundaries are monotone in the order key
+    val byShard = a1.groupBy(_._3)
+    (0 until 7).foreach { s =>
+      assert(byShard(s).map(_._2).max <= byShard(s + 1).map(_._2).min,
+        s"shard $s max exceeds shard ${s + 1} min")
+    }
+  }
+
   test("writeShards + manifest: lossless round-trip receipts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     Shards.writeShards(docs, col("doc_id"), 8, dir)
