@@ -94,13 +94,34 @@ object TokenizerStore {
     Unigram.Model(entries.toIndexedSeq, maxPieceLen)
   }
 
-  /** Persist a WordPiece model (piece, piece_id). */
+  /** Persist a WordPiece model (piece, piece_id). Pass `merges` to also
+    * store the ordered merge table — required if the layout should
+    * support [[Wordpiece.learnMergesContinue]] later (the vocab alone
+    * cannot reconstruct trainer state). */
   def saveWordpiece(spark: SparkSession, model: Wordpiece.Model,
-      dir: String): Unit = {
+      dir: String, merges: Seq[Wordpiece.Merge] = Nil): Unit = {
     import spark.implicits._
     model.entries.toDF("piece", "piece_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    if (merges.nonEmpty)
+      merges.zipWithIndex
+        .map { case (m, i) => (i, m.left, m.right, m.merged, m.freq) }
+        .toDF("ord", "left", "right", "merged", "freq")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
     writeMeta(spark, dir, "wordpiece", model.maxContentLen)
+  }
+
+  /** Load the merge table of a [[saveWordpiece]] layout written with
+    * merges — the continuation-training entry point. */
+  def loadWordpieceMerges(spark: SparkSession,
+      dir: String): Seq[Wordpiece.Merge] = {
+    readMeta(spark, dir, "wordpiece")
+    spark.read.parquet(s"$dir/merges")
+      .orderBy("ord").collect()
+      .map(r => Wordpiece.Merge(r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"),
+        r.getAs[Long]("freq")))
+      .toSeq
   }
 
   /** Load a [[saveWordpiece]] layout. */

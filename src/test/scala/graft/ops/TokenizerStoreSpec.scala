@@ -54,6 +54,35 @@ class TokenizerStoreSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("WordPiece merges round-trip; continuation runs from the store") {
+    val corpus = Seq("aab aab ab ba bab aab ba").toDF("text")
+    val whole = Wordpiece.learnMerges(corpus, "text", 4)
+    val first = whole.take(2)
+    val dir = tmp()
+    TokenizerStore.saveWordpiece(spark,
+      Wordpiece.model(corpus, col("text"), first), dir, merges = first)
+    val reloaded = TokenizerStore.loadWordpieceMerges(spark, dir)
+    assert(reloaded == first)
+    // train-continue from the STORED merge table reproduces the one-shot
+    val more = Wordpiece.learnMergesContinue(corpus, "text", reloaded, 2)
+    assert(reloaded ++ more == whole)
+  }
+
+  test("persisted LOSSLESS unigram model: reloaded decode is identity") {
+    val texts = Seq(1L -> "some  spaced   text", 2L -> "héé 😀  ")
+    val df = texts.toDF("doc_id", "text")
+    val m = Unigram.learnLossless(df, col("text"), vocabSize = 24,
+      maxPieceLen = 3, minCount = 1, seedCap = 16, emIters = 1)
+    val dir = tmp()
+    TokenizerStore.saveUnigram(spark, m, dir)
+    val m2 = TokenizerStore.loadUnigram(spark, dir)
+    // the serving path: encode AND decode both under the reloaded model
+    val enc = Unigram.encodeLossless(df, "doc_id", col("text"), m2)
+    val got = Unigram.decode(enc, "doc_id", "ids", m2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) => assert(got(id) == t) }
+  }
+
   test("a layout refuses to load as a different family") {
     val corpus = Seq("ab ab").toDF("text")
     val dir = tmp()
