@@ -1270,6 +1270,21 @@ object SparkEntry {
       graft.ops.Packing.packingStatsFit(docs, "doc_id", "n_tok", 128L)
     }),
 
+    "q229_byte_fertility" -> ((s, dir) => {
+      // per-language fertility under the BYTE-mode tokenizer (q212's
+      // merges): byte ≡ char on the ASCII fixture, so this must
+      // reproduce q174's receipt exactly (shares its oracle) while
+      // running the real byte segmentation; multi-byte divergence is
+      // spec-covered
+      val docs = t(s, dir, "documents")
+      val merges = bpeByteMergeCache.computeIfAbsent(dir,
+        d => graft.ops.Bpe.learnMergesBytes(t(s, d, "documents"), "text", 8))
+      graft.ops.Bpe.fertilityByKeyBytes(docs, col("text"), col("lang"),
+          merges)
+        .withColumnRenamed("key", "lang")
+        .orderBy("lang")
+    }),
+
     "q228_ordered_shards" -> ((s, dir) => {
       // curriculum sharding: global (token_count, doc_id) rank → 16
       // contiguous-rank shards (shard 0 = shortest docs … shard 15 =
@@ -4207,6 +4222,8 @@ i$k AS MATERIALIZED (SELECT
       ("q226_ann_index_append" -> oracleBase("q90_ivfpq")) +
       // identical-output: stream-appended index ≡ built-whole index
       ("q227_streaming_index_append" -> oracleBase("q94_delta_dedup")) +
+      // byte ≡ char on ASCII: byte-mode fertility must equal q174's
+      ("q229_byte_fertility" -> oracleBase("q174_tokenizer_fertility")) +
       // identical-output contract: encode under a persisted-then-reloaded
       // model must reproduce the in-session model's encode row-for-row
       ("q214_unigram_store_encode" -> oracleBase("q200_unigram_encode")) +

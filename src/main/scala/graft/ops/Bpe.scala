@@ -351,6 +351,24 @@ object Bpe {
     fertilityFromWordPieces(df, text, key, wordPieces)
   }
 
+  /** [[fertilityByKey]] for BYTE-mode merges ([[learnMergesBytes]] /
+    * [[encodeBytes]]): segmentation runs over [[byteSymbols]], and the
+    * `n_chars` / `chars_per_piece` columns count BYTES (equal on ASCII;
+    * on multi-byte scripts bytes are what byte-mode sequence positions
+    * actually cost, so this is the honest fertility for that tokenizer).
+    * Same schema as the char variant so receipts stay comparable. */
+  def fertilityByKeyBytes(df: DataFrame, text: Column, key: Column,
+      merges: Seq[Merge]): DataFrame = {
+    val types = df
+      .select(explode(split(text, "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct()
+    val wordPieces = segmentWordsSeeded(types, merges, byteSymbols)
+      .select(col("word"), size(col("syms")).cast("long").as("__p"),
+        octet_length(col("word")).cast("long").as("__c"))
+    fertilityFromWordPieces(df, text, key, wordPieces)
+  }
+
   /** Fertility aggregation shared by the tokenizer families ([[Bpe]],
     * [[Unigram]]): joins the corpus token stream against a tiny
     * (word → piece count, char count) table and aggregates straight to

@@ -237,6 +237,24 @@ class BpeSpec extends SparkTestBase {
     assert(got(2) == Bpe.Merge("z", "a", 2))
   }
 
+  test("fertilityByKeyBytes: bytes are the cost unit; ASCII ≡ char mode") {
+    val ascii = Seq(("en", "ab ab cd")).toDF("lang", "text")
+    val merges = Seq(Bpe.Merge("a", "b", 0))
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(row(Bpe.fertilityByKeyBytes(ascii, $"text", $"lang", merges)) ==
+      row(Bpe.fertilityByKey(ascii, $"text", $"lang", merges)))
+    // 'éé' = 4 bytes → 4 byte symbols (no merges fire): fertility 4
+    // pieces/word where CHAR mode would say 2
+    val multi = Seq(("fr", "éé")).toDF("lang", "text")
+    val got = Bpe.fertilityByKeyBytes(multi, $"text", $"lang",
+        Seq.empty[Bpe.Merge])
+      .collect().head
+    assert(got.getLong(2) == 4L && got.getLong(3) == 4L,
+      s"4 byte pieces / 4 bytes expected, got $got")
+  }
+
   test("encodeBytesLossless ∘ decodeBytes == identity on adversarial text") {
     val texts = Seq(
       1L -> "plain words here",
