@@ -1494,29 +1494,17 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val base = ensureTokenizerStore(s, dir)
       val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
-      def be8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        unhex(lpad(hex(c), 16, "0"))
       val enc = graft.ops.Unigram.encode(docs, "doc_id", col("text"), m)
-        .select(col("doc_id"),
-          aggregate(col("ids"), be8(col("doc_id")),
-            (acc, x) => concat(acc, be8(x))).as("rec"))
+        .select(col("doc_id"), graft.sources.IdRecords
+          .encodeRecord(col("doc_id"), col("ids")).as("rec"))
       val out = java.nio.file.Files
         .createTempDirectory("graft_tokshards").toString
       graft.sources.RecordShards.write(enc, col("doc_id"), col("rec"),
         8, out)
       val back = graft.sources.RecordShards.read(s, out)
-      val decoded = back.select(
-        conv(hex(col("record").substr(lit(1), lit(8))), 16, 10)
-          .cast("long").as("doc_id"),
-        // sequence(1, 0) counts DOWN — guard the empty-ids record
-        when(octet_length(col("record")) > 8,
-          transform(
-            sequence(lit(1),
-              ((octet_length(col("record")) - 8) / 8).cast("int")),
-            i => conv(hex(col("record").substr(i * 8 + 1, lit(8))), 16, 10)
-              .cast("long")))
-          .otherwise(array().cast("array<long>")).as("ids"))
-      idSeqReceipts(decoded)
+      idSeqReceipts(back.select(
+        graft.sources.IdRecords.decodeId(col("record")).as("doc_id"),
+        graft.sources.IdRecords.decodeIds(col("record")).as("ids")))
     }),
 
     "q217_bpe_batched_merges" -> ((s, dir) => {
