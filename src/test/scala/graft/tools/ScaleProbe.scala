@@ -544,6 +544,14 @@ object ScaleProbe {
       println(f"    build 9/10: $tBuild%.1f s; append 1/10: $tApp%.1f s")
     }
 
+    time(s"r11 ordered shards (global rank) over $nDocs docs") {
+      // curriculum sharding cost: ONE range shuffle + broadcast offsets
+      force(graft.sources.Shards.assignShardsOrdered(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok")),
+        col("n_tok"), col("doc_id"), 1024))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
