@@ -92,7 +92,29 @@ def main():
             ocollist = ", ".join(f'"{c}"' for c in ocols)
             o_rows = norm(con.execute(
                 f"SELECT {ocollist} FROM oracle_rel ORDER BY ALL").fetchall())
-            if cols != ocols:
+            # The external driver hashes pandas frames (fetchdf), so a
+            # dtype-KIND drift with equal VALUES still red-flags there —
+            # e.g. round-10/11's q202: an un-cast DuckDB HUGEINT
+            # window-sum materializes as float64 while the engine writes
+            # int64. fetchall() is blind to it (int == int). Compare the
+            # numpy KIND of both sides' fetchdf dtypes: integer WIDTH is
+            # hash-neutral (r11 driver passed q228 with engine int32 vs
+            # oracle int64) but float-vs-int is not.
+            s_dt = {c: (t.kind, str(t)) for c, t in con.execute(
+                f"SELECT {collist} FROM spark_rel").fetchdf().dtypes.items()}
+            o_dt = {c: (t.kind, str(t)) for c, t in con.execute(
+                f"SELECT {ocollist} FROM oracle_rel").fetchdf().dtypes.items()}
+            if cols == ocols and any(
+                    s_dt[c][0] != o_dt[c][0] for c in cols):
+                drift = {c: (s_dt[c][1], o_dt[c][1]) for c in cols
+                         if s_dt[c][0] != o_dt[c][0]}
+                print(f"FAIL {name}: pandas dtype drift "
+                      f"{{col: (spark, oracle)}} = {drift} — the driver "
+                      f"hashes fetchdf frames, so this mismatches there "
+                      f"even when every value is equal")
+                dump_diff(out_dir, name, cols, ocols, s_rows, o_rows)
+                n_bad += 1
+            elif cols != ocols:
                 print(f"FAIL {name}: columns {cols} vs {ocols}")
                 dump_diff(out_dir, name, cols, ocols, s_rows, o_rows)
                 n_bad += 1

@@ -202,6 +202,8 @@ object SparkEntry {
         java.nio.file.Files.createTempDirectory("graft_tokstore").toString
       graft.ops.TokenizerStore.saveUnigram(s, ensureUnigram(s, d),
         s"$base/unigram")
+      graft.ops.TokenizerStore.saveSpecials(s, s"$base/unigram",
+        graft.ops.SpecialTokens.Default)
       val merges = bpeMergeCache.computeIfAbsent(d,
         dd => graft.ops.Bpe.learnMerges(t(s, dd, "documents"), "text", 8))
       graft.ops.TokenizerStore.saveBpe(s, merges, s"$base/bpe")
@@ -1283,6 +1285,46 @@ object SparkEntry {
           merges)
         .withColumnRenamed("key", "lang")
         .orderBy("lang")
+    }),
+
+    "q230_specials_shard_roundtrip" -> ((s, dir) => {
+      // reserved special-token ids END TO END: the block (pad=0 bos=1
+      // eos=2 unk=3) is loaded from the SAME persisted layout as the
+      // model (never from convention — that's what keeps two shard jobs
+      // from disagreeing on where content ids start), content ids shift
+      // by its width, bos/eos wrap each doc, the wrapped stream rides
+      // the fixed-width record framing through the committed shard
+      // layout, and the read-back ids must (a) hash-match the oracle's
+      // replay of the offset rule over q200's encode replay and
+      // (b) strip back to the raw encode exactly (strip_ok, gated 1
+      // per doc — the wrap/strip inverse as in-gate truth)
+      val docs = t(s, dir, "documents")
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val sp = graft.ops.TokenizerStore.loadSpecials(s, s"$base/unigram")
+        .getOrElse(sys.error(s"$base/unigram has no specials block"))
+      val raw = graft.ops.Unigram.encode(docs, "doc_id", col("text"), m)
+      val framed = raw.select(col("doc_id"),
+        graft.sources.IdRecords.encodeRecord(col("doc_id"),
+          graft.ops.Specials.wrap(col("ids"), sp)).as("rec"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_specshards").toString
+      graft.sources.RecordShards.write(framed, col("doc_id"), col("rec"),
+        8, out)
+      val back = graft.sources.RecordShards.read(s, out)
+        .select(graft.sources.IdRecords.decodeId(col("record"))
+            .as("doc_id"),
+          graft.sources.IdRecords.decodeIds(col("record")).as("ids"))
+        .localCheckpoint()
+      val stripBack = back
+        .select(col("doc_id"),
+          graft.ops.Specials.strip(col("ids"), sp).as("st"))
+        .join(raw.select(col("doc_id"), col("ids").as("raw")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("st") === col("raw")).cast("long").as("strip_ok"))
+      idSeqReceipts(back).join(stripBack, Seq("doc_id"))
+        .orderBy("doc_id")
     }),
 
     "q228_ordered_shards" -> ((s, dir) => {
@@ -7079,7 +7121,7 @@ ORDER BY idA, idB"""),
                   WHEN cls < 8 THEN (rn - 1) // cls
                   ELSE (cum - t) // 112 END AS cbin FROM r),
          p AS (SELECT doc_id, t,
-             cls * 1099511627776 + cbin AS bin FROM b)
+             (cls * 1099511627776 + cbin)::BIGINT AS bin FROM b)
          SELECT bin, count(*)::BIGINT AS n_docs,
            sum(t)::BIGINT AS tok_sum,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -7098,7 +7140,7 @@ ORDER BY idA, idB"""),
              CASE WHEN cls = 0 THEN rn - 1
                   WHEN cls < 8 THEN (rn - 1) // cls
                   ELSE (cum - t) // 112 END AS cbin FROM r),
-         bins AS (SELECT cls * 1099511627776 + cbin AS bin,
+         bins AS (SELECT (cls * 1099511627776 + cbin)::BIGINT AS bin,
              sum(t)::BIGINT AS bt, count(*)::BIGINT AS docs
            FROM b GROUP BY 1),
          n AS (SELECT sum((t + 127) // 128)::BIGINT AS naive,
@@ -7320,6 +7362,36 @@ ORDER BY idA, idB"""),
    coalesce(list_max(o.ids), -1)::BIGINT AS max_id
  FROM documents d LEFT JOIN o USING (doc_id)
  ORDER BY d.doc_id"""),
+    // q200's replay + the reserved-block rule: content ids shift by 4
+    // (pad=0 bos=1 eos=2 unk=3), each doc wraps as [1] ++ ids+4 ++ [2];
+    // strip is the engine-side inverse check, so the oracle pins 1
+    "q230_specials_shard_roundtrip" ->
+      (unigramReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM fseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id),
+ wrapped AS (SELECT d.doc_id,
+     [1::BIGINT] ||
+       list_transform(coalesce(o.ids, []::BIGINT[]), x -> x + 4) ||
+       [2::BIGINT] AS ids
+   FROM documents d LEFT JOIN o USING (doc_id))
+ SELECT doc_id, len(ids)::BIGINT AS n_pieces,
+   list_sum(ids)::BIGINT AS ids_sum,
+   list_sum(list_transform(range(1, len(ids) + 1),
+     j -> j * ids[j]))::BIGINT AS ids_pw,
+   list_min(ids)::BIGINT AS min_id,
+   list_max(ids)::BIGINT AS max_id,
+   1::BIGINT AS strip_ok
+ FROM wrapped ORDER BY doc_id"""),
     "q211_ppl_buckets" ->
       """WITH g AS (SELECT doc_id, substring(text, i, 3) AS gram
     FROM documents, unnest(range(1, length(text) - 1)) t(i)),

@@ -95,6 +95,17 @@ object Bpe {
       existing: Seq[Merge], k: Int): Seq[Merge] =
     learnMergesSeeded(corpus, textCol, k, charSymbols, existing)
 
+  /** [[learnMergesContinue]] over the byte alphabet — the continuation
+    * that pairs with [[learnMergesBytes]]. The two continue entry points
+    * are deliberately distinct: replaying a byte-mode merge table over
+    * [[charSymbols]] silently folds byte merges onto the char alphabet
+    * (divergent state on any non-ASCII corpus, no error), so the seed is
+    * part of the trainer-state contract — [[TokenizerStore.continueBpe]]
+    * reads it from the stored layout's meta and dispatches. */
+  def learnMergesBytesContinue(corpus: DataFrame, textCol: String,
+      existing: Seq[Merge], k: Int): Seq[Merge] =
+    learnMergesSeeded(corpus, textCol, k, byteSymbols, existing)
+
   private def learnMergesSeeded(corpus: DataFrame, textCol: String, k: Int,
       seed: Column => Column,
       existing: Seq[Merge] = Nil): Seq[Merge] = {

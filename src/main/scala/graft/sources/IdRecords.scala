@@ -17,12 +17,21 @@ import org.apache.spark.sql.functions._
   * Ids must be non-negative (token ids are). */
 object IdRecords {
 
-  private def be8(c: Column): Column = unhex(lpad(hex(c), 16, "0"))
-
   /** Frame (id, ids) as one binary record. Empty id sequences frame as
-    * the bare 8-byte document id. */
+    * the bare 8-byte document id.
+    *
+    * Linear in the token count: each id renders to its 16-char hex limb
+    * independently, `array_join` assembles the hex string once, and ONE
+    * `unhex` materializes the bytes. (A binary fold —
+    * `aggregate(ids, unhex(lpad(hex(id),16,'0')), concat)` — re-copies
+    * the accumulated buffer per token: O(L²) bytes moved, ~67 MB of
+    * copying to frame a 4096-token document. Framing is the hot
+    * tokenize→shard path, so the quadratic constant matters at training
+    * sequence lengths.) */
   def encodeRecord(id: Column, ids: Column): Column =
-    aggregate(ids, be8(id), (acc, x) => concat(acc, be8(x)))
+    unhex(concat(
+      lpad(hex(id), 16, "0"),
+      array_join(transform(ids, x => lpad(hex(x), 16, "0")), "")))
 
   /** The document id of a [[encodeRecord]] frame. */
   def decodeId(record: Column): Column =

@@ -34,13 +34,14 @@ private[sources] object ShardCommit {
   def prepare(dir: String, ext: String): Unit = {
     val dirPath = Paths.get(dir)
     Files.createDirectories(dirPath)
-    val it = Files.list(dirPath).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      val n = p.getFileName.toString
-      if ((n.startsWith("shard-") && n.contains(ext)) ||
-          n == StartedMarker || n == SuccessMarker)
-        Files.delete(p)
+    withDirListing(dir) { it =>
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if ((n.startsWith("shard-") && n.contains(ext)) ||
+            n == StartedMarker || n == SuccessMarker)
+          Files.delete(p)
+      }
     }
     Files.write(dirPath.resolve(StartedMarker), Array.empty[Byte])
   }
@@ -62,6 +63,15 @@ private[sources] object ShardCommit {
       Paths.get(dir, shardName(sh, ext)),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
+  /** `Files.list` holds a directory file descriptor until the stream is
+    * closed — iterate under try/finally so finish() can't leak one per
+    * call. */
+  private def withDirListing[A](dir: String)(
+      f: java.util.Iterator[java.nio.file.Path] => A): A = {
+    val s = Files.list(Paths.get(dir))
+    try f(s.iterator()) finally s.close()
+  }
+
   def finish(dir: String, nShards: Int, ext: String, sink: String,
       emptyShard: Array[Byte]): Unit = {
     // Scrub orphaned attempt temps BEFORE the empty-shard fill, so "the
@@ -71,20 +81,21 @@ private[sources] object ShardCommit {
     // a temp whose shard was NEVER committed means a writer died and no
     // retry landed — that is a failed job, not housekeeping, so fail
     // loudly instead of deleting the only evidence.
-    val tmpIt = Files.list(Paths.get(dir)).iterator()
     var scrubbed = 0
-    while (tmpIt.hasNext) {
-      val p = tmpIt.next()
-      val n = p.getFileName.toString
-      val tmpAt = n.indexOf(s"$ext.tmp-")
-      if (tmpAt >= 0) {
-        val committed = Paths.get(dir, n.substring(0, tmpAt + ext.length))
-        require(Files.exists(committed),
-          s"$sink: orphaned temp $n has no committed ${
-            committed.getFileName} — a writer never committed this shard")
-        System.err.println(s"[$sink] scrubbing superseded attempt temp $n")
-        Files.delete(p)
-        scrubbed += 1
+    withDirListing(dir) { tmpIt =>
+      while (tmpIt.hasNext) {
+        val p = tmpIt.next()
+        val n = p.getFileName.toString
+        val tmpAt = n.indexOf(s"$ext.tmp-")
+        if (tmpAt >= 0) {
+          val committed = Paths.get(dir, n.substring(0, tmpAt + ext.length))
+          require(Files.exists(committed),
+            s"$sink: orphaned temp $n has no committed ${
+              committed.getFileName} — a writer never committed this shard")
+          System.err.println(s"[$sink] scrubbing superseded attempt temp $n")
+          Files.delete(p)
+          scrubbed += 1
+        }
       }
     }
     if (scrubbed > 0)
@@ -93,12 +104,13 @@ private[sources] object ShardCommit {
       val p = Paths.get(dir, shardName(sh, ext))
       if (!Files.exists(p)) Files.write(p, emptyShard)
     }
-    val it = Files.list(Paths.get(dir)).iterator()
     var nFinal = 0
-    while (it.hasNext) {
-      val p = it.next()
-      val n = p.getFileName.toString
-      if (n.startsWith("shard-") && n.endsWith(ext)) nFinal += 1
+    withDirListing(dir) { it =>
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("shard-") && n.endsWith(ext)) nFinal += 1
+      }
     }
     require(nFinal == nShards,
       s"$sink: expected $nShards shard files, found $nFinal")
@@ -116,11 +128,12 @@ private[sources] object ShardCommit {
       val s = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
       "\"nShards\":(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
     }
-    val it = Files.list(Paths.get(dir)).iterator()
     var present = 0
-    while (it.hasNext) {
-      val n = it.next().getFileName.toString
-      if (n.startsWith("shard-") && n.endsWith(ext)) present += 1
+    withDirListing(dir) { it =>
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("shard-") && n.endsWith(ext)) present += 1
+      }
     }
     recorded.foreach(r => require(r == present,
       s"$sink: $SuccessMarker records $r shards but $present shard " +

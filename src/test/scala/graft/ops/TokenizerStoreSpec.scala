@@ -83,6 +83,44 @@ class TokenizerStoreSpec extends SparkTestBase {
     texts.foreach { case (id, t) => assert(got(id) == t) }
   }
 
+  test("byte-mode BPE layout: continueBpe replays over BYTE symbols") {
+    // non-ASCII corpus: byte and char alphabets genuinely diverge ('é'
+    // is two UTF-8 bytes), so a char-mode replay of a byte-mode table
+    // would fold different state — the silent-divergence ADVICE trap
+    val corpus = Seq("éé éé éa éa aa éé").toDF("text")
+    val whole = Bpe.learnMergesBytes(corpus, "text", 4)
+    val first = whole.take(2)
+    val dir = tmp()
+    TokenizerStore.saveBpe(spark, first, dir, alphabet = "byte")
+    assert(TokenizerStore.loadBpeAlphabet(spark, dir) == "byte")
+    // store-driven continuation reproduces the one-shot byte-mode learn
+    val extended = TokenizerStore.continueBpe(spark, dir, corpus, "text", 2)
+    assert(extended == whole)
+    // char-mode layouts dispatch to the char continuation (q221 identity)
+    val cWhole = Bpe.learnMerges(corpus, "text", 4)
+    val cDir = tmp()
+    TokenizerStore.saveBpe(spark, cWhole.take(2), cDir)
+    assert(TokenizerStore.loadBpeAlphabet(spark, cDir) == "char")
+    assert(TokenizerStore.continueBpe(spark, cDir, corpus, "text", 2)
+      == cWhole)
+  }
+
+  test("re-saving a merge-less WordPiece model scrubs stale merges") {
+    val corpus = Seq("aab aab ab ba").toDF("text")
+    val merges = Wordpiece.learnMerges(corpus, "text", 2)
+    val m = Wordpiece.model(corpus, col("text"), merges)
+    val dir = tmp()
+    TokenizerStore.saveWordpiece(spark, m, dir, merges = merges)
+    assert(TokenizerStore.loadWordpieceMerges(spark, dir) == merges)
+    // second save WITHOUT merges: the old table must not survive to be
+    // misread as trainer state for the new vocab
+    TokenizerStore.saveWordpiece(spark, m, dir)
+    val e = intercept[IllegalArgumentException] {
+      TokenizerStore.loadWordpieceMerges(spark, dir)
+    }
+    assert(e.getMessage.contains("without merges"))
+  }
+
   test("a layout refuses to load as a different family") {
     val corpus = Seq("ab ab").toDF("text")
     val dir = tmp()

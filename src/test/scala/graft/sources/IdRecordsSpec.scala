@@ -34,6 +34,26 @@ class IdRecordsSpec extends SparkTestBase {
     assert(rec.slice(16, 24).toList == List[Byte](0, 0, 0, 0, 0, 0, 1, 0))
   }
 
+  test("linear framing is byte-identical to the reference binary fold") {
+    // The original (quadratic) framing: fold be8 limbs with concat.
+    def be8(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 16, "0"))
+    def foldFrame(id: org.apache.spark.sql.Column,
+                  ids: org.apache.spark.sql.Column) =
+      aggregate(ids, be8(id), (acc, x) => concat(acc, be8(x)))
+
+    val rnd = new scala.util.Random(31415)
+    val rows = (0L until 100L).map { i =>
+      (i, Seq.fill(rnd.nextInt(64))(rnd.nextLong(1L << 62)))
+    } :+ (100L, Seq.empty[Long]) :+ (101L, Seq(0L, Long.MaxValue))
+    val diff = rows.toDF("doc_id", "ids")
+      .select(
+        IdRecords.encodeRecord(col("doc_id"), col("ids")).as("lin"),
+        foldFrame(col("doc_id"), col("ids")).as("fold"))
+      .filter(not(col("lin") === col("fold")))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("empty id sequence frames as the bare 8-byte id") {
     val got = Seq((7L, Seq.empty[Long])).toDF("doc_id", "ids")
       .select(IdRecords.encodeRecord(col("doc_id"), col("ids")).as("rec"))

@@ -552,6 +552,26 @@ object ScaleProbe {
         col("n_tok"), col("doc_id"), 1024))
     }
 
+    // round-12 ops -----------------------------------------------------
+
+    // id-record framing at training sequence length: the linear
+    // hex-limb/array_join framing vs the old O(L²) binary fold. The fold
+    // copies ~L²/2 · 8 bytes per doc (67 MB for L=4096), so it only gets
+    // a 1/1000-sized run; the linear path frames the full slice.
+    val longDocs = spark.range(nDocs / 100).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(4095)),
+        i => (col("id") * 31 + i).cast("long")).as("ids"))
+    time(s"r12 idRecords LINEAR frame ${nDocs / 100} docs x 4096 tok") {
+      force(longDocs.select(graft.sources.IdRecords.encodeRecord(
+        col("doc_id"), col("ids")).as("rec")))
+    }
+    time(s"r12 idRecords FOLD frame ${nDocs / 100000} docs x 4096 tok") {
+      def b8(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 16, "0"))
+      force(longDocs.where(col("doc_id") < nDocs / 100000)
+        .select(aggregate(col("ids"), b8(col("doc_id")),
+          (acc, x) => concat(acc, b8(x))).as("rec")))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
