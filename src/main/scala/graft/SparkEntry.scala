@@ -1327,6 +1327,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q232_wordpiece_detok" -> ((s, dir) => {
+      // the WordPiece serving-side detokenizer (##-strip join) —
+      // inherently lossy through [UNK] in general, but on the training
+      // corpus the alphabet covers every char, greedy longest-match
+      // always succeeds, and decode ∘ encode equals the
+      // whitespace-COLLAPSED original exactly: the strongest detok
+      // contract WordPiece can honor, gated per-doc-hash the q223/q224
+      // way at the collapsed grain (the [UNK] arm is spec-covered)
+      val docs = t(s, dir, "documents")
+      val m = ensureWordpiece(s, dir)
+      val enc = graft.ops.Wordpiece.encode(docs, "doc_id", col("text"), m)
+      graft.ops.Wordpiece.decode(enc, "doc_id", "ids", m)
+        .select(col("doc_id"), gf.hash64(col("text")).as("rec_hash"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q231_unigram_continue" -> ((s, dir) => {
+      // unigram EM continuation from the PERSISTED layout — the unigram
+      // arm of the continuation story (q221 BPE / q222 WordPiece): the
+      // stored q199 model resumes ONE more Viterbi-count round over the
+      // corpus with its piece inventory FROZEN (no re-seeding — a
+      // shard-local seed pass would fork the id space), then re-prunes
+      // at the same budget under the standard id rule. The oracle
+      // replays the extra round (one more VitPass + rescore on top of
+      // the full q199 replay) and the same prune
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val m2 = graft.ops.Unigram.learnContinue(t(s, dir, "documents"),
+        col("text"), m, vocabSize = 40, emIters = 1)
+      graft.ops.Unigram.vocabTable(t(s, dir, "documents"), m2)
+        .orderBy("piece_id")
+    }),
+
     "q228_ordered_shards" -> ((s, dir) => {
       // curriculum sharding: global (token_count, doc_id) rank → 16
       // contiguous-rank shards (shard 0 = shortest docs … shard 15 =
@@ -7175,6 +7209,16 @@ ORDER BY idA, idB"""),
       (hashMacros + """SELECT doc_id, g_sb(g_thash(text)) AS rec_hash,
            length(text)::BIGINT AS n_chars
          FROM documents ORDER BY doc_id"""),
+    // the whitespace-collapsed originals — the exact detok target of the
+    // ##-strip join when no [UNK] fires (q223's contract at the
+    // collapsed grain)
+    "q232_wordpiece_detok" ->
+      (hashMacros + """WITH n AS (SELECT doc_id,
+           regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+         FROM documents)
+         SELECT doc_id, g_sb(g_thash(t)) AS rec_hash,
+           length(t)::BIGINT AS n_chars
+         FROM n ORDER BY doc_id"""),
     "q221_bpe_continue_merges" ->
       // the one-shot 8-round replay (bpeReplay8), each selected pair
       // joined back to its round's count table for the recorded freq
@@ -7340,6 +7384,34 @@ ORDER BY idA, idB"""),
       (unigramReplay + """
  SELECT piece, cnt AS "count", score, pid AS piece_id
  FROM fvocab ORDER BY pid"""),
+    // q199's full replay + ONE continuation EM round from the final
+    // pruned vocab (fvocab scores ARE the rescored stored counts), then
+    // the same prune/id rule at budget 40 — mirrors
+    // Unigram.learnContinue(stored, emIters = 1)
+    "q231_unigram_continue" ->
+      (unigramReplay + "," + unigramVitPass("c1", "fvocab") + "," +
+        unigramRescore("c1") + """,
+ cnch AS (SELECT count(*)::BIGINT AS c FROM chars),
+ cfmv AS MATERIALIZED (SELECT piece, cnt FROM (
+     SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+     FROM c1kept WHERE length(piece) >= 2)
+   WHERE rn <= 40 - (SELECT c FROM cnch)),
+ cfkept AS MATERIALIZED (
+   SELECT piece, cnt FROM c1kept WHERE length(piece) = 1
+   UNION ALL SELECT piece, cnt FROM cfmv),
+ cftot AS (SELECT sum(cnt)::BIGINT AS t FROM cfkept),
+ cfvocab AS (SELECT piece, cnt,
+     round(ln(cnt::DOUBLE / (SELECT t FROM cftot)) * 1000000)::BIGINT
+       AS score, pid
+   FROM (
+     SELECT piece, cnt, row_number() OVER (ORDER BY piece) - 1 AS pid
+     FROM cfkept WHERE length(piece) = 1
+     UNION ALL
+     SELECT piece, cnt, (SELECT c FROM cnch)
+       + row_number() OVER (ORDER BY cnt DESC, piece) - 1
+     FROM cfkept WHERE length(piece) >= 2))
+ SELECT piece, cnt AS "count", score, pid AS piece_id
+ FROM cfvocab ORDER BY pid"""),
     "q200_unigram_encode" ->
       (unigramReplay + """,
  wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece

@@ -105,6 +105,25 @@ object Unigram {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     CheckpointUtil.freeCheckpoint(subCnt)
 
+    val charCnts: Seq[(String, Long)] =
+      chars.toSeq.sortBy(_._1)(Bpe.codePointOrdering)
+    val multiCnts: Seq[(String, Long)] =
+      multi0.toSeq.sortBy(t => (-t._2, t._1))(
+        Ordering.Tuple2(Ordering.Long, Bpe.codePointOrdering))
+    val (fc, fm) = emLoop(types, charCnts, multiCnts, maxPieceLen, emIters)
+    CheckpointUtil.freeCheckpoint(types)
+    pruneAndScore(fc, fm, vocabSize, maxPieceLen)
+  }
+
+  /** Hard EM over the word-TYPE table: segment under current scores
+    * (scan-side Viterbi), re-count pieces weighted by word frequency
+    * (one vocab-sized shuffle), drop unused multi-char pieces, floor
+    * chars at 1 (required-character coverage). The trainer state is
+    * exactly (charCnts, multiCnts) — a pure function of the inputs, so
+    * continuation from a stored model is EXACT ([[learnContinue]]). */
+  private def emLoop(types: DataFrame, charCnts0: Seq[(String, Long)],
+      multiCnts0: Seq[(String, Long)], maxPieceLen: Int, emIters: Int)
+      : (Seq[(String, Long)], Seq[(String, Long)]) = {
     def rescore(charCnts: Seq[(String, Long)],
         multiCnts: Seq[(String, Long)]): Array[(String, Long)] = {
       val total = charCnts.map(_._2).sum + multiCnts.map(_._2).sum
@@ -112,16 +131,8 @@ object Unigram {
         p -> UnigramLm.scaledLogProb(c, total)
       }.toArray
     }
-
-    var charCnts: Seq[(String, Long)] =
-      chars.toSeq.sortBy(_._1)(Bpe.codePointOrdering)
-    var multiCnts: Seq[(String, Long)] =
-      multi0.toSeq.sortBy(t => (-t._2, t._1))(
-        Ordering.Tuple2(Ordering.Long, Bpe.codePointOrdering))
-
-    // hard EM: segment word types under current scores (scan-side
-    // Viterbi), re-count pieces weighted by word frequency (one
-    // vocab-sized shuffle), drop unused multi-char pieces, floor chars
+    var charCnts = charCnts0
+    var multiCnts = multiCnts0
     (1 to emIters).foreach { _ =>
       val scores = rescore(charCnts, multiCnts)
       val seg = toColumn(UnigramSegmentExpr(scores.map(_._1),
@@ -137,10 +148,15 @@ object Unigram {
         .sortBy(t => (-t._2, t._1))(
           Ordering.Tuple2(Ordering.Long, Bpe.codePointOrdering))
     }
-    CheckpointUtil.freeCheckpoint(types)
+    (charCnts, multiCnts)
+  }
 
-    // prune to the vocab budget; ids: chars first (code-point order),
-    // then multi by (count desc, piece asc)
+  /** Prune to the vocab budget and assign ids: chars first (code-point
+    * order), then multi by (count desc, piece asc); scores renormalize
+    * over the kept set. */
+  private def pruneAndScore(charCnts: Seq[(String, Long)],
+      multiCnts: Seq[(String, Long)], vocabSize: Int,
+      maxPieceLen: Int): Model = {
     val keptMulti = multiCnts.take(math.max(vocabSize - charCnts.size, 0))
     val totalF = charCnts.map(_._2).sum + keptMulti.map(_._2).sum
     val entries = (charCnts ++ keptMulti).zipWithIndex.map {
@@ -148,6 +164,36 @@ object Unigram {
         PieceEntry(p, c, UnigramLm.scaledLogProb(c, totalF), i.toLong)
     }
     Model(entries.toIndexedSeq, maxPieceLen)
+  }
+
+  /** Resume hard EM from a stored model over a (possibly different)
+    * corpus shard — the unigram arm of the continuation story
+    * ([[Bpe.learnMergesContinue]] / [[Wordpiece.learnMergesContinue]]):
+    * the piece INVENTORY is frozen (no re-seeding — a continuation must
+    * never fork the id space the way a shard-local seed pass would),
+    * counts re-estimate by `emIters` more Viterbi-count rounds starting
+    * from the stored counts, unused multi-char pieces drop, and the
+    * result re-prunes to `vocabSize` under the standard id rule.
+    *
+    * The stored model IS the trainer state: its entries carry exactly
+    * the (piece, count) pairs [[emLoop]] folds over, chars already in
+    * code-point order and multis by (count desc, piece asc) — so
+    * `learnContinue(store(learn(c, n)), c, k)` on the same corpus equals
+    * `learn` run for n+k iterations whenever the store's prune kept
+    * everything (and is the gated q231 contract at the fixture
+    * geometry). */
+  def learnContinue(df: DataFrame, text: Column, model: Model,
+      vocabSize: Int, emIters: Int = 1): Model = {
+    require(emIters >= 1, "continuation needs at least one EM round")
+    val types = wordTypes(df, text).localCheckpoint()
+    val charCnts = model.entries.filter(_.piece.length == 1)
+      .map(e => e.piece -> e.count)
+    val multiCnts = model.entries.filter(_.piece.length >= 2)
+      .map(e => e.piece -> e.count)
+    val (fc, fm) =
+      emLoop(types, charCnts, multiCnts, model.maxPieceLen, emIters)
+    CheckpointUtil.freeCheckpoint(types)
+    pruneAndScore(fc, fm, vocabSize, model.maxPieceLen)
   }
 
   /** The learned vocabulary as a DataFrame (piece, count, score,

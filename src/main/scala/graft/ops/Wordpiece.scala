@@ -194,6 +194,50 @@ object Wordpiece {
     Bpe.assembleIds(df, idCol, text, wordIds)
   }
 
+  /** Detokenization for WordPiece id streams — the `##`-strip join a
+    * BERT-style consumer expects: a bare piece opens a new word (single
+    * space separator), a `##`-piece concatenates onto the current word.
+    * LOSSY by design, twice over (documented, not fixable within the
+    * WordPiece contract): (a) an `[UNK]`-collapsed word renders as the
+    * literal `unk` string — the original bytes are gone at encode time;
+    * (b) whitespace runs collapse to single spaces (encode splits on
+    * `\s+`). On text the model's alphabet fully covers, no `[UNK]`
+    * fires and `decode(encode(text))` equals the whitespace-collapsed
+    * original EXACTLY (the q232 gate); for byte-exact round-trips use
+    * the byte-mode BPE or lossless-unigram pairs instead.
+    *
+    * Same kernel shape as [[Bpe.decodeBytes]]: the id→piece table
+    * broadcasts (vocabulary-sized), reconstruction is one per-row pass,
+    * never shuffles, one doc's text in memory at a time. Ids absent
+    * from the vocabulary (e.g. [[encode]]'s `unkId`) render as `unk`. */
+  def decode(encoded: DataFrame, idCol: String, idsCol: String, m: Model,
+      unk: String = "[UNK]"): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = encoded.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      m.entries.map { case (p, i) => i -> p }.toMap)
+    val outSchema = StructType(Seq(
+      encoded.schema(idCol),
+      StructField("text", StringType)))
+    encoded.select(col(idCol), col(idsCol)).mapPartitions { it =>
+      val tbl = bc.value
+      it.map { r =>
+        val ids = r.getSeq[Long](1)
+        val sb = new java.lang.StringBuilder(ids.length * 4)
+        ids.foreach { id =>
+          val piece = tbl.getOrElse(id, unk)
+          if (piece.startsWith("##")) sb.append(piece, 2, piece.length)
+          else {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(piece)
+          }
+        }
+        Row(r.get(0), sb.toString)
+      }
+    }(Encoders.row(outSchema)).toDF()
+  }
+
   /** Tokenizer fertility by group key under a WordPiece model — the
     * same vocabulary-budget diagnostic as [[Bpe.fertilityByKey]] (an
     * `[UNK]`-collapsed word counts as ONE piece). */

@@ -204,6 +204,44 @@ class UnigramSpec extends SparkTestBase {
     assert(x.getAs[Double]("fertility") == 1.0)
   }
 
+  test("learnContinue: same corpus, roomy budget ≡ more EM iterations") {
+    val docs = Seq((1L, "abab abab ab ba"), (2L, "abab ba ba ab"))
+      .toDF("doc_id", "text")
+    // budget 32 >> survivors: the store's prune keeps everything, so the
+    // continuation identity is exact — learn(n+k) == continue(learn(n), k)
+    val oneShot = Unigram.learn(docs, col("text"), vocabSize = 32,
+      maxPieceLen = 3, minCount = 1, seedCap = 16, emIters = 3)
+    val first = Unigram.learn(docs, col("text"), vocabSize = 32,
+      maxPieceLen = 3, minCount = 1, seedCap = 16, emIters = 2)
+    val cont = Unigram.learnContinue(docs, col("text"), first,
+      vocabSize = 32, emIters = 1)
+    assert(cont.entries == oneShot.entries)
+    assert(cont.maxPieceLen == oneShot.maxPieceLen)
+  }
+
+  test("learnContinue: new shard keeps the piece inventory frozen") {
+    val shardA = Seq((1L, "abab abab caca")).toDF("doc_id", "text")
+    val shardB = Seq((2L, "abab dd dd dd abab abab")).toDF("doc_id", "text")
+    val m = Unigram.learn(shardA, col("text"), vocabSize = 16,
+      maxPieceLen = 2, minCount = 1, seedCap = 8, emIters = 1)
+    val m2 = Unigram.learnContinue(shardB, col("text"), m,
+      vocabSize = 16, emIters = 1)
+    // no re-seeding: shard B's novel strings ('dd') may NOT enter the
+    // vocabulary — that would fork the id space between shards
+    assert(!m2.entries.exists(_.piece == "dd"))
+    // ...but shard B's counts re-estimate the surviving pieces: 'ab'
+    // appears more often, 'ca' not at all (multi pieces drop, chars
+    // floor at 1)
+    val abNew = m2.entries.find(_.piece == "ab")
+    val abOld = m.entries.find(_.piece == "ab")
+    assert(abNew.isDefined && abOld.isDefined &&
+      abNew.get.count > abOld.get.count)
+    assert(!m2.entries.exists(_.piece == "ca"))
+    assert(m2.entries.filter(_.piece.length == 1).map(_.piece) ==
+      m.entries.filter(_.piece.length == 1).map(_.piece),
+      "alphabet (and its id block) must be shard-invariant")
+  }
+
   test("expression stays codegen-compatible (no CodegenFallback)") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = Unigram.learn(docs, col("text"), vocabSize = 8,

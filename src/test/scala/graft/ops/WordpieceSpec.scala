@@ -141,6 +141,30 @@ class WordpieceSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("decode: ##-strip join inverts encode at the collapsed grain") {
+    val docs = Seq((1L, "abab ab  ba"), (2L, " ab abab ")).toDF("id", "text")
+    val ms = Wordpiece.learnMerges(docs, "text", 2)
+    val m = Wordpiece.model(docs, col("text"), ms)
+    val enc = Wordpiece.encode(docs, "id", col("text"), m)
+    val got = Wordpiece.decode(enc, "id", "ids", m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // no [UNK] on the training corpus → exact up to whitespace collapse
+    assert(got(1L) == "abab ab ba")
+    assert(got(2L) == "ab abab")
+  }
+
+  test("decode: unknown ids render as the [UNK] literal (lossy arm)") {
+    val train = Seq((1L, "ab ab")).toDF("id", "text")
+    val m = Wordpiece.model(train, col("text"),
+      Wordpiece.learnMerges(train, "text", 1))
+    // 'zz' segments to [UNK] → unkId (-1) → decodes to the literal
+    val enc = Wordpiece.encode(
+      Seq((1L, "ab zz ab")).toDF("id", "text"), "id", col("text"), m)
+    val got = Wordpiece.decode(enc, "id", "ids", m)
+      .collect().head.getString(1)
+    assert(got == "ab [UNK] ab")
+  }
+
   test("fertility: [UNK] word counts one piece; groups add up") {
     val train = Seq((1L, "ab ab")).toDF("id", "text")
     val ms = Wordpiece.learnMerges(train, "text", 1)
