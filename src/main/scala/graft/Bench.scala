@@ -6,10 +6,42 @@ import org.apache.spark.sql.SparkSession
   * warm-up pass at sf0.001 so JIT/codegen compilation is not attributed to
   * whichever query happens to run first. */
 object Bench {
+  private val calSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Machine-load sentinel: wall ms for a FIXED amount of CPU work
+    * (1e8 xorshift steps on each of `threads` threads). The work is
+    * constant across rounds, so the reading is a load meter, not a
+    * benchmark: on a quiet host it lands near the same value before and
+    * after the suite; a round whose suite timings are inflated by host
+    * contention (round-11's driver sweep: 372 s vs 207 s for the same
+    * HEAD) shows a proportionally inflated calibration and can be
+    * discounted without a round of adjudication. */
+  private def calibrateMs(threads: Int): Double = {
+    calibrateOnce(threads, 5000000L) // JIT warm-up: the PRE reading must
+    calibrateOnce(threads, iters =   // measure the host, not compilation
+      100000000L)
+  }
+
+  private def calibrateOnce(threads: Int, iters: Long): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { i =>
+      val t = new Thread(() => {
+        var x = 88172645463325252L ^ i.toLong
+        var n = 0L
+        while (n < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1 }
+        calSink.addAndGet(x) // keep the loop live through JIT
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val calPre = calibrateMs(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,7 +94,12 @@ object Bench {
     val slow = results.filter(_._2 >= 0.0).sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","slowest":$slow}"""
+    // the post-suite half of the load sentinel: pre/post readings that
+    // differ from each other (or round-over-round at fixed work) flag a
+    // contended host — the suite total should then be re-swept, not read
+    // as an engine regression
+    val calPost = calibrateMs(cpus.toInt)
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","cal_pre_ms":${fmt(calPre)},"cal_post_ms":${fmt(calPost)},"slowest":$slow}"""
     // side artifact: the same compact JSON, readable even if stdout capture
     // mangles the tail (build.sbt's showSuccess := false keeps sbt's
     // [success] banner from displacing the line below as stdout's last)

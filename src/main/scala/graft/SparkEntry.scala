@@ -1327,6 +1327,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q233_concat_chunk" -> ((s, dir) => {
+      // GPT-style concat-and-chunk sample construction (the OTHER
+      // standard pretraining packer next to q202's no-straddle fit):
+      // the frozen stored model's encode concatenates in doc_id order
+      // with eos separators and splits into 128-token samples —
+      // documents STRADDLE boundaries by design, zero pad except the
+      // final sample. ONE distributed LONG-exact prefix sum positions
+      // every doc; one sample-keyed shuffle assembles. The oracle
+      // rebuilds the global token stream over q200's encode replay and
+      // aggregates per sample; receipts pin order (position-weighted
+      // sum), multiset, bounds, and pad count per sample
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val enc = graft.ops.Unigram.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), m)
+      graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+          seqLen = 128, eosId = 2L, padId = 0L)
+        .select(col("sample_id"),
+          size(col("ids")).cast("long").as("n_pieces"),
+          coalesce(aggregate(col("ids"), lit(0L), (acc, x) => acc + x),
+            lit(0L)).as("ids_sum"),
+          aggregate(col("ids"),
+            struct(lit(0L).as("s"), lit(0L).as("j")),
+            (acc, x) => struct(
+              (acc.getField("s") + (acc.getField("j") + 1L) * x).as("s"),
+              (acc.getField("j") + 1L).as("j")),
+            acc => acc.getField("s")).as("ids_pw"),
+          array_min(col("ids")).as("min_id"),
+          array_max(col("ids")).as("max_id"),
+          col("n_pad"))
+        .orderBy("sample_id")
+    }),
+
     "q232_wordpiece_detok" -> ((s, dir) => {
       // the WordPiece serving-side detokenizer (##-strip join) —
       // inherently lossy through [UNK] in general, but on the training
@@ -7412,6 +7445,45 @@ ORDER BY idA, idB"""),
      FROM cfkept WHERE length(piece) >= 2))
  SELECT piece, cnt AS "count", score, pid AS piece_id
  FROM cfvocab ORDER BY pid"""),
+    // q200's encode replay → global token stream (eos=2 after each doc,
+    // docs in doc_id order) → 128-token samples. Every windowed/derived
+    // integer is cast ::BIGINT eagerly (the q202 HUGEINT lesson); pad
+    // id 0 leaves sums/pw unchanged and floors min_id at 0
+    "q233_concat_chunk" ->
+      (unigramReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM fseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id),
+ dl AS (SELECT d.doc_id, coalesce(o.ids, []::BIGINT[]) AS ids,
+     (coalesce(len(o.ids), 0) + 1)::BIGINT AS n
+   FROM documents d LEFT JOIN o USING (doc_id)),
+ pstream AS (SELECT doc_id, ids, n,
+     (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::BIGINT
+       AS strt
+   FROM dl),
+ tok AS (SELECT (strt + t.j - 1)::BIGINT AS p,
+     CASE WHEN t.j <= len(ids) THEN ids[t.j] ELSE 2 END AS id
+   FROM pstream, unnest(range(1, n + 1)) t(j)),
+ sm AS (SELECT (p // 128)::BIGINT AS sample_id, (p % 128)::BIGINT AS pos,
+     id FROM tok),
+ sagg AS (SELECT sample_id, count(*)::BIGINT AS n_real,
+     sum(id)::BIGINT AS ids_sum,
+     sum((pos + 1) * id)::BIGINT AS ids_pw,
+     min(id)::BIGINT AS minr, max(id)::BIGINT AS max_id
+   FROM sm GROUP BY 1)
+ SELECT sample_id, 128::BIGINT AS n_pieces, ids_sum, ids_pw,
+   CASE WHEN n_real < 128 THEN least(minr, 0) ELSE minr END AS min_id,
+   max_id, (128 - n_real)::BIGINT AS n_pad
+ FROM sagg ORDER BY sample_id"""),
     "q200_unigram_encode" ->
       (unigramReplay + """,
  wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece

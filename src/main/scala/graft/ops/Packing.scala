@@ -337,4 +337,65 @@ object Packing {
       .withColumn("bin_offset", (before - col("bin") * lit(budget)).cast("long"))
       .drop("__cum")
   }
+
+  /** GPT-style concat-and-chunk sample construction — the OTHER standard
+    * pretraining packer next to [[packFitWhole]]: every document's id
+    * stream gets an `eosId` separator appended, streams concatenate in
+    * ascending `idCol` order into one virtual corpus-length token
+    * stream, and the stream splits into consecutive `seqLen`-token
+    * samples (documents STRADDLE sample boundaries — that is the point:
+    * zero padding except the final partial sample, which right-pads
+    * with `padId`, or drops when `dropRemainder`). Output:
+    * (sample_id 0-based dense, ids exactly seqLen, n_pad).
+    *
+    * Scale shape: the global token position of every document comes
+    * from ONE distributed LONG-exact prefix sum over doc lengths
+    * ([[withPrefixSumLong]] — no corpus-wide window, bit-exact past 2⁵³
+    * cumulative tokens); each doc then slices itself into its ≤
+    * ⌈n/seqLen⌉+1 overlapping samples scan-side (pure built-in
+    * expressions), and ONE hash shuffle on sample_id regroups the
+    * pieces — the only corpus-sized movement, with ≤ seqLen ids held
+    * per group at assembly. Deterministic at any parallelism: piece
+    * order within a sample is pinned by global position, never by
+    * arrival. Size `spark.sql.shuffle.partitions` to the token volume
+    * (the spanCorrupt discipline). */
+  def concatChunk(encoded: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, eosId: Long, padId: Long = 0L,
+      dropRemainder: Boolean = false, buckets: Int = 0): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val reserved = Seq("__ids", "__n", "__end", "__start")
+    require(!encoded.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val L = lit(seqLen.toLong)
+    val withEos = encoded.select(col(idCol),
+      concat(coalesce(col(idsCol), array().cast("array<long>")),
+        array(lit(eosId))).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val pos = withPrefixSumLong(withEos, idCol, "__n", "__end", buckets)
+      .withColumn("__start", col("__end") - col("__n"))
+    // each doc explodes into its covering samples and slices itself to
+    // the overlap — from/len are per-doc-bounded ints, codegen'd
+    val sampleCol = explode(sequence(idiv(col("__start"), L),
+      idiv(col("__end") - 1, L))).as("sample_id")
+    val pieces = pos
+      .select(col("__start"), col("__end"), col("__ids"), sampleCol)
+      .select(col("sample_id"),
+        greatest(col("sample_id") * L, col("__start")).as("__p0"),
+        slice(col("__ids"),
+          (greatest(col("sample_id") * L, col("__start"))
+            - col("__start") + 1).cast("int"),
+          (least((col("sample_id") + 1) * L, col("__end"))
+            - greatest(col("sample_id") * L, col("__start"))).cast("int"))
+          .as("__piece"))
+    val samples = pieces
+      .groupBy("sample_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__p0"), col("__piece")))),
+        x => x.getField("__piece"))).as("ids"))
+      .withColumn("n_pad", (L - size(col("ids"))).cast("long"))
+    if (dropRemainder) samples.where(col("n_pad") === 0L)
+    else samples.withColumn("ids",
+      concat(col("ids"),
+        array_repeat(lit(padId), col("n_pad").cast("int"))))
+  }
 }

@@ -153,4 +153,61 @@ class PackingSpec extends SparkTestBase {
     assert(flat.length == 1 && flat(0).getLong(1) == 4L &&
       flat(0).getLong(4) == 45L) // 10 + 15 + 15 + 5 kept at max_len 15
   }
+
+  test("concatChunk: hand-computed samples, eos separators, final pad") {
+    // docs (in id order): [10,11] [20] [30,31,32,33] → with eos=2:
+    // stream = 10 11 2 | 20 2 | 30 31 32 33 2  (11 tokens), L=4 →
+    // s0=[10,11,2,20] s1=[2,30,31,32] s2=[33,2,0,0] (pad=0)
+    val enc = Seq((1L, Seq(10L, 11L)), (2L, Seq(20L)),
+      (3L, Seq(30L, 31L, 32L, 33L))).toDF("doc_id", "ids")
+    val got = graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+      seqLen = 4, eosId = 2L, padId = 0L)
+      .orderBy("sample_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .toList
+    assert(got == List(
+      (0L, List(10L, 11L, 2L, 20L), 0L),
+      (1L, List(2L, 30L, 31L, 32L), 0L),
+      (2L, List(33L, 2L, 0L, 0L), 2L)))
+    // dropRemainder: the partial sample disappears
+    val dropped = graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+      seqLen = 4, eosId = 2L, dropRemainder = true)
+      .orderBy("sample_id").collect().map(_.getLong(0)).toList
+    assert(dropped == List(0L, 1L))
+  }
+
+  test("concatChunk: empty/null id arrays contribute their eos only") {
+    val enc = Seq((1L, Seq.empty[Long]), (2L, Seq(7L)))
+      .toDF("doc_id", "ids")
+      .union(Seq(3L).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast("array<long>").as("ids")))
+    val got = graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+      seqLen = 4, eosId = 9L, padId = 0L)
+      .orderBy("sample_id").collect()
+      .map(r => r.getSeq[Long](1).toList).toList
+    // stream = 9 | 7 9 | 9 → one sample [9,7,9,9]
+    assert(got == List(List(9L, 7L, 9L, 9L)))
+  }
+
+  test("concatChunk: partitioning-invariant, samples straddle docs") {
+    val rnd = new scala.util.Random(99)
+    val enc = (0L until 300L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong(1000) + 10)))
+      .toDF("doc_id", "ids")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Packing.concatChunk(df, "doc_id", "ids", seqLen = 128,
+        eosId = 2L, padId = 0L)
+        .orderBy("sample_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toList
+    val a = run(enc)
+    val b = run(enc.repartition(13))
+    assert(a == b, "chunking must be independent of partitioning")
+    // total token conservation: all samples are exactly L, pads only in
+    // the last one
+    val total = enc.select(sum(size(col("ids")))).collect()(0).getLong(0) +
+      300L // one eos per doc
+    val nSamples = a.size.toLong
+    assert(a.forall(_._2.size == 128))
+    assert(nSamples == (total + 127L) / 128L)
+  }
 }

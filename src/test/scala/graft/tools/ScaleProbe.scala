@@ -572,6 +572,17 @@ object ScaleProbe {
           (acc, x) => concat(acc, b8(x))).as("rec")))
     }
 
+    time(s"r12 concatChunk $nDocs docs -> 2048-token samples") {
+      // GPT-style concat-and-chunk at corpus scale: one LONG-exact
+      // prefix sum positions every doc, one sample-keyed shuffle
+      // assembles ~30·nDocs/2048 samples
+      val enc = docs.select(col("doc_id"),
+        transform(sequence(lit(1), lit(30)),
+          j => (col("doc_id") * 31 + j) % 5000).as("ids"))
+      force(graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+        seqLen = 2048, eosId = 2L, padId = 0L))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
