@@ -1327,6 +1327,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q234_chunk_boundaries" -> ((s, dir) => {
+      // q233's packer with boundaries=true: per-sample document-start
+      // offsets — the carry a packed-pretraining trainer needs to build
+      // block-diagonal attention masks / reset position ids. Receipts
+      // pin the multiset of offsets per sample (count/sum/sum-of-
+      // squares/min/max determine the sorted array uniquely); samples
+      // fully inside a straddling document carry an empty array
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val enc = graft.ops.Unigram.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), m)
+      graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+          seqLen = 128, eosId = 2L, padId = 0L, boundaries = true)
+        .select(col("sample_id"),
+          size(col("doc_starts")).cast("long").as("n_doc_starts"),
+          coalesce(aggregate(col("doc_starts"), lit(0L),
+            (acc, x) => acc + x), lit(0L)).as("bounds_sum"),
+          coalesce(aggregate(col("doc_starts"), lit(0L),
+            (acc, x) => acc + x * x), lit(0L)).as("bounds_sq"),
+          coalesce(array_min(col("doc_starts")), lit(-1L)).as("min_b"),
+          coalesce(array_max(col("doc_starts")), lit(-1L)).as("max_b"))
+        .orderBy("sample_id")
+    }),
+
     "q233_concat_chunk" -> ((s, dir) => {
       // GPT-style concat-and-chunk sample construction (the OTHER
       // standard pretraining packer next to q202's no-straddle fit):
@@ -7484,6 +7508,46 @@ ORDER BY idA, idB"""),
    CASE WHEN n_real < 128 THEN least(minr, 0) ELSE minr END AS min_id,
    max_id, (128 - n_real)::BIGINT AS n_pad
  FROM sagg ORDER BY sample_id"""),
+    // q233's stream replay, reduced to document-START positions: a doc's
+    // first stream token (j = 1) lands at offset p % 128 of sample
+    // p // 128; samples covered only by a straddler's middle get the
+    // empty-multiset receipts via the LEFT JOIN
+    "q234_chunk_boundaries" ->
+      (unigramReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM fseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id),
+ dl AS (SELECT d.doc_id,
+     (coalesce(len(o.ids), 0) + 1)::BIGINT AS n
+   FROM documents d LEFT JOIN o USING (doc_id)),
+ pstream AS (SELECT doc_id, n,
+     (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::BIGINT
+       AS strt
+   FROM dl),
+ tok AS (SELECT (strt + t.j - 1)::BIGINT AS p, t.j AS j
+   FROM pstream, unnest(range(1, n + 1)) t(j)),
+ alls AS (SELECT DISTINCT (p // 128)::BIGINT AS sample_id FROM tok),
+ bnd AS (SELECT (p // 128)::BIGINT AS sample_id, (p % 128)::BIGINT AS off
+   FROM tok WHERE j = 1),
+ bagg AS (SELECT sample_id, count(*)::BIGINT AS n_doc_starts,
+     sum(off)::BIGINT AS bounds_sum, sum(off * off)::BIGINT AS bounds_sq,
+     min(off)::BIGINT AS min_b, max(off)::BIGINT AS max_b
+   FROM bnd GROUP BY 1)
+ SELECT a.sample_id, coalesce(n_doc_starts, 0)::BIGINT AS n_doc_starts,
+   coalesce(bounds_sum, 0)::BIGINT AS bounds_sum,
+   coalesce(bounds_sq, 0)::BIGINT AS bounds_sq,
+   coalesce(min_b, -1)::BIGINT AS min_b,
+   coalesce(max_b, -1)::BIGINT AS max_b
+ FROM alls a LEFT JOIN bagg USING (sample_id) ORDER BY a.sample_id"""),
     "q200_unigram_encode" ->
       (unigramReplay + """,
  wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece

@@ -358,10 +358,19 @@ object Packing {
     * per group at assembly. Deterministic at any parallelism: piece
     * order within a sample is pinned by global position, never by
     * arrival. Size `spark.sql.shuffle.partitions` to the token volume
-    * (the spanCorrupt discipline). */
+    * (the spanCorrupt discipline).
+    *
+    * `boundaries = true` adds `doc_starts: array<long>` — the 0-based
+    * positions within each sample where a DOCUMENT's first token lands
+    * (a straddler's continuation is not a start). This is the carry a
+    * packed-pretraining trainer needs to build block-diagonal attention
+    * masks / reset position ids per document; a sample fully inside one
+    * straddling document has an empty array. Computed scan-side from
+    * the same prefix positions — no extra pass. */
   def concatChunk(encoded: DataFrame, idCol: String, idsCol: String,
       seqLen: Int, eosId: Long, padId: Long = 0L,
-      dropRemainder: Boolean = false, buckets: Int = 0): DataFrame = {
+      dropRemainder: Boolean = false, boundaries: Boolean = false,
+      buckets: Int = 0): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
     val reserved = Seq("__ids", "__n", "__end", "__start")
     require(!encoded.columns.exists(reserved.contains),
@@ -377,21 +386,29 @@ object Packing {
     // the overlap — from/len are per-doc-bounded ints, codegen'd
     val sampleCol = explode(sequence(idiv(col("__start"), L),
       idiv(col("__end") - 1, L))).as("sample_id")
+    val p0 = greatest(col("sample_id") * L, col("__start"))
     val pieces = pos
       .select(col("__start"), col("__end"), col("__ids"), sampleCol)
       .select(col("sample_id"),
-        greatest(col("sample_id") * L, col("__start")).as("__p0"),
+        p0.as("__p0"),
         slice(col("__ids"),
-          (greatest(col("sample_id") * L, col("__start"))
-            - col("__start") + 1).cast("int"),
-          (least((col("sample_id") + 1) * L, col("__end"))
-            - greatest(col("sample_id") * L, col("__start"))).cast("int"))
-          .as("__piece"))
-    val samples = pieces
+          (p0 - col("__start") + 1).cast("int"),
+          (least((col("sample_id") + 1) * L, col("__end")) - p0)
+            .cast("int")).as("__piece"),
+        // the doc's first token lands in THIS sample ⇒ its in-sample
+        // offset is a document start (null otherwise; collect_list
+        // drops nulls at assembly)
+        when(p0 === col("__start"),
+          col("__start") - col("sample_id") * L).as("__bnd"))
+    val assembled = pieces
       .groupBy("sample_id")
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__p0"), col("__piece")))),
-        x => x.getField("__piece"))).as("ids"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("__p0"), col("__piece")))),
+          x => x.getField("__piece"))).as("ids"),
+        array_sort(collect_list(col("__bnd"))).as("doc_starts"))
+    val samples = (if (boundaries) assembled
+      else assembled.drop("doc_starts"))
       .withColumn("n_pad", (L - size(col("ids"))).cast("long"))
     if (dropRemainder) samples.where(col("n_pad") === 0L)
     else samples.withColumn("ids",

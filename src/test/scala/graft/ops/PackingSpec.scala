@@ -176,6 +176,25 @@ class PackingSpec extends SparkTestBase {
     assert(dropped == List(0L, 1L))
   }
 
+  test("concatChunk boundaries: doc starts by hand, straddler has none") {
+    // stream (L=4, 12 tokens): d1=[10,11,2]@0  d2=[20,2]@3
+    // d3=[30,31,32,33,34,35,2]@5 — s0: d1@0, d2@3; s1: d3@pos1 (global
+    // 5); s2: d3 continues through the whole sample — NO start
+    val enc = Seq((1L, Seq(10L, 11L)), (2L, Seq(20L)),
+      (3L, Seq(30L, 31L, 32L, 33L, 34L, 35L))).toDF("doc_id", "ids")
+    val got = graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+      seqLen = 4, eosId = 2L, padId = 0L, boundaries = true)
+      .orderBy("sample_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toList)).toList
+    assert(got == List(
+      (0L, List(0L, 3L)),
+      (1L, List(1L)),
+      (2L, List.empty[Long])))
+    // doc_starts column absent unless requested
+    assert(!graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+      seqLen = 4, eosId = 2L).columns.contains("doc_starts"))
+  }
+
   test("concatChunk: empty/null id arrays contribute their eos only") {
     val enc = Seq((1L, Seq.empty[Long]), (2L, Seq(7L)))
       .toDF("doc_id", "ids")
