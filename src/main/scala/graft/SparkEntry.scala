@@ -83,6 +83,42 @@ object SparkEntry {
   /** One-time 8-file documents layout for q204's micro-batch replay. */
   private val docStreamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One-time ORDERED 8-file documents layout for q235: each file holds
+    * a contiguous doc_id range, modification times spaced so file
+    * readStream (latestFirst=false, 1 file/trigger) replays the corpus
+    * in EXACT doc order — which is what makes the streamed chunker's
+    * output comparable row-for-row to the one-shot q233 packer. */
+  private val orderedDocStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureOrderedDocStream(s: SparkSession,
+      dir: String): String =
+    orderedDocStreamDirCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q235").toString
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val mm = docs.agg(min("doc_id"), max("doc_id")).head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = (hi - lo) / 8 + 1
+      val outDir = new java.io.File(s"$base/documents.parquet")
+      require(outDir.mkdirs(), s"cannot create $outDir")
+      (0 until 8).foreach { r =>
+        val part = java.nio.file.Files
+          .createTempDirectory("graft_q235p").toString
+        docs.where(col("doc_id") >= lo + r * span &&
+            col("doc_id") < lo + (r + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths
+          .get(s"$base/documents.parquet/range-$r.parquet")
+        java.nio.file.Files.move(f.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1700000000000L + r * 60000L))
+      }
+      base
+    })
   /** One-time persisted MinHash index over the EVEN docs for q206. */
   private val minhashIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1325,6 +1361,63 @@ object SparkEntry {
           (col("st") === col("raw")).cast("long").as("strip_ok"))
       idSeqReceipts(back).join(stripBack, Seq("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    "q235_streaming_chunk" -> ((s, dir) => {
+      // streaming concat-and-chunk — the "tokenize + pack an arriving
+      // crawl" serving shape: 8 real micro-batches (contiguous doc_id
+      // ranges replayed in order through file readStream) each encode
+      // under the FROZEN stored model and fold through
+      // chunkBatchWithCarry; the carry (< seqLen tail tokens + next
+      // sample id) is the COMPLETE inter-batch state, so the stream
+      // never re-reads history. Union of per-batch full samples + the
+      // final flush must equal the one-shot q233 chunker row-for-row
+      // (shares its oracle verbatim)
+      import s.implicits._
+      val tmp = ensureOrderedDocStream(s, dir)
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val outBase = java.nio.file.Files
+        .createTempDirectory("graft_q235o").toString
+      val carryRef = new java.util.concurrent.atomic.AtomicReference(
+        graft.ops.Packing.ChunkCarry(Nil, 0L))
+      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val enc = graft.ops.Unigram.encode(batch, "doc_id",
+            col("text"), m)
+          val (full, next) = graft.ops.Packing.chunkBatchWithCarry(
+            enc, "doc_id", "ids", seqLen = 128, eosId = 2L,
+            carryRef.get)
+          full.write.mode("append").parquet(s"$outBase/enc")
+          carryRef.set(next)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.read.parquet(s"$outBase/enc")
+        .select(col("sample_id"), col("ids"), lit(0L).as("n_pad"))
+      val all = graft.ops.Packing.flushCarry(carryRef.get, 128, 0L) match {
+        case Some((sid, ids, nPad)) =>
+          streamed.unionByName(Seq((sid, ids, nPad))
+            .toDF("sample_id", "ids", "n_pad"))
+        case None => streamed
+      }
+      all.select(col("sample_id"),
+          size(col("ids")).cast("long").as("n_pieces"),
+          coalesce(aggregate(col("ids"), lit(0L), (acc, x) => acc + x),
+            lit(0L)).as("ids_sum"),
+          aggregate(col("ids"),
+            struct(lit(0L).as("s"), lit(0L).as("j")),
+            (acc, x) => struct(
+              (acc.getField("s") + (acc.getField("j") + 1L) * x).as("s"),
+              (acc.getField("j") + 1L).as("j")),
+            acc => acc.getField("s")).as("ids_pw"),
+          array_min(col("ids")).as("min_id"),
+          array_max(col("ids")).as("max_id"),
+          col("n_pad"))
+        .orderBy("sample_id")
     }),
 
     "q234_chunk_boundaries" -> ((s, dir) => {
@@ -4355,6 +4448,9 @@ i$k AS MATERIALIZED (SELECT
       // batch-equivalence: per-micro-batch encode under the frozen model
       // unioned over the stream ≡ the one-shot batch encode
       ("q219_streaming_encode" -> oracleBase("q200_unigram_encode")) +
+      // stream-equivalence: doc-ordered micro-batches folded through the
+      // carry-state chunker + final flush ≡ the one-shot concat-chunk
+      ("q235_streaming_chunk" -> oracleBase("q233_concat_chunk")) +
       // continuation identity: 3 learned + 3 continued merges must
       // induce the one-shot 6-merge model
       ("q222_wordpiece_continue" -> oracleBase("q207_wordpiece_learn")) +

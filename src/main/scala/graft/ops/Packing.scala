@@ -415,4 +415,77 @@ object Packing {
       concat(col("ids"),
         array_repeat(lit(padId), col("n_pad").cast("int"))))
   }
+
+  /** Carry state of a STREAMING [[concatChunk]]: the (< seqLen) tail
+    * tokens not yet emitted plus the next global sample id. */
+  case class ChunkCarry(tail: Seq[Long], nextSampleId: Long)
+
+  /** One micro-batch step of a streaming [[concatChunk]] — the
+    * "tokenize + pack an arriving crawl" serving shape: chunk THIS
+    * batch's documents (in ascending `idCol` order) continuing from
+    * `carry`, emit every FULL sample with globally-sequential ids, and
+    * return the new carry. Folding this over doc-ordered micro-batches
+    * and then [[flushCarry]]-ing is EXACTLY [[concatChunk]] of the
+    * whole corpus (gate-pinned): the carry is the complete inter-batch
+    * state, so the stream never re-reads history.
+    *
+    * Per batch: one distributed prefix sum + one sample-keyed shuffle
+    * (both batch-sized, as in [[concatChunk]]) + one O(seqLen) driver
+    * collect for the new tail. */
+  def chunkBatchWithCarry(encoded: DataFrame, idCol: String,
+      idsCol: String, seqLen: Int, eosId: Long,
+      carry: ChunkCarry): (DataFrame, ChunkCarry) = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    require(carry.tail.size < seqLen,
+      s"carry holds ${carry.tail.size} tokens — must be < seqLen=$seqLen")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val L = lit(seqLen.toLong)
+    val c = carry.tail.size.toLong
+    val withEos = encoded.select(col(idCol),
+      concat(coalesce(col(idsCol), array().cast("array<long>")),
+        array(lit(eosId))).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val total = c + withEos.agg(coalesce(sum(col("__n")), lit(0L)))
+      .head.getLong(0)
+    val fullSamples = total / seqLen
+    val pos = withPrefixSumLong(withEos, idCol, "__n", "__end")
+      .withColumn("__start", col("__end") - col("__n") + lit(c))
+      .withColumn("__end", col("__end") + lit(c))
+    val sampleCol = explode(sequence(idiv(col("__start"), L),
+      idiv(col("__end") - 1, L))).as("__s")
+    val p0 = greatest(col("__s") * L, col("__start"))
+    val docPieces = pos
+      .select(col("__start"), col("__end"), col("__ids"), sampleCol)
+      .select(col("__s"), p0.as("__p0"),
+        slice(col("__ids"),
+          (p0 - col("__start") + 1).cast("int"),
+          (least((col("__s") + 1) * L, col("__end")) - p0).cast("int"))
+          .as("__piece"))
+    val pieces =
+      if (carry.tail.isEmpty) docPieces
+      else docPieces.unionByName(
+        Seq((0L, 0L, carry.tail)).toDF("__s", "__p0", "__piece"))
+    val assembled = pieces.groupBy("__s")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__p0"), col("__piece")))),
+        x => x.getField("__piece"))).as("ids"))
+    val emitted = assembled.where(col("__s") < fullSamples)
+      .select((col("__s") + lit(carry.nextSampleId)).as("sample_id"),
+        col("ids"))
+    val newTail = assembled.where(col("__s") === fullSamples)
+      .collect().headOption
+      .map(_.getSeq[Long](1).toSeq).getOrElse(Seq.empty)
+    (emitted, ChunkCarry(newTail, carry.nextSampleId + fullSamples))
+  }
+
+  /** End-of-stream step for [[chunkBatchWithCarry]]: the final partial
+    * sample, right-padded with `padId` (None when the stream ended on a
+    * sample boundary). */
+  def flushCarry(carry: ChunkCarry, seqLen: Int,
+      padId: Long = 0L): Option[(Long, Seq[Long], Long)] =
+    if (carry.tail.isEmpty) None
+    else Some((carry.nextSampleId,
+      carry.tail ++ Seq.fill(seqLen - carry.tail.size)(padId),
+      (seqLen - carry.tail.size).toLong))
 }

@@ -208,6 +208,36 @@ class PackingSpec extends SparkTestBase {
     assert(got == List(List(9L, 7L, 9L, 9L)))
   }
 
+  test("chunkBatchWithCarry folded over batches ≡ one-shot concatChunk") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (0L until 120L).map(i =>
+      (i, Seq.fill(rnd.nextInt(30))(rnd.nextLong(1000) + 10)))
+    val enc = rows.toDF("doc_id", "ids")
+    val oneShot = graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+      seqLen = 32, eosId = 2L, padId = 0L)
+      .orderBy("sample_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .toList
+    // 5 uneven doc-ordered batches (incl. an EMPTY one)
+    val cuts = Seq((0L, 13L), (13L, 13L), (13L, 57L), (57L, 120L))
+    var carry = graft.ops.Packing.ChunkCarry(Nil, 0L)
+    val emitted = scala.collection.mutable.ListBuffer
+      .empty[(Long, List[Long], Long)]
+    cuts.foreach { case (lo, hi) =>
+      val (full, next) = graft.ops.Packing.chunkBatchWithCarry(
+        enc.where(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "ids", seqLen = 32, eosId = 2L, carry)
+      emitted ++= full.orderBy("sample_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList, 0L))
+      carry = next
+    }
+    graft.ops.Packing.flushCarry(carry, 32, padId = 0L).foreach {
+      case (sid, ids, nPad) => emitted += ((sid, ids.toList, nPad))
+    }
+    assert(emitted.toList == oneShot,
+      "streamed fold must equal the one-shot chunker exactly")
+  }
+
   test("concatChunk: partitioning-invariant, samples straddle docs") {
     val rnd = new scala.util.Random(99)
     val enc = (0L until 300L).map(i =>
