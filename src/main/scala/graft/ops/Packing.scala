@@ -446,10 +446,22 @@ object Packing {
       concat(coalesce(col(idsCol), array().cast("array<long>")),
         array(lit(eosId))).as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
-    val total = c + withEos.agg(coalesce(sum(col("__n")), lit(0L)))
-      .head.getLong(0)
+      .localCheckpoint()
+    val agg0 = withEos
+      .agg(coalesce(sum(col("__n")), lit(0L)), count(lit(1))).head
+    val total = c + agg0.getLong(0)
+    val rows = agg0.getLong(1)
     val fullSamples = total / seqLen
-    val pos = withPrefixSumLong(withEos, idCol, "__n", "__end")
+    // micro-batch tier (packFitWhole's smallInputRows precedent,
+    // identical results): a batch-sized frame takes ONE global window
+    // pass instead of the two-level scan's digest + totals + bucketed
+    // window — the difference between a streaming trigger costing 2
+    // jobs and 6. The distributed path kicks in for corpus-sized calls.
+    val pos = (if (rows <= 2000000L) {
+      val w = Window.orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withEos.withColumn("__end", sum(col("__n")).over(w))
+    } else withPrefixSumLong(withEos, idCol, "__n", "__end"))
       .withColumn("__start", col("__end") - col("__n") + lit(c))
       .withColumn("__end", col("__end") + lit(c))
     val sampleCol = explode(sequence(idiv(col("__start"), L),
