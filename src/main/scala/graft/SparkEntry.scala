@@ -1363,6 +1363,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q236_position_ids" -> ((s, dir) => {
+      // position_ids for packed samples: count up from 0 at the sample
+      // start, RESET at every document start (q234's doc_starts), so a
+      // block-diagonal-mask trainer sees per-document positions as if
+      // unpacked; a straddler carried across the boundary restarts at 0.
+      // Receipts over the REAL (un-padded) positions; the oracle derives
+      // each token's position as least(p - doc_start, p % 128) from the
+      // q233 stream replay
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val enc = graft.ops.Unigram.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), m)
+      graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+          seqLen = 128, eosId = 2L, padId = 0L, boundaries = true)
+        .select(col("sample_id"), col("n_pad"),
+          slice(graft.ops.Packing.positionIds(col("doc_starts"), 128),
+            lit(1), (lit(128) - col("n_pad")).cast("int")).as("pos"))
+        .select(col("sample_id"),
+          size(col("pos")).cast("long").as("n_real"),
+          coalesce(aggregate(col("pos"), lit(0L), (a, x) => a + x),
+            lit(0L)).as("pos_sum"),
+          aggregate(col("pos"),
+            struct(lit(0L).as("s"), lit(0L).as("j")),
+            (acc, x) => struct(
+              (acc.getField("s") + (acc.getField("j") + 1L) * x).as("s"),
+              (acc.getField("j") + 1L).as("j")),
+            acc => acc.getField("s")).as("pos_pw"),
+          coalesce(array_max(col("pos")), lit(-1L)).as("max_pos"))
+        .orderBy("sample_id")
+    }),
+
     "q235_streaming_chunk" -> ((s, dir) => {
       // streaming concat-and-chunk — the "tokenize + pack an arriving
       // crawl" serving shape: 8 real micro-batches (contiguous doc_id
@@ -7644,6 +7675,39 @@ ORDER BY idA, idB"""),
    coalesce(min_b, -1)::BIGINT AS min_b,
    coalesce(max_b, -1)::BIGINT AS max_b
  FROM alls a LEFT JOIN bagg USING (sample_id) ORDER BY a.sample_id"""),
+    // each real token's position id = least(p - its doc's start, p % 128)
+    // — per-document position unless the doc started in an earlier
+    // sample, in which case it restarts at the sample boundary
+    "q236_position_ids" ->
+      (unigramReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM fseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id),
+ dl AS (SELECT d.doc_id,
+     (coalesce(len(o.ids), 0) + 1)::BIGINT AS n
+   FROM documents d LEFT JOIN o USING (doc_id)),
+ pstream AS (SELECT doc_id, n,
+     (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::BIGINT
+       AS strt
+   FROM dl),
+ tok AS (SELECT (strt + t.j - 1)::BIGINT AS p, strt
+   FROM pstream, unnest(range(1, n + 1)) t(j)),
+ pt AS (SELECT (p // 128)::BIGINT AS sample_id, (p % 128)::BIGINT AS off,
+     least(p - strt, p % 128)::BIGINT AS pos FROM tok)
+ SELECT sample_id, count(*)::BIGINT AS n_real,
+   sum(pos)::BIGINT AS pos_sum,
+   sum((off + 1) * pos)::BIGINT AS pos_pw,
+   max(pos)::BIGINT AS max_pos
+ FROM pt GROUP BY 1 ORDER BY sample_id"""),
     "q200_unigram_encode" ->
       (unigramReplay + """,
  wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece

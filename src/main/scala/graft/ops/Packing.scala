@@ -416,6 +416,21 @@ object Packing {
         array_repeat(lit(padId), col("n_pad").cast("int"))))
   }
 
+  /** Per-position position ids for a [[concatChunk]] sample — the
+    * column a packed-pretraining trainer feeds as `position_ids`:
+    * position counts up from 0 at the sample start and RESETS at every
+    * document start (`doc_starts` from `boundaries = true`), so
+    * attention with a block-diagonal mask sees per-document positions
+    * exactly as if the docs were unpacked. A straddler carried in from
+    * the previous sample restarts at 0 (the standard packed-training
+    * convention — its earlier tokens are not attendable anyway). Pure
+    * built-in expressions, O(seqLen · |doc_starts|) scan-side. */
+  def positionIds(docStarts: Column, seqLen: Int): Column = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    transform(sequence(lit(0L), lit(seqLen - 1L)), i =>
+      i - coalesce(array_max(filter(docStarts, b => b <= i)), lit(0L)))
+  }
+
   /** Carry state of a STREAMING [[concatChunk]]: the (< seqLen) tail
     * tokens not yet emitted plus the next global sample id. */
   case class ChunkCarry(tail: Seq[Long], nextSampleId: Long)

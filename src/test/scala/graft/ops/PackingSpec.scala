@@ -208,6 +208,18 @@ class PackingSpec extends SparkTestBase {
     assert(got == List(List(9L, 7L, 9L, 9L)))
   }
 
+  test("positionIds: reset at doc starts, straddler restarts at 0") {
+    val got = Seq((Seq(0L, 3L), 0), (Seq(1L), 1), (Seq.empty[Long], 2))
+      .toDF("doc_starts", "k")
+      .orderBy("k")
+      .select(graft.ops.Packing.positionIds(col("doc_starts"), 6).as("p"))
+      .collect().map(_.getSeq[Long](0).toList).toList
+    assert(got == List(
+      List(0L, 1L, 2L, 0L, 1L, 2L), // docs at 0 and 3
+      List(0L, 0L, 1L, 2L, 3L, 4L), // carry-over token, then doc at 1
+      List(0L, 1L, 2L, 3L, 4L, 5L))) // whole sample inside a straddler
+  }
+
   test("chunkBatchWithCarry folded over batches ≡ one-shot concatChunk") {
     val rnd = new scala.util.Random(4242)
     val rows = (0L until 120L).map(i =>
