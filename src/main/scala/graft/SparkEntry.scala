@@ -1363,6 +1363,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q237_chunk_provenance" -> ((s, dir) => {
+      // the provenance index of the q233 layout — the deletion-request /
+      // attribution structure ("which training samples contain doc X,
+      // and how many of their tokens are its"): one (doc, sample,
+      // n_tokens) row per overlap, computed scan-side from the SAME
+      // prefix positions as the packer (no assembly shuffle), so the
+      // index can never disagree with the layout. Gated per doc:
+      // sample span, count, and token conservation (sum of overlaps =
+      // doc pieces + eos)
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val enc = graft.ops.Unigram.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), m)
+      graft.ops.Packing.chunkProvenance(enc, "doc_id", "ids",
+          seqLen = 128, eosId = 2L)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_samples"),
+          sum("n_tokens").as("tok_sum"),
+          min("sample_id").as("first_sample"),
+          max("sample_id").as("last_sample"))
+        .orderBy("doc_id")
+    }),
+
     "q236_position_ids" -> ((s, dir) => {
       // position_ids for packed samples: count up from 0 at the sample
       // start, RESET at every document start (q234's doc_starts), so a
@@ -7708,6 +7731,36 @@ ORDER BY idA, idB"""),
    sum((off + 1) * pos)::BIGINT AS pos_pw,
    max(pos)::BIGINT AS max_pos
  FROM pt GROUP BY 1 ORDER BY sample_id"""),
+    // per-doc provenance over the same stream positions, closed-form —
+    // no token unnest: a doc spanning [strt, strt+n) touches samples
+    // strt//128 .. (strt+n-1)//128 and contributes all n of its tokens
+    "q237_chunk_provenance" ->
+      (unigramReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM fseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id),
+ dl AS (SELECT d.doc_id,
+     (coalesce(len(o.ids), 0) + 1)::BIGINT AS n
+   FROM documents d LEFT JOIN o USING (doc_id)),
+ pstream AS (SELECT doc_id, n,
+     (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::BIGINT
+       AS strt
+   FROM dl)
+ SELECT doc_id,
+   ((strt + n - 1) // 128 - strt // 128 + 1)::BIGINT AS n_samples,
+   n::BIGINT AS tok_sum,
+   (strt // 128)::BIGINT AS first_sample,
+   ((strt + n - 1) // 128)::BIGINT AS last_sample
+ FROM pstream ORDER BY doc_id"""),
     "q200_unigram_encode" ->
       (unigramReplay + """,
  wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece

@@ -431,6 +431,38 @@ object Packing {
       i - coalesce(array_max(filter(docStarts, b => b <= i)), lit(0L)))
   }
 
+  /** Provenance index of a [[concatChunk]] layout: one row per
+    * (document, sample) overlap with the token count contributed — the
+    * structure a deletion request or an attribution query needs
+    * ("which training samples contain doc X, and how much of them is
+    * it"), and the inverse of q234's per-sample boundary view. Pure
+    * scan-side arithmetic on the SAME prefix positions as the packer
+    * (one distributed prefix sum, one per-doc explode into covering
+    * samples, NO assembly shuffle), so the index always agrees with
+    * the layout it describes. Output: (idCol, sample_id, n_tokens);
+    * the per-doc eos separator counts toward its document. */
+  def chunkProvenance(encoded: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, eosId: Long, buckets: Int = 0): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val reserved = Seq("__ids", "__n", "__end", "__start")
+    require(!encoded.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val L = lit(seqLen.toLong)
+    val withEos = encoded.select(col(idCol),
+      concat(coalesce(col(idsCol), array().cast("array<long>")),
+        array(lit(eosId))).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val pos = withPrefixSumLong(withEos, idCol, "__n", "__end", buckets)
+      .withColumn("__start", col("__end") - col("__n"))
+    val sampleCol = explode(sequence(idiv(col("__start"), L),
+      idiv(col("__end") - 1, L))).as("sample_id")
+    val p0 = greatest(col("sample_id") * L, col("__start"))
+    pos.select(col(idCol), col("__start"), col("__end"), sampleCol)
+      .select(col(idCol), col("sample_id"),
+        (least((col("sample_id") + 1) * L, col("__end")) - p0)
+          .as("n_tokens"))
+  }
+
   /** Carry state of a STREAMING [[concatChunk]]: the (< seqLen) tail
     * tokens not yet emitted plus the next global sample id. */
   case class ChunkCarry(tail: Seq[Long], nextSampleId: Long)

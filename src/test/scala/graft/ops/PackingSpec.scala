@@ -220,6 +220,43 @@ class PackingSpec extends SparkTestBase {
       List(0L, 1L, 2L, 3L, 4L, 5L))) // whole sample inside a straddler
   }
 
+  test("chunkProvenance: overlaps by hand; agrees with concatChunk") {
+    // stream (L=4, 12 tokens): d1@0 len3, d2@3 len2, d3@5 len7
+    val enc = Seq((1L, Seq(10L, 11L)), (2L, Seq(20L)),
+      (3L, Seq(30L, 31L, 32L, 33L, 34L, 35L))).toDF("doc_id", "ids")
+    val got = graft.ops.Packing.chunkProvenance(enc, "doc_id", "ids",
+        seqLen = 4, eosId = 2L)
+      .orderBy("doc_id", "sample_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(
+      (1L, 0L, 3L),              // d1 entirely in s0
+      (2L, 0L, 1L), (2L, 1L, 1L), // d2 straddles s0/s1
+      (3L, 1L, 3L), (3L, 2L, 4L))) // d3 spans s1..s2
+    // token conservation + membership agreement with the packer's
+    // boundary view on a random corpus
+    val rnd = new scala.util.Random(7341)
+    val big = (0L until 150L).map(i =>
+      (i, Seq.fill(rnd.nextInt(25))(rnd.nextLong(500) + 10)))
+      .toDF("doc_id", "ids")
+    val prov = graft.ops.Packing.chunkProvenance(big, "doc_id", "ids",
+      seqLen = 32, eosId = 2L)
+    val cons = prov.groupBy("doc_id").agg(sum("n_tokens").as("s"))
+      .join(big.select(col("doc_id"),
+        (size(col("ids")) + 1).cast("long").as("n")), Seq("doc_id"))
+      .filter(col("s") =!= col("n")).count()
+    assert(cons == 0L, "every doc's overlaps must sum to its stream len")
+    val perSample = prov.groupBy("sample_id")
+      .agg(sum("n_tokens").as("s")).orderBy("sample_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    val packed = graft.ops.Packing.concatChunk(big, "doc_id", "ids",
+        seqLen = 32, eosId = 2L, padId = 0L)
+      .select(col("sample_id"), (lit(32L) - col("n_pad")).as("s"))
+      .orderBy("sample_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(perSample == packed,
+      "per-sample overlap totals must equal the packer's real-token counts")
+  }
+
   test("chunkBatchWithCarry folded over batches ≡ one-shot concatChunk") {
     val rnd = new scala.util.Random(4242)
     val rows = (0L until 120L).map(i =>
