@@ -538,6 +538,40 @@ object Packing {
     (emitted, ChunkCarry(newTail, carry.nextSampleId + fullSamples))
   }
 
+  /** Persist a [[ChunkCarry]] (the streaming chunker's complete
+    * inter-batch state, < seqLen ids + one counter) plus the micro-batch
+    * id that produced it, so a RESTARTED stream resumes exactly where
+    * the previous run stopped. One tiny parquet, the
+    * [[graft.ops.TokenizerStore]] layout discipline.
+    *
+    * Restart contract (foreachBatch is AT-LEAST-ONCE — Structured
+    * Streaming replays any batch whose source checkpoint didn't
+    * commit): the handler must be idempotent. Recipe, drive-verified:
+    *   1. `(carry, last) = loadCarry(dir)`; if `batchId == last`, the
+    *      batch is a replay of work already carried — recompute is
+    *      fine ONLY if step 2 is keyed, or skip outright;
+    *   2. write the batch's samples to a batch-keyed location
+    *      (`.../batch=<batchId>`, mode overwrite) — a replay overwrites
+    *      instead of duplicating;
+    *   3. `saveCarry(dir, next, batchId)` LAST.
+    * A crash between 2 and 3 replays the batch from the OLD carry and
+    * overwrites the SAME output — state and output stay consistent. */
+  def saveCarry(spark: org.apache.spark.sql.SparkSession, dir: String,
+      carry: ChunkCarry, batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    Seq((carry.tail, carry.nextSampleId, batchId))
+      .toDF("tail", "next_sample_id", "batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[saveCarry]] layout: the carry and the batch id that wrote
+    * it (−1 for a fresh layout). */
+  def loadCarry(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (ChunkCarry, Long) = {
+    val r = spark.read.parquet(dir).head
+    (ChunkCarry(r.getSeq[Long](0).toList, r.getLong(1)), r.getLong(2))
+  }
+
   /** End-of-stream step for [[chunkBatchWithCarry]]: the final partial
     * sample, right-padded with `padId` (None when the stream ended on a
     * sample boundary). */

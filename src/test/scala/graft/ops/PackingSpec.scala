@@ -287,6 +287,35 @@ class PackingSpec extends SparkTestBase {
       "streamed fold must equal the one-shot chunker exactly")
   }
 
+  test("carry persistence: save/load mid-stream, resumed fold unchanged") {
+    val rnd = new scala.util.Random(515)
+    val enc = (0L until 80L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(20))(rnd.nextLong(900) + 10)))
+      .toDF("doc_id", "ids")
+    val oneShot = graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+        seqLen = 24, eosId = 2L, padId = 0L)
+      .orderBy("sample_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toList
+    // first half, then a save/load "restart", then the second half
+    val (a, c1) = graft.ops.Packing.chunkBatchWithCarry(
+      enc.where(col("doc_id") < 40), "doc_id", "ids", 24, 2L,
+      graft.ops.Packing.ChunkCarry(Nil, 0L))
+    val dir = java.nio.file.Files.createTempDirectory("carrystore")
+      .toString
+    graft.ops.Packing.saveCarry(spark, dir, c1, batchId = 7L)
+    val (resumed, lastBatch) = graft.ops.Packing.loadCarry(spark, dir)
+    assert(resumed == c1 && lastBatch == 7L)
+    val (b, c2) = graft.ops.Packing.chunkBatchWithCarry(
+      enc.where(col("doc_id") >= 40), "doc_id", "ids", 24, 2L, resumed)
+    val folded =
+      (a.collect() ++ b.collect())
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+        .sortBy(_._1).toList ++
+        graft.ops.Packing.flushCarry(c2, 24, 0L)
+          .map { case (sid, ids, _) => (sid, ids.toList) }.toList
+    assert(folded == oneShot)
+  }
+
   test("concatChunk: partitioning-invariant, samples straddle docs") {
     val rnd = new scala.util.Random(99)
     val enc = (0L until 300L).map(i =>
