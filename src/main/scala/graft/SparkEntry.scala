@@ -1363,6 +1363,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q238_sft_pack" -> ((s, dir) => {
+      // token-level SFT sample construction — q181's 3-turn
+      // conversations carried all the way to trainer tensors: each
+      // turn's content encodes PER TURN under the stored unigram model
+      // (unk id passed as unkId−reserve so unknown pieces land ON the
+      // chat block's <unk> after the shift — the digits in 'src0' are
+      // genuinely unknown chars, so the unk arm fires for real),
+      // assembled as [bos] ++ Σ([<|role|>] ++ ids+8 ++ [<|end|>]) ++
+      // [eos] with loss on assistant content + its end marker, then
+      // padded/truncated to 192 with an attention mask. Position-
+      // weighted receipts over the PADDED arrays pin id order AND
+      // mask alignment; n_tokens/n_loss pin the pre-pad sample
+      val docs = t(s, dir, "documents")
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val sp = graft.ops.SpecialTokens.Chat
+      val half = floor(length(col("text")) / 2).cast("int")
+      val turns = docs.select(col("doc_id"), lit(0).as("turn"),
+          lit("system").as("role"),
+          concat(lit("you are a helpful assistant for "), col("source"))
+            .as("content"))
+        .unionByName(docs.select(col("doc_id"), lit(1).as("turn"),
+          lit("user").as("role"),
+          col("text").substr(lit(1), half).as("content")))
+        .unionByName(docs.select(col("doc_id"), lit(2).as("turn"),
+          lit("assistant").as("role"),
+          col("text").substr(half + 1, length(col("text")) - half)
+            .as("content")))
+        .withColumn("tk", col("doc_id") * 4 + col("turn"))
+      val enc = graft.ops.Unigram.encode(turns, "tk", col("content"), m,
+        unkId = sp.unkId - sp.reserve)
+      val withIds = turns.select("doc_id", "turn", "role", "tk")
+        .join(enc, "tk")
+      val sft = graft.ops.Chat.encodeTurns(withIds, "doc_id", "turn",
+        "role", "ids", sp)
+      val pw = (c: org.apache.spark.sql.Column) => aggregate(c,
+        struct(lit(0L).as("s"), lit(0L).as("j")),
+        (acc, x) => struct(
+          (acc.getField("s") + (acc.getField("j") + 1L)
+            * x.cast("long")).as("s"),
+          (acc.getField("j") + 1L).as("j")),
+        acc => acc.getField("s"))
+      sft.select(col("doc_id"), col("n_tokens"), col("n_loss"),
+          graft.ops.Chat.padSample(col("input_ids"), col("loss_mask"),
+            sp, 192).as("p"))
+        .select(col("doc_id"), col("n_tokens"), col("n_loss"),
+          aggregate(col("p.input_ids"), lit(0L), (a, x) => a + x)
+            .as("ids_sum"),
+          pw(col("p.input_ids")).as("ids_pw"),
+          pw(col("p.loss_mask")).as("mask_pw"),
+          aggregate(col("p.attention_mask"), lit(0L),
+            (a, x) => a + x.cast("long")).as("att_sum"))
+        .orderBy("doc_id")
+    }),
+
     "q237_chunk_provenance" -> ((s, dir) => {
       // the provenance index of the q233 layout — the deletion-request /
       // attribution structure ("which training samples contain doc X,
@@ -7813,6 +7868,71 @@ ORDER BY idA, idB"""),
    list_max(ids)::BIGINT AS max_id,
    1::BIGINT AS strip_ok
  FROM wrapped ORDER BY doc_id"""),
+    // q200's encode replay PER TURN over q181's 3-turn construction
+    // (the turn word types — including half-words cut at the char split
+    // and the system prompt's out-of-corpus words — re-segment under the
+    // trained vocab with the DP's unk arm), then the chat-block assembly
+    // rule (bos=1 eos=2 roles 4/5/6 end=7, content +8, unk −5 → <unk>=3,
+    // loss on assistant content + its end marker) and a 192-wide
+    // pad/truncate with attention
+    "q238_sft_pack" ->
+      (unigramReplay + """,
+ t0 AS (SELECT doc_id AS conv, 0 AS t, 'system' AS role,
+     'you are a helpful assistant for ' || source AS c FROM documents
+   UNION ALL SELECT doc_id, 1, 'user',
+     text[1:length(text)//2] FROM documents
+   UNION ALL SELECT doc_id, 2, 'assistant',
+     text[length(text)//2+1:length(text)] FROM documents),
+ sftw AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
+     SELECT unnest(string_split_regex(c, '\s+')) AS word FROM t0)
+   WHERE word <> '' GROUP BY 1),""" +
+      unigramVitPass("sf", "fvocab", wordsCte = "sftw", unkArm = true) +
+      """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM sfseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -5) + 8 ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT conv, t, tq.j AS pos, tk[j] AS word
+     FROM (SELECT conv, t, string_split_regex(c, '\s+') AS tk
+           FROM t0) d, unnest(range(1, len(tk)+1)) tq(j)
+     WHERE tk[j] <> ''),
+ tn AS (SELECT dt.conv, dt.t,
+     flatten(list(wp.wids ORDER BY dt.pos)) AS tids
+   FROM dt JOIN wp USING (word) GROUP BY 1, 2),
+ tp AS (SELECT t0.conv, t0.t,
+     [CASE t0.role WHEN 'system' THEN 4::BIGINT
+        WHEN 'user' THEN 5::BIGINT ELSE 6::BIGINT END]
+       || coalesce(tn.tids, []::BIGINT[]) || [7::BIGINT] AS pids,
+     CASE WHEN t0.role = 'assistant' THEN 1 ELSE 0 END AS lr,
+     coalesce(len(tn.tids), 0) AS nc
+   FROM t0 LEFT JOIN tn ON tn.conv = t0.conv AND tn.t = t0.t),
+ tm AS (SELECT conv, t, pids,
+     [0] || list_transform(range(1, nc + 1), x -> lr) || [lr] AS mids
+   FROM tp),
+ cv AS (SELECT conv,
+     [1::BIGINT] || flatten(list(pids ORDER BY t)) || [2::BIGINT] AS ids,
+     [0] || flatten(list(mids ORDER BY t)) || [0] AS mask
+   FROM tm GROUP BY conv),
+ pd AS (SELECT conv, len(ids)::BIGINT AS n_tokens,
+     list_sum(mask)::BIGINT AS n_loss,
+     list_transform(range(1, 193),
+       j -> CASE WHEN j <= len(ids) THEN ids[j] ELSE 0::BIGINT END)
+       AS pids,
+     list_transform(range(1, 193),
+       j -> CASE WHEN j <= len(ids) THEN mask[j] ELSE 0 END) AS pmask,
+     list_transform(range(1, 193),
+       j -> CASE WHEN j <= len(ids) THEN 1 ELSE 0 END) AS att
+   FROM cv)
+ SELECT conv AS doc_id, n_tokens, n_loss,
+   list_sum(pids)::BIGINT AS ids_sum,
+   list_sum(list_transform(range(1, 193),
+     j -> j * pids[j]))::BIGINT AS ids_pw,
+   list_sum(list_transform(range(1, 193),
+     j -> j * pmask[j]))::BIGINT AS mask_pw,
+   list_sum(att)::BIGINT AS att_sum
+ FROM pd ORDER BY doc_id"""),
     "q211_ppl_buckets" ->
       """WITH g AS (SELECT doc_id, substring(text, i, 3) AS gram
     FROM documents, unnest(range(1, length(text) - 1)) t(i)),

@@ -61,4 +61,93 @@ object Chat {
         col("__span").as("__s")))), x => x.getField("__s").isNotNull),
         x => x.getField("__s")), ",").as("mask_spans"))
   }
+
+  /** Role-marker id under a specials block: the piece for role `r` is
+    * `<|r|>` ([[SpecialTokens.Chat]]'s convention). An input role with no
+    * marker piece raises at execution — a silently-null role id would
+    * null the whole sample's id array, which is exactly the failure mode
+    * a 100-shard encode job must not hide. */
+  def roleId(role: Column, specials: SpecialTokens): Column = {
+    val rolePieces = specials.pieces.zipWithIndex.collect {
+      case (p, i) if p.startsWith("<|") && p.endsWith("|>") &&
+          p != SpecialTokens.End =>
+        (p.substring(2, p.length - 2), i.toLong)
+    }
+    require(rolePieces.nonEmpty,
+      s"specials block ${specials.pieces} has no <|role|> marker pieces")
+    rolePieces.tail.foldLeft(
+        when(role === rolePieces.head._1, lit(rolePieces.head._2))) {
+        case (acc, (r, i)) => acc.when(role === r, lit(i))
+      }
+      .otherwise(raise_error(concat(lit("unknown chat role: "), role))
+        .cast("long"))
+  }
+
+  /** Token-level SFT sample assembly — the id-space counterpart of
+    * [[render]]: each conversation's PRE-ENCODED turns (raw tokenizer ids
+    * per turn, any graft encode) become one training id sequence plus an
+    * aligned loss mask.
+    *
+    * Layout (fixed, documented): `[bos] ++ Σ_turns([<|role|>] ++
+    * (ids + reserve) ++ [<|end|>]) ++ [eos]`. The loss mask is 1 on
+    * `lossRole` turns' content ids AND that turn's `<|end|>` (the model
+    * must learn to stop), 0 on everything else — bos/eos, role markers,
+    * and non-`lossRole` content.
+    *
+    * Raw-id contract: pass the encode's `unkId` as
+    * `specials.unkId - specials.reserve` so an unknown piece lands ON the
+    * block's `<unk>` after the shift (the gate wiring in SparkEntry does
+    * exactly this).
+    *
+    * Scale shape: [[render]]'s — per-turn arrays are scan-side
+    * expressions; ONE conversation-keyed shuffle assembles ids and mask
+    * (conversation-length bounded state, the scale axis is conversation
+    * count). No UDFs, no RNG.
+    *
+    * @return (convCol, input_ids array<long>, loss_mask array<int>,
+    *         n_tokens, n_loss) */
+  def encodeTurns(df: DataFrame, convCol: String, turnCol: String,
+      roleCol: String, idsCol: String,
+      specials: SpecialTokens = SpecialTokens.Chat,
+      lossRole: String = "assistant"): DataFrame = {
+    val endId = specials.id(SpecialTokens.End)
+    val rid = roleId(col(roleCol), specials)
+    val shifted = transform(col(idsCol), x => x + lit(specials.reserve))
+    val piece = concat(array(rid), shifted, array(lit(endId)))
+    val loss = (col(roleCol) === lossRole).cast("int")
+    val maskPiece = concat(array(lit(0)),
+      array_repeat(loss, size(col(idsCol))), array(loss))
+    val rows = df.select(col(convCol), col(turnCol).as("__t"),
+      piece.as("__ids"), maskPiece.as("__m"))
+    def ordered(c: String) = flatten(transform(
+      array_sort(collect_list(struct(col("__t"), col(c).as("__p")))),
+      x => x.getField("__p")))
+    rows.groupBy(convCol).agg(
+      concat(array(lit(specials.bosId)), ordered("__ids"),
+        array(lit(specials.eosId))).as("input_ids"),
+      concat(array(lit(0)), ordered("__m"), array(lit(0)))
+        .as("loss_mask"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+      .withColumn("n_loss",
+        aggregate(col("loss_mask"), lit(0L), (a, x) => a + x))
+  }
+
+  /** Fixed-length training rows from an [[encodeTurns]] pair: truncate
+    * ids AND mask to `seqLen`, right-pad ids with the block's pad id and
+    * the mask with 0, and emit the attention mask (1 on real positions,
+    * 0 on pads) — the (input_ids, loss_mask, attention_mask) triple a
+    * trainer's collator expects, as one scan-side struct column. */
+  def padSample(ids: Column, mask: Column, specials: SpecialTokens,
+      seqLen: Int): Column = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val cut = slice(ids, 1, seqLen)
+    val padN = greatest(lit(0), lit(seqLen) - size(cut))
+    struct(
+      concat(cut, array_repeat(lit(specials.padId), padN))
+        .as("input_ids"),
+      concat(slice(mask, 1, seqLen), array_repeat(lit(0), padN))
+        .as("loss_mask"),
+      concat(array_repeat(lit(1), size(cut)), array_repeat(lit(0), padN))
+        .as("attention_mask"))
+  }
 }

@@ -41,9 +41,17 @@ object SpecialTokens {
   val Bos = "<bos>"
   val Eos = "<eos>"
   val Unk = "<unk>"
+  val End = "<|end|>"
 
   /** The conventional four-id block: pad=0, bos=1, eos=2, unk=3. */
   val Default: SpecialTokens = SpecialTokens(Vector(Pad, Bos, Eos, Unk))
+
+  /** The SFT/chat block: [[Default]] plus `<|role|>` turn markers and the
+    * per-turn `<|end|>` terminator (pad=0 bos=1 eos=2 unk=3 system=4
+    * user=5 assistant=6 end=7; content ids shift by 8). Role-marker
+    * pieces follow the `<|name|>` convention [[Chat.roleId]] reads. */
+  val Chat: SpecialTokens = SpecialTokens(Vector(Pad, Bos, Eos, Unk,
+    "<|system|>", "<|user|>", "<|assistant|>", End))
 }
 
 /** Column-level special-token arithmetic over `array<long>` id streams

@@ -42,6 +42,64 @@ class ChatSpec extends SparkTestBase {
     assert(text2.substring(0, a2.toInt).endsWith("<|assistant|>\n"))
   }
 
+  test("encodeTurns: layout, loss mask, and specials arithmetic") {
+    // Chat block: pad=0 bos=1 eos=2 unk=3 sys=4 user=5 asst=6 end=7,
+    // reserve=8
+    val sp = SpecialTokens.Chat
+    val turns = Seq(
+      (1L, 0, "system", Seq(0L, 1L)),
+      (1L, 1, "user", Seq(2L)),
+      (1L, 2, "assistant", Seq(0L, 3L)),
+      (2L, 0, "user", Seq.empty[Long]),
+      (2L, 1, "assistant", Seq(5L)))
+      .toDF("conv", "turn", "role", "ids")
+    val out = Chat.encodeTurns(turns, "conv", "turn", "role", "ids", sp)
+      .orderBy("conv").collect()
+    val r1 = out(0)
+    assert(r1.getAs[scala.collection.Seq[Long]]("input_ids").toSeq ==
+      Seq(1L, 4L, 8L, 9L, 7L, 5L, 10L, 7L, 6L, 8L, 11L, 7L, 2L))
+    assert(r1.getAs[scala.collection.Seq[Int]]("loss_mask").toSeq ==
+      Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0))
+    assert(r1.getAs[Long]("n_tokens") == 13L)
+    assert(r1.getAs[Long]("n_loss") == 3L)
+    // empty user content: bare [marker, end] frame; assistant end is
+    // loss-masked
+    val r2 = out(1)
+    assert(r2.getAs[scala.collection.Seq[Long]]("input_ids").toSeq ==
+      Seq(1L, 5L, 7L, 6L, 13L, 7L, 2L))
+    assert(r2.getAs[scala.collection.Seq[Int]]("loss_mask").toSeq == Seq(0, 0, 0, 0, 1, 1, 0))
+  }
+
+  test("encodeTurns: unknown role raises instead of nulling the sample") {
+    val turns = Seq((1L, 0, "tool", Seq(0L)))
+      .toDF("conv", "turn", "role", "ids")
+    val ex = intercept[Exception] {
+      Chat.encodeTurns(turns, "conv", "turn", "role", "ids").collect()
+    }
+    assert(ex.getMessage.contains("unknown chat role") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unknown chat role")))
+  }
+
+  test("padSample: truncation and padding with attention mask") {
+    val sp = SpecialTokens.Chat
+    val df = Seq((Seq(1L, 4L, 8L, 7L, 2L), Seq(0, 0, 1, 1, 0)))
+      .toDF("ids", "mask")
+    // pad: 5 real + 3 pad
+    val p = df.select(Chat.padSample(col("ids"), col("mask"), sp, 8)
+      .as("s")).select("s.*").head()
+    assert(p.getAs[scala.collection.Seq[Long]]("input_ids").toSeq ==
+      Seq(1L, 4L, 8L, 7L, 2L, 0L, 0L, 0L))
+    assert(p.getAs[scala.collection.Seq[Int]]("loss_mask").toSeq == Seq(0, 0, 1, 1, 0, 0, 0, 0))
+    assert(p.getAs[scala.collection.Seq[Int]]("attention_mask").toSeq ==
+      Seq(1, 1, 1, 1, 1, 0, 0, 0))
+    // truncate: both arrays cut, attention all-1
+    val tr = df.select(Chat.padSample(col("ids"), col("mask"), sp, 3)
+      .as("s")).select("s.*").head()
+    assert(tr.getAs[scala.collection.Seq[Long]]("input_ids").toSeq == Seq(1L, 4L, 8L))
+    assert(tr.getAs[scala.collection.Seq[Int]]("loss_mask").toSeq == Seq(0, 0, 1))
+    assert(tr.getAs[scala.collection.Seq[Int]]("attention_mask").toSeq == Seq(1, 1, 1))
+  }
+
   test("render: no assistant turns → empty mask, order by turn col") {
     val turns = Seq((9L, 2, "user", "b"), (9L, 1, "system", "a"))
       .toDF("conv", "turn", "role", "content")
