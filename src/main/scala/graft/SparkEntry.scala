@@ -1620,6 +1620,28 @@ object SparkEntry {
         .orderBy("piece_id")
     }),
 
+    "q239_epoch_shuffle" -> ((s, dir) => {
+      // deterministic multi-epoch data order: epochs 1 and 2 each
+      // permute the corpus by hash64("<seed>:<doc_id>") and stripe the
+      // permuted order across 8 shards (shard = rank % 8, pos = rank/8).
+      // The oracle replays the hash, the exact rank, and the stripe
+      // rule; order_pin = Σ pos·doc_id pins each shard's CONSUMPTION
+      // ORDER (not just membership — id_xor pins that), so the two
+      // epochs are verified to be different permutations of the same
+      // corpus by construction
+      val docs = t(s, dir, "documents").select("doc_id")
+      def ep(seed: Long) = graft.sources.Shards.epochShuffle(docs,
+          col("doc_id"), seed, 8)
+        .withColumn("epoch", lit(seed))
+      ep(1L).unionByName(ep(2L))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("pos_in_shard") * col("doc_id")).as("order_pin"),
+          bit_xor(gf.hash64(col("doc_id"))).as("id_xor"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("epoch", "shard")
+    }),
+
     "q228_ordered_shards" -> ((s, dir) => {
       // curriculum sharding: global (token_count, doc_id) rank → 16
       // contiguous-rank shards (shard 0 = shortest docs … shard 15 =
@@ -7451,6 +7473,23 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    // the seeded-hash permutation + stride rule, replayed exactly:
+    // row_number over (g_thash("<seed>:<id>"), id) per epoch, shard =
+    // rank % 8, pos = rank // 8
+    "q239_epoch_shuffle" ->
+      (hashMacros + """WITH e AS (SELECT 1::BIGINT AS epoch
+           UNION ALL SELECT 2::BIGINT),
+         r AS (SELECT e.epoch, d.doc_id,
+             row_number() OVER (PARTITION BY e.epoch
+               ORDER BY g_sb(g_thash(e.epoch::VARCHAR || ':'
+                 || d.doc_id::VARCHAR)), d.doc_id) - 1 AS rk
+           FROM documents d, e)
+         SELECT epoch, (rk % 8)::INT AS shard,
+           count(*)::BIGINT AS n_rows,
+           sum((rk // 8) * doc_id)::BIGINT AS order_pin,
+           bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2"""),
     "q228_ordered_shards" ->
       // exact global rank + the same integer shard rule, per-shard
       // membership/boundary receipts

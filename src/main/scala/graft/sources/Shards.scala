@@ -56,6 +56,36 @@ object Shards {
       .drop("rank_in_group", "n_group", "bucket")
   }
 
+  /** Deterministic per-epoch shuffle — the data-order story a multi-epoch
+    * trainer needs: epoch `seed` orders the corpus by
+    * `hash64("<seed>:<id>")` (a distinct pseudo-random permutation per
+    * seed, bit-reproducible across runs and parallelisms), then stripes
+    * that order across `nShards`: `shard = rank % nShards`,
+    * `posCol = rank / nShards` (0-based rank). Striding — unlike
+    * [[assignShardsOrdered]]'s contiguous rule — makes every shard an
+    * even subsample of the permuted order, so a trainer that consumes
+    * shards in parallel and each shard in `posCol` order sees a globally
+    * well-mixed stream, and shard sizes differ by at most one row.
+    *
+    * Scale shape: [[assignShardsOrdered]]'s — ONE range shuffle for the
+    * exact global rank (two-level: partition-local ranks + broadcast
+    * offsets, no global window), then scan-side modular arithmetic. A
+    * new epoch costs exactly one more pass; nothing is materialized per
+    * epoch but the assignment itself. */
+  def epochShuffle(df: DataFrame, id: Column, seed: Long, nShards: Int,
+      shardCol: String = "shard", posCol: String = "pos_in_shard")
+      : DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val key = gf.hash64(concat(lit(s"$seed:"), id.cast("string")))
+    graft.ops.Quality.rankBuckets(df, lit(0), key, id,
+        headPct = 0, midPct = 0)
+      .withColumn(shardCol,
+        pmod(col("rank_in_group") - 1, lit(nShards)).cast("int"))
+      .withColumn(posCol, call_function("div",
+        (col("rank_in_group") - 1).cast("long"), lit(nShards.toLong)))
+      .drop("rank_in_group", "n_group", "bucket")
+  }
+
   /** Write `df` as `nShards` hash shards under `path` (parquet,
     * `shard=k/` directories). One shuffle keyed by shard; rows sort
     * within each shard by `key` so re-runs lay out byte-stable files. */

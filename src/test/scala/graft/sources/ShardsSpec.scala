@@ -42,6 +42,33 @@ class ShardsSpec extends SparkTestBase {
     }
   }
 
+  test("epochShuffle: permutation, stripe rule, seeds differ, " +
+      "partition-invariant") {
+    val n = docs.count()
+    def ep(seed: Long, parts: Int) = Shards.epochShuffle(
+        docs.repartition(parts).select("doc_id"), col("doc_id"), seed, 8)
+      .select("doc_id", "shard", "pos_in_shard")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    val e1 = ep(1L, 3)
+    assert(e1.toSeq == ep(1L, 11).toSeq, "partition-invariant")
+    // (shard, pos) pairs tile ranks 0..n-1 exactly once: rank = pos*8+shard
+    val ranks = e1.map { case (_, s, p) => p * 8 + s }.sorted.toSeq
+    assert(ranks == (0L until n).toSeq, "exact rank tiling")
+    // shard sizes within one row
+    val sizes = e1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    // a different seed is a different permutation of the SAME ids
+    val e2 = ep(2L, 3)
+    assert(e2.map(_._1).toSeq == e1.map(_._1).toSeq)
+    assert(e2.map(t => (t._2, t._3)).toSeq !=
+      e1.map(t => (t._2, t._3)).toSeq, "seeds must permute differently")
+    // and not order-by-id: the permutation actually shuffles
+    val idOrder = e1.map(_._1).sorted.toSeq
+    val rankOrder =
+      e1.sortBy { case (_, s, p) => p * 8 + s }.map(_._1).toSeq
+    assert(rankOrder != idOrder, "hash order must differ from id order")
+  }
+
   test("writeShards + manifest: lossless round-trip receipts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     Shards.writeShards(docs, col("doc_id"), 8, dir)
