@@ -246,6 +246,51 @@ object SparkEntry {
       base
     })
 
+  /** Shared q238/q240 SFT construction: q181's 3-turn conversations
+    * (system prompt carries the source name, whose digits are genuinely
+    * unknown chars → the unk arm fires), each turn's content encoded per
+    * turn under the stored unigram model with unk landing on the chat
+    * block's `<unk>` after the reserve shift, assembled by
+    * [[graft.ops.Chat.encodeTurns]]. Returns (doc_id, input_ids,
+    * loss_mask, n_tokens, n_loss). */
+  private def sftEncodedTurns(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = ensureTokenizerStore(s, dir)
+    val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+    val sp = graft.ops.SpecialTokens.Chat
+    val half = floor(length(col("text")) / 2).cast("int")
+    val turns = docs.select(col("doc_id"), lit(0).as("turn"),
+        lit("system").as("role"),
+        concat(lit("you are a helpful assistant for "), col("source"))
+          .as("content"))
+      .unionByName(docs.select(col("doc_id"), lit(1).as("turn"),
+        lit("user").as("role"),
+        col("text").substr(lit(1), half).as("content")))
+      .unionByName(docs.select(col("doc_id"), lit(2).as("turn"),
+        lit("assistant").as("role"),
+        col("text").substr(half + 1, length(col("text")) - half)
+          .as("content")))
+      .withColumn("tk", col("doc_id") * 4 + col("turn"))
+    val enc = graft.ops.Unigram.encode(turns, "tk", col("content"), m,
+      unkId = sp.unkId - sp.reserve)
+    val withIds = turns.select("doc_id", "turn", "role", "tk")
+      .join(enc, "tk")
+    graft.ops.Chat.encodeTurns(withIds, "doc_id", "turn", "role",
+      "ids", sp)
+  }
+
+  /** Position-weighted fold Σ (j+1)·xs[j] — the order-pinning receipt
+    * (idSeqReceipts' ids_pw) as a reusable column. */
+  private def pw(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = aggregate(c,
+    struct(lit(0L).as("s"), lit(0L).as("j")),
+    (acc, x) => struct(
+      (acc.getField("s") + (acc.getField("j") + 1L)
+        * x.cast("long")).as("s"),
+      (acc.getField("j") + 1L).as("j")),
+    acc => acc.getField("s"))
+
   /** Comparator-safe SCALAR receipts of an (id, ids array) encode result
     * (q136/q171's convention — the external comparator cannot sort array
     * columns): position-weighted sum pins piece ORDER, sum/min/max pin
@@ -1375,36 +1420,8 @@ object SparkEntry {
       // padded/truncated to 192 with an attention mask. Position-
       // weighted receipts over the PADDED arrays pin id order AND
       // mask alignment; n_tokens/n_loss pin the pre-pad sample
-      val docs = t(s, dir, "documents")
-      val base = ensureTokenizerStore(s, dir)
-      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
       val sp = graft.ops.SpecialTokens.Chat
-      val half = floor(length(col("text")) / 2).cast("int")
-      val turns = docs.select(col("doc_id"), lit(0).as("turn"),
-          lit("system").as("role"),
-          concat(lit("you are a helpful assistant for "), col("source"))
-            .as("content"))
-        .unionByName(docs.select(col("doc_id"), lit(1).as("turn"),
-          lit("user").as("role"),
-          col("text").substr(lit(1), half).as("content")))
-        .unionByName(docs.select(col("doc_id"), lit(2).as("turn"),
-          lit("assistant").as("role"),
-          col("text").substr(half + 1, length(col("text")) - half)
-            .as("content")))
-        .withColumn("tk", col("doc_id") * 4 + col("turn"))
-      val enc = graft.ops.Unigram.encode(turns, "tk", col("content"), m,
-        unkId = sp.unkId - sp.reserve)
-      val withIds = turns.select("doc_id", "turn", "role", "tk")
-        .join(enc, "tk")
-      val sft = graft.ops.Chat.encodeTurns(withIds, "doc_id", "turn",
-        "role", "ids", sp)
-      val pw = (c: org.apache.spark.sql.Column) => aggregate(c,
-        struct(lit(0L).as("s"), lit(0L).as("j")),
-        (acc, x) => struct(
-          (acc.getField("s") + (acc.getField("j") + 1L)
-            * x.cast("long")).as("s"),
-          (acc.getField("j") + 1L).as("j")),
-        acc => acc.getField("s"))
+      val sft = sftEncodedTurns(s, dir)
       sft.select(col("doc_id"), col("n_tokens"), col("n_loss"),
           graft.ops.Chat.padSample(col("input_ids"), col("loss_mask"),
             sp, 192).as("p"))
@@ -1416,6 +1433,27 @@ object SparkEntry {
           aggregate(col("p.attention_mask"), lit(0L),
             (a, x) => a + x.cast("long")).as("att_sum"))
         .orderBy("doc_id")
+    }),
+
+    "q240_sft_chunk" -> ((s, dir) => {
+      // packed SFT — q238's bos/eos-framed conversations (ids + loss
+      // mask) concat-and-chunk into 256-token samples with the mask in
+      // exact LOCKSTEP (concatChunkMasked: the mask rides each id's low
+      // bit through the proven packer — zero extra movement), no
+      // separator injection (the frames carry eos already), pads =
+      // (<pad>=0, mask 0). Per-sample position-weighted receipts pin
+      // id order AND mask alignment; n_pad pins the final partial
+      val chunked = graft.ops.Packing.concatChunkMasked(
+        sftEncodedTurns(s, dir)
+          .select(col("doc_id"), col("input_ids"), col("loss_mask")),
+        "doc_id", "input_ids", "loss_mask", seqLen = 256, padId = 0L)
+      chunked.select(col("sample_id"), col("n_pad"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("ids_sum"),
+          pw(col("ids")).as("ids_pw"),
+          aggregate(col("mask"), lit(0L), (a, x) => a + x.cast("long"))
+            .as("mask_sum"),
+          pw(col("mask")).as("mask_pw"))
+        .orderBy("sample_id")
     }),
 
     "q237_chunk_provenance" -> ((s, dir) => {
@@ -4803,6 +4841,51 @@ i$k AS MATERIALIZED (SELECT
      FROM fkept WHERE length(piece) >= 2))""" +
       "," + unigramVitPass("f", "fvocab")
 
+  /** Shared q238/q240 oracle prefix: [[unigramReplay]] + q181's 3-turn
+    * construction + per-turn encode under the trained vocab (unk arm)
+    * + the chat-block assembly rule — ends at `cv` (conv → framed ids
+    * + loss mask). */
+  private lazy val sftChatReplay: String =
+    unigramReplay + """,
+ t0 AS (SELECT doc_id AS conv, 0 AS t, 'system' AS role,
+     'you are a helpful assistant for ' || source AS c FROM documents
+   UNION ALL SELECT doc_id, 1, 'user',
+     text[1:length(text)//2] FROM documents
+   UNION ALL SELECT doc_id, 2, 'assistant',
+     text[length(text)//2+1:length(text)] FROM documents),
+ sftw AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
+     SELECT unnest(string_split_regex(c, '\s+')) AS word FROM t0)
+   WHERE word <> '' GROUP BY 1),""" +
+      unigramVitPass("sf", "fvocab", wordsCte = "sftw", unkArm = true) +
+      """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM sfseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -5) + 8 ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT conv, t, tq.j AS pos, tk[j] AS word
+     FROM (SELECT conv, t, string_split_regex(c, '\s+') AS tk
+           FROM t0) d, unnest(range(1, len(tk)+1)) tq(j)
+     WHERE tk[j] <> ''),
+ tn AS (SELECT dt.conv, dt.t,
+     flatten(list(wp.wids ORDER BY dt.pos)) AS tids
+   FROM dt JOIN wp USING (word) GROUP BY 1, 2),
+ tp AS (SELECT t0.conv, t0.t,
+     [CASE t0.role WHEN 'system' THEN 4::BIGINT
+        WHEN 'user' THEN 5::BIGINT ELSE 6::BIGINT END]
+       || coalesce(tn.tids, []::BIGINT[]) || [7::BIGINT] AS pids,
+     CASE WHEN t0.role = 'assistant' THEN 1 ELSE 0 END AS lr,
+     coalesce(len(tn.tids), 0) AS nc
+   FROM t0 LEFT JOIN tn ON tn.conv = t0.conv AND tn.t = t0.t),
+ tm AS (SELECT conv, t, pids,
+     [0] || list_transform(range(1, nc + 1), x -> lr) || [lr] AS mids
+   FROM tp),
+ cv AS (SELECT conv,
+     [1::BIGINT] || flatten(list(pids ORDER BY t)) || [2::BIGINT] AS ids,
+     [0] || flatten(list(mids ORDER BY t)) || [0] AS mask
+   FROM tm GROUP BY conv)"""
+
   /** Shared oracle prefix for q207–q209: replays
     * [[graft.ops.Wordpiece]] round-for-round at the gate geometry
     * (6 merges) — ##-marked symbol init, per-round symbol counts + pair
@@ -7915,45 +7998,7 @@ ORDER BY idA, idB"""),
     // loss on assistant content + its end marker) and a 192-wide
     // pad/truncate with attention
     "q238_sft_pack" ->
-      (unigramReplay + """,
- t0 AS (SELECT doc_id AS conv, 0 AS t, 'system' AS role,
-     'you are a helpful assistant for ' || source AS c FROM documents
-   UNION ALL SELECT doc_id, 1, 'user',
-     text[1:length(text)//2] FROM documents
-   UNION ALL SELECT doc_id, 2, 'assistant',
-     text[length(text)//2+1:length(text)] FROM documents),
- sftw AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
-     SELECT unnest(string_split_regex(c, '\s+')) AS word FROM t0)
-   WHERE word <> '' GROUP BY 1),""" +
-      unigramVitPass("sf", "fvocab", wordsCte = "sftw", unkArm = true) +
-      """,
- wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
-     FROM sfseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
- wp AS MATERIALIZED (SELECT wpe.word,
-     list(coalesce(v.pid, -5) + 8 ORDER BY wpe.j) AS wids
-   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
-   GROUP BY wpe.word),
- dt AS (SELECT conv, t, tq.j AS pos, tk[j] AS word
-     FROM (SELECT conv, t, string_split_regex(c, '\s+') AS tk
-           FROM t0) d, unnest(range(1, len(tk)+1)) tq(j)
-     WHERE tk[j] <> ''),
- tn AS (SELECT dt.conv, dt.t,
-     flatten(list(wp.wids ORDER BY dt.pos)) AS tids
-   FROM dt JOIN wp USING (word) GROUP BY 1, 2),
- tp AS (SELECT t0.conv, t0.t,
-     [CASE t0.role WHEN 'system' THEN 4::BIGINT
-        WHEN 'user' THEN 5::BIGINT ELSE 6::BIGINT END]
-       || coalesce(tn.tids, []::BIGINT[]) || [7::BIGINT] AS pids,
-     CASE WHEN t0.role = 'assistant' THEN 1 ELSE 0 END AS lr,
-     coalesce(len(tn.tids), 0) AS nc
-   FROM t0 LEFT JOIN tn ON tn.conv = t0.conv AND tn.t = t0.t),
- tm AS (SELECT conv, t, pids,
-     [0] || list_transform(range(1, nc + 1), x -> lr) || [lr] AS mids
-   FROM tp),
- cv AS (SELECT conv,
-     [1::BIGINT] || flatten(list(pids ORDER BY t)) || [2::BIGINT] AS ids,
-     [0] || flatten(list(mids ORDER BY t)) || [0] AS mask
-   FROM tm GROUP BY conv),
+      (sftChatReplay + """,
  pd AS (SELECT conv, len(ids)::BIGINT AS n_tokens,
      list_sum(mask)::BIGINT AS n_loss,
      list_transform(range(1, 193),
@@ -7972,6 +8017,27 @@ ORDER BY idA, idB"""),
      j -> j * pmask[j]))::BIGINT AS mask_pw,
    list_sum(att)::BIGINT AS att_sum
  FROM pd ORDER BY doc_id"""),
+    // the framed streams concatenate in conv order (NO injected
+    // separator) and split at 256-token boundaries: each token's global
+    // position p comes from a prefix sum over conv order, sample =
+    // p // 256, in-sample position = p % 256 — receipts computed
+    // directly from positions (pads are (0, 0) and contribute nothing)
+    "q240_sft_chunk" ->
+      (sftChatReplay + """,
+ co AS (SELECT conv, ids, mask,
+     sum(len(ids)) OVER (ORDER BY conv
+       ROWS UNBOUNDED PRECEDING) - len(ids) AS off
+   FROM cv),
+ ex AS (SELECT off + j - 1 AS p, ids[j] AS id, mask[j] AS mk
+   FROM co, unnest(range(1, len(ids)+1)) t(j)),
+ g AS (SELECT p // 256 AS sample_id, p % 256 AS sp, id, mk FROM ex)
+ SELECT sample_id::BIGINT AS sample_id,
+   (256 - count(*))::BIGINT AS n_pad,
+   sum(id)::BIGINT AS ids_sum,
+   sum((sp + 1) * id)::BIGINT AS ids_pw,
+   sum(mk)::BIGINT AS mask_sum,
+   sum((sp + 1) * mk)::BIGINT AS mask_pw
+ FROM g GROUP BY 1 ORDER BY 1"""),
     "q211_ppl_buckets" ->
       """WITH g AS (SELECT doc_id, substring(text, i, 3) AS gram
     FROM documents, unnest(range(1, length(text) - 1)) t(i)),

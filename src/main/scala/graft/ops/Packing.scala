@@ -370,16 +370,23 @@ object Packing {
   def concatChunk(encoded: DataFrame, idCol: String, idsCol: String,
       seqLen: Int, eosId: Long, padId: Long = 0L,
       dropRemainder: Boolean = false, boundaries: Boolean = false,
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0, appendSep: Boolean = true): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
     val reserved = Seq("__ids", "__n", "__end", "__start")
     require(!encoded.columns.exists(reserved.contains),
       s"input may not contain reserved columns ${reserved.mkString(", ")}")
     val L = lit(seqLen.toLong)
-    val withEos = encoded.select(col(idCol),
-      concat(coalesce(col(idsCol), array().cast("array<long>")),
-        array(lit(eosId))).as("__ids"))
+    val framed = coalesce(col(idsCol), array().cast("array<long>"))
+    val withEos0 = encoded.select(col(idCol),
+      (if (appendSep) concat(framed, array(lit(eosId))) else framed)
+        .as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
+    // appendSep=false streams arrive pre-framed (e.g. bos/eos from
+    // Chat.encodeTurns); an EMPTY stream must contribute nothing — and
+    // would otherwise build a DESCENDING covering-sample sequence
+    // (__end-1 < __start)
+    val withEos =
+      if (appendSep) withEos0 else withEos0.where(col("__n") > 0)
     val pos = withPrefixSumLong(withEos, idCol, "__n", "__end", buckets)
       .withColumn("__start", col("__end") - col("__n"))
     // each doc explodes into its covering samples and slices itself to
@@ -414,6 +421,42 @@ object Packing {
     else samples.withColumn("ids",
       concat(col("ids"),
         array_repeat(lit(padId), col("n_pad").cast("int"))))
+  }
+
+  /** [[concatChunk]] over PAIRED (ids, loss-mask) streams — packed SFT:
+    * whole conversations (already framed with bos/eos by
+    * [[Chat.encodeTurns]], so NO separator is injected) concatenate in
+    * `idCol` order and split into `seqLen`-token samples with the loss
+    * mask carried through in exact lockstep; pad positions carry
+    * (`padId`, mask 0). Output: (sample_id, ids, mask, n_pad
+    * [, doc_starts]).
+    *
+    * Mechanism: the mask bit-packs into each id's LOW BIT
+    * (`packed = id·2 + mask`), the pair rides the single-stream packer
+    * unchanged — same ONE prefix sum + ONE sample-keyed shuffle, same
+    * determinism contract — and unpacks scan-side. Ids must be
+    * nonnegative (every graft encode is, after the reserved-block
+    * shift) and below 2⁶²; the mask must be 0/1.
+    *
+    * 100 TB note: this adds ZERO movement over [[concatChunk]] — the
+    * mask travels inside the ids it annotates, so the shuffle volume,
+    * partitioning, and plan shape are byte-identical to the unmasked
+    * packer. */
+  def concatChunkMasked(encoded: DataFrame, idCol: String, idsCol: String,
+      maskCol: String, seqLen: Int, padId: Long = 0L,
+      dropRemainder: Boolean = false, boundaries: Boolean = false,
+      buckets: Int = 0): DataFrame = {
+    val packed = zip_with(col(idsCol), col(maskCol),
+      (i, m) => i * lit(2L) + m.cast("long"))
+    val base = encoded.select(col(idCol), packed.as("__pk"))
+    val chunked = concatChunk(base, idCol, "__pk", seqLen,
+      eosId = 0L /* unused: appendSep=false */, padId = padId * 2L,
+      dropRemainder = dropRemainder, boundaries = boundaries,
+      buckets = buckets, appendSep = false)
+    chunked
+      .withColumn("mask",
+        transform(col("ids"), x => pmod(x, lit(2L)).cast("int")))
+      .withColumn("ids", transform(col("ids"), x => idiv(x, lit(2L))))
   }
 
   /** Per-position position ids for a [[concatChunk]] sample — the

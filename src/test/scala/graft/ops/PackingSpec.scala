@@ -208,6 +208,47 @@ class PackingSpec extends SparkTestBase {
     assert(got == List(List(9L, 7L, 9L, 9L)))
   }
 
+  test("concatChunkMasked: lockstep masks, no separator, pad=(padId,0)") {
+    // pre-framed conversations (bos=1 eos=2 already inside): streams
+    // concatenate WITHOUT injected separators —
+    // c1 = [1,10,11,2]/[0,1,1,0]  c2 = [1,20,2]/[0,0,0]
+    // c3 = [1,30,31,2]/[0,1,0,1] → 11 tokens, L=4:
+    // s0 = [1,10,11,2]/[0,1,1,0]  s1 = [1,20,2,1]/[0,0,0,0]
+    // s2 = [30,31,2,0]/[1,0,1,0] (pad 1)
+    val enc = Seq(
+      (1L, Seq(1L, 10L, 11L, 2L), Seq(0, 1, 1, 0)),
+      (2L, Seq(1L, 20L, 2L), Seq(0, 0, 0)),
+      (3L, Seq(1L, 30L, 31L, 2L), Seq(0, 1, 0, 1)))
+      .toDF("conv", "ids", "mask")
+    val got = graft.ops.Packing.concatChunkMasked(enc, "conv", "ids",
+        "mask", seqLen = 4, padId = 0L)
+      .orderBy("sample_id").collect()
+      .map(r => (r.getAs[Long]("sample_id"),
+        r.getAs[scala.collection.Seq[Long]]("ids").toList,
+        r.getAs[scala.collection.Seq[Int]]("mask").toList,
+        r.getAs[Long]("n_pad"))).toList
+    assert(got == List(
+      (0L, List(1L, 10L, 11L, 2L), List(0, 1, 1, 0), 0L),
+      (1L, List(1L, 20L, 2L, 1L), List(0, 0, 0, 0), 0L),
+      (2L, List(30L, 31L, 2L, 0L), List(1, 0, 1, 0), 1L)))
+    // boundaries ride through: conv starts at s0@0, s1@0, s1@1(global 4
+    // is c2? c1 ends at 4 → c2 starts global 4 = s1@0, c3 at 7 = s1@3)
+    val b = graft.ops.Packing.concatChunkMasked(enc, "conv", "ids",
+        "mask", seqLen = 4, boundaries = true)
+      .orderBy("sample_id").collect()
+      .map(r => r.getAs[scala.collection.Seq[Long]]("doc_starts").toList)
+      .toList
+    assert(b == List(List(0L), List(0L, 3L), List.empty[Long]))
+    // an empty conversation contributes nothing (and must not build a
+    // descending covering-sample range)
+    val withEmpty = enc.union(Seq((4L, Seq.empty[Long], Seq.empty[Int]))
+      .toDF("conv", "ids", "mask"))
+    val got2 = graft.ops.Packing.concatChunkMasked(withEmpty, "conv",
+        "ids", "mask", seqLen = 4).orderBy("sample_id").collect()
+      .map(r => r.getAs[scala.collection.Seq[Long]]("ids").toList).toList
+    assert(got2 == got.map(_._2))
+  }
+
   test("positionIds: reset at doc starts, straddler restarts at 0") {
     val got = Seq((Seq(0L, 3L), 0), (Seq(1L), 1), (Seq.empty[Long], 2))
       .toDF("doc_starts", "k")
