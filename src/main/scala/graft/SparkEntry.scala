@@ -1680,6 +1680,26 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q241_mixture_interleave" -> ((s, dir) => {
+      // the row-level data-mixing schedule at an 8/4/2/1 recipe over
+      // four sources: per-source epoch permutation (seed 7) + the
+      // closed-form slot rule ((k/w)·15 + cum + k%w), so every 15-slot
+      // block carries the recipe while sources last. Receipts per
+      // source: slot-set sums/bounds + order_pin = Σ slot·doc_id (the
+      // id→slot mapping, not just membership)
+      val docs = t(s, dir, "documents")
+      graft.sources.Shards.mixtureInterleave(docs, "source",
+          col("doc_id"),
+          Seq("src0" -> 8L, "src1" -> 4L, "src2" -> 2L, "src3" -> 1L),
+          seed = 7L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("slot").as("slot_sum"),
+          sum(col("slot") * col("doc_id")).as("order_pin"),
+          min("slot").as("min_slot"), max("slot").as("max_slot"))
+        .orderBy("source")
+    }),
+
     "q228_ordered_shards" -> ((s, dir) => {
       // curriculum sharding: global (token_count, doc_id) rank → 16
       // contiguous-rank shards (shard 0 = shortest docs … shard 15 =
@@ -7556,6 +7576,24 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    // per-source seeded permutation + the closed-form slot rule,
+    // replayed exactly over the weighted sources
+    "q241_mixture_interleave" ->
+      (hashMacros + """WITH w(source, wt, cum) AS (VALUES
+           ('src0', 8, 0), ('src1', 4, 8), ('src2', 2, 12),
+           ('src3', 1, 14)),
+         r AS (SELECT d.source, d.doc_id, w.wt, w.cum,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY g_sb(g_thash('7:' || d.doc_id::VARCHAR)),
+                 d.doc_id) - 1 AS k
+           FROM documents d JOIN w USING (source)),
+         sl AS (SELECT source, doc_id,
+             (k // wt) * 15 + cum + (k % wt) AS slot FROM r)
+         SELECT source, count(*)::BIGINT AS n_rows,
+           sum(slot)::BIGINT AS slot_sum,
+           sum(slot * doc_id)::BIGINT AS order_pin,
+           min(slot)::BIGINT AS min_slot, max(slot)::BIGINT AS max_slot
+         FROM sl GROUP BY 1 ORDER BY 1"""),
     // the seeded-hash permutation + stride rule, replayed exactly:
     // row_number over (g_thash("<seed>:<id>"), id) per epoch, shard =
     // rank % 8, pos = rank // 8

@@ -86,6 +86,50 @@ object Shards {
       .drop("rank_in_group", "n_group", "bucket")
   }
 
+  /** Deterministic proportional interleave — the row-level data-mixing
+    * schedule a trainer consumes: each source's rows shuffle into their
+    * epoch order (`hash64("<seed>:<id>")`, ties by id — [[epochShuffle]]'s
+    * permutation, per source), then the k-th row of source `s` (0-based,
+    * weight `w_s`, running offset `cum_s`, `W = Σ w`) takes global slot
+    *
+    *   `slot = (k / w_s) · W + cum_s + (k mod w_s)`
+    *
+    * so EVERY consecutive block of `W` slots carries exactly `w_s` rows
+    * of each source while that source lasts — consuming in slot order
+    * yields the mixture at batch granularity, not just in expectation.
+    * Slots are unique by construction; an exhausted source leaves its
+    * later slots vacant (consumers read in slot order and skip gaps —
+    * re-ranking to densify would cost a second shuffle for no trainer
+    * benefit). Rows whose source is not in `weights` are dropped.
+    *
+    * Scale shape: one range shuffle for the per-source exact rank (the
+    * two-level machinery — no global window), then scan-side modular
+    * arithmetic against broadcast weight/offset literal maps. */
+  def mixtureInterleave(df: DataFrame, sourceCol: String, id: Column,
+      weights: Seq[(String, Long)], seed: Long,
+      slotCol: String = "slot"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 >= 1L), "weights must be >= 1")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in $weights")
+    val total = weights.map(_._2).sum
+    val cums = weights.scanLeft(0L)(_ + _._2).init
+    val wMap = map(weights.flatMap { case (s0, w0) =>
+      Seq(lit(s0), lit(w0)) }: _*)
+    val cMap = map(weights.zip(cums).flatMap { case ((s0, _), c0) =>
+      Seq(lit(s0), lit(c0)) }: _*)
+    val kept = df.where(col(sourceCol).isin(weights.map(_._1): _*))
+    val key = gf.hash64(concat(lit(s"$seed:"), id.cast("string")))
+    graft.ops.Quality.rankBuckets(kept, col(sourceCol), key, id,
+        headPct = 0, midPct = 0)
+      .withColumn("__k", (col("rank_in_group") - 1).cast("long"))
+      .withColumn("__w", element_at(wMap, col(sourceCol)))
+      .withColumn(slotCol,
+        call_function("div", col("__k"), col("__w")) * lit(total) +
+          element_at(cMap, col(sourceCol)) + pmod(col("__k"), col("__w")))
+      .drop("rank_in_group", "n_group", "bucket", "__k", "__w")
+  }
+
   /** Write `df` as `nShards` hash shards under `path` (parquet,
     * `shard=k/` directories). One shuffle keyed by shard; rows sort
     * within each shard by `key` so re-runs lay out byte-stable files. */

@@ -69,6 +69,48 @@ class ShardsSpec extends SparkTestBase {
     assert(rankOrder != idOrder, "hash order must differ from id order")
   }
 
+  test("mixtureInterleave: slot formula, block composition, " +
+      "partition-invariant") {
+    // weights src0=2 src1=1 (W=3): slots of src0's k-th row = (k/2)*3 +
+    // 0 + k%2, src1's = (k/1)*3 + 2 → every 3-slot block is [s0,s0,s1]
+    val weights = Seq("src0" -> 2L, "src1" -> 1L)
+    def run(parts: Int) = Shards.mixtureInterleave(
+        docs.repartition(parts), "source", col("doc_id"), weights, 7L)
+      .select("doc_id", "source", "slot")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val got = run(3)
+    assert(got.toSeq == run(11).toSeq, "partition-invariant")
+    // only weighted sources survive
+    assert(got.forall(r => r._2 == "src0" || r._2 == "src1"))
+    // slots unique
+    assert(got.map(_._3).distinct.length == got.length)
+    // re-derive expected slots from the same hash order in test code
+    val hashed = docs
+      .where(col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("source"),
+        graft.api.functions.hash64(concat(lit("7:"),
+          col("doc_id").cast("string"))).as("h"))
+      .as[(Long, String, Long)].collect()
+    val expected = hashed.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val w = weights.toMap.apply(src)
+      val cum = if (src == "src0") 0L else 2L
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case (r, k) =>
+        r._1 -> ((k / w) * 3L + cum + k % w)
+      }
+    }.toMap
+    assert(got.map(r => r._1 -> r._3).toMap == expected)
+    // block composition: while both sources last, every block of 3
+    // consecutive slots holds 2×src0 + 1×src1
+    val bySlot = got.sortBy(_._3)
+    val n1 = got.count(_._2 == "src1")
+    val fullBlocks = math.min(got.count(_._2 == "src0") / 2, n1)
+    (0 until fullBlocks.toInt).foreach { b =>
+      val block = bySlot.filter(r => r._3 >= b * 3 && r._3 < (b + 1) * 3)
+      assert(block.count(_._2 == "src0") == 2 &&
+        block.count(_._2 == "src1") == 1, s"block $b: ${block.toList}")
+    }
+  }
+
   test("writeShards + manifest: lossless round-trip receipts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     Shards.writeShards(docs, col("doc_id"), 8, dir)
