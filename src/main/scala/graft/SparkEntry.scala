@@ -1456,6 +1456,28 @@ object SparkEntry {
         .orderBy("sample_id")
     }),
 
+    "q242_sft_provenance" -> ((s, dir) => {
+      // the deletion-request index of the PACKED-SFT layout (q240):
+      // which training samples contain conversation X, and how many of
+      // their tokens are its — chunkProvenance with appendSep=false
+      // (the frames carry their own bos/eos; no separator exists in
+      // the stream), computed from the SAME prefix positions as the
+      // masked packer so index and layout can never disagree. Gated
+      // per conversation: sample span + token conservation (sum of
+      // overlaps = the conversation's full frame length)
+      val prov = graft.ops.Packing.chunkProvenance(
+        sftEncodedTurns(s, dir)
+          .select(col("doc_id"), col("input_ids")),
+        "doc_id", "input_ids", seqLen = 256, eosId = 0L /* unused */,
+        appendSep = false)
+      prov.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_samples"),
+          sum("n_tokens").as("tok_sum"),
+          min("sample_id").as("first_sample"),
+          max("sample_id").as("last_sample"))
+        .orderBy("doc_id")
+    }),
+
     "q237_chunk_provenance" -> ((s, dir) => {
       // the provenance index of the q233 layout — the deletion-request /
       // attribution structure ("which training samples contain doc X,
@@ -8055,6 +8077,21 @@ ORDER BY idA, idB"""),
      j -> j * pmask[j]))::BIGINT AS mask_pw,
    list_sum(att)::BIGINT AS att_sum
  FROM pd ORDER BY doc_id"""),
+    // closed-form span replay over the same conv-order prefix offsets:
+    // a conversation at [off, off+n) overlaps samples off//256 ..
+    // (off+n-1)//256 and contributes all n of its tokens
+    "q242_sft_provenance" ->
+      (sftChatReplay + """,
+ co AS (SELECT conv, len(ids)::BIGINT AS n,
+     sum(len(ids)) OVER (ORDER BY conv ROWS UNBOUNDED PRECEDING)
+       - len(ids) AS off
+   FROM cv)
+ SELECT conv AS doc_id,
+   ((off + n - 1) // 256 - off // 256 + 1)::BIGINT AS n_samples,
+   n AS tok_sum,
+   (off // 256)::BIGINT AS first_sample,
+   ((off + n - 1) // 256)::BIGINT AS last_sample
+ FROM co ORDER BY doc_id"""),
     // the framed streams concatenate in conv order (NO injected
     // separator) and split at 256-token boundaries: each token's global
     // position p comes from a prefix sum over conv order, sample =

@@ -485,16 +485,22 @@ object Packing {
     * the layout it describes. Output: (idCol, sample_id, n_tokens);
     * the per-doc eos separator counts toward its document. */
   def chunkProvenance(encoded: DataFrame, idCol: String, idsCol: String,
-      seqLen: Int, eosId: Long, buckets: Int = 0): DataFrame = {
+      seqLen: Int, eosId: Long, buckets: Int = 0,
+      appendSep: Boolean = true): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
     val reserved = Seq("__ids", "__n", "__end", "__start")
     require(!encoded.columns.exists(reserved.contains),
       s"input may not contain reserved columns ${reserved.mkString(", ")}")
     val L = lit(seqLen.toLong)
-    val withEos = encoded.select(col(idCol),
-      concat(coalesce(col(idsCol), array().cast("array<long>")),
-        array(lit(eosId))).as("__ids"))
+    val framed = coalesce(col(idsCol), array().cast("array<long>"))
+    val withEos0 = encoded.select(col(idCol),
+      (if (appendSep) concat(framed, array(lit(eosId))) else framed)
+        .as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
+    // appendSep=false (pre-framed SFT streams): empty streams overlap
+    // nothing — and must not build a descending covering range
+    val withEos =
+      if (appendSep) withEos0 else withEos0.where(col("__n") > 0)
     val pos = withPrefixSumLong(withEos, idCol, "__n", "__end", buckets)
       .withColumn("__start", col("__end") - col("__n"))
     val sampleCol = explode(sequence(idiv(col("__start"), L),

@@ -249,6 +249,29 @@ class PackingSpec extends SparkTestBase {
     assert(got2 == got.map(_._2))
   }
 
+  test("chunkProvenance appendSep=false: spans match the masked packer") {
+    // same pre-framed streams as the masked test: c1@[0,4) c2@[4,7)
+    // c3@[7,11), L=4 → c1 spans s0 only, c2 spans s1, c3 spans s1..s2
+    val enc = Seq(
+      (1L, Seq(1L, 10L, 11L, 2L)),
+      (2L, Seq(1L, 20L, 2L)),
+      (3L, Seq(1L, 30L, 31L, 2L)),
+      (4L, Seq.empty[Long]))
+      .toDF("conv", "ids")
+    val got = graft.ops.Packing.chunkProvenance(enc, "conv", "ids",
+        seqLen = 4, eosId = 0L, appendSep = false)
+      .orderBy("conv", "sample_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 0L, 4L), (2L, 1L, 3L), (3L, 1L, 1L),
+      (3L, 2L, 3L)))
+    // token conservation vs the masked packer's real token count
+    val real = graft.ops.Packing.concatChunkMasked(
+        enc.withColumn("mask", transform(col("ids"), _ => lit(0))),
+        "conv", "ids", "mask", seqLen = 4)
+      .agg(sum(lit(4L) - col("n_pad"))).head().getLong(0)
+    assert(got.map(_._3).sum == real)
+  }
+
   test("positionIds: reset at doc starts, straddler restarts at 0") {
     val got = Seq((Seq(0L, 3L), 0), (Seq(1L), 1), (Seq.empty[Long], 2))
       .toDF("doc_starts", "k")
