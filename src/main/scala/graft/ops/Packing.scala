@@ -530,7 +530,8 @@ object Packing {
     * collect for the new tail. */
   def chunkBatchWithCarry(encoded: DataFrame, idCol: String,
       idsCol: String, seqLen: Int, eosId: Long,
-      carry: ChunkCarry): (DataFrame, ChunkCarry) = {
+      carry: ChunkCarry, appendSep: Boolean = true)
+      : (DataFrame, ChunkCarry) = {
     require(seqLen >= 1, "seqLen must be >= 1")
     require(carry.tail.size < seqLen,
       s"carry holds ${carry.tail.size} tokens — must be < seqLen=$seqLen")
@@ -538,11 +539,17 @@ object Packing {
     import spark.implicits._
     val L = lit(seqLen.toLong)
     val c = carry.tail.size.toLong
-    val withEos = encoded.select(col(idCol),
-      concat(coalesce(col(idsCol), array().cast("array<long>")),
-        array(lit(eosId))).as("__ids"))
+    val framed = coalesce(col(idsCol), array().cast("array<long>"))
+    val withEos0 = encoded.select(col(idCol),
+      (if (appendSep) concat(framed, array(lit(eosId))) else framed)
+        .as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
-      .localCheckpoint()
+    // appendSep=false (pre-framed SFT streams, concatChunkMasked's
+    // framing rule): empty streams contribute nothing — and must not
+    // build a descending covering-sample range
+    val withEos =
+      (if (appendSep) withEos0 else withEos0.where(col("__n") > 0))
+        .localCheckpoint()
     val agg0 = withEos
       .agg(coalesce(sum(col("__n")), lit(0L)), count(lit(1))).head
     val total = c + agg0.getLong(0)

@@ -351,6 +351,51 @@ class PackingSpec extends SparkTestBase {
       "streamed fold must equal the one-shot chunker exactly")
   }
 
+  test("streaming masked chunking: carry fold over bit-packed pairs " +
+      "≡ one-shot concatChunkMasked") {
+    // the streaming-SFT composition: pack mask into the id's low bit,
+    // fold chunkBatchWithCarry(appendSep=false) over doc-ordered
+    // batches, unpack — must equal the one-shot masked packer exactly
+    val rnd = new scala.util.Random(97)
+    val rows = (0L until 60L).map { i =>
+      val n = rnd.nextInt(20)
+      (i, 1L +: Seq.fill(n)(rnd.nextLong(500) + 8) :+ 2L,
+        0 +: Seq.fill(n)(rnd.nextInt(2)) :+ 0)
+    }
+    val enc = rows.toDF("conv", "ids", "mask")
+    val oneShot = graft.ops.Packing.concatChunkMasked(enc, "conv",
+        "ids", "mask", seqLen = 16, padId = 0L)
+      .orderBy("sample_id").collect()
+      .map(r => (r.getAs[Long]("sample_id"),
+        r.getAs[scala.collection.Seq[Long]]("ids").toList,
+        r.getAs[scala.collection.Seq[Int]]("mask").toList,
+        r.getAs[Long]("n_pad"))).toList
+    val packed = enc.select(col("conv"), zip_with(col("ids"),
+      col("mask"), (i, m) => i * 2L + m.cast("long")).as("pk"))
+    val cuts = Seq((0L, 7L), (7L, 7L), (7L, 31L), (31L, 60L))
+    var carry = graft.ops.Packing.ChunkCarry(Nil, 0L)
+    val emitted = scala.collection.mutable.ListBuffer
+      .empty[(Long, List[Long], List[Int], Long)]
+    cuts.foreach { case (lo, hi) =>
+      val (full, next) = graft.ops.Packing.chunkBatchWithCarry(
+        packed.where(col("conv") >= lo && col("conv") < hi),
+        "conv", "pk", seqLen = 16, eosId = 0L, carry, appendSep = false)
+      emitted ++= full.orderBy("sample_id").collect().map { r =>
+        val pk = r.getSeq[Long](1)
+        (r.getLong(0), pk.map(_ / 2).toList, pk.map(x => (x % 2).toInt)
+          .toList, 0L)
+      }
+      carry = next
+    }
+    graft.ops.Packing.flushCarry(carry, 16, padId = 0L).foreach {
+      case (sid, pk, nPad) =>
+        emitted += ((sid, pk.map(_ / 2).toList,
+          pk.map(x => (x % 2).toInt).toList, nPad))
+    }
+    assert(emitted.toList == oneShot,
+      "streamed masked fold must equal the one-shot masked packer")
+  }
+
   test("carry persistence: save/load mid-stream, resumed fold unchanged") {
     val rnd = new scala.util.Random(515)
     val enc = (0L until 80L).map(i =>
