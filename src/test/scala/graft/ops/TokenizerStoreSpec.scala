@@ -121,6 +121,26 @@ class TokenizerStoreSpec extends SparkTestBase {
     assert(e.getMessage.contains("without merges"))
   }
 
+  test("chat specials block round-trips; wrap/strip agree through it") {
+    val dir = tmp()
+    TokenizerStore.saveSpecials(spark, dir, SpecialTokens.Chat)
+    val back = TokenizerStore.loadSpecials(spark, dir)
+      .getOrElse(fail("specials block missing after save"))
+    assert(back == SpecialTokens.Chat)
+    assert(back.reserve == 8L && back.padId == 0L && back.bosId == 1L &&
+      back.eosId == 2L && back.unkId == 3L &&
+      back.id(SpecialTokens.End) == 7L)
+    // a store-loaded block drives encodeTurns identically to the literal
+    val turns = Seq((1L, 0, "assistant", Seq(0L, 5L)))
+      .toDF("conv", "turn", "role", "ids")
+    val a = Chat.encodeTurns(turns, "conv", "turn", "role", "ids", back)
+      .head()
+    val b = Chat.encodeTurns(turns, "conv", "turn", "role", "ids",
+      SpecialTokens.Chat).head()
+    assert(a.getAs[scala.collection.Seq[Long]]("input_ids") ==
+      b.getAs[scala.collection.Seq[Long]]("input_ids"))
+  }
+
   test("a layout refuses to load as a different family") {
     val corpus = Seq("ab ab").toDF("text")
     val dir = tmp()
