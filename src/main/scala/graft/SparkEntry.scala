@@ -1456,6 +1456,21 @@ object SparkEntry {
         .orderBy("sample_id")
     }),
 
+    "q243_preference_pairs" -> ((s, dir) => {
+      // DPO/RLHF pair construction: 4-candidate groups (doc_id div 4),
+      // score = whitespace token count — token counts collide often, so
+      // BOTH deterministic tie rules fire for real (chosen = lowest id
+      // among max-score, rejected = highest id among min-score);
+      // all-tied groups survive with margin 0 by contract. ONE
+      // group-keyed max_by/min_by aggregation — no window, no sort
+      val docs = t(s, dir, "documents")
+        .select(call_function("div", col("doc_id"), lit(4L)).as("grp"),
+          col("doc_id"),
+          gf.token_count(col("text")).cast("long").as("score"))
+      graft.ops.Chat.preferencePairs(docs, "grp", "doc_id", "score")
+        .orderBy("grp")
+    }),
+
     "q242_sft_provenance" -> ((s, dir) => {
       // the deletion-request index of the PACKED-SFT layout (q240):
       // which training samples contain conversation X, and how many of
@@ -8077,6 +8092,29 @@ ORDER BY idA, idB"""),
      j -> j * pmask[j]))::BIGINT AS mask_pw,
    list_sum(att)::BIGINT AS att_sum
  FROM pd ORDER BY doc_id"""),
+    // the two opposing tie rules replayed as rank-1 picks: chosen =
+    // (score DESC, id ASC), rejected = (score ASC, id DESC)
+    "q243_preference_pairs" ->
+      """WITH sc AS (SELECT doc_id, doc_id // 4 AS grp,
+           len(string_split(text, ' '))::BIGINT AS score FROM documents),
+         r AS (SELECT grp, doc_id, score,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY score DESC, doc_id ASC) AS rc,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY score ASC, doc_id DESC) AS rr,
+             count(*) OVER (PARTITION BY grp) AS n
+           FROM sc),
+         p AS (SELECT grp,
+             max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id,
+             max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id,
+             max(score) AS chosen_score, min(score) AS rejected_score,
+             max(n)::BIGINT AS n_candidates
+           FROM r GROUP BY grp)
+         SELECT grp, chosen_id, rejected_id, chosen_score,
+           rejected_score, n_candidates,
+           (chosen_score - rejected_score)::BIGINT AS margin
+         FROM p WHERE n_candidates >= 2 AND chosen_id <> rejected_id
+         ORDER BY grp""",
     // closed-form span replay over the same conv-order prefix offsets:
     // a conversation at [off, off+n) overlaps samples off//256 ..
     // (off+n-1)//256 and contributes all n of its tokens

@@ -132,6 +132,40 @@ object Chat {
         aggregate(col("loss_mask"), lit(0L), (a, x) => a + x))
   }
 
+  /** Preference-pair construction — DPO/RLHF dataset prep: within each
+    * candidate group (the rows sharing `groupCol`, e.g. responses to one
+    * prompt), pick the highest-scoring row as `chosen` and the
+    * lowest-scoring as `rejected`, deterministically: chosen maximizes
+    * `(score, −id)` (score ties → LOWEST id), rejected minimizes
+    * `(score, −id)` (score ties → HIGHEST id), so the two tie rules can
+    * only collide when every candidate is one row. Groups with fewer
+    * than 2 candidates, or where chosen == rejected, are dropped; pairs
+    * with `margin = 0` (an all-tied group) survive with margin 0 for the
+    * caller to threshold — dropping them silently would hide annotation
+    * pathologies.
+    *
+    * Scale shape: ONE group-keyed aggregation (codegen'd `max_by`/
+    * `min_by` over constant-size structs — no window, no sort, map-side
+    * partial aggregation); candidate text/ids never move, only
+    * (group, id, score) triples shuffle.
+    *
+    * @return (groupCol, chosen_id, rejected_id, chosen_score,
+    *         rejected_score, margin, n_candidates) */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(
+        max_by(col(idCol), struct(col(scoreCol), -col(idCol)))
+          .as("chosen_id"),
+        min_by(col(idCol), struct(col(scoreCol), -col(idCol)))
+          .as("rejected_id"),
+        max(col(scoreCol)).as("chosen_score"),
+        min(col(scoreCol)).as("rejected_score"),
+        count(lit(1)).as("n_candidates"))
+      .where(col("n_candidates") >= 2 &&
+        col("chosen_id") =!= col("rejected_id"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+
   /** Fixed-length training rows from an [[encodeTurns]] pair: truncate
     * ids AND mask to `seqLen`, right-pad ids with the block's pad id and
     * the mask with 0, and emit the attention mask (1 on real positions,

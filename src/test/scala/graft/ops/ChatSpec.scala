@@ -100,6 +100,28 @@ class ChatSpec extends SparkTestBase {
     assert(tr.getAs[scala.collection.Seq[Int]]("attention_mask").toSeq == Seq(1, 1, 1))
   }
 
+  test("preferencePairs: argmax/argmin with opposing tie rules") {
+    val cands = Seq(
+      // g0: score tie at the top → chosen = LOWEST id; clear min
+      (0L, 1L, 5L), (0L, 2L, 5L), (0L, 3L, 2L),
+      // g1: all tied → chosen = lowest id, rejected = highest, margin 0
+      (1L, 4L, 7L), (1L, 5L, 7L),
+      // g2: single candidate → dropped
+      (2L, 6L, 9L),
+      // g3: score tie at the bottom → rejected = HIGHEST id
+      (3L, 7L, 1L), (3L, 8L, 1L), (3L, 9L, 4L))
+      .toDF("grp", "id", "score")
+    val got = Chat.preferencePairs(cands, "grp", "id", "score")
+      .orderBy("grp")
+      .select("grp", "chosen_id", "rejected_id", "margin",
+        "n_candidates")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (0L, 1L, 3L, 3L, 3L),
+      (1L, 4L, 5L, 0L, 2L),
+      (3L, 9L, 8L, 3L, 3L)))
+  }
+
   test("render: no assistant turns → empty mask, order by turn col") {
     val turns = Seq((9L, 2, "user", "b"), (9L, 1, "system", "a"))
       .toDF("conv", "turn", "role", "content")
