@@ -1717,6 +1717,28 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q244_token_mixture" -> ((s, dir) => {
+      // the mixture schedule in TOKENS (the unit real recipes use):
+      // 800/400/200/100 tokens per block over four sources — per-source
+      // seeded contiguous token fill (grouped LONG-exact prefix sum,
+      // one range shuffle), round = start // w. Receipts per (source,
+      // round): rows, token sum, membership xor, and cum_pin =
+      // Σ cum·doc_id (pins the exact running totals, i.e. the order
+      // WITHIN each round)
+      val docs = t(s, dir, "documents")
+      graft.sources.Shards.mixtureInterleaveTokens(docs, "source",
+          col("doc_id"), gf.token_count(col("text")),
+          Seq("src0" -> 800L, "src1" -> 400L, "src2" -> 200L,
+            "src3" -> 100L), seed = 7L)
+        .groupBy("source", "round")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("n_tokens").as("tok_sum"),
+          bit_xor(gf.hash64(col("doc_id"))).as("id_xor"),
+          sum(col("cum_tokens") * col("doc_id")).as("cum_pin"),
+          max("src_order").as("src_order"))
+        .orderBy("source", "round")
+    }),
+
     "q241_mixture_interleave" -> ((s, dir) => {
       // the row-level data-mixing schedule at an 8/4/2/1 recipe over
       // four sources: per-source epoch permutation (seed 7) + the
@@ -7613,6 +7635,28 @@ ORDER BY idA, idB"""),
            round((SELECT naive FROM n) * 1.0 / count(*), 6)
              AS packing_gain
          FROM bins""",
+    // per-source seeded token fill replayed exactly: window cumsum in
+    // (g_thash, id) order per source, round = (cum − n) // w
+    "q244_token_mixture" ->
+      (hashMacros + """WITH w(source, wt, so) AS (VALUES
+           ('src0', 800, 0), ('src1', 400, 1), ('src2', 200, 2),
+           ('src3', 100, 3)),
+         r AS (SELECT d.source, d.doc_id, w.wt, w.so,
+             len(string_split(d.text, ' '))::BIGINT AS n,
+             sum(len(string_split(d.text, ' '))::BIGINT) OVER (
+               PARTITION BY d.source
+               ORDER BY g_sb(g_thash('7:' || d.doc_id::VARCHAR)),
+                 d.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents d JOIN w USING (source)),
+         sl AS (SELECT source, doc_id, n, cum, so,
+             ((cum - n) // wt)::BIGINT AS round FROM r)
+         SELECT source, round, count(*)::BIGINT AS n_rows,
+           sum(n)::BIGINT AS tok_sum,
+           bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor,
+           sum(cum * doc_id)::BIGINT AS cum_pin,
+           max(so)::BIGINT AS src_order
+         FROM sl GROUP BY 1, 2 ORDER BY 1, 2"""),
     // per-source seeded permutation + the closed-form slot rule,
     // replayed exactly over the weighted sources
     "q241_mixture_interleave" ->

@@ -135,6 +135,59 @@ object Packing {
       .drop("__bkt", "__local")
   }
 
+  /** Per-GROUP LONG-exact prefix sum — [[withPrefixSumLong]]'s grouped
+    * sibling, built on [[graft.ops.Quality.rankBuckets]]'s two-level
+    * recipe: ONE range shuffle on (group, order, tie), per-(partition,
+    * group) totals collected (partitions × groups rows — small), prefix
+    * offsets broadcast back, partition-local window sums stitched. No
+    * global window, bit-exact at any scale and parallelism. `tie` must
+    * make (group, order, tie) total. */
+  def groupedPrefixSumLong(df: DataFrame, group: Column, order: Column,
+      tie: Column, value: Column, outCol: String): DataFrame = {
+    val reserved = Seq("__g", "__o", "__t", "__v", "__bkt", "__lps",
+      "__goff")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val spark = df.sparkSession
+    val base = df.withColumn("__g", group).withColumn("__o", order)
+      .withColumn("__t", tie).withColumn("__v", value.cast("long"))
+    val parts = math.max(2,
+      spark.sessionState.conf.numShufflePartitions)
+    val ranged = base
+      .repartitionByRange(parts, col("__g"), col("__o"), col("__t"))
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint()
+    val gType = base.schema("__g").dataType
+    val sizes = ranged.groupBy("__bkt", "__g")
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("s")).collect()
+    val byG = sizes.groupBy(_.get(1)).map { case (g, rows) =>
+      val sorted = rows.sortBy(_.getInt(0))
+      var acc = 0L
+      g -> sorted.map { r =>
+        val off = acc; acc += r.getLong(2); r.getInt(0) -> off
+      }.toMap
+    }
+    val offRows = byG.flatMap { case (g, offs) =>
+      offs.map { case (b, off) => org.apache.spark.sql.Row(b, g, off) }
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__bkt",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__g", gType),
+      org.apache.spark.sql.types.StructField("__goff",
+        org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val w = Window.partitionBy(col("__bkt"), col("__g"))
+      .orderBy(col("__o"), col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__lps", sum(col("__v")).over(w))
+      .join(broadcast(offDf), Seq("__bkt", "__g"))
+      .withColumn(outCol, col("__lps") + col("__goff"))
+      .drop("__g", "__o", "__t", "__v", "__bkt", "__lps", "__goff")
+  }
+
   /** One-row packing-efficiency receipt for a token budget — the numbers
     * a team reads to justify packing over per-document padding: packed
     * sequence count and fill statistics from [[packByTokenBudget]]'s

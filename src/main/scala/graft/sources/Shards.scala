@@ -130,6 +130,50 @@ object Shards {
       .drop("rank_in_group", "n_group", "bucket", "__k", "__w")
   }
 
+  /** Token-weighted mixture schedule — [[mixtureInterleave]] with the
+    * recipe expressed in TOKENS, the unit production mixing recipes
+    * actually use: source `s` owes `w_s` tokens out of every
+    * `W = Σ w` -token block. Each source's rows take their seeded epoch
+    * order; a row whose per-source cumulative token count starts at `c`
+    * belongs to round `c / w_s` (contiguous token fill per source —
+    * [[graft.ops.Packing.packByTokenBudget]]'s rule, per source), and
+    * the consumption order is `(round, src_order, cum_tokens)` where
+    * `src_order` is the source's index in `weights`. Every round
+    * carries ≈ `w_s` tokens of each source (exact up to one straddling
+    * document per source per round — rows are atomic) while that
+    * source lasts.
+    *
+    * Output adds: `round`, `src_order`, `cum_tokens` (per-source
+    * cumulative INCLUDING the row — with (round, src_order) it makes
+    * the consumption order total), and `n_tokens` (the row's counted
+    * tokens). Rows whose source is not in `weights` are dropped.
+    *
+    * Scale shape: ONE range shuffle on (source, hash, id) for the
+    * grouped LONG-exact prefix sum ([[graft.ops.Packing
+    * .groupedPrefixSumLong]] — per-(partition, source) totals collected,
+    * offsets broadcast, no global window), then scan-side arithmetic. */
+  def mixtureInterleaveTokens(df: DataFrame, sourceCol: String,
+      id: Column, tokens: Column, weights: Seq[(String, Long)],
+      seed: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 >= 1L), "token weights must be >= 1")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in $weights")
+    val wMap = map(weights.flatMap { case (s0, w0) =>
+      Seq(lit(s0), lit(w0)) }: _*)
+    val oMap = map(weights.zipWithIndex.flatMap { case ((s0, _), i) =>
+      Seq(lit(s0), lit(i.toLong)) }: _*)
+    val kept = df.where(col(sourceCol).isin(weights.map(_._1): _*))
+      .withColumn("n_tokens", tokens.cast("long"))
+    val key = gf.hash64(concat(lit(s"$seed:"), id.cast("string")))
+    graft.ops.Packing.groupedPrefixSumLong(kept, col(sourceCol), key,
+        id, col("n_tokens"), "cum_tokens")
+      .withColumn("round", call_function("div",
+        col("cum_tokens") - col("n_tokens"),
+        element_at(wMap, col(sourceCol))))
+      .withColumn("src_order", element_at(oMap, col(sourceCol)))
+  }
+
   /** Write `df` as `nShards` hash shards under `path` (parquet,
     * `shard=k/` directories). One shuffle keyed by shard; rows sort
     * within each shard by `key` so re-runs lay out byte-stable files. */

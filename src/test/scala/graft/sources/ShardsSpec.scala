@@ -111,6 +111,52 @@ class ShardsSpec extends SparkTestBase {
     }
   }
 
+  test("mixtureInterleaveTokens: per-source token fill, round budgets, " +
+      "partition-invariant") {
+    val weights = Seq("src0" -> 120L, "src1" -> 60L)
+    def run(parts: Int) = Shards.mixtureInterleaveTokens(
+        docs.repartition(parts), "source", col("doc_id"),
+        graft.api.functions.token_count(col("text")), weights, 7L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens", "round",
+        "src_order")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    val got = run(3)
+    assert(got.toSeq == run(11).toSeq, "partition-invariant")
+    // per-source: cum is the exact running total in seeded-hash order,
+    // round = floor(start / w)
+    val hashed = docs.where(col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("source"),
+        graft.api.functions.hash64(concat(lit("7:"),
+          col("doc_id").cast("string"))).as("h"),
+        graft.api.functions.token_count(col("text")).cast("long")
+          .as("n"))
+      .as[(Long, String, Long, Long)].collect()
+    val expected = hashed.groupBy(_._2).toSeq.flatMap {
+      case (src, rows) =>
+        val w = weights.toMap.apply(src)
+        var acc = 0L
+        rows.sortBy(r => (r._3, r._1)).map { r =>
+          val start = acc; acc += r._4
+          r._1 -> (r._4, acc, start / w,
+            if (src == "src0") 0L else 1L)
+        }
+    }.toMap
+    assert(got.map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap ==
+      expected)
+    // round budget: every non-final round of a source carries >= w
+    // tokens counted at starts (contiguous fill — only the straddler
+    // overflows) and the start offsets of round r lie in [r*w, (r+1)*w)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val w = weights.toMap.apply(src)
+      rows.foreach { r =>
+        val start = r._4 - r._3
+        assert(r._5 == start / w, s"round rule broken for $r")
+        assert(start >= r._5 * w && start < (r._5 + 1) * w)
+      }
+    }
+  }
+
   test("writeShards + manifest: lossless round-trip receipts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     Shards.writeShards(docs, col("doc_id"), 8, dir)
