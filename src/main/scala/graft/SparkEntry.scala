@@ -1717,6 +1717,37 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q245_group_advantage" -> ((s, dir) => {
+      // RL post-training reward normalization over per-user event groups
+      // (stand-ins for per-prompt candidate groups): GRPO z-score +
+      // RLOO leave-one-out baseline, BOTH from one exact_sum window
+      // exchange — no stats join. round(6) margins vs DuckDB's
+      // parallel-order window sums; degenerate contract (n==1 or
+      // std==0 -> 0.0) fires on none here but is spec-pinned
+      // rational outputs (LOO advantage, group mean) are terminating
+      // decimals of the cent-valued rewards — they LAND on round(6)
+      // boundaries, where a 1-ulp exact_sum-vs-parallel-sum difference
+      // flips the digit. They gate as integer CENT pins instead
+      // (loo·(n−1)·100 and Σ·100 are exact integers); the z-score and
+      // std divide by an irrational sqrt, so round(6) is safe there
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val adv = graft.ops.Reward.groupAdvantage(ev, Seq("user_id"),
+        col("value"), withStats = true)
+      graft.ops.Reward.leaveOneOutAdvantage(adv, Seq("user_id"),
+          col("value"))
+        .where(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"),
+          round(col("advantage"), 6).as("adv"),
+          round(col("adv_loo") * (col("advantage_n") - 1) * 100, 0)
+            .cast("long").as("loo_pin_cents"),
+          col("advantage_n").as("n_cand"),
+          round(col("advantage_mean") * col("advantage_n") * 100, 0)
+            .cast("long").as("sum_cents"),
+          round(col("advantage_std"), 6).as("grp_std"))
+        .orderBy("event_id")
+    }),
+
     "q244_token_mixture" -> ((s, dir) => {
       // the mixture schedule in TOKENS (the unit real recipes use):
       // 800/400/200/100 tokens per block over four sources — per-source
@@ -7637,6 +7668,28 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // window sums replay the stats algebra; DuckDB sums in its own
+    // order — round(6) absorbs the ~1e-12 relative drift vs exact_sum
+    "q245_group_advantage" ->
+      """WITH s AS (SELECT event_id, user_id, value,
+             count(value) OVER w AS n,
+             sum(value) OVER w AS s1,
+             sum(value * value) OVER w AS s2
+           FROM events WHERE user_id < 40
+           WINDOW w AS (PARTITION BY user_id)),
+         z AS (SELECT event_id, user_id, value, n, s1, s1 / n AS m,
+             sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+           FROM s)
+         SELECT event_id, user_id,
+           round(CASE WHEN n <= 1 OR sd = 0 THEN 0.0
+                      ELSE (value - m) / sd END, 6) AS adv,
+           round(CASE WHEN n <= 1 THEN 0.0
+                 ELSE (value * (n - 1) - (s1 - value)) * 100 END, 0)::BIGINT
+             AS loo_pin_cents,
+           n::BIGINT AS n_cand,
+           round(s1 * 100, 0)::BIGINT AS sum_cents,
+           round(CASE WHEN n >= 2 THEN sd END, 6) AS grp_std
+         FROM z ORDER BY event_id""",
     "q244_token_mixture" ->
       (hashMacros + """WITH w(source, wt, so) AS (VALUES
            ('src0', 800, 0), ('src1', 400, 1), ('src2', 200, 2),

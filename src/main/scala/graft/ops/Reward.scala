@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Reward post-processing for RL-from-feedback training data: the
+  * per-prompt normalizations that turn raw reward-model scores into the
+  * advantage signals policy-gradient recipes consume.
+  *
+  *  - [[groupAdvantage]] — GRPO-style group-relative advantage
+  *    (Shao et al. 2024, "DeepSeekMath"): each candidate's reward is
+  *    standardized against its OWN prompt's candidate group,
+  *    `(r − mean_g) / std_g`, so the policy gradient compares candidates
+  *    of the same prompt rather than rewards across prompts (which live
+  *    on incomparable scales).
+  *  - [[leaveOneOutAdvantage]] — RLOO baseline (Ahmadian et al. 2024):
+  *    `r − mean(others)`, the unbiased per-sample baseline
+  *    `(Σ_g r − r) / (n_g − 1)` that needs no value network.
+  *
+  * Degenerate-group contract (both ops): a group with one candidate, or
+  * one whose rewards are all equal (std = 0), carries NO ranking signal —
+  * the advantage is defined as 0.0 rather than NULL/NaN, matching the
+  * GRPO convention of dropping such groups from the gradient (a zero
+  * advantage contributes nothing).
+  *
+  * Scale shape: prompt-keyed groups are corpus-cardinality (rows / n
+  * candidates), so the per-group stats table is NOT broadcastable — a
+  * groupBy+join plan would shuffle the corpus twice. Both ops instead
+  * compute over ONE `Window.partitionBy(group)` exchange: groups are
+  * small and bounded (the candidate count of the sampler, ≤ ~64), so the
+  * per-partition window state is trivial, and there is no join and no
+  * second scan. Window sums run through [[gf.exact_sum]], so every
+  * advantage bit is invariant to row arrival order within the group —
+  * the same answer under any parallelism, retry, or input layout.
+  */
+object Reward {
+
+  private def checkCols(df: DataFrame, out: Seq[String]): Unit =
+    out.foreach(c => require(!df.columns.contains(c),
+      s"column $c already exists"))
+
+  /** GRPO group-relative advantage: adds `outCol` =
+    * `(r − mean_g(r)) / std_g(r)` (sample std, ddof = 1) plus the group
+    * receipts `<outCol>_n` (non-null candidate count) and rounded group
+    * mean/std when `withStats`. NULL rewards take advantage NULL and do
+    * not contribute to the group statistics. */
+  def groupAdvantage(df: DataFrame, groupCols: Seq[String],
+      rewardCol: Column, outCol: String = "advantage",
+      withStats: Boolean = false): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val statCols = Seq(s"${outCol}_n", s"${outCol}_mean", s"${outCol}_std")
+    checkCols(df, outCol +: (if (withStats) statCols else Nil))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val r = rewardCol.cast("double")
+    val n = count(r).over(w)
+    val s1 = gf.exact_sum(r).over(w)
+    val s2 = gf.exact_sum(r * r).over(w)
+    val mean = s1 / n
+    // sample variance via the moment identity; clamp the tiny negative
+    // residue cancellation can leave on constant groups
+    val variance = greatest((s2 - s1 * s1 / n) / (n - lit(1)), lit(0.0))
+    val std = sqrt(variance)
+    val adv = when(r.isNull, lit(null).cast("double"))
+      .when(n <= 1 || std === 0.0, lit(0.0))
+      .otherwise((r - mean) / std)
+    val base = df.withColumn(outCol, adv)
+    if (!withStats) base
+    else base
+      .withColumn(s"${outCol}_n", n)
+      .withColumn(s"${outCol}_mean", when(n >= 1, mean))
+      .withColumn(s"${outCol}_std", when(n >= 2, std))
+  }
+
+  /** RLOO leave-one-out advantage: adds `outCol` =
+    * `r − (Σ_g r − r) / (n_g − 1)` — each candidate against the mean of
+    * the OTHER candidates of its prompt. Groups with a single non-null
+    * candidate get 0.0 (no "others" to baseline against); NULL rewards
+    * get NULL. */
+  def leaveOneOutAdvantage(df: DataFrame, groupCols: Seq[String],
+      rewardCol: Column, outCol: String = "adv_loo"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    checkCols(df, Seq(outCol))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val r = rewardCol.cast("double")
+    val n = count(r).over(w)
+    val s1 = gf.exact_sum(r).over(w)
+    val adv = when(r.isNull, lit(null).cast("double"))
+      .when(n <= 1, lit(0.0))
+      .otherwise(r - (s1 - r) / (n - lit(1)))
+    df.withColumn(outCol, adv)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Reward advantage normalization (Reward.groupAdvantage /
+  * leaveOneOutAdvantage). */
+class RewardSpec extends SparkTestBase {
+
+  // prompt p1: four candidates with spread; p2: a pair; p3: singleton;
+  // p4: constant rewards (std = 0); p5: has a NULL reward
+  private val rows: Seq[(String, Long, java.lang.Double)] = Seq(
+    ("p1", 1L, 1.0), ("p1", 2L, 3.0), ("p1", 3L, 5.0), ("p1", 4L, 7.0),
+    ("p2", 5L, 10.0), ("p2", 6L, 20.0),
+    ("p3", 7L, 42.0),
+    ("p4", 8L, 2.5), ("p4", 9L, 2.5), ("p4", 10L, 2.5),
+    ("p5", 11L, 4.0), ("p5", 12L, null), ("p5", 13L, 8.0))
+
+  private def df = {
+    import spark.implicits._
+    rows.toDF("prompt", "cand_id", "reward")
+  }
+
+  test("groupAdvantage standardizes within each prompt (ddof=1)") {
+    val got = Reward.groupAdvantage(df, Seq("prompt"), col("reward"))
+      .collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toMap
+    // p1: mean 4, sample std = sqrt(20/3)
+    val s1 = math.sqrt(20.0 / 3.0)
+    assert(math.abs(got(1L).asInstanceOf[Double] - (-3.0 / s1)) < 1e-12)
+    assert(math.abs(got(4L).asInstanceOf[Double] - (3.0 / s1)) < 1e-12)
+    // p2: mean 15, std = sqrt(50) -> z = ±5/sqrt(50)
+    assert(math.abs(got(5L).asInstanceOf[Double] + 5.0 / math.sqrt(50.0)) < 1e-12)
+    // degenerate contract: singleton and constant groups -> 0.0
+    assert(got(7L) == 0.0)
+    assert(got(8L) == 0.0 && got(9L) == 0.0 && got(10L) == 0.0)
+    // NULL reward -> NULL advantage; siblings standardize over non-nulls
+    assert(got(12L) == null)
+    assert(math.abs(got(11L).asInstanceOf[Double] + math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(got(13L).asInstanceOf[Double] - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("groupAdvantage withStats emits n/mean/std receipts") {
+    val r = Reward.groupAdvantage(df, Seq("prompt"), col("reward"),
+        withStats = true)
+      .where(col("prompt") === "p1").limit(1).collect()(0)
+    assert(r.getLong(r.fieldIndex("advantage_n")) == 4L)
+    assert(r.getDouble(r.fieldIndex("advantage_mean")) == 4.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("advantage_std")) -
+      math.sqrt(20.0 / 3.0)) < 1e-12)
+  }
+
+  test("leaveOneOutAdvantage baselines against the other candidates") {
+    val got = Reward.leaveOneOutAdvantage(df, Seq("prompt"), col("reward"))
+      .collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toMap
+    // p1 cand 1: 1 - (3+5+7)/3 = -4; cand 4: 7 - (1+3+5)/3 = 4
+    assert(got(1L) == -4.0 && got(4L) == 4.0)
+    // p2: r - other = ±10
+    assert(got(5L) == -10.0 && got(6L) == 10.0)
+    // singleton -> 0.0; NULL -> NULL; p5 non-nulls baseline each other
+    assert(got(7L) == 0.0)
+    assert(got(12L) == null)
+    assert(got(11L) == -4.0 && got(13L) == 4.0)
+  }
+
+  test("advantages are invariant to partitioning (exact_sum windows)") {
+    val a = Reward.groupAdvantage(df.repartition(7), Seq("prompt"),
+      col("reward")).orderBy("cand_id").collect().toSeq
+    val b = Reward.groupAdvantage(df.coalesce(1), Seq("prompt"),
+      col("reward")).orderBy("cand_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("reserved output columns are refused") {
+    intercept[IllegalArgumentException] {
+      Reward.groupAdvantage(df.withColumn("advantage", lit(1)),
+        Seq("prompt"), col("reward"))
+    }
+  }
+}
