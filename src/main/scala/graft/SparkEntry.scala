@@ -1717,6 +1717,24 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q246_bootstrap_ci" -> ((s, dir) => {
+      // Poisson bootstrap (the distributed bootstrap: per-(row,replicate)
+      // Poisson(1) weights off a deterministic hash, NO global resample)
+      // — 95% CI of mean doc length per source, 64 replicates. Replicate
+      // means are exact integer ratios (Σw·n_chars / Σw via exact_sum),
+      // so both engines hold bit-identical doubles before round(6); the
+      // point mean gates as the integer Σ n_chars pin
+      graft.ops.Robust.poissonBootstrapCI(t(s, dir, "documents"),
+          Seq("source"), col("doc_id"), col("n_chars"))
+        .select(col("source"), col("n_rows"),
+          round(col("mean") * col("n_rows"), 0).cast("long")
+            .as("sum_chars"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"),
+          col("b_used"))
+        .orderBy("source")
+    }),
+
     "q245_group_advantage" -> ((s, dir) => {
       // RL post-training reward normalization over per-user event groups
       // (stand-ins for per-prompt candidate groups): GRPO z-score +
@@ -7668,6 +7686,41 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // full Poisson-bootstrap replay: the same hash → uniform → inverse-CDF
+    // weight chain (shared decimal literals parse to the same doubles),
+    // integer replicate sums, nearest-rank order statistics
+    "q246_bootstrap_ci" ->
+      (hashMacros +
+        """WITH r AS (SELECT d.source, d.n_chars, b.b,
+             ((g_thash(d.doc_id::VARCHAR || ':' || b.b::VARCHAR) >> 11)::DOUBLE
+               / 9007199254740992.0) AS u
+           FROM documents d, unnest(range(0, 64)) b(b)),
+         w AS (SELECT source, b, n_chars,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238463 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS wt FROM r),
+         m AS (SELECT source, b, sum(wt * n_chars)::BIGINT AS sx,
+             sum(wt)::BIGINT AS sw FROM w GROUP BY 1, 2),
+         mm AS (SELECT source, b, sx::DOUBLE / sw AS mb FROM m WHERE sw > 0),
+         o AS (SELECT source, b, mb,
+             row_number() OVER (PARTITION BY source ORDER BY mb, b) AS rk,
+             count(*) OVER (PARTITION BY source) AS bu FROM mm),
+         pt AS (SELECT source, count(*)::BIGINT AS n_rows,
+             sum(n_chars)::BIGINT AS sum_chars FROM documents GROUP BY 1)
+         SELECT pt.source, pt.n_rows, pt.sum_chars,
+           round(lo.mb, 6) AS ci_lo, round(hi.mb, 6) AS ci_hi,
+           o2.bu::BIGINT AS b_used
+         FROM pt
+         JOIN (SELECT DISTINCT source, bu FROM o) o2 USING (source)
+         JOIN o lo ON lo.source = pt.source AND lo.rk = ceil(0.025 * o2.bu)
+         JOIN o hi ON hi.source = pt.source AND hi.rk = ceil(0.975 * o2.bu)
+         ORDER BY source"""),
     // window sums replay the stats algebra; DuckDB sums in its own
     // order — round(6) absorbs the ~1e-12 relative drift vs exact_sum
     "q245_group_advantage" ->

@@ -117,4 +117,94 @@ object Robust {
       .where(v >= col("__lo") && v <= col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /** Poisson(1) CDF through k = 7, as fixed shared literals: the weight
+    * table of [[poissonBootstrapCI]], and the contract an external engine
+    * replays (the same decimal literals parse to the same doubles). Draws
+    * beyond 8 have probability < 1.1e-6 per (row, replicate) and are
+    * clamped to 8 — a documented truncation, not a bug: it perturbs a
+    * replicate mean by at most one extra copy of one row. */
+  val PoissonOneCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** Inverse Poisson(1) CDF of a uniform `u` in [0, 1): the bootstrap
+    * multiplicity of one row in one replicate. */
+  def poissonWeight(u: Column): Column =
+    PoissonOneCdf.zipWithIndex.foldRight(lit(8)) { case ((c, k), acc) =>
+      when(u < c, k).otherwise(acc)
+    }
+
+  /** Per-group bootstrap confidence interval of the mean, by POISSON
+    * bootstrap (Chamandy et al. 2012, "Estimating uncertainty for massive
+    * data streams" — the bootstrap that works on distributed data): each
+    * row enters replicate `b` with multiplicity ~ Poisson(1), drawn by
+    * inverse-CDF on a deterministic 64-bit hash of (id, b). Unlike the
+    * classic n-out-of-n resample there is NO global draw to coordinate —
+    * every (row, replicate) weight is computed row-locally, so the whole
+    * procedure is one scan exploded onto the replicate list with map-side
+    * combine, shuffling `groups × replicates` partial rows regardless of
+    * corpus size.
+    *
+    * Determinism: u = (hash64("id:b") >>> 11) / 2^53 is an exact dyadic
+    * rational, the CDF thresholds are fixed literals, and the replicate
+    * sums run through [[gf.exact_sum]] — every replicate mean is
+    * bit-identical under any partitioning, and an external engine replays
+    * the full procedure from the hash up.
+    *
+    * CI: nearest-rank order statistics over the replicate means —
+    * `ci_lo` = the ⌈(α/2)·B⌉-th smallest, `ci_hi` = the ⌈(1−α/2)·B⌉-th,
+    * ties broken by replicate index. A replicate whose total weight is 0
+    * (probability ~e^−n) is dropped; `b_used` reports the survivor count
+    * the ranks were computed over.
+    *
+    * Returns one row per group: (groupCols…, n_rows, mean, ci_lo, ci_hi,
+    * b_used). The collect_list holding the replicate means is bounded by
+    * `replicates` (≤ 128 doubles per group) — driver-independent. */
+  def poissonBootstrapCI(df: DataFrame, groupCols: Seq[String],
+      idCol: Column, valueCol: Column, replicates: Int = 64,
+      alpha: Double = 0.05): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(replicates >= 4 && replicates <= 128,
+      "replicates must be in [4, 128]")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val g = groupCols.map(col)
+    val rows = df
+      .select(g :+ idCol.cast("string").as("__id")
+        :+ valueCol.cast("double").as("__v"): _*)
+      .where(col("__id").isNotNull && col("__v").isNotNull)
+    val u = shiftrightunsigned(gf.hash64(
+        concat(col("__id"), lit(":"), col("__b"))), 11)
+      .cast("double") / lit(9007199254740992.0)
+    val rep = rows
+      .select(g ++ Seq(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b")): _*)
+      .withColumn("__w", poissonWeight(u))
+      .groupBy(g :+ col("__b"): _*)
+      .agg(gf.exact_sum(col("__w") * col("__v")).as("__sx"),
+        sum(col("__w").cast("long")).as("__sw"))
+      .where(col("__sw") > 0)
+      .withColumn("__mb", col("__sx") / col("__sw"))
+    val ci = rep.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("__mb"), col("__b"))))
+          .as("__arr"),
+        count(lit(1)).as("b_used"))
+      .withColumn("__klo",
+        ceil(lit(alpha / 2) * col("b_used")).cast("int"))
+      .withColumn("__khi",
+        ceil(lit(1.0 - alpha / 2) * col("b_used")).cast("int"))
+      .select(g ++ Seq(
+        element_at(col("__arr"), col("__klo")).getField("__mb")
+          .as("ci_lo"),
+        element_at(col("__arr"), col("__khi")).getField("__mb")
+          .as("ci_hi"),
+        col("b_used")): _*)
+    val point = rows.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        (gf.exact_sum(col("__v")) / count(lit(1))).as("mean"))
+    point.join(ci, groupCols, "left")
+      .select(g ++ Seq(col("n_rows"), col("mean"), col("ci_lo"),
+        col("ci_hi"), col("b_used")): _*)
+  }
 }
