@@ -1717,6 +1717,35 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q247_join_estimate" -> ((s, dir) => {
+      // sketch-based pre-flight planning: CMS inner-product estimates of
+      // (a) |lineitem ⋈ orders| and (b) F2(events.user_id) — next to the
+      // exact quantities as in-gate truth. The 4×4096 grid is replayed
+      // bucket-for-bucket in DuckDB (q96's construction), so estimates
+      // compare bit-exact INCLUDING collision error; the production path
+      // is the two sketch scans alone
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val ev = t(s, dir, "events")
+      val fkEst = graft.ops.Planner.joinSizeEstimate(
+        li, col("l_orderkey"), ord, col("o_orderkey"))
+      val fkExact = li.select(col("l_orderkey").as("k"))
+        .join(ord.select(col("o_orderkey").as("k")), "k")
+        .agg(count(lit(1)).as("exact"))
+      val f2Est = graft.ops.Planner.selfJoinSizeEstimate(ev, col("user_id"))
+      val f2Exact = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact"))
+      fkEst.crossJoin(fkExact)
+        .select(lit("fk_join").as("kind"),
+          col("est_join_rows").as("est"), col("exact"),
+          col("total_a"), col("total_b"))
+        .unionAll(f2Est.crossJoin(f2Exact)
+          .select(lit("self_f2").as("kind"),
+            col("est_f2").as("est"), col("exact"),
+            col("total").as("total_a"), col("total").as("total_b")))
+        .orderBy("kind")
+    }),
+
     "q246_bootstrap_ci" -> ((s, dir) => {
       // Poisson bootstrap (the distributed bootstrap: per-(row,replicate)
       // Poisson(1) weights off a deterministic hash, NO global resample)
@@ -7686,6 +7715,43 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // the q96 grid construction for BOTH sides; per-row bucket products,
+    // min over rows — collisions replay bit-for-bit
+    "q247_join_estimate" ->
+      (hashMacros +
+        """WITH la AS (SELECT r, g_av(g_am(l_orderkey::UBIGINT,
+               (r * 2654435761)::UBIGINT)) & 4095 AS bk,
+             count(*)::BIGINT AS cnt
+           FROM lineitem, unnest(range(0, 4)) t(r) GROUP BY 1, 2),
+         ob AS (SELECT r, g_av(g_am(o_orderkey::UBIGINT,
+               (r * 2654435761)::UBIGINT)) & 4095 AS bk,
+             count(*)::BIGINT AS cnt
+           FROM orders, unnest(range(0, 4)) t(r) GROUP BY 1, 2),
+         fk_rows AS (SELECT r, sum(la.cnt * ob.cnt)::BIGINT AS dot
+           FROM la JOIN ob USING (r, bk) GROUP BY r),
+         fk AS (SELECT min(dot)::BIGINT AS est FROM fk_rows),
+         fk_exact AS (SELECT count(*)::BIGINT AS exact
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ug AS (SELECT r, g_av(g_am(user_id::UBIGINT,
+               (r * 2654435761)::UBIGINT)) & 4095 AS bk,
+             count(*)::BIGINT AS cnt
+           FROM events, unnest(range(0, 4)) t(r) GROUP BY 1, 2),
+         f2_rows AS (SELECT r, sum(cnt * cnt)::BIGINT AS dot
+           FROM ug GROUP BY r),
+         f2 AS (SELECT min(dot)::BIGINT AS est FROM f2_rows),
+         f2_exact AS (SELECT sum(c * c)::BIGINT AS exact FROM
+           (SELECT count(*)::BIGINT AS c FROM events GROUP BY user_id)),
+         tots AS (SELECT (SELECT count(*) FROM lineitem)::BIGINT AS n_li,
+             (SELECT count(*) FROM orders)::BIGINT AS n_ord,
+             (SELECT count(*) FROM events)::BIGINT AS n_ev)
+         SELECT 'fk_join' AS kind, fk.est, fk_exact.exact,
+             tots.n_li AS total_a, tots.n_ord AS total_b
+           FROM fk, fk_exact, tots
+         UNION ALL
+         SELECT 'self_f2' AS kind, f2.est, f2_exact.exact,
+             tots.n_ev AS total_a, tots.n_ev AS total_b
+           FROM f2, f2_exact, tots
+         ORDER BY kind"""),
     // full Poisson-bootstrap replay: the same hash → uniform → inverse-CDF
     // weight chain (shared decimal literals parse to the same doubles),
     // integer replicate sums, nearest-rank order statistics

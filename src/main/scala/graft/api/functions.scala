@@ -136,6 +136,8 @@ object functions {
   def cms_count(sketch: Column, item: Column): Column =
     toColumn(CmsCount(toExpr(sketch), toExpr(item)))
   def cms_total(sketch: Column): Column = toColumn(CmsTotal(toExpr(sketch)))
+  def cms_dot(a: Column, b: Column): Column =
+    toColumn(CmsDot(toExpr(a), toExpr(b)))
 
   def hll_agg(value: Column): Column = agg(new HllAgg(toExpr(value)))
   def hll_agg(value: Column, p: Int): Column =
@@ -273,7 +275,7 @@ object GraftFunctions {
   /** Arity accepted by each SQL function, for clean WRONG_NUM_ARGS errors. */
   private val arities: Map[String, Seq[Int]] = Map(
     "summary_stats" -> Seq(1, 2), "tdigest" -> Seq(1, 2, 3),
-    "cms_agg" -> Seq(1, 3), "cms_total" -> Seq(1),
+    "cms_agg" -> Seq(1, 3), "cms_total" -> Seq(1), "cms_dot" -> Seq(2),
     "kmv_agg" -> Seq(1, 2), "kmv_jaccard" -> Seq(2), "kmv_set_ops" -> Seq(2),
     "hll_agg" -> Seq(1, 2),
     "exact_sum" -> Seq(1), "vec_exact_sum" -> Seq(1), "gram_agg" -> Seq(1),
@@ -372,6 +374,7 @@ object GraftFunctions {
     "gram_agg" -> aggB { case Seq(v) => GramAgg(v) },
     "cms_count" -> { case Seq(s, i) => CmsCount(s, i) },
     "cms_total" -> { case Seq(s) => CmsTotal(s) },
+    "cms_dot" -> { case Seq(a, b) => CmsDot(a, b) },
     "kmv_distinct" -> { case Seq(s) => KmvDistinct(s) },
     "kmv_size" -> { case Seq(s) => KmvSize(s) },
     "kmv_jaccard" -> { case Seq(a, b) => KmvJaccard(a, b) },

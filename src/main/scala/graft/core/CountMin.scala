@@ -96,6 +96,47 @@ object CountMin {
     readLongBE(bytes, 9)
   }
 
+  /** Inner-product estimate between two same-shaped sketches (Cormode &
+    * Muthukrishnan 2005 §4.2): min over rows of Σ_j a[r][j]·b[r][j] —
+    * an overestimate of Σ_k f_A(k)·f_B(k) by at most ε·N_A·N_B w.h.p.
+    * This is the classic sketch-based JOIN SIZE estimate: |A ⋈_k B| for
+    * a many-to-many equi-join IS Σ_k f_A(k)·f_B(k), and with a = b it is
+    * the second frequency moment F2 = Σ f², the self-join size that
+    * quantifies key skew. Accumulation saturates at Long.MaxValue rather
+    * than wrapping (at 2^63 the answer is "do not run this join as
+    * planned" regardless of the exact magnitude). O(depth·width) reads
+    * straight off the blobs, once per estimate. */
+  def innerProductFromBlobs(a: Array[Byte], b: Array[Byte]): Long = {
+    val widthA = checkHeader(a)
+    val widthB = checkHeader(b)
+    val depthA = readIntBE(a, 1)
+    val depthB = readIntBE(b, 1)
+    require(depthA == depthB && widthA == widthB,
+      s"cannot dot CMS($depthA,$widthA) with CMS($depthB,$widthB)")
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depthA) {
+      var acc = 0L
+      var j = 0
+      var saturated = false
+      while (j < widthA && !saturated) {
+        val off = 17 + (r * widthA + j) * 8
+        val ca = readLongBE(a, off)
+        val cb = readLongBE(b, off)
+        if (ca != 0L && cb != 0L) {
+          val p = ca * cb
+          // overflow checks: ca,cb > 0 so p and acc+p must stay positive
+          if (p / ca != cb || acc + p < acc) saturated = true
+          else acc += p
+        }
+        j += 1
+      }
+      if (!saturated && acc < best) best = acc
+      r += 1
+    }
+    best
+  }
+
   /** Validates magic/shape/length; returns the width. */
   private def checkHeader(bytes: Array[Byte]): Int = {
     require(bytes.length >= 17, s"CMS blob too short: ${bytes.length} bytes")

@@ -48,6 +48,27 @@ case class CmsCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** cms_dot(a, b) → long: the Count-Min inner-product estimate
+  * min_r Σ_j a[r][j]·b[r][j] — an upper bound (≤ true + ε·N_A·N_B
+  * w.h.p.) on Σ_k f_A(k)·f_B(k), i.e. the equi-join output size of the
+  * two sketched key columns (self-dot = F2, the skew diagnostic). Both
+  * sketches must share (depth, width). O(depth·width) per call — this
+  * runs once per PLANNING decision, not per row. */
+case class CmsDot(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CountMin.innerProductFromBlobs(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.core.CountMin.innerProductFromBlobs($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** cms_total(sketch) → long: total weight the sketch has absorbed — one
   * header read off the blob, codegen'd. */
 case class CmsTotal(child: Expression)

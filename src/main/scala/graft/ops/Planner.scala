@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Sketch-based pre-flight query planning: estimate the output size of
+  * an equi-join, or the self-join size (F2) that quantifies key skew,
+  * from two Count-Min sketches — BEFORE running the join.
+  *
+  * Why this matters at 100 TB: the expensive planning mistakes are
+  * (a) shuffle-joining something that should have been broadcast,
+  * (b) broadcast-joining something too big, and (c) walking into a
+  * skew-exploding many-to-many join. All three decisions hinge on
+  * quantities a CMS pair answers in two cheap scans:
+  * |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated by the sketch inner product
+  * (Cormode & Muthukrishnan 2005 §4.2, AMS lineage), and F2 = Σ f²
+  * (a = b) is the canonical skew diagnostic — F2 ≫ N means a handful of
+  * keys dominate and the join wants salting/AQE skew handling.
+  *
+  * The whole computation is declarative: each side aggregates to ONE
+  * sketch row (map-side combined, ~depth·width·8 bytes of state), the
+  * two 1-row frames cross-join, and [[gf.cms_dot]] evaluates inside the
+  * plan — no driver collect, no full-table shuffle, and the estimate's
+  * cost is independent of either table's row count.
+  *
+  * Estimates are one-sided: cms_dot ≥ the true size, within
+  * ε·N_A·N_B/width w.h.p. — the safe direction for capacity planning
+  * (a join the ESTIMATE says is small, is small).
+  */
+object Planner {
+
+  /** One-row estimate of |dfA ⋈ dfB| on keyA = keyB:
+    * (est_join_rows, total_a, total_b). */
+  def joinSizeEstimate(dfA: DataFrame, keyA: Column,
+      dfB: DataFrame, keyB: Column,
+      depth: Int = 4, width: Int = 4096): DataFrame = {
+    val a = dfA.agg(gf.cms_agg(keyA, depth, width).as("__ca"))
+    val b = dfB.agg(gf.cms_agg(keyB, depth, width).as("__cb"))
+    a.crossJoin(b).select(
+      gf.cms_dot(col("__ca"), col("__cb")).as("est_join_rows"),
+      gf.cms_total(col("__ca")).as("total_a"),
+      gf.cms_total(col("__cb")).as("total_b"))
+  }
+
+  /** One-row estimate of the self-join size F2 = Σ_k f(k)² plus the
+    * derived skew ratio F2/N (mean join fan-out per row; 1.0 = unique
+    * key, ≫ 1 = heavy skew): (est_f2, total, skew_ratio). */
+  def selfJoinSizeEstimate(df: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 4096): DataFrame =
+    df.agg(gf.cms_agg(key, depth, width).as("__c"))
+      .select(
+        gf.cms_dot(col("__c"), col("__c")).as("est_f2"),
+        gf.cms_total(col("__c")).as("total"),
+        (gf.cms_dot(col("__c"), col("__c")).cast("double") /
+          gf.cms_total(col("__c"))).as("skew_ratio"))
+}

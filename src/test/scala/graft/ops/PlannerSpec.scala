@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.CountMin
+
+/** CMS join-size / F2 estimation (Planner, CountMin.innerProductFromBlobs,
+  * cms_dot). */
+class PlannerSpec extends SparkTestBase {
+
+  test("innerProductFromBlobs equals the exact Σ f_A·f_B on a wide sketch") {
+    // width 4096 >> 50 distinct keys: no collisions, estimate is exact
+    val a = new CountMin(4, 4096)
+    val b = new CountMin(4, 4096)
+    (1 to 50).foreach(k => (0 until k).foreach(_ => a.add(k.toLong)))
+    (1 to 30).foreach(k => (0 until 2 * k).foreach(_ => b.add(k.toLong)))
+    val expected = (1 to 30).map(k => k.toLong * (2L * k)).sum
+    assert(CountMin.innerProductFromBlobs(a.serialize(), b.serialize())
+      == expected)
+  }
+
+  test("inner product is an upper bound under collisions") {
+    val a = new CountMin(4, 16)
+    val b = new CountMin(4, 16)
+    (1 to 200).foreach(k => a.add(k.toLong))
+    (1 to 200).foreach(k => b.add(k.toLong))
+    val est = CountMin.innerProductFromBlobs(a.serialize(), b.serialize())
+    assert(est >= 200L) // true Σ f·f = 200 (all counts 1)
+  }
+
+  test("shape mismatch is refused") {
+    val a = new CountMin(4, 16)
+    val b = new CountMin(4, 32)
+    intercept[IllegalArgumentException] {
+      CountMin.innerProductFromBlobs(a.serialize(), b.serialize())
+    }
+  }
+
+  test("saturation instead of wrap on overflow-sized counters") {
+    val a = new CountMin(1, 2)
+    a.add(0L, Long.MaxValue / 2)
+    a.add(1L, Long.MaxValue / 2)
+    val est = CountMin.innerProductFromBlobs(a.serialize(), a.serialize())
+    assert(est == Long.MaxValue)
+  }
+
+  test("Planner.joinSizeEstimate is exact for a collision-free FK join") {
+    import spark.implicits._
+    val orders = (1L to 100L).map(k => (k, s"o$k")).toDF("okey", "pay")
+    val items = (1L to 100L).flatMap(k =>
+      (0 until (k % 5).toInt).map(i => (k, i))).toDF("okey", "line")
+    val exact = items.join(orders, "okey").count()
+    val row = Planner.joinSizeEstimate(items, col("okey"),
+      orders, col("okey")).collect()(0)
+    assert(row.getLong(0) == exact)
+    assert(row.getLong(1) == items.count())
+    assert(row.getLong(2) == 100L)
+  }
+
+  test("selfJoinSizeEstimate recovers F2 and the skew ratio") {
+    import spark.implicits._
+    // one heavy key (100 rows) + 100 singletons: F2 = 10000 + 100
+    val df = ((1 to 100).map(_ => 7L) ++ (1000L until 1100L))
+      .toDF("k")
+    val row = Planner.selfJoinSizeEstimate(df, col("k")).collect()(0)
+    assert(row.getLong(0) == 10100L)
+    assert(row.getLong(1) == 200L)
+    assert(math.abs(row.getDouble(2) - 50.5) < 1e-12)
+  }
+
+  test("cms_dot is callable from SQL") {
+    import spark.implicits._
+    (1L to 10L).toDF("k").createOrReplaceTempView("plannerspec_t")
+    val r = spark.sql(
+      """SELECT cms_dot(s, s) AS f2 FROM
+         (SELECT cms_agg(k, 4, 256) AS s FROM plannerspec_t)""")
+      .collect()(0)
+    assert(r.getLong(0) == 10L)
+  }
+}
