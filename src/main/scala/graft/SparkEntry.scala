@@ -1717,6 +1717,24 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q248_triplet_mine" -> ((s, dir) => {
+      // FaceNet semi-hard triplet mining over the labeled embeddings:
+      // positive = nearest same-label, negative = hardest in the
+      // (cos_pos − 0.1, cos_pos) band, else hardest overall flagged
+      // semi_hard=0. Brute-force scoring is the in-gate truth (the ANN
+      // candidate path shares selection via tripletsFrom); band
+      // comparisons run on round(6) cosines on BOTH engines, so the
+      // branch decisions replay exactly
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.tripletMine(emb,
+          emb.where(col("vec_id") < 40), "vec_id", "embedding", "label",
+          margin = 0.1)
+        .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+          col("cos_pos"), col("cos_neg"),
+          col("semi_hard").cast("int").as("semi_hard"))
+        .orderBy("anchor_id")
+    }),
+
     "q247_join_estimate" -> ((s, dir) => {
       // sketch-based pre-flight planning: CMS inner-product estimates of
       // (a) |lineitem ⋈ orders| and (b) F2(events.user_id) — next to the
@@ -7715,6 +7733,32 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // the same rounded-cosine selection DAG: argmax same-label, then
+    // (semi DESC, cos DESC, id) over different-label candidates
+    "q248_triplet_mine" ->
+      """WITH a AS (SELECT vec_id, embedding, label FROM embeddings
+             WHERE vec_id < 40),
+         p AS (SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+             a.label = c.label AS same,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+               c.embedding::DOUBLE[]), 6) AS cos
+           FROM a, embeddings c WHERE c.vec_id <> a.vec_id),
+         pos AS (SELECT anchor_id, cos AS cos_pos, cand_id AS pos_id FROM (
+           SELECT anchor_id, cand_id, cos, row_number() OVER (
+             PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rn
+           FROM p WHERE same) WHERE rn = 1),
+         ng AS (SELECT p.anchor_id, p.cand_id, p.cos, pos.cos_pos,
+             pos.pos_id,
+             (p.cos < pos.cos_pos AND p.cos > pos.cos_pos - 0.1) AS is_semi
+           FROM p JOIN pos USING (anchor_id) WHERE NOT same),
+         neg AS (SELECT anchor_id, pos_id, cos_pos, is_semi, cos AS cos_neg,
+             cand_id AS neg_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY anchor_id
+             ORDER BY is_semi DESC, cos DESC, cand_id) AS rn FROM ng)
+           WHERE rn = 1)
+         SELECT anchor_id, pos_id, neg_id, cos_pos, cos_neg,
+           is_semi::INT AS semi_hard
+         FROM neg ORDER BY anchor_id""",
     // the q96 grid construction for BOTH sides; per-row bucket products,
     // min over rows — collisions replay bit-for-bit
     "q247_join_estimate" ->

@@ -1140,4 +1140,73 @@ object Similarity {
         typedLit((0 until d).map(i => w(i)(j))))
     }: _*)
   }
+
+  /** Semi-hard triplet mining for metric-learning training data
+    * (Schroff et al. 2015, FaceNet §3.2): per anchor, positive = the
+    * most-similar SAME-label vector, negative = the most-similar
+    * DIFFERENT-label vector inside the semi-hard band
+    * `cos_pos − margin < cos_neg < cos_pos` (harder than "easy", not yet
+    * violating); when the band is empty, fall back to the hardest
+    * negative overall with `semi_hard = false` — the standard
+    * batch-all fallback, flagged so a trainer can weight it.
+    *
+    * Anchors with no same-label peer produce no triplet. All argmaxes
+    * break ties deterministically by LOWEST candidate id, and every
+    * band comparison runs on cosines rounded to `roundTo` — the exact
+    * values an external engine reproduces, so selection is
+    * engine-portable (no hidden ulp-sensitive branches).
+    *
+    * This entry is the brute-force in-gate truth (anchors × corpus
+    * scored pairs). At scale, generate per-anchor candidates with the
+    * indexed paths ([[sqTopK]]/[[ivfPqTopK]] for negatives, the same
+    * within-label) and feed the (anchor_id, cand_id, cosine,
+    * same_label) frame through [[tripletsFrom]] — selection semantics
+    * are identical on any candidate superset that contains the
+    * positive and the band. */
+  def tripletMine(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, margin: Double,
+      roundTo: Int = 6): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).cast("array<double>").as("__av"),
+      col(labelCol).as("__al"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"),
+      col(labelCol).as("__cl"))
+    val scored = c.join(broadcast(a), col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        round(gf.vec_cosine(col("__av"), col("__cv")), roundTo)
+          .as("cosine"),
+        (col("__al") === col("__cl")).as("same_label"))
+    tripletsFrom(scored, margin)
+  }
+
+  /** Select triplets from any scored candidate frame
+    * (anchor_id, cand_id, cosine, same_label) — see [[tripletMine]].
+    * Two group-keyed aggregations (positive pick, then negative pick
+    * against the broadcast-sized positive table is NOT assumed —
+    * the join is anchor-keyed and shuffles candidate rows once). */
+  def tripletsFrom(scored: DataFrame, margin: Double): DataFrame = {
+    require(margin > 0, "margin must be > 0")
+    // deterministic argmax: max(struct(cosine, -id)) orders by cosine
+    // then by LOWEST id among ties
+    val pos = scored.where(col("same_label"))
+      .groupBy("anchor_id")
+      .agg(max(struct(col("cosine").as("c"), (-col("cand_id")).as("nid")))
+        .as("__p"))
+      .select(col("anchor_id"), col("__p.c").as("cos_pos"),
+        (-col("__p.nid")).as("pos_id"))
+    val neg = scored.where(!col("same_label"))
+      .join(pos, "anchor_id")
+      .withColumn("__semi",
+        (col("cosine") < col("cos_pos")) &&
+          (col("cosine") > col("cos_pos") - lit(margin)))
+      .groupBy("anchor_id")
+      .agg(max(struct(col("__semi").as("s"), col("cosine").as("c"),
+        (-col("cand_id")).as("nid"))).as("__n"))
+      .select(col("anchor_id"), col("__n.s").as("semi_hard"),
+        col("__n.c").as("cos_neg"), (-col("__n.nid")).as("neg_id"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("cos_pos"), col("cos_neg"), col("semi_hard"))
+  }
 }
