@@ -1717,6 +1717,33 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q249_incontext_pack" -> ((s, dir) => {
+      // In-Context-Pretraining packing: docs route to their nearest of
+      // the fixed 8-centroid codebook (q76's assignment kernel),
+      // order within cluster by (round-6 cosine DESC, id), and
+      // contiguous-fill 2048-token bins per cluster — windows never
+      // straddle clusters. Receipts per (cluster, bin) incl. the
+      // order-pinning Σ cum·doc_id
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val codebook = emb.where(col("vec_id") < 8)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("embedding"),
+          gf.token_count(col("text")).as("toks"))
+      graft.ops.InContext.packByCluster(joined, col("doc_id"),
+          col("toks"), col("embedding"), codebook, budget = 2048L)
+        .groupBy("cluster", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tok_sum"),
+          bit_xor(gf.hash64(col("doc_id"))).as("id_xor"),
+          sum(col("cum_tokens") * col("doc_id")).as("order_pin"))
+        .orderBy("cluster", "bin")
+    }),
+
     "q248_triplet_mine" -> ((s, dir) => {
       // FaceNet semi-hard triplet mining over the labeled embeddings:
       // positive = nearest same-label, negative = hardest in the
@@ -7733,6 +7760,32 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // q76's raw-cosine argmax assignment, then the round-6-cosine-DESC
+    // window prefix sum and the 2048-token integer bin rule
+    "q249_incontext_pack" ->
+      (hashMacros +
+        """WITH cb AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
+             e.embedding AS dv
+           FROM documents JOIN embeddings e ON documents.doc_id = e.vec_id),
+         sc AS (SELECT doc_id, n, cid,
+             list_cosine_similarity(dv::DOUBLE[], cv::DOUBLE[]) AS cos
+           FROM d, cb),
+         asg AS (SELECT doc_id, n, cid AS cluster, round(cos, 6) AS cos6
+           FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY cos DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         c AS (SELECT doc_id, n, cluster, cos6,
+             sum(n) OVER (PARTITION BY cluster ORDER BY cos6 DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM asg),
+         b AS (SELECT cluster, ((cum - n) // 2048)::BIGINT AS bin,
+             doc_id, n, cum FROM c)
+         SELECT cluster::INT AS cluster, bin, count(*)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS tok_sum,
+           bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor,
+           sum(cum * doc_id)::BIGINT AS order_pin
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
     // the same rounded-cosine selection DAG: argmax same-label, then
     // (semi DESC, cos DESC, id) over different-label candidates
     "q248_triplet_mine" ->
