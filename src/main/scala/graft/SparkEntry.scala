@@ -84,6 +84,10 @@ object SparkEntry {
   private val docStreamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One-time 8-file events layout for q250's micro-batch replay. */
+  private val eventsStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** One-time ORDERED 8-file documents layout for q235: each file holds
     * a contiguous doc_id range, modification times spaced so file
     * readStream (latestFirst=false, 1 file/trigger) replays the corpus
@@ -1715,6 +1719,48 @@ object SparkEntry {
           bit_xor(gf.hash64(col("doc_id"))).as("id_xor"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("epoch", "shard")
+    }),
+
+    "q250_streaming_advantage" -> ((s, dir) => {
+      // reward normalization as DEPLOYED: per-prompt stats are FROZEN
+      // model state (persisted, reloaded), and arriving candidate
+      // batches normalize under the STORED table — 8 real micro-batches
+      // through file readStream, never deriving stats from a batch
+      // (q219's frozen-artifact contract, for the reward path). The
+      // union of per-batch outputs must equal the one-shot window path:
+      // the oracle recomputes q245's z algebra independently
+      val tmp = eventsStreamDirCache.computeIfAbsent(dir, { d =>
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q250").toString
+        s.read.parquet(s"$d/events.parquet").repartition(8)
+          .write.parquet(s"$base/events.parquet")
+        base
+      })
+      val statsDir = java.nio.file.Files
+        .createTempDirectory("graft_q250s").toString
+      graft.ops.Reward.groupStats(t(s, dir, "events"), Seq("user_id"),
+          col("value"))
+        .write.mode("overwrite").parquet(s"$statsDir/stats")
+      val stats = s.read.parquet(s"$statsDir/stats")
+      val outBase = java.nio.file.Files
+        .createTempDirectory("graft_q250o").toString
+      val stream = graft.sources.Tables.loadStream(s, tmp, "events",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.Reward.advantageFromStats(batch, stats,
+              Seq("user_id"), col("value"))
+            .select(col("event_id"), col("user_id"), col("advantage"))
+            .write.mode("append").parquet(s"$outBase/adv")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$outBase/adv")
+        .where(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"),
+          round(col("advantage"), 6).as("adv"))
+        .orderBy("event_id")
     }),
 
     "q249_incontext_pack" -> ((s, dir) => {
@@ -7760,6 +7806,22 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // q245's z algebra, recomputed independently — the streamed
+    // frozen-stats path must land on the same normalized values
+    "q250_streaming_advantage" ->
+      """WITH s AS (SELECT event_id, user_id, value,
+             count(value) OVER w AS n,
+             sum(value) OVER w AS s1,
+             sum(value * value) OVER w AS s2
+           FROM events WHERE user_id < 40
+           WINDOW w AS (PARTITION BY user_id)),
+         z AS (SELECT event_id, user_id, value, n, s1 / n AS m,
+             sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+           FROM s)
+         SELECT event_id, user_id,
+           round(CASE WHEN n <= 1 OR sd = 0 THEN 0.0
+                      ELSE (value - m) / sd END, 6) AS adv
+         FROM z ORDER BY event_id""",
     // q76's raw-cosine argmax assignment, then the round-6-cosine-DESC
     // window prefix sum and the 2048-token integer bin rule
     "q249_incontext_pack" ->

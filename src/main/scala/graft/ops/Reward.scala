@@ -73,6 +73,52 @@ object Reward {
       .withColumn(s"${outCol}_std", when(n >= 2, std))
   }
 
+  /** Per-group reward statistics as a persistable table — the FROZEN
+    * half of the serving split: (groupCols…, n, mean, std). `std` is
+    * sample std (NULL for n < 2). Computed through [[gf.exact_sum]], so
+    * a stats table written today and one recomputed tomorrow over the
+    * same rows are byte-identical, and [[advantageFromStats]] under
+    * this table reproduces [[groupAdvantage]]'s bits exactly. */
+  def groupStats(df: DataFrame, groupCols: Seq[String],
+      rewardCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val r = rewardCol.cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(r).as("n"),
+        gf.exact_sum(r).as("__s1"),
+        gf.exact_sum(r * r).as("__s2"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        when(col("n") >= 1, col("__s1") / col("n")).as("mean"),
+        when(col("n") >= 2, sqrt(greatest(
+          (col("__s2") - col("__s1") * col("__s1") / col("n"))
+            / (col("n") - lit(1)), lit(0.0)))).as("std")): _*)
+  }
+
+  /** Serving-shape normalization: standardize arriving rewards under a
+    * FROZEN [[groupStats]] table (stats are model state, never derived
+    * from the arriving batch — same contract as encoding under a stored
+    * tokenizer). Groups absent from the stats table, singleton groups,
+    * and zero-variance groups take advantage 0.0; NULL rewards take
+    * NULL. The join is group-keyed; in a serving batch the stats side is
+    * bounded by the batch's distinct prompts. */
+  def advantageFromStats(df: DataFrame, stats: DataFrame,
+      groupCols: Seq[String], rewardCol: Column,
+      outCol: String = "advantage"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    checkCols(df, Seq(outCol))
+    val r = rewardCol.cast("double")
+    val st = stats.select(groupCols.map(col) ++ Seq(col("n").as("__gn"),
+      col("mean").as("__gm"), col("std").as("__gs")): _*)
+    df.join(st, groupCols, "left")
+      .withColumn(outCol,
+        when(r.isNull, lit(null).cast("double"))
+          .when(col("__gn").isNull || col("__gn") <= 1 ||
+            col("__gs") === 0.0, lit(0.0))
+          .otherwise((r - col("__gm")) / col("__gs")))
+      .drop("__gn", "__gm", "__gs")
+  }
+
   /** RLOO leave-one-out advantage: adds `outCol` =
     * `r − (Σ_g r − r) / (n_g − 1)` — each candidate against the mean of
     * the OTHER candidates of its prompt. Groups with a single non-null

@@ -76,6 +76,35 @@ class RewardSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("advantageFromStats under own-corpus stats == groupAdvantage bits") {
+    val stats = Reward.groupStats(df, Seq("prompt"), col("reward"))
+    val served = Reward.advantageFromStats(df, stats, Seq("prompt"),
+        col("reward"))
+      .select("cand_id", "advantage").orderBy("cand_id").collect().toSeq
+    val trained = Reward.groupAdvantage(df, Seq("prompt"), col("reward"))
+      .select("cand_id", "advantage").orderBy("cand_id").collect().toSeq
+    assert(served == trained)
+  }
+
+  test("advantageFromStats: unseen group -> 0.0, stats stay frozen") {
+    import spark.implicits._
+    val stats = Reward.groupStats(df, Seq("prompt"), col("reward"))
+    val fresh = Seq(("pX", 99L, 123.0), ("p1", 98L, 4.0))
+      .toDF("prompt", "cand_id", "reward")
+    val got = Reward.advantageFromStats(fresh, stats, Seq("prompt"),
+        col("reward"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got(99L) == 0.0) // pX never seen
+    // p1 stats frozen from df (mean 4, std sqrt(20/3)): z(4.0) = 0
+    assert(got(98L) == 0.0)
+  }
+
+  test("groupStats emits NULL std for singletons") {
+    val st = Reward.groupStats(df, Seq("prompt"), col("reward"))
+      .where(col("prompt") === "p3").collect()(0)
+    assert(st.getLong(1) == 1L && st.getDouble(2) == 42.0 && st.isNullAt(3))
+  }
+
   test("reserved output columns are refused") {
     intercept[IllegalArgumentException] {
       Reward.groupAdvantage(df.withColumn("advantage", lit(1)),
