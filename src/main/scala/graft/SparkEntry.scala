@@ -1721,6 +1721,26 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q251_dedup_batches" -> ((s, dir) => {
+      // dedup-aware contrastive batching: near-dup components (q37's
+      // verified chain) spread across 16 batches so no batch ever holds
+      // two copies of the same text as a false in-batch negative.
+      // Receipt: per batch n_docs vs n_components (equal ⇔ conflict-
+      // free), plus the membership xor
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+      val clusters = graft.ops.Dedup.components(pairs,
+        allIds = Some(docs.select("doc_id")))
+      graft.ops.Dedup.spreadAcrossBatches(clusters, nBatches = 16,
+          seed = 7)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("component").as("n_components"),
+          bit_xor(gf.hash64(col("id"))).as("id_xor"))
+        .orderBy("batch")
+    }),
+
     "q250_streaming_advantage" -> ((s, dir) => {
       // reward normalization as DEPLOYED: per-prompt stats are FROZEN
       // model state (persisted, reloaded), and arriving candidate
@@ -7806,6 +7826,30 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // q37's brute-force jaccard pairs + label-propagation components,
+    // singletons re-attached as their own component, then the seeded
+    // offset + rank round-robin rule
+    "q251_dedup_batches" ->
+      (hashMacros + """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t), 1)),
+               i -> t[i] || chr(1) || t[i+1])) AS s
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),""" +
+        jaccardPairCtes + """,
+         pairs AS (SELECT idA, idB FROM jp WHERE j >= 0.5),""" +
+        lpComponentCtes + """,
+         allm AS (SELECT id, component FROM comp
+           UNION ALL
+           SELECT doc_id, doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT id FROM comp)),
+         r AS (SELECT id, component, row_number() OVER (
+             PARTITION BY component ORDER BY id) - 1 AS rk FROM allm),
+         a AS (SELECT id, component,
+             ((g_sb(g_thash('7:' || component::VARCHAR)) % 16 + 16) % 16
+               + rk) % 16 AS batch FROM r)
+         SELECT batch::BIGINT AS batch, count(*)::BIGINT AS n_docs,
+           count(DISTINCT component)::BIGINT AS n_components,
+           bit_xor(g_sb(g_av(id::UBIGINT))) AS id_xor
+         FROM a GROUP BY 1 ORDER BY 1"""),
     // q245's z algebra, recomputed independently — the streamed
     // frozen-stats path must land on the same normalized values
     "q250_streaming_advantage" ->

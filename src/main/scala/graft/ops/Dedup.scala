@@ -1029,4 +1029,37 @@ object Dedup {
         col("n_b"),
         (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
           .as("overlap"))
+
+  /** Dedup-aware batch assignment for contrastive training: spread the
+    * members of each near-dup component across DISTINCT batches, so a
+    * document's near-duplicate never appears as an in-batch "negative"
+    * (the classic InfoNCE false-negative: the loss pushes apart two
+    * texts that are the same text).
+    *
+    * Rule: members rank within their component by id; batch =
+    * (hash(seed:component) mod B + rank) mod B — a seeded offset so
+    * components don't pile onto batch 0, then round-robin. Components
+    * of size ≤ B are conflict-FREE by construction; larger ones wrap
+    * with the minimum possible collisions (⌈size/B⌉ per batch).
+    * Singletons (component == own id when [[components]] ran with
+    * `allIds`) fall out of the same rule as pure hash spread.
+    *
+    * Scale shape: one window over component-keyed partitions (near-dup
+    * cliques are small — the partition is the clique, not the corpus)
+    * after the components pass the pipeline already ran; nothing else
+    * shuffles. Deterministic for any partitioning: rank orders by id,
+    * the hash is row-local. */
+  def spreadAcrossBatches(clusters: DataFrame, nBatches: Int,
+      seed: Long): DataFrame = {
+    require(nBatches >= 2, "need at least 2 batches")
+    require(!clusters.columns.exists(Set("__rank", "batch")),
+      "input may not contain reserved columns __rank, batch")
+    val w = Window.partitionBy("component").orderBy("id")
+    val off = pmod(gf.hash64(concat(lit(s"$seed:"),
+      col("component").cast("string"))), lit(nBatches.toLong))
+    clusters
+      .withColumn("__rank", row_number().over(w) - 1)
+      .withColumn("batch", pmod(off + col("__rank"), lit(nBatches.toLong)))
+      .drop("__rank")
+  }
 }
