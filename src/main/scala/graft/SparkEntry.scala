@@ -1721,6 +1721,42 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q252_streaming_sketch_store" -> ((s, dir) => {
+      // persisted-sketch lifecycle: 8 real micro-batches each fold into
+      // the stored CMS blob (read-merge-write through cms_merge_agg);
+      // the FINAL store must hold the exact one-shot full-corpus state
+      // (monoid law through persistence), probed via point estimates,
+      // total, and the cms_dot self-join estimate the planner consumes.
+      // Oracle = the q96 grid replay over the whole events table
+      val tmp = eventsStreamDirCache.computeIfAbsent(dir, { d =>
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q250").toString
+        s.read.parquet(s"$d/events.parquet").repartition(8)
+          .write.parquet(s"$base/events.parquet")
+        base
+      })
+      val storeBase = java.nio.file.Files
+        .createTempDirectory("graft_q252").toString
+      val stream = graft.sources.Tables.loadStream(s, tmp, "events",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$storeBase/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.SketchStore.updateCms(s, batch, col("user_id"),
+            s"$storeBase/cms")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val blob = graft.ops.SketchStore.loadCms(s, s"$storeBase/cms").get
+      s.range(1, 21)
+        .select(col("id").cast("long").as("item"),
+          gf.cms_count(lit(blob), col("id")).as("est"),
+          gf.cms_total(lit(blob)).as("total"),
+          gf.cms_dot(lit(blob), lit(blob)).as("f2"))
+        .orderBy("item")
+    }),
+
     "q251_dedup_batches" -> ((s, dir) => {
       // dedup-aware contrastive batching: near-dup components (q37's
       // verified chain) spread across 16 batches so no batch ever holds
@@ -7826,6 +7862,24 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // the q96 grid over the FULL events table: what the incrementally-
+    // maintained store must equal after all 8 folds
+    "q252_streaming_sketch_store" ->
+      (hashMacros +
+        """WITH b AS (SELECT r, g_av(g_am(user_id::UBIGINT,
+               (r * 2654435761)::UBIGINT)) & 4095 AS bk,
+             count(*)::BIGINT AS cnt
+           FROM events, unnest(range(0, 4)) t(r) GROUP BY 1, 2),
+         p AS (SELECT i AS item, r, g_av(g_am(i::UBIGINT,
+               (r * 2654435761)::UBIGINT)) & 4095 AS bk
+             FROM unnest(range(1, 21)) t1(i), unnest(range(0, 4)) t2(r)),
+         tot AS (SELECT count(*)::BIGINT AS n FROM events),
+         f2r AS (SELECT r, sum(cnt * cnt)::BIGINT AS dot FROM b GROUP BY r),
+         f2 AS (SELECT min(dot)::BIGINT AS f FROM f2r)
+         SELECT p.item, min(coalesce(b.cnt, 0))::BIGINT AS est,
+           tot.n AS total, f2.f AS f2
+         FROM p LEFT JOIN b USING (r, bk), tot, f2
+         GROUP BY 1, 3, 4 ORDER BY item"""),
     // q37's brute-force jaccard pairs + label-propagation components,
     // singletons re-attached as their own component, then the seeded
     // offset + rank round-robin rule
