@@ -1721,6 +1721,17 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q253_shuffle_plan" -> ((s, dir) => {
+      // the ONE-SCAN shuffle pre-flight: count + HLL + CMS + SpaceSaving
+      // ride a single aggregation (no shuffle of the data), answering
+      // rows / distinct / heaviest key / F2 / task count / salt flag
+      // before any join or groupBy runs. SS capacity 4096 ≥ distinct
+      // users through sf0.1, so the head is exact; the HLL estimate and
+      // CMS F2 replay in full in the oracle
+      graft.ops.Planner.shufflePlan(t(s, dir, "events"), col("user_id"),
+        targetRowsPerTask = 1000L)
+    }),
+
     "q252_streaming_sketch_store" -> ((s, dir) => {
       // persisted-sketch lifecycle: 8 real micro-batches each fold into
       // the stored CMS blob (read-merge-write through cms_merge_agg);
@@ -7862,6 +7873,43 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // q166's register-level HLL replay (user_id arm), exact SS head
+    // (capacity ≥ distinct), q96's CMS grid for F2, plus the task/salt
+    // arithmetic
+    "q253_shuffle_plan" ->
+      (hashMacros +
+        """CREATE OR REPLACE MACRO g_kh(v) AS
+  g_av(xor(v::UBIGINT, 11400714819323198485::UBIGINT));
+WITH src AS MATERIALIZED (SELECT g_kh(user_id) AS h FROM events),
+br AS (SELECT (h >> 52)::BIGINT AS b,
+    CASE WHEN (h & 4503599627370495::UBIGINT) = 0::UBIGINT THEN 53
+         ELSE 53 - length(printf('%b',
+           (h & 4503599627370495::UBIGINT)::BIGINT)) END AS rho
+  FROM src),
+reg AS (SELECT b, max(rho) AS r FROM br GROUP BY 1),
+est AS (SELECT count(*)::BIGINT AS nonzero,
+    sum(pow(2.0, -r)) AS occsum FROM reg),
+fin AS (SELECT nonzero,
+    (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096 /
+      ((4096 - nonzero) * 1.0 + occsum) AS raw FROM est),
+hll AS (SELECT round(CASE WHEN raw <= 2.5 * 4096 AND nonzero < 4096
+      THEN 4096 * ln(4096.0 / (4096 - nonzero)) ELSE raw END, 4)
+    AS est_distinct FROM fin),
+cnt AS (SELECT count(*)::BIGINT AS n_rows FROM events),
+topk AS (SELECT user_id AS top_key, count(*)::BIGINT AS top_count
+  FROM events GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 1),
+ug AS (SELECT r, g_av(g_am(user_id::UBIGINT,
+      (r * 2654435761)::UBIGINT)) & 4095 AS bk, count(*)::BIGINT AS cnt
+  FROM events, unnest(range(0, 4)) t(r) GROUP BY 1, 2),
+f2r AS (SELECT r, sum(cnt * cnt)::BIGINT AS dot FROM ug GROUP BY r),
+f2 AS (SELECT min(dot)::BIGINT AS est_f2 FROM f2r),
+tasks AS (SELECT greatest(ceil(n_rows / 1000.0)::BIGINT, 1)
+    AS suggested_tasks FROM cnt)
+SELECT cnt.n_rows, hll.est_distinct, topk.top_key, topk.top_count,
+  f2.est_f2, tasks.suggested_tasks,
+  (topk.top_count * tasks.suggested_tasks > 2 * cnt.n_rows)::INT
+    AS salt_hot
+FROM cnt, hll, topk, f2, tasks"""),
     // the q96 grid over the FULL events table: what the incrementally-
     // maintained store must equal after all 8 folds
     "q252_streaming_sketch_store" ->

@@ -43,6 +43,54 @@ object Planner {
       gf.cms_total(col("__cb")).as("total_b"))
   }
 
+  /** ONE-SCAN shuffle pre-flight report for a prospective join/groupBy
+    * key: every quantity a partitioning decision needs, from one pass
+    * that carries four aggregation buffers (count, HyperLogLog,
+    * Count-Min, Space-Saving) — no shuffle of the data itself.
+    *
+    * Returns one row:
+    *  - `n_rows`, `est_distinct` (HLL; exact-ish at low cardinality via
+    *    the linear-counting branch),
+    *  - `top_key`, `top_count` (Space-Saving head; EXACT whenever
+    *    capacity ≥ distinct keys, an overestimate ≤ εN otherwise; ties
+    *    break count-desc then key-asc),
+    *  - `est_f2` (CMS self-dot — the skew second moment),
+    *  - `suggested_tasks` = ⌈n_rows / targetRowsPerTask⌉,
+    *  - `salt_hot` = 1 when the heaviest key alone exceeds 2× the mean
+    *    task's rows (top_count · tasks > 2 · n_rows) — the "this key
+    *    overflows any task you give it" signal that calls for salting
+    *    or AQE skew handling BEFORE the job runs.
+    *
+    * Key must be integral (the Space-Saving long arm). */
+  def shufflePlan(df: DataFrame, key: Column,
+      targetRowsPerTask: Long = 10000000L,
+      depth: Int = 4, width: Int = 4096, hllP: Int = 12,
+      ssCapacity: Int = 4096): DataFrame = {
+    require(targetRowsPerTask >= 1, "targetRowsPerTask must be >= 1")
+    val aggd = df.agg(
+      count(lit(1)).as("n_rows"),
+      gf.hll_agg(key, hllP).as("__h"),
+      gf.cms_agg(key, depth, width).as("__c"),
+      gf.ss_topk_agg(key, lit(1L), ssCapacity).as("__s"))
+    val top = array_max(transform(gf.ss_topk_long(col("__s"), ssCapacity),
+      x => struct(x.getField("count").as("c"),
+        (-x.getField("item")).as("ni"))))
+    val tasks = ceil(col("n_rows").cast("double") /
+      lit(targetRowsPerTask.toDouble)).cast("long")
+    aggd.select(
+        col("n_rows"),
+        round(gf.hll_distinct(col("__h")), 4).as("est_distinct"),
+        top.as("__top"),
+        gf.cms_dot(col("__c"), col("__c")).as("est_f2"),
+        greatest(tasks, lit(1L)).as("suggested_tasks"))
+      .select(col("n_rows"), col("est_distinct"),
+        (-col("__top.ni")).as("top_key"),
+        col("__top.c").as("top_count"),
+        col("est_f2"), col("suggested_tasks"),
+        (col("__top.c") * col("suggested_tasks") >
+          lit(2L) * col("n_rows")).cast("int").as("salt_hot"))
+  }
+
   /** One-row estimate of the self-join size F2 = Σ_k f(k)² plus the
     * derived skew ratio F2/N (mean join fan-out per row; 1.0 = unique
     * key, ≫ 1 = heavy skew): (est_f2, total, skew_ratio). */

@@ -68,6 +68,34 @@ class PlannerSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(2) - 50.5) < 1e-12)
   }
 
+  test("shufflePlan: exact quantities on a skewed key, flag fires") {
+    import spark.implicits._
+    // one key with 500 rows + 100 singletons; tiny task target
+    val df = ((1 to 500).map(_ => 7L) ++ (1000L until 1100L)).toDF("k")
+    val r = Planner.shufflePlan(df, col("k"), targetRowsPerTask = 100L)
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("n_rows")) == 600L)
+    // 101 distinct, low cardinality -> HLL linear counting is exact here
+    assert(math.abs(r.getDouble(r.fieldIndex("est_distinct")) - 101.0) < 2.0)
+    assert(r.getLong(r.fieldIndex("top_key")) == 7L)
+    assert(r.getLong(r.fieldIndex("top_count")) == 500L)
+    assert(r.getLong(r.fieldIndex("est_f2")) == 500L * 500L + 100L)
+    assert(r.getLong(r.fieldIndex("suggested_tasks")) == 6L)
+    // 500 * 6 = 3000 > 2 * 600 -> salt
+    assert(r.getInt(r.fieldIndex("salt_hot")) == 1)
+  }
+
+  test("shufflePlan: uniform key does not flag") {
+    import spark.implicits._
+    val df = (1L to 600L).toDF("k")
+    val r = Planner.shufflePlan(df, col("k"), targetRowsPerTask = 100L)
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("top_count")) == 1L)
+    assert(r.getInt(r.fieldIndex("salt_hot")) == 0)
+    // top tie at count 1 breaks to the smallest key
+    assert(r.getLong(r.fieldIndex("top_key")) == 1L)
+  }
+
   test("cms_dot is callable from SQL") {
     import spark.implicits._
     (1L to 10L).toDF("k").createOrReplaceTempView("plannerspec_t")
