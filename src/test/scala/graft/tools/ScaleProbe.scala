@@ -583,6 +583,28 @@ object ScaleProbe {
         seqLen = 2048, eosId = 2L, padId = 0L))
     }
 
+    // session-4 ops at corpus scale: prompt-keyed groups of 8 candidates
+    val cand = spark.range(nDocs).select(
+      call_function("div", col("id"), lit(8L)).as("prompt"),
+      col("id").as("cand_id"),
+      ((col("id") * 2654435761L) % 10007).cast("double").as("reward"))
+    time(s"r12 groupAdvantage+LOO ${nDocs / 8} prompts x 8 cands") {
+      force(graft.ops.Reward.leaveOneOutAdvantage(
+        graft.ops.Reward.groupAdvantage(cand, Seq("prompt"),
+          col("reward")),
+        Seq("prompt"), col("reward")))
+    }
+    time(s"r12 poissonBootstrapCI B=64 over $nDocs rows, 20 groups") {
+      force(graft.ops.Robust.poissonBootstrapCI(
+        cand.withColumn("g", col("cand_id") % 20), Seq("g"),
+        col("cand_id"), col("reward")))
+    }
+    time(s"r12 shufflePlan one-scan over $nDocs rows") {
+      force(graft.ops.Planner.shufflePlan(
+        cand.select((col("cand_id") % 100000).as("k")), col("k"),
+        targetRowsPerTask = 1000000L))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
