@@ -1721,6 +1721,25 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q254_vocab_prune" -> ((s, dir) => {
+      // the vocabulary-shrink lifecycle on the STORED layout: keep all
+      // single-char pieces + top-16 multis by (count desc, piece asc);
+      // survivors keep trained scores AND original ids (shards encoded
+      // under the parent model stay valid — pruning never renumbers).
+      // Encode runs under the pruned → persisted → RELOADED model; the
+      // oracle prunes the replayed fvocab identically and re-runs the
+      // whole Viterbi under the reduced table
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val pruned = graft.ops.Unigram.prune(m, keepMulti = 16)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q254").toString
+      graft.ops.TokenizerStore.saveUnigram(s, pruned, s"$out/unigram")
+      val p2 = graft.ops.TokenizerStore.loadUnigram(s, s"$out/unigram")
+      idSeqReceipts(graft.ops.Unigram.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), p2))
+    }),
+
     "q253_shuffle_plan" -> ((s, dir) => {
       // the ONE-SCAN shuffle pre-flight: count + HLL + CMS + SpaceSaving
       // ride a single aggregation (no shuffle of the data), answering
@@ -7873,6 +7892,40 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // the learn replay's fvocab pruned by the same (cnt DESC, piece)
+    // rule — chars unconditionally, top-16 multis — keeping fvocab's
+    // pid and score columns untouched, then a FRESH Viterbi pass under
+    // the reduced table and q200's receipt shape
+    "q254_vocab_prune" ->
+      (unigramReplay + """,
+ pv AS MATERIALIZED (
+   SELECT piece, cnt, score, pid FROM fvocab WHERE length(piece) = 1
+   UNION ALL
+   SELECT piece, cnt, score, pid FROM (
+     SELECT piece, cnt, score, pid,
+       row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+     FROM fvocab WHERE length(piece) >= 2) WHERE rn <= 16),""" +
+        unigramVitPass("g", "pv") + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM gseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN pv v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id)
+ SELECT d.doc_id, coalesce(len(o.ids), 0)::BIGINT AS n_pieces,
+   coalesce(list_sum(o.ids), 0)::BIGINT AS ids_sum,
+   coalesce(list_sum(list_transform(range(1, len(o.ids) + 1),
+     j -> j * o.ids[j])), 0)::BIGINT AS ids_pw,
+   coalesce(list_min(o.ids), -1)::BIGINT AS min_id,
+   coalesce(list_max(o.ids), -1)::BIGINT AS max_id
+ FROM documents d LEFT JOIN o USING (doc_id)
+ ORDER BY d.doc_id"""),
     // q166's register-level HLL replay (user_id arm), exact SS head
     // (capacity ≥ distinct), q96's CMS grid for F2, plus the task/salt
     // arithmetic

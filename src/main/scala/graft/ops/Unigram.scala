@@ -205,6 +205,25 @@ object Unigram {
       .toDF("piece", "count", "score", "piece_id")
   }
 
+  /** Deployment pruning of a learned or stored model — the vocabulary-
+    * shrink lifecycle (a distilled serving model, an on-device table):
+    * keep ALL single-char pieces (encode stays total — every in-alphabet
+    * word still segments) plus the top `keepMulti` multi-char pieces by
+    * (count DESC, piece ASC). Survivors keep their trained SCORES
+    * (SentencePiece's deployment convention — log-probs are not
+    * renormalized on prune) and their ORIGINAL IDS (pruning never
+    * renumbers: shards encoded under the parent model stay valid, the
+    * same stability contract as the byte-block rule). Pruning is pure
+    * model surgery — no corpus pass. */
+  def prune(model: Model, keepMulti: Int): Model = {
+    require(keepMulti >= 0, "keepMulti must be >= 0")
+    def nCp(p: String) = p.codePointCount(0, p.length)
+    val chars = model.entries.filter(e => nCp(e.piece) == 1)
+    val multi = model.entries.filter(e => nCp(e.piece) >= 2)
+      .sortBy(e => (-e.count, e.piece)).take(keepMulti)
+    Model((chars ++ multi).sortBy(_.id), model.maxPieceLen)
+  }
+
   /** Encode documents to unigram piece-id sequences — [[Bpe.encode]]'s
     * exact scale shape (shared assembly): segmentation + id mapping over
     * word TYPES, corpus joins the (word → ids) table, one doc-keyed

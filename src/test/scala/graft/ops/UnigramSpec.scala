@@ -242,6 +242,40 @@ class UnigramSpec extends SparkTestBase {
       "alphabet (and its id block) must be shard-invariant")
   }
 
+  test("prune keeps all chars, top multis by count, original ids/scores") {
+    val docs = Seq((1L, "abab abab cdcd cd ab"), (2L, "abab cdcd ab cd"))
+      .toDF("doc_id", "text")
+    val m = Unigram.learn(docs, col("text"), vocabSize = 12,
+      maxPieceLen = 4, minCount = 1, seedCap = 16, emIters = 2)
+    val p = Unigram.prune(m, keepMulti = 1)
+    // all single-char pieces survive
+    val chars = m.entries.filter(_.piece.length == 1).map(_.piece).toSet
+    assert(p.entries.filter(_.piece.length == 1).map(_.piece).toSet
+      == chars)
+    // exactly one multi survives: the highest-count one
+    val multis = p.entries.filter(_.piece.length >= 2)
+    assert(multis.length == 1)
+    val expected = m.entries.filter(_.piece.length >= 2)
+      .maxBy(e => (e.count, e.piece.reverse))
+    assert(multis.head.piece ==
+      m.entries.filter(_.piece.length >= 2)
+        .sortBy(e => (-e.count, e.piece)).head.piece)
+    // survivors keep id AND score bit-for-bit
+    p.entries.foreach { e =>
+      val orig = m.entries.find(_.piece == e.piece).get
+      assert(e.id == orig.id && e.score == orig.score &&
+        e.count == orig.count)
+    }
+    // encode under the pruned model still total over the corpus alphabet
+    val enc = Unigram.encode(docs, "doc_id", col("text"), p)
+    assert(enc.count() == 2)
+    // store round-trip preserves the pruned model exactly
+    val dir = java.nio.file.Files.createTempDirectory("up").toString
+    TokenizerStore.saveUnigram(spark, p, s"$dir/u")
+    val back = TokenizerStore.loadUnigram(spark, s"$dir/u")
+    assert(back == p)
+  }
+
   test("expression stays codegen-compatible (no CodegenFallback)") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = Unigram.learn(docs, col("text"), vocabSize = 8,
