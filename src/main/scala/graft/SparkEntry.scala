@@ -1721,6 +1721,51 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q255_triplet_ann_path" -> ((s, dir) => {
+      // q248's PRODUCTION shape: candidates per anchor come from the
+      // SQ8 two-stage index (quantized top-256 → true-rescored top-64),
+      // labels join onto the candidate frame, and the SAME tripletsFrom
+      // selects — gated q170-style as an agreement report against the
+      // brute-force truth (full-outer + null-safe equality), so the
+      // candidate path's recall is MEASURED, not assumed
+      val emb = t(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id") < 40)
+      val ranges = graft.ops.Similarity.sqRanges(emb, col("embedding"))
+        .orderBy("dim").collect()
+      val lo = ranges.map(_.getDouble(1)).toSeq
+      val hi = ranges.map(_.getDouble(2)).toSeq
+      val coded = emb.select(col("vec_id"),
+        graft.ops.Similarity.sqQuantize(col("embedding"), lo, hi)
+          .as("codes"))
+      val cand = graft.ops.Similarity.sqTopKRefined(coded, emb, anchors,
+          "vec_id", "codes", "embedding", lo, hi, k = 64, rerank = 256)
+        .select(col("query_id").as("anchor_id"),
+          col("neighbor_id").as("cand_id"), col("cosine"))
+      val lab = emb.select(col("vec_id"), col("label"))
+      val scored = cand
+        .join(lab.select(col("vec_id").as("cand_id"),
+          col("label").as("__cl")), Seq("cand_id"))
+        .join(broadcast(lab.select(col("vec_id").as("anchor_id"),
+          col("label").as("__al"))), Seq("anchor_id"))
+        .select(col("anchor_id"), col("cand_id"), col("cosine"),
+          (col("__al") === col("__cl")).as("same_label"))
+      val ann = graft.ops.Similarity.tripletsFrom(scored, 0.1)
+        .select(col("anchor_id"), col("pos_id").as("pos_ann"),
+          col("neg_id").as("neg_ann"))
+      val truth = graft.ops.Similarity.tripletMine(emb, anchors,
+          "vec_id", "embedding", "label", margin = 0.1)
+        .select(col("anchor_id"), col("pos_id").as("pos_true"),
+          col("neg_id").as("neg_true"))
+      ann.join(truth, Seq("anchor_id"), "full_outer")
+        .select(col("anchor_id"), col("pos_ann"), col("neg_ann"),
+          col("pos_true"), col("neg_true"),
+          (col("pos_ann") <=> col("pos_true")).cast("int")
+            .as("agree_pos"),
+          (col("neg_ann") <=> col("neg_true")).cast("int")
+            .as("agree_neg"))
+        .orderBy("anchor_id")
+    }),
+
     "q254_vocab_prune" -> ((s, dir) => {
       // the vocabulary-shrink lifecycle on the STORED layout: keep all
       // single-char pieces + top-16 multis by (count desc, piece asc);
@@ -7892,6 +7937,75 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // both paths stage-for-stage: q141's SQ8 mirror (quantize, decode,
+    // quantized top-256, true-rescore top-64) feeding q248's selection
+    // DAG over the candidate frame, next to the brute-force selection,
+    // joined full-outer with null-safe agreement
+    "q255_triplet_ann_path" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             FROM embeddings),
+         r AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM e, generate_series(1, 64) g(i) GROUP BY i),
+         dec AS (SELECT e.vec_id,
+               list(r.lo + (CASE WHEN r.hi <= r.lo THEN 0
+                 ELSE least(255, greatest(0,
+                   floor((v[r.dim] - r.lo) / (r.hi - r.lo) * 256)))::INT END
+                 + 0.5) / 256.0 * (r.hi - r.lo) ORDER BY r.dim) AS dv
+             FROM e, r GROUP BY e.vec_id),
+         q AS (SELECT vec_id AS anchor_id, v AS qv, label AS al
+               FROM e WHERE vec_id < 40),
+         sqr AS (SELECT q.anchor_id, d.vec_id, row_number() OVER (
+                   PARTITION BY q.anchor_id
+                   ORDER BY round(list_cosine_similarity(q.qv, d.dv), 6)
+                     DESC, d.vec_id) AS rn
+                 FROM q JOIN dec d ON d.vec_id <> q.anchor_id),
+         cd AS (SELECT c.anchor_id, c.vec_id AS cand_id,
+                  round(list_cosine_similarity(q.qv, e.v), 6) AS cos,
+                  (e.label = q.al) AS same FROM (
+                  SELECT anchor_id, vec_id FROM sqr WHERE rn <= 256) c
+                JOIN e ON e.vec_id = c.vec_id
+                JOIN q ON q.anchor_id = c.anchor_id),
+         cset AS (SELECT * FROM (SELECT cd.*, row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY cos DESC, cand_id)
+                   AS rn2 FROM cd) WHERE rn2 <= 64),
+         apos AS (SELECT anchor_id, cos AS cp, cand_id AS pos_ann FROM (
+             SELECT anchor_id, cand_id, cos, row_number() OVER (
+               PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rn
+             FROM cset WHERE same) WHERE rn = 1),
+         aneg AS (SELECT anchor_id, cand_id AS neg_ann FROM (
+             SELECT n.anchor_id, n.cand_id, row_number() OVER (
+               PARTITION BY n.anchor_id ORDER BY
+                 (n.cos < apos.cp AND n.cos > apos.cp - 0.1) DESC,
+                 n.cos DESC, n.cand_id) AS rn
+             FROM cset n JOIN apos USING (anchor_id) WHERE NOT same)
+           WHERE rn = 1),
+         ann AS (SELECT apos.anchor_id, apos.pos_ann, aneg.neg_ann
+                 FROM apos JOIN aneg USING (anchor_id)),
+         tp AS (SELECT q.anchor_id, c.vec_id AS cand_id,
+                  (c.label = q.al) AS same,
+                  round(list_cosine_similarity(q.qv, c.v), 6) AS cos
+                FROM q JOIN e c ON c.vec_id <> q.anchor_id),
+         tpos AS (SELECT anchor_id, cos AS cp, cand_id AS pos_true FROM (
+             SELECT anchor_id, cand_id, cos, row_number() OVER (
+               PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rn
+             FROM tp WHERE same) WHERE rn = 1),
+         tneg AS (SELECT anchor_id, cand_id AS neg_true FROM (
+             SELECT n.anchor_id, n.cand_id, row_number() OVER (
+               PARTITION BY n.anchor_id ORDER BY
+                 (n.cos < tpos.cp AND n.cos > tpos.cp - 0.1) DESC,
+                 n.cos DESC, n.cand_id) AS rn
+             FROM tp n JOIN tpos USING (anchor_id) WHERE NOT same)
+           WHERE rn = 1),
+         tru AS (SELECT tpos.anchor_id, tpos.pos_true, tneg.neg_true
+                 FROM tpos JOIN tneg USING (anchor_id))
+         SELECT coalesce(ann.anchor_id, tru.anchor_id) AS anchor_id,
+           ann.pos_ann, ann.neg_ann, tru.pos_true, tru.neg_true,
+           (ann.pos_ann IS NOT DISTINCT FROM tru.pos_true)::INT
+             AS agree_pos,
+           (ann.neg_ann IS NOT DISTINCT FROM tru.neg_true)::INT
+             AS agree_neg
+         FROM ann FULL OUTER JOIN tru ON ann.anchor_id = tru.anchor_id
+         ORDER BY anchor_id""",
     // the learn replay's fvocab pruned by the same (cnt DESC, piece)
     // rule — chars unconditionally, top-16 multis — keeping fvocab's
     // pid and score columns untouched, then a FRESH Viterbi pass under
