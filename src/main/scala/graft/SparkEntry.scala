@@ -1721,6 +1721,23 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q256_reward_to_go" -> ((s, dir) => {
+      // n-step discounted returns over per-user event streams ordered
+      // by (ts, event_id): γ=1/2, horizon 16. With cent-valued rewards
+      // and a dyadic γ, G·2^15·100 is an exact integer — the gate pin
+      // absorbs any summation-order ulps on both engines
+      val ev = t(s, dir, "events")
+      graft.ops.Reward.discountedReturns(ev, Seq("user_id"),
+          col("ts"), col("event_id"), col("value"),
+          gamma = 0.5, horizon = 16)
+        .where(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"),
+          col("return_togo_n").cast("long").as("n_future"),
+          round(col("return_togo") * 3276800.0, 0).cast("long")
+            .as("g_pin"))
+        .orderBy("event_id")
+    }),
+
     "q255_triplet_ann_path" -> ((s, dir) => {
       // q248's PRODUCTION shape: candidates per anchor come from the
       // SQ8 two-stage index (quantized top-256 → true-rescored top-64),
@@ -7937,6 +7954,19 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // the same horizon-16 frame per row (list window), the same
+    // index-ordered weighted fold, the same 2^15·100 pin
+    "q256_reward_to_go" ->
+      """WITH s AS (SELECT event_id, user_id, value,
+             list(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fr
+           FROM events WHERE user_id < 40)
+         SELECT event_id, user_id, len(fr)::BIGINT AS n_future,
+           round(list_sum(list_transform(range(1, len(fr) + 1),
+             k -> fr[k] * pow(0.5, k - 1))) * 3276800.0, 0)::BIGINT
+             AS g_pin
+         FROM s ORDER BY event_id""",
     // both paths stage-for-stage: q141's SQ8 mirror (quantize, decode,
     // quantized top-256, true-rescore top-64) feeding q248's selection
     // DAG over the candidate frame, next to the brute-force selection,

@@ -119,6 +119,42 @@ object Reward {
       .drop("__gn", "__gm", "__gs")
   }
 
+  /** Discounted reward-to-go over ordered per-group reward sequences —
+    * the RL return target G_t = Σ_{k=0}^{H−1} γ^k · r_{t+k} computed
+    * along each group's (orderCol, tieCol) order, horizon-truncated at
+    * `horizon` steps (the standard n-step return; sequences shorter
+    * than the horizon just sum what exists).
+    *
+    * One window exchange: the future-reward frame is a ROWS window
+    * [current, horizon−1 following], materialized per row as a
+    * horizon-bounded array (≤ H doubles — never the whole group), and
+    * the weighted sum folds left-to-right in frame order, so the result
+    * is deterministic under any partitioning. With a dyadic γ (0.5,
+    * 0.25, 0.75…) every discount power is an exact double. */
+  def discountedReturns(df: DataFrame, groupCols: Seq[String],
+      orderCol: Column, tieCol: Column, rewardCol: Column,
+      gamma: Double = 0.5, horizon: Int = 16,
+      outCol: String = "return_togo"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(gamma > 0 && gamma <= 1, "gamma must be in (0, 1]")
+    require(horizon >= 1 && horizon <= 1024,
+      "horizon must be in [1, 1024]")
+    checkCols(df, Seq(outCol, s"${outCol}_n"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCol, tieCol)
+      .rowsBetween(Window.currentRow, horizon - 1)
+    val fr = collect_list(rewardCol.cast("double")).over(w)
+    df.withColumn("__fr", fr)
+      .withColumn(s"${outCol}_n", size(col("__fr")))
+      .withColumn(outCol, aggregate(
+        zip_with(col("__fr"),
+          transform(sequence(lit(0), size(col("__fr")) - 1),
+            k => pow(lit(gamma), k)),
+          (r, g) => r * g),
+        lit(0.0), (acc, x) => acc + x))
+      .drop("__fr")
+  }
+
   /** RLOO leave-one-out advantage: adds `outCol` =
     * `r − (Σ_g r − r) / (n_g − 1)` — each candidate against the mean of
     * the OTHER candidates of its prompt. Groups with a single non-null

@@ -105,6 +105,38 @@ class RewardSpec extends SparkTestBase {
     assert(st.getLong(1) == 1L && st.getDouble(2) == 42.0 && st.isNullAt(3))
   }
 
+  test("discountedReturns: hand-worked n-step returns, gamma 0.5") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1L, 8.0), ("u", 2L, 4.0), ("u", 3L, 2.0), ("u", 4L, 16.0),
+      ("v", 9L, 5.0))
+      .toDF("g", "t", "r")
+    val got = Reward.discountedReturns(df, Seq("g"), col("t"), col("t"),
+        col("r"), gamma = 0.5, horizon = 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(r.fieldIndex("return_togo")),
+          r.getInt(r.fieldIndex("return_togo_n")))).toMap
+    // t=1: 8 + 4/2 + 2/4 = 10.5 (horizon cuts off 16)
+    assert(got(1L) == ((10.5, 3)))
+    // t=2: 4 + 1 + 4 = 9.0
+    assert(got(2L) == ((9.0, 3)))
+    // t=3: 2 + 8 = 10.0 (only two left)
+    assert(got(3L) == ((10.0, 2)))
+    assert(got(4L) == ((16.0, 1)))
+    assert(got(9L) == ((5.0, 1)))
+  }
+
+  test("discountedReturns: partitioning-invariant bits") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ("g" + i % 5, i.toLong,
+      (i * 7 % 113) / 100.0)).toDF("g", "t", "r")
+    val a = Reward.discountedReturns(df.repartition(7), Seq("g"),
+      col("t"), col("t"), col("r")).orderBy("g", "t").collect().toSeq
+    val b = Reward.discountedReturns(df.coalesce(1), Seq("g"),
+      col("t"), col("t"), col("r")).orderBy("g", "t").collect().toSeq
+    assert(a == b)
+  }
+
   test("reserved output columns are refused") {
     intercept[IllegalArgumentException] {
       Reward.groupAdvantage(df.withColumn("advantage", lit(1)),
