@@ -1721,6 +1721,17 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q257_temperature_tokens" -> ((s, dir) => {
+      // the τ=2 multilingual recipe in TOKEN units: √-mass weights
+      // (integer-scaled — sqrt is IEEE-exact, so the weights match any
+      // engine bit-for-bit), then pure-LONG Hamilton apportionment of a
+      // 1M-token budget; Σ budget == 1M exactly
+      graft.ops.Sampling.temperatureTokenBudgets(
+        t(s, dir, "documents"), col("source"),
+        gf.token_count(col("text")), totalTokens = 1000000L)
+        .orderBy("source")
+    }),
+
     "q256_reward_to_go" -> ((s, dir) => {
       // n-step discounted returns over per-user event streams ordered
       // by (ts, event_id): γ=1/2, horizon 16. With cent-valued rewards
@@ -7954,6 +7965,25 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // integer-scaled sqrt weights, LONG quota/remainder arithmetic,
+    // (remainder DESC, source) bump ranks — no tolerance anywhere
+    "q257_temperature_tokens" ->
+      """WITH m AS (SELECT source,
+             sum(len(string_split(text, ' ')))::BIGINT AS n
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n,
+             round(sqrt(n::DOUBLE) * 1000000, 0)::BIGINT AS wt FROM m),
+         tt AS (SELECT sum(wt)::BIGINT AS tw FROM w),
+         q AS (SELECT source, n, wt,
+             ((1000000 * wt) // tw)::BIGINT AS quota,
+             ((1000000 * wt) % tw)::BIGINT AS rem FROM w, tt),
+         lf AS (SELECT (1000000 - sum(quota))::BIGINT AS lo FROM q),
+         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+             AS rk FROM q)
+         SELECT source, n AS n_tokens, wt AS weight,
+           (quota + CASE WHEN rk <= lf.lo THEN 1 ELSE 0 END)::BIGINT
+             AS budget
+         FROM r, lf ORDER BY source""",
     // the same horizon-16 frame per row (list window), the same
     // index-ordered weighted fold, the same 2^15·100 pin
     "q256_reward_to_go" ->

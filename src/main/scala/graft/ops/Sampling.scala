@@ -259,6 +259,61 @@ object Sampling {
     mixtureSample(df, groupCol, key, targets, totalRows)
   }
 
+  /** Temperature-rebalanced TOKEN budgets — the multilingual τ-sampling
+    * recipe (Conneau & Lample 2019) in the unit production mixtures are
+    * written in, at τ = 2 (share ∝ √ token-mass: up-weights small
+    * sources, caps the head): per-source budget = largest-remainder
+    * (Hamilton) apportionment of `totalTokens` over weights
+    * w_s = round(√n_s · 10^6).
+    *
+    * Engine-portability is structural, not tolerance-based: √ is
+    * IEEE-correctly-rounded on every engine, the 10^6 scaling makes the
+    * weights integers (an exact-.5 round boundary would need √n to be
+    * a non-integer rational — impossible), and from there quota =
+    * (total · w_s) div W and remainder = (total · w_s) mod W are pure
+    * LONG arithmetic with (remainder DESC, source ASC) tie ranks —
+    * bit-free of floating point. Bounds: total · w_s must fit a long
+    * (total ≤ 2^62 / max w_s; at 10^12-token sources w ≈ 10^12, so
+    * budgets up to ~4M tokens per call — apportion per-epoch, not
+    * per-corpus-lifetime, or pre-scale weights down).
+    *
+    * Group cardinality is recipe-sized and ENFORCED (maxGroups), like
+    * [[temperatureMixture]]. Returns (source, n_tokens, weight,
+    * budget): Σ budget == totalTokens exactly. */
+  def temperatureTokenBudgets(df: DataFrame, groupCol: Column,
+      tokensCol: Column, totalTokens: Long,
+      maxGroups: Int = 100000): DataFrame = {
+    require(totalTokens >= 0, "totalTokens must be >= 0")
+    require(maxGroups > 0, "maxGroups must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val masses = df.where(groupCol.isNotNull)
+      .groupBy(groupCol.cast("string").as("__g"))
+      .agg(coalesce(sum(tokensCol.cast("long")), lit(0L)).as("__n"))
+      .limit(maxGroups + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(masses.length <= maxGroups,
+      s"temperatureTokenBudgets saw more than maxGroups=$maxGroups " +
+        "distinct groups — group by sources/languages, not documents")
+    val weights = masses.map { case (g, n) =>
+      (g, n, math.round(math.sqrt(n.toDouble) * 1e6)) }
+    val bigW = weights.map(_._3).sum
+    require(bigW > 0, "no token mass to apportion")
+    weights.foreach { case (_, _, w) =>
+      require(w == 0 || totalTokens <= Long.MaxValue / math.max(w, 1L),
+        "totalTokens * weight overflows long — pre-scale (see scaladoc)")
+    }
+    val quotas = weights.map { case (g, n, w) =>
+      (g, n, w, totalTokens * w / bigW, totalTokens * w % bigW) }
+    val leftover = totalTokens - quotas.map(_._4).sum
+    val bump = quotas.sortBy { case (g, _, _, _, rem) => (-rem, g) }
+      .take(leftover.toInt).map(_._1).toSet
+    quotas.map { case (g, n, w, q, _) =>
+      (g, n, w, q + (if (bump(g)) 1L else 0L)) }
+      .toSeq.toDF("source", "n_tokens", "weight", "budget")
+  }
+
   /** Feasible mixture plan: water-filling allocation of a total row/token
     * budget across sources with availability caps — the solver a training
     * recipe runs BEFORE sampling. Target weights say what the mixture

@@ -397,4 +397,36 @@ class SamplingSpec extends SparkTestBase {
       assert(out(a) == out(b))
     }
   }
+
+  test("temperatureTokenBudgets: sqrt shares, exact Hamilton totals") {
+    import spark.implicits._
+    // masses 100, 400, 900 -> weights 10:20:30e6 -> shares 1/6, 2/6, 3/6
+    val df = Seq(("a", 100L), ("b", 400L), ("c", 900L))
+      .toDF("src", "toks")
+    val out = Sampling.temperatureTokenBudgets(df, col("src"),
+        col("toks"), totalTokens = 600L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out == Map("a" -> 100L, "b" -> 200L, "c" -> 300L))
+  }
+
+  test("temperatureTokenBudgets: leftover goes to largest remainders") {
+    import spark.implicits._
+    // equal masses, total not divisible: 3 sources, 100 tokens ->
+    // 33 each + 1 leftover; remainders tie -> lowest source name bumps
+    val df = Seq(("a", 4L), ("b", 4L), ("c", 4L)).toDF("src", "toks")
+    val out = Sampling.temperatureTokenBudgets(df, col("src"),
+        col("toks"), totalTokens = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out.values.sum == 100L)
+    assert(out("a") == 34L && out("b") == 33L && out("c") == 33L)
+  }
+
+  test("temperatureTokenBudgets: group-cardinality contract enforced") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (s"g$i", 10L)).toDF("src", "toks")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureTokenBudgets(df, col("src"), col("toks"),
+        1000L, maxGroups = 10)
+    }
+  }
 }
