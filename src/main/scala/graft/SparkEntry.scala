@@ -1721,6 +1721,23 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q258_session_returns" -> ((s, dir) => {
+      // q256's return target scoped to behavioral sessions (6 h gap
+      // rule, exact integer-microsecond arithmetic): G_t folds within
+      // (user, session) only — the boundary a return must never leak
+      // across. Same pin contract as q256
+      val ev = t(s, dir, "events")
+      graft.ops.Reward.sessionReturns(ev, Seq("user_id"),
+          col("ts"), col("event_id"), col("value"),
+          gapSeconds = 21600L, gamma = 0.5, horizon = 16)
+        .where(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"), col("session_idx"),
+          col("return_togo_n").cast("long").as("n_future"),
+          round(col("return_togo") * 3276800.0, 0).cast("long")
+            .as("g_pin"))
+        .orderBy("event_id")
+    }),
+
     "q257_temperature_tokens" -> ((s, dir) => {
       // the τ=2 multilingual recipe in TOKEN units: √-mass weights
       // (integer-scaled — sqrt is IEEE-exact, so the weights match any
@@ -7965,6 +7982,29 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // gaps-and-islands sessions (6 h in exact microseconds), then
+    // q256's frame/fold/pin within (user, session)
+    "q258_session_returns" ->
+      """WITH b AS (SELECT event_id, user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > 21600000000 THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS sess
+           FROM b),
+         fr AS (SELECT event_id, user_id, sess,
+             list(value) OVER (PARTITION BY user_id, sess
+               ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS f
+           FROM sx)
+         SELECT event_id, user_id, sess::BIGINT AS session_idx,
+           len(f)::BIGINT AS n_future,
+           round(list_sum(list_transform(range(1, len(f) + 1),
+             k -> f[k] * pow(0.5, k - 1))) * 3276800.0, 0)::BIGINT
+             AS g_pin
+         FROM fr WHERE user_id < 40 ORDER BY event_id""",
     // integer-scaled sqrt weights, LONG quota/remainder arithmetic,
     // (remainder DESC, source) bump ranks — no tolerance anywhere
     "q257_temperature_tokens" ->

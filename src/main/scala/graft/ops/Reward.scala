@@ -155,6 +155,33 @@ object Reward {
       .drop("__fr")
   }
 
+  /** Session-scoped [[discountedReturns]]: returns must not leak across
+    * behavioral sessions, so the stream first splits by the
+    * gaps-and-islands rule (a new session starts where the inter-event
+    * gap exceeds `gapSeconds`, exact integer microsecond arithmetic)
+    * and G_t then folds within (group, session) only. Adds
+    * `session_idx` (0-based per group) alongside the return columns.
+    * Same single-exchange shape: the session index is one running sum
+    * over the group window the return pass already needs. */
+  def sessionReturns(df: DataFrame, groupCols: Seq[String],
+      tsCol: Column, tieCol: Column, rewardCol: Column,
+      gapSeconds: Long, gamma: Double = 0.5, horizon: Int = 16,
+      outCol: String = "return_togo"): DataFrame = {
+    require(gapSeconds >= 1, "gapSeconds must be >= 1")
+    checkCols(df, Seq("session_idx"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(tsCol, tieCol)
+    val prev = lag(unix_micros(tsCol), 1).over(w)
+    val brk = when(prev.isNull ||
+      unix_micros(tsCol) - prev > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = df.withColumn("session_idx",
+      sum(brk).over(run) - 1)
+    discountedReturns(sessioned, groupCols :+ "session_idx",
+      tsCol, tieCol, rewardCol, gamma, horizon, outCol)
+  }
+
   /** RLOO leave-one-out advantage: adds `outCol` =
     * `r − (Σ_g r − r) / (n_g − 1)` — each candidate against the mean of
     * the OTHER candidates of its prompt. Groups with a single non-null

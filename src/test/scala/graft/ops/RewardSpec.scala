@@ -137,6 +137,28 @@ class RewardSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("sessionReturns: returns never cross a session boundary") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    // two sessions for u: events at 0s, 10s, then a 100s gap, 120s, 125s
+    val df = Seq(
+      ("u", 1L, ts(0), 8.0), ("u", 2L, ts(10), 4.0),
+      ("u", 3L, ts(120), 2.0), ("u", 4L, ts(125), 16.0))
+      .toDF("g", "id", "ts", "r")
+    val got = Reward.sessionReturns(df, Seq("g"), col("ts"), col("id"),
+        col("r"), gapSeconds = 60, gamma = 0.5, horizon = 8)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(r.fieldIndex("session_idx")),
+          r.getDouble(r.fieldIndex("return_togo")))).toMap
+    // session 0: G(1) = 8 + 2 = 10 (NOT including the 2.0/16.0 later)
+    assert(got(1L) == ((0L, 10.0)))
+    assert(got(2L) == ((0L, 4.0)))
+    // session 1: G(3) = 2 + 8 = 10
+    assert(got(3L) == ((1L, 10.0)))
+    assert(got(4L) == ((1L, 16.0)))
+  }
+
   test("reserved output columns are refused") {
     intercept[IllegalArgumentException] {
       Reward.groupAdvantage(df.withColumn("advantage", lit(1)),
