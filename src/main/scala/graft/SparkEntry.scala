@@ -1721,6 +1721,30 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q259_recipe_compile" -> ((s, dir) => {
+      // the recipe pipeline END TO END: √-temperature apportionment of
+      // a 100k-token budget (q257) COMPILES the weights that
+      // mixtureInterleaveTokens (q244) then executes — per-(source,
+      // round) receipts pin the exact schedule the two ops produce
+      // together. Budgets are recipe-sized driver state, exactly like
+      // a training config
+      val docs = t(s, dir, "documents")
+      val budgets = graft.ops.Sampling.temperatureTokenBudgets(docs,
+          col("source"), gf.token_count(col("text")),
+          totalTokens = 100000L)
+        .collect().map(r => r.getString(0) -> r.getLong(3))
+        .sortBy(_._1).toSeq
+      graft.sources.Shards.mixtureInterleaveTokens(docs, "source",
+          col("doc_id"), gf.token_count(col("text")), budgets, seed = 7L)
+        .groupBy("source", "round")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("n_tokens").as("tok_sum"),
+          bit_xor(gf.hash64(col("doc_id"))).as("id_xor"),
+          sum(col("cum_tokens") * col("doc_id")).as("cum_pin"),
+          max("src_order").as("src_order"))
+        .orderBy("source", "round")
+    }),
+
     "q258_session_returns" -> ((s, dir) => {
       // q256's return target scoped to behavioral sessions (6 h gap
       // rule, exact integer-microsecond arithmetic): G_t folds within
@@ -7982,6 +8006,43 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // q257's integer apportionment compiled into q244's per-source
+    // token-fill replay — one composed chain, no literals
+    "q259_recipe_compile" ->
+      (hashMacros +
+        """WITH m AS (SELECT source,
+             sum(len(string_split(text, ' ')))::BIGINT AS n
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n,
+             round(sqrt(n::DOUBLE) * 1000000, 0)::BIGINT AS wt FROM m),
+         tt AS (SELECT sum(wt)::BIGINT AS tw FROM w),
+         q AS (SELECT source, n, wt,
+             ((100000 * wt) // tw)::BIGINT AS quota,
+             ((100000 * wt) % tw)::BIGINT AS rem FROM w, tt),
+         lf AS (SELECT (100000 - sum(quota))::BIGINT AS lo FROM q),
+         rq AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+             AS rk FROM q),
+         bud AS (SELECT source,
+             (quota + CASE WHEN rk <= lf.lo THEN 1 ELSE 0 END)::BIGINT
+               AS bwt,
+             row_number() OVER (ORDER BY source) - 1 AS so
+           FROM rq, lf),
+         rr AS (SELECT d.source, d.doc_id, b.bwt, b.so,
+             len(string_split(d.text, ' '))::BIGINT AS n,
+             sum(len(string_split(d.text, ' '))::BIGINT) OVER (
+               PARTITION BY d.source
+               ORDER BY g_sb(g_thash('7:' || d.doc_id::VARCHAR)),
+                 d.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents d JOIN bud b USING (source)),
+         sl AS (SELECT source, doc_id, n, cum, so,
+             ((cum - n) // bwt)::BIGINT AS round FROM rr)
+         SELECT source, round, count(*)::BIGINT AS n_rows,
+           sum(n)::BIGINT AS tok_sum,
+           bit_xor(g_sb(g_av(doc_id::UBIGINT))) AS id_xor,
+           sum(cum * doc_id)::BIGINT AS cum_pin,
+           max(so)::BIGINT AS src_order
+         FROM sl GROUP BY 1, 2 ORDER BY 1, 2"""),
     // gaps-and-islands sessions (6 h in exact microseconds), then
     // q256's frame/fold/pin within (user, session)
     "q258_session_returns" ->
