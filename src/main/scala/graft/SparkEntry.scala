@@ -1721,6 +1721,23 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q260_attention_cost" -> ((s, dir) => {
+      // what packed block-diagonal attention BUYS, per sample: q234's
+      // boundary layout → reset points {0} ∪ doc_starts → Σ len² vs the
+      // dense 128². All LONG-exact scan-side arithmetic on the starts
+      // array — the batch-shaping receipt a trainer reads
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val enc = graft.ops.Unigram.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), m)
+      val packed = graft.ops.Packing.concatChunk(enc, "doc_id", "ids",
+        seqLen = 128, eosId = 2L, padId = 0L, boundaries = true)
+      graft.ops.Packing.attentionCost(packed, seqLen = 128)
+        .select(col("sample_id"), col("n_blocks"),
+          col("cost_blocks"), col("cost_saved"))
+        .orderBy("sample_id")
+    }),
+
     "q259_recipe_compile" -> ((s, dir) => {
       // the recipe pipeline END TO END: √-temperature apportionment of
       // a 100k-token budget (q257) COMPILES the weights that
@@ -8006,6 +8023,44 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // q234's token-stream chain, reset points {0} ∪ offsets, block
+    // lengths via lead(off, default seqLen), Σ len² per sample
+    "q260_attention_cost" ->
+      (unigramReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM fseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id),
+ dl AS (SELECT d.doc_id,
+     (coalesce(len(o.ids), 0) + 1)::BIGINT AS n
+   FROM documents d LEFT JOIN o USING (doc_id)),
+ pstream AS (SELECT doc_id, n,
+     (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::BIGINT
+       AS strt
+   FROM dl),
+ tok AS (SELECT (strt + t.j - 1)::BIGINT AS p, t.j AS j
+   FROM pstream, unnest(range(1, n + 1)) t(j)),
+ alls AS (SELECT DISTINCT (p // 128)::BIGINT AS sample_id FROM tok),
+ rst AS (SELECT DISTINCT sample_id, off FROM (
+     SELECT (p // 128)::BIGINT AS sample_id, (p % 128)::BIGINT AS off
+     FROM tok WHERE j = 1
+     UNION ALL SELECT sample_id, 0::BIGINT FROM alls)),
+ lens AS (SELECT sample_id, off,
+     coalesce(lead(off) OVER (PARTITION BY sample_id ORDER BY off),
+       128) - off AS ln
+   FROM rst)
+ SELECT sample_id, count(*)::BIGINT AS n_blocks,
+   sum(ln * ln)::BIGINT AS cost_blocks,
+   (16384 - sum(ln * ln))::BIGINT AS cost_saved
+ FROM lens GROUP BY 1 ORDER BY sample_id"""),
     // q257's integer apportionment compiled into q244's per-source
     // token-fill replay — one composed chain, no literals
     "q259_recipe_compile" ->

@@ -690,4 +690,38 @@ object Packing {
     else Some((carry.nextSampleId,
       carry.tail ++ Seq.fill(seqLen - carry.tail.size)(padId),
       (seqLen - carry.tail.size).toLong))
+
+  /** Block-diagonal attention-cost receipt over a `boundaries = true`
+    * packed layout ([[concatChunk]]'s `doc_starts`): the reset points
+    * {0} ∪ doc_starts split each seqLen frame into attention blocks
+    * (a straddling document's tail is its own block — position ids
+    * restart at the sample edge, q236's rule), and with block-diagonal
+    * masking the per-sample attention cost is Σ len_i² instead of the
+    * dense seqLen². Adds `n_blocks`, `cost_blocks`, `cost_saved`
+    * (= seqLen² − Σ len²) — the batch-shaping signal that says what
+    * packed attention actually buys per sample. Scan-side arithmetic
+    * on the starts array; no shuffle, all LONG-exact. */
+  def attentionCost(samples: DataFrame, seqLen: Int,
+      startsCol: String = "doc_starts"): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    require(!samples.columns.exists(
+      Set("n_blocks", "cost_blocks", "cost_saved", "__rst", "__lens")),
+      "input may not contain reserved attention-cost columns")
+    val resets = sort_array(array_distinct(
+      concat(array(lit(0L)), coalesce(col(startsCol),
+        array().cast("array<long>")))))
+    samples
+      .withColumn("__rst", resets)
+      .withColumn("n_blocks", size(col("__rst")).cast("long"))
+      .withColumn("cost_blocks", aggregate(
+        zip_with(slice(concat(col("__rst"), array(lit(seqLen.toLong))),
+            lit(1), size(col("__rst"))),
+          slice(concat(col("__rst"), array(lit(seqLen.toLong))),
+            lit(2), size(col("__rst"))),
+          (a, b) => b - a),
+        lit(0L), (acc, x) => acc + x * x))
+      .withColumn("cost_saved",
+        lit(seqLen.toLong * seqLen) - col("cost_blocks"))
+      .drop("__rst")
+  }
 }
