@@ -1721,6 +1721,26 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q261_off_policy" -> ((s, dir) => {
+      // counterfactual policy evaluation on the logged event feed:
+      // behavior logs all five actions at p = 0.2, the candidate policy
+      // is a deterministic user rule, and IPS/SNIPS weigh the matched
+      // rewards. Weights are 1/0.2 = 5 exactly, so Σw and Σw·r gate as
+      // integer pins (cents × 5); IPS/SNIPS are ratios of the pins
+      val ev = t(s, dir, "events")
+      val target = element_at(
+        typedLit(Seq("click", "error", "purchase", "signup", "view")),
+        (col("user_id") % 5).cast("int") + 1)
+      graft.ops.Reward.offPolicyValue(
+          ev.withColumn("cohort", col("user_id") % 10),
+          Seq("cohort"), col("event_type"), col("value"), lit(0.2),
+          target)
+        .select(col("cohort"), col("n"), col("n_matched"),
+          round(col("sum_w"), 0).cast("long").as("sum_w"),
+          round(col("sum_wr") * 100, 0).cast("long").as("swr_cents"))
+        .orderBy("cohort")
+    }),
+
     "q260_attention_cost" -> ((s, dir) => {
       // what packed block-diagonal attention BUYS, per sample: q234's
       // boundary layout → reset points {0} ∪ doc_starts → Σ len² vs the
@@ -8023,6 +8043,19 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // the same match rule and 1/0.2 weights, pinned in integer cents
+    "q261_off_policy" ->
+      """WITH t AS (SELECT user_id % 10 AS cohort, event_type, value,
+             (user_id % 5)::INT AS k FROM events),
+         m AS (SELECT cohort, value,
+             (event_type = (['click','error','purchase','signup','view'])
+               [k + 1]) AS hit FROM t)
+         SELECT cohort, count(*)::BIGINT AS n,
+           sum(hit::INT)::BIGINT AS n_matched,
+           (5 * sum(hit::INT))::BIGINT AS sum_w,
+           round(sum(CASE WHEN hit THEN 5.0 * value ELSE 0 END) * 100,
+             0)::BIGINT AS swr_cents
+         FROM m GROUP BY 1 ORDER BY 1""",
     // q234's token-stream chain, reset points {0} ∪ offsets, block
     // lengths via lead(off, default seqLen), Σ len² per sample
     "q260_attention_cost" ->

@@ -182,6 +182,40 @@ object Reward {
       tsCol, tieCol, rewardCol, gamma, horizon, outCol)
   }
 
+  /** Off-policy evaluation on logged feedback — inverse-propensity
+    * scoring (Horvitz–Thompson) and its self-normalized variant
+    * (SNIPS, Swaminathan & Joachims 2015): with logged
+    * (action, reward, propensity) rows and the TARGET policy's action
+    * per row, w = 1[a == π(x)] / p, V_IPS = Σ w·r / n,
+    * V_SNIPS = Σ w·r / Σ w. `maxWeight` clips w (the standard
+    * variance-for-bias trade on tiny propensities); +∞ = unclipped.
+    *
+    * Returns one row per group: (groupCols…, n, n_matched, sum_w,
+    * sum_wr, ips, snips). Sums run through [[gf.exact_sum]] — one
+    * aggregation, map-side combined; NULL propensities or p ≤ 0 rows
+    * are refused work (dropped) rather than silently producing ±∞. */
+  def offPolicyValue(df: DataFrame, groupCols: Seq[String],
+      actionCol: Column, rewardCol: Column, propensityCol: Column,
+      targetActionCol: Column,
+      maxWeight: Double = Double.PositiveInfinity): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(maxWeight > 0, "maxWeight must be > 0")
+    val p = propensityCol.cast("double")
+    val matched = actionCol === targetActionCol
+    val w = when(matched, least(lit(1.0) / p, lit(maxWeight)))
+      .otherwise(lit(0.0))
+    val r = rewardCol.cast("double")
+    df.where(p.isNotNull && p > 0 && r.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(matched.cast("long")).as("n_matched"),
+        gf.exact_sum(w).as("sum_w"),
+        gf.exact_sum(w * r).as("sum_wr"))
+      .withColumn("ips", col("sum_wr") / col("n"))
+      .withColumn("snips",
+        when(col("sum_w") > 0, col("sum_wr") / col("sum_w")))
+  }
+
   /** RLOO leave-one-out advantage: adds `outCol` =
     * `r − (Σ_g r − r) / (n_g − 1)` — each candidate against the mean of
     * the OTHER candidates of its prompt. Groups with a single non-null

@@ -159,6 +159,45 @@ class RewardSpec extends SparkTestBase {
     assert(got(4L) == ((1L, 16.0)))
   }
 
+  test("offPolicyValue: IPS and SNIPS hand-worked, clipping applies") {
+    import spark.implicits._
+    // 4 rows; target matches rows 1 and 3; propensities 0.5 and 0.1
+    val df = Seq(
+      ("g", "a", 2.0, 0.5, "a"),  // w=2,  wr=4
+      ("g", "b", 9.0, 0.5, "a"),  // miss
+      ("g", "a", 1.0, 0.1, "a"),  // w=10, wr=10
+      ("g", "c", 5.0, 0.25, "b")) // miss
+      .toDF("g", "act", "r", "p", "tgt")
+    val out = Reward.offPolicyValue(df, Seq("g"), col("act"), col("r"),
+      col("p"), col("tgt")).collect()(0)
+    assert(out.getLong(out.fieldIndex("n")) == 4L)
+    assert(out.getLong(out.fieldIndex("n_matched")) == 2L)
+    assert(out.getDouble(out.fieldIndex("sum_w")) == 12.0)
+    assert(out.getDouble(out.fieldIndex("sum_wr")) == 14.0)
+    assert(out.getDouble(out.fieldIndex("ips")) == 3.5)
+    assert(math.abs(out.getDouble(out.fieldIndex("snips")) - 14.0 / 12.0)
+      < 1e-15)
+    // clip at 4: the 1/0.1 weight caps -> sum_w = 6, sum_wr = 8
+    val c = Reward.offPolicyValue(df, Seq("g"), col("act"), col("r"),
+      col("p"), col("tgt"), maxWeight = 4.0).collect()(0)
+    assert(c.getDouble(c.fieldIndex("sum_w")) == 6.0)
+    assert(c.getDouble(c.fieldIndex("sum_wr")) == 8.0)
+  }
+
+  test("offPolicyValue: bad propensities are dropped, zero-match NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", "a", 1.0, 0.0, "b"), ("g", "a", 1.0, -1.0, "b"),
+      ("g", "a", 3.0, 0.5, "b"))
+      .toDF("g", "act", "r", "p", "tgt")
+    val out = Reward.offPolicyValue(df, Seq("g"), col("act"), col("r"),
+      col("p"), col("tgt")).collect()(0)
+    assert(out.getLong(out.fieldIndex("n")) == 1L) // p<=0 rows dropped
+    assert(out.getLong(out.fieldIndex("n_matched")) == 0L)
+    assert(out.isNullAt(out.fieldIndex("snips")))
+    assert(out.getDouble(out.fieldIndex("ips")) == 0.0)
+  }
+
   test("reserved output columns are refused") {
     intercept[IllegalArgumentException] {
       Reward.groupAdvantage(df.withColumn("advantage", lit(1)),
