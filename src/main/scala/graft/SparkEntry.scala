@@ -1721,6 +1721,24 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q262_gae" -> ((s, dir) => {
+      // GAE(γ=1/2, λ=1/2) advantages over per-user event streams: the
+      // TD residual bootstraps from lead(V) (terminal V = 0), then the
+      // (γλ=1/4)-discounted fold over a 16-step frame. r = floor(value)
+      // and V = event_id % 16 are exact integers, so δ lives in halves
+      // and A·2³¹ is an exact LONG — zero fp tolerance, both engines
+      val ev = t(s, dir, "events").where(col("user_id") < 40)
+        .withColumn("__r", floor(col("value")))
+        .withColumn("__v", (col("event_id") % 16).cast("double"))
+      graft.ops.Reward.gaeAdvantage(ev, Seq("user_id"), col("ts"),
+          col("event_id"), col("__r"), col("__v"),
+          gamma = 0.5, lam = 0.5, horizon = 16)
+        .select(col("event_id"), col("user_id"),
+          col("gae_n").cast("long").as("n_future"),
+          round(col("gae") * 2147483648.0, 0).cast("long").as("gae_pin"))
+        .orderBy("event_id")
+    }),
+
     "q261_off_policy" -> ((s, dir) => {
       // counterfactual policy evaluation on the logged event feed:
       // behavior logs all five actions at p = 0.2, the candidate policy
@@ -8043,6 +8061,26 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    // δ = r + γ·lead(V, default 0) − V in (ts, event_id) order per
+    // user, then the (γλ)-discounted forward fold — same frame shape
+    // as q256, pinned at 2³¹ (δ in halves × 4^15 frame depth)
+    "q262_gae" ->
+      """WITH b AS (SELECT event_id, user_id, ts, floor(value) AS r,
+             (event_id % 16)::DOUBLE AS v
+           FROM events WHERE user_id < 40),
+         d AS (SELECT event_id, user_id, ts,
+             r + 0.5 * coalesce(lead(v) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id), 0) - v AS delta
+           FROM b),
+         s AS (SELECT event_id, user_id,
+             list(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fd
+           FROM d)
+         SELECT event_id, user_id, len(fd)::BIGINT AS n_future,
+           round(list_sum(list_transform(range(1, len(fd) + 1),
+             k -> fd[k] * pow(0.25, k - 1))) * 2147483648.0, 0)::BIGINT
+             AS gae_pin
+         FROM s ORDER BY event_id""",
     // the same match rule and 1/0.2 weights, pinned in integer cents
     "q261_off_policy" ->
       """WITH t AS (SELECT user_id % 10 AS cohort, event_type, value,

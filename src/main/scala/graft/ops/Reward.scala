@@ -182,6 +182,50 @@ object Reward {
       tsCol, tieCol, rewardCol, gamma, horizon, outCol)
   }
 
+  /** Generalized Advantage Estimation (Schulman et al. 2016, "GAE"):
+    * A_t = Σ_{k=0}^{H−1} (γλ)^k · δ_{t+k} over each group's
+    * (orderCol, tieCol) order, where the TD residual
+    * δ_t = r_t + γ·V_{t+1} − V_t bootstraps from the NEXT step's value
+    * (V = 0 past the end of the sequence — the standard terminal
+    * convention) and λ trades bias for variance between the one-step TD
+    * advantage (λ = 0) and the full Monte-Carlo return (λ = 1).
+    * Adds `outCol` and `<outCol>_n` (residuals actually in the frame).
+    *
+    * Same single-exchange shape as [[discountedReturns]]: the residual
+    * needs `lead(V)` and the fold needs a forward frame, but both
+    * windows share one `partitionBy(group).orderBy(order, tie)` spec,
+    * so Catalyst plans ONE exchange + ONE sort and the frame
+    * materializes at most `horizon` doubles per row — never the group.
+    * With dyadic γ and λ (1/2, 1/4…) every (γλ)^k is an exact double,
+    * so integer-valued rewards/values make A_t bit-exact under any
+    * partitioning. */
+  def gaeAdvantage(df: DataFrame, groupCols: Seq[String],
+      orderCol: Column, tieCol: Column, rewardCol: Column,
+      valueCol: Column, gamma: Double = 0.5, lam: Double = 0.5,
+      horizon: Int = 16, outCol: String = "gae"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(gamma > 0 && gamma <= 1, "gamma must be in (0, 1]")
+    require(lam >= 0 && lam <= 1, "lambda must be in [0, 1]")
+    checkCols(df, Seq("__gae_delta"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCol, tieCol)
+    val v = valueCol.cast("double")
+    val nextV = lead(v, 1, 0.0).over(w)
+    val delta = rewardCol.cast("double") + lit(gamma) * nextV - v
+    val withDelta = df.withColumn("__gae_delta", delta)
+    val out =
+      if (lam == 0.0) {
+        // λ = 0 degenerates to the one-step TD advantage: A_t = δ_t
+        checkCols(df, Seq(outCol, s"${outCol}_n"))
+        withDelta.withColumn(outCol, col("__gae_delta"))
+          .withColumn(s"${outCol}_n",
+            when(col("__gae_delta").isNotNull, 1).otherwise(0))
+      } else discountedReturns(withDelta, groupCols, orderCol, tieCol,
+        col("__gae_delta"), gamma = gamma * lam, horizon = horizon,
+        outCol = outCol)
+    out.drop("__gae_delta")
+  }
+
   /** Off-policy evaluation on logged feedback — inverse-propensity
     * scoring (Horvitz–Thompson) and its self-normalized variant
     * (SNIPS, Swaminathan & Joachims 2015): with logged

@@ -204,4 +204,54 @@ class RewardSpec extends SparkTestBase {
         Seq("prompt"), col("reward"))
     }
   }
+
+  // one episode: r = (1, 2, 3), V = (10, 20, 30), terminal V = 0
+  // δ = (1 + 10 − 10, 2 + 15 − 20, 3 + 0 − 30) = (1, −3, −27)
+  private def gaeDf = {
+    import spark.implicits._
+    Seq(("e1", 1L, 1.0, 10.0), ("e1", 2L, 2.0, 20.0),
+      ("e1", 3L, 3.0, 30.0))
+      .toDF("ep", "t", "r", "v")
+  }
+
+  test("gaeAdvantage folds (γλ)-discounted TD residuals") {
+    val got = Reward.gaeAdvantage(gaeDf, Seq("ep"), col("t"), col("t"),
+        col("r"), col("v"), gamma = 0.5, lam = 0.5)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(r.fieldIndex("gae")),
+          r.getInt(r.fieldIndex("gae_n")))).toMap
+    // γλ = 1/4: A3 = −27; A2 = −3 − 27/4; A1 = 1 − 3/4 − 27/16
+    assert(got(3L) == (-27.0, 1))
+    assert(got(2L) == (-9.75, 2))
+    assert(got(1L) == (-1.4375, 3))
+  }
+
+  test("gaeAdvantage truncates at the horizon") {
+    val got = Reward.gaeAdvantage(gaeDf, Seq("ep"), col("t"), col("t"),
+        col("r"), col("v"), gamma = 0.5, lam = 0.5, horizon = 2)
+      .collect().map(r => r.getLong(1) ->
+        r.getDouble(r.fieldIndex("gae"))).toMap
+    assert(got(1L) == 0.25) // 1 − 3/4, the δ3 term falls off the frame
+  }
+
+  test("gaeAdvantage λ=0 degenerates to the one-step TD residual") {
+    val got = Reward.gaeAdvantage(gaeDf, Seq("ep"), col("t"), col("t"),
+        col("r"), col("v"), gamma = 0.5, lam = 0.0)
+      .collect().map(r => r.getLong(1) ->
+        r.getDouble(r.fieldIndex("gae"))).toMap
+    assert(got == Map(1L -> 1.0, 2L -> -3.0, 3L -> -27.0))
+  }
+
+  test("gaeAdvantage λ=1 horizon≥T equals return-to-go minus value") {
+    // classic identity: Σ γ^k δ_{t+k} (full, λ=1) = G_t − V_t
+    val a = Reward.gaeAdvantage(gaeDf, Seq("ep"), col("t"), col("t"),
+        col("r"), col("v"), gamma = 0.5, lam = 1.0, horizon = 16)
+      .select(col("t"), col("gae"))
+    val g = Reward.discountedReturns(gaeDf, Seq("ep"), col("t"),
+        col("t"), col("r"), gamma = 0.5, horizon = 16)
+      .select(col("t").as("t2"), (col("return_togo") - col("v")).as("gmv"))
+    val j = a.join(g, col("t") === col("t2")).collect()
+    j.foreach(r => assert(math.abs(r.getDouble(r.fieldIndex("gae")) -
+      r.getDouble(r.fieldIndex("gmv"))) < 1e-12))
+  }
 }
