@@ -1721,6 +1721,33 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q263_bradley_terry" -> ((s, dir) => {
+      // Bradley–Terry strength fit over pairwise duels: adjacent-doc_id
+      // pairs duel by n_chars (tie → lexicographically smaller source
+      // wins), the corpus-sized feed collapses to a 20-source
+      // comparison matrix in one aggregation, and 3 MM rounds run on
+      // the bounded matrix (Hunter 2004). Wins/comparisons gate as
+      // LONGs; the strength rounds at 6
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val b = d.select(col("doc_id").as("__did2"),
+        col("source").as("__src2"), col("n_chars").as("__nc2"))
+      val pr = d.join(b, col("__did2") === col("doc_id") + 1)
+        .where(col("source") =!= col("__src2"))
+      val aWins = col("n_chars") > col("__nc2")
+      val bWins = col("__nc2") > col("n_chars")
+      val duels = pr.select(
+        when(aWins, col("source")).when(bWins, col("__src2"))
+          .otherwise(least(col("source"), col("__src2"))).as("winner"),
+        when(aWins, col("__src2")).when(bWins, col("source"))
+          .otherwise(greatest(col("source"), col("__src2"))).as("loser"))
+      graft.ops.Preference.bradleyTerry(duels, col("winner"),
+          col("loser"), iters = 3)
+        .select(col("item"), col("wins"), col("n_comp"),
+          round(col("score"), 6).as("score6"))
+        .orderBy("item")
+    }),
+
     "q262_gae" -> ((s, dir) => {
       // GAE(γ=1/2, λ=1/2) advantages over per-user event streams: the
       // TD residual bootstraps from lead(V) (terminal V = 0), then the
@@ -4970,6 +4997,53 @@ i$k AS MATERIALIZED (SELECT
            FROM h$iters h JOIN a$iters a USING (node) ORDER BY node"""
   }
 
+  /** q263's oracle: Bradley–Terry MM rounds unrolled as CTEs (pagerank
+    * convention). The pair feed — adjacent-doc_id source duels decided
+    * by n_chars, ties to the lexicographically smaller source — is
+    * mirrored verbatim from the gate. */
+  private def bradleyTerryOracle(iters: Int): String = {
+    val head =
+      """WITH pr AS (SELECT a.source AS sa, b.source AS sb,
+             a.n_chars AS ca, b.n_chars AS cb
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE a.source <> b.source),
+         wl AS MATERIALIZED (SELECT
+             CASE WHEN ca > cb THEN sa WHEN cb > ca THEN sb
+               ELSE least(sa, sb) END AS winner,
+             CASE WHEN ca > cb THEN sb WHEN cb > ca THEN sa
+               ELSE greatest(sa, sb) END AS loser FROM pr),
+         sym AS MATERIALIZED (SELECT i, j, sum(n)::DOUBLE AS n FROM (
+             SELECT winner AS i, loser AS j, count(*) AS n FROM wl
+               GROUP BY 1, 2
+             UNION ALL
+             SELECT loser AS i, winner AS j, count(*) AS n FROM wl
+               GROUP BY 1, 2) GROUP BY 1, 2),
+         items AS MATERIALIZED (SELECT DISTINCT i AS item FROM sym),
+         w AS MATERIALIZED (SELECT it.item,
+             coalesce(x.wv, 0)::DOUBLE AS wins FROM items it
+           LEFT JOIN (SELECT winner AS item, count(*)::DOUBLE AS wv
+             FROM wl GROUP BY 1) x USING (item)),
+         r0 AS MATERIALIZED (SELECT item,
+             1.0 / (SELECT count(*) FROM items) AS pi FROM items)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+         u$k AS MATERIALIZED (SELECT w.item, CASE WHEN w.wins = 0 THEN 0
+               ELSE w.wins / (SELECT sum(sym.n / (ri.pi + rj.pi))
+                 FROM sym JOIN r${k - 1} ri ON ri.item = sym.i
+                   JOIN r${k - 1} rj ON rj.item = sym.j
+                 WHERE sym.i = w.item) END AS u
+             FROM w),
+         r$k AS MATERIALIZED (SELECT item,
+             u / (SELECT sum(u) FROM u$k) AS pi FROM u$k)"""
+    }.mkString
+    head + steps +
+      s""" SELECT r.item, w.wins::BIGINT AS wins,
+           (SELECT sum(sym.n) FROM sym WHERE sym.i = r.item)::BIGINT
+             AS n_comp,
+           round(r.pi, 6) AS score6
+         FROM r$iters r JOIN w ON w.item = r.item ORDER BY r.item"""
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val head =
       """WITH e AS MATERIALIZED (SELECT
@@ -8061,6 +8135,7 @@ ORDER BY idA, idB"""),
          FROM bins""",
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
+    "q263_bradley_terry" -> bradleyTerryOracle(3),
     // δ = r + γ·lead(V, default 0) − V in (ts, event_id) order per
     // user, then the (γλ)-discounted forward fold — same frame shape
     // as q256, pinned at 2³¹ (δ in halves × 4^15 frame depth)
