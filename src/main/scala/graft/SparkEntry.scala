@@ -1721,6 +1721,24 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q264_kl_estimators" -> ((s, dir) => {
+      // the KL-penalty telemetry an RLHF batch logs: k1/k2/k3 per
+      // event_type from synthetic dyadic logprobs (quarters vs
+      // eighths), so logr and the k1/k2 sums are IEEE-exact on both
+      // engines; k3's exp() rounds at 6 after the group mean
+      val ev = t(s, dir, "events")
+        .withColumn("__lp",
+          -(((col("event_id") % 13) + 1).cast("double") / 4.0))
+        .withColumn("__lr",
+          -(((col("event_id") % 17) + 1).cast("double") / 8.0))
+      graft.ops.Reward.klEstimators(ev, Seq("event_type"),
+          col("__lp"), col("__lr"))
+        .select(col("event_type"), col("n"),
+          round(col("k1"), 6).as("k1"), round(col("k2"), 6).as("k2"),
+          round(col("k3"), 6).as("k3"))
+        .orderBy("event_type")
+    }),
+
     "q263_bradley_terry" -> ((s, dir) => {
       // Bradley–Terry strength fit over pairwise duels: adjacent-doc_id
       // pairs duel by n_chars (tie → lexicographically smaller source
@@ -8136,6 +8154,17 @@ ORDER BY idA, idB"""),
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
+    // logr = lr − lp is dyadic-exact; k1/k2 sums exact, k3 via exp
+    "q264_kl_estimators" ->
+      """WITH d AS (SELECT event_type,
+             (-(((event_id % 17) + 1) / 8.0))
+               - (-(((event_id % 13) + 1) / 4.0)) AS logr
+           FROM events)
+         SELECT event_type, count(*)::BIGINT AS n,
+           round(avg(-logr), 6) AS k1,
+           round(avg(logr * logr / 2), 6) AS k2,
+           round(avg(exp(logr) - 1 - logr), 6) AS k3
+         FROM d GROUP BY 1 ORDER BY 1""",
     // δ = r + γ·lead(V, default 0) − V in (ts, event_id) order per
     // user, then the (γλ)-discounted forward fold — same frame shape
     // as q256, pinned at 2³¹ (δ in halves × 4^15 frame depth)

@@ -260,6 +260,41 @@ object Reward {
         when(col("sum_w") > 0, col("sum_wr") / col("sum_w")))
   }
 
+  /** Per-group KL-divergence estimates between the policy that
+    * GENERATED logged samples and a frozen reference model, from their
+    * per-token logprobs — the KL-penalty bookkeeping every
+    * RLHF/PPO-style recipe logs per batch (the k1/k2/k3 estimators of
+    * Schulman 2020, "Approximating KL Divergence"). With
+    * `logr = logp_ref − logp_policy` on samples drawn from the policy:
+    *
+    *  - `k1 = mean(−logr)` — the naive unbiased estimator (high
+    *    variance, can go negative);
+    *  - `k2 = mean(logr² / 2)` — low variance, biased;
+    *  - `k3 = mean(exp(logr) − 1 − logr)` — unbiased AND non-negative
+    *    term-by-term (the Bregman form), the default in practice.
+    *
+    * One map-side-combined aggregation; sums run through
+    * [[gf.exact_sum]] so each estimate is bit-stable under any
+    * partitioning. Rows with a NULL logprob on either side are
+    * refused work (dropped), counted out of `n`. */
+  def klEstimators(df: DataFrame, groupCols: Seq[String],
+      policyLogpCol: Column, refLogpCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val lp = policyLogpCol.cast("double")
+    val lr = refLogpCol.cast("double")
+    val logr = lr - lp
+    df.where(lp.isNotNull && lr.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        gf.exact_sum(-logr).as("__s1"),
+        gf.exact_sum(logr * logr / 2).as("__s2"),
+        gf.exact_sum(exp(logr) - 1 - logr).as("__s3"))
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        (col("__s1") / col("n")).as("k1"),
+        (col("__s2") / col("n")).as("k2"),
+        (col("__s3") / col("n")).as("k3")): _*)
+  }
+
   /** RLOO leave-one-out advantage: adds `outCol` =
     * `r − (Σ_g r − r) / (n_g − 1)` — each candidate against the mean of
     * the OTHER candidates of its prompt. Groups with a single non-null

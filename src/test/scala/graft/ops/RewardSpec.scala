@@ -242,6 +242,31 @@ class RewardSpec extends SparkTestBase {
     assert(got == Map(1L -> 1.0, 2L -> -3.0, 3L -> -27.0))
   }
 
+  test("klEstimators: hand-worked k1/k2/k3, NULLs refused work") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("g", -1.0, -0.5), ("g", -2.0, -3.0), ("g", null, -1.0))
+      .toDF("grp", "lp", "lr")
+    val r = Reward.klEstimators(df, Seq("grp"), col("lp"), col("lr"))
+      .collect()(0)
+    // logr = (0.5, −1.0); the NULL-lp row drops out of n
+    assert(r.getLong(r.fieldIndex("n")) == 2L)
+    assert(r.getDouble(r.fieldIndex("k1")) == 0.25)
+    assert(r.getDouble(r.fieldIndex("k2")) == 0.3125)
+    val k3 = (math.exp(0.5) - 1.5 + math.exp(-1.0)) / 2
+    assert(math.abs(r.getDouble(r.fieldIndex("k3")) - k3) < 1e-15)
+  }
+
+  test("klEstimators: identical models give zero KL on all three") {
+    import spark.implicits._
+    val df = Seq(("g", -1.25), ("g", -0.5)).toDF("grp", "lp")
+    val r = Reward.klEstimators(df, Seq("grp"), col("lp"), col("lp"))
+      .collect()(0)
+    assert(r.getDouble(r.fieldIndex("k1")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("k2")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("k3")) == 0.0)
+  }
+
   test("gaeAdvantage λ=1 horizon≥T equals return-to-go minus value") {
     // classic identity: Σ γ^k δ_{t+k} (full, λ=1) = G_t − V_t
     val a = Reward.gaeAdvantage(gaeDf, Seq("ep"), col("t"), col("t"),
