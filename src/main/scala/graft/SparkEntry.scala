@@ -1721,6 +1721,35 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q265_majority_vote" -> ((s, dir) => {
+      // self-consistency election: 8-candidate prompt groups
+      // (doc_id div 8) vote with their lang tag; modal answer wins,
+      // ties break to the smallest answer — counts gate as LONGs,
+      // agreement as an exact dyadic-free ratio rounded at 6
+      val docs = t(s, dir, "documents")
+        .select(call_function("div", col("doc_id"), lit(8L)).as("grp"),
+          col("lang"))
+      graft.ops.Eval.majorityVote(docs, Seq("grp"), col("lang"))
+        .select(col("grp"), col("vote"), col("vote_n"), col("n_total"),
+          col("n_distinct"), round(col("agreement"), 6).as("agree6"))
+        .orderBy("grp")
+    }),
+
+    "q266_pass_at_k" -> ((s, dir) => {
+      // unbiased pass@k over 8-attempt problem groups: success =
+      // (n_chars % 3 = 0); the C(n−c,k)/C(n,k) products gate as exact
+      // LONGs (num/den), so the estimator itself is pinned — k > n
+      // rows (the tail partial group) emit NULLs by contract
+      val docs = t(s, dir, "documents")
+        .select(call_function("div", col("doc_id"), lit(8L)).as("grp"),
+          (col("n_chars") % 3 === 0).cast("int").as("ok"))
+      graft.ops.Eval.passAtK(docs, Seq("grp"), col("ok"), Seq(1, 4, 8))
+        .select(col("grp"), col("k"), col("n"), col("c"),
+          col("num"), col("den"),
+          round(col("pass_at_k"), 6).as("pass6"))
+        .orderBy("grp", "k")
+    }),
+
     "q264_kl_estimators" -> ((s, dir) => {
       // the KL-penalty telemetry an RLHF batch logs: k1/k2/k3 per
       // event_type from synthetic dyadic logprobs (quarters vs
@@ -8154,6 +8183,36 @@ ORDER BY idA, idB"""),
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
+    // modal answer per group; ties to min(answer) via (−cnt, ans) sort
+    "q265_majority_vote" ->
+      """WITH c AS (SELECT doc_id // 8 AS grp, lang,
+             count(*)::BIGINT AS cnt
+           FROM documents GROUP BY 1, 2),
+         e AS (SELECT grp,
+             first(lang ORDER BY cnt DESC, lang ASC) AS vote,
+             max(cnt) AS vote_n, sum(cnt)::BIGINT AS n_total,
+             count(*)::BIGINT AS n_distinct
+           FROM c GROUP BY grp)
+         SELECT grp, vote, vote_n, n_total, n_distinct,
+           round(vote_n * 1.0 / n_total, 6) AS agree6
+         FROM e ORDER BY grp""",
+    // C(n−c,k)/C(n,k) as exact integer products; k > n → NULL
+    "q266_pass_at_k" ->
+      """WITH a AS (SELECT doc_id // 8 AS grp,
+             (n_chars % 3 = 0)::INT AS ok FROM documents),
+         g AS (SELECT grp, count(*)::BIGINT AS n,
+             sum(ok)::BIGINT AS c FROM a GROUP BY 1),
+         x AS (SELECT grp, n, c, k,
+             CASE WHEN k <= n THEN list_product(list_transform(
+               range(0, k), i -> greatest(n - c - i, 0)))::BIGINT
+             END AS num,
+             CASE WHEN k <= n THEN list_product(list_transform(
+               range(0, k), i -> greatest(n - i, 0)))::BIGINT
+             END AS den
+           FROM g, unnest([1, 4, 8]::BIGINT[]) t(k))
+         SELECT grp, k, n, c, num, den,
+           round(1.0 - num * 1.0 / den, 6) AS pass6
+         FROM x ORDER BY grp, k""",
     // logr = lr − lp is dyadic-exact; k1/k2 sums exact, k3 via exp
     "q264_kl_estimators" ->
       """WITH d AS (SELECT event_type,

@@ -580,4 +580,77 @@ object Eval {
         (graft.api.functions.exact_sum(col("__v")) / count(lit(1)))
           .as("mean"))
   }
+
+  /** Self-consistency majority voting (Wang et al. 2023,
+    * "Self-Consistency Improves Chain of Thought Reasoning"): per
+    * group (prompt), the modal answer among sampled candidates, with a
+    * DETERMINISTIC tie rule — among answers of maximal (weighted)
+    * count, the smallest answer wins — so reruns and re-partitions
+    * elect the same answer. Returns one row per group:
+    * `(groupCols…, vote, vote_n, n_total, n_distinct, agreement)`
+    * where `agreement = vote_n / n_total` (the usual confidence
+    * proxy). NULL answers are refused work (dropped). `weightCol`
+    * (default 1 per candidate) weighs votes, e.g. by sampler
+    * likelihood.
+    *
+    * Two aggregations, both map-side combined: candidates reduce to
+    * (group, answer) counts first, and the election runs over the
+    * already-reduced counts — the second shuffle moves one row per
+    * DISTINCT answer, not per candidate. The election itself is a
+    * `min_by` over `struct(−count, answer)`, so max count + min answer
+    * resolves in one pass with no window and no join. */
+  def majorityVote(df: DataFrame, groupCols: Seq[String],
+      answerCol: Column, weightCol: Column = lit(1L)): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val counts = df.where(answerCol.isNotNull)
+      .groupBy((groupCols.map(col) :+ answerCol.as("__ans")): _*)
+      .agg(sum(weightCol.cast("long")).as("__cnt"))
+    counts.groupBy(groupCols.map(col): _*)
+      .agg(
+        min_by(col("__ans"),
+          struct((-col("__cnt")).as("a"), col("__ans").as("b")))
+          .as("vote"),
+        max(col("__cnt")).as("vote_n"),
+        sum(col("__cnt")).as("n_total"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("agreement",
+        col("vote_n").cast("double") / col("n_total"))
+  }
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code"): per group (problem) with `n` attempts
+    * of which `c` succeed, `pass@k = 1 − C(n−c, k) / C(n, k)` — the
+    * probability that a random size-k subset of the attempts contains
+    * a success. One row per group per requested k:
+    * `(groupCols…, k, n, c, num, den, pass_at_k)` where
+    * `num = Π_{i<k}(n−c−i)` and `den = Π_{i<k}(n−i)` are the exact
+    * LONG binomial products (num clamps at 0 when c > n−k, i.e.
+    * pass@k = 1) and `pass_at_k = 1 − num/den`. k > n rows emit NULLs
+    * (the estimator needs at least k attempts).
+    *
+    * One map-side-combined aggregation to (n, c) per group, then a
+    * scan-side explode onto the literal k list — the products fold
+    * over `sequence(0, k−1)` inside codegen. Caller contract:
+    * `n^max(k)` must fit a LONG (ANSI overflow throws otherwise) —
+    * with the usual n ≤ 100, k ≤ 10 this holds with room. */
+  def passAtK(df: DataFrame, groupCols: Seq[String],
+      successCol: Column, ks: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 64),
+      "each k must be in [1, 64]")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(successCol.cast("long")).as("c"))
+    val prod = (base: Column) => aggregate(
+      sequence(lit(0L), col("k") - 1),
+      lit(1L), (acc, i) => acc * greatest(base - i, lit(0L)))
+    agg.select(col("*"),
+        explode(typedLit(ks.map(_.toLong))).as("k"))
+      .withColumn("num",
+        when(col("k") <= col("n"), prod(col("n") - col("c"))))
+      .withColumn("den",
+        when(col("k") <= col("n"), prod(col("n"))))
+      .withColumn("pass_at_k",
+        lit(1.0) - col("num").cast("double") / col("den"))
+  }
 }

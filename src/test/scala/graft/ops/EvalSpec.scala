@@ -544,4 +544,59 @@ class EvalSpec extends SparkTestBase {
       col("v"), 8).orderBy("replicate").collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("majorityVote elects the modal answer, smallest on ties") {
+    import spark.implicits._
+    val df = Seq[(String, String)](
+      // p1: b×2, a×1 -> b; p2: tie a×2 b×2 -> a (smallest)
+      ("p1", "b"), ("p1", "b"), ("p1", "a"),
+      ("p2", "b"), ("p2", "a"), ("p2", "b"), ("p2", "a"),
+      // p3: single answer; p4: NULL answers refused work
+      ("p3", "z"), ("p4", null), ("p4", "c"))
+      .toDF("prompt", "ans")
+    val got = Eval.majorityVote(df, Seq("prompt"), col("ans"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got("p1") == ("b", 2L, 3L, 2L, 2.0 / 3.0))
+    assert(got("p2") == ("a", 2L, 4L, 2L, 0.5))
+    assert(got("p3") == ("z", 1L, 1L, 1L, 1.0))
+    assert(got("p4") == ("c", 1L, 1L, 1L, 1.0))
+  }
+
+  test("majorityVote weighs votes when asked") {
+    import spark.implicits._
+    val df = Seq(("p", "a", 1L), ("p", "a", 1L), ("p", "b", 5L))
+      .toDF("prompt", "ans", "w")
+    val r = Eval.majorityVote(df, Seq("prompt"), col("ans"),
+      col("w")).collect()(0)
+    assert(r.getString(1) == "b" && r.getLong(2) == 5L &&
+      r.getLong(3) == 7L)
+  }
+
+  test("passAtK: exact binomial products and the boundary cases") {
+    import spark.implicits._
+    // problem q1: 4 attempts, 2 pass; q2: 3 attempts, 0 pass;
+    // q3: 2 attempts, 2 pass
+    val df = Seq(("q1", 1), ("q1", 0), ("q1", 1), ("q1", 0),
+      ("q2", 0), ("q2", 0), ("q2", 0), ("q3", 1), ("q3", 1))
+      .toDF("prob", "ok")
+    val got = Eval.passAtK(df, Seq("prob"), col("ok"), Seq(2, 5))
+      .collect().map(r => (r.getString(0), r.getLong(3)) -> r).toMap
+    val q1 = got(("q1", 2L))
+    // C(2,2)/C(4,2): num = 2*1, den = 4*3, pass = 1 - 1/6
+    assert(q1.getLong(q1.fieldIndex("num")) == 2L)
+    assert(q1.getLong(q1.fieldIndex("den")) == 12L)
+    assert(math.abs(q1.getDouble(q1.fieldIndex("pass_at_k"))
+      - 5.0 / 6.0) < 1e-15)
+    // zero successes -> 0; all successes -> 1
+    val q2 = got(("q2", 2L))
+    assert(q2.getDouble(q2.fieldIndex("pass_at_k")) == 0.0)
+    val q3 = got(("q3", 2L))
+    assert(q3.getLong(q3.fieldIndex("num")) == 0L)
+    assert(q3.getDouble(q3.fieldIndex("pass_at_k")) == 1.0)
+    // k > n refuses the estimate
+    assert(got(("q1", 5L)).isNullAt(q1.fieldIndex("pass_at_k")))
+    assert(got(("q3", 5L)).isNullAt(q1.fieldIndex("num")))
+  }
 }
