@@ -1721,6 +1721,53 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q267_wilson_ci" -> ((s, dir) => {
+      // per-matchup win rates with Wilson bands at z = 2: q263's duel
+      // feed grouped by canonical pair, success = "the smaller-named
+      // source won". (n, s) gate as LONGs; the band is rational
+      // arithmetic + one IEEE-exact sqrt, rounded at 6
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val b = d.select(col("doc_id").as("__did2"),
+        col("source").as("__src2"), col("n_chars").as("__nc2"))
+      val pr = d.join(b, col("__did2") === col("doc_id") + 1)
+        .where(col("source") =!= col("__src2"))
+      val aWins = col("n_chars") > col("__nc2")
+      val bWins = col("__nc2") > col("n_chars")
+      val duels = pr.select(
+        when(aWins, col("source")).when(bWins, col("__src2"))
+          .otherwise(least(col("source"), col("__src2"))).as("winner"),
+        when(aWins, col("__src2")).when(bWins, col("source"))
+          .otherwise(greatest(col("source"), col("__src2"))).as("loser"))
+        .select(least(col("winner"), col("loser")).as("a"),
+          greatest(col("winner"), col("loser")).as("b"),
+          (col("winner") < col("loser")).as("ok"))
+      graft.ops.Eval.wilsonInterval(duels, Seq("a", "b"), col("ok"),
+          z = 2.0)
+        .select(col("a"), col("b"), col("n"), col("s"),
+          round(col("p_hat"), 6).as("p6"),
+          round(col("lo"), 6).as("lo6"),
+          round(col("hi"), 6).as("hi6"))
+        .orderBy("a", "b")
+    }),
+
+    "q268_prefix_cache" -> ((s, dir) => {
+      // prompt-cache accounting: requests = a 4-token system prefix
+      // (sys, source, lang, ::) + the document's words, bucketed by the
+      // exact prefix slice — one cached prefill serves each bucket, so
+      // saved = (n−1)·prefix_len. All LONG receipts; the bucket key
+      // gates as the joined prefix string
+      val docs = t(s, dir, "documents")
+        .select(concat(
+          array(lit("sys"), col("source"), col("lang"), lit("::")),
+          split(col("text"), " ")).as("toks"))
+      graft.ops.Packing.prefixCacheStats(docs, col("toks"), 4)
+        .select(array_join(col("prefix_ids"), " ").as("prefix_key"),
+          col("prefix_len"), col("n_seqs"), col("total_tokens"),
+          col("tokens_saved"))
+        .orderBy("prefix_key")
+    }),
+
     "q265_majority_vote" -> ((s, dir) => {
       // self-consistency election: 8-candidate prompt groups
       // (doc_id div 8) vote with their lang tag; modal answer wins,
@@ -8183,6 +8230,47 @@ ORDER BY idA, idB"""),
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
+    // q263's duel feed → canonical pairs; Wilson at z=2 mirrored
+    // op-for-op so the doubles match before the round
+    "q267_wilson_ci" ->
+      """WITH pr AS (SELECT a.source AS sa, b.source AS sb,
+             a.n_chars AS ca, b.n_chars AS cb
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE a.source <> b.source),
+         wl AS (SELECT
+             CASE WHEN ca > cb THEN sa WHEN cb > ca THEN sb
+               ELSE least(sa, sb) END AS winner,
+             CASE WHEN ca > cb THEN sb WHEN cb > ca THEN sa
+               ELSE greatest(sa, sb) END AS loser FROM pr),
+         d AS (SELECT least(winner, loser) AS a,
+             greatest(winner, loser) AS b,
+             (winner < loser)::INT AS ok FROM wl),
+         g AS (SELECT a, b, count(*)::BIGINT AS n,
+             sum(ok)::BIGINT AS s FROM d GROUP BY 1, 2),
+         x AS (SELECT a, b, n, s,
+             s::DOUBLE / n::DOUBLE AS p,
+             1.0 + 4.0 / n::DOUBLE AS dn FROM g)
+         SELECT a, b, n, s, round(p, 6) AS p6,
+           round(greatest((p + 4.0 / (2 * n::DOUBLE)) / dn
+             - (2.0 / dn) * sqrt(p * (1.0 - p) / n::DOUBLE
+               + 4.0 / ((4.0 * n::DOUBLE) * n::DOUBLE)), 0.0), 6)
+             AS lo6,
+           round(least((p + 4.0 / (2 * n::DOUBLE)) / dn
+             + (2.0 / dn) * sqrt(p * (1.0 - p) / n::DOUBLE
+               + 4.0 / ((4.0 * n::DOUBLE) * n::DOUBLE)), 1.0), 6)
+             AS hi6
+         FROM x ORDER BY a, b""",
+    // bucket by the exact 4-token prefix; saved = (n−1)·prefix_len
+    "q268_prefix_cache" ->
+      """WITH r AS (SELECT list_concat(['sys', source, lang, '::'],
+             string_split(text, ' ')) AS toks FROM documents),
+         g AS (SELECT array_to_string(toks[1:4], ' ') AS prefix_key,
+             count(*)::BIGINT AS n_seqs,
+             sum(len(toks))::BIGINT AS total_tokens
+           FROM r GROUP BY 1)
+         SELECT prefix_key, 4::BIGINT AS prefix_len, n_seqs,
+           total_tokens, (n_seqs - 1) * 4 AS tokens_saved
+         FROM g ORDER BY prefix_key""",
     // modal answer per group; ties to min(answer) via (−cnt, ans) sort
     "q265_majority_vote" ->
       """WITH c AS (SELECT doc_id // 8 AS grp, lang,

@@ -617,6 +617,35 @@ object Eval {
         col("vote_n").cast("double") / col("n_total"))
   }
 
+  /** Wilson score interval per group — the right uncertainty band for
+    * win rates and pass rates at ANY n (unlike the normal
+    * approximation, it never leaves [0, 1] and behaves at s = 0 or
+    * s = n). For s successes of n trials at critical value z:
+    * center = (p̂ + z²/2n) / (1 + z²/n), half-width =
+    * z/(1 + z²/n) · √(p̂(1−p̂)/n + z²/4n²). One map-side-combined
+    * aggregation to (n, s) per group; everything after is scan-side
+    * rational arithmetic plus one IEEE-exact sqrt, so results are
+    * bit-stable. NULL outcomes are refused work (dropped from n). */
+  def wilsonInterval(df: DataFrame, groupCols: Seq[String],
+      successCol: Column, z: Double = 2.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(z > 0, "z must be > 0")
+    val ok = successCol.cast("boolean")
+    val z2 = z * z
+    val agg = df.where(ok.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(ok.cast("long")).as("s"))
+    val n = col("n").cast("double")
+    val p = col("s").cast("double") / n
+    val denom = lit(1.0) + lit(z2) / n
+    val center = (p + lit(z2) / (lit(2.0) * n)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + lit(z2) / (lit(4.0) * n * n))
+    agg.withColumn("p_hat", p)
+      .withColumn("lo", greatest(center - half, lit(0.0)))
+      .withColumn("hi", least(center + half, lit(1.0)))
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
     * Models Trained on Code"): per group (problem) with `n` attempts
     * of which `c` succeed, `pass@k = 1 − C(n−c, k) / C(n, k)` — the

@@ -724,4 +724,35 @@ object Packing {
         lit(seqLen.toLong * seqLen) - col("cost_blocks"))
       .drop("__rst")
   }
+
+  /** Prefix-cache sharing receipts (the RadixAttention / prompt-cache
+    * accounting, Zheng et al. 2024 "SGLang"): requests whose first
+    * `prefixLen` ids are IDENTICAL share one cached prefix, so a bucket
+    * of n such sequences recomputes the prefix once and saves
+    * `(n − 1) · prefix_len` prefill tokens. One row per distinct
+    * prefix: `(prefix_ids, prefix_len, n_seqs, total_tokens,
+    * tokens_saved)` — sequences shorter than `prefixLen` bucket by
+    * their whole id list (they still share what exists).
+    *
+    * One shuffle, keyed by the prefix slice itself — a bounded-width
+    * key (≤ prefixLen ids), never the full sequence; counts combine
+    * map-side, so 100 TB of request logs reduce to one row per
+    * distinct prefix. The element type is generic (token ids, string
+    * tokens, …). */
+  def prefixCacheStats(df: DataFrame, idsCol: Column,
+      prefixLen: Int): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 4096,
+      "prefixLen must be in [1, 4096]")
+    df.where(idsCol.isNotNull)
+      .select(slice(idsCol, 1, prefixLen).as("prefix_ids"),
+        size(idsCol).cast("long").as("__len"))
+      .groupBy(col("prefix_ids"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("__len")).as("total_tokens"))
+      .withColumn("prefix_len", size(col("prefix_ids")).cast("long"))
+      .withColumn("tokens_saved",
+        (col("n_seqs") - 1) * col("prefix_len"))
+      .select(col("prefix_ids"), col("prefix_len"), col("n_seqs"),
+        col("total_tokens"), col("tokens_saved"))
+  }
 }

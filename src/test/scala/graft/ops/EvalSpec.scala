@@ -574,6 +574,25 @@ class EvalSpec extends SparkTestBase {
       r.getLong(3) == 7L)
   }
 
+  test("wilsonInterval: hand-worked band, clamps at the edges") {
+    import spark.implicits._
+    // g1: s=0 of n=4 at z=2 -> center 0.25, half 0.25 -> [0, 0.5] exact
+    // g2: s=3 of n=4
+    val df = Seq(("g1", 0), ("g1", 0), ("g1", 0), ("g1", 0),
+      ("g2", 1), ("g2", 1), ("g2", 1), ("g2", 0))
+      .toDF("g", "ok")
+    val got = Eval.wilsonInterval(df, Seq("g"), col("ok"), z = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got("g1") == (4L, 0L, 0.0, 0.0, 0.5))
+    val (_, _, p, lo, hi) = got("g2")
+    assert(p == 0.75)
+    val half = math.sqrt(0.75 * 0.25 / 4 + 4.0 / 64)
+    assert(math.abs(lo - (0.625 - half)) < 1e-15)
+    assert(math.abs(hi - (0.625 + half)) < 1e-15)
+  }
+
   test("passAtK: exact binomial products and the boundary cases") {
     import spark.implicits._
     // problem q1: 4 attempts, 2 pass; q2: 3 attempts, 0 pass;

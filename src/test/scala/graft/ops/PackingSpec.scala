@@ -446,4 +446,19 @@ class PackingSpec extends SparkTestBase {
     assert(a.forall(_._2.size == 128))
     assert(nSamples == (total + 127L) / 128L)
   }
+
+  test("prefixCacheStats buckets by the exact prefix slice") {
+    import spark.implicits._
+    val df = Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(1L, 2L, 3L, 4L, 9L),
+      Seq(1L, 2L, 3L, 4L), Seq(7L, 8L))
+      .toDF("ids")
+    val got = Packing.prefixCacheStats(df, col("ids"), 4)
+      .collect().map(r => r.getSeq[Long](0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // three requests share the [1,2,3,4] prefix: 2 of 3 prefills saved
+    assert(got(Seq(1L, 2L, 3L, 4L)) == (4L, 3L, 14L, 8L))
+    // a short sequence buckets by its whole id list and saves nothing
+    assert(got(Seq(7L, 8L)) == (2L, 1L, 2L, 0L))
+  }
 }
