@@ -1721,6 +1721,18 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q269_pad_buckets" -> ((s, dir) => {
+      // dynamic-batching receipts: token lengths rank-bucket into 8
+      // equal-count bins (exact two-level global rank, ties by doc_id),
+      // each bin pads to its own max — pad_waste = n·max − Σlen, all
+      // LONG-exact; the oracle replays rank and the div bucket rule
+      val docs = t(s, dir, "documents")
+        .select(gf.token_count(col("text")).cast("long").as("tlen"),
+          col("doc_id"))
+      graft.ops.Packing.padBuckets(docs, col("tlen"), col("doc_id"), 8)
+        .orderBy("bucket")
+    }),
+
     "q267_wilson_ci" -> ((s, dir) => {
       // per-matchup win rates with Wilson bands at z = 2: q263's duel
       // feed grouped by canonical pair, success = "the smaller-named
@@ -8230,6 +8242,20 @@ ORDER BY idA, idB"""),
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
+    // exact global rank by (len, doc_id); bucket = (rank−1)·8 // n
+    "q269_pad_buckets" ->
+      """WITH d AS (SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS tlen
+           FROM documents),
+         r AS (SELECT tlen,
+             row_number() OVER (ORDER BY tlen, doc_id) AS rn,
+             count(*) OVER () AS n FROM d),
+         b AS (SELECT tlen, ((rn - 1) * 8) // n AS bucket FROM r)
+         SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
+           min(tlen) AS min_len, max(tlen) AS max_len,
+           sum(tlen)::BIGINT AS sum_len,
+           (count(*) * max(tlen) - sum(tlen))::BIGINT AS pad_waste
+         FROM b GROUP BY 1 ORDER BY 1""",
     // q263's duel feed → canonical pairs; Wilson at z=2 mirrored
     // op-for-op so the doubles match before the round
     "q267_wilson_ci" ->

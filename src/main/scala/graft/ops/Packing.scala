@@ -755,4 +755,37 @@ object Packing {
       .select(col("prefix_ids"), col("prefix_len"), col("n_seqs"),
         col("total_tokens"), col("tokens_saved"))
   }
+
+  /** Length-bucketed batch padding receipts — the dynamic-batching
+    * planner's input: sequences sort into `buckets` equal-count bins by
+    * exact global length rank (smallest lengths in bucket 0), each
+    * batch pads to ITS bucket's max, and the receipt prices that
+    * choice: `pad_waste = n·max_len − Σ len` per bucket. Σ pad_waste
+    * across buckets vs the one-bucket row (`buckets = 1`) is exactly
+    * what length-grouping saves. One row per bucket:
+    * `(bucket, n, min_len, max_len, sum_len, pad_waste)` — all LONGs.
+    *
+    * Scale shape: [[graft.sources.Shards.assignShardsOrdered]]'s
+    * two-level range rank (ONE range shuffle, no global window) plus a
+    * bucket-count-sized aggregation; `tie` must make the length order
+    * total (the usual doc id). */
+  def padBuckets(df: DataFrame, lenCol: Column, tieCol: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      "buckets must be in [1, 2^20]")
+    val rows = df.select(lenCol.cast("long").as("__len"),
+        tieCol.as("__tie"))
+      .where(col("__len").isNotNull)
+    // shardCol must not be named "bucket": assignShardsOrdered drops an
+    // internal rankBuckets column of that name on its way out
+    graft.sources.Shards.assignShardsOrdered(rows, col("__len"),
+        col("__tie"), buckets, "__padbin")
+      .groupBy(col("__padbin").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__len")).as("min_len"),
+        max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .withColumn("pad_waste",
+        col("n") * col("max_len") - col("sum_len"))
+  }
 }

@@ -461,4 +461,25 @@ class PackingSpec extends SparkTestBase {
     // a short sequence buckets by its whole id list and saves nothing
     assert(got(Seq(7L, 8L)) == (2L, 1L, 2L, 0L))
   }
+
+  test("padBuckets: equal-count length bins, exact waste") {
+    import spark.implicits._
+    // lengths 1..8 into 2 buckets: {1..4} pads to 4, {5..8} pads to 8
+    val df = (1L to 8L).map(i => (i, 100L + i)).toDF("len", "id")
+    val got = Packing.padBuckets(df, col("len"), col("id"), 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got(0L) == (4L, 1L, 4L, 10L, 6L))
+    assert(got(1L) == (4L, 5L, 8L, 26L, 6L))
+    // one bucket = pad everything to the global max
+    val one = Packing.padBuckets(df, col("len"), col("id"), 1)
+      .collect()(0)
+    assert(one.getLong(5) == 8L * 8L - 36L)
+    // partitioning-invariant
+    val again = Packing.padBuckets(df.repartition(5), col("len"),
+      col("id"), 2).orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(again == got.toSeq.sortBy(_._1).map { case (b, t) =>
+      Seq(b, t._1, t._2, t._3, t._4, t._5) })
+  }
 }
