@@ -1721,6 +1721,42 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q271_best_of_n" -> ((s, dir) => {
+      // the BoN scaling curve from logged candidates: 8-candidate
+      // prompt groups (doc_id div 8) scored by n_chars; E[max of n]
+      // for n ∈ {1,2,4} from order statistics with exact LONG binomial
+      // weights — num (integral rewards) and den gate as LONGs
+      val docs = t(s, dir, "documents")
+        .select(call_function("div", col("doc_id"), lit(8L)).as("grp"),
+          col("n_chars").cast("double").as("r"))
+      graft.ops.Eval.bestOfN(docs, Seq("grp"), col("r"), Seq(1, 2, 4))
+        .select(col("grp"), col("n_subset"), col("n_cands"),
+          round(col("num"), 0).cast("long").as("num"), col("den"),
+          round(col("emax"), 6).as("emax6"))
+        .orderBy("grp", "n_subset")
+    }),
+
+    "q270_length_debias" -> ((s, dir) => {
+      // reward-model length-bias audit: OLS of n_chars on token count
+      // per source — integer-valued inputs make the moment numerators
+      // nΣxy−ΣxΣy exact doubles, gated as LONGs; the fitted
+      // slope/intercept/r² round at 6
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          gf.token_count(col("text")).cast("double").as("x"),
+          col("n_chars").cast("double").as("y"))
+      graft.ops.Reward.lengthBiasStats(docs, Seq("source"),
+          col("y"), col("x"))
+        .select(col("source"), col("n"),
+          round(col("sxx_num"), 0).cast("long").as("sxx_num"),
+          round(col("sxy_num"), 0).cast("long").as("sxy_num"),
+          round(col("syy_num"), 0).cast("long").as("syy_num"),
+          round(col("slope"), 6).as("slope6"),
+          round(col("intercept"), 6).as("icept6"),
+          round(col("r2"), 6).as("r26"))
+        .orderBy("source")
+    }),
+
     "q269_pad_buckets" -> ((s, dir) => {
       // dynamic-batching receipts: token lengths rank-bucket into 8
       // equal-count bins (exact two-level global rank, ties by doc_id),
@@ -8242,6 +8278,53 @@ ORDER BY idA, idB"""),
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
+    // E[max of n] = Σ r_(i)·C(i−1,n−1)/C(N,n); binomials as exact
+    // integer-division products over the ascending order statistics
+    "q271_best_of_n" ->
+      """WITH a AS (SELECT doc_id // 8 AS grp, n_chars::DOUBLE AS r
+           FROM documents),
+         g AS (SELECT grp, list(r ORDER BY r) AS rs,
+             count(*)::BIGINT AS nc FROM a GROUP BY 1),
+         x AS (SELECT grp, nc, k, rs
+           FROM g, unnest([1, 2, 4]::BIGINT[]) t(k)),
+         y AS (SELECT grp, k, nc,
+             CASE WHEN k <= nc THEN
+               list_sum(list_transform(range(1, nc + 1), i ->
+                 rs[i::INT] * (CASE WHEN k = 1 THEN 1
+                   ELSE list_product(list_transform(range(1, k),
+                     tt -> greatest(i - tt, 0)))::BIGINT
+                     // factorial((k - 1)::INT) END)))
+             END AS num,
+             CASE WHEN k <= nc THEN
+               (CASE WHEN k = 1 THEN nc
+                ELSE (list_product(list_transform(range(1, k + 1),
+                  tt -> nc - tt + 1))::BIGINT
+                  // factorial(k::INT))::BIGINT END)
+             END AS den
+           FROM x)
+         SELECT grp, k AS n_subset, nc AS n_cands,
+           round(num, 0)::BIGINT AS num, den,
+           round(num / den, 6) AS emax6
+         FROM y ORDER BY grp, k""",
+    // OLS moment numerators mirrored op-for-op; integer inputs keep
+    // the sums exact on both engines
+    "q270_length_debias" ->
+      """WITH d AS (SELECT source,
+             len(string_split(text, ' '))::DOUBLE AS x,
+             n_chars::DOUBLE AS y FROM documents),
+         g AS (SELECT source, count(*)::BIGINT AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx0,
+             sum(x*y) AS sxy0, sum(y*y) AS syy0 FROM d GROUP BY 1),
+         m AS (SELECT source, n, sx, sy,
+             n * sxx0 - sx * sx AS sxx,
+             n * sxy0 - sx * sy AS sxy,
+             n * syy0 - sy * sy AS syy FROM g)
+         SELECT source, n, sxx::BIGINT AS sxx_num,
+           sxy::BIGINT AS sxy_num, syy::BIGINT AS syy_num,
+           round(sxy / sxx, 6) AS slope6,
+           round((sy - sxy / sxx * sx) / n, 6) AS icept6,
+           round(sxy * sxy / (sxx * syy), 6) AS r26
+         FROM m ORDER BY source""",
     // exact global rank by (len, doc_id); bucket = (rank−1)·8 // n
     "q269_pad_buckets" ->
       """WITH d AS (SELECT doc_id,

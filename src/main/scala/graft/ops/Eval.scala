@@ -617,6 +617,63 @@ object Eval {
         col("vote_n").cast("double") / col("n_total"))
   }
 
+  /** Best-of-n expected-max curve (the BoN analysis of Nakano et al.
+    * 2021 "WebGPT" app. I): from N logged candidates per prompt, the
+    * UNBIASED estimate of E[max reward over a random n-subset] for each
+    * requested n — `E = Σ_i r_(i) · C(i−1, n−1) / C(N, n)` over the
+    * ascending order statistics r_(i) — so the reward-vs-samples curve
+    * comes from data already logged, no resampling. One row per group
+    * per n: `(groupCols…, n_subset, n_cands, num, den, emax)` with
+    * `num = Σ r_(i)·C(i−1, n−1)` (exact when rewards are integral),
+    * `den = C(N, n)` an exact LONG, `emax = num/den`. Rows where
+    * n > N, or where the group exceeds `maxCandidates`, refuse the
+    * estimate with NULLs.
+    *
+    * One map-side aggregation collects each group's BOUNDED candidate
+    * rewards (sampler fan-out, ≤ maxCandidates — never corpus-sized),
+    * sorts in-cell, and folds the binomial weights as exact LONG
+    * products inside codegen (`Π(i−t) div (n−1)!`). n ≤ 8 with
+    * maxCandidates ≤ 128 keeps every product inside a LONG. */
+  def bestOfN(df: DataFrame, groupCols: Seq[String],
+      rewardCol: Column, ns: Seq[Int],
+      maxCandidates: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      "each n must be in [1, 8]")
+    require(maxCandidates >= 1 && maxCandidates <= 128,
+      "maxCandidates must be in [1, 128]")
+    val r = rewardCol.cast("double")
+    val agg = df.where(r.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(r)).as("__rs"))
+      .withColumn("n_cands", size(col("__rs")).cast("long"))
+    val k = col("n_subset")
+    val nC = col("n_cands")
+    val ok = k <= nC && nC <= maxCandidates
+    def factTo(hi: Column): Column = aggregate(
+      sequence(lit(1L), hi), lit(1L), (a, t) => a * t)
+    val binomWeight = (i: Column) => when(k === 1, lit(1L))
+      .otherwise(call_function("div",
+        aggregate(sequence(lit(1L), k - 1), lit(1L),
+          (a, t) => a * greatest(i - t, lit(0L))),
+        when(k === 1, lit(1L)).otherwise(factTo(k - 1))))
+    agg.select(col("*"),
+        explode(typedLit(ns.map(_.toLong))).as("n_subset"))
+      .withColumn("num", when(ok,
+        aggregate(sequence(lit(1L), nC), lit(0.0),
+          (acc, i) => acc +
+            element_at(col("__rs"), i.cast("int")) *
+              binomWeight(i).cast("double"))))
+      .withColumn("den", when(ok,
+        when(k === 1, nC).otherwise(
+          call_function("div",
+            aggregate(sequence(lit(1L), k), lit(1L),
+              (a, t) => a * (nC - t + 1)),
+            factTo(k)))))
+      .withColumn("emax", col("num") / col("den").cast("double"))
+      .drop("__rs")
+  }
+
   /** Wilson score interval per group — the right uncertainty band for
     * win rates and pass rates at ANY n (unlike the normal
     * approximation, it never leaves [0, 1] and behaves at s = 0 or

@@ -260,6 +260,75 @@ object Reward {
         when(col("sum_w") > 0, col("sum_wr") / col("sum_w")))
   }
 
+  /** Per-group reward-vs-length bias diagnosis — the OLS line a reward
+    * model's length bias shows up on (verbose-answer inflation is the
+    * classic RM failure; Singhal et al. 2023, "A Long Way to Go"):
+    * slope = Sxy/Sxx and r² = Sxy²/(Sxx·Syy) of reward on length per
+    * group, with the moment numerators `sxx_num = nΣx²−(Σx)²` (and
+    * sxy/syy alike) emitted alongside — under integer-valued inputs
+    * within double range these are EXACT, so the fit is auditable
+    * digit-for-digit. One map-side-combined aggregation through
+    * [[gf.exact_sum]], so every statistic is bit-stable under any
+    * partitioning; single-row and zero-length-variance groups report
+    * NULL slope (there is no line to fit). NULL rewards/lengths are
+    * refused work. Returns (groupCols…, n, sxx_num, sxy_num, syy_num,
+    * slope, intercept, r2). */
+  def lengthBiasStats(df: DataFrame, groupCols: Seq[String],
+      rewardCol: Column, lenCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val x = lenCol.cast("double")
+    val y = rewardCol.cast("double")
+    df.where(x.isNotNull && y.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        gf.exact_sum(x).as("__sx"), gf.exact_sum(y).as("__sy"),
+        gf.exact_sum(x * x).as("__sxx"),
+        gf.exact_sum(x * y).as("__sxy"),
+        gf.exact_sum(y * y).as("__syy"))
+      .select(groupCols.map(col) ++ {
+        val n = col("n").cast("double")
+        val sxx = n * col("__sxx") - col("__sx") * col("__sx")
+        val sxy = n * col("__sxy") - col("__sx") * col("__sy")
+        val syy = n * col("__syy") - col("__sy") * col("__sy")
+        Seq(col("n"), sxx.as("sxx_num"), sxy.as("sxy_num"),
+          syy.as("syy_num"),
+          when(sxx > 0, sxy / sxx).as("slope"),
+          when(sxx > 0,
+            (col("__sy") - sxy / sxx * col("__sx")) / n).as("intercept"),
+          when(sxx > 0 && syy > 0, sxy * sxy / (sxx * syy)).as("r2"))
+      }: _*)
+  }
+
+  /** De-bias rewards against length under a per-group OLS fit: adds
+    * `outCol` = `r − (intercept + slope · len)` — the residual reward a
+    * length-blind ranker should consume. Groups where no line fits
+    * (single row, constant length) pass rewards through centered on the
+    * group mean (`r − mean`), the degenerate-contract analog of
+    * [[groupAdvantage]]. Joins the group-keyed [[lengthBiasStats]] back
+    * onto the feed: one aggregation + one group-keyed join. */
+  def lengthDebias(df: DataFrame, groupCols: Seq[String],
+      rewardCol: Column, lenCol: Column,
+      outCol: String = "reward_debiased"): DataFrame = {
+    checkCols(df, Seq(outCol))
+    val stats = lengthBiasStats(df, groupCols, rewardCol, lenCol)
+      .select(groupCols.map(col) ++ Seq(
+        col("n").as("__dn"), col("slope").as("__db"),
+        col("intercept").as("__da")): _*)
+    val meanStats = df.groupBy(groupCols.map(col): _*)
+      .agg((gf.exact_sum(rewardCol.cast("double")) /
+        count(rewardCol)).as("__dmean"))
+    df.join(stats, groupCols, "left")
+      .join(meanStats, groupCols, "left")
+      .withColumn(outCol,
+        when(rewardCol.isNull || lenCol.isNull,
+          lit(null).cast("double"))
+          .when(col("__db").isNotNull,
+            rewardCol.cast("double") -
+              (col("__da") + col("__db") * lenCol.cast("double")))
+          .otherwise(rewardCol.cast("double") - col("__dmean")))
+      .drop("__dn", "__db", "__da", "__dmean")
+  }
+
   /** Per-group KL-divergence estimates between the policy that
     * GENERATED logged samples and a frozen reference model, from their
     * per-token logprobs — the KL-penalty bookkeeping every

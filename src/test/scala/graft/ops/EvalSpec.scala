@@ -574,6 +574,46 @@ class EvalSpec extends SparkTestBase {
       r.getLong(3) == 7L)
   }
 
+  test("bestOfN: unbiased expected-max curve from order statistics") {
+    import spark.implicits._
+    val df = Seq(("p", 1.0), ("p", 3.0), ("p", 5.0), ("p", 7.0))
+      .toDF("prompt", "r")
+    val got = Eval.bestOfN(df, Seq("prompt"), col("r"), Seq(1, 2, 4, 5))
+      .collect().map(r => r.getLong(r.fieldIndex("n_subset")) ->
+        r).toMap
+    // n=1: the plain mean
+    val n1 = got(1L)
+    assert(n1.getDouble(n1.fieldIndex("num")) == 16.0)
+    assert(n1.getLong(n1.fieldIndex("den")) == 4L)
+    assert(n1.getDouble(n1.fieldIndex("emax")) == 4.0)
+    // n=2: weights C(i-1,1) = 0,1,2,3 -> 34 / C(4,2)=6
+    val n2 = got(2L)
+    assert(n2.getDouble(n2.fieldIndex("num")) == 34.0)
+    assert(n2.getLong(n2.fieldIndex("den")) == 6L)
+    assert(math.abs(n2.getDouble(n2.fieldIndex("emax")) - 34.0 / 6)
+      < 1e-15)
+    // n=N: exactly the max
+    val n4 = got(4L)
+    assert(n4.getDouble(n4.fieldIndex("emax")) == 7.0)
+    // n > N refuses
+    assert(got(5L).isNullAt(n1.fieldIndex("emax")))
+  }
+
+  test("bestOfN is monotone in n and partitioning-invariant") {
+    import spark.implicits._
+    val df = (1 to 12).map(i => ("p", (i * 37 % 11).toDouble))
+      .toDF("prompt", "r")
+    val e = Eval.bestOfN(df, Seq("prompt"), col("r"), Seq(1, 2, 4, 8))
+      .orderBy("n_subset").collect()
+      .map(r => r.getDouble(r.fieldIndex("emax")))
+    assert(e.sliding(2).forall(p => p(0) <= p(1)))
+    val again = Eval.bestOfN(df.repartition(7), Seq("prompt"),
+        col("r"), Seq(1, 2, 4, 8))
+      .orderBy("n_subset").collect()
+      .map(r => r.getDouble(r.fieldIndex("emax")))
+    assert(e.sameElements(again))
+  }
+
   test("wilsonInterval: hand-worked band, clamps at the edges") {
     import spark.implicits._
     // g1: s=0 of n=4 at z=2 -> center 0.25, half 0.25 -> [0, 0.5] exact

@@ -242,6 +242,40 @@ class RewardSpec extends SparkTestBase {
     assert(got == Map(1L -> 1.0, 2L -> -3.0, 3L -> -27.0))
   }
 
+  test("lengthBiasStats: exact OLS line, degenerate groups refuse") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: y = 2x exactly; g2: constant length (no line)
+      ("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", 3.0, 6.0),
+      ("g2", 5.0, 1.0), ("g2", 5.0, 9.0))
+      .toDF("g", "len", "r")
+    val got = Reward.lengthBiasStats(df, Seq("g"), col("r"), col("len"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = got("g1")
+    assert(g1.getDouble(g1.fieldIndex("sxx_num")) == 6.0) // 3*14-36
+    assert(g1.getDouble(g1.fieldIndex("sxy_num")) == 12.0)
+    assert(g1.getDouble(g1.fieldIndex("slope")) == 2.0)
+    assert(g1.getDouble(g1.fieldIndex("intercept")) == 0.0)
+    assert(g1.getDouble(g1.fieldIndex("r2")) == 1.0)
+    assert(got("g2").isNullAt(got("g2").fieldIndex("slope")))
+  }
+
+  test("lengthDebias: residuals under the fit, mean-centering fallback") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1.0, 2.5), ("g1", 2.0, 4.5), ("g1", 3.0, 6.5),
+      ("g2", 5.0, 1.0), ("g2", 5.0, 9.0))
+      .toDF("g", "len", "r")
+    val got = Reward.lengthDebias(df, Seq("g"), col("r"), col("len"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getDouble(r.fieldIndex("reward_debiased"))).toMap
+    // g1 fits y = 2x + 0.5 exactly -> all residuals 0
+    assert(got(("g1", 1.0)) == 0.0 && got(("g1", 3.0)) == 0.0)
+    // g2 has no line: center on the mean 5.0
+    assert(got(("g2", 5.0)) == -4.0 ||
+      math.abs(got(("g2", 5.0))) == 4.0)
+  }
+
   test("klEstimators: hand-worked k1/k2/k3, NULLs refused work") {
     import spark.implicits._
     val df = Seq[(String, java.lang.Double, java.lang.Double)](
