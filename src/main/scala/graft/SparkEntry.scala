@@ -1721,6 +1721,21 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q272_kv_pages" -> ((s, dir) => {
+      // PagedAttention capacity receipts per source at page size 16:
+      // pages = ceil(tokens/16), frag = pages·16 − tokens — all
+      // LONG-exact; pool utilization rounds at 6
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          gf.token_count(col("text")).cast("long").as("tlen"))
+      graft.ops.Packing.kvPageStats(docs, Seq("source"), col("tlen"),
+          pageSize = 16)
+        .select(col("source"), col("n_seqs"), col("total_tokens"),
+          col("total_pages"), col("frag_tokens"),
+          round(col("util"), 6).as("util6"))
+        .orderBy("source")
+    }),
+
     "q271_best_of_n" -> ((s, dir) => {
       // the BoN scaling curve from logged candidates: 8-candidate
       // prompt groups (doc_id div 8) scored by n_chars; E[max of n]
@@ -8278,6 +8293,20 @@ ORDER BY idA, idB"""),
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
+    // pages = (len + 15) // 16; frag = pages·16 − len
+    "q272_kv_pages" ->
+      """WITH d AS (SELECT source,
+             len(string_split(text, ' '))::BIGINT AS tlen
+           FROM documents),
+         g AS (SELECT source, count(*)::BIGINT AS n_seqs,
+             sum(tlen)::BIGINT AS total_tokens,
+             sum((tlen + 15) // 16)::BIGINT AS total_pages
+           FROM d GROUP BY 1)
+         SELECT source, n_seqs, total_tokens, total_pages,
+           (total_pages * 16 - total_tokens)::BIGINT AS frag_tokens,
+           round(total_tokens::DOUBLE / (total_pages * 16)::DOUBLE, 6)
+             AS util6
+         FROM g ORDER BY source""",
     // E[max of n] = Σ r_(i)·C(i−1,n−1)/C(N,n); binomials as exact
     // integer-division products over the ascending order statistics
     "q271_best_of_n" ->

@@ -756,6 +756,33 @@ object Packing {
         col("total_tokens"), col("tokens_saved"))
   }
 
+  /** KV-cache page accounting (the PagedAttention allocation model,
+    * Kwon et al. 2023 "vLLM"): a sequence of `len` tokens pins
+    * `ceil(len / pageSize)` cache pages, wasting `pages·pageSize − len`
+    * slots to internal fragmentation in its last page. Per group:
+    * `(groupCols…, n_seqs, total_tokens, total_pages, frag_tokens,
+    * util)` with `util = total_tokens / (total_pages · pageSize)` —
+    * the capacity-planning receipt for a serving fleet (how many
+    * sequences fit a GPU's page pool) and for choosing pageSize.
+    * All-LONG arithmetic in one map-side-combined aggregation;
+    * NULL/negative lengths are refused work. */
+  def kvPageStats(df: DataFrame, groupCols: Seq[String],
+      lenCol: Column, pageSize: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(pageSize >= 1, "pageSize must be >= 1")
+    val len = lenCol.cast("long")
+    val pages = idiv(len + (pageSize - 1), lit(pageSize.toLong))
+    df.where(len.isNotNull && len >= 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(len).as("total_tokens"),
+        sum(pages).as("total_pages"))
+      .withColumn("frag_tokens",
+        col("total_pages") * pageSize - col("total_tokens"))
+      .withColumn("util", col("total_tokens").cast("double") /
+        (col("total_pages") * pageSize).cast("double"))
+  }
+
   /** Length-bucketed batch padding receipts — the dynamic-batching
     * planner's input: sequences sort into `buckets` equal-count bins by
     * exact global length rank (smallest lengths in bucket 0), each

@@ -462,6 +462,19 @@ class PackingSpec extends SparkTestBase {
     assert(got(Seq(7L, 8L)) == (2L, 1L, 2L, 0L))
   }
 
+  test("kvPageStats: ceil pages, last-page fragmentation") {
+    import spark.implicits._
+    // lens 1, 16, 17 at page 16 -> pages 1, 1, 2; frag 15, 0, 15
+    val df = Seq(("g", 1L), ("g", 16L), ("g", 17L)).toDF("grp", "len")
+    val r = Packing.kvPageStats(df, Seq("grp"), col("len"), 16)
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("n_seqs")) == 3L)
+    assert(r.getLong(r.fieldIndex("total_tokens")) == 34L)
+    assert(r.getLong(r.fieldIndex("total_pages")) == 4L)
+    assert(r.getLong(r.fieldIndex("frag_tokens")) == 30L)
+    assert(r.getDouble(r.fieldIndex("util")) == 34.0 / 64.0)
+  }
+
   test("padBuckets: equal-count length bins, exact waste") {
     import spark.implicits._
     // lengths 1..8 into 2 buckets: {1..4} pads to 4, {5..8} pads to 8
