@@ -1721,6 +1721,42 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q273_conformal" -> ((s, dir) => {
+      // split-conformal abstention thresholds per source: token count
+      // as the nonconformity score, α ∈ {1/4, 1/8} (dyadic, so the
+      // ⌈(n+1)(1−α)⌉ rank is exact) — qhat is the k-th order statistic
+      // (integer-valued → LONG), coverage ≥ 1−α by construction
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          gf.token_count(col("text")).cast("double").as("score"))
+      graft.ops.Eval.conformalThreshold(docs, Seq("source"),
+          col("score"), col("doc_id"), Seq(0.25, 0.125))
+        .select(col("source"), col("alpha"), col("n"), col("k_rank"),
+          col("qhat").cast("long").as("qhat"),
+          round(col("coverage"), 6).as("cov6"))
+        .orderBy("source", "alpha")
+    }),
+
+    "q274_risk_coverage" -> ((s, dir) => {
+      // selective-prediction receipts per source: confidence =
+      // (doc_id·37) % 1000, error = (n_chars % 3 = 0); risk at
+      // quartile coverage plus AURC over the (conf desc, doc_id)
+      // order — counts LONG-exact, curve rounds at 6
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          ((col("doc_id") * 37) % 1000).cast("double").as("conf"),
+          (col("n_chars") % 3 === 0).as("err"))
+      graft.ops.Eval.riskCoverage(docs, Seq("source"), col("conf"),
+          col("err"), col("doc_id"))
+        .select(col("source"), col("n"), col("n_err"),
+          round(col("aurc"), 6).as("aurc6"),
+          round(col("risk25"), 6).as("r25"),
+          round(col("risk50"), 6).as("r50"),
+          round(col("risk75"), 6).as("r75"),
+          round(col("risk100"), 6).as("r100"))
+        .orderBy("source")
+    }),
+
     "q272_kv_pages" -> ((s, dir) => {
       // PagedAttention capacity receipts per source at page size 16:
       // pages = ceil(tokens/16), frag = pages·16 − tokens — all
@@ -8293,6 +8329,56 @@ ORDER BY idA, idB"""),
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
+    // k-th order statistic per (source, α); coverage via re-join
+    "q273_conformal" ->
+      """WITH d AS (SELECT source, doc_id,
+             len(string_split(text, ' '))::DOUBLE AS s FROM documents),
+         r AS (SELECT source, s, row_number() OVER (
+               PARTITION BY source ORDER BY s, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n FROM d),
+         k AS (SELECT source, alpha, max(n)::BIGINT AS n,
+             ceil((max(n) + 1) * (1 - alpha))::BIGINT AS k_rank
+           FROM r, unnest([0.25, 0.125]::DOUBLE[]) t(alpha)
+           GROUP BY 1, 2),
+         q AS (SELECT k.source, k.alpha, k.n, k.k_rank, r.s AS qhat
+           FROM k LEFT JOIN r
+             ON r.source = k.source AND r.rk = k.k_rank),
+         c AS (SELECT q.source, q.alpha,
+             sum(CASE WHEN r.s <= q.qhat THEN 1 ELSE 0 END) * 1.0
+               / max(q.n) AS cov
+           FROM q JOIN r ON r.source = q.source GROUP BY 1, 2)
+         SELECT q.source, q.alpha, q.n, q.k_rank,
+           q.qhat::BIGINT AS qhat,
+           CASE WHEN q.qhat IS NULL THEN NULL
+             ELSE round(c.cov, 6) END AS cov6
+         FROM q JOIN c ON c.source = q.source AND c.alpha = q.alpha
+         ORDER BY q.source, q.alpha""",
+    // prefix risks over (conf DESC, doc_id); AURC = mean prefix risk
+    "q274_risk_coverage" ->
+      """WITH d AS (SELECT source, doc_id,
+             ((doc_id * 37) % 1000)::DOUBLE AS conf,
+             (n_chars % 3 = 0)::INT AS err FROM documents),
+         r AS (SELECT source, err, row_number() OVER (
+               PARTITION BY source ORDER BY conf DESC, doc_id) AS i,
+             sum(err) OVER (PARTITION BY source
+               ORDER BY conf DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS ce,
+             count(*) OVER (PARTITION BY source) AS n FROM d),
+         x AS (SELECT source, err, i, ce, n,
+             (n + 3) // 4 AS t25, (n + 1) // 2 AS t50,
+             (3 * n + 3) // 4 AS t75 FROM r)
+         SELECT source, max(n)::BIGINT AS n,
+           sum(err)::BIGINT AS n_err,
+           round(sum(ce * 1.0 / i) / max(n), 6) AS aurc6,
+           round(max(CASE WHEN i = t25 THEN ce * 1.0 / i END), 6)
+             AS r25,
+           round(max(CASE WHEN i = t50 THEN ce * 1.0 / i END), 6)
+             AS r50,
+           round(max(CASE WHEN i = t75 THEN ce * 1.0 / i END), 6)
+             AS r75,
+           round(max(CASE WHEN i = n THEN ce * 1.0 / i END), 6)
+             AS r100
+         FROM x GROUP BY source ORDER BY source""",
     // pages = (len + 15) // 16; frag = pages·16 − len
     "q272_kv_pages" ->
       """WITH d AS (SELECT source,

@@ -617,6 +617,110 @@ object Eval {
         col("vote_n").cast("double") / col("n_total"))
   }
 
+  /** Split-conformal calibration thresholds (Vovk et al.; the
+    * distribution-free abstention rule a selective-generation gate
+    * runs): per group, for each miscoverage α, the threshold
+    * `qhat` = the ⌈(n+1)(1−α)⌉-th smallest calibration nonconformity
+    * score — predictions scoring ≤ qhat then cover with probability
+    * ≥ 1−α on exchangeable data. Returns one row per (group, α):
+    * `(groupCols…, alpha, n, k_rank, qhat, coverage)` where coverage
+    * is the empirical fraction ≤ qhat (≥ 1−α by construction; > on
+    * ties). Groups too small for the rank (k > n) refuse with NULL
+    * qhat. NULL scores are refused work.
+    *
+    * Shape: ONE window exchange ranks each group's scores
+    * (row_number + count over the same spec — one sort), the k-th row
+    * is filtered out per α, and coverage joins the (groups × alphas)-
+    * sized threshold table back group-keyed. Dyadic α keeps
+    * (n+1)(1−α) exact, so k is bit-deterministic. */
+  def conformalThreshold(df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, tieCol: Column,
+      alphas: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(alphas.nonEmpty && alphas.forall(a => a > 0 && a < 1),
+      "each alpha must be in (0, 1)")
+    val s = scoreCol.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(s, tieCol)
+    val ranked = df.where(s.isNotNull)
+      .withColumn("__s", s)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+    val withA = ranked.select((groupCols.map(col) ++ Seq(col("__s"),
+        col("__rk"), col("__n"),
+        explode(typedLit(alphas)).as("alpha"))): _*)
+      .withColumn("k_rank",
+        ceil((col("__n") + 1) * (lit(1.0) - col("alpha"))).cast("long"))
+    val qhat = withA.where(col("__rk") === col("k_rank"))
+      .select((groupCols.map(col) ++ Seq(col("alpha"),
+        col("__n").cast("long").as("n"), col("k_rank"),
+        col("__s").as("qhat"))): _*)
+    // groups where k > n (too few calibration points) refuse with NULLs
+    val refused = withA.where(col("k_rank") > col("__n"))
+      .groupBy((groupCols.map(col) :+ col("alpha")): _*)
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("k_rank")).as("k_rank"))
+      .withColumn("qhat", lit(null).cast("double"))
+      .select((groupCols.map(col) ++ Seq(col("alpha"), col("n"),
+        col("k_rank"), col("qhat"))): _*)
+    val cov = ranked.join(
+        qhat.select((groupCols.map(col) ++ Seq(
+          col("alpha"), col("qhat").as("__q"))): _*),
+        groupCols, "inner")
+      .groupBy((groupCols.map(col) :+ col("alpha")): _*)
+      .agg((sum(when(col("__s") <= col("__q"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("coverage"))
+    qhat.unionByName(refused)
+      .join(cov, groupCols :+ "alpha", "left")
+  }
+
+  /** Risk–coverage curve receipts for selective prediction (Geifman &
+    * El-Yaniv 2017): rank each group's rows by confidence DESCENDING,
+    * so prefix i is "answer the i most-confident, abstain on the
+    * rest"; `risk_i = cum_errors_i / i`, and AURC is the mean of
+    * `risk_i` over all prefixes. Returns one row per group:
+    * `(groupCols…, n, n_err, aurc, risk25, risk50, risk75, risk100)`
+    * — the curve sampled at quartile coverage (prefix ⌈p·n⌉) plus its
+    * area. ONE window exchange (rank + running error count share a
+    * sort); the AURC fold runs through [[graft.api.functions.exact_sum]]
+    * so results are bit-stable under any partitioning. `tieCol` must
+    * total-order ties for a deterministic curve. */
+  def riskCoverage(df: DataFrame, groupCols: Seq[String],
+      confidenceCol: Column, errorCol: Column,
+      tieCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val c = confidenceCol.cast("double")
+    val e = errorCol.cast("boolean").cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(c.desc, tieCol)
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = df.where(c.isNotNull && e.isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__ce", sum(e).over(run))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)).cast("long"))
+    // risk at coverage p = risk at prefix ⌈n·p⌉, exact integer ceil
+    def riskAt(pNum: Int, pDen: Int): Column = {
+      val target = call_function("div",
+        col("__n") * pNum + (pDen - 1), lit(pDen.toLong))
+      max(when(col("__i") === target,
+        col("__ce").cast("double") / col("__i")))
+    }
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        sum(e).as("n_err"),
+        (graft.api.functions.exact_sum(
+          col("__ce").cast("double") / col("__i")) / max(col("__n")))
+          .as("aurc"),
+        riskAt(1, 4).as("risk25"), riskAt(1, 2).as("risk50"),
+        riskAt(3, 4).as("risk75"), riskAt(1, 1).as("risk100"))
+  }
+
   /** Best-of-n expected-max curve (the BoN analysis of Nakano et al.
     * 2021 "WebGPT" app. I): from N logged candidates per prompt, the
     * UNBIASED estimate of E[max reward over a random n-subset] for each

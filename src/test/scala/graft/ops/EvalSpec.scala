@@ -574,6 +574,48 @@ class EvalSpec extends SparkTestBase {
       r.getLong(3) == 7L)
   }
 
+  test("conformalThreshold: k-th order statistic, small groups refuse") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("g1", i.toDouble)) ++
+      Seq(("g2", 1.0), ("g2", 2.0))).toDF("g", "s")
+    val got = Eval.conformalThreshold(df, Seq("g"), col("s"),
+        col("s"), Seq(0.25, 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r).toMap
+    // g1 n=10: k = ceil(11*0.75) = 9 -> qhat 9, coverage 0.9
+    val a = got(("g1", 0.25))
+    assert(a.getLong(a.fieldIndex("n")) == 10L)
+    assert(a.getLong(a.fieldIndex("k_rank")) == 9L)
+    assert(a.getDouble(a.fieldIndex("qhat")) == 9.0)
+    assert(a.getDouble(a.fieldIndex("coverage")) == 0.9)
+    // alpha = 0.5: k = ceil(11*0.5) = 6
+    val b = got(("g1", 0.5))
+    assert(b.getDouble(b.fieldIndex("qhat")) == 6.0)
+    assert(b.getDouble(b.fieldIndex("coverage")) == 0.6)
+    // g2 n=2 at alpha=0.25: k = 3 > n -> refused
+    val c = got(("g2", 0.25))
+    assert(c.getLong(c.fieldIndex("k_rank")) == 3L)
+    assert(c.isNullAt(c.fieldIndex("qhat")))
+  }
+
+  test("riskCoverage: hand-worked curve and AURC") {
+    import spark.implicits._
+    // confidence-desc order: errors 0, 1, 0, 1
+    val df = Seq(("g", 4.0, false, 1L), ("g", 3.0, true, 2L),
+      ("g", 2.0, false, 3L), ("g", 1.0, true, 4L))
+      .toDF("g", "conf", "err", "id")
+    val r = Eval.riskCoverage(df, Seq("g"), col("conf"), col("err"),
+      col("id")).collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 4L)
+    assert(r.getLong(r.fieldIndex("n_err")) == 2L)
+    assert(math.abs(r.getDouble(r.fieldIndex("aurc")) - 1.0 / 3.0)
+      < 1e-15)
+    assert(r.getDouble(r.fieldIndex("risk25")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("risk50")) == 0.5)
+    assert(math.abs(r.getDouble(r.fieldIndex("risk75")) - 1.0 / 3.0)
+      < 1e-15)
+    assert(r.getDouble(r.fieldIndex("risk100")) == 0.5)
+  }
+
   test("bestOfN: unbiased expected-max curve from order statistics") {
     import spark.implicits._
     val df = Seq(("p", 1.0), ("p", 3.0), ("p", 5.0), ("p", 7.0))
