@@ -1721,6 +1721,36 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q276_spec_decode" -> ((s, dir) => {
+      // draft-model economics per event_type: acceptance
+      // α = mean(min(1, exp(lt−ld))) over dyadic synthetic logprobs
+      // (q264's construction — logr exact on both engines) and the
+      // expected tokens per 4-token draft block, (1−α⁵)/(1−α)
+      val ev = t(s, dir, "events")
+        .withColumn("__ld",
+          -(((col("event_id") % 13) + 1).cast("double") / 4.0))
+        .withColumn("__lt",
+          -(((col("event_id") % 17) + 1).cast("double") / 8.0))
+      graft.ops.Reward.specDecodeAcceptance(ev, Seq("event_type"),
+          col("__ld"), col("__lt"), k = 4)
+        .select(col("event_type"), col("n"),
+          round(col("alpha"), 6).as("alpha6"),
+          round(col("e_tokens"), 6).as("etok6"))
+        .orderBy("event_type")
+    }),
+
+    "q275_kcenter" -> ((s, dir) => {
+      // diversity coreset over the embedding corpus: greedy k-center,
+      // 8 rounds from the min-id seed, selection at the 1e-6 rounded
+      // grain with id ties (q43 convention) so both engines pick the
+      // same centers; the final row is the covering-radius receipt
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.kCenterGreedy(emb, "vec_id", "embedding", 8)
+        .select(col("round"), col("center_id"),
+          round(col("sel_dist"), 6).as("dist6"))
+        .orderBy("round")
+    }),
+
     "q273_conformal" -> ((s, dir) => {
       // split-conformal abstention thresholds per source: token count
       // as the nonconformity score, α ∈ {1/4, 1/8} (dyadic, so the
@@ -5190,6 +5220,49 @@ i$k AS MATERIALIZED (SELECT
            FROM h$iters h JOIN a$iters a USING (node) ORDER BY node"""
   }
 
+  /** q275's oracle: greedy k-center unrolled as MATERIALIZED CTE
+    * rounds — each round computes every remaining point's min squared
+    * distance to the centers so far and picks by
+    * (round(d, 6) DESC, vec_id), mirroring the engine's 1e-6-grain
+    * selection contract. */
+  private def kCenterOracle(k: Int): String = {
+    val sq = "list_sum(list_transform(range(1, 65), " +
+      "i -> (p.v[i] - cv.v[i]) * (p.v[i] - cv.v[i])))"
+    val head =
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+             embedding::DOUBLE[] AS v FROM embeddings),
+         cum0 AS MATERIALIZED (SELECT 0 AS round, vec_id FROM e
+           ORDER BY vec_id LIMIT 1)"""
+    val steps = (1 until k).map { r =>
+      s""",
+         d$r AS MATERIALIZED (SELECT p.vec_id, min($sq) AS d
+           FROM e p, cum${r - 1} c, e cv
+           WHERE cv.vec_id = c.vec_id
+             AND p.vec_id NOT IN (SELECT vec_id FROM cum${r - 1})
+           GROUP BY p.vec_id),
+         pick$r AS MATERIALIZED (SELECT vec_id, d FROM d$r
+           ORDER BY round(d, 6) DESC, vec_id LIMIT 1),
+         cum$r AS MATERIALIZED (SELECT round, vec_id FROM cum${r - 1}
+           UNION ALL SELECT $r, vec_id FROM pick$r)"""
+    }.mkString
+    val rad =
+      s""",
+         rad AS MATERIALIZED (SELECT max(md) AS radius FROM (
+           SELECT p.vec_id, min($sq) AS md
+           FROM e p, cum${k - 1} c, e cv WHERE cv.vec_id = c.vec_id
+           GROUP BY p.vec_id))"""
+    val sel = (1 until k).map(r =>
+      s"UNION ALL SELECT $r::BIGINT, vec_id, round(d, 6) FROM pick$r")
+      .mkString("\n         ")
+    head + steps + rad +
+      s""" SELECT 0::BIGINT AS round, vec_id AS center_id,
+           NULL::DOUBLE AS dist6 FROM cum0 WHERE round = 0
+         $sel
+         UNION ALL SELECT $k::BIGINT, NULL::BIGINT,
+           round(radius, 6) FROM rad
+         ORDER BY round"""
+  }
+
   /** q263's oracle: Bradley–Terry MM rounds unrolled as CTEs (pagerank
     * convention). The pair feed — adjacent-doc_id source duels decided
     * by n_chars, ties to the lexicographically smaller source — is
@@ -8329,6 +8402,20 @@ ORDER BY idA, idB"""),
     // per-source seeded token fill replayed exactly: window cumsum in
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
+    "q275_kcenter" -> kCenterOracle(8),
+    // α = mean(min(1, exp(lt−ld))); E = (1−α^5)/(1−α)
+    "q276_spec_decode" ->
+      """WITH d AS (SELECT event_type,
+             least(1.0, exp((-(((event_id % 17) + 1) / 8.0))
+               - (-(((event_id % 13) + 1) / 4.0)))) AS acc
+           FROM events),
+         g AS (SELECT event_type, count(*)::BIGINT AS n,
+             avg(acc) AS alpha FROM d GROUP BY 1)
+         SELECT event_type, n, round(alpha, 6) AS alpha6,
+           round(CASE WHEN alpha = 1.0 THEN 5.0
+             ELSE (1.0 - pow(alpha, 5)) / (1.0 - alpha) END, 6)
+             AS etok6
+         FROM g ORDER BY event_type""",
     // k-th order statistic per (source, α); coverage via re-join
     "q273_conformal" ->
       """WITH d AS (SELECT source, doc_id,

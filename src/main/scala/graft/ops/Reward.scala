@@ -364,6 +364,34 @@ object Reward {
         (col("__s3") / col("n")).as("k3")): _*)
   }
 
+  /** Speculative-decoding acceptance telemetry (Leviathan et al. 2023,
+    * "Fast Inference from Transformers via Speculative Decoding"): from
+    * logged per-token draft/target logprobs, the per-group mean
+    * acceptance probability `α = mean(min(1, p_target/p_draft))` — the
+    * modified-rejection-sampling accept rule — and the expected tokens
+    * emitted per k-token draft block under the constant-α model,
+    * `E = (1 − α^(k+1)) / (1 − α)` (= k+1 at α = 1): the two numbers
+    * that decide whether a draft model pays for itself. One map-side-
+    * combined aggregation through [[gf.exact_sum]]; NULL logprobs are
+    * refused work. Returns (groupCols…, n, alpha, e_tokens). */
+  def specDecodeAcceptance(df: DataFrame, groupCols: Seq[String],
+      draftLogpCol: Column, targetLogpCol: Column,
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    val ld = draftLogpCol.cast("double")
+    val lt = targetLogpCol.cast("double")
+    val acc = least(lit(1.0), exp(lt - ld))
+    df.where(ld.isNotNull && lt.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (gf.exact_sum(acc) / count(lit(1))).as("alpha"))
+      .withColumn("e_tokens",
+        when(col("alpha") === 1.0, lit((k + 1).toDouble))
+          .otherwise((lit(1.0) - pow(col("alpha"), k + 1))
+            / (lit(1.0) - col("alpha"))))
+  }
+
   /** RLOO leave-one-out advantage: adds `outCol` =
     * `r − (Σ_g r − r) / (n_g − 1)` — each candidate against the mean of
     * the OTHER candidates of its prompt. Groups with a single non-null

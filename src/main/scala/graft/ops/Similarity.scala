@@ -1209,4 +1209,60 @@ object Similarity {
       .select(col("anchor_id"), col("pos_id"), col("neg_id"),
         col("cos_pos"), col("cos_neg"), col("semi_hard"))
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985; the diversity
+    * sampler of Sener & Savarese 2018's core-set active learning):
+    * seed with the smallest id, then k−1 times pick the point FARTHEST
+    * from its nearest already-chosen center — a 2-approximation of the
+    * optimal covering radius, and the standard "maximally diverse
+    * subset" pass over an embedded corpus. Returns one row per center:
+    * `(round, center_id, sel_dist)` where `sel_dist` is the max-min
+    * SQUARED distance that round (NULL for the seed), plus a final
+    * `(k, NULL, radius)` row — the covering radius receipt.
+    *
+    * Determinism contract: selection compares distances at the 1e-6
+    * ROUNDED grain with id tie-breaks (the q43 convention), so
+    * engine-level ulp differences cannot flip a pick. Each round is
+    * one scan against the BROADCAST center list (≤ k vectors, literal)
+    * + a TakeOrdered(1) — k scans total, no shuffle of vectors, no
+    * pairwise matrix; the k argmax collects are 1-row (the accepted
+    * bounded-collect class). */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, "k must be in [1, 256]")
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val seed = base.orderBy("__id").limit(1)
+      .select(col("__id"), col("__v")).collect()
+    require(seed.nonEmpty, "corpus is empty")
+    def sqDist(c: Seq[Double]): Column = aggregate(
+      zip_with(col("__v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    var centers = Vector((seed(0).getLong(0), seed(0).getSeq[Double](1)
+      .toSeq, Option.empty[Double]))
+    var r = 1
+    while (r < k) {
+      val minDist = centers.map(c => sqDist(c._2)).reduce((a, b) => least(a, b))
+      val pick = base
+        .where(!col("__id").isin(centers.map(_._1): _*))
+        .select(col("__id"), minDist.as("__d"))
+        .orderBy(round(col("__d"), 6).desc, col("__id"))
+        .limit(1).collect()
+      require(pick.nonEmpty, s"corpus exhausted at round $r")
+      // re-fetch the picked vector (1-row lookup) for the next round
+      val v = base.where(col("__id") === pick(0).getLong(0))
+        .select(col("__v")).collect()(0).getSeq[Double](0).toSeq
+      centers :+= ((pick(0).getLong(0), v, Some(pick(0).getDouble(1))))
+      r += 1
+    }
+    val radius = base
+      .select(centers.map(c => sqDist(c._2)).reduce((a, b) => least(a, b)).as("__d"))
+      .agg(max(col("__d"))).collect()(0).getDouble(0)
+    import spark.implicits._
+    val rows = centers.zipWithIndex.map { case ((id, _, d), i) =>
+      (i.toLong, Option(id), d)
+    } :+ ((k.toLong, Option.empty[Long], Some(radius)))
+    rows.toDF("round", "center_id", "sel_dist")
+  }
 }

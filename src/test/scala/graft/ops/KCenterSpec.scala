@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Greedy k-center coreset selection (Similarity.kCenterGreedy). */
+class KCenterSpec extends SparkTestBase {
+
+  // 2-dim toy layout: seed 1 at origin; 2 is farthest (d²=100), then 5
+  // (min-dist² 50); round 3 ties 3 vs 4 at d²=1 -> smaller id wins
+  private def df = {
+    import spark.implicits._
+    Seq((1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 0.0)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(9.0, 0.0)), (5L, Seq(5.0, 5.0)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("kCenterGreedy: hand-worked picks, ties to the smaller id") {
+    val got = Similarity.kCenterGreedy(df, "vec_id", "embedding", 4)
+      .collect()
+      .map(r => r.getLong(0) -> (
+        (if (r.isNullAt(1)) -1L else r.getLong(1)),
+        (if (r.isNullAt(2)) -1.0 else r.getDouble(2))))
+      .toMap
+    assert(got(0L) == (1L, -1.0)) // seed, no distance
+    assert(got(1L) == (2L, 100.0))
+    assert(got(2L) == (5L, 50.0))
+    assert(got(3L) == (3L, 1.0)) // tie with 4 at 1.0 -> min id
+    // covering radius: only point 4 is uncovered, at d² = 1
+    assert(got(4L) == (-1L, 1.0))
+  }
+
+  test("kCenterGreedy: k = n selects everything, radius 0") {
+    val got = Similarity.kCenterGreedy(df, "vec_id", "embedding", 5)
+      .collect()
+    assert(got.length == 6)
+    assert(got.map(r => if (r.isNullAt(1)) -1L else r.getLong(1))
+      .toSet == Set(-1L, 1L, 2L, 3L, 4L, 5L))
+    assert(got.last.getDouble(2) == 0.0)
+  }
+
+  test("kCenterGreedy is partitioning-invariant") {
+    val a = Similarity.kCenterGreedy(df, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.kCenterGreedy(df.repartition(4), "vec_id",
+      "embedding", 3).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}

@@ -301,6 +301,24 @@ class RewardSpec extends SparkTestBase {
     assert(r.getDouble(r.fieldIndex("k3")) == 0.0)
   }
 
+  test("specDecodeAcceptance: accept rule, block expectation, α=1 edge") {
+    import spark.implicits._
+    // ratios e^(lt-ld): ln2 -> 2 (clamps to 1), -ln2 -> 0.5
+    val df = Seq(("g", 0.0, math.log(2.0)), ("g", 0.0, -math.log(2.0)))
+      .toDF("grp", "ld", "lt")
+    val r = Reward.specDecodeAcceptance(df, Seq("grp"), col("ld"),
+      col("lt"), k = 4).collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 2L)
+    assert(r.getDouble(r.fieldIndex("alpha")) == 0.75)
+    // (1 - 0.75^5) / 0.25
+    assert(math.abs(r.getDouble(r.fieldIndex("e_tokens")) -
+      (1.0 - math.pow(0.75, 5)) / 0.25) < 1e-15)
+    // a perfect draft accepts everything: k+1 tokens per block
+    val p = Reward.specDecodeAcceptance(df, Seq("grp"), col("ld"),
+      col("ld"), k = 4).collect()(0)
+    assert(p.getDouble(p.fieldIndex("e_tokens")) == 5.0)
+  }
+
   test("gaeAdvantage λ=1 horizon≥T equals return-to-go minus value") {
     // classic identity: Σ γ^k δ_{t+k} (full, λ=1) = G_t − V_t
     val a = Reward.gaeAdvantage(gaeDf, Seq("ep"), col("t"), col("t"),
