@@ -605,6 +605,51 @@ object ScaleProbe {
         targetRowsPerTask = 1000000L))
     }
 
+    // session-5 ops at corpus scale
+    val ev5 = spark.range(nDocs).select(
+      (col("id") % 100000).as("user_id"), col("id").as("event_id"),
+      col("id").cast("timestamp").as("ts"),
+      ((col("id") * 2654435761L) % 997).cast("double").as("value"))
+    time(s"r12s5 gaeAdvantage H=16 over $nDocs events, 100k streams") {
+      force(graft.ops.Reward.gaeAdvantage(ev5, Seq("user_id"),
+        col("ts"), col("event_id"), col("value"),
+        (col("event_id") % 16).cast("double")))
+    }
+    time(s"r12s5 bestOfN+passAtK+vote ${nDocs / 8} prompt groups") {
+      val c8 = cand.withColumn("ok", col("reward") < 5000)
+      force(graft.ops.Eval.bestOfN(c8, Seq("prompt"), col("reward"),
+        Seq(1, 2, 4)))
+      force(graft.ops.Eval.passAtK(c8, Seq("prompt"), col("ok"),
+        Seq(1, 4)))
+      force(graft.ops.Eval.majorityVote(c8, Seq("prompt"),
+        (col("reward") % 7).cast("string")))
+    }
+    time(s"r12s5 riskCoverage+conformal 20 groups x ${nDocs / 20}") {
+      val g20 = cand.withColumn("g", col("cand_id") % 20)
+      force(graft.ops.Eval.riskCoverage(g20, Seq("g"), col("reward"),
+        col("cand_id") % 3 === 0, col("cand_id")))
+      force(graft.ops.Eval.conformalThreshold(g20, Seq("g"),
+        col("reward"), col("cand_id"), Seq(0.25, 0.125)))
+    }
+    time(s"r12s5 padBuckets 1024 bins + kvPageStats over $nDocs") {
+      val lens = cand.select((col("cand_id") % 4096).as("len"),
+        col("cand_id"))
+      force(graft.ops.Packing.padBuckets(lens, col("len"),
+        col("cand_id"), 1024))
+      force(graft.ops.Packing.kvPageStats(
+        lens.withColumn("g", col("cand_id") % 20), Seq("g"),
+        col("len"), 16))
+    }
+    time(s"r12s5 bradleyTerry 3 rounds, $nDocs duels, 20 items") {
+      force(graft.ops.Preference.bradleyTerry(
+        cand.select(concat(lit("s"), (col("cand_id") % 20))
+            .as("w"),
+          concat(lit("s"), ((col("cand_id") + col("reward")
+            .cast("long")) % 20)).as("l"))
+          .where(col("w") =!= col("l")),
+        col("w"), col("l"), iters = 3))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
