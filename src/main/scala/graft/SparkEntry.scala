@@ -1721,6 +1721,40 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q277_paired_bootstrap" -> ((s, dir) => {
+      // "is model A actually better": paired Poisson bootstrap on the
+      // per-doc score difference (token_count%13 vs n_chars%11) per
+      // source — integer diffs make every replicate mean an exact
+      // ratio, so the ≤0 census is bit-deterministic; q246's
+      // hash→weight replay carries the oracle
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (gf.token_count(col("text")) % 13).cast("double").as("a"),
+          (col("n_chars") % 11).cast("double").as("b"))
+      graft.ops.Robust.pairedBootstrapTest(docs, Seq("source"),
+          col("doc_id"), col("a"), col("b"))
+        .select(col("source"), col("n"),
+          round(col("mean_diff"), 6).as("mdiff6"),
+          col("b_used"), col("reps_le0"),
+          round(col("p_sign"), 6).as("p6"))
+        .orderBy("source")
+    }),
+
+    "q278_mcnemar" -> ((s, dir) => {
+      // discordant-pair census per source: A correct = even token
+      // count, B correct = n_chars divisible by 3 — contingency counts
+      // gate as LONGs, the continuity-corrected χ² rounds at 6
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          (gf.token_count(col("text")) % 2 === 0).as("oka"),
+          (col("n_chars") % 3 === 0).as("okb"))
+      graft.ops.Eval.mcnemar(docs, Seq("source"), col("oka"),
+          col("okb"))
+        .select(col("source"), col("n"), col("n00"), col("n01"),
+          col("n10"), col("n11"), round(col("chi2"), 6).as("chi26"))
+        .orderBy("source")
+    }),
+
     "q276_spec_decode" -> ((s, dir) => {
       // draft-model economics per event_type: acceptance
       // α = mean(min(1, exp(lt−ld))) over dyadic synthetic logprobs
@@ -8403,6 +8437,56 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // q246's hash→poisson-weight replay over the score DIFF; the ≤0
+    // census is exact because replicate means are integer ratios
+    "q277_paired_bootstrap" ->
+      (hashMacros +
+        """WITH d0 AS (SELECT source, doc_id,
+             (len(string_split(text, ' ')) % 13)
+               - (n_chars % 11) AS d FROM documents),
+         r AS (SELECT d0.source, d0.d, b.b,
+             ((g_thash(d0.doc_id::VARCHAR || ':' || b.b::VARCHAR) >> 11)::DOUBLE
+               / 9007199254740992.0) AS u
+           FROM d0, unnest(range(0, 64)) b(b)),
+         w AS (SELECT source, b, d,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238463 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS wt FROM r),
+         m AS (SELECT source, b, sum(wt * d)::BIGINT AS sx,
+             sum(wt)::BIGINT AS sw FROM w GROUP BY 1, 2),
+         mm AS (SELECT source, b, sx::DOUBLE / sw AS mb
+           FROM m WHERE sw > 0),
+         c AS (SELECT source, count(*)::BIGINT AS b_used,
+             sum(CASE WHEN mb <= 0 THEN 1 ELSE 0 END)::BIGINT
+               AS reps_le0 FROM mm GROUP BY 1),
+         pt AS (SELECT source, count(*)::BIGINT AS n,
+             round(sum(d)::DOUBLE / count(*), 6) AS mdiff6
+           FROM d0 GROUP BY 1)
+         SELECT pt.source, pt.n, pt.mdiff6, c.b_used, c.reps_le0,
+           round(c.reps_le0::DOUBLE / c.b_used, 6) AS p6
+         FROM pt JOIN c USING (source) ORDER BY pt.source"""),
+    // exact 2×2 contingency; χ² with the max(|n01−n10|−1, 0) correction
+    "q278_mcnemar" ->
+      """WITH d AS (SELECT source,
+             (len(string_split(text, ' ')) % 2 = 0) AS oka,
+             (n_chars % 3 = 0) AS okb FROM documents),
+         g AS (SELECT source, count(*)::BIGINT AS n,
+             sum((NOT oka AND NOT okb)::INT)::BIGINT AS n00,
+             sum((NOT oka AND okb)::INT)::BIGINT AS n01,
+             sum((oka AND NOT okb)::INT)::BIGINT AS n10,
+             sum((oka AND okb)::INT)::BIGINT AS n11
+           FROM d GROUP BY 1)
+         SELECT source, n, n00, n01, n10, n11,
+           CASE WHEN n01 + n10 > 0 THEN
+             round(pow(greatest(abs(n01 - n10) - 1.0, 0.0), 2)
+               / (n01 + n10), 6) END AS chi26
+         FROM g ORDER BY source""",
     // α = mean(min(1, exp(lt−ld))); E = (1−α^5)/(1−α)
     "q276_spec_decode" ->
       """WITH d AS (SELECT event_type,

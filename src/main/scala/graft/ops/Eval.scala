@@ -617,6 +617,34 @@ object Eval {
         col("vote_n").cast("double") / col("n_total"))
   }
 
+  /** McNemar's paired test for two classifiers/models graded on the
+    * SAME examples — the discordant-pair census behind "is B actually
+    * better, or did it just win different rows": per group,
+    * `n00/n01/n10/n11` (A-correct × B-correct contingency, exact
+    * LONGs) and the continuity-corrected statistic
+    * `(|n01 − n10| − 1)² / (n01 + n10)` (χ²₁-distributed under the
+    * null; NULL when no discordant pairs exist — there is nothing to
+    * test). One map-side-combined aggregation; rows with a NULL
+    * outcome on either side are refused work. */
+  def mcnemar(df: DataFrame, groupCols: Seq[String],
+      okACol: Column, okBCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val a = okACol.cast("boolean")
+    val b = okBCol.cast("boolean")
+    df.where(a.isNotNull && b.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum((!a && !b).cast("long")).as("n00"),
+        sum((!a && b).cast("long")).as("n01"),
+        sum((a && !b).cast("long")).as("n10"),
+        sum((a && b).cast("long")).as("n11"))
+      .withColumn("chi2",
+        when(col("n01") + col("n10") > 0,
+          pow(greatest(abs(col("n01") - col("n10")) - lit(1.0),
+            lit(0.0)), 2)
+            / (col("n01") + col("n10")).cast("double")))
+  }
+
   /** Split-conformal calibration thresholds (Vovk et al.; the
     * distribution-free abstention rule a selective-generation gate
     * runs): per group, for each miscoverage α, the threshold

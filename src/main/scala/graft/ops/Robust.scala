@@ -207,4 +207,52 @@ object Robust {
       .select(g ++ Seq(col("n_rows"), col("mean"), col("ci_lo"),
         col("ci_hi"), col("b_used")): _*)
   }
+
+  /** Paired-bootstrap significance test for "model A vs model B on the
+    * same examples" (the eval-harness staple, Koehn 2004 for MT): per
+    * group, Poisson-bootstrap the PER-EXAMPLE score difference d = A−B
+    * with the same hash-derived row-local weights as
+    * [[poissonBootstrapCI]] (no global resample — one scan × B
+    * replicates, map-side combined), and report how often the
+    * resampled mean difference fails to favor A:
+    * `(groupCols…, n, mean_diff, b_used, reps_le0, p_sign)` with
+    * `p_sign = reps_le0 / b_used` — the bootstrap probability that
+    * A's improvement is ≤ 0. Zero-weight replicates drop (b_used
+    * receipts). Integer-valued scores keep every replicate mean an
+    * exact integer ratio, so the ≤ 0 census is bit-deterministic on
+    * any engine. */
+  def pairedBootstrapTest(df: DataFrame, groupCols: Seq[String],
+      idCol: Column, scoreACol: Column, scoreBCol: Column,
+      replicates: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(replicates >= 4 && replicates <= 128,
+      "replicates must be in [4, 128]")
+    val g = groupCols.map(col)
+    val rows = df
+      .select(g :+ idCol.cast("string").as("__id")
+        :+ (scoreACol.cast("double") - scoreBCol.cast("double"))
+          .as("__d"): _*)
+      .where(col("__id").isNotNull && col("__d").isNotNull)
+    val u = shiftrightunsigned(gf.hash64(
+        concat(col("__id"), lit(":"), col("__b"))), 11)
+      .cast("double") / lit(9007199254740992.0)
+    val rep = rows
+      .select(g ++ Seq(col("__id"), col("__d"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b")): _*)
+      .withColumn("__w", poissonWeight(u))
+      .groupBy(g :+ col("__b"): _*)
+      .agg(gf.exact_sum(col("__w") * col("__d")).as("__sx"),
+        sum(col("__w").cast("long")).as("__sw"))
+      .where(col("__sw") > 0)
+      .withColumn("__mb", col("__sx") / col("__sw"))
+    val census = rep.groupBy(g: _*)
+      .agg(count(lit(1)).as("b_used"),
+        sum((col("__mb") <= 0.0).cast("long")).as("reps_le0"))
+    val point = rows.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        (gf.exact_sum(col("__d")) / count(lit(1))).as("mean_diff"))
+    point.join(census, groupCols, "left")
+      .withColumn("p_sign",
+        col("reps_le0").cast("double") / col("b_used"))
+  }
 }

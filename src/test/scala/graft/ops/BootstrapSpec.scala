@@ -75,4 +75,31 @@ class BootstrapSpec extends SparkTestBase {
     }
     assert(covered >= 16, s"covered only $covered/20")
   }
+
+  test("pairedBootstrapTest: clear winner vs coin flip, determinism") {
+    import spark.implicits._
+    // g_win: A beats B by 5 on every row -> every replicate mean > 0
+    // g_tie: d alternates ±1 -> p_sign lands in the interior
+    val df = ((0 until 200).map(i => ("g_win", i.toLong, 10.0, 5.0)) ++
+      (0 until 200).map(i => ("g_tie", (1000 + i).toLong,
+        if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 0) 0.0 else 1.0)))
+      .toDF("g", "id", "a", "b")
+    val got = Robust.pairedBootstrapTest(df, Seq("g"), col("id"),
+        col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val w = got("g_win")
+    assert(w.getLong(w.fieldIndex("n")) == 200L)
+    assert(w.getDouble(w.fieldIndex("mean_diff")) == 5.0)
+    assert(w.getLong(w.fieldIndex("reps_le0")) == 0L)
+    assert(w.getDouble(w.fieldIndex("p_sign")) == 0.0)
+    val t = got("g_tie")
+    assert(t.getDouble(t.fieldIndex("mean_diff")) == 0.0)
+    val p = t.getDouble(t.fieldIndex("p_sign"))
+    assert(p > 0.1 && p < 0.9, s"tie p_sign = $p")
+    // bit-identical under repartitioning
+    val again = Robust.pairedBootstrapTest(df.repartition(7), Seq("g"),
+        col("id"), col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(got.keySet.forall(k => got(k).toSeq == again(k)))
+  }
 }

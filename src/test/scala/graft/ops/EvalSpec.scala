@@ -574,6 +574,24 @@ class EvalSpec extends SparkTestBase {
       r.getLong(3) == 7L)
   }
 
+  test("mcnemar: contingency by hand, no-discordance refusal") {
+    import spark.implicits._
+    val df = Seq(("g", true, true), ("g", true, false),
+      ("g", true, false), ("g", true, false), ("g", false, true),
+      ("g", false, false), ("h", true, true), ("h", false, false))
+      .toDF("grp", "a", "b")
+    val got = Eval.mcnemar(df, Seq("grp"), col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert((g.getLong(g.fieldIndex("n00")), g.getLong(g.fieldIndex("n01")),
+      g.getLong(g.fieldIndex("n10")), g.getLong(g.fieldIndex("n11")))
+      == (1L, 1L, 3L, 1L))
+    // (|1-3| - 1)^2 / 4 = 0.25
+    assert(g.getDouble(g.fieldIndex("chi2")) == 0.25)
+    // h has no discordant pairs: nothing to test
+    assert(got("h").isNullAt(got("h").fieldIndex("chi2")))
+  }
+
   test("conformalThreshold: k-th order statistic, small groups refuse") {
     import spark.implicits._
     val df = ((1 to 10).map(i => ("g1", i.toDouble)) ++
