@@ -1721,6 +1721,40 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q280_renyi_efficiency" -> ((s, dir) => {
+      // the tokenizer-quality number (Zouhar 2023): Rényi H_2.5 of the
+      // token-unigram distribution under the STORED unigram model,
+      // next to Shannon H and H/ln(V_used); token/vocab counts gate
+      // as LONGs, entropies at 6
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val enc = graft.ops.Unigram.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), m)
+      graft.ops.Vocab.renyiEfficiency(enc, col("ids"), 2.5)
+        .select(col("n_tokens"), col("vocab_used"),
+          round(col("h_renyi"), 6).as("h25_6"),
+          round(col("h_shannon"), 6).as("shannon6"),
+          round(col("efficiency"), 6).as("eff6"))
+    }),
+
+    "q279_maxsim" -> ((s, dir) => {
+      // ColBERT-style late interaction: each 64-dim embedding splits
+      // into 8 token-vectors of 8 dims; score = Σ_q max_d cos — the
+      // term-level match pooling loses. 8 broadcast queries, top-5 at
+      // the 1e-6 grain with id ties (q43 convention)
+      val emb = t(s, dir, "embeddings")
+      val toks = transform(sequence(lit(0), lit(7)),
+        i => slice(col("embedding").cast("array<double>"),
+          i * 8 + 1, lit(8)))
+      val corpus = emb.select(col("vec_id"), toks.as("tv"))
+      val queries = corpus.where(col("vec_id") < 8)
+      graft.ops.Similarity.maxSimTopK(corpus, queries, "vec_id",
+          "tv", 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("maxsim"), 6).as("maxsim6"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q277_paired_bootstrap" -> ((s, dir) => {
       // "is model A actually better": paired Poisson bootstrap on the
       // per-doc score difference (token_count%13 vs n_chars%11) per
@@ -8437,6 +8471,46 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // token-id counts over the full encode replay → p^α fold
+    "q280_renyi_efficiency" ->
+      (unigramReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM fseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wid AS (SELECT wpe.word, coalesce(v.pid, -1) AS pid
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece),
+ dtk AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+   FROM documents),
+ tok AS (SELECT wid.pid FROM dtk JOIN wid USING (word)),
+ cnt AS (SELECT pid, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+ tot AS (SELECT sum(c)::BIGINT AS n FROM cnt)
+ SELECT (SELECT n FROM tot) AS n_tokens,
+   count(*)::BIGINT AS vocab_used,
+   round(ln(sum(pow(c::DOUBLE / (SELECT n FROM tot), 2.5)))
+     / (1.0 - 2.5), 6) AS h25_6,
+   round(-sum((c::DOUBLE / (SELECT n FROM tot))
+     * ln(c::DOUBLE / (SELECT n FROM tot))), 6) AS shannon6,
+   round((ln(sum(pow(c::DOUBLE / (SELECT n FROM tot), 2.5)))
+     / (1.0 - 2.5)) / ln(count(*)::DOUBLE), 6) AS eff6
+ FROM cnt"""),
+    // Σ_q max_d cos over 8×8-dim token bags; rank at the rounded grain
+    "q279_maxsim" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+             list_transform(range(0, 8), i ->
+               (embedding::DOUBLE[])[i*8+1 : i*8+8]) AS tv
+           FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+             list_sum(list_transform(q.tv, qt ->
+               list_max(list_transform(d.tv, dt ->
+                 list_cosine_similarity(qt, dt))))) AS maxsim
+           FROM e q, e d
+           WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id),
+         r AS (SELECT query_id, doc_id,
+             round(maxsim, 6) AS maxsim6,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(maxsim, 6) DESC, doc_id)::INT AS rank
+           FROM s)
+         SELECT query_id, doc_id, maxsim6, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // q246's hash→poisson-weight replay over the score DIFF; the ≤0
     // census is exact because replicate means are integer ratios
     "q277_paired_bootstrap" ->

@@ -1210,6 +1210,45 @@ object Similarity {
         col("cos_pos"), col("cos_neg"), col("semi_hard"))
   }
 
+  /** Late-interaction (ColBERT-style, Khattab & Zaharia 2020) MaxSim
+    * scoring: query and document are each a BAG of token vectors, and
+    * `score = Σ_{q∈Q} max_{d∈D} cos(q, d)` — every query token finds
+    * its best document token, so fine-grained term matches survive
+    * pooling. Returns the top-k documents per query with rank
+    * assigned at the 1e-6 rounded grain, id ties ascending (the q43
+    * engine-portability convention).
+    *
+    * This is the brute-force truth path: queries broadcast (bounded —
+    * a query batch, never a corpus) and each corpus partition scores
+    * its documents scan-side via codegen'd HOF folds; the shuffle is
+    * the top-k WindowGroupLimit over (query, score) — candidate rows,
+    * not token vectors. The production path feeds candidates from an
+    * ANN index (q255's shape) into the same scoring expression. */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecsCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecsCol).cast("array<array<double>>").as("__qv"))
+    val c = corpus.select(col(idCol).as("doc_id"),
+      col(vecsCol).cast("array<array<double>>").as("__dv"))
+    def dot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    def norm(a: Column): Column = sqrt(dot(a, a))
+    val score = aggregate(
+      transform(col("__qv"), qt =>
+        aggregate(col("__dv"), lit(Double.MinValue),
+          (best, dt) => greatest(best,
+            dot(qt, dt) / (norm(qt) * norm(dt))))),
+      lit(0.0), (s, x) => s + x)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"), score.as("maxsim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("maxsim"), 6).desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985; the diversity
     * sampler of Sener & Savarese 2018's core-set active learning):
     * seed with the smallest id, then k−1 times pick the point FARTHEST

@@ -159,4 +159,34 @@ object Vocab {
           .as("coverage"))
       .orderBy("vocab_size")
   }
+
+  /** Rényi tokenizer efficiency (Zouhar et al. 2023, "Tokenization and
+    * the Noiseless Channel"): over an ENCODED corpus, the Rényi
+    * entropy of the token-unigram distribution,
+    * `H_α = ln(Σ p_i^α) / (1 − α)` (α = 2.5 per the paper — the best
+    * predictor of downstream quality among tokenizer-intrinsic
+    * metrics), plus Shannon H and the normalized efficiency
+    * `H_α / ln(vocab_used)` — a tokenizer whose ids are used evenly
+    * scores 1. One row: (n_tokens, vocab_used, h_renyi, h_shannon,
+    * efficiency). One token-keyed shuffle to counts (map-side
+    * combined), then a vocab-sized fold through
+    * [[graft.api.functions.exact_sum]]. */
+  def renyiEfficiency(encoded: DataFrame, idsCol: Column,
+      alpha: Double = 2.5): DataFrame = {
+    require(alpha > 0 && alpha != 1.0,
+      "alpha must be positive and != 1 (use h_shannon for the limit)")
+    val cnt = encoded.select(explode(idsCol).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val tot = cnt.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__v"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    cnt.crossJoin(broadcast(tot))
+      .agg(max(col("__n")).as("n_tokens"),
+        max(col("__v")).as("vocab_used"),
+        (log(graft.api.functions.exact_sum(pow(p, alpha)))
+          * lit(1.0 / (1.0 - alpha))).as("h_renyi"),
+        (-graft.api.functions.exact_sum(p * log(p))).as("h_shannon"))
+      .withColumn("efficiency",
+        col("h_renyi") / log(col("vocab_used").cast("double")))
+  }
 }

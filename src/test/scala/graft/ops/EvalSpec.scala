@@ -574,6 +574,23 @@ class EvalSpec extends SparkTestBase {
       r.getLong(3) == 7L)
   }
 
+  test("renyiEfficiency: uniform ids score 1, skew scores below") {
+    import spark.implicits._
+    // 4 ids used equally: H_a = ln 4 for every a -> efficiency 1
+    val uni = Seq(Seq(0L, 1L), Seq(2L, 3L)).toDF("ids")
+    val u = Vocab.renyiEfficiency(uni, col("ids"), 2.5).collect()(0)
+    assert(u.getLong(0) == 4L && u.getLong(1) == 4L)
+    assert(math.abs(u.getDouble(2) - math.log(4.0)) < 1e-12)
+    assert(math.abs(u.getDouble(3) - math.log(4.0)) < 1e-12)
+    assert(math.abs(u.getDouble(4) - 1.0) < 1e-12)
+    // skewed: 3x id 0, 1x id 1 -> H_2.5 = ln(0.75^2.5 + 0.25^2.5)/-1.5
+    val skew = Seq(Seq(0L, 0L, 0L, 1L)).toDF("ids")
+    val s = Vocab.renyiEfficiency(skew, col("ids"), 2.5).collect()(0)
+    val h = math.log(math.pow(0.75, 2.5) + math.pow(0.25, 2.5)) / -1.5
+    assert(math.abs(s.getDouble(2) - h) < 1e-12)
+    assert(s.getDouble(4) < 1.0)
+  }
+
   test("mcnemar: contingency by hand, no-discordance refusal") {
     import spark.implicits._
     val df = Seq(("g", true, true), ("g", true, false),

@@ -46,4 +46,22 @@ class KCenterSpec extends SparkTestBase {
       "embedding", 3).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("maxSimTopK: every query token finds its best document token") {
+    import spark.implicits._
+    val bags = Seq(
+      (1L, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))), // the query
+      (2L, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))), // perfect: 1 + 1
+      (3L, Seq(Seq(0.6, 0.8))), // 0.6 and 0.8 -> 1.4
+      (4L, Seq(Seq(-1.0, 0.0), Seq(0.0, -1.0)))) // 0 + 0 (best cross)
+      .toDF("vec_id", "tv")
+    val q = bags.where(col("vec_id") === 1L)
+    val got = Similarity.maxSimTopK(bags, q, "vec_id", "tv", 3)
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("rank")) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1)._1 == 2L && math.abs(got(1)._2 - 2.0) < 1e-12)
+    assert(got(2)._1 == 3L && math.abs(got(2)._2 - 1.4) < 1e-12)
+    assert(got(3)._1 == 4L && math.abs(got(3)._2 - 0.0) < 1e-12)
+  }
 }
