@@ -1721,6 +1721,52 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q281_power_analysis" -> ((s, dir) => {
+      // "how many more evals do I need": q277's A/B scores per source;
+      // moments are exact integer ratios, the z constants are baked
+      // literals, so n_req's ceil lands identically on both engines
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          (gf.token_count(col("text")) % 13).cast("double").as("a"),
+          (col("n_chars") % 11).cast("double").as("b"))
+      graft.ops.Eval.powerAnalysis(docs, Seq("source"), col("a"),
+          col("b"))
+        .select(col("source"), col("n"),
+          round(col("mean_diff"), 6).as("mdiff6"),
+          round(col("var_diff"), 6).as("var6"),
+          col("n_req"), col("enough"))
+        .orderBy("source")
+    }),
+
+    "q282_pinball" -> ((s, dir) => {
+      // quantile-loss report card: predictor 300 + doc_id%50 against
+      // n_chars at τ ∈ {1/4, 1/2, 3/4} per source — dyadic τ and
+      // integer errors keep every pinball term exact
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          (lit(300) + col("doc_id") % 50).cast("double").as("pred"),
+          col("n_chars").cast("double").as("y"))
+      graft.ops.Eval.pinballLoss(docs, Seq("source"), col("pred"),
+          col("y"), Seq(0.25, 0.5, 0.75))
+        .select(col("source"), col("tau"), col("n"),
+          round(col("loss"), 6).as("loss6"))
+        .orderBy("source", "tau")
+    }),
+
+    "q283_bandit_arms" -> ((s, dir) => {
+      // mixture-exploration receipts: event types as arms, success =
+      // value > 100; UCB1 index and the Thompson Beta posterior —
+      // counts LONG-exact, the index rounds at 6
+      val ev = t(s, dir, "events")
+      graft.ops.Sampling.banditIndices(ev, Seq("event_type"),
+          col("value") > 100)
+        .select(col("event_type"), col("pulls"), col("wins"),
+          round(col("mean_reward"), 6).as("mean6"),
+          round(col("ucb1"), 6).as("ucb6"),
+          col("post_alpha"), col("post_beta"))
+        .orderBy("event_type")
+    }),
+
     "q280_renyi_efficiency" -> ((s, dir) => {
       // the tokenizer-quality number (Zouhar 2023): Rényi H_2.5 of the
       // token-unigram distribution under the STORED unigram model,
@@ -8471,6 +8517,50 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // n_req = ceil(z²·s²/d̄²) with the same baked z literals
+    "q281_power_analysis" ->
+      """WITH d0 AS (SELECT source,
+             ((len(string_split(text, ' ')) % 13)
+               - (n_chars % 11))::DOUBLE AS d FROM documents),
+         g AS (SELECT source, count(*)::BIGINT AS n,
+             sum(d) AS s1, sum(d * d) AS s2 FROM d0 GROUP BY 1),
+         m AS (SELECT source, n, s1 / n AS mean,
+             greatest((s2 - s1 * s1 / n) / (n - 1), 0.0) AS v
+           FROM g)
+         SELECT source, n, round(mean, 6) AS mdiff6,
+           round(v, 6) AS var6,
+           CASE WHEN n >= 2 AND mean <> 0 THEN
+             ceil(2.8015852181129683 * 2.8015852181129683 * v
+               / (mean * mean))::BIGINT END AS n_req,
+           CASE WHEN n >= 2 AND mean <> 0 THEN
+             n >= ceil(2.8015852181129683 * 2.8015852181129683 * v
+               / (mean * mean)) END AS enough
+         FROM m ORDER BY source""",
+    // pinball term max(τe, (τ−1)e) exact under dyadic τ, integer e
+    "q282_pinball" ->
+      """WITH d AS (SELECT source,
+             (n_chars - (300 + doc_id % 50))::DOUBLE AS e
+           FROM documents),
+         x AS (SELECT source, e, tau
+           FROM d, unnest([0.25, 0.5, 0.75]::DOUBLE[]) t(tau))
+         SELECT source, tau, count(*)::BIGINT AS n,
+           round(sum(greatest(tau * e, (tau - 1) * e)) / count(*), 6)
+             AS loss6
+         FROM x GROUP BY 1, 2 ORDER BY source, tau""",
+    // ucb1 = mean + sqrt(2 ln N / n); Beta(wins+1, losses+1)
+    "q283_bandit_arms" ->
+      """WITH a AS (SELECT event_type, count(*)::BIGINT AS pulls,
+             sum((value > 100)::INT)::BIGINT AS wins
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         t AS (SELECT sum(pulls)::BIGINT AS nn FROM a)
+         SELECT event_type, pulls, wins,
+           round(wins::DOUBLE / pulls, 6) AS mean6,
+           round(wins::DOUBLE / pulls
+             + sqrt(2.0 * ln((SELECT nn FROM t)::DOUBLE)
+               / pulls::DOUBLE), 6) AS ucb6,
+           (wins + 1)::BIGINT AS post_alpha,
+           (pulls - wins + 1)::BIGINT AS post_beta
+         FROM a ORDER BY event_type""",
     // token-id counts over the full encode replay → p^α fold
     "q280_renyi_efficiency" ->
       (unigramReplay + """,

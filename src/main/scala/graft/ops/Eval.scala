@@ -617,6 +617,73 @@ object Eval {
         col("vote_n").cast("double") / col("n_total"))
   }
 
+  /** Paired-eval power analysis — "how many more eval examples do I
+    * need before this A-vs-B gap is decidable": per group, from the
+    * paired differences d = A − B, the sample size required for a
+    * two-sided z-test at significance `alpha` and power `power`,
+    * `n_req = ⌈(z_{α/2} + z_β)² · s² / d̄²⌉`. Returns
+    * (groupCols…, n, mean_diff, var_diff, n_req, enough) — `enough` =
+    * n ≥ n_req; a zero observed effect refuses with NULL n_req (no
+    * finite n decides an effect of zero). Moments through
+    * [[graft.api.functions.exact_sum]], one aggregation. Only
+    * (alpha, power) = (0.05, 0.8) and (0.01, 0.9) are accepted — the
+    * z constants are baked literals so both engines hold identical
+    * doubles (no inverse-normal at runtime). */
+  def powerAnalysis(df: DataFrame, groupCols: Seq[String],
+      scoreACol: Column, scoreBCol: Column, alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val z: Double = (alpha, power) match {
+      case (0.05, 0.8) => 1.959963984540054 + 0.8416212335729143
+      case (0.01, 0.9) => 2.5758293035489004 + 1.2815515655446004
+      case _ => throw new IllegalArgumentException(
+        "supported (alpha, power): (0.05, 0.8), (0.01, 0.9)")
+    }
+    val d = scoreACol.cast("double") - scoreBCol.cast("double")
+    df.where(d.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        graft.api.functions.exact_sum(d).as("__s1"),
+        graft.api.functions.exact_sum(d * d).as("__s2"))
+      .select(groupCols.map(col) ++ {
+        val n = col("n").cast("double")
+        val mean = col("__s1") / n
+        val variance = greatest(
+          (col("__s2") - col("__s1") * col("__s1") / n) / (n - 1),
+          lit(0.0))
+        val nReq = when(col("n") >= 2 && mean =!= 0.0,
+          ceil(lit(z * z) * variance / (mean * mean)).cast("long"))
+        Seq(col("n"), mean.as("mean_diff"), when(col("n") >= 2,
+            variance).as("var_diff"), nReq.as("n_req"),
+          when(nReq.isNotNull, col("n") >= nReq).as("enough"))
+      }: _*)
+  }
+
+  /** Pinball (quantile) loss at each requested τ — the eval for
+    * quantile-calibrated predictors (a reward model emitting a τ-th
+    * percentile should minimize it): per (group, τ),
+    * `mean(max(τ·e, (τ−1)·e))` over errors e = actual − predicted.
+    * One exact_sum aggregation after a scan-side explode onto the
+    * literal τ list; dyadic τ and integer-valued inputs keep every
+    * term exact. Returns (groupCols…, tau, n, loss). */
+  def pinballLoss(df: DataFrame, groupCols: Seq[String],
+      predictedCol: Column, actualCol: Column,
+      taus: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(taus.nonEmpty && taus.forall(t => t > 0 && t < 1),
+      "each tau must be in (0, 1)")
+    val e = actualCol.cast("double") - predictedCol.cast("double")
+    df.where(e.isNotNull)
+      .select(groupCols.map(col) :+ e.as("__e")
+        :+ explode(typedLit(taus)).as("tau"): _*)
+      .groupBy(groupCols.map(col) :+ col("tau"): _*)
+      .agg(count(lit(1)).as("n"),
+        (graft.api.functions.exact_sum(
+          greatest(col("tau") * col("__e"),
+            (col("tau") - 1) * col("__e"))) / count(lit(1)))
+          .as("loss"))
+  }
+
   /** McNemar's paired test for two classifiers/models graded on the
     * SAME examples — the discordant-pair census behind "is B actually
     * better, or did it just win different rows": per group,

@@ -534,4 +534,35 @@ object Sampling {
           lit(evalOneIn)) === 0, lit("eval")).otherwise(lit("train")))
       .drop("__cid", "__comp")
   }
+
+  /** Bandit arm receipts for data-mixture exploration — when sources
+    * are arms and "this batch helped" is a Bernoulli reward, the two
+    * standard exploration scores per arm: the UCB1 index
+    * `mean + √(2·ln N / n_arm)` (Auer et al. 2002; play the argmax)
+    * and the Beta posterior `(wins + 1, losses + 1)` a Thompson
+    * sampler draws from. One map-side-combined aggregation; the
+    * arm-count-sized frame then takes N from a broadcast 1-row cross
+    * join. NULL rewards are refused work. Returns
+    * (armCols…, pulls, wins, mean_reward, ucb1, post_alpha,
+    * post_beta); an arm is never unplayed here by construction (it
+    * would not appear), so the ucb1 ∞-for-unplayed convention is the
+    * caller's seeding concern. */
+  def banditIndices(df: DataFrame, armCols: Seq[String],
+      successCol: Column): DataFrame = {
+    require(armCols.nonEmpty, "need at least one arm column")
+    val ok = successCol.cast("boolean")
+    val arms = df.where(ok.isNotNull)
+      .groupBy(armCols.map(col): _*)
+      .agg(count(lit(1)).as("pulls"),
+        sum(ok.cast("long")).as("wins"))
+    val total = arms.agg(sum(col("pulls")).as("__N"))
+    arms.crossJoin(broadcast(total))
+      .select(armCols.map(col) ++ Seq(col("pulls"), col("wins"),
+        (col("wins").cast("double") / col("pulls")).as("mean_reward"),
+        (col("wins").cast("double") / col("pulls") +
+          sqrt(lit(2.0) * log(col("__N").cast("double"))
+            / col("pulls").cast("double"))).as("ucb1"),
+        (col("wins") + 1).as("post_alpha"),
+        (col("pulls") - col("wins") + 1).as("post_beta")): _*)
+  }
 }

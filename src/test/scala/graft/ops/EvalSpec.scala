@@ -574,6 +574,38 @@ class EvalSpec extends SparkTestBase {
       r.getLong(3) == 7L)
   }
 
+  test("powerAnalysis: hand-worked n_req, zero-effect refusal") {
+    import spark.implicits._
+    // g1: d = (2, 4) -> mean 3, var 2; n_req = ceil(7.848876...*2/9)
+    // g2: d = (1, -1) -> mean 0: refused
+    val df = Seq(("g1", 3.0, 1.0), ("g1", 9.0, 5.0),
+      ("g2", 2.0, 1.0), ("g2", 0.0, 1.0))
+      .toDF("g", "a", "b")
+    val got = Eval.powerAnalysis(df, Seq("g"), col("a"), col("b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = got("g1")
+    assert(g1.getDouble(g1.fieldIndex("mean_diff")) == 3.0)
+    assert(g1.getDouble(g1.fieldIndex("var_diff")) == 2.0)
+    val z = 1.959963984540054 + 0.8416212335729143
+    // z² · 2/9 ≈ 1.744 -> n_req = 2; n = 2 meets it exactly
+    assert(g1.getLong(g1.fieldIndex("n_req")) ==
+      math.ceil(z * z * 2.0 / 9.0).toLong)
+    assert(g1.getLong(g1.fieldIndex("n_req")) == 2L)
+    assert(g1.getBoolean(g1.fieldIndex("enough")))
+    assert(got("g2").isNullAt(got("g2").fieldIndex("n_req")))
+  }
+
+  test("pinballLoss: asymmetric penalties by hand") {
+    import spark.implicits._
+    // errors e = (+4, -2): at tau=0.25 -> (1, 1.5); at 0.75 -> (3, 0.5)
+    val df = Seq(("g", 0.0, 4.0), ("g", 0.0, -2.0)).toDF("g", "p", "y")
+    val got = Eval.pinballLoss(df, Seq("g"), col("p"), col("y"),
+        Seq(0.25, 0.75))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    assert(got(0.25) == 1.25)
+    assert(got(0.75) == 1.75)
+  }
+
   test("renyiEfficiency: uniform ids score 1, skew scores below") {
     import spark.implicits._
     // 4 ids used equally: H_a = ln 4 for every a -> efficiency 1

@@ -429,4 +429,25 @@ class SamplingSpec extends SparkTestBase {
         1000L, maxGroups = 10)
     }
   }
+
+  test("banditIndices: UCB1 and Beta posterior by hand") {
+    import spark.implicits._
+    // arm A: 4 pulls 3 wins; arm B: 4 pulls 1 win -> N = 8
+    val df = Seq(("A", true), ("A", true), ("A", true), ("A", false),
+      ("B", true), ("B", false), ("B", false), ("B", false))
+      .toDF("arm", "ok")
+    val got = Sampling.banditIndices(df, Seq("arm"), col("ok"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(a.fieldIndex("pulls")) == 4L)
+    assert(a.getLong(a.fieldIndex("wins")) == 3L)
+    assert(a.getDouble(a.fieldIndex("mean_reward")) == 0.75)
+    assert(math.abs(a.getDouble(a.fieldIndex("ucb1")) -
+      (0.75 + math.sqrt(2 * math.log(8.0) / 4))) < 1e-15)
+    assert(a.getLong(a.fieldIndex("post_alpha")) == 4L)
+    assert(a.getLong(a.fieldIndex("post_beta")) == 2L)
+    // same pulls -> exploration bonus equal, so UCB orders by mean
+    assert(a.getDouble(a.fieldIndex("ucb1")) >
+      got("B").getDouble(got("B").fieldIndex("ucb1")))
+  }
 }
