@@ -1721,6 +1721,53 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q284_streaming_eval" -> ((s, dir) => {
+      // the canary-eval feed: paired A/B outcomes arrive in 8 real
+      // micro-batches; each batch appends only its per-source
+      // CONTINGENCY PARTIALS (the McNemar sufficient statistics — a
+      // monoid, so the fold is order/batching-independent) and the
+      // final census must equal the one-shot q278 (whose oracle this
+      // gate shares). Nothing corpus-sized is ever re-read per batch
+      val tmp = docStreamDirCache.computeIfAbsent(dir, { d =>
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_qdocs").toString
+        s.read.parquet(s"$d/documents.parquet").repartition(8)
+          .write.parquet(s"$base/documents.parquet")
+        base
+      })
+      val outBase = java.nio.file.Files
+        .createTempDirectory("graft_q284o").toString
+      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col("source"),
+              (gf.token_count(col("text")) % 2 === 0).as("oka"),
+              (col("n_chars") % 3 === 0).as("okb"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n"),
+              sum((!col("oka") && !col("okb")).cast("long")).as("n00"),
+              sum((!col("oka") && col("okb")).cast("long")).as("n01"),
+              sum((col("oka") && !col("okb")).cast("long")).as("n10"),
+              sum((col("oka") && col("okb")).cast("long")).as("n11"))
+            .write.mode("append").parquet(s"$outBase/parts")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$outBase/parts")
+        .groupBy("source")
+        .agg(sum("n").as("n"), sum("n00").as("n00"),
+          sum("n01").as("n01"), sum("n10").as("n10"),
+          sum("n11").as("n11"))
+        .withColumn("chi26",
+          when(col("n01") + col("n10") > 0,
+            round(pow(greatest(abs(col("n01") - col("n10")) - lit(1.0),
+              lit(0.0)), 2)
+              / (col("n01") + col("n10")).cast("double"), 6)))
+        .orderBy("source")
+    }),
+
     "q281_power_analysis" -> ((s, dir) => {
       // "how many more evals do I need": q277's A/B scores per source;
       // moments are exact integer ratios, the z constants are baked
@@ -8517,6 +8564,23 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // the streamed fold of q278's monoid partials equals the one-shot
+    // census — shares q278's oracle verbatim
+    "q284_streaming_eval" ->
+      """WITH d AS (SELECT source,
+             (len(string_split(text, ' ')) % 2 = 0) AS oka,
+             (n_chars % 3 = 0) AS okb FROM documents),
+         g AS (SELECT source, count(*)::BIGINT AS n,
+             sum((NOT oka AND NOT okb)::INT)::BIGINT AS n00,
+             sum((NOT oka AND okb)::INT)::BIGINT AS n01,
+             sum((oka AND NOT okb)::INT)::BIGINT AS n10,
+             sum((oka AND okb)::INT)::BIGINT AS n11
+           FROM d GROUP BY 1)
+         SELECT source, n, n00, n01, n10, n11,
+           CASE WHEN n01 + n10 > 0 THEN
+             round(pow(greatest(abs(n01 - n10) - 1.0, 0.0), 2)
+               / (n01 + n10), 6) END AS chi26
+         FROM g ORDER BY source""",
     // n_req = ceil(z²·s²/d̄²) with the same baked z literals
     "q281_power_analysis" ->
       """WITH d0 AS (SELECT source,
