@@ -1721,6 +1721,33 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q286_bigram_entropy" -> ((s, dir) => {
+      // how much one token of context predicts: H(next|cur) vs H(cur)
+      // over within-doc bigrams of the STORED-model encode — the
+      // entropy-rate diagnostic; counts LONG, entropies at 6
+      val base = ensureTokenizerStore(s, dir)
+      val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
+      val enc = graft.ops.Unigram.encode(t(s, dir, "documents"),
+        "doc_id", col("text"), m)
+      graft.ops.Vocab.conditionalEntropy(enc, col("ids"))
+        .select(col("n_bigrams"), col("n_contexts"), col("n_cells"),
+          round(col("h_cond"), 6).as("hcond6"),
+          round(col("h_unigram"), 6).as("huni6"))
+    }),
+
+    "q285_independence" -> ((s, dir) => {
+      // the metadata audit "did one crawl skew lang": χ²/Cramér's
+      // V/mutual information of lang × source from the exact
+      // contingency (FIXTURES documents lang as independent of text —
+      // this measures it); counts LONG, statistics at 6
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.independence(docs, col("lang"), col("source"))
+        .select(col("n"), col("n_cells"), col("dof"),
+          round(col("chi2"), 6).as("chi26"),
+          round(col("cramers_v"), 6).as("v6"),
+          round(col("mi"), 6).as("mi6"))
+    }),
+
     "q284_streaming_eval" -> ((s, dir) => {
       // the canary-eval feed: paired A/B outcomes arrive in 8 real
       // micro-batches; each batch appends only its per-source
@@ -8564,6 +8591,65 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // per-doc encode replay → within-doc adjacent pairs → entropies
+    "q286_bigram_entropy" ->
+      (unigramReplay + """,
+ wpe AS (SELECT ps.word, t.j AS j, ps.seg[j] AS piece
+     FROM fseg ps, unnest(range(1, len(ps.seg)+1)) t(j)),
+ wp AS MATERIALIZED (SELECT wpe.word,
+     list(coalesce(v.pid, -1) ORDER BY wpe.j) AS wids
+   FROM wpe LEFT JOIN fvocab v ON v.piece = wpe.piece
+   GROUP BY wpe.word),
+ dt AS (SELECT doc_id, t.j AS pos, tk[j] AS word
+     FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tk
+           FROM documents) d, unnest(range(1, len(tk)+1)) t(j)),
+ dn AS (SELECT dt.doc_id, dt.pos, wp.wids FROM dt JOIN wp USING (word)),
+ o AS (SELECT doc_id, flatten(list(wids ORDER BY pos)) AS ids
+       FROM dn GROUP BY doc_id),
+ bg AS (SELECT ids[i] AS cur, ids[i+1] AS nxt
+     FROM o, unnest(range(1, len(ids))) t(i)),
+ cells AS (SELECT cur, nxt, count(*)::BIGINT AS c FROM bg
+   GROUP BY 1, 2),
+ mc AS (SELECT cur, sum(c)::BIGINT AS cc FROM cells GROUP BY 1),
+ tt AS (SELECT sum(c)::BIGINT AS n FROM cells)
+ SELECT (SELECT n FROM tt) AS n_bigrams,
+   (SELECT count(*) FROM mc)::BIGINT AS n_contexts,
+   count(*)::BIGINT AS n_cells,
+   round(-sum((cells.c::DOUBLE / (SELECT n FROM tt))
+     * ln(cells.c::DOUBLE / mc.cc)), 6) AS hcond6,
+   round(-sum((cells.c::DOUBLE / (SELECT n FROM tt))
+     * ln(mc.cc::DOUBLE / (SELECT n FROM tt))), 6) AS huni6
+ FROM cells JOIN mc USING (cur)"""),
+    // exact contingency → χ² / Cramér's V / MI; mirrored cellwise
+    "q285_independence" ->
+      """WITH c AS (SELECT lang AS a, source AS b,
+             count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+         t AS (SELECT sum(o)::BIGINT AS n, count(*)::BIGINT AS n_cells,
+             count(DISTINCT a)::BIGINT AS nr,
+             count(DISTINCT b)::BIGINT AS nc FROM c),
+         ma AS (SELECT a, sum(o)::BIGINT AS ra FROM c GROUP BY 1),
+         mb AS (SELECT b, sum(o)::BIGINT AS cb FROM c GROUP BY 1),
+         j AS (SELECT c.o::DOUBLE AS o,
+             (ma.ra::DOUBLE * mb.cb::DOUBLE / (SELECT n FROM t)::DOUBLE)
+               AS e,
+             ma.ra::DOUBLE AS ra, mb.cb::DOUBLE AS cb
+           FROM c JOIN ma USING (a) JOIN mb USING (b))
+         SELECT (SELECT n FROM t) AS n,
+           (SELECT n_cells FROM t) AS n_cells,
+           ((SELECT nr FROM t) - 1) * ((SELECT nc FROM t) - 1) AS dof,
+           round(sum((o - e) * (o - e) / e)
+             + ((SELECT n FROM t)::DOUBLE - sum(e)), 6) AS chi26,
+           round(sqrt(greatest(
+             (sum((o - e) * (o - e) / e)
+               + ((SELECT n FROM t)::DOUBLE - sum(e)))
+               / ((SELECT n FROM t)::DOUBLE
+                 * least((SELECT nr FROM t) - 1,
+                     (SELECT nc FROM t) - 1)::DOUBLE), 0.0)), 6) AS v6,
+           round(sum((o / (SELECT n FROM t)::DOUBLE)
+             * ln((o / (SELECT n FROM t)::DOUBLE)
+               / ((ra / (SELECT n FROM t)::DOUBLE)
+                 * (cb / (SELECT n FROM t)::DOUBLE)))), 6) AS mi6
+         FROM j""",
     // the streamed fold of q278's monoid partials equals the one-shot
     // census — shares q278's oracle verbatim
     "q284_streaming_eval" ->

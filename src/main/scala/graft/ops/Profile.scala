@@ -225,4 +225,57 @@ object Profile {
       when(col("n") >= 2 && varX > 0 && varY > 0,
         covN / sqrt(varX) / sqrt(varY)).as("rho"))
   }
+
+  /** Categorical-independence audit between two metadata columns — the
+    * profiling question "is `lang` actually independent of `source`,
+    * or did one crawl skew it": from the exact contingency counts,
+    * Pearson's `chi2 = Σ (O − E)² / E` with `dof = (R−1)(C−1)`,
+    * Cramér's `V = √(χ² / (n · min(R−1, C−1)))` (the [0, 1] effect
+    * size), and the mutual information
+    * `mi = Σ p(a,b) · ln(p(a,b) / (p(a)p(b)))` in nats. One
+    * contingency aggregation (cells are category-product-bounded, not
+    * corpus-sized), marginals by window over the cell frame, one
+    * scalar fold. NULL categories are refused work. Returns one row:
+    * (n, n_cells, dof, chi2, cramers_v, mi). */
+  def independence(df: DataFrame, colA: Column,
+      colB: Column): DataFrame = {
+    val cells = df.where(colA.isNotNull && colB.isNotNull)
+      .groupBy(colA.as("__a"), colB.as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy("__a")
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("__b")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val m = cells
+      .withColumn("__ra", sum(col("__o")).over(wa))
+      .withColumn("__cb", sum(col("__o")).over(wb))
+      .withColumn("__n", sum(col("__o")).over(wAll))
+      .withColumn("__nr",
+        size(collect_set(col("__a")).over(wAll)).cast("long"))
+      .withColumn("__nc",
+        size(collect_set(col("__b")).over(wAll)).cast("long"))
+    val o = col("__o").cast("double")
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    val p = o / col("__n").cast("double")
+    // a cell with O = 0 never appears in the grouped frame, but it
+    // still owes (0 − E)²/E = E to χ²; Σ over ALL cells of E is n, so
+    // the unobserved mass is exactly n − Σ_observed E
+    m.agg(max(col("__n")).as("n"),
+        count(lit(1)).as("n_cells"),
+        max((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
+        (graft.api.functions.exact_sum((o - e) * (o - e) / e) +
+          (max(col("__n")).cast("double") -
+            graft.api.functions.exact_sum(e))).as("chi2"),
+        max(least(col("__nr") - 1, col("__nc") - 1)).as("__mindim"),
+        graft.api.functions.exact_sum(
+          p * log(p / (col("__ra").cast("double") /
+            col("__n").cast("double") *
+            (col("__cb").cast("double") / col("__n").cast("double")))))
+          .as("mi"))
+      .select(col("n"), col("n_cells"), col("dof"), col("chi2"),
+        sqrt(greatest(col("chi2") / (col("n").cast("double") *
+          col("__mindim").cast("double")), lit(0.0))).as("cramers_v"),
+        col("mi"))
+  }
 }

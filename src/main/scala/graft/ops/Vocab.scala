@@ -171,6 +171,46 @@ object Vocab {
     * efficiency). One token-keyed shuffle to counts (map-side
     * combined), then a vocab-sized fold through
     * [[graft.api.functions.exact_sum]]. */
+  /** Bigram conditional entropy of an encoded token stream —
+    * `H(next | cur) = −Σ p(cur,next) · ln(c(cur,next)/c(cur))` over
+    * within-document adjacent pairs (never across documents), next to
+    * the context-marginal entropy `H(cur)`: together they say how much
+    * of the stream a 1-token context already predicts — the
+    * entropy-rate diagnostic for comparing tokenizers or spotting
+    * templated/repetitive corpora (H_cond ≪ H_uni). Pairs explode
+    * scan-side; ONE (cur, next)-keyed count shuffle (map-side
+    * combined); the marginal is a window over the CELL frame, never
+    * the corpus. Returns one row:
+    * (n_bigrams, n_contexts, n_cells, h_cond, h_unigram). */
+  def conditionalEntropy(encoded: DataFrame,
+      idsCol: Column): DataFrame = {
+    val pairs = encoded.where(size(idsCol) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(idsCol) - 1),
+        i => struct(
+          element_at(idsCol, i.cast("int")).as("cur"),
+          element_at(idsCol, (i + 1).cast("int")).as("nxt"))))
+        .as("__p"))
+      .select(col("__p.cur").as("__cur"), col("__p.nxt").as("__nxt"))
+    val cells = pairs.groupBy("__cur", "__nxt")
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__cur")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val m = cells.withColumn("__cc", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val c = col("__c").cast("double")
+    val n = col("__n").cast("double")
+    val cc = col("__cc").cast("double")
+    m.agg(max(col("__n")).as("n_bigrams"),
+      countDistinct(col("__cur")).as("n_contexts"),
+      count(lit(1)).as("n_cells"),
+      (-graft.api.functions.exact_sum((c / n) * log(c / cc)))
+        .as("h_cond"),
+      (-graft.api.functions.exact_sum((c / n) * log(cc / n)))
+        .as("h_unigram"))
+  }
+
   def renyiEfficiency(encoded: DataFrame, idsCol: Column,
       alpha: Double = 2.5): DataFrame = {
     require(alpha > 0 && alpha != 1.0,

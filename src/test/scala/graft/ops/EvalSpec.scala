@@ -574,6 +574,26 @@ class EvalSpec extends SparkTestBase {
       r.getLong(3) == 7L)
   }
 
+  test("conditionalEntropy: deterministic stream predicts perfectly") {
+    import spark.implicits._
+    // ababab: every context determines its successor -> H(next|cur)=0,
+    // contexts split evenly -> H(cur) = ln 2
+    val det = Seq(Seq(1L, 2L, 1L, 2L, 1L)).toDF("ids")
+    val d = Vocab.conditionalEntropy(det, col("ids")).collect()(0)
+    assert(d.getLong(0) == 4L) // bigrams
+    assert(d.getLong(1) == 2L && d.getLong(2) == 2L)
+    assert(d.getDouble(3) == 0.0)
+    assert(math.abs(d.getDouble(4) - math.log(2.0)) < 1e-12)
+    // bigrams never cross documents
+    val two = Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("ids")
+    val t2 = Vocab.conditionalEntropy(two, col("ids")).collect()(0)
+    assert(t2.getLong(0) == 2L) // (1,2) and (3,4) only — no (2,3)
+    // single-token docs carry no bigram
+    val one = Seq(Seq(1L, 2L), Seq(9L)).toDF("ids")
+    assert(Vocab.conditionalEntropy(one, col("ids"))
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("powerAnalysis: hand-worked n_req, zero-effect refusal") {
     import spark.implicits._
     // g1: d = (2, 4) -> mean 3, var 2; n_req = ceil(7.848876...*2/9)

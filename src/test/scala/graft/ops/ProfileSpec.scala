@@ -197,4 +197,22 @@ class ProfileSpec extends SparkTestBase {
     assert(Profile.spearman(withNulls, col("x"), col("y"))
       .head().getLong(0) == 2L)
   }
+
+  test("independence: exact zero under independence, max under identity") {
+    import spark.implicits._
+    // balanced 2x2 independent: every cell 5 -> chi2 = 0, mi = 0
+    val ind = (for {a <- Seq("x", "y"); b <- Seq("u", "v");
+      _ <- 0 until 5} yield (a, b)).toDF("a", "b")
+    val i = Profile.independence(ind, col("a"), col("b")).collect()(0)
+    assert(i.getLong(0) == 20L && i.getLong(1) == 4L && i.getLong(2) == 1L)
+    assert(i.getDouble(3) == 0.0) // chi2
+    assert(i.getDouble(4) == 0.0) // cramers v
+    assert(math.abs(i.getDouble(5)) < 1e-15) // mi
+    // perfectly dependent 2x2: a == b -> V = 1, mi = ln 2
+    val dep = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y")))
+      .toDF("a", "b")
+    val d = Profile.independence(dep, col("a"), col("b")).collect()(0)
+    assert(math.abs(d.getDouble(4) - 1.0) < 1e-12)
+    assert(math.abs(d.getDouble(5) - math.log(2.0)) < 1e-12)
+  }
 }
