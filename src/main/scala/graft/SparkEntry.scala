@@ -1721,6 +1721,34 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q287_trimmed_mean" -> ((s, dir) => {
+      // robust location per event_type: 12.5%-per-side trimmed and
+      // winsorized means of value — dyadic trim keeps k = ⌊n/8⌋
+      // exact; cent values pin the sums, means round at 6
+      val ev = t(s, dir, "events")
+      graft.ops.Robust.trimmedMean(ev, Seq("event_type"),
+          col("value"), col("event_id"), trim = 0.125)
+        .select(col("event_type"), col("n"), col("k_trim"),
+          round(col("trimmed_mean"), 6).as("tmean6"),
+          round(col("winsorized_mean"), 6).as("wmean6"))
+        .orderBy("event_type")
+    }),
+
+    "q288_hill_tail" -> ((s, dir) => {
+      // tail-heaviness of document lengths per source: Hill α̂ over
+      // the top 25 with the 26th as threshold — the scaling-law
+      // diagnostic; threshold LONG-valued, α̂ rounds at 6
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("double").as("len"))
+      graft.ops.Robust.hillTailIndex(docs, Seq("source"), col("len"),
+          col("doc_id"), k = 25)
+        .select(col("source"), col("n"), col("k"),
+          col("threshold").cast("long").as("thr"),
+          round(col("alpha_hat"), 6).as("alpha6"))
+        .orderBy("source")
+    }),
+
     "q286_bigram_entropy" -> ((s, dir) => {
       // how much one token of context predicts: H(next|cur) vs H(cur)
       // over within-doc bigrams of the STORED-model encode — the
@@ -8591,6 +8619,45 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // rank by (value, event_id); k = ⌊n/8⌋; winsorized closed-form
+    "q287_trimmed_mean" ->
+      """WITH r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL),
+         x AS (SELECT event_type, value, rk, n, n // 8 AS k FROM r),
+         g AS (SELECT event_type, max(n)::BIGINT AS n,
+             max(k)::BIGINT AS k_trim,
+             sum(CASE WHEN rk > k AND rk <= n - k THEN value
+               ELSE 0 END) AS ts,
+             sum(CASE WHEN rk > k AND rk <= n - k THEN 1
+               ELSE 0 END)::BIGINT AS tn,
+             max(CASE WHEN rk = k + 1 THEN value END) AS lo,
+             max(CASE WHEN rk = n - k THEN value END) AS hi
+           FROM x GROUP BY 1)
+         SELECT event_type, n, k_trim,
+           CASE WHEN tn > 0 THEN round(ts / tn, 6) END AS tmean6,
+           CASE WHEN tn > 0 THEN
+             round((ts + k_trim * lo + k_trim * hi) / n, 6) END
+             AS wmean6
+         FROM g ORDER BY event_type""",
+    // top-(k+1) by (len DESC, doc_id); α̂ = k/(Σln x − k·ln thr)
+    "q288_hill_tail" ->
+      """WITH r AS (SELECT source, n_chars::DOUBLE AS len,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents WHERE n_chars > 0),
+         g AS (SELECT source, max(n)::BIGINT AS n,
+             sum(CASE WHEN rk <= 25 THEN ln(len) ELSE 0 END) AS slog,
+             max(CASE WHEN rk = 26 THEN len END) AS thr
+           FROM r WHERE rk <= 26 GROUP BY 1)
+         SELECT source, n, 25::BIGINT AS k, thr::BIGINT AS thr,
+           CASE WHEN n > 25 AND thr IS NOT NULL
+             AND slog - 25.0 * ln(thr) > 0 THEN
+             round(25.0 / (slog - 25.0 * ln(thr)), 6) END AS alpha6
+         FROM g ORDER BY source""",
     // per-doc encode replay → within-doc adjacent pairs → entropies
     "q286_bigram_entropy" ->
       (unigramReplay + """,

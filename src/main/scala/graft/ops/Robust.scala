@@ -208,6 +208,94 @@ object Robust {
         col("ci_hi"), col("b_used")): _*)
   }
 
+  /** Trimmed and winsorized means per group — the robust location
+    * estimates for noisy reward/score aggregation (a handful of
+    * mislabeled outliers should not move the number): with
+    * `k = ⌊n·trim⌋` per side, the trimmed mean drops the k smallest
+    * and k largest values, the winsorized mean CLAMPS them to the
+    * surviving boundary values instead (computed closed-form as
+    * `trimmed_sum + k·lo + k·hi` — no second pass). One window
+    * exchange ranks each group (ties totalized by `tieCol`), one
+    * aggregation folds both sums through
+    * [[graft.api.functions.exact_sum]]. Dyadic `trim` keeps k exact.
+    * Returns (groupCols…, n, k_trim, trimmed_mean, winsorized_mean);
+    * groups where trimming would eat everything (n ≤ 2k) refuse with
+    * NULLs. */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, tieCol: Column,
+      trim: Double = 0.125): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(trim > 0 && trim < 0.5, "trim must be in (0, 0.5)")
+    val v = valueCol.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(v, tieCol)
+    val ranked = df.where(v.isNotNull)
+      .withColumn("__v", v)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)).cast("long"))
+      .withColumn("__k",
+        floor(col("__n").cast("double") * trim).cast("long"))
+    val inBand = col("__rk") > col("__k") &&
+      col("__rk") <= col("__n") - col("__k")
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("k_trim"),
+        graft.api.functions.exact_sum(when(inBand, col("__v"))
+          .otherwise(lit(0.0))).as("__ts"),
+        count(when(inBand, lit(1))).as("__tn"),
+        max(when(col("__rk") === col("__k") + 1, col("__v")))
+          .as("__lo"),
+        max(when(col("__rk") === col("__n") - col("__k"), col("__v")))
+          .as("__hi"))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("k_trim"),
+        when(col("__tn") > 0, col("__ts") / col("__tn"))
+          .as("trimmed_mean"),
+        when(col("__tn") > 0,
+          (col("__ts") + col("k_trim") * col("__lo") +
+            col("k_trim") * col("__hi")) / col("n"))
+          .as("winsorized_mean")): _*)
+  }
+
+  /** Hill tail-index estimator (Hill 1975) per group — "how heavy is
+    * this distribution's upper tail" (document lengths, token counts,
+    * domain frequencies — the scaling-law diagnostic): over the k
+    * largest values, `α̂ = k / Σ_{i≤k} ln(x_(n−i+1) / x_(n−k))` with
+    * `x_(n−k)` the (k+1)-th largest as threshold; smaller α̂ = heavier
+    * tail. One window exchange (descending rank per group), the top
+    * k+1 rows filter BEFORE aggregation so the fold is k-sized, and
+    * `Σ ln(x) − k·ln(thr)` folds through exact_sum. Non-positive
+    * values are refused work; groups with n ≤ k refuse with NULLs.
+    * Returns (groupCols…, n, k, threshold, alpha_hat). */
+  def hillTailIndex(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, tieCol: Column, k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(k >= 1, "k must be >= 1")
+    val v = valueCol.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(v.desc, tieCol)
+    val ranked = df.where(v.isNotNull && v > 0)
+      .withColumn("__v", v)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)).cast("long"))
+      .where(col("__rk") <= k + 1)
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        graft.api.functions.exact_sum(
+          when(col("__rk") <= k, log(col("__v"))).otherwise(lit(0.0)))
+          .as("__slog"),
+        max(when(col("__rk") === k + 1, col("__v"))).as("threshold"))
+      .select(groupCols.map(col) ++ Seq(col("n"), lit(k.toLong).as("k"),
+        col("threshold"),
+        when(col("n") > k && col("threshold").isNotNull &&
+          col("__slog") - lit(k.toDouble) * log(col("threshold")) > 0,
+          lit(k.toDouble) /
+            (col("__slog") - lit(k.toDouble) * log(col("threshold"))))
+          .as("alpha_hat")): _*)
+  }
+
   /** Paired-bootstrap significance test for "model A vs model B on the
     * same examples" (the eval-harness staple, Koehn 2004 for MT): per
     * group, Poisson-bootstrap the PER-EXAMPLE score difference d = A−B

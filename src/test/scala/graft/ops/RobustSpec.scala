@@ -128,4 +128,45 @@ class RobustSpec extends SparkTestBase {
       Robust.quantileBand(ok, Seq("g"), col("x"), 0.6, 0.4)
     }
   }
+
+  test("trimmedMean: drops the tails, winsorize clamps them") {
+    import spark.implicits._
+    val df = (Seq(100.0) ++ (1 to 7).map(_.toDouble))
+      .zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+      .toDF("g", "v", "id")
+    val r = Robust.trimmedMean(df, Seq("g"), col("v"), col("id"),
+      trim = 0.125).collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 8L)
+    assert(r.getLong(r.fieldIndex("k_trim")) == 1L)
+    // sorted: 1..7,100; band = ranks 2..7 = values 2..7 -> mean 4.5
+    assert(r.getDouble(r.fieldIndex("trimmed_mean")) == 4.5)
+    // winsorized: (27 + 1*2 + 1*7)/8 = 4.5 — the 100 clamps to 7
+    assert(r.getDouble(r.fieldIndex("winsorized_mean")) == 4.5)
+    // trim that floors to k=0 keeps everything
+    val tiny = Seq(("h", 1.0, 1L), ("h", 2.0, 2L))
+      .toDF("g", "v", "id")
+    val t = Robust.trimmedMean(tiny, Seq("g"), col("v"), col("id"),
+      trim = 0.4).collect()(0)
+    assert(t.getDouble(t.fieldIndex("trimmed_mean")) == 1.5)
+  }
+
+  test("hillTailIndex: exact Pareto tail recovers its exponent") {
+    import spark.implicits._
+    // x_i = (N/i)^(1/a) is an exact Pareto(a) quantile grid
+    val a = 2.0
+    val n = 400
+    val df = (1 to n).map(i => ("g",
+      math.pow(n.toDouble / i, 1.0 / a), i.toLong))
+      .toDF("g", "v", "id")
+    val r = Robust.hillTailIndex(df, Seq("g"), col("v"), col("id"),
+      k = 50).collect()(0)
+    val alpha = r.getDouble(r.fieldIndex("alpha_hat"))
+    assert(math.abs(alpha - a) < 0.3, s"alpha_hat = $alpha")
+    // constant tail -> no tail to measure
+    val const = (1 to 40).map(i => ("h", 5.0, i.toLong))
+      .toDF("g", "v", "id")
+    val c = Robust.hillTailIndex(const, Seq("g"), col("v"), col("id"),
+      k = 10).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("alpha_hat")))
+  }
 }
