@@ -1721,6 +1721,43 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q289_dpo_receipts" -> ((s, dir) => {
+      // DPO trainer telemetry at β = 1/4 over dyadic synthetic pair
+      // logprobs (margins exact → accuracy is an exact LONG census);
+      // loss through the overflow-stable softplus rounds at 6
+      val ev = t(s, dir, "events")
+        .withColumn("__cp",
+          -(((col("event_id") % 13) + 1).cast("double") / 8.0))
+        .withColumn("__rp",
+          -(((col("event_id") % 7) + 1).cast("double") / 4.0))
+        .withColumn("__cr",
+          -(((col("event_id") % 11) + 1).cast("double") / 8.0))
+        .withColumn("__rr",
+          -(((col("event_id") % 5) + 1).cast("double") / 4.0))
+      graft.ops.Reward.dpoReceipts(ev, Seq("event_type"),
+          col("__cp"), col("__rp"), col("__cr"), col("__rr"),
+          beta = 0.25)
+        .select(col("event_type"), col("n"), col("n_correct"),
+          round(col("accuracy"), 6).as("acc6"),
+          round(col("mean_margin"), 6).as("margin6"),
+          round(col("mean_loss"), 6).as("loss6"),
+          round(col("rew_chosen"), 6).as("rc6"),
+          round(col("rew_rejected"), 6).as("rr6"))
+        .orderBy("event_type")
+    }),
+
+    "q290_transition_matrix" -> ((s, dir) => {
+      // agent-trajectory profile: event_type → event_type transitions
+      // within per-user (ts, event_id) streams; counts LONG,
+      // conditional probabilities at 6
+      val ev = t(s, dir, "events")
+      graft.ops.Profile.transitionMatrix(ev, Seq("user_id"),
+          col("ts"), col("event_id"), col("event_type"))
+        .select(col("state"), col("next_state"), col("n_trans"),
+          round(col("p_cond"), 6).as("p6"))
+        .orderBy("state", "next_state")
+    }),
+
     "q287_trimmed_mean" -> ((s, dir) => {
       // robust location per event_type: 12.5%-per-side trimmed and
       // winsorized means of value — dyadic trim keeps k = ⌊n/8⌋
@@ -8619,6 +8656,38 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // margins dyadic-exact; softplus mirrored overflow-stable
+    "q289_dpo_receipts" ->
+      """WITH d AS (SELECT event_type,
+             (-(((event_id % 13) + 1) / 8.0)) AS cp,
+             (-(((event_id % 7) + 1) / 4.0)) AS rp,
+             (-(((event_id % 11) + 1) / 8.0)) AS cr,
+             (-(((event_id % 5) + 1) / 4.0)) AS rr
+           FROM events),
+         m AS (SELECT event_type, (cp - cr) - (rp - rr) AS mg,
+             cp - cr AS dc, rp - rr AS dr FROM d),
+         x AS (SELECT event_type, mg, dc, dr, 0.25 * mg AS bx FROM m)
+         SELECT event_type, count(*)::BIGINT AS n,
+           sum((mg > 0)::INT)::BIGINT AS n_correct,
+           round(sum((mg > 0)::INT)::DOUBLE / count(*), 6) AS acc6,
+           round(sum(mg) / count(*), 6) AS margin6,
+           round(sum(greatest(-bx, 0.0) + ln(1.0 + exp(-abs(bx))))
+             / count(*), 6) AS loss6,
+           round(sum(0.25 * dc) / count(*), 6) AS rc6,
+           round(sum(0.25 * dr) / count(*), 6) AS rr6
+         FROM x GROUP BY 1 ORDER BY event_type""",
+    // lead() within per-user streams; conditional p over the cell frame
+    "q290_transition_matrix" ->
+      """WITH s AS (SELECT event_type AS state,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_state
+           FROM events),
+         c AS (SELECT state, next_state, count(*)::BIGINT AS n_trans
+           FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2)
+         SELECT state, next_state, n_trans,
+           round(n_trans::DOUBLE / sum(n_trans) OVER (
+             PARTITION BY state), 6) AS p6
+         FROM c ORDER BY state, next_state""",
     // rank by (value, event_id); k = ⌊n/8⌋; winsorized closed-form
     "q287_trimmed_mean" ->
       """WITH r AS (SELECT event_type, value,

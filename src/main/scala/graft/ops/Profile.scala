@@ -226,6 +226,34 @@ object Profile {
         covN / sqrt(varX) / sqrt(varY)).as("rho"))
   }
 
+  /** First-order (Markov) transition census over per-entity ordered
+    * event streams — the agent-trajectory / clickstream profile "what
+    * follows what": within each entity's (order, tie) sequence, count
+    * every adjacent (state → next_state) pair (transitions never
+    * cross entities) and report the conditional probability
+    * `p(next | state)` next to the raw count. One window exchange for
+    * `lead`, one (state, next)-keyed count shuffle (map-side
+    * combined), and a conditional-marginal window over the
+    * states²-bounded cell frame. Returns one row per observed
+    * transition: (state, next_state, n_trans, p_cond). */
+  def transitionMatrix(df: DataFrame, entityCols: Seq[String],
+      orderCol: Column, tieCol: Column, stateCol: Column): DataFrame = {
+    require(entityCols.nonEmpty, "need at least one entity column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entityCols.map(col): _*).orderBy(orderCol, tieCol)
+    val cells = df.where(stateCol.isNotNull)
+      .withColumn("__s", stateCol)
+      .withColumn("__nx", lead(col("__s"), 1).over(w))
+      .where(col("__nx").isNotNull)
+      .groupBy(col("__s").as("state"), col("__nx").as("next_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("state")
+    cells.withColumn("p_cond",
+      col("n_trans").cast("double") /
+        sum(col("n_trans")).over(wc).cast("double"))
+  }
+
   /** Categorical-independence audit between two metadata columns — the
     * profiling question "is `lang` actually independent of `source`,
     * or did one crawl skew it": from the exact contingency counts,

@@ -364,6 +364,47 @@ object Reward {
         (col("__s3") / col("n")).as("k3")): _*)
   }
 
+  /** DPO batch telemetry (Rafailov et al. 2023, "Direct Preference
+    * Optimization"): from per-pair policy/reference logprobs of the
+    * chosen and rejected responses, the numbers a DPO trainer logs
+    * per group — implicit-reward margin
+    * `m = (logπ_c − logref_c) − (logπ_r − logref_r)`, accuracy
+    * `P(m > 0)` (the implicit reward ranks the pair correctly), mean
+    * implicit rewards `β·(logπ − logref)` per side, and the loss
+    * `−ln σ(β·m)` folded through the overflow-stable softplus
+    * `max(x, 0) + log1p(e^{−|x|})`. One exact_sum aggregation; NULL
+    * logprobs on any side are refused work. Returns (groupCols…, n,
+    * n_correct, accuracy, mean_margin, mean_loss, rew_chosen,
+    * rew_rejected). */
+  def dpoReceipts(df: DataFrame, groupCols: Seq[String],
+      chosenPolicyLogp: Column, rejectedPolicyLogp: Column,
+      chosenRefLogp: Column, rejectedRefLogp: Column,
+      beta: Double = 0.1): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(beta > 0, "beta must be > 0")
+    val cp = chosenPolicyLogp.cast("double")
+    val rp = rejectedPolicyLogp.cast("double")
+    val cr = chosenRefLogp.cast("double")
+    val rr = rejectedRefLogp.cast("double")
+    val margin = (cp - cr) - (rp - rr)
+    val x = lit(beta) * margin
+    // −ln σ(x) = softplus(−x), computed overflow-stable
+    val loss = greatest(-x, lit(0.0)) + log1p(exp(-abs(x)))
+    df.where(cp.isNotNull && rp.isNotNull && cr.isNotNull &&
+        rr.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum((margin > 0).cast("long")).as("n_correct"),
+        (gf.exact_sum(margin) / count(lit(1))).as("mean_margin"),
+        (gf.exact_sum(loss) / count(lit(1))).as("mean_loss"),
+        (gf.exact_sum(lit(beta) * (cp - cr)) / count(lit(1)))
+          .as("rew_chosen"),
+        (gf.exact_sum(lit(beta) * (rp - rr)) / count(lit(1)))
+          .as("rew_rejected"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n"))
+  }
+
   /** Speculative-decoding acceptance telemetry (Leviathan et al. 2023,
     * "Fast Inference from Transformers via Speculative Decoding"): from
     * logged per-token draft/target logprobs, the per-group mean

@@ -198,6 +198,21 @@ class ProfileSpec extends SparkTestBase {
       .head().getLong(0) == 2L)
   }
 
+  test("transitionMatrix: within-entity counts, conditional rows sum 1") {
+    import spark.implicits._
+    // user 1: a b a b ; user 2: a b — transitions never cross users
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (1L, 4L, "b"), (2L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("u", "t", "s")
+    val got = Profile.transitionMatrix(df, Seq("u"), col("t"),
+        col("t"), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", "b")) == (3L, 1.0))
+    assert(got(("b", "a")) == (1L, 1.0))
+    assert(got.size == 2) // no (b, a) across the user boundary beyond u1
+  }
+
   test("independence: exact zero under independence, max under identity") {
     import spark.implicits._
     // balanced 2x2 independent: every cell 5 -> chi2 = 0, mi = 0

@@ -301,6 +301,25 @@ class RewardSpec extends SparkTestBase {
     assert(r.getDouble(r.fieldIndex("k3")) == 0.0)
   }
 
+  test("dpoReceipts: margins, accuracy census, stable softplus loss") {
+    import spark.implicits._
+    // pair 1: margin = (−1 − −2) − (−3 − −5) = 1 − 2 = −1 (wrong)
+    // pair 2: margin = (−1 − −4) − (−2 − −2) = 3 (right)
+    val df = Seq(("g", -1.0, -3.0, -2.0, -5.0),
+      ("g", -1.0, -2.0, -4.0, -2.0))
+      .toDF("grp", "cp", "rp", "cr", "rr")
+    val r = Reward.dpoReceipts(df, Seq("grp"), col("cp"), col("rp"),
+      col("cr"), col("rr"), beta = 1.0).collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_correct")) == 1L)
+    assert(r.getDouble(r.fieldIndex("accuracy")) == 0.5)
+    assert(r.getDouble(r.fieldIndex("mean_margin")) == 1.0)
+    val loss = (math.log1p(math.exp(-1.0)) + 1.0 +
+      math.log1p(math.exp(-3.0))) / 2
+    assert(math.abs(r.getDouble(r.fieldIndex("mean_loss")) - loss)
+      < 1e-15)
+  }
+
   test("specDecodeAcceptance: accept rule, block expectation, α=1 edge") {
     import spark.implicits._
     // ratios e^(lt-ld): ln2 -> 2 (clamps to 1), -ln2 -> 0.5
