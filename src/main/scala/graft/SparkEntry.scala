@@ -1721,6 +1721,42 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q291_chinchilla" -> ((s, dir) => {
+      // "is this corpus enough": Chinchilla 20-tokens-per-param plan
+      // for a model grid under a 4-epoch ceiling — one corpus total,
+      // all-LONG arithmetic, epochs at 6
+      val docs = t(s, dir, "documents")
+        .select(gf.token_count(col("text")).cast("long").as("toks"))
+      graft.ops.Planner.chinchillaPlan(docs, col("toks"),
+          Seq(1000L, 10000L, 1000000L, 1000000000L))
+        .select(col("model_params"), col("d_opt"),
+          col("corpus_tokens"),
+          round(col("epochs_needed"), 6).as("epochs6"),
+          col("feasible"), col("max_feasible_params"))
+        .orderBy("model_params")
+    }),
+
+    "q292_ppo_clip" -> ((s, dir) => {
+      // PPO batch telemetry at ε = 0.2: dyadic Δ makes the clip census
+      // exact (thresholds are the JVM's log1p literals, mirrored
+      // digit-for-digit in the oracle); ratio/surrogate/approx-KL
+      // round at 6; advantages = floor(value) − 100 (signed)
+      val ev = t(s, dir, "events")
+        .withColumn("__ln",
+          -(((col("event_id") % 13) + 1).cast("double") / 8.0))
+        .withColumn("__lo",
+          -(((col("event_id") % 7) + 1).cast("double") / 4.0))
+        .withColumn("__a", floor(col("value")) - 100.0)
+      graft.ops.Reward.ppoClipStats(ev, Seq("event_type"),
+          col("__ln"), col("__lo"), col("__a"), eps = 0.2)
+        .select(col("event_type"), col("n"), col("n_clipped"),
+          round(col("clip_frac"), 6).as("cf6"),
+          round(col("mean_ratio"), 6).as("ratio6"),
+          round(col("mean_surrogate"), 6).as("surr6"),
+          round(col("approx_kl"), 6).as("kl6"))
+        .orderBy("event_type")
+    }),
+
     "q289_dpo_receipts" -> ((s, dir) => {
       // DPO trainer telemetry at β = 1/4 over dyadic synthetic pair
       // logprobs (margins exact → accuracy is an exact LONG census);
@@ -8656,6 +8692,37 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // one corpus total × a literal model grid; pure LONG arithmetic
+    "q291_chinchilla" ->
+      """WITH tot AS (SELECT sum(len(string_split(text, ' ')))::BIGINT
+             AS ct FROM documents)
+         SELECT m AS model_params, (m * 20)::BIGINT AS d_opt,
+           (SELECT ct FROM tot) AS corpus_tokens,
+           round((m * 20)::DOUBLE / (SELECT ct FROM tot)::DOUBLE, 6)
+             AS epochs6,
+           (m * 20) <= (SELECT ct FROM tot) * 4 AS feasible,
+           ((SELECT ct FROM tot) * 4 // 20)::BIGINT
+             AS max_feasible_params
+         FROM unnest([1000, 10000, 1000000, 1000000000]::BIGINT[]) t(m)
+         ORDER BY m""",
+    // Δ dyadic; clip thresholds are the EXACT JVM log1p literals
+    "q292_ppo_clip" ->
+      (s"""WITH d AS (SELECT event_type,
+             (-(((event_id % 13) + 1) / 8.0))
+               - (-(((event_id % 7) + 1) / 4.0)) AS dl,
+             floor(value) - 100.0 AS a FROM events),
+         x AS (SELECT event_type, dl, a, exp(dl) AS r,
+             (dl > ${math.log1p(0.2)}
+               OR dl < ${math.log1p(-0.2)})::INT AS clp FROM d)
+         SELECT event_type, count(*)::BIGINT AS n,
+           sum(clp)::BIGINT AS n_clipped,
+           round(sum(clp)::DOUBLE / count(*), 6) AS cf6,
+           round(sum(r) / count(*), 6) AS ratio6,
+           round(sum(least(r * a,
+             greatest(least(r, ${1.0 + 0.2}), ${1.0 - 0.2}) * a))
+             / count(*), 6) AS surr6,
+           round(sum((r - 1) - dl) / count(*), 6) AS kl6
+         FROM x GROUP BY 1 ORDER BY event_type"""),
     // margins dyadic-exact; softplus mirrored overflow-stable
     "q289_dpo_receipts" ->
       """WITH d AS (SELECT event_type,

@@ -94,6 +94,43 @@ object Planner {
   /** One-row estimate of the self-join size F2 = Σ_k f(k)² plus the
     * derived skew ratio F2/N (mean join fan-out per row; 1.0 = unique
     * key, ≫ 1 = heavy skew): (est_f2, total, skew_ratio). */
+  /** Data-sufficiency plan against the Chinchilla rule (Hoffmann et
+    * al. 2022: compute-optimal training wants ≈ `tokensPerParam` (20)
+    * tokens per parameter): for each candidate model size, how many
+    * tokens the optimal run needs, how many epochs of THIS corpus that
+    * is, whether it fits under `maxEpochs` (the data-constrained
+    * ceiling of Muennighoff et al. 2023), and the largest
+    * compute-optimal model the corpus can feed. The corpus reduces to
+    * ONE total in one aggregation; the per-model frame is a literal
+    * explode. All-LONG token arithmetic; epochs round at 6. Returns
+    * one row per model size: (model_params, d_opt, corpus_tokens,
+    * epochs_needed, feasible, max_feasible_params). */
+  def chinchillaPlan(df: DataFrame, tokenCol: Column,
+      modelSizes: Seq[Long], tokensPerParam: Long = 20L,
+      maxEpochs: Int = 4): DataFrame = {
+    require(modelSizes.nonEmpty && modelSizes.forall(_ >= 1),
+      "model sizes must be positive")
+    require(tokensPerParam >= 1 && maxEpochs >= 1,
+      "tokensPerParam and maxEpochs must be >= 1")
+    val tot = df.agg(coalesce(sum(tokenCol.cast("long")), lit(0L))
+      .as("corpus_tokens"))
+    tot.select(col("corpus_tokens"),
+        explode(typedLit(modelSizes.sorted)).as("model_params"))
+      .withColumn("d_opt", col("model_params") * tokensPerParam)
+      .withColumn("epochs_needed",
+        when(col("corpus_tokens") > 0,
+          col("d_opt").cast("double") /
+            col("corpus_tokens").cast("double")))
+      .withColumn("feasible",
+        col("d_opt") <= col("corpus_tokens") * maxEpochs)
+      .withColumn("max_feasible_params",
+        call_function("div", col("corpus_tokens") * maxEpochs,
+          lit(tokensPerParam)))
+      .select(col("model_params"), col("d_opt"), col("corpus_tokens"),
+        col("epochs_needed"), col("feasible"),
+        col("max_feasible_params"))
+  }
+
   def selfJoinSizeEstimate(df: DataFrame, key: Column,
       depth: Int = 4, width: Int = 4096): DataFrame =
     df.agg(gf.cms_agg(key, depth, width).as("__c"))

@@ -364,6 +364,41 @@ object Reward {
         (col("__s3") / col("n")).as("k3")): _*)
   }
 
+  /** PPO clipping telemetry (Schulman et al. 2017): from per-sample
+    * new/old policy logprobs and advantages, the per-group numbers a
+    * PPO trainer watches — the probability ratio `r = e^{Δ}`
+    * (Δ = logπ_new − logπ_old), the clip census
+    * `clip_frac = P(|r − 1| > ε)` (how often the trust region binds —
+    * computed on Δ against `ln(1±ε)` so the census is exact under
+    * exact Δ), the clipped-surrogate mean
+    * `mean(min(r·A, clip(r, 1−ε, 1+ε)·A))`, and `approx_kl =
+    * mean((r − 1) − Δ)` (the k3 estimator, non-negative). One
+    * exact_sum aggregation; NULLs are refused work. Returns
+    * (groupCols…, n, n_clipped, clip_frac, mean_ratio, mean_surrogate,
+    * approx_kl). */
+  def ppoClipStats(df: DataFrame, groupCols: Seq[String],
+      newLogpCol: Column, oldLogpCol: Column, advantageCol: Column,
+      eps: Double = 0.2): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    val delta = newLogpCol.cast("double") - oldLogpCol.cast("double")
+    val a = advantageCol.cast("double")
+    val r = exp(delta)
+    val clipped = delta > math.log1p(eps) || delta < math.log1p(-eps)
+    val surr = least(r * a,
+      greatest(least(r, lit(1.0 + eps)), lit(1.0 - eps)) * a)
+    df.where(delta.isNotNull && a.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(clipped.cast("long")).as("n_clipped"),
+        (gf.exact_sum(r) / count(lit(1))).as("mean_ratio"),
+        (gf.exact_sum(surr) / count(lit(1))).as("mean_surrogate"),
+        (gf.exact_sum((r - 1) - delta) / count(lit(1)))
+          .as("approx_kl"))
+      .withColumn("clip_frac",
+        col("n_clipped").cast("double") / col("n"))
+  }
+
   /** DPO batch telemetry (Rafailov et al. 2023, "Direct Preference
     * Optimization"): from per-pair policy/reference logprobs of the
     * chosen and rejected responses, the numbers a DPO trainer logs

@@ -105,4 +105,21 @@ class PlannerSpec extends SparkTestBase {
       .collect()(0)
     assert(r.getLong(0) == 10L)
   }
+
+  test("chinchillaPlan: 20 tokens/param plan under the epoch ceiling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus of 1000 tokens, ceiling 4 epochs -> 4000 token capacity
+    val df = Seq(400L, 600L).toDF("toks")
+    val got = Planner.chinchillaPlan(df, col("toks"),
+        Seq(100L, 200L, 500L), maxEpochs = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val m100 = got(100L) // needs 2000 <= 4000: feasible, 2 epochs
+    assert(m100.getLong(m100.fieldIndex("d_opt")) == 2000L)
+    assert(m100.getDouble(m100.fieldIndex("epochs_needed")) == 2.0)
+    assert(m100.getBoolean(m100.fieldIndex("feasible")))
+    val m500 = got(500L) // needs 10000 > 4000: not feasible
+    assert(!m500.getBoolean(m500.fieldIndex("feasible")))
+    assert(m500.getLong(m500.fieldIndex("max_feasible_params")) == 200L)
+  }
 }

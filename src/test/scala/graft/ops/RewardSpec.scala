@@ -301,6 +301,29 @@ class RewardSpec extends SparkTestBase {
     assert(r.getDouble(r.fieldIndex("k3")) == 0.0)
   }
 
+  test("ppoClipStats: census against log-space thresholds, surrogate") {
+    import spark.implicits._
+    // Δ = (ln 2, 0, −ln 2) with A = (1, 1, −1):
+    // r = (2, 1, 0.5); clipped = (yes, no, yes)
+    val l2 = math.log(2.0)
+    val df = Seq(("g", l2, 0.0, 1.0), ("g", 0.0, 0.0, 1.0),
+      ("g", -l2, 0.0, -1.0)).toDF("grp", "ln", "lo", "a")
+    val r = Reward.ppoClipStats(df, Seq("grp"), col("ln"), col("lo"),
+      col("a"), eps = 0.2).collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_clipped")) == 2L)
+    assert(math.abs(r.getDouble(r.fieldIndex("mean_ratio")) -
+      3.5 / 3) < 1e-15)
+    // surrogates: min(2·1, 1.2·1) = 1.2; min(1·1, 1·1) = 1;
+    // min(0.5·(−1), 0.8·(−1)) = −0.8 (the pessimistic branch, the
+    // PPO lower bound). Mean = (1.2 + 1 − 0.8)/3
+    assert(math.abs(r.getDouble(r.fieldIndex("mean_surrogate")) -
+      (1.2 + 1.0 - 0.8) / 3) < 1e-12)
+    // approx_kl = mean((r−1)−Δ) = (1−l2 + 0 + (−0.5+l2))/3
+    assert(math.abs(r.getDouble(r.fieldIndex("approx_kl")) -
+      (1.0 - l2 + 0.0 + (-0.5 + l2)) / 3) < 1e-15)
+  }
+
   test("dpoReceipts: margins, accuracy census, stable softplus loss") {
     import spark.implicits._
     // pair 1: margin = (−1 − −2) − (−3 − −5) = 1 − 2 = −1 (wrong)
