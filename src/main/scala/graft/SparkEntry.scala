@@ -1721,6 +1721,36 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q293_rep4gram" -> ((s, dir) => {
+      // text-degeneration census per source: within-doc repeated
+      // 4-gram rate (Holtzman 2020's repetition metric) — per-doc
+      // rates are exact integer ratios, so the rate>0 census is exact;
+      // the mean rounds at 6
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          graft.ops.Text.repeatedNgramRate(col("text"), 4).as("rate"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(gf.exact_sum(col("rate")) / count(lit(1)), 6)
+            .as("mrate6"),
+          sum((col("rate") > 0).cast("long")).as("n_withrep"))
+        .orderBy("source")
+    }),
+
+    "q294_watermark" -> ((s, dir) => {
+      // Kirchenbauer watermark detection over unmarked text: green =
+      // hash64(prev:cur) even (γ = 1/2), per-doc z-scores, flag
+      // census in INTEGER space (2g−m > 0 ∧ (2g−m)² > 4m) — natural
+      // text should flag ~2.3% of docs (one-sided z > 2)
+      val docs = t(s, dir, "documents")
+      graft.ops.Text.watermarkStats(docs, Seq("source"), col("text"),
+          z0 = 2)
+        .select(col("source"), col("n_docs"), col("n_bigrams"),
+          col("n_green"), round(col("mean_z"), 6).as("z6"),
+          col("n_flagged"))
+        .orderBy("source")
+    }),
+
     "q291_chinchilla" -> ((s, dir) => {
       // "is this corpus enough": Chinchilla 20-tokens-per-param plan
       // for a model grid under a 4-epoch ceiling — one corpus total,
@@ -8692,6 +8722,40 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // per-doc 4-gram distinct/total ratio; census on exact rationals
+    "q293_rep4gram" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS tk
+           FROM documents),
+         r AS (SELECT source,
+             CASE WHEN len(tk) - 3 <= 0 THEN 0.0
+               ELSE 1.0 - len(list_distinct(list_transform(
+                 range(1, len(tk) - 3 + 1),
+                 i -> array_to_string(tk[i:i+3], ' '))))::DOUBLE
+                 / (len(tk) - 3) END AS rate
+           FROM d)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           round(sum(rate) / count(*), 6) AS mrate6,
+           sum((rate > 0)::INT)::BIGINT AS n_withrep
+         FROM r GROUP BY 1 ORDER BY source""",
+    // green = g_thash(prev:cur) even; bigrams unnest to ROWS because
+    // g_thash's own lambdas cannot capture an outer lambda variable
+    "q294_watermark" ->
+      (hashMacros +
+        """WITH d AS (SELECT source, doc_id,
+             string_split(text, ' ') AS tk FROM documents),
+         bg AS (SELECT source, doc_id,
+             (g_thash(tk[i-1] || ':' || tk[i]) % 2 = 0)::INT AS grn
+           FROM d, unnest(range(2, len(tk) + 1)) t(i)
+           WHERE len(tk) >= 2),
+         c AS (SELECT source, doc_id, count(*)::BIGINT AS m,
+             sum(grn)::BIGINT AS g FROM bg GROUP BY 1, 2)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(m)::BIGINT AS n_bigrams, sum(g)::BIGINT AS n_green,
+           round(sum((2*g - m)::DOUBLE
+             / (2.0 * sqrt(m::DOUBLE / 4.0))) / count(*), 6) AS z6,
+           sum((2*g - m > 0 AND (2*g - m)*(2*g - m) > 4*m)::INT)
+             ::BIGINT AS n_flagged
+         FROM c GROUP BY 1 ORDER BY source"""),
     // one corpus total × a literal model grid; pure LONG arithmetic
     "q291_chinchilla" ->
       """WITH tot AS (SELECT sum(len(string_split(text, ' ')))::BIGINT

@@ -529,4 +529,65 @@ object Text {
       when(varX > 0 && varY > 0, covN * covN / (varX * varY))
         .otherwise(lit(Double.NaN)).as("r2"))
   }
+
+  /** Within-document repeated-n-gram rate — the text-degeneration
+    * metric of Holtzman et al. 2020 ("The Curious Case of Neural Text
+    * Degeneration"): `1 − distinct_ngrams / total_ngrams` over the
+    * document's word n-grams (0 for fewer than n tokens: nothing can
+    * repeat). Model-generated loops score near 1; natural prose sits
+    * near 0. Pure scan-side array expressions (tokens → n-gram
+    * strings → array_distinct) — no explode, no shuffle; aggregate
+    * per group outside. */
+  def repeatedNgramRate(text: Column, n: Int): Column = {
+    require(n >= 1 && n <= 16, "n must be in [1, 16]")
+    val toks = split(text, " ")
+    val total = size(toks) - (n - 1)
+    val grams = transform(sequence(lit(1), greatest(total, lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    when(total <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double")
+        / total.cast("double"))
+  }
+
+  /** Unigram-context watermark detection (Kirchenbauer et al. 2023,
+    * "A Watermark for Large Language Models"): under the watermark, a
+    * generator restricted half its vocabulary per step using a hash of
+    * the PREVIOUS token, so watermarked text shows an excess of
+    * "green" bigrams — `green(prev, cur) = hash64(prev:cur) even`
+    * (γ = 1/2). Per group over per-document censuses:
+    * `z = (g − m/2) / √(m/4)` with m = bigram count; the flag census
+    * `z > z₀` is computed in INTEGER space
+    * (`2g − m > 0 ∧ (2g − m)² > z₀²·m`), so it is exact on any
+    * engine. Returns (groupCols…, n_docs, n_bigrams, n_green,
+    * mean_z, n_flagged). Documents with < 2 tokens carry no census
+    * (dropped). The hash rule is the engine's splitmix64 — any engine
+    * replays it from the tokens alone. */
+  def watermarkStats(df: DataFrame, groupCols: Seq[String],
+      textCol: Column, z0: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(z0 >= 1 && z0 <= 8, "z0 must be in [1, 8]")
+    val toks = split(textCol, " ")
+    val m = (size(toks) - 1).cast("long")
+    val greens = aggregate(
+      sequence(lit(2), greatest(size(toks), lit(2))),
+      lit(0L),
+      (acc, i) => acc + when(
+        pmod(gf.hash64(concat(
+          element_at(toks, (i - 1).cast("int")), lit(":"),
+          element_at(toks, i.cast("int")))), lit(2)) === 0, 1L)
+        .otherwise(0L))
+    val base = df.where(size(toks) >= 2)
+      .select(groupCols.map(col) :+ m.as("__m") :+ greens.as("__g"): _*)
+    val excess = lit(2) * col("__g") - col("__m") // 2g − m
+    val z = excess.cast("double") /
+      (lit(2.0) * sqrt(col("__m").cast("double") / 4.0))
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__m")).as("n_bigrams"),
+        sum(col("__g")).as("n_green"),
+        (gf.exact_sum(z) / count(lit(1))).as("mean_z"),
+        sum((excess > 0 && excess * excess >
+          lit(z0.toLong * z0) * col("__m")).cast("long"))
+          .as("n_flagged"))
+  }
 }

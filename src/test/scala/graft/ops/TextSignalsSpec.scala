@@ -202,4 +202,39 @@ class TextSignalsSpec extends SparkTestBase {
     assert(plan.linesIterator.exists(l =>
       l.contains("char_entropy") && l.contains("*(")), plan)
   }
+
+  test("repeatedNgramRate: loops score high, unique text scores 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c a b c a b",      // 2-grams: 7 total, 3 distinct
+        "loop"),
+      ("a b c d e", "clean"),  // all distinct
+      ("a", "short"))          // < n tokens: nothing can repeat
+      .toDF("text", "tag")
+    val got = df.select(col("tag"),
+        Text.repeatedNgramRate(col("text"), 2).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("loop") - (1.0 - 3.0 / 7.0)) < 1e-15)
+    assert(got("clean") == 0.0)
+    assert(got("short") == 0.0)
+  }
+
+  test("watermarkStats: census matches the hash rule exactly") {
+    import spark.implicits._
+    val df = Seq(("g", "w1 w2 w3 w4"), ("g", "x1 x2"), ("g", "solo"))
+      .toDF("grp", "text")
+    val r = Text.watermarkStats(df, Seq("grp"), col("text"))
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("n_docs")) == 2L) // solo drops
+    assert(r.getLong(r.fieldIndex("n_bigrams")) == 4L)
+    // recompute greens independently with the engine's own hash
+    val greens = df.where(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(split(text, ' '))), " +
+          "i -> concat(element_at(split(text, ' '), i - 1), ':', " +
+          "element_at(split(text, ' '), i)))")).as("bg"))
+      .select(graft.api.functions.hash64(col("bg")).as("h"))
+      .collect().count(x => ((x.getLong(0) % 2) + 2) % 2 == 0)
+    assert(r.getLong(r.fieldIndex("n_green")) == greens.toLong)
+  }
 }
