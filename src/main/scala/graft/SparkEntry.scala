@@ -1721,6 +1721,55 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q295_bt_store" -> ((s, dir) => {
+      // the ratings-ledger lifecycle: q263's duel feed splits by the
+      // left doc's parity, each half folds into the persisted
+      // pair-count store in its own update, and the fit FROM THE
+      // STORE must equal the one-shot fit — counts are a monoid, so
+      // this gate shares q263's oracle verbatim
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val b = d.select(col("doc_id").as("__did2"),
+        col("source").as("__src2"), col("n_chars").as("__nc2"))
+      val pr = d.join(b, col("__did2") === col("doc_id") + 1)
+        .where(col("source") =!= col("__src2"))
+      val aWins = col("n_chars") > col("__nc2")
+      val bWins = col("__nc2") > col("n_chars")
+      val duels = pr.select(col("doc_id"),
+        when(aWins, col("source")).when(bWins, col("__src2"))
+          .otherwise(least(col("source"), col("__src2"))).as("winner"),
+        when(aWins, col("__src2")).when(bWins, col("source"))
+          .otherwise(greatest(col("source"), col("__src2"))).as("loser"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_q295").toString + "/pairs"
+      graft.ops.Preference.updatePairStore(s,
+        duels.where(col("doc_id") % 2 === 0), col("winner"),
+        col("loser"), store)
+      graft.ops.Preference.updatePairStore(s,
+        duels.where(col("doc_id") % 2 === 1), col("winner"),
+        col("loser"), store)
+      graft.ops.Preference.bradleyTerryFromCounts(
+          s.read.parquet(store), iters = 3)
+        .select(col("item"), col("wins"), col("n_comp"),
+          round(col("score"), 6).as("score6"))
+        .orderBy("item")
+    }),
+
+    "q296_group_dro" -> ((s, dir) => {
+      // robust-mixture reweighting: per-source mean loss
+      // (n_chars % 97)/97 → max-shifted softmax at η = 2; counts
+      // LONG, loss/weight at 6
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          ((col("n_chars") % 97).cast("double") / 97.0).as("loss"))
+      graft.ops.Reward.groupDroWeights(docs, Seq("source"),
+          col("loss"), eta = 2.0)
+        .select(col("source"), col("n"),
+          round(col("mean_loss"), 6).as("loss6"),
+          round(col("weight"), 6).as("w6"))
+        .orderBy("source")
+    }),
+
     "q293_rep4gram" -> ((s, dir) => {
       // text-degeneration census per source: within-doc repeated
       // 4-gram rate (Holtzman 2020's repetition metric) — per-doc
@@ -8722,6 +8771,20 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // the incremental ledger equals the one-shot fit: share q263's
+    // oracle (score col renamed)
+    "q295_bt_store" -> bradleyTerryOracle(3),
+    // per-source mean loss → max-shifted softmax at η = 2
+    "q296_group_dro" ->
+      """WITH l AS (SELECT source, (n_chars % 97) / 97.0 AS loss
+           FROM documents),
+         g AS (SELECT source, count(*)::BIGINT AS n,
+             sum(loss) / count(*) AS ml FROM l GROUP BY 1),
+         e AS (SELECT source, n, ml,
+             exp(2.0 * (ml - (SELECT max(ml) FROM g))) AS ew FROM g)
+         SELECT source, n, round(ml, 6) AS loss6,
+           round(ew / (SELECT sum(ew) FROM e), 6) AS w6
+         FROM e ORDER BY source""",
     // per-doc 4-gram distinct/total ratio; census on exact rationals
     "q293_rep4gram" ->
       """WITH d AS (SELECT source, string_split(text, ' ') AS tk

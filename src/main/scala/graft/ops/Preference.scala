@@ -50,10 +50,19 @@ object Preference {
     * sorted-(i, j) order, so the result is bit-stable under any input
     * partitioning or arrival order. */
   def bradleyTerry(df: DataFrame, winnerCol: Column, loserCol: Column,
-      iters: Int = 10, maxItems: Int = 4096): DataFrame = {
+      iters: Int = 10, maxItems: Int = 4096): DataFrame =
+    bradleyTerryFromCounts(pairCounts(df, winnerCol, loserCol),
+      iters, maxItems)
+
+  /** [[bradleyTerry]] from an ALREADY-AGGREGATED canonical pair-count
+    * table ([[pairCounts]]' layout: a, b, n_a_wins, n_b_wins) — the fit
+    * entry point for a persisted [[updatePairStore]] ledger, where the
+    * corpus-sized judgment feed was folded away incrementally. */
+  def bradleyTerryFromCounts(counts: DataFrame, iters: Int = 10,
+      maxItems: Int = 4096): DataFrame = {
     require(iters >= 1 && iters <= 1000, "iters must be in [1, 1000]")
-    val spark = df.sparkSession
-    val pc = pairCounts(df, winnerCol, loserCol)
+    val spark = counts.sparkSession
+    val pc = counts
       .where(col("a") =!= col("b"))
       .orderBy("a", "b")
       .collect()
@@ -105,7 +114,7 @@ object Preference {
       it += 1
     }
 
-    val itemType = df.select(winnerCol).schema.fields(0).dataType
+    val itemType = counts.select(col("a")).schema.fields(0).dataType
     val schema = StructType(Seq(
       StructField("item", itemType, nullable = false),
       StructField("wins", LongType, nullable = false),
@@ -115,5 +124,42 @@ object Preference {
       Row(items(i), wins(i), comps(i), pi(i)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** The stored pair-count ledger, if it exists. */
+  def loadPairStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None else Some(spark.read.parquet(path))
+  }
+
+  /** Fold one batch of judgments into a persisted pair-count ledger —
+    * the ratings-update lifecycle: comparison counts are a monoid, so
+    * the store after any number of shard updates is row-identical to
+    * [[pairCounts]] over the concatenated feed, and
+    * [[bradleyTerryFromCounts]] on the store equals the one-shot fit
+    * exactly. The merged table (items²-bounded, `maxRows`-guarded)
+    * materializes DRIVER-SIDE before the overwrite — the same
+    * never-read-what-you-truncate contract as
+    * [[SketchStore.updateCms]]. Single writer per store path. */
+  def updatePairStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, winnerCol: Column, loserCol: Column,
+      path: String, maxRows: Int = 1000000): Unit = {
+    val part = pairCounts(batch, winnerCol, loserCol)
+    val merged = loadPairStore(spark, path) match {
+      case None => part
+      case Some(old) => old.unionByName(part)
+        .groupBy("a", "b")
+        .agg(sum(col("n_a_wins")).as("n_a_wins"),
+          sum(col("n_b_wins")).as("n_b_wins"))
+    }
+    val rows = merged.collect()
+    require(rows.length <= maxRows,
+      s"${rows.length} pair rows exceeds maxRows=$maxRows — the " +
+        "ledger is meant for a bounded item universe")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
+      .write.mode("overwrite").parquet(path)
   }
 }

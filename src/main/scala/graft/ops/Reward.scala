@@ -364,6 +364,32 @@ object Reward {
         (col("__s3") / col("n")).as("k3")): _*)
   }
 
+  /** Group-DRO mixture weights (Sagawa et al. 2020, "Distributionally
+    * Robust Neural Networks"): upweight the WORST groups —
+    * `w_g ∝ exp(η · mean_loss_g)`, normalized over the groups — the
+    * reweighting signal a robust-mixture trainer feeds back into its
+    * sampler. Computed overflow-stable (max-shifted softmax). One
+    * exact_sum aggregation to group means; the softmax runs over the
+    * group-count-bounded frame via windows. NULL losses are refused
+    * work. Returns (groupCols…, n, mean_loss, weight). */
+  def groupDroWeights(df: DataFrame, groupCols: Seq[String],
+      lossCol: Column, eta: Double = 1.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(eta > 0, "eta must be > 0")
+    val l = lossCol.cast("double")
+    val g = df.where(l.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (gf.exact_sum(l) / count(lit(1))).as("mean_loss"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    g.withColumn("__ew",
+        exp(lit(eta) * (col("mean_loss") -
+          max(col("mean_loss")).over(wAll))))
+      .withColumn("weight", col("__ew") / sum(col("__ew")).over(wAll))
+      .drop("__ew")
+  }
+
   /** PPO clipping telemetry (Schulman et al. 2017): from per-sample
     * new/old policy logprobs and advantages, the per-group numbers a
     * PPO trainer watches — the probability ratio `r = e^{Δ}`

@@ -58,6 +58,21 @@ class PreferenceSpec extends SparkTestBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-12)
   }
 
+  test("updatePairStore: incremental ledger equals the one-shot fit") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("pref_store").toString + "/pairs"
+    val half1 = Seq(("A", "B"), ("B", "C")).toDF("w", "l")
+    val half2 = Seq(("A", "B"), ("A", "C")).toDF("w", "l")
+    Preference.updatePairStore(spark, half1, col("w"), col("l"), path)
+    Preference.updatePairStore(spark, half2, col("w"), col("l"), path)
+    val fromStore = Preference.bradleyTerryFromCounts(
+      spark.read.parquet(path), iters = 2).collect().map(_.toSeq)
+    val oneShot = Preference.bradleyTerry(half1.union(half2),
+      col("w"), col("l"), iters = 2).collect().map(_.toSeq)
+    assert(fromStore.toSeq == oneShot.toSeq)
+  }
+
   test("bradleyTerry refuses an unbounded item universe") {
     import spark.implicits._
     val big = (0 until 50).map(i => (s"m$i", s"m${i + 1}"))

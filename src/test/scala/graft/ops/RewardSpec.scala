@@ -301,6 +301,20 @@ class RewardSpec extends SparkTestBase {
     assert(r.getDouble(r.fieldIndex("k3")) == 0.0)
   }
 
+  test("groupDroWeights: worst group dominates, weights sum to 1") {
+    import spark.implicits._
+    // mean losses: g1 = 1.0, g2 = 0.0; eta = ln 4 -> ratio 4:1
+    val df = Seq(("g1", 1.0), ("g1", 1.0), ("g2", 0.0))
+      .toDF("g", "loss")
+    val got = Reward.groupDroWeights(df, Seq("g"), col("loss"),
+        eta = math.log(4.0))
+      .collect().map(r => r.getString(0) ->
+        r.getDouble(r.fieldIndex("weight"))).toMap
+    assert(math.abs(got("g1") - 0.8) < 1e-12)
+    assert(math.abs(got("g2") - 0.2) < 1e-12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-15)
+  }
+
   test("ppoClipStats: census against log-space thresholds, surrogate") {
     import spark.implicits._
     // Δ = (ln 2, 0, −ln 2) with A = (1, 1, −1):
