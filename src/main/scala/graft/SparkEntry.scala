@@ -1721,6 +1721,43 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q297_ranking_metrics" -> ((s, dir) => {
+      // the IR report card per 8-doc query group: graded relevance
+      // rel = 3 − (n_chars % 4), ranking by ((doc_id·37)%1000 DESC,
+      // doc_id) — NDCG@5/MRR/recall@5/precision@5; counts LONG,
+      // metrics at 6
+      val docs = t(s, dir, "documents")
+        .select(call_function("div", col("doc_id"), lit(8L)).as("grp"),
+          col("doc_id"),
+          ((col("doc_id") * 37) % 1000).cast("double").as("score"),
+          (lit(3) - col("n_chars") % 4).as("rel"))
+      graft.ops.Eval.rankingMetrics(docs, Seq("grp"), col("score"),
+          col("rel"), col("doc_id"), k = 5)
+        .select(col("grp"), col("n"), col("n_rel"),
+          round(col("ndcg"), 6).as("ndcg6"),
+          round(col("mrr"), 6).as("mrr6"),
+          round(col("recall_k"), 6).as("rec6"),
+          round(col("precision_k"), 6).as("prec6"))
+        .orderBy("grp")
+    }),
+
+    "q298_rrf_fuse" -> ((s, dir) => {
+      // hybrid-search fusion per query group: lexical-ish ranker A
+      // ((doc_id·37)%1000) and length ranker B (n_chars) fuse at
+      // c = 60; integer ranks make the fused doubles engine-exact, so
+      // top-3 selection needs no rounding grain
+      val docs = t(s, dir, "documents")
+        .select(call_function("div", col("doc_id"), lit(8L)).as("grp"),
+          col("doc_id"),
+          ((col("doc_id") * 37) % 1000).cast("double").as("sa"),
+          col("n_chars").cast("double").as("sb"))
+      graft.ops.Eval.rrfFuse(docs, Seq("grp"), col("sa"), col("sb"),
+          col("doc_id"), k = 3)
+        .select(col("grp"), col("fused_rank"), col("doc_id"),
+          col("rank_a"), col("rank_b"), round(col("rrf"), 6).as("rrf6"))
+        .orderBy("grp", "fused_rank")
+    }),
+
     "q295_bt_store" -> ((s, dir) => {
       // the ratings-ledger lifecycle: q263's duel feed splits by the
       // left doc's parity, each half folds into the persisted
@@ -8771,6 +8808,56 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // two rankings per query (actual/ideal), exponential-gain DCG
+    "q297_ranking_metrics" ->
+      """WITH d AS (SELECT doc_id // 8 AS grp, doc_id,
+             ((doc_id * 37) % 1000)::DOUBLE AS score,
+             (3 - n_chars % 4)::BIGINT AS rel FROM documents),
+         r AS (SELECT grp, rel,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY score DESC, doc_id) AS rk,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY rel DESC, doc_id) AS irk FROM d),
+         g AS (SELECT grp, count(*)::BIGINT AS n,
+             sum((rel > 0)::INT)::BIGINT AS n_rel,
+             sum(CASE WHEN rk <= 5 THEN
+               (pow(2.0, rel) - 1.0) / log2(rk + 1.0) ELSE 0 END)
+               AS dcg,
+             sum(CASE WHEN irk <= 5 THEN
+               (pow(2.0, rel) - 1.0) / log2(irk + 1.0) ELSE 0 END)
+               AS idcg,
+             min(CASE WHEN rel > 0 THEN rk END) AS first_rel,
+             sum((rk <= 5 AND rel > 0)::INT)::BIGINT AS hits
+           FROM r GROUP BY 1)
+         SELECT grp, n, n_rel,
+           CASE WHEN n_rel > 0 AND idcg > 0 THEN
+             round(dcg / idcg, 6) END AS ndcg6,
+           CASE WHEN n_rel > 0 THEN
+             round(1.0 / first_rel, 6) END AS mrr6,
+           CASE WHEN n_rel > 0 THEN
+             round(hits::DOUBLE / n_rel, 6) END AS rec6,
+           round(hits::DOUBLE / least(n, 5)::DOUBLE, 6) AS prec6
+         FROM g ORDER BY grp""",
+    // fused = 1/(60+rank_a) + 1/(60+rank_b); exact doubles
+    "q298_rrf_fuse" ->
+      """WITH d AS (SELECT doc_id // 8 AS grp, doc_id,
+             ((doc_id * 37) % 1000)::DOUBLE AS sa,
+             n_chars::DOUBLE AS sb FROM documents),
+         r AS (SELECT grp, doc_id,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY sa DESC, doc_id)::BIGINT AS rank_a,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY sb DESC, doc_id)::BIGINT AS rank_b FROM d),
+         f AS (SELECT grp, doc_id, rank_a, rank_b,
+             1.0 / (rank_a + 60)::DOUBLE
+               + 1.0 / (rank_b + 60)::DOUBLE AS rrf FROM r),
+         o AS (SELECT grp, doc_id, rank_a, rank_b, rrf,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY rrf DESC, doc_id)::BIGINT AS fused_rank
+           FROM f)
+         SELECT grp, fused_rank, doc_id, rank_a, rank_b,
+           round(rrf, 6) AS rrf6
+         FROM o WHERE fused_rank <= 3 ORDER BY grp, fused_rank""",
     // the incremental ledger equals the one-shot fit: share q263's
     // oracle (score col renamed)
     "q295_bt_store" -> bradleyTerryOracle(3),

@@ -617,6 +617,92 @@ object Eval {
         col("vote_n").cast("double") / col("n_total"))
   }
 
+  /** Ranked-retrieval metrics per query — the IR report card for a
+    * search/RAG stack (complements [[auc]]'s classification view):
+    * NDCG@k with exponential gain `(2^rel − 1)/log₂(rank+1)` against
+    * the ideal ordering, MRR (reciprocal rank of the first relevant),
+    * and recall/precision@k. Ranking is (score DESC, tie) — `tieCol`
+    * totalizes, so the metrics are deterministic. TWO windows per
+    * query (actual and ideal order) over the same partition key plus
+    * one aggregation; nothing global. NULL scores/relevance are
+    * refused work. Returns (groupCols…, n, n_rel, ndcg, mrr, recall_k,
+    * precision_k); queries with no relevant docs report NULL
+    * ndcg/mrr/recall (nothing to find). */
+  def rankingMetrics(df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, relCol: Column, tieCol: Column,
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(k >= 1, "k must be >= 1")
+    val s = scoreCol.cast("double")
+    val rel = relCol.cast("long")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(s.desc, tieCol)
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(rel.desc, tieCol)
+    val ranked = df.where(s.isNotNull && rel.isNotNull)
+      .withColumn("__rel", rel)
+      .withColumn("__rk", row_number().over(wS).cast("long"))
+      .withColumn("__irk", row_number().over(wI).cast("long"))
+    val gain = (r: Column) => (pow(lit(2.0), col("__rel")) - 1.0) /
+      log2(r.cast("double") + 1.0)
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum((col("__rel") > 0).cast("long")).as("n_rel"),
+        graft.api.functions.exact_sum(
+          when(col("__rk") <= k, gain(col("__rk")))
+            .otherwise(lit(0.0))).as("__dcg"),
+        graft.api.functions.exact_sum(
+          when(col("__irk") <= k, gain(col("__irk")))
+            .otherwise(lit(0.0))).as("__idcg"),
+        min(when(col("__rel") > 0, col("__rk"))).as("__first"),
+        sum((col("__rk") <= k && col("__rel") > 0).cast("long"))
+          .as("__hits"))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("n_rel"),
+        when(col("n_rel") > 0 && col("__idcg") > 0,
+          col("__dcg") / col("__idcg")).as("ndcg"),
+        when(col("n_rel") > 0,
+          lit(1.0) / col("__first").cast("double")).as("mrr"),
+        when(col("n_rel") > 0,
+          col("__hits").cast("double") / col("n_rel")).as("recall_k"),
+        (col("__hits").cast("double") / least(col("n"), lit(k.toLong))
+          .cast("double")).as("precision_k")): _*)
+  }
+
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    * score-free fuser for hybrid retrieval (BM25 + dense, or any two
+    * rankers): per query, each document's fused score is
+    * `1/(c + rank_A) + 1/(c + rank_B)` over the two rankers'
+    * (score DESC, tie) ranks, and the top-k by (fused DESC, tie) come
+    * back with all three ranks. Integer ranks make the fused doubles
+    * bit-identical on any engine, so selection needs no rounding
+    * grain. Three windows sharing one partition key; no join — both
+    * rankings are columns of the same row. */
+  def rrfFuse(df: DataFrame, groupCols: Seq[String],
+      scoreACol: Column, scoreBCol: Column, tieCol: Column,
+      k: Int, c: Int = 60): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(k >= 1 && c >= 1, "k and c must be >= 1")
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(scoreACol.cast("double").desc, tieCol)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(scoreBCol.cast("double").desc, tieCol)
+    val fused = df
+      .where(scoreACol.isNotNull && scoreBCol.isNotNull)
+      .withColumn("rank_a", row_number().over(wA).cast("long"))
+      .withColumn("rank_b", row_number().over(wB).cast("long"))
+      .withColumn("rrf",
+        lit(1.0) / (col("rank_a") + c).cast("double") +
+          lit(1.0) / (col("rank_b") + c).cast("double"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("rrf").desc, tieCol)
+    fused.withColumn("fused_rank", row_number().over(wF).cast("long"))
+      .where(col("fused_rank") <= k)
+  }
+
   /** Paired-eval power analysis — "how many more eval examples do I
     * need before this A-vs-B gap is decidable": per group, from the
     * paired differences d = A − B, the sample size required for a

@@ -574,6 +574,44 @@ class EvalSpec extends SparkTestBase {
       r.getLong(3) == 7L)
   }
 
+  test("rankingMetrics: hand-worked NDCG/MRR, no-relevance refusal") {
+    import spark.implicits._
+    // q1: docs ranked by score desc = (d1 rel 0, d2 rel 2, d3 rel 1)
+    val df = Seq(("q1", 1L, 9.0, 0L), ("q1", 2L, 8.0, 2L),
+      ("q1", 3L, 7.0, 1L), ("q2", 4L, 5.0, 0L)).toDF("q", "id", "s", "rel")
+    val got = Eval.rankingMetrics(df, Seq("q"), col("s"), col("rel"),
+        col("id"), k = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val q1 = got("q1")
+    val dcg = 3.0 / (math.log(3.0) / math.log(2.0)) + 1.0 / 2.0
+    val idcg = 3.0 / 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    assert(math.abs(q1.getDouble(q1.fieldIndex("ndcg")) - dcg / idcg)
+      < 1e-12)
+    assert(q1.getDouble(q1.fieldIndex("mrr")) == 0.5)
+    assert(q1.getDouble(q1.fieldIndex("recall_k")) == 1.0)
+    // q2 has nothing relevant: refuses ndcg/mrr/recall
+    assert(got("q2").isNullAt(got("q2").fieldIndex("ndcg")))
+    assert(got("q2").isNullAt(got("q2").fieldIndex("mrr")))
+  }
+
+  test("rrfFuse: both rankers count, ranks are deterministic") {
+    import spark.implicits._
+    // A ranks: d1, d2, d3; B ranks: d3, d2, d1. Convexity of 1/x means
+    // the split-rank docs (1st+3rd) fuse ABOVE the symmetric middle:
+    // 1/61 + 1/63 > 2/62 — and d1/d3 tie exactly, so id breaks it
+    val df = Seq(("q", 1L, 3.0, 1.0), ("q", 2L, 2.0, 2.0),
+      ("q", 3L, 1.0, 3.0)).toDF("q", "id", "sa", "sb")
+    val got = Eval.rrfFuse(df, Seq("q"), col("sa"), col("sb"),
+        col("id"), k = 3)
+      .collect().map(r => r.getLong(r.fieldIndex("fused_rank")) ->
+        (r.getLong(1), r.getDouble(r.fieldIndex("rrf")))).toMap
+    assert(got(1L)._1 == 1L && got(2L)._1 == 3L)
+    assert(got(1L)._2 == got(2L)._2)
+    assert(got(1L)._2 == 1.0 / 61 + 1.0 / 63)
+    assert(got(3L)._1 == 2L)
+    assert(got(3L)._2 == 2.0 / 62.0)
+  }
+
   test("conditionalEntropy: deterministic stream predicts perfectly") {
     import spark.implicits._
     // ababab: every context determines its successor -> H(next|cur)=0,
