@@ -1721,6 +1721,67 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q300_hybrid_eval" -> ((s, dir) => {
+      // the full search-stack chain: BM25 candidates → dense join →
+      // RRF fusion (q299's pipeline) → rankingMetrics over the fused
+      // list with relevance = "candidate shares the query's source" —
+      // retrieval, fusion, and evaluation composed from real ops
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val cand = graft.ops.Text.bm25TopK(docs,
+        docs.where(col("doc_id") < 3), "doc_id", "text", k = 20)
+      val dv = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("__dv"))
+      val qv = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))
+      val withDense = cand.join(dv, "doc_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("cos6",
+          round(gf.vec_cosine(col("__qv"), col("__dv")), 6))
+      val fused = graft.ops.Eval.rrfFuse(withDense, Seq("query_id"),
+        col("score"), col("cos6"), col("doc_id"), k = 10)
+      val srcs = docs.select(col("doc_id"), col("source"))
+      val labeled = fused
+        .join(srcs.select(col("doc_id"), col("source").as("__ds")),
+          "doc_id")
+        .join(broadcast(srcs.select(col("doc_id").as("query_id"),
+          col("source").as("__qs"))), "query_id")
+        .withColumn("rel", (col("__ds") === col("__qs")).cast("long"))
+      graft.ops.Eval.rankingMetrics(labeled, Seq("query_id"),
+          col("rrf"), col("rel"), col("doc_id"), k = 5)
+        .select(col("query_id"), col("n"), col("n_rel"),
+          round(col("ndcg"), 6).as("ndcg6"),
+          round(col("mrr"), 6).as("mrr6"),
+          round(col("recall_k"), 6).as("rec6"),
+          round(col("precision_k"), 6).as("prec6"))
+        .orderBy("query_id")
+    }),
+
+    "q299_hybrid_search" -> ((s, dir) => {
+      // hybrid retrieval END TO END with real ops: BM25 top-20
+      // candidates (q79's scorer) join the dense side (vec_cosine on
+      // the embedding table — docs without vectors drop, the partial-
+      // coverage reality of a dense index), and RRF fuses both
+      // rankings at c = 60 over round-6 scores, top-10 out
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val cand = graft.ops.Text.bm25TopK(docs,
+        docs.where(col("doc_id") < 3), "doc_id", "text", k = 20)
+      val dv = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("__dv"))
+      val qv = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))
+      val withDense = cand.join(dv, "doc_id")
+        .join(broadcast(qv), "query_id")
+        .withColumn("cos6",
+          round(gf.vec_cosine(col("__qv"), col("__dv")), 6))
+      graft.ops.Eval.rrfFuse(withDense, Seq("query_id"), col("score"),
+          col("cos6"), col("doc_id"), k = 10)
+        .select(col("query_id"), col("fused_rank"), col("doc_id"),
+          col("rank_a"), col("rank_b"), round(col("rrf"), 6).as("rrf6"))
+        .orderBy("query_id", "fused_rank")
+    }),
+
     "q297_ranking_metrics" -> ((s, dir) => {
       // the IR report card per 8-doc query group: graded relevance
       // rel = 3 − (n_chars % 4), ranking by ((doc_id·37)%1000 DESC,
@@ -5625,6 +5686,58 @@ i$k AS MATERIALIZED (SELECT
            FROM h$iters h JOIN a$iters a USING (node) ORDER BY node"""
   }
 
+  /** Shared CTE chain of q299/q300: q79's BM25 scorer at k = 20,
+    * the dense join, and the RRF fusion — ending at `o`
+    * (query_id, doc_id, rank_a, rank_b, rrf, fused_rank). */
+  private lazy val hybridFusedCtes: String =
+    """WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+                WHERE term <> '' GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf
+                GROUP BY 1),
+         st AS (SELECT count(*)::BIGINT AS n, avg(dl::DOUBLE) AS avgdl
+                FROM dl),
+         qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+                WHERE doc_id < 3),
+         dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                 WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.query_id, tf.doc_id,
+                  sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * (tf.tf * (1.2 + 1))
+                      / (tf.tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl::DOUBLE / st.avgdl))) AS score
+                FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+                     JOIN dl ON dl.doc_id = tf.doc_id, st
+                GROUP BY 1, 2),
+         cand AS (SELECT query_id, doc_id,
+             round(score, 6) AS score FROM (
+               SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(score, 6) DESC, doc_id) AS rank
+               FROM sc) WHERE rank <= 20),
+         dn AS (SELECT c.query_id, c.doc_id, c.score,
+             round(list_cosine_similarity(
+               q.embedding::DOUBLE[], d.embedding::DOUBLE[]), 6)
+               AS cos6
+           FROM cand c
+           JOIN embeddings d ON d.vec_id = c.doc_id
+           JOIN embeddings q ON q.vec_id = c.query_id),
+         rk AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id)::BIGINT AS rank_a,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos6 DESC, doc_id)::BIGINT AS rank_b
+           FROM dn),
+         f AS (SELECT query_id, doc_id, rank_a, rank_b,
+             1.0 / (rank_a + 60)::DOUBLE
+               + 1.0 / (rank_b + 60)::DOUBLE AS rrf FROM rk),
+         o AS (SELECT query_id, doc_id, rank_a, rank_b, rrf,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id)::BIGINT AS fused_rank
+           FROM f)"""
+
   /** q275's oracle: greedy k-center unrolled as MATERIALIZED CTE
     * rounds — each round computes every remaining point's min squared
     * distance to the centers so far and picks by
@@ -8808,6 +8921,48 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // q79's BM25 chain at k=20 → dense join → RRF re-ranked over the
+    // surviving candidates, all on round-6 scores
+    "q299_hybrid_search" ->
+      (hybridFusedCtes + """
+         SELECT query_id, fused_rank, doc_id, rank_a, rank_b,
+           round(rrf, 6) AS rrf6
+         FROM o WHERE fused_rank <= 10
+         ORDER BY query_id, fused_rank"""),
+    // the fused top-10 labeled by source match, then q297's metric
+    // algebra (rel ∈ {0,1} ⇒ gain 1/0) at k=5
+    "q300_hybrid_eval" ->
+      (hybridFusedCtes + """,
+         lab AS (SELECT o.query_id, o.doc_id, o.rrf,
+             (dd.source = qq.source)::BIGINT AS rel
+           FROM o JOIN documents dd ON dd.doc_id = o.doc_id
+             JOIN documents qq ON qq.doc_id = o.query_id
+           WHERE o.fused_rank <= 10),
+         rr AS (SELECT query_id, rel,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id) AS rk,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, doc_id) AS irk FROM lab),
+         gg AS (SELECT query_id, count(*)::BIGINT AS n,
+             sum(rel)::BIGINT AS n_rel,
+             sum(CASE WHEN rk <= 5 THEN
+               (pow(2.0, rel) - 1.0) / log2(rk + 1.0) ELSE 0 END)
+               AS dcg,
+             sum(CASE WHEN irk <= 5 THEN
+               (pow(2.0, rel) - 1.0) / log2(irk + 1.0) ELSE 0 END)
+               AS idcg,
+             min(CASE WHEN rel > 0 THEN rk END) AS first_rel,
+             sum((rk <= 5 AND rel > 0)::INT)::BIGINT AS hits
+           FROM rr GROUP BY 1)
+         SELECT query_id, n, n_rel,
+           CASE WHEN n_rel > 0 AND idcg > 0 THEN
+             round(dcg / idcg, 6) END AS ndcg6,
+           CASE WHEN n_rel > 0 THEN
+             round(1.0 / first_rel, 6) END AS mrr6,
+           CASE WHEN n_rel > 0 THEN
+             round(hits::DOUBLE / n_rel, 6) END AS rec6,
+           round(hits::DOUBLE / least(n, 5)::DOUBLE, 6) AS prec6
+         FROM gg ORDER BY query_id"""),
     // two rankings per query (actual/ideal), exponential-gain DCG
     "q297_ranking_metrics" ->
       """WITH d AS (SELECT doc_id // 8 AS grp, doc_id,
