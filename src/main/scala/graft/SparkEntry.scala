@@ -1721,6 +1721,42 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q301_lsh_plan" -> ((s, dir) => {
+      // MinHash band planning: P = 128 permutations against target
+      // Jaccard 0.8 — every divisor split's 50%-threshold and catch
+      // probability, chosen = nearest threshold in log space (ties →
+      // more rows per band); pure planning arithmetic, no corpus scan
+      graft.ops.Dedup.lshBandPlan(s, 128, 0.8)
+        .select(col("bands"), col("rows_per_band"),
+          round(col("threshold"), 6).as("thr6"),
+          round(col("catch_at_target"), 6).as("catch6"),
+          col("chosen"))
+        .orderBy("bands")
+    }),
+
+    "q302_ks_test" -> ((s, dir) => {
+      // binning-free distribution-shift test: KS between even- and
+      // odd-doc_id n_chars — d_num = max |cA·nB − cB·nA| gates as an
+      // exact LONG; D and the asymptotic p round at 6
+      val docs = t(s, dir, "documents")
+      graft.ops.Drift.ksTest(docs, col("n_chars"),
+          col("doc_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          round(col("d"), 6).as("d6"),
+          round(col("p_value"), 6).as("p6"))
+    }),
+
+    "q303_wasserstein" -> ((s, dir) => {
+      // how FAR the mass moved, in characters: 1-D earth-mover between
+      // the same two sides — Σ|cumdiff|·Δv gates as an exact LONG
+      // under integer-valued n_chars
+      val docs = t(s, dir, "documents")
+      graft.ops.Drift.wasserstein1(docs, col("n_chars"),
+          col("doc_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"), col("w1_num"),
+          round(col("w1"), 6).as("w16"))
+    }),
+
     "q300_hybrid_eval" -> ((s, dir) => {
       // the full search-stack chain: BM25 candidates → dense join →
       // RRF fusion (q299's pipeline) → rankingMetrics over the fused
@@ -8921,6 +8957,68 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // the 8 divisor splits of 128; chosen by log-space distance
+    "q301_lsh_plan" ->
+      """WITH p AS (SELECT b
+           FROM unnest([1, 2, 4, 8, 16, 32, 64, 128]::BIGINT[]) t(b)),
+         x AS (SELECT b, (128 // b)::BIGINT AS r,
+             pow(1.0 / b, 1.0 / (128 // b)) AS thr,
+             1.0 - pow(1.0 - pow(0.8, (128 // b)::DOUBLE), b) AS c
+           FROM p),
+         ch AS (SELECT b FROM x
+           ORDER BY abs(ln(thr) - ln(0.8)), -r LIMIT 1)
+         SELECT b AS bands, r AS rows_per_band,
+           round(thr, 6) AS thr6, round(c, 6) AS catch6,
+           (b = (SELECT b FROM ch)) AS chosen
+         FROM x ORDER BY b""",
+    // cumulative side counts per distinct value; integer KS numerator
+    "q302_ks_test" ->
+      """WITH c AS (SELECT n_chars::DOUBLE AS v,
+             sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
+             sum((doc_id % 2 = 1)::INT)::BIGINT AS db
+           FROM documents GROUP BY 1),
+         w AS (SELECT v,
+             sum(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS ca,
+             sum(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS cb,
+             sum(da) OVER ()::BIGINT AS na,
+             sum(db) OVER ()::BIGINT AS nb FROM c)
+         SELECT max(na) AS n_a, max(nb) AS n_b,
+           max(abs(ca * nb - cb * na))::BIGINT AS d_num,
+           round(max(abs(ca * nb - cb * na))::DOUBLE
+             / (max(na)::DOUBLE * max(nb)::DOUBLE), 6) AS d6,
+           round(least(1.0, 2.0 * exp(-2.0
+             * (max(abs(ca * nb - cb * na))::DOUBLE
+               / (max(na)::DOUBLE * max(nb)::DOUBLE))
+             * (max(abs(ca * nb - cb * na))::DOUBLE
+               / (max(na)::DOUBLE * max(nb)::DOUBLE))
+             * (max(na) * max(nb))::DOUBLE
+             / (max(na) + max(nb))::DOUBLE)), 6) AS p6
+         FROM w""",
+    // Σ |cumdiff| · Δv over consecutive distinct values; exact LONG
+    "q303_wasserstein" ->
+      """WITH c AS (SELECT n_chars::DOUBLE AS v,
+             sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
+             sum((doc_id % 2 = 1)::INT)::BIGINT AS db
+           FROM documents GROUP BY 1),
+         w AS (SELECT v,
+             sum(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS ca,
+             sum(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS cb,
+             sum(da) OVER ()::BIGINT AS na,
+             sum(db) OVER ()::BIGINT AS nb FROM c),
+         x AS (SELECT v, ca, cb, na, nb,
+             lead(v) OVER (ORDER BY v) AS nv FROM w)
+         SELECT max(na) AS n_a, max(nb) AS n_b,
+           coalesce(sum(CASE WHEN nv IS NOT NULL THEN
+             abs(ca * nb - cb * na) * (nv - v)::BIGINT END), 0)
+             ::BIGINT AS w1_num,
+           round(coalesce(sum(CASE WHEN nv IS NOT NULL THEN
+             abs(ca * nb - cb * na) * (nv - v)::BIGINT END), 0)::DOUBLE
+             / (max(na)::DOUBLE * max(nb)::DOUBLE), 6) AS w16
+         FROM x""",
     // q79's BM25 chain at k=20 → dense join → RRF re-ranked over the
     // surviving candidates, all on round-6 scores
     "q299_hybrid_search" ->

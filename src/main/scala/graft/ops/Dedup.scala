@@ -1062,4 +1062,37 @@ object Dedup {
       .withColumn("batch", pmod(off + col("__rank"), lit(nBatches.toLong)))
       .drop("__rank")
   }
+
+  /** LSH band planning for the MinHash family — "given P permutations
+    * and a target Jaccard threshold t, how do I split them into
+    * (bands b × rows r)": for every divisor pair b·r = P, the curve's
+    * 50%-catch threshold `(1/b)^(1/r)` and the catch probability at
+    * the target, `1 − (1 − t^r)^b`; `chosen` marks the pair whose
+    * threshold is nearest t in LOG space (ties → more rows per band =
+    * fewer false positives). Pure planning arithmetic over the
+    * divisor grid (≤ √P pairs) — no corpus input; feeds
+    * [[minhashPairs]]' (bands, rows) directly. */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession,
+      totalPerms: Int, targetJaccard: Double): DataFrame = {
+    require(totalPerms >= 2 && totalPerms <= 65536,
+      "totalPerms must be in [2, 65536]")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      "targetJaccard must be in (0, 1)")
+    val pairs = (1 to totalPerms)
+      .filter(totalPerms % _ == 0)
+      .map { b =>
+        val r = totalPerms / b
+        val thr = math.pow(1.0 / b, 1.0 / r)
+        val catchAtT = 1.0 -
+          math.pow(1.0 - math.pow(targetJaccard, r), b)
+        (b, r, thr, catchAtT,
+          math.abs(math.log(thr) - math.log(targetJaccard)))
+      }
+    val best = pairs.minBy { case (_, r, _, _, dist) => (dist, -r) }
+    import spark.implicits._
+    pairs.map { case (b, r, thr, c, _) =>
+      (b, r, thr, c, b == best._1)
+    }.toDF("bands", "rows_per_band", "threshold", "catch_at_target",
+      "chosen")
+  }
 }

@@ -283,6 +283,79 @@ object Drift {
   }
 
   /** Smoothed probability columns over the observed vocabulary. */
+  /** Two-sample Kolmogorov–Smirnov test between side A and side B of
+    * one numeric column — the distribution-shift test that needs no
+    * binning (complements [[numericDrift]]'s PSI):
+    * `D = max_v |F_A(v) − F_B(v)|`, computed EXACTLY as the integer
+    * `d_num = max |c_A·n_B − c_B·n_A|` over cumulative per-distinct-
+    * value counts (so the statistic is a LONG before the one division),
+    * plus the asymptotic p-value `2·exp(−2D²·n_A·n_B/(n_A+n_B))`.
+    * One (value)-keyed count aggregation (the only corpus-sized
+    * shuffle), then a window over the DISTINCT-VALUE frame — bounded
+    * by value cardinality, not rows. Returns one row:
+    * (n_a, n_b, d_num, d, p_value). */
+  def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val cum = cumSideCounts(df, value, isA)
+    cum.agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+          .as("d_num"))
+      .withColumn("d", col("d_num").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+      .withColumn("p_value",
+        least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("d") * col("d")
+          * (col("n_a") * col("n_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"))))
+  }
+
+  /** 1-D Wasserstein (earth-mover) distance between side A and side B
+    * of one numeric column — the drift number with UNITS (how far mass
+    * moved, in the column's own scale), where KS only says whether:
+    * `W₁ = ∫ |F_A − F_B| dv = Σ |cumdiff| · Δv` over consecutive
+    * distinct values. CONTRACT: the value column must be
+    * integer-valued (token counts, lengths, cents — rescale first),
+    * so the numerator `Σ |c_A·n_B − c_B·n_A| · Δv` is an exact LONG;
+    * fractional values would truncate in the Δv cast. Same shape as
+    * [[ksTest]]: one count shuffle + one distinct-value-frame window.
+    * Returns one row: (n_a, n_b, w1_num, w1). */
+  def wasserstein1(df: DataFrame, value: Column,
+      isA: Column): DataFrame = {
+    val cum = cumSideCounts(df, value, isA)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("__v"))
+    cum.withColumn("__nextv", lead(col("__v"), 1).over(w))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        coalesce(sum(when(col("__nextv").isNotNull,
+          abs(col("__ca") * col("__nb") - col("__cb") * col("__na"))
+            .cast("long") * (col("__nextv") - col("__v")).cast("long"))),
+          lit(0L)).as("w1_num"))
+      .withColumn("w1", col("w1_num").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+  }
+
+  /** Shared KS/W₁ frame: per distinct value, cumulative side counts
+    * (window over the value-cardinality-bounded cell frame) plus the
+    * side totals. NULL values/sides are refused work. */
+  private def cumSideCounts(df: DataFrame, value: Column,
+      isA: Column): DataFrame = {
+    val v = value.cast("double")
+    val a = isA.cast("boolean")
+    val cells = df.where(v.isNotNull && a.isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(sum(a.cast("long")).as("__da"),
+        sum((!a).cast("long")).as("__db"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    cells.withColumn("__ca", sum(col("__da")).over(run))
+      .withColumn("__cb", sum(col("__db")).over(run))
+      .withColumn("__na", sum(col("__da")).over(wAll))
+      .withColumn("__nb", sum(col("__db")).over(wAll))
+  }
+
   private def smoothed(na: Long, nb: Long, v: Long, alpha: Double)
       : (Column, Column) =
     ((col("cnt_a") + lit(alpha)) / lit(na + alpha * v),

@@ -311,4 +311,25 @@ class DriftSpec extends SparkTestBase {
         x.getBoolean(4) == y.getBoolean(4))
     }
   }
+
+  test("ksTest and wasserstein1: hand-worked two-sample distances") {
+    import spark.implicits._
+    // A = {1, 2}, B = {2, 3}: D = 0.5 (d_num 2 of 4); W1 = 1.0
+    val df = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "a")
+    val ks = Drift.ksTest(df, col("v"), col("a")).collect()(0)
+    assert(ks.getLong(ks.fieldIndex("n_a")) == 2L)
+    assert(ks.getLong(ks.fieldIndex("d_num")) == 2L)
+    assert(ks.getDouble(ks.fieldIndex("d")) == 0.5)
+    val w1 = Drift.wasserstein1(df, col("v"), col("a")).collect()(0)
+    assert(w1.getLong(w1.fieldIndex("w1_num")) == 4L)
+    assert(w1.getDouble(w1.fieldIndex("w1")) == 1.0)
+    // identical sides: both distances are exactly zero
+    val same = Seq((1.0, true), (1.0, false), (5.0, true), (5.0, false))
+      .toDF("v", "a")
+    assert(Drift.ksTest(same, col("v"), col("a"))
+      .collect()(0).getLong(2) == 0L)
+    assert(Drift.wasserstein1(same, col("v"), col("a"))
+      .collect()(0).getLong(2) == 0L)
+  }
 }
