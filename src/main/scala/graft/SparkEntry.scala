@@ -1721,6 +1721,56 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q304_streaming_ks" -> ((s, dir) => {
+      // the drift monitor DEPLOYED: per-batch (value, side) count
+      // partials — a monoid — append across 8 real micro-batches, and
+      // the KS computed from the folded store equals the one-shot
+      // q302 exactly (whose oracle this gate shares)
+      val tmp = docStreamDirCache.computeIfAbsent(dir, { d =>
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_qdocs").toString
+        s.read.parquet(s"$d/documents.parquet").repartition(8)
+          .write.parquet(s"$base/documents.parquet")
+        base
+      })
+      val outBase = java.nio.file.Files
+        .createTempDirectory("graft_q304o").toString
+      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("n_chars").cast("double").as("v"))
+            .agg(sum((col("doc_id") % 2 === 0).cast("long")).as("da"),
+              sum((col("doc_id") % 2 =!= 0).cast("long")).as("db"))
+            .write.mode("append").parquet(s"$outBase/parts")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val folded = s.read.parquet(s"$outBase/parts")
+        .groupBy("v").agg(sum("da").as("da"), sum("db").as("db"))
+      graft.ops.Drift.ksTestFromCounts(folded)
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          round(col("d"), 6).as("d6"),
+          round(col("p_value"), 6).as("p6"))
+    }),
+
+    "q305_temp_scaling" -> ((s, dir) => {
+      // post-hoc calibration by grid search: logits = (n_chars−310)/64
+      // (dyadic), labels = the q198-style deterministic outcome rule;
+      // NLL per T over {1/2, 1, 2, 4} via the overflow-stable
+      // softplus — argmin chosen, NLL at 6
+      val docs = t(s, dir, "documents")
+        .select(((col("n_chars") - 310).cast("double") / 64.0)
+          .as("logit"),
+          ((col("doc_id") * 37 + col("n_chars")) % 100 < 40).as("y"))
+      graft.ops.Eval.temperatureFit(docs, col("logit"), col("y"),
+          Seq(0.5, 1.0, 2.0, 4.0))
+        .select(col("temperature"), col("n"),
+          round(col("nll"), 6).as("nll6"), col("chosen"))
+        .orderBy("temperature")
+    }),
+
     "q301_lsh_plan" -> ((s, dir) => {
       // MinHash band planning: P = 128 permutations against target
       // Jaccard 0.8 — every divisor split's 50%-threshold and catch
@@ -8957,6 +9007,48 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // streamed count partials fold to the same cells: share q302's
+    // algebra verbatim
+    "q304_streaming_ks" ->
+      """WITH c AS (SELECT n_chars::DOUBLE AS v,
+             sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
+             sum((doc_id % 2 = 1)::INT)::BIGINT AS db
+           FROM documents GROUP BY 1),
+         w AS (SELECT v,
+             sum(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS ca,
+             sum(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS cb,
+             sum(da) OVER ()::BIGINT AS na,
+             sum(db) OVER ()::BIGINT AS nb FROM c)
+         SELECT max(na) AS n_a, max(nb) AS n_b,
+           max(abs(ca * nb - cb * na))::BIGINT AS d_num,
+           round(max(abs(ca * nb - cb * na))::DOUBLE
+             / (max(na)::DOUBLE * max(nb)::DOUBLE), 6) AS d6,
+           round(least(1.0, 2.0 * exp(-2.0
+             * (max(abs(ca * nb - cb * na))::DOUBLE
+               / (max(na)::DOUBLE * max(nb)::DOUBLE))
+             * (max(abs(ca * nb - cb * na))::DOUBLE
+               / (max(na)::DOUBLE * max(nb)::DOUBLE))
+             * (max(na) * max(nb))::DOUBLE
+             / (max(na) + max(nb))::DOUBLE)), 6) AS p6
+         FROM w""",
+    // NLL(T) over the literal grid; softplus mirrored stable
+    "q305_temp_scaling" ->
+      """WITH d AS (SELECT (n_chars - 310) / 64.0 AS l,
+             ((doc_id * 37 + n_chars) % 100 < 40)::INT AS y
+           FROM documents),
+         x AS (SELECT l, y, t
+           FROM d, unnest([0.5, 1.0, 2.0, 4.0]::DOUBLE[]) g(t)),
+         n AS (SELECT t AS temperature, count(*)::BIGINT AS n,
+             sum(greatest(l / t, 0.0) + ln(1.0 + exp(-abs(l / t)))
+               - y * (l / t)) / count(*) AS nll
+           FROM x GROUP BY 1),
+         ch AS (SELECT temperature FROM n
+           ORDER BY nll, temperature LIMIT 1)
+         SELECT temperature, n, round(nll, 6) AS nll6,
+           (temperature = (SELECT temperature FROM ch)) AS chosen
+         FROM n ORDER BY temperature""",
     // the 8 divisor splits of 128; chosen by log-space distance
     "q301_lsh_plan" ->
       """WITH p AS (SELECT b

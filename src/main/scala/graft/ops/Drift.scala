@@ -294,8 +294,16 @@ object Drift {
     * shuffle), then a window over the DISTINCT-VALUE frame — bounded
     * by value cardinality, not rows. Returns one row:
     * (n_a, n_b, d_num, d, p_value). */
-  def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame = {
-    val cum = cumSideCounts(df, value, isA)
+  def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame =
+    ksTestFromCounts(sideCells(df, value, isA))
+
+  /** [[ksTest]] from an ALREADY-AGGREGATED per-distinct-value count
+    * table (columns v, da, db) — the entry point for a streaming
+    * monitor whose micro-batches append count PARTIALS (a monoid):
+    * fold the partials with one groupBy(v)/sum and hand them here;
+    * the result equals the one-shot test exactly. */
+  def ksTestFromCounts(cells: DataFrame): DataFrame = {
+    val cum = cumFromCells(cells)
     cum.agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
         max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
           .as("d_num"))
@@ -319,7 +327,7 @@ object Drift {
     * Returns one row: (n_a, n_b, w1_num, w1). */
   def wasserstein1(df: DataFrame, value: Column,
       isA: Column): DataFrame = {
-    val cum = cumSideCounts(df, value, isA)
+    val cum = cumFromCells(sideCells(df, value, isA))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).orderBy(col("__v"))
     cum.withColumn("__nextv", lead(col("__v"), 1).over(w))
@@ -332,17 +340,25 @@ object Drift {
         (col("n_a").cast("double") * col("n_b").cast("double")))
   }
 
-  /** Shared KS/W₁ frame: per distinct value, cumulative side counts
-    * (window over the value-cardinality-bounded cell frame) plus the
-    * side totals. NULL values/sides are refused work. */
-  private def cumSideCounts(df: DataFrame, value: Column,
+  /** Per-distinct-value side counts (v, da, db) from a raw two-sided
+    * feed — the one corpus-sized shuffle of the KS/W₁ family. NULL
+    * values/sides are refused work. */
+  private def sideCells(df: DataFrame, value: Column,
       isA: Column): DataFrame = {
     val v = value.cast("double")
     val a = isA.cast("boolean")
-    val cells = df.where(v.isNotNull && a.isNotNull)
-      .groupBy(v.as("__v"))
-      .agg(sum(a.cast("long")).as("__da"),
-        sum((!a).cast("long")).as("__db"))
+    df.where(v.isNotNull && a.isNotNull)
+      .groupBy(v.as("v"))
+      .agg(sum(a.cast("long")).as("da"),
+        sum((!a).cast("long")).as("db"))
+  }
+
+  /** Shared KS/W₁ frame: cumulative side counts over the
+    * value-cardinality-bounded cell frame plus the side totals. */
+  private def cumFromCells(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn.select(col("v").cast("double").as("__v"),
+      col("da").cast("long").as("__da"),
+      col("db").cast("long").as("__db"))
     val run = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window

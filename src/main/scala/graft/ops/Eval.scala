@@ -617,6 +617,39 @@ object Eval {
         col("vote_n").cast("double") / col("n_total"))
   }
 
+  /** Post-hoc temperature scaling fit (Guo et al. 2017, "On
+    * Calibration of Modern Neural Networks") by grid search: for each
+    * candidate temperature T, the binary NLL of σ(logit/T) against
+    * labels — `chosen` marks the argmin (ties → smaller T, the less
+    * aggressive rescale). The σ/log fold is overflow-stable
+    * (softplus form: NLL term = softplus(l/T) − y·l/T). One scan
+    * explodes onto the literal grid and folds through
+    * [[graft.api.functions.exact_sum]]; NULLs are refused work.
+    * Returns one row per T: (temperature, n, nll, chosen). */
+  def temperatureFit(df: DataFrame, logitCol: Column,
+      labelCol: Column, grid: Seq[Double]): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0),
+      "grid temperatures must be > 0")
+    require(grid.distinct.size == grid.size, "duplicate temperatures")
+    val l = logitCol.cast("double")
+    val y = labelCol.cast("boolean").cast("double")
+    // NLL term: −ln σ(z) + (1−y)·z = softplus(z) − y·z, stable at any |z|
+    val nll = df.where(l.isNotNull && y.isNotNull)
+      .select(l.as("__l"), y.as("__y"),
+        explode(typedLit(grid)).as("temperature"))
+      .groupBy(col("temperature"))
+      .agg(count(lit(1)).as("n"),
+        (graft.api.functions.exact_sum(
+          greatest(col("__l") / col("temperature"), lit(0.0))
+            + log1p(exp(-abs(col("__l") / col("temperature"))))
+            - col("__y") * (col("__l") / col("temperature")))
+          / count(lit(1))).as("nll"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("nll"), col("temperature"))
+    nll.withColumn("chosen", row_number().over(wAll) === 1)
+      .select(col("temperature"), col("n"), col("nll"), col("chosen"))
+  }
+
   /** Ranked-retrieval metrics per query — the IR report card for a
     * search/RAG stack (complements [[auc]]'s classification view):
     * NDCG@k with exponential gain `(2^rel − 1)/log₂(rank+1)` against

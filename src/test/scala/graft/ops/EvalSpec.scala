@@ -574,6 +574,26 @@ class EvalSpec extends SparkTestBase {
       r.getLong(3) == 7L)
   }
 
+  test("temperatureFit: the well-calibrated temperature wins") {
+    import spark.implicits._
+    // logits already match labels perfectly at T=1 (|l| large):
+    // colder/hotter both lose NLL
+    val df = (1 to 50).map(i =>
+      (if (i % 2 == 0) 4.0 else -4.0, i % 2 == 0))
+      .toDF("l", "y")
+    val got = Eval.temperatureFit(df, col("l"), col("y"),
+        Seq(0.5, 1.0, 4.0))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getDouble(r.fieldIndex("nll")), r.getBoolean(3))).toMap
+    // NLL at T: softplus(-4/T) for every row
+    def nllAt(t: Double) = math.log1p(math.exp(-4.0 / t))
+    assert(math.abs(got(1.0)._1 - nllAt(1.0)) < 1e-12)
+    assert(math.abs(got(4.0)._1 - nllAt(4.0)) < 1e-12)
+    // confident correct logits: the COLDEST temperature wins
+    assert(got(0.5)._2 && !got(1.0)._2 && !got(4.0)._2)
+    assert(got(0.5)._1 < got(1.0)._1 && got(1.0)._1 < got(4.0)._1)
+  }
+
   test("rankingMetrics: hand-worked NDCG/MRR, no-relevance refusal") {
     import spark.implicits._
     // q1: docs ranked by score desc = (d1 rel 0, d2 rel 2, d3 rel 1)
