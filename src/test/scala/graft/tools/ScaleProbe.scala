@@ -650,6 +650,21 @@ object ScaleProbe {
         col("w"), col("l"), iters = 3))
     }
 
+    time(s"r12s7 ksTest+wasserstein over $nDocs two-sided rows") {
+      val two = cand.select((col("cand_id") % 4096).cast("double")
+        .as("v"), (col("cand_id") % 2 === 0).as("a"))
+      force(graft.ops.Drift.ksTest(two, col("v"), col("a")))
+      force(graft.ops.Drift.wasserstein1(two, col("v"), col("a")))
+    }
+    time(s"r12s7 rankingMetrics+rrfFuse ${nDocs / 8} query groups") {
+      val q8 = cand.withColumn("rel", (col("reward") < 2000).cast("int"))
+        .withColumn("s2", (col("cand_id") * 2654435761L) % 9973)
+      force(graft.ops.Eval.rankingMetrics(q8, Seq("prompt"),
+        col("reward"), col("rel"), col("cand_id"), k = 5))
+      force(graft.ops.Eval.rrfFuse(q8, Seq("prompt"), col("reward"),
+        col("s2"), col("cand_id"), k = 3))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
