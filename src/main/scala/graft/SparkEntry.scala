@@ -1721,6 +1721,46 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    "q306_cluster_agreement" -> ((s, dir) => {
+      // "did the clusters rediscover the labels": ARI from exact pair
+      // counts + NMI between lang and source — the pair censuses gate
+      // as LONGs, ARI/NMI at 6 (lang is independent of source by
+      // fixture construction, so ARI hovers at 0)
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.clusterAgreement(docs, col("lang"),
+          col("source"))
+        .select(col("n"), col("sum_comb"), col("sum_a"), col("sum_b"),
+          round(col("ari"), 6).as("ari6"),
+          round(col("nmi"), 6).as("nmi6"))
+    }),
+
+    "q307_modularity" -> ((s, dir) => {
+      // does the TLD partition concentrate the crawl graph's edges:
+      // Leicht–Newman directed modularity over q100's site graph,
+      // communities = .com vs .co.uk — edge/degree censuses LONG,
+      // q_part at 6
+      val docs = t(s, dir, "documents")
+      def site(idExpr: org.apache.spark.sql.Column) = concat(lit("site"),
+        (idExpr % 60).cast("string"),
+        when(idExpr % 7 === 0, ".co.uk").otherwise(".com"))
+      val edges = docs.select(explode(typedLit(Seq(0, 1, 2))).as("j"),
+          col("doc_id"))
+        .select(
+          concat(lit("site"), (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 7 === 0, ".co.uk")
+              .otherwise(".com")).as("src"),
+          site(col("doc_id") * 7 + col("j") * 13 + 3).as("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .withColumn("comm",
+          when(col("node").endsWith(".co.uk"), "uk").otherwise("com"))
+      graft.ops.Graph.modularity(edges, "src", "dst", nodes,
+          "node", "comm")
+        .select(col("community"), col("n_edges_in"), col("dout"),
+          col("din"), round(col("q_part"), 6).as("q6"))
+        .orderBy("community")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -9007,6 +9047,74 @@ ORDER BY idA, idB"""),
     // (g_thash, id) order per source, round = (cum − n) // w
     "q263_bradley_terry" -> bradleyTerryOracle(3),
     "q275_kcenter" -> kCenterOracle(8),
+    // exact pair censuses (ARI) + MI/√(HaHb) (NMI), cellwise mirror
+    "q306_cluster_agreement" ->
+      """WITH c AS (SELECT lang AS a, source AS b,
+             count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+         t AS (SELECT sum(o)::BIGINT AS n FROM c),
+         ma AS (SELECT a, sum(o)::BIGINT AS ra FROM c GROUP BY 1),
+         mb AS (SELECT b, sum(o)::BIGINT AS cb FROM c GROUP BY 1),
+         s1 AS (SELECT sum(o * (o - 1) // 2)::BIGINT AS sum_comb
+           FROM c),
+         s2 AS (SELECT sum(ra * (ra - 1) // 2)::BIGINT AS sum_a,
+             sum(-(ra::DOUBLE / (SELECT n FROM t))
+               * ln(ra::DOUBLE / (SELECT n FROM t))) AS ha FROM ma),
+         s3 AS (SELECT sum(cb * (cb - 1) // 2)::BIGINT AS sum_b,
+             sum(-(cb::DOUBLE / (SELECT n FROM t))
+               * ln(cb::DOUBLE / (SELECT n FROM t))) AS hb FROM mb),
+         mi AS (SELECT sum((c.o::DOUBLE / (SELECT n FROM t))
+             * ln((c.o::DOUBLE / (SELECT n FROM t))
+               / ((ma.ra::DOUBLE / (SELECT n FROM t))
+                 * (mb.cb::DOUBLE / (SELECT n FROM t))))) AS mi
+           FROM c JOIN ma USING (a) JOIN mb USING (b)),
+         f AS (SELECT (SELECT n FROM t) AS n,
+             (SELECT sum_comb FROM s1) AS sum_comb,
+             (SELECT sum_a FROM s2) AS sum_a,
+             (SELECT sum_b FROM s3) AS sum_b,
+             (SELECT ha FROM s2) AS ha, (SELECT hb FROM s3) AS hb,
+             (SELECT mi FROM mi) AS mi)
+         SELECT n, sum_comb, sum_a, sum_b,
+           round((sum_comb::DOUBLE
+             - sum_a::DOUBLE * sum_b::DOUBLE
+               / ((n * (n - 1) / 2)::DOUBLE))
+             / ((sum_a + sum_b)::DOUBLE / 2.0
+               - sum_a::DOUBLE * sum_b::DOUBLE
+                 / ((n * (n - 1) / 2)::DOUBLE)), 6) AS ari6,
+           CASE WHEN ha > 0 AND hb > 0 THEN
+             round(mi / sqrt(ha * hb), 6) END AS nmi6
+         FROM f""",
+    // q100's edge construction; Leicht–Newman directed modularity
+    "q307_modularity" ->
+      """WITH e AS MATERIALIZED (SELECT
+           'site' || (doc_id % 50)::VARCHAR ||
+             CASE WHEN doc_id % 7 = 0 THEN '.co.uk'
+               ELSE '.com' END AS src,
+           'site' || ((doc_id*7 + j*13 + 3) % 60)::VARCHAR ||
+             CASE WHEN (doc_id*7 + j*13 + 3) % 7 = 0 THEN '.co.uk'
+               ELSE '.com' END AS dst
+         FROM documents, unnest([0, 1, 2]) t(j)),
+         ec AS (SELECT
+             CASE WHEN src LIKE '%.co.uk' THEN 'uk' ELSE 'com' END
+               AS cs,
+             CASE WHEN dst LIKE '%.co.uk' THEN 'uk' ELSE 'com' END
+               AS cd FROM e),
+         m AS (SELECT count(*)::BIGINT AS m FROM ec),
+         od AS (SELECT cs AS community, count(*)::BIGINT AS dout
+           FROM ec GROUP BY 1),
+         idg AS (SELECT cd AS community, count(*)::BIGINT AS din
+           FROM ec GROUP BY 1),
+         ins AS (SELECT cs AS community, count(*)::BIGINT AS nin
+           FROM ec WHERE cs = cd GROUP BY 1)
+         SELECT od.community,
+           coalesce(ins.nin, 0)::BIGINT AS n_edges_in, od.dout,
+           coalesce(idg.din, 0)::BIGINT AS din,
+           round(coalesce(ins.nin, 0)::DOUBLE / (SELECT m FROM m)
+             - od.dout::DOUBLE * coalesce(idg.din, 0)::DOUBLE
+               / ((SELECT m FROM m)::DOUBLE
+                 * (SELECT m FROM m)::DOUBLE), 6) AS q6
+         FROM od LEFT JOIN idg USING (community)
+           LEFT JOIN ins USING (community)
+         ORDER BY od.community""",
     // streamed count partials fold to the same cells: share q302's
     // algebra verbatim
     "q304_streaming_ks" ->

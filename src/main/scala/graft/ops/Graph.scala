@@ -267,4 +267,44 @@ object Graph {
     state.select(col("__node").as(nodeOut), col("__hub").as(hubOut),
       col("__auth").as(authOut))
   }
+
+  /** Directed modularity (Leicht & Newman 2008) of a node partition
+    * over an edge list — "does this community assignment actually
+    * concentrate edges":
+    * `Q = Σ_c [ e_c/m − (dout_c · din_c) / m² ]` with `e_c` the edges
+    * INSIDE community c, `dout_c`/`din_c` its out/in degree sums, and
+    * `m` the edge count — all exact LONG censuses; only the final Q is
+    * a double. `communities` is a (node, community) table joined onto
+    * both endpoints (two node-keyed joins — the communities table is
+    * node-sized, broadcastable when nodes are). Returns one row per
+    * community (community, n_edges_in, dout, din, q_part) plus the
+    * caller sums `q_part` for Q — or use the companion total row from
+    * a trivial agg. Unmapped endpoints are refused work (dropped). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      communities: DataFrame, nodeCol: String,
+      commCol: String): DataFrame = {
+    val cm = communities.select(col(nodeCol).as("__node"),
+      col(commCol).as("__c"))
+    val e = edges
+      .join(cm.select(col("__node").as(srcCol),
+        col("__c").as("__cs")), srcCol)
+      .join(cm.select(col("__node").as(dstCol),
+        col("__c").as("__cd")), dstCol)
+    val m = e.count()
+    require(m > 0, "edge list is empty after community mapping")
+    val outDeg = e.groupBy(col("__cs").as("community"))
+      .agg(count(lit(1)).as("dout"))
+    val inDeg = e.groupBy(col("__cd").as("community"))
+      .agg(count(lit(1)).as("din"))
+    val inside = e.where(col("__cs") === col("__cd"))
+      .groupBy(col("__cs").as("community"))
+      .agg(count(lit(1)).as("n_edges_in"))
+    outDeg.join(inDeg, Seq("community"), "full")
+      .join(inside, Seq("community"), "full")
+      .na.fill(0L, Seq("dout", "din", "n_edges_in"))
+      .withColumn("q_part",
+        col("n_edges_in").cast("double") / m -
+          (col("dout").cast("double") * col("din").cast("double"))
+            / (m.toDouble * m.toDouble))
+  }
 }

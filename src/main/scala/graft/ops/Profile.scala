@@ -226,6 +226,68 @@ object Profile {
         covN / sqrt(varX) / sqrt(varY)).as("rho"))
   }
 
+  /** Clustering-agreement metrics between two labelings of the same
+    * rows — "did my clusters rediscover the labels" (kmeans vs truth,
+    * two dedup configurations, lang vs source): the Adjusted Rand
+    * Index from EXACT pair counts (`Σ C(n_ij,2)`, `Σ C(a_i,2)`,
+    * `Σ C(b_j,2)` — all LONGs; ARI = (Index − E[Index]) / (Max −
+    * E[Index])) and normalized mutual information
+    * `NMI = MI / √(H_A·H_B)`. Same shape as [[independence]]: one
+    * contingency aggregation, marginals windowed over the
+    * category-product-bounded cell frame. Returns one row:
+    * (n, sum_comb, sum_a, sum_b, ari, nmi); a degenerate side (one
+    * cluster, or all singletons on both sides) reports NULL ari/nmi
+    * where the denominator vanishes. */
+  def clusterAgreement(df: DataFrame, aCol: Column,
+      bCol: Column): DataFrame = {
+    val cells = df.where(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("__a"), bCol.as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy("__a")
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("__b")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    // n(n−1) is even, so integral div keeps the census a LONG
+    def comb2(c: Column): Column =
+      call_function("div", c * (c - 1), lit(2L))
+    val m = cells
+      .withColumn("__ra", sum(col("__o")).over(wa))
+      .withColumn("__cb", sum(col("__o")).over(wb))
+      .withColumn("__n", sum(col("__o")).over(wAll))
+      // count each marginal's pairs once (first cell of its row/col)
+      .withColumn("__fa",
+        row_number().over(wa.orderBy(col("__b"))) === 1)
+      .withColumn("__fb",
+        row_number().over(wb.orderBy(col("__a"))) === 1)
+    val p = col("__o").cast("double") / col("__n").cast("double")
+    val pa = col("__ra").cast("double") / col("__n").cast("double")
+    val pb = col("__cb").cast("double") / col("__n").cast("double")
+    m.agg(max(col("__n")).as("n"),
+        sum(comb2(col("__o"))).as("sum_comb"),
+        sum(when(col("__fa"), comb2(col("__ra"))).otherwise(0L))
+          .as("sum_a"),
+        sum(when(col("__fb"), comb2(col("__cb"))).otherwise(0L))
+          .as("sum_b"),
+        graft.api.functions.exact_sum(p * log(p / (pa * pb)))
+          .as("__mi"),
+        graft.api.functions.exact_sum(
+          when(col("__fa"), -pa * log(pa)).otherwise(lit(0.0)))
+          .as("__ha"),
+        graft.api.functions.exact_sum(
+          when(col("__fb"), -pb * log(pb)).otherwise(lit(0.0)))
+          .as("__hb"))
+      .select(col("n"), col("sum_comb"), col("sum_a"), col("sum_b"), {
+        val cn2 = (col("n") * (col("n") - 1) / 2).cast("double")
+        val exp = col("sum_a").cast("double") *
+          col("sum_b").cast("double") / cn2
+        val mx = (col("sum_a") + col("sum_b")).cast("double") / 2.0
+        when(mx - exp =!= 0.0,
+          (col("sum_comb").cast("double") - exp) / (mx - exp))
+          .as("ari")
+      }, when(col("__ha") > 0 && col("__hb") > 0,
+        col("__mi") / sqrt(col("__ha") * col("__hb"))).as("nmi"))
+  }
+
   /** First-order (Markov) transition census over per-entity ordered
     * event streams — the agent-trajectory / clickstream profile "what
     * follows what": within each entity's (order, tie) sequence, count

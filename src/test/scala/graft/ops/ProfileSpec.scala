@@ -213,6 +213,27 @@ class ProfileSpec extends SparkTestBase {
     assert(got.size == 2) // no (b, a) across the user boundary beyond u1
   }
 
+  test("clusterAgreement: identity scores 1, independence near 0") {
+    import spark.implicits._
+    val dep = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y")))
+      .toDF("a", "b")
+    val d = Profile.clusterAgreement(dep, col("a"), col("b"))
+      .collect()(0)
+    assert(d.getLong(0) == 10L)
+    assert(d.getLong(d.fieldIndex("sum_comb")) == 20L) // 2*C(5,2)
+    assert(math.abs(d.getDouble(d.fieldIndex("ari")) - 1.0) < 1e-12)
+    assert(math.abs(d.getDouble(d.fieldIndex("nmi")) - 1.0) < 1e-12)
+    // balanced independent 2x2: ARI slightly negative, NMI ~ 0
+    val ind = (for {a <- Seq("x", "y"); b <- Seq("u", "v");
+      _ <- 0 until 5} yield (a, b)).toDF("a", "b")
+    val i = Profile.clusterAgreement(ind, col("a"), col("b"))
+      .collect()(0)
+    assert(i.getLong(i.fieldIndex("sum_comb")) == 40L)
+    assert(i.getLong(i.fieldIndex("sum_a")) == 90L)
+    assert(math.abs(i.getDouble(i.fieldIndex("ari"))) < 0.1)
+    assert(math.abs(i.getDouble(i.fieldIndex("nmi"))) < 1e-12)
+  }
+
   test("independence: exact zero under independence, max under identity") {
     import spark.implicits._
     // balanced 2x2 independent: every cell 5 -> chi2 = 0, mi = 0
