@@ -1790,7 +1790,8 @@ object SparkEntry {
       val folded = s.read.parquet(s"$outBase/parts")
         .groupBy("v").agg(sum("da").as("da"), sum("db").as("db"))
       graft.ops.Drift.ksTestFromCounts(folded)
-        .select(col("n_a"), col("n_b"), col("d_num"),
+        .select(col("n_a"), col("n_b"),
+          col("d_num").cast("long").as("d_num"),
           round(col("d"), 6).as("d6"),
           round(col("p_value"), 6).as("p6"))
     }),
@@ -1826,24 +1827,27 @@ object SparkEntry {
 
     "q302_ks_test" -> ((s, dir) => {
       // binning-free distribution-shift test: KS between even- and
-      // odd-doc_id n_chars — d_num = max |cA·nB − cB·nA| gates as an
-      // exact LONG; D and the asymptotic p round at 6
+      // odd-doc_id n_chars — d_num = max |cA·nB − cB·nA| is exact
+      // DECIMAL(38,0) in the op, cast to LONG at the gate edge (the
+      // q108 num2 convention); D and the asymptotic p round at 6
       val docs = t(s, dir, "documents")
       graft.ops.Drift.ksTest(docs, col("n_chars"),
           col("doc_id") % 2 === 0)
-        .select(col("n_a"), col("n_b"), col("d_num"),
+        .select(col("n_a"), col("n_b"),
+          col("d_num").cast("long").as("d_num"),
           round(col("d"), 6).as("d6"),
           round(col("p_value"), 6).as("p6"))
     }),
 
     "q303_wasserstein" -> ((s, dir) => {
       // how FAR the mass moved, in characters: 1-D earth-mover between
-      // the same two sides — Σ|cumdiff|·Δv gates as an exact LONG
-      // under integer-valued n_chars
+      // the same two sides — Σ|cumdiff|·Δv is exact DECIMAL(38,0) in
+      // the op, cast to LONG at the gate edge under integer n_chars
       val docs = t(s, dir, "documents")
       graft.ops.Drift.wasserstein1(docs, col("n_chars"),
           col("doc_id") % 2 === 0)
-        .select(col("n_a"), col("n_b"), col("w1_num"),
+        .select(col("n_a"), col("n_b"),
+          col("w1_num").cast("long").as("w1_num"),
           round(col("w1"), 6).as("w16"))
     }),
 

@@ -282,18 +282,20 @@ object Drift {
     (cnts, t.getLong(0), t.getLong(1), t.getLong(2))
   }
 
-  /** Smoothed probability columns over the observed vocabulary. */
   /** Two-sample Kolmogorov–Smirnov test between side A and side B of
     * one numeric column — the distribution-shift test that needs no
     * binning (complements [[numericDrift]]'s PSI):
     * `D = max_v |F_A(v) − F_B(v)|`, computed EXACTLY as the integer
     * `d_num = max |c_A·n_B − c_B·n_A|` over cumulative per-distinct-
-    * value counts (so the statistic is a LONG before the one division),
-    * plus the asymptotic p-value `2·exp(−2D²·n_A·n_B/(n_A+n_B))`.
-    * One (value)-keyed count aggregation (the only corpus-sized
-    * shuffle), then a window over the DISTINCT-VALUE frame — bounded
-    * by value cardinality, not rows. Returns one row:
-    * (n_a, n_b, d_num, d, p_value). */
+    * value counts, plus the asymptotic p-value
+    * `2·exp(−2D²·n_A·n_B/(n_A+n_B))`. The cross products are held in
+    * DECIMAL(38,0) (the [[Eval.auc]] convention — c_A·n_B overflows
+    * Int64 past ~3·10⁹ rows per side and would throw under ANSI), so
+    * `d_num` is exact at any corpus size; the one float division
+    * happens at the very end. One (value)-keyed count aggregation (the
+    * only corpus-sized shuffle), then a window over the DISTINCT-VALUE
+    * frame — bounded by value cardinality, not rows. Returns one row:
+    * (n_a, n_b, d_num DECIMAL(38,0), d, p_value). */
   def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame =
     ksTestFromCounts(sideCells(df, value, isA))
 
@@ -303,15 +305,16 @@ object Drift {
     * fold the partials with one groupBy(v)/sum and hand them here;
     * the result equals the one-shot test exactly. */
   def ksTestFromCounts(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val cum = cumFromCells(cells)
     cum.agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
-        max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
-          .as("d_num"))
+        max(abs(col("__ca").cast(dec) * col("__nb") -
+          col("__cb").cast(dec) * col("__na"))).as("d_num"))
       .withColumn("d", col("d_num").cast("double") /
         (col("n_a").cast("double") * col("n_b").cast("double")))
       .withColumn("p_value",
         least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("d") * col("d")
-          * (col("n_a") * col("n_b")).cast("double")
+          * (col("n_a").cast("double") * col("n_b").cast("double"))
           / (col("n_a") + col("n_b")).cast("double"))))
   }
 
@@ -321,21 +324,26 @@ object Drift {
     * `W₁ = ∫ |F_A − F_B| dv = Σ |cumdiff| · Δv` over consecutive
     * distinct values. CONTRACT: the value column must be
     * integer-valued (token counts, lengths, cents — rescale first),
-    * so the numerator `Σ |c_A·n_B − c_B·n_A| · Δv` is an exact LONG;
-    * fractional values would truncate in the Δv cast. Same shape as
-    * [[ksTest]]: one count shuffle + one distinct-value-frame window.
-    * Returns one row: (n_a, n_b, w1_num, w1). */
+    * so the numerator `Σ |c_A·n_B − c_B·n_A| · Δv` is an exact
+    * integer; fractional values would truncate in the Δv cast. The
+    * cross products and the Δv-weighted sum are held in DECIMAL(38,0)
+    * (the [[Eval.auc]] convention — the product overflows Int64 past
+    * ~3·10⁹ rows per side). Same shape as [[ksTest]]: one count
+    * shuffle + one distinct-value-frame window. Returns one row:
+    * (n_a, n_b, w1_num DECIMAL(38,0), w1). */
   def wasserstein1(df: DataFrame, value: Column,
       isA: Column): DataFrame = {
+    val dec = "decimal(38,0)"
     val cum = cumFromCells(sideCells(df, value, isA))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).orderBy(col("__v"))
     cum.withColumn("__nextv", lead(col("__v"), 1).over(w))
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
         coalesce(sum(when(col("__nextv").isNotNull,
-          abs(col("__ca") * col("__nb") - col("__cb") * col("__na"))
-            .cast("long") * (col("__nextv") - col("__v")).cast("long"))),
-          lit(0L)).as("w1_num"))
+          abs(col("__ca").cast(dec) * col("__nb") -
+            col("__cb").cast(dec) * col("__na"))
+            * (col("__nextv") - col("__v")).cast(dec))),
+          lit(0).cast(dec)).as("w1_num"))
       .withColumn("w1", col("w1_num").cast("double") /
         (col("n_a").cast("double") * col("n_b").cast("double")))
   }
@@ -372,6 +380,7 @@ object Drift {
       .withColumn("__nb", sum(col("__db")).over(wAll))
   }
 
+  /** Smoothed probability columns over the observed vocabulary. */
   private def smoothed(na: Long, nb: Long, v: Long, alpha: Double)
       : (Column, Column) =
     ((col("cnt_a") + lit(alpha)) / lit(na + alpha * v),

@@ -142,24 +142,29 @@ object Preference {
     * exactly. The merged table (items²-bounded, `maxRows`-guarded)
     * materializes DRIVER-SIDE before the overwrite — the same
     * never-read-what-you-truncate contract as
-    * [[SketchStore.updateCms]]. Single writer per store path. */
+    * [[SketchStore.updateCms]]. The single-writer contract is ENFORCED
+    * ([[StoreLock.withLock]]: a second concurrent writer fails loudly)
+    * and the overwrite is crash-safe ([[StoreLock.atomicReplace]]:
+    * the old ledger is only dropped after the merged one is fully
+    * durable next to it). */
   def updatePairStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, winnerCol: Column, loserCol: Column,
-      path: String, maxRows: Int = 1000000): Unit = {
-    val part = pairCounts(batch, winnerCol, loserCol)
-    val merged = loadPairStore(spark, path) match {
-      case None => part
-      case Some(old) => old.unionByName(part)
-        .groupBy("a", "b")
-        .agg(sum(col("n_a_wins")).as("n_a_wins"),
-          sum(col("n_b_wins")).as("n_b_wins"))
+      path: String, maxRows: Int = 1000000): Unit =
+    StoreLock.withLock(spark, path) {
+      val part = pairCounts(batch, winnerCol, loserCol)
+      val merged = loadPairStore(spark, path) match {
+        case None => part
+        case Some(old) => old.unionByName(part)
+          .groupBy("a", "b")
+          .agg(sum(col("n_a_wins")).as("n_a_wins"),
+            sum(col("n_b_wins")).as("n_b_wins"))
+      }
+      val rows = merged.collect()
+      require(rows.length <= maxRows,
+        s"${rows.length} pair rows exceeds maxRows=$maxRows — the " +
+          "ledger is meant for a bounded item universe")
+      StoreLock.atomicReplace(spark, spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema),
+        path)
     }
-    val rows = merged.collect()
-    require(rows.length <= maxRows,
-      s"${rows.length} pair rows exceeds maxRows=$maxRows — the " +
-        "ledger is meant for a bounded item universe")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1), merged.schema)
-      .write.mode("overwrite").parquet(path)
-  }
 }

@@ -116,26 +116,6 @@ object Profile {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
-  /** Exact Spearman rank correlation between two numeric columns — the
-    * monotone-association check (quality score vs downstream loss, token
-    * count vs dup rate) that Pearson's linearity assumption breaks on.
-    *
-    * The classic formulation ranks every row with a global `rank()` window
-    * — a single-task sort funnel at scale. This one never globally sorts
-    * the corpus: per column, rows group by DISTINCT VALUE (cardinality ≪
-    * rows), the tie-averaged rank of each distinct value comes from the
-    * two-level bucketed prefix scan of [[Packing.withPrefixSum]] (rank =
-    * cum − (cnt−1)/2 over the inclusive cumulative count), and the
-    * value-sized rank tables join back to the rows (broadcast when small —
-    * left to the planner/AQE). Spearman ρ is then the Pearson correlation
-    * of the two rank columns, folded in ONE aggregation whose sums run
-    * through `exact_sum` — tie-averaged ranks are exact multiples of ½, so
-    * every product is exactly representable and ρ is bit-deterministic
-    * under any partitioning.
-    *
-    * Rows where either value is NULL or NaN are excluded listwise. Returns
-    * one row (n, rho); rho is NULL when n < 2 or either column is
-    * constant. */
   /** One-call dataset card — the quantitative half of a "datasheet for
     * datasets": corpus mass, composition concentration, exact-duplicate
     * rate, and the Zipf naturalness fingerprint as a tall (metric, value)
@@ -195,6 +175,26 @@ object Profile {
     rows.result().toDF("metric", "value")
   }
 
+  /** Exact Spearman rank correlation between two numeric columns — the
+    * monotone-association check (quality score vs downstream loss, token
+    * count vs dup rate) that Pearson's linearity assumption breaks on.
+    *
+    * The classic formulation ranks every row with a global `rank()` window
+    * — a single-task sort funnel at scale. This one never globally sorts
+    * the corpus: per column, rows group by DISTINCT VALUE (cardinality ≪
+    * rows), the tie-averaged rank of each distinct value comes from the
+    * two-level bucketed prefix scan of [[Packing.withPrefixSum]] (rank =
+    * cum − (cnt−1)/2 over the inclusive cumulative count), and the
+    * value-sized rank tables join back to the rows (broadcast when small —
+    * left to the planner/AQE). Spearman ρ is then the Pearson correlation
+    * of the two rank columns, folded in ONE aggregation whose sums run
+    * through `exact_sum` — tie-averaged ranks are exact multiples of ½, so
+    * every product is exactly representable and ρ is bit-deterministic
+    * under any partitioning.
+    *
+    * Rows where either value is NULL or NaN are excluded listwise. Returns
+    * one row (n, rho); rho is NULL when n < 2 or either column is
+    * constant. */
   def spearman(df: DataFrame, xCol: Column, yCol: Column,
       buckets: Int = 0): DataFrame = {
     val rows = df.select(xCol.cast("double").as("__x"),

@@ -130,7 +130,15 @@ object Reward {
     * horizon-bounded array (≤ H doubles — never the whole group), and
     * the weighted sum folds left-to-right in frame order, so the result
     * is deterministic under any partitioning. With a dyadic γ (0.5,
-    * 0.25, 0.75…) every discount power is an exact double. */
+    * 0.25, 0.75…) every discount power is an exact double.
+    *
+    * NULL rewards count as 0.0 AT THEIR OWN TIME STEP: the row still
+    * occupies its position in the frame (it is coalesced, not
+    * dropped), so every later reward keeps its correct γ^k discount
+    * slot — a silently-skipped NULL would shift the whole tail one
+    * power earlier and corrupt the time indexing of every return that
+    * sees it. `<outCol>_n` counts frame ROWS (steps), including
+    * zero-filled ones. */
   def discountedReturns(df: DataFrame, groupCols: Seq[String],
       orderCol: Column, tieCol: Column, rewardCol: Column,
       gamma: Double = 0.5, horizon: Int = 16,
@@ -143,7 +151,8 @@ object Reward {
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(orderCol, tieCol)
       .rowsBetween(Window.currentRow, horizon - 1)
-    val fr = collect_list(rewardCol.cast("double")).over(w)
+    val fr = collect_list(coalesce(rewardCol.cast("double"), lit(0.0)))
+      .over(w)
     df.withColumn("__fr", fr)
       .withColumn(s"${outCol}_n", size(col("__fr")))
       .withColumn(outCol, aggregate(
@@ -198,7 +207,9 @@ object Reward {
     * materializes at most `horizon` doubles per row — never the group.
     * With dyadic γ and λ (1/2, 1/4…) every (γλ)^k is an exact double,
     * so integer-valued rewards/values make A_t bit-exact under any
-    * partitioning. */
+    * partitioning. A NULL reward or value makes that step's residual
+    * NULL, which the delegated fold treats as δ = 0 at its own time
+    * step ([[discountedReturns]]'s alignment-preserving NULL rule). */
   def gaeAdvantage(df: DataFrame, groupCols: Seq[String],
       orderCol: Column, tieCol: Column, rewardCol: Column,
       valueCol: Column, gamma: Double = 0.5, lam: Double = 0.5,

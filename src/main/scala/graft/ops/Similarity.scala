@@ -1210,6 +1210,53 @@ object Similarity {
         col("cos_pos"), col("cos_neg"), col("semi_hard"))
   }
 
+  /** `(id, bag)` rows where each token vector is paired with its
+    * PRE-COMPUTED L2 norm — the norm is a per-token invariant, so it is
+    * evaluated once per row here instead of once per
+    * (query-token, doc-token) pair inside the scoring fold (that
+    * recomputation roughly doubled the arithmetic of the MaxSim hot
+    * path). Zero-norm tokens are DROPPED (their cosine is undefined; a
+    * NaN would poison `greatest` and, because NaN orders above every
+    * double in Spark, could rank a degenerate document first) and rows
+    * whose bag is empty after the drop are refused work — the sibling
+    * ops' NULL contract applied to token bags. */
+  private def tokenBags(df: DataFrame, idCol: String, vecsCol: String,
+      idOut: String, bagOut: String): DataFrame = {
+    val toks = filter(
+      transform(col(vecsCol).cast("array<array<double>>"),
+        v => struct(v.as("v"),
+          sqrt(aggregate(v, lit(0.0), (s, x) => s + x * x)).as("n"))),
+      t => t.getField("n") > 0)
+    df.select(col(idCol).as(idOut), toks.as(bagOut))
+      .where(size(col(bagOut)) > 0)
+  }
+
+  /** The shared MaxSim fold over two [[tokenBags]] columns:
+    * `Σ_q max_d dot(q,d) / (|q|·|d|)`. Keeping the division (rather
+    * than pre-dividing the vectors) preserves the exact floating-point
+    * sequence of the naive cosine form, so the brute and candidate-fed
+    * paths — and the round-6 rank grain — agree bit-for-bit; only the
+    * norm COMPUTATION is hoisted into [[tokenBags]]. */
+  private def maxSimScore(qBag: Column, dBag: Column): Column = aggregate(
+    transform(qBag, qt =>
+      aggregate(dBag, lit(Double.MinValue),
+        (best, dt) => greatest(best,
+          aggregate(zip_with(qt.getField("v"), dt.getField("v"),
+            (x, y) => x * y), lit(0.0), (s, x) => s + x)
+            / (qt.getField("n") * dt.getField("n"))))),
+    lit(0.0), (s, x) => s + x)
+
+  /** Top-k per query at the 1e-6 rounded grain, id ties ascending (the
+    * q43 engine-portability convention) — runs as WindowGroupLimit, so
+    * each partition keeps only k candidate rows before the shuffle. */
+  private def maxSimRank(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("maxsim"), 6).desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Late-interaction (ColBERT-style, Khattab & Zaharia 2020) MaxSim
     * scoring: query and document are each a BAG of token vectors, and
     * `score = Σ_{q∈Q} max_{d∈D} cos(q, d)` — every query token finds
@@ -1218,35 +1265,53 @@ object Similarity {
     * assigned at the 1e-6 rounded grain, id ties ascending (the q43
     * engine-portability convention).
     *
-    * This is the brute-force truth path: queries broadcast (bounded —
+    * This is the brute-force TRUTH path: queries broadcast (bounded —
     * a query batch, never a corpus) and each corpus partition scores
     * its documents scan-side via codegen'd HOF folds; the shuffle is
     * the top-k WindowGroupLimit over (query, score) — candidate rows,
-    * not token vectors. The production path feeds candidates from an
-    * ANN index (q255's shape) into the same scoring expression. */
+    * not token vectors. The production path is [[maxSimTopKFrom]],
+    * which feeds candidates from an ANN index into the same scoring
+    * fold. Empty and zero-norm token bags are refused work
+    * ([[tokenBags]]). */
   def maxSimTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecsCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecsCol).cast("array<array<double>>").as("__qv"))
-    val c = corpus.select(col(idCol).as("doc_id"),
-      col(vecsCol).cast("array<array<double>>").as("__dv"))
-    def dot(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    def norm(a: Column): Column = sqrt(dot(a, a))
-    val score = aggregate(
-      transform(col("__qv"), qt =>
-        aggregate(col("__dv"), lit(Double.MinValue),
-          (best, dt) => greatest(best,
-            dot(qt, dt) / (norm(qt) * norm(dt))))),
-      lit(0.0), (s, x) => s + x)
+    val q = tokenBags(queries, idCol, vecsCol, "query_id", "__qb")
+    val c = tokenBags(corpus, idCol, vecsCol, "doc_id", "__db")
     val scored = c.join(broadcast(q), col("query_id") =!= col("doc_id"))
-      .select(col("query_id"), col("doc_id"), score.as("maxsim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(round(col("maxsim"), 6).desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        maxSimScore(col("__qb"), col("__db")).as("maxsim"))
+    maxSimRank(scored, k)
+  }
+
+  /** [[maxSimTopK]]'s PRODUCTION twin (the [[marginPairsFrom]] split):
+    * MaxSim-score ONLY a `(query_id, doc_id)` candidate frame — e.g.
+    * [[sqTopKRefined]] or [[ivfPqTopK]] over pooled per-document
+    * vectors — and return the top-k per query among those candidates.
+    * Nothing here is corpus × query: document token bags join onto the
+    * candidate rows (ONE candidate-keyed shuffle — bags move for
+    * candidates only, never the corpus), query bags broadcast (a query
+    * batch), and the top-k runs as WindowGroupLimit over candidate
+    * rows. The scoring fold is byte-shared with the brute path, so any
+    * (query, doc) pair both paths score gets the identical round-6
+    * rank key.
+    *
+    * Recall against the brute truth is a property of the CANDIDATE
+    * GENERATOR, not of this operator — measure it in-gate (a q255-style
+    * full-outer agreement receipt against [[maxSimTopK]] on the same
+    * inputs), don't assume it. */
+  def maxSimTopKFrom(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecsCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = tokenBags(queries, idCol, vecsCol, "query_id", "__qb")
+    val c = tokenBags(corpus, idCol, vecsCol, "doc_id", "__db")
+    val scored = candidates.select(col("query_id"), col("doc_id"))
+      .join(c, Seq("doc_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        maxSimScore(col("__qb"), col("__db")).as("maxsim"))
+    maxSimRank(scored, k)
   }
 
   /** Greedy k-center coreset selection (Gonzalez 1985; the diversity
@@ -1265,38 +1330,97 @@ object Similarity {
     * one scan against the BROADCAST center list (≤ k vectors, literal)
     * + a TakeOrdered(1) — k scans total, no shuffle of vectors, no
     * pairwise matrix; the k argmax collects are 1-row (the accepted
-    * bounded-collect class). */
+    * bounded-collect class).
+    *
+    * Scale guard: k sequential full-input scans are inherent to
+    * Gonzalez, so the input must be BOUNDED — the op counts it first
+    * and fails fast above `maxRows` (the `jsMatrix`/`bradleyTerry`
+    * guard convention) instead of silently running k corpus scans.
+    * For an open-ended corpus use [[kCenterFrom]]: greedy over a
+    * bounded candidate frame, exact covering radius over the full
+    * corpus. */
   def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    require(k >= 1 && k <= 256, "k must be in [1, 256]")
-    val spark = corpus.sparkSession
-    val base = corpus.select(col(idCol).cast("long").as("__id"),
+      k: Int, maxRows: Long = 2000000L): DataFrame = {
+    val base = prepKCenter(corpus, idCol, vecCol, maxRows, "input")
+    val centers = selectCenters(base, k)
+    finishKCenter(corpus.sparkSession, centers, base, k)
+  }
+
+  /** Candidate-fed [[kCenterGreedy]] (the [[marginPairsFrom]] split):
+    * run the k greedy selection scans over a BOUNDED `sample` frame —
+    * [[graft.ops.Sampling.uniformSample]], a quality pre-filter, any
+    * deterministic slice — but compute the final covering radius over
+    * the FULL corpus in one scan against the broadcast center list.
+    * The radius row is therefore an EXACT receipt of how well the
+    * sampled centers cover everything, not just the sample: sampling
+    * weakens the 2-approximation bound, and this is the measurement
+    * that says by how much. Output shape matches [[kCenterGreedy]]
+    * (`sel_dist` for rounds ≥ 1 is the max-min distance WITHIN the
+    * sample; the last row is the corpus-wide radius). */
+  def kCenterFrom(sample: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, maxRows: Long = 2000000L): DataFrame = {
+    val sbase = prepKCenter(sample, idCol, vecCol, maxRows, "sample")
+    val centers = selectCenters(sbase, k)
+    val cbase = corpus.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
+    finishKCenter(corpus.sparkSession, centers, cbase, k)
+  }
+
+  private def prepKCenter(df: DataFrame, idCol: String, vecCol: String,
+      maxRows: Long, what: String): DataFrame = {
+    require(maxRows >= 1, "maxRows must be >= 1")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val n = base.count()
+    require(n <= maxRows,
+      s"$n $what rows exceeds maxRows=$maxRows — greedy k-center runs " +
+        "k full scans of its input; pre-filter (Sampling.uniformSample " +
+        "+ kCenterFrom keeps the exact corpus-radius receipt) or raise " +
+        "maxRows deliberately")
+    base
+  }
+
+  /** Squared distance from `__v` to a literal center vector. */
+  private def sqDistTo(c: Seq[Double]): Column = aggregate(
+    zip_with(col("__v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+    lit(0.0), (acc, x) => acc + x)
+
+  /** The k greedy selection rounds over a prepared (`__id`, `__v`)
+    * frame — shared verbatim by the full and candidate-fed paths. */
+  private def selectCenters(base: DataFrame,
+      k: Int): Vector[(Long, Seq[Double], Option[Double])] = {
+    require(k >= 1 && k <= 256, "k must be in [1, 256]")
     val seed = base.orderBy("__id").limit(1)
       .select(col("__id"), col("__v")).collect()
-    require(seed.nonEmpty, "corpus is empty")
-    def sqDist(c: Seq[Double]): Column = aggregate(
-      zip_with(col("__v"), typedLit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    require(seed.nonEmpty, "selection input is empty")
     var centers = Vector((seed(0).getLong(0), seed(0).getSeq[Double](1)
       .toSeq, Option.empty[Double]))
     var r = 1
     while (r < k) {
-      val minDist = centers.map(c => sqDist(c._2)).reduce((a, b) => least(a, b))
+      val minDist = centers.map(c => sqDistTo(c._2))
+        .reduce((a, b) => least(a, b))
       val pick = base
         .where(!col("__id").isin(centers.map(_._1): _*))
         .select(col("__id"), minDist.as("__d"))
         .orderBy(round(col("__d"), 6).desc, col("__id"))
         .limit(1).collect()
-      require(pick.nonEmpty, s"corpus exhausted at round $r")
+      require(pick.nonEmpty, s"selection input exhausted at round $r")
       // re-fetch the picked vector (1-row lookup) for the next round
       val v = base.where(col("__id") === pick(0).getLong(0))
         .select(col("__v")).collect()(0).getSeq[Double](0).toSeq
       centers :+= ((pick(0).getLong(0), v, Some(pick(0).getDouble(1))))
       r += 1
     }
-    val radius = base
-      .select(centers.map(c => sqDist(c._2)).reduce((a, b) => least(a, b)).as("__d"))
+    centers
+  }
+
+  /** One radius scan over `radiusBase` + the output frame. */
+  private def finishKCenter(spark: org.apache.spark.sql.SparkSession,
+      centers: Vector[(Long, Seq[Double], Option[Double])],
+      radiusBase: DataFrame, k: Int): DataFrame = {
+    val radius = radiusBase
+      .select(centers.map(c => sqDistTo(c._2))
+        .reduce((a, b) => least(a, b)).as("__d"))
       .agg(max(col("__d"))).collect()(0).getDouble(0)
     import spark.implicits._
     val rows = centers.zipWithIndex.map { case ((id, _, d), i) =>

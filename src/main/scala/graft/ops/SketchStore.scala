@@ -16,8 +16,9 @@ import graft.api.{functions => gf}
   * The read-merge-write step materializes the (sketch-sized) old blob on
   * the driver BEFORE writing — never reading and overwriting the same
   * files in one lazy plan — and the merge itself runs through the same
-  * [[gf.cms_merge_agg]] the distributed re-aggregation path uses. Single
-  * writer per store path (the foreachBatch contract). */
+  * [[gf.cms_merge_agg]] the distributed re-aggregation path uses. The
+  * single-writer-per-store-path contract (the foreachBatch shape) is
+  * enforced by [[StoreLock]]. */
 object SketchStore {
 
   /** The stored blob, if the store exists. One-row, KB–MB scale — the
@@ -31,22 +32,25 @@ object SketchStore {
   }
 
   /** Fold one batch of keys into the store: new_state = old ⊕ cms(batch).
-    * Returns the updated blob. Creates the store on first call. */
+    * Returns the updated blob. Creates the store on first call. The
+    * single-writer contract is ENFORCED ([[StoreLock.withLock]]) and
+    * the overwrite is crash-safe ([[StoreLock.atomicReplace]]). */
   def updateCms(spark: SparkSession, batch: DataFrame, key: Column,
-      path: String, depth: Int = 4, width: Int = 4096): Array[Byte] = {
-    val batchSketch = batch.agg(gf.cms_agg(key, depth, width).as("sketch"))
-    val merged = loadCms(spark, path) match {
-      case None => batchSketch
-      case Some(old) =>
-        import spark.implicits._
-        batchSketch.select(col("sketch"))
-          .unionAll(Seq(old).toDF("sketch"))
-          .agg(gf.cms_merge_agg(col("sketch")).as("sketch"))
+      path: String, depth: Int = 4, width: Int = 4096): Array[Byte] =
+    StoreLock.withLock(spark, path) {
+      val batchSketch = batch.agg(gf.cms_agg(key, depth, width).as("sketch"))
+      val merged = loadCms(spark, path) match {
+        case None => batchSketch
+        case Some(old) =>
+          import spark.implicits._
+          batchSketch.select(col("sketch"))
+            .unionAll(Seq(old).toDF("sketch"))
+            .agg(gf.cms_merge_agg(col("sketch")).as("sketch"))
+      }
+      val blob = merged.collect()(0).getAs[Array[Byte]]("sketch")
+      import spark.implicits._
+      StoreLock.atomicReplace(spark,
+        Seq(blob).toDF("sketch").coalesce(1), path)
+      blob
     }
-    val blob = merged.collect()(0).getAs[Array[Byte]]("sketch")
-    import spark.implicits._
-    Seq(blob).toDF("sketch").coalesce(1)
-      .write.mode("overwrite").parquet(path)
-    blob
-  }
 }

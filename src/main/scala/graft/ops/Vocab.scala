@@ -160,17 +160,6 @@ object Vocab {
       .orderBy("vocab_size")
   }
 
-  /** Rényi tokenizer efficiency (Zouhar et al. 2023, "Tokenization and
-    * the Noiseless Channel"): over an ENCODED corpus, the Rényi
-    * entropy of the token-unigram distribution,
-    * `H_α = ln(Σ p_i^α) / (1 − α)` (α = 2.5 per the paper — the best
-    * predictor of downstream quality among tokenizer-intrinsic
-    * metrics), plus Shannon H and the normalized efficiency
-    * `H_α / ln(vocab_used)` — a tokenizer whose ids are used evenly
-    * scores 1. One row: (n_tokens, vocab_used, h_renyi, h_shannon,
-    * efficiency). One token-keyed shuffle to counts (map-side
-    * combined), then a vocab-sized fold through
-    * [[graft.api.functions.exact_sum]]. */
   /** Bigram conditional entropy of an encoded token stream —
     * `H(next | cur) = −Σ p(cur,next) · ln(c(cur,next)/c(cur))` over
     * within-document adjacent pairs (never across documents), next to
@@ -211,6 +200,17 @@ object Vocab {
         .as("h_unigram"))
   }
 
+  /** Rényi tokenizer efficiency (Zouhar et al. 2023, "Tokenization and
+    * the Noiseless Channel"): over an ENCODED corpus, the Rényi
+    * entropy of the token-unigram distribution,
+    * `H_α = ln(Σ p_i^α) / (1 − α)` (α = 2.5 per the paper — the best
+    * predictor of downstream quality among tokenizer-intrinsic
+    * metrics), plus Shannon H and the normalized efficiency
+    * `H_α / ln(vocab_used)` — a tokenizer whose ids are used evenly
+    * scores 1. One row: (n_tokens, vocab_used, h_renyi, h_shannon,
+    * efficiency). One token-keyed shuffle to counts (map-side
+    * combined), then a vocab-sized fold through
+    * [[graft.api.functions.exact_sum]]. */
   def renyiEfficiency(encoded: DataFrame, idsCol: Column,
       alpha: Double = 2.5): DataFrame = {
     require(alpha > 0 && alpha != 1.0,

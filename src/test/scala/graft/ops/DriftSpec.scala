@@ -314,22 +314,42 @@ class DriftSpec extends SparkTestBase {
 
   test("ksTest and wasserstein1: hand-worked two-sample distances") {
     import spark.implicits._
-    // A = {1, 2}, B = {2, 3}: D = 0.5 (d_num 2 of 4); W1 = 1.0
+    // A = {1, 2}, B = {2, 3}: D = 0.5 (d_num 2 of 4); W1 = 1.0.
+    // d_num/w1_num are DECIMAL(38,0) (overflow-proof past ~3e9 rows
+    // per side — the Eval.auc convention)
     val df = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false))
       .toDF("v", "a")
     val ks = Drift.ksTest(df, col("v"), col("a")).collect()(0)
     assert(ks.getLong(ks.fieldIndex("n_a")) == 2L)
-    assert(ks.getLong(ks.fieldIndex("d_num")) == 2L)
+    assert(ks.getDecimal(ks.fieldIndex("d_num")).longValueExact == 2L)
     assert(ks.getDouble(ks.fieldIndex("d")) == 0.5)
     val w1 = Drift.wasserstein1(df, col("v"), col("a")).collect()(0)
-    assert(w1.getLong(w1.fieldIndex("w1_num")) == 4L)
+    assert(w1.getDecimal(w1.fieldIndex("w1_num")).longValueExact == 4L)
     assert(w1.getDouble(w1.fieldIndex("w1")) == 1.0)
     // identical sides: both distances are exactly zero
     val same = Seq((1.0, true), (1.0, false), (5.0, true), (5.0, false))
       .toDF("v", "a")
     assert(Drift.ksTest(same, col("v"), col("a"))
-      .collect()(0).getLong(2) == 0L)
+      .collect()(0).getDecimal(2).longValueExact == 0L)
     assert(Drift.wasserstein1(same, col("v"), col("a"))
-      .collect()(0).getLong(2) == 0L)
+      .collect()(0).getDecimal(2).longValueExact == 0L)
+  }
+
+  test("ksTestFromCounts survives counts whose cross products overflow " +
+      "Int64 (the decimal(38,0) widening)") {
+    import spark.implicits._
+    // 4e9 rows per side across two cells: cA*nB = 2e9 * 4e9 = 8e18 at
+    // the midpoint and nA*nB = 1.6e19 > Long.MaxValue at the tail —
+    // the pre-widening LONG arithmetic threw under ANSI here
+    val big = 4000000000L
+    val cells = Seq((1.0, big / 2, big / 4),
+      (2.0, big / 2, 3 * big / 4)).toDF("v", "da", "db")
+    val ks = Drift.ksTestFromCounts(cells).collect()(0)
+    assert(ks.getLong(ks.fieldIndex("n_a")) == big)
+    assert(ks.getLong(ks.fieldIndex("n_b")) == big)
+    // |cA*nB - cB*nA| at v=1: |2e9*4e9 - 1e9*4e9| = 4e18
+    assert(ks.getDecimal(ks.fieldIndex("d_num"))
+      .compareTo(new java.math.BigDecimal("4000000000000000000")) == 0)
+    assert(ks.getDouble(ks.fieldIndex("d")) == 0.25)
   }
 }

@@ -126,6 +126,26 @@ class RewardSpec extends SparkTestBase {
     assert(got(9L) == ((5.0, 1)))
   }
 
+  test("discountedReturns: a NULL reward is 0 at ITS OWN step — later " +
+      "rewards keep their discount slots") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1L, Some(8.0)), ("u", 2L, None), ("u", 3L, Some(4.0)))
+      .toDF("g", "t", "r")
+    val got = Reward.discountedReturns(df, Seq("g"), col("t"), col("t"),
+        col("r"), gamma = 0.5, horizon = 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(r.fieldIndex("return_togo")),
+          r.getInt(r.fieldIndex("return_togo_n")))).toMap
+    // t=1: 8 + 0/2 + 4/4 = 9.0 — NOT 8 + 4/2 = 10.0, which is what a
+    // silently-compacted NULL would produce (t=3's reward shifted into
+    // the gamma^1 slot); _n counts STEPS in the frame, zero-filled ones
+    // included
+    assert(got(1L) == ((9.0, 3)))
+    assert(got(2L) == ((2.0, 2))) // 0 + 4/2
+    assert(got(3L) == ((4.0, 1)))
+  }
+
   test("discountedReturns: partitioning-invariant bits") {
     import spark.implicits._
     val df = (1 to 500).map(i => ("g" + i % 5, i.toLong,
