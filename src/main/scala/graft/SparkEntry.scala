@@ -88,6 +88,15 @@ object SparkEntry {
   private val eventsStreamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One-time DELIBERATELY-LATE 8-file events layout for q309: files
+    * cover contiguous 4-day spans in arrival order, but ~20% of each
+    * span's rows (user_id % 5 == 0) are demoted one file LATER, so
+    * they arrive out of event-time order with bounded lateness — under
+    * a "4 days" watermark none may be dropped, which the gate's
+    * dropped-rows receipt verifies. */
+  private val lateStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** One-time ORDERED 8-file documents layout for q235: each file holds
     * a contiguous doc_id range, modification times spaced so file
     * readStream (latestFirst=false, 1 file/trigger) replays the corpus
@@ -1759,6 +1768,135 @@ object SparkEntry {
         .select(col("community"), col("n_edges_in"), col("dout"),
           col("din"), round(col("q_part"), 6).as("q6"))
         .orderBy("community")
+    }),
+
+    "q308_maxsim_ann" -> ((s, dir) => {
+      // the late-interaction PRODUCTION path: SQ8 pooled-vector
+      // candidates (quantized top-256 -> true-rescored top-64, q255's
+      // generator) feed maxSimTopKFrom, which shares q279's scoring
+      // fold byte-for-byte; gated q255-style as a full-outer agreement
+      // report against the q279 brute truth, so the candidate
+      // generator's recall on THIS data is measured in-gate (pooled
+      // cosine and token-level MaxSim are different functions — on
+      // this synthetic fixture they correlate weakly, and the receipt
+      // says exactly how weakly), never assumed
+      val emb = t(s, dir, "embeddings")
+      val toks = transform(sequence(lit(0), lit(7)),
+        i => slice(col("embedding").cast("array<double>"),
+          i * 8 + 1, lit(8)))
+      val corpus = emb.select(col("vec_id"), toks.as("tv"))
+      val queries = corpus.where(col("vec_id") < 8)
+      val ranges = graft.ops.Similarity.sqRanges(emb, col("embedding"))
+        .orderBy("dim").collect()
+      val lo = ranges.map(_.getDouble(1)).toSeq
+      val hi = ranges.map(_.getDouble(2)).toSeq
+      val coded = emb.select(col("vec_id"),
+        graft.ops.Similarity.sqQuantize(col("embedding"), lo, hi)
+          .as("codes"))
+      val cand = graft.ops.Similarity.sqTopKRefined(coded, emb,
+          emb.where(col("vec_id") < 8), "vec_id", "codes", "embedding",
+          lo, hi, k = 64, rerank = 256)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      val fed = graft.ops.Similarity.maxSimTopKFrom(cand, corpus,
+          queries, "vec_id", "tv", 5)
+        .select(col("query_id"), col("rank"),
+          col("doc_id").as("doc_ann"),
+          round(col("maxsim"), 6).as("ms_ann6"))
+      val truth = graft.ops.Similarity.maxSimTopK(corpus, queries,
+          "vec_id", "tv", 5)
+        .select(col("query_id"), col("rank"),
+          col("doc_id").as("doc_true"),
+          round(col("maxsim"), 6).as("ms_true6"))
+      fed.join(truth, Seq("query_id", "rank"), "full_outer")
+        .select(col("query_id"), col("rank"), col("doc_ann"),
+          col("ms_ann6"), col("doc_true"), col("ms_true6"),
+          (col("doc_ann") <=> col("doc_true")).cast("int").as("agree"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q309_streaming_late" -> ((s, dir) => {
+      // the late/out-of-order-data contract GATED: 8 micro-batches of
+      // events where ~20% of each 4-day span arrives one batch late,
+      // through withWatermark("4 days") + the windowed count stage in
+      // APPEND mode. Three receipts ride the output: (a) the emitted
+      // finalized cells equal the batch computation restricted to
+      // window_end <= max(ts) - 4 days — late rows landed in their
+      // correct windows; (b) dropped = 0 — the watermark bound really
+      // covered the disorder; (c) state_rows = the open
+      // (window, category) cells — everything past the watermark was
+      // EVICTED from the state store (the bounded-state claim of
+      // SURVEY 7.4.8, measured, not asserted)
+      val tmp = lateStreamDirCache.computeIfAbsent(dir, { d =>
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_q309").toString
+        val ev = graft.sources.Tables.load(s, d, "events")
+        val di = datediff(to_date(col("ts")), lit("2024-01-01"))
+        val bucket = when(col("user_id") % 5 === 0,
+          least(least(floor(di / 4), lit(7L)) + 1, lit(7L)))
+          .otherwise(least(floor(di / 4), lit(7L)))
+        val withB = ev.withColumn("__b", bucket)
+        (0 to 7).foreach { b =>
+          withB.where(col("__b") === b).drop("__b").coalesce(1)
+            .write.mode("append").parquet(s"$base/events.parquet")
+          Thread.sleep(30) // strictly increasing mtimes = arrival order
+        }
+        base
+      })
+      val stream = graft.sources.Tables.loadStream(s, tmp, "events",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val sink = "q309_late_sink"
+      val q = graft.ops.Drift.windowedCounts(
+          stream.withWatermark("ts", "4 days"), col("ts"),
+          col("event_type"), "1 day")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // the final emission happens in a watermark-advance no-data
+        // batch; poll until the sink is stable
+        var stable = 0
+        var last = -1L
+        var spins = 0
+        while (stable < 3 && spins < 60) {
+          val n = s.table(sink).count()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+          Thread.sleep(200)
+          q.processAllAvailable()
+          spins += 1
+        }
+        val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        val cells = s.table(sink)
+          .select(date_format(col("window_start"), "yyyy-MM-dd")
+            .as("day"), col("category"), col("n"))
+          .localCheckpoint()
+        import s.implicits._
+        cells.unionByName(Seq(
+          ("__receipt", "state_rows", stateRows),
+          ("__receipt", "dropped", dropped))
+          .toDF("day", "category", "n"))
+          .orderBy("day", "category")
+      } finally {
+        q.stop()
+        s.sql(s"DROP TABLE IF EXISTS $sink")
+      }
+    }),
+
+    "q310_kcenter_sampled" -> ((s, dir) => {
+      // candidate-fed k-center at the production shape: greedy
+      // selection over the deterministic 25% hash sample
+      // (uniformSample — replayed splitmix grid in the oracle), but
+      // the final row measures the EXACT covering radius over the FULL
+      // corpus — the receipt that says what sampling cost in coverage
+      val emb = t(s, dir, "embeddings")
+      val sample = graft.ops.Sampling.uniformSample(emb,
+        col("vec_id"), 0.25)
+      graft.ops.Similarity.kCenterFrom(sample, emb, "vec_id",
+          "embedding", 6)
+        .select(col("round"), col("center_id"),
+          round(col("sel_dist"), 6).as("dist6"))
+        .orderBy("round")
     }),
 
     "q304_streaming_ks" -> ((s, dir) => {
@@ -5873,6 +6011,50 @@ i$k AS MATERIALIZED (SELECT
     * distance to the centers so far and picks by
     * (round(d, 6) DESC, vec_id), mirroring the engine's 1e-6-grain
     * selection contract. */
+  /** q310's oracle: [[kCenterOracle]]'s greedy chain run over the
+    * uniformSample(0.25) slice (the replayed splitmix grid), with the
+    * final covering-radius row measured over the FULL corpus. */
+  private def kCenterFromOracle(k: Int): String = {
+    val sq = "list_sum(list_transform(range(1, 65), " +
+      "i -> (p.v[i] - cv.v[i]) * (p.v[i] - cv.v[i])))"
+    val head = hashMacros +
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+             embedding::DOUBLE[] AS v FROM embeddings),
+         es AS MATERIALIZED (SELECT vec_id, v FROM e
+           WHERE (g_av(vec_id::UBIGINT) & 1048575::UBIGINT)::BIGINT
+             < 262144),
+         cum0 AS MATERIALIZED (SELECT 0 AS round, vec_id FROM es
+           ORDER BY vec_id LIMIT 1)"""
+    val steps = (1 until k).map { r =>
+      s""",
+         d$r AS MATERIALIZED (SELECT p.vec_id, min($sq) AS d
+           FROM es p, cum${r - 1} c, es cv
+           WHERE cv.vec_id = c.vec_id
+             AND p.vec_id NOT IN (SELECT vec_id FROM cum${r - 1})
+           GROUP BY p.vec_id),
+         pick$r AS MATERIALIZED (SELECT vec_id, d FROM d$r
+           ORDER BY round(d, 6) DESC, vec_id LIMIT 1),
+         cum$r AS MATERIALIZED (SELECT round, vec_id FROM cum${r - 1}
+           UNION ALL SELECT $r, vec_id FROM pick$r)"""
+    }.mkString
+    val rad =
+      s""",
+         rad AS MATERIALIZED (SELECT max(md) AS radius FROM (
+           SELECT p.vec_id, min($sq) AS md
+           FROM e p, cum${k - 1} c, es cv WHERE cv.vec_id = c.vec_id
+           GROUP BY p.vec_id))"""
+    val sel = (1 until k).map(r =>
+      s"UNION ALL SELECT $r::BIGINT, vec_id, round(d, 6) FROM pick$r")
+      .mkString("\n         ")
+    head + steps + rad +
+      s""" SELECT 0::BIGINT AS round, vec_id AS center_id,
+           NULL::DOUBLE AS dist6 FROM cum0 WHERE round = 0
+         $sel
+         UNION ALL SELECT $k::BIGINT, NULL::BIGINT,
+           round(radius, 6) FROM rad
+         ORDER BY round"""
+  }
+
   private def kCenterOracle(k: Int): String = {
     val sq = "list_sum(list_transform(range(1, 65), " +
       "i -> (p.v[i] - cv.v[i]) * (p.v[i] - cv.v[i])))"
@@ -9176,6 +9358,82 @@ ORDER BY idA, idB"""),
            (b = (SELECT b FROM ch)) AS chosen
          FROM x ORDER BY b""",
     // cumulative side counts per distinct value; integer KS numerator
+    // SQ8 candidates (q255's chain) -> MaxSim re-score on candidates
+    // only; brute truth is q279's corpus scoring; full-outer agreement
+    "q308_maxsim_ann" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+             embedding::DOUBLE[] AS v,
+             list_transform(range(0, 8), i ->
+               (embedding::DOUBLE[])[i*8+1 : i*8+8]) AS tv
+           FROM embeddings),
+         r AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM e, generate_series(1, 64) g(i) GROUP BY i),
+         dec AS (SELECT e.vec_id,
+               list(r.lo + (CASE WHEN r.hi <= r.lo THEN 0
+                 ELSE least(255, greatest(0,
+                   floor((v[r.dim] - r.lo) / (r.hi - r.lo) * 256)))::INT END
+                 + 0.5) / 256.0 * (r.hi - r.lo) ORDER BY r.dim) AS dv
+             FROM e, r GROUP BY e.vec_id),
+         q AS (SELECT vec_id AS query_id, v AS qv, tv AS qtv
+               FROM e WHERE vec_id < 8),
+         sqr AS (SELECT q.query_id, d.vec_id, row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qv, d.dv), 6)
+                     DESC, d.vec_id) AS rn
+                 FROM q JOIN dec d ON d.vec_id <> q.query_id),
+         cd AS (SELECT c.query_id, c.vec_id AS doc_id,
+                  round(list_cosine_similarity(q.qv, e2.v), 6) AS cos
+                FROM (SELECT query_id, vec_id FROM sqr WHERE rn <= 256) c
+                JOIN e e2 ON e2.vec_id = c.vec_id
+                JOIN q ON q.query_id = c.query_id),
+         cset AS (SELECT query_id, doc_id FROM (SELECT cd.*,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, doc_id) AS rn2 FROM cd)
+                  WHERE rn2 <= 64),
+         fs AS (SELECT cs.query_id, cs.doc_id,
+             list_sum(list_transform(q.qtv, qt -> list_max(list_transform(d.tv, dt -> list_cosine_similarity(qt, dt))))) AS maxsim
+           FROM cset cs JOIN e d ON d.vec_id = cs.doc_id
+           JOIN q ON q.query_id = cs.query_id),
+         fed AS (SELECT query_id, rank, doc_id AS doc_ann, ms_ann6
+           FROM (SELECT query_id, doc_id, round(maxsim, 6) AS ms_ann6,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(maxsim, 6) DESC, doc_id)::INT AS rank
+             FROM fs) WHERE rank <= 5),
+         bs AS (SELECT q.query_id, d.vec_id AS doc_id,
+             list_sum(list_transform(q.qtv, qt -> list_max(list_transform(d.tv, dt -> list_cosine_similarity(qt, dt))))) AS maxsim
+           FROM q JOIN e d ON d.vec_id <> q.query_id),
+         tru AS (SELECT query_id, rank, doc_id AS doc_true, ms_true6
+           FROM (SELECT query_id, doc_id, round(maxsim, 6) AS ms_true6,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(maxsim, 6) DESC, doc_id)::INT AS rank
+             FROM bs) WHERE rank <= 5)
+         SELECT coalesce(fed.query_id, tru.query_id) AS query_id,
+           coalesce(fed.rank, tru.rank) AS rank,
+           fed.doc_ann, fed.ms_ann6, tru.doc_true, tru.ms_true6,
+           (fed.doc_ann IS NOT DISTINCT FROM tru.doc_true)::INT AS agree
+         FROM fed FULL OUTER JOIN tru
+           ON fed.query_id = tru.query_id AND fed.rank = tru.rank
+         ORDER BY query_id, rank""",
+    // append-mode finalized cells = batch cells with window_end <=
+    // max(ts) - 4 days; state receipt = the open cells; dropped = 0
+    // (the lateness the layout injects is bounded by the watermark)
+    "q309_streaming_late" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS w,
+             event_type AS category, count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         mx AS (SELECT max(ts) AS m FROM events),
+         lab AS (SELECT strftime(w, '%Y-%m-%d') AS day, category, n,
+             (w + INTERVAL 1 DAY <=
+               (SELECT m FROM mx) - INTERVAL 4 DAY) AS fin FROM c)
+         SELECT day, category, n FROM (
+           SELECT day, category, n FROM lab WHERE fin
+           UNION ALL
+           SELECT '__receipt', 'state_rows',
+             (SELECT count(*) FROM lab WHERE NOT fin)::BIGINT
+           UNION ALL
+           SELECT '__receipt', 'dropped', 0::BIGINT)
+         ORDER BY day, category""",
+    "q310_kcenter_sampled" -> kCenterFromOracle(6),
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
