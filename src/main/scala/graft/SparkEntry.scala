@@ -1814,6 +1814,56 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q311_maxsim_token_ann" -> ((s, dir) => {
+      // the ColBERT-FAITHFUL first stage (Khattab & Zaharia 2020 §3.6):
+      // index document TOKEN vectors, retrieve top-32 token matches per
+      // QUERY token (SQ8 two-stage), union the hit docs per query, and
+      // exact-MaxSim re-score only those candidates via the same
+      // maxSimTopKFrom. Gated as the q308 agreement report — on this
+      // synthetic fixture the token-level stage agrees far more often
+      // than q308's pooled stage (the receipt pair QUANTIFIES the
+      // candidate-generator hierarchy instead of asserting it)
+      val emb = t(s, dir, "embeddings")
+      val toks = transform(sequence(lit(0), lit(7)),
+        i => slice(col("embedding").cast("array<double>"),
+          i * 8 + 1, lit(8)))
+      val corpus = emb.select(col("vec_id"), toks.as("tv"))
+      val queries = corpus.where(col("vec_id") < 8)
+      val tok = corpus.select(col("vec_id"), posexplode(col("tv")))
+        .select((col("vec_id") * 8 + col("pos")).as("tok_id"),
+          col("col").as("v"))
+      val tr = graft.ops.Similarity.sqRanges(tok, col("v"))
+        .orderBy("dim").collect()
+      val lo8 = tr.map(_.getDouble(1)).toSeq
+      val hi8 = tr.map(_.getDouble(2)).toSeq
+      val codedTok = tok.select(col("tok_id"),
+        graft.ops.Similarity.sqQuantize(col("v"), lo8, hi8).as("codes"))
+      val qTok = tok.where(col("tok_id") < 64)
+      val hits = graft.ops.Similarity.sqTopKRefined(codedTok, tok, qTok,
+        "tok_id", "codes", "v", lo8, hi8, k = 32, rerank = 96)
+      val cand = hits.select(
+          ((col("query_id") - col("query_id") % 8) / 8).cast("long")
+            .as("query_id"),
+          ((col("neighbor_id") - col("neighbor_id") % 8) / 8).cast("long")
+            .as("doc_id"))
+        .where(col("query_id") =!= col("doc_id")).distinct()
+      val fed = graft.ops.Similarity.maxSimTopKFrom(cand, corpus,
+          queries, "vec_id", "tv", 5)
+        .select(col("query_id"), col("rank"),
+          col("doc_id").as("doc_ann"),
+          round(col("maxsim"), 6).as("ms_ann6"))
+      val truth = graft.ops.Similarity.maxSimTopK(corpus, queries,
+          "vec_id", "tv", 5)
+        .select(col("query_id"), col("rank"),
+          col("doc_id").as("doc_true"),
+          round(col("maxsim"), 6).as("ms_true6"))
+      fed.join(truth, Seq("query_id", "rank"), "full_outer")
+        .select(col("query_id"), col("rank"), col("doc_ann"),
+          col("ms_ann6"), col("doc_true"), col("ms_true6"),
+          (col("doc_ann") <=> col("doc_true")).cast("int").as("agree"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q309_streaming_late" -> ((s, dir) => {
       // the late/out-of-order-data contract GATED: 8 micro-batches of
       // events where ~20% of each 4-day span arrives one batch late,
@@ -9393,6 +9443,70 @@ ORDER BY idA, idB"""),
          fs AS (SELECT cs.query_id, cs.doc_id,
              list_sum(list_transform(q.qtv, qt -> list_max(list_transform(d.tv, dt -> list_cosine_similarity(qt, dt))))) AS maxsim
            FROM cset cs JOIN e d ON d.vec_id = cs.doc_id
+           JOIN q ON q.query_id = cs.query_id),
+         fed AS (SELECT query_id, rank, doc_id AS doc_ann, ms_ann6
+           FROM (SELECT query_id, doc_id, round(maxsim, 6) AS ms_ann6,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(maxsim, 6) DESC, doc_id)::INT AS rank
+             FROM fs) WHERE rank <= 5),
+         bs AS (SELECT q.query_id, d.vec_id AS doc_id,
+             list_sum(list_transform(q.qtv, qt -> list_max(list_transform(d.tv, dt -> list_cosine_similarity(qt, dt))))) AS maxsim
+           FROM q JOIN e d ON d.vec_id <> q.query_id),
+         tru AS (SELECT query_id, rank, doc_id AS doc_true, ms_true6
+           FROM (SELECT query_id, doc_id, round(maxsim, 6) AS ms_true6,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(maxsim, 6) DESC, doc_id)::INT AS rank
+             FROM bs) WHERE rank <= 5)
+         SELECT coalesce(fed.query_id, tru.query_id) AS query_id,
+           coalesce(fed.rank, tru.rank) AS rank,
+           fed.doc_ann, fed.ms_ann6, tru.doc_true, tru.ms_true6,
+           (fed.doc_ann IS NOT DISTINCT FROM tru.doc_true)::INT AS agree
+         FROM fed FULL OUTER JOIN tru
+           ON fed.query_id = tru.query_id AND fed.rank = tru.rank
+         ORDER BY query_id, rank""",
+    // token-level SQ8 first stage: per query-token top-32 token hits
+    // (quantized top-96 -> true-rescored top-32), hit docs unioned per
+    // query, exact MaxSim over candidates only; same agreement frame
+    "q311_maxsim_token_ann" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+             list_transform(range(0, 8), i ->
+               (embedding::DOUBLE[])[i*8+1 : i*8+8]) AS tv
+           FROM embeddings),
+         tt AS MATERIALIZED (SELECT vec_id * 8 + i AS tok_id,
+             tv[i + 1] AS v FROM e, range(0, 8) r(i)),
+         r8 AS (SELECT i AS dim, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM tt, generate_series(1, 8) g(i) GROUP BY i),
+         dec8 AS MATERIALIZED (SELECT tt.tok_id,
+               list(r8.lo + (CASE WHEN r8.hi <= r8.lo THEN 0
+                 ELSE least(255, greatest(0,
+                   floor((v[r8.dim] - r8.lo) / (r8.hi - r8.lo) * 256)))::INT END
+                 + 0.5) / 256.0 * (r8.hi - r8.lo) ORDER BY r8.dim) AS dv
+             FROM tt, r8 GROUP BY tt.tok_id),
+         qt AS (SELECT tok_id, v FROM tt WHERE tok_id < 64),
+         tsqr AS (SELECT q.tok_id AS qtok, d.tok_id, row_number() OVER (
+                   PARTITION BY q.tok_id
+                   ORDER BY round(list_cosine_similarity(q.v, d.dv), 6)
+                     DESC, d.tok_id) AS rn
+                 FROM qt q JOIN dec8 d ON d.tok_id <> q.tok_id),
+         tcd AS (SELECT c.qtok, c.tok_id,
+                  round(list_cosine_similarity(q.v, t2.v), 6) AS cos
+                FROM (SELECT qtok, tok_id FROM tsqr WHERE rn <= 96) c
+                JOIN tt t2 ON t2.tok_id = c.tok_id
+                JOIN qt q ON q.tok_id = c.qtok),
+         thit AS (SELECT qtok, tok_id FROM (SELECT tcd.*,
+                   row_number() OVER (PARTITION BY qtok
+                     ORDER BY cos DESC, tok_id) AS rn2 FROM tcd)
+                  WHERE rn2 <= 32),
+         cand AS (SELECT DISTINCT
+             ((qtok - qtok % 8) / 8)::BIGINT AS query_id,
+             ((tok_id - tok_id % 8) / 8)::BIGINT AS doc_id FROM thit
+           WHERE ((qtok - qtok % 8) / 8)::BIGINT
+             <> ((tok_id - tok_id % 8) / 8)::BIGINT),
+         q AS (SELECT vec_id AS query_id, tv AS qtv FROM e
+               WHERE vec_id < 8),
+         fs AS (SELECT cs.query_id, cs.doc_id,
+             list_sum(list_transform(q.qtv, qt -> list_max(list_transform(d.tv, dt -> list_cosine_similarity(qt, dt))))) AS maxsim
+           FROM cand cs JOIN e d ON d.vec_id = cs.doc_id
            JOIN q ON q.query_id = cs.query_id),
          fed AS (SELECT query_id, rank, doc_id AS doc_ann, ms_ann6
            FROM (SELECT query_id, doc_id, round(maxsim, 6) AS ms_ann6,
