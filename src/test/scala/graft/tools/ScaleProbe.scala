@@ -665,6 +665,45 @@ object ScaleProbe {
         col("s2"), col("cand_id"), k = 3))
     }
 
+    // r13: late-interaction at corpus scale. The candidate-fed scorer's
+    // cost must track CANDIDATES (one corpus scan + a broadcast-hash
+    // probe), never corpus x queries; the token-level first stage is the
+    // expensive half and is the same sqTopK shape the ANN family probes.
+    def tokenBags(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), t =>
+        transform(sequence(lit(0), lit(7)), d =>
+          (((col("id") * 31 + t * lit(7L) + d * lit(3L)) % 97)
+            .cast("double") - lit(48.0)) / lit(48.0))).as("tv"))
+    time(s"r13 maxSimTopKFrom 8 queries x 64 cands, $nVecs-doc corpus") {
+      val bags = tokenBags(nVecs)
+      val cand = spark.range(8).select(col("id").as("query_id"))
+        .crossJoin(spark.range(64)
+          .select((col("id") * (nVecs / 64) + 7).as("doc_id")))
+      force(graft.ops.Similarity.maxSimTopKFrom(cand, bags,
+        bags.where(col("vec_id") < 8), "vec_id", "tv", 5))
+    }
+    time(s"r13 token-level SQ8 first stage, ${nVecs / 4} docs x 8 tok") {
+      val bags = tokenBags(nVecs / 4)
+      val tok = bags.select(col("vec_id"), posexplode(col("tv")))
+        .select((col("vec_id") * 8 + col("pos")).as("tok_id"),
+          col("col").as("v"))
+      val tr = graft.ops.Similarity.sqRanges(tok, col("v"))
+        .orderBy("dim").collect()
+      val lo8 = tr.map(_.getDouble(1)).toSeq
+      val hi8 = tr.map(_.getDouble(2)).toSeq
+      val codedTok = tok.select(col("tok_id"),
+        graft.ops.Similarity.sqQuantize(col("v"), lo8, hi8).as("codes"))
+      val hits = graft.ops.Similarity.sqTopKRefined(codedTok, tok,
+        tok.where(col("tok_id") < 64), "tok_id", "codes", "v",
+        lo8, hi8, k = 32, rerank = 96)
+      force(hits.select(
+          ((col("query_id") - col("query_id") % 8) / 8).cast("long")
+            .as("query_id"),
+          ((col("neighbor_id") - col("neighbor_id") % 8) / 8).cast("long")
+            .as("doc_id"))
+        .where(col("query_id") =!= col("doc_id")).distinct())
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
