@@ -1949,6 +1949,39 @@ object SparkEntry {
         .orderBy("round")
     }),
 
+    "q312_embed_lsh_pairs" -> ((s, dir) => {
+      // the production arm of embedding near-dup (embeddingPairsLsh —
+      // SRP bucket join, vectors never shuffle pairwise) gated against
+      // the q42 exact arm with an in-gate agreement receipt, closing
+      // the last dual-path family that ran truth-only. The fixture
+      // plants one perturbed copy per vector (w_i = v_i + 0.05·v_{i+1},
+      // cosine ≈ 0.99875 on this data) so the 0.95 threshold sits in a
+      // real margin (background max ≈ 0.61, measured at all 3 SFs);
+      // at bits=16/tables=16 the per-pair SRP miss bound is ~5e-11, so
+      // found_lsh must read 1 on every exact pair — a miss goes red.
+      // LSH ⊆ exact by construction (candidates are cosine-verified on
+      // true vectors), so the full-outer join also catches phantom rows
+      val emb = t(s, dir, "embeddings")
+      val v = col("embedding").cast("array<double>")
+      val pert = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => element_at(v, i) +
+            lit(0.05) * element_at(v, (i % 64) + 1)).as("embedding"))
+      val corpus = emb.select(col("vec_id"), v.as("embedding"))
+        .unionByName(pert)
+      val exact = graft.ops.Dedup.embeddingPairsExact(corpus,
+        "vec_id", "embedding", 0.95)
+      val lsh = graft.ops.Dedup.embeddingPairsLsh(corpus,
+          "vec_id", "embedding", 0.95, bits = 16, tables = 16,
+          seed = 7L)
+        .select(col("idA"), col("idB"), lit(1).as("__hit"))
+      exact.join(lsh, Seq("idA", "idB"), "full_outer")
+        .select(col("idA"), col("idB"),
+          round(col("cosine"), 6).as("cosine"),
+          coalesce(col("__hit"), lit(0)).as("found_lsh"))
+        .orderBy("idA", "idB")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -9548,6 +9581,19 @@ ORDER BY idA, idB"""),
            SELECT '__receipt', 'dropped', 0::BIGINT)
          ORDER BY day, category""",
     "q310_kcenter_sampled" -> kCenterFromOracle(6),
+    "q312_embed_lsh_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pert AS (SELECT vec_id + 100000 AS vec_id,
+             list_transform(range(1,65),
+               i -> v[i] + 0.05 * v[(i % 64) + 1]) AS v
+           FROM e),
+         c AS (SELECT * FROM e UNION ALL SELECT * FROM pert)
+         SELECT a.vec_id AS idA, b.vec_id AS idB,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine,
+           1 AS found_lsh
+         FROM c a JOIN c b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+         ORDER BY idA, idB""",
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
