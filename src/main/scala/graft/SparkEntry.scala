@@ -1982,6 +1982,54 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    "q313_krippendorff" -> ((s, dir) => {
+      // Krippendorff's alpha on a SPARSE rating design — q185's rater
+      // fixture with ~40% of (doc, rater) cells hash-dropped, so rater
+      // counts vary 0..5 per item and singleton items are excluded:
+      // exactly the missing-data regime alpha exists for and Fleiss'
+      // kappa (q185) assumes away. Every count exact; the coincidence
+      // algebra mirrored in SQL
+      val rated = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), lit(4))).as("r"))
+        .where(pmod(gf.hash64(concat(col("doc_id"), lit(":"), col("r"),
+          lit(":keep"))), lit(10)) < 6)
+        .withColumn("cat",
+          when(pmod(gf.hash64(concat(col("doc_id"), lit(":"), col("r"))),
+            lit(10)) < 7, col("lang"))
+          .otherwise(concat(lit("alt"),
+            pmod(gf.hash64(concat(col("doc_id"), lit(":"), col("r"),
+              lit(":x"))), lit(3)))))
+      graft.ops.Eval.krippendorffAlpha(rated, col("doc_id"), col("cat"))
+        .select(col("n_items"), col("n_pairable"), col("n_categories"),
+          round(col("d_o"), 6).as("d_o"),
+          round(col("d_e"), 6).as("d_e"),
+          round(col("alpha"), 6).as("alpha"))
+    }),
+
+    "q314_temporal_split" -> ((s, dir) => {
+      // purged temporal split over the event feed: cutoff 2024-01-22,
+      // 3-day embargo — per-split censuses carry the day boundaries
+      // (the gap is visible in the receipt: train ends 01-18, test
+      // starts 01-22), and entityOverlap counts users straddling each
+      // split pair — the orthogonal leak a time split does NOT close,
+      // measured so the pipeline can decide to group-split instead
+      val ev = t(s, dir, "events")
+      val split = graft.ops.Sampling.temporalSplit(ev, col("ts"),
+        lit("2024-01-22").cast("timestamp"), expr("INTERVAL 3 DAYS"))
+      val per = split.groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          date_format(min(col("ts")), "yyyy-MM-dd").as("d1"),
+          date_format(max(col("ts")), "yyyy-MM-dd").as("d2"))
+      val ov = graft.ops.Sampling.entityOverlap(split, col("user_id"))
+        .select(concat(col("split_a"), lit("|"), col("split_b"))
+            .as("split"),
+          col("entities").as("n"),
+          lit(null).cast("string").as("d1"),
+          lit(null).cast("string").as("d2"))
+      per.unionByName(ov).orderBy("split")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -9594,6 +9642,58 @@ ORDER BY idA, idB"""),
          FROM c a JOIN c b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.95
          ORDER BY idA, idB""",
+    "q313_krippendorff" ->
+      (hashMacros + """WITH rt AS (SELECT doc_id, lang, u.r AS r
+    FROM documents, unnest(range(0, 5)) u(r)),
+kept AS (SELECT * FROM rt
+  WHERE ((g_sb(g_thash(doc_id::VARCHAR || ':' || r::VARCHAR || ':keep'))
+      % 10) + 10) % 10 < 6),
+rated AS (SELECT doc_id,
+    CASE WHEN ((g_sb(g_thash(doc_id::VARCHAR || ':' || r::VARCHAR))
+          % 10) + 10) % 10 < 7 THEN lang
+      ELSE 'alt' || (((g_sb(g_thash(doc_id::VARCHAR || ':' || r::VARCHAR
+          || ':x')) % 3) + 3) % 3)::VARCHAR END AS cat
+  FROM kept),
+v AS (SELECT doc_id, cat, count(*)::BIGINT AS nn
+  FROM rated GROUP BY 1, 2),
+bi AS (SELECT doc_id, sum(nn)::BIGINT AS ni FROM v GROUP BY 1
+  HAVING sum(nn) >= 2),
+it AS (SELECT count(*)::BIGINT AS n_items,
+    coalesce(sum(ni), 0)::BIGINT AS n_pairable FROM bi),
+aa AS (SELECT coalesce(sum(nn * (nn - 1)::DOUBLE / (ni - 1)), 0.0) AS a
+  FROM v JOIN bi USING (doc_id)),
+bc AS (SELECT count(*)::BIGINT AS n_categories,
+    sum(nc * nc)::DOUBLE AS sc2 FROM (
+      SELECT v.cat, sum(v.nn)::BIGINT AS nc FROM v
+      JOIN bi USING (doc_id) GROUP BY 1)),
+f AS (SELECT n_items, n_pairable, n_categories,
+    (n_pairable - a) / n_pairable::DOUBLE AS d_o,
+    (n_pairable::DOUBLE * n_pairable - sc2)
+      / (n_pairable::DOUBLE * (n_pairable - 1)) AS d_e
+  FROM it, aa, bc)
+SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
+  round(d_e, 6) AS d_e, round(1.0 - d_o / d_e, 6) AS alpha FROM f"""),
+    "q314_temporal_split" ->
+      """WITH s AS (SELECT user_id, ts,
+           CASE WHEN ts < TIMESTAMP '2024-01-22' - INTERVAL 3 DAY
+                  THEN 'train'
+                WHEN ts >= TIMESTAMP '2024-01-22' THEN 'test'
+                ELSE 'embargo' END AS split
+         FROM events),
+         per AS (SELECT split, count(*)::BIGINT AS n,
+             strftime(min(ts), '%Y-%m-%d') AS d1,
+             strftime(max(ts), '%Y-%m-%d') AS d2
+           FROM s GROUP BY 1),
+         es AS (SELECT DISTINCT user_id, split FROM s
+           WHERE user_id IS NOT NULL),
+         ov AS (SELECT a.split || '|' || b.split AS split,
+             count(*)::BIGINT AS n, NULL::VARCHAR AS d1,
+             NULL::VARCHAR AS d2
+           FROM es a JOIN es b
+             ON a.user_id = b.user_id AND a.split < b.split
+           GROUP BY 1)
+         SELECT * FROM (SELECT * FROM per UNION ALL SELECT * FROM ov)
+         ORDER BY split""",
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,

@@ -321,6 +321,68 @@ object Eval {
         (col("p_bar") - peBar) / (lit(1.0) - peBar)).as("kappa"))
   }
 
+  /** Krippendorff's alpha, nominal data (Krippendorff 2011) — the
+    * inter-annotator agreement coefficient built for MISSING ratings:
+    * unlike Fleiss' kappa ([[fleissKappa]]), whose chance model assumes
+    * a rectangular rater×item design, alpha's expected disagreement is
+    * estimated from the observed coincidence matrix, so sparse and
+    * variable rater coverage — the reality of LLM preference/rubric
+    * labeling, where each sample gets 2–5 raters out of a large pool —
+    * is handled without imputation.
+    *
+    * Coincidence algebra, specialized to the nominal distance (the c×k
+    * matrix never materializes): with n_ic the (item, category) vote
+    * count and n_i = Σ_c n_ic over items with n_i ≥ 2 (singletons
+    * carry no pairable information and are excluded, the standard
+    * treatment),
+    *
+    *   agreement mass   A  = Σ_i Σ_c n_ic·(n_ic − 1)/(n_i − 1)
+    *   pairable mass    n  = Σ_i n_i
+    *   D_o = (n − A)/n
+    *   marginals collapse to raw counts: n_c = Σ_i n_ic, because
+    *     Σ_k o_ck = Σ_i n_ic·(n_i − 1)/(n_i − 1) = Σ_i n_ic
+    *   D_e = (n² − Σ_c n_c²) / (n·(n − 1))
+    *   α   = 1 − D_o/D_e
+    *
+    * Scale shape ([[fleissKappa]]'s): ONE corpus shuffle into
+    * (item, category) counts (map-side combined, checkpointed — read
+    * by the agreement fold and the marginal fold); the per-item
+    * fractional terms fan in through exact_sum so the one-row report
+    * is bit-deterministic under any partitioning; marginal squares are
+    * DECIMAL(38,0). Returns one row: (n_items, n_pairable,
+    * n_categories, d_o, d_e, alpha) — alpha NULL when D_e = 0 (all
+    * pairable mass in one category) or nothing is pairable. */
+  def krippendorffAlpha(df: DataFrame, itemCol: Column,
+      categoryCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val votes = df.select(itemCol.as("__i"), categoryCol.as("__c"))
+      .where(col("__i").isNotNull && col("__c").isNotNull)
+      .groupBy("__i", "__c").agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val byItem = votes.groupBy("__i")
+      .agg(sum(col("__n")).as("__ni"))
+      .where(col("__ni") >= 2)
+    val withNi = votes.join(byItem, Seq("__i"))
+    val itemStats = byItem.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("__ni")), lit(0L)).as("n_pairable"))
+    val agreeTerm = col("__n").cast("double") *
+      (col("__n") - 1).cast("double") / (col("__ni") - 1).cast("double")
+    val aRow = withNi.agg(coalesce(
+      graft.api.functions.exact_sum(agreeTerm), lit(0.0)).as("__A"))
+    val catStats = withNi.groupBy("__c").agg(sum(col("__n")).as("__nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(col("__nc").cast(dec) * col("__nc").cast(dec)),
+          lit(0).cast(dec)).as("__sc2"))
+    val j = itemStats.crossJoin(aRow).crossJoin(catStats) // 1×1 scalars
+    val n = col("n_pairable").cast("double")
+    val dO = when(col("n_pairable") > 0, (n - col("__A")) / n)
+    val dE = when(col("n_pairable") >= 2,
+      (n * n - col("__sc2").cast("double")) / (n * (n - lit(1.0))))
+    j.select(col("n_items"), col("n_pairable"), col("n_categories"),
+      dO.as("d_o"), dE.as("d_e"),
+      when(dE > 0, lit(1.0) - dO / dE).as("alpha"))
+  }
+
   /** Corpus-level BLEU (Papineni et al. 2002) per group — the n-gram
     * overlap score a generation/translation pipeline reports over
     * millions of (reference, candidate) pairs. Whitespace tokenization

@@ -105,6 +105,47 @@ object Sampling {
     df.withColumn(splitCol, c)
   }
 
+  /** Time-based train/eval split with an EMBARGO gap (the purged-split
+    * discipline of temporal ML, López de Prado 2018 §7, applied to
+    * training-data curation): rows strictly before `cutoff − embargo`
+    * are `train`, rows at/after `cutoff` are `test`, and rows inside
+    * the gap are labeled `embargo` — meant to be dropped. With
+    * temporally autocorrelated content (sessions, rolling stats,
+    * recrawls of the same page), rows adjacent in time leak label
+    * information across a naive boundary; the gap makes the two sides
+    * independent at the chosen horizon. A hash split ([[hashSplit]])
+    * cannot provide this: it mixes future into train by construction.
+    *
+    * Row-local predicate — no shuffle, survives any partitioning; same
+    * (ts, cutoff, embargo) → same split, always. `embargo` is an
+    * interval column (e.g. `expr("INTERVAL 3 DAYS")`). */
+  def temporalSplit(df: DataFrame, tsCol: Column, cutoff: Column,
+      embargo: Column, splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol,
+      when(tsCol < cutoff - embargo, "train")
+        .when(tsCol >= cutoff, "test")
+        .otherwise("embargo"))
+
+  /** Cross-split entity-leakage receipt: how many distinct entities
+    * (users, sessions, domains) have rows in BOTH splits of each split
+    * pair. A temporal split keeps time-leakage out; this measures the
+    * orthogonal leak — the same entity straddling the boundary — so a
+    * pipeline can decide whether to group-split instead
+    * ([[splitByComponents]]' role for near-dup components). Scale
+    * shape: the corpus reduces to DISTINCT (entity, split) rows first
+    * (one map-side-combined shuffle); the self-join runs on that
+    * entity-sized frame, never on rows. */
+  def entityOverlap(df: DataFrame, entityCol: Column,
+      splitCol: String = "split"): DataFrame = {
+    val es = df.select(entityCol.as("__e"), col(splitCol).as("__s"))
+      .where(col("__e").isNotNull && col("__s").isNotNull).distinct()
+      .localCheckpoint()
+    es.as("a").join(es.as("b"),
+        col("a.__e") === col("b.__e") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("split_a"), col("b.__s").as("split_b"))
+      .agg(count(lit(1)).as("entities"))
+  }
+
   /** Deterministic uniform sample of ≈`fraction` of the rows (by `key`).
     * Subset-monotone: the 5% sample is a subset of the 10% sample. */
   def uniformSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {

@@ -845,4 +845,74 @@ class EvalSpec extends SparkTestBase {
     assert(got(("q1", 5L)).isNullAt(q1.fieldIndex("pass_at_k")))
     assert(got(("q3", 5L)).isNullAt(q1.fieldIndex("num")))
   }
+  /** Plain-Scala coincidence-matrix reference: full pairwise definition
+    * (Krippendorff 2011), no shared algebra with the op. */
+  private def refAlpha(ratings: Seq[(Int, String)]): Option[Double] = {
+    val byItem = ratings.groupBy(_._1).view.mapValues(_.map(_._2))
+      .filter(_._2.size >= 2).toMap
+    if (byItem.isEmpty) return None
+    val n = byItem.values.map(_.size).sum.toDouble
+    var agree = 0.0
+    for ((_, vs) <- byItem) {
+      val ni = vs.size
+      for (c <- vs.distinct) {
+        val nc = vs.count(_ == c)
+        agree += nc.toDouble * (nc - 1) / (ni - 1)
+      }
+    }
+    val dO = (n - agree) / n
+    val marg = byItem.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).values.toSeq
+    val dE = (n * n - marg.map(m => m.toDouble * m).sum) / (n * (n - 1))
+    if (dE > 0) Some(1.0 - dO / dE) else None
+  }
+
+  test("krippendorffAlpha: hand-worked sparse example") {
+    import spark.implicits._
+    // A: x,x agree; B: x,y disagree; C: y singleton (excluded)
+    val df = Seq((1, "x"), (1, "x"), (2, "x"), (2, "y"), (3, "y"))
+      .toDF("item", "cat")
+    val r = Eval.krippendorffAlpha(df, col("item"), col("cat")).head()
+    assert(r.getLong(r.fieldIndex("n_items")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_pairable")) == 4L)
+    assert(r.getLong(r.fieldIndex("n_categories")) == 2L)
+    assert(r.getDouble(r.fieldIndex("d_o")) == 0.5)
+    assert(r.getDouble(r.fieldIndex("d_e")) == 0.5)
+    assert(r.getDouble(r.fieldIndex("alpha")) == 0.0)
+  }
+
+  test("krippendorffAlpha: perfect agreement -> 1; one category -> NULL; " +
+      "singletons only -> NULL") {
+    import spark.implicits._
+    val perfect = Seq((1, "x"), (1, "x"), (2, "y"), (2, "y"))
+      .toDF("item", "cat")
+    val p = Eval.krippendorffAlpha(perfect, col("item"), col("cat")).head()
+    assert(p.getDouble(p.fieldIndex("alpha")) == 1.0)
+    val mono = Seq((1, "x"), (1, "x"), (2, "x"), (2, "x"))
+      .toDF("item", "cat")
+    val m = Eval.krippendorffAlpha(mono, col("item"), col("cat")).head()
+    assert(m.isNullAt(m.fieldIndex("alpha"))) // d_e = 0
+    val singles = Seq((1, "x"), (2, "y")).toDF("item", "cat")
+    val s0 = Eval.krippendorffAlpha(singles, col("item"), col("cat")).head()
+    assert(s0.getLong(s0.fieldIndex("n_items")) == 0L)
+    assert(s0.isNullAt(s0.fieldIndex("alpha")))
+  }
+
+  test("krippendorffAlpha == coincidence-matrix reference on a " +
+      "hash-generated sparse design, partition-invariant") {
+    import spark.implicits._
+    // 40 items, 0-5 raters each, 4 categories -- deterministic LCG
+    var st = 12345L
+    def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st >>> 33 }
+    val rows = for {
+      i <- 0 until 40
+      r <- 0 until (nxt() % 6).toInt
+    } yield (i, "c" + (nxt() % 4))
+    val want = refAlpha(rows).get
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("item", "cat").repartition(parts)
+      val got = Eval.krippendorffAlpha(df, col("item"), col("cat")).head()
+      assert(math.abs(got.getDouble(got.fieldIndex("alpha")) - want) < 1e-12)
+    }
+  }
 }

@@ -450,4 +450,36 @@ class SamplingSpec extends SparkTestBase {
     assert(a.getDouble(a.fieldIndex("ucb1")) >
       got("B").getDouble(got("B").fieldIndex("ucb1")))
   }
+  test("temporalSplit: boundary semantics (cutoff exclusive-right, " +
+      "embargo half-open)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-18 23:59:59"), // train (< cutoff - 3d)
+      (2L, "2024-01-19 00:00:00"), // embargo (== cutoff - embargo)
+      (3L, "2024-01-21 23:59:59"), // embargo
+      (4L, "2024-01-22 00:00:00"), // test (== cutoff)
+      (5L, "2024-01-25 00:00:00")  // test
+    ).toDF("id", "s").withColumn("ts", col("s").cast("timestamp"))
+    val got = Sampling.temporalSplit(df, col("ts"),
+        lit("2024-01-22").cast("timestamp"), expr("INTERVAL 3 DAYS"))
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test", 5L -> "test"))
+  }
+
+  test("entityOverlap: counts entities straddling split pairs once each") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "train"), (10L, "train"), (10L, "test"), // u10 in both
+      (11L, "train"),                                 // train only
+      (12L, "test"), (12L, "embargo"),                // test+embargo
+      (13L, "train"), (13L, "test"), (13L, "embargo") // all three
+    ).toDF("user_id", "split")
+    val got = Sampling.entityOverlap(df, col("user_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("test", "train") -> 2L,      // u10, u13
+      ("embargo", "test") -> 2L,    // u12, u13
+      ("embargo", "train") -> 1L))  // u13
+  }
 }
