@@ -2030,6 +2030,48 @@ object SparkEntry {
       per.unionByName(ov).orderBy("split")
     }),
 
+    "q315_link_predict" -> ((s, dir) => {
+      // triadic-closure link prediction (common-neighbors / Adamic-
+      // Adar / Jaccard) on a sparse synthetic domain graph — the q100
+      // derivation widened to 200 nodes with 2 outlinks, so the edge
+      // SET saturates at doc_id % 200 and all three SFs see the
+      // IDENTICAL graph (scale-stable by construction); every
+      // non-adjacent pair sharing a neighbor, wedge join mirrored in
+      // SQL wedge-for-wedge
+      val docs = t(s, dir, "documents")
+      val edges = docs.select(col("doc_id"),
+          explode(array(lit(0L), lit(1L))).as("j"))
+        .select(concat(lit("n"), col("doc_id") % 200).as("src"),
+          concat(lit("n"),
+            (col("doc_id") * 7 + col("j") * 13 + 3) % 200).as("dst"))
+      graft.ops.Graph.linkPrediction(edges, "src", "dst")
+        .select(col("idA"), col("idB"), col("cn"),
+          round(col("aa"), 6).as("aa"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("idA", "idB")
+    }),
+
+    "q316_label_prop" -> ((s, dir) => {
+      // deterministic synchronous label propagation (majority label,
+      // smallest-label ties) over q100's 60-node site graph, 4 rounds;
+      // the oracle replays every round as an unrolled argmax CTE chain
+      // (pageRankOracle's shape)
+      val docs = t(s, dir, "documents")
+      def dom(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("site"), (v % 50).cast("string"),
+          when(v % 7 === 0, lit(".co.uk")).otherwise(lit(".com")))
+      def domWide(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("site"), (v % 60).cast("string"),
+          when(v % 7 === 0, lit(".co.uk")).otherwise(lit(".com")))
+      val edges = docs
+        .select(col("doc_id"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+        .select(dom(col("doc_id")).as("src"),
+          domWide(col("doc_id") * 7 + col("j") * 13 + 3).as("dst"))
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", 4)
+        .orderBy("node")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -6271,6 +6313,38 @@ i$k AS MATERIALIZED (SELECT
          FROM r$iters r JOIN w ON w.item = r.item ORDER BY r.item"""
   }
 
+  /** q316's oracle: deterministic synchronous LPA over q100's site
+    * graph, every round an unrolled argmax CTE (majority label, ties →
+    * smallest label — the same (count desc, label asc) rank rule the
+    * engine's window applies). */
+  private def labelPropOracle(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT
+           'site' || (doc_id % 50)::VARCHAR ||
+             CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END AS src,
+           'site' || ((doc_id*7 + j*13 + 3) % 60)::VARCHAR ||
+             CASE WHEN (doc_id*7 + j*13 + 3) % 7 = 0 THEN '.co.uk' ELSE '.com' END AS dst
+         FROM documents, unnest([0,1,2]) t(j)),
+       adj AS MATERIALIZED (SELECT DISTINCT node, nb FROM
+                (SELECT src AS node, dst AS nb FROM e
+                 UNION ALL SELECT dst, src FROM e) WHERE node <> nb),
+       nd AS MATERIALIZED (SELECT DISTINCT node FROM adj),
+       l0 AS MATERIALIZED (SELECT node, node AS label FROM nd)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+       l$k AS MATERIALIZED (SELECT node, label FROM (
+              SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                  ORDER BY c DESC, label ASC) AS rn
+              FROM (SELECT adj.node, p.label, count(*)::BIGINT AS c
+                    FROM adj JOIN l${k - 1} p ON adj.nb = p.node
+                    GROUP BY adj.node, p.label))
+            WHERE rn = 1)"""
+    }.mkString
+    head + steps +
+      s" SELECT node, label FROM l$iters ORDER BY node"
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val head =
       """WITH e AS MATERIALIZED (SELECT
@@ -9694,6 +9768,33 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            GROUP BY 1)
          SELECT * FROM (SELECT * FROM per UNION ALL SELECT * FROM ov)
          ORDER BY split""",
+    "q315_link_predict" ->
+      """WITH e0 AS (SELECT 'n' || (doc_id % 200)::VARCHAR AS a,
+             'n' || ((doc_id*7 + j*13 + 3) % 200)::VARCHAR AS b
+           FROM documents, unnest([0, 1]) t(j)),
+         und AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a,
+             greatest(a, b) AS b
+           FROM e0 WHERE a <> b),
+         adj AS MATERIALIZED (SELECT a AS node, b AS nb FROM und
+           UNION ALL SELECT b, a FROM und),
+         deg AS MATERIALIZED (SELECT node, count(*)::BIGINT AS d
+           FROM adj GROUP BY 1),
+         mid AS (SELECT adj.node AS z, adj.nb, deg.d AS dz
+           FROM adj JOIN deg USING (node)),
+         wed AS (SELECT l.nb AS ia, r.nb AS ib, l.dz
+           FROM mid l JOIN mid r ON l.z = r.z AND l.nb < r.nb),
+         sc AS (SELECT ia, ib, count(*)::BIGINT AS cn,
+             sum(1.0 / ln(dz)) AS aa
+           FROM wed GROUP BY 1, 2),
+         ne AS (SELECT sc.* FROM sc
+           LEFT JOIN und ON sc.ia = und.a AND sc.ib = und.b
+           WHERE und.a IS NULL)
+         SELECT ia AS idA, ib AS idB, cn, round(aa, 6) AS aa,
+           round(cn::DOUBLE / (da.d + db.d - cn), 6) AS jaccard
+         FROM ne JOIN deg da ON ne.ia = da.node
+                 JOIN deg db ON ne.ib = db.node
+         ORDER BY idA, idB""",
+    "q316_label_prop" -> labelPropOracle(4),
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,

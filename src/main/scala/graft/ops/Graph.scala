@@ -268,6 +268,126 @@ object Graph {
       col("__auth").as(authOut))
   }
 
+  /** Common-neighbor link prediction over an (undirected-ized, simple)
+    * edge list — the classic triadic-closure scores (Liben-Nowell &
+    * Kleinberg 2003): for every NON-adjacent pair (a, b) sharing at
+    * least `minCommonNeighbors` neighbors,
+    *
+    *   cn      = |Γ(a) ∩ Γ(b)|
+    *   aa      = Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln deg(z)   (Adamic–Adar)
+    *   jaccard = cn / (deg(a) + deg(b) − cn)
+    *
+    * In a corpus pipeline this is mirror/syndication discovery on the
+    * domain graph (two sites never linking each other but sharing many
+    * link partners are the same operation) and related-document
+    * suggestion on citation graphs.
+    *
+    * Scale shape: edges collapse to a DISTINCT undirected adjacency
+    * (one shuffle); the wedge self-join is keyed by the MIDDLE node, so
+    * output is Σ_z C(deg z, 2) — quadratic in hub degree, which is why
+    * hubs above `maxDegree` are excluded from the middle role (the
+    * df²-guard convention of winnowPairs' maxDocFreq): a 10⁶-degree hub
+    * contributes 5·10¹¹ wedges and ~0 Adamic–Adar weight
+    * (1/ln 10⁶ ≈ 0.07) — the drop is content-deterministic and changes
+    * cn/jaccard only for pairs whose common neighbor IS a hub. The
+    * middle node always has degree ≥ 2 (it touches both a and b), so
+    * 1/ln deg is finite; the fan-in runs through exact_sum. Existing
+    * edges are removed with one anti-join against the undirected edge
+    * set. Returns (idA, idB, cn, aa, jaccard), idA < idB. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Long = 100000L,
+      minCommonNeighbors: Long = 1L): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+    val und = e0.select(least(col("__a"), col("__b")).as("__a"),
+        greatest(col("__a"), col("__b")).as("__b"))
+      .distinct().localCheckpoint(true)
+    val adj = und.select(col("__a").as("__node"), col("__b").as("__nb"))
+      .union(und.select(col("__b").as("__node"), col("__a").as("__nb")))
+    val deg = adj.groupBy("__node").agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
+    val mid = adj.join(deg, Seq("__node"))
+      .where(col("__deg") <= maxDegree)
+      .select(col("__node").as("__z"), col("__nb"),
+        col("__deg").as("__dz"))
+    val wedges = mid.as("l").join(mid.as("r"),
+        col("l.__z") === col("r.__z") && col("l.__nb") < col("r.__nb"))
+      .select(col("l.__nb").as("idA"), col("r.__nb").as("idB"),
+        col("l.__dz").as("__dz"))
+    val scored = wedges.groupBy("idA", "idB")
+      .agg(count(lit(1)).as("cn"),
+        exact_sum(lit(1.0) / log(col("__dz").cast("double"))).as("aa"))
+      .where(col("cn") >= minCommonNeighbors)
+    scored
+      .join(und.select(col("__a").as("idA"), col("__b").as("idB")),
+        Seq("idA", "idB"), "left_anti")
+      .join(deg.select(col("__node").as("idA"), col("__deg").as("__da")),
+        Seq("idA"))
+      .join(deg.select(col("__node").as("idB"), col("__deg").as("__db")),
+        Seq("idB"))
+      .select(col("idA"), col("idB"), col("cn"), col("aa"),
+        (col("cn").cast("double") /
+          (col("__da") + col("__db") - col("cn")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, made
+    * deterministic): community detection by iterated neighborhood
+    * majority vote over the undirected-ized SIMPLE graph (parallel
+    * edges collapse, self-loops drop). Every node starts as its own
+    * label; each round, a node adopts the most frequent label among
+    * its neighbors, ties broken by the SMALLEST label — the
+    * deterministic stand-in for classic LPA's random tie-flip, so runs
+    * are reproducible and gate-able (classic LPA's convergence
+    * argument survives; synchronous updates can 2-cycle on bipartite
+    * structures, which fixed `iterations` bounds). Complements
+    * [[Dedup.components]] (connectivity) and [[modularity]] (grading):
+    * LPA finds DENSITY communities inside one connected component.
+    *
+    * Scale: label state is O(nodes); each round is one adjacency join
+    * + one (node, label) count shuffle + a per-node argmax window —
+    * the frequency table is bounded by the adjacency size, never
+    * nodes². Per-round localCheckpoint with eager free keeps storage
+    * at two label tables ([[pageRank]]'s discipline). Nodes are edge
+    * endpoints; every node has ≥ 1 neighbor by construction. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, nodeOut: String = "node",
+      labelOut: String = "label"): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val e0 = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+    val adj = e0.select(col("__a").as("__node"), col("__b").as("__nb"))
+      .union(e0.select(col("__b").as("__node"), col("__a").as("__nb")))
+      .distinct().localCheckpoint(true)
+    val nodes = adj.select(col("__node")).distinct().localCheckpoint(true)
+    var labels = nodes.select(col("__node"),
+      col("__node").as("__label")).localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      val prev = labels
+      val counts = adj.join(prev.select(col("__node").as("__nb"),
+          col("__label")), Seq("__nb"))
+        .groupBy("__node", "__label").agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__node")
+        .orderBy(col("__c").desc, col("__label").asc)
+      val picked = counts.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).select(col("__node"), col("__label"))
+      labels = nodes.join(picked, Seq("__node"), "left")
+        .select(col("__node"),
+          coalesce(col("__label"), col("__node")).as("__label"))
+        .localCheckpoint(true)
+      CheckpointUtil.freeCheckpoint(prev)
+      it += 1
+    }
+    CheckpointUtil.freeCheckpoint(adj)
+    CheckpointUtil.freeCheckpoint(nodes)
+    labels.select(col("__node").as(nodeOut), col("__label").as(labelOut))
+  }
+
   /** Directed modularity (Leicht & Newman 2008) of a node partition
     * over an edge list — "does this community assignment actually
     * concentrate edges":

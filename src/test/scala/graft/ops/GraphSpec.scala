@@ -216,4 +216,73 @@ class GraphSpec extends SparkTestBase {
       .toMap
     assert(d == Map("a" -> ((2L, 0L)), "b" -> ((1L, 1L)), "c" -> ((0L, 2L))))
   }
+  test("linkPrediction: path and square hand examples") {
+    import spark.implicits._
+    // path a-b-c: only (a,c) predicted, via middle b (deg 2)
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = Graph.linkPrediction(path, "src", "dst").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getString(1) == "c")
+    assert(r.getLong(r.fieldIndex("cn")) == 1L)
+    assert(math.abs(r.getDouble(r.fieldIndex("aa")) - 1.0 / math.log(2)) < 1e-12)
+    assert(r.getDouble(r.fieldIndex("jaccard")) == 1.0)
+    // square a-b-c-d-a: diagonals (a,c) and (b,d), cn = 2 each
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val g2 = Graph.linkPrediction(sq, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    assert(g2.keySet == Set(("a", "c"), ("b", "d")))
+    assert(g2(("a", "c")) == ((2L, 1.0))) // 2/(2+2-2)
+  }
+
+  test("linkPrediction: adjacent pairs never predicted; reverse/parallel " +
+      "edges and self-loops collapse") {
+    import spark.implicits._
+    val tri = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+      ("a", "a")).toDF("src", "dst")
+    // triangle: every pair adjacent -> nothing to predict
+    assert(Graph.linkPrediction(tri, "src", "dst").count() == 0)
+  }
+
+  test("linkPrediction: maxDegree excludes hub middles; " +
+      "minCommonNeighbors filters") {
+    import spark.implicits._
+    // star: hub h with 4 leaves; all leaf pairs share only the hub
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
+      .toDF("src", "dst")
+    assert(Graph.linkPrediction(star, "src", "dst").count() == 6)
+    assert(Graph.linkPrediction(star, "src", "dst", maxDegree = 3).count() == 0)
+    assert(Graph.linkPrediction(star, "src", "dst",
+      minCommonNeighbors = 2).count() == 0)
+  }
+
+  test("labelPropagation: two cliques bridged by one edge keep their " +
+      "min-id labels") {
+    import spark.implicits._
+    val clique = (xs: Seq[String]) =>
+      for (a <- xs; b <- xs if a < b) yield (a, b)
+    val edges = (clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) :+ ("a1", "b1"))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a2", "a3", "a4").forall(n => got(n) == "a1"))
+    assert(Seq("b2", "b3", "b4").forall(n => got(n) == "b1"))
+  }
+
+  test("labelPropagation: zero iterations = identity labels; " +
+      "deterministic across partitionings") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val id = Graph.labelPropagation(edges, "src", "dst", 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(id.forall { case (n, l) => n == l })
+    val one = Graph.labelPropagation(edges.repartition(1), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val many = Graph.labelPropagation(edges.repartition(7), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(one == many)
+  }
 }
