@@ -96,6 +96,23 @@ object SparkEntry {
     * dropped-rows receipt verifies. */
   private val lateStreamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureLateEventStream(s: SparkSession, dir: String): String =
+    lateStreamDirCache.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q309").toString
+      val ev = graft.sources.Tables.load(s, d, "events")
+      val di = datediff(to_date(col("ts")), lit("2024-01-01"))
+      val bucket = when(col("user_id") % 5 === 0,
+        least(least(floor(di / 4), lit(7L)) + 1, lit(7L)))
+        .otherwise(least(floor(di / 4), lit(7L)))
+      val withB = ev.withColumn("__b", bucket)
+      (0 to 7).foreach { b =>
+        withB.where(col("__b") === b).drop("__b").coalesce(1)
+          .write.mode("append").parquet(s"$base/events.parquet")
+        Thread.sleep(30) // strictly increasing mtimes = arrival order
+      }
+      base
+    })
 
   /** One-time ORDERED 8-file documents layout for q235: each file holds
     * a contiguous doc_id range, modification times spaced so file
@@ -1876,22 +1893,7 @@ object SparkEntry {
       // (window, category) cells — everything past the watermark was
       // EVICTED from the state store (the bounded-state claim of
       // SURVEY 7.4.8, measured, not asserted)
-      val tmp = lateStreamDirCache.computeIfAbsent(dir, { d =>
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_q309").toString
-        val ev = graft.sources.Tables.load(s, d, "events")
-        val di = datediff(to_date(col("ts")), lit("2024-01-01"))
-        val bucket = when(col("user_id") % 5 === 0,
-          least(least(floor(di / 4), lit(7L)) + 1, lit(7L)))
-          .otherwise(least(floor(di / 4), lit(7L)))
-        val withB = ev.withColumn("__b", bucket)
-        (0 to 7).foreach { b =>
-          withB.where(col("__b") === b).drop("__b").coalesce(1)
-            .write.mode("append").parquet(s"$base/events.parquet")
-          Thread.sleep(30) // strictly increasing mtimes = arrival order
-        }
-        base
-      })
+      val tmp = ensureLateEventStream(s, dir)
       val stream = graft.sources.Tables.loadStream(s, tmp, "events",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val sink = "q309_late_sink"
@@ -2070,6 +2072,49 @@ object SparkEntry {
           domWide(col("doc_id") * 7 + col("j") * 13 + 3).as("dst"))
       graft.ops.Graph.labelPropagation(edges, "src", "dst", 4)
         .orderBy("node")
+    }),
+
+    "q317_stream_join" -> ((s, dir) => {
+      // the canonical stateful two-input operator GATED: clicks joined
+      // to same-user purchases within [0, 2 days], replayed through
+      // q309's deliberately-late 8-file layout (~20% of rows arrive one
+      // file late) with 4-day watermarks on both sides. Inner interval
+      // joins emit matches on ARRIVAL — no watermark wait; the time
+      // bound in the join condition is what keeps both state stores
+      // finite (left rows evict once the right watermark passes
+      // ts + horizon). Receipts: the emitted multiset equals the batch
+      // join over the same rows (the oracle IS the batch join — late
+      // arrivals still joined exactly), and dropped = 0 (the 4-day
+      // bound covered the disorder)
+      val tmp = ensureLateEventStream(s, dir)
+      def side(tp: String) = graft.sources.Tables.loadStream(s, tmp,
+          "events",
+          Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+        .where(col("event_type") === tp)
+        .select(col("user_id"), col("ts"))
+      val joined = graft.streaming.StreamingJoins.intervalJoin(
+        side("click"), side("purchase"), "user_id", "ts", "ts",
+        "2 DAYS", "4 DAYS")
+      val sink = "q317_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        val rows = s.table(sink)
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+            date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"))
+          .localCheckpoint()
+        import s.implicits._
+        rows.unionByName(Seq((-1L, "__dropped", dropped.toString))
+            .toDF("user_id", "c_ts", "p_ts"))
+          .orderBy("user_id", "c_ts", "p_ts")
+      } finally {
+        q.stop()
+        s.sql(s"DROP TABLE IF EXISTS $sink")
+      }
     }),
 
     "q304_streaming_ks" -> ((s, dir) => {
@@ -9795,6 +9840,19 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
                  JOIN deg db ON ne.ib = db.node
          ORDER BY idA, idB""",
     "q316_label_prop" -> labelPropOracle(4),
+    "q317_stream_join" ->
+      """WITH c AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         j AS (SELECT c.user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts
+           FROM c JOIN p ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 DAY)
+         SELECT * FROM (SELECT * FROM j
+           UNION ALL SELECT -1, '__dropped', '0')
+         ORDER BY user_id, c_ts, p_ts""",
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,

@@ -726,4 +726,60 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+  test("intervalJoin batch mode: inclusive [ts, ts+horizon] bounds, " +
+      "key isolation, right columns prefixed") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-10 00:00:00")),
+      (2L, ts("2024-01-10 00:00:00"))).toDF("user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-10 00:00:00")),  // == lower bound: in
+      (1L, ts("2024-01-12 00:00:00")),  // == upper bound: in
+      (1L, ts("2024-01-12 00:00:01")),  // 1s past horizon: out
+      (1L, ts("2024-01-09 23:59:59")),  // before click: out
+      (2L, ts("2024-01-11 00:00:00"))   // other user: only matches u2
+    ).toDF("user_id", "ts")
+    val got = StreamingJoins.intervalJoin(left, right, "user_id",
+      "ts", "ts", "2 DAYS", "4 DAYS")
+    assert(got.columns.toSeq == Seq("user_id", "ts", "r_ts"))
+    val pairs = got.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
+    assert(pairs == Set((1L, "2024-01-10 00:00:00.0"),
+      (1L, "2024-01-12 00:00:00.0"), (2L, "2024-01-11 00:00:00.0")))
+  }
+
+  test("intervalJoin stream == batch; late right rows inside the " +
+      "watermark still join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = MemoryStream[(Long, java.sql.Timestamp)]
+    val r = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingJoins.intervalJoin(
+      l.toDF.toDF("user_id", "ts"), r.toDF.toDF("user_id", "ts"),
+      "user_id", "ts", "ts", "2 DAYS", "4 DAYS")
+    val q = joined.writeStream.format("memory").queryName("ij_sink")
+      .outputMode("append").start()
+    try {
+      l.addData((1L, ts("2024-01-10 00:00:00")),
+        (2L, ts("2024-01-10 12:00:00")))
+      r.addData((1L, ts("2024-01-11 00:00:00")))
+      q.processAllAvailable()
+      // batch 2: u2's purchase arrives LATE (event time older than the
+      // seen max) but inside the 4-day watermark; u3 match is outside
+      // the horizon
+      l.addData((3L, ts("2024-01-20 00:00:00")))
+      r.addData((2L, ts("2024-01-11 12:00:00")),
+        (3L, ts("2024-01-23 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ij_sink")
+        .select("user_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L))
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 0L)
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS ij_sink")
+    }
+  }
 }
