@@ -2117,6 +2117,44 @@ object SparkEntry {
       }
     }),
 
+    "q318_vtrace" -> ((s, dir) => {
+      // off-policy V-trace (IMPALA) on the event feed: q262's dyadic
+      // fixture plus a 2^((event_id%3)−1) importance ratio, ρ̄ = c̄ = 1
+      // (clipped ratios ∈ {0.5, 1}), γ = 1/2 — every δ, c-product and
+      // γ-power is an exact dyadic double, so targets AND advantages
+      // pin as 2³¹-scaled LONGs with zero fp tolerance; the oracle
+      // replays the fold per row with prefix products
+      val ev = t(s, dir, "events").where(col("user_id") < 40)
+        .withColumn("__r", floor(col("value")))
+        .withColumn("__v", (col("event_id") % 16).cast("double"))
+        .withColumn("__is",
+          pow(lit(2.0), (col("event_id") % 3 - 1).cast("double")))
+      graft.ops.Reward.vTrace(ev, Seq("user_id"), col("ts"),
+          col("event_id"), col("__r"), col("__v"), col("__is"),
+          gamma = 0.5, rhoBar = 1.0, cBar = 1.0, horizon = 16)
+        .select(col("event_id"), col("user_id"),
+          col("vtrace_n").cast("long").as("n_future"),
+          round(col("vtrace") * 2147483648.0, 0).cast("long")
+            .as("vt_pin"),
+          round(col("vtrace_adv") * 2147483648.0, 0).cast("long")
+            .as("adv_pin"))
+        .orderBy("event_id")
+    }),
+
+    "q319_heaps" -> ((s, dir) => {
+      // vocabulary-growth law (Heaps/Herdan) over the doc-id-ordered
+      // corpus: V(N) ≈ K·N^β — the planning number for tokenizer OOV
+      // mass and dedup key-space growth at scale. Both cumulatives run
+      // through the distributed two-level prefix sum (no global
+      // window); the oracle replays first-occurrence censuses and the
+      // log-log OLS with SQL window cumulatives
+      graft.ops.Text.heapsFit(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("n_docs"), col("n_tokens"), col("n_types"),
+          round(col("beta"), 6).as("beta"),
+          round(col("ln_k"), 6).as("ln_k"),
+          round(col("r2"), 6).as("r2"))
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -9853,6 +9891,65 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
          SELECT * FROM (SELECT * FROM j
            UNION ALL SELECT -1, '__dropped', '0')
          ORDER BY user_id, c_ts, p_ts""",
+    "q318_vtrace" ->
+      """WITH b AS (SELECT event_id, user_id, ts, floor(value) AS r,
+             (event_id % 16)::DOUBLE AS v,
+             pow(2.0, (event_id % 3 - 1)::DOUBLE) AS isr
+           FROM events WHERE user_id < 40),
+         d AS (SELECT event_id, user_id, ts, r, v,
+             least(1.0, isr) AS rho, least(1.0, isr) AS c,
+             least(1.0, isr) * (r + 0.5 * coalesce(
+               lead(v) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+               0) - v) AS delta
+           FROM b),
+         s AS (SELECT event_id, user_id, ts, r, v, rho,
+             list(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fd,
+             list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fc
+           FROM d),
+         vt AS (SELECT event_id, user_id, ts, r, v, rho,
+             len(fd)::BIGINT AS n_future,
+             v + list_sum(list_transform(range(1, len(fd) + 1),
+               k -> fd[k] * pow(0.5, k - 1)
+                 * coalesce(list_product(fc[1:k-1]), 1.0))) AS vt
+           FROM s),
+         a AS (SELECT event_id, user_id, n_future, vt,
+             rho * (r + 0.5 * coalesce(lead(vt) OVER (PARTITION BY
+               user_id ORDER BY ts, event_id), 0) - v) AS adv
+           FROM vt)
+         SELECT event_id, user_id, n_future,
+           round(vt * 2147483648.0, 0)::BIGINT AS vt_pin,
+           round(adv * 2147483648.0, 0)::BIGINT AS adv_pin
+         FROM a ORDER BY event_id""",
+    "q319_heaps" ->
+      """WITH t2 AS MATERIALIZED (SELECT doc_id, w FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS w
+             FROM documents WHERE text IS NOT NULL)
+           WHERE length(w) > 0),
+         pd AS (SELECT doc_id, count(*)::BIGINT AS tc FROM t2 GROUP BY 1),
+         fo AS (SELECT min(doc_id) AS doc_id FROM t2 GROUP BY w),
+         nv AS (SELECT doc_id, count(*)::BIGINT AS nv FROM fo GROUP BY 1),
+         m AS (SELECT pd.doc_id, tc, coalesce(nv.nv, 0) AS nv
+           FROM pd LEFT JOIN nv USING (doc_id)),
+         c AS (SELECT tc,
+             sum(tc) OVER (ORDER BY doc_id) AS cn,
+             sum(nv) OVER (ORDER BY doc_id) AS cv FROM m),
+         p AS (SELECT tc, ln(cn::DOUBLE) AS x, ln(cv::DOUBLE) AS y
+           FROM c),
+         s AS (SELECT count(*)::DOUBLE AS n,
+             sum(tc)::BIGINT AS n_tokens,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+             sum(x*y) AS sxy, sum(y*y) AS syy FROM p),
+         ty AS (SELECT count(DISTINCT w)::BIGINT AS n_types FROM t2)
+         SELECT n::BIGINT AS n_docs, n_tokens, n_types,
+           round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS beta,
+           round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+             AS ln_k,
+           round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+         FROM s, ty""",
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,

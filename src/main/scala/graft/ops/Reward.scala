@@ -237,6 +237,82 @@ object Reward {
     out.drop("__gae_delta")
   }
 
+  /** V-trace targets and policy-gradient advantages (Espeholt et al.
+    * 2018, IMPALA) — the off-policy return correction an async RL
+    * pipeline applies when the data-generating (behavior) policy lags
+    * the learner: with importance ratio IS_t = π(a|x)/μ(a|x),
+    * ρ_t = min(ρ̄, IS_t), c_t = min(c̄, IS_t),
+    *
+    *   δ_t = ρ_t · (r_t + γ·V(x_{t+1}) − V(x_t))
+    *   v_s = V(x_s) + Σ_{t=s}^{s+H−1} γ^{t−s} (Π_{i=s}^{t−1} c_i) δ_t
+    *   adv_s = ρ_s · (r_s + γ·v_{s+1} − V(x_s))
+    *
+    * horizon-truncated at H steps (the n-step convention of
+    * [[discountedReturns]]/[[gaeAdvantage]]; V = 0 and v = 0 past the
+    * end of the sequence — the standard terminal bootstrap). ρ̄ bounds
+    * the fixed point's bias (ρ̄ = ∞ recovers on-policy vπ), c̄ bounds
+    * variance; the paper's ordering c̄ ≤ ρ̄ is required up front.
+    *
+    * Same single-exchange shape as its siblings: the δ/c frames are
+    * horizon-bounded forward arrays (≤ H doubles per row, never the
+    * whole group) and the correction folds left-to-right with a
+    * (sum, c-product, γ-power) struct accumulator, so results are
+    * deterministic under any partitioning; the advantage pass reuses
+    * the SAME window sort. NULLs keep their time slot with neutral
+    * elements (r → 0, V → 0, IS → 1 — the [[discountedReturns]]
+    * argument: dropping a row would shift every later term one
+    * discount power earlier). Adds `outCol`, `<outCol>_n` (frame
+    * rows), `<outCol>_adv`. */
+  def vTrace(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      tieCol: Column, rewardCol: Column, valueCol: Column,
+      ratioCol: Column, gamma: Double = 0.99, rhoBar: Double = 1.0,
+      cBar: Double = 1.0, horizon: Int = 16,
+      outCol: String = "vtrace"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(gamma > 0 && gamma <= 1, "gamma must be in (0, 1]")
+    require(rhoBar > 0 && cBar > 0 && cBar <= rhoBar,
+      "need 0 < cBar <= rhoBar (Espeholt 2018's truncation ordering)")
+    require(horizon >= 1 && horizon <= 1024,
+      "horizon must be in [1, 1024]")
+    checkCols(df, Seq(outCol, s"${outCol}_n", s"${outCol}_adv",
+      "__vt_d", "__vt_c", "__vt_v", "__vt_rho", "__vt_r"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCol, tieCol)
+    val v = coalesce(valueCol.cast("double"), lit(0.0))
+    val is = coalesce(ratioCol.cast("double"), lit(1.0))
+    val r = coalesce(rewardCol.cast("double"), lit(0.0))
+    val rho = least(lit(rhoBar), is)
+    val nextV = lead(v, 1, 0.0).over(w)
+    val base = df
+      .withColumn("__vt_d", rho * (r + lit(gamma) * nextV - v))
+      .withColumn("__vt_c", least(lit(cBar), is))
+      .withColumn("__vt_v", v)
+      .withColumn("__vt_rho", rho)
+      .withColumn("__vt_r", r)
+    val wf = w.rowsBetween(Window.currentRow, horizon - 1)
+    val fd = collect_list(col("__vt_d")).over(wf)
+    val fc = collect_list(col("__vt_c")).over(wf)
+    // fold state: s = Σ so far, p = Π c over rows BEFORE this term,
+    // g = γ^k; the product excludes the term's own c (i ranges s..t−1)
+    val corr = aggregate(
+      zip_with(fd, fc, (d, c) => struct(d.as("d"), c.as("c"))),
+      struct(lit(0.0).as("s"), lit(1.0).as("p"), lit(1.0).as("g")),
+      (acc, x) => struct(
+        (acc.getField("s") +
+          acc.getField("g") * acc.getField("p") * x.getField("d")).as("s"),
+        (acc.getField("p") * x.getField("c")).as("p"),
+        (acc.getField("g") * lit(gamma)).as("g")),
+      acc => acc.getField("s"))
+    val scored = base
+      .withColumn(s"${outCol}_n", size(fd))
+      .withColumn(outCol, col("__vt_v") + corr)
+    scored
+      .withColumn(s"${outCol}_adv",
+        col("__vt_rho") * (col("__vt_r") +
+          lit(gamma) * lead(col(outCol), 1, 0.0).over(w) - col("__vt_v")))
+      .drop("__vt_d", "__vt_c", "__vt_v", "__vt_rho", "__vt_r")
+  }
+
   /** Off-policy evaluation on logged feedback — inverse-propensity
     * scoring (Horvitz–Thompson) and its self-normalized variant
     * (SNIPS, Swaminathan & Joachims 2015): with logged

@@ -530,6 +530,65 @@ object Text {
         .otherwise(lit(Double.NaN)).as("r2"))
   }
 
+  /** Heaps'-law fit — vocabulary growth V(N) ≈ K·N^β over the corpus
+    * read in `idCol` order (Heaps 1978; the planning companion of
+    * [[zipfFit]]: β says how fast a tokenizer's OOV mass or a
+    * dedup index's key space grows as the corpus scales, natural text
+    * sits at β ≈ 0.4–0.6, and a β near 1 is the machine-generated /
+    * id-soup signature). One (N_d, V_d) point per non-empty document:
+    * N_d = cumulative token count through doc d, V_d = cumulative
+    * distinct types (a type counts at its FIRST document, i.e.
+    * min-id), then OLS of ln V on ln N.
+    *
+    * Scale shape: tokens shuffle once into (type, first-doc) and once
+    * into per-doc counts; both cumulatives run through the distributed
+    * two-level prefix sum ([[Packing.withPrefixSumLong]] — no global
+    * window), and the moment folds are exact_sum, so the one-row
+    * report is deterministic under any partitioning. Returns
+    * (n_docs, n_tokens, n_types, beta, ln_k, r2) — NaN fit columns
+    * when fewer than 2 distinct points exist. */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.api.{functions => gf}
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .where(length(col("__w")) > 0)
+      .localCheckpoint() // feeds both the census and the first-occ pass
+    val perDoc = toks.groupBy("__doc").agg(count(lit(1)).as("__tc"))
+    val firstOcc = toks.groupBy("__w").agg(min(col("__doc")).as("__doc"))
+      .groupBy("__doc").agg(count(lit(1)).as("__nv"))
+    val merged = perDoc.join(firstOcc, Seq("__doc"), "left")
+      .na.fill(0L, Seq("__nv"))
+    val cum = Packing.withPrefixSumLong(
+      Packing.withPrefixSumLong(merged, "__doc", "__tc", "__N"),
+      "__doc", "__nv", "__V")
+    val pts = cum.select(
+      log(col("__N").cast("double")).as("__x"),
+      log(col("__V").cast("double")).as("__y"),
+      col("__tc"))
+    val s = pts.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("__tc")), lit(0L)).as("n_tokens"),
+      gf.exact_sum(col("__x")).as("__sx"),
+      gf.exact_sum(col("__y")).as("__sy"),
+      gf.exact_sum(col("__x") * col("__x")).as("__sxx"),
+      gf.exact_sum(col("__x") * col("__y")).as("__sxy"),
+      gf.exact_sum(col("__y") * col("__y")).as("__syy"))
+    val types = firstOcc.agg(coalesce(sum(col("__nv")), lit(0L))
+      .as("n_types"))
+    val n = col("n_docs").cast("double")
+    val covN = n * col("__sxy") - col("__sx") * col("__sy")
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    s.crossJoin(types) // 1×1 scalar join
+      .select(col("n_docs"), col("n_tokens"), col("n_types"),
+        when(varX > 0, covN / varX).otherwise(lit(Double.NaN)).as("beta"),
+        when(varX > 0, (col("__sy") - (covN / varX) * col("__sx")) / n)
+          .otherwise(lit(Double.NaN)).as("ln_k"),
+        when(varX > 0 && varY > 0, covN * covN / (varX * varY))
+          .otherwise(lit(Double.NaN)).as("r2"))
+  }
+
   /** Within-document repeated-n-gram rate — the text-degeneration
     * metric of Holtzman et al. 2020 ("The Curious Case of Neural Text
     * Degeneration"): `1 − distinct_ngrams / total_ngrams` over the

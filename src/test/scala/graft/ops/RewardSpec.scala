@@ -407,4 +407,61 @@ class RewardSpec extends SparkTestBase {
     j.foreach(r => assert(math.abs(r.getDouble(r.fieldIndex("gae")) -
       r.getDouble(r.fieldIndex("gmv"))) < 1e-12))
   }
+  test("vTrace: hand-worked 3-step sequence (targets and advantages)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, 1.0, 2.0, 2.0),  // rho=c=1 (clipped)
+      (1L, 1L, 0.0, 4.0, 0.5),  // rho=c=0.5
+      (1L, 2L, 2.0, 1.0, 1.0)   // rho=c=1
+    ).toDF("g", "t", "r", "v", "is")
+    val got = Reward.vTrace(df, Seq("g"), col("t"), col("t"),
+        col("r"), col("v"), col("is"), gamma = 0.5, rhoBar = 1.0,
+        cBar = 1.0, horizon = 16)
+      .orderBy("t").collect()
+    // deltas: 1, -1.75, 1
+    assert(got(0).getDouble(got(0).fieldIndex("vtrace")) == 2.25)
+    assert(got(1).getDouble(got(1).fieldIndex("vtrace")) == 2.5)
+    assert(got(2).getDouble(got(2).fieldIndex("vtrace")) == 2.0)
+    assert(got(0).getDouble(got(0).fieldIndex("vtrace_adv")) == 0.25)
+    assert(got(1).getDouble(got(1).fieldIndex("vtrace_adv")) == -1.5)
+    assert(got(2).getDouble(got(2).fieldIndex("vtrace_adv")) == 1.0)
+    assert(got.map(_.getInt(got(0).fieldIndex("vtrace_n"))).toSeq
+      == Seq(3, 2, 1))
+  }
+
+  test("vTrace with IS == 1 degenerates to the on-policy lambda=1 " +
+      "return: vtrace - V == gae(lambda=1)") {
+    import spark.implicits._
+    val df = (0 until 12).map(t =>
+      (t / 6L, t.toLong, (t * 7 % 5).toDouble, (t % 4).toDouble, 1.0))
+      .toDF("g", "t", "r", "v", "is")
+    val vt = Reward.vTrace(df, Seq("g"), col("t"), col("t"),
+        col("r"), col("v"), col("is"), gamma = 0.5, horizon = 16)
+      .select(col("g"), col("t"), (col("vtrace") - col("v")).as("corr"))
+    val gae = Reward.gaeAdvantage(df, Seq("g"), col("t"), col("t"),
+      col("r"), col("v"), gamma = 0.5, lam = 1.0, horizon = 16)
+    val j = vt.join(gae.select(col("g"), col("t"), col("gae")),
+      Seq("g", "t")).collect()
+    assert(j.nonEmpty && j.forall(r =>
+      math.abs(r.getDouble(r.fieldIndex("corr")) -
+        r.getDouble(r.fieldIndex("gae"))) < 1e-12))
+  }
+
+  test("vTrace: truncation-ordering guard, NULL ratio neutral") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1.0, 1.0, null.asInstanceOf[java.lang.Double]))
+      .toDF("g", "t", "r", "v", "is")
+    intercept[IllegalArgumentException] {
+      Reward.vTrace(df, Seq("g"), col("t"), col("t"), col("r"),
+        col("v"), col("is"), rhoBar = 1.0, cBar = 2.0)
+    }
+    // NULL ratio -> IS = 1 (neutral): same as explicit 1.0
+    val a = Reward.vTrace(df, Seq("g"), col("t"), col("t"), col("r"),
+      col("v"), col("is"), gamma = 0.5).head()
+    val b = Reward.vTrace(df.withColumn("is", lit(1.0)), Seq("g"),
+      col("t"), col("t"), col("r"), col("v"), col("is"),
+      gamma = 0.5).head()
+    assert(a.getDouble(a.fieldIndex("vtrace")) ==
+      b.getDouble(b.fieldIndex("vtrace")))
+  }
 }

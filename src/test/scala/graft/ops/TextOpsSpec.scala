@@ -437,4 +437,43 @@ class TextOpsSpec extends SparkTestBase {
     }
     assert(bits(1) == bits(13))
   }
+  test("heapsFit: hand-worked growth curve") {
+    import spark.implicits._
+    // doc 1: "a b" -> N=2, V=2; doc 2: "a c c" -> N=5, V=3;
+    // doc 3: "d" -> N=6, V=4
+    val df = Seq((1L, "a b"), (2L, "a c c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val r = Text.heapsFit(df, "doc_id", "text").head()
+    assert(r.getLong(r.fieldIndex("n_docs")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 6L)
+    assert(r.getLong(r.fieldIndex("n_types")) == 4L)
+    // OLS over (ln 2, ln 2), (ln 5, ln 3), (ln 6, ln 4)
+    val pts = Seq((2.0, 2.0), (5.0, 3.0), (6.0, 4.0))
+      .map { case (a, b) => (math.log(a), math.log(b)) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(r.fieldIndex("beta")) - beta) < 1e-12)
+  }
+
+  test("heapsFit: pure-repeat corpus has beta 0; empty/NULL docs " +
+      "contribute no point; partition-invariant") {
+    import spark.implicits._
+    val rep = Seq((1L, "x"), (2L, "x x"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val r0 = Text.heapsFit(rep, "doc_id", "text").head()
+    assert(r0.getDouble(r0.fieldIndex("beta")) == 0.0) // V constant at 1
+    val withEmpty = Seq((1L, "a b"), (2L, "   "), (3L, null),
+      (4L, "a c")).toDF("doc_id", "text")
+    val r1 = Text.heapsFit(withEmpty, "doc_id", "text").head()
+    assert(r1.getLong(r1.fieldIndex("n_docs")) == 2L)
+    val big = (1L to 60L).map(i => (i, s"w${i % 7} w${i % 13} common"))
+      .toDF("doc_id", "text")
+    val a = Text.heapsFit(big.repartition(1), "doc_id", "text").head()
+    val b = Text.heapsFit(big.repartition(7), "doc_id", "text").head()
+    assert(a.getDouble(a.fieldIndex("beta")) ==
+      b.getDouble(b.fieldIndex("beta")))
+  }
 }
