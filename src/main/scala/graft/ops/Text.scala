@@ -549,11 +549,16 @@ object Text {
     * when fewer than 2 distinct points exist. */
   def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.api.{functions => gf}
+    // the exploded token frame feeds both the per-doc census and the
+    // first-occurrence pass, but it is corpus-size × tokens-per-doc —
+    // deliberately NOT checkpointed: re-running a scan-side explode
+    // twice is far cheaper than materializing it (a localCheckpoint
+    // here OOM'd the 5M-doc probe; the two consumers each reduce it
+    // map-side to doc- or type-sized frames immediately)
     val toks = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("__doc"),
         explode(split(trim(col(textCol)), "\\s+")).as("__w"))
       .where(length(col("__w")) > 0)
-      .localCheckpoint() // feeds both the census and the first-occ pass
     val perDoc = toks.groupBy("__doc").agg(count(lit(1)).as("__tc"))
     val firstOcc = toks.groupBy("__w").agg(min(col("__doc")).as("__doc"))
       .groupBy("__doc").agg(count(lit(1)).as("__nv"))

@@ -704,6 +704,65 @@ object ScaleProbe {
         .where(col("query_id") =!= col("doc_id")).distinct())
     }
 
+    // r13 session 2: graph analytics — wedge cost is Σ_z C(deg z, 2),
+    // so the probe graph pins average degree at 8 and the hub guard is
+    // what keeps the shape safe when a real graph doesn't
+    val nEdges = nVecs
+    val nNodes = math.max(nVecs / 4, 1L)
+    val bigEdges = spark.range(nEdges).select(
+      ((col("id") * 2654435761L) % nNodes).as("src"),
+      ((col("id") * 40503L + 3) % nNodes).as("dst"))
+    time(s"r13 linkPrediction $nEdges edges, $nNodes nodes") {
+      force(graft.ops.Graph.linkPrediction(bigEdges, "src", "dst"))
+    }
+    time(s"r13 labelPropagation 4 rounds, ${nEdges / 4} edges") {
+      force(graft.ops.Graph.labelPropagation(
+        bigEdges.limit((nEdges / 4).toInt), "src", "dst", 4))
+    }
+
+    // r13 session 2: sequence RL + census ops — all single-exchange
+    time(s"r13 vTrace H=16, $nDocs steps x ${nDocs / 50} groups") {
+      val seqs = spark.range(nDocs).select(
+        (col("id") % (nDocs / 50)).as("g"), col("id").as("t"),
+        (col("id") % 7).cast("double").as("r"),
+        (col("id") % 16).cast("double").as("v"),
+        pow(lit(2.0), (col("id") % 3 - 1).cast("double")).as("is"))
+      force(graft.ops.Reward.vTrace(seqs, Seq("g"), col("t"), col("t"),
+        col("r"), col("v"), col("is"), gamma = 0.5, horizon = 16))
+    }
+    time(s"r13 heapsFit $nDocs docs") {
+      force(graft.ops.Text.heapsFit(docs, "doc_id", "text"))
+    }
+    time(s"r13 krippendorffAlpha ${nDocs * 3} ratings") {
+      val rated = spark.range(nDocs * 3).select(
+        (col("id") % nDocs).as("item"),
+        concat(lit("c"), ((col("id") * 31) % 5).cast("string")).as("cat"))
+      force(graft.ops.Eval.krippendorffAlpha(rated, col("item"),
+        col("cat")))
+    }
+    time(s"r13 temporalSplit+entityOverlap $nDocs rows") {
+      val ev = spark.range(nDocs).select(col("id"),
+        (col("id") % 100000).as("user_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          (col("id") * 251) % (30L * 86400000000L)).as("ts"))
+      val sp = graft.ops.Sampling.temporalSplit(ev, col("ts"),
+        lit("2024-01-22").cast("timestamp"), expr("INTERVAL 3 DAYS"))
+      force(graft.ops.Sampling.entityOverlap(sp, col("user_id")))
+    }
+    // vectors must be DIVERSE (hash-derived per (id, dim)) — a small
+    // shared cycle collapses every SRP bucket and the candidate join
+    // explodes; 1% planted copies are what the op should find. bits
+    // sized so buckets stay sparse at this corpus size (2^24 ≫ nVecs).
+    time(s"r13 embeddingPairsLsh $nVecs vecs, 24 bits x 16 tables") {
+      val src = (col("id") - (col("id") % 100 === 1).cast("long"))
+      val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(xxhash64(src, d), lit(971L))).cast("double")
+            - lit(485.0)) / lit(485.0)).as("embedding"))
+      force(graft.ops.Dedup.embeddingPairsLsh(vecs, "vec_id",
+        "embedding", 0.95, bits = 24, tables = 16))
+    }
+
     time(s"hashedLogreg B=64 x 5 iters x $nDocs") {
       val withB = docs.select(col("doc_id"),
           graft.ops.Dsir.gramBuckets(col("text"), 64, bigrams = false)
