@@ -2155,6 +2155,59 @@ object SparkEntry {
           round(col("r2"), 6).as("r2"))
     }),
 
+    "q320_cuped" -> ((s, dir) => {
+      // CUPED variance reduction over two event arms: the covariate
+      // x = floor(y) + (event_id % 5) is y's integer part plus noise,
+      // so theta and the variance reduction are large and REAL; the
+      // pooled-theta discipline (per-arm theta would bias the
+      // contrast) is mirrored by the oracle computing theta once
+      val ev = t(s, dir, "events")
+        .select(concat(lit("arm"), col("user_id") % 2).as("arm"),
+          col("value").as("y"),
+          (floor(col("value")) + col("event_id") % 5)
+            .cast("double").as("x"))
+      graft.ops.Eval.cuped(ev, Seq("arm"), col("y"), col("x"))
+        .select(col("arm"), col("n"),
+          round(col("theta"), 6).as("theta"),
+          round(col("mean_y"), 6).as("mean_y"),
+          round(col("mean_adj"), 6).as("mean_adj"),
+          round(col("var_y"), 6).as("var_y"),
+          round(col("var_adj"), 6).as("var_adj"),
+          round(col("var_reduction"), 6).as("var_reduction"))
+        .orderBy("arm")
+    }),
+
+    "q321_funnel" -> ((s, dir) => {
+      // ordered conversion funnel signup → click → purchase per user,
+      // greedy earliest-completion matching (t_k = first step-k event
+      // at or after t_{k-1}); the oracle replays each step as a
+      // min-after join CTE
+      graft.ops.Funnel.conversion(t(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_type"),
+          Seq("signup", "click", "purchase"))
+        .select(col("step"), col("name"), col("n_entities"),
+          round(col("rate_vs_first"), 6).as("rate_vs_first"),
+          round(col("rate_vs_prev"), 6).as("rate_vs_prev"))
+        .orderBy("step")
+    }),
+
+    "q322_data_constrained" -> ((s, dir) => {
+      // "when does repeating stop buying signal": Muennighoff's
+      // effective-data decay over a budget grid against the corpus's
+      // real token total — q291's follow-up for the data-constrained
+      // regime every 100 TB run eventually hits
+      val docs = t(s, dir, "documents")
+        .select(gf.token_count(col("text")).cast("long").as("toks"))
+      graft.ops.Planner.dataConstrainedPlan(docs, col("toks"),
+          Seq(10000L, 100000L, 1000000L, 10000000L, 1000000000L))
+        .select(col("budget_tokens"), col("corpus_tokens"),
+          col("unique_used"),
+          round(col("repeats"), 6).as("repeats"),
+          round(col("effective_tokens"), 4).as("effective_tokens"),
+          round(col("utilization"), 6).as("utilization"))
+        .orderBy("budget_tokens")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -9950,6 +10003,73 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round((n*sxy - sx*sy) * (n*sxy - sx*sy)
              / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
          FROM s, ty""",
+    "q320_cuped" ->
+      """WITH b AS (SELECT 'arm' || (user_id % 2)::VARCHAR AS arm,
+             value AS y,
+             (floor(value) + event_id % 5)::DOUBLE AS x
+           FROM events WHERE value IS NOT NULL),
+         pool AS (SELECT count(*)::DOUBLE AS pn,
+             sum(x) / count(*) AS pxbar,
+             (count(*) * sum(x*y) - sum(x) * sum(y))
+               / (count(*) * sum(x*x) - sum(x) * sum(x)) AS theta
+           FROM b),
+         g AS (SELECT arm, count(*)::BIGINT AS n,
+             count(*)::DOUBLE AS nd, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+           FROM b GROUP BY 1),
+         f AS (SELECT arm, n, theta,
+             sy / nd AS mean_y,
+             sy / nd - theta * (sx / nd - pxbar) AS mean_adj,
+             (nd*syy - sy*sy) / (nd*(nd-1)) AS var_y,
+             (nd*syy - sy*sy) / (nd*(nd-1))
+               + theta*theta * (nd*sxx - sx*sx) / (nd*(nd-1))
+               - 2*theta * (nd*sxy - sx*sy) / (nd*(nd-1)) AS var_adj
+           FROM g, pool)
+         SELECT arm, n, round(theta, 6) AS theta,
+           round(mean_y, 6) AS mean_y, round(mean_adj, 6) AS mean_adj,
+           round(var_y, 6) AS var_y, round(var_adj, 6) AS var_adj,
+           round(1.0 - var_adj / var_y, 6) AS var_reduction
+         FROM f ORDER BY arm""",
+    "q321_funnel" ->
+      """WITH r1 AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         r2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN r1 ON e.user_id = r1.user_id
+           WHERE e.event_type = 'click' AND e.ts >= r1.t GROUP BY 1),
+         r3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN r2 ON e.user_id = r2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= r2.t GROUP BY 1),
+         c AS (SELECT 1 AS step, 'signup' AS name,
+             (SELECT count(*) FROM r1)::BIGINT AS n_entities
+           UNION ALL SELECT 2, 'click',
+             (SELECT count(*) FROM r2)::BIGINT
+           UNION ALL SELECT 3, 'purchase',
+             (SELECT count(*) FROM r3)::BIGINT)
+         SELECT step, name, n_entities,
+           round(n_entities::DOUBLE /
+             first_value(n_entities) OVER (ORDER BY step), 6)
+             AS rate_vs_first,
+           round(n_entities::DOUBLE /
+             lag(n_entities) OVER (ORDER BY step), 6) AS rate_vs_prev
+         FROM c ORDER BY step""",
+    "q322_data_constrained" ->
+      """WITH tot AS (SELECT sum(len(string_split(text, ' ')))::BIGINT
+             AS ct FROM documents),
+         g AS (SELECT m AS budget_tokens, (SELECT ct FROM tot) AS ct,
+             least((SELECT ct FROM tot), m) AS unique_used
+           FROM unnest([10000, 100000, 1000000, 10000000,
+             1000000000]::BIGINT[]) t(m)),
+         f AS (SELECT budget_tokens, ct, unique_used,
+             budget_tokens::DOUBLE / unique_used::DOUBLE - 1.0 AS r,
+             unique_used::DOUBLE * (1.0 + 15.39 *
+               (1.0 - exp(-(budget_tokens::DOUBLE / unique_used::DOUBLE
+                 - 1.0) / 15.39))) AS eff
+           FROM g)
+         SELECT budget_tokens, ct AS corpus_tokens, unique_used,
+           round(r, 6) AS repeats,
+           round(eff, 4) AS effective_tokens,
+           round(eff / budget_tokens::DOUBLE, 6) AS utilization
+         FROM f ORDER BY budget_tokens""",
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,

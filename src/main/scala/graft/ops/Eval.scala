@@ -383,6 +383,75 @@ object Eval {
       when(dE > 0, lit(1.0) - dO / dE).as("alpha"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments") — the standard
+    * covariate-adjustment pass an eval/experiment pipeline runs before
+    * comparing arms: with a pre-treatment covariate X (last period's
+    * metric, prompt difficulty, document length),
+    *
+    *   θ = cov(X, Y) / var(X)      (POOLED across arms — using a
+    *                                per-arm θ would bias the contrast)
+    *   Y_adj = Y − θ·(X − x̄_pool)
+    *
+    * removes the variance Y shares with X (factor 1 − ρ²) without
+    * biasing arm means, shrinking confidence intervals at no data
+    * cost. Returns one row per group: (groupCols…, n, theta, mean_y,
+    * mean_adj, var_y, var_adj, var_reduction) — var columns are sample
+    * variances of the raw and adjusted metric, var_reduction =
+    * 1 − var_adj/var_y; NULL fit columns for degenerate var(X) = 0.
+    *
+    * Scale shape: TWO moment folds (one pooled row + one per-group),
+    * each a single map-side-combined aggregation through exact_sum;
+    * the adjusted statistics come from the same grouped moments in
+    * closed form (var(Y−θX) = var_Y + θ²·var_X − 2θ·cov_XY), so no
+    * second pass over rows and bit-determinism under any partitioning.
+    * NULL metric/covariate rows are refused work (dropped). */
+  def cuped(df: DataFrame, groupCols: Seq[String], metricCol: Column,
+      covariateCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val y = metricCol.cast("double")
+    val x = covariateCol.cast("double")
+    val base = df.where(y.isNotNull && x.isNotNull)
+      .select((groupCols.map(col) :+ y.as("__y")) :+ x.as("__x"): _*)
+      .localCheckpoint() // pooled + grouped folds share one shuffle-in
+    import graft.api.{functions => gfn}
+    def moments(g: DataFrame) = Seq(
+      count(lit(1)).as("__n"),
+      gfn.exact_sum(col("__x")).as("__sx"),
+      gfn.exact_sum(col("__y")).as("__sy"),
+      gfn.exact_sum(col("__x") * col("__x")).as("__sxx"),
+      gfn.exact_sum(col("__x") * col("__y")).as("__sxy"),
+      gfn.exact_sum(col("__y") * col("__y")).as("__syy"))
+    val pooled = base.agg(moments(base).head, moments(base).tail: _*)
+      .select(col("__n").as("__pn"),
+        (col("__sx") / col("__n")).as("__pxbar"),
+        when(col("__n") * col("__sxx") - col("__sx") * col("__sx") > 0,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+          .as("__theta"))
+    val grouped = base.groupBy(groupCols.map(col): _*)
+      .agg(moments(base).head, moments(base).tail: _*)
+    val n = col("__n").cast("double")
+    def sampleVar(sxx: Column, sx: Column) =
+      when(col("__n") >= 2, (n * sxx - sx * sx) / (n * (n - 1)))
+    val varY = sampleVar(col("__syy"), col("__sy"))
+    val varX = sampleVar(col("__sxx"), col("__sx"))
+    val covXY = when(col("__n") >= 2,
+      (n * col("__sxy") - col("__sx") * col("__sy")) / (n * (n - 1)))
+    val varAdj = varY + col("__theta") * col("__theta") * varX -
+      lit(2.0) * col("__theta") * covXY
+    grouped.crossJoin(broadcast(pooled)) // 1-row scalar side
+      .select(groupCols.map(col) ++ Seq(
+        col("__n").as("n"),
+        col("__theta").as("theta"),
+        (col("__sy") / n).as("mean_y"),
+        (col("__sy") / n - col("__theta") *
+          (col("__sx") / n - col("__pxbar"))).as("mean_adj"),
+        varY.as("var_y"),
+        varAdj.as("var_adj"),
+        when(varY > 0, lit(1.0) - varAdj / varY).as("var_reduction")): _*)
+  }
+
   /** Corpus-level BLEU (Papineni et al. 2002) per group — the n-gram
     * overlap score a generation/translation pipeline reports over
     * millions of (reference, candidate) pairs. Whitespace tokenization

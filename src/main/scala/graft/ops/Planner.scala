@@ -131,6 +131,47 @@ object Planner {
         col("max_feasible_params"))
   }
 
+  /** Data-constrained scaling plan (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): when the training-token budget
+    * D exceeds the unique corpus U, repeated epochs decay in value —
+    * the paper's fit puts the effective data at
+    *
+    *   D'(U, R) = U + U·R*·(1 − e^(−R/R*)),   R = D/U − 1 repeats,
+    *
+    * with R* ≈ 15.39 (repeats beyond ~15 epochs contribute ≈ nothing).
+    * [[chinchillaPlan]] answers "is the corpus big enough at 1 epoch";
+    * this answers the follow-up a data-constrained run actually faces:
+    * how much of a BUDGET is still buying signal at each repeat level,
+    * i.e. when to stop repeating and go get more data. One corpus
+    * total + closed-form arithmetic on the literal budget grid.
+    * Returns per budget: (budget_tokens, corpus_tokens, unique_used,
+    * repeats, effective_tokens, utilization = D'/D). */
+  def dataConstrainedPlan(df: DataFrame, tokenCol: Column,
+      budgets: Seq[Long], rStar: Double = 15.39): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      "budgets must be positive")
+    require(rStar > 0, "rStar must be > 0")
+    val tot = df.agg(coalesce(sum(tokenCol.cast("long")), lit(0L))
+      .as("corpus_tokens"))
+    tot.select(col("corpus_tokens"),
+        explode(typedLit(budgets.sorted)).as("budget_tokens"))
+      .withColumn("unique_used",
+        least(col("corpus_tokens"), col("budget_tokens")))
+      .withColumn("repeats",
+        when(col("unique_used") > 0,
+          col("budget_tokens").cast("double") /
+            col("unique_used").cast("double") - 1.0))
+      .withColumn("effective_tokens",
+        when(col("unique_used") > 0,
+          col("unique_used").cast("double") * (lit(1.0) + lit(rStar) *
+            (lit(1.0) - exp(-col("repeats") / lit(rStar))))))
+      .withColumn("utilization",
+        col("effective_tokens") / col("budget_tokens").cast("double"))
+      .select(col("budget_tokens"), col("corpus_tokens"),
+        col("unique_used"), col("repeats"), col("effective_tokens"),
+        col("utilization"))
+  }
+
   def selfJoinSizeEstimate(df: DataFrame, key: Column,
       depth: Int = 4, width: Int = 4096): DataFrame =
     df.agg(gf.cms_agg(key, depth, width).as("__c"))

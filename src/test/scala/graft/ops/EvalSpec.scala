@@ -915,4 +915,43 @@ class EvalSpec extends SparkTestBase {
       assert(math.abs(got.getDouble(got.fieldIndex("alpha")) - want) < 1e-12)
     }
   }
+  test("cuped: hand-worked pooled theta, adjusted means and variances") {
+    import spark.implicits._
+    // perfectly correlated x = 2y within each arm -> theta = 0.5 pooled,
+    // var_adj collapses to 0
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0))
+      .map { case (g, y) => (g, y, 2.0 * y) }.toDF("arm", "y", "x")
+    val got = Eval.cuped(df, Seq("arm"), col("y"), col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getDouble(a.fieldIndex("theta")) == 0.5)
+    assert(a.getDouble(a.fieldIndex("mean_y")) == 2.0)
+    // mean_adj = mean_y - theta*(mean_x_g - pooled_xbar) = 2 - .5*(4-6) = 3
+    assert(a.getDouble(a.fieldIndex("mean_adj")) == 3.0)
+    assert(a.getDouble(a.fieldIndex("var_y")) == 2.0)
+    assert(math.abs(a.getDouble(a.fieldIndex("var_adj"))) < 1e-12)
+    assert(math.abs(a.getDouble(a.fieldIndex("var_reduction")) - 1.0)
+      < 1e-12)
+    // arm means stay comparable: adjustment shifts both arms by the
+    // SAME pooled rule (b: 4 - .5*(8-6) = 3)
+    val b = got("b")
+    assert(b.getDouble(b.fieldIndex("mean_adj")) == 3.0)
+  }
+
+  test("cuped: uncorrelated covariate leaves variance ~unchanged; " +
+      "degenerate var(X) = 0 yields NULL fit") {
+    import spark.implicits._
+    // x alternates independently of y
+    val rows = (0 until 64).map(i =>
+      ("g", (i % 8).toDouble, (i % 2).toDouble))
+    val r = Eval.cuped(rows.toDF("arm", "y", "x"), Seq("arm"),
+      col("y"), col("x")).head()
+    // theta finite, reduction tiny
+    assert(math.abs(r.getDouble(r.fieldIndex("var_reduction"))) < 0.05)
+    val const = Seq(("g", 1.0, 5.0), ("g", 2.0, 5.0))
+      .toDF("arm", "y", "x")
+    val c = Eval.cuped(const, Seq("arm"), col("y"), col("x")).head()
+    assert(c.isNullAt(c.fieldIndex("theta"))
+      || c.getDouble(c.fieldIndex("theta")).isNaN)
+  }
 }

@@ -1,47 +1,68 @@
 package graft.ops
 
-import graft.SparkTestBase
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
 
-class FunnelSpec extends AnyFunSuite with SparkTestBase {
-  import spark.implicits._
+/** Ordered conversion funnels (Funnel.conversion). */
+class FunnelSpec extends SparkTestBase {
 
-  private lazy val docs = Seq(
-    (1L, "good doc with plenty of words here"), // passes all
-    (2L, "x"),                                  // fails min_len
-    (3L, "1234567890 1234567890 1234567890"),   // fails digits
-    (4L, "short but 99 ok"),                    // passes all
-    (5L, "x 123456789012345678901234567890123") // fails min_len AND digits
-  ).toDF("doc_id", "text")
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
-  private val rules = Seq(
-    "min_len" -> (length(col("text")) >= 10),
-    "digits" -> (length(regexp_replace(col("text"), "[^0-9]", ""))
-      <= length(col("text")) * 0.5))
-
-  test("sequential funnel counts and standalone overlap diagnostic") {
-    val got = Pipeline.filterFunnel(docs, rules)
-      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
-    // stage 1: 5 in, doc2 fails (doc5 is 35 chars -> passes min_len) -> 4 out
-    // stage 2: 4 in, docs 3,5 fail digits -> 2 out; alone: 3,5 -> 2
-    assert(got == Seq(
-      (1L, "min_len", 5L, 1L, 4L, 1L),
-      (2L, "digits", 4L, 2L, 2L, 2L)))
+  test("conversion: greedy earliest matching honors step order") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes in order
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-02 00:00:00"),
+      (1L, "buy", "2024-01-03 00:00:00"),
+      // u2 clicked BEFORE signup: click doesn't count, funnel stops
+      (2L, "click", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-02 00:00:00"),
+      // u3 signup only
+      (3L, "signup", "2024-01-01 00:00:00"),
+      // u4 buy before click: reaches click, not buy
+      (4L, "signup", "2024-01-01 00:00:00"),
+      (4L, "buy", "2024-01-02 00:00:00"),
+      (4L, "click", "2024-01-03 00:00:00")
+    ).map { case (u, t, s) => (u, t, ts(s)) }.toDF("u", "t", "time")
+    val got = Funnel.conversion(ev, col("u"), col("time"), col("t"),
+        Seq("signup", "click", "buy"))
+      .orderBy("step").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(4L, 2L, 1L))
+    val r2 = got(1)
+    assert(r2.getDouble(r2.fieldIndex("rate_vs_first")) == 0.5)
+    assert(r2.getDouble(r2.fieldIndex("rate_vs_prev")) == 0.5)
+    assert(got(0).isNullAt(got(0).fieldIndex("rate_vs_prev")))
   }
 
-  test("null predicate values count as failures") {
-    val withNull = Seq((1L, "ten chars!"), (2L, null)).toDF("doc_id", "text")
-    val got = Pipeline.filterFunnel(withNull,
-        Seq("min_len" -> (length(col("text")) >= 10)))
-      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
-    assert(got == Seq((1L, "min_len", 2L, 1L, 1L, 1L)))
+  test("conversion: same-timestamp step events count (>= semantics); " +
+      "duplicate events collapse; greedy can't be beaten") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", "2024-01-01 00:00:00"),
+      (1L, "b", "2024-01-01 00:00:00"), // same instant: counts
+      (2L, "a", "2024-01-01 00:00:00"),
+      (2L, "a", "2024-01-01 05:00:00"), // dup collapses to min
+      // greedy: first b at 02:00 >= first a, leaves room for c at 03:00
+      (2L, "b", "2024-01-01 02:00:00"),
+      (2L, "c", "2024-01-01 03:00:00")
+    ).map { case (u, t, s) => (u, t, ts(s)) }.toDF("u", "t", "time")
+    val got = Funnel.conversion(ev, col("u"), col("time"), col("t"),
+        Seq("a", "b", "c"))
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(2L, 2L, 1L))
   }
 
-  test("funnel n_out chain is monotone and matches a direct filter") {
-    val direct = docs.where(rules.map(_._2).reduce(_ && _)).count()
-    val funnel = Pipeline.filterFunnel(docs, rules).orderBy(desc("stage"))
-      .head().getAs[Long]("n_out")
-    assert(funnel == direct)
+  test("conversion: guards — empty steps, duplicate step names") {
+    import spark.implicits._
+    val ev = Seq((1L, "a", ts("2024-01-01 00:00:00")))
+      .toDF("u", "t", "time")
+    intercept[IllegalArgumentException] {
+      Funnel.conversion(ev, col("u"), col("time"), col("t"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.conversion(ev, col("u"), col("time"), col("t"),
+        Seq("a", "a"))
+    }
   }
 }

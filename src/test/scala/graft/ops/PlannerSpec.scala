@@ -122,4 +122,27 @@ class PlannerSpec extends SparkTestBase {
     assert(!m500.getBoolean(m500.fieldIndex("feasible")))
     assert(m500.getLong(m500.fieldIndex("max_feasible_params")) == 200L)
   }
+  test("dataConstrainedPlan: budget <= corpus is 1:1; decay matches " +
+      "the closed form; huge repeats saturate at U*(1+Rstar)") {
+    import spark.implicits._
+    val docs = Seq(600L, 400L).toDF("toks") // corpus = 1000
+    val got = Planner.dataConstrainedPlan(docs, col("toks"),
+        Seq(500L, 4000L, 10000000L), rStar = 15.39)
+      .orderBy("budget_tokens").collect()
+    val within = got(0)
+    assert(within.getLong(within.fieldIndex("unique_used")) == 500L)
+    assert(within.getDouble(within.fieldIndex("repeats")) == 0.0)
+    assert(within.getDouble(within.fieldIndex("effective_tokens"))
+      == 500.0)
+    assert(within.getDouble(within.fieldIndex("utilization")) == 1.0)
+    val rep = got(1) // R = 3
+    val want = 1000.0 * (1 + 15.39 * (1 - math.exp(-3.0 / 15.39)))
+    assert(math.abs(rep.getDouble(rep.fieldIndex("effective_tokens"))
+      - want) < 1e-9)
+    val sat = got(2) // R = 9999: e^-R/R* ~ 0
+    val cap = 1000.0 * (1 + 15.39)
+    assert(math.abs(sat.getDouble(sat.fieldIndex("effective_tokens"))
+      - cap) < 1e-6)
+    assert(sat.getDouble(sat.fieldIndex("utilization")) < 0.002)
+  }
 }
