@@ -400,12 +400,14 @@ object Eval {
     * variances of the raw and adjusted metric, var_reduction =
     * 1 − var_adj/var_y; NULL fit columns for degenerate var(X) = 0.
     *
-    * Scale shape: TWO moment folds (one pooled row + one per-group),
-    * each a single map-side-combined aggregation through exact_sum;
-    * the adjusted statistics come from the same grouped moments in
-    * closed form (var(Y−θX) = var_Y + θ²·var_X − 2θ·cov_XY), so no
-    * second pass over rows and bit-determinism under any partitioning.
-    * NULL metric/covariate rows are refused work (dropped). */
+    * Scale shape: ONE corpus pass — a single map-side-combined grouped
+    * moment fold through exact_sum; the POOLED moments are the sums of
+    * the group moments (a second fold over the group-sized frame, not
+    * the corpus), and the adjusted statistics come from the same
+    * grouped moments in closed form
+    * (var(Y−θX) = var_Y + θ²·var_X − 2θ·cov_XY). Group sums are
+    * bit-deterministic under any partitioning, hence so is everything
+    * derived. NULL metric/covariate rows are refused work (dropped). */
   def cuped(df: DataFrame, groupCols: Seq[String], metricCol: Column,
       covariateCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "need at least one grouping column")
@@ -413,24 +415,27 @@ object Eval {
     val x = covariateCol.cast("double")
     val base = df.where(y.isNotNull && x.isNotNull)
       .select((groupCols.map(col) :+ y.as("__y")) :+ x.as("__x"): _*)
-      .localCheckpoint() // pooled + grouped folds share one shuffle-in
     import graft.api.{functions => gfn}
-    def moments(g: DataFrame) = Seq(
-      count(lit(1)).as("__n"),
-      gfn.exact_sum(col("__x")).as("__sx"),
-      gfn.exact_sum(col("__y")).as("__sy"),
-      gfn.exact_sum(col("__x") * col("__x")).as("__sxx"),
-      gfn.exact_sum(col("__x") * col("__y")).as("__sxy"),
-      gfn.exact_sum(col("__y") * col("__y")).as("__syy"))
-    val pooled = base.agg(moments(base).head, moments(base).tail: _*)
+    val grouped = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        gfn.exact_sum(col("__x")).as("__sx"),
+        gfn.exact_sum(col("__y")).as("__sy"),
+        gfn.exact_sum(col("__x") * col("__x")).as("__sxx"),
+        gfn.exact_sum(col("__x") * col("__y")).as("__sxy"),
+        gfn.exact_sum(col("__y") * col("__y")).as("__syy"))
+      .localCheckpoint() // group-sized; feeds the pooled fold + output
+    val pooled = grouped.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("__n"),
+        gfn.exact_sum(col("__sx")).as("__sx"),
+        gfn.exact_sum(col("__sy")).as("__sy"),
+        gfn.exact_sum(col("__sxx")).as("__sxx"),
+        gfn.exact_sum(col("__sxy")).as("__sxy"))
       .select(col("__n").as("__pn"),
         (col("__sx") / col("__n")).as("__pxbar"),
         when(col("__n") * col("__sxx") - col("__sx") * col("__sx") > 0,
           (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
             (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
           .as("__theta"))
-    val grouped = base.groupBy(groupCols.map(col): _*)
-      .agg(moments(base).head, moments(base).tail: _*)
     val n = col("__n").cast("double")
     def sampleVar(sxx: Column, sx: Column) =
       when(col("__n") >= 2, (n * sxx - sx * sx) / (n * (n - 1)))
