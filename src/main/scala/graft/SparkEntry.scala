@@ -2208,6 +2208,39 @@ object SparkEntry {
         .orderBy("budget_tokens")
     }),
 
+    "q323_ewma_monitor" -> ((s, dir) => {
+      // EWMA control chart over daily per-type event volumes
+      // (α = 1/2 keeps every weight dyadic; counts are integers, so
+      // baseline quotients are the same IEEE division in both
+      // engines): the monitor that flags "today's ingest is off its
+      // own recent baseline", preceding-only history so an anomaly
+      // can't defend itself
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("cat"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      graft.ops.Drift.ewmaMonitor(daily, Seq("cat"), col("day"),
+          col("x"), alpha = 0.5, window = 8, k = 2.0)
+        .select(col("cat"), col("day"), col("x").cast("long").as("n"),
+          round(col("ewma"), 6).as("ewma"),
+          round(col("z"), 6).as("z"), col("flag"))
+        .orderBy("cat", "day")
+    }),
+
+    "q324_benford" -> ((s, dir) => {
+      // Benford first-digit audit of order totals: string-based digit
+      // extraction (a log10-floor arm can misclassify exact powers of
+      // ten under ulp differences), all nine digit rows zero-filled,
+      // per-digit chi-square contributions
+      graft.ops.Profile.benfordAudit(t(s, dir, "orders"),
+          floor(col("o_totalprice")))
+        .select(col("digit"), col("n"),
+          round(col("share"), 6).as("share"),
+          round(col("expected"), 6).as("expected"),
+          round(col("chi2_part"), 6).as("chi2_part"))
+        .orderBy("digit")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -10070,6 +10103,54 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(eff, 4) AS effective_tokens,
            round(eff / budget_tokens::DOUBLE, 6) AS utilization
          FROM f ORDER BY budget_tokens""",
+    "q323_ewma_monitor" ->
+      """WITH d AS (SELECT event_type AS cat,
+             strftime(ts, '%Y-%m-%d') AS day, count(*)::DOUBLE AS x
+           FROM events GROUP BY 1, 2),
+         h AS (SELECT cat, day, x,
+             list(x) OVER (PARTITION BY cat ORDER BY day
+               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS hl
+           FROM d),
+         e AS (SELECT cat, day, x, hl, len(hl) AS m,
+             CASE WHEN len(hl) > 0 THEN
+               list_sum(list_transform(range(1, len(hl) + 1),
+                 i -> pow(0.5, (len(hl) - i)::DOUBLE) * hl[i]))
+               / list_sum(list_transform(range(1, len(hl) + 1),
+                 i -> pow(0.5, (len(hl) - i)::DOUBLE))) END AS ewma
+           FROM h),
+         v AS (SELECT cat, day, x, m, ewma,
+             CASE WHEN m > 0 THEN
+               list_sum(list_transform(range(1, m + 1),
+                 i -> pow(0.5, (m - i)::DOUBLE)
+                   * (hl[i] - ewma) * (hl[i] - ewma)))
+               / list_sum(list_transform(range(1, m + 1),
+                 i -> pow(0.5, (m - i)::DOUBLE))) END AS ewvar
+           FROM e),
+         f AS (SELECT cat, day, x::BIGINT AS n, ewma,
+             CASE WHEN ewvar > 0
+               THEN (x - ewma) / sqrt(ewvar) END AS z,
+             CASE WHEN ewma IS NULL THEN false
+               WHEN ewvar > 0 THEN abs((x - ewma) / sqrt(ewvar)) > 2.0
+               ELSE x <> ewma END AS flag
+           FROM v)
+         SELECT cat, day, n, round(ewma, 6) AS ewma, round(z, 6) AS z,
+           flag
+         FROM f ORDER BY cat, day""",
+    "q324_benford" ->
+      """WITH v AS (SELECT floor(o_totalprice)::BIGINT AS x FROM orders
+           WHERE o_totalprice IS NOT NULL
+             AND floor(o_totalprice)::BIGINT > 0),
+         c AS (SELECT (x::VARCHAR)[1]::INT AS digit,
+             count(*)::BIGINT AS n FROM v GROUP BY 1),
+         t AS (SELECT coalesce(sum(n), 0)::BIGINT AS tt FROM c),
+         dg AS (SELECT i::INT AS digit FROM unnest(range(1, 10)) u(i))
+         SELECT dg.digit, coalesce(c.n, 0)::BIGINT AS n,
+           round(coalesce(c.n, 0)::DOUBLE / tt, 6) AS share,
+           round(log10(1.0 + 1.0 / dg.digit), 6) AS expected,
+           round(pow(coalesce(c.n, 0)::DOUBLE
+               - tt * log10(1.0 + 1.0 / dg.digit), 2)
+             / (tt * log10(1.0 + 1.0 / dg.digit)), 6) AS chi2_part
+         FROM dg LEFT JOIN c USING (digit), t ORDER BY digit""",
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,

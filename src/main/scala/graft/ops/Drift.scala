@@ -380,6 +380,62 @@ object Drift {
       .withColumn("__nb", sum(col("__db")).over(wAll))
   }
 
+  /** EWMA control chart (Roberts 1959; the NIST-handbook formulation
+    * with finite-history normalization) over per-group ordered series —
+    * the pipeline-monitoring pass that flags "today's ingest volume /
+    * dedup rate / mean quality is off its own recent baseline":
+    *
+    *   baseline_t = Σ_{j=1..m} (1−α)^(j−1) · x_{t−j} / Σ (1−α)^(j−1)
+    *   ewvar_t    = Σ w_j (x_{t−j} − baseline_t)² / Σ w_j
+    *   z_t        = (x_t − baseline_t) / √ewvar_t,  flag = |z| > k
+    *
+    * The baseline uses only PRECEDING points (a monitor must not let
+    * today's anomaly defend itself), truncated to the last `window`
+    * points and weight-normalized over the history that exists, so
+    * early points are usable immediately. First point of each series
+    * (no history) reports NULL baseline/z, flag false; zero variance
+    * (constant history) flags any deviation, reporting z = NULL.
+    *
+    * Scale shape: the series are GROUPED (one window exchange,
+    * group-bounded partitions); the preceding frame materializes ≤
+    * `window` doubles per row and folds scan-side, so cost is rows ×
+    * window, not rows². Deterministic: folds run in frame order. */
+  def ewmaMonitor(df: DataFrame, groupCols: Seq[String],
+      orderCol: Column, valueCol: Column, alpha: Double = 0.3,
+      window: Int = 32, k: Double = 3.0): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(window >= 1 && window <= 1024, "window must be in [1, 1024]")
+    require(k > 0, "k must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(-window, -1)
+    val x = valueCol.cast("double")
+    val hist = collect_list(x).over(w) // oldest → newest, ≤ window
+    val base = df.withColumn("__h", hist).withColumn("__x", x)
+    val n = size(col("__h"))
+    // weight of element i (0-based, oldest first) is (1−α)^(n−1−i)
+    def wgt(i: Column) = pow(lit(1.0 - alpha), (n - 1 - i).cast("double"))
+    val idx = sequence(lit(0), n - 1)
+    val wsum = aggregate(idx, lit(0.0), (s, i) => s + wgt(i))
+    val wx = aggregate(idx, lit(0.0),
+      (s, i) => s + wgt(i) * element_at(col("__h"), i + 1))
+    val withBase = base
+      .withColumn("ewma", when(n > 0, wx / wsum))
+      .withColumn("ewvar", when(n > 0, aggregate(idx, lit(0.0),
+        (s, i) => s + wgt(i) *
+          (element_at(col("__h"), i + 1) - col("ewma")) *
+          (element_at(col("__h"), i + 1) - col("ewma"))) / wsum))
+    withBase
+      .withColumn("z",
+        when(col("ewvar") > 0, (col("__x") - col("ewma")) /
+          sqrt(col("ewvar"))))
+      .withColumn("flag",
+        when(col("ewma").isNull, lit(false))
+          .when(col("ewvar") > 0, abs(col("z")) > k)
+          .otherwise(col("__x") =!= col("ewma")))
+      .drop("__h", "__x")
+  }
+
   /** Smoothed probability columns over the observed vocabulary. */
   private def smoothed(na: Long, nb: Long, v: Long, alpha: Double)
       : (Column, Column) =

@@ -238,6 +238,43 @@ object Profile {
     * (n, sum_comb, sum_a, sum_b, ari, nmi); a degenerate side (one
     * cluster, or all singletons on both sides) reports NULL ari/nmi
     * where the denominator vanishes. */
+  /** Benford first-significant-digit audit (Newcomb 1881, Benford
+    * 1938; Nigrini's forensic test) of a positive integer-valued
+    * column — the data-quality screen for "does this numeric feed look
+    * organically generated or fabricated/truncated": digit shares vs
+    * the Benford expectation log₁₀(1 + 1/d), with the per-digit χ²
+    * contribution (O−E)²/E so Σ chi2_part is the classic 8-dof
+    * statistic and the worst digits are visible individually.
+    *
+    * Digit extraction is STRING-based (first character of the decimal
+    * rendering of the LONG value) so both the engine and any SQL
+    * mirror classify identically — a log10-floor extraction can
+    * misclassify exact powers of ten under ulp differences.
+    * Non-positive and NULL values are refused work (dropped); all nine
+    * digit rows always come back (zero-filled). One map-side-combined
+    * count shuffle over ≤ 9 keys. Returns
+    * (digit, n, share, expected, chi2_part). */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val v = valueCol.cast("long")
+    val counts = df.where(v.isNotNull && v > 0)
+      .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val tot = counts.agg(coalesce(sum(col("n")), lit(0L)).as("__t"))
+    val expected = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot)) // 1-row scalar side
+      .select(col("digit"), col("n"),
+        when(col("__t") > 0, col("n").cast("double") / col("__t"))
+          .as("share"),
+        expected.as("expected"),
+        when(col("__t") > 0,
+          pow(col("n").cast("double") - col("__t") * expected, 2) /
+            (col("__t") * expected)).as("chi2_part"))
+  }
+
   def clusterAgreement(df: DataFrame, aCol: Column,
       bCol: Column): DataFrame = {
     val cells = df.where(aCol.isNotNull && bCol.isNotNull)

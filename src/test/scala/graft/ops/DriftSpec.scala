@@ -352,4 +352,48 @@ class DriftSpec extends SparkTestBase {
       .compareTo(new java.math.BigDecimal("4000000000000000000")) == 0)
     assert(ks.getDouble(ks.fieldIndex("d")) == 0.25)
   }
+  test("ewmaMonitor: hand-worked baseline, variance, z, and flags") {
+    import spark.implicits._
+    val df = Seq(("g", 1, 2.0), ("g", 2, 4.0), ("g", 3, 8.0))
+      .toDF("g", "t", "x")
+    val got = Drift.ewmaMonitor(df, Seq("g"), col("t"), col("x"),
+        alpha = 0.5, window = 8, k = 3.0)
+      .orderBy("t").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("ewma")))
+    assert(!got(0).getBoolean(got(0).fieldIndex("flag")))
+    // t2: history [2] -> baseline 2, zero variance, 4 != 2 flags
+    assert(got(1).getDouble(got(1).fieldIndex("ewma")) == 2.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("z")))
+    assert(got(1).getBoolean(got(1).fieldIndex("flag")))
+    // t3: history [2,4], weights [1/2, 1] -> ewma 10/3,
+    // ewvar = (1/2*(2-10/3)^2 + (4-10/3)^2)/1.5 = 8/9
+    val r3 = got(2)
+    assert(math.abs(r3.getDouble(r3.fieldIndex("ewma")) - 10.0 / 3) < 1e-14)
+    val z = (8.0 - 10.0 / 3) / math.sqrt(8.0 / 9)
+    assert(math.abs(r3.getDouble(r3.fieldIndex("z")) - z) < 1e-12)
+    assert(r3.getBoolean(r3.fieldIndex("flag"))) // z ~ 4.95 > 3
+  }
+
+  test("ewmaMonitor: constant series never flags after the seed; " +
+      "window truncates history; partition-invariant") {
+    import spark.implicits._
+    val const = (1 to 10).map(t => ("g", t, 5.0)).toDF("g", "t", "x")
+    val c = Drift.ewmaMonitor(const, Seq("g"), col("t"), col("x"))
+      .where(col("flag")).count()
+    assert(c == 0L)
+    // window=2: at t4 history is [x2, x3] only
+    val df = Seq(("g", 1, 100.0), ("g", 2, 4.0), ("g", 3, 4.0),
+      ("g", 4, 4.0)).toDF("g", "t", "x")
+    val w2 = Drift.ewmaMonitor(df, Seq("g"), col("t"), col("x"),
+        alpha = 0.5, window = 2)
+      .orderBy("t").collect()
+    assert(w2(3).getDouble(w2(3).fieldIndex("ewma")) == 4.0)
+    val big = (1 to 200).map(t => ("g" + t % 3, t, (t * 7 % 11).toDouble))
+      .toDF("g", "t", "x")
+    val one = Drift.ewmaMonitor(big.repartition(1), Seq("g"), col("t"),
+      col("x")).orderBy("g", "t").collect().map(_.toString).toSeq
+    val many = Drift.ewmaMonitor(big.repartition(7), Seq("g"), col("t"),
+      col("x")).orderBy("g", "t").collect().map(_.toString).toSeq
+    assert(one == many)
+  }
 }

@@ -251,4 +251,32 @@ class ProfileSpec extends SparkTestBase {
     assert(math.abs(d.getDouble(4) - 1.0) < 1e-12)
     assert(math.abs(d.getDouble(5) - math.log(2.0)) < 1e-12)
   }
+  test("benfordAudit: string extraction, zero-fill, chi2 parts") {
+    import spark.implicits._
+    // 1000 and 905 classify by first char; 0, -5, null dropped
+    val df = Seq[java.lang.Long](1L, 1L, 2L, 905L, 1000L, 0L, -5L, null)
+      .toDF("v")
+    val got = Profile.benfordAudit(df, col("v"))
+      .orderBy("digit").collect()
+    assert(got.length == 9)
+    val n = got.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(n(1) == 3L && n(2) == 1L && n(9) == 1L && n(3) == 0L)
+    val r1 = got(0)
+    assert(r1.getDouble(r1.fieldIndex("share")) == 0.6)
+    assert(math.abs(r1.getDouble(r1.fieldIndex("expected"))
+      - math.log10(2.0)) < 1e-15)
+    // chi2_part = (n - t*e)^2 / (t*e) with t = 5
+    val e1 = math.log10(2.0)
+    assert(math.abs(r1.getDouble(r1.fieldIndex("chi2_part"))
+      - math.pow(3.0 - 5 * e1, 2) / (5 * e1)) < 1e-12)
+  }
+
+  test("benfordAudit: empty input yields nine zero rows with NULL stats") {
+    import spark.implicits._
+    val got = Profile.benfordAudit(Seq(-1L).toDF("v"), col("v"))
+      .orderBy("digit").collect()
+    assert(got.length == 9)
+    assert(got.forall(_.getLong(1) == 0L))
+    assert(got.forall(_.isNullAt(2)))
+  }
 }
