@@ -406,6 +406,9 @@ object Drift {
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
     require(window >= 1 && window <= 1024, "window must be in [1, 1024]")
     require(k > 0, "k must be > 0")
+    val reserved = Seq("ewma", "ewvar", "z", "flag", "__h", "__x")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(orderCol)
       .rowsBetween(-window, -1)

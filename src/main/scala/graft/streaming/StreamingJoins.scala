@@ -37,6 +37,14 @@ object StreamingJoins {
       watermark: String, rightPrefix: String = "r_"): DataFrame = {
     require(left.columns.contains(key) && right.columns.contains(key),
       s"join key $key must exist on both sides")
+    require(rightPrefix.nonEmpty, "rightPrefix must be non-empty")
+    require(!left.columns.exists(c => c.startsWith(rightPrefix) &&
+        right.columns.contains(c.stripPrefix(rightPrefix))),
+      s"left already has a '$rightPrefix'-prefixed column that the " +
+        s"renamed right side would collide with: " +
+        left.columns.filter(c => c.startsWith(rightPrefix) &&
+          right.columns.contains(c.stripPrefix(rightPrefix)))
+          .mkString(", "))
     val l = left.withWatermark(leftTs, watermark)
     val rp = right.columns.foldLeft(right)((df, c) =>
       df.withColumnRenamed(c, rightPrefix + c))
