@@ -2253,6 +2253,19 @@ object SparkEntry {
         .orderBy("digit")
     }),
 
+    "q325_retention" -> ((s, dir) => {
+      // weekly cohort retention over the event feed: users cohorted by
+      // first-activity week (anchored at 2024-01-01 so period ids are
+      // reproducible), each cell = distinct users active again k weeks
+      // later; offset 0 is the cohort census (retention 1, the
+      // denominator receipt)
+      graft.ops.Funnel.retention(t(s, dir, "events"), col("user_id"),
+          col("ts"), "2024-01-01", periodDays = 7)
+        .select(col("cohort"), col("offset"), col("n_active"),
+          round(col("retention"), 6).as("retention"))
+        .orderBy("cohort", "offset")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -10163,6 +10176,21 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
                - tt * log10(1.0 + 1.0 / dg.digit), 2)
              / (tt * log10(1.0 + 1.0 / dg.digit)), 6) AS chi2_part
          FROM dg LEFT JOIN c USING (digit), t ORDER BY digit""",
+    "q325_retention" ->
+      """WITH ep AS (SELECT DISTINCT user_id,
+             (datediff('day', DATE '2024-01-01', ts::DATE) // 7)::BIGINT
+               AS p
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT user_id, min(p) AS cohort FROM ep GROUP BY 1),
+         cells AS (SELECT cohort, (p - cohort)::BIGINT AS "offset",
+             count(*)::BIGINT AS n_active
+           FROM ep JOIN f USING (user_id) GROUP BY 1, 2),
+         sz AS (SELECT cohort, n_active AS size FROM cells
+           WHERE "offset" = 0)
+         SELECT cohort, "offset", n_active,
+           round(n_active::DOUBLE / size, 6) AS retention
+         FROM cells JOIN sz USING (cohort)
+         ORDER BY cohort, "offset"""",
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,

@@ -73,4 +73,43 @@ object Funnel {
     rows.toDF("step", "name", "n_entities", "rate_vs_first",
       "rate_vs_prev")
   }
+
+  /** Cohort retention matrix — [[conversion]]'s longitudinal
+    * companion: entities are cohorted by the period of their FIRST
+    * activity (periods are `periodDays`-day buckets counted from
+    * `anchorDate`, a fixed anchor so period ids are reproducible
+    * across runs and corpus growth), and each cell counts how many of
+    * a cohort's entities were active again `offset` periods later.
+    * The curve a pipeline team reads as "do users/sources/crawl hosts
+    * that arrived in week W keep appearing".
+    *
+    * Scale shape: the event stream reduces to DISTINCT
+    * (entity, period) immediately (one map-side-combined shuffle);
+    * first-activity is a min over that entity-sized frame; the matrix
+    * is one (cohort, offset) count over it. Offset 0 is the cohort
+    * census itself (retention 1 by construction — kept as the
+    * denominator receipt). NULL entities/timestamps are refused work.
+    * Returns (cohort, offset, n_active, retention). */
+  def retention(df: DataFrame, entityCol: Column, tsCol: Column,
+      anchorDate: String, periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, "periodDays must be >= 1")
+    val period = floor(
+      datediff(to_date(tsCol), to_date(lit(anchorDate))).cast("long")
+        / periodDays)
+    val ep = df
+      .where(entityCol.isNotNull && tsCol.isNotNull)
+      .select(entityCol.as("__e"), period.as("__p"))
+      .distinct()
+      .localCheckpoint() // feeds the first-activity min AND the matrix
+    val firstP = ep.groupBy("__e").agg(min(col("__p")).as("__cohort"))
+    val cells = ep.join(firstP, Seq("__e"))
+      .groupBy(col("__cohort").as("cohort"),
+        (col("__p") - col("__cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.where(col("offset") === 0)
+      .select(col("cohort"), col("n_active").as("__size"))
+    cells.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"),
+        (col("n_active").cast("double") / col("__size")).as("retention"))
+  }
 }

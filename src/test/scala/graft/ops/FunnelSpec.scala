@@ -65,4 +65,39 @@ class FunnelSpec extends SparkTestBase {
         Seq("a", "a"))
     }
   }
+  test("retention: hand-worked weekly cohorts") {
+    import spark.implicits._
+    // u1 first week 0, returns weeks 1 and 3; u2 first week 0 only;
+    // u3 first week 1, returns week 2
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-09 10:00:00"),
+      (1L, "2024-01-23 10:00:00"),
+      (2L, "2024-01-03 10:00:00"),
+      (3L, "2024-01-10 10:00:00"), (3L, "2024-01-17 10:00:00")
+    ).map { case (u, s) => (u, ts(s)) }.toDF("u", "time")
+    val got = Funnel.retention(ev, col("u"), col("time"),
+        "2024-01-01", periodDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((0L, 0L)) == ((2L, 1.0)))
+    assert(got((0L, 1L)) == ((1L, 0.5)))
+    assert(got((0L, 3L)) == ((1L, 0.5)))
+    assert(got((1L, 0L)) == ((1L, 1.0)))
+    assert(got((1L, 1L)) == ((1L, 1.0)))
+    assert(!got.contains((0L, 2L))) // no activity -> no cell
+  }
+
+  test("retention: multiple events in one period count once; " +
+      "NULLs refused") {
+    import spark.implicits._
+    val ev = Seq(
+      (java.lang.Long.valueOf(1L), ts("2024-01-02 10:00:00")),
+      (java.lang.Long.valueOf(1L), ts("2024-01-03 10:00:00")),
+      (null.asInstanceOf[java.lang.Long], ts("2024-01-02 10:00:00"))
+    ).toDF("u", "time")
+    val got = Funnel.retention(ev, col("u"), col("time"), "2024-01-01")
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 1L)
+  }
 }
