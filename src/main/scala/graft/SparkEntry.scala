@@ -2266,6 +2266,39 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "q326_mannwhitney" -> ((s, dir) => {
+      // Mann–Whitney U over q302's fixture (even- vs odd-id doc
+      // lengths): tie-aware integer midranks on the distinct-value
+      // cell frame, DECIMAL cross products, tie-corrected normal z,
+      // rank-biserial effect size — the location test that completes
+      // the KS/W1 two-sample family
+      graft.ops.Drift.mannWhitney(t(s, dir, "documents"),
+          col("n_chars"), col("doc_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"),
+          round(col("u_a"), 1).as("u_a"),
+          round(col("z"), 6).as("z"),
+          round(col("r_rb"), 6).as("r_rb"))
+    }),
+
+    "q327_isotonic" -> ((s, dir) => {
+      // isotonic calibration (PAV) over q115's synthetic scorer at 16
+      // bins; the oracle replays the max-min characterization
+      // iso_i = max_{j<=i} min_{k>=i} pooled-rate(j..k) — the closed
+      // form PAV provably equals — so the two sides share NO algorithm
+      val docs = t(s, dir, "documents")
+      val score = ((col("doc_id") * 37 + 5) % 1024)
+        .cast("double") / 1024.0
+      val label = (col("doc_id") * 37 + col("n_chars")) % 100 <
+        when(col("n_chars") > 310, 60).otherwise(25)
+      graft.ops.Eval.isotonicFit(
+          docs.select(score.as("s"), label.as("y")),
+          col("s"), col("y"), bins = 16)
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("rate_raw"), 6).as("rate_raw"),
+          round(col("rate_iso"), 6).as("rate_iso"))
+        .orderBy("bin")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -10191,6 +10224,58 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(n_active::DOUBLE / size, 6) AS retention
          FROM cells JOIN sz USING (cohort)
          ORDER BY cohort, "offset"""",
+    "q326_mannwhitney" ->
+      """WITH c AS (SELECT n_chars::DOUBLE AS v,
+             sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
+             sum((doc_id % 2 = 1)::INT)::BIGINT AS db
+           FROM documents GROUP BY 1),
+         w AS (SELECT v, da, db, da + db AS f,
+             sum(da + db) OVER (ORDER BY v) - (da + db) AS cb,
+             sum(da) OVER () AS na, sum(db) OVER () AS nb
+           FROM c),
+         a AS (SELECT max(na)::DOUBLE AS na, max(nb)::DOUBLE AS nb,
+             sum(da * (2 * cb + f + 1))::DOUBLE AS r2a,
+             sum(f * f * f - f)::DOUBLE AS ties
+           FROM w),
+         f2 AS (SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             (r2a - na * (na + 1)) / 2.0 AS ua,
+             na * nb / 12.0 * ((na + nb + 1)
+               - ties / ((na + nb) * (na + nb - 1))) AS s2,
+             na, nb
+           FROM a)
+         SELECT n_a, n_b, round(ua, 1) AS u_a,
+           round((ua - na * nb / 2.0) / sqrt(s2), 6) AS z,
+           round(2.0 * ua / (na * nb) - 1.0, 6) AS r_rb
+         FROM f2""",
+    "q327_isotonic" ->
+      """WITH d AS (SELECT least(floor((((doc_id*37 + 5) % 1024)::DOUBLE
+               / 1024.0) * 16)::INT, 15) AS bin,
+             ((doc_id*37 + n_chars) % 100 <
+               CASE WHEN n_chars > 310 THEN 60 ELSE 25 END)::INT AS y
+           FROM documents),
+         b AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS np
+           FROM d GROUP BY 1),
+         o AS (SELECT bin, n, np,
+             row_number() OVER (ORDER BY bin) AS i FROM b),
+         ps AS (SELECT i, bin, n, np,
+             sum(n) OVER (ORDER BY i) AS cn,
+             sum(np) OVER (ORDER BY i) AS cp FROM o),
+         sp AS (SELECT j.i AS ji, k.i AS ki,
+             (k.cp - coalesce(j2.cp, 0))::DOUBLE
+               / (k.cn - coalesce(j2.cn, 0)) AS avg
+           FROM ps j JOIN ps k ON j.i <= k.i
+           LEFT JOIN ps j2 ON j2.i = j.i - 1),
+         inner_min AS (SELECT sp.ji, o.i,
+             min(sp.avg) AS minv
+           FROM sp JOIN o ON sp.ji <= o.i AND sp.ki >= o.i
+           GROUP BY 1, 2),
+         iso AS (SELECT i, max(minv) AS rate_iso FROM inner_min
+           GROUP BY 1)
+         SELECT o.bin, o.n, o.np AS n_pos,
+           round(o.np::DOUBLE / o.n, 6) AS rate_raw,
+           round(iso.rate_iso, 6) AS rate_iso
+         FROM o JOIN iso USING (i)
+         ORDER BY o.bin""",
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,

@@ -348,6 +348,59 @@ object Drift {
         (col("n_a").cast("double") * col("n_b").cast("double")))
   }
 
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between side A
+    * and side B of one numeric column — the distribution-free location
+    * test that completes the two-sample family: [[ksTest]] answers
+    * "any difference anywhere", [[wasserstein1]] "how much mass moved",
+    * this answers "is A stochastically larger" with an effect size.
+    * Tie-aware midranks in exact integers (2·midrank = 2·cum_before +
+    * f + 1, the q161/zipf convention), so with n_A rows of A:
+    *
+    *   2R_A = Σ_cells d_A·(2·cum_before + f + 1)      (DECIMAL(38,0))
+    *   U_A  = R_A − n_A(n_A+1)/2
+    *   σ²   = n_A·n_B/12 · (n+1 − Σ(f³−f)/(n(n−1)))   (tie-corrected)
+    *   z    = (U_A − n_A·n_B/2)/σ
+    *   r_rb = 2·U_A/(n_A·n_B) − 1                      (rank-biserial)
+    *
+    * Same scale shape as [[ksTest]]: ONE corpus shuffle into
+    * per-distinct-value side counts, then windows over the
+    * value-cardinality-bounded cell frame; every count product is
+    * DECIMAL(38,0) (the ~3·10⁹-rows-per-side LONG bound does not
+    * apply). z NULL when σ = 0 (all values tied or a side empty).
+    * Returns one row: (n_a, n_b, u_a, z, r_rb). */
+  def mannWhitney(df: DataFrame, value: Column, isA: Column): DataFrame =
+    mannWhitneyFromCounts(sideCells(df, value, isA))
+
+  /** [[mannWhitney]] from an ALREADY-AGGREGATED per-distinct-value
+    * count table (columns v, da, db) — the monoid entry point, same
+    * contract as [[ksTestFromCounts]]: fold micro-batch partials with
+    * one groupBy(v)/sum and the result equals the one-shot test. */
+  def mannWhitneyFromCounts(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = cumFromCells(cells)
+    val f = (col("__da") + col("__db")).cast(dec)
+    val cumBefore = (col("__ca") + col("__cb")).cast(dec) - f
+    val agg = cum.agg(
+      max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+      coalesce(sum(col("__da").cast(dec) *
+        (lit(2).cast(dec) * cumBefore + f + lit(1).cast(dec))),
+        lit(0).cast(dec)).as("__r2a"),
+      coalesce(sum(f * f * f - f), lit(0).cast(dec)).as("__ties"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    // U_A = (2R_A − 2·nA(nA+1)/2)/2, kept doubled until the final halve
+    val uA = (col("__r2a").cast("double") - na * (na + 1)) / 2.0
+    val sigma2 = na * nb / 12.0 *
+      (n + 1 - col("__ties").cast("double") / (n * (n - 1)))
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, uA).as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0,
+        (uA - na * nb / 2.0) / sqrt(sigma2)).as("z"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        lit(2.0) * uA / (na * nb) - 1.0).as("r_rb"))
+  }
+
   /** Per-distinct-value side counts (v, da, db) from a raw two-sided
     * feed — the one corpus-sized shuffle of the KS/W₁ family. NULL
     * values/sides are refused work. */

@@ -457,6 +457,67 @@ object Eval {
         when(varY > 0, lit(1.0) - varAdj / varY).as("var_reduction")): _*)
   }
 
+  /** Isotonic (monotone) calibration via pool-adjacent-violators
+    * (Ayer et al. 1955; Zadrozny & Elkan 2002's calibration use) —
+    * the non-parametric companion of [[temperatureFit]]: scores bin on
+    * a fixed [0, 1] grid, and the per-bin positive rates are replaced
+    * by the closest NON-DECREASING sequence in weighted least squares,
+    * which PAV solves exactly. Equivalent closed form (the max-min
+    * characterization, what an independent oracle can replay):
+    * iso_i = max_{j≤i} min_{k≥i} (Σ_{j..k} pos / Σ_{j..k} n) over
+    * non-empty bins.
+    *
+    * Scale shape: ONE grouped count/sum shuffle into ≤ `bins` rows;
+    * PAV runs driver-side on that bounded frame (the accepted
+    * bounded-collect class — `bins` is capped at 1024 and is the op's
+    * whole output). Scores outside [0, 1] and NULL rows are refused
+    * work. Returns one row per NON-EMPTY bin:
+    * (bin, n, n_pos, rate_raw, rate_iso) with rate_iso non-decreasing
+    * in bin. */
+  def isotonicFit(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 32): DataFrame = {
+    require(bins >= 1 && bins <= 1024, "bins must be in [1, 1024]")
+    val spark = df.sparkSession
+    val s = scoreCol.cast("double")
+    val y = labelCol.cast("boolean")
+    val binned = df.where(s.isNotNull && y.isNotNull &&
+        s >= 0.0 && s <= 1.0)
+      .select(least(floor(s * bins).cast("int"), lit(bins - 1))
+        .as("bin"), y.as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__y").cast("long")).as("n_pos"))
+      .orderBy("bin")
+    val rows = binned.collect() // <= bins rows -- the op's whole output
+    // PAV sweep: pools merge while the incoming block's rate is <= the
+    // last pool's (pooling ties keeps the output strictly increasing
+    // across pool boundaries -- the canonical solution)
+    case class Pool(n: Long, pos: Long, from: Int)
+    val pools = scala.collection.mutable.ArrayBuffer[Pool]()
+    rows.indices.foreach { i =>
+      var cur = Pool(rows(i).getLong(1), rows(i).getLong(2), i)
+      // exact rational compare: the double cross-product loses bits
+      // past 2^53 (bin counts at 100 TB scale can be 1e12+)
+      while (pools.nonEmpty &&
+        BigInt(pools.last.pos) * cur.n >= BigInt(cur.pos) * pools.last.n) {
+        val prev = pools.remove(pools.length - 1)
+        cur = Pool(prev.n + cur.n, prev.pos + cur.pos, prev.from)
+      }
+      pools += cur
+    }
+    // pool p covers bin positions [p.from, nextPool.from)
+    val bounds = pools.map(_.from).drop(1) :+ rows.length
+    val iso = new Array[Double](rows.length)
+    pools.zip(bounds).foreach { case (pool, until) =>
+      val rate = pool.pos.toDouble / pool.n
+      (pool.from until until).foreach(iso(_) = rate)
+    }
+    import spark.implicits._
+    rows.indices.map { i =>
+      (rows(i).getInt(0), rows(i).getLong(1), rows(i).getLong(2),
+        rows(i).getLong(2).toDouble / rows(i).getLong(1), iso(i))
+    }.toDF("bin", "n", "n_pos", "rate_raw", "rate_iso")
+  }
+
   /** Corpus-level BLEU (Papineni et al. 2002) per group — the n-gram
     * overlap score a generation/translation pipeline reports over
     * millions of (reference, candidate) pairs. Whitespace tokenization

@@ -396,4 +396,49 @@ class DriftSpec extends SparkTestBase {
       col("x")).orderBy("g", "t").collect().map(_.toString).toSeq
     assert(one == many)
   }
+  test("mannWhitney: hand-worked tie-aware example and extremes") {
+    import spark.implicits._
+    // A={1,3}, B={2,2}: midranks 1, 2.5, 2.5, 4 -> U_A = 2 = E[U], z=0
+    val df = Seq((1.0, true), (3.0, true), (2.0, false), (2.0, false))
+      .toDF("v", "a")
+    val r = Drift.mannWhitney(df, col("v"), col("a")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(r.fieldIndex("u_a")) == 2.0)
+    assert(r.getDouble(r.fieldIndex("z")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("r_rb")) == 0.0)
+    // A strictly above B: U_A = nA*nB, r_rb = 1, z = 2/sqrt(5/3)
+    val hi = Seq((5.0, true), (6.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "a")
+    val h = Drift.mannWhitney(hi, col("v"), col("a")).head()
+    assert(h.getDouble(h.fieldIndex("u_a")) == 4.0)
+    assert(h.getDouble(h.fieldIndex("r_rb")) == 1.0)
+    assert(math.abs(h.getDouble(h.fieldIndex("z"))
+      - 2.0 / math.sqrt(5.0 / 3)) < 1e-12)
+  }
+
+  test("mannWhitney: empty side -> NULL stats; all-tied -> sigma 0 " +
+      "-> NULL z; FromCounts folds partials to the one-shot test") {
+    import spark.implicits._
+    val oneSide = Seq((1.0, true), (2.0, true)).toDF("v", "a")
+    val o = Drift.mannWhitney(oneSide, col("v"), col("a")).head()
+    assert(o.isNullAt(o.fieldIndex("u_a")))
+    val tied = Seq((7.0, true), (7.0, false), (7.0, true))
+      .toDF("v", "a")
+    val t = Drift.mannWhitney(tied, col("v"), col("a")).head()
+    assert(!t.isNullAt(t.fieldIndex("u_a")))
+    assert(t.isNullAt(t.fieldIndex("z")))
+    // monoid: two batch partials folded == one-shot
+    val all = Seq((1.0, true), (3.0, true), (2.0, false), (2.0, false),
+      (5.0, true), (0.5, false))
+    val full = Drift.mannWhitney(all.toDF("v", "a"), col("v"), col("a"))
+      .head()
+    val parts = all.grouped(3).zipWithIndex.map { case (g, i) =>
+      g.toDF("v", "a").groupBy(col("v").as("v"))
+        .agg(sum(col("a").cast("long")).as("da"),
+          sum((!col("a")).cast("long")).as("db"))
+    }.reduce(_.unionByName(_))
+      .groupBy("v").agg(sum("da").as("da"), sum("db").as("db"))
+    val folded = Drift.mannWhitneyFromCounts(parts).head()
+    assert(full.toString == folded.toString)
+  }
 }

@@ -954,4 +954,61 @@ class EvalSpec extends SparkTestBase {
     assert(c.isNullAt(c.fieldIndex("theta"))
       || c.getDouble(c.fieldIndex("theta")).isNaN)
   }
+  /** Brute max-min isotonic reference: iso_i = max_{j<=i} min_{k>=i}
+    * pooled-rate(j..k) over non-empty bins — no shared algorithm with
+    * the op's PAV sweep. */
+  private def refIso(cells: Seq[(Long, Long)]): Seq[Double] =
+    cells.indices.map { i =>
+      (0 to i).map { j =>
+        (i until cells.length).map { k =>
+          val span = cells.slice(j, k + 1)
+          span.map(_._2).sum.toDouble / span.map(_._1).sum
+        }.min
+      }.max
+    }
+
+  test("isotonicFit: violators pool weighted; monotone input unchanged") {
+    import spark.implicits._
+    // two bins (0.6 at n=10, 0.2 at n=10) -> both pooled to 0.4
+    val rows = (0 until 10).map(i => (0.1, i < 6)) ++
+      (0 until 10).map(i => (0.9, i < 2))
+    val got = Eval.isotonicFit(rows.toDF("s", "y"), col("s"), col("y"),
+        bins = 2)
+      .orderBy("bin").collect()
+    assert(got.map(_.getDouble(4)).toSeq == Seq(0.4, 0.4))
+    assert(got.map(_.getDouble(3)).toSeq == Seq(0.6, 0.2))
+    val mono = (0 until 10).map(i => (0.1, i < 2)) ++
+      (0 until 10).map(i => (0.9, i < 8))
+    val m = Eval.isotonicFit(mono.toDF("s", "y"), col("s"), col("y"),
+        bins = 2)
+      .orderBy("bin").collect()
+    assert(m.map(_.getDouble(4)).toSeq == Seq(0.2, 0.8))
+  }
+
+  test("isotonicFit == max-min characterization on a hash-generated " +
+      "profile; out-of-range scores refused") {
+    import spark.implicits._
+    var st = 987654321L
+    def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st >>> 33 }
+    val rows = (0 until 400).map { _ =>
+      val b = (nxt() % 8).toInt
+      ((b + 0.5) / 8.0, nxt() % 100 < (17 * ((b * 3) % 7) + 5) % 95)
+    }
+    val got = Eval.isotonicFit(rows.toDF("s", "y"), col("s"), col("y"),
+        bins = 8)
+      .orderBy("bin").collect()
+    val cells = got.map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val want = refIso(cells)
+    got.map(_.getDouble(4)).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12)
+    }
+    // iso is non-decreasing
+    assert(got.map(_.getDouble(4)).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+    val bad = Seq((1.5, true), (-0.1, false), (0.5, true))
+      .toDF("s", "y")
+    val b = Eval.isotonicFit(bad, col("s"), col("y"), bins = 4)
+      .collect()
+    assert(b.length == 1 && b.head.getLong(1) == 1L)
+  }
 }
