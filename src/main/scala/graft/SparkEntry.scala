@@ -2299,6 +2299,33 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "q328_quantile_norm" -> ((s, dir) => {
+      // cross-population score alignment: even-id doc lengths mapped
+      // onto the odd-id length distribution. The exact rank arm is the
+      // oracle-mirrored truth (integer rank arithmetic end to end);
+      // the t-digest arm rides along with a q216-style receipt — the
+      // TARGET-CDF displacement between the two mappings, bucketed at
+      // the 0.1 grain (digest cdf error ~0.01 at compression 200, 5×
+      // inside the 0.05 rounding radius), must read 0.0 on every value
+      val docs = t(s, dir, "documents")
+      val src = docs.where(col("doc_id") % 2 === 0)
+      val tgt = docs.where(col("doc_id") % 2 === 1)
+      val exact = graft.ops.Robust.quantileNormalizeExact(src,
+        col("n_chars"), tgt, col("n_chars"))
+      val sk = graft.ops.Robust.quantileNormalizeSketch(src,
+          col("n_chars"), tgt, col("n_chars"))
+        .select(col("value"), col("mapped").as("__msk"))
+      val j = exact.join(sk, Seq("value"))
+      val withE = graft.ops.Robust.percentileRank(tgt, col("n_chars"),
+        j, col("mapped"), "cdf_e")
+      val withS = graft.ops.Robust.percentileRank(tgt, col("n_chars"),
+        withE, col("__msk"), "cdf_s")
+      withS.select(col("value"), round(col("p"), 6).as("p"),
+          col("mapped"),
+          round(abs(col("cdf_s") - col("cdf_e")), 1).as("err_bucket"))
+        .orderBy("value")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -10276,6 +10303,24 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(iso.rate_iso, 6) AS rate_iso
          FROM o JOIN iso USING (i)
          ORDER BY o.bin""",
+    "q328_quantile_norm" ->
+      """WITH sc AS (SELECT n_chars::DOUBLE AS v, count(*)::BIGINT AS f
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         s2 AS (SELECT v, f, sum(f) OVER (ORDER BY v) AS cum,
+             sum(f) OVER () AS ns FROM sc),
+         tc AS (SELECT n_chars::DOUBLE AS v, count(*)::BIGINT AS f
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         t2 AS (SELECT v, sum(f) OVER (ORDER BY v) AS cum FROM tc),
+         pr AS (SELECT v, f, cum, ns,
+             (2.0 * (cum - f) + f + 1) / (2.0 * ns) AS p,
+             ((SELECT sum(f) FROM tc) * (2 * (cum - f) + f + 1)
+               + 2 * ns - 1) // (2 * ns) AS r
+           FROM s2),
+         m AS (SELECT pr.v, pr.p, min(t2.v) AS mapped
+           FROM pr JOIN t2 ON t2.cum >= pr.r GROUP BY 1, 2)
+         SELECT v AS value, round(p, 6) AS p, mapped,
+           0.0 AS err_bucket
+         FROM m ORDER BY value""",
     "q302_ks_test" ->
       """WITH c AS (SELECT n_chars::DOUBLE AS v,
              sum((doc_id % 2 = 0)::INT)::BIGINT AS da,

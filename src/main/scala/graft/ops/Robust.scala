@@ -343,4 +343,143 @@ object Robust {
       .withColumn("p_sign",
         col("reps_le0").cast("double") / col("b_used"))
   }
+  /** Distinct-value cell frame (v, f, cum) of one numeric column:
+    * per-value count and inclusive cumulative count in value order —
+    * the shared reduction of the quantile-normalization pair. One
+    * map-side-combined shuffle; the window runs over VALUE cells. */
+  private def cdfCells(df: DataFrame, valueCol: Column): DataFrame = {
+    val v = valueCol.cast("double")
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.where(v.isNotNull)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__f"))
+      .withColumn("__cum", sum(col("__f")).over(run))
+  }
+
+  /** Exact quantile normalization — the TRUTH arm (the §8.3 pair of
+    * [[quantileNormalizeSketch]]): map every distinct source value
+    * onto the target distribution by rank. With mid-rank CDF
+    * p = (2·cum_before + f + 1)/(2·n_src), the image is the smallest
+    * observed target value whose empirical CDF reaches p — i.e. the
+    * target value at required rank r = ⌈p·n_tgt⌉ (computed as an exact
+    * DECIMAL ceiling; nothing floating until the output). The classic
+    * cross-scorer / cross-shard score-alignment pass (quantile
+    * normalization in the Bolstad 2003 sense, per-column).
+    *
+    * Scale shape: both corpora reduce to distinct-value cell frames;
+    * the rank lookup is a sort-merge over the UNION of the two cell
+    * frames (one window pass — `first(target, ignoreNulls)` over the
+    * forward frame), never a nested-loop range join and never a
+    * corpus-sized shuffle. Returns the distinct mapping
+    * (value, p, mapped), one row per distinct source value. */
+  def quantileNormalizeExact(src: DataFrame, srcCol: Column,
+      tgt: DataFrame, tgtCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = cdfCells(src, srcCol)
+    val t = cdfCells(tgt, tgtCol)
+    val nS = s.agg(coalesce(sum(col("__f")), lit(0L)).as("__ns"))
+    val nT = t.agg(coalesce(sum(col("__f")), lit(0L)).as("__nt"))
+    // required target rank r = ceil(nT·(2·cumBefore + f + 1) / (2·nS))
+    // = (a + b − 1) div b with a = nT·(2cb + f + 1), b = 2nS
+    val probes = s.crossJoin(broadcast(nS)).crossJoin(broadcast(nT))
+      .select(col("__v"), col("__f"), col("__cum"),
+        col("__ns"), col("__nt"))
+      .withColumn("__a", col("__nt").cast(dec) *
+        (lit(2).cast(dec) * (col("__cum") - col("__f")).cast(dec)
+          + col("__f").cast(dec) + lit(1).cast(dec)))
+      .withColumn("__b", lit(2).cast(dec) * col("__ns").cast(dec))
+      .withColumn("__r", call_function("div",
+        col("__a") + col("__b") - lit(1).cast(dec), col("__b"))
+        .cast("long"))
+    // sort-merge: union (probe at key r) with (target cell at key cum);
+    // the probe's image is the FIRST target cell at or after its key —
+    // target rows sort AFTER probes at equal keys so cum == r matches
+    val pu = probes.select(col("__r").cast("long").as("__k"),
+      lit(0).as("__ord"), col("__v"), col("__f"), col("__cum"),
+      col("__ns"), lit(null).cast("double").as("__tv"))
+    val tu = t.select(col("__cum").as("__k"), lit(1).as("__ord"),
+      lit(null).cast("double").as("__v"),
+      lit(null).cast("long").as("__f"),
+      lit(null).cast("long").as("__cum"),
+      lit(null).cast("long").as("__ns"), col("__v").as("__tv"))
+    val wFwd = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("__k"), col("__ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    pu.unionByName(tu)
+      .withColumn("__mapped", first(col("__tv"), ignoreNulls = true)
+        .over(wFwd))
+      .where(col("__ord") === 0)
+      .select(col("__v").as("value"),
+        ((lit(2.0) * (col("__cum") - col("__f")) + col("__f") + 1)
+          / (lit(2.0) * col("__ns"))).as("p"),
+        col("__mapped").as("mapped"))
+  }
+
+  /** [[quantileNormalizeExact]]'s PRODUCTION twin — the 100 TB arm:
+    * one t-digest per side (two KB-scale blobs, broadcast as
+    * literals), and every source value maps scan-side through
+    * `quantile_tgt(cdf_src(v))` — no cell frames, no union window, no
+    * join; cost is one aggregation pass per side plus a projection.
+    * The mapped value is interpolated (t-digest quantiles), not an
+    * observed target value — measure agreement against the exact arm
+    * in-gate (q216's convention), don't assume it. Returns the same
+    * (value, p, mapped) distinct-mapping shape. */
+  def quantileNormalizeSketch(src: DataFrame, srcCol: Column,
+      tgt: DataFrame, tgtCol: Column,
+      compression: Double = 200.0): DataFrame = {
+    val sv = srcCol.cast("double")
+    val tv = tgtCol.cast("double")
+    val sBlob = src.where(sv.isNotNull)
+      .agg(gf.tdigest(sv, lit(1.0), compression)).head.getAs[Array[Byte]](0)
+    val tBlob = tgt.where(tv.isNotNull)
+      .agg(gf.tdigest(tv, lit(1.0), compression)).head.getAs[Array[Byte]](0)
+    src.where(sv.isNotNull).select(sv.as("value")).distinct()
+      .withColumn("p", gf.tdigest_cdf(lit(sBlob), col("value")))
+      .withColumn("mapped", gf.tdigest_quantile(lit(tBlob), col("p")))
+  }
+
+  /** Empirical percentile rank of each probe row's value against a
+    * reference corpus: `cdf(v) = |{ref ≤ v}| / n_ref` — the
+    * "where does this score sit in the reference distribution" lookup
+    * (and the agreement-receipt primitive for the quantile-
+    * normalization pair). Same sort-merge shape as
+    * [[quantileNormalizeExact]], backward variant: a probe's rank is
+    * the LAST reference cell at or before its value (probes sort
+    * after reference cells at equal keys, so ties count as ≤). The
+    * probe side joins back by DISTINCT value, so arbitrary probe
+    * schemas ride along; NULL probe values get NULL rank. Adds
+    * `outCol` to `probes`. */
+  def percentileRank(ref: DataFrame, refCol: Column, probes: DataFrame,
+      probeCol: Column, outCol: String = "cdf"): DataFrame = {
+    require(!probes.columns.contains(outCol),
+      s"probes already has a column named $outCol")
+    val t = cdfCells(ref, refCol)
+    val nT = t.agg(coalesce(sum(col("__f")), lit(0L)).as("__nt"))
+    val pv = probes.select(probeCol.cast("double").as("__pk"))
+      .where(col("__pk").isNotNull).distinct()
+    val ru = t.select(col("__v").as("__k"), lit(0).as("__ord"),
+      col("__cum"), lit(null).cast("double").as("__pk"))
+    val pu = pv.select(col("__pk").as("__k"), lit(1).as("__ord"),
+      lit(null).cast("long").as("__cum"), col("__pk"))
+    val wBack = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("__k"), col("__ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = ru.unionByName(pu)
+      .withColumn("__c", coalesce(
+        last(col("__cum"), ignoreNulls = true).over(wBack), lit(0L)))
+      .where(col("__ord") === 1)
+      .crossJoin(broadcast(nT))
+      .select(col("__pk"),
+        when(col("__nt") > 0,
+          col("__c").cast("double") / col("__nt")).as(outCol))
+    probes.join(ranked,
+      probeCol.cast("double") <=> col("__pk"), "left")
+      .drop("__pk")
+  }
 }

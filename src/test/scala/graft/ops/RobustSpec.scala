@@ -169,4 +169,52 @@ class RobustSpec extends SparkTestBase {
       k = 10).collect()(0)
     assert(c.isNullAt(c.fieldIndex("alpha_hat")))
   }
+  test("quantileNormalizeExact: hand mapping and identity") {
+    import spark.implicits._
+    val src = Seq(1.0, 2.0, 3.0).toDF("x")
+    val tgt = Seq(10.0, 20.0, 30.0).toDF("x")
+    val got = Robust.quantileNormalizeExact(src, col("x"), tgt, col("x"))
+      .orderBy("value").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1.0 -> 10.0, 2.0 -> 20.0, 3.0 -> 30.0))
+    // self-normalization is the identity, duplicates included
+    val dup = Seq(1.0, 1.0, 2.0, 5.0).toDF("x")
+    val id = Robust.quantileNormalizeExact(dup, col("x"), dup, col("x"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2))
+    assert(id.forall { case (v, m) => v == m })
+  }
+
+  test("percentileRank: ties count as <=, below-min is 0, NULL probes " +
+      "stay NULL") {
+    import spark.implicits._
+    val ref = Seq(1.0, 2.0, 2.0, 5.0).toDF("x")
+    val probes = Seq[java.lang.Double](0.0, 1.0, 2.0, 3.0, 5.0, 9.0, null)
+      .toDF("v")
+    val got = Robust.percentileRank(ref, col("x"), probes, col("v"))
+      .collect().map(r => Option(r.get(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(Some(0.0)) == Some(0.0))
+    assert(got(Some(1.0)) == Some(0.25))
+    assert(got(Some(2.0)) == Some(0.75))
+    assert(got(Some(3.0)) == Some(0.75))
+    assert(got(Some(5.0)) == Some(1.0))
+    assert(got(Some(9.0)) == Some(1.0))
+    assert(got(None) == None)
+  }
+
+  test("quantileNormalizeSketch tracks the exact arm within digest " +
+      "cdf error (the q328 receipt, asserted at spec grain)") {
+    import spark.implicits._
+    val src = (0 until 400).map(i => ((i * 37 % 211) + 1).toDouble).toDF("x")
+    val tgt = (0 until 500).map(i => ((i * 53 % 307) * 3 + 2).toDouble).toDF("x")
+    val ex = Robust.quantileNormalizeExact(src, col("x"), tgt, col("x"))
+    val sk = Robust.quantileNormalizeSketch(src, col("x"), tgt, col("x"))
+      .select(col("value"), col("mapped").as("msk"))
+    val j = ex.join(sk, Seq("value"))
+    val both = Robust.percentileRank(tgt, col("x"),
+      Robust.percentileRank(tgt, col("x"), j, col("mapped"), "ce"),
+      col("msk"), "cs")
+    val worst = both.agg(max(abs(col("cs") - col("ce")))).head.getDouble(0)
+    assert(worst < 0.05, s"target-cdf displacement $worst >= 0.05")
+  }
 }
