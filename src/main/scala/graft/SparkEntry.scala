@@ -2326,6 +2326,59 @@ object SparkEntry {
         .orderBy("value")
     }),
 
+    "q329_streaming_mw" -> ((s, dir) => {
+      // the location monitor DEPLOYED (q304's shape for the U test):
+      // per-batch (value, side) count partials append across 8 real
+      // micro-batches, and mannWhitneyFromCounts over the folded
+      // store equals the one-shot q326 exactly (whose oracle this
+      // gate shares)
+      val tmp = docStreamDirCache.computeIfAbsent(dir, { d =>
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_qdocs").toString
+        s.read.parquet(s"$d/documents.parquet").repartition(8)
+          .write.parquet(s"$base/documents.parquet")
+        base
+      })
+      val outBase = java.nio.file.Files
+        .createTempDirectory("graft_q329o").toString
+      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+        Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("n_chars").cast("double").as("v"))
+            .agg(sum((col("doc_id") % 2 === 0).cast("long")).as("da"),
+              sum((col("doc_id") % 2 =!= 0).cast("long")).as("db"))
+            .write.mode("append").parquet(s"$outBase/parts")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val folded = s.read.parquet(s"$outBase/parts")
+        .groupBy("v").agg(sum("da").as("da"), sum("db").as("db"))
+      graft.ops.Drift.mannWhitneyFromCounts(folded)
+        .select(col("n_a"), col("n_b"),
+          round(col("u_a"), 1).as("u_a"),
+          round(col("z"), 6).as("z"),
+          round(col("r_rb"), 6).as("r_rb"))
+    }),
+
+    "q330_post_stratify" -> ((s, dir) => {
+      // composition-bias correction: per-event-type means of `value`
+      // re-weighted to a declared deployment mix (30/25/20/15/10) —
+      // the honest aggregate when the eval mix drifted from the
+      // serving mix; exact_sum moments, strata-sized arithmetic after
+      // one grouped pass, fail-fast on unweighted strata
+      graft.ops.Eval.postStratify(t(s, dir, "events"),
+          col("event_type"), col("value"),
+          Seq("click" -> 0.30, "view" -> 0.25, "purchase" -> 0.20,
+            "signup" -> 0.15, "error" -> 0.10))
+        .select(col("stratum"), col("n"),
+          round(col("w"), 6).as("w"),
+          round(col("mean"), 6).as("mean"),
+          round(col("var_mean"), 10).as("var_mean"))
+        .orderBy("stratum")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -6567,6 +6620,33 @@ i$k AS MATERIALIZED (SELECT
          FROM r$iters r JOIN w ON w.item = r.item ORDER BY r.item"""
   }
 
+  /** q326/q329's shared oracle: tie-aware midrank U test over
+    * even- vs odd-id doc lengths (the streaming monitor folds count
+    * partials to the exact one-shot test). */
+  private val mannWhitneyOracle: String =
+    """WITH c AS (SELECT n_chars::DOUBLE AS v,
+             sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
+             sum((doc_id % 2 = 1)::INT)::BIGINT AS db
+           FROM documents GROUP BY 1),
+         w AS (SELECT v, da, db, da + db AS f,
+             sum(da + db) OVER (ORDER BY v) - (da + db) AS cb,
+             sum(da) OVER () AS na, sum(db) OVER () AS nb
+           FROM c),
+         a AS (SELECT max(na)::DOUBLE AS na, max(nb)::DOUBLE AS nb,
+             sum(da * (2 * cb + f + 1))::DOUBLE AS r2a,
+             sum(f * f * f - f)::DOUBLE AS ties
+           FROM w),
+         f2 AS (SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             (r2a - na * (na + 1)) / 2.0 AS ua,
+             na * nb / 12.0 * ((na + nb + 1)
+               - ties / ((na + nb) * (na + nb - 1))) AS s2,
+             na, nb
+           FROM a)
+         SELECT n_a, n_b, round(ua, 1) AS u_a,
+           round((ua - na * nb / 2.0) / sqrt(s2), 6) AS z,
+           round(2.0 * ua / (na * nb) - 1.0, 6) AS r_rb
+         FROM f2"""
+
   /** q316's oracle: deterministic synchronous LPA over q100's site
     * graph, every round an unrolled argmax CTE (majority label, ties →
     * smallest label — the same (count desc, label asc) rank rule the
@@ -10251,29 +10331,33 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(n_active::DOUBLE / size, 6) AS retention
          FROM cells JOIN sz USING (cohort)
          ORDER BY cohort, "offset"""",
-    "q326_mannwhitney" ->
-      """WITH c AS (SELECT n_chars::DOUBLE AS v,
-             sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
-             sum((doc_id % 2 = 1)::INT)::BIGINT AS db
-           FROM documents GROUP BY 1),
-         w AS (SELECT v, da, db, da + db AS f,
-             sum(da + db) OVER (ORDER BY v) - (da + db) AS cb,
-             sum(da) OVER () AS na, sum(db) OVER () AS nb
-           FROM c),
-         a AS (SELECT max(na)::DOUBLE AS na, max(nb)::DOUBLE AS nb,
-             sum(da * (2 * cb + f + 1))::DOUBLE AS r2a,
-             sum(f * f * f - f)::DOUBLE AS ties
-           FROM w),
-         f2 AS (SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
-             (r2a - na * (na + 1)) / 2.0 AS ua,
-             na * nb / 12.0 * ((na + nb + 1)
-               - ties / ((na + nb) * (na + nb - 1))) AS s2,
-             na, nb
-           FROM a)
-         SELECT n_a, n_b, round(ua, 1) AS u_a,
-           round((ua - na * nb / 2.0) / sqrt(s2), 6) AS z,
-           round(2.0 * ua / (na * nb) - 1.0, 6) AS r_rb
-         FROM f2""",
+    "q326_mannwhitney" -> mannWhitneyOracle,
+    // the streaming monitor folds partials to the exact one-shot test,
+    // so it shares q326's oracle verbatim
+    "q329_streaming_mw" -> mannWhitneyOracle,
+    "q330_post_stratify" ->
+      """WITH g AS (SELECT event_type AS h, count(*)::BIGINT AS n,
+             sum(value) AS sy, sum(value * value) AS syy
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1),
+         w AS (SELECT * FROM (VALUES ('click', 0.30), ('view', 0.25),
+             ('purchase', 0.20), ('signup', 0.15), ('error', 0.10))
+           t(h, w)),
+         ps AS (SELECT w.h AS stratum, coalesce(g.n, 0)::BIGINT AS n,
+             w.w, g.sy / g.n AS mean,
+             CASE WHEN g.n >= 2 THEN
+               (g.n * g.syy - g.sy * g.sy) / (g.n * (g.n - 1.0)) / g.n
+             END AS var_mean
+           FROM w LEFT JOIN g USING (h)),
+         ov AS (SELECT '__overall' AS stratum, sum(n)::BIGINT AS n,
+             1.0 AS w, sum(w * mean) AS mean,
+             sum(w * w * var_mean) AS var_mean
+           FROM ps)
+         SELECT stratum, n, round(w, 6) AS w, round(mean, 6) AS mean,
+           round(var_mean, 10) AS var_mean
+         FROM (SELECT * FROM ps UNION ALL SELECT * FROM ov)
+         ORDER BY stratum""",
     "q327_isotonic" ->
       """WITH d AS (SELECT least(floor((((doc_id*37 + 5) % 1024)::DOUBLE
                / 1024.0) * 16)::INT, 15) AS bin,

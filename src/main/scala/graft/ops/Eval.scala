@@ -457,6 +457,72 @@ object Eval {
         when(varY > 0, lit(1.0) - varAdj / varY).as("var_reduction")): _*)
   }
 
+  /** Post-stratified estimator (the survey-sampling workhorse, e.g.
+    * Cochran 1977 §5A): when eval data over- or under-samples known
+    * strata (domains, languages, difficulty tiers), re-weight the
+    * per-stratum means by POPULATION shares instead of sample shares:
+    *
+    *   ȳ_ps = Σ_h W_h·ȳ_h        v(ȳ_ps) = Σ_h W_h²·s_h²/n_h
+    *
+    * with W_h the caller's population weights (must sum to ~1; checked
+    * to 1e-9). The honest aggregate metric when the eval mix drifted
+    * from the deployment mix — [[cuped]] cuts variance, this cuts
+    * composition bias. Strata PRESENT IN DATA but missing from
+    * `weights` are refused work (fail fast — silently dropping mass
+    * biases the estimate); weighted strata absent from the data make
+    * the estimator undefined (NULL overall, per-stratum rows show
+    * which). One grouped exact_sum moment pass; everything after runs
+    * on the strata-sized frame. Returns one row per weighted stratum
+    * (stratum, n, w, mean, var_mean) plus an `__overall` row carrying
+    * ȳ_ps and v(ȳ_ps). */
+  def postStratify(df: DataFrame, strataCol: Column, valueCol: Column,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    require(weights.map(_._1).toSet.size == weights.size,
+      "duplicate stratum in weights")
+    import graft.api.{functions => gfn}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = valueCol.cast("double")
+    val base = df.where(y.isNotNull && strataCol.isNotNull)
+      .select(strataCol.cast("string").as("__h"), y.as("__y"))
+    val got = base.groupBy("__h")
+      .agg(count(lit(1)).as("n"),
+        gfn.exact_sum(col("__y")).as("__sy"),
+        gfn.exact_sum(col("__y") * col("__y")).as("__syy"))
+      .localCheckpoint() // strata-sized; feeds the guard + both outputs
+    val unknown = got.join(
+      weights.map(_._1).toDF("__h"), Seq("__h"), "left_anti")
+      .select("__h").collect().map(_.getString(0))
+    require(unknown.isEmpty,
+      s"strata present in data but missing from weights: " +
+        unknown.sorted.mkString(", ") + " — silently dropping their " +
+        "mass would bias the estimate; extend weights or pre-filter")
+    val w = weights.toDF("__h", "w")
+    val n = col("n").cast("double")
+    val perStratum = w.join(got, Seq("__h"), "left")
+      .select(col("__h").as("stratum"),
+        coalesce(col("n"), lit(0L)).as("n"), col("w"),
+        (col("__sy") / n).as("mean"),
+        when(col("n") >= 2,
+          (n * col("__syy") - col("__sy") * col("__sy")) /
+            (n * (n - 1)) / n).as("var_mean"))
+    val overall = perStratum.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n"),
+      gfn.exact_sum(col("w") * col("mean")).as("mean"),
+      gfn.exact_sum(col("w") * col("w") * col("var_mean")).as("var_mean"),
+      max(col("n").cast("long") === 0 ||
+        col("var_mean").isNull).as("__undef"))
+    perStratum.unionByName(
+      overall.select(lit("__overall").as("stratum"), col("n"),
+        lit(1.0).as("w"),
+        when(!col("__undef"), col("mean")).as("mean"),
+        when(!col("__undef"), col("var_mean")).as("var_mean")))
+  }
+
   /** Isotonic (monotone) calibration via pool-adjacent-violators
     * (Ayer et al. 1955; Zadrozny & Elkan 2002's calibration use) —
     * the non-parametric companion of [[temperatureFit]]: scores bin on

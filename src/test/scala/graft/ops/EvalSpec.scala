@@ -1011,4 +1011,35 @@ class EvalSpec extends SparkTestBase {
       .collect()
     assert(b.length == 1 && b.head.getLong(1) == 1L)
   }
+  test("postStratify: hand-worked reweighting, variance, guards") {
+    import spark.implicits._
+    // stratum a: {1, 3} (mean 2, s2 2); b: {10, 14} (mean 12, s2 8)
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 14.0))
+      .toDF("h", "y")
+    val got = Eval.postStratify(df, col("h"), col("y"),
+        Seq("a" -> 0.75, "b" -> 0.25))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val o = got("__overall")
+    // mean = .75*2 + .25*12 = 4.5; var = .75^2*(2/2) + .25^2*(8/2)
+    assert(o.getDouble(o.fieldIndex("mean")) == 4.5)
+    assert(math.abs(o.getDouble(o.fieldIndex("var_mean"))
+      - (0.5625 * 1.0 + 0.0625 * 4.0)) < 1e-14)
+    assert(got("a").getLong(1) == 2L)
+    // unknown stratum in data -> fail fast
+    intercept[IllegalArgumentException] {
+      Eval.postStratify(df, col("h"), col("y"), Seq("a" -> 1.0))
+        .collect()
+    }
+    // weighted stratum absent from data -> overall undefined
+    val miss = Eval.postStratify(df, col("h"), col("y"),
+        Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(miss("c").getLong(1) == 0L)
+    assert(miss("__overall").isNullAt(
+      miss("__overall").fieldIndex("mean")))
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Eval.postStratify(df, col("h"), col("y"), Seq("a" -> 0.5))
+    }
+  }
 }
