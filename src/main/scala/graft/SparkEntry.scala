@@ -2379,6 +2379,23 @@ object SparkEntry {
         .orderBy("stratum")
     }),
 
+    "q331_auc_ci" -> ((s, dir) => {
+      // DeLong standard error and 95% band around q108's exact AUC
+      // (same fixture — the mean placement must reproduce q108's auc
+      // digit-for-digit): placement values from the distinct-score
+      // cell frame, exact_sum moments, the Φ⁻¹(0.975) literal shared
+      // verbatim with the oracle
+      val docs = t(s, dir, "documents")
+      val label = (col("doc_id") * 37 + col("n_chars")) % 100 <
+        when(col("n_chars") > 310, 60).otherwise(25)
+      graft.ops.Eval.aucDeLong(docs, col("n_chars"), label)
+        .select(col("n_pos"), col("n_neg"),
+          round(col("auc"), 6).as("auc"),
+          round(col("se"), 6).as("se"),
+          round(col("lo95"), 6).as("lo95"),
+          round(col("hi95"), 6).as("hi95"))
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -10358,6 +10375,35 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(var_mean, 10) AS var_mean
          FROM (SELECT * FROM ps UNION ALL SELECT * FROM ov)
          ORDER BY stratum""",
+    "q331_auc_ci" ->
+      """WITH r AS (SELECT n_chars::DOUBLE AS s,
+             ((doc_id*37 + n_chars) % 100 <
+               CASE WHEN n_chars > 310 THEN 60 ELSE 25 END)::INT AS y
+           FROM documents),
+         c AS (SELECT s, sum(y)::BIGINT AS p,
+             (count(*) - sum(y))::BIGINT AS n
+           FROM r GROUP BY 1),
+         w AS (SELECT s, p, n,
+             sum(n) OVER (ORDER BY s) AS cn,
+             sum(p) OVER (ORDER BY s) AS cp,
+             sum(n) OVER () AS nn, sum(p) OVER () AS np
+           FROM c),
+         v AS (SELECT p, n,
+             (2.0*cn - n) / (2.0*nn) AS v10,
+             (2.0*(np - cp) + p) / (2.0*np) AS v01,
+             np, nn FROM w),
+         a AS (SELECT max(np)::BIGINT AS n_pos, max(nn)::BIGINT AS n_neg,
+             sum(p * v10) AS s10, sum(p * v10 * v10) AS q10,
+             sum(n * v01) AS s01, sum(n * v01 * v01) AS q01
+           FROM v),
+         f AS (SELECT n_pos, n_neg, s10 / n_pos AS auc,
+             sqrt((q10 - s10*s10/n_pos) / (n_pos - 1.0) / n_pos
+               + (q01 - s01*s01/n_neg) / (n_neg - 1.0) / n_neg) AS se
+           FROM a)
+         SELECT n_pos, n_neg, round(auc, 6) AS auc, round(se, 6) AS se,
+           round(greatest(0.0, auc - 1.959963984540054 * se), 6) AS lo95,
+           round(least(1.0, auc + 1.959963984540054 * se), 6) AS hi95
+         FROM f""",
     "q327_isotonic" ->
       """WITH d AS (SELECT least(floor((((doc_id*37 + 5) % 1024)::DOUBLE
                / 1024.0) * 16)::INT, 15) AS bin,

@@ -63,6 +63,73 @@ object Eval {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** AUC with a DeLong confidence interval (DeLong et al. 1988, via
+    * the placement-value formulation Sun & Xu 2014 made O(n log n) —
+    * here O(distinct scores) after one count shuffle): every positive
+    * carries its placement V10 = F̂_neg(x) (mid-rank at ties), every
+    * negative V01 = 1 − F̂_pos(x); mean placement IS the AUC and
+    *
+    *   se² = S²(V10)/n_pos + S²(V01)/n_neg
+    *
+    * with S² the sample variances — the standard error an eval report
+    * should print NEXT TO every AUC (an AUC of 0.71 over 200 examples
+    * is not a result). 95% bounds clip to [0, 1].
+    *
+    * Scale shape: [[auc]]'s — ONE shuffle into per-distinct-score
+    * class counts, windows over the score-cardinality-bounded cell
+    * frame, exact_sum placement moments, so the one-row report is
+    * bit-deterministic under any partitioning. Returns (n_pos, n_neg,
+    * auc, se, lo95, hi95) — se/bounds NULL when either class has < 2
+    * members. */
+  def aucDeLong(df: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    import graft.api.{functions => gfn}
+    val rows = df.select(scoreCol.cast("double").as("__s"),
+        when(labelCol, 1L).when(!labelCol, 0L).as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val byScore = rows.groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__p"),
+        (count(lit(1)) - sum(col("__y"))).as("__n"))
+    val W = org.apache.spark.sql.expressions.Window
+    val run = W.partitionBy(lit(1)).orderBy(col("__s"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val all = W.partitionBy(lit(1))
+    val cells = byScore
+      .withColumn("__cn", sum(col("__n")).over(run))
+      .withColumn("__cp", sum(col("__p")).over(run))
+      .withColumn("__nn", sum(col("__n")).over(all))
+      .withColumn("__np", sum(col("__p")).over(all))
+    // empty-class guard: ANSI division throws on 2·n = 0; the value is
+    // unused then (the final when() masks it), so 0.0 is safe
+    val v10 = when(col("__nn") > 0,
+      (lit(2.0) * col("__cn") - col("__n")) /
+        (lit(2.0) * col("__nn"))).otherwise(lit(0.0))
+    val v01 = when(col("__np") > 0,
+      (lit(2.0) * (col("__np") - col("__cp")) + col("__p")) /
+        (lit(2.0) * col("__np"))).otherwise(lit(0.0))
+    val agg = cells.agg(
+      max(col("__np")).as("n_pos"), max(col("__nn")).as("n_neg"),
+      gfn.exact_sum(col("__p") * v10).as("__s10"),
+      gfn.exact_sum(col("__p") * v10 * v10).as("__q10"),
+      gfn.exact_sum(col("__n") * v01).as("__s01"),
+      gfn.exact_sum(col("__n") * v01 * v01).as("__q01"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    val aucC = when(col("n_pos") > 0 && col("n_neg") > 0,
+      col("__s10") / np)
+    val var10 = (col("__q10") - col("__s10") * col("__s10") / np) /
+      (np - 1)
+    val var01 = (col("__q01") - col("__s01") * col("__s01") / nn) /
+      (nn - 1)
+    val se = when(col("n_pos") >= 2 && col("n_neg") >= 2,
+      sqrt(var10 / np + var01 / nn))
+    val zq = 1.959963984540054 // Φ⁻¹(0.975), the same literal both sides
+    agg.select(col("n_pos"), col("n_neg"), aucC.as("auc"),
+      se.as("se"),
+      greatest(lit(0.0), aucC - lit(zq) * se).as("lo95"),
+      least(lit(1.0), aucC + lit(zq) * se).as("hi95"))
+  }
+
   /** Per-group exact AUC — slice-wise evaluation (per source, language,
     * shard): a classifier that grades well in aggregate can still be
     * broken on one slice, and the slice report is what catches it.

@@ -1042,4 +1042,44 @@ class EvalSpec extends SparkTestBase {
       Eval.postStratify(df, col("h"), col("y"), Seq("a" -> 0.5))
     }
   }
+  test("aucDeLong: placements match a brute reference; mean placement " +
+      "IS the exact AUC; degenerate inputs yield NULLs") {
+    import spark.implicits._
+    var st = 24680L
+    def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st >>> 33 }
+    val data = (0 until 300).map { _ =>
+      val y = nxt() % 3 == 0
+      val s = ((nxt() % 40) + (if (y) 8 else 0)).toDouble
+      (s, y)
+    }
+    // brute placements
+    val pos = data.filter(_._2).map(_._1); val neg = data.filterNot(_._2).map(_._1)
+    def v10(x: Double) = (neg.count(_ < x) + 0.5 * neg.count(_ == x)) / neg.size
+    def v01(x: Double) = (pos.count(_ > x) + 0.5 * pos.count(_ == x)) / pos.size
+    val m10 = pos.map(v10); val m01 = neg.map(v01)
+    def svar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val wantAuc = m10.sum / m10.size
+    val wantSe = math.sqrt(svar(m10) / pos.size + svar(m01) / neg.size)
+    val r = Eval.aucDeLong(data.toDF("s", "y"), col("s"), col("y")).head()
+    assert(math.abs(r.getDouble(r.fieldIndex("auc")) - wantAuc) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("se")) - wantSe) < 1e-12)
+    // mean placement == the exact pair-counting AUC
+    val exact = Eval.auc(data.toDF("s", "y"), col("s"), col("y")).head()
+    assert(math.abs(r.getDouble(r.fieldIndex("auc"))
+      - exact.getDouble(exact.fieldIndex("auc"))) < 1e-12)
+    // bounds bracket the estimate and clip to [0, 1]
+    assert(r.getDouble(r.fieldIndex("lo95")) <=
+      r.getDouble(r.fieldIndex("auc")))
+    val sep = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    val p1 = Eval.aucDeLong(sep, col("s"), col("y")).head()
+    assert(p1.getDouble(p1.fieldIndex("auc")) == 1.0)
+    assert(p1.getDouble(p1.fieldIndex("hi95")) == 1.0) // clipped
+    val mono = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    val m = Eval.aucDeLong(mono, col("s"), col("y")).head()
+    assert(m.isNullAt(m.fieldIndex("auc")))
+  }
 }
