@@ -2396,6 +2396,37 @@ object SparkEntry {
           round(col("hi95"), 6).as("hi95"))
     }),
 
+    "q332_ess" -> ((s, dir) => {
+      // Kish effective sample size of q261's IPS weights per cohort:
+      // matched rows carry w = 5, the rest 0 — so ess = n_matched and
+      // efficiency = match rate, the zero-mass degeneracy an IS
+      // diagnostic must surface (plus a dyadic fractional-weight arm
+      // w = 2^-(event_id % 3) on the same cohorts)
+      val ev = t(s, dir, "events")
+      val k = (col("user_id") % 5).cast("int")
+      val acts = array(lit("click"), lit("error"), lit("purchase"),
+        lit("signup"), lit("view"))
+      val hit = col("event_type") === element_at(acts, k + 1)
+      val ips = graft.ops.Eval.effectiveSampleSize(
+          ev.select((col("user_id") % 10).as("cohort"),
+            when(hit, lit(5.0)).otherwise(lit(0.0)).as("w")),
+          Seq("cohort"), col("w"))
+        .select(lit("ips").as("arm"), col("cohort"), col("n"),
+          round(col("sum_w"), 1).as("sum_w"),
+          round(col("ess"), 6).as("ess"),
+          round(col("efficiency"), 6).as("efficiency"))
+      val dyadic = graft.ops.Eval.effectiveSampleSize(
+          ev.select((col("user_id") % 10).as("cohort"),
+            pow(lit(2.0), -(col("event_id") % 3).cast("double"))
+              .as("w")),
+          Seq("cohort"), col("w"))
+        .select(lit("dyadic").as("arm"), col("cohort"), col("n"),
+          round(col("sum_w"), 1).as("sum_w"),
+          round(col("ess"), 6).as("ess"),
+          round(col("efficiency"), 6).as("efficiency"))
+      ips.unionByName(dyadic).orderBy("arm", "cohort")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -10404,6 +10435,29 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(greatest(0.0, auc - 1.959963984540054 * se), 6) AS lo95,
            round(least(1.0, auc + 1.959963984540054 * se), 6) AS hi95
          FROM f""",
+    "q332_ess" ->
+      """WITH b AS (SELECT user_id % 10 AS cohort,
+             (user_id % 5)::INT AS k, event_type, event_id
+           FROM events),
+         ips AS (SELECT 'ips' AS arm, cohort, count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type =
+                 (['click','error','purchase','signup','view'])[k + 1]
+               THEN 5.0 ELSE 0.0 END) AS sw,
+             sum(CASE WHEN event_type =
+                 (['click','error','purchase','signup','view'])[k + 1]
+               THEN 25.0 ELSE 0.0 END) AS sw2
+           FROM b GROUP BY 2),
+         dy AS (SELECT 'dyadic' AS arm, cohort, count(*)::BIGINT AS n,
+             sum(pow(2.0, -(event_id % 3)::DOUBLE)) AS sw,
+             sum(pow(2.0, -(event_id % 3)::DOUBLE)
+               * pow(2.0, -(event_id % 3)::DOUBLE)) AS sw2
+           FROM b GROUP BY 2)
+         SELECT arm, cohort, n, round(sw, 1) AS sum_w,
+           round(CASE WHEN sw2 > 0 THEN sw * sw / sw2 END, 6) AS ess,
+           round(CASE WHEN sw2 > 0 THEN sw * sw / sw2 END / n, 6)
+             AS efficiency
+         FROM (SELECT * FROM ips UNION ALL SELECT * FROM dy)
+         ORDER BY arm, cohort""",
     "q327_isotonic" ->
       """WITH d AS (SELECT least(floor((((doc_id*37 + 5) % 1024)::DOUBLE
                / 1024.0) * 16)::INT, 15) AS bin,

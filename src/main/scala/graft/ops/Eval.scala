@@ -524,6 +524,33 @@ object Eval {
         when(varY > 0, lit(1.0) - varAdj / varY).as("var_reduction")): _*)
   }
 
+  /** Effective sample size of a weighted sample (Kish 1965's design
+    * effect; the standard IS-weights diagnostic):
+    * `ess = (Σw)² / Σw²` — how many UNWEIGHTED samples the weighted
+    * set is worth. The first number to read after any importance
+    * weighting ([[graft.ops.Reward.offPolicyValue]]'s IPS weights,
+    * [[graft.ops.Dsir]] importance resampling, [[postStratify]]
+    * inputs): an eval over 100k rows with ess = 400 has 400 rows of
+    * evidence. One map-side-combined exact_sum fold per group;
+    * non-finite/negative/NULL weights are refused work (dropped —
+    * they'd poison Σw silently). Returns (groupCols…, n, sum_w,
+    * sum_w2, ess, efficiency = ess/n). */
+  def effectiveSampleSize(df: DataFrame, groupCols: Seq[String],
+      weightCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    import graft.api.{functions => gfn}
+    val w = weightCol.cast("double")
+    df.where(w.isNotNull && w >= 0 && !isnan(w) &&
+        w =!= Double.PositiveInfinity)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        gfn.exact_sum(w).as("sum_w"),
+        gfn.exact_sum(w * w).as("sum_w2"))
+      .withColumn("ess", when(col("sum_w2") > 0,
+        col("sum_w") * col("sum_w") / col("sum_w2")))
+      .withColumn("efficiency", col("ess") / col("n"))
+  }
+
   /** Post-stratified estimator (the survey-sampling workhorse, e.g.
     * Cochran 1977 §5A): when eval data over- or under-samples known
     * strata (domains, languages, difficulty tiers), re-weight the

@@ -1082,4 +1082,31 @@ class EvalSpec extends SparkTestBase {
     val m = Eval.aucDeLong(mono, col("s"), col("y")).head()
     assert(m.isNullAt(m.fieldIndex("auc")))
   }
+  test("effectiveSampleSize: Kish formula, degeneracies, refusals") {
+    import spark.implicits._
+    // equal weights -> ess = n, efficiency 1
+    val eq = Seq(("g", 2.0), ("g", 2.0), ("g", 2.0)).toDF("g", "w")
+    val e = Eval.effectiveSampleSize(eq, Seq("g"), col("w")).head()
+    assert(e.getDouble(e.fieldIndex("ess")) == 3.0)
+    assert(e.getDouble(e.fieldIndex("efficiency")) == 1.0)
+    // one dominant weight -> ess ~ 1
+    val dom = Seq(("g", 1000.0), ("g", 1.0), ("g", 1.0)).toDF("g", "w")
+    val d = Eval.effectiveSampleSize(dom, Seq("g"), col("w")).head()
+    assert(d.getDouble(d.fieldIndex("ess")) < 1.01)
+    // hand: w = {1, 3} -> (4)^2 / 10 = 1.6
+    val h = Eval.effectiveSampleSize(
+      Seq(("g", 1.0), ("g", 3.0)).toDF("g", "w"), Seq("g"), col("w"))
+      .head()
+    assert(h.getDouble(h.fieldIndex("ess")) == 1.6)
+    // all-zero weights -> ess NULL (no evidence, not division error)
+    val z = Eval.effectiveSampleSize(
+      Seq(("g", 0.0), ("g", 0.0)).toDF("g", "w"), Seq("g"), col("w"))
+      .head()
+    assert(z.isNullAt(z.fieldIndex("ess")))
+    // negative / NaN / infinite weights are refused work
+    val bad = Seq(("g", 1.0), ("g", -2.0), ("g", Double.NaN),
+      ("g", Double.PositiveInfinity)).toDF("g", "w")
+    val b = Eval.effectiveSampleSize(bad, Seq("g"), col("w")).head()
+    assert(b.getLong(b.fieldIndex("n")) == 1L)
+  }
 }
