@@ -77,5 +77,46 @@ class StoreLockSpec extends SparkTestBase {
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store + ".bak")))
+  }
+
+  test("a swap orphan (store missing, .tmp/.bak present) is refused as " +
+      "a first run instead of silently recreating the ledger") {
+    import spark.implicits._
+    val store = tmp("graft_lock4") + "/pairs"
+    val batch = Seq(("a", "b"), ("b", "c")).toDF("w", "l")
+    Preference.updatePairStore(spark, batch, col("w"), col("l"), store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(store)
+    val tmpP = new org.apache.hadoop.fs.Path(store + ".tmp")
+    // simulate a swap that died between renames: full merged state at
+    // .tmp, live store gone
+    assert(fs.rename(dest, tmpP))
+    val e = intercept[IllegalStateException] {
+      Preference.updatePairStore(spark, batch, col("w"), col("l"), store)
+    }
+    assert(e.getMessage.contains("died") &&
+      e.getMessage.contains("first run"))
+    // no lock residue after the refusal, and the orphan is untouched
+    assert(!fs.exists(StoreLock.lockPath(store)))
+    assert(fs.exists(tmpP))
+    // operator recovery per the message: rename the orphan back, retry
+    assert(fs.rename(tmpP, dest))
+    Preference.updatePairStore(spark, batch, col("w"), col("l"), store)
+    val after = Preference.loadPairStore(spark, store).get
+      .agg(sum(col("n_a_wins") + col("n_b_wins"))).collect()(0)
+      .getLong(0)
+    assert(after == 4L) // both batches survived — nothing was dropped
+
+    // the .bak flavor of the same orphan is refused too
+    val store2 = tmp("graft_lock5") + "/cms"
+    SketchStore.updateCms(spark, Seq(1L).toDF("k"), col("k"), store2)
+    val d2 = new org.apache.hadoop.fs.Path(store2)
+    assert(fs.rename(d2, new org.apache.hadoop.fs.Path(store2 + ".bak")))
+    val e2 = intercept[IllegalStateException] {
+      SketchStore.updateCms(spark, Seq(2L).toDF("k"), col("k"), store2)
+    }
+    assert(e2.getMessage.contains("mid-swap"))
   }
 }
