@@ -2427,6 +2427,52 @@ object SparkEntry {
       ips.unionByName(dyadic).orderBy("arm", "cohort")
     }),
 
+    "q333_two_sample_sketch" -> ((s, dir) => {
+      // the two-sample family's PRODUCTION arms gated against their
+      // exact twins (the q328/§8.3 dual-path convention): odd-id doc
+      // lengths shifted +50 so D/W1/U sit far from their null values;
+      // exact stats are oracle-mirrored, and each sketch arm (ONE
+      // side-tagged scan -> two t-digest blobs, stats driver-side)
+      // rides along as a displacement receipt bucketed at the 0.1
+      // grain — measured digest error ≤ 0.003 across sf0.001..0.1,
+      // 16x inside the 0.05 rounding radius
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select((col("n_chars") + lit(50) * (col("doc_id") % 2))
+          .cast("double").as("v"),
+          (col("doc_id") % 2 === 0).as("a"))
+        .localCheckpoint()
+      val ksE = graft.ops.Drift.ksTest(docs, col("v"), col("a"))
+        .collect()(0)
+      val ksS = graft.ops.Drift.ksTestSketch(docs, col("v"), col("a"))
+        .collect()(0)
+      val w1E = graft.ops.Drift.wasserstein1(docs, col("v"), col("a"))
+        .collect()(0)
+      val w1S = graft.ops.Drift
+        .wasserstein1Sketch(docs, col("v"), col("a")).collect()(0)
+      val mwE = graft.ops.Drift.mannWhitney(docs, col("v"), col("a"))
+        .collect()(0)
+      val mwS = graft.ops.Drift
+        .mannWhitneySketch(docs, col("v"), col("a")).collect()(0)
+      val nA = ksE.getAs[Long]("n_a")
+      val nB = ksE.getAs[Long]("n_b")
+      val nab = nA.toDouble * nB.toDouble
+      Seq(
+        ("ks", ksE.getAs[Double]("d"),
+          math.abs(ksS.getAs[Double]("d") - ksE.getAs[Double]("d"))),
+        ("mw", mwE.getAs[Double]("u_a") / nab,
+          math.abs(mwS.getAs[Double]("u_a")
+            - mwE.getAs[Double]("u_a")) / nab),
+        ("w1", w1E.getAs[Double]("w1"),
+          math.abs(w1S.getAs[Double]("w1") - w1E.getAs[Double]("w1"))
+            / w1E.getAs[Double]("w1")))
+        .toDF("stat", "exact", "err")
+        .select(col("stat"), lit(nA).as("n_a"), lit(nB).as("n_b"),
+          round(col("exact"), 6).as("exact6"),
+          round(col("err"), 1).as("err_bucket"))
+        .orderBy("stat")
+    }),
+
     "q304_streaming_ks" -> ((s, dir) => {
       // the drift monitor DEPLOYED: per-batch (value, side) count
       // partials — a monoid — append across 8 real micro-batches, and
@@ -10552,6 +10598,43 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
              abs(ca * nb - cb * na) * (nv - v)::BIGINT END), 0)::DOUBLE
              / (max(na)::DOUBLE * max(nb)::DOUBLE), 6) AS w16
          FROM x""",
+    // exact KS/W1/U on the +50-shifted fixture; the sketch arms are
+    // in-gate displacement receipts that must bucket to 0.0
+    "q333_two_sample_sketch" ->
+      """WITH c AS (SELECT
+             (n_chars + 50 * (doc_id % 2))::DOUBLE AS v,
+             sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
+             sum((doc_id % 2 = 1)::INT)::BIGINT AS db
+           FROM documents GROUP BY 1),
+         w AS (SELECT v, da, db, da + db AS f,
+             sum(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS ca,
+             sum(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS cb,
+             sum(da + db) OVER (ORDER BY v) - (da + db) AS cbf,
+             lead(v) OVER (ORDER BY v) AS nv,
+             sum(da) OVER ()::BIGINT AS na,
+             sum(db) OVER ()::BIGINT AS nb
+           FROM c),
+         agg AS (SELECT max(na)::DOUBLE AS na, max(nb)::DOUBLE AS nb,
+             max(abs(ca * nb - cb * na))::DOUBLE AS dnum,
+             coalesce(sum(CASE WHEN nv IS NOT NULL THEN
+               abs(ca * nb - cb * na) * (nv - v)::BIGINT END), 0)
+               ::DOUBLE AS w1num,
+             sum(da * (2 * cbf + f + 1))::DOUBLE AS r2a
+           FROM w)
+         SELECT * FROM (
+           SELECT 'ks' AS stat, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             round(dnum / (na * nb), 6) AS exact6,
+             0.0 AS err_bucket FROM agg
+           UNION ALL
+           SELECT 'mw', na::BIGINT, nb::BIGINT,
+             round(((r2a - na * (na + 1)) / 2.0) / (na * nb), 6), 0.0
+           FROM agg
+           UNION ALL
+           SELECT 'w1', na::BIGINT, nb::BIGINT,
+             round(w1num / (na * nb), 6), 0.0 FROM agg)
+         ORDER BY stat""",
     // q79's BM25 chain at k=20 → dense join → RRF re-ranked over the
     // surviving candidates, all on round-6 scores
     "q299_hybrid_search" ->

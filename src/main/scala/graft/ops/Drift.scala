@@ -293,8 +293,14 @@ object Drift {
     * Int64 past ~3·10⁹ rows per side and would throw under ANSI), so
     * `d_num` is exact at any corpus size; the one float division
     * happens at the very end. One (value)-keyed count aggregation (the
-    * only corpus-sized shuffle), then a window over the DISTINCT-VALUE
-    * frame — bounded by value cardinality, not rows. Returns one row:
+    * only data-keyed shuffle), then cumulatives over the DISTINCT-VALUE
+    * cell frame via the distributed two-level prefix sum
+    * ([[Packing.withPrefixSumsLong]]) — for a CONTINUOUS score column
+    * distinct values ≈ rows, so that frame is itself corpus-sized, and
+    * this plan keeps it fully parallel (no single-task global window).
+    * For drift tests on raw continuous model scores at scale, prefer
+    * [[ksTestSketch]] — two broadcast t-digest blobs, no cell frame at
+    * all — and gate it against this exact arm. Returns one row:
     * (n_a, n_b, d_num DECIMAL(38,0), d, p_value). */
   def ksTest(df: DataFrame, value: Column, isA: Column): DataFrame =
     ksTestFromCounts(sideCells(df, value, isA))
@@ -329,15 +335,18 @@ object Drift {
     * cross products and the Δv-weighted sum are held in DECIMAL(38,0)
     * (the [[Eval.auc]] convention — the product overflows Int64 past
     * ~3·10⁹ rows per side). Same shape as [[ksTest]]: one count
-    * shuffle + one distinct-value-frame window. Returns one row:
+    * shuffle, then one distributed prefix-sum pass that also threads
+    * the next-distinct-value lead through its broadcast partition
+    * chain. For continuous (non-integer) values use
+    * [[wasserstein1Sketch]], whose quantile formulation needs no
+    * integer contract. Returns one row:
     * (n_a, n_b, w1_num DECIMAL(38,0), w1). */
   def wasserstein1(df: DataFrame, value: Column,
       isA: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val cum = cumFromCells(sideCells(df, value, isA))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).orderBy(col("__v"))
-    cum.withColumn("__nextv", lead(col("__v"), 1).over(w))
+    val cum = cumFromCells(sideCells(df, value, isA),
+      leadOut = Some("__nextv"))
+    cum
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
         coalesce(sum(when(col("__nextv").isNotNull,
           abs(col("__ca").cast(dec) * col("__nb") -
@@ -363,11 +372,13 @@ object Drift {
     *   r_rb = 2·U_A/(n_A·n_B) − 1                      (rank-biserial)
     *
     * Same scale shape as [[ksTest]]: ONE corpus shuffle into
-    * per-distinct-value side counts, then windows over the
-    * value-cardinality-bounded cell frame; every count product is
-    * DECIMAL(38,0) (the ~3·10⁹-rows-per-side LONG bound does not
-    * apply). z NULL when σ = 0 (all values tied or a side empty).
-    * Returns one row: (n_a, n_b, u_a, z, r_rb). */
+    * per-distinct-value side counts, then cumulatives over the cell
+    * frame via the distributed two-level prefix sum (fully parallel
+    * even when continuous scores make that frame corpus-sized); every
+    * count product is DECIMAL(38,0) (the ~3·10⁹-rows-per-side LONG
+    * bound does not apply). z NULL when σ = 0 (all values tied or a
+    * side empty). For raw continuous scores at scale prefer
+    * [[mannWhitneySketch]]. Returns one row: (n_a, n_b, u_a, z, r_rb). */
   def mannWhitney(df: DataFrame, value: Column, isA: Column): DataFrame =
     mannWhitneyFromCounts(sideCells(df, value, isA))
 
@@ -401,6 +412,120 @@ object Drift {
         lit(2.0) * uA / (na * nb) - 1.0).as("r_rb"))
   }
 
+  /** Shared reduction of the two-sample SKETCH arms: ONE side-tagged
+    * scan folds BOTH sides into t-digests in a single aggregation (the
+    * aggregate skips null inputs, so each digest sees only its side),
+    * KB-scale blobs deserialized driver-side. The whole corpus is read
+    * once; nothing shuffles but sketch partials. */
+  private def sideDigests(df: DataFrame, value: Column, isA: Column,
+      compression: Double): (graft.core.TDigest, graft.core.TDigest) = {
+    val v = value.cast("double")
+    val a = isA.cast("boolean")
+    val row = df.where(v.isNotNull && a.isNotNull)
+      .select(v.as("__v"), a.as("__a"))
+      .agg(gf.tdigest(when(col("__a"), col("__v")), lit(1.0), compression),
+        gf.tdigest(when(!col("__a"), col("__v")), lit(1.0), compression))
+      .head
+    (graft.core.TDigest.deserialize(row.getAs[Array[Byte]](0)),
+      graft.core.TDigest.deserialize(row.getAs[Array[Byte]](1)))
+  }
+
+  private def oneRow(df: DataFrame)(cols: Column*): DataFrame =
+    df.sparkSession.range(1).select(cols: _*)
+
+  /** [[ksTest]]'s PRODUCTION twin for CONTINUOUS score columns — the
+    * §8.3 dual-path convention ([[Robust.quantileNormalizeSketch]]'s
+    * shape): the exact arm's distinct-value cell frame is corpus-sized
+    * when scores are continuous; this arm needs no cell frame at all.
+    * ONE side-tagged scan folds both sides into t-digests; D̂ is the
+    * max of |F̂_A(x) − F̂_B(x)| over the UNION of both digests'
+    * `probes`-point quantile grids (the candidate set that brackets
+    * the digests' own CDF breakpoints), evaluated driver-side on the
+    * two KB blobs. Error is the digests' CDF error (~1% at compression
+    * 200) — gate it against the exact arm (q333's receipt), don't
+    * assume it. The asymptotic p-value uses the same formula as
+    * [[ksTest]]. Returns one row: (n_a, n_b, d, p_value) — NULL
+    * d/p_value when either side is empty. */
+  def ksTestSketch(df: DataFrame, value: Column, isA: Column,
+      compression: Double = 200.0, probes: Int = 1024): DataFrame = {
+    require(probes >= 2 && probes <= 65536, "probes must be in [2, 65536]")
+    val (ta, tb) = sideDigests(df, value, isA, compression)
+    val (na, nb) = (math.round(ta.totalSize), math.round(tb.totalSize))
+    if (na == 0 || nb == 0)
+      return oneRow(df)(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(null).cast("double").as("d"),
+        lit(null).cast("double").as("p_value"))
+    val grid = (0 to probes).map(_.toDouble / probes).toArray
+    val xs = (ta.quantiles(grid) ++ tb.quantiles(grid)).distinct
+    val d = xs.map(x => math.abs(ta.cdf(x) - tb.cdf(x))).max
+    val nAB = na.toDouble * nb.toDouble
+    val p = math.min(1.0, 2.0 * math.exp(-2.0 * d * d * nAB / (na + nb)))
+    oneRow(df)(lit(na).as("n_a"), lit(nb).as("n_b"), lit(d).as("d"),
+      lit(p).as("p_value"))
+  }
+
+  /** [[wasserstein1]]'s PRODUCTION twin — and the arm WITHOUT the
+    * integer-value contract: the quantile formulation
+    * `W₁ = ∫₀¹ |Q_A(p) − Q_B(p)| dp`, evaluated by the midpoint rule
+    * on `probes` equispaced p's over the two driver-side digests, is
+    * well-defined for any continuous column. Same single side-tagged
+    * scan as [[ksTestSketch]]; gate the approximation against the
+    * exact arm where that arm's contract holds. Returns one row:
+    * (n_a, n_b, w1) — NULL w1 when either side is empty. */
+  def wasserstein1Sketch(df: DataFrame, value: Column, isA: Column,
+      compression: Double = 200.0, probes: Int = 4096): DataFrame = {
+    require(probes >= 2 && probes <= 65536, "probes must be in [2, 65536]")
+    val (ta, tb) = sideDigests(df, value, isA, compression)
+    val (na, nb) = (math.round(ta.totalSize), math.round(tb.totalSize))
+    if (na == 0 || nb == 0)
+      return oneRow(df)(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(null).cast("double").as("w1"))
+    val mids = Array.tabulate(probes)(i => (i + 0.5) / probes)
+    val (qa, qb) = (ta.quantiles(mids), tb.quantiles(mids))
+    var acc = 0.0
+    var i = 0
+    while (i < probes) { acc += math.abs(qa(i) - qb(i)); i += 1 }
+    oneRow(df)(lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(acc / probes).as("w1"))
+  }
+
+  /** [[mannWhitney]]'s PRODUCTION twin: `U_A/(n_A·n_B) = P(A > B) +
+    * ½P(A = B) = E_A[midCDF_B(x)]`, evaluated by the midpoint rule —
+    * average of `F̂_B(Q̂_A(p))` over `probes` equispaced p's (the
+    * digest CDF interpolates mid-rank at point masses, matching the
+    * exact arm's midrank convention). The normal z uses the
+    * UNCORRECTED σ² = n_A·n_B·(n+1)/12 — tie correction needs the
+    * per-value tie census the sketch deliberately does not keep; for
+    * heavily tied (discrete) columns use the exact arm, whose cell
+    * frame is bounded there anyway. Same single side-tagged scan.
+    * Returns one row: (n_a, n_b, u_a, z, r_rb) — NULL when a side is
+    * empty, z NULL when σ = 0. */
+  def mannWhitneySketch(df: DataFrame, value: Column, isA: Column,
+      compression: Double = 200.0, probes: Int = 4096): DataFrame = {
+    require(probes >= 2 && probes <= 65536, "probes must be in [2, 65536]")
+    val (ta, tb) = sideDigests(df, value, isA, compression)
+    val (na, nb) = (math.round(ta.totalSize), math.round(tb.totalSize))
+    if (na == 0 || nb == 0)
+      return oneRow(df)(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(null).cast("double").as("u_a"),
+        lit(null).cast("double").as("z"),
+        lit(null).cast("double").as("r_rb"))
+    val mids = Array.tabulate(probes)(i => (i + 0.5) / probes)
+    val cdfs = tb.cdfs(ta.quantiles(mids))
+    var acc = 0.0
+    var i = 0
+    while (i < probes) { acc += cdfs(i); i += 1 }
+    val uFrac = acc / probes
+    val nAB = na.toDouble * nb.toDouble
+    val uA = uFrac * nAB
+    val sigma2 = nAB * (na + nb + 1.0) / 12.0
+    val z =
+      if (sigma2 > 0) lit((uA - nAB / 2.0) / math.sqrt(sigma2))
+      else lit(null).cast("double")
+    oneRow(df)(lit(na).as("n_a"), lit(nb).as("n_b"), lit(uA).as("u_a"),
+      z.as("z"), lit(2.0 * uFrac - 1.0).as("r_rb"))
+  }
+
   /** Per-distinct-value side counts (v, da, db) from a raw two-sided
     * feed — the one corpus-sized shuffle of the KS/W₁ family. NULL
     * values/sides are refused work. */
@@ -414,23 +539,24 @@ object Drift {
         sum((!a).cast("long")).as("db"))
   }
 
-  /** Shared KS/W₁ frame: cumulative side counts over the
-    * value-cardinality-bounded cell frame plus the side totals. */
-  private def cumFromCells(cellsIn: DataFrame): DataFrame = {
+  /** Shared KS/W₁/U frame: cumulative side counts over the distinct-
+    * value cell frame plus the side totals. The cumulatives run through
+    * [[Packing.withPrefixSumsLong]]'s two-level distributed prefix sum
+    * (range shuffle + partition-local windows + broadcast offsets) — for
+    * a CONTINUOUS score column the cell frame is corpus-sized, and a
+    * global single-partition window would serialize it through one
+    * task; this plan is fully parallel and bit-exact regardless. The
+    * optional `leadOut` threads W₁'s next-distinct-value through the
+    * same pass. */
+  private def cumFromCells(cellsIn: DataFrame,
+      leadOut: Option[String] = None): DataFrame = {
     val cells = cellsIn.select(col("v").cast("double").as("__v"),
       col("da").cast("long").as("__da"),
       col("db").cast("long").as("__db"))
-    val run = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    cells.withColumn("__ca", sum(col("__da")).over(run))
-      .withColumn("__cb", sum(col("__db")).over(run))
-      .withColumn("__na", sum(col("__da")).over(wAll))
-      .withColumn("__nb", sum(col("__db")).over(wAll))
+    Packing.withPrefixSumsLong(cells, Seq("__v"),
+      sums = Seq("__da" -> "__ca", "__db" -> "__cb"),
+      totals = Seq("__da" -> "__na", "__db" -> "__nb"),
+      leadOut = leadOut)
   }
 
   /** EWMA control chart (Roberts 1959; the NIST-handbook formulation

@@ -76,9 +76,11 @@ object Eval {
     * is not a result). 95% bounds clip to [0, 1].
     *
     * Scale shape: [[auc]]'s — ONE shuffle into per-distinct-score
-    * class counts, windows over the score-cardinality-bounded cell
-    * frame, exact_sum placement moments, so the one-row report is
-    * bit-deterministic under any partitioning. Returns (n_pos, n_neg,
+    * class counts, then cumulatives over the cell frame through the
+    * distributed two-level prefix sum ([[Packing.withPrefixSumsLong]];
+    * fully parallel even when continuous scores make the frame
+    * corpus-sized), exact_sum placement moments, so the one-row report
+    * is bit-deterministic under any partitioning. Returns (n_pos, n_neg,
     * auc, se, lo95, hi95) — se/bounds NULL when either class has < 2
     * members. */
   def aucDeLong(df: DataFrame, scoreCol: Column,
@@ -90,15 +92,13 @@ object Eval {
     val byScore = rows.groupBy(col("__s"))
       .agg(sum(col("__y")).as("__p"),
         (count(lit(1)) - sum(col("__y"))).as("__n"))
-    val W = org.apache.spark.sql.expressions.Window
-    val run = W.partitionBy(lit(1)).orderBy(col("__s"))
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val all = W.partitionBy(lit(1))
-    val cells = byScore
-      .withColumn("__cn", sum(col("__n")).over(run))
-      .withColumn("__cp", sum(col("__p")).over(run))
-      .withColumn("__nn", sum(col("__n")).over(all))
-      .withColumn("__np", sum(col("__p")).over(all))
+    // cumulative class counts over the distinct-score cell frame via
+    // the distributed two-level prefix sum — for continuous scores
+    // that frame is corpus-sized, and this keeps it fully parallel
+    // (no single-task global window); totals ride the same collect
+    val cells = Packing.withPrefixSumsLong(byScore, Seq("__s"),
+      sums = Seq("__n" -> "__cn", "__p" -> "__cp"),
+      totals = Seq("__n" -> "__nn", "__p" -> "__np"))
     // empty-class guard: ANSI division throws on 2·n = 0; the value is
     // unused then (the final when() masks it), so 0.0 is safe
     val v10 = when(col("__nn") > 0,

@@ -188,6 +188,160 @@ object Packing {
       .drop("__g", "__o", "__t", "__v", "__bkt", "__lps", "__goff")
   }
 
+  /** Multi-column LONG-exact distributed prefix sums over one totally-
+    * ordered frame — [[groupedPrefixSumLong]]'s ungrouped, multi-value
+    * sibling, built for the distinct-value CELL FRAMES of the
+    * two-sample/rank statistics ([[Drift.ksTest]], [[Drift.mannWhitney]],
+    * [[Eval.aucDeLong]], [[Robust]]'s CDF cells). For a CONTINUOUS score
+    * column distinct values ≈ rows, so that frame is corpus-sized and a
+    * `Window.partitionBy(lit(1))` over it serializes the corpus through
+    * ONE task; here instead: ONE range shuffle on the order key(s),
+    * partition-local window sums, per-(partition, column) totals
+    * collected (partitions × columns cells — tiny) and broadcast back as
+    * exclusive prefix-offset literal arrays. Integer arithmetic end to
+    * end, so the result is bit-exact for ANY partition boundary
+    * placement, at any parallelism.
+    *
+    *  - `sums`: value column → inclusive-cumulative output column.
+    *  - `totals`: value column → grand-total output column, attached as
+    *    a LITERAL (known exactly from the same collected per-partition
+    *    totals — no second full-frame window).
+    *  - `leadOut`: if set, adds the CROSS-PARTITION lead(1) of the first
+    *    order key (NULL on the global last row), stitched through the
+    *    broadcast first-key-of-next-nonempty-partition chain.
+    *
+    * Order keys must be non-null and jointly unique (distinct-value cell
+    * frames are, post-groupBy). Runs an eager job (the totals collect)
+    * and localCheckpoints the ranged frame so the collected ids match
+    * the final pass. */
+  def withPrefixSumsLong(df: DataFrame, orderCols: Seq[String],
+      sums: Seq[(String, String)], totals: Seq[(String, String)] = Nil,
+      leadOut: Option[String] = None): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(sums.nonEmpty || totals.nonEmpty || leadOut.nonEmpty,
+      "nothing to compute")
+    require(!df.columns.contains("__bkt"),
+      "input may not contain reserved column __bkt")
+    val spark = df.sparkSession
+    val parts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val oc = orderCols.map(col)
+    val ranged = df.repartitionByRange(parts, oc: _*)
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint()
+    val vals = (sums.map(_._1) ++ totals.map(_._1)).distinct
+    val aggs = vals.map(v =>
+      coalesce(sum(col(v).cast("long")), lit(0L)).as(s"__s_$v")) ++
+      leadOut.map(_ => min(oc.head).as("__fv")).toList
+    val per = ranged.groupBy(col("__bkt"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val byBkt = per.map(r => r.getInt(0) -> r).toMap
+    val grand = scala.collection.mutable.Map.empty[String, Long]
+    val offs: Map[String, Array[Long]] = vals.map { v =>
+      val arr = new Array[Long](parts)
+      var acc = 0L
+      (0 until parts).foreach { b =>
+        arr(b) = acc
+        acc += byBkt.get(b).map(_.getAs[Long](s"__s_$v")).getOrElse(0L)
+      }
+      grand(v) = acc
+      v -> arr
+    }.toMap
+    val w = Window.partitionBy(col("__bkt")).orderBy(oc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var out = ranged
+    sums.foreach { case (v, o) =>
+      out = out.withColumn(o, sum(col(v).cast("long")).over(w) +
+        element_at(array(offs(v).map(lit).toIndexedSeq: _*),
+          col("__bkt") + 1))
+    }
+    totals.foreach { case (v, o) => out = out.withColumn(o, lit(grand(v))) }
+    leadOut.foreach { o =>
+      val dt = df.schema(orderCols.head).dataType
+      // first order key per non-empty partition, suffix-chained so an
+      // empty partition is transparent
+      val firsts: Array[Option[Any]] = (0 until parts).map(b =>
+        byBkt.get(b).flatMap(r => Option(r.getAs[Any]("__fv")))).toArray
+      val nexts = new Array[Column](parts)
+      var run: Column = lit(null).cast(dt)
+      ((parts - 1) to 0 by -1).foreach { b =>
+        nexts(b) = run
+        firsts(b).foreach(v => run = lit(v).cast(dt))
+      }
+      val wl = Window.partitionBy(col("__bkt")).orderBy(oc: _*)
+      out = out.withColumn(o, coalesce(lead(oc.head, 1).over(wl),
+        element_at(array(nexts.toIndexedSeq: _*), col("__bkt") + 1)))
+    }
+    out.drop("__bkt")
+  }
+
+  /** Cross-partition ordered gap fill over a totally-ordered frame:
+    * `outCol` = the first (forward) / last (backward) NON-NULL
+    * `valueCol` at-or-after / at-or-before each row in `orderCols`
+    * order — the distributed form of the sort-merge-union lookups in
+    * [[Robust.quantileNormalizeExact]] and [[Robust.percentileRank]],
+    * replacing their single-task global windows (corpus-sized for
+    * continuous score columns). Same recipe as [[withPrefixSumsLong]]:
+    * ONE range shuffle, partition-local first/last-non-null window,
+    * per-partition edge values collected (≤ partitions rows) and
+    * broadcast as the cross-partition fallback chain. The result is
+    * independent of partition boundary placement. Order keys must be
+    * non-null; rows sharing an order key all receive the same fill, and
+    * non-null `valueCol` rows must be unique per order key. NULL when
+    * no non-null value exists in the fill direction. */
+  def fillAcross(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outCol: String, forward: Boolean): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(!df.columns.contains("__bkt"),
+      "input may not contain reserved column __bkt")
+    val spark = df.sparkSession
+    val parts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val oc = orderCols.map(col)
+    val vt = df.schema(valueCol).dataType
+    val ranged = df.repartitionByRange(parts, oc: _*)
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint()
+    // per partition: the value of its first (forward) / last (backward)
+    // non-null row in order — struct min/max is lexicographic on
+    // (orderCols…, value), and null structs (null value) are ignored
+    val skey = struct(oc :+ col(valueCol).as("__val"): _*)
+    val pick =
+      if (forward) min(when(col(valueCol).isNotNull, skey))
+      else max(when(col(valueCol).isNotNull, skey))
+    val per = ranged.groupBy(col("__bkt")).agg(pick.as("__e")).collect()
+    val edge: Array[Option[Any]] = Array.fill(parts)(None)
+    per.foreach { r =>
+      if (!r.isNullAt(1))
+        edge(r.getInt(0)) = Some(r.getStruct(1).getAs[Any]("__val"))
+    }
+    val fb = new Array[Column](parts)
+    var run: Column = lit(null).cast(vt)
+    if (forward) {
+      ((parts - 1) to 0 by -1).foreach { b =>
+        fb(b) = run
+        edge(b).foreach(v => run = lit(v).cast(vt))
+      }
+    } else {
+      (0 until parts).foreach { b =>
+        fb(b) = run
+        edge(b).foreach(v => run = lit(v).cast(vt))
+      }
+    }
+    val w =
+      if (forward)
+        Window.partitionBy(col("__bkt")).orderBy(oc: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(col("__bkt")).orderBy(oc: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local =
+      if (forward) first(col(valueCol), ignoreNulls = true).over(w)
+      else last(col(valueCol), ignoreNulls = true).over(w)
+    ranged.withColumn(outCol,
+        coalesce(local, element_at(array(fb.toIndexedSeq: _*),
+          col("__bkt") + 1)))
+      .drop("__bkt")
+  }
+
   /** One-row packing-efficiency receipt for a token budget — the numbers
     * a team reads to justify packing over per-document padding: packed
     * sequence count and fill statistics from [[packByTokenBudget]]'s

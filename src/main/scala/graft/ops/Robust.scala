@@ -346,17 +346,16 @@ object Robust {
   /** Distinct-value cell frame (v, f, cum) of one numeric column:
     * per-value count and inclusive cumulative count in value order —
     * the shared reduction of the quantile-normalization pair. One
-    * map-side-combined shuffle; the window runs over VALUE cells. */
+    * map-side-combined shuffle; the cumulative runs through the
+    * distributed two-level prefix sum ([[Packing.withPrefixSumsLong]]),
+    * so a corpus-sized cell frame (continuous values) never serializes
+    * through a single-task global window. */
   private def cdfCells(df: DataFrame, valueCol: Column): DataFrame = {
     val v = valueCol.cast("double")
-    val run = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.where(v.isNotNull)
-      .groupBy(v.as("__v")).agg(count(lit(1)).as("__f"))
-      .withColumn("__cum", sum(col("__f")).over(run))
+    Packing.withPrefixSumsLong(
+      df.where(v.isNotNull)
+        .groupBy(v.as("__v")).agg(count(lit(1)).as("__f")),
+      Seq("__v"), sums = Seq("__f" -> "__cum"))
   }
 
   /** Exact quantile normalization — the TRUTH arm (the §8.3 pair of
@@ -371,9 +370,12 @@ object Robust {
     *
     * Scale shape: both corpora reduce to distinct-value cell frames;
     * the rank lookup is a sort-merge over the UNION of the two cell
-    * frames (one window pass — `first(target, ignoreNulls)` over the
-    * forward frame), never a nested-loop range join and never a
-    * corpus-sized shuffle. Returns the distinct mapping
+    * frames via the distributed forward gap fill
+    * ([[Packing.fillAcross]] — range shuffle, partition-local
+    * first-non-null windows, broadcast cross-partition chain), never a
+    * nested-loop range join and never a single-task global window,
+    * even when continuous values make the cell frames corpus-sized.
+    * Returns the distinct mapping
     * (value, p, mapped), one row per distinct source value. */
   def quantileNormalizeExact(src: DataFrame, srcCol: Column,
       tgt: DataFrame, tgtCol: Column): DataFrame = {
@@ -405,13 +407,8 @@ object Robust {
       lit(null).cast("long").as("__f"),
       lit(null).cast("long").as("__cum"),
       lit(null).cast("long").as("__ns"), col("__v").as("__tv"))
-    val wFwd = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).orderBy(col("__k"), col("__ord"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    pu.unionByName(tu)
-      .withColumn("__mapped", first(col("__tv"), ignoreNulls = true)
-        .over(wFwd))
+    Packing.fillAcross(pu.unionByName(tu), Seq("__k", "__ord"),
+        "__tv", "__mapped", forward = true)
       .where(col("__ord") === 0)
       .select(col("__v").as("value"),
         ((lit(2.0) * (col("__cum") - col("__f")) + col("__f") + 1)
@@ -423,7 +420,8 @@ object Robust {
     * one t-digest per side (two KB-scale blobs, broadcast as
     * literals), and every source value maps scan-side through
     * `quantile_tgt(cdf_src(v))` — no cell frames, no union window, no
-    * join; cost is one aggregation pass per side plus a projection.
+    * join; cost is ONE side-tagged union aggregation (both digests in
+    * a single job) plus a projection.
     * The mapped value is interpolated (t-digest quantiles), not an
     * observed target value — measure agreement against the exact arm
     * in-gate (q216's convention), don't assume it. Returns the same
@@ -433,10 +431,19 @@ object Robust {
       compression: Double = 200.0): DataFrame = {
     val sv = srcCol.cast("double")
     val tv = tgtCol.cast("double")
-    val sBlob = src.where(sv.isNotNull)
-      .agg(gf.tdigest(sv, lit(1.0), compression)).head.getAs[Array[Byte]](0)
-    val tBlob = tgt.where(tv.isNotNull)
-      .agg(gf.tdigest(tv, lit(1.0), compression)).head.getAs[Array[Byte]](0)
+    // ONE job builds both digests: union the sides with a tag and let
+    // each tdigest aggregate see only its side (null inputs skipped) —
+    // the op's own 100 TB arm should not pay two scan passes
+    val row = src.where(sv.isNotNull)
+      .select(sv.as("__v"), lit(true).as("__src"))
+      .unionByName(tgt.where(tv.isNotNull)
+        .select(tv.as("__v"), lit(false).as("__src")))
+      .agg(
+        gf.tdigest(when(col("__src"), col("__v")), lit(1.0), compression),
+        gf.tdigest(when(!col("__src"), col("__v")), lit(1.0), compression))
+      .head
+    val sBlob = row.getAs[Array[Byte]](0)
+    val tBlob = row.getAs[Array[Byte]](1)
     src.where(sv.isNotNull).select(sv.as("value")).distinct()
       .withColumn("p", gf.tdigest_cdf(lit(sBlob), col("value")))
       .withColumn("mapped", gf.tdigest_quantile(lit(tBlob), col("p")))
@@ -465,14 +472,9 @@ object Robust {
       col("__cum"), lit(null).cast("double").as("__pk"))
     val pu = pv.select(col("__pk").as("__k"), lit(1).as("__ord"),
       lit(null).cast("long").as("__cum"), col("__pk"))
-    val wBack = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).orderBy(col("__k"), col("__ord"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val ranked = ru.unionByName(pu)
-      .withColumn("__c", coalesce(
-        last(col("__cum"), ignoreNulls = true).over(wBack), lit(0L)))
+    val ranked = Packing.fillAcross(ru.unionByName(pu),
+        Seq("__k", "__ord"), "__cum", "__cfill", forward = false)
+      .withColumn("__c", coalesce(col("__cfill"), lit(0L)))
       .where(col("__ord") === 1)
       .crossJoin(broadcast(nT))
       .select(col("__pk"),

@@ -441,4 +441,61 @@ class DriftSpec extends SparkTestBase {
     val folded = Drift.mannWhitneyFromCounts(parts).head()
     assert(full.toString == folded.toString)
   }
+
+  test("sketch arms agree with their exact twins on a shifted two-sample " +
+      "fixture (the q333 receipt at spec grain)") {
+    import spark.implicits._
+    // side A ~ Uniform-ish lengths, side B = same shape shifted +50:
+    // d is large and real, w1 ~ 50, u_frac well off 1/2
+    val rows = (0 until 20000).map { i =>
+      val base = (i * 2654435761L % 499L).toDouble
+      val a = i % 2 == 0
+      (if (a) base else base + 50.0, a)
+    }
+    val df = rows.toDF("v", "is_a")
+    val ksE = Drift.ksTest(df, col("v"), col("is_a")).collect()(0)
+    val ksS = Drift.ksTestSketch(df, col("v"), col("is_a")).collect()(0)
+    assert(ksS.getAs[Long]("n_a") == ksE.getAs[Long]("n_a"))
+    assert(ksS.getAs[Long]("n_b") == ksE.getAs[Long]("n_b"))
+    val dErr = math.abs(ksS.getAs[Double]("d") - ksE.getAs[Double]("d"))
+    assert(dErr < 0.02, s"ks d error $dErr")
+
+    val w1E = Drift.wasserstein1(df, col("v"), col("is_a"))
+      .collect()(0).getAs[Double]("w1")
+    val w1S = Drift.wasserstein1Sketch(df, col("v"), col("is_a"))
+      .collect()(0).getAs[Double]("w1")
+    assert(math.abs(w1S - w1E) / w1E < 0.05,
+      s"w1 rel error ${math.abs(w1S - w1E) / w1E} (exact $w1E sketch $w1S)")
+
+    val mwE = Drift.mannWhitney(df, col("v"), col("is_a")).collect()(0)
+    val mwS = Drift.mannWhitneySketch(df, col("v"), col("is_a"))
+      .collect()(0)
+    val nab = mwE.getAs[Long]("n_a").toDouble * mwE.getAs[Long]("n_b")
+    val ufE = mwE.getAs[Double]("u_a") / nab
+    val ufS = mwS.getAs[Double]("u_a") / nab
+    assert(math.abs(ufS - ufE) < 0.02,
+      s"u_frac error ${math.abs(ufS - ufE)} (exact $ufE sketch $ufS)")
+    // rank-biserial is a linear map of u_frac — same bound applies
+    assert(math.abs(mwS.getAs[Double]("r_rb")
+      - mwE.getAs[Double]("r_rb")) < 0.04)
+    // signs/direction agree: B is shifted up, so A is stochastically
+    // smaller -> u_frac < 1/2 on both arms
+    assert(ufE < 0.5 && ufS < 0.5)
+  }
+
+  test("sketch arms: empty side -> NULL stats with the honest counts") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, true)).toDF("v", "is_a")
+    val ks = Drift.ksTestSketch(df, col("v"), col("is_a")).collect()(0)
+    assert(ks.getAs[Long]("n_a") == 100L && ks.getAs[Long]("n_b") == 0L)
+    assert(ks.isNullAt(ks.fieldIndex("d")) &&
+      ks.isNullAt(ks.fieldIndex("p_value")))
+    val w1 = Drift.wasserstein1Sketch(df, col("v"), col("is_a"))
+      .collect()(0)
+    assert(w1.isNullAt(w1.fieldIndex("w1")))
+    val mw = Drift.mannWhitneySketch(df, col("v"), col("is_a"))
+      .collect()(0)
+    assert(mw.isNullAt(mw.fieldIndex("u_a")) &&
+      mw.isNullAt(mw.fieldIndex("z")))
+  }
 }

@@ -495,4 +495,106 @@ class PackingSpec extends SparkTestBase {
     assert(again == got.toSeq.sortBy(_._1).map { case (b, t) =>
       Seq(b, t._1, t._2, t._3, t._4, t._5) })
   }
+
+  test("withPrefixSumsLong: multi-column cums + literal totals + cross-" +
+      "partition lead equal the single-window truth at any parallelism") {
+    val rows = (0L until 3000L).map { i =>
+      // unique by construction (distinct longs < 2^53, /7 injective)
+      val v = ((i * 2654435761L % 100003L) * 3000 + i).toDouble / 7.0
+      (v, i % 7 + 1, i % 3)
+    }
+    val df = rows.toDF("v", "da", "db")
+    val sorted = rows.sortBy(_._1)
+    var ca = 0L; var cb = 0L
+    val want = sorted.map { case (v, da, db) =>
+      ca += da; cb += db
+      (v, ca, cb)
+    }
+    val ta = rows.map(_._2).sum
+    val tb = rows.map(_._3).sum
+    val nexts = sorted.map(_._1).drop(1).map(Option(_)) :+ None
+    val wantLead = sorted.map(_._1).zip(nexts).toMap
+    for (parts <- Seq("2", "4", "13")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val got = Packing.withPrefixSumsLong(df, Seq("v"),
+            sums = Seq("da" -> "ca", "db" -> "cb"),
+            totals = Seq("da" -> "na", "db" -> "nb"),
+            leadOut = Some("nextv"))
+          .orderBy("v")
+          .select("v", "ca", "cb", "na", "nb", "nextv")
+          .collect()
+        assert(got.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+          .toSeq == want, s"cums at parts=$parts")
+        assert(got.forall(r => r.getLong(3) == ta && r.getLong(4) == tb),
+          s"totals at parts=$parts")
+        got.foreach { r =>
+          val lead = if (r.isNullAt(5)) None else Some(r.getDouble(5))
+          assert(lead == wantLead(r.getDouble(0)), s"lead at parts=$parts")
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
+  test("withPrefixSumsLong: empty frame and 1-row frame degenerate cleanly") {
+    val empty = Seq.empty[(Double, Long)].toDF("v", "f")
+    val e = Packing.withPrefixSumsLong(empty, Seq("v"),
+      sums = Seq("f" -> "c"), totals = Seq("f" -> "t"),
+      leadOut = Some("nx"))
+    assert(e.count() == 0)
+    assert(e.columns.toSet == Set("v", "f", "c", "t", "nx"))
+    val one = Seq((3.5, 7L)).toDF("v", "f")
+    val o = Packing.withPrefixSumsLong(one, Seq("v"),
+      sums = Seq("f" -> "c"), totals = Seq("f" -> "t"),
+      leadOut = Some("nx")).collect()(0)
+    assert(o.getAs[Long]("c") == 7L && o.getAs[Long]("t") == 7L &&
+      o.isNullAt(o.fieldIndex("nx")))
+  }
+
+  test("fillAcross forward/backward == global-window truth, including " +
+      "across partition boundaries and leading/trailing nulls") {
+    // interleave 400 "probe" rows (null payload) with 100 "ref" rows,
+    // composite (k, ord) order, refs sparse so whole partitions can be
+    // payload-free at 13 partitions
+    val refs = (0 until 100).map(i => (i * 97.0, 1, Some(i * 10L)))
+    val probes = (0 until 400).map(i => (i * 24.25, 0, None: Option[Long]))
+    val rows = scala.util.Random.shuffle(refs ++ probes)
+    val df = rows.map { case (k, o, v) => (k, o, v.map(Long.box).orNull) }
+      .toDF("k", "ord", "pay").select(col("k"), col("ord"),
+        col("pay").cast("long").as("pay"))
+    val sorted = (refs ++ probes).sortBy(t => (t._1, t._2))
+    def scanFwd = {
+      var cur: Option[Long] = None
+      sorted.reverse.map { case (k, o, v) =>
+        if (v.isDefined) cur = v
+        ((k, o), cur)
+      }.reverse.toMap
+    }
+    def scanBack = {
+      var cur: Option[Long] = None
+      sorted.map { case (k, o, v) =>
+        if (v.isDefined) cur = v
+        ((k, o), cur)
+      }.toMap
+    }
+    for (parts <- Seq("3", "13")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val f = Packing.fillAcross(df, Seq("k", "ord"), "pay", "out",
+          forward = true).collect()
+        f.foreach { r =>
+          val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+          assert(got == scanFwd((r.getDouble(0), r.getInt(1))),
+            s"fwd at parts=$parts k=${r.getDouble(0)}")
+        }
+        val b = Packing.fillAcross(df, Seq("k", "ord"), "pay", "out",
+          forward = false).collect()
+        b.foreach { r =>
+          val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+          assert(got == scanBack((r.getDouble(0), r.getInt(1))),
+            s"back at parts=$parts k=${r.getDouble(0)}")
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
 }
