@@ -2087,10 +2087,19 @@ object SparkEntry {
       // arrivals still joined exactly), and dropped = 0 (the 4-day
       // bound covered the disorder)
       val tmp = ensureLateEventStream(s, dir)
+      // a stateful join instantiates ~4 state stores per shuffle
+      // partition per micro-batch; at 32 partitions x 8 batches that
+      // fixed cost dominates this bounded replay (measured 21 s -> 8 s
+      // at 8). The bind lives in a CLONED session (shared context,
+      // private SQLConf) so the gate never mutates conf another query
+      // could be planning under; results are partition-count-invariant
+      // (multiset join)
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.shuffle.partitions", "8")
       // ONE streaming source, self-joined: both sides see the same
       // file arrival order (the honest late-data shape) and each
       // micro-batch reads each file once instead of once per side
-      val stream = graft.sources.Tables.loadStream(s, tmp, "events",
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "events",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       def side(tp: String) = stream
         .where(col("event_type") === tp)
@@ -2099,34 +2108,145 @@ object SparkEntry {
         side("click"), side("purchase"), "user_id", "ts", "ts",
         "2 DAYS", "4 DAYS")
       val sink = "q317_join_sink"
-      // a stateful join instantiates ~4 state stores per shuffle
-      // partition per micro-batch; at 32 partitions x 8 batches that
-      // fixed cost dominates this bounded replay (measured 21 s -> 8 s
-      // at 8). The setting binds at stream START and is restored
-      // after; results are partition-count-invariant (multiset join)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try joined.writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
       try {
         q.processAllAvailable()
         val dropped = q.recentProgress
           .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
-        val rows = s.table(sink)
+        val rows = iso.table(sink)
           .select(col("user_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
             date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"))
           .localCheckpoint()
-        import s.implicits._
+        import iso.implicits._
         rows.unionByName(Seq((-1L, "__dropped", dropped.toString))
             .toDF("user_id", "c_ts", "p_ts"))
           .orderBy("user_id", "c_ts", "p_ts")
       } finally {
         q.stop()
-        s.sql(s"DROP TABLE IF EXISTS $sink")
+        iso.sql(s"DROP TABLE IF EXISTS $sink")
       }
+    }),
+
+    "q334_stream_join_restart" -> ((s, dir) => {
+      // q317's operator KILLED AND RESTARTED mid-replay: the interval
+      // join runs against a real checkpointLocation + exactly-once
+      // file sink, is stopped after the first 4 files, then a FRESH
+      // query resumes from the checkpoint over the remaining 4.
+      // Receipts: the union of both runs' emissions equals the batch
+      // join over all rows (late arrivals still joined exactly, no
+      // row emitted twice across the restart — the file sink's commit
+      // log makes re-emission visible as duplicates), and
+      // __restarted_midway proves run 1 emitted some but not all
+      // matches, so the restart actually exercised state recovery
+      val src = ensureLateEventStream(s, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_q334").toString
+      val stage = new java.io.File(s"$base/events.parquet")
+      require(stage.mkdirs(), s"cannot create $stage")
+      val waves = new java.io.File(s"$src/events.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified())
+      def arrive(from: Int, until: Int): Unit =
+        (from until until).foreach { i =>
+          val dst = java.nio.file.Paths
+            .get(stage.toString, s"wave-$i.parquet")
+          java.nio.file.Files.copy(waves(i).toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + i * 60000L))
+        }
+      def runOnce(): Unit = {
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.shuffle.partitions", "8")
+        val stream = graft.sources.Tables.loadStream(iso, base,
+          "events", Map("maxFilesPerTrigger" -> "1",
+            "latestFirst" -> "false"))
+        def side(tp: String) = stream
+          .where(col("event_type") === tp)
+          .select(col("user_id"), col("ts"))
+        val q = graft.streaming.StreamingJoins.intervalJoin(
+            side("click"), side("purchase"), "user_id", "ts", "ts",
+            "2 DAYS", "4 DAYS")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      arrive(0, 4)
+      runOnce()
+      val run1 = s.read.parquet(s"$base/out").count()
+      arrive(4, 8)
+      runOnce()
+      val rows = s.read.parquet(s"$base/out")
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"))
+        .localCheckpoint()
+      val total = rows.count()
+      import s.implicits._
+      rows.unionByName(Seq((-1L, "__restarted_midway",
+          (run1 > 0 && run1 < total).toString))
+          .toDF("user_id", "c_ts", "p_ts"))
+        .orderBy("user_id", "c_ts", "p_ts")
+    }),
+
+    "q335_skew_survival" -> ((s, dir) => {
+      // skew-survival receipts: one key owns 50% of rows and is pushed
+      // through (a) exact dedup — min_by is a monoid, so map-side
+      // combine collapses the hot group BEFORE the shuffle, and the
+      // plan receipt proves partial aggregation is really there — and
+      // (b) a salted two-phase aggregation whose stage-1 cell census
+      // proves the hot key spread over the salt space (heaviest cell
+      // < 8% of rows vs the 50% an unsalted reducer would hold).
+      // Results oracle-exact, plan behavior MEASURED — the q309
+      // receipt convention applied to skew
+      import s.implicits._
+      val salt16 = xxhash64(col("event_id"))
+      val ev = t(s, dir, "events")
+        .select(when(col("event_id") % 2 === 0, lit("hot"))
+            .otherwise(concat(lit("cold"),
+              (col("event_id") % 997).cast("string"))).as("k"),
+          floor(col("value")).cast("long").as("v"), col("event_id"))
+        .localCheckpoint()
+      val direct = ev.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .localCheckpoint()
+      val salted = graft.ops.Skew.saltedAgg(ev, col("k"), salt16, 16,
+        Seq(col("v") -> "sv"))
+      val bad = direct
+        .select(col("k"), col("n").as("n1"), col("sv").as("s1"))
+        .join(salted.select(col("key").as("k"), col("n").as("n2"),
+          col("sv").as("s2")), Seq("k"), "full_outer")
+        .where(!(col("n1") <=> col("n2")) || !(col("s1") <=> col("s2")))
+        .count()
+      val cell = graft.ops.Skew.saltCells(ev, col("k"), salt16, 16)
+        .agg(max("rows").as("m"),
+          coalesce(sum("rows"), lit(0L)).as("t")).collect()(0)
+      val shareOk = cell.getLong(0).toDouble / cell.getLong(1) < 0.08
+      val hot = direct.where(col("k") === "hot").collect()(0)
+      val nKeys = direct.count()
+      val hotText = lit("The hot duplicated document body")
+      val dd = graft.ops.Dedup.exact(
+        t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, hotText).otherwise(col("text"))
+            .as("text")), "doc_id", "text")
+      val partialAgg = dd.queryExecution.executedPlan.toString
+        .contains("partial_min_by")
+      val nOut = dd.count()
+      val hotSurvivor = dd.where(col("text") === hotText)
+        .agg(min("doc_id")).collect()(0).getLong(0)
+      Seq(
+        ("dedup_hot_survivor", hotSurvivor.toString),
+        ("dedup_n_out", nOut.toString),
+        ("dedup_partial_agg", partialAgg.toString),
+        ("direct_hot_n", hot.getAs[Long]("n").toString),
+        ("direct_hot_sv", hot.getAs[Long]("sv").toString),
+        ("n_keys", nKeys.toString),
+        ("salt_cell_share_lt_8pct", shareOk.toString),
+        ("salted_equals_direct", (bad == 0L).toString))
+        .toDF("metric", "value").orderBy("metric")
     }),
 
     "q318_vtrace" -> ((s, dir) => {
@@ -10236,6 +10356,48 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
          SELECT * FROM (SELECT * FROM j
            UNION ALL SELECT -1, '__dropped', '0')
          ORDER BY user_id, c_ts, p_ts""",
+    // restart gate: same batch-join truth, plus the receipt that run 1
+    // emitted a strict non-empty prefix before the kill
+    "q334_stream_join_restart" ->
+      """WITH c AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         j AS (SELECT c.user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts
+           FROM c JOIN p ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 DAY)
+         SELECT * FROM (SELECT * FROM j
+           UNION ALL SELECT -1, '__restarted_midway', 'true')
+         ORDER BY user_id, c_ts, p_ts""",
+    // skew fixture truths are oracle-computed; the plan receipts
+    // (partial agg present, salt cells spread, salted == direct) are
+    // boolean literals the engine must EARN
+    "q335_skew_survival" ->
+      """WITH h AS (SELECT count(*) AS n,
+             sum(floor(value)::BIGINT)::BIGINT AS sv
+           FROM events WHERE event_id % 2 = 0),
+         k AS (SELECT count(DISTINCT CASE WHEN event_id % 2 = 0
+             THEN 'hot' ELSE 'cold' || (event_id % 997)::VARCHAR END)
+             AS nk FROM events),
+         d AS (SELECT
+             (SELECT min(doc_id) FROM documents
+              WHERE doc_id % 2 = 0) AS hid,
+             (SELECT count(DISTINCT lower(regexp_replace(trim(text),
+                '\s+', ' ', 'g')))
+              FROM documents WHERE doc_id % 2 = 1) + 1 AS nout)
+         SELECT * FROM (
+           SELECT 'dedup_hot_survivor' AS metric,
+             hid::VARCHAR AS value FROM d
+           UNION ALL SELECT 'dedup_n_out', nout::VARCHAR FROM d
+           UNION ALL SELECT 'dedup_partial_agg', 'true'
+           UNION ALL SELECT 'direct_hot_n', n::VARCHAR FROM h
+           UNION ALL SELECT 'direct_hot_sv', sv::VARCHAR FROM h
+           UNION ALL SELECT 'n_keys', nk::VARCHAR FROM k
+           UNION ALL SELECT 'salt_cell_share_lt_8pct', 'true'
+           UNION ALL SELECT 'salted_equals_direct', 'true')
+         ORDER BY metric""",
     "q318_vtrace" ->
       """WITH b AS (SELECT event_id, user_id, ts, floor(value) AS r,
              (event_id % 16)::DOUBLE AS v,

@@ -314,4 +314,49 @@ object Skew {
     l.join(r, l(key) === r(key) && l("__salt") === r("__salt"))
       .drop(l("__salt")).drop(r("__salt")).drop(r(key))
   }
+
+  /** Two-phase SALTED aggregation over a skewed key — [[saltedJoin]]'s
+    * groupBy analogue: stage 1 groups by (key, salt mod saltFactor) so
+    * a hot key's rows spread over `saltFactor` reducers and combine
+    * there; stage 2 merges the ≤ saltFactor partials per key. The
+    * result ≡ the direct `groupBy(key)` for the monoid aggregates
+    * exposed here (count plus column sums), independent of salt
+    * placement.
+    *
+    * `salt` is any row-local expression. A CONTENT-derived salt (hash
+    * of a row id) makes reruns and receipts bit-deterministic; a
+    * positional salt is fine when only placement matters. Note Spark's
+    * hash aggregation already map-side-combines monoid partials, which
+    * absorbs most count/sum skew on its own; the salted form buys
+    * protection when the reduce side must still hold one key's merged
+    * state — near-corpus-cardinality keys upstream of a second
+    * wide merge, or inputs whose partitioning defeats map-side combine
+    * (pre-aggregated shards keyed elsewhere). Returns
+    * (key, n, sums…). */
+  def saltedAgg(df: DataFrame, key: Column, salt: Column,
+      saltFactor: Int, sums: Seq[(Column, String)] = Nil): DataFrame = {
+    require(saltFactor >= 2, "saltFactor must be >= 2")
+    require(sums.map(_._2).distinct.size == sums.size,
+      "duplicate sum output names")
+    require(!sums.map(_._2).contains("n") && !sums.map(_._2).contains("key"),
+      "sum output names may not collide with key/n")
+    val stage1 = df
+      .groupBy(key.as("key"), pmod(salt, lit(saltFactor)).as("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sums.map { case (c, nm) => sum(c).as(s"__p_$nm") }: _*)
+    stage1.groupBy(col("key"))
+      .agg(sum(col("__n")).as("n"),
+        sums.map { case (_, nm) => sum(col(s"__p_$nm")).as(nm) }: _*)
+  }
+
+  /** Stage-1 cell census of [[saltedAgg]] — the skew-survival receipt:
+    * (key, salt, rows) per cell, so a gate can assert the hot key's
+    * heaviest cell carries ~1/saltFactor of its rows instead of all of
+    * them (q309's measured-not-assumed convention, applied to skew). */
+  def saltCells(df: DataFrame, key: Column, salt: Column,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor >= 2, "saltFactor must be >= 2")
+    df.groupBy(key.as("key"), pmod(salt, lit(saltFactor)).as("salt"))
+      .agg(count(lit(1)).as("rows"))
+  }
 }

@@ -311,4 +311,31 @@ class ScaleSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == Seq(("w", 5L, 5.0 / 14), ("x", 5L, 5.0 / 14)))
   }
+
+  test("saltedAgg == direct groupBy on a 50%-hot key, and saltCells " +
+      "proves the hot key spread") {
+    import spark.implicits._
+    val rows = (0L until 20000L).map { i =>
+      val k = if (i % 2 == 0) "hot" else s"cold${i % 257}"
+      (k, i % 13, i)
+    }
+    val df = rows.toDF("k", "v", "id")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val salted = Skew.saltedAgg(df, col("k"), xxhash64(col("id")), 16,
+        Seq(col("v") -> "sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(salted == direct)
+    val cells = Skew.saltCells(df, col("k"), xxhash64(col("id")), 16)
+      .collect()
+    val hotCells = cells.filter(_.getString(0) == "hot")
+    assert(hotCells.length == 16, "hot key must occupy all 16 salt cells")
+    val maxHot = hotCells.map(_.getLong(2)).max
+    assert(maxHot < 10000 / 16 * 2,
+      s"heaviest hot cell $maxHot should be ~1/16 of the hot rows")
+    assert(cells.map(_.getLong(2)).sum == 20000L)
+  }
 }
