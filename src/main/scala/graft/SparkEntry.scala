@@ -1863,7 +1863,7 @@ object SparkEntry {
             .as("query_id"),
           ((col("neighbor_id") - col("neighbor_id") % 8) / 8).cast("long")
             .as("doc_id"))
-        .where(col("query_id") =!= col("doc_id")).distinct()
+        .where(col("query_id") =!= col("doc_id"))
       val fed = graft.ops.Similarity.maxSimTopKFrom(cand, corpus,
           queries, "vec_id", "tv", 5)
         .select(col("query_id"), col("rank"),
@@ -2247,6 +2247,87 @@ object SparkEntry {
         ("salt_cell_share_lt_8pct", shareOk.toString),
         ("salted_equals_direct", (bad == 0L).toString))
         .toDF("metric", "value").orderBy("metric")
+    }),
+
+    "q336_kaplan_meier" -> ((s, dir) => {
+      // global Kaplan–Meier over the event feed — exercises the
+      // DISTRIBUTED arm (groupCols empty: decimal prefix-sum
+      // cumulatives, no degenerate one-partition window): duration =
+      // floor(value) % 30 (30 discrete cells), every 4th event id
+      // right-censored. Survival rounds at 6; the exact-decimal fold
+      // vs DuckDB's sequential double window differs only at ln-ulp
+      // scale over ≤ 30 cells
+      val base = t(s, dir, "events").where(col("value").isNotNull)
+        .select((floor(col("value")).cast("long") % 30)
+            .cast("double").as("dt"),
+          (col("event_id") % 4 =!= 0).as("ev"))
+      graft.ops.Survival.kaplanMeier(base, Seq.empty, col("dt"),
+          col("ev"))
+        .select(col("t"), col("n_risk"), col("n_event"),
+          col("n_censored"), round(col("survival"), 6).as("survival"))
+        .orderBy("t")
+    }),
+
+    "q337_log_rank" -> ((s, dir) => {
+      // two-sample log-rank on the same duration layout, split by
+      // user-id parity — the "did cohort A's sessions die faster"
+      // test; cumulative at-risk ladders ride the distributed prefix
+      // sum, O−E/V fan in through exact_sum (30 cells)
+      val base = t(s, dir, "events")
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .select((floor(col("value")).cast("long") % 30)
+            .cast("double").as("dt"),
+          (col("event_id") % 4 =!= 0).as("ev"),
+          (col("user_id") % 2 === 0).as("a"))
+      graft.ops.Survival.logRank(base, col("dt"), col("ev"), col("a"))
+        .select(col("n_a"), col("n_b"), col("events_a"),
+          col("events_b"), round(col("o_minus_e"), 6).as("o_minus_e"),
+          round(col("var_o"), 6).as("var_o"),
+          round(col("chi2"), 6).as("chi2"))
+    }),
+
+    "q338_welch_effect" -> ((s, dir) => {
+      // Welch unequal-variance t + Cohen's d / Hedges' g on the q333
+      // shifted-length fixture with UNEQUAL side sizes (every 3rd doc
+      // vs the rest) — one moment fold, no cell frame; variances are
+      // gated via the scale-free stats (t/dof/d/g), not raw Σx²
+      // cancellations
+      val base = t(s, dir, "documents")
+        .select((col("n_chars") + lit(50) * (col("doc_id") % 2))
+            .cast("double").as("v"),
+          (col("doc_id") % 3 === 0).as("a"))
+      graft.ops.Drift.welchTTest(base, col("v"), col("a"))
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("t"), 6).as("t"), round(col("dof"), 6).as("dof"),
+          round(col("cohen_d"), 6).as("cohen_d"),
+          round(col("hedges_g"), 6).as("hedges_g"))
+    }),
+
+    "q339_cvm" -> ((s, dir) => {
+      // two-sample Cramér–von Mises on the q333 fixture — the
+      // whole-curve companion gate to KS: same distinct-value cell
+      // frame, same distributed cumulatives, squared CDF gaps from
+      // exact DECIMAL(38,0) cross products
+      val base = t(s, dir, "documents")
+        .select((col("n_chars") + lit(50) * (col("doc_id") % 2))
+            .cast("double").as("v"),
+          (col("doc_id") % 2 === 0).as("a"))
+      graft.ops.Drift.cramerVonMises(base, col("v"), col("a"))
+        .select(col("n_a"), col("n_b"),
+          round(col("t_stat"), 6).as("t_stat"))
+    }),
+
+    "q340_anova" -> ((s, dir) => {
+      // one-way ANOVA of event value across event types — the k-slice
+      // mean-difference audit; F and eta² are gated (scale-free
+      // ratios), the raw SS columns are not (their Σx² cancellation
+      // magnifies engine sum-order drift past the round grain)
+      graft.ops.Profile.anovaF(t(s, dir, "events"), col("event_type"),
+          col("value"))
+        .select(col("n"), col("k"), round(col("f"), 6).as("f"),
+          round(col("eta2"), 6).as("eta2"))
     }),
 
     "q318_vtrace" -> ((s, dir) => {
@@ -10398,6 +10479,149 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            UNION ALL SELECT 'salt_cell_share_lt_8pct', 'true'
            UNION ALL SELECT 'salted_equals_direct', 'true')
          ORDER BY metric""",
+    "q336_kaplan_meier" ->
+      """WITH base AS (SELECT
+             ((floor(value)::BIGINT) % 30)::DOUBLE AS t,
+             (event_id % 4 <> 0) AS e
+           FROM events WHERE value IS NOT NULL),
+         cells AS (SELECT t,
+             sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS n_event,
+             sum(CASE WHEN e THEN 0 ELSE 1 END)::BIGINT AS n_censored
+           FROM base GROUP BY 1),
+         w AS (SELECT t, n_event, n_censored,
+             (sum(n_event + n_censored) OVER ()
+              - sum(n_event + n_censored) OVER (ORDER BY t
+                  ROWS UNBOUNDED PRECEDING)
+              + n_event + n_censored)::BIGINT AS n_risk
+           FROM cells),
+         z AS (SELECT *,
+             max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+             sum(CASE WHEN n_event > 0 AND n_event < n_risk
+                 THEN ln((n_risk - n_event)::DOUBLE / n_risk::DOUBLE)
+                 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS clg
+           FROM w)
+         SELECT t, n_risk, n_event, n_censored,
+           round(CASE WHEN dead > 0 THEN 0.0 ELSE exp(clg) END, 6)
+             AS survival
+         FROM z ORDER BY t""",
+    "q337_log_rank" ->
+      """WITH base AS (SELECT
+             ((floor(value)::BIGINT) % 30)::DOUBLE AS t,
+             (event_id % 4 <> 0) AS e,
+             (user_id % 2 = 0) AS a
+           FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         cells AS (SELECT t,
+             sum(CASE WHEN a AND e THEN 1 ELSE 0 END)::BIGINT AS d1,
+             sum(CASE WHEN (NOT a) AND e THEN 1 ELSE 0 END)::BIGINT
+               AS d0,
+             sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS m1,
+             sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS m0
+           FROM base GROUP BY 1),
+         w AS (SELECT *,
+             (sum(m1) OVER ()
+              - sum(m1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              + m1)::DOUBLE AS n1,
+             (sum(m0) OVER ()
+              - sum(m0) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              + m0)::DOUBLE AS n0,
+             sum(m1) OVER ()::BIGINT AS t1,
+             sum(m0) OVER ()::BIGINT AS t0
+           FROM cells),
+         terms AS (SELECT t1, t0, d1, d0,
+             CASE WHEN d1 + d0 > 0
+               THEN d1::DOUBLE - (d1 + d0)::DOUBLE * n1 / (n1 + n0)
+               ELSE 0 END AS oe,
+             CASE WHEN d1 + d0 > 0 AND n1 + n0 >= 2
+               THEN (d1 + d0)::DOUBLE * (n1 / (n1 + n0))
+                 * (n0 / (n1 + n0))
+                 * ((n1 + n0) - (d1 + d0)) / ((n1 + n0) - 1)
+               ELSE 0 END AS vt
+           FROM w)
+         SELECT max(t1) AS n_a, max(t0) AS n_b,
+           sum(d1)::BIGINT AS events_a, sum(d0)::BIGINT AS events_b,
+           round(sum(oe), 6) AS o_minus_e,
+           round(sum(vt), 6) AS var_o,
+           round(CASE WHEN sum(vt) > 0
+             THEN sum(oe) * sum(oe) / sum(vt) END, 6) AS chi2
+         FROM terms""",
+    "q338_welch_effect" ->
+      """WITH base AS (SELECT
+             (n_chars + 50 * (doc_id % 2))::DOUBLE AS v,
+             (doc_id % 3 = 0) AS a
+           FROM documents),
+         s AS (SELECT
+             count(CASE WHEN a THEN 1 END)::BIGINT AS n_a,
+             count(CASE WHEN NOT a THEN 1 END)::BIGINT AS n_b,
+             sum(CASE WHEN a THEN v END) AS sa,
+             sum(CASE WHEN a THEN v * v END) AS qa,
+             sum(CASE WHEN NOT a THEN v END) AS sb,
+             sum(CASE WHEN NOT a THEN v * v END) AS qb
+           FROM base),
+         m AS (SELECT n_a, n_b,
+             sa / n_a AS ma, sb / n_b AS mb,
+             (qa - sa * sa / n_a) / (n_a - 1) AS va,
+             (qb - sb * sb / n_b) / (n_b - 1) AS vb
+           FROM s),
+         d AS (SELECT *,
+             va / n_a + vb / n_b AS se2,
+             (ma - mb) / sqrt(((n_a - 1) * va + (n_b - 1) * vb)
+               / (n_a + n_b - 2)) AS cd
+           FROM m)
+         SELECT n_a, n_b, round(ma, 6) AS mean_a,
+           round(mb, 6) AS mean_b,
+           round((ma - mb) / sqrt(se2), 6) AS t,
+           round(se2 * se2 / ((va / n_a) * (va / n_a) / (n_a - 1)
+             + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6) AS dof,
+           round(cd, 6) AS cohen_d,
+           round(cd * (1 - 3.0 / (4 * (n_a + n_b) - 9)), 6)
+             AS hedges_g
+         FROM d""",
+    "q339_cvm" ->
+      """WITH c AS (SELECT
+             (n_chars + 50 * (doc_id % 2))::DOUBLE AS v,
+             sum((doc_id % 2 = 0)::INT)::BIGINT AS da,
+             sum((doc_id % 2 = 1)::INT)::BIGINT AS db
+           FROM documents GROUP BY 1),
+         w AS (SELECT v, da, db,
+             sum(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS ca,
+             sum(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               ::BIGINT AS cb,
+             sum(da) OVER ()::BIGINT AS na,
+             sum(db) OVER ()::BIGINT AS nb
+           FROM c),
+         terms AS (SELECT na, nb,
+             (da + db)::DOUBLE
+               * ((ca::HUGEINT * nb - cb::HUGEINT * na)::DOUBLE
+                  / (na::DOUBLE * nb::DOUBLE))
+               * ((ca::HUGEINT * nb - cb::HUGEINT * na)::DOUBLE
+                  / (na::DOUBLE * nb::DOUBLE)) AS term
+           FROM w)
+         SELECT max(na) AS n_a, max(nb) AS n_b,
+           round(max(na)::DOUBLE * max(nb)::DOUBLE
+             / ((max(na) + max(nb))::DOUBLE
+                * (max(na) + max(nb))::DOUBLE)
+             * sum(term), 6) AS t_stat
+         FROM terms""",
+    "q340_anova" ->
+      """WITH s AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+             sum(value) AS sv, sum(value * value) AS q
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1),
+         a AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+             sum(q - sv * sv / n) AS ssw,
+             sum(sv) AS ts, sum(sv * sv / n) AS bs
+           FROM s)
+         SELECT n, k,
+           round(((bs - ts * ts / n) / (k - 1)) / (ssw / (n - k)), 6)
+             AS f,
+           round((bs - ts * ts / n) / ((bs - ts * ts / n) + ssw), 6)
+             AS eta2
+         FROM a""",
     "q318_vtrace" ->
       """WITH b AS (SELECT event_id, user_id, ts, floor(value) AS r,
              (event_id % 16)::DOUBLE AS v,

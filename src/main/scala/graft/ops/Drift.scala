@@ -526,6 +526,95 @@ object Drift {
       z.as("z"), lit(2.0 * uFrac - 1.0).as("r_rb"))
   }
 
+  /** Welch's unequal-variance t-test (Welch 1947) between side A and
+    * side B of one numeric column — the mean-shift test to reach for
+    * when KS/U answer "differently distributed" but the question is
+    * "how far apart are the MEANS, in units of their noise":
+    *
+    *   t  = (x̄_A − x̄_B) / √(s²_A/n_A + s²_B/n_B)
+    *   ν  = (s²_A/n_A + s²_B/n_B)² /
+    *          [(s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1)]
+    *
+    * plus the standardized effect sizes the test statistic alone
+    * hides: Cohen's d on the pooled SD and its small-sample Hedges' g
+    * correction `g = d·(1 − 3/(4(n_A+n_B) − 9))`. Returns one row
+    * `(n_a, n_b, mean_a, mean_b, var_a, var_b, t, dof, cohen_d,
+    * hedges_g)` — mean NULL on an empty side, var/t/dof NULL when
+    * either side has < 2 members, d/g NULL when the pooled SD is 0.
+    *
+    * Shape: ONE moment fold (count/Σx/Σx² per side through
+    * [[graft.api.functions.exact_sum]]) — no cell frame at all, so no
+    * distinct-value-cardinality contract; bit-identical on any
+    * partitioning. */
+  def welchTTest(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val v = value.cast("double")
+    val a = isA.cast("boolean")
+    val agg = df.where(v.isNotNull && a.isNotNull).agg(
+      count(when(a, 1)).as("n_a"), count(when(!a, 1)).as("n_b"),
+      gf.exact_sum(when(a, v)).as("__sa"),
+      gf.exact_sum(when(a, v * v)).as("__qa"),
+      gf.exact_sum(when(!a, v)).as("__sb"),
+      gf.exact_sum(when(!a, v * v)).as("__qb"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val meanA = when(col("n_a") > 0, col("__sa") / na)
+    val meanB = when(col("n_b") > 0, col("__sb") / nb)
+    val varA = when(col("n_a") >= 2,
+      (col("__qa") - col("__sa") * col("__sa") / na) / (na - 1))
+    val varB = when(col("n_b") >= 2,
+      (col("__qb") - col("__sb") * col("__sb") / nb) / (nb - 1))
+    val se2 = varA / na + varB / nb
+    val t = when(se2 > 0, (meanA - meanB) / sqrt(se2))
+    val dof = when(se2 > 0, se2 * se2 /
+      (varA * varA / (na * na * (na - 1))
+        + varB * varB / (nb * nb * (nb - 1))))
+    val sp2 = when(col("n_a") + col("n_b") >= 3,
+      ((na - 1) * varA + (nb - 1) * varB) / (na + nb - 2))
+    val d = when(sp2 > 0, (meanA - meanB) / sqrt(sp2))
+    agg.select(col("n_a"), col("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      varA.as("var_a"), varB.as("var_b"), t.as("t"), dof.as("dof"),
+      d.as("cohen_d"),
+      (d * (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9)))
+        .as("hedges_g"))
+  }
+
+  /** Two-sample Cramér–von Mises criterion (Anderson 1962) between
+    * side A and side B of one numeric column — the whole-curve
+    * companion to [[ksTest]]: where KS scores only the single worst
+    * CDF gap, CvM integrates the squared gap over the pooled sample,
+    * so many small shifts register that a one-point excursion-seeker
+    * misses:
+    *
+    *   T = n_A·n_B/(n_A+n_B)² · Σ_v f_v · (F_A(v) − F_B(v))²
+    *
+    * summed over the distinct pooled values with multiplicity `f_v`
+    * and right-continuous CDFs at `v` (the tie convention: ties
+    * contribute their full post-tie gap once per tied row — the same
+    * cells [[ksTest]] maxes over). Returns one row
+    * `(n_a, n_b, t_stat)` — NULL t_stat when either side is empty.
+    * Under H₀, `T` concentrates near 1/6; values ≳ 0.46 reject at 5%.
+    *
+    * Shape: the shared cell-frame recipe — one distinct-value count
+    * shuffle, cumulatives from the distributed prefix sum, exact
+    * DECIMAL(38,0) cross products per cell (one float division each),
+    * terms fanned in through exact_sum. */
+  def cramerVonMises(df: DataFrame, value: Column, isA: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = cumFromCells(sideCells(df, value, isA))
+    val diff = (col("__ca").cast(dec) * col("__nb")
+      - col("__cb").cast(dec) * col("__na")).cast("double")
+    val nab = col("__na").cast("double") * col("__nb").cast("double")
+    val term = (col("__da") + col("__db")).cast("double") *
+      (diff / nab) * (diff / nab)
+    val agg = cum.agg(max(col("__na")).as("n_a"),
+      max(col("__nb")).as("n_b"), gf.exact_sum(term).as("__s"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        na * nb / ((na + nb) * (na + nb)) * col("__s")).as("t_stat"))
+  }
+
   /** Per-distinct-value side counts (v, da, db) from a raw two-sided
     * feed — the one corpus-sized shuffle of the KS/W₁ family. NULL
     * values/sides are refused work. */
@@ -578,10 +667,16 @@ object Drift {
     * Scale shape: the series are GROUPED (one window exchange,
     * group-bounded partitions); the preceding frame materializes ≤
     * `window` doubles per row and folds scan-side, so cost is rows ×
-    * window, not rows². Deterministic: folds run in frame order. */
+    * window, not rows². Deterministic: folds run in frame order —
+    * which requires a TOTAL order. When `(groupCols, orderCol)` keys
+    * can repeat, pass `tieCol` (the [[Reward.discountedReturns]]
+    * convention) so the preceding-history frame does not depend on
+    * partitioning; without it, uniqueness of the keys is the caller's
+    * contract. */
   def ewmaMonitor(df: DataFrame, groupCols: Seq[String],
       orderCol: Column, valueCol: Column, alpha: Double = 0.3,
-      window: Int = 32, k: Double = 3.0): DataFrame = {
+      window: Int = 32, k: Double = 3.0,
+      tieCol: Option[Column] = None): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
     require(window >= 1 && window <= 1024, "window must be in [1, 1024]")
     require(k > 0, "k must be > 0")
@@ -589,7 +684,8 @@ object Drift {
     require(!df.columns.exists(reserved.contains),
       s"input may not contain reserved columns ${reserved.mkString(", ")}")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*).orderBy(orderCol)
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCol +: tieCol.toSeq: _*)
       .rowsBetween(-window, -1)
     val x = valueCol.cast("double")
     val hist = collect_list(x).over(w) // oldest → newest, ≤ window

@@ -126,8 +126,12 @@ object Eval {
     val zq = 1.959963984540054 // Φ⁻¹(0.975), the same literal both sides
     agg.select(col("n_pos"), col("n_neg"), aucC.as("auc"),
       se.as("se"),
-      greatest(lit(0.0), aucC - lit(zq) * se).as("lo95"),
-      least(lit(1.0), aucC + lit(zq) * se).as("hi95"))
+      // guard on se: greatest/least skip NULL args, so an unguarded
+      // bound would fabricate a full-width [0,1] CI when se is NULL
+      when(se.isNotNull, greatest(lit(0.0), aucC - lit(zq) * se))
+        .as("lo95"),
+      when(se.isNotNull, least(lit(1.0), aucC + lit(zq) * se))
+        .as("hi95"))
   }
 
   /** Per-group exact AUC — slice-wise evaluation (per source, language,

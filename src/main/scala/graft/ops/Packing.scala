@@ -92,6 +92,55 @@ object Packing {
       .drop("__bkt", "__local")
   }
 
+  /** [[withPrefixSumsLong]]'s DECIMAL sibling for one non-integral
+    * value column: the value is first rounded to DECIMAL(38,18) fixed
+    * point (≤ 5·10⁻¹⁹ per-term rounding, far below any downstream
+    * round(6) gate grain), then every sum — partition-local window,
+    * per-partition totals, broadcast offsets — is exact decimal
+    * arithmetic. Unlike a double prefix sum, whose result shifts at
+    * the last ulp when partition boundaries regroup the additions,
+    * this is bit-identical for ANY boundary placement and equals a
+    * sequential window over the same rounded terms — which is what
+    * lets [[Survival.kaplanMeier]]'s global arm match its grouped arm
+    * exactly. Order keys must be non-null and jointly unique. */
+  def withPrefixSumDec(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(!df.columns.contains("__bkt"),
+      "input may not contain reserved column __bkt")
+    val dec = "decimal(38,18)"
+    val spark = df.sparkSession
+    val parts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val oc = orderCols.map(col)
+    val ranged = df.repartitionByRange(parts, oc: _*)
+      .withColumn("__bkt", spark_partition_id())
+      .withColumn("__vd", col(valueCol).cast(dec))
+      .localCheckpoint()
+    val per = ranged.groupBy(col("__bkt"))
+      .agg(sum(col("__vd")).as("__t")).collect()
+    val byBkt = per.map(r => r.getInt(0) ->
+      Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO)).toMap
+    val offsets = new Array[java.math.BigDecimal](parts)
+    var acc = java.math.BigDecimal.ZERO
+    (0 until parts).foreach { b =>
+      offsets(b) = acc
+      acc = acc.add(byBkt.getOrElse(b, java.math.BigDecimal.ZERO))
+    }
+    val w = Window.partitionBy(col("__bkt")).orderBy(oc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the local-sum + offset ADD must happen at decimal(37,18):
+    // (38,18)+(38,18) needs precision 39, so Spark would shrink the
+    // result scale to 17 and round away the 18th digit — at (37,18)
+    // the add is exact and the result is (38,18) with no rounding
+    val nar = "decimal(37,18)"
+    ranged
+      .withColumn(outCol,
+        (sum(col("__vd")).over(w).cast(nar) + element_at(
+          array(offsets.map(d => lit(d).cast(nar)).toIndexedSeq: _*),
+          col("__bkt") + 1)).cast(dec))
+      .drop("__bkt", "__vd")
+  }
+
   /** [[withPrefixSum]] with LONG-exact arithmetic throughout: per-bucket
     * totals, broadcast offsets, and the partition-local window sum all
     * stay BIGINT, so the cumulative sum is bit-exact at ANY scale — the

@@ -405,4 +405,46 @@ object Profile {
           col("__mindim").cast("double")), lit(0.0))).as("cramers_v"),
         col("mi"))
   }
+
+  /** One-way ANOVA F-test across the slices of one categorical column —
+    * [[independence]]'s numeric sibling, and the k-slice generalization
+    * of [[Drift.welchTTest]]: "does mean quality / length / score
+    * actually differ BETWEEN sources, beyond its scatter WITHIN them?"
+    *
+    *   F    = (SS_between / (k−1)) / (SS_within / (N−k))
+    *   eta² = SS_between / SS_total      (variance explained, [0, 1])
+    *
+    * from the per-slice moment decomposition `SS_within =
+    * Σ_g (Σx² − (Σx)²/n_g)`, `SS_between = Σ_g n_g·(x̄_g − x̄)²`.
+    * Returns one row `(n, k, ss_between, ss_within, f, eta2)` — F NULL
+    * when k < 2, N ≤ k, or SS_within = 0 (all-constant slices); eta2
+    * NULL when SS_total = 0. NULL categories/values are refused work.
+    *
+    * Shape: ONE grouped moment fold (count/Σx/Σx² per slice through
+    * [[graft.api.functions.exact_sum]] — slice-bounded, never
+    * corpus-sized), then a one-row fan-in over the k slice rows;
+    * bit-identical on any partitioning. */
+  def anovaF(df: DataFrame, cat: Column, value: Column): DataFrame = {
+    val v = value.cast("double")
+    val slices = df.where(cat.isNotNull && v.isNotNull)
+      .groupBy(cat.as("__g"))
+      .agg(count(lit(1)).as("__n"), gf.exact_sum(v).as("__s"),
+        gf.exact_sum(v * v).as("__q"))
+    val n = col("__n").cast("double")
+    val agg = slices.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n"),
+      count(lit(1)).as("k"),
+      gf.exact_sum(col("__q") - col("__s") * col("__s") / n).as("ss_w"),
+      gf.exact_sum(col("__s")).as("__ts"),
+      gf.exact_sum(col("__s") * col("__s") / n).as("__bs"))
+    val nT = col("n").cast("double")
+    val kD = col("k").cast("double")
+    // SS_between = Σ (Σx_g)²/n_g − (Σx)²/N  (König–Huygens on means)
+    val ssb = when(col("n") > 0, col("__bs") - col("__ts") * col("__ts") / nT)
+    val f = when(col("k") >= 2 && col("n") > col("k") && col("ss_w") > 0,
+      (ssb / (kD - 1)) / (col("ss_w") / (nT - kD)))
+    agg.select(col("n"), col("k"), ssb.as("ss_between"),
+      col("ss_w").as("ss_within"), f.as("f"),
+      when(ssb + col("ss_w") > 0, ssb / (ssb + col("ss_w"))).as("eta2"))
+  }
 }

@@ -1306,7 +1306,11 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val q = tokenBags(queries, idCol, vecsCol, "query_id", "__qb")
     val c = tokenBags(corpus, idCol, vecsCol, "doc_id", "__db")
+    // dedup inside the operator: token-level generators naturally emit
+    // the same (query, doc) pair once per matching token, and duplicate
+    // scored rows would occupy multiple top-k rank slots
     val scored = candidates.select(col("query_id"), col("doc_id"))
+      .distinct()
       .join(c, Seq("doc_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),

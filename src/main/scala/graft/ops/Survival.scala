@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.{functions => gf}
+
+/** Survival / time-to-event analysis over right-censored durations —
+  * the retention-and-lifetime side of a pipeline's behavioral data:
+  * how long do sessions live, how long until a crawled domain goes
+  * stale, how long before a labeling task is abandoned. Each
+  * observation is `(duration, event)` where `event = true` means the
+  * terminal event was OBSERVED at that duration and `false` means the
+  * subject was right-CENSORED there (still alive when observation
+  * stopped) — discarding censored rows, the common shortcut, biases
+  * every lifetime estimate downward, which is exactly what these
+  * estimators exist to avoid.
+  *
+  * Scale shape: everything reduces first to the distinct-`(group,
+  * time)` CELL frame (one count aggregation with map-side combine —
+  * durations are discrete in practice: days, steps, sessions), then
+  * cumulates. Grouped estimates cumulate per group (group-bounded
+  * window partitions); the global/two-sample paths run through
+  * [[Packing.withPrefixSumsLong]]'s distributed two-level prefix sum,
+  * so a corpus-sized cell frame (continuous durations) never
+  * serializes through one task.
+  */
+object Survival {
+
+  /** Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) of the
+    * survival function, per group: one output row per distinct
+    * `(groupCols…, t)` with
+    * `(groupCols…, t, n_risk, n_event, n_censored, survival)` where
+    *
+    *   n_risk   = subjects with duration ≥ t (at risk just before t)
+    *   survival = Π_{tᵢ ≤ t} (1 − dᵢ / nᵢ)   (dᵢ = events at tᵢ)
+    *
+    * Censored-only times appear as rows (their factor is 1) so the
+    * n_risk ladder is complete; once every at-risk subject dies at
+    * some tᵢ (dᵢ = nᵢ) survival is exactly 0.0 from there on (the
+    * zero is flagged integrally, not left to `exp(log(0))`, which
+    * Spark nulls). NULL duration/event rows are refused work.
+    *
+    * With `groupCols` empty the single global curve's cumulatives run
+    * through the distributed prefix sum instead of a degenerate
+    * one-partition window; grouped curves cumulate inside their
+    * group's window partition (bounded by that group's distinct
+    * times). The survival product folds as `exp(Σ ln(1 − dᵢ/nᵢ))` in
+    * cell order, identically on any partitioning (integer cell counts
+    * + one float fold per cell). */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+      timeCol: Column, eventCol: Column): DataFrame = {
+    val reserved = Seq("t", "n_risk", "n_event", "n_censored", "survival")
+    require(!groupCols.exists(reserved.contains),
+      s"group columns may not be named ${reserved.mkString(", ")}")
+    val t0 = timeCol.cast("double")
+    val e = eventCol.cast("boolean")
+    val gcols = groupCols.map(col)
+    val cells = df.where(t0.isNotNull && e.isNotNull)
+      .groupBy(gcols :+ t0.as("t"): _*)
+      .agg(sum(e.cast("long")).as("n_event"),
+        sum((!e).cast("long")).as("n_censored"))
+    val withRisk =
+      if (groupCols.nonEmpty) {
+        val cum = Window.partitionBy(gcols: _*).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy(gcols: _*)
+        val dc = col("n_event") + col("n_censored")
+        cells
+          .withColumn("n_risk", sum(dc).over(all) - sum(dc).over(cum)
+            + col("n_event") + col("n_censored"))
+          .withColumn("__cz",
+            sum((col("n_event") === col("n_risk")).cast("long")).over(cum))
+          .withColumn("__clg",
+            sum(survLogTerm.cast(LogDec)).over(cum))
+      } else {
+        val staged = Packing.withPrefixSumsLong(
+            cells.withColumn("__dc", col("n_event") + col("n_censored")),
+            Seq("t"), sums = Seq("__dc" -> "__cdc"),
+            totals = Seq("__dc" -> "__tot"))
+          .withColumn("n_risk", col("__tot") - col("__cdc")
+            + col("n_event") + col("n_censored"))
+          .withColumn("__zf",
+            (col("n_event") === col("n_risk")).cast("long"))
+          .withColumn("__lg", survLogTerm)
+        Packing.withPrefixSumDec(
+          Packing.withPrefixSumsLong(staged, Seq("t"),
+            sums = Seq("__zf" -> "__cz")),
+          Seq("t"), "__lg", "__clg")
+      }
+    withRisk.select(gcols ++ Seq(col("t"), col("n_risk"),
+      col("n_event"), col("n_censored"),
+      when(col("__cz") > 0, lit(0.0))
+        .otherwise(exp(col("__clg").cast("double"))).as("survival")): _*)
+  }
+
+  /** Fixed-point type for the log-factor cumulatives: each `ln` term
+    * is rounded to 18 decimals once, then summed EXACTLY (decimal
+    * arithmetic), so the grouped window arm and the distributed
+    * prefix-sum arm produce bit-identical survival values — a double
+    * cumulative would drift at the last ulp whenever partitioning
+    * regroups the additions. */
+  private val LogDec = "decimal(38,18)"
+
+  /** Per-cell log survival factor `ln((n − d)/n)`: 0 at censored-only
+    * cells (d = 0 ⇒ ln 1) and 0 at extinction cells (d = n — the
+    * integral zero flag takes over there; Spark's `log` would NULL). */
+  private def survLogTerm: Column =
+    when(col("n_event") > 0 && col("n_event") < col("n_risk"),
+      log((col("n_risk") - col("n_event")).cast("double")
+        / col("n_risk").cast("double"))).otherwise(lit(0.0))
+
+  /** Two-sample log-rank test (Mantel 1966; the hypergeometric form)
+    * that the `isA === true` and `isA === false` slices share one
+    * survival curve. At each distinct pooled EVENT time, side A's
+    * observed events are compared with their expectation under the
+    * null given the at-risk split:
+    *
+    *   O − E = Σᵢ (d₁ᵢ − dᵢ·n₁ᵢ/nᵢ)
+    *   V     = Σᵢ dᵢ (n₁ᵢ/nᵢ)(n₀ᵢ/nᵢ)(nᵢ − dᵢ)/(nᵢ − 1)   (nᵢ ≥ 2)
+    *   χ²    = (O − E)² / V          (1 dof; NULL when V = 0)
+    *
+    * Returns one row `(n_a, n_b, events_a, events_b, o_minus_e,
+    * var_o, chi2)`. NULL duration/event/side rows are refused work.
+    *
+    * Shape: one count aggregation into distinct-time cells, at-risk
+    * ladders from the distributed prefix sum, terms fanned in through
+    * [[graft.api.functions.exact_sum]] — bit-identical on any
+    * partitioning, nothing corpus-sized on one task. */
+  def logRank(df: DataFrame, timeCol: Column, eventCol: Column,
+      isA: Column): DataFrame = {
+    val t0 = timeCol.cast("double")
+    val e = eventCol.cast("boolean")
+    val a = isA.cast("boolean")
+    val cells = df.where(t0.isNotNull && e.isNotNull && a.isNotNull)
+      .groupBy(t0.as("t"))
+      .agg(sum(when(a, e.cast("long")).otherwise(0L)).as("d1"),
+        sum(when(!a, e.cast("long")).otherwise(0L)).as("d0"),
+        sum(a.cast("long")).as("m1"),
+        sum((!a).cast("long")).as("m0"))
+    val cum = Packing.withPrefixSumsLong(cells, Seq("t"),
+      sums = Seq("m1" -> "__c1", "m0" -> "__c0"),
+      totals = Seq("m1" -> "__t1", "m0" -> "__t0"))
+    val n1 = (col("__t1") - col("__c1") + col("m1")).cast("double")
+    val n0 = (col("__t0") - col("__c0") + col("m0")).cast("double")
+    val n = n1 + n0
+    val d = (col("d1") + col("d0")).cast("double")
+    val oeTerm = when(col("d1") + col("d0") > 0,
+      col("d1").cast("double") - d * n1 / n).otherwise(lit(0.0))
+    val vTerm = when(col("d1") + col("d0") > 0 && n >= 2.0,
+      d * (n1 / n) * (n0 / n) * (n - d) / (n - lit(1.0)))
+      .otherwise(lit(0.0))
+    cum.agg(max(col("__t1")).as("n_a"), max(col("__t0")).as("n_b"),
+        coalesce(sum(col("d1")), lit(0L)).as("events_a"),
+        coalesce(sum(col("d0")), lit(0L)).as("events_b"),
+        gf.exact_sum(oeTerm).as("o_minus_e"),
+        gf.exact_sum(vTerm).as("var_o"))
+      .withColumn("chi2", when(col("var_o") > 0,
+        col("o_minus_e") * col("o_minus_e") / col("var_o")))
+  }
+}

@@ -396,6 +396,20 @@ class DriftSpec extends SparkTestBase {
       col("x")).orderBy("g", "t").collect().map(_.toString).toSeq
     assert(one == many)
   }
+
+  test("ewmaMonitor: tieCol makes duplicate (group, order) keys " +
+      "deterministic across partitionings") {
+    import spark.implicits._
+    // every order key appears twice; without a tie column the
+    // preceding-history frame would be partitioning-dependent
+    val big = (1 to 200).map(i =>
+      ("g" + i % 3, i / 2, i.toLong, (i * 13 % 17).toDouble))
+      .toDF("g", "t", "id", "x")
+    def run(parts: Int) = Drift.ewmaMonitor(big.repartition(parts),
+        Seq("g"), col("t"), col("x"), tieCol = Some(col("id")))
+      .orderBy("g", "t", "id").collect().map(_.toString).toSeq
+    assert(run(1) == run(7))
+  }
   test("mannWhitney: hand-worked tie-aware example and extremes") {
     import spark.implicits._
     // A={1,3}, B={2,2}: midranks 1, 2.5, 2.5, 4 -> U_A = 2 = E[U], z=0
@@ -497,5 +511,54 @@ class DriftSpec extends SparkTestBase {
       .collect()(0)
     assert(mw.isNullAt(mw.fieldIndex("u_a")) &&
       mw.isNullAt(mw.fieldIndex("z")))
+  }
+
+  test("welchTTest: hand-worked unequal-variance example; NULL guards") {
+    import spark.implicits._
+    // A = {1, 2, 3} (mean 2, var 1); B = {2, 4, 6, 8} (mean 5, var 20/3)
+    val df = Seq((1.0, true), (2.0, true), (3.0, true), (2.0, false),
+      (4.0, false), (6.0, false), (8.0, false)).toDF("v", "a")
+    val r = Drift.welchTTest(df, col("v"), col("a")).head()
+    val (va, vb) = (1.0, 20.0 / 3)
+    val se2 = va / 3 + vb / 4
+    val t = (2.0 - 5.0) / math.sqrt(se2)
+    val dof = se2 * se2 / (math.pow(va / 3, 2) / 2 + math.pow(vb / 4, 2) / 3)
+    assert(math.abs(r.getDouble(r.fieldIndex("t")) - t) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("dof")) - dof) < 1e-12)
+    val sp2 = (2 * va + 3 * vb) / 5
+    val d = -3.0 / math.sqrt(sp2)
+    assert(math.abs(r.getDouble(r.fieldIndex("cohen_d")) - d) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("hedges_g"))
+      - d * (1 - 3.0 / (4 * 7 - 9))) < 1e-12)
+    // one-member side: mean present, var/t NULL
+    val tiny = Seq((1.0, true), (2.0, false), (3.0, false)).toDF("v", "a")
+    val rt = Drift.welchTTest(tiny, col("v"), col("a")).head()
+    assert(rt.getDouble(rt.fieldIndex("mean_a")) == 1.0)
+    assert(rt.isNullAt(rt.fieldIndex("var_a")))
+    assert(rt.isNullAt(rt.fieldIndex("t")))
+  }
+
+  test("cramerVonMises: identical sides give 0 against the shared-cell " +
+      "convention; shift registers; partition-invariant") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i => Seq(((i % 7).toDouble, true),
+      ((i % 7).toDouble, false))).toDF("v", "a")
+    val r0 = Drift.cramerVonMises(same, col("v"), col("a")).head()
+    assert(r0.getDouble(r0.fieldIndex("t_stat")) == 0.0)
+    // hand-worked: A = {1, 2}, B = {3, 4}: cells (1,2,3,4) with
+    // FA = (.5, 1, 1, 1), FB = (0, 0, .5, 1); sum f*(FA-FB)^2 =
+    // .25 + 1 + .25 + 0 = 1.5; T = (4/16)*1.5 = .375
+    val df = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("v", "a")
+    val r = Drift.cramerVonMises(df, col("v"), col("a")).head()
+    assert(math.abs(r.getDouble(r.fieldIndex("t_stat")) - 0.375) < 1e-12)
+    val big = (1 to 500).map(i =>
+      ((i * 31 % 97).toDouble + (if (i % 2 == 0) 3.0 else 0.0), i % 2 == 0))
+      .toDF("v", "a")
+    val p1 = Drift.cramerVonMises(big.repartition(1), col("v"), col("a"))
+      .head().toString
+    val p9 = Drift.cramerVonMises(big.repartition(9), col("v"), col("a"))
+      .head().toString
+    assert(p1 == p9)
   }
 }

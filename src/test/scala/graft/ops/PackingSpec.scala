@@ -48,6 +48,32 @@ class PackingSpec extends SparkTestBase {
     assert(plan.contains("__bkt"), plan)
   }
 
+  test("withPrefixSumDec: bit-identical to a sequential decimal cumsum " +
+      "at any parallelism (the double variant's ulp drift is gone)") {
+    // irrational-ish terms where double regrouping WOULD drift
+    val rows = (0 until 300).map(i =>
+      (i.toDouble, math.log((i % 37 + 2).toDouble / (i % 37 + 3))))
+    val df = rows.toDF("k", "v")
+    val want = {
+      var acc = java.math.BigDecimal.ZERO
+      rows.map { case (k, v) =>
+        // Spark's double->decimal cast parses Double.toString (the
+        // shortest round-trip repr), not the exact binary expansion
+        acc = acc.add(java.math.BigDecimal.valueOf(v)
+          .setScale(18, java.math.RoundingMode.HALF_UP))
+        k -> acc
+      }.toMap
+    }
+    for (reparted <- Seq(df, df.repartition(7), df.orderBy(desc("k")))) {
+      val got = Packing.withPrefixSumDec(reparted, Seq("k"), "v", "cum")
+        .select("k", "cum").collect()
+        .map(r => r.getDouble(0) -> r.getDecimal(1)).toMap
+      got.foreach { case (k, d) =>
+        assert(d.compareTo(want(k)) == 0, s"k=$k")
+      }
+    }
+  }
+
   test("bucket auto-sizing: tiny inputs collapse to 2 buckets, exact anyway") {
     // the cap itself
     assert(Packing.effectiveBuckets(200, 7L) == 2)

@@ -279,4 +279,50 @@ class ProfileSpec extends SparkTestBase {
     assert(got.forall(_.getLong(1) == 0L))
     assert(got.forall(_.isNullAt(2)))
   }
+
+  test("anovaF: hand-worked three-group example; guards") {
+    import spark.implicits._
+    // g1 = {1,2,3}, g2 = {2,3,4}, g3 = {5,6,7}: grand mean 33/9
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0),
+      ("b", 3.0), ("b", 4.0), ("c", 5.0), ("c", 6.0), ("c", 7.0))
+      .toDF("g", "v")
+    val r = Profile.anovaF(df, col("g"), col("v")).head()
+    val gm = 33.0 / 9
+    val ssb = 3 * (math.pow(2 - gm, 2) + math.pow(3 - gm, 2)
+      + math.pow(6 - gm, 2))
+    val ssw = 3 * 2.0 // each group has variance 1, (n-1)*var = 2
+    assert(r.getLong(r.fieldIndex("n")) == 9L)
+    assert(r.getLong(r.fieldIndex("k")) == 3L)
+    assert(math.abs(r.getDouble(r.fieldIndex("ss_between")) - ssb) < 1e-10)
+    assert(math.abs(r.getDouble(r.fieldIndex("ss_within")) - ssw) < 1e-10)
+    assert(math.abs(r.getDouble(r.fieldIndex("f"))
+      - (ssb / 2) / (ssw / 6)) < 1e-10)
+    assert(math.abs(r.getDouble(r.fieldIndex("eta2"))
+      - ssb / (ssb + ssw)) < 1e-12)
+    // single slice: F NULL; constant slices: SS_within 0 -> F NULL
+    val one = Profile.anovaF(df.where(col("g") === "a"), col("g"),
+      col("v")).head()
+    assert(one.isNullAt(one.fieldIndex("f")))
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val rc = Profile.anovaF(const, col("g"), col("v")).head()
+    assert(rc.isNullAt(rc.fieldIndex("f")))
+    assert(rc.getDouble(rc.fieldIndex("eta2")) == 1.0)
+  }
+
+  test("anovaF: partition-invariant; equal group means give F ~ 0") {
+    import spark.implicits._
+    val big = (1 to 600).map(i => ("g" + i % 4, (i * 17 % 29).toDouble))
+      .toDF("g", "v")
+    val a = Profile.anovaF(big.repartition(1), col("g"), col("v"))
+      .head().toString
+    val b = Profile.anovaF(big.repartition(11), col("g"), col("v"))
+      .head().toString
+    assert(a == b)
+    // shifted copies of one multiset across groups: all means equal
+    val flat = (1 to 300).map(i => ("g" + i % 3, (i % 100).toDouble))
+      .toDF("g", "v")
+    val rf = Profile.anovaF(flat, col("g"), col("v")).head()
+    assert(math.abs(rf.getDouble(rf.fieldIndex("f"))) < 1e-9)
+  }
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Survival analysis (Survival.kaplanMeier / logRank). */
+class SurvivalSpec extends SparkTestBase {
+
+  test("kaplanMeier: textbook curve with censoring, grouped path") {
+    import spark.implicits._
+    // classic toy: events at 1, 3, 5; censored at 2, 4 (n=5)
+    val df = Seq(("g", 1.0, true), ("g", 2.0, false), ("g", 3.0, true),
+      ("g", 4.0, false), ("g", 5.0, true)).toDF("g", "t", "e")
+    val got = Survival.kaplanMeier(df, Seq("g"), col("t"), col("e"))
+      .orderBy("t").collect()
+    assert(got.map(_.getLong(2)) sameElements Array(5L, 4L, 3L, 2L, 1L))
+    val s = got.map(r => r.getDouble(r.fieldIndex("survival")))
+    // S(1)=4/5; S(2)=4/5 (censor); S(3)=4/5*2/3; S(4) same; S(5)=0
+    assert(math.abs(s(0) - 0.8) < 1e-12)
+    assert(math.abs(s(1) - 0.8) < 1e-12)
+    assert(math.abs(s(2) - 0.8 * 2 / 3) < 1e-12)
+    assert(math.abs(s(3) - 0.8 * 2 / 3) < 1e-12)
+    assert(s(4) == 0.0) // d = n_risk at the last time: exact zero
+  }
+
+  test("kaplanMeier: global (distributed) path equals grouped path " +
+      "and is partition-invariant") {
+    import spark.implicits._
+    val rows = (1 to 400).map { i =>
+      ("all", (i * 7 % 23).toDouble, i % 3 != 0)
+    }
+    val df = rows.toDF("g", "t", "e")
+    val grouped = Survival.kaplanMeier(df, Seq("g"), col("t"), col("e"))
+      .drop("g").orderBy("t").collect().map(_.toString).toSeq
+    val global = Survival.kaplanMeier(df.repartition(7), Seq.empty,
+        col("t"), col("e"))
+      .orderBy("t").collect().map(_.toString).toSeq
+    assert(grouped == global)
+    val global1 = Survival.kaplanMeier(df.repartition(1), Seq.empty,
+        col("t"), col("e"))
+      .orderBy("t").collect().map(_.toString).toSeq
+    assert(global == global1)
+  }
+
+  test("kaplanMeier: no censoring reduces to the empirical survivor " +
+      "function") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toDouble, true)).toDF("t", "e")
+    val got = Survival.kaplanMeier(df, Seq.empty, col("t"), col("e"))
+      .orderBy("t").collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val expected = (10.0 - (i + 1)) / 10.0
+      assert(math.abs(r.getDouble(r.fieldIndex("survival")) - expected)
+        < 1e-12, s"row $i")
+    }
+  }
+
+  test("logRank: identical curves give chi2 ~ 0; hand-worked example") {
+    import spark.implicits._
+    // identical samples on both sides -> O = E exactly
+    val same = (1 to 20).flatMap(i => Seq(
+      ((i % 5).toDouble + 1, i % 4 != 0, true),
+      ((i % 5).toDouble + 1, i % 4 != 0, false)))
+      .toDF("t", "e", "a")
+    val r0 = Survival.logRank(same, col("t"), col("e"), col("a")).head()
+    assert(math.abs(r0.getDouble(r0.fieldIndex("o_minus_e"))) < 1e-12)
+    // hand-worked: A = events at 1, 2; B = events at 3, 4
+    // t=1: n1=2,n0=2,d=1 -> e1 = 0.5, v = 1*(2/4)*(2/4)*(3/3) = 0.25
+    // t=2: n1=1,n0=2,d=1 -> e1 = 1/3, v = (1/3)*(2/3)*(1) = 2/9
+    // t=3: n1=0,n0=2,d=1 -> e1 = 0,   v = 0
+    // t=4: n1=0,n0=1,d=1 -> n=1 < 2  -> v term 0
+    val df = Seq((1.0, true, true), (2.0, true, true),
+      (3.0, true, false), (4.0, true, false)).toDF("t", "e", "a")
+    val r = Survival.logRank(df, col("t"), col("e"), col("a")).head()
+    val oe = 2.0 - (0.5 + 1.0 / 3)
+    val v = 0.25 + 2.0 / 9
+    assert(math.abs(r.getDouble(r.fieldIndex("o_minus_e")) - oe) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("var_o")) - v) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("chi2")) - oe * oe / v)
+      < 1e-12)
+    assert(r.getLong(r.fieldIndex("events_a")) == 2L)
+    assert(r.getLong(r.fieldIndex("events_b")) == 2L)
+  }
+
+  test("logRank: partition-invariant; empty side gives NULL chi2") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i =>
+      ((i * 11 % 17).toDouble, i % 5 != 0, i % 2 == 0))
+    val df = rows.toDF("t", "e", "a")
+    val a = Survival.logRank(df.repartition(1), col("t"), col("e"),
+      col("a")).head().toString
+    val b = Survival.logRank(df.repartition(13), col("t"), col("e"),
+      col("a")).head().toString
+    assert(a == b)
+    val oneSided = Survival.logRank(df.where(col("a")), col("t"),
+      col("e"), col("a")).head()
+    assert(oneSided.isNullAt(oneSided.fieldIndex("chi2")))
+  }
+}

@@ -774,6 +774,38 @@ object ScaleProbe {
       graft.ops.Classify.logisticFit(withB, feats,
         col("doc_id") % 3 === 0, iterations = 5, lr = 1.0)
     }
+
+    // r14: the continuous-score regime the cell-frame port exists for —
+    // EVERY row a distinct value, so the cell frame IS the corpus; the
+    // old Window.partitionBy(lit(1)) plan would sort it in ONE task.
+    // 50M+ distinct values through ksTest / mannWhitney / aucDeLong /
+    // cramerVonMises (all ride withPrefixSumsLong's range shuffle).
+    time(s"r14 ksTest ${nDocs * 10} rows ALL-distinct (continuous)") {
+      val two = spark.range(nDocs * 10).select(
+        (col("id").cast("double") + (col("id") % 7).cast("double") / 10)
+          .as("v"), (col("id") % 2 === 0).as("a"))
+      force(graft.ops.Drift.ksTest(two, col("v"), col("a")))
+    }
+    time(s"r14 mannWhitney+cvm ${nDocs * 4} rows ALL-distinct") {
+      val two = spark.range(nDocs * 4).select(
+        (col("id").cast("double") * 1.000000001).as("v"),
+        (col("id") % 2 === 0).as("a"))
+      force(graft.ops.Drift.mannWhitney(two, col("v"), col("a")))
+      force(graft.ops.Drift.cramerVonMises(two, col("v"), col("a")))
+    }
+    time(s"r14 aucDeLong ${nDocs * 4} rows ALL-distinct scores") {
+      val sc = spark.range(nDocs * 4).select(
+        (col("id").cast("double") * 1.000000001).as("s"),
+        (col("id") % 3 === 0).as("y"))
+      force(graft.ops.Eval.aucDeLong(sc, col("s"), col("y")))
+    }
+    time(s"r14 kaplanMeier global, ${nDocs * 4} rows, 1M distinct t") {
+      val surv = spark.range(nDocs * 4).select(
+        (col("id") % 1000000L).cast("double").as("t"),
+        (col("id") % 4 =!= 0).as("e"))
+      force(graft.ops.Survival.kaplanMeier(surv, Seq.empty, col("t"),
+        col("e")))
+    }
     spark.stop()
   }
 }
