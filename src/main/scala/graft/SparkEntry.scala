@@ -2264,7 +2264,8 @@ object SparkEntry {
       graft.ops.Survival.kaplanMeier(base, Seq.empty, col("dt"),
           col("ev"))
         .select(col("t"), col("n_risk"), col("n_event"),
-          col("n_censored"), round(col("survival"), 6).as("survival"))
+          col("n_censored"), round(col("survival"), 6).as("survival"),
+          round(col("cum_hazard"), 6).as("cum_hazard"))
         .orderBy("t")
     }),
 
@@ -2328,6 +2329,60 @@ object SparkEntry {
           col("value"))
         .select(col("n"), col("k"), round(col("f"), 6).as("f"),
           round(col("eta2"), 6).as("eta2"))
+    }),
+
+    "q341_levene" -> ((s, dir) => {
+      // Brown–Forsythe variance-homogeneity check across event types —
+      // the assumption audit next to q340's F; group medians via the
+      // exact percentile kernel (q122's DuckDB quantile_cont parity),
+      // broadcast back, then the same one-fold ANOVA on |x − med_g|
+      graft.ops.Profile.leveneTest(t(s, dir, "events"),
+          col("event_type"), col("value"))
+        .select(col("n"), col("k"), round(col("w"), 6).as("w"),
+          round(col("eta2"), 6).as("eta2"))
+    }),
+
+    "q342_chi2_gof" -> ((s, dir) => {
+      // goodness-of-fit of the event-type mix against a DECLARED
+      // distribution (the mixtureSample receipt): 1/1/1/1/1 over the
+      // five real types plus a declared-but-never-observed 'refund' at
+      // 0.5 — exercising normalization and the zero-fill path
+      graft.ops.Profile.chiSquareGof(t(s, dir, "events"),
+          col("event_type"),
+          Seq("click" -> 1.0, "error" -> 1.0, "purchase" -> 1.0,
+            "refund" -> 0.5, "signup" -> 1.0, "view" -> 1.0))
+        .select(col("category"), col("n_obs"),
+          round(col("expected_share"), 6).as("expected_share"),
+          round(col("expected_n"), 6).as("expected_n"),
+          round(col("chi2_part"), 6).as("chi2_part"))
+        .orderBy("category")
+    }),
+
+    "q343_two_proportion" -> ((s, dir) => {
+      // two-proportion z-test: do even- and odd-id users convert
+      // (click/purchase) at the same rate — pooled z, unpooled CI
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+      graft.ops.Eval.twoProportionTest(ev,
+          col("user_id") % 2 === 0,
+          col("event_type").isin("click", "purchase"))
+        .select(col("n_a"), col("n_b"), col("k_a"), col("k_b"),
+          round(col("p_a"), 6).as("p_a"),
+          round(col("p_b"), 6).as("p_b"),
+          round(col("diff"), 6).as("diff"), round(col("z"), 6).as("z"),
+          round(col("lo95"), 6).as("lo95"),
+          round(col("hi95"), 6).as("hi95"))
+    }),
+
+    "q344_kruskal_wallis" -> ((s, dir) => {
+      // Kruskal–Wallis H across event types on the raw (tied,
+      // 2-decimal) value column — midranks integral via the
+      // distributed prefix sum, rank sums in DECIMAL(38,0), tie cubes
+      // exact; the rank-robust twin of q340
+      graft.ops.Drift.kruskalWallis(t(s, dir, "events"),
+          col("event_type"), col("value"))
+        .select(col("n"), col("k"), round(col("h"), 6).as("h"),
+          round(col("c_ties"), 6).as("c_ties"),
+          round(col("h_adj"), 6).as("h_adj"))
     }),
 
     "q318_vtrace" -> ((s, dir) => {
@@ -10500,11 +10555,14 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
              sum(CASE WHEN n_event > 0 AND n_event < n_risk
                  THEN ln((n_risk - n_event)::DOUBLE / n_risk::DOUBLE)
                  ELSE 0 END)
-               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS clg
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS clg,
+             sum(n_event::DOUBLE / n_risk::DOUBLE)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cha
            FROM w)
          SELECT t, n_risk, n_event, n_censored,
            round(CASE WHEN dead > 0 THEN 0.0 ELSE exp(clg) END, 6)
-             AS survival
+             AS survival,
+           round(cha, 6) AS cum_hazard
          FROM z ORDER BY t""",
     "q337_log_rank" ->
       """WITH base AS (SELECT
@@ -10622,6 +10680,106 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round((bs - ts * ts / n) / ((bs - ts * ts / n) + ssw), 6)
              AS eta2
          FROM a""",
+    "q341_levene" ->
+      """WITH base AS (SELECT event_type AS g, value AS v FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         med AS (SELECT g, quantile_cont(v, 0.5) AS c
+           FROM base GROUP BY 1),
+         z AS (SELECT base.g, abs(v - c) AS z
+           FROM base JOIN med USING (g)),
+         s AS (SELECT g, count(*)::BIGINT AS n, sum(z) AS sv,
+             sum(z * z) AS q
+           FROM z GROUP BY 1),
+         a AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+             sum(q - sv * sv / n) AS ssw,
+             sum(sv) AS ts, sum(sv * sv / n) AS bs
+           FROM s)
+         SELECT n, k,
+           round(((bs - ts * ts / n) / (k - 1)) / (ssw / (n - k)), 6)
+             AS w,
+           round((bs - ts * ts / n) / ((bs - ts * ts / n) + ssw), 6)
+             AS eta2
+         FROM a""",
+    "q342_chi2_gof" ->
+      """WITH obs AS (SELECT event_type AS category,
+             count(*)::BIGINT AS n_obs
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+         exp AS (SELECT * FROM (VALUES
+             ('click', 1.0), ('error', 1.0), ('purchase', 1.0),
+             ('refund', 0.5), ('signup', 1.0), ('view', 1.0))
+           AS t(category, share)),
+         j AS (SELECT e.category,
+             coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+             e.share / 5.5 AS expected_share
+           FROM exp e LEFT JOIN obs o USING (category)),
+         w AS (SELECT *,
+             sum(n_obs) OVER ()::DOUBLE * expected_share AS expected_n
+           FROM j)
+         SELECT category, n_obs,
+           round(expected_share, 6) AS expected_share,
+           round(expected_n, 6) AS expected_n,
+           round((n_obs::DOUBLE - expected_n)
+             * (n_obs::DOUBLE - expected_n) / expected_n, 6)
+             AS chi2_part
+         FROM w ORDER BY category""",
+    "q343_two_proportion" ->
+      """WITH s AS (SELECT
+             count(CASE WHEN user_id % 2 = 0 THEN 1 END)::BIGINT AS n_a,
+             count(CASE WHEN user_id % 2 <> 0 THEN 1 END)::BIGINT AS n_b,
+             sum(CASE WHEN user_id % 2 = 0
+               AND event_type IN ('click', 'purchase')
+               THEN 1 ELSE 0 END)::BIGINT AS k_a,
+             sum(CASE WHEN user_id % 2 <> 0
+               AND event_type IN ('click', 'purchase')
+               THEN 1 ELSE 0 END)::BIGINT AS k_b
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         m AS (SELECT n_a, n_b, k_a, k_b,
+             k_a / n_a::DOUBLE AS pa, k_b / n_b::DOUBLE AS pb,
+             (k_a + k_b) / (n_a + n_b)::DOUBLE AS pp
+           FROM s),
+         d AS (SELECT *,
+             pa - pb AS diff,
+             pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b) AS vp,
+             sqrt(pa * (1 - pa) / n_a + pb * (1 - pb) / n_b) AS se
+           FROM m)
+         SELECT n_a, n_b, k_a, k_b,
+           round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round(diff, 6) AS diff,
+           round(CASE WHEN vp > 0 THEN diff / sqrt(vp) END, 6) AS z,
+           round(diff - 1.959963984540054 * se, 6) AS lo95,
+           round(diff + 1.959963984540054 * se, 6) AS hi95
+         FROM d""",
+    "q344_kruskal_wallis" ->
+      """WITH base AS (SELECT event_type AS g, value AS v FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         vc AS (SELECT v, count(*)::BIGINT AS f FROM base GROUP BY 1),
+         mr AS (SELECT v, f,
+             2 * sum(f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               - f + 1 AS mr2
+           FROM vc),
+         gv AS (SELECT g, v, count(*)::BIGINT AS ngv
+           FROM base GROUP BY 1, 2),
+         pg AS (SELECT g, sum(ngv)::BIGINT AS ng,
+             sum(ngv::HUGEINT * mr2::HUGEINT) AS r2
+           FROM gv JOIN mr USING (v) GROUP BY 1),
+         t AS (SELECT sum(f::HUGEINT * f * f - f) AS ties,
+             sum(f)::BIGINT AS n
+           FROM vc),
+         s AS (SELECT (SELECT n FROM t) AS n,
+             count(*)::BIGINT AS k,
+             sum((r2::DOUBLE * r2::DOUBLE) / (4 * ng::DOUBLE)) AS sm
+           FROM pg),
+         fin AS (SELECT n, k,
+             12.0 / (n::DOUBLE * (n + 1)) * sm - 3.0 * (n::DOUBLE + 1)
+               AS h,
+             1 - (SELECT ties FROM t)::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)
+               AS c
+           FROM s)
+         SELECT n, k, round(h, 6) AS h, round(c, 6) AS c_ties,
+           round(CASE WHEN c > 0 THEN h / c END, 6) AS h_adj
+         FROM fin""",
     "q318_vtrace" ->
       """WITH b AS (SELECT event_id, user_id, ts, floor(value) AS r,
              (event_id % 16)::DOUBLE AS v,

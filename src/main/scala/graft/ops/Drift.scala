@@ -615,6 +615,66 @@ object Drift {
         na * nb / ((na + nb) * (na + nb)) * col("__s")).as("t_stat"))
   }
 
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — [[mannWhitney]]'s
+    * k-group generalization and [[Profile.anovaF]]'s rank-based
+    * sibling: "do these k sources/shards draw from the same score
+    * distribution?", robust to the heavy tails that wreck a mean-based
+    * F. Tie-aware midranks over the pooled sample:
+    *
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    *   C = 1 − Σ_v (f_v³ − f_v)/(N³ − N),   h_adj = H / C
+    *
+    * Returns one row `(n, k, h, c_ties, h_adj)` — H NULL when k < 2 or
+    * N ≤ 1; h_adj NULL when every value is tied (C = 0). Under H₀,
+    * H ~ χ²(k−1). NULL categories/values are refused work.
+    *
+    * Shape: one distinct-value census (midranks integral as 2·midrank
+    * via the distributed prefix sum — the [[mannWhitney]] convention),
+    * one (group, value) count shuffle joined back on value, per-group
+    * rank sums in DECIMAL(38,0) (2·R_g ≤ 2N² overflows Int64 past
+    * ~2·10⁹ rows), tie cubes in DECIMAL(38,0); floats only in the
+    * final one-row assembly. */
+  def kruskalWallis(df: DataFrame, cat: Column, value: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = value.cast("double")
+    val base = df.where(cat.isNotNull && v.isNotNull)
+      .select(cat.as("__g"), v.as("__v"))
+    val vCells = base.groupBy(col("__v")).agg(count(lit(1)).as("__f"))
+    val cum = Packing.withPrefixSumsLong(vCells, Seq("__v"),
+        sums = Seq("__f" -> "__cf"), totals = Seq("__f" -> "__n"))
+      .withColumn("__mr2", lit(2) * col("__cf") - col("__f") + 1)
+    val tie = cum.agg(
+      coalesce(sum(col("__f").cast(dec) * col("__f") * col("__f")
+        - col("__f")), lit(0).cast(dec)).as("__ties"),
+      coalesce(max(col("__n")), lit(0L)).as("__nTot")).collect()(0)
+    val (ties, nTot) =
+      (tie.getDecimal(0), tie.getLong(1))
+    val gv = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__ngv"))
+      .join(cum.select(col("__v"), col("__mr2")), Seq("__v"))
+    val perG = gv.groupBy(col("__g")).agg(
+      sum(col("__ngv")).as("__ng"),
+      sum(col("__ngv").cast(dec) * col("__mr2").cast(dec)).as("__r2"))
+    val agg = perG.agg(
+      coalesce(sum(col("__ng")), lit(0L)).as("n"),
+      count(lit(1)).as("k"),
+      gf.exact_sum(col("__r2").cast("double") * col("__r2").cast("double")
+        / (lit(4.0) * col("__ng").cast("double"))).as("__s"))
+    val nD = col("n").cast("double")
+    val h = when(col("k") >= 2 && col("n") > 1,
+      lit(12.0) / (nD * (nD + 1)) * col("__s") - lit(3.0) * (nD + 1))
+    // C from the driver-collected exact decimals: N³−N is exact there
+    val c =
+      if (nTot <= 1) lit(null).cast("double")
+      else lit(java.math.BigDecimal.ONE.subtract(
+        ties.divide(java.math.BigDecimal.valueOf(nTot).pow(3)
+          .subtract(java.math.BigDecimal.valueOf(nTot)),
+          java.math.MathContext.DECIMAL64)).doubleValue())
+    agg.select(col("n"), col("k"), h.as("h"), c.as("c_ties"),
+      when(c > 0, h / c).as("h_adj"))
+  }
+
   /** Per-distinct-value side counts (v, da, db) from a raw two-sided
     * feed — the one corpus-sized shuffle of the KS/W₁ family. NULL
     * values/sides are refused work. */

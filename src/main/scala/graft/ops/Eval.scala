@@ -1353,6 +1353,52 @@ object Eval {
       .drop("__rs")
   }
 
+  /** Two-proportion z-test between the `isA === true` and
+    * `isA === false` slices of one boolean outcome — the A/B answer
+    * for pass rates, dedup-survival rates, filter keep rates:
+    *
+    *   z = (p̂_A − p̂_B) / √(p̄(1 − p̄)(1/n_A + 1/n_B))   (pooled p̄)
+    *
+    * plus the UNPOOLED 95% CI on the difference,
+    * `diff ± 1.96·√(p̂_A q̂_A/n_A + p̂_B q̂_B/n_B)` (pooled SE is only
+    * correct under H₀ — using it for the band is the classic
+    * mistake). Returns one row `(n_a, n_b, k_a, k_b, p_a, p_b, diff,
+    * z, lo95, hi95)` — p NULL on an empty side; z NULL when the
+    * pooled variance is 0 (all successes or all failures overall).
+    * NULL outcomes/sides are refused work. [[wilsonInterval]] remains
+    * the per-slice band; this is the between-slice test.
+    *
+    * Shape: ONE count fold to four integers; everything after is
+    * scan-side one-row arithmetic — bit-stable on any partitioning. */
+  def twoProportionTest(df: DataFrame, isA: Column,
+      success: Column): DataFrame = {
+    val a = isA.cast("boolean")
+    val s = success.cast("boolean")
+    val agg = df.where(a.isNotNull && s.isNotNull).agg(
+      count(when(a, 1)).as("n_a"), count(when(!a, 1)).as("n_b"),
+      coalesce(sum(when(a && s, 1L)), lit(0L)).as("k_a"),
+      coalesce(sum(when(!a && s, 1L)), lit(0L)).as("k_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val pa = when(col("n_a") > 0, col("k_a") / na)
+    val pb = when(col("n_b") > 0, col("k_b") / nb)
+    val diff = pa - pb
+    val pPool = when(col("n_a") + col("n_b") > 0,
+      (col("k_a") + col("k_b")) / (na + nb))
+    // both-sides-present guards: ANSI division throws on n = 0, and
+    // when() is what keeps the 1/n branches unevaluated there
+    val both = col("n_a") > 0 && col("n_b") > 0
+    val varPool = when(both,
+      pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb))
+    val z = when(varPool > 0, diff / sqrt(varPool))
+    val se = when(both,
+      sqrt(pa * (lit(1.0) - pa) / na + pb * (lit(1.0) - pb) / nb))
+    val zq = 1.959963984540054 // the aucDeLong literal
+    agg.select(col("n_a"), col("n_b"), col("k_a"), col("k_b"),
+      pa.as("p_a"), pb.as("p_b"), diff.as("diff"), z.as("z"),
+      (diff - lit(zq) * se).as("lo95"),
+      (diff + lit(zq) * se).as("hi95"))
+  }
+
   /** Wilson score interval per group — the right uncertainty band for
     * win rates and pass rates at ANY n (unlike the normal
     * approximation, it never leaves [0, 1] and behaves at s = 0 or

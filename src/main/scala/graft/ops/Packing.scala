@@ -104,27 +104,43 @@ object Packing {
     * lets [[Survival.kaplanMeier]]'s global arm match its grouped arm
     * exactly. Order keys must be non-null and jointly unique. */
   def withPrefixSumDec(df: DataFrame, orderCols: Seq[String],
-      valueCol: String, outCol: String): DataFrame = {
+      valueCol: String, outCol: String): DataFrame =
+    withPrefixSumsDec(df, orderCols, Seq(valueCol -> outCol))
+
+  /** Multi-column form of [[withPrefixSumDec]]: every (value → out)
+    * pair cumulates over the SAME range shuffle and per-partition
+    * totals collect — the decimal mirror of [[withPrefixSumsLong]]'s
+    * `sums`. */
+  def withPrefixSumsDec(df: DataFrame, orderCols: Seq[String],
+      sums: Seq[(String, String)]): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
+    require(sums.nonEmpty, "nothing to compute")
     require(!df.columns.contains("__bkt"),
       "input may not contain reserved column __bkt")
     val dec = "decimal(38,18)"
     val spark = df.sparkSession
     val parts = math.max(2, spark.sessionState.conf.numShufflePartitions)
     val oc = orderCols.map(col)
-    val ranged = df.repartitionByRange(parts, oc: _*)
+    var ranged = df.repartitionByRange(parts, oc: _*)
       .withColumn("__bkt", spark_partition_id())
-      .withColumn("__vd", col(valueCol).cast(dec))
-      .localCheckpoint()
+    sums.zipWithIndex.foreach { case ((v, _), i) =>
+      ranged = ranged.withColumn(s"__vd$i", col(v).cast(dec))
+    }
+    ranged = ranged.localCheckpoint()
+    val aggs = sums.indices.map(i => sum(col(s"__vd$i")).as(s"__t$i"))
     val per = ranged.groupBy(col("__bkt"))
-      .agg(sum(col("__vd")).as("__t")).collect()
-    val byBkt = per.map(r => r.getInt(0) ->
-      Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO)).toMap
-    val offsets = new Array[java.math.BigDecimal](parts)
-    var acc = java.math.BigDecimal.ZERO
-    (0 until parts).foreach { b =>
-      offsets(b) = acc
-      acc = acc.add(byBkt.getOrElse(b, java.math.BigDecimal.ZERO))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val offs: Seq[Array[java.math.BigDecimal]] = sums.indices.map { i =>
+      val byBkt = per.map(r => r.getInt(0) ->
+        Option(r.getDecimal(i + 1))
+          .getOrElse(java.math.BigDecimal.ZERO)).toMap
+      val arr = new Array[java.math.BigDecimal](parts)
+      var acc = java.math.BigDecimal.ZERO
+      (0 until parts).foreach { b =>
+        arr(b) = acc
+        acc = acc.add(byBkt.getOrElse(b, java.math.BigDecimal.ZERO))
+      }
+      arr
     }
     val w = Window.partitionBy(col("__bkt")).orderBy(oc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -133,12 +149,14 @@ object Packing {
     // result scale to 17 and round away the 18th digit — at (37,18)
     // the add is exact and the result is (38,18) with no rounding
     val nar = "decimal(37,18)"
-    ranged
-      .withColumn(outCol,
-        (sum(col("__vd")).over(w).cast(nar) + element_at(
-          array(offsets.map(d => lit(d).cast(nar)).toIndexedSeq: _*),
+    var out = ranged
+    sums.zipWithIndex.foreach { case ((_, o), i) =>
+      out = out.withColumn(o,
+        (sum(col(s"__vd$i")).over(w).cast(nar) + element_at(
+          array(offs(i).map(d => lit(d).cast(nar)).toIndexedSeq: _*),
           col("__bkt") + 1)).cast(dec))
-      .drop("__bkt", "__vd")
+    }
+    out.drop("__bkt" +: sums.indices.map(i => s"__vd$i"): _*)
   }
 
   /** [[withPrefixSum]] with LONG-exact arithmetic throughout: per-bucket

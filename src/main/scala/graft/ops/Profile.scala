@@ -447,4 +447,88 @@ object Profile {
       col("ss_w").as("ss_within"), f.as("f"),
       when(ssb + col("ss_w") > 0, ssb / (ssb + col("ss_w"))).as("eta2"))
   }
+
+  /** Levene / Brown–Forsythe variance-homogeneity test across the k
+    * slices of one categorical column — the assumption check that
+    * belongs NEXT TO [[anovaF]] (whose F quietly presumes equal
+    * within-slice variances): W = the one-way F statistic recomputed
+    * on the absolute deviations `z = |x − center_g|`. `center =
+    * "median"` (default) is Brown–Forsythe — robust to heavy tails,
+    * the variant to reach for on real pipeline metrics; `"mean"` is
+    * classic Levene. Returns [[anovaF]]'s row shape with the statistic
+    * named `w`. Under H₀, W ~ F(k−1, N−k).
+    *
+    * Shape: one grouped center aggregation (slice-bounded, exact
+    * `percentile` for the median — the q122 DuckDB-parity kernel)
+    * broadcast back over one corpus scan, then [[anovaF]]'s single
+    * moment fold; the slice count must therefore be broadcast-bounded
+    * (slices are sources/langs/shards — they are). */
+  def leveneTest(df: DataFrame, cat: Column, value: Column,
+      center: String = "median"): DataFrame = {
+    require(center == "median" || center == "mean",
+      "center must be 'median' or 'mean'")
+    val v = value.cast("double")
+    val base = df.where(cat.isNotNull && v.isNotNull)
+      .select(cat.as("__g"), v.as("__x"))
+    val c =
+      if (center == "median") percentile(col("__x"), lit(0.5))
+      else avg(col("__x"))
+    val centers = base.groupBy(col("__g")).agg(c.as("__c"))
+    val z = base.join(broadcast(centers), Seq("__g"))
+      .select(col("__g"), abs(col("__x") - col("__c")).as("__z"))
+    anovaF(z, col("__g"), col("__z")).withColumnRenamed("f", "w")
+  }
+
+  /** Chi-square goodness-of-fit of one categorical column against a
+    * DECLARED distribution — "is the sampled mixture actually the
+    * 60/30/10 I asked [[graft.ops.Sampling.mixtureSample]] for?"
+    * ([[benfordAudit]] is the special case with Benford's shares).
+    * `expected` maps category → positive share (normalized here, so
+    * ratios like 6/3/1 work). Returns one row per DECLARED category —
+    * `(category, n_obs, expected_share, expected_n, chi2_part)`,
+    * zero-filled when unobserved — so the offender is visible, not
+    * just the total; Σ chi2_part ~ χ²(k−1) under H₀. Observed
+    * categories OUTSIDE the declaration fail fast (a silently ignored
+    * stray category would understate every other share). NULL
+    * categories are refused work.
+    *
+    * Shape: one ≤k-key count aggregation; the declared frame is a
+    * k-row literal joined broadcast. */
+  def chiSquareGof(df: DataFrame, cat: Column,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "expected distribution must be non-empty")
+    require(expected.map(_._1).distinct.length == expected.length,
+      "duplicate category in expected distribution")
+    require(expected.forall(_._2 > 0), "expected shares must be > 0")
+    val total = expected.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.where(cat.isNotNull)
+      .groupBy(cat.cast("string").as("category"))
+      .agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint()
+    val stray = obs.select(col("category"))
+      .where(!col("category").isin(expected.map(_._1): _*))
+      .limit(5).collect().map(_.getString(0))
+    require(stray.isEmpty,
+      s"observed categories outside the declared distribution: " +
+        s"${stray.mkString(", ")}")
+    val exp = expected.map { case (cName, s) => (cName, s / total) }
+      .toDF("category", "expected_share")
+    val joined = exp.join(obs, Seq("category"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // k declared rows — the window frame is k-bounded, not corpus-sized
+    joined
+      .withColumn("expected_n",
+        sum(col("n_obs")).over(wAll).cast("double")
+          * col("expected_share"))
+      .withColumn("chi2_part",
+        when(col("expected_n") > 0, // empty corpus: NULL, not ANSI /0
+          (col("n_obs").cast("double") - col("expected_n"))
+            * (col("n_obs").cast("double") - col("expected_n"))
+            / col("expected_n")))
+      .select(col("category"), col("n_obs"), col("expected_share"),
+        col("expected_n"), col("chi2_part"))
+  }
 }

@@ -30,10 +30,12 @@ object Survival {
   /** Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) of the
     * survival function, per group: one output row per distinct
     * `(groupCols…, t)` with
-    * `(groupCols…, t, n_risk, n_event, n_censored, survival)` where
+    * `(groupCols…, t, n_risk, n_event, n_censored, survival,
+    * cum_hazard)` where
     *
-    *   n_risk   = subjects with duration ≥ t (at risk just before t)
-    *   survival = Π_{tᵢ ≤ t} (1 − dᵢ / nᵢ)   (dᵢ = events at tᵢ)
+    *   n_risk     = subjects with duration ≥ t (at risk just before t)
+    *   survival   = Π_{tᵢ ≤ t} (1 − dᵢ / nᵢ)   (dᵢ = events at tᵢ)
+    *   cum_hazard = Σ_{tᵢ ≤ t} dᵢ / nᵢ        (Nelson–Aalen)
     *
     * Censored-only times appear as rows (their factor is 1) so the
     * n_risk ladder is complete; once every at-risk subject dies at
@@ -50,7 +52,8 @@ object Survival {
     * + one float fold per cell). */
   def kaplanMeier(df: DataFrame, groupCols: Seq[String],
       timeCol: Column, eventCol: Column): DataFrame = {
-    val reserved = Seq("t", "n_risk", "n_event", "n_censored", "survival")
+    val reserved = Seq("t", "n_risk", "n_event", "n_censored",
+      "survival", "cum_hazard")
     require(!groupCols.exists(reserved.contains),
       s"group columns may not be named ${reserved.mkString(", ")}")
     val t0 = timeCol.cast("double")
@@ -73,6 +76,8 @@ object Survival {
             sum((col("n_event") === col("n_risk")).cast("long")).over(cum))
           .withColumn("__clg",
             sum(survLogTerm.cast(LogDec)).over(cum))
+          .withColumn("__cha",
+            sum(hazardTerm.cast(LogDec)).over(cum))
       } else {
         val staged = Packing.withPrefixSumsLong(
             cells.withColumn("__dc", col("n_event") + col("n_censored")),
@@ -83,15 +88,17 @@ object Survival {
           .withColumn("__zf",
             (col("n_event") === col("n_risk")).cast("long"))
           .withColumn("__lg", survLogTerm)
-        Packing.withPrefixSumDec(
+          .withColumn("__ha", hazardTerm)
+        Packing.withPrefixSumsDec(
           Packing.withPrefixSumsLong(staged, Seq("t"),
             sums = Seq("__zf" -> "__cz")),
-          Seq("t"), "__lg", "__clg")
+          Seq("t"), Seq("__lg" -> "__clg", "__ha" -> "__cha"))
       }
     withRisk.select(gcols ++ Seq(col("t"), col("n_risk"),
       col("n_event"), col("n_censored"),
       when(col("__cz") > 0, lit(0.0))
-        .otherwise(exp(col("__clg").cast("double"))).as("survival")): _*)
+        .otherwise(exp(col("__clg").cast("double"))).as("survival"),
+      col("__cha").cast("double").as("cum_hazard")): _*)
   }
 
   /** Fixed-point type for the log-factor cumulatives: each `ln` term
@@ -109,6 +116,11 @@ object Survival {
     when(col("n_event") > 0 && col("n_event") < col("n_risk"),
       log((col("n_risk") - col("n_event")).cast("double")
         / col("n_risk").cast("double"))).otherwise(lit(0.0))
+
+  /** Per-cell Nelson–Aalen hazard increment d/n (0 at censored-only
+    * cells; at extinction cells the increment is exactly 1). */
+  private def hazardTerm: Column =
+    col("n_event").cast("double") / col("n_risk").cast("double")
 
   /** Two-sample log-rank test (Mantel 1966; the hypergeometric form)
     * that the `isA === true` and `isA === false` slices share one

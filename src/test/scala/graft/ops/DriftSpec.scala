@@ -561,4 +561,44 @@ class DriftSpec extends SparkTestBase {
       .head().toString
     assert(p1 == p9)
   }
+
+  test("kruskalWallis: k=2 reduces to mannWhitney's z^2 (tie-corrected); " +
+      "hand-worked 3-group example") {
+    import spark.implicits._
+    // hand: g1 = {1, 2}, g2 = {3, 4}, g3 = {5, 6} — no ties
+    // ranks: 1..6; R = (3, 7, 11); H = 12/(6*7) * (9/2+49/2+121/2) - 21
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Drift.kruskalWallis(df, col("g"), col("v")).head()
+    val hWant = 12.0 / 42 * (4.5 + 24.5 + 60.5) - 21
+    assert(r.getLong(r.fieldIndex("n")) == 6L)
+    assert(r.getLong(r.fieldIndex("k")) == 3L)
+    assert(math.abs(r.getDouble(r.fieldIndex("h")) - hWant) < 1e-12)
+    assert(r.getDouble(r.fieldIndex("c_ties")) == 1.0)
+    // k=2 with ties: H/C == z² from the tie-corrected U test
+    val two = (1 to 80).map(i =>
+      (((i * 7) % 13).toDouble + (if (i % 2 == 0) 2.0 else 0.0),
+        i % 2 == 0)).toDF("v", "a")
+    val kw = Drift.kruskalWallis(two,
+      when(col("a"), lit("x")).otherwise(lit("y")), col("v")).head()
+    val mw = Drift.mannWhitney(two, col("v"), col("a")).head()
+    val z = mw.getDouble(mw.fieldIndex("z"))
+    assert(math.abs(kw.getDouble(kw.fieldIndex("h_adj")) - z * z) < 1e-9)
+  }
+
+  test("kruskalWallis: all-tied values -> NULL h_adj; " +
+      "partition-invariant") {
+    import spark.implicits._
+    val const = (1 to 30).map(i => ("g" + i % 3, 5.0)).toDF("g", "v")
+    val rc = Drift.kruskalWallis(const, col("g"), col("v")).head()
+    assert(rc.isNullAt(rc.fieldIndex("h_adj")))
+    assert(rc.getDouble(rc.fieldIndex("c_ties")) == 0.0)
+    val big = (1 to 400).map(i => ("g" + i % 4, (i * 11 % 37).toDouble))
+      .toDF("g", "v")
+    val a = Drift.kruskalWallis(big.repartition(1), col("g"), col("v"))
+      .head().toString
+    val b = Drift.kruskalWallis(big.repartition(13), col("g"), col("v"))
+      .head().toString
+    assert(a == b)
+  }
 }

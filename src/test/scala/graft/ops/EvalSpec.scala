@@ -1109,4 +1109,30 @@ class EvalSpec extends SparkTestBase {
     val b = Eval.effectiveSampleSize(bad, Seq("g"), col("w")).head()
     assert(b.getLong(b.fieldIndex("n")) == 1L)
   }
+
+  test("twoProportionTest: hand-worked pooled z + unpooled CI; guards") {
+    import spark.implicits._
+    // A: 30/50 successes, B: 20/50
+    val df = ((1 to 50).map(i => (true, i <= 30))
+      ++ (1 to 50).map(i => (false, i <= 20))).toDF("a", "s")
+    val r = Eval.twoProportionTest(df, col("a"), col("s")).head()
+    assert(r.getLong(r.fieldIndex("k_a")) == 30L)
+    assert(r.getLong(r.fieldIndex("k_b")) == 20L)
+    val (pa, pb, pp) = (0.6, 0.4, 0.5)
+    val zWant = (pa - pb) / math.sqrt(pp * 0.5 * (1.0 / 50 + 1.0 / 50))
+    assert(math.abs(r.getDouble(r.fieldIndex("z")) - zWant) < 1e-12)
+    val se = math.sqrt(pa * 0.4 / 50 + pb * 0.6 / 50)
+    assert(math.abs(r.getDouble(r.fieldIndex("lo95"))
+      - (0.2 - 1.959963984540054 * se)) < 1e-12)
+    // all successes on both sides: pooled var 0 -> z NULL, diff 0
+    val allS = Seq((true, true), (false, true)).toDF("a", "s")
+    val ra = Eval.twoProportionTest(allS, col("a"), col("s")).head()
+    assert(ra.isNullAt(ra.fieldIndex("z")))
+    assert(ra.getDouble(ra.fieldIndex("diff")) == 0.0)
+    // empty side: p_b NULL, z NULL
+    val one = Seq((true, true), (true, false)).toDF("a", "s")
+    val ro = Eval.twoProportionTest(one, col("a"), col("s")).head()
+    assert(ro.isNullAt(ro.fieldIndex("p_b")))
+    assert(ro.isNullAt(ro.fieldIndex("z")))
+  }
 }

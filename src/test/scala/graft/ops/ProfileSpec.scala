@@ -310,6 +310,54 @@ class ProfileSpec extends SparkTestBase {
     assert(rc.getDouble(rc.fieldIndex("eta2")) == 1.0)
   }
 
+  test("leveneTest: Brown-Forsythe flags unequal spread with equal " +
+      "means; equal spreads give W ~ 0; mean variant") {
+    import spark.implicits._
+    // similar centers, spreads 100x apart (multi-level within-group
+    // deviations so SS_within stays > 0)
+    val df = (Seq.tabulate(20)(i => ("tight", 10.0 + (i % 5) * 0.1))
+      ++ Seq.tabulate(20)(i => ("wide", 10.0 + (i % 5) * 10.0)))
+      .toDF("g", "v")
+    val r = Profile.leveneTest(df, col("g"), col("v")).head()
+    assert(r.getLong(r.fieldIndex("k")) == 2L)
+    assert(r.getDouble(r.fieldIndex("w")) > 10.0)
+    // identical multisets per group: |x - med| identical -> W = 0
+    val same = (1 to 60).map(i => ("g" + i % 3, (i % 20).toDouble))
+      .toDF("g", "v")
+    val rs = Profile.leveneTest(same, col("g"), col("v")).head()
+    assert(math.abs(rs.getDouble(rs.fieldIndex("w"))) < 1e-9)
+    // mean-centered variant runs and agrees on the symmetric fixture
+    val rm = Profile.leveneTest(df, col("g"), col("v"), "mean").head()
+    assert(rm.getDouble(rm.fieldIndex("w")) > 10.0)
+    intercept[IllegalArgumentException] {
+      Profile.leveneTest(df, col("g"), col("v"), "mode")
+    }
+  }
+
+  test("chiSquareGof: hand-worked parts, zero-fill, stray category " +
+      "fails fast, share normalization") {
+    import spark.implicits._
+    val df = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("cat")
+    // ratios 6/3/1 normalize to .6/.3/.1; N=110
+    val got = Profile.chiSquareGof(df, col("cat"),
+        Seq("a" -> 6.0, "b" -> 3.0, "c" -> 1.0, "d" -> 0.1))
+      .orderBy("category").collect()
+    assert(got.length == 4)
+    val a = got(0)
+    val expA = 110.0 * (6.0 / 10.1)
+    assert(math.abs(a.getDouble(a.fieldIndex("expected_n")) - expA) < 1e-9)
+    assert(math.abs(a.getDouble(a.fieldIndex("chi2_part"))
+      - math.pow(60 - expA, 2) / expA) < 1e-9)
+    val d = got(3) // declared but unobserved: zero-filled
+    assert(d.getLong(d.fieldIndex("n_obs")) == 0L)
+    assert(d.getDouble(d.fieldIndex("chi2_part")) > 0.0)
+    intercept[IllegalArgumentException] {
+      Profile.chiSquareGof(df, col("cat"), Seq("a" -> 1.0, "b" -> 1.0))
+        .collect()
+    }
+  }
+
   test("anovaF: partition-invariant; equal group means give F ~ 0") {
     import spark.implicits._
     val big = (1 to 600).map(i => ("g" + i % 4, (i * 17 % 29).toDouble))

@@ -82,6 +82,24 @@ class SurvivalSpec extends SparkTestBase {
     assert(r.getLong(r.fieldIndex("events_b")) == 2L)
   }
 
+  test("kaplanMeier: Nelson-Aalen cum_hazard matches the hand fold " +
+      "in both arms") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, true), ("g", 2.0, false), ("g", 3.0, true),
+      ("g", 4.0, false), ("g", 5.0, true)).toDF("g", "t", "e")
+    val want = Array(1.0 / 5, 1.0 / 5, 1.0 / 5 + 1.0 / 3,
+      1.0 / 5 + 1.0 / 3, 1.0 / 5 + 1.0 / 3 + 1.0)
+    val grouped = Survival.kaplanMeier(df, Seq("g"), col("t"), col("e"))
+      .orderBy("t").collect()
+      .map(r => r.getDouble(r.fieldIndex("cum_hazard")))
+    val global = Survival.kaplanMeier(df, Seq.empty, col("t"), col("e"))
+      .orderBy("t").collect()
+      .map(r => r.getDouble(r.fieldIndex("cum_hazard")))
+    grouped.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12) }
+    assert(grouped.toSeq == global.toSeq) // bit-identical arms
+  }
+
   test("logRank: partition-invariant; empty side gives NULL chi2") {
     import spark.implicits._
     val rows = (1 to 300).map(i =>
