@@ -2385,6 +2385,105 @@ object SparkEntry {
           round(col("h_adj"), 6).as("h_adj"))
     }),
 
+    "q345_mantel_haenszel" -> ((s, dir) => {
+      // CMH stratified 2x2: user-parity arms, value > 8 as the
+      // outcome, event_type as the confounding stratum — the
+      // Simpson-proof version of q343's pooled comparison
+      val ev = t(s, dir, "events")
+      graft.ops.Eval.mantelHaenszel(ev, Seq("event_type"),
+          col("user_id") % 2 === 0, col("value") > 8.0)
+        .select(col("n"), col("n_strata"), col("sum_a"),
+          round(col("expected_a"), 6).as("expected_a"),
+          round(col("var_a"), 6).as("var_a"),
+          round(col("chi2"), 6).as("chi2"),
+          round(col("or_mh"), 6).as("or_mh"))
+    }),
+
+    "q346_rmst" -> ((s, dir) => {
+      // restricted mean survival time at tau = 20.5 over q336's
+      // duration layout — the step integral of the KM curve, lead
+      // threaded through the same prefix-sum pass
+      val base = t(s, dir, "events").where(col("value").isNotNull)
+        .select((floor(col("value")).cast("long") % 30)
+            .cast("double").as("dt"),
+          (col("event_id") % 4 =!= 0).as("ev"))
+      graft.ops.Survival.rmst(base, col("dt"), col("ev"), 20.5)
+        .select(col("n"), col("tau"), round(col("rmst"), 6).as("rmst"))
+    }),
+
+    "q347_cum_incidence" -> ((s, dir) => {
+      // Aalen–Johansen competing risks: cause = event_id % 3
+      // (0 = censored, 1/2 = competing causes) over the q336 duration
+      // layout; per-cause cumulatives ride the grouped decimal prefix
+      val base = t(s, dir, "events").where(col("value").isNotNull)
+        .select((floor(col("value")).cast("long") % 30)
+            .cast("double").as("dt"),
+          (col("event_id") % 3).as("cause"))
+      graft.ops.Survival.cumulativeIncidence(base, col("dt"),
+          col("cause"))
+        .select(col("t"), col("cause"), col("n_risk"), col("n_event"),
+          round(col("cif"), 6).as("cif"))
+        .orderBy("t", "cause")
+    }),
+
+    "q349_cochran_q" -> ((s, dir) => {
+      // Cochran's Q over a complete synthetic 3-system eval grid
+      // (every doc x system exactly once by construction): per-system
+      // pass patterns differ through the s*17 phase
+      val items = t(s, dir, "documents").select(col("doc_id"))
+      val frame = Seq(0, 1, 2).map(sy =>
+          items.select(col("doc_id").as("item"), lit(sy).as("sys"),
+            (((col("doc_id") * 31 + lit(sy * 17)) % (5 + sy)) < 2)
+              .as("ok")))
+        .reduce(_ union _)
+      graft.ops.Eval.cochranQ(frame, col("item"), col("sys"),
+          col("ok"))
+        .select(col("n_items"), col("k"), round(col("q"), 6).as("q"))
+    }),
+
+    "q350_friedman" -> ((s, dir) => {
+      // Friedman + Kendall's W over the same complete grid with
+      // ordinal scores (ties arise whenever two systems land on the
+      // same residue — the midrank path is real, not decorative)
+      val items = t(s, dir, "documents").select(col("doc_id"))
+      val frame = Seq(0, 1, 2).map(sy =>
+          items.select(col("doc_id").as("item"), lit(sy).as("sys"),
+            ((col("doc_id") * 31 + lit(sy * 29)) % 101).as("v")))
+        .reduce(_ union _)
+      graft.ops.Eval.friedmanTest(frame, col("item"), col("sys"),
+          col("v"))
+        .select(col("n_items"), col("k"),
+          round(col("chi2"), 6).as("chi2"), round(col("w"), 6).as("w"))
+    }),
+
+    "q351_paired_t" -> ((s, dir) => {
+      // paired t on per-document (shifted, original) length pairs —
+      // d = doc_id % 7, a small positive mean with real variance
+      val docs = t(s, dir, "documents")
+        .select((col("n_chars") + col("doc_id") % 7).cast("double")
+            .as("x"),
+          col("n_chars").cast("double").as("y"))
+      graft.ops.Drift.pairedTTest(docs, col("x"), col("y"))
+        .select(col("n"), round(col("mean_diff"), 6).as("mean_diff"),
+          round(col("sd_diff"), 6).as("sd_diff"),
+          round(col("t"), 6).as("t"), col("dof"))
+    }),
+
+    "q348_bh_adjust" -> ((s, dir) => {
+      // Benjamini–Hochberg over a per-document p-value column —
+      // adjustment computed over the WHOLE corpus (ranks and the
+      // step-up min are global), gate emits the first 200 docs
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (((col("doc_id") * 37) % 1000) + 1).cast("double")
+            ./(lit(1000.0)).as("p"))
+      graft.ops.Eval.bhAdjust(docs, col("p"))
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), round(col("p"), 6).as("p"),
+          round(col("p_adj"), 6).as("p_adj"))
+        .orderBy("doc_id")
+    }),
+
     "q318_vtrace" -> ((s, dir) => {
       // off-policy V-trace (IMPALA) on the event feed: q262's dyadic
       // fixture plus a 2^((event_id%3)−1) importance ratio, ρ̄ = c̄ = 1
@@ -10780,6 +10879,189 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
          SELECT n, k, round(h, 6) AS h, round(c, 6) AS c_ties,
            round(CASE WHEN c > 0 THEN h / c END, 6) AS h_adj
          FROM fin""",
+    "q345_mantel_haenszel" ->
+      """WITH cells AS (SELECT event_type,
+             sum(CASE WHEN user_id % 2 = 0 AND value > 8.0
+               THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN user_id % 2 = 0 AND NOT (value > 8.0)
+               THEN 1 ELSE 0 END)::BIGINT AS b,
+             sum(CASE WHEN user_id % 2 <> 0 AND value > 8.0
+               THEN 1 ELSE 0 END)::BIGINT AS c,
+             sum(CASE WHEN user_id % 2 <> 0 AND NOT (value > 8.0)
+               THEN 1 ELSE 0 END)::BIGINT AS d
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL
+             AND event_type IS NOT NULL
+           GROUP BY 1),
+         terms AS (SELECT a, b, c, d,
+             (a + b + c + d)::DOUBLE AS n,
+             (a + b)::DOUBLE * (a + c) / (a + b + c + d) AS e,
+             CASE WHEN a + b + c + d >= 2 THEN
+               (a + b)::DOUBLE * (c + d) * (a + c) * (b + d)
+                 / ((a + b + c + d)::DOUBLE * (a + b + c + d)
+                    * (a + b + c + d - 1))
+               ELSE 0 END AS v,
+             a::DOUBLE * d / (a + b + c + d) AS ad,
+             b::DOUBLE * c / (a + b + c + d) AS bc
+           FROM cells),
+         s AS (SELECT sum(a + b + c + d)::BIGINT AS n,
+             count(*)::BIGINT AS n_strata,
+             sum(a)::BIGINT AS sum_a, sum(e) AS ea, sum(v) AS va,
+             sum(ad) AS sad, sum(bc) AS sbc
+           FROM terms)
+         SELECT n, n_strata, sum_a, round(ea, 6) AS expected_a,
+           round(va, 6) AS var_a,
+           round(CASE WHEN va > 0
+             THEN (sum_a - ea) * (sum_a - ea) / va END, 6) AS chi2,
+           round(CASE WHEN sbc > 0 THEN sad / sbc END, 6) AS or_mh
+         FROM s""",
+    "q346_rmst" ->
+      """WITH base AS (SELECT
+             ((floor(value)::BIGINT) % 30)::DOUBLE AS t,
+             (event_id % 4 <> 0) AS e
+           FROM events WHERE value IS NOT NULL),
+         cells AS (SELECT t,
+             sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS d,
+             sum(CASE WHEN e THEN 0 ELSE 1 END)::BIGINT AS c
+           FROM base GROUP BY 1),
+         w AS (SELECT t, d, c,
+             (sum(d + c) OVER ()
+              - sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              + d + c)::BIGINT AS nr,
+             lead(t) OVER (ORDER BY t) AS nt,
+             sum(d + c) OVER ()::BIGINT AS ntot
+           FROM cells),
+         z AS (SELECT *,
+             max(CASE WHEN d = nr THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+             sum(CASE WHEN d > 0 AND d < nr
+                 THEN ln((nr - d)::DOUBLE / nr::DOUBLE) ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS clg
+           FROM w),
+         seg AS (SELECT ntot,
+             (CASE WHEN dead > 0 THEN 0.0 ELSE exp(clg) END)
+               * greatest(least(coalesce(nt, 20.5), 20.5)
+                   - least(t, 20.5), 0.0) AS contrib
+           FROM z)
+         SELECT max(ntot) AS n, 20.5 AS tau,
+           round(sum(contrib)
+             + least((SELECT min(t) FROM cells), 20.5), 6) AS rmst
+         FROM seg""",
+    "q347_cum_incidence" ->
+      """WITH base AS (SELECT
+             ((floor(value)::BIGINT) % 30)::DOUBLE AS t,
+             (event_id % 3)::BIGINT AS k
+           FROM events WHERE value IS NOT NULL),
+         cells AS (SELECT t,
+             sum(CASE WHEN k <> 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+             sum(CASE WHEN k = 0 THEN 1 ELSE 0 END)::BIGINT AS c
+           FROM base GROUP BY 1),
+         w AS (SELECT t, d, c,
+             (sum(d + c) OVER ()
+              - sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              + d + c)::BIGINT AS nr
+           FROM cells),
+         z AS (SELECT *,
+             max(CASE WHEN d = nr THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS deadPrev,
+             sum(CASE WHEN d > 0 AND d < nr
+                 THEN ln((nr - d)::DOUBLE / nr::DOUBLE) ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS clgPrev
+           FROM w),
+         sp AS (SELECT t, nr,
+             CASE WHEN coalesce(deadPrev, 0) > 0 THEN 0.0
+               ELSE exp(coalesce(clgPrev, 0.0)) END AS s_prev
+           FROM z),
+         pc AS (SELECT t, k AS cause, count(*)::BIGINT AS n_event
+           FROM base WHERE k <> 0 GROUP BY 1, 2),
+         inc AS (SELECT pc.t, pc.cause, sp.nr AS n_risk, pc.n_event,
+             sp.s_prev * pc.n_event / sp.nr AS i
+           FROM pc JOIN sp ON pc.t = sp.t)
+         SELECT t, cause, n_risk, n_event,
+           round(sum(i) OVER (PARTITION BY cause ORDER BY t
+             ROWS UNBOUNDED PRECEDING), 6) AS cif
+         FROM inc ORDER BY t, cause""",
+    "q349_cochran_q" ->
+      """WITH frame AS (SELECT doc_id AS item, s,
+             ((doc_id * 31 + s * 17) % (5 + s)) < 2 AS ok
+           FROM documents
+           CROSS JOIN (VALUES (0), (1), (2)) AS t(s)),
+         ri AS (SELECT item, sum(ok::INT)::BIGINT AS r
+           FROM frame GROUP BY 1),
+         tot AS (SELECT count(*)::BIGINT AS n_items,
+             sum(r)::BIGINT AS sr, sum(r * r)::BIGINT AS sr2
+           FROM ri),
+         cj AS (SELECT s, sum(ok::INT)::BIGINT AS c
+           FROM frame GROUP BY 1),
+         num AS (SELECT sum((c::DOUBLE - (SELECT sr FROM tot) / 3.0)
+             * (c::DOUBLE - (SELECT sr FROM tot) / 3.0)) AS v
+           FROM cj)
+         SELECT (SELECT n_items FROM tot) AS n_items, 3::BIGINT AS k,
+           round(CASE WHEN 3 * (SELECT sr FROM tot)
+               - (SELECT sr2 FROM tot) > 0
+             THEN 6.0 * (SELECT v FROM num)
+               / (3 * (SELECT sr FROM tot)
+                  - (SELECT sr2 FROM tot))::DOUBLE END, 6) AS q""",
+    "q350_friedman" ->
+      """WITH frame AS (SELECT doc_id AS item, s,
+             (doc_id * 31 + s * 29) % 101 AS v
+           FROM documents
+           CROSS JOIN (VALUES (0), (1), (2)) AS t(s)),
+         ranked AS (SELECT item, s,
+             rank() OVER (PARTITION BY item ORDER BY v)
+               + (count(*) OVER (PARTITION BY item, v) - 1) / 2.0
+               AS mr
+           FROM frame),
+         rj AS (SELECT s, sum(mr) AS r FROM ranked GROUP BY 1),
+         sc AS (SELECT count(DISTINCT item)::BIGINT AS n FROM frame),
+         parts AS (SELECT
+             (SELECT sum((r - (SELECT n FROM sc) * 2.0)
+                * (r - (SELECT n FROM sc) * 2.0)) FROM rj) AS num,
+             (SELECT sum(mr * mr) FROM ranked)
+               - (SELECT n FROM sc) * 3 * 16 / 4.0 AS den)
+         SELECT (SELECT n FROM sc) AS n_items, 3::BIGINT AS k,
+           round(CASE WHEN den > 0 THEN 2.0 * num / den END, 6)
+             AS chi2,
+           round(CASE WHEN den > 0 THEN 2.0 * num / den
+             / ((SELECT n FROM sc) * 2.0) END, 6) AS w
+         FROM parts""",
+    "q351_paired_t" ->
+      """WITH d AS (SELECT (doc_id % 7)::DOUBLE AS diff
+           FROM documents),
+         s AS (SELECT count(*)::BIGINT AS n, sum(diff) AS sd,
+             sum(diff * diff) AS qd
+           FROM d),
+         m AS (SELECT n, sd / n AS md,
+             (qd - sd * sd / n) / (n - 1) AS vd
+           FROM s)
+         SELECT n, round(md, 6) AS mean_diff,
+           round(sqrt(vd), 6) AS sd_diff,
+           round(md / sqrt(vd / n), 6) AS t,
+           (n - 1)::DOUBLE AS dof
+         FROM m""",
+    "q348_bh_adjust" ->
+      """WITH docs AS (SELECT doc_id,
+             (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p
+           FROM documents),
+         cells AS (SELECT p, count(*)::BIGINT AS f
+           FROM docs GROUP BY 1),
+         ranked AS (SELECT p,
+             p * (sum(f) OVER ())::DOUBLE
+               / (sum(f) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING))
+                 ::DOUBLE AS raw
+           FROM cells),
+         adj AS (SELECT p,
+             least(1.0, min(raw) OVER (ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+               AS p_adj
+           FROM ranked)
+         SELECT doc_id, round(docs.p, 6) AS p,
+           round(p_adj, 6) AS p_adj
+         FROM docs JOIN adj ON docs.p = adj.p
+         WHERE doc_id < 200
+         ORDER BY doc_id""",
     "q318_vtrace" ->
       """WITH b AS (SELECT event_id, user_id, ts, floor(value) AS r,
              (event_id % 16)::DOUBLE AS v,

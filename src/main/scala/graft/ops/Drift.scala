@@ -578,6 +578,37 @@ object Drift {
         .as("hedges_g"))
   }
 
+  /** Paired t-test on per-row differences `x − y` — [[welchTTest]]'s
+    * PAIRED sibling, for the design where both measurements live on
+    * the SAME row (model A's score and model B's score of one
+    * document): pairing removes the between-item variance the
+    * unpaired test must power through. One exact_sum moment fold on
+    * d = x − y:
+    *
+    *   t = d̄ / (s_d / √n),   dof = n − 1
+    *
+    * Returns one row `(n, mean_diff, sd_diff, t, dof)` — sd/t NULL
+    * when n < 2 or s_d = 0 (all pairs differ identically — report the
+    * exact mean_diff, not a fabricated infinite t). Rows with either
+    * side NULL are refused work (no silent zero-fill of a missing
+    * measurement). */
+  def pairedTTest(df: DataFrame, xCol: Column, yCol: Column)
+      : DataFrame = {
+    val d = xCol.cast("double") - yCol.cast("double")
+    val agg = df.where(xCol.isNotNull && yCol.isNotNull).agg(
+      count(lit(1)).as("n"),
+      gf.exact_sum(d).as("__s"),
+      gf.exact_sum(d * d).as("__q"))
+    val n = col("n").cast("double")
+    val meanD = when(col("n") > 0, col("__s") / n)
+    val varD = when(col("n") >= 2,
+      (col("__q") - col("__s") * col("__s") / n) / (n - 1))
+    val t = when(varD > 0, meanD / sqrt(varD / n))
+    agg.select(col("n"), meanD.as("mean_diff"),
+      sqrt(varD).as("sd_diff"), t.as("t"),
+      when(col("n") >= 2, n - 1).as("dof"))
+  }
+
   /** Two-sample Cramér–von Mises criterion (Anderson 1962) between
     * side A and side B of one numeric column — the whole-curve
     * companion to [[ksTest]]: where KS scores only the single worst

@@ -1399,6 +1399,220 @@ object Eval {
       (diff + lit(zq) * se).as("hi95"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 analysis — the
+    * confounder-aware form of [[twoProportionTest]]: "does arm A
+    * convert better than arm B ONCE source/language/shard is held
+    * fixed?" Pooling strata with different base rates fabricates or
+    * hides effects (Simpson's); CMH compares within each stratum and
+    * combines:
+    *
+    *   OR_MH = Σᵢ aᵢdᵢ/nᵢ / Σᵢ bᵢcᵢ/nᵢ
+    *   χ²    = (Σᵢ aᵢ − Σᵢ Eᵢ)² / Σᵢ Vᵢ,
+    *   Eᵢ = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ,
+    *   Vᵢ = (aᵢ+bᵢ)(cᵢ+dᵢ)(aᵢ+cᵢ)(bᵢ+dᵢ)/(nᵢ²(nᵢ−1))
+    *
+    * (a = A∧success, b = A∧failure, c = B∧success, d = B∧failure).
+    * Returns one row `(n, n_strata, sum_a, expected_a, var_a, chi2,
+    * or_mh)` — χ² NULL when ΣV = 0; OR NULL when its denominator is 0
+    * (no B successes anywhere). Single-member strata contribute to
+    * counts and E but 0 to V (the nᵢ−1 guard). NULL strata/arms/
+    * outcomes are refused work.
+    *
+    * Shape: one stratum-keyed count fold (strata-bounded cells), all
+    * per-stratum terms scan-side doubles fanned in through
+    * [[graft.api.functions.exact_sum]]; bit-identical on any
+    * partitioning. */
+  def mantelHaenszel(df: DataFrame, strataCols: Seq[String],
+      isA: Column, success: Column): DataFrame = {
+    import graft.api.{functions => gfn}
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val arm = isA.cast("boolean")
+    val s = success.cast("boolean")
+    val cells = df.where(arm.isNotNull && s.isNotNull &&
+        strataCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(strataCols.map(col): _*)
+      .agg(coalesce(sum(when(arm && s, 1L)), lit(0L)).as("__a"),
+        coalesce(sum(when(arm && !s, 1L)), lit(0L)).as("__b"),
+        coalesce(sum(when(!arm && s, 1L)), lit(0L)).as("__c"),
+        coalesce(sum(when(!arm && !s, 1L)), lit(0L)).as("__d"))
+    val (a, b) = (col("__a").cast("double"), col("__b").cast("double"))
+    val (c, d) = (col("__c").cast("double"), col("__d").cast("double"))
+    val n = a + b + c + d
+    val e = (a + b) * (a + c) / n
+    val v = when(n >= 2,
+      (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)))
+      .otherwise(lit(0.0))
+    val agg = cells.agg(
+      coalesce(sum(col("__a") + col("__b") + col("__c") + col("__d")),
+        lit(0L)).as("n"),
+      count(lit(1)).as("n_strata"),
+      coalesce(sum(col("__a")), lit(0L)).as("sum_a"),
+      gfn.exact_sum(e).as("expected_a"),
+      gfn.exact_sum(v).as("var_a"),
+      gfn.exact_sum(a * d / n).as("__ad"),
+      gfn.exact_sum(b * c / n).as("__bc"))
+    agg.select(col("n"), col("n_strata"), col("sum_a"),
+      col("expected_a"), col("var_a"),
+      when(col("var_a") > 0,
+        (col("sum_a") - col("expected_a"))
+          * (col("sum_a") - col("expected_a")) / col("var_a"))
+        .as("chi2"),
+      when(col("__bc") > 0, col("__ad") / col("__bc")).as("or_mh"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment over a column of
+    * p-values — the correction a drift DASHBOARD needs once it runs
+    * [[Drift.ksTest]]/[[Drift.mannWhitney]] per feature × per slice
+    * and starts believing its smallest p of 500: adds `outCol` with
+    * `p_adj = min_{q ≥ p} (q · n / rank(q))` clipped to 1, where rank
+    * is the largest position of the tied value (ties share one
+    * adjusted value, the standard step-up behavior). Rows with NULL p
+    * pass through with NULL adjusted.
+    *
+    * Shape: distinct-p cells (the KS cell-frame recipe — p-values from
+    * continuous statistics are near-unique, so the frame may be
+    * corpus-sized and everything runs distributed): ranks from
+    * [[Packing.withPrefixSumsLong]], the step-up running minimum from
+    * [[Packing.withSuffixMinDouble]] (two-level suffix-min — min is
+    * order-free, so this is bit-exact at any parallelism), then one
+    * join back on p. */
+  def bhAdjust(df: DataFrame, pCol: Column,
+      outCol: String = "p_adj"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a column named $outCol")
+    val p = pCol.cast("double")
+    val withP = df.withColumn("__p", p)
+    val cells = withP.where(col("__p").isNotNull)
+      .groupBy(col("__p")).agg(count(lit(1)).as("__f"))
+    val ranked = Packing.withPrefixSumsLong(cells, Seq("__p"),
+        sums = Seq("__f" -> "__r"), totals = Seq("__f" -> "__n"))
+      .withColumn("__raw",
+        col("__p") * col("__n").cast("double") / col("__r").cast("double"))
+    val adjusted = Packing.withSuffixMinDouble(ranked, Seq("__p"),
+        "__raw", "__sm")
+      .select(col("__p"), least(lit(1.0), col("__sm")).as(outCol))
+    withP.join(adjusted, Seq("__p"), "left").drop("__p")
+  }
+
+  /** Shared complete-block design check for [[cochranQ]] /
+    * [[friedmanTest]]: every item must carry EXACTLY one row per
+    * system — a missing (item, system) cell silently biases both
+    * statistics, so it is refused work loudly. Returns (n_items, k). */
+  private def checkCompleteBlocks(cells: DataFrame): (Long, Long) = {
+    val d = cells.agg(count(lit(1)).as("rows"),
+      countDistinct(col("__i")).as("items"),
+      countDistinct(col("__s")).as("systems"),
+      countDistinct(col("__i"), col("__s")).as("pairs")).collect()(0)
+    val (rows, items, systems, pairs) =
+      (d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3))
+    require(rows == pairs,
+      s"duplicate (item, system) rows: $rows rows over $pairs pairs")
+    require(pairs == items * systems,
+      s"incomplete block design: $pairs of ${items * systems} " +
+        "(item, system) cells present")
+    (items, systems)
+  }
+
+  /** Cochran's Q test (Cochran 1950) — [[mcnemar]]'s k-system
+    * generalization over a COMPLETE paired design: "do these k model
+    * variants pass the same eval items, or does one genuinely differ?"
+    * Input is one row per (item, system) with a binary outcome;
+    * incomplete designs and duplicate cells fail fast.
+    *
+    *   Q = k(k−1) Σ_j (C_j − N/k)² / (k·Σᵢ Rᵢ − Σᵢ Rᵢ²)
+    *
+    * (C_j = system j's passes, Rᵢ = item i's passes, N = ΣRᵢ). Under
+    * H₀, Q ~ χ²(k−1). Returns one row `(n_items, k, q)` — Q NULL when
+    * every item is all-pass or all-fail (denominator 0: no
+    * discriminating items). NULL cells are refused work.
+    *
+    * Shape: one per-item fold (R moments), one k-bounded per-system
+    * fold, terms via exact_sum. */
+  def cochranQ(df: DataFrame, itemCol: Column, systemCol: Column,
+      okCol: Column): DataFrame = {
+    import graft.api.{functions => gfn}
+    val okB = okCol.cast("boolean")
+    val cells = df.where(itemCol.isNotNull && systemCol.isNotNull &&
+        okB.isNotNull)
+      .select(itemCol.as("__i"), systemCol.as("__s"),
+        okB.cast("long").as("__ok"))
+      .localCheckpoint()
+    val (items, k) = checkCompleteBlocks(cells)
+    val perItem = cells.groupBy(col("__i"))
+      .agg(sum(col("__ok")).as("__r"))
+      .agg(coalesce(sum(col("__r")), lit(0L)).as("__sr"),
+        coalesce(sum(col("__r") * col("__r")), lit(0L)).as("__sr2"))
+      .collect()(0)
+    val (srTot, sr2) = (perItem.getLong(0), perItem.getLong(1))
+    val perSys = cells.groupBy(col("__s"))
+      .agg(sum(col("__ok")).as("__c"))
+    val kD = k.toDouble
+    val mean = srTot.toDouble / kD
+    val num = perSys.agg(gfn.exact_sum(
+      (col("__c").cast("double") - mean)
+        * (col("__c").cast("double") - mean)).as("__sq"))
+    val den = kD * srTot - sr2.toDouble
+    num.select(lit(items).as("n_items"), lit(k).as("k"),
+      when(lit(den) > 0, lit(kD * (kD - 1)) * col("__sq") / lit(den))
+        .as("q"))
+  }
+
+  /** Friedman test (Friedman 1937; the tie-corrected rank-sum form)
+    * over a COMPLETE paired design — the k-system model comparison on
+    * ORDINAL/continuous scores: each item ranks its k systems
+    * (midranks on ties), then
+    *
+    *   χ²_F = (k−1) · Σ_j (R_j − n(k+1)/2)²
+    *            / (Σᵢⱼ r²ᵢⱼ − n·k(k+1)²/4)
+    *
+    * (tie-free this reduces to the classic 12/(nk(k+1)) form), plus
+    * Kendall's W = χ²_F / (n(k−1)) — the [0, 1] agreement effect
+    * size. Returns one row `(n_items, k, chi2, w)` — NULL when every
+    * item ties all systems (denominator 0). Incomplete designs fail
+    * fast; NULL scores are refused work.
+    *
+    * Shape: per-item midranks from a window PARTITIONED BY ITEM (the
+    * frame is k rows — bounded by design, never corpus-sized), one
+    * k-bounded per-system fold, exact_sum fan-in. Ranks are kept as
+    * 2·midrank LONGs (the [[Drift.mannWhitney]] convention), floats
+    * only in the one-row assembly. */
+  def friedmanTest(df: DataFrame, itemCol: Column, systemCol: Column,
+      scoreCol: Column): DataFrame = {
+    import graft.api.{functions => gfn}
+    val v = scoreCol.cast("double")
+    val cells = df.where(itemCol.isNotNull && systemCol.isNotNull &&
+        v.isNotNull)
+      .select(itemCol.as("__i"), systemCol.as("__s"), v.as("__v"))
+      .localCheckpoint()
+    val (items, k) = checkCompleteBlocks(cells)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__i")).orderBy(col("__v"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__i"), col("__v"))
+    // 2·midrank = 2·rank + (f − 1) where rank is the min rank of the
+    // tie run — integral, deterministic
+    val ranked = cells
+      .withColumn("__mr2", lit(2) * rank().over(wRank)
+        + count(lit(1)).over(wTie) - 1)
+    val perSys = ranked.groupBy(col("__s"))
+      .agg(sum(col("__mr2")).as("__r2j"),
+        sum(col("__mr2").cast("decimal(38,0)") * col("__mr2"))
+          .as("__q4j"))
+    val (nD, kD) = (items.toDouble, k.toDouble)
+    val center = nD * (kD + 1) // == 2·n(k+1)/2, the 2·midrank center
+    val agg = perSys.agg(
+      gfn.exact_sum((col("__r2j").cast("double") - center)
+        * (col("__r2j").cast("double") - center)).as("__num4"),
+      gfn.exact_sum(col("__q4j").cast("double")).as("__ss4"))
+    // numerator and Σr² both carry the 4× of the doubled ranks — the
+    // ratio cancels it
+    val den = col("__ss4") - lit(nD * kD * (kD + 1) * (kD + 1))
+    val chi2 = when(den > 0, lit(kD - 1) * col("__num4") / den)
+    agg.select(lit(items).as("n_items"), lit(k).as("k"),
+      chi2.as("chi2"),
+      when(den > 0, chi2 / lit(nD * (kD - 1))).as("w"))
+  }
+
   /** Wilson score interval per group — the right uncertainty band for
     * win rates and pass rates at ANY n (unlike the normal
     * approximation, it never leaves [0, 1] and behaves at s = 0 or

@@ -159,6 +159,112 @@ object Packing {
     out.drop("__bkt" +: sums.indices.map(i => s"__vd$i"): _*)
   }
 
+  /** [[groupedPrefixSumLong]]'s DECIMAL(38,18) sibling — per-group
+    * exact-decimal running sums over one range shuffle, for grouped
+    * cumulative FLOAT quantities (e.g. [[Survival.cumulativeIncidence]]'s
+    * per-cause hazard increments) where a double window sum would
+    * drift at the last ulp whenever partitioning regroups additions.
+    * Same recipe: range-shuffle on (group, order, tie), partition-local
+    * window, per-(partition, group) offsets joined back broadcast; the
+    * offset add runs at (37,18) (see [[withPrefixSumsDec]]). */
+  def groupedPrefixSumDec(df: DataFrame, group: Column, order: Column,
+      tie: Column, value: Column, outCol: String): DataFrame = {
+    val reserved = Seq("__g", "__o", "__t", "__v", "__bkt", "__lps",
+      "__goff")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val dec = "decimal(38,18)"
+    val nar = "decimal(37,18)"
+    val spark = df.sparkSession
+    val base = df.withColumn("__g", group).withColumn("__o", order)
+      .withColumn("__t", tie).withColumn("__v", value.cast(dec))
+    val parts = math.max(2,
+      spark.sessionState.conf.numShufflePartitions)
+    val ranged = base
+      .repartitionByRange(parts, col("__g"), col("__o"), col("__t"))
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint()
+    val gType = base.schema("__g").dataType
+    val sizes = ranged.groupBy("__bkt", "__g")
+      .agg(sum(col("__v")).as("s")).collect()
+    val byG = sizes.groupBy(_.get(1)).map { case (g, rows) =>
+      val sorted = rows.sortBy(_.getInt(0))
+      var acc = java.math.BigDecimal.ZERO
+      g -> sorted.map { r =>
+        val off = acc
+        acc = acc.add(Option(r.getDecimal(2))
+          .getOrElse(java.math.BigDecimal.ZERO))
+        r.getInt(0) -> off
+      }.toMap
+    }
+    val offRows = byG.flatMap { case (g, offs) =>
+      offs.map { case (b, off) => org.apache.spark.sql.Row(b, g, off) }
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__bkt",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__g", gType),
+      org.apache.spark.sql.types.StructField("__goff",
+        org.apache.spark.sql.types.DecimalType(38, 18))))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val w = Window.partitionBy(col("__bkt"), col("__g"))
+      .orderBy(col("__o"), col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__lps", sum(col("__v")).over(w))
+      .join(broadcast(offDf), Seq("__bkt", "__g"))
+      .withColumn(outCol, (col("__lps").cast(nar)
+        + col("__goff").cast(nar)).cast(dec))
+      .drop("__g", "__o", "__t", "__v", "__bkt", "__lps", "__goff")
+  }
+
+  /** Cross-partition SUFFIX running minimum over a totally-ordered
+    * frame: `outCol` = min of `valueCol` over all rows AT or AFTER
+    * each row in `orderCols` order — the fold behind step-down
+    * multiple-testing corrections ([[Eval.bhAdjust]]). Same two-level
+    * recipe as [[withPrefixSumsLong]] (range shuffle, partition-local
+    * window, per-partition minima broadcast as a suffix chain); min is
+    * idempotent and commutative, so the result is bit-identical for
+    * ANY partition boundary placement with no decimal detour. NULL
+    * values are ignored by the fold (rows still receive the suffix
+    * min of the non-null tail; NULL only where that tail is empty). */
+  def withSuffixMinDouble(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(!df.columns.contains("__bkt"),
+      "input may not contain reserved column __bkt")
+    val spark = df.sparkSession
+    val parts = math.max(2, spark.sessionState.conf.numShufflePartitions)
+    val oc = orderCols.map(col)
+    val ranged = df.repartitionByRange(parts, oc: _*)
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint()
+    val per = ranged.groupBy(col("__bkt"))
+      .agg(min(col(valueCol).cast("double")).as("__m")).collect()
+    val mins: Array[Option[Double]] = Array.fill(parts)(None)
+    per.foreach { r =>
+      if (!r.isNullAt(1)) mins(r.getInt(0)) = Some(r.getDouble(1))
+    }
+    // suffix chain: the min over all buckets strictly AFTER b
+    val after = new Array[Column](parts)
+    var run: Column = lit(null).cast("double")
+    ((parts - 1) to 0 by -1).foreach { b =>
+      after(b) = run
+      mins(b).foreach { m =>
+        run = least(run, lit(m)) // least skips NULLs
+      }
+    }
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(oc.map(_.desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(outCol, least(
+        min(col(valueCol).cast("double")).over(w),
+        element_at(array(after.toIndexedSeq: _*), col("__bkt") + 1)))
+      .drop("__bkt")
+  }
+
   /** [[withPrefixSum]] with LONG-exact arithmetic throughout: per-bucket
     * totals, broadcast offsets, and the partition-local window sum all
     * stay BIGINT, so the cumulative sum is bit-exact at ANY scale — the

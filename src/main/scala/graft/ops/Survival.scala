@@ -122,6 +122,123 @@ object Survival {
   private def hazardTerm: Column =
     col("n_event").cast("double") / col("n_risk").cast("double")
 
+  /** Restricted mean survival time RMST(τ) = ∫₀^τ Ŝ(u) du — the
+    * step-function integral of the global [[kaplanMeier]] curve up to
+    * the horizon τ: "average useful lifetime within the first τ
+    * days", the single-number summary a median can't give when the
+    * curve never crosses 0.5. Durations must be ≥ 0 (fail-fast — a
+    * negative duration would silently shift the origin of the
+    * integral). Returns one row `(n, tau, rmst)` — rmst NULL on an
+    * empty input; for τ below the first event time RMST = τ exactly
+    * (survival is 1 on [0, τ)).
+    *
+    * Shape: the same distinct-time cell pass as [[kaplanMeier]] with
+    * the cross-partition `lead` threaded through the SAME prefix-sum
+    * call; segment contributions Ŝ(tᵢ)·(min(tᵢ₊₁,τ) − min(tᵢ,τ))
+    * fan in through [[graft.api.functions.exact_sum]]. */
+  def rmst(df: DataFrame, timeCol: Column, eventCol: Column,
+      tau: Double): DataFrame = {
+    require(tau > 0, "tau must be > 0")
+    val t0 = timeCol.cast("double")
+    val e = eventCol.cast("boolean")
+    val input = df.where(t0.isNotNull && e.isNotNull)
+      .select(t0.as("__t"), e.as("__e"))
+    val nNeg = input.where(col("__t") < 0).count()
+    require(nNeg == 0L,
+      s"rmst integrates from 0: $nNeg negative durations present")
+    val cells = input.groupBy(col("__t").as("t"))
+      .agg(sum(col("__e").cast("long")).as("n_event"),
+        sum((!col("__e")).cast("long")).as("n_censored"))
+    val staged = Packing.withPrefixSumsLong(
+        cells.withColumn("__dc", col("n_event") + col("n_censored")),
+        Seq("t"), sums = Seq("__dc" -> "__cdc"),
+        totals = Seq("__dc" -> "__tot"), leadOut = Some("__nt"))
+      .withColumn("n_risk", col("__tot") - col("__cdc")
+        + col("n_event") + col("n_censored"))
+      .withColumn("__zf", (col("n_event") === col("n_risk")).cast("long"))
+      .withColumn("__lg", survLogTerm)
+    val cum = Packing.withPrefixSumDec(
+      Packing.withPrefixSumsLong(staged, Seq("t"),
+        sums = Seq("__zf" -> "__cz")),
+      Seq("t"), "__lg", "__clg")
+    val surv = when(col("__cz") > 0, lit(0.0))
+      .otherwise(exp(col("__clg").cast("double")))
+    // segment [tᵢ, min(tᵢ₊₁, τ)) at survival Ŝ(tᵢ); the last cell's
+    // segment extends to τ (lead NULL); segments past τ contribute 0
+    val segEnd = least(coalesce(col("__nt"), lit(tau)), lit(tau))
+    val segStart = least(col("t"), lit(tau))
+    val contrib = surv * greatest(segEnd - segStart, lit(0.0))
+    val head = cum.agg(coalesce(min(col("t")), lit(tau)).as("__t1"),
+      coalesce(max(col("__tot")), lit(0L)).as("__n")).collect()(0)
+    val firstSeg = math.min(head.getDouble(0), tau) // Ŝ = 1 on [0, t₁)
+    cum.agg(gf.exact_sum(contrib).as("__s"))
+      .select(lit(head.getLong(1)).as("n"), lit(tau).as("tau"),
+        when(lit(head.getLong(1)) > 0,
+          col("__s") + lit(firstSeg)).as("rmst"))
+  }
+
+  /** Aalen–Johansen cumulative incidence under COMPETING RISKS: when a
+    * subject can exit for one of several mutually exclusive causes
+    * (churned vs banned; crawl gone-404 vs gone-robots), the naive
+    * "KM on my cause, censor the others" estimator overstates every
+    * cause's incidence (it redistributes competitors' mass as if those
+    * subjects were still at risk). The AJ estimator attributes mass
+    * through the ALL-CAUSE survival:
+    *
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} Ŝ(tᵢ₋₁) · d_{k,i} / nᵢ
+    *
+    * `causeCol`: NULL-refused LONG, 0 = right-censored, any other
+    * value an event cause. Returns one row per distinct (t, cause ≠ 0)
+    * with `(t, cause, n_risk, n_event, cif)`; Σ_k CIF_k(∞) + Ŝ(∞) = 1
+    * exactly (mass conservation — spec-pinned). The per-cause
+    * cumulative runs through [[Packing.groupedPrefixSumDec]], so
+    * causes × corpus-sized cell frames stay distributed AND
+    * bit-deterministic.
+    *
+    * Shape: one all-cause cell pass (the [[kaplanMeier]] machinery
+    * with the EXCLUSIVE prefix — Ŝ(tᵢ₋₁) = inclusive minus own term),
+    * one (t, cause) count shuffle joined back on t, one grouped
+    * decimal prefix per cause. */
+  def cumulativeIncidence(df: DataFrame, timeCol: Column,
+      causeCol: Column): DataFrame = {
+    val t0 = timeCol.cast("double")
+    val k = causeCol.cast("long")
+    val base = df.where(t0.isNotNull && k.isNotNull)
+      .select(t0.as("__t"), k.as("__k"))
+    // all-cause cells: any non-zero cause is an event
+    val cells = base.groupBy(col("__t").as("t"))
+      .agg(sum((col("__k") =!= 0).cast("long")).as("n_event"),
+        sum((col("__k") === 0).cast("long")).as("n_censored"))
+    val staged = Packing.withPrefixSumsLong(
+        cells.withColumn("__dc", col("n_event") + col("n_censored")),
+        Seq("t"), sums = Seq("__dc" -> "__cdc"),
+        totals = Seq("__dc" -> "__tot"))
+      .withColumn("n_risk", col("__tot") - col("__cdc")
+        + col("n_event") + col("n_censored"))
+      .withColumn("__zf", (col("n_event") === col("n_risk")).cast("long"))
+      .withColumn("__lg", survLogTerm)
+    val cum = Packing.withPrefixSumDec(
+      Packing.withPrefixSumsLong(staged, Seq("t"),
+        sums = Seq("__zf" -> "__cz")),
+      Seq("t"), "__lg", "__clg")
+    // EXCLUSIVE state just before t: subtract the cell's own term
+    val survPrev = when(col("__cz") - col("__zf") > 0, lit(0.0))
+      .otherwise(exp((col("__clg")
+        - col("__lg").cast(LogDec)).cast("double")))
+    val sFrame = cum.select(col("t"), col("n_risk"),
+      survPrev.as("__sp"))
+    val perCause = base.where(col("__k") =!= 0)
+      .groupBy(col("__t").as("t"), col("__k").as("cause"))
+      .agg(count(lit(1)).as("n_event"))
+      .join(sFrame, Seq("t"))
+      .withColumn("__inc", col("__sp") * col("n_event").cast("double")
+        / col("n_risk").cast("double"))
+    Packing.groupedPrefixSumDec(perCause, col("cause"), col("t"),
+        lit(0L), col("__inc"), "__cif")
+      .select(col("t"), col("cause"), col("n_risk"), col("n_event"),
+        col("__cif").cast("double").as("cif"))
+  }
+
   /** Two-sample log-rank test (Mantel 1966; the hypergeometric form)
     * that the `isA === true` and `isA === false` slices share one
     * survival curve. At each distinct pooled EVENT time, side A's

@@ -562,6 +562,28 @@ class DriftSpec extends SparkTestBase {
     assert(p1 == p9)
   }
 
+  test("pairedTTest: hand-worked; constant shift gives NULL t with " +
+      "exact mean_diff; NULL rows refused") {
+    import spark.implicits._
+    // d = (1, 2, 3): mean 2, var 1 -> t = 2/(1/sqrt(3))
+    val df = Seq((2.0, 1.0), (5.0, 3.0), (10.0, 7.0)).toDF("x", "y")
+    val r = Drift.pairedTTest(df, col("x"), col("y")).head()
+    assert(r.getDouble(r.fieldIndex("mean_diff")) == 2.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("t"))
+      - 2.0 * math.sqrt(3.0)) < 1e-12)
+    assert(r.getDouble(r.fieldIndex("dof")) == 2.0)
+    // constant shift: sd 0 -> t NULL, mean_diff exact
+    val const = (1 to 10).map(i => (i + 5.0, i.toDouble)).toDF("x", "y")
+    val rc = Drift.pairedTTest(const, col("x"), col("y")).head()
+    assert(rc.getDouble(rc.fieldIndex("mean_diff")) == 5.0)
+    assert(rc.isNullAt(rc.fieldIndex("t")))
+    // NULL on either side drops the pair
+    val withNull = Seq((Some(1.0), Some(2.0)), (None, Some(3.0)),
+      (Some(4.0), None)).toDF("x", "y")
+    val rn = Drift.pairedTTest(withNull, col("x"), col("y")).head()
+    assert(rn.getLong(rn.fieldIndex("n")) == 1L)
+  }
+
   test("kruskalWallis: k=2 reduces to mannWhitney's z^2 (tie-corrected); " +
       "hand-worked 3-group example") {
     import spark.implicits._

@@ -1110,6 +1110,145 @@ class EvalSpec extends SparkTestBase {
     assert(b.getLong(b.fieldIndex("n")) == 1L)
   }
 
+  test("mantelHaenszel: hand-worked two-strata example; guards") {
+    import spark.implicits._
+    // stratum s1: a=8,b=2,c=5,d=5; stratum s2: a=3,b=7,c=1,d=9
+    def mk(s: String, arm: Boolean, suc: Boolean, n: Int) =
+      Seq.fill(n)((s, arm, suc))
+    val df = (mk("s1", true, true, 8) ++ mk("s1", true, false, 2)
+      ++ mk("s1", false, true, 5) ++ mk("s1", false, false, 5)
+      ++ mk("s2", true, true, 3) ++ mk("s2", true, false, 7)
+      ++ mk("s2", false, true, 1) ++ mk("s2", false, false, 9))
+      .toDF("s", "a", "y")
+    val r = Eval.mantelHaenszel(df, Seq("s"), col("a"), col("y"))
+      .head()
+    // OR_MH = (8*5/20 + 3*9/20) / (2*5/20 + 7*1/20) = 3.35/0.85
+    assert(math.abs(r.getDouble(r.fieldIndex("or_mh")) - 3.35 / 0.85)
+      < 1e-12)
+    // E = 10*13/20 + 10*4/20 = 8.5; V = 10*10*13*7/(400*19)
+    //   + 10*10*4*16/(400*19)
+    val v = (10.0 * 10 * 13 * 7 + 10.0 * 10 * 4 * 16) / (400 * 19)
+    assert(math.abs(r.getDouble(r.fieldIndex("expected_a")) - 8.5)
+      < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("var_a")) - v) < 1e-12)
+    val chi = math.pow(11 - 8.5, 2) / v
+    assert(math.abs(r.getDouble(r.fieldIndex("chi2")) - chi) < 1e-12)
+    // single-member strata: contribute 0 variance, no ANSI error
+    val tiny = Seq(("x", true, true), ("y", false, false))
+      .toDF("s", "a", "y")
+    val rt = Eval.mantelHaenszel(tiny, Seq("s"), col("a"), col("y"))
+      .head()
+    assert(rt.getDouble(rt.fieldIndex("var_a")) == 0.0)
+    assert(rt.isNullAt(rt.fieldIndex("chi2")))
+  }
+
+  test("bhAdjust: hand-worked step-up, tie handling, clipping, " +
+      "NULL pass-through, partition-invariance") {
+    import spark.implicits._
+    // classic: p = (.01, .02, .03, .04, .05) at n=5 ->
+    // raw = (.05, .05, .05, .05, .05) -> adj all .05
+    val ps = Seq(0.01, 0.02, 0.03, 0.04, 0.05).map(Tuple1(_))
+      .toDF("p")
+    val a1 = Eval.bhAdjust(ps, col("p")).orderBy("p").collect()
+      .map(r => r.getDouble(r.fieldIndex("p_adj")))
+    a1.foreach(v => assert(math.abs(v - 0.05) < 1e-12))
+    // p = (.01, .4, .9): raw = (.03, .6, .9) -> monotone, no change
+    val a2 = Eval.bhAdjust(Seq(0.01, 0.4, 0.9).map(Tuple1(_)).toDF("p"),
+        col("p")).orderBy("p").collect()
+      .map(r => r.getDouble(r.fieldIndex("p_adj")))
+    assert(math.abs(a2(0) - 0.03) < 1e-12)
+    assert(math.abs(a2(1) - 0.6) < 1e-12)
+    assert(math.abs(a2(2) - 0.9) < 1e-12)
+    // ties share the largest rank; clip at 1
+    val a3 = Eval.bhAdjust(
+        Seq(Some(0.5), Some(0.5), Some(0.9), None).map(Tuple1(_))
+          .toDF("p"), col("p"))
+      .orderBy(col("p").asc_nulls_last).collect()
+    assert(math.abs(a3(0).getDouble(1) - 0.75) < 1e-12) // .5*3/2
+    assert(a3(2).getDouble(1) == 0.9)
+    assert(a3(3).isNullAt(1))
+    val big = (1 to 500).map(i => Tuple1((i * 37 % 101) / 101.0 + 0.001))
+      .toDF("p")
+    def run(parts: Int) = Eval.bhAdjust(big.repartition(parts), col("p"))
+      .orderBy("p").collect().map(_.toString).toSeq
+    assert(run(1) == run(9))
+  }
+
+  test("cochranQ: hand-worked 3-system example; k=2 reduces to " +
+      "uncorrected McNemar; incomplete design refused") {
+    import spark.implicits._
+    // items 1..4, systems a/b/c:
+    // R = (2, 1, 2, 1); C = (4, 1, 1); N = 6
+    val df = Seq(
+      (1, "a", true), (1, "b", true), (1, "c", false),
+      (2, "a", true), (2, "b", false), (2, "c", false),
+      (3, "a", true), (3, "b", false), (3, "c", true),
+      (4, "a", true), (4, "b", false), (4, "c", false))
+      .toDF("i", "s", "ok")
+    val r = Eval.cochranQ(df, col("i"), col("s"), col("ok")).head()
+    val num = math.pow(4 - 2.0, 2) + math.pow(1 - 2.0, 2) +
+      math.pow(1 - 2.0, 2)
+    val den = 3.0 * 6 - (4 + 1 + 4 + 1)
+    val qWant = 3 * 2 * num / den
+    assert(r.getLong(r.fieldIndex("n_items")) == 4L)
+    assert(r.getLong(r.fieldIndex("k")) == 3L)
+    assert(math.abs(r.getDouble(r.fieldIndex("q")) - qWant) < 1e-12)
+    // k=2: Q == McNemar's uncorrected (b-c)^2/(b+c)
+    val two = (1 to 40).map(i =>
+      (i, "x", i % 3 == 0)) ++ (1 to 40).map(i => (i, "y", i % 5 == 0))
+    val rq = Eval.cochranQ(two.toDF("i", "s", "ok"), col("i"),
+      col("s"), col("ok")).head()
+    val b = (1 to 40).count(i => i % 3 == 0 && i % 5 != 0)
+    val c = (1 to 40).count(i => i % 3 != 0 && i % 5 == 0)
+    assert(math.abs(rq.getDouble(rq.fieldIndex("q"))
+      - math.pow(b - c, 2).toDouble / (b + c)) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Eval.cochranQ(df.where(!(col("i") === 1 && col("s") === "c")),
+        col("i"), col("s"), col("ok"))
+    }
+  }
+
+  test("friedmanTest: tie-free matches the classic 12/(nk(k+1)) form; " +
+      "ties go through midranks; W in [0,1]; guards") {
+    import spark.implicits._
+    // 3 items x 3 systems, scores rank systems differently
+    val df = Seq(
+      (1, "a", 1.0), (1, "b", 2.0), (1, "c", 3.0),
+      (2, "a", 1.0), (2, "b", 3.0), (2, "c", 2.0),
+      (3, "a", 1.0), (3, "b", 2.0), (3, "c", 3.0))
+      .toDF("i", "s", "v")
+    val r = Eval.friedmanTest(df, col("i"), col("s"), col("v")).head()
+    // ranks: a=(1,1,1) R=3; b=(2,3,2) R=7; c=(3,2,3) R=8; center 6
+    val chiWant = 12.0 / (3 * 3 * 4) * (9 + 1 + 4)
+    assert(math.abs(r.getDouble(r.fieldIndex("chi2")) - chiWant) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("w"))
+      - chiWant / (3 * 2)) < 1e-12)
+    // perfect agreement: W == 1
+    val perfect = (1 to 10).flatMap(i => Seq((i, "a", 1.0),
+      (i, "b", 2.0), (i, "c", 3.0))).toDF("i", "s", "v")
+    val rp = Eval.friedmanTest(perfect, col("i"), col("s"), col("v"))
+      .head()
+    assert(math.abs(rp.getDouble(rp.fieldIndex("w")) - 1.0) < 1e-12)
+    // all-tied items: denominator 0 -> NULL
+    val flat = (1 to 5).flatMap(i => Seq((i, "a", 1.0), (i, "b", 1.0)))
+      .toDF("i", "s", "v")
+    val rf = Eval.friedmanTest(flat, col("i"), col("s"), col("v"))
+      .head()
+    assert(rf.isNullAt(rf.fieldIndex("chi2")))
+    // ties: midranks (hand): item ranks (1.5, 1.5, 3) etc.
+    val tied = Seq(
+      (1, "a", 1.0), (1, "b", 1.0), (1, "c", 2.0),
+      (2, "a", 1.0), (2, "b", 2.0), (2, "c", 3.0))
+      .toDF("i", "s", "v")
+    val rt = Eval.friedmanTest(tied, col("i"), col("s"), col("v"))
+      .head()
+    // R: a=1.5+1=2.5, b=1.5+2=3.5, c=3+3=6; center 4; num=2.25+0.25+4
+    // sum r^2 = (1.5^2+1.5^2+9) + (1+4+9) = 13.5+14 = 27.5
+    // den = 27.5 - 2*3*16/4 = 3.5; chi2 = (k-1)*num/den
+    val chiT = 2 * (2.25 + 0.25 + 4.0) / (27.5 - 2 * 3 * 16 / 4.0)
+    assert(math.abs(rt.getDouble(rt.fieldIndex("chi2")) - chiT) < 1e-12)
+  }
+
   test("twoProportionTest: hand-worked pooled z + unpooled CI; guards") {
     import spark.implicits._
     // A: 30/50 successes, B: 20/50

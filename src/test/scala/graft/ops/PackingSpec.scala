@@ -74,6 +74,47 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("withSuffixMinDouble == sequential suffix min at any " +
+      "parallelism; NULL values skipped") {
+    val rows = (0 until 300).map(i =>
+      (i.toDouble, ((i * 29) % 97).toDouble))
+    val df = rows.toDF("k", "v")
+    val want = rows.sortBy(-_._1).scanLeft((0.0, Double.MaxValue)) {
+      case ((_, m), (k, v)) => (k, math.min(m, v))
+    }.drop(1).toMap
+    for (reparted <- Seq(df, df.repartition(7), df.orderBy(desc("k")))) {
+      val got = Packing.withSuffixMinDouble(reparted, Seq("k"), "v", "sm")
+        .select("k", "sm").collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      got.foreach { case (k, m) => assert(m == want(k), s"k=$k") }
+    }
+  }
+
+  test("groupedPrefixSumDec: per-group exact decimal cumsum, " +
+      "partition-invariant") {
+    val rows = (0 until 200).map(i => ("g" + i % 3, i.toDouble,
+      math.log((i % 13 + 2).toDouble / (i % 13 + 3))))
+    val df = rows.toDF("g", "k", "v")
+    val want = rows.groupBy(_._1).flatMap { case (g, xs) =>
+      var acc = java.math.BigDecimal.ZERO
+      xs.sortBy(_._2).map { case (_, k, v) =>
+        acc = acc.add(java.math.BigDecimal.valueOf(v)
+          .setScale(18, java.math.RoundingMode.HALF_UP))
+        (g, k) -> acc
+      }
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Packing.groupedPrefixSumDec(df.repartition(parts),
+          col("g"), col("k"), lit(0L), col("v"), "cum")
+        .select("g", "k", "cum").collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDecimal(2))
+        .toMap
+      want.foreach { case (key, w) =>
+        assert(got(key).compareTo(w) == 0, s"key=$key parts=$parts")
+      }
+    }
+  }
+
   test("bucket auto-sizing: tiny inputs collapse to 2 buckets, exact anyway") {
     // the cap itself
     assert(Packing.effectiveBuckets(200, 7L) == 2)

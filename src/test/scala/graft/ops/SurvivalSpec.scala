@@ -100,6 +100,66 @@ class SurvivalSpec extends SparkTestBase {
     assert(grouped.toSeq == global.toSeq) // bit-identical arms
   }
 
+  test("rmst: hand-worked step integral; tau below first event; " +
+      "negative durations refused") {
+    import spark.implicits._
+    // events at 1, 3; censor at 2 (n=3): S=2/3 on [1,3), S=0 after 3
+    // (at t=3 the last at-risk subject dies)
+    val df = Seq((1.0, true), (2.0, false), (3.0, true)).toDF("t", "e")
+    // tau=4: 1*[0,1) + 2/3*[1,3) + 0*[3,4) = 1 + 4/3
+    val r = Survival.rmst(df, col("t"), col("e"), 4.0).head()
+    assert(math.abs(r.getDouble(r.fieldIndex("rmst")) - (1 + 4.0 / 3))
+      < 1e-12)
+    // tau=2: 1*[0,1) + 2/3*[1,2) = 5/3
+    val r2 = Survival.rmst(df, col("t"), col("e"), 2.0).head()
+    assert(math.abs(r2.getDouble(r2.fieldIndex("rmst")) - 5.0 / 3)
+      < 1e-12)
+    // tau below the first time: survival 1 throughout -> rmst = tau
+    val r3 = Survival.rmst(df, col("t"), col("e"), 0.5).head()
+    assert(r3.getDouble(r3.fieldIndex("rmst")) == 0.5)
+    intercept[IllegalArgumentException] {
+      Survival.rmst(Seq((-1.0, true)).toDF("t", "e"), col("t"),
+        col("e"), 1.0)
+    }
+  }
+
+  test("cumulativeIncidence: hand-worked two-cause example; " +
+      "mass conservation") {
+    import spark.implicits._
+    // t=1: cause 1 (n=4); t=2: cause 2 (n=3); t=3: censored (n=2);
+    // t=4: cause 1 (n=1)
+    val df = Seq((1.0, 1L), (2.0, 2L), (3.0, 0L), (4.0, 1L))
+      .toDF("t", "k")
+    val got = Survival.cumulativeIncidence(df, col("t"), col("k"))
+      .orderBy("t", "cause").collect()
+    // S(0)=1, S(1)=3/4, S(2)=1/2, S(3)=1/2, S(4)=0
+    // CIF1(1) = 1*(1/4); CIF2(2) = 3/4*(1/3) = 1/4
+    // CIF1(4) = 1/4 + 1/2*(1/1) = 3/4
+    assert(got.length == 3)
+    val byKey = got.map(r => (r.getDouble(0), r.getLong(1)) ->
+      r.getDouble(r.fieldIndex("cif"))).toMap
+    assert(math.abs(byKey((1.0, 1L)) - 0.25) < 1e-12)
+    assert(math.abs(byKey((2.0, 2L)) - 0.25) < 1e-12)
+    assert(math.abs(byKey((4.0, 1L)) - 0.75) < 1e-12)
+    // mass conservation: sum of final CIFs + S(inf) = 1 (S(inf)=0 here)
+    val finals = got.groupBy(_.getLong(1)).map(_._2.maxBy(_.getDouble(0)))
+      .map(r => r.getDouble(r.fieldIndex("cif"))).sum
+    assert(math.abs(finals - 1.0) < 1e-12)
+  }
+
+  test("cumulativeIncidence: partition-invariant bit-wise") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i =>
+      ((i * 7 % 41).toDouble, (i % 4 match {
+        case 0 => 0L; case 1 => 1L; case 2 => 2L; case _ => 1L
+      })))
+    val df = rows.toDF("t", "k")
+    def run(parts: Int) = Survival.cumulativeIncidence(
+        df.repartition(parts), col("t"), col("k"))
+      .orderBy("t", "cause").collect().map(_.toString).toSeq
+    assert(run(1) == run(11))
+  }
+
   test("logRank: partition-invariant; empty side gives NULL chi2") {
     import spark.implicits._
     val rows = (1 to 300).map(i =>
