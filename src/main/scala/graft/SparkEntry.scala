@@ -2469,6 +2469,20 @@ object SparkEntry {
           round(col("t"), 6).as("t"), col("dof"))
     }),
 
+    "q352_holm_adjust" -> ((s, dir) => {
+      // Holm step-down (FWER) on q348's p column — the strict twin;
+      // prefix max via the sign-flipped suffix-min fold
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (((col("doc_id") * 37) % 1000) + 1).cast("double")
+            ./(lit(1000.0)).as("p"))
+      graft.ops.Eval.holmAdjust(docs, col("p"))
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), round(col("p"), 6).as("p"),
+          round(col("p_adj"), 6).as("p_adj"))
+        .orderBy("doc_id")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -11041,6 +11055,26 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(md / sqrt(vd / n), 6) AS t,
            (n - 1)::DOUBLE AS dof
          FROM m""",
+    "q352_holm_adjust" ->
+      """WITH docs AS (SELECT doc_id,
+             (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p
+           FROM documents),
+         cells AS (SELECT p, count(*)::BIGINT AS f
+           FROM docs GROUP BY 1),
+         ranked AS (SELECT p,
+             p * ((sum(f) OVER ())
+               - (sum(f) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
+                  - f + 1) + 1)::DOUBLE AS raw
+           FROM cells),
+         adj AS (SELECT p,
+             least(1.0, max(raw) OVER (ORDER BY p
+               ROWS UNBOUNDED PRECEDING)) AS p_adj
+           FROM ranked)
+         SELECT doc_id, round(docs.p, 6) AS p,
+           round(p_adj, 6) AS p_adj
+         FROM docs JOIN adj ON docs.p = adj.p
+         WHERE doc_id < 200
+         ORDER BY doc_id""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

@@ -1613,6 +1613,42 @@ object Eval {
       when(den > 0, chi2 / lit(nD * (kD - 1))).as("w"))
   }
 
+  /** Holm step-down FWER adjustment — [[bhAdjust]]'s stricter sibling
+    * for the "EVERY flagged drift must be real" regime (FDR tolerates
+    * a controlled fraction of false flags; familywise control
+    * tolerates none): `p_adj = min(1, max_{q ≤ p} q·(n − rank_min(q)
+    * + 1))` — the running MAX from the smallest p up, with tied
+    * values sharing their run's smallest rank (they receive one
+    * common adjusted value, matching the standard step-down). Rows
+    * with NULL p pass through NULL.
+    *
+    * Shape: same distributed recipe as [[bhAdjust]]; the prefix max
+    * reuses [[Packing.withSuffixMinDouble]] through the order-and-sign
+    * flip (prefix-max over p ascending ≡ −(suffix-min of the negated
+    * values over −p ascending)) — still order-free, still bit-exact at
+    * any parallelism. */
+  def holmAdjust(df: DataFrame, pCol: Column,
+      outCol: String = "p_adj"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a column named $outCol")
+    val p = pCol.cast("double")
+    val withP = df.withColumn("__p", p)
+    val cells = withP.where(col("__p").isNotNull)
+      .groupBy(col("__p")).agg(count(lit(1)).as("__f"))
+    val ranked = Packing.withPrefixSumsLong(cells, Seq("__p"),
+        sums = Seq("__f" -> "__cum"), totals = Seq("__f" -> "__n"))
+      // smallest rank of the tie run: cum − f + 1
+      .withColumn("__raw", col("__p")
+        * (col("__n") - (col("__cum") - col("__f") + 1) + 1)
+          .cast("double"))
+      .withColumn("__np", -col("__p"))
+      .withColumn("__nraw", -col("__raw"))
+    val adjusted = Packing.withSuffixMinDouble(ranked, Seq("__np"),
+        "__nraw", "__nsm")
+      .select(col("__p"), least(lit(1.0), -col("__nsm")).as(outCol))
+    withP.join(adjusted, Seq("__p"), "left").drop("__p")
+  }
+
   /** Wilson score interval per group — the right uncertainty band for
     * win rates and pass rates at ANY n (unlike the normal
     * approximation, it never leaves [0, 1] and behaves at s = 0 or

@@ -1249,6 +1249,35 @@ class EvalSpec extends SparkTestBase {
     assert(math.abs(rt.getDouble(rt.fieldIndex("chi2")) - chiT) < 1e-12)
   }
 
+  test("holmAdjust: hand-worked step-down, ties share the smallest " +
+      "rank, clip at 1, matches scipy semantics; partition-invariant") {
+    import spark.implicits._
+    // p = (.01, .04, .03): sorted (.01, .03, .04), raws (.03, .06, .04)
+    // cummax -> (.03, .06, .06)
+    val a = Eval.holmAdjust(Seq(0.01, 0.04, 0.03).map(Tuple1(_))
+        .toDF("p"), col("p"))
+      .orderBy("p").collect().map(_.getDouble(1))
+    assert(math.abs(a(0) - 0.03) < 1e-12)
+    assert(math.abs(a(1) - 0.06) < 1e-12)
+    assert(math.abs(a(2) - 0.06) < 1e-12)
+    // ties: p = (.2, .2, .5) at n=3: tie run rank_min=1 -> raw .6;
+    // then .5*(3-3+1) = .5, cummax = .6
+    val t = Eval.holmAdjust(Seq(0.2, 0.2, 0.5).map(Tuple1(_))
+        .toDF("p"), col("p"))
+      .orderBy("p").collect().map(_.getDouble(1))
+    assert(math.abs(t(0) - 0.6) < 1e-12 && math.abs(t(1) - 0.6) < 1e-12)
+    assert(math.abs(t(2) - 0.6) < 1e-12) // cummax carries forward
+    // clip: p = (.9, .95) -> raws (1.8, .95) -> (1, 1)
+    val c = Eval.holmAdjust(Seq(0.9, 0.95).map(Tuple1(_)).toDF("p"),
+        col("p")).orderBy("p").collect().map(_.getDouble(1))
+    assert(c(0) == 1.0 && c(1) == 1.0)
+    val big = (1 to 400).map(i => Tuple1((i * 53 % 211) / 211.0 + 0.001))
+      .toDF("p")
+    def run(parts: Int) = Eval.holmAdjust(big.repartition(parts),
+      col("p")).orderBy("p").collect().map(_.toString).toSeq
+    assert(run(1) == run(9))
+  }
+
   test("twoProportionTest: hand-worked pooled z + unpooled CI; guards") {
     import spark.implicits._
     // A: 30/50 successes, B: 20/50
