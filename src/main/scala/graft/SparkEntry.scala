@@ -2483,6 +2483,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q353_cochran_armitage" -> ((s, dir) => {
+      // trend in pass rate over an ordered dose 0..4 — success
+      // probability rises with the dose by construction, so z is a
+      // real positive trend, with ties inside every dose level
+      val docs = t(s, dir, "documents")
+        .select((col("doc_id") % 5).cast("double").as("w"),
+          (((col("doc_id") * 7) % 100) <
+            (lit(35) + lit(7) * (col("doc_id") % 5))).as("ok"))
+      graft.ops.Eval.cochranArmitage(docs, col("w"), col("ok"))
+        .select(col("n"), col("k"), round(col("t"), 6).as("t"),
+          round(col("var_t"), 6).as("var_t"),
+          round(col("z"), 6).as("z"))
+    }),
+
+    "q354_fisher_exact" -> ((s, dir) => {
+      // exact 2×2 tails on a small slice (Fisher's regime); the
+      // doubled-tail two-sided rule is the documented convention and
+      // the oracle replays the same hypergeometric sums via lgamma
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select((col("doc_id") % 2 === 0).as("arm"),
+          (((col("doc_id") * 13) % 97) <
+            (lit(35) + lit(7) * (col("doc_id") % 2))).as("ok"))
+      graft.ops.Eval.fisherExact(docs, col("arm"), col("ok"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          round(col("p_less"), 6).as("p_less"),
+          round(col("p_greater"), 6).as("p_greater"),
+          round(col("p_two"), 6).as("p_two"),
+          round(col("odds_ratio"), 6).as("odds_ratio"))
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -11075,6 +11105,69 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
          FROM docs JOIN adj ON docs.p = adj.p
          WHERE doc_id < 200
          ORDER BY doc_id""",
+    "q353_cochran_armitage" ->
+      """WITH f AS (SELECT (doc_id % 5)::DOUBLE AS w,
+             CASE WHEN ((doc_id * 7) % 100)
+               < (35 + 7 * (doc_id % 5)) THEN 1 ELSE 0 END AS ok
+           FROM documents),
+         cells AS (SELECT w, count(*)::BIGINT AS ni,
+             sum(ok)::BIGINT AS ri
+           FROM f GROUP BY 1),
+         s AS (SELECT sum(ni)::BIGINT AS n, count(*)::BIGINT AS k,
+             sum(ri)::BIGINT AS r, sum(w * ni) AS swn,
+             sum(w * w * ni) AS sw2n, sum(w * ri) AS swr
+           FROM cells),
+         m AS (SELECT n, k, swn, sw2n, swr,
+             r / n::DOUBLE AS pbar
+           FROM s),
+         fin AS (SELECT n, k, swr - pbar * swn AS t,
+             pbar * (1 - pbar) * (sw2n - swn * swn / n::DOUBLE) AS v
+           FROM m)
+         SELECT n, k, round(t, 6) AS t, round(v, 6) AS var_t,
+           round(CASE WHEN v > 0 THEN t / sqrt(v) END, 6) AS z
+         FROM fin""",
+    "q354_fisher_exact" ->
+      """WITH f AS (SELECT (doc_id % 2 = 0) AS arm,
+             ((doc_id * 13) % 97) < (35 + 7 * (doc_id % 2)) AS ok
+           FROM documents WHERE doc_id < 500),
+         t4 AS (SELECT
+             sum(CASE WHEN arm AND ok THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN arm AND NOT ok THEN 1 ELSE 0 END)::BIGINT
+               AS b,
+             sum(CASE WHEN NOT arm AND ok THEN 1 ELSE 0 END)::BIGINT
+               AS c,
+             sum(CASE WHEN NOT arm AND NOT ok THEN 1 ELSE 0 END)
+               ::BIGINT AS d
+           FROM f),
+         m AS (SELECT a, b, c, d, a + b AS r1, a + c AS c1,
+             a + b + c + d AS n,
+             greatest(0, (a + b) + (a + c) - (a + b + c + d)) AS lo,
+             least(a + b, a + c) AS hi
+           FROM t4),
+         pk AS (SELECT m.a, m.b, m.c, m.d, gs.k,
+             exp(lgamma(r1 + 1) - lgamma(gs.k + 1)
+               - lgamma(r1 - gs.k + 1) + lgamma(n - r1 + 1)
+               - lgamma(c1 - gs.k + 1)
+               - lgamma(n - r1 - c1 + gs.k + 1)
+               - lgamma(n + 1) + lgamma(c1 + 1)
+               + lgamma(n - c1 + 1)) AS p
+           FROM m, generate_series(0, 500) gs(k)
+           WHERE gs.k BETWEEN m.lo AND m.hi),
+         s AS (SELECT max(a) AS a, max(b) AS b, max(c) AS c,
+             max(d) AS d,
+             sum(p) AS tot,
+             sum(CASE WHEN k <= a THEN p ELSE 0 END) AS sless,
+             sum(CASE WHEN k >= a THEN p ELSE 0 END) AS sgreat
+           FROM pk),
+         fin AS (SELECT a, b, c, d, sless / tot AS pl,
+             sgreat / tot AS pg
+           FROM s)
+         SELECT a, b, c, d, round(pl, 6) AS p_less,
+           round(pg, 6) AS p_greater,
+           round(least(1.0, 2 * least(pl, pg)), 6) AS p_two,
+           round(CASE WHEN b * c > 0
+             THEN (a * d)::DOUBLE / (b * c) END, 6) AS odds_ratio
+         FROM fin""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

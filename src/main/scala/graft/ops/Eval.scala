@@ -1714,4 +1714,137 @@ object Eval {
       .withColumn("pass_at_k",
         lit(1.0) - col("num").cast("double") / col("den"))
   }
+
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955) — the
+    * ORDERED-dose companion to [[twoProportionTest]] and
+    * [[graft.ops.Profile.chiSquareGof]]: "does pass rate rise
+    * MONOTONICALLY with quality bucket / model size / dedup
+    * aggressiveness?" A plain r×2 χ² burns its power on any
+    * departure; the trend test spends all of it on the ordered
+    * alternative. For categories with numeric scores wᵢ, nᵢ trials
+    * and rᵢ successes (N = Σnᵢ, R = Σrᵢ, p̄ = R/N):
+    *
+    *   T = Σ wᵢ (rᵢ − nᵢ p̄),
+    *   Var(T) = p̄(1 − p̄) (Σ wᵢ² nᵢ − (Σ wᵢ nᵢ)²/N),   z = T/√Var
+    *
+    * Returns one row `(n, k, t, var_t, z)` — z NULL when Var = 0 (all
+    * successes, all failures, or a single score level). NULL
+    * scores/outcomes are refused work.
+    *
+    * Shape: one score-keyed count fold (score-bounded cells — doses
+    * are a handful of levels), then a one-row assembly whose w-moment
+    * sums run through [[graft.api.functions.exact_sum]] —
+    * bit-identical on any partitioning. */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+      successCol: Column): DataFrame = {
+    import graft.api.{functions => gfn}
+    val w = scoreCol.cast("double")
+    val s = successCol.cast("boolean")
+    val cells = df.where(w.isNotNull && s.isNotNull)
+      .groupBy(w.as("__w"))
+      .agg(count(lit(1)).as("__ni"), sum(s.cast("long")).as("__ri"))
+    val agg = cells.agg(
+      coalesce(sum(col("__ni")), lit(0L)).as("n"),
+      count(lit(1)).as("k"),
+      coalesce(sum(col("__ri")), lit(0L)).as("__r"),
+      gfn.exact_sum(col("__w") * col("__ni")).as("__swn"),
+      gfn.exact_sum(col("__w") * col("__w") * col("__ni")).as("__sw2n"),
+      gfn.exact_sum(col("__w") * col("__ri")).as("__swr"))
+    val nD = col("n").cast("double")
+    val pBar = when(col("n") > 0, col("__r") / nD)
+    val t = col("__swr") - pBar * col("__swn")
+    val varT = when(col("n") > 0,
+      pBar * (lit(1.0) - pBar)
+        * (col("__sw2n") - col("__swn") * col("__swn") / nD))
+    agg.select(col("n"), col("k"), t.as("t"), varT.as("var_t"),
+      when(varT > 0, t / sqrt(varT)).as("z"))
+  }
+
+  /** Fisher's exact test on a 2×2 arm × outcome table — the
+    * small-count companion to [[twoProportionTest]]: when a slice has
+    * 7 passes out of 12, the normal-approximation z is fiction; the
+    * conditional hypergeometric tail is not. One count fold to the
+    * four cells (a = A∧success, b = A∧failure, c = B∧success,
+    * d = B∧failure), then the exact tails over the support
+    * k ∈ [max(0, R₁+C₁−N), min(R₁, C₁)] (R₁ = a+b, C₁ = a+c):
+    *
+    *   p_less = Σ_{k ≤ a} h(k),  p_greater = Σ_{k ≥ a} h(k),
+    *   p_two  = min(1, 2·min(p_less, p_greater))
+    *
+    * h(k) the hypergeometric pmf. The two-sided rule is tail
+    * DOUBLING (documented choice): the alternative point-probability
+    * rule compares pmfs at 1e−7 relative tolerance, which an
+    * independent engine can flip on the last ulp; doubled tails are
+    * reproducible arithmetic. The pmf itself is evaluated by the
+    * mode-anchored multiplicative recurrence
+    * h(k+1)/h(k) = (R₁−k)(C₁−k) / ((k+1)(N−R₁−C₁+k+1)) with the
+    * anchor normalized so Σh = 1 — no lgamma, no cancellation, exact
+    * to the last few ulps at any margin size.
+    *
+    * Returns one row `(a, b, c, d, p_less, p_greater, p_two,
+    * odds_ratio)` — odds_ratio = ad/bc, NULL when bc = 0; p-values
+    * are 1 when the support is a single point. NULL arms/outcomes are
+    * refused work.
+    *
+    * Shape: ONE fold to four LONGs; the tail sum is a driver-side
+    * loop over the support, guarded by `maxSupport` (default 1e6
+    * points ≈ ms of driver arithmetic) — Fisher is a SMALL-table
+    * test, and past the guard the caller should be on
+    * [[twoProportionTest]] / [[mantelHaenszel]], whose approximations
+    * are exact-grade at that n. */
+  def fisherExact(df: DataFrame, isA: Column, success: Column,
+      maxSupport: Long = 1000000L): DataFrame = {
+    val arm = isA.cast("boolean")
+    val s = success.cast("boolean")
+    val r = df.where(arm.isNotNull && s.isNotNull).agg(
+      coalesce(sum(when(arm && s, 1L)), lit(0L)),
+      coalesce(sum(when(arm && !s, 1L)), lit(0L)),
+      coalesce(sum(when(!arm && s, 1L)), lit(0L)),
+      coalesce(sum(when(!arm && !s, 1L)), lit(0L))).collect()(0)
+    val (a, b, c, d) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (r1, c1, n) = (a + b, a + c, a + b + c + d)
+    val lo = math.max(0L, r1 + c1 - n)
+    val hi = math.min(r1, c1)
+    require(hi - lo <= maxSupport,
+      s"Fisher support ${hi - lo} exceeds maxSupport=$maxSupport — " +
+        "use twoProportionTest/mantelHaenszel at this scale")
+    // un-normalized pmf by recurrence from the mode (ratio crosses 1
+    // there), normalized by the running total: no lgamma, no overflow
+    // (values are scaled relative to the mode = 1.0)
+    val size = (hi - lo + 1).toInt
+    val pmf = new Array[Double](size)
+    if (size > 0) {
+      val ratio = (k: Long) => // h(k+1)/h(k)
+        ((r1 - k).toDouble * (c1 - k)) /
+          ((k + 1).toDouble * (n - r1 - c1 + k + 1))
+      // mode: largest k in support with ratio(k-1) >= 1
+      var mode = lo
+      while (mode < hi && ratio(mode) >= 1.0) mode += 1
+      pmf((mode - lo).toInt) = 1.0
+      var k = mode
+      while (k < hi) { // upward
+        pmf((k + 1 - lo).toInt) = pmf((k - lo).toInt) * ratio(k)
+        k += 1
+      }
+      k = mode
+      while (k > lo) { // downward
+        pmf((k - 1 - lo).toInt) = pmf((k - lo).toInt) / ratio(k - 1)
+        k -= 1
+      }
+    }
+    val total = pmf.sum
+    val ai = (a - lo).toInt
+    val pLess = pmf.take(ai + 1).sum / total
+    val pGreater = pmf.drop(ai).sum / total
+    val pTwo = math.min(1.0, 2.0 * math.min(pLess, pGreater))
+    val or: java.lang.Double =
+      if (b == 0 || c == 0) null
+      else (a.toDouble * d) / (b.toDouble * c)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((a, b, c, d, pLess, pGreater, pTwo, Option(or).map(_.toDouble)))
+      .toDF("a", "b", "c", "d", "p_less", "p_greater", "p_two",
+        "odds_ratio")
+  }
 }

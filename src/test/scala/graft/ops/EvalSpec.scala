@@ -1303,4 +1303,56 @@ class EvalSpec extends SparkTestBase {
     assert(ro.isNullAt(ro.fieldIndex("p_b")))
     assert(ro.isNullAt(ro.fieldIndex("z")))
   }
+
+  test("cochranArmitage: hand-worked 3-dose trend; degenerate guards") {
+    import spark.implicits._
+    // doses 0/1/2 with (n, r) = (10,2)(10,5)(10,8): T = 21 - 15 = 6,
+    // Var = .25 * (50 - 900/30) = 5, z = 6/sqrt(5)
+    val rows = (0 until 10).flatMap(i => Seq(
+      (0.0, i < 2), (1.0, i < 5), (2.0, i < 8)))
+    val df = rows.toDF("w", "ok")
+    val r = Eval.cochranArmitage(df, col("w"), col("ok")).head()
+    assert(r.getLong(r.fieldIndex("n")) == 30L)
+    assert(r.getLong(r.fieldIndex("k")) == 3L)
+    assert(math.abs(r.getDouble(r.fieldIndex("t")) - 6.0) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("var_t")) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("z")) - 6.0 / math.sqrt(5.0))
+      < 1e-12)
+    // all-success: Var = 0 -> z NULL, t still reported
+    val flat = Seq((0.0, true), (1.0, true), (2.0, true)).toDF("w", "ok")
+    val rf = Eval.cochranArmitage(flat, col("w"), col("ok")).head()
+    assert(rf.isNullAt(rf.fieldIndex("z")))
+    // single dose level: Var = 0 -> z NULL
+    val onew = Seq((1.0, true), (1.0, false)).toDF("w", "ok")
+    val r1 = Eval.cochranArmitage(onew, col("w"), col("ok")).head()
+    assert(r1.isNullAt(r1.fieldIndex("z")))
+  }
+
+  test("fisherExact: tea-tasting 2x2 exact tails; doubling rule; guards") {
+    import spark.implicits._
+    // a=3 b=1 c=1 d=3: pmf over k in 0..4 = (1,16,36,16,1)/70
+    val rows = Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.toDF("arm", "ok")
+    val r = Eval.fisherExact(df, col("arm"), col("ok")).head()
+    assert(r.getLong(r.fieldIndex("a")) == 3L)
+    assert(math.abs(r.getDouble(r.fieldIndex("p_less")) - 69.0 / 70)
+      < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("p_greater")) - 17.0 / 70)
+      < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("p_two")) - 34.0 / 70)
+      < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("odds_ratio")) - 9.0)
+      < 1e-12)
+    // zero cell: odds ratio NULL, p still exact; one-point support = 1
+    val z = Seq((true, true), (false, false)).toDF("arm", "ok")
+    val rz = Eval.fisherExact(z, col("arm"), col("ok")).head()
+    assert(rz.isNullAt(rz.fieldIndex("odds_ratio")))
+    assert(rz.getDouble(rz.fieldIndex("p_greater")) == 0.5)
+    // support guard fails fast
+    val big = (1 to 100).map(i => (i % 2 == 0, i % 3 == 0)).toDF("arm", "ok")
+    intercept[IllegalArgumentException] {
+      Eval.fisherExact(big, col("arm"), col("ok"), maxSupport = 10L)
+    }
+  }
 }
