@@ -2513,6 +2513,50 @@ object SparkEntry {
           round(col("odds_ratio"), 6).as("odds_ratio"))
     }),
 
+    "q355_jonckheere" -> ((s, dir) => {
+      // ordered-alternative k-group rank test on a 4-dose fixture with
+      // a real trend and heavy ties; oracle recomputes JT by brute
+      // pairwise cell join and the tie-corrected variance exactly
+      val docs = t(s, dir, "documents")
+        .select((col("doc_id") % 4).cast("double").as("g"),
+          ((col("doc_id") * 7) % 50 + lit(3) * (col("doc_id") % 4))
+            .cast("double").as("v"))
+      // var_jt is corpus-scaled (~3e9 at sf0.1): 6-dp rounding of a
+      // value that large is last-ulp territory where DuckDB's float
+      // round and Spark's BigDecimal HALF_UP disagree — gate the
+      // small z (which embeds var) instead; the spec pins var exactly
+      graft.ops.Drift.jonckheereTerpstra(docs, col("g"), col("v"))
+        .select(col("n"), col("k"), round(col("jt"), 6).as("jt"),
+          round(col("e_jt"), 6).as("e_jt"),
+          round(col("z"), 6).as("z"))
+    }),
+
+    "q356_brunner_munzel" -> ((s, dir) => {
+      // nonparametric Behrens–Fisher: side A is shifted AND the sides
+      // have different spreads (mod 83 vs mod 89 lattices), ties real
+      val docs = t(s, dir, "documents")
+        .select(when(col("doc_id") % 2 === 0,
+            (col("doc_id") * 11) % 83)
+          .otherwise((col("doc_id") * 7) % 89 + 5)
+          .cast("double").as("v"),
+          (col("doc_id") % 2 === 0).as("a"))
+      graft.ops.Drift.brunnerMunzel(docs, col("v"), col("a"))
+        .select(col("n_a"), col("n_b"),
+          round(col("p_hat"), 6).as("p_hat"),
+          round(col("t"), 6).as("t"), round(col("dof"), 6).as("dof"))
+    }),
+
+    "q357_moods_median" -> ((s, dir) => {
+      // k-group above/below-pooled-median screen per language; the
+      // lower-median convention is what the SQL window reproduces
+      val docs = t(s, dir, "documents")
+      graft.ops.Drift.moodsMedian(docs, col("lang"), col("n_chars"))
+        .select(col("category"), col("n_g"), col("n_le"),
+          round(col("e_le"), 6).as("e_le"),
+          round(col("chi2_part"), 6).as("chi2_part"))
+        .orderBy("category")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -11168,6 +11212,119 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(CASE WHEN b * c > 0
              THEN (a * d)::DOUBLE / (b * c) END, 6) AS odds_ratio
          FROM fin""",
+    "q355_jonckheere" ->
+      """WITH f AS (SELECT (doc_id % 4)::DOUBLE AS g,
+             ((doc_id * 7) % 50 + 3 * (doc_id % 4))::DOUBLE AS v
+           FROM documents),
+         cells AS (SELECT g, v, count(*)::BIGINT AS c
+           FROM f GROUP BY 1, 2),
+         j2 AS (SELECT sum(a.c::HUGEINT * b.c *
+             (CASE WHEN a.v < b.v THEN 2
+               WHEN a.v = b.v THEN 1 ELSE 0 END)) AS jt2
+           FROM cells a JOIN cells b ON a.g < b.g),
+         gt AS (SELECT g, sum(c)::HUGEINT AS n FROM cells GROUP BY 1),
+         tt AS (SELECT v, sum(c)::HUGEINT AS t FROM cells GROUP BY 1),
+         gs AS (SELECT sum(n) AS nn, count(*)::BIGINT AS k,
+             sum(n * n) AS sn2,
+             sum(n * (n - 1) * (2 * n + 5)) AS ga,
+             sum(n * (n - 1) * (n - 2)) AS gb,
+             sum(n * (n - 1)) AS gc
+           FROM gt),
+         ts AS (SELECT sum(t * (t - 1) * (2 * t + 5)) AS ta,
+             sum(t * (t - 1) * (t - 2)) AS tb,
+             sum(t * (t - 1)) AS tc
+           FROM tt),
+         m AS (SELECT jt2::DOUBLE / 2 AS jt,
+             (nn * nn - sn2)::DOUBLE / 4 AS e,
+             (nn * (nn - 1) * (2 * nn + 5) - ga - ta)::DOUBLE / 72.0
+               + gb::DOUBLE * tb::DOUBLE
+                 / (36.0 * nn::DOUBLE * (nn::DOUBLE - 1)
+                    * (nn::DOUBLE - 2))
+               + gc::DOUBLE * tc::DOUBLE
+                 / (8.0 * nn::DOUBLE * (nn::DOUBLE - 1)) AS var,
+             nn, k
+           FROM j2, gs, ts)
+         SELECT nn::BIGINT AS n, k, round(jt, 6) AS jt,
+           round(e, 6) AS e_jt,
+           round(CASE WHEN var > 0 THEN (jt - e) / sqrt(var) END, 6)
+             AS z
+         FROM m""",
+    "q356_brunner_munzel" ->
+      """WITH f AS (SELECT
+             CASE WHEN doc_id % 2 = 0 THEN (doc_id * 11) % 83
+               ELSE (doc_id * 7) % 89 + 5 END::DOUBLE AS v,
+             doc_id % 2 = 0 AS a
+           FROM documents),
+         cells AS (SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END)
+               ::BIGINT AS da,
+             sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS db
+           FROM f GROUP BY 1),
+         cum AS (SELECT v, da, db,
+             sum(da) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(db) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(da) OVER () AS na, sum(db) OVER () AS nb
+           FROM cells),
+         terms AS (SELECT max(na)::HUGEINT AS na,
+             max(nb)::HUGEINT AS nb,
+             sum(da::HUGEINT * (2 * (ca + cb) - (da + db) + 1)) AS ra,
+             sum(db::HUGEINT * (2 * (ca + cb) - (da + db) + 1)) AS rb,
+             sum(da::HUGEINT * (2 * cb - db)) AS sa,
+             sum(da::HUGEINT * (2 * cb - db) * (2 * cb - db)) AS qa,
+             sum(db::HUGEINT * (2 * ca - da)) AS sb,
+             sum(db::HUGEINT * (2 * ca - da) * (2 * ca - da)) AS qb
+           FROM cum),
+         d AS (SELECT na::DOUBLE AS na, nb::DOUBLE AS nb,
+             ra::DOUBLE AS ra, rb::DOUBLE AS rb, sa::DOUBLE AS sa,
+             qa::DOUBLE AS qa, sb::DOUBLE AS sb, qb::DOUBLE AS qb
+           FROM terms),
+         m AS (SELECT na, nb, ra / (2.0 * na) AS m1,
+             rb / (2.0 * nb) AS m2,
+             (qa / 4.0 - (sa / 2.0) * (sa / 2.0) / na) / (na - 1)
+               AS v1,
+             (qb / 4.0 - (sb / 2.0) * (sb / 2.0) / nb) / (nb - 1)
+               AS v2
+           FROM d),
+         fin AS (SELECT na, nb, m1, m2, v1, v2,
+             na * v1 + nb * v2 AS pooled
+           FROM m)
+         SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           round((m2 - (nb + 1) / 2) / na, 6) AS p_hat,
+           round(CASE WHEN pooled > 0 THEN
+             na * nb * (m2 - m1) / ((na + nb) * sqrt(pooled)) END, 6)
+             AS t,
+           round(CASE WHEN pooled > 0 AND
+               na * v1 * na * v1 / (na - 1)
+               + nb * v2 * nb * v2 / (nb - 1) > 0 THEN
+             pooled * pooled / (na * v1 * na * v1 / (na - 1)
+               + nb * v2 * nb * v2 / (nb - 1)) END, 6) AS dof
+         FROM fin""",
+    "q357_moods_median" ->
+      """WITH f AS (SELECT lang AS category, n_chars::DOUBLE AS v
+           FROM documents),
+         cells AS (SELECT v, count(*)::BIGINT AS c FROM f GROUP BY 1),
+         cum AS (SELECT v,
+             sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc,
+             sum(c) OVER () AS n
+           FROM cells),
+         med AS (SELECT min(v) AS m FROM cum WHERE 2 * cc >= n),
+         perg AS (SELECT category, count(*)::BIGINT AS n_g,
+             sum(CASE WHEN v <= (SELECT m FROM med) THEN 1 ELSE 0 END)
+               ::BIGINT AS n_le
+           FROM f GROUP BY 1),
+         tot AS (SELECT sum(n_g)::BIGINT AS nn,
+             sum(n_le)::BIGINT AS le
+           FROM perg),
+         x AS (SELECT category, n_g, n_le,
+             n_g::DOUBLE * le / nn AS e_le,
+             n_g::DOUBLE * (nn - le) / nn AS e_gt,
+             (n_g - n_le)::DOUBLE AS gt
+           FROM perg, tot)
+         SELECT category, n_g, n_le, round(e_le, 6) AS e_le,
+           round(CASE WHEN e_le > 0 AND e_gt > 0 THEN
+             (n_le::DOUBLE - e_le) * (n_le::DOUBLE - e_le) / e_le
+             + (gt - e_gt) * (gt - e_gt) / e_gt END, 6) AS chi2_part
+         FROM x
+         ORDER BY category""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

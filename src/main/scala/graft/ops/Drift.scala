@@ -805,6 +805,232 @@ object Drift {
       .drop("__h", "__x")
   }
 
+  /** Jonckheere–Terpstra test (Jonckheere 1954, Terpstra 1952) — the
+    * ORDERED-alternative k-group rank test: [[kruskalWallis]] asks "do
+    * these k slices differ at all?", JT spends all its power on "does
+    * the value RISE with the ordered dose" (quality score vs dedup
+    * aggressiveness level, loss vs data age bucket) — the rank-side
+    * sibling of [[graft.ops.Eval.cochranArmitage]]. JT is the sum of
+    * the k(k−1)/2 pairwise Mann–Whitney counts in dose order
+    * (ties count ½):
+    *
+    *   JT = Σ_{i<j} Σ_v f_j(v)·(F_i(v⁻) + ½ f_i(v))
+    *   E  = (N² − Σ nᵢ²)/4
+    *   Var (tie-corrected, Hollander & Wolfe eq. 6.19) =
+    *     A/72 + B_g·B_t/(36N(N−1)(N−2)) + C_g·C_t/(8N(N−1))
+    *
+    * with A = N(N−1)(2N+5) − Σᵢnᵢ(nᵢ−1)(2nᵢ+5) − Σ_v t_v(t_v−1)(2t_v+5),
+    * B_g = Σᵢnᵢ(nᵢ−1)(nᵢ−2), B_t = Σ_v t_v(t_v−1)(t_v−2),
+    * C_g = Σᵢnᵢ(nᵢ−1), C_t = Σ_v t_v(t_v−1). Returns one row
+    * `(n, k, jt, e_jt, var_jt, z)` — z NULL when Var ≤ 0 (all values
+    * tied). NULL groups/values are refused work.
+    *
+    * Shape: one (group, value) count shuffle; the per-group cumulative
+    * layers ride ONE [[Packing.withPrefixSumsLong]] two-level pass
+    * over the distinct-value frame (k prefix columns in one shuffle —
+    * fully parallel even when continuous values make that frame
+    * corpus-sized); every pair product is DECIMAL(38,0). Group labels
+    * are collected (guarded by `maxGroups` — doses are a handful of
+    * levels); group-side moment terms are exact BigInt driver
+    * arithmetic on the k collected totals. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: Column, value: Column,
+      maxGroups: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = groupCol.cast("double")
+    val v = value.cast("double")
+    val base = df.where(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.as("__v"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__f")).localCheckpoint()
+    val gTotals = cells.groupBy(col("__g"))
+      .agg(sum(col("__f")).as("__n")).orderBy(col("__g"))
+      .limit(maxGroups + 1).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    require(gTotals.length >= 2, "need at least 2 ordered groups")
+    require(gTotals.length <= maxGroups,
+      s"more than maxGroups=$maxGroups ordered groups — JT is a " +
+        "dose-level test; bucket the dose first")
+    val k = gTotals.length
+    val byV = cells.groupBy(col("__v")).agg(
+      coalesce(sum(when(col("__g") === gTotals(0)._1, col("__f"))),
+        lit(0L)).as("__f0"),
+      (1 until k).map(i =>
+        coalesce(sum(when(col("__g") === gTotals(i)._1, col("__f"))),
+          lit(0L)).as(s"__f$i")): _*)
+    val cum = Packing.withPrefixSumsLong(byV, Seq("__v"),
+      sums = (0 until k).map(i => s"__f$i" -> s"__c$i"))
+    val contrib = (for { j <- 1 until k; i <- 0 until j } yield
+      col(s"__f$j").cast(dec) *
+        (lit(2).cast(dec) * (col(s"__c$i") - col(s"__f$i")).cast(dec)
+          + col(s"__f$i").cast(dec))).reduce(_ + _)
+    val tv = (0 until k).map(i => col(s"__f$i").cast(dec)).reduce(_ + _)
+    val one = lit(1).cast(dec)
+    val row = cum.agg(
+      coalesce(sum(contrib), lit(0).cast(dec)).as("__jt2"),
+      coalesce(sum(tv * (tv - one)
+        * (lit(2).cast(dec) * tv + lit(5).cast(dec))),
+        lit(0).cast(dec)).as("__ta"),
+      coalesce(sum(tv * (tv - one) * (tv - lit(2).cast(dec))),
+        lit(0).cast(dec)).as("__tb"),
+      coalesce(sum(tv * (tv - one)), lit(0).cast(dec)).as("__tc"))
+      .collect()(0)
+    def big(i: Int): BigInt = BigInt(row.getDecimal(i).toBigInteger)
+    val (jt2, tA, tB, tC) = (big(0), big(1), big(2), big(3))
+    val ns = gTotals.map(t => BigInt(t._2))
+    val nBig = ns.sum
+    val n = nBig.toDouble
+    val eNum = (nBig * nBig - ns.map(x => x * x).sum).toDouble
+    val aBig = nBig * (nBig - 1) * (2 * nBig + 5) -
+      ns.map(x => x * (x - 1) * (2 * x + 5)).sum - tA
+    val bG = ns.map(x => x * (x - 1) * (x - 2)).sum
+    val cG = ns.map(x => x * (x - 1)).sum
+    val varJt =
+      if (nBig < 3) Double.NaN
+      else aBig.toDouble / 72.0 +
+        bG.toDouble * tB.toDouble / (36.0 * n * (n - 1) * (n - 2)) +
+        cG.toDouble * tC.toDouble / (8.0 * n * (n - 1))
+    val jt = jt2.toDouble / 2.0
+    val eJt = eNum / 4.0
+    oneRow(df)(lit(nBig.toLong).as("n"), lit(k.toLong).as("k"),
+      lit(jt).as("jt"), lit(eJt).as("e_jt"),
+      (if (varJt > 0) lit(varJt) else lit(null).cast("double"))
+        .as("var_jt"),
+      (if (varJt > 0) lit((jt - eJt) / math.sqrt(varJt))
+       else lit(null).cast("double")).as("z"))
+  }
+
+  /** Brunner–Munzel test (Brunner & Munzel 2000) — the
+    * nonparametric-Behrens–Fisher companion to [[mannWhitney]]: MW's z
+    * assumes the two sides share a variance-of-ranks; when one slice
+    * is both shifted AND differently spread (a new crawl source with
+    * wider quality spread), BM stays calibrated where MW over-rejects.
+    * Estimates p̂ = P(X_A < X_B) + ½P(=) with a studentized statistic
+    * and Welch-style dof:
+    *
+    *   t = n_A·n_B (R̄_B − R̄_A) / (N √(n_A S_A² + n_B S_B²))
+    *   S_i² = Var over side i of (combined midrank − within-side
+    *          midrank),  dof per Welch–Satterthwaite
+    *
+    * Returns one row `(n_a, n_b, p_hat, t, dof)` — t/dof NULL when
+    * either side has < 2 members or both placement variances vanish
+    * (every pair tied). NULL values/sides are refused work.
+    *
+    * Shape: the [[ksTest]] cell recipe — ONE corpus shuffle into
+    * per-distinct-value side counts, cumulatives via the distributed
+    * two-level prefix sum; placements are DOUBLED midranks
+    * (2·G_B(v) = 2·cumB − dB, integers), every moment folds in
+    * DECIMAL(38,0), floats only in the final one-row assembly —
+    * bit-identical on any partitioning. */
+  def brunnerMunzel(df: DataFrame, value: Column, isA: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = cumFromCells(sideCells(df, value, isA))
+    // doubled combined midrank and doubled within/cross placements —
+    // all exact LONG arithmetic on the cell frame
+    val mr2 = lit(2) * (col("__ca") + col("__cb")) -
+      (col("__da") + col("__db")) + 1
+    val xA = (lit(2) * col("__cb") - col("__db")).cast(dec) // 2·G_B(v)
+    val xB = (lit(2) * col("__ca") - col("__da")).cast(dec) // 2·G_A(v)
+    val agg = cum.agg(
+      max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+      coalesce(sum(col("__da").cast(dec) * mr2.cast(dec)),
+        lit(0).cast(dec)).as("__ra"),
+      coalesce(sum(col("__db").cast(dec) * mr2.cast(dec)),
+        lit(0).cast(dec)).as("__rb"),
+      coalesce(sum(col("__da").cast(dec) * xA), lit(0).cast(dec))
+        .as("__sa"),
+      coalesce(sum(col("__da").cast(dec) * xA * xA), lit(0).cast(dec))
+        .as("__qa"),
+      coalesce(sum(col("__db").cast(dec) * xB), lit(0).cast(dec))
+        .as("__sb"),
+      coalesce(sum(col("__db").cast(dec) * xB * xB), lit(0).cast(dec))
+        .as("__qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nn = na + nb
+    val m1 = col("__ra").cast("double") / (lit(2.0) * na)
+    val m2 = col("__rb").cast("double") / (lit(2.0) * nb)
+    def sVar(s: Column, q: Column, cnt: Column): Column =
+      (q.cast("double") / lit(4.0)
+        - (s.cast("double") / lit(2.0)) * (s.cast("double") / lit(2.0))
+          / cnt) / (cnt - 1)
+    val v1 = when(col("n_a") >= 2, sVar(col("__sa"), col("__qa"), na))
+    val v2 = when(col("n_b") >= 2, sVar(col("__sb"), col("__qb"), nb))
+    val pooled = na * v1 + nb * v2
+    val t = when(pooled > 0, na * nb * (m2 - m1) / (nn * sqrt(pooled)))
+    val dof = when(pooled > 0 && na * v1 * na * v1 / (na - 1)
+        + nb * v2 * nb * v2 / (nb - 1) > 0,
+      pooled * pooled / (na * v1 * na * v1 / (na - 1)
+        + nb * v2 * nb * v2 / (nb - 1)))
+    val pHat = when(col("n_a") > 0 && col("n_b") > 0,
+      (m2 - (nb + 1) / 2) / na)
+    agg.select(col("n_a"), col("n_b"), pHat.as("p_hat"), t.as("t"),
+      dof.as("dof"))
+  }
+
+  /** Mood's median test — the blunt-but-robust k-group location check:
+    * "is each slice's share ABOVE the pooled median what it should
+    * be?" Where [[kruskalWallis]] uses full rank information, Mood's
+    * test only asks which side of the pooled median each row falls —
+    * maximally robust to outliers and to wildly different shapes. The
+    * pooled median is the LOWER median (smallest v with 2·F(v) ≥ N —
+    * a real data value, deterministic, and the convention an external
+    * SQL engine reproduces with one window). Per group, a 2×1 cell of
+    * (≤ median, > median) counts against the margin expectation:
+    *
+    *   chi2_part_g = (le_g − nᵍ·LE/N)²/(nᵍ·LE/N)
+    *               + (gt_g − nᵍ·GT/N)²/(nᵍ·GT/N),  Σ ~ χ²(k−1)
+    *
+    * Returns one row per group `(category, n_g, n_le, e_le,
+    * chi2_part)` — the offender is visible, not just the total;
+    * chi2_part NULL when a margin expectation is 0 (all rows on one
+    * side of the median — e.g. a constant corpus). NULL
+    * categories/values are refused work; an empty corpus returns an
+    * empty frame.
+    *
+    * Shape: one distinct-value census + the two-level prefix sum to
+    * find the median (no single-task window, no percentile buffering),
+    * then ONE group-keyed count fold; the margin window runs over the
+    * k-bounded per-group frame ([[graft.ops.Profile.chiSquareGof]]'s
+    * convention). */
+  def moodsMedian(df: DataFrame, cat: Column, value: Column)
+      : DataFrame = {
+    val v = value.cast("double")
+    val base = df.where(cat.isNotNull && v.isNotNull)
+      .select(cat.cast("string").as("category"), v.as("__v"))
+      .localCheckpoint()
+    val cells = base.groupBy(col("__v")).agg(count(lit(1)).as("__f"))
+    val cum = Packing.withPrefixSumsLong(cells, Seq("__v"),
+      sums = Seq("__f" -> "__c"), totals = Seq("__f" -> "__n"))
+    val medRow = cum.where(lit(2) * col("__c") >= col("__n"))
+      .agg(min(col("__v"))).collect()(0)
+    if (medRow.isNullAt(0))
+      return base.sparkSession.emptyDataFrame
+        .select(lit("").as("category"), lit(0L).as("n_g"),
+          lit(0L).as("n_le"), lit(0.0).as("e_le"),
+          lit(0.0).as("chi2_part")).where(lit(false))
+    val med = medRow.getDouble(0)
+    val perG = base.groupBy(col("category")).agg(
+      count(lit(1)).as("n_g"),
+      coalesce(sum((col("__v") <= med).cast("long")), lit(0L))
+        .as("n_le"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // k group rows — bounded, not corpus-sized
+    val withM = perG
+      .withColumn("__N", sum(col("n_g")).over(wAll))
+      .withColumn("__LE", sum(col("n_le")).over(wAll))
+    val eLe = col("n_g").cast("double") * col("__LE") / col("__N")
+    val eGt = col("n_g").cast("double") *
+      (col("__N") - col("__LE")) / col("__N")
+    val gtG = (col("n_g") - col("n_le")).cast("double")
+    withM.select(col("category"), col("n_g"), col("n_le"),
+      eLe.as("e_le"),
+      when(eLe > 0 && eGt > 0,
+        (col("n_le").cast("double") - eLe)
+          * (col("n_le").cast("double") - eLe) / eLe
+          + (gtG - eGt) * (gtG - eGt) / eGt).as("chi2_part"))
+  }
+
   /** Smoothed probability columns over the observed vocabulary. */
   private def smoothed(na: Long, nb: Long, v: Long, alpha: Double)
       : (Column, Column) =

@@ -623,4 +623,111 @@ class DriftSpec extends SparkTestBase {
       .head().toString
     assert(a == b)
   }
+
+  test("jonckheereTerpstra: hand-worked ordered groups with ties; " +
+      "brute pairwise agreement; guards") {
+    import spark.implicits._
+    // g1={1,2} g2={2,3} g3={4}: U12=3.5 U13=2 U23=2 -> JT=7.5;
+    // E=(25-9)/4=4; A=246, C=4*2=8 -> Var=246/72+8/160=3.4666...
+    val df = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 3.0),
+      (3.0, 4.0)).toDF("g", "v")
+    val r = Drift.jonckheereTerpstra(df, col("g"), col("v")).head()
+    assert(r.getLong(r.fieldIndex("n")) == 5L)
+    assert(r.getDouble(r.fieldIndex("jt")) == 7.5)
+    assert(r.getDouble(r.fieldIndex("e_jt")) == 4.0)
+    val varRef = 246.0 / 72.0 + 8.0 / (8.0 * 5 * 4)
+    assert(math.abs(r.getDouble(r.fieldIndex("var_jt")) - varRef) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("z"))
+      - 3.5 / math.sqrt(varRef)) < 1e-12)
+    // brute pairwise agreement on a bigger mixed fixture
+    val data = (1 to 200).map(i =>
+      ((i % 4).toDouble, ((i * 7) % 23 + (i % 4) * 2).toDouble))
+    val big = data.toDF("g", "v")
+    val rb = Drift.jonckheereTerpstra(big, col("g"), col("v")).head()
+    val jtRef = (for {
+      (gi, vi) <- data; (gj, vj) <- data
+      if gi < gj
+    } yield if (vi < vj) 1.0 else if (vi == vj) 0.5 else 0.0).sum
+    assert(rb.getDouble(rb.fieldIndex("jt")) == jtRef)
+    // partition invariance
+    val p1 = Drift.jonckheereTerpstra(big.repartition(1), col("g"),
+      col("v")).head().toString
+    val p13 = Drift.jonckheereTerpstra(big.repartition(13), col("g"),
+      col("v")).head().toString
+    assert(p1 == p13)
+    // guards: one group / too many groups
+    intercept[IllegalArgumentException] {
+      Drift.jonckheereTerpstra(Seq((1.0, 2.0)).toDF("g", "v"),
+        col("g"), col("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Drift.jonckheereTerpstra(
+        (1 to 100).map(i => (i.toDouble, 1.0)).toDF("g", "v"),
+        col("g"), col("v"), maxGroups = 8)
+    }
+  }
+
+  test("brunnerMunzel: brute placement-rank agreement with ties; " +
+      "all-tied and tiny-side guards") {
+    import spark.implicits._
+    def brute(as: Seq[Double], bs: Seq[Double])
+        : (Double, Double, Double) = {
+      val all = as ++ bs
+      def midrank(x: Double, in: Seq[Double]): Double =
+        in.count(_ < x) + (in.count(_ == x) + 1) / 2.0
+      val (n1, n2) = (as.size.toDouble, bs.size.toDouble)
+      val rA = as.map(midrank(_, all)); val rB = bs.map(midrank(_, all))
+      val (m1, m2) = (rA.sum / n1, rB.sum / n2)
+      val xA = as.map(x => midrank(x, all) - midrank(x, as))
+      val xB = bs.map(x => midrank(x, all) - midrank(x, bs))
+      def svar(xs: Seq[Double]): Double = {
+        val m = xs.sum / xs.size
+        xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+      }
+      val (v1, v2) = (svar(xA), svar(xB))
+      val t = n1 * n2 * (m2 - m1) /
+        ((n1 + n2) * math.sqrt(n1 * v1 + n2 * v2))
+      val pHat = (m2 - (n2 + 1) / 2) / n1
+      (pHat, t, n1 * v1 + n2 * v2)
+    }
+    val as = (1 to 40).map(i => ((i * 13) % 17).toDouble)
+    val bs = (1 to 55).map(i => ((i * 7) % 19 + 3).toDouble)
+    val df = (as.map((_, true)) ++ bs.map((_, false))).toDF("v", "a")
+    // convention: isA marks side A; p_hat = P(A < B) + half-ties
+    val r = Drift.brunnerMunzel(df, col("v"), col("a")).head()
+    val (pRef, tRef, _) = brute(as, bs)
+    assert(math.abs(r.getDouble(r.fieldIndex("p_hat")) - pRef) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("t")) - tRef) < 1e-12)
+    // all values tied: pooled variance 0 -> t NULL, p_hat = 1/2
+    val tied = (1 to 10).map(i => (5.0, i % 2 == 0)).toDF("v", "a")
+    val rt = Drift.brunnerMunzel(tied, col("v"), col("a")).head()
+    assert(rt.isNullAt(rt.fieldIndex("t")))
+    assert(rt.getDouble(rt.fieldIndex("p_hat")) == 0.5)
+    // one-member side: t NULL (needs >= 2 per side)
+    val tiny = Seq((1.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "a")
+    val r1 = Drift.brunnerMunzel(tiny, col("v"), col("a")).head()
+    assert(r1.isNullAt(r1.fieldIndex("t")))
+  }
+
+  test("moodsMedian: hand-worked 2x2; lower-median convention; " +
+      "degenerate corpus") {
+    import spark.implicits._
+    // g1={1,2} g2={3,4}: lower median = 2; per-group chi2 parts = 2, 2
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g2", 3.0), ("g2", 4.0))
+      .toDF("g", "v")
+    val rows = Drift.moodsMedian(df, col("g"), col("v"))
+      .orderBy("category").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(rows(0).fieldIndex("n_le")) == 2L)
+    assert(rows(0).getDouble(rows(0).fieldIndex("chi2_part")) == 2.0)
+    assert(rows(1).getDouble(rows(1).fieldIndex("chi2_part")) == 2.0)
+    // constant corpus: everything <= median -> expected-GT 0 -> NULL
+    val const = Seq(("a", 7.0), ("b", 7.0)).toDF("g", "v")
+    val rc = Drift.moodsMedian(const, col("g"), col("v")).collect()
+    assert(rc.forall(_.isNullAt(rc.head.fieldIndex("chi2_part"))))
+    // empty corpus: empty frame, not a crash
+    assert(Drift.moodsMedian(df.where(lit(false)), col("g"), col("v"))
+      .count() == 0L)
+  }
 }
