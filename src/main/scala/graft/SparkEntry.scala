@@ -2557,6 +2557,80 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    "q358_kendall_tau" -> ((s, dir) => {
+      // exact tau-b on a correlated discrete lattice (ties on both
+      // axes), plus the production-arm receipt: the t-digest
+      // rank-bucketed arm must land within 0.01 of the exact arm
+      val docs = t(s, dir, "documents")
+        .select((col("doc_id") % 9).cast("double").as("x"),
+          (lit(2) * (col("doc_id") % 9) + (col("doc_id") * 7) % 5)
+            .cast("double").as("y"))
+      val exact = graft.ops.Profile.kendallTau(docs, col("x"), col("y"))
+      val bucketed = graft.ops.Profile.kendallTauBucketed(docs,
+        col("x"), col("y"), buckets = 64)
+      exact.crossJoin(
+          bucketed.select(col("tau_b").as("__tb")))
+        .select(col("n"), col("n_cells"),
+          col("concordant").cast("long").as("concordant"),
+          col("discordant").cast("long").as("discordant"),
+          round(col("tau_b"), 6).as("tau_b"),
+          (abs(col("tau_b") - col("__tb")) < 0.01).as("bucket_agree"))
+    }),
+
+    "q359_page_trend" -> ((s, dir) => {
+      // ordered k-system trend over the complete per-document grid:
+      // scores rise with the system index by construction, with real
+      // ties from the residue lattice (midrank path exercised)
+      val items = t(s, dir, "documents").select(col("doc_id"))
+      val frame = Seq(0, 1, 2).map(sy =>
+          items.select(col("doc_id").as("item"), lit(sy).as("sys"),
+            ((col("doc_id") * 31 + lit(sy * 29)) % 101
+              + lit(sy * 3)).as("v")))
+        .reduce(_ union _)
+      graft.ops.Eval.pageTrend(frame, col("item"), col("sys"),
+          col("v"))
+        .select(col("n_items"), col("k"), col("l"), col("e_l"),
+          round(col("z"), 6).as("z"))
+    }),
+
+    "q360_hodges_lehmann" -> ((s, dir) => {
+      // robust two-sample shift on the q356 lattice fixture: the HL
+      // estimate recovers the injected +5 shift territory from the
+      // pairwise-difference distribution's weighted lower median
+      val docs = t(s, dir, "documents")
+        .select(when(col("doc_id") % 2 === 0,
+            (col("doc_id") * 11) % 83)
+          .otherwise((col("doc_id") * 7) % 89 + 5)
+          .cast("double").as("v"),
+          (col("doc_id") % 2 === 0).as("a"))
+      graft.ops.Robust.hodgesLehmann(docs, col("v"), col("a"))
+        .select(col("n_a"), col("n_b"), col("n_cells_a"),
+          col("n_cells_b"), col("hl"))
+    }),
+
+    "q361_msprt" -> ((s, dir) => {
+      // always-valid sequential monitor per language, DEPLOYED shape:
+      // per-shard (doc_id % 8) moment partials fold to the exact
+      // one-shot moments (the 3-number monoid), msprtFromMoments on
+      // the folded store, one-shot oracle — the q329 receipt without
+      // another streaming replay
+      val docs = t(s, dir, "documents")
+      val partials = docs
+        .groupBy(col("lang"), (col("doc_id") % 8).as("__shard"))
+        .agg(count(lit(1)).as("n"),
+          gf.exact_sum(col("n_chars").cast("double")).as("s"),
+          gf.exact_sum(col("n_chars").cast("double")
+            * col("n_chars")).as("q"))
+      val folded = partials.groupBy(col("lang"))
+        .agg(sum("n").as("n"), sum("s").as("s"), sum("q").as("q"))
+      graft.ops.Drift.msprtFromMoments(folded, mu0 = 310.0, tau = 25.0)
+        .select(col("lang"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("var"), 6).as("var"),
+          round(col("log_lambda"), 6).as("log_lambda"),
+          round(col("p_always"), 6).as("p_always"))
+        .orderBy("lang")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -11325,6 +11399,100 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
              + (gt - e_gt) * (gt - e_gt) / e_gt END, 6) AS chi2_part
          FROM x
          ORDER BY category""",
+    "q358_kendall_tau" ->
+      """WITH f AS (SELECT (doc_id % 9)::DOUBLE AS x,
+             (2 * (doc_id % 9) + (doc_id * 7) % 5)::DOUBLE AS y
+           FROM documents),
+         cells AS (SELECT x, y, count(*)::BIGINT AS c
+           FROM f GROUP BY 1, 2),
+         pq AS (SELECT
+             sum(CASE WHEN b.x > a.x AND b.y > a.y
+               THEN a.c::HUGEINT * b.c ELSE 0 END) AS p,
+             sum(CASE WHEN b.x > a.x AND b.y < a.y
+               THEN a.c::HUGEINT * b.c ELSE 0 END) AS q
+           FROM cells a, cells b),
+         tx AS (SELECT sum(t * (t - 1) / 2) AS n1
+           FROM (SELECT sum(c)::HUGEINT AS t FROM cells GROUP BY x)),
+         ty AS (SELECT sum(t * (t - 1) / 2) AS n2
+           FROM (SELECT sum(c)::HUGEINT AS t FROM cells GROUP BY y)),
+         ns AS (SELECT sum(c)::HUGEINT AS n,
+             count(*)::BIGINT AS n_cells
+           FROM cells),
+         m AS (SELECT n, n_cells, p, q, n1, n2,
+             n * (n - 1) / 2 AS n0
+           FROM pq, tx, ty, ns)
+         SELECT n::BIGINT AS n, n_cells, p::BIGINT AS concordant,
+           q::BIGINT AS discordant,
+           round((p - q)::DOUBLE
+             / sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE), 6)
+             AS tau_b,
+           TRUE AS bucket_agree
+         FROM m""",
+    "q359_page_trend" ->
+      """WITH f AS (SELECT doc_id AS item, s.sy AS sys,
+             (doc_id * 31 + s.sy * 29) % 101 + s.sy * 3 AS v
+           FROM documents, (VALUES (0), (1), (2)) s(sy)),
+         r AS (SELECT item, sys,
+             2 * rank() OVER (PARTITION BY item ORDER BY v)
+               + count(*) OVER (PARTITION BY item, v) - 1 AS mr2
+           FROM f),
+         ps AS (SELECT sys, sum(mr2)::HUGEINT AS r2j
+           FROM r GROUP BY 1),
+         lsum AS (SELECT sum((sys + 1)::HUGEINT * r2j) AS l2 FROM ps),
+         sc AS (SELECT count(*)::BIGINT AS n FROM documents),
+         fin AS (SELECT n, l2::DOUBLE / 2 AS l,
+             n::DOUBLE * 3 * (3 + 1) * (3 + 1) / 4.0 AS e,
+             n::DOUBLE * 3 * 3 * (3 + 1) * (3 * 3 - 1) / 144.0 AS v
+           FROM lsum, sc)
+         SELECT n AS n_items, 3::BIGINT AS k, l, e AS e_l,
+           round(CASE WHEN v > 0 THEN (l - e) / sqrt(v) END, 6) AS z
+         FROM fin""",
+    "q360_hodges_lehmann" ->
+      """WITH f AS (SELECT
+             CASE WHEN doc_id % 2 = 0 THEN (doc_id * 11) % 83
+               ELSE (doc_id * 7) % 89 + 5 END::DOUBLE AS v,
+             doc_id % 2 = 0 AS a
+           FROM documents),
+         cells AS (SELECT v,
+             sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS fa,
+             sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS fb
+           FROM f GROUP BY 1),
+         diffs AS (SELECT a.v - b.v AS d,
+             sum(a.fa::HUGEINT * b.fb) AS w
+           FROM cells a, cells b
+           WHERE a.fa > 0 AND b.fb > 0
+           GROUP BY 1),
+         cum AS (SELECT d,
+             sum(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER () AS tot
+           FROM diffs),
+         med AS (SELECT min(d) AS hl FROM cum WHERE 2 * cw >= tot),
+         counts AS (SELECT sum(fa)::BIGINT AS na, sum(fb)::BIGINT AS nb,
+             sum(CASE WHEN fa > 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN fb > 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+           FROM cells)
+         SELECT na AS n_a, nb AS n_b, ca AS n_cells_a,
+           cb AS n_cells_b, hl
+         FROM med, counts""",
+    "q361_msprt" ->
+      """WITH m AS (SELECT lang, count(*)::BIGINT AS n,
+             sum(n_chars::DOUBLE) AS s,
+             sum(n_chars::DOUBLE * n_chars) AS q
+           FROM documents GROUP BY 1),
+         d AS (SELECT lang, n, s / n::DOUBLE AS mean,
+             (q - s * s / n::DOUBLE) / (n::DOUBLE - 1) AS var
+           FROM m),
+         f AS (SELECT lang, n, mean, var,
+             0.5 * ln(var / (var + n::DOUBLE * 625.0))
+               + n::DOUBLE * n::DOUBLE * 625.0 * (mean - 310.0)
+                 * (mean - 310.0)
+                 / (2.0 * var * (var + n::DOUBLE * 625.0)) AS ll
+           FROM d)
+         SELECT lang, n, round(mean, 6) AS mean, round(var, 6) AS var,
+           round(ll, 6) AS log_lambda,
+           round(least(1.0, exp(-ll)), 6) AS p_always
+         FROM f
+         ORDER BY lang""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

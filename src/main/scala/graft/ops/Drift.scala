@@ -1031,6 +1031,67 @@ object Drift {
           + (gtG - eGt) * (gtG - eGt) / eGt).as("chi2_part"))
   }
 
+  /** Mixture sequential probability ratio test (mSPRT; Robbins 1970,
+    * the Johari–Koomen–Pekelis–Walsh "always-valid inference" form) —
+    * the monitor a CONTINUOUSLY-watched metric needs: a fixed-horizon
+    * z-test peeked at every micro-batch inflates false alarms
+    * unboundedly, while the mSPRT p-value is valid at EVERY look by
+    * construction. H₀: μ = μ₀ against a N(μ₀, τ²) mixture of
+    * alternatives, with plug-in variance σ̂²:
+    *
+    *   ln Λ_n = ½·ln(σ̂²/(σ̂² + nτ²))
+    *            + n²τ²(x̄ − μ₀)² / (2σ̂²(σ̂² + nτ²))
+    *   p_n    = min(1, e^{−ln Λ_n})   (monotone non-increasing in Λ)
+    *
+    * The caller keeps the running minimum across looks (p is already
+    * conservative at each look; the running min preserves
+    * always-validity). Returns one row per group:
+    * `(groupCols…, n, mean, var, log_lambda, p_always)` —
+    * NULL log_lambda/p when n < 2 or σ̂² = 0 (a constant metric has no
+    * scale to test against). NULL values are refused work.
+    *
+    * Shape: ONE moment fold per group (count/Σx/Σx² through
+    * [[graft.api.functions.exact_sum]]) — the state is a 3-number
+    * monoid, which is what makes [[msprtFromMoments]] the streaming
+    * entry: fold micro-batch partials with a groupBy/sum and the
+    * result equals the one-shot test, bit-identically. */
+  def msprt(df: DataFrame, groupCols: Seq[String], value: Column,
+      mu0: Double, tau: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val v = value.cast("double")
+    msprtFromMoments(
+      df.where(v.isNotNull)
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n"), gf.exact_sum(v).as("s"),
+          gf.exact_sum(v * v).as("q")),
+      mu0, tau)
+  }
+
+  /** [[msprt]] from an ALREADY-AGGREGATED per-group moment table
+    * (columns n, s, q) — the monoid entry point: micro-batch partials
+    * fold with `groupBy(keys).agg(sum(n), sum(s), sum(q))` and the
+    * result equals the one-shot test. */
+  def msprtFromMoments(moments: DataFrame, mu0: Double, tau: Double)
+      : DataFrame = {
+    require(tau > 0, "mixture scale tau must be > 0")
+    val n = col("n").cast("double")
+    val mean = when(col("n") > 0, col("s") / n)
+    val vHat = when(col("n") >= 2,
+      (col("q") - col("s") * col("s") / n) / (n - 1))
+    val t2 = tau * tau
+    val dev = mean - lit(mu0)
+    val logLam = when(vHat > 0,
+      lit(0.5) * log(vHat / (vHat + n * t2))
+        + n * n * lit(t2) * dev * dev
+          / (lit(2.0) * vHat * (vHat + n * t2)))
+    moments.withColumn("mean", mean)
+      .withColumn("var", vHat)
+      .withColumn("log_lambda", logLam)
+      .withColumn("p_always",
+        when(logLam.isNotNull, least(lit(1.0), exp(-logLam))))
+      .drop("s", "q")
+  }
+
   /** Smoothed probability columns over the observed vocabulary. */
   private def smoothed(na: Long, nb: Long, v: Long, alpha: Double)
       : (Column, Column) =

@@ -1613,6 +1613,64 @@ object Eval {
       when(den > 0, chi2 / lit(nD * (kD - 1))).as("w"))
   }
 
+  /** Page's trend test (Page 1963) — [[friedmanTest]]'s ORDERED
+    * alternative over the same complete k-system design: Friedman asks
+    * "do the k model variants differ at all?"; Page spends all its
+    * power on "do the per-item ranks RISE in the declared system
+    * order" (checkpoint 1 < checkpoint 2 < … on eval score). Systems
+    * are ordered by their NUMERIC label ascending (the caller encodes
+    * the hypothesized order in the label — step index, data fraction,
+    * model size):
+    *
+    *   L = Σ_j c_j·R_j  (c_j = 1..k in label order, R_j = rank sum),
+    *   E = n·k(k+1)²/4,  Var = n·k²(k+1)(k²−1)/144,
+    *   z = (L − E)/√Var
+    *
+    * Midranks handle ties (the variance keeps the classic no-ties
+    * form — with heavy ties it is conservative; documented, not
+    * hidden). Returns one row `(n_items, k, l, e_l, z)` — z NULL when
+    * k < 2. Incomplete designs and duplicate cells fail fast
+    * ([[cochranQ]]'s contract). NULL cells are refused work.
+    *
+    * Shape: per-item rank windows (item-bounded partitions, one
+    * exchange), one k-bounded per-system fold collected driver-side
+    * (k systems ≤ dozens by design); rank sums stay integral as
+    * doubled midranks until the final assembly. */
+  def pageTrend(df: DataFrame, itemCol: Column, systemCol: Column,
+      scoreCol: Column): DataFrame = {
+    val v = scoreCol.cast("double")
+    val s = systemCol.cast("double")
+    val cells = df.where(itemCol.isNotNull && s.isNotNull &&
+        v.isNotNull)
+      .select(itemCol.as("__i"), s.as("__s"), v.as("__v"))
+      .localCheckpoint()
+    val (items, k) = checkCompleteBlocks(cells)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__i")).orderBy(col("__v"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__i"), col("__v"))
+    val ranked = cells
+      .withColumn("__mr2", lit(2) * rank().over(wRank)
+        + count(lit(1)).over(wTie) - 1)
+    val perSys = ranked.groupBy(col("__s"))
+      .agg(sum(col("__mr2")).as("__r2j"))
+      .orderBy(col("__s")).collect()
+      .map(r => r.getLong(r.fieldIndex("__r2j")))
+    val l2 = perSys.zipWithIndex
+      .map { case (r2, j) => BigInt(j + 1) * BigInt(r2) }.sum
+    val (nD, kD) = (items.toDouble, k.toDouble)
+    val l = l2.toDouble / 2.0
+    val e = nD * kD * (kD + 1) * (kD + 1) / 4.0
+    val varL = nD * kD * kD * (kD + 1) * (kD * kD - 1) / 144.0
+    oneRowE(df)(lit(items).as("n_items"), lit(k).as("k"),
+      lit(l).as("l"), lit(e).as("e_l"),
+      (if (varL > 0) lit((l - e) / math.sqrt(varL))
+       else lit(null).cast("double")).as("z"))
+  }
+
+  private def oneRowE(df: DataFrame)(cols: Column*): DataFrame =
+    df.sparkSession.range(1).select(cols: _*)
+
   /** Holm step-down FWER adjustment — [[bhAdjust]]'s stricter sibling
     * for the "EVERY flagged drift must be real" regime (FDR tolerates
     * a controlled fraction of false flags; familywise control

@@ -226,6 +226,150 @@ object Profile {
         covN / sqrt(varX) / sqrt(varY)).as("rho"))
   }
 
+  /** Exact Kendall's τ-b between two numeric columns — [[spearman]]'s
+    * pair-concordance sibling: ρ measures monotone association through
+    * rank VALUES (one discordant outlier far from the pack barely
+    * moves it), τ counts concordant-vs-discordant PAIRS, the quantity
+    * ranking evaluations actually care about ("how often does the
+    * quality score order two documents the way downstream loss
+    * does?"). With P concordant, Q discordant, and tie-aware
+    * normalization:
+    *
+    *   τ_b = (P − Q) / √((n₀ − n₁)(n₀ − n₂)),
+    *   n₀ = n(n−1)/2, n₁ = Σ_x t_x(t_x−1)/2, n₂ = Σ_y t_y(t_y−1)/2
+    *
+    * Returns one row `(n, n_cells, concordant, discordant, tau_b)` —
+    * P/Q as exact DECIMAL(38,0) receipts (pair counts overflow LONG
+    * past ~4·10⁹ rows), τ NULL when either axis is constant. Rows with
+    * NULL/NaN on either side are excluded listwise.
+    *
+    * Shape: ONE (x, y) count shuffle to distinct-pair cells — the
+    * corpus never moves. Pair counting is the classic
+    * Knight/BIT sweep over the CELL frame (cells sorted by x, a
+    * Fenwick tree over y-ranks), driver-side and O(C log C) on C =
+    * distinct (x, y) pairs, guarded by `maxCells` — the exact arm is
+    * for DISCRETE/bucketed axes (labels, grades, integer scores),
+    * where C is vocabulary-bounded at any corpus size. For continuous
+    * axes C is corpus-sized: use [[kendallTauBucketed]], whose grid is
+    * fixed-size by construction. */
+  def kendallTau(df: DataFrame, xCol: Column, yCol: Column,
+      maxCells: Long = 2000000L): DataFrame = {
+    val rows = df.select(xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        !isnan(col("__x")) && !isnan(col("__y")))
+    val cellsDf = rows.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__f")).localCheckpoint()
+    val c = cellsDf.count()
+    require(c <= maxCells,
+      s"$c distinct (x, y) cells exceed maxCells=$maxCells — " +
+        "continuous axes belong on kendallTauBucketed")
+    val cells = cellsDf.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    kendallFromCells(df, cells)
+  }
+
+  /** [[kendallTau]]'s PRODUCTION arm for CONTINUOUS axes — the §8.3
+    * dual-path convention: both axes are rank-bucketed into ≤`buckets`
+    * t-digest quantile bins (one side-tagged sketch pass, KB blobs),
+    * and τ_b is computed exactly ON THE GRID — a fixed
+    * buckets×buckets cell frame regardless of corpus size. Grid τ
+    * approximates raw τ: within-bucket orderings collapse to ties
+    * (rank error ~1/buckets; gate it against the exact arm on a
+    * discrete fixture — q358's receipt — don't assume it). Identical
+    * to the exact arm whenever each axis already has ≤ `buckets`
+    * distinct values landing in distinct bins. */
+  def kendallTauBucketed(df: DataFrame, xCol: Column, yCol: Column,
+      buckets: Int = 1024, compression: Double = 200.0): DataFrame = {
+    require(buckets >= 2 && buckets <= 4096,
+      "buckets must be in [2, 4096]")
+    val rows = df.select(xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        !isnan(col("__x")) && !isnan(col("__y")))
+      .localCheckpoint()
+    val digests = rows.agg(
+      gf.tdigest(col("__x"), lit(1.0), compression),
+      gf.tdigest(col("__y"), lit(1.0), compression)).head()
+    if (digests.isNullAt(0))
+      return kendallFromCells(df, Array.empty)
+    def edges(blob: Array[Byte]): Array[Double] = {
+      val t = graft.core.TDigest.deserialize(blob)
+      val qs = (1 until buckets)
+        .map(i => t.quantile(i.toDouble / buckets)).toArray
+      qs.distinct.sorted
+    }
+    val ex = edges(digests.getAs[Array[Byte]](0))
+    val ey = edges(digests.getAs[Array[Byte]](1))
+    // bucket index = count of edges strictly below the value: a pure
+    // broadcast-literal binary search, order-preserving by construction
+    def bucketOf(v: Column, es: Array[Double]): Column =
+      es.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(v > lit(e), 1).otherwise(0) }
+    val cells = rows.groupBy(
+        bucketOf(col("__x"), ex).as("__bx"),
+        bucketOf(col("__y"), ey).as("__by"))
+      .agg(count(lit(1)).as("__f")).collect()
+      .map(r => (r.getInt(0).toDouble, r.getInt(1).toDouble,
+        r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    kendallFromCells(df, cells)
+  }
+
+  /** Shared τ-b assembly from sorted (x, y, count) cells: Fenwick-tree
+    * concordance sweep + exact BigInt tie algebra. */
+  private def kendallFromCells(df: DataFrame,
+      cells: Array[(Double, Double, Long)]): DataFrame = {
+    val yRanks = cells.map(_._2).distinct.sorted.zipWithIndex.toMap
+    val bit = new Array[Long](yRanks.size + 1)
+    def bitAdd(i0: Int, v: Long): Unit = {
+      var i = i0 + 1
+      while (i < bit.length) { bit(i) += v; i += i & -i }
+    }
+    def bitSum(i0: Int): Long = { // inclusive prefix [0, i0]
+      var i = i0 + 1; var s = 0L
+      while (i > 0) { s += bit(i); i -= i & -i }
+      s
+    }
+    var conc = BigInt(0); var disc = BigInt(0)
+    var inserted = 0L
+    var i = 0
+    while (i < cells.length) {
+      var j = i // one x-group: query all, then insert all
+      while (j < cells.length && cells(j)._1 == cells(i)._1) {
+        val (_, y, f) = cells(j)
+        val yr = yRanks(y)
+        val less = bitSum(yr - 1)
+        val upto = bitSum(yr)
+        conc += BigInt(f) * less
+        disc += BigInt(f) * (inserted - upto)
+        j += 1
+      }
+      while (i < j) {
+        bitAdd(yRanks(cells(i)._2), cells(i)._3); inserted += cells(i)._3
+        i += 1
+      }
+    }
+    val n = BigInt(cells.map(_._3).sum)
+    def tiePairs(key: ((Double, Double, Long)) => Double): BigInt =
+      cells.groupBy(key).values
+        .map(g => { val t = BigInt(g.map(_._3).sum); t * (t - 1) / 2 })
+        .sum
+    val n0 = n * (n - 1) / 2
+    val (n1, n2) = (tiePairs(_._1), tiePairs(_._2))
+    val den = (n0 - n1).toDouble * (n0 - n2).toDouble
+    val tau: java.lang.Double =
+      if (den > 0) (conc - disc).toDouble / math.sqrt(den) else null
+    val spark = df.sparkSession
+    spark.range(1).select(lit(n.toLong).as("n"),
+      lit(cells.length.toLong).as("n_cells"),
+      lit(conc.toString).cast("decimal(38,0)").as("concordant"),
+      lit(disc.toString).cast("decimal(38,0)").as("discordant"),
+      (if (tau == null) lit(null).cast("double")
+       else lit(tau.doubleValue)).as("tau_b"))
+  }
+
   /** Clustering-agreement metrics between two labelings of the same
     * rows — "did my clusters rediscover the labels" (kmeans vs truth,
     * two dedup configurations, lang vs source): the Adjusted Rand

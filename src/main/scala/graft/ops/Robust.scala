@@ -484,4 +484,74 @@ object Robust {
       probeCol.cast("double") <=> col("__pk"), "left")
       .drop("__pk")
   }
+
+  /** Hodges–Lehmann two-sample shift estimator — the ROBUST "how much
+    * bigger is side A than side B": the median of all n_A·n_B pairwise
+    * differences a − b. Where mean(A) − mean(B) moves with one fat
+    * tail and median(A) − median(B) wastes the pairing, HL is the
+    * location shift [[graft.ops.Drift.mannWhitney]] tests — the
+    * natural effect-size companion to its z. The reported value is the
+    * weighted LOWER median of the difference distribution (smallest d
+    * with 2·F(d) ≥ 1 — a real attained difference, deterministic, and
+    * the convention an external SQL engine reproduces with one
+    * window). Returns one row `(n_a, n_b, n_cells_a, n_cells_b, hl)` —
+    * hl NULL when either side is empty. NULL values/sides are refused
+    * work.
+    *
+    * Shape: both sides reduce to distinct-value cell frames (one count
+    * shuffle); the difference distribution is the CELL cross join —
+    * C_A·C_B rows, guarded by `maxCellPairs` — with multiplicities
+    * f_a·f_b folded per distinct difference in DECIMAL(38,18) (exact:
+    * weights are integers; products overflow LONG past ~3·10⁹ rows per
+    * side), and the weighted median from the distributed two-level
+    * decimal prefix sum. The exact arm is for DISCRETE/bucketed values
+    * (integer scores, grades) where the cell frames are
+    * vocabulary-bounded at any corpus size; for continuous values
+    * bucket first (the [[quantileNormalizeSketch]] dual-path
+    * convention). */
+  def hodgesLehmann(df: DataFrame, value: Column, isA: Column,
+      maxCellPairs: Long = 10000000L): DataFrame = {
+    val v = value.cast("double")
+    val a = isA.cast("boolean")
+    val base = df.where(v.isNotNull && a.isNotNull)
+      .select(v.as("__v"), a.as("__a"))
+    val cells = base.groupBy(col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__fa"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__fb"))
+      .localCheckpoint()
+    val m = cells.agg(
+      coalesce(sum(col("__fa")), lit(0L)),
+      coalesce(sum(col("__fb")), lit(0L)),
+      count(when(col("__fa") > 0, 1)),
+      count(when(col("__fb") > 0, 1))).collect()(0)
+    val (na, nb) = (m.getLong(0), m.getLong(1))
+    val (ca, cb) = (m.getLong(2), m.getLong(3))
+    require(ca * cb <= maxCellPairs,
+      s"$ca x $cb distinct-value cells exceed maxCellPairs=" +
+        s"$maxCellPairs — bucket continuous values first")
+    val spark = df.sparkSession
+    if (na == 0 || nb == 0)
+      return spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(ca).as("n_cells_a"), lit(cb).as("n_cells_b"),
+        lit(null).cast("double").as("hl"))
+    val dec = "decimal(38,18)"
+    val ac = cells.where(col("__fa") > 0)
+      .select(col("__v").as("__va"), col("__fa"))
+    val bc = cells.where(col("__fb") > 0)
+      .select(col("__v").as("__vb"), col("__fb"))
+    val diffs = ac.crossJoin(bc)
+      .groupBy((col("__va") - col("__vb")).as("__d"))
+      .agg(sum(col("__fa").cast(dec) * col("__fb").cast(dec))
+        .cast(dec).as("__w"))
+    val cum = Packing.withPrefixSumsDec(diffs, Seq("__d"),
+      Seq("__w" -> "__cw"))
+    val tot = java.math.BigDecimal.valueOf(na)
+      .multiply(java.math.BigDecimal.valueOf(nb))
+    val hl = cum
+      .where(col("__cw") * 2 >= lit(tot).cast(dec))
+      .agg(min(col("__d"))).collect()(0).getDouble(0)
+    spark.range(1).select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(ca).as("n_cells_a"), lit(cb).as("n_cells_b"),
+      lit(hl).as("hl"))
+  }
 }

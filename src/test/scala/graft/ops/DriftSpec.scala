@@ -710,6 +710,41 @@ class DriftSpec extends SparkTestBase {
     assert(r1.isNullAt(r1.fieldIndex("t")))
   }
 
+  test("msprt: closed-form check; micro-batch moment folds equal the " +
+      "one-shot test; constant metric refused NULL") {
+    import spark.implicits._
+    val xs = (1 to 60).map(i => ("g", ((i * 7) % 13).toDouble + 2.0))
+    val df = xs.toDF("g", "v")
+    val r = Drift.msprt(df, Seq("g"), col("v"), mu0 = 6.0, tau = 0.5)
+      .head()
+    val n = xs.size.toDouble
+    val mean = xs.map(_._2).sum / n
+    val vr = xs.map(x => (x._2 - mean) * (x._2 - mean)).sum / (n - 1)
+    val t2 = 0.25
+    val ref = 0.5 * math.log(vr / (vr + n * t2)) +
+      n * n * t2 * (mean - 6.0) * (mean - 6.0) / (2 * vr * (vr + n * t2))
+    assert(math.abs(r.getDouble(r.fieldIndex("log_lambda")) - ref) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("p_always"))
+      - math.min(1.0, math.exp(-ref))) < 1e-12)
+    // monoid: two-batch folded moments == one-shot
+    val (b1, b2) = xs.splitAt(25)
+    val parts = Seq(b1, b2).map(s => s.toDF("g", "v")
+        .groupBy("g").agg(count(lit(1)).as("n"),
+          graft.api.functions.exact_sum(col("v")).as("s"),
+          graft.api.functions.exact_sum(col("v") * col("v")).as("q")))
+      .reduce(_ union _)
+      .groupBy("g").agg(sum("n").as("n"), sum("s").as("s"),
+        sum("q").as("q"))
+    val folded = Drift.msprtFromMoments(parts, 6.0, 0.5).head()
+    assert(folded.getDouble(folded.fieldIndex("log_lambda"))
+      == r.getDouble(r.fieldIndex("log_lambda")))
+    // constant metric: var 0 -> NULLs
+    val c = (1 to 9).map(_ => ("g", 4.0)).toDF("g", "v")
+    val rc = Drift.msprt(c, Seq("g"), col("v"), 4.0, 0.5).head()
+    assert(rc.isNullAt(rc.fieldIndex("log_lambda")))
+    assert(rc.isNullAt(rc.fieldIndex("p_always")))
+  }
+
   test("moodsMedian: hand-worked 2x2; lower-median convention; " +
       "degenerate corpus") {
     import spark.implicits._

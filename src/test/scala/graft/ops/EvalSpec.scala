@@ -1355,4 +1355,26 @@ class EvalSpec extends SparkTestBase {
       Eval.fisherExact(big, col("arm"), col("ok"), maxSupport = 10L)
     }
   }
+
+  test("pageTrend: hand-worked rising design; reversed order flips L; " +
+      "incomplete design refused") {
+    import spark.implicits._
+    // 2 items x 3 systems, scores rise with system label:
+    // R = (2,4,6), L = 2+8+18 = 28, E = 24, Var = 4, z = 2
+    val df = Seq((1, 0.0, 1.0), (1, 1.0, 2.0), (1, 2.0, 3.0),
+      (2, 0.0, 2.0), (2, 1.0, 4.0), (2, 2.0, 6.0))
+      .toDF("item", "sys", "v")
+    val r = Eval.pageTrend(df, col("item"), col("sys"), col("v")).head()
+    assert(r.getDouble(r.fieldIndex("l")) == 28.0)
+    assert(r.getDouble(r.fieldIndex("e_l")) == 24.0)
+    assert(r.getDouble(r.fieldIndex("z")) == 2.0)
+    // reversing the hypothesized order mirrors L around E
+    val rev = Eval.pageTrend(df, col("item"), -col("sys"), col("v"))
+      .head()
+    assert(rev.getDouble(rev.fieldIndex("l")) == 20.0)
+    assert(rev.getDouble(rev.fieldIndex("z")) == -2.0)
+    intercept[IllegalArgumentException] {
+      Eval.pageTrend(df.limit(5), col("item"), col("sys"), col("v"))
+    }
+  }
 }

@@ -373,4 +373,77 @@ class ProfileSpec extends SparkTestBase {
     val rf = Profile.anovaF(flat, col("g"), col("v")).head()
     assert(math.abs(rf.getDouble(rf.fieldIndex("f"))) < 1e-9)
   }
+
+  test("kendallTau: brute pairwise agreement with ties; perfect and " +
+      "reversed orders; constant-axis guard; cell guard") {
+    import spark.implicits._
+    def brute(pts: Seq[(Double, Double)]): (Long, Long, Double) = {
+      var p = 0L; var q = 0L; var tx = 0L; var ty = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.size) {
+        val sx = math.signum(pts(j)._1 - pts(i)._1)
+        val sy = math.signum(pts(j)._2 - pts(i)._2)
+        if (sx * sy > 0) p += 1
+        else if (sx * sy < 0) q += 1
+        if (sx == 0 && sy != 0) tx += 1
+        if (sy == 0 && sx != 0) ty += 1
+      }
+      val n = pts.size.toLong
+      val n0 = n * (n - 1) / 2
+      val txy = n0 - p - q - tx - ty
+      val tau = (p - q).toDouble /
+        math.sqrt((n0 - tx - txy).toDouble * (n0 - ty - txy).toDouble)
+      (p, q, tau)
+    }
+    val pts = (1 to 150).map(i =>
+      (((i * 13) % 11).toDouble, ((i * 7) % 13 + (i % 11)).toDouble))
+    val df = pts.toDF("x", "y")
+    val r = Profile.kendallTau(df, col("x"), col("y")).head()
+    val (p, q, tau) = brute(pts)
+    assert(r.getDecimal(r.fieldIndex("concordant")).longValue == p)
+    assert(r.getDecimal(r.fieldIndex("discordant")).longValue == q)
+    assert(math.abs(r.getDouble(r.fieldIndex("tau_b")) - tau) < 1e-12)
+    // perfect monotone: tau = 1; reversed: -1
+    val mono = (1 to 30).map(i => (i.toDouble, (i * i).toDouble))
+    val rm = Profile.kendallTau(mono.toDF("x", "y"), col("x"), col("y"))
+      .head()
+    assert(rm.getDouble(rm.fieldIndex("tau_b")) == 1.0)
+    val rev = (1 to 30).map(i => (i.toDouble, -i.toDouble))
+    val rr = Profile.kendallTau(rev.toDF("x", "y"), col("x"), col("y"))
+      .head()
+    assert(rr.getDouble(rr.fieldIndex("tau_b")) == -1.0)
+    // constant y: denominator 0 -> NULL
+    val flat = (1 to 10).map(i => (i.toDouble, 1.0))
+    val rc = Profile.kendallTau(flat.toDF("x", "y"), col("x"), col("y"))
+      .head()
+    assert(rc.isNullAt(rc.fieldIndex("tau_b")))
+    intercept[IllegalArgumentException] {
+      Profile.kendallTau(df, col("x"), col("y"), maxCells = 5L)
+    }
+  }
+
+  test("kendallTauBucketed: equals the exact arm on a discrete grid; " +
+      "tracks it closely on continuous data") {
+    import spark.implicits._
+    val disc = (1 to 400).map(i =>
+      (((i * 13) % 7).toDouble, ((i * 5) % 9 + (i % 7)).toDouble))
+    val df = disc.toDF("x", "y")
+    val ex = Profile.kendallTau(df, col("x"), col("y")).head()
+    val bu = Profile.kendallTauBucketed(df, col("x"), col("y"),
+      buckets = 64).head()
+    assert(bu.getDouble(bu.fieldIndex("tau_b"))
+      == ex.getDouble(ex.fieldIndex("tau_b")),
+      "bucketed must equal exact when bins separate the support")
+    // continuous: correlated lattice, tau within grid tolerance
+    val cont = (1 to 2000).map { i =>
+      val x = (i * 137 % 1999).toDouble / 1999
+      (x, x * 0.8 + ((i * 31) % 101).toDouble / 101 * 0.4)
+    }
+    val cdf = cont.toDF("x", "y")
+    val ce = Profile.kendallTau(cdf, col("x"), col("y"),
+      maxCells = 5000L).head()
+    val cb = Profile.kendallTauBucketed(cdf, col("x"), col("y"),
+      buckets = 256).head()
+    assert(math.abs(cb.getDouble(cb.fieldIndex("tau_b"))
+      - ce.getDouble(ce.fieldIndex("tau_b"))) < 0.02)
+  }
 }

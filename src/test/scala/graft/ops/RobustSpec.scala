@@ -217,4 +217,34 @@ class RobustSpec extends SparkTestBase {
     val worst = both.agg(max(abs(col("cs") - col("ce")))).head.getDouble(0)
     assert(worst < 0.05, s"target-cdf displacement $worst >= 0.05")
   }
+
+  test("hodgesLehmann: hand-worked pairwise-difference medians; brute " +
+      "agreement with multiplicities; empty side; pair guard") {
+    import spark.implicits._
+    // A={1,2}, B={5,7}: diffs sorted -6,-5,-4,-3 -> lower median -5
+    val df = Seq((1.0, true), (2.0, true), (5.0, false), (7.0, false))
+      .toDF("v", "a")
+    val r = Robust.hodgesLehmann(df, col("v"), col("a")).head()
+    assert(r.getDouble(r.fieldIndex("hl")) == -5.0)
+    // multiplicities: A={0,0,2}, B={1}: diffs -1 (w2), 1 (w1) -> -1
+    val t = Seq((0.0, true), (0.0, true), (2.0, true), (1.0, false))
+      .toDF("v", "a")
+    val rt = Robust.hodgesLehmann(t, col("v"), col("a")).head()
+    assert(rt.getDouble(rt.fieldIndex("hl")) == -1.0)
+    // brute agreement on a mixed lattice
+    val as = (1 to 35).map(i => ((i * 13) % 9).toDouble)
+    val bs = (1 to 27).map(i => ((i * 5) % 11).toDouble)
+    val big = (as.map((_, true)) ++ bs.map((_, false))).toDF("v", "a")
+    val rb = Robust.hodgesLehmann(big, col("v"), col("a")).head()
+    val diffs = (for (x <- as; y <- bs) yield x - y).sorted
+    val lower = diffs((diffs.length - 1) / 2)
+    assert(rb.getDouble(rb.fieldIndex("hl")) == lower)
+    // one empty side: hl NULL
+    val e = Seq((1.0, true)).toDF("v", "a")
+    val re = Robust.hodgesLehmann(e, col("v"), col("a")).head()
+    assert(re.isNullAt(re.fieldIndex("hl")))
+    intercept[IllegalArgumentException] {
+      Robust.hodgesLehmann(big, col("v"), col("a"), maxCellPairs = 3L)
+    }
+  }
 }
