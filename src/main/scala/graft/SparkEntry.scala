@@ -2631,6 +2631,34 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q362_anderson_darling" -> ((s, dir) => {
+      // k-sample tail-weighted omnibus: three slices, two of them
+      // shifted by construction, heavy ties; the oracle replays the
+      // doubled-midrank cell algebra with explicit per-group pivots
+      val docs = t(s, dir, "documents")
+        .select((col("doc_id") % 3).cast("string").as("g"),
+          ((col("doc_id") * 7) % 40 + lit(2) * (col("doc_id") % 3))
+            .cast("double").as("v"))
+      graft.ops.Drift.andersonDarlingK(docs, col("g"), col("v"))
+        .select(col("n"), col("k"), round(col("a2"), 6).as("a2"),
+          col("e_a2"))
+    }),
+
+    "q363_theil_sen" -> ((s, dir) => {
+      // robust per-language trend of a lattice series with 29%-
+      // breakdown pairwise slopes; lower-median convention
+      val docs = t(s, dir, "documents")
+        .select(col("lang").as("g"),
+          (col("doc_id") % 37).cast("double").as("x"),
+          (lit(2) * (col("doc_id") % 37) + (col("doc_id") * 7) % 5)
+            .cast("double").as("y"))
+      graft.ops.Robust.theilSen(docs, col("g"), col("x"), col("y"),
+          maxGroupRows = 20000L)
+        .select(col("group"), col("n"), col("n_pairs"),
+          round(col("slope"), 6).as("slope"))
+        .orderBy("group")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -11493,6 +11521,83 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(least(1.0, exp(-ll)), 6) AS p_always
          FROM f
          ORDER BY lang""",
+    "q362_anderson_darling" ->
+      """WITH f AS (SELECT (doc_id % 3)::VARCHAR AS g,
+             ((doc_id * 7) % 40 + 2 * (doc_id % 3))::DOUBLE AS v
+           FROM documents),
+         cells AS (SELECT g, v, count(*)::BIGINT AS c
+           FROM f GROUP BY 1, 2),
+         byv AS (SELECT v,
+             sum(CASE WHEN g = '0' THEN c ELSE 0 END)::BIGINT AS f0,
+             sum(CASE WHEN g = '1' THEN c ELSE 0 END)::BIGINT AS f1,
+             sum(CASE WHEN g = '2' THEN c ELSE 0 END)::BIGINT AS f2
+           FROM cells GROUP BY 1),
+         cum AS (SELECT v, f0, f1, f2,
+             sum(f0) OVER w AS c0, sum(f1) OVER w AS c1,
+             sum(f2) OVER w AS c2
+           FROM byv
+           WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         gt AS (SELECT sum(f0)::BIGINT AS n0, sum(f1)::BIGINT AS n1,
+             sum(f2)::BIGINT AS n2
+           FROM byv),
+         ns AS (SELECT n0, n1, n2, (n0 + n1 + n2)::BIGINT AS nn
+           FROM gt),
+         terms AS (SELECT
+             (f0 + f1 + f2)::DOUBLE AS hj,
+             (2 * (c0 + c1 + c2) - (f0 + f1 + f2))::DOUBLE AS bj2,
+             (1.0 / n0::DOUBLE) * ((nn::DOUBLE * (2 * c0 - f0)::DOUBLE
+               - n0::DOUBLE * (2 * (c0 + c1 + c2)
+                 - (f0 + f1 + f2))::DOUBLE)
+               * (nn::DOUBLE * (2 * c0 - f0)::DOUBLE
+                 - n0::DOUBLE * (2 * (c0 + c1 + c2)
+                   - (f0 + f1 + f2))::DOUBLE))
+             + (1.0 / n1::DOUBLE) * ((nn::DOUBLE * (2 * c1 - f1)::DOUBLE
+               - n1::DOUBLE * (2 * (c0 + c1 + c2)
+                 - (f0 + f1 + f2))::DOUBLE)
+               * (nn::DOUBLE * (2 * c1 - f1)::DOUBLE
+                 - n1::DOUBLE * (2 * (c0 + c1 + c2)
+                   - (f0 + f1 + f2))::DOUBLE))
+             + (1.0 / n2::DOUBLE) * ((nn::DOUBLE * (2 * c2 - f2)::DOUBLE
+               - n2::DOUBLE * (2 * (c0 + c1 + c2)
+                 - (f0 + f1 + f2))::DOUBLE)
+               * (nn::DOUBLE * (2 * c2 - f2)::DOUBLE
+                 - n2::DOUBLE * (2 * (c0 + c1 + c2)
+                   - (f0 + f1 + f2))::DOUBLE)) AS tsum,
+             nn
+           FROM cum, ns),
+         cellterm AS (SELECT nn,
+             CASE WHEN bj2 * (2.0 * nn::DOUBLE - bj2)
+                 - nn::DOUBLE * hj > 0
+               THEN hj * tsum / (bj2 * (2.0 * nn::DOUBLE - bj2)
+                 - nn::DOUBLE * hj) END AS ct
+           FROM terms),
+         agg AS (SELECT max(nn) AS nn, sum(ct) AS s FROM cellterm)
+         SELECT nn AS n, 3::BIGINT AS k,
+           round(s * ((nn::DOUBLE - 1) / (nn::DOUBLE * nn::DOUBLE)), 6)
+             AS a2,
+           2.0 AS e_a2
+         FROM agg""",
+    "q363_theil_sen" ->
+      """WITH f AS (SELECT lang AS g, (doc_id % 37)::DOUBLE AS x,
+             (2 * (doc_id % 37) + (doc_id * 7) % 5)::DOUBLE AS y
+           FROM documents),
+         sizes AS (SELECT g, count(*)::BIGINT AS n FROM f GROUP BY 1),
+         slopes AS (SELECT a.g, (b.y - a.y) / (b.x - a.x) AS s
+           FROM f a JOIN f b ON a.g = b.g AND a.x < b.x),
+         cells AS (SELECT g, s, count(*)::BIGINT AS c
+           FROM slopes GROUP BY 1, 2),
+         cum AS (SELECT g, s, c,
+             sum(c) OVER (PARTITION BY g ORDER BY s
+               ROWS UNBOUNDED PRECEDING) AS cc,
+             sum(c) OVER (PARTITION BY g) AS np
+           FROM cells),
+         med AS (SELECT g, min(np)::BIGINT AS n_pairs,
+             min(CASE WHEN 2 * cc >= np THEN s END) AS slope
+           FROM cum GROUP BY 1)
+         SELECT sizes.g AS "group", sizes.n, med.n_pairs,
+           round(med.slope, 6) AS slope
+         FROM sizes JOIN med ON sizes.g = med.g
+         ORDER BY sizes.g""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

@@ -1031,6 +1031,85 @@ object Drift {
           + (gtG - eGt) * (gtG - eGt) / eGt).as("chi2_part"))
   }
 
+  /** k-sample Anderson–Darling test (Scholz & Stephens 1987, the
+    * tie-adjusted A²_akN) — the omnibus heavy-tail-sensitive member of
+    * the drift battery: [[ksTest]] scores the single worst CDF gap,
+    * [[cramerVonMises]] the mean-squared gap, AD weights the gaps by
+    * 1/(F(1−F)) so TAIL disagreements — exactly where quality-score
+    * and loss distributions go wrong — register at full strength, and
+    * it takes k slices at once. Over the pooled distinct values z_j
+    * (counts h_j, mid-adjusted pooled cumulative B_aj = B_j − h_j/2,
+    * per-sample M_aij = M_ij − h_ij/2):
+    *
+    *   A² = (N−1)/N² · Σ_i (1/n_i) Σ_j h_j ·
+    *        (N·M_aij − n_i·B_aj)² / (B_aj(N−B_aj) − N·h_j/4)
+    *
+    * E[A²] = k−1 under H₀. Returns one row `(n, k, a2, e_a2)` — a2
+    * NULL when the pooled column is constant (single distinct value:
+    * every denominator vanishes). The standardized T_N and its
+    * p-value need harmonic-sum constants whose exact evaluation is an
+    * O(N) driver loop — corpus-unbounded, so this op reports the
+    * exact statistic and its H₀ mean instead (compare A²/(k−1) across
+    * slices, or standardize externally at known N). NULL
+    * groups/values are refused work; groups are collected under
+    * `maxGroups` (slices are a handful by design).
+    *
+    * Shape: [[jonckheereTerpstra]]'s recipe — one (group, value) count
+    * shuffle, k per-group cumulative layers in ONE
+    * [[Packing.withPrefixSumsLong]] two-level pass, per-cell terms
+    * folded scan-side through [[graft.api.functions.exact_sum]] —
+    * fully parallel on a corpus-sized cell frame, bit-identical on any
+    * partitioning. */
+  def andersonDarlingK(df: DataFrame, groupCol: Column, value: Column,
+      maxGroups: Int = 64): DataFrame = {
+    val g = groupCol.cast("string")
+    val v = value.cast("double")
+    val base = df.where(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), v.as("__v"))
+    val cells = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__f")).localCheckpoint()
+    val gTotals = cells.groupBy(col("__g"))
+      .agg(sum(col("__f")).as("__n")).orderBy(col("__g"))
+      .limit(maxGroups + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(gTotals.length >= 2, "need at least 2 groups")
+    require(gTotals.length <= maxGroups,
+      s"more than maxGroups=$maxGroups groups")
+    val k = gTotals.length
+    val byV = cells.groupBy(col("__v")).agg(
+      coalesce(sum(when(col("__g") === gTotals(0)._1, col("__f"))),
+        lit(0L)).as("__f0"),
+      (1 until k).map(i =>
+        coalesce(sum(when(col("__g") === gTotals(i)._1, col("__f"))),
+          lit(0L)).as(s"__f$i")): _*)
+    val cum = Packing.withPrefixSumsLong(byV, Seq("__v"),
+      sums = (0 until k).map(i => s"__f$i" -> s"__c$i"))
+    val nTot = gTotals.map(_._2).sum
+    val nD = nTot.toDouble
+    // doubled mid-adjusted counts keep everything integral until the
+    // final double assembly: 2B_aj = 2B_j − h_j, 2M_aij = 2M_ij − h_ij
+    val hj = (0 until k).map(i => col(s"__f$i")).reduce(_ + _)
+    val bj2 = lit(2) * (0 until k).map(i => col(s"__c$i"))
+      .reduce(_ + _) - hj
+    val term = (0 until k).map { i =>
+      val ni = gTotals(i)._2.toDouble
+      val mi2 = (lit(2) * col(s"__c$i") - col(s"__f$i")).cast("double")
+      val num = lit(nD) * mi2 - lit(ni) * bj2.cast("double")
+      (lit(1.0) / ni) * (num * num)
+    }.reduce(_ + _)
+    val den = bj2.cast("double") *
+      (lit(2.0) * nD - bj2.cast("double")) -
+      lit(nD) * hj.cast("double")
+    val agg = cum.agg(gf.exact_sum(
+      when(den > 0, hj.cast("double") * term / den)).as("__s"))
+    // the doubled quantities carry 4x in num^2 and 4x in den: cancels;
+    // the den above is 4*(B(N−B) − Nh/4)
+    val a2 = when(lit(nTot) >= 2 && col("__s").isNotNull,
+      col("__s") * lit((nD - 1) / (nD * nD)))
+    agg.select(lit(nTot).as("n"), lit(k.toLong).as("k"),
+      a2.as("a2"), lit((k - 1).toDouble).as("e_a2"))
+  }
+
   /** Mixture sequential probability ratio test (mSPRT; Robbins 1970,
     * the Johari–Koomen–Pekelis–Walsh "always-valid inference" form) —
     * the monitor a CONTINUOUSLY-watched metric needs: a fixed-horizon

@@ -485,6 +485,63 @@ object Robust {
       .drop("__pk")
   }
 
+  /** Theil–Sen slope estimator per group — the ROBUST trend: the
+    * median of all pairwise slopes (y_j − y_i)/(x_j − x_i) over pairs
+    * with distinct x. Where an OLS slope of quality-over-time follows
+    * one bad week, Theil–Sen has a 29% breakdown point; this is the
+    * "is this source actually degrading" number a drift dashboard
+    * should chart next to [[graft.ops.Drift.ewmaMonitor]] flags. The
+    * reported slope is the LOWER median of the slope distribution
+    * (smallest s with 2·F(s) ≥ P — deterministic, SQL-reproducible).
+    * Returns one row per group `(group, n, n_pairs, slope)` — slope
+    * NULL when no pair has distinct x. NULL x/y are refused work.
+    *
+    * Shape: a per-group self-join materializes the pair frame — pairs
+    * are O(m²) in the group size m, so groups are guarded by
+    * `maxGroupRows` (fail fast; Theil–Sen is a per-series trend over
+    * checkpoints/days, not a corpus regression — at m = 10⁴ that is
+    * 5·10⁷ pair rows per group, distributed). The per-group weighted
+    * median runs through [[Packing.groupedPrefixSumLong]]'s two-level
+    * pass — no global window, no per-group buffering. */
+  def theilSen(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column, maxGroupRows: Long = 10000L): DataFrame = {
+    val x = xCol.cast("double")
+    val y = yCol.cast("double")
+    val base = df.where(groupCol.isNotNull && x.isNotNull &&
+        y.isNotNull)
+      .select(groupCol.as("group"), x.as("__x"), y.as("__y"))
+      .localCheckpoint()
+    val sizes = base.groupBy(col("group")).agg(count(lit(1)).as("n"))
+    val worst = sizes.agg(coalesce(max(col("n")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(worst <= maxGroupRows,
+      s"largest group has $worst rows > maxGroupRows=$maxGroupRows — " +
+        "Theil-Sen pairs are O(m^2); bucket the series first")
+    val l = base.select(col("group"), col("__x").as("__xl"),
+      col("__y").as("__yl"))
+    val r = base.select(col("group").as("__gr"),
+      col("__x").as("__xr"), col("__y").as("__yr"))
+    val slopes = l.join(r,
+        col("group") === col("__gr") && col("__xl") < col("__xr"))
+      .select(col("group"),
+        ((col("__yr") - col("__yl")) / (col("__xr") - col("__xl")))
+          .as("__s"))
+    val cells = slopes.groupBy(col("group"), col("__s"))
+      .agg(count(lit(1)).as("__f"))
+    val cum = Packing.groupedPrefixSumLong(cells, col("group"),
+      col("__s"), lit(0), col("__f"), "__cum")
+    val tots = cells.groupBy(col("group"))
+      .agg(sum(col("__f")).as("n_pairs"))
+    val med = cum.join(tots, Seq("group"))
+      .where(lit(2) * col("__cum") >= col("n_pairs"))
+      .groupBy(col("group"))
+      .agg(min(col("__s")).as("slope"), max(col("n_pairs"))
+        .as("n_pairs"))
+    sizes.join(med, Seq("group"), "left")
+      .select(col("group"), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
+  }
+
   /** Hodges–Lehmann two-sample shift estimator — the ROBUST "how much
     * bigger is side A than side B": the median of all n_A·n_B pairwise
     * differences a − b. Where mean(A) − mean(B) moves with one fat

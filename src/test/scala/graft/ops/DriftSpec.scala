@@ -745,6 +745,60 @@ class DriftSpec extends SparkTestBase {
     assert(rc.isNullAt(rc.fieldIndex("p_always")))
   }
 
+  test("andersonDarlingK: brute formula agreement with ties; identical " +
+      "sides near zero; constant corpus NULL; partition invariance") {
+    import spark.implicits._
+    // independent sequential reference from the ORIGINAL (non-doubled)
+    // Scholz-Stephens tie-adjusted formula
+    def brute(data: Seq[(String, Double)]): Double = {
+      val groups = data.map(_._1).distinct.sorted
+      val n = data.size.toDouble
+      val zs = data.map(_._2).distinct.sorted
+      var s = 0.0
+      for (g <- groups) {
+        val ni = data.count(_._1 == g).toDouble
+        var acc = 0.0
+        for (z <- zs) {
+          val hj = data.count(_._2 == z).toDouble
+          val bj = data.count(_._2 <= z).toDouble
+          val hij = data.count(d => d._1 == g && d._2 == z).toDouble
+          val mij = data.count(d => d._1 == g && d._2 <= z).toDouble
+          val ba = bj - hj / 2
+          val ma = mij - hij / 2
+          val den = ba * (n - ba) - n * hj / 4
+          if (den > 0)
+            acc += hj * math.pow(n * ma - ni * ba, 2) / den
+        }
+        s += acc / ni
+      }
+      (n - 1) / (n * n) * s
+    }
+    val data = (1 to 120).map(i =>
+      (s"g${i % 3}", ((i * 7) % 17 + (i % 3) * 2).toDouble))
+    val df = data.toDF("g", "v")
+    val r = Drift.andersonDarlingK(df, col("g"), col("v")).head()
+    val ref = brute(data)
+    assert(math.abs(r.getDouble(r.fieldIndex("a2")) - ref) < 1e-9,
+      s"got ${r.getDouble(r.fieldIndex("a2"))} ref $ref")
+    assert(r.getDouble(r.fieldIndex("e_a2")) == 2.0)
+    // identical slices: A2 well below its H0 mean neighborhood's tail
+    val same = (1 to 90).map(i => (s"g${i % 3}", ((i / 3) % 10).toDouble))
+    val rs = Drift.andersonDarlingK(same.toDF("g", "v"), col("g"),
+      col("v")).head()
+    assert(math.abs(rs.getDouble(rs.fieldIndex("a2")) - brute(same))
+      < 1e-9)
+    // constant corpus: single distinct value -> NULL
+    val const = Seq(("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    val rc = Drift.andersonDarlingK(const, col("g"), col("v")).head()
+    assert(rc.isNullAt(rc.fieldIndex("a2")))
+    // partition invariance (exact_sum fold)
+    val a = Drift.andersonDarlingK(df.repartition(1), col("g"), col("v"))
+      .head().toString
+    val b = Drift.andersonDarlingK(df.repartition(13), col("g"),
+      col("v")).head().toString
+    assert(a == b)
+  }
+
   test("moodsMedian: hand-worked 2x2; lower-median convention; " +
       "degenerate corpus") {
     import spark.implicits._

@@ -247,4 +247,39 @@ class RobustSpec extends SparkTestBase {
       Robust.hodgesLehmann(big, col("v"), col("a"), maxCellPairs = 3L)
     }
   }
+
+  test("theilSen: exact line recovered; outlier robustness; brute " +
+      "lower-median agreement; vertical-only group NULL; size guard") {
+    import spark.implicits._
+    // perfect line y = 3x + 1 -> every pairwise slope is exactly 3
+    val line = (1 to 20).map(i => ("a", i.toDouble, 3.0 * i + 1))
+    val rl = Robust.theilSen(line.toDF("g", "x", "y"), col("g"),
+      col("x"), col("y")).head()
+    assert(rl.getDouble(rl.fieldIndex("slope")) == 3.0)
+    assert(rl.getLong(rl.fieldIndex("n_pairs")) == 190L)
+    // one wild outlier barely moves the median slope
+    val out = line :+ (("a", 21.0, 1000.0))
+    val ro = Robust.theilSen(out.toDF("g", "x", "y"), col("g"),
+      col("x"), col("y")).head()
+    assert(ro.getDouble(ro.fieldIndex("slope")) == 3.0)
+    // brute agreement on a noisy lattice, per group
+    val pts = (1 to 40).map(i => ("b", (i % 13).toDouble,
+      (2 * (i % 13) + (i * 7) % 5).toDouble))
+    val rb = Robust.theilSen(pts.toDF("g", "x", "y"), col("g"),
+      col("x"), col("y")).head()
+    val slopes = (for {
+      (_, x1, y1) <- pts; (_, x2, y2) <- pts; if x1 < x2
+    } yield (y2 - y1) / (x2 - x1)).sorted
+    assert(rb.getDouble(rb.fieldIndex("slope"))
+      == slopes((slopes.length - 1) / 2))
+    // all x equal: no usable pair -> NULL slope, n_pairs 0
+    val vert = Seq(("c", 1.0, 2.0), ("c", 1.0, 5.0)).toDF("g", "x", "y")
+    val rv = Robust.theilSen(vert, col("g"), col("x"), col("y")).head()
+    assert(rv.isNullAt(rv.fieldIndex("slope")))
+    assert(rv.getLong(rv.fieldIndex("n_pairs")) == 0L)
+    intercept[IllegalArgumentException] {
+      Robust.theilSen(pts.toDF("g", "x", "y"), col("g"), col("x"),
+        col("y"), maxGroupRows = 5L)
+    }
+  }
 }
