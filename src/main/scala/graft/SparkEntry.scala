@@ -2659,6 +2659,36 @@ object SparkEntry {
         .orderBy("group")
     }),
 
+    "q364_species_profile" -> ((s, dir) => {
+      // vocabulary richness/diversity panel over whitespace tokens:
+      // Good-Turing missing mass, Chao1, exact-rational Simpson,
+      // Shannon via the one-global-rescale decomposition
+      val toks = t(s, dir, "documents")
+        .select(explode(filter(split(col("text"), "\\s+"),
+          tk => length(tk) > 0)).as("term"))
+      val counts = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.Profile.speciesProfile(counts, col("c"))
+        .select(col("n"), col("v"), col("n1"), col("n2"),
+          round(col("missing_mass"), 6).as("missing_mass"),
+          round(col("coverage"), 6).as("coverage"),
+          round(col("chao1"), 6).as("chao1"),
+          round(col("simpson"), 6).as("simpson"),
+          round(col("shannon"), 6).as("shannon"))
+    }),
+
+    "q365_neyman_allocation" -> ((s, dir) => {
+      // variance-optimal eval-sample plan: per-language quotas from
+      // N_h * sigma_h with largest-remainder rounding summing to the
+      // budget exactly (no stratum caps bind on this fixture)
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.neymanAllocation(docs, Seq("lang"),
+          col("n_chars"), budget = 97L)
+        .select(col("lang"), col("n_rows"), round(col("sd"), 6).as("sd"),
+          round(col("weight"), 2).as("weight"), col("quota"))
+        .orderBy("lang")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -11598,6 +11628,57 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(med.slope, 6) AS slope
          FROM sizes JOIN med ON sizes.g = med.g
          ORDER BY sizes.g""",
+    "q364_species_profile" ->
+      """WITH toks AS (SELECT
+             unnest(string_split_regex(text, '\s+')) AS term
+           FROM documents),
+         cnt AS (SELECT term, count(*)::BIGINT AS c
+           FROM toks WHERE term <> '' GROUP BY 1),
+         agg AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(c::HUGEINT * (c - 1)) AS cc,
+             sum(-(c::DOUBLE) * ln(c::DOUBLE)) AS plogp
+           FROM cnt)
+         SELECT n, v, n1, n2,
+           round(n1::DOUBLE / n::DOUBLE, 6) AS missing_mass,
+           round(1.0 - n1::DOUBLE / n::DOUBLE, 6) AS coverage,
+           round(v::DOUBLE + n1::DOUBLE * (n1::DOUBLE - 1)
+             / (2.0 * (n2::DOUBLE + 1)), 6) AS chao1,
+           round(1.0 - cc::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1)), 6)
+             AS simpson,
+           round(plogp / n::DOUBLE + ln(n::DOUBLE), 6) AS shannon
+         FROM agg""",
+    "q365_neyman_allocation" ->
+      """WITH m AS (SELECT lang, count(*)::BIGINT AS n_rows,
+             sum(n_chars::DOUBLE) AS s,
+             sum(n_chars::DOUBLE * n_chars) AS q
+           FROM documents GROUP BY 1),
+         d AS (SELECT lang, n_rows,
+             CASE WHEN n_rows >= 2 THEN sqrt(greatest(
+               (q - s * s / n_rows::DOUBLE) / (n_rows::DOUBLE - 1),
+               0.0)) ELSE 0.0 END AS sd
+           FROM m),
+         w AS (SELECT lang, n_rows, sd, n_rows::DOUBLE * sd AS weight
+           FROM d),
+         t AS (SELECT sum(weight) AS tot FROM w),
+         r AS (SELECT lang, n_rows, sd, weight,
+             CASE WHEN tot > 0 THEN weight * 97.0 / tot
+               ELSE 0.0 END AS raw
+           FROM w, t),
+         b AS (SELECT lang, n_rows, sd, weight,
+             floor(raw)::BIGINT AS base, raw - floor(raw) AS rem
+           FROM r),
+         sh AS (SELECT 97 - sum(base) AS short FROM b),
+         rk AS (SELECT lang, n_rows, sd, weight, base,
+             row_number() OVER (ORDER BY rem DESC, lang ASC) AS rn
+           FROM b)
+         SELECT lang, n_rows, round(sd, 6) AS sd,
+           round(weight, 2) AS weight,
+           least(base + CASE WHEN rn <= (SELECT short FROM sh)
+             THEN 1 ELSE 0 END, n_rows) AS quota
+         FROM rk
+         ORDER BY lang""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

@@ -623,6 +623,55 @@ object Profile {
     anovaF(z, col("__g"), col("__z")).withColumnRenamed("f", "w")
   }
 
+  /** Species-richness / diversity profile of a count table — the
+    * "how much of this distribution have we actually seen" panel for
+    * vocabulary, domain, and n-gram inventories. Input is one row per
+    * species with its observed count (the output shape of any
+    * `groupBy(term).count()` — the monoid form, so shard partials
+    * fold). From the frequency-of-frequencies (n_r = species seen
+    * exactly r times):
+    *
+    *   missing_mass = n₁/N            (Good–Turing: unseen probability)
+    *   coverage     = 1 − n₁/N        (Good's sample coverage)
+    *   chao1        = V + n₁(n₁−1)/(2(n₂+1))   (bias-corrected richness)
+    *   simpson      = 1 − Σ c(c−1)/(N(N−1))    (unbiased, exact rational)
+    *   shannon      = −Σ (c/N)·ln(c/N)
+    *
+    * Returns one row `(n, v, n1, n2, missing_mass, coverage, chao1,
+    * simpson, shannon)` — NULL diversity fields on an empty table;
+    * simpson NULL when N < 2. NULL/non-positive counts are refused
+    * work (a zero-count species row is a caller bug, not data).
+    *
+    * Shape: ONE fold over the count table (itself the output of one
+    * count shuffle): n₁/n₂/V/N and Σc(c−1) are exact LONG/DECIMAL
+    * sums; shannon fans in through [[graft.api.functions.exact_sum]] —
+    * bit-identical on any partitioning. */
+  def speciesProfile(counts: DataFrame, countCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = countCol.cast("long")
+    val agg = counts.where(c.isNotNull && c > 0).agg(
+      coalesce(sum(c), lit(0L)).as("n"),
+      count(lit(1)).as("v"),
+      coalesce(sum(when(c === 1, 1L)), lit(0L)).as("n1"),
+      coalesce(sum(when(c === 2, 1L)), lit(0L)).as("n2"),
+      coalesce(sum(c.cast(dec) * (c - 1).cast(dec)), lit(0).cast(dec))
+        .as("__cc"),
+      gf.exact_sum(-(c.cast("double"))
+        * log(c.cast("double"))).as("__plogp"))
+    val nD = col("n").cast("double")
+    val (n1, n2) = (col("n1").cast("double"), col("n2").cast("double"))
+    agg.select(col("n"), col("v"), col("n1"), col("n2"),
+      when(col("n") > 0, n1 / nD).as("missing_mass"),
+      when(col("n") > 0, lit(1.0) - n1 / nD).as("coverage"),
+      when(col("n") > 0, col("v").cast("double")
+        + n1 * (n1 - 1) / (lit(2.0) * (n2 + 1))).as("chao1"),
+      when(col("n") >= 2, lit(1.0)
+        - col("__cc").cast("double") / (nD * (nD - 1))).as("simpson"),
+      // −Σ p ln p = (Σ −c·ln c)/N + ln N (exactly one global rescale)
+      when(col("n") > 0,
+        col("__plogp") / nD + log(nD)).as("shannon"))
+  }
+
   /** Chi-square goodness-of-fit of one categorical column against a
     * DECLARED distribution — "is the sampled mixture actually the
     * 60/30/10 I asked [[graft.ops.Sampling.mixtureSample]] for?"

@@ -606,4 +606,62 @@ object Sampling {
         (col("wins") + 1).as("post_alpha"),
         (col("pulls") - col("wins") + 1).as("post_beta")): _*)
   }
+
+  /** Neyman-optimal stratified sample allocation — the PLANNED
+    * counterpart of [[stratifiedBottomK]]: given a total row budget,
+    * split it across strata ∝ N_h·σ_h (Neyman 1934), which minimizes
+    * the variance of the stratified mean for a fixed budget. Equal or
+    * proportional allocation wastes budget on big LOW-variance strata
+    * (boilerplate-heavy sources) and starves small high-variance
+    * ones — this op is why the quality-eval sample should oversample
+    * the weird sources. Integer quotas come from largest-remainder
+    * rounding (quotas sum EXACTLY to `budget` unless capped), each
+    * quota is capped at its stratum size N_h (capped surplus is NOT
+    * redistributed — re-run on the uncapped strata if needed; silent
+    * redistribution would hide the cap), and zero-variance strata get
+    * weight 0 (one row of a constant stratum determines its mean —
+    * they still receive quota only via remainder ties; a fully
+    * zero-weight panel — every stratum constant — degenerates to ≤ 1
+    * row per stratum rather than inventing weights). Ties in the
+    * remainder rank break by stratum label ascending (deterministic,
+    * SQL-reproducible). Returns one row per stratum:
+    * `(groupCols…, n_rows, sd, weight, quota)`. Feed the quotas to
+    * [[quotaSample]] to take the actual sample.
+    *
+    * Shape: ONE moment fold per stratum (count/Σx/Σx² through
+    * [[graft.api.functions.exact_sum]]); everything after runs on the
+    * strata-bounded frame (window over k strata rows). */
+  def neymanAllocation(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, budget: Long): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(budget >= 0, "budget must be >= 0")
+    val v = valueCol.cast("double")
+    val byG = df.where(v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        gf.exact_sum(v).as("__s"), gf.exact_sum(v * v).as("__q"))
+    val n = col("n_rows").cast("double")
+    val sd = when(col("n_rows") >= 2, sqrt(
+      greatest((col("__q") - col("__s") * col("__s") / n) / (n - 1),
+        lit(0.0))))
+      .otherwise(lit(0.0))
+    val withW = byG.withColumn("sd", sd)
+      .withColumn("weight", n * col("sd"))
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(lit(1)) // strata-bounded frame
+    val tot = sum(col("weight")).over(wAll)
+    val raw = when(tot > 0, col("weight") * lit(budget.toDouble) / tot)
+      .otherwise(lit(0.0))
+    val base = floor(raw).cast("long")
+    val rem = raw - base
+    val short = (lit(budget) - sum(base).over(wAll)).cast("long")
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(rem.desc +: groupCols.map(c => col(c).asc): _*)
+    withW
+      .withColumn("__extra",
+        (row_number().over(wRank) <= short).cast("long"))
+      .select(groupCols.map(col) ++ Seq(col("n_rows"), col("sd"),
+        col("weight"),
+        least(base + col("__extra"), col("n_rows")).as("quota")): _*)
+  }
 }

@@ -446,4 +446,36 @@ class ProfileSpec extends SparkTestBase {
     assert(math.abs(cb.getDouble(cb.fieldIndex("tau_b"))
       - ce.getDouble(ce.fieldIndex("tau_b"))) < 0.02)
   }
+
+  test("speciesProfile: hand-worked counts; fold-invariance; " +
+      "degenerate guards") {
+    import spark.implicits._
+    // counts {3, 2, 1, 1, 1}: N=8, V=5, n1=3, n2=1
+    // missing = 3/8; chao1 = 5 + 3*2/(2*2) = 6.5
+    // simpson = 1 - (6+2+0+0+0)/(8*7) = 1 - 8/56
+    val df = Seq(3L, 2L, 1L, 1L, 1L).toDF("c")
+    val r = Profile.speciesProfile(df, col("c")).head()
+    assert(r.getLong(r.fieldIndex("n")) == 8L)
+    assert(r.getLong(r.fieldIndex("v")) == 5L)
+    assert(r.getDouble(r.fieldIndex("missing_mass")) == 3.0 / 8)
+    assert(r.getDouble(r.fieldIndex("chao1")) == 6.5)
+    assert(math.abs(r.getDouble(r.fieldIndex("simpson"))
+      - (1.0 - 8.0 / 56)) < 1e-15)
+    val hRef = -(3.0 / 8 * math.log(3.0 / 8)
+      + 2.0 / 8 * math.log(2.0 / 8) + 3 * (1.0 / 8 * math.log(1.0 / 8)))
+    assert(math.abs(r.getDouble(r.fieldIndex("shannon")) - hRef) < 1e-12)
+    // monoid shape: partial count tables fold by summing counts
+    val partA = Seq(("a", 2L), ("b", 1L), ("c", 1L))
+    val partB = Seq(("a", 1L), ("b", 1L), ("d", 1L), ("e", 1L))
+    val folded = (partA ++ partB).toDF("t", "c")
+      .groupBy("t").agg(sum("c").as("c"))
+    val rf = Profile.speciesProfile(folded, col("c")).head()
+    assert(rf.getLong(rf.fieldIndex("n")) == 8L)
+    assert(rf.getDouble(rf.fieldIndex("chao1")) == 6.5)
+    // empty table: NULLs, not a crash
+    val re = Profile.speciesProfile(df.where(lit(false)), col("c"))
+      .head()
+    assert(re.getLong(re.fieldIndex("n")) == 0L)
+    assert(re.isNullAt(re.fieldIndex("missing_mass")))
+  }
 }

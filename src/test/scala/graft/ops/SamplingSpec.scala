@@ -482,4 +482,40 @@ class SamplingSpec extends SparkTestBase {
       ("embargo", "test") -> 2L,    // u12, u13
       ("embargo", "train") -> 1L))  // u13
   }
+
+  test("neymanAllocation: hand-worked N*sigma split with largest " +
+      "remainder; cap at stratum size; zero-variance stratum") {
+    import spark.implicits._
+    // stratum a: 4 rows sd 10 -> w 40; b: 4 rows sd 5 -> w 20;
+    // c: 2 rows constant -> w 0. budget 6 -> raw (4, 2, 0)
+    val rows =
+      Seq(("a", 0.0), ("a", 20.0), ("a", 0.0), ("a", 20.0),
+        ("b", 0.0), ("b", 10.0), ("b", 0.0), ("b", 10.0),
+        ("c", 7.0), ("c", 7.0))
+    val df = rows.toDF("g", "v")
+    val r = Sampling.neymanAllocation(df, Seq("g"), col("v"), 6L)
+      .orderBy("g").collect()
+    val quota = r.map(x => x.getString(0) ->
+      x.getLong(x.fieldIndex("quota"))).toMap
+    assert(quota == Map("a" -> 4L, "b" -> 2L, "c" -> 0L))
+    assert(r.map(_.getLong(r.head.fieldIndex("quota"))).sum == 6L)
+    // sd exact: sqrt(400/3) for a
+    val sdA = r.find(_.getString(0) == "a").get
+    assert(math.abs(sdA.getDouble(sdA.fieldIndex("sd"))
+      - math.sqrt(400.0 / 3)) < 1e-12)
+    // budget larger than the weighted strata can hold: cap at n_rows
+    val rc = Sampling.neymanAllocation(df, Seq("g"), col("v"), 40L)
+      .orderBy("g").collect()
+    val qc = rc.map(x => x.getString(0) ->
+      x.getLong(x.fieldIndex("quota"))).toMap
+    assert(qc("a") <= 4L && qc("b") <= 4L && qc("c") <= 2L)
+    // remainder split: budget 7 -> raw (4.666, 2.333, 0); the extra
+    // goes to a's larger remainder but a is CAPPED at its 4 rows, and
+    // capped surplus is deliberately NOT redistributed (documented)
+    val r7 = Sampling.neymanAllocation(df, Seq("g"), col("v"), 7L)
+      .orderBy("g").collect()
+    val q7 = r7.map(x => x.getString(0) ->
+      x.getLong(x.fieldIndex("quota"))).toMap
+    assert(q7 == Map("a" -> 4L, "b" -> 2L, "c" -> 0L), s"got $q7")
+  }
 }
