@@ -2689,6 +2689,38 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q366_cox_ph" -> ((s, dir) => {
+      // Cox proportional hazards, Breslow ties, 8 Newton rounds: the
+      // x = 0 stratum gets +24 extra survival time by construction,
+      // so the fitted hazard ratio is a real planted effect; the
+      // convergence receipt gates |U(beta_final)| ~ 0
+      val docs = t(s, dir, "documents")
+        .select(((col("doc_id") * 7) % 60 + 1
+            + when(col("doc_id") % 3 === 0, 24).otherwise(0))
+          .cast("double").as("t"),
+          (col("doc_id") % 4 =!= 0).as("e"),
+          ((col("doc_id") % 3).cast("double") / 2).as("x"))
+      graft.ops.Survival.coxPH(docs, col("t"), col("e"), col("x"))
+        .select(col("n"), col("n_events"),
+          round(col("beta"), 6).as("beta"), round(col("hr"), 6).as("hr"),
+          round(col("se"), 6).as("se"),
+          (abs(col("u_final")) < 1e-6).as("converged"))
+    }),
+
+    "q367_capture_recapture" -> ((s, dir) => {
+      // dedup-recall audit: two pseudo-independent detectors over the
+      // same corpus; Chapman closes the "how many did both miss" gap
+      val docs = t(s, dir, "documents")
+        .select((((col("doc_id") * 13) % 100) < 30).as("a"),
+          (((col("doc_id") * 17) % 100) < 25).as("b"))
+      graft.ops.Profile.captureRecapture(docs, col("a"), col("b"))
+        .select(col("n_a"), col("n_b"), col("n_both"),
+          round(col("n_hat"), 6).as("n_hat"),
+          round(col("se"), 6).as("se"),
+          round(col("recall_a"), 6).as("recall_a"),
+          round(col("recall_b"), 6).as("recall_b"))
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -7428,6 +7460,58 @@ i$k AS MATERIALIZED (SELECT
              round(w2, 6) AS w2 FROM w$iters"""
   }
 
+  /** q366's oracle: the same Breslow-Newton iterations unrolled as a
+    * MATERIALIZED CTE chain (the logRegOracle convention). DuckDB's
+    * risk-set sums run as one sequential t-DESC window where the
+    * engine's are two-level DECIMAL(38,18) suffix sums — equal to
+    * ~1e-13 relative, and Newton is contractive near the optimum, so
+    * round(6) absorbs the drift; the convergence receipt compares
+    * |U| to 1e-6, four orders above both engines' residuals. */
+  private def coxOracle(iters: Int): String = {
+    val head =
+      """WITH f AS MATERIALIZED (SELECT
+           ((doc_id * 7) % 60 + 1
+             + CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 0 END)::DOUBLE
+             AS t,
+           doc_id % 4 <> 0 AS e,
+           (doc_id % 3)::DOUBLE / 2 AS x
+         FROM documents),
+       b0 AS MATERIALIZED (SELECT 0.0::DOUBLE AS b)"""
+    def step(k: Int, prev: String): String =
+      s""",
+       c$k AS MATERIALIZED (SELECT t,
+           sum(exp(b * x)) AS s0, sum(x * exp(b * x)) AS s1,
+           sum(x * x * exp(b * x)) AS s2,
+           sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS d,
+           sum(CASE WHEN e THEN x ELSE 0 END) AS sxe
+         FROM f, $prev GROUP BY t),
+       s$k AS (SELECT d, sxe,
+           sum(s0) OVER w AS rs0, sum(s1) OVER w AS rs1,
+           sum(s2) OVER w AS rs2
+         FROM c$k
+         WINDOW w AS (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)),
+       u$k AS MATERIALIZED (SELECT
+           sum(sxe - d::DOUBLE * (rs1 / rs0)) AS u,
+           sum(d::DOUBLE * (rs2 / rs0 - (rs1 / rs0) * (rs1 / rs0)))
+             AS i
+         FROM s$k WHERE d > 0)"""
+    val steps = (1 to iters).map { k =>
+      step(k, s"b${k - 1}") +
+        s""",
+       b$k AS MATERIALIZED (SELECT b + u / i AS b FROM b${k - 1}, u$k)"""
+    }.mkString
+    // one more U/I evaluation AT the final beta: receipt + se
+    val fin = step(iters + 1, s"b$iters")
+    head + steps + fin +
+      s""" SELECT (SELECT count(*) FROM f)::BIGINT AS n,
+           (SELECT sum(CASE WHEN e THEN 1 ELSE 0 END) FROM f)::BIGINT
+             AS n_events,
+           round(b, 6) AS beta, round(exp(b), 6) AS hr,
+           round(1.0 / sqrt(i), 6) AS se,
+           abs(u) < 1e-6 AS converged
+         FROM b$iters, u${iters + 1}"""
+  }
+
   /** q116's oracle: the same correlation closed form over DuckDB's own
     * sums. Per-row products round identically (IEEE multiply); the sums
     * differ by ≤1 ulp (exact_sum is correctly rounded vs DuckDB's fold);
@@ -9228,6 +9312,7 @@ FROM p GROUP BY shard ORDER BY shard"""),
          SELECT lang, doc_id FROM r JOIN q USING (lang) WHERE rn <= quota
          ORDER BY lang, doc_id"""),
     "q110_logreg" -> logRegOracle(8),
+    "q366_cox_ph" -> coxOracle(8),
     "q114_auc_by_group" ->
       """WITH r AS (SELECT source, n_chars::DOUBLE AS s,
              CASE WHEN (doc_id * 37 + n_chars) % 100 <
@@ -11679,6 +11764,29 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
              THEN 1 ELSE 0 END, n_rows) AS quota
          FROM rk
          ORDER BY lang""",
+    "q367_capture_recapture" ->
+      """WITH f AS (SELECT ((doc_id * 13) % 100) < 30 AS a,
+             ((doc_id * 17) % 100) < 25 AS b
+           FROM documents),
+         t3 AS (SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT
+               AS na,
+             sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS nb,
+             sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS m
+           FROM f),
+         d AS (SELECT na, nb, m, na::DOUBLE AS nad, nb::DOUBLE AS nbd,
+             m::DOUBLE AS md
+           FROM t3),
+         e AS (SELECT na, nb, m,
+             (nad + 1) * (nbd + 1) / (md + 1) - 1 AS nhat,
+             sqrt((nad + 1) * (nbd + 1) * (nad - md) * (nbd - md)
+               / ((md + 1) * (md + 1) * (md + 2))) AS se,
+             nad, nbd
+           FROM d)
+         SELECT na AS n_a, nb AS n_b, m AS n_both,
+           round(nhat, 6) AS n_hat, round(se, 6) AS se,
+           round(nad / nhat, 6) AS recall_a,
+           round(nbd / nhat, 6) AS recall_b
+         FROM e""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

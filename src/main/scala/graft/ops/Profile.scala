@@ -302,11 +302,14 @@ object Profile {
     }
     val ex = edges(digests.getAs[Array[Byte]](0))
     val ey = edges(digests.getAs[Array[Byte]](1))
-    // bucket index = count of edges strictly below the value: a pure
-    // broadcast-literal binary search, order-preserving by construction
+    // bucket index = count of edges strictly below the value — an
+    // aggregate fold over the broadcast edge-array literal (ONE codegen
+    // loop; a nested when-chain at 1023 edges blows the expression tree
+    // up — measured as a probe crash at the default bucket count),
+    // order-preserving by construction
     def bucketOf(v: Column, es: Array[Double]): Column =
-      es.foldLeft(lit(0)) { (acc, e) =>
-        acc + when(v > lit(e), 1).otherwise(0) }
+      aggregate(typedLit(es.toSeq), lit(0),
+        (acc, e) => acc + when(v > e, 1).otherwise(0))
     val cells = rows.groupBy(
         bucketOf(col("__x"), ex).as("__bx"),
         bucketOf(col("__y"), ey).as("__by"))
@@ -670,6 +673,47 @@ object Profile {
       // −Σ p ln p = (Σ −c·ln c)/N + ln N (exactly one global rescale)
       when(col("n") > 0,
         col("__plogp") / nD + log(nD)).as("shannon"))
+  }
+
+  /** Chapman capture–recapture estimator (Chapman 1951) — "how many
+    * duplicates did BOTH passes miss": run two INDEPENDENT detectors
+    * over the same corpus (MinHash vs SimHash candidates, two
+    * blocklist revisions, two PII regex families), mark each row with
+    * both flags, and estimate the true positive population from the
+    * overlap:
+    *
+    *   N̂ = (n_A+1)(n_B+1)/(m+1) − 1   (m = flagged by both),
+    *   SE = √((n_A+1)(n_B+1)(n_A−m)(n_B−m) / ((m+1)²(m+2)))
+    *
+    * plus each detector's implied recall n/N̂ — the honest answer to
+    * "is 97% dedup recall a measurement or a hope". Assumes detector
+    * independence (positively correlated detectors bias N̂ low — state
+    * it in the report, don't average it away). Returns one row
+    * `(n_a, n_b, n_both, n_hat, se, recall_a, recall_b)` — n_hat NULL
+    * when either detector flags nothing (no overlap information).
+    * NULL flags are refused work.
+    *
+    * Shape: ONE count fold to three LONGs; all else is one-row
+    * arithmetic. */
+  def captureRecapture(df: DataFrame, flagA: Column, flagB: Column)
+      : DataFrame = {
+    val a = flagA.cast("boolean")
+    val b = flagB.cast("boolean")
+    val agg = df.where(a.isNotNull && b.isNotNull).agg(
+      coalesce(sum(a.cast("long")), lit(0L)).as("n_a"),
+      coalesce(sum(b.cast("long")), lit(0L)).as("n_b"),
+      coalesce(sum((a && b).cast("long")), lit(0L)).as("n_both"))
+    val (na, nb, m) = (col("n_a").cast("double"),
+      col("n_b").cast("double"), col("n_both").cast("double"))
+    val nHat = when(col("n_a") > 0 && col("n_b") > 0,
+      (na + 1) * (nb + 1) / (m + 1) - 1)
+    val se = when(col("n_a") > 0 && col("n_b") > 0, sqrt(
+      (na + 1) * (nb + 1) * (na - m) * (nb - m)
+        / ((m + 1) * (m + 1) * (m + 2))))
+    agg.select(col("n_a"), col("n_b"), col("n_both"),
+      nHat.as("n_hat"), se.as("se"),
+      when(nHat > 0, na / nHat).as("recall_a"),
+      when(nHat > 0, nb / nHat).as("recall_b"))
   }
 
   /** Chi-square goodness-of-fit of one categorical column against a

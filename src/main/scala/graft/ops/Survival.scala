@@ -287,4 +287,96 @@ object Survival {
       .withColumn("chi2", when(col("var_o") > 0,
         col("o_minus_e") * col("o_minus_e") / col("var_o")))
   }
+
+  /** Cox proportional-hazards regression with ONE covariate (Cox
+    * 1972; Breslow tie handling) — the model the rest of this suite
+    * feeds: [[logRank]] says "these curves differ", Cox says "each
+    * unit of x multiplies the hazard by e^β" (document age vs
+    * retention-after-dedup, quality score vs time-to-removal). Newton
+    * iterations on the Breslow partial likelihood: with risk-set sums
+    * S_k(t) = Σ_{t_j ≥ t} x_j^k·e^{βx_j},
+    *
+    *   U(β) = Σ_{event cells} (Σ_events x − d_t·S₁/S₀),
+    *   I(β) = Σ_{event cells} d_t·(S₂/S₀ − (S₁/S₀)²),
+    *   β ← β + U/I   (full Newton from β₀ = 0, fixed `iterations`)
+    *
+    * Returns one row `(n, n_events, beta, hr, se, u_final)` —
+    * `u_final` is the post-fit gradient RECEIPT (|U| near 0 ⇔
+    * converged; a caller who sees 1e-2 should raise `iterations`,
+    * not trust β); beta/hr/se NULL when the information I is not
+    * strictly positive at any step (constant covariate, no events, or
+    * a separation-degenerate fit). NULL time/event/covariate rows are
+    * refused work.
+    *
+    * Shape: each iteration is ONE distinct-time count shuffle (cells
+    * carry Σe^{βx}, Σxe^{βx}, Σx²e^{βx}, d_t, Σ_events x via
+    * [[graft.api.functions.exact_sum]]) plus ONE two-level DECIMAL
+    * suffix-sum pass ([[Packing.withPrefixSumsDec]] on the negated
+    * time key — no single-task window even when every timestamp is
+    * distinct), then a driver-side scalar Newton step: `iterations`
+    * corpus scans total, nothing corpus-sized ever collected.
+    * Covariates should be centered/scaled so |βx| stays well under
+    * ~40 (e^{βx} must fit DECIMAL(38,18)'s 20 integer digits —
+    * fail-fast, not silent). */
+  def coxPH(df: DataFrame, timeCol: Column, eventCol: Column,
+      xCol: Column, iterations: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      "iterations must be in [1, 64]")
+    val t = timeCol.cast("double")
+    val e = eventCol.cast("boolean")
+    val x = xCol.cast("double")
+    val base = df.where(t.isNotNull && e.isNotNull && x.isNotNull)
+      .select(t.as("__t"), e.as("__e"), x.as("__x"))
+      .localCheckpoint()
+    val head = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__e").cast("long")), lit(0L)).as("d"),
+      coalesce(max(abs(col("__x"))), lit(0.0)).as("xm")).collect()(0)
+    val (n, nEvents) = (head.getLong(0), head.getLong(1))
+    val xMax = head.getDouble(2)
+    val spark = df.sparkSession
+    def out(beta: java.lang.Double, se: java.lang.Double,
+        u: java.lang.Double): DataFrame = {
+      def c(v: java.lang.Double) =
+        if (v == null) lit(null).cast("double") else lit(v.doubleValue)
+      spark.range(1).select(lit(n).as("n"), lit(nEvents).as("n_events"),
+        c(beta).as("beta"),
+        (if (beta == null) lit(null).cast("double")
+         else exp(lit(beta.doubleValue))).as("hr"), c(se).as("se"),
+        c(u).as("u_final"))
+    }
+    if (n == 0 || nEvents == 0) return out(null, null, null)
+    var beta = 0.0
+    var info = Double.NaN
+    var grad = Double.NaN
+    var it = 0
+    while (it <= iterations) { // last pass only evaluates U (receipt)
+      require(math.abs(beta) * xMax < 40.0,
+        f"|beta*x| = ${math.abs(beta) * xMax}%.1f escapes the " +
+          "DECIMAL(38,18) suffix-sum range — center/scale the covariate")
+      val w = exp(lit(beta) * col("__x"))
+      val cells = base.groupBy(col("__t")).agg(
+        gf.exact_sum(w).as("__s0"),
+        gf.exact_sum(col("__x") * w).as("__s1"),
+        gf.exact_sum(col("__x") * col("__x") * w).as("__s2"),
+        coalesce(sum(col("__e").cast("long")), lit(0L)).as("__d"),
+        gf.exact_sum(when(col("__e"), col("__x")).otherwise(lit(0.0)))
+          .as("__sxe"))
+        .withColumn("__nt", -col("__t"))
+      val suf = Packing.withPrefixSumsDec(cells, Seq("__nt"),
+        Seq("__s0" -> "__S0", "__s1" -> "__S1", "__s2" -> "__S2"))
+      val s1r = col("__S1").cast("double") / col("__S0").cast("double")
+      val ui = suf.where(col("__d") > 0).agg(
+        gf.exact_sum(col("__sxe")
+          - col("__d").cast("double") * s1r).as("u"),
+        gf.exact_sum(col("__d").cast("double")
+          * (col("__S2").cast("double") / col("__S0").cast("double")
+            - s1r * s1r)).as("i")).collect()(0)
+      grad = ui.getDouble(0)
+      info = ui.getDouble(1)
+      if (!(info > 0)) return out(null, null, null)
+      if (it < iterations) beta += grad / info
+      it += 1
+    }
+    out(beta, 1.0 / math.sqrt(info), grad)
+  }
 }

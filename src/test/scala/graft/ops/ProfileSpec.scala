@@ -478,4 +478,30 @@ class ProfileSpec extends SparkTestBase {
     assert(re.getLong(re.fieldIndex("n")) == 0L)
     assert(re.isNullAt(re.fieldIndex("missing_mass")))
   }
+
+  test("captureRecapture: textbook Chapman estimate; perfect overlap; " +
+      "empty detector NULL") {
+    import spark.implicits._
+    // n_a=10, n_b=8, m=4: N = 11*9/5 - 1 = 18.8
+    val rows = (1 to 20).map(i => (i <= 10, i > 6 && i <= 14))
+    val r = Profile.captureRecapture(rows.toDF("a", "b"), col("a"),
+      col("b")).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 8L
+      && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(r.fieldIndex("n_hat")) - 18.8) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("recall_a")) - 10 / 18.8)
+      < 1e-12)
+    val seRef = math.sqrt(11.0 * 9 * 6 * 4 / (25.0 * 6))
+    assert(math.abs(r.getDouble(r.fieldIndex("se")) - seRef) < 1e-12)
+    // both detectors identical: N-hat = n (recall 1 territory)
+    val eq = (1 to 12).map(i => (i <= 6, i <= 6))
+    val rq = Profile.captureRecapture(eq.toDF("a", "b"), col("a"),
+      col("b")).head()
+    assert(rq.getDouble(rq.fieldIndex("n_hat")) == 6.0)
+    assert(rq.getDouble(rq.fieldIndex("se")) == 0.0)
+    // an empty detector has no overlap information
+    val z = Seq((true, false), (false, false)).toDF("a", "b")
+    val rz = Profile.captureRecapture(z, col("a"), col("b")).head()
+    assert(rz.isNullAt(rz.fieldIndex("n_hat")))
+  }
 }

@@ -174,4 +174,69 @@ class SurvivalSpec extends SparkTestBase {
       col("e"), col("a")).head()
     assert(oneSided.isNullAt(oneSided.fieldIndex("chi2")))
   }
+
+  test("coxPH: sequential Breslow-Newton agreement with ties; sign " +
+      "recovers the planted effect; gradient receipt near 0; " +
+      "degenerate guards") {
+    import spark.implicits._
+    def brute(rows: Seq[(Double, Boolean, Double)], iters: Int)
+        : (Double, Double, Double) = {
+      var b = 0.0
+      var (u, i2) = (0.0, 0.0)
+      for (it <- 0 to iters) {
+        val times = rows.map(_._1).distinct.sorted
+        u = 0.0; i2 = 0.0
+        for (t <- times) {
+          val risk = rows.filter(_._1 >= t)
+          val s0 = risk.map(r => math.exp(b * r._3)).sum
+          val s1 = risk.map(r => r._3 * math.exp(b * r._3)).sum
+          val s2 = risk.map(r => r._3 * r._3 * math.exp(b * r._3)).sum
+          val ev = rows.filter(r => r._1 == t && r._2)
+          if (ev.nonEmpty) {
+            u += ev.map(_._3).sum - ev.size * (s1 / s0)
+            i2 += ev.size * (s2 / s0 - (s1 / s0) * (s1 / s0))
+          }
+        }
+        if (it < iters) b += u / i2
+      }
+      (b, u, i2)
+    }
+    // planted effect: x = 1 halves the time scale -> beta > 0, with
+    // heavy ties from the small integer lattice
+    val rows = (1 to 80).map { i =>
+      val x = (i % 2).toDouble
+      val t = ((i * 7) % 20 + 1 + (1 - x) * 12).toDouble
+      (t, i % 5 != 0, x)
+    }
+    val df = rows.toDF("t", "e", "x")
+    val r = Survival.coxPH(df, col("t"), col("e"), col("x")).head()
+    val (bRef, uRef, iRef) = brute(rows, 8)
+    assert(math.abs(r.getDouble(r.fieldIndex("beta")) - bRef) < 1e-9,
+      s"got ${r.getDouble(r.fieldIndex("beta"))} ref $bRef")
+    assert(r.getDouble(r.fieldIndex("beta")) > 0.3)
+    assert(math.abs(r.getDouble(r.fieldIndex("u_final"))) < 1e-6,
+      "post-fit gradient receipt should be ~0 on a converged fit")
+    assert(math.abs(r.getDouble(r.fieldIndex("u_final")) - uRef) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("se"))
+      - 1.0 / math.sqrt(iRef)) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("hr"))
+      - math.exp(bRef)) < 1e-9)
+    // constant covariate: information 0 -> NULL beta, counts intact
+    val const = rows.map { case (t, e, _) => (t, e, 1.0) }
+      .toDF("t", "e", "x")
+    val rc = Survival.coxPH(const, col("t"), col("e"), col("x")).head()
+    assert(rc.isNullAt(rc.fieldIndex("beta")))
+    assert(rc.getLong(rc.fieldIndex("n")) == 80L)
+    // no events: NULL
+    val ne = rows.map { case (t, _, x) => (t, false, x) }
+      .toDF("t", "e", "x")
+    val rn = Survival.coxPH(ne, col("t"), col("e"), col("x")).head()
+    assert(rn.isNullAt(rn.fieldIndex("beta")))
+    // partition invariance
+    val a = Survival.coxPH(df.repartition(1), col("t"), col("e"),
+      col("x")).head().toString
+    val b = Survival.coxPH(df.repartition(13), col("t"), col("e"),
+      col("x")).head().toString
+    assert(a == b)
+  }
 }

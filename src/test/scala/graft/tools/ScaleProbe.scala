@@ -806,6 +806,50 @@ object ScaleProbe {
       force(graft.ops.Survival.kaplanMeier(surv, Seq.empty, col("t"),
         col("e")))
     }
+
+    // r14 session 2: the new rank-statistic consumers of the same
+    // two-level machinery, at the all-distinct extreme (cell frame =
+    // corpus), plus the bounded-grid/bounded-cell production arms.
+    time(s"r14s2 brunnerMunzel ${nDocs * 4} rows ALL-distinct") {
+      val two = spark.range(nDocs * 4).select(
+        (col("id").cast("double") * 1.000000001).as("v"),
+        (col("id") % 2 === 0).as("a"))
+      force(graft.ops.Drift.brunnerMunzel(two, col("v"), col("a")))
+    }
+    time(s"r14s2 andersonDarlingK k=4, ${nDocs * 4} ALL-distinct") {
+      val kf = spark.range(nDocs * 4).select(
+        (col("id") % 4).cast("string").as("g"),
+        (col("id").cast("double") * 1.000000001).as("v"))
+      force(graft.ops.Drift.andersonDarlingK(kf, col("g"), col("v")))
+    }
+    time(s"r14s2 jonckheereTerpstra k=8, ${nDocs * 2} ALL-distinct") {
+      val kf = spark.range(nDocs * 2).select(
+        (col("id") % 8).cast("double").as("g"),
+        (col("id").cast("double") * 1.000000001).as("v"))
+      force(graft.ops.Drift.jonckheereTerpstra(kf, col("g"), col("v"),
+        maxGroups = 8))
+    }
+    time(s"r14s2 kendallTauBucketed 1024-grid, ${nDocs * 2} rows") {
+      val xy = spark.range(nDocs * 2).select(
+        (col("id").cast("double") * 1.000000001).as("x"),
+        ((col("id") % 1000003L).cast("double")
+          + col("id").cast("double") / 1e9).as("y"))
+      force(graft.ops.Profile.kendallTauBucketed(xy, col("x"),
+        col("y")))
+    }
+    time(s"r14s2 hodgesLehmann 1k x 1k cells, ${nDocs * 2} rows") {
+      val two = spark.range(nDocs * 2).select(
+        (col("id") % 1000L).cast("double").as("v"),
+        (col("id") % 2 === 0).as("a"))
+      force(graft.ops.Robust.hodgesLehmann(two, col("v"), col("a")))
+    }
+    time(s"r14s2 msprt ${nDocs * 4} rows x 20 groups") {
+      val mf = spark.range(nDocs * 4).select(
+        concat(lit("g"), (col("id") % 20).cast("string")).as("g"),
+        ((col("id") * 31) % 997).cast("double").as("v"))
+      force(graft.ops.Drift.msprt(mf, Seq("g"), col("v"),
+        mu0 = 498.0, tau = 5.0))
+    }
     spark.stop()
   }
 }
