@@ -2721,6 +2721,79 @@ object SparkEntry {
           round(col("recall_b"), 6).as("recall_b"))
     }),
 
+    "q368_cox_stratified" -> ((s, dir) => {
+      // stratified Cox: the even-doc stratum's baseline is +40 slower
+      // AND holds most of the x=1 mass — an unstratified fit would be
+      // confounded; per-stratum risk sets isolate the shared beta
+      val docs = t(s, dir, "documents")
+        .select((col("doc_id") % 2).cast("string").as("shard"),
+          ((col("doc_id") * 7) % 60 + 1
+            + when(col("doc_id") % 2 === 0, 40).otherwise(0)
+            + when((col("doc_id") * 11) % 3 === 0, 0).otherwise(15))
+            .cast("double").as("t"),
+          (col("doc_id") % 4 =!= 0).as("e"),
+          when((col("doc_id") * 11) % 3 === 0, 1.0).otherwise(0.0)
+            .as("x"))
+      graft.ops.Survival.coxPH(docs, col("t"), col("e"), col("x"),
+          strataCols = Seq("shard"))
+        .select(col("n"), col("n_events"),
+          round(col("beta"), 6).as("beta"), round(col("hr"), 6).as("hr"),
+          round(col("se"), 6).as("se"),
+          (abs(col("u_final")) < 1e-6).as("converged"))
+    }),
+
+    "q369_balance_table" -> ((s, dir) => {
+      // covariate balance before/after a 1+(doc_id%3) reweighting of
+      // a parity-split panel, two covariates in one scan
+      val docs = t(s, dir, "documents")
+      graft.ops.Eval.balanceTable(docs, col("doc_id") % 2 === 0,
+          Seq("n_chars" -> col("n_chars"),
+            "lattice" -> ((col("doc_id") * 7) % 13)),
+          lit(1.0) + (col("doc_id") % 3).cast("double"))
+        .select(col("covariate"), col("n_t"), col("n_c"),
+          round(col("mean_t"), 6).as("mean_t"),
+          round(col("mean_c"), 6).as("mean_c"),
+          round(col("smd"), 6).as("smd"),
+          round(col("wmean_t"), 6).as("wmean_t"),
+          round(col("wmean_c"), 6).as("wmean_c"),
+          round(col("wsmd"), 6).as("wsmd"))
+        .orderBy("covariate")
+    }),
+
+    "q370_diff_in_diff" -> ((s, dir) => {
+      // 2x2 intervention readout with a planted +25 treated-post
+      // effect on top of the shared n_chars baseline
+      val docs = t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("tr"),
+          ((col("doc_id") * 13) % 4 < 2).as("po"),
+          col("n_chars").cast("double").as("y"))
+        .withColumn("y", col("y")
+          + when(col("tr") && col("po"), 25.0).otherwise(0.0))
+      graft.ops.Eval.diffInDiff(docs, col("tr"), col("po"), col("y"))
+        .select(col("n_tt"), col("n_tc"), col("n_ct"), col("n_cc"),
+          round(col("mean_t_post"), 6).as("mean_t_post"),
+          round(col("mean_t_pre"), 6).as("mean_t_pre"),
+          round(col("mean_c_post"), 6).as("mean_c_post"),
+          round(col("mean_c_pre"), 6).as("mean_c_pre"),
+          round(col("did"), 6).as("did"), round(col("se"), 6).as("se"),
+          round(col("lo95"), 6).as("lo95"),
+          round(col("hi95"), 6).as("hi95"))
+    }),
+
+    "q371_dispersion" -> ((s, dir) => {
+      // index-of-dispersion audit of the per-language char-count feed;
+      // d is corpus-scaled so it gates at 2 dp (the q355 rounding
+      // lesson), z at 6
+      val docs = t(s, dir, "documents")
+      graft.ops.Profile.dispersionTest(docs, Seq("lang"),
+          col("n_chars"))
+        .select(col("lang"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("var"), 6).as("var"),
+          round(col("ratio"), 6).as("ratio"),
+          round(col("d"), 2).as("d"), round(col("z"), 6).as("z"))
+        .orderBy("lang")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -7512,6 +7585,55 @@ i$k AS MATERIALIZED (SELECT
          FROM b$iters, u${iters + 1}"""
   }
 
+  /** q368's oracle: [[coxOracle]] with per-stratum risk sets — the
+    * suffix sums simply gain PARTITION BY s. */
+  private def coxStratOracle(iters: Int): String = {
+    val head =
+      """WITH f AS MATERIALIZED (SELECT
+           (doc_id % 2)::VARCHAR AS s,
+           ((doc_id * 7) % 60 + 1
+             + CASE WHEN doc_id % 2 = 0 THEN 40 ELSE 0 END
+             + CASE WHEN (doc_id * 11) % 3 = 0 THEN 0 ELSE 15 END)
+             ::DOUBLE AS t,
+           doc_id % 4 <> 0 AS e,
+           CASE WHEN (doc_id * 11) % 3 = 0 THEN 1.0 ELSE 0.0 END AS x
+         FROM documents),
+       b0 AS MATERIALIZED (SELECT 0.0::DOUBLE AS b)"""
+    def step(k: Int, prev: String): String =
+      s""",
+       c$k AS MATERIALIZED (SELECT s, t,
+           sum(exp(b * x)) AS s0, sum(x * exp(b * x)) AS s1,
+           sum(x * x * exp(b * x)) AS s2,
+           sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS d,
+           sum(CASE WHEN e THEN x ELSE 0 END) AS sxe
+         FROM f, $prev GROUP BY s, t),
+       r$k AS (SELECT d, sxe,
+           sum(s0) OVER w AS rs0, sum(s1) OVER w AS rs1,
+           sum(s2) OVER w AS rs2
+         FROM c$k
+         WINDOW w AS (PARTITION BY s ORDER BY t DESC
+           ROWS UNBOUNDED PRECEDING)),
+       u$k AS MATERIALIZED (SELECT
+           sum(sxe - d::DOUBLE * (rs1 / rs0)) AS u,
+           sum(d::DOUBLE * (rs2 / rs0 - (rs1 / rs0) * (rs1 / rs0)))
+             AS i
+         FROM r$k WHERE d > 0)"""
+    val steps = (1 to iters).map { k =>
+      step(k, s"b${k - 1}") +
+        s""",
+       b$k AS MATERIALIZED (SELECT b + u / i AS b FROM b${k - 1}, u$k)"""
+    }.mkString
+    val fin = step(iters + 1, s"b$iters")
+    head + steps + fin +
+      s""" SELECT (SELECT count(*) FROM f)::BIGINT AS n,
+           (SELECT sum(CASE WHEN e THEN 1 ELSE 0 END) FROM f)::BIGINT
+             AS n_events,
+           round(b, 6) AS beta, round(exp(b), 6) AS hr,
+           round(1.0 / sqrt(i), 6) AS se,
+           abs(u) < 1e-6 AS converged
+         FROM b$iters, u${iters + 1}"""
+  }
+
   /** q116's oracle: the same correlation closed form over DuckDB's own
     * sums. Per-row products round identically (IEEE multiply); the sums
     * differ by ≤1 ulp (exact_sum is correctly rounded vs DuckDB's fold);
@@ -9313,6 +9435,7 @@ FROM p GROUP BY shard ORDER BY shard"""),
          ORDER BY lang, doc_id"""),
     "q110_logreg" -> logRegOracle(8),
     "q366_cox_ph" -> coxOracle(8),
+    "q368_cox_stratified" -> coxStratOracle(8),
     "q114_auc_by_group" ->
       """WITH r AS (SELECT source, n_chars::DOUBLE AS s,
              CASE WHEN (doc_id * 37 + n_chars) % 100 <
@@ -11787,6 +11910,128 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(nad / nhat, 6) AS recall_a,
            round(nbd / nhat, 6) AS recall_b
          FROM e""",
+    "q369_balance_table" ->
+      """WITH base AS (SELECT doc_id % 2 = 0 AS tr,
+             1.0 + (doc_id % 3)::DOUBLE AS w,
+             n_chars::DOUBLE AS x1,
+             ((doc_id * 7) % 13)::DOUBLE AS x2
+           FROM documents),
+         s1 AS (SELECT 'n_chars' AS covariate,
+             sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_t,
+             sum(CASE WHEN tr THEN 0 ELSE 1 END)::BIGINT AS n_c,
+             sum(CASE WHEN tr THEN x1 ELSE 0 END) AS st,
+             sum(CASE WHEN tr THEN 0 ELSE x1 END) AS sc,
+             sum(CASE WHEN tr THEN x1 * x1 ELSE 0 END) AS qt,
+             sum(CASE WHEN tr THEN 0 ELSE x1 * x1 END) AS qc,
+             sum(CASE WHEN tr THEN w ELSE 0 END) AS swt,
+             sum(CASE WHEN tr THEN 0 ELSE w END) AS swc,
+             sum(CASE WHEN tr THEN w * x1 ELSE 0 END) AS swxt,
+             sum(CASE WHEN tr THEN 0 ELSE w * x1 END) AS swxc,
+             sum(CASE WHEN tr THEN w * x1 * x1 ELSE 0 END) AS swxxt,
+             sum(CASE WHEN tr THEN 0 ELSE w * x1 * x1 END) AS swxxc
+           FROM base),
+         s2 AS (SELECT 'lattice' AS covariate,
+             sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_t,
+             sum(CASE WHEN tr THEN 0 ELSE 1 END)::BIGINT AS n_c,
+             sum(CASE WHEN tr THEN x2 ELSE 0 END) AS st,
+             sum(CASE WHEN tr THEN 0 ELSE x2 END) AS sc,
+             sum(CASE WHEN tr THEN x2 * x2 ELSE 0 END) AS qt,
+             sum(CASE WHEN tr THEN 0 ELSE x2 * x2 END) AS qc,
+             sum(CASE WHEN tr THEN w ELSE 0 END) AS swt,
+             sum(CASE WHEN tr THEN 0 ELSE w END) AS swc,
+             sum(CASE WHEN tr THEN w * x2 ELSE 0 END) AS swxt,
+             sum(CASE WHEN tr THEN 0 ELSE w * x2 END) AS swxc,
+             sum(CASE WHEN tr THEN w * x2 * x2 ELSE 0 END) AS swxxt,
+             sum(CASE WHEN tr THEN 0 ELSE w * x2 * x2 END) AS swxxc
+           FROM base),
+         u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+         m AS (SELECT covariate, n_t, n_c,
+             st / n_t::DOUBLE AS mt, sc / n_c::DOUBLE AS mc,
+             (qt - st * st / n_t::DOUBLE) / (n_t::DOUBLE - 1) AS vt,
+             (qc - sc * sc / n_c::DOUBLE) / (n_c::DOUBLE - 1) AS vc,
+             swxt / swt AS wmt, swxc / swc AS wmc,
+             swxxt / swt - (swxt / swt) * (swxt / swt) AS wvt,
+             swxxc / swc - (swxc / swc) * (swxc / swc) AS wvc
+           FROM u)
+         SELECT covariate, n_t, n_c, round(mt, 6) AS mean_t,
+           round(mc, 6) AS mean_c,
+           round(CASE WHEN (vt + vc) / 2 > 0
+             THEN (mt - mc) / sqrt((vt + vc) / 2) END, 6) AS smd,
+           round(wmt, 6) AS wmean_t, round(wmc, 6) AS wmean_c,
+           round(CASE WHEN (wvt + wvc) / 2 > 0
+             THEN (wmt - wmc) / sqrt((wvt + wvc) / 2) END, 6) AS wsmd
+         FROM m
+         ORDER BY covariate""",
+    "q370_diff_in_diff" ->
+      """WITH base AS (SELECT doc_id % 2 = 0 AS tr,
+             (doc_id * 13) % 4 < 2 AS po,
+             n_chars::DOUBLE
+               + CASE WHEN doc_id % 2 = 0 AND (doc_id * 13) % 4 < 2
+                 THEN 25.0 ELSE 0.0 END AS y
+           FROM documents),
+         s AS (SELECT
+             sum(CASE WHEN tr AND po THEN 1 ELSE 0 END)::BIGINT
+               AS n_tt,
+             sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END)::BIGINT
+               AS n_tc,
+             sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END)::BIGINT
+               AS n_ct,
+             sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END)
+               ::BIGINT AS n_cc,
+             sum(CASE WHEN tr AND po THEN y ELSE 0 END) AS s_tt,
+             sum(CASE WHEN tr AND NOT po THEN y ELSE 0 END) AS s_tc,
+             sum(CASE WHEN NOT tr AND po THEN y ELSE 0 END) AS s_ct,
+             sum(CASE WHEN NOT tr AND NOT po THEN y ELSE 0 END)
+               AS s_cc,
+             sum(CASE WHEN tr AND po THEN y * y ELSE 0 END) AS q_tt,
+             sum(CASE WHEN tr AND NOT po THEN y * y ELSE 0 END)
+               AS q_tc,
+             sum(CASE WHEN NOT tr AND po THEN y * y ELSE 0 END)
+               AS q_ct,
+             sum(CASE WHEN NOT tr AND NOT po THEN y * y ELSE 0 END)
+               AS q_cc
+           FROM base),
+         m AS (SELECT n_tt, n_tc, n_ct, n_cc,
+             s_tt / n_tt::DOUBLE AS mtt, s_tc / n_tc::DOUBLE AS mtc,
+             s_ct / n_ct::DOUBLE AS mct, s_cc / n_cc::DOUBLE AS mcc,
+             (q_tt - s_tt * s_tt / n_tt::DOUBLE) / (n_tt::DOUBLE - 1)
+               AS vtt,
+             (q_tc - s_tc * s_tc / n_tc::DOUBLE) / (n_tc::DOUBLE - 1)
+               AS vtc,
+             (q_ct - s_ct * s_ct / n_ct::DOUBLE) / (n_ct::DOUBLE - 1)
+               AS vct,
+             (q_cc - s_cc * s_cc / n_cc::DOUBLE) / (n_cc::DOUBLE - 1)
+               AS vcc
+           FROM s),
+         f AS (SELECT n_tt, n_tc, n_ct, n_cc, mtt, mtc, mct, mcc,
+             (mtt - mtc) - (mct - mcc) AS did,
+             sqrt(vtt / n_tt::DOUBLE + vtc / n_tc::DOUBLE
+               + vct / n_ct::DOUBLE + vcc / n_cc::DOUBLE) AS se
+           FROM m)
+         SELECT n_tt, n_tc, n_ct, n_cc,
+           round(mtt, 6) AS mean_t_post, round(mtc, 6) AS mean_t_pre,
+           round(mct, 6) AS mean_c_post, round(mcc, 6) AS mean_c_pre,
+           round(did, 6) AS did, round(se, 6) AS se,
+           round(did - 1.959963984540054 * se, 6) AS lo95,
+           round(did + 1.959963984540054 * se, 6) AS hi95
+         FROM f""",
+    "q371_dispersion" ->
+      """WITH m AS (SELECT lang, count(*)::BIGINT AS n,
+             sum(n_chars::DOUBLE) AS s,
+             sum(n_chars::DOUBLE * n_chars) AS q
+           FROM documents GROUP BY 1),
+         d AS (SELECT lang, n, s / n::DOUBLE AS mean,
+             (q - s * s / n::DOUBLE) / (n::DOUBLE - 1) AS vr
+           FROM m),
+         f AS (SELECT lang, n, mean, vr,
+             (n::DOUBLE - 1) * vr / mean AS dd
+           FROM d)
+         SELECT lang, n, round(mean, 6) AS mean, round(vr, 6) AS var,
+           round(vr / mean, 6) AS ratio, round(dd, 2) AS d,
+           round((dd - (n::DOUBLE - 1))
+             / sqrt(2.0 * (n::DOUBLE - 1)), 6) AS z
+         FROM f
+         ORDER BY lang""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

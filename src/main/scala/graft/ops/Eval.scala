@@ -1613,6 +1613,136 @@ object Eval {
       when(den > 0, chi2 / lit(nD * (kD - 1))).as("w"))
   }
 
+  /** Covariate balance table (standardized mean differences) — the
+    * pre-flight check every weighted/matched comparison needs: before
+    * trusting [[postStratify]] or a propensity-style reweighting,
+    * VERIFY the arms actually look alike on the covariates,
+    * unweighted and weighted. Per covariate:
+    *
+    *   SMD = (x̄_T − x̄_C) / √((s²_T + s²_C)/2)
+    *
+    * (Cohen's d with the two-arm pooled-SD convention; |SMD| < 0.1 is
+    * the usual "balanced" rule of thumb). Weighted moments use the
+    * population convention s²_w = Σw(x−x̄_w)²/Σw (the reweighting
+    * estimand's own scale). Returns one row per covariate:
+    * `(covariate, n_t, n_c, mean_t, mean_c, smd, wmean_t, wmean_c,
+    * wsmd)` — smd NULL when a pooled variance vanishes; rows with
+    * NULL treat/value/weight or weight ≤ 0 are refused work per
+    * covariate.
+    *
+    * Shape: ONE scan — rows explode onto the (small, literal)
+    * covariate list and fold per (covariate, arm) with exact_sum
+    * moments; everything after is covariate-bounded arithmetic. */
+  def balanceTable(df: DataFrame, treatCol: Column,
+      covariates: Seq[(String, Column)],
+      weightCol: Column = lit(1.0)): DataFrame = {
+    import graft.api.{functions => gfn}
+    require(covariates.nonEmpty, "need at least one covariate")
+    require(covariates.map(_._1).distinct.length == covariates.length,
+      "duplicate covariate names")
+    val tr = treatCol.cast("boolean")
+    val w = weightCol.cast("double")
+    val pairs = array(covariates.map { case (nm, c) =>
+      struct(lit(nm).as("cv"), c.cast("double").as("x")) }: _*)
+    val rows = df.where(tr.isNotNull && w.isNotNull && w > 0)
+      .select(tr.as("__t"), w.as("__w"), explode(pairs).as("__p"))
+      .select(col("__t"), col("__w"), col("__p.cv").as("cv"),
+        col("__p.x").as("__x"))
+      .where(col("__x").isNotNull)
+    val byArm = rows.groupBy(col("cv"), col("__t")).agg(
+      count(lit(1)).as("__n"),
+      gfn.exact_sum(col("__x")).as("__s"),
+      gfn.exact_sum(col("__x") * col("__x")).as("__q"),
+      gfn.exact_sum(col("__w")).as("__sw"),
+      gfn.exact_sum(col("__w") * col("__x")).as("__swx"),
+      gfn.exact_sum(col("__w") * col("__x") * col("__x")).as("__swxx"))
+    def side(t: Boolean, c: String): Column =
+      first(when(col("__t") === t, col(c)), ignoreNulls = true)
+    val piv = byArm.groupBy(col("cv")).agg(
+      coalesce(side(true, "__n"), lit(0L)).as("n_t"),
+      coalesce(side(false, "__n"), lit(0L)).as("n_c"),
+      side(true, "__s").as("__st"), side(false, "__s").as("__sc"),
+      side(true, "__q").as("__qt"), side(false, "__q").as("__qc"),
+      side(true, "__sw").as("__swt"), side(false, "__sw").as("__swc"),
+      side(true, "__swx").as("__swxt"),
+      side(false, "__swx").as("__swxc"),
+      side(true, "__swxx").as("__swxxt"),
+      side(false, "__swxx").as("__swxxc"))
+    val (nt, nc) = (col("n_t").cast("double"), col("n_c").cast("double"))
+    val mT = when(col("n_t") > 0, col("__st") / nt)
+    val mC = when(col("n_c") > 0, col("__sc") / nc)
+    val vT = when(col("n_t") >= 2,
+      (col("__qt") - col("__st") * col("__st") / nt) / (nt - 1))
+    val vC = when(col("n_c") >= 2,
+      (col("__qc") - col("__sc") * col("__sc") / nc) / (nc - 1))
+    val pool = (vT + vC) / 2
+    val wmT = when(col("__swt") > 0, col("__swxt") / col("__swt"))
+    val wmC = when(col("__swc") > 0, col("__swxc") / col("__swc"))
+    val wvT = when(col("__swt") > 0,
+      col("__swxxt") / col("__swt") - wmT * wmT)
+    val wvC = when(col("__swc") > 0,
+      col("__swxxc") / col("__swc") - wmC * wmC)
+    val wpool = (wvT + wvC) / 2
+    piv.select(col("cv").as("covariate"), col("n_t"), col("n_c"),
+      mT.as("mean_t"), mC.as("mean_c"),
+      when(pool > 0, (mT - mC) / sqrt(pool)).as("smd"),
+      wmT.as("wmean_t"), wmC.as("wmean_c"),
+      when(wpool > 0, (wmT - wmC) / sqrt(wpool)).as("wsmd"))
+  }
+
+  /** Difference-in-differences on a 2×2 (arm × period) design — the
+    * intervention readout when treatment was NOT randomized but both
+    * groups are observed before AND after ("we switched half the
+    * sources to the new dedup config at week 12"): the control arm's
+    * before→after drift nets out shared trends,
+    *
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre),
+    *   SE² = Σ_{4 cells} s²/n   (unpooled, Welch-style)
+    *
+    * Returns one row `(n_tt, n_tc, n_ct, n_cc, mean_t_post,
+    * mean_t_pre, mean_c_post, mean_c_pre, did, se, lo95, hi95)` —
+    * SE/bounds NULL when any cell has < 2 members (parallel-trends is
+    * the caller's burden and is stated here, not assumed away). NULL
+    * arm/period/outcome rows are refused work.
+    *
+    * Shape: ONE fold to four cells of exact_sum moments. */
+  def diffInDiff(df: DataFrame, treatCol: Column, postCol: Column,
+      yCol: Column): DataFrame = {
+    import graft.api.{functions => gfn}
+    val tr = treatCol.cast("boolean")
+    val po = postCol.cast("boolean")
+    val y = yCol.cast("double")
+    val base = df.where(tr.isNotNull && po.isNotNull && y.isNotNull)
+    def cell(t: Column, suffix: String): Seq[Column] = Seq(
+      count(when(t, 1)).as(s"n_$suffix"),
+      gfn.exact_sum(when(t, y)).as(s"__s_$suffix"),
+      gfn.exact_sum(when(t, y * y)).as(s"__q_$suffix"))
+    val cells = cell(tr && po, "tt") ++ cell(tr && !po, "tc") ++
+      cell(!tr && po, "ct") ++ cell(!tr && !po, "cc")
+    val agg = base.agg(cells.head, cells.tail: _*)
+    def m(sfx: String): Column =
+      when(col(s"n_$sfx") > 0,
+        col(s"__s_$sfx") / col(s"n_$sfx").cast("double"))
+    def v(sfx: String): Column = {
+      val n = col(s"n_$sfx").cast("double")
+      when(col(s"n_$sfx") >= 2,
+        (col(s"__q_$sfx") - col(s"__s_$sfx") * col(s"__s_$sfx") / n)
+          / (n - 1))
+    }
+    val did = (m("tt") - m("tc")) - (m("ct") - m("cc"))
+    val se2 = v("tt") / col("n_tt").cast("double") +
+      v("tc") / col("n_tc").cast("double") +
+      v("ct") / col("n_ct").cast("double") +
+      v("cc") / col("n_cc").cast("double")
+    val se = when(se2.isNotNull, sqrt(se2))
+    val zq = 1.959963984540054
+    agg.select(col("n_tt"), col("n_tc"), col("n_ct"), col("n_cc"),
+      m("tt").as("mean_t_post"), m("tc").as("mean_t_pre"),
+      m("ct").as("mean_c_post"), m("cc").as("mean_c_pre"),
+      did.as("did"), se.as("se"),
+      (did - lit(zq) * se).as("lo95"), (did + lit(zq) * se).as("hi95"))
+  }
+
   /** Page's trend test (Page 1963) — [[friedmanTest]]'s ORDERED
     * alternative over the same complete k-system design: Friedman asks
     * "do the k model variants differ at all?"; Page spends all its

@@ -675,6 +675,51 @@ object Profile {
         col("__plogp") / nD + log(nD)).as("shannon"))
   }
 
+  /** Poisson dispersion (index-of-dispersion) test per group — the
+    * sanity check for COUNT-valued feeds (events per user per day,
+    * dups per shard, crawl errors per domain): under a Poisson
+    * process, variance ≈ mean; real feeds are usually overdispersed
+    * (bursty, contagious), and every Poisson-assuming alert fires too
+    * often there. Fisher's index:
+    *
+    *   D = (n−1)·s²/x̄ ~ χ²(n−1),  z = (D − (n−1))/√(2(n−1))
+    *
+    * Returns one row per group `(groupCols…, n, mean, var, ratio, d,
+    * z)` — ratio = s²/x̄ (1 = Poisson, > 1 over-, < 1 under-
+    * dispersed); d/z NULL when n < 2 or x̄ = 0. Negative values are
+    * refused work loudly (a "count" below 0 is a pipeline bug).
+    *
+    * Shape: ONE moment fold per group through
+    * [[graft.api.functions.exact_sum]]. */
+  def dispersionTest(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val v = valueCol.cast("double")
+    val agg = df.where(v.isNotNull)
+      .withColumn("__neg", when(v < 0, 1).otherwise(0))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__neg")).as("__bad"),
+        gf.exact_sum(v).as("__s"),
+        gf.exact_sum(v * v).as("__q"))
+    val n = col("n").cast("double")
+    val mean = when(col("n") > 0, col("__s") / n)
+    val vr = when(col("n") >= 2,
+      (col("__q") - col("__s") * col("__s") / n) / (n - 1))
+    val d = when(mean > 0, (n - 1) * vr / mean)
+    val out = agg.select(groupCols.map(col) ++ Seq(col("n"),
+      col("__bad"), mean.as("mean"), vr.as("var"),
+      when(mean > 0, vr / mean).as("ratio"), d.as("d"),
+      when(d.isNotNull && col("n") >= 2,
+        (d - (n - 1)) / sqrt(lit(2.0) * (n - 1))).as("z")): _*)
+    // fail fast on negative "counts" without a second scan: the flag
+    // rides the same fold
+    val bad = out.where(col("__bad") > 0).limit(1).collect()
+    require(bad.isEmpty, "negative values in a count column — " +
+      "dispersionTest is for counts; clean the feed first")
+    out.drop("__bad")
+  }
+
   /** Chapman capture–recapture estimator (Chapman 1951) — "how many
     * duplicates did BOTH passes miss": run two INDEPENDENT detectors
     * over the same corpus (MinHash vs SimHash candidates, two

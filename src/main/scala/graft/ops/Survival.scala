@@ -308,7 +308,16 @@ object Survival {
     * a separation-degenerate fit). NULL time/event/covariate rows are
     * refused work.
     *
-    * Shape: each iteration is ONE distinct-time count shuffle (cells
+    * `strataCols` fits the STRATIFIED model (one baseline hazard per
+    * stratum, one shared β): risk sets never cross stratum
+    * boundaries, so a per-source or per-shard baseline shift cannot
+    * confound the covariate effect — the Cox-side analogue of
+    * [[graft.ops.Eval.mantelHaenszel]]'s stratification. U and I add
+    * across strata; strata are bounded by `maxStrata` (their totals
+    * are collected to seed the per-stratum suffix offsets).
+    *
+    * Shape: each iteration is ONE distinct-(stratum, time) count
+    * shuffle (cells
     * carry Σe^{βx}, Σxe^{βx}, Σx²e^{βx}, d_t, Σ_events x via
     * [[graft.api.functions.exact_sum]]) plus ONE two-level DECIMAL
     * suffix-sum pass ([[Packing.withPrefixSumsDec]] on the negated
@@ -319,14 +328,23 @@ object Survival {
     * ~40 (e^{βx} must fit DECIMAL(38,18)'s 20 integer digits —
     * fail-fast, not silent). */
   def coxPH(df: DataFrame, timeCol: Column, eventCol: Column,
-      xCol: Column, iterations: Int = 8): DataFrame = {
+      xCol: Column, strataCols: Seq[String] = Nil,
+      iterations: Int = 8, maxStrata: Int = 10000): DataFrame = {
     require(iterations >= 1 && iterations <= 64,
       "iterations must be in [1, 64]")
     val t = timeCol.cast("double")
     val e = eventCol.cast("boolean")
     val x = xCol.cast("double")
-    val base = df.where(t.isNotNull && e.isNotNull && x.isNotNull)
-      .select(t.as("__t"), e.as("__e"), x.as("__x"))
+    // stratum key: one orderable string; "" = the unstratified fit
+    val sKey =
+      if (strataCols.isEmpty) lit("")
+      else concat_ws("", strataCols.map(c => col(c).cast("string")): _*)
+    val strataNotNull =
+      if (strataCols.isEmpty) lit(true)
+      else strataCols.map(c => col(c).isNotNull).reduce(_ && _)
+    val base = df.where(t.isNotNull && e.isNotNull && x.isNotNull &&
+        strataNotNull)
+      .select(sKey.as("__s"), t.as("__t"), e.as("__e"), x.as("__x"))
       .localCheckpoint()
     val head = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("__e").cast("long")), lit(0L)).as("d"),
@@ -354,7 +372,7 @@ object Survival {
         f"|beta*x| = ${math.abs(beta) * xMax}%.1f escapes the " +
           "DECIMAL(38,18) suffix-sum range — center/scale the covariate")
       val w = exp(lit(beta) * col("__x"))
-      val cells = base.groupBy(col("__t")).agg(
+      val cells = base.groupBy(col("__s"), col("__t")).agg(
         gf.exact_sum(w).as("__s0"),
         gf.exact_sum(col("__x") * w).as("__s1"),
         gf.exact_sum(col("__x") * col("__x") * w).as("__s2"),
@@ -362,8 +380,47 @@ object Survival {
         gf.exact_sum(when(col("__e"), col("__x")).otherwise(lit(0.0)))
           .as("__sxe"))
         .withColumn("__nt", -col("__t"))
-      val suf = Packing.withPrefixSumsDec(cells, Seq("__nt"),
-        Seq("__s0" -> "__S0", "__s1" -> "__S1", "__s2" -> "__S2"))
+      // one global (stratum, −t) prefix pass gives every stratum its
+      // suffix sums after subtracting the run-in of earlier strata —
+      // k strata totals collected (bounded), broadcast back
+      val cum = Packing.withPrefixSumsDec(cells, Seq("__s", "__nt"),
+        Seq("__s0" -> "__C0", "__s1" -> "__C1", "__s2" -> "__C2"))
+      val nar = "decimal(37,18)"
+      val perS = cells.groupBy(col("__s")).agg(
+          sum(col("__s0").cast(nar)).as("__t0"),
+          sum(col("__s1").cast(nar)).as("__t1"),
+          sum(col("__s2").cast(nar)).as("__t2"))
+        .orderBy(col("__s")).limit(maxStrata + 1).collect()
+      require(perS.length <= maxStrata,
+        s"more than maxStrata=$maxStrata strata")
+      var acc0 = java.math.BigDecimal.ZERO
+      var acc1 = java.math.BigDecimal.ZERO
+      var acc2 = java.math.BigDecimal.ZERO
+      val startRows = perS.map { r =>
+        val row = (r.getString(0), acc0, acc1, acc2)
+        acc0 = acc0.add(r.getDecimal(1)); acc1 = acc1.add(r.getDecimal(2))
+        acc2 = acc2.add(r.getDecimal(3))
+        row
+      }.toSeq
+      import scala.jdk.CollectionConverters._
+      val starts = spark.createDataFrame(startRows.map(s =>
+        org.apache.spark.sql.Row(s._1, s._2, s._3, s._4)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__s",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__b0",
+            org.apache.spark.sql.types.DataTypes
+              .createDecimalType(38, 18)),
+          org.apache.spark.sql.types.StructField("__b1",
+            org.apache.spark.sql.types.DataTypes
+              .createDecimalType(38, 18)),
+          org.apache.spark.sql.types.StructField("__b2",
+            org.apache.spark.sql.types.DataTypes
+              .createDecimalType(38, 18)))))
+      val suf = cum.join(broadcast(starts), Seq("__s"))
+        .withColumn("__S0", col("__C0") - col("__b0"))
+        .withColumn("__S1", col("__C1") - col("__b1"))
+        .withColumn("__S2", col("__C2") - col("__b2"))
       val s1r = col("__S1").cast("double") / col("__S0").cast("double")
       val ui = suf.where(col("__d") > 0).agg(
         gf.exact_sum(col("__sxe")

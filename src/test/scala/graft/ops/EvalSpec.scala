@@ -1356,6 +1356,62 @@ class EvalSpec extends SparkTestBase {
     }
   }
 
+  test("balanceTable: hand-worked SMD; weighting restores balance; " +
+      "constant covariate NULL smd") {
+    import spark.implicits._
+    // T = {1,3}, C = {5,7}: means 2 vs 6, vars 2 and 2 -> SMD = -4/sqrt(2)
+    // weight the C rows 3:1 toward the small value to shift wmean_c
+    val df = Seq((true, 1.0, 1.0), (true, 3.0, 1.0),
+      (false, 5.0, 3.0), (false, 7.0, 1.0)).toDF("t", "x", "w")
+    val r = Eval.balanceTable(df, col("t"),
+      Seq("x" -> col("x")), col("w")).head()
+    assert(r.getDouble(r.fieldIndex("smd")) == -4.0 / math.sqrt(2.0))
+    assert(r.getDouble(r.fieldIndex("mean_t")) == 2.0)
+    // weighted C mean = (3*5 + 7)/4 = 5.5; weighted var population
+    val wmC = r.getDouble(r.fieldIndex("wmean_c"))
+    assert(wmC == 5.5)
+    val wvC = (3 * (5.0 - 5.5) * (5.0 - 5.5)
+      + (7.0 - 5.5) * (7.0 - 5.5)) / 4
+    val wvT = ((1.0 - 2) * (1.0 - 2) + (3.0 - 2) * (3.0 - 2)) / 2
+    assert(math.abs(r.getDouble(r.fieldIndex("wsmd"))
+      - (2.0 - 5.5) / math.sqrt((wvT + wvC) / 2)) < 1e-12)
+    // constant covariate: pooled var 0 -> NULL
+    val c = Seq((true, 1.0, 1.0), (true, 1.0, 1.0), (false, 1.0, 1.0),
+      (false, 1.0, 1.0)).toDF("t", "x", "w")
+    val rc = Eval.balanceTable(c, col("t"), Seq("x" -> col("x")),
+      col("w")).head()
+    assert(rc.isNullAt(rc.fieldIndex("smd")))
+    // two covariates come back as two rows
+    assert(Eval.balanceTable(df, col("t"),
+      Seq("x" -> col("x"), "x2" -> (col("x") * 2)), col("w"))
+      .count() == 2L)
+  }
+
+  test("diffInDiff: hand-worked 2x2; control drift nets out; tiny " +
+      "cell NULL se") {
+    import spark.implicits._
+    // pre->post: T 10->17 (+7), C 20->23 (+3) => DiD = 4
+    val rows =
+      Seq((true, false, 9.0), (true, false, 11.0),
+        (true, true, 16.0), (true, true, 18.0),
+        (false, false, 19.0), (false, false, 21.0),
+        (false, true, 22.0), (false, true, 24.0))
+    val r = Eval.diffInDiff(rows.toDF("t", "p", "y"), col("t"),
+      col("p"), col("y")).head()
+    assert(r.getDouble(r.fieldIndex("did")) == 4.0)
+    // all four cells var 2, n 2 -> se = sqrt(4 * 2/2) = 2
+    assert(math.abs(r.getDouble(r.fieldIndex("se")) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("lo95"))
+      - (4.0 - 1.959963984540054 * 2)) < 1e-12)
+    // one-member cell: did still exact, se NULL
+    val tiny = rows.take(7)
+    val rt = Eval.diffInDiff(tiny.toDF("t", "p", "y"), col("t"),
+      col("p"), col("y")).head()
+    assert(rt.isNullAt(rt.fieldIndex("se")))
+    assert(rt.getDouble(rt.fieldIndex("did"))
+      == (17.0 - 10.0) - (22.0 - 20.0))
+  }
+
   test("pageTrend: hand-worked rising design; reversed order flips L; " +
       "incomplete design refused") {
     import spark.implicits._

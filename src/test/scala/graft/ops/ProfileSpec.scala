@@ -479,6 +479,34 @@ class ProfileSpec extends SparkTestBase {
     assert(re.isNullAt(re.fieldIndex("missing_mass")))
   }
 
+  test("dispersionTest: Poisson-like vs bursty counts; negative " +
+      "refused; constant group") {
+    import spark.implicits._
+    // burst group: half zeros, half eights -> var >> mean
+    val burst = (1 to 40).map(i => ("b", if (i % 2 == 0) 8.0 else 0.0))
+    // tame group: alternating 3/5 -> var 1.03ish ~ mean 4
+    val tame = (1 to 40).map(i => ("t", if (i % 2 == 0) 3.0 else 5.0))
+    val df = (burst ++ tame).toDF("g", "v")
+    val rows = Profile.dispersionTest(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rb = rows("b"); val rt = rows("t")
+    assert(rb.getDouble(rb.fieldIndex("ratio")) > 2.0)
+    assert(rt.getDouble(rt.fieldIndex("ratio")) < 0.5)
+    assert(rb.getDouble(rb.fieldIndex("z"))
+      > rt.getDouble(rt.fieldIndex("z")))
+    // hand check: mean 4, var = 40*16/39 for burst
+    assert(math.abs(rb.getDouble(rb.fieldIndex("var"))
+      - 40.0 * 16 / 39) < 1e-12)
+    // constant group: var 0 -> ratio 0, z defined
+    val c = (1 to 5).map(_ => ("c", 2.0)).toDF("g", "v")
+    val rc = Profile.dispersionTest(c, Seq("g"), col("v")).head()
+    assert(rc.getDouble(rc.fieldIndex("ratio")) == 0.0)
+    intercept[IllegalArgumentException] {
+      Profile.dispersionTest(Seq(("g", -1.0)).toDF("g", "v"),
+        Seq("g"), col("v"))
+    }
+  }
+
   test("captureRecapture: textbook Chapman estimate; perfect overlap; " +
       "empty detector NULL") {
     import spark.implicits._
