@@ -2794,6 +2794,38 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q372_energy_distance" -> ((s, dir) => {
+      // exact energy distance between the two mod-lattice sides (the
+      // q356 fixture family): gap-crossing decomposition, one cell
+      // pass, no O(n^2) pairs anywhere
+      val docs = t(s, dir, "documents")
+        .select(when(col("doc_id") % 2 === 0,
+            (col("doc_id") * 11) % 83)
+          .otherwise((col("doc_id") * 7) % 89 + 5)
+          .cast("double").as("v"),
+          (col("doc_id") % 2 === 0).as("a"))
+      graft.ops.Drift.energyDistance(docs, col("v"), col("a"))
+        .select(col("n_a"), col("n_b"),
+          round(col("e_xy"), 6).as("e_xy"),
+          round(col("e_xx"), 6).as("e_xx"),
+          round(col("e_yy"), 6).as("e_yy"),
+          round(col("d2"), 6).as("d2"))
+    }),
+
+    "q373_cusum" -> ((s, dir) => {
+      // CUSUM creep detector per language over the doc_id-ordered
+      // char-count series; emits the first 150 ids (the monitor runs
+      // over the WHOLE series; the slice is just the gate's window)
+      val docs = t(s, dir, "documents")
+      graft.ops.Drift.cusumMonitor(docs, Seq("lang"), col("doc_id"),
+          lit(0), col("n_chars"), mu0 = 310.0, k = 40.0, h = 400.0)
+        .where(col("doc_id") < 150)
+        .select(col("lang"), col("doc_id"),
+          round(col("s_pos"), 2).as("s_pos"),
+          round(col("s_neg"), 2).as("s_neg"), col("flag"))
+        .orderBy("lang", "doc_id")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -12032,6 +12064,62 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
              / sqrt(2.0 * (n::DOUBLE - 1)), 6) AS z
          FROM f
          ORDER BY lang""",
+    "q372_energy_distance" ->
+      """WITH f AS (SELECT
+             CASE WHEN doc_id % 2 = 0 THEN (doc_id * 11) % 83
+               ELSE (doc_id * 7) % 89 + 5 END::DOUBLE AS v,
+             doc_id % 2 = 0 AS a
+           FROM documents),
+         cells AS (SELECT v,
+             sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS da,
+             sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS db
+           FROM f GROUP BY 1),
+         cum AS (SELECT v, da, db,
+             sum(da) OVER w AS ca, sum(db) OVER w AS cb,
+             sum(da) OVER () AS na, sum(db) OVER () AS nb,
+             lead(v) OVER (ORDER BY v) AS nv
+           FROM cells
+           WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         terms AS (SELECT na, nb,
+             CASE WHEN nv IS NOT NULL THEN nv - v ELSE 0.0 END AS g,
+             ca::DOUBLE AS ca, cb::DOUBLE AS cb,
+             na::DOUBLE AS nad, nb::DOUBLE AS nbd
+           FROM cum),
+         agg AS (SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+             sum(g * (ca * (nbd - cb) + cb * (nad - ca))) AS sab,
+             sum(g * (2.0 * ca * (nad - ca))) AS saa,
+             sum(g * (2.0 * cb * (nbd - cb))) AS sbb
+           FROM terms),
+         fin AS (SELECT n_a, n_b,
+             sab / (n_a::DOUBLE * n_b::DOUBLE) AS exy,
+             saa / (n_a::DOUBLE * n_a::DOUBLE) AS exx,
+             sbb / (n_b::DOUBLE * n_b::DOUBLE) AS eyy
+           FROM agg)
+         SELECT n_a, n_b, round(exy, 6) AS e_xy, round(exx, 6) AS e_xx,
+           round(eyy, 6) AS e_yy,
+           round(2.0 * exy - exx - eyy, 6) AS d2
+         FROM fin""",
+    "q373_cusum" ->
+      """WITH f AS (SELECT lang, doc_id, n_chars::DOUBLE AS v
+           FROM documents),
+         p AS (SELECT lang, doc_id,
+             sum(v - 310.0 - 40.0) OVER w AS pp,
+             sum(-(v - 310.0) - 40.0) OVER w AS qq
+           FROM f
+           WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING)),
+         sm AS (SELECT lang, doc_id,
+             pp - least(0.0, min(pp) OVER w2) AS s_pos,
+             qq - least(0.0, min(qq) OVER w2) AS s_neg
+           FROM p
+           WINDOW w2 AS (PARTITION BY lang ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING))
+         SELECT lang, doc_id, round(s_pos, 2) AS s_pos,
+           round(s_neg, 2) AS s_neg,
+           (s_pos > 400.0 OR s_neg > 400.0) AS flag
+         FROM sm
+         WHERE doc_id < 150
+         ORDER BY lang, doc_id""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

@@ -1031,6 +1031,63 @@ object Drift {
           + (gtG - eGt) * (gtG - eGt) / eGt).as("chi2_part"))
   }
 
+  /** Exact two-sample energy distance (Székely & Rizzo 2004) — the
+    * modern omnibus: sensitive to ANY distributional difference
+    * (location, scale, shape, tails) with a single statistic,
+    *
+    *   D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|,
+    *   T  = n_A·n_B/(n_A+n_B) · D²   (≥ 0, = 0 iff same distribution)
+    *
+    * The textbook computation is O(n²) pairwise |x−y|; this one is
+    * EXACT in one cell pass: every pairwise sum of absolute
+    * differences decomposes over the sorted distinct-value gaps —
+    * pairs that straddle gap k contribute its width once each, so
+    *
+    *   Σ_{x∈A,y∈B}|x−y| = Σ_k g_k·(F_A(k)·(n_B−F_B(k))
+    *                              + F_B(k)·(n_A−F_A(k)))
+    *
+    * with g_k the gap to the next distinct value and F the inclusive
+    * cumulative counts (within-side sums analogously). Returns one
+    * row `(n_a, n_b, e_xy, e_xx, e_yy, d2, t_stat)` — NULL when
+    * either side is empty. E|·| are V-statistic means (self-pairs
+    * count zero). NULL values/sides are refused work.
+    *
+    * Shape: the [[ksTest]] recipe — ONE corpus shuffle into
+    * per-distinct-value side counts; cumulatives AND the
+    * next-distinct-value gap ride the same
+    * [[Packing.withPrefixSumsLong]] two-level pass (its `leadOut`
+    * channel); the gap-weighted products fold through
+    * [[graft.api.functions.exact_sum]] — fully parallel on a
+    * corpus-sized cell frame, bit-identical on any partitioning.
+    * Count products are doubles (the gap weight already is): past
+    * ~10⁸ rows per side the products round — fine for a distance,
+    * stated for the record. */
+  def energyDistance(df: DataFrame, value: Column, isA: Column)
+      : DataFrame = {
+    val cum = cumFromCells(sideCells(df, value, isA),
+      leadOut = Some("__lead"))
+    val g = when(col("__lead").isNotNull, col("__lead") - col("__v"))
+      .otherwise(lit(0.0))
+    val (ca, cb) = (col("__ca").cast("double"),
+      col("__cb").cast("double"))
+    val (na, nb) = (col("__na").cast("double"),
+      col("__nb").cast("double"))
+    val agg = cum.agg(
+      max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+      gf.exact_sum(g * (ca * (nb - cb) + cb * (na - ca))).as("__sab"),
+      gf.exact_sum(g * (lit(2.0) * ca * (na - ca))).as("__saa"),
+      gf.exact_sum(g * (lit(2.0) * cb * (nb - cb))).as("__sbb"))
+    val (naO, nbO) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val both = col("n_a") > 0 && col("n_b") > 0
+    val eXY = when(both, col("__sab") / (naO * nbO))
+    val eXX = when(col("n_a") > 0, col("__saa") / (naO * naO))
+    val eYY = when(col("n_b") > 0, col("__sbb") / (nbO * nbO))
+    val d2 = lit(2.0) * eXY - eXX - eYY
+    agg.select(col("n_a"), col("n_b"), eXY.as("e_xy"), eXX.as("e_xx"),
+      eYY.as("e_yy"), when(both, d2).as("d2"),
+      when(both, naO * nbO / (naO + nbO) * d2).as("t_stat"))
+  }
+
   /** k-sample Anderson–Darling test (Scholz & Stephens 1987, the
     * tie-adjusted A²_akN) — the omnibus heavy-tail-sensitive member of
     * the drift battery: [[ksTest]] scores the single worst CDF gap,
@@ -1108,6 +1165,56 @@ object Drift {
       col("__s") * lit((nD - 1) / (nD * nD)))
     agg.select(lit(nTot).as("n"), lit(k.toLong).as("k"),
       a2.as("a2"), lit((k - 1).toDouble).as("e_a2"))
+  }
+
+  /** One-sided CUSUM pair (Page 1954) per group — [[ewmaMonitor]]'s
+    * companion for SMALL PERSISTENT shifts: EWMA reacts to a point
+    * anomaly; CUSUM accumulates drift, so a metric that creeps
+    * +0.3σ/day alarms in days, not after the quarter. The classic
+    * recursion S⁺_t = max(0, S⁺_{t−1} + (x_t − μ₀) − k) is
+    * sequential; this computes the closed form
+    *
+    *   S⁺_t = P_t − min_{0 ≤ j ≤ t} P_j,  P_t = Σ_{i≤t}(x_i − μ₀ − k)
+    *
+    * (and the mirrored S⁻), so the whole series needs one running sum
+    * and one running min. Adds `s_pos`, `s_neg`, `flag`
+    * (S⁺ > h ∨ S⁻ > h). NULL group/order/value rows are refused
+    * work; `tieCol` must make (groupCols, orderCol, tieCol) unique
+    * (the [[ewmaMonitor]] contract — ties would make the fold order
+    * partition-dependent).
+    *
+    * Shape: per-series windows over GROUP-bounded partitions (one
+    * exchange — monitors are per-source/per-day series, not
+    * corpus-length); window sums run sequentially in (order, tie)
+    * order, so results are deterministic and an external SQL engine
+    * reproduces them bit-for-bit. */
+  def cusumMonitor(df: DataFrame, groupCols: Seq[String],
+      orderCol: Column, tieCol: Column, value: Column,
+      mu0: Double, k: Double, h: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(k >= 0, "slack k must be >= 0")
+    require(h > 0, "threshold h must be > 0")
+    val reserved = Seq("__p", "__q", "s_pos", "s_neg", "flag")
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val v = value.cast("double")
+    val base = df.where(v.isNotNull && orderCol.isNotNull &&
+      groupCols.map(c => col(c).isNotNull).reduce(_ && _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCol, tieCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val withP = base
+      .withColumn("__p", sum(v - lit(mu0) - lit(k)).over(w))
+      .withColumn("__q", sum(-(v - lit(mu0)) - lit(k)).over(w))
+    withP
+      .withColumn("s_pos",
+        col("__p") - least(lit(0.0), min(col("__p")).over(w)))
+      .withColumn("s_neg",
+        col("__q") - least(lit(0.0), min(col("__q")).over(w)))
+      .withColumn("flag", col("s_pos") > h || col("s_neg") > h)
+      .drop("__p", "__q")
   }
 
   /** Mixture sequential probability ratio test (mSPRT; Robbins 1970,

@@ -745,6 +745,75 @@ class DriftSpec extends SparkTestBase {
     assert(rc.isNullAt(rc.fieldIndex("p_always")))
   }
 
+  test("energyDistance: brute pairwise agreement; identical sides 0; " +
+      "shift registers; empty side NULL") {
+    import spark.implicits._
+    def brute(as: Seq[Double], bs: Seq[Double])
+        : (Double, Double, Double) = {
+      def s(u: Seq[Double], v: Seq[Double]) =
+        (for (x <- u; y <- v) yield math.abs(x - y)).sum
+      (s(as, bs) / (as.size.toDouble * bs.size),
+        s(as, as) / (as.size.toDouble * as.size),
+        s(bs, bs) / (bs.size.toDouble * bs.size))
+    }
+    val as = (1 to 45).map(i => ((i * 13) % 17).toDouble)
+    val bs = (1 to 60).map(i => ((i * 7) % 19 + 2.5).toDouble)
+    val df = (as.map((_, true)) ++ bs.map((_, false))).toDF("v", "a")
+    val r = Drift.energyDistance(df, col("v"), col("a")).head()
+    val (exy, exx, eyy) = brute(as, bs)
+    assert(math.abs(r.getDouble(r.fieldIndex("e_xy")) - exy) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("e_xx")) - exx) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("e_yy")) - eyy) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("d2"))
+      - (2 * exy - exx - eyy)) < 1e-9)
+    assert(r.getDouble(r.fieldIndex("d2")) > 0)
+    // identical sides: D2 == 0 exactly (same cells, algebra cancels)
+    val same = (1 to 50).flatMap(i =>
+      Seq(((i % 7).toDouble, true), ((i % 7).toDouble, false)))
+      .toDF("v", "a")
+    val rs = Drift.energyDistance(same, col("v"), col("a")).head()
+    assert(rs.getDouble(rs.fieldIndex("d2")) == 0.0)
+    // empty side: NULLs
+    val e = Seq((1.0, true)).toDF("v", "a")
+    val re = Drift.energyDistance(e, col("v"), col("a")).head()
+    assert(re.isNullAt(re.fieldIndex("d2")))
+    // partition invariance
+    val p1 = Drift.energyDistance(df.repartition(1), col("v"),
+      col("a")).head().toString
+    val p13 = Drift.energyDistance(df.repartition(13), col("v"),
+      col("a")).head().toString
+    assert(p1 == p13)
+  }
+
+  test("cusumMonitor: matches the sequential max(0, .) recursion; " +
+      "creep alarm fires; reset after excursion") {
+    import spark.implicits._
+    // series: 10 on-target points, then a +0.8 creep for 10 points
+    val xs = (1 to 10).map(_ => 5.0) ++ (1 to 10).map(_ => 5.8)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }
+    val df = rows.toDF("g", "i", "v")
+    val out = Drift.cusumMonitor(df, Seq("g"), col("i"), lit(0),
+      col("v"), mu0 = 5.0, k = 0.2, h = 2.0)
+      .orderBy("i").collect()
+    // sequential reference
+    var sp = 0.0; var sn = 0.0
+    val ref = xs.map { x =>
+      sp = math.max(0, sp + (x - 5.0) - 0.2)
+      sn = math.max(0, sn - (x - 5.0) - 0.2)
+      (sp, sn)
+    }
+    out.zip(ref).foreach { case (row, (rp, rn)) =>
+      assert(math.abs(row.getDouble(row.fieldIndex("s_pos")) - rp)
+        < 1e-12)
+      assert(math.abs(row.getDouble(row.fieldIndex("s_neg")) - rn)
+        < 1e-12)
+    }
+    // the creep alarms within 4 points of onset (0.6 net per step)
+    val firstFlag = out.indexWhere(_.getBoolean(
+      out.head.fieldIndex("flag")))
+    assert(firstFlag >= 10 && firstFlag <= 13, s"alarm at $firstFlag")
+  }
+
   test("andersonDarlingK: brute formula agreement with ties; identical " +
       "sides near zero; constant corpus NULL; partition invariance") {
     import spark.implicits._
