@@ -2826,6 +2826,33 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    "q374_acf" -> ((s, dir) => {
+      // per-language ACF of a deliberately run-structured series
+      // (runs of 16 share a +50k offset level, so lag-1 is strong and
+      // real); one pass computes all four lags
+      val docs = t(s, dir, "documents")
+        .withColumn("v", col("n_chars")
+          + lit(50) * ((col("doc_id") / 16).cast("long") % 7))
+      graft.ops.Drift.acf(docs, Seq("lang"), col("doc_id"), lit(0),
+          col("v"), maxLag = 4)
+        .select(col("lang"), col("n"), col("lag"),
+          round(col("r"), 6).as("r"))
+        .orderBy("lang", "lag")
+    }),
+
+    "q375_ljung_box" -> ((s, dir) => {
+      // Ljung-Box verdict over the same series: the run structure is
+      // highly significant against the chi-square(4) scale
+      val docs = t(s, dir, "documents")
+        .withColumn("v", col("n_chars")
+          + lit(50) * ((col("doc_id") / 16).cast("long") % 7))
+      graft.ops.Drift.ljungBox(docs, Seq("lang"), col("doc_id"),
+          lit(0), col("v"), maxLag = 4)
+        .select(col("lang"), col("n"), col("k"),
+          round(col("q"), 6).as("q"))
+        .orderBy("lang")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -12120,6 +12147,119 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
          FROM sm
          WHERE doc_id < 150
          ORDER BY lang, doc_id""",
+    "q374_acf" ->
+      """WITH f AS (SELECT lang, doc_id,
+             (n_chars + 50 * ((doc_id // 16) % 7))::DOUBLE AS v
+           FROM documents),
+         l AS (SELECT lang, v,
+             lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4
+           FROM f
+           WINDOW w AS (PARTITION BY lang ORDER BY doc_id)),
+         g AS (SELECT lang, count(*)::BIGINT AS n, sum(v) AS s,
+             sum(v * v) AS q,
+             sum(CASE WHEN l1 IS NOT NULL THEN v * l1 ELSE 0 END)
+               AS c1,
+             sum(CASE WHEN l1 IS NOT NULL THEN v ELSE 0 END) AS h1,
+             sum(CASE WHEN l1 IS NOT NULL THEN l1 ELSE 0 END) AS t1,
+             sum(CASE WHEN l2 IS NOT NULL THEN v * l2 ELSE 0 END)
+               AS c2,
+             sum(CASE WHEN l2 IS NOT NULL THEN v ELSE 0 END) AS h2,
+             sum(CASE WHEN l2 IS NOT NULL THEN l2 ELSE 0 END) AS t2,
+             sum(CASE WHEN l3 IS NOT NULL THEN v * l3 ELSE 0 END)
+               AS c3,
+             sum(CASE WHEN l3 IS NOT NULL THEN v ELSE 0 END) AS h3,
+             sum(CASE WHEN l3 IS NOT NULL THEN l3 ELSE 0 END) AS t3,
+             sum(CASE WHEN l4 IS NOT NULL THEN v * l4 ELSE 0 END)
+               AS c4,
+             sum(CASE WHEN l4 IS NOT NULL THEN v ELSE 0 END) AS h4,
+             sum(CASE WHEN l4 IS NOT NULL THEN l4 ELSE 0 END) AS t4
+           FROM l GROUP BY 1),
+         m AS (SELECT lang, n, s / n::DOUBLE AS mean, q,
+             c1, h1, t1, c2, h2, t2, c3, h3, t3, c4, h4, t4,
+             q - n::DOUBLE * (s / n::DOUBLE) * (s / n::DOUBLE) AS den
+           FROM g),
+         r AS (
+           SELECT lang, n, 1 AS lag,
+             (c1 - mean * h1 - mean * t1
+               + (n::DOUBLE - 1) * mean * mean) / den AS r
+           FROM m WHERE n > 1 AND den > 0
+           UNION ALL
+           SELECT lang, n, 2,
+             (c2 - mean * h2 - mean * t2
+               + (n::DOUBLE - 2) * mean * mean) / den
+           FROM m WHERE n > 2 AND den > 0
+           UNION ALL
+           SELECT lang, n, 3,
+             (c3 - mean * h3 - mean * t3
+               + (n::DOUBLE - 3) * mean * mean) / den
+           FROM m WHERE n > 3 AND den > 0
+           UNION ALL
+           SELECT lang, n, 4,
+             (c4 - mean * h4 - mean * t4
+               + (n::DOUBLE - 4) * mean * mean) / den
+           FROM m WHERE n > 4 AND den > 0)
+         SELECT lang, n, lag, round(r, 6) AS r
+         FROM r
+         ORDER BY lang, lag""",
+    "q375_ljung_box" ->
+      """WITH f AS (SELECT lang, doc_id,
+             (n_chars + 50 * ((doc_id // 16) % 7))::DOUBLE AS v
+           FROM documents),
+         l AS (SELECT lang, v,
+             lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4
+           FROM f
+           WINDOW w AS (PARTITION BY lang ORDER BY doc_id)),
+         g AS (SELECT lang, count(*)::BIGINT AS n, sum(v) AS s,
+             sum(v * v) AS q,
+             sum(CASE WHEN l1 IS NOT NULL THEN v * l1 ELSE 0 END)
+               AS c1,
+             sum(CASE WHEN l1 IS NOT NULL THEN v ELSE 0 END) AS h1,
+             sum(CASE WHEN l1 IS NOT NULL THEN l1 ELSE 0 END) AS t1,
+             sum(CASE WHEN l2 IS NOT NULL THEN v * l2 ELSE 0 END)
+               AS c2,
+             sum(CASE WHEN l2 IS NOT NULL THEN v ELSE 0 END) AS h2,
+             sum(CASE WHEN l2 IS NOT NULL THEN l2 ELSE 0 END) AS t2,
+             sum(CASE WHEN l3 IS NOT NULL THEN v * l3 ELSE 0 END)
+               AS c3,
+             sum(CASE WHEN l3 IS NOT NULL THEN v ELSE 0 END) AS h3,
+             sum(CASE WHEN l3 IS NOT NULL THEN l3 ELSE 0 END) AS t3,
+             sum(CASE WHEN l4 IS NOT NULL THEN v * l4 ELSE 0 END)
+               AS c4,
+             sum(CASE WHEN l4 IS NOT NULL THEN v ELSE 0 END) AS h4,
+             sum(CASE WHEN l4 IS NOT NULL THEN l4 ELSE 0 END) AS t4
+           FROM l GROUP BY 1),
+         m AS (SELECT lang, n, s / n::DOUBLE AS mean, q,
+             c1, h1, t1, c2, h2, t2, c3, h3, t3, c4, h4, t4,
+             q - n::DOUBLE * (s / n::DOUBLE) * (s / n::DOUBLE) AS den
+           FROM g),
+         fin AS (SELECT lang, n, 4::BIGINT AS k,
+             n::DOUBLE * (n::DOUBLE + 2) * (
+               ((c1 - mean * h1 - mean * t1
+                 + (n::DOUBLE - 1) * mean * mean) / den)
+               * ((c1 - mean * h1 - mean * t1
+                 + (n::DOUBLE - 1) * mean * mean) / den)
+               / (n::DOUBLE - 1)
+               + ((c2 - mean * h2 - mean * t2
+                 + (n::DOUBLE - 2) * mean * mean) / den)
+               * ((c2 - mean * h2 - mean * t2
+                 + (n::DOUBLE - 2) * mean * mean) / den)
+               / (n::DOUBLE - 2)
+               + ((c3 - mean * h3 - mean * t3
+                 + (n::DOUBLE - 3) * mean * mean) / den)
+               * ((c3 - mean * h3 - mean * t3
+                 + (n::DOUBLE - 3) * mean * mean) / den)
+               / (n::DOUBLE - 3)
+               + ((c4 - mean * h4 - mean * t4
+                 + (n::DOUBLE - 4) * mean * mean) / den)
+               * ((c4 - mean * h4 - mean * t4
+                 + (n::DOUBLE - 4) * mean * mean) / den)
+               / (n::DOUBLE - 4)) AS qstat
+           FROM m WHERE n > 4 AND den > 0)
+         SELECT lang, n, k, round(qstat, 6) AS q
+         FROM fin
+         ORDER BY lang""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

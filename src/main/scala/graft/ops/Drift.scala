@@ -1031,6 +1031,95 @@ object Drift {
           + (gtG - eGt) * (gtG - eGt) / eGt).as("chi2_part"))
   }
 
+  /** Per-series autocorrelation function r_1..r_maxLag — the
+    * monitor-family diagnostic that answers "are these residuals/
+    * ingest volumes actually independent, or does today echo
+    * yesterday": every control chart here ([[ewmaMonitor]],
+    * [[cusumMonitor]], [[msprt]]) calibrates its thresholds assuming
+    * independent points, and autocorrelated series alarm falsely at
+    * several times the nominal rate. The standard biased estimator,
+    *
+    *   r_k = Σ_{t>k}(x_t − x̄)(x_{t−k} − x̄) / Σ_t(x_t − x̄)²
+    *
+    * expanded so ONE pass computes every lag: per (group, lag k) the
+    * fold carries Σx_t·x_{t−k}, the head/tail partial sums, and the
+    * global moments — no second scan for the mean. Returns one row
+    * per (group, lag): `(groupCols…, n, lag, r)` — r NULL when the
+    * series is constant or n ≤ lag. NULL group/order/value rows are
+    * refused work; `tieCol` must make the order total (the
+    * [[cusumMonitor]] contract).
+    *
+    * Shape: `maxLag` lag columns over GROUP-bounded window partitions
+    * (one exchange), then one exact_sum fold per group — series are
+    * per-source/per-day charts, not corpus-length. */
+  def acf(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      tieCol: Column, value: Column, maxLag: Int = 8): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(maxLag >= 1 && maxLag <= 64, "maxLag must be in [1, 64]")
+    val v = value.cast("double")
+    val base = df.where(v.isNotNull && orderCol.isNotNull &&
+        groupCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(groupCols.map(col) :+ v.as("__x") :+ orderCol.as("__o")
+        :+ tieCol.as("__tie"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__o"), col("__tie"))
+    val lagged = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("__x"), k).over(w))
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      gf.exact_sum(col("__x")).as("__s"),
+      gf.exact_sum(col("__x") * col("__x")).as("__q")) ++
+      (1 to maxLag).flatMap { k =>
+        val lk = col(s"__l$k")
+        Seq(
+          gf.exact_sum(when(lk.isNotNull, col("__x") * lk)
+            .otherwise(lit(0.0))).as(s"__c$k"),
+          gf.exact_sum(when(lk.isNotNull, col("__x"))
+            .otherwise(lit(0.0))).as(s"__h$k"),
+          gf.exact_sum(when(lk.isNotNull, lk).otherwise(lit(0.0)))
+            .as(s"__t$k"))
+      }
+    val byG = lagged.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    val mean = col("__s") / n
+    val den = col("__q") - n * mean * mean
+    val lagRows = (1 to maxLag).map { k =>
+      val num = col(s"__c$k") - mean * col(s"__h$k") -
+        mean * col(s"__t$k") + (n - k) * mean * mean
+      struct(lit(k).as("lag"),
+        when(col("n") > k && den > 0, num / den).as("r"))
+    }
+    byG.select(groupCols.map(col) :+ col("n") :+
+        explode(array(lagRows: _*)).as("__lr"): _*)
+      .select(groupCols.map(col) :+ col("n") :+
+        col("__lr.lag").as("lag") :+ col("__lr.r").as("r"): _*)
+  }
+
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) per series —
+    * [[acf]]'s one-number verdict: Q ~ χ²(K) under independence,
+    *
+    *   Q = n(n+2) Σ_{k≤K} r_k²/(n−k)
+    *
+    * Returns one row per group `(groupCols…, n, k, q)` — q NULL when
+    * any r_k is NULL (constant or too-short series). Same shape as
+    * [[acf]] (it folds acf's output). */
+  def ljungBox(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      tieCol: Column, value: Column, maxLag: Int = 8): DataFrame = {
+    val rs = acf(df, groupCols, orderCol, tieCol, value, maxLag)
+    val n = col("n").cast("double")
+    rs.groupBy(groupCols.map(col): _*)
+      .agg(max(col("n")).as("n"), count(lit(1)).as("k"),
+        gf.exact_sum(coalesce(col("r") * col("r")
+          / (col("n").cast("double") - col("lag")), lit(0.0)))
+          .as("__s"),
+        sum(when(col("r").isNull, 1).otherwise(0)).as("__bad"))
+      .select(groupCols.map(col) :+ col("n") :+ col("k") :+
+        when(col("__bad") === 0,
+          n * (n + 2) * col("__s")).as("q"): _*)
+  }
+
   /** Exact two-sample energy distance (Székely & Rizzo 2004) — the
     * modern omnibus: sensitive to ANY distributional difference
     * (location, scale, shape, tails) with a single statistic,

@@ -745,6 +745,51 @@ class DriftSpec extends SparkTestBase {
     assert(rc.isNullAt(rc.fieldIndex("p_always")))
   }
 
+  test("acf + ljungBox: sequential reference agreement; AR-ish series " +
+      "beats white noise; constant series NULL") {
+    import spark.implicits._
+    def refAcf(xs: Seq[Double], k: Int): Double = {
+      val m = xs.sum / xs.size
+      val num = (k until xs.size)
+        .map(t => (xs(t) - m) * (xs(t - k) - m)).sum
+      val den = xs.map(x => (x - m) * (x - m)).sum
+      num / den
+    }
+    // a slowly-varying series (strong lag-1) vs a residue hash
+    val smooth = (1 to 60).map(i => ("s", i, (i % 15).toDouble))
+    val noisy = (1 to 60).map(i => ("n", i, ((i * 37) % 11).toDouble))
+    val df = (smooth ++ noisy).toDF("g", "i", "v")
+    val rs = Drift.acf(df, Seq("g"), col("i"), lit(0), col("v"),
+        maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getInt(r.fieldIndex("lag")))
+        -> r.getDouble(r.fieldIndex("r"))).toMap
+    for (k <- 1 to 3) {
+      assert(math.abs(rs(("s", k))
+        - refAcf(smooth.map(_._3), k)) < 1e-12)
+      assert(math.abs(rs(("n", k))
+        - refAcf(noisy.map(_._3), k)) < 1e-12)
+    }
+    assert(rs(("s", 1)) > 0.5 && rs(("s", 1)) > rs(("n", 1)))
+    // ljung-box folds the same r's
+    val lb = Drift.ljungBox(df, Seq("g"), col("i"), lit(0), col("v"),
+        maxLag = 3)
+      .collect().map(r => r.getString(0)
+        -> r.getDouble(r.fieldIndex("q"))).toMap
+    val n = 60.0
+    val qRef = n * (n + 2) * (1 to 3)
+      .map(k => math.pow(refAcf(smooth.map(_._3), k), 2) / (n - k)).sum
+    assert(math.abs(lb("s") - qRef) < 1e-9)
+    assert(lb("s") > lb("n"))
+    // constant series: NULL r and q
+    val c = (1 to 10).map(i => ("c", i, 4.0)).toDF("g", "i", "v")
+    val rc = Drift.acf(c, Seq("g"), col("i"), lit(0), col("v"), 2)
+      .collect()
+    assert(rc.forall(_.isNullAt(rc.head.fieldIndex("r"))))
+    val qc = Drift.ljungBox(c, Seq("g"), col("i"), lit(0), col("v"), 2)
+      .head()
+    assert(qc.isNullAt(qc.fieldIndex("q")))
+  }
+
   test("energyDistance: brute pairwise agreement; identical sides 0; " +
       "shift registers; empty side NULL") {
     import spark.implicits._
