@@ -2853,6 +2853,39 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q376_ks_weighted" -> ((s, dir) => {
+      // importance-weighted KS on the q356 lattice with 1+(id%4)
+      // integer weights: weighted ECDF gap + Kish-ESS approximate p
+      val docs = t(s, dir, "documents")
+        .select(when(col("doc_id") % 2 === 0,
+            (col("doc_id") * 11) % 83)
+          .otherwise((col("doc_id") * 7) % 89 + 5)
+          .cast("double").as("v"),
+          (col("doc_id") % 2 === 0).as("a"),
+          (lit(1) + col("doc_id") % 4).cast("double").as("w"))
+      graft.ops.Drift.ksTestWeighted(docs, col("v"), col("a"),
+          col("w"))
+        .select(round(col("w_a"), 1).as("w_a"),
+          round(col("w_b"), 1).as("w_b"),
+          round(col("n_eff_a"), 6).as("n_eff_a"),
+          round(col("n_eff_b"), 6).as("n_eff_b"),
+          round(col("d"), 6).as("d"),
+          round(col("p_approx"), 6).as("p_approx"))
+    }),
+
+    "q377_mixture_overlap" -> ((s, dir) => {
+      // bounded mixture-agreement panel between the parity halves'
+      // language mixes (near-identical by construction — the panel
+      // should sit near 1/1/0)
+      val docs = t(s, dir, "documents")
+      graft.ops.Drift.mixtureOverlap(docs, col("lang"),
+          col("doc_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"), col("v"),
+          round(col("overlap"), 6).as("overlap"),
+          round(col("bhattacharyya"), 6).as("bhattacharyya"),
+          round(col("hellinger"), 6).as("hellinger"))
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -12260,6 +12293,62 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
          SELECT lang, n, k, round(qstat, 6) AS q
          FROM fin
          ORDER BY lang""",
+    "q376_ks_weighted" ->
+      """WITH f AS (SELECT
+             CASE WHEN doc_id % 2 = 0 THEN (doc_id * 11) % 83
+               ELSE (doc_id * 7) % 89 + 5 END::DOUBLE AS v,
+             doc_id % 2 = 0 AS a,
+             (1 + doc_id % 4)::DOUBLE AS w
+           FROM documents),
+         cells AS (SELECT v,
+             sum(CASE WHEN a THEN w ELSE 0 END) AS wa,
+             sum(CASE WHEN a THEN 0 ELSE w END) AS wb,
+             sum(CASE WHEN a THEN w * w ELSE 0 END) AS wa2,
+             sum(CASE WHEN a THEN 0 ELSE w * w END) AS wb2
+           FROM f GROUP BY 1),
+         tot AS (SELECT sum(wa) AS twa, sum(wb) AS twb,
+             sum(wa2) AS qa, sum(wb2) AS qb
+           FROM cells),
+         cum AS (SELECT
+             sum(wa) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cwa,
+             sum(wb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cwb
+           FROM cells),
+         dmax AS (SELECT max(abs(cwa / (SELECT twa FROM tot)
+             - cwb / (SELECT twb FROM tot))) AS d
+           FROM cum),
+         fin AS (SELECT twa, twb, qa, qb, d,
+             twa * twa / qa AS nea, twb * twb / qb AS neb
+           FROM tot, dmax)
+         SELECT round(twa, 1) AS w_a, round(twb, 1) AS w_b,
+           round(nea, 6) AS n_eff_a, round(neb, 6) AS n_eff_b,
+           round(d, 6) AS d,
+           round(least(1.0, 2.0 * exp(-2.0 * d * d * nea * neb
+             / (nea + neb))), 6) AS p_approx
+         FROM fin""",
+    "q377_mixture_overlap" ->
+      """WITH cnts AS (SELECT lang,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS ca,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT
+               AS cb
+           FROM documents GROUP BY 1),
+         tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+             count(*)::BIGINT AS v
+           FROM cnts),
+         terms AS (SELECT
+             least(ca::DOUBLE / (SELECT na FROM tot),
+               cb::DOUBLE / (SELECT nb FROM tot)) AS ov,
+             sqrt((ca::DOUBLE / (SELECT na FROM tot))
+               * (cb::DOUBLE / (SELECT nb FROM tot))) AS bc
+           FROM cnts),
+         agg AS (SELECT sum(ov) AS overlap, sum(bc) AS bc FROM terms)
+         SELECT na AS n_a, nb AS n_b, v,
+           round(overlap, 6) AS overlap,
+           round(bc, 6) AS bhattacharyya,
+           round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
+         FROM tot, agg""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

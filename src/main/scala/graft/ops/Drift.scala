@@ -1031,6 +1031,99 @@ object Drift {
           + (gtG - eGt) * (gtG - eGt) / eGt).as("chi2_part"))
   }
 
+  /** Mixture-overlap panel between side A and side B of one
+    * categorical column — the BOUNDED companions to
+    * [[categoricalDrift]]'s divergences (KL explodes on one-sided
+    * categories; these live in [0, 1] and read as percentages):
+    *
+    *   overlap        = Σ min(p_i, q_i)     (1 − total variation)
+    *   bhattacharyya  = Σ √(p_i·q_i)
+    *   hellinger      = √(1 − BC)
+    *
+    * computed on the UNSMOOTHED empirical shares (a category absent
+    * from one side genuinely contributes zero overlap — that is the
+    * information). Returns one row `(n_a, n_b, v, overlap,
+    * bhattacharyya, hellinger)` — NULL panel when either side is
+    * empty. NULL categories/sides are refused work.
+    *
+    * Shape: ONE category-keyed count fold (vocabulary-bounded cells),
+    * terms through exact_sum. */
+  def mixtureOverlap(df: DataFrame, cat: Column, isA: Column)
+      : DataFrame = {
+    val a = isA.cast("boolean")
+    val (cnts, na, nb, vSize) = sideCounts(df, cat, a, alpha = 0.5)
+    if (na == 0 || nb == 0)
+      return oneRow(df)(lit(na).as("n_a"), lit(nb).as("n_b"),
+        lit(vSize).as("v"), lit(null).cast("double").as("overlap"),
+        lit(null).cast("double").as("bhattacharyya"),
+        lit(null).cast("double").as("hellinger"))
+    val p = col("cnt_a").cast("double") / na
+    val q = col("cnt_b").cast("double") / nb
+    val agg = cnts.agg(
+      gf.exact_sum(least(p, q)).as("overlap"),
+      gf.exact_sum(sqrt(p * q)).as("__bc"))
+    agg.select(lit(na).as("n_a"), lit(nb).as("n_b"),
+      lit(vSize).as("v"), col("overlap"),
+      col("__bc").as("bhattacharyya"),
+      sqrt(greatest(lit(0.0), lit(1.0) - col("__bc")))
+        .as("hellinger"))
+  }
+
+  /** WEIGHTED two-sample KS — [[ksTest]] for IMPORTANCE-WEIGHTED
+    * corpora: once rows carry DSIR/temperature/mixture weights, the
+    * unweighted ECDF tests the wrong distribution. D is the max gap
+    * between the WEIGHTED ECDFs; the approximate p-value plugs each
+    * side's Kish effective sample size n_eff = (Σw)²/Σw² into the
+    * standard asymptotic formula — a documented heuristic (weighted
+    * KS has no exact null), flagged by its own column name. Returns
+    * one row `(w_a, w_b, n_eff_a, n_eff_b, d, p_approx)` — NULL
+    * d/p when a side has zero total weight. NULL values/sides/weights
+    * and weights ≤ 0 are refused work.
+    *
+    * Shape: the [[ksTest]] recipe with weighted cells — per-distinct-
+    * value side WEIGHT sums fold through exact_sum, the cumulative
+    * runs through [[Packing.withPrefixSumsDec]]'s two-level
+    * exact-decimal pass (bit-identical at any parallelism even on a
+    * corpus-sized continuous cell frame). */
+  def ksTestWeighted(df: DataFrame, value: Column, isA: Column,
+      weight: Column): DataFrame = {
+    val v = value.cast("double")
+    val a = isA.cast("boolean")
+    val w = weight.cast("double")
+    val cells = df.where(v.isNotNull && a.isNotNull && w.isNotNull &&
+        w > 0)
+      .groupBy(v.as("__v"))
+      .agg(gf.exact_sum(when(a, w).otherwise(lit(0.0))).as("__wa"),
+        gf.exact_sum(when(!a, w).otherwise(lit(0.0))).as("__wb"),
+        gf.exact_sum(when(a, w * w).otherwise(lit(0.0))).as("__wa2"),
+        gf.exact_sum(when(!a, w * w).otherwise(lit(0.0))).as("__wb2"))
+      .localCheckpoint() // reused: totals fold + cumulative pass
+    val tot = cells.agg(gf.exact_sum(col("__wa")),
+      gf.exact_sum(col("__wb")), gf.exact_sum(col("__wa2")),
+      gf.exact_sum(col("__wb2"))).collect()(0)
+    def dv(i: Int): Double =
+      if (tot.isNullAt(i)) 0.0 else tot.getDouble(i)
+    val (wa, wb, qa, qb) = (dv(0), dv(1), dv(2), dv(3))
+    if (wa <= 0 || wb <= 0)
+      return oneRow(df)(lit(wa).as("w_a"), lit(wb).as("w_b"),
+        lit(null).cast("double").as("n_eff_a"),
+        lit(null).cast("double").as("n_eff_b"),
+        lit(null).cast("double").as("d"),
+        lit(null).cast("double").as("p_approx"))
+    val cum = Packing.withPrefixSumsDec(cells, Seq("__v"),
+      Seq("__wa" -> "__cwa", "__wb" -> "__cwb"))
+    // per-row doubles from exact decimals: identical on any
+    // partitioning, and max is order-free
+    val d = cum.agg(max(abs(col("__cwa").cast("double") / wa
+        - col("__cwb").cast("double") / wb))).collect()(0).getDouble(0)
+    val (nea, neb) = (wa * wa / qa, wb * wb / qb)
+    val p = math.min(1.0,
+      2.0 * math.exp(-2.0 * d * d * nea * neb / (nea + neb)))
+    oneRow(df)(lit(wa).as("w_a"), lit(wb).as("w_b"),
+      lit(nea).as("n_eff_a"), lit(neb).as("n_eff_b"),
+      lit(d).as("d"), lit(p).as("p_approx"))
+  }
+
   /** Per-series autocorrelation function r_1..r_maxLag — the
     * monitor-family diagnostic that answers "are these residuals/
     * ingest volumes actually independent, or does today echo

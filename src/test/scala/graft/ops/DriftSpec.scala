@@ -745,6 +745,65 @@ class DriftSpec extends SparkTestBase {
     assert(rc.isNullAt(rc.fieldIndex("p_always")))
   }
 
+  test("ksTestWeighted: unit weights reproduce ksTest; weighting " +
+      "shifts the verdict; zero-weight side NULL") {
+    import spark.implicits._
+    val rows = (1 to 80).map(i =>
+      (((i * 13) % 23).toDouble + (if (i % 2 == 0) 4.0 else 0.0),
+        i % 2 == 0, 1.0))
+    val df = rows.toDF("v", "a", "w")
+    val rw = Drift.ksTestWeighted(df, col("v"), col("a"), col("w"))
+      .head()
+    val ru = Drift.ksTest(df, col("v"), col("a")).head()
+    // float-grade agreement: the weighted ECDF divides per cell where
+    // the unweighted path is an exact integer cross product
+    assert(math.abs(rw.getDouble(rw.fieldIndex("d"))
+      - ru.getDouble(ru.fieldIndex("d"))) < 1e-12)
+    assert(rw.getDouble(rw.fieldIndex("n_eff_a")) == 40.0)
+    // upweighting the overlapping A-rows shrinks D
+    val shifted = rows.map { case (v, a, _) =>
+      (v, a, if (a && v > 10) 5.0 else 1.0) }
+    val rs = Drift.ksTestWeighted(shifted.toDF("v", "a", "w"),
+      col("v"), col("a"), col("w")).head()
+    assert(rs.getDouble(rs.fieldIndex("d"))
+      != rw.getDouble(rw.fieldIndex("d")))
+    assert(rs.getDouble(rs.fieldIndex("n_eff_a")) < 40.0,
+      "unequal weights must shrink the effective sample size")
+    // zero-weight side: NULLs
+    val z = Seq((1.0, true, 1.0), (2.0, false, 0.0)).toDF("v", "a", "w")
+    val rz = Drift.ksTestWeighted(z, col("v"), col("a"), col("w"))
+      .head()
+    assert(rz.isNullAt(rz.fieldIndex("d")))
+  }
+
+  test("mixtureOverlap: hand-worked shares; identical mixes = 1; " +
+      "disjoint mixes = 0") {
+    import spark.implicits._
+    // A: a,a,b,b  B: a,b,b,c -> p=(.5,.5,0), q=(.25,.5,.25)
+    // overlap = .25+.5+0 = .75; BC = sqrt(.125)+sqrt(.25)+0
+    val df = Seq(("a", true), ("a", true), ("b", true), ("b", true),
+      ("a", false), ("b", false), ("b", false), ("c", false))
+      .toDF("c", "s")
+    val r = Drift.mixtureOverlap(df, col("c"), col("s")).head()
+    assert(r.getDouble(r.fieldIndex("overlap")) == 0.75)
+    val bc = math.sqrt(0.125) + 0.5
+    assert(math.abs(r.getDouble(r.fieldIndex("bhattacharyya")) - bc)
+      < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("hellinger"))
+      - math.sqrt(1 - bc)) < 1e-12)
+    // identical mixes
+    val same = Seq(("x", true), ("y", true), ("x", false), ("y", false))
+      .toDF("c", "s")
+    val rs = Drift.mixtureOverlap(same, col("c"), col("s")).head()
+    assert(rs.getDouble(rs.fieldIndex("overlap")) == 1.0)
+    assert(math.abs(rs.getDouble(rs.fieldIndex("hellinger"))) < 1e-7)
+    // disjoint mixes
+    val dis = Seq(("x", true), ("y", false)).toDF("c", "s")
+    val rd = Drift.mixtureOverlap(dis, col("c"), col("s")).head()
+    assert(rd.getDouble(rd.fieldIndex("overlap")) == 0.0)
+    assert(rd.getDouble(rd.fieldIndex("hellinger")) == 1.0)
+  }
+
   test("acf + ljungBox: sequential reference agreement; AR-ish series " +
       "beats white noise; constant series NULL") {
     import spark.implicits._
