@@ -2886,6 +2886,23 @@ object SparkEntry {
           round(col("hellinger"), 6).as("hellinger"))
     }),
 
+    "q378_rake" -> ((s, dir) => {
+      // IPF re-weighting to equal language AND shard margins at once;
+      // the fixed point is unique on this support, so the oracle's
+      // 40 fixed scaling rounds land on the same table (gate runs to
+      // tol 1e-12 so rounding at 6 dp cannot straddle the residual)
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.rake(docs, col("lang"), col("doc_id") % 4,
+          Seq("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2,
+            "zh" -> 0.2),
+          Seq("0" -> 0.25, "1" -> 0.25, "2" -> 0.25, "3" -> 0.25),
+          iters = 200, tol = 1e-12)
+        .select(col("d1"), col("d2"), col("n"),
+          round(col("weight"), 6).as("weight"),
+          round(col("w_share"), 6).as("w_share"))
+        .orderBy("d1", "d2")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -7726,6 +7743,38 @@ i$k AS MATERIALIZED (SELECT
          FROM b$iters, u${iters + 1}"""
   }
 
+  /** q378's oracle: IPF replayed as fixed scaling rounds over the
+    * (lang, shard) cell table. The fixed point is unique given the
+    * full support, both engines converge onto it (the gate runs to
+    * tol 1e−12, the oracle runs 40 full rounds ≈ machine precision on
+    * this near-balanced fixture), and round(6) compares the limit. */
+  private def rakeOracle(iters: Int): String = {
+    val head =
+      """WITH cells AS MATERIALIZED (SELECT lang AS d1,
+           (doc_id % 4)::VARCHAR AS d2, count(*)::BIGINT AS n
+         FROM documents GROUP BY 1, 2),
+       nt AS MATERIALIZED (SELECT sum(n)::DOUBLE AS nn FROM cells),
+       m0 AS MATERIALIZED (SELECT d1, d2, n, n::DOUBLE AS m
+         FROM cells)"""
+    val steps = (1 to iters).map { k =>
+      s""",
+       a$k AS MATERIALIZED (SELECT d1, d2, n,
+           m * 0.2 * (SELECT nn FROM nt)
+             / (sum(m) OVER (PARTITION BY d1)) AS m
+         FROM m${k - 1}),
+       m$k AS MATERIALIZED (SELECT d1, d2, n,
+           m * 0.25 * (SELECT nn FROM nt)
+             / (sum(m) OVER (PARTITION BY d2)) AS m
+         FROM a$k)"""
+    }.mkString
+    head + steps +
+      s""" SELECT d1, d2, n,
+           round(m / n::DOUBLE, 6) AS weight,
+           round(m / (SELECT nn FROM nt), 6) AS w_share
+         FROM m$iters
+         ORDER BY d1, d2"""
+  }
+
   /** q116's oracle: the same correlation closed form over DuckDB's own
     * sums. Per-row products round identically (IEEE multiply); the sums
     * differ by ≤1 ulp (exact_sum is correctly rounded vs DuckDB's fold);
@@ -9528,6 +9577,7 @@ FROM p GROUP BY shard ORDER BY shard"""),
     "q110_logreg" -> logRegOracle(8),
     "q366_cox_ph" -> coxOracle(8),
     "q368_cox_stratified" -> coxStratOracle(8),
+    "q378_rake" -> rakeOracle(40),
     "q114_auc_by_group" ->
       """WITH r AS (SELECT source, n_chars::DOUBLE AS s,
              CASE WHEN (doc_id * 37 + n_chars) % 100 <

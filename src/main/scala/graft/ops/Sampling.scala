@@ -607,6 +607,94 @@ object Sampling {
         (col("pulls") - col("wins") + 1).as("post_beta")): _*)
   }
 
+  /** Raking / iterative proportional fitting (Deming & Stephan 1940) —
+    * re-weight a corpus so BOTH of two categorical margins match
+    * declared targets simultaneously ("language mix 60/30/10 AND
+    * source mix 40/40/20"): per-dimension quota sampling can hit one
+    * margin only; raking alternately scales rows and columns of the
+    * (dim1 × dim2) weight table until both margins converge — the
+    * classical fix when the joint target table is unknown but the
+    * margins are policy. Returns one row per OBSERVED (dim1, dim2)
+    * cell: `(d1, d2, n, weight, w_share)` where `weight` is the
+    * per-ROW multiplier (n·weight summed over a margin ≈ target share
+    * × N) and `w_share` the cell's weighted share. Cells absent from
+    * the corpus get no weight (IPF preserves structural zeros —
+    * documented, not hidden); targets for UNOBSERVED margin labels
+    * fail fast (their mass is unreachable). NULL dims are refused
+    * work.
+    *
+    * Shape: ONE (dim1, dim2) count shuffle to a category-product-
+    * bounded cell table (collected under `maxCells`); the IPF loop is
+    * driver-side arithmetic on that small matrix (margins are policy
+    * vectors, not data); weights join back broadcast if the caller
+    * applies them. Convergence is checked, not assumed: fails fast if
+    * the worst margin error after `iters` rounds exceeds `tol`. */
+  def rake(df: DataFrame, dim1: Column, dim2: Column,
+      targets1: Seq[(String, Double)], targets2: Seq[(String, Double)],
+      iters: Int = 50, tol: Double = 1e-9,
+      maxCells: Int = 100000): DataFrame = {
+    require(targets1.nonEmpty && targets2.nonEmpty, "need both margins")
+    require(targets1.forall(_._2 > 0) && targets2.forall(_._2 > 0),
+      "target shares must be > 0")
+    require(targets1.map(_._1).distinct.size == targets1.size &&
+      targets2.map(_._1).distinct.size == targets2.size,
+      "duplicate target labels")
+    val cellsDf = df.where(dim1.isNotNull && dim2.isNotNull)
+      .groupBy(dim1.cast("string").as("d1"),
+        dim2.cast("string").as("d2"))
+      .agg(count(lit(1)).as("n"))
+    val cells = cellsDf.limit(maxCells + 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"more than $maxCells (dim1, dim2) cells")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (cells.isEmpty)
+      return Seq.empty[(String, String, Long, Double, Double)]
+        .toDF("d1", "d2", "n", "weight", "w_share")
+    val t1 = targets1.map { case (k, v) =>
+      k -> v / targets1.map(_._2).sum }.toMap
+    val t2 = targets2.map { case (k, v) =>
+      k -> v / targets2.map(_._2).sum }.toMap
+    val seen1 = cells.map(_._1).toSet
+    val seen2 = cells.map(_._2).toSet
+    val miss1 = t1.keySet -- seen1
+    val miss2 = t2.keySet -- seen2
+    require(miss1.isEmpty && miss2.isEmpty,
+      s"target labels unobserved in the corpus: " +
+        s"${(miss1 ++ miss2).mkString(", ")}")
+    require(seen1.subsetOf(t1.keySet) && seen2.subsetOf(t2.keySet),
+      s"observed labels outside the targets: " +
+        s"${((seen1 -- t1.keySet) ++ (seen2 -- t2.keySet)).mkString(", ")}")
+    val nTot = cells.map(_._3).sum.toDouble
+    // IPF on weighted cell masses m = n * w, alternating margin scales
+    var m = cells.map(_._3.toDouble)
+    var err = Double.MaxValue
+    var it = 0
+    while (it < iters && err > tol) {
+      for ((tgt, key) <- Seq((t1, (i: Int) => cells(i)._1),
+        (t2, (i: Int) => cells(i)._2))) {
+        val marg = m.indices.groupBy(key)
+          .map { case (k, is) => k -> is.map(m).sum }
+        m = m.indices.map(i =>
+          m(i) * tgt(key(i)) * nTot / marg(key(i))).toArray
+      }
+      err = Seq((t1, (i: Int) => cells(i)._1),
+        (t2, (i: Int) => cells(i)._2)).map { case (tgt, key) =>
+        m.indices.groupBy(key).map { case (k, is) =>
+          math.abs(is.map(m).sum / nTot - tgt(k)) }.max
+      }.max
+      it += 1
+    }
+    require(err <= tol,
+      f"raking did not converge: worst margin error $err%.2e after " +
+        s"$iters rounds (structural zeros can make margins infeasible)")
+    cells.indices.map { i =>
+      val (d1, d2, n) = cells(i)
+      (d1, d2, n, m(i) / n, m(i) / nTot)
+    }.toDF("d1", "d2", "n", "weight", "w_share")
+  }
+
   /** Neyman-optimal stratified sample allocation — the PLANNED
     * counterpart of [[stratifiedBottomK]]: given a total row budget,
     * split it across strata ∝ N_h·σ_h (Neyman 1934), which minimizes

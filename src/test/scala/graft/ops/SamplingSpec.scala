@@ -483,6 +483,45 @@ class SamplingSpec extends SparkTestBase {
       ("embargo", "train") -> 1L))  // u13
   }
 
+  test("rake: both margins met simultaneously; 2x2 hand check; " +
+      "structural-zero infeasibility fails fast; stray label refused") {
+    import spark.implicits._
+    // 2x2 with counts (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=50;
+    // targets: dim1 50/50, dim2 50/50
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y"))
+    val df = rows.toDF("l", "s")
+    val w = Sampling.rake(df, col("l"), col("s"),
+      Seq("a" -> 0.5, "b" -> 0.5), Seq("x" -> 0.5, "y" -> 0.5))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(r.fieldIndex("w_share")))).toMap
+    // margins of the weighted shares hit the targets
+    def margin(sel: ((String, String)) => String, key: String) =
+      w.collect { case (k, (_, sh)) if sel(k) == key => sh }.sum
+    assert(math.abs(margin(_._1, "a") - 0.5) < 1e-8)
+    assert(math.abs(margin(_._2, "x") - 0.5) < 1e-8)
+    // weighted share stays a distribution
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-9)
+    // per-row weight: cell share / natural share
+    val (na, _) = w(("a", "x"))
+    assert(na == 30L)
+    // infeasible: dim1=a only occurs with x; asking a=0.9 AND x=0.1
+    // cannot converge
+    intercept[IllegalArgumentException] {
+      Sampling.rake(
+        (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "x")) ++
+          Seq.fill(10)(("b", "y"))).toDF("l", "s"),
+        col("l"), col("s"), Seq("a" -> 0.9, "b" -> 0.1),
+        Seq("x" -> 0.1, "y" -> 0.9), iters = 30)
+    }
+    // unobserved target label
+    intercept[IllegalArgumentException] {
+      Sampling.rake(df, col("l"), col("s"),
+        Seq("a" -> 0.5, "b" -> 0.3, "zz" -> 0.2),
+        Seq("x" -> 0.5, "y" -> 0.5))
+    }
+  }
+
   test("neymanAllocation: hand-worked N*sigma split with largest " +
       "remainder; cap at stratum size; zero-variance stratum") {
     import spark.implicits._
