@@ -2903,6 +2903,24 @@ object SparkEntry {
         .orderBy("d1", "d2")
     }),
 
+    "q379_bootstrap_ratio" -> ((s, dir) => {
+      // Poisson-bootstrap CI for a RATIO metric (chars per token per
+      // source): replicate ratios are exact integer quotients, so
+      // both engines hold bit-identical doubles before round(6); the
+      // point ratio gates as the two integer sums
+      val docs = t(s, dir, "documents")
+        .withColumn("toks",
+          size(split(col("text"), " ")).cast("double"))
+      graft.ops.Robust.poissonBootstrapRatioCI(docs, Seq("source"),
+          col("doc_id"), col("n_chars").cast("double"), col("toks"))
+        .select(col("source"), col("n_rows"),
+          round(col("ratio"), 6).as("ratio"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"),
+          col("b_used"))
+        .orderBy("source")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -13944,6 +13962,46 @@ FROM cnt, hll, topk, f2, tasks"""),
     // full Poisson-bootstrap replay: the same hash → uniform → inverse-CDF
     // weight chain (shared decimal literals parse to the same doubles),
     // integer replicate sums, nearest-rank order statistics
+    "q379_bootstrap_ratio" ->
+      (hashMacros +
+        """WITH d0 AS (SELECT source, doc_id, n_chars,
+             len(string_split(text, ' '))::BIGINT AS toks
+           FROM documents),
+         r AS (SELECT d.source, d.n_chars, d.toks, b.b,
+             ((g_thash(d.doc_id::VARCHAR || ':' || b.b::VARCHAR) >> 11)
+               ::DOUBLE / 9007199254740992.0) AS u
+           FROM d0 d, unnest(range(0, 64)) b(b)),
+         w AS (SELECT source, b, n_chars, toks,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238463 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS wt FROM r),
+         m AS (SELECT source, b, sum(wt * n_chars)::BIGINT AS sn,
+             sum(wt * toks)::BIGINT AS sd FROM w GROUP BY 1, 2),
+         mm AS (SELECT source, b, sn::DOUBLE / sd::DOUBLE AS rb
+           FROM m WHERE sd > 0),
+         o AS (SELECT source, b, rb,
+             row_number() OVER (PARTITION BY source ORDER BY rb, b)
+               AS rk,
+             count(*) OVER (PARTITION BY source) AS bu FROM mm),
+         pt AS (SELECT source, count(*)::BIGINT AS n_rows,
+             sum(n_chars)::DOUBLE / sum(toks)::DOUBLE AS ratio
+           FROM d0 GROUP BY 1)
+         SELECT pt.source, pt.n_rows, round(pt.ratio, 6) AS ratio,
+           round(lo.rb, 6) AS ci_lo, round(hi.rb, 6) AS ci_hi,
+           o2.bu::BIGINT AS b_used
+         FROM pt
+         JOIN (SELECT DISTINCT source, bu FROM o) o2 USING (source)
+         JOIN o lo ON lo.source = pt.source
+           AND lo.rk = ceil(0.025 * o2.bu)
+         JOIN o hi ON hi.source = pt.source
+           AND hi.rk = ceil(0.975 * o2.bu)
+         ORDER BY source"""),
     "q246_bootstrap_ci" ->
       (hashMacros +
         """WITH r AS (SELECT d.source, d.n_chars, b.b,

@@ -208,6 +208,72 @@ object Robust {
         col("ci_hi"), col("b_used")): _*)
   }
 
+  /** [[poissonBootstrapCI]] for a RATIO of sums — the uncertainty band
+    * for the metrics that are not row means: tokens-per-document,
+    * dup-rate (flagged/total), cost-per-kept-token. Same machinery:
+    * each row enters replicate b with Poisson(1) multiplicity from
+    * the deterministic (id, b) hash; per replicate the ratio
+    * Σw·num / Σw·den; CI from nearest-rank order statistics over the
+    * replicate ratios (replicates whose weighted denominator is ≤ 0
+    * are dropped — `b_used` reports survivors). Returns one row per
+    * group: (groupCols…, n_rows, ratio, ci_lo, ci_hi, b_used) —
+    * ratio NULL when the group's denominator sum is 0. NULL
+    * id/num/den rows are refused work.
+    *
+    * Shape identical to the mean version: one scan exploded onto the
+    * replicate list, `groups × replicates` partials, ≤128 doubles per
+    * group collected. */
+  def poissonBootstrapRatioCI(df: DataFrame, groupCols: Seq[String],
+      idCol: Column, numCol: Column, denCol: Column,
+      replicates: Int = 64, alpha: Double = 0.05): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(replicates >= 4 && replicates <= 128,
+      "replicates must be in [4, 128]")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val g = groupCols.map(col)
+    val rows = df
+      .select(g :+ idCol.cast("string").as("__id")
+        :+ numCol.cast("double").as("__num")
+        :+ denCol.cast("double").as("__den"): _*)
+      .where(col("__id").isNotNull && col("__num").isNotNull &&
+        col("__den").isNotNull)
+    val u = shiftrightunsigned(gf.hash64(
+        concat(col("__id"), lit(":"), col("__b"))), 11)
+      .cast("double") / lit(9007199254740992.0)
+    val rep = rows
+      .select(g ++ Seq(col("__id"), col("__num"), col("__den"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b")): _*)
+      .withColumn("__w", poissonWeight(u))
+      .groupBy(g :+ col("__b"): _*)
+      .agg(gf.exact_sum(col("__w") * col("__num")).as("__sn"),
+        gf.exact_sum(col("__w") * col("__den")).as("__sd"))
+      .where(col("__sd") > 0)
+      .withColumn("__rb", col("__sn") / col("__sd"))
+    val ci = rep.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(col("__rb"), col("__b"))))
+          .as("__arr"),
+        count(lit(1)).as("b_used"))
+      .withColumn("__klo",
+        ceil(lit(alpha / 2) * col("b_used")).cast("int"))
+      .withColumn("__khi",
+        ceil(lit(1.0 - alpha / 2) * col("b_used")).cast("int"))
+      .select(g ++ Seq(
+        element_at(col("__arr"), col("__klo")).getField("__rb")
+          .as("ci_lo"),
+        element_at(col("__arr"), col("__khi")).getField("__rb")
+          .as("ci_hi"),
+        col("b_used")): _*)
+    val point = rows.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        gf.exact_sum(col("__num")).as("__tn"),
+        gf.exact_sum(col("__den")).as("__td"))
+      .withColumn("ratio",
+        when(col("__td") =!= 0.0, col("__tn") / col("__td")))
+    point.join(ci, groupCols, "left")
+      .select(g ++ Seq(col("n_rows"), col("ratio"), col("ci_lo"),
+        col("ci_hi"), col("b_used")): _*)
+  }
+
   /** Trimmed and winsorized means per group — the robust location
     * estimates for noisy reward/score aggregation (a handful of
     * mislabeled outliers should not move the number): with

@@ -248,6 +248,35 @@ class RobustSpec extends SparkTestBase {
     }
   }
 
+  test("poissonBootstrapRatioCI: den=1 reproduces the mean bootstrap " +
+      "exactly; ratio point = sum/sum; zero-den replicates dropped") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i =>
+      ("g", i.toLong, ((i * 13) % 47 + 1).toDouble))
+    val df = rows.toDF("g", "id", "v").withColumn("one", lit(1.0))
+    val rr = Robust.poissonBootstrapRatioCI(df, Seq("g"), col("id"),
+      col("v"), col("one")).head()
+    val rm = Robust.poissonBootstrapCI(df, Seq("g"), col("id"),
+      col("v")).head()
+    assert(rr.getDouble(rr.fieldIndex("ci_lo"))
+      == rm.getDouble(rm.fieldIndex("ci_lo")))
+    assert(rr.getDouble(rr.fieldIndex("ci_hi"))
+      == rm.getDouble(rm.fieldIndex("ci_hi")))
+    assert(rr.getLong(rr.fieldIndex("b_used"))
+      == rm.getLong(rm.fieldIndex("b_used")))
+    assert(rr.getDouble(rr.fieldIndex("ratio"))
+      == rows.map(_._3).sum / 200.0)
+    // a real ratio: point = sum(num)/sum(den), CI brackets it
+    val two = rows.map { case (g, id, v) => (g, id, v, v + 3.0) }
+      .toDF("g", "id", "num", "den")
+    val r2 = Robust.poissonBootstrapRatioCI(two, Seq("g"), col("id"),
+      col("num"), col("den")).head()
+    val pt = rows.map(_._3).sum / rows.map(_._3 + 3.0).sum
+    assert(r2.getDouble(r2.fieldIndex("ratio")) == pt)
+    assert(r2.getDouble(r2.fieldIndex("ci_lo")) <= pt &&
+      pt <= r2.getDouble(r2.fieldIndex("ci_hi")))
+  }
+
   test("theilSen: exact line recovered; outlier robustness; brute " +
       "lower-median agreement; vertical-only group NULL; size guard") {
     import spark.implicits._
