@@ -2921,6 +2921,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q380_eb_shrink" -> ((s, dir) => {
+      // empirical-Bayes shrinkage of per-source pass rates: the
+      // dashboard rate you can sort by; prior scalars gate at 2 dp
+      // (they are nu-scaled; the q355 magnitude rule), the rates at 6
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          (((col("doc_id") * 13) % 100) <
+            (lit(15) + (col("doc_id") * 7) % 31)).as("ok"))
+      graft.ops.Eval.ebShrinkRates(docs, Seq("source"), col("ok"))
+        .select(col("source"), col("n"), col("k"),
+          round(col("raw"), 6).as("raw"),
+          round(col("shrunk"), 6).as("shrunk"),
+          round(col("alpha"), 2).as("alpha"),
+          round(col("beta"), 2).as("beta"))
+        .orderBy("source")
+    }),
+
     "q348_bh_adjust" -> ((s, dir) => {
       // Benjamini–Hochberg over a per-document p-value column —
       // adjustment computed over the WHOLE corpus (ranks and the
@@ -12417,6 +12434,40 @@ SELECT n_items, n_pairable, n_categories, round(d_o, 6) AS d_o,
            round(bc, 6) AS bhattacharyya,
            round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
          FROM tot, agg""",
+    "q380_eb_shrink" ->
+      """WITH f AS (SELECT source,
+             ((doc_id * 13) % 100) < (15 + (doc_id * 7) % 31) AS ok
+           FROM documents),
+         byg AS (SELECT source, count(*)::BIGINT AS n,
+             sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS k
+           FROM f GROUP BY 1),
+         mom AS (SELECT count(*)::BIGINT AS g,
+             sum(k::DOUBLE / n::DOUBLE) AS m1,
+             sum((k::DOUBLE / n::DOUBLE) * (k::DOUBLE / n::DOUBLE))
+               AS m2,
+             sum(1.0 / n::DOUBLE) AS hinv
+           FROM byg),
+         pr0 AS (SELECT g, m1 / g::DOUBLE AS m, m2, hinv FROM mom),
+         pr1 AS (SELECT g, m,
+             m2 / g::DOUBLE - m * m AS v,
+             m * (1 - m) * hinv / g::DOUBLE AS noise
+           FROM pr0),
+         pr2 AS (SELECT m, v - noise AS vadj FROM pr1),
+         pr3 AS (SELECT m,
+             CASE WHEN m <= 0.0 OR m >= 1.0 THEN 10000.0
+               WHEN vadj > 0 THEN least(10000.0,
+                 greatest(0.000001, m * (1 - m) / vadj - 1))
+               ELSE 10000.0 END AS nu
+           FROM pr2),
+         pr AS (SELECT m * nu AS alpha, (1 - m) * nu AS beta,
+             m * nu + (1 - m) * nu AS ab
+           FROM pr3)
+         SELECT source, n, k,
+           round(k::DOUBLE / n::DOUBLE, 6) AS raw,
+           round((k::DOUBLE + alpha) / (n::DOUBLE + ab), 6) AS shrunk,
+           round(alpha, 2) AS alpha, round(beta, 2) AS beta
+         FROM byg, pr
+         ORDER BY source""",
     "q348_bh_adjust" ->
       """WITH docs AS (SELECT doc_id,
              (((doc_id * 37) % 1000) + 1)::DOUBLE / 1000.0 AS p

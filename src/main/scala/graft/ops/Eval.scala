@@ -1613,6 +1613,70 @@ object Eval {
       when(den > 0, chi2 / lit(nD * (kD - 1))).as("w"))
   }
 
+  /** Empirical-Bayes shrinkage of per-group rates (beta-binomial,
+    * method of moments) — the fix for the oldest dashboard lie: a
+    * 3-document source showing "67% dup rate" sorting above a
+    * 30k-document source at 12%. Fit one Beta(α, β) prior to the
+    * observed per-group rates and report the posterior mean,
+    *
+    *   shrunk_g = (k_g + α) / (n_g + α + β)
+    *
+    * which pulls small-n groups toward the grand rate and leaves
+    * big-n groups alone. The prior is method-of-moments on the
+    * UNWEIGHTED group rates (each slice is one draw of the prior —
+    * the convention for "how do sources vary"; document-weighting
+    * would let one giant source define the prior):
+    *
+    *   ν = (m̄(1−m̄) − s²·(1/G)Σ1/n_g... ) — operationally:
+    *   α+β = m̄(1−m̄)/s²_adj − 1, with s²_adj the between-group
+    *   variance of rates minus the mean binomial sampling noise
+    *   (1/G)Σ m̄(1−m̄)/n_g; a non-positive s²_adj (groups LESS
+    *   dispersed than binomial noise) degenerates to complete pooling
+    *   at ν = `nuMax`.
+    *
+    * Returns one row per group `(groupCols…, n, k, raw, shrunk,
+    * alpha, beta)` — raw NULL when n = 0 never occurs (empty groups
+    * do not exist post-groupBy). NULL outcomes are refused work;
+    * needs ≥ 2 groups (one group has no between-slice evidence).
+    *
+    * Shape: ONE count fold per group, a G-bounded second fold for the
+    * moments (G = slices, small), prior scalars broadcast back as
+    * literals. */
+  def ebShrinkRates(df: DataFrame, groupCols: Seq[String],
+      successCol: Column, nuMax: Double = 10000.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(nuMax > 0, "nuMax must be > 0")
+    val s = successCol.cast("boolean")
+    val byG = df.where(s.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(s.cast("long")).as("k"))
+      .localCheckpoint()
+    val p = col("k").cast("double") / col("n").cast("double")
+    val mom = byG.agg(count(lit(1)).as("g"),
+      gf2.exact_sum(p).as("m1"), gf2.exact_sum(p * p).as("m2"),
+      gf2.exact_sum(lit(1.0) / col("n").cast("double")).as("hinv"))
+      .collect()(0)
+    val g = mom.getLong(0)
+    require(g >= 2, "need at least 2 groups to fit a between-slice prior")
+    val m = mom.getDouble(1) / g
+    val v = mom.getDouble(2) / g - m * m
+    val noise = m * (1 - m) * mom.getDouble(3) / g
+    val vAdj = v - noise
+    val nu =
+      if (m <= 0.0 || m >= 1.0) nuMax // degenerate all-0/all-1 panel
+      else if (vAdj > 0) math.min(nuMax,
+        math.max(1e-6, m * (1 - m) / vAdj - 1))
+      else nuMax
+    val (alpha, beta) = (m * nu, (1 - m) * nu)
+    byG.select(groupCols.map(col) ++ Seq(col("n"), col("k"),
+      p.as("raw"),
+      ((col("k") + lit(alpha))
+        / (col("n") + lit(alpha + beta))).as("shrunk"),
+      lit(alpha).as("alpha"), lit(beta).as("beta")): _*)
+  }
+
+  private def gf2 = graft.api.functions
+
   /** Covariate balance table (standardized mean differences) — the
     * pre-flight check every weighted/matched comparison needs: before
     * trusting [[postStratify]] or a propensity-style reweighting,

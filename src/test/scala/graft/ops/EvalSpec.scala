@@ -1356,6 +1356,49 @@ class EvalSpec extends SparkTestBase {
     }
   }
 
+  test("ebShrinkRates: small groups pulled toward the grand rate, big " +
+      "groups barely move; posterior-mean formula; degenerate panel " +
+      "pools completely") {
+    import spark.implicits._
+    // big group: 1000 rows at 30%; small: 4 rows at 75% (noise)
+    val rows = (1 to 1000).map(i => ("big", i % 10 < 3)) ++
+      (1 to 4).map(i => ("small", i <= 3)) ++
+      (1 to 500).map(i => ("mid", i % 10 < 4))
+    val out = Eval.ebShrinkRates(rows.toDF("g", "s"), Seq("g"),
+      col("s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val big = out("big"); val small = out("small")
+    val a = big.getDouble(big.fieldIndex("alpha"))
+    val b = big.getDouble(big.fieldIndex("beta"))
+    // posterior-mean formula holds exactly
+    out.values.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n")).toDouble
+      val k = r.getLong(r.fieldIndex("k")).toDouble
+      // mirror the op's association: n + (alpha+beta), not (n+a)+b
+      assert(r.getDouble(r.fieldIndex("shrunk"))
+        == (k + a) / (n + (a + b)))
+    }
+    // big group's shrunk ~ raw; small group moves a lot toward center
+    assert(math.abs(big.getDouble(big.fieldIndex("shrunk"))
+      - big.getDouble(big.fieldIndex("raw"))) < 0.02)
+    val smallMove = math.abs(small.getDouble(small.fieldIndex("shrunk"))
+      - small.getDouble(small.fieldIndex("raw")))
+    assert(smallMove > 0.1,
+      s"4-row 75% slice should shrink hard, moved $smallMove")
+    // rates less dispersed than binomial noise: complete pooling
+    // (success alternates in blocks of 4 so every group sits at ~50%
+    // with near-zero between-group variance)
+    val flat = (1 to 100).map(i => (s"g${i % 4}", (i / 4) % 2 == 0))
+    val rf = Eval.ebShrinkRates(flat.toDF("g", "s"), Seq("g"),
+      col("s")).head()
+    assert(rf.getDouble(rf.fieldIndex("alpha"))
+      + rf.getDouble(rf.fieldIndex("beta")) >= 9999.0)
+    intercept[IllegalArgumentException] {
+      Eval.ebShrinkRates(Seq(("one", true)).toDF("g", "s"), Seq("g"),
+        col("s"))
+    }
+  }
+
   test("balanceTable: hand-worked SMD; weighting restores balance; " +
       "constant covariate NULL smd") {
     import spark.implicits._
