@@ -78,6 +78,26 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val orcCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Isolated session for the streaming-replay gates, shuffle/state
+    * partitions bound to the replay width. q317's adjudication
+    * (BENCH_NOTES: 21 s → 8 s) generalized to every replay gate: a
+    * stateful operator instantiates state stores per shuffle partition
+    * per micro-batch, and a foreachBatch body plans its shuffles under
+    * the session conf — at 32 partitions × 8 micro-batches that fixed
+    * cost dominates these bounded replays. 8 matches the 8-file fixture
+    * (one state partition per arriving file); results are
+    * partition-count-invariant (the CPUS=32 vs =5 determinism sweeps
+    * cover exactly this). The bind lives in a CLONED session (shared
+    * context, private SQLConf) so no gate ever mutates conf another
+    * query could be planning under. At 100 TB the same knob derives
+    * from stream volume per trigger (guide §2.2), not this fixture
+    * constant. */
+  private def streamReplaySession(s: SparkSession): SparkSession = {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso
+  }
+
   private val streamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** One-time 8-file documents layout for q204's micro-batch replay. */
@@ -1342,7 +1362,8 @@ object SparkEntry {
           .write.parquet(s"$base/documents.parquet")
         base
       })
-      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "documents",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val sink = "q204_dedup_sink"
       val q = graft.streaming.StreamingSketches.dedupStream(stream, "text")
@@ -1350,8 +1371,8 @@ object SparkEntry {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       // materialize before dropping the memory sink (q132's contract)
-      val snap = s.table(sink).localCheckpoint()
-      s.sql(s"DROP TABLE IF EXISTS $sink")
+      val snap = iso.table(sink).localCheckpoint()
+      iso.sql(s"DROP TABLE IF EXISTS $sink")
       snap.select(graft.ops.Dedup.normalized(col("text")).as("__n"))
         .agg(count(lit(1)).as("n_kept"),
           bit_xor(gf.hash64(col("__n"))).as("norm_xor"),
@@ -1595,7 +1616,8 @@ object SparkEntry {
         .createTempDirectory("graft_q235o").toString
       val carryRef = new java.util.concurrent.atomic.AtomicReference(
         graft.ops.Packing.ChunkCarry(Nil, 0L))
-      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "documents",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val q = stream.writeStream
         .option("checkpointLocation", s"$outBase/ckpt")
@@ -1894,7 +1916,8 @@ object SparkEntry {
       // EVICTED from the state store (the bounded-state claim of
       // SURVEY 7.4.8, measured, not asserted)
       val tmp = ensureLateEventStream(s, dir)
-      val stream = graft.sources.Tables.loadStream(s, tmp, "events",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "events",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val sink = "q309_late_sink"
       val q = graft.ops.Drift.windowedCounts(
@@ -1910,20 +1933,22 @@ object SparkEntry {
         var last = -1L
         var spins = 0
         while (stable < 3 && spins < 60) {
-          val n = s.table(sink).count()
+          val n = iso.table(sink).count()
           if (n == last) stable += 1 else { stable = 0; last = n }
-          Thread.sleep(200)
+          // 100 ms is ~2 no-data-batch latencies; the 3-stable guard
+          // (not the sleep) carries the correctness burden here
+          Thread.sleep(100)
           q.processAllAvailable()
           spins += 1
         }
         val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
         val dropped = q.recentProgress
           .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
-        val cells = s.table(sink)
+        val cells = iso.table(sink)
           .select(date_format(col("window_start"), "yyyy-MM-dd")
             .as("day"), col("category"), col("n"))
           .localCheckpoint()
-        import s.implicits._
+        import iso.implicits._
         cells.unionByName(Seq(
           ("__receipt", "state_rows", stateRows),
           ("__receipt", "dropped", dropped))
@@ -1931,7 +1956,7 @@ object SparkEntry {
           .orderBy("day", "category")
       } finally {
         q.stop()
-        s.sql(s"DROP TABLE IF EXISTS $sink")
+        iso.sql(s"DROP TABLE IF EXISTS $sink")
       }
     }),
 
@@ -3165,7 +3190,8 @@ object SparkEntry {
       })
       val outBase = java.nio.file.Files
         .createTempDirectory("graft_q329o").toString
-      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "documents",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val q = stream.writeStream
         .option("checkpointLocation", s"$outBase/ckpt")
@@ -3311,7 +3337,8 @@ object SparkEntry {
       })
       val outBase = java.nio.file.Files
         .createTempDirectory("graft_q304o").toString
-      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "documents",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val q = stream.writeStream
         .option("checkpointLocation", s"$outBase/ckpt")
@@ -3708,7 +3735,8 @@ object SparkEntry {
       })
       val outBase = java.nio.file.Files
         .createTempDirectory("graft_q284o").toString
-      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "documents",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val q = stream.writeStream
         .option("checkpointLocation", s"$outBase/ckpt")
@@ -4318,7 +4346,8 @@ object SparkEntry {
       })
       val storeBase = java.nio.file.Files
         .createTempDirectory("graft_q252").toString
-      val stream = graft.sources.Tables.loadStream(s, tmp, "events",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "events",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val q = stream.writeStream
         .option("checkpointLocation", s"$storeBase/ckpt")
@@ -4381,7 +4410,8 @@ object SparkEntry {
       val stats = s.read.parquet(s"$statsDir/stats")
       val outBase = java.nio.file.Files
         .createTempDirectory("graft_q250o").toString
-      val stream = graft.sources.Tables.loadStream(s, tmp, "events",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "events",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val q = stream.writeStream
         .option("checkpointLocation", s"$outBase/ckpt")
@@ -4602,7 +4632,8 @@ object SparkEntry {
       // commit geometry on an empty frame; every row arrives by append
       graft.ops.Dedup.buildMinhashIndex(docs.where(lit(false)),
         "doc_id", "text", base, shingleN = 2, numHashes = 128, bands = 32)
-      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "documents",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val q = stream.writeStream
         .option("checkpointLocation", s"$base/ckpt")
@@ -4749,7 +4780,8 @@ object SparkEntry {
       val m = graft.ops.TokenizerStore.loadUnigram(s, s"$base/unigram")
       val outBase = java.nio.file.Files
         .createTempDirectory("graft_q219").toString
-      val stream = graft.sources.Tables.loadStream(s, tmp, "documents",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "documents",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val q = stream.writeStream
         .option("checkpointLocation", s"$outBase/ckpt")
@@ -6943,7 +6975,8 @@ object SparkEntry {
           .write.parquet(s"$base/events.parquet")
         base
       })
-      val stream = graft.sources.Tables.loadStream(s, tmp, "events",
+      val iso = streamReplaySession(s)
+      val stream = graft.sources.Tables.loadStream(iso, tmp, "events",
         Map("maxFilesPerTrigger" -> "1", "latestFirst" -> "false"))
       val sink = "q132_counts_sink"
       val q = graft.ops.Drift.windowedCounts(stream, col("ts"),
@@ -6951,13 +6984,13 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
-      val out = graft.ops.Drift.driftFromCounts(s.table(sink), "1 day")
+      val out = graft.ops.Drift.driftFromCounts(iso.table(sink), "1 day")
         .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
           round(col("js_div"), 6).as("js_div"),
           round(col("tv_dist"), 6).as("tv_dist"),
           col("n_prev"), col("n_cur"), col("vocab"))
         .orderBy("day")
-      s.sql(s"DROP TABLE IF EXISTS $sink")
+      iso.sql(s"DROP TABLE IF EXISTS $sink")
       out
     }),
 

@@ -219,6 +219,77 @@ object Packing {
       .drop("__g", "__o", "__t", "__v", "__bkt", "__lps", "__goff")
   }
 
+  /** [[groupedPrefixSumDec]] for SEVERAL value columns in one pass —
+    * `sums` maps each input column to its grouped-cumulative output.
+    * ONE range shuffle + ONE per-(partition, group) offsets collect
+    * serve every column ([[Survival.coxPH]] needs three per Newton
+    * round; three single-column calls would triple the actions).
+    * Offsets frame is bounded by (#groups + #partitions): within the
+    * (group, order, tie) range sort each group spans contiguous
+    * buckets. Decimal adds are exact, so the result is bit-identical
+    * to any other exact grouped cumulative of the same addends. */
+  def groupedPrefixSumsDec(df: DataFrame, group: Column, order: Column,
+      tie: Column, sums: Seq[(String, String)]): DataFrame = {
+    require(sums.nonEmpty, "nothing to compute")
+    val reserved = Seq("__g", "__o", "__t", "__bkt") ++
+      sums.indices.flatMap(i => Seq(s"__v$i", s"__lps$i", s"__goff$i"))
+    require(!df.columns.exists(reserved.contains),
+      s"input may not contain reserved columns ${reserved.mkString(", ")}")
+    val dec = "decimal(38,18)"
+    val nar = "decimal(37,18)"
+    val spark = df.sparkSession
+    var base = df.withColumn("__g", group).withColumn("__o", order)
+      .withColumn("__t", tie)
+    sums.zipWithIndex.foreach { case ((v, _), i) =>
+      base = base.withColumn(s"__v$i", col(v).cast(dec))
+    }
+    val parts = math.max(2,
+      spark.sessionState.conf.numShufflePartitions)
+    val ranged = base
+      .repartitionByRange(parts, col("__g"), col("__o"), col("__t"))
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint()
+    val gType = base.schema("__g").dataType
+    val aggs = sums.indices.map(i => sum(col(s"__v$i")).as(s"__t$i"))
+    val sizes = ranged.groupBy("__bkt", "__g")
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val byG = sizes.groupBy(_.get(1)).map { case (g, rows) =>
+      val sorted = rows.sortBy(_.getInt(0))
+      val accs = Array.fill(sums.size)(java.math.BigDecimal.ZERO)
+      g -> sorted.map { r =>
+        val offs = accs.clone()
+        sums.indices.foreach { i =>
+          accs(i) = accs(i).add(Option(r.getDecimal(i + 2))
+            .getOrElse(java.math.BigDecimal.ZERO))
+        }
+        r.getInt(0) -> offs
+      }.toMap
+    }
+    val offRows = byG.flatMap { case (g, offs) =>
+      offs.map { case (b, arr) =>
+        org.apache.spark.sql.Row.fromSeq(b +: g +: arr.toSeq)
+      }
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__bkt",
+        org.apache.spark.sql.types.IntegerType) +:
+      org.apache.spark.sql.types.StructField("__g", gType) +:
+      sums.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"__goff$i",
+          org.apache.spark.sql.types.DecimalType(38, 18))))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val w = Window.partitionBy(col("__bkt"), col("__g"))
+      .orderBy(col("__o"), col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var out = ranged.join(broadcast(offDf), Seq("__bkt", "__g"))
+    sums.zipWithIndex.foreach { case ((_, o), i) =>
+      out = out.withColumn(o, (sum(col(s"__v$i")).over(w).cast(nar)
+        + col(s"__goff$i").cast(nar)).cast(dec))
+    }
+    out.drop(reserved: _*)
+  }
+
   /** Cross-partition SUFFIX running minimum over a totally-ordered
     * frame: `outCol` = min of `valueCol` over all rows AT or AFTER
     * each row in `orderCols` order — the fold behind step-down

@@ -363,6 +363,13 @@ object Survival {
         c(u).as("u_final"))
     }
     if (n == 0 || nEvents == 0) return out(null, null, null)
+    if (strataCols.nonEmpty) {
+      // the maxStrata contract, checked once up front (it used to ride
+      // the per-iteration per-stratum totals job, now removed)
+      val ns = base.select(col("__s")).distinct()
+        .limit(maxStrata + 1).count()
+      require(ns <= maxStrata, s"more than maxStrata=$maxStrata strata")
+    }
     var beta = 0.0
     var info = Double.NaN
     var grad = Double.NaN
@@ -380,47 +387,16 @@ object Survival {
         gf.exact_sum(when(col("__e"), col("__x")).otherwise(lit(0.0)))
           .as("__sxe"))
         .withColumn("__nt", -col("__t"))
-      // one global (stratum, −t) prefix pass gives every stratum its
-      // suffix sums after subtracting the run-in of earlier strata —
-      // k strata totals collected (bounded), broadcast back
-      val cum = Packing.withPrefixSumsDec(cells, Seq("__s", "__nt"),
-        Seq("__s0" -> "__C0", "__s1" -> "__C1", "__s2" -> "__C2"))
-      val nar = "decimal(37,18)"
-      val perS = cells.groupBy(col("__s")).agg(
-          sum(col("__s0").cast(nar)).as("__t0"),
-          sum(col("__s1").cast(nar)).as("__t1"),
-          sum(col("__s2").cast(nar)).as("__t2"))
-        .orderBy(col("__s")).limit(maxStrata + 1).collect()
-      require(perS.length <= maxStrata,
-        s"more than maxStrata=$maxStrata strata")
-      var acc0 = java.math.BigDecimal.ZERO
-      var acc1 = java.math.BigDecimal.ZERO
-      var acc2 = java.math.BigDecimal.ZERO
-      val startRows = perS.map { r =>
-        val row = (r.getString(0), acc0, acc1, acc2)
-        acc0 = acc0.add(r.getDecimal(1)); acc1 = acc1.add(r.getDecimal(2))
-        acc2 = acc2.add(r.getDecimal(3))
-        row
-      }.toSeq
-      import scala.jdk.CollectionConverters._
-      val starts = spark.createDataFrame(startRows.map(s =>
-        org.apache.spark.sql.Row(s._1, s._2, s._3, s._4)).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("__s",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__b0",
-            org.apache.spark.sql.types.DataTypes
-              .createDecimalType(38, 18)),
-          org.apache.spark.sql.types.StructField("__b1",
-            org.apache.spark.sql.types.DataTypes
-              .createDecimalType(38, 18)),
-          org.apache.spark.sql.types.StructField("__b2",
-            org.apache.spark.sql.types.DataTypes
-              .createDecimalType(38, 18)))))
-      val suf = cum.join(broadcast(starts), Seq("__s"))
-        .withColumn("__S0", col("__C0") - col("__b0"))
-        .withColumn("__S1", col("__C1") - col("__b1"))
-        .withColumn("__S2", col("__C2") - col("__b2"))
+      // ONE grouped (stratum | −t) prefix pass gives every stratum its
+      // risk-set suffix sums directly — per-(partition, stratum) offsets
+      // collected once (bounded by #strata + #partitions), no separate
+      // per-stratum totals job, no run-in subtraction. Decimal adds are
+      // exact, so this is bit-identical to the former global-prefix +
+      // run-in formulation over the same addends. (r14 optimization:
+      // 4 actions/Newton round → 3, and one base scan instead of two.)
+      val suf = Packing.groupedPrefixSumsDec(cells.drop("__t"),
+        col("__s"), col("__nt"), lit(0L),
+        Seq("__s0" -> "__S0", "__s1" -> "__S1", "__s2" -> "__S2"))
       val s1r = col("__S1").cast("double") / col("__S0").cast("double")
       val ui = suf.where(col("__d") > 0).agg(
         gf.exact_sum(col("__sxe")

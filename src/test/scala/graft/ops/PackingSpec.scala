@@ -115,6 +115,34 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("groupedPrefixSumsDec: three-column grouped cumsum equals three " +
+      "single-column passes, partition-invariant") {
+    val rows = (0 until 200).map(i => ("g" + i % 3, i.toDouble,
+      math.log((i % 13 + 2).toDouble / (i % 13 + 3)),
+      math.exp(-(i % 7).toDouble), (i % 5).toDouble / 8))
+    val df = rows.toDF("g", "k", "v0", "v1", "v2")
+    val singles = Seq("v0", "v1", "v2").map { v =>
+      v -> Packing.groupedPrefixSumDec(df, col("g"), col("k"), lit(0L),
+          col(v), "cum")
+        .select("g", "k", "cum").collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDecimal(2))
+        .toMap
+    }.toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Packing.groupedPrefixSumsDec(df.repartition(parts),
+          col("g"), col("k"), lit(0L),
+          Seq("v0" -> "c0", "v1" -> "c1", "v2" -> "c2"))
+        .select("g", "k", "c0", "c1", "c2").collect()
+      got.foreach { r =>
+        val key = (r.getString(0), r.getDouble(1))
+        Seq(("v0", 2), ("v1", 3), ("v2", 4)).foreach { case (v, i) =>
+          assert(r.getDecimal(i).compareTo(singles(v)(key)) == 0,
+            s"key=$key col=$v parts=$parts")
+        }
+      }
+    }
+  }
+
   test("bucket auto-sizing: tiny inputs collapse to 2 buckets, exact anyway") {
     // the cap itself
     assert(Packing.effectiveBuckets(200, 7L) == 2)
