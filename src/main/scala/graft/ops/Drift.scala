@@ -223,7 +223,7 @@ object Drift {
     val cnts = df.where(cat.isNotNull && group.isNotNull)
       .groupBy(group.as("__g"), cat.as("__c"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val groups = cnts.select(col("__g")).distinct()
     val vocab = cnts.select(col("__c")).distinct()
     val v = vocab.count()
@@ -274,7 +274,7 @@ object Drift {
       .groupBy(cat.as("category"))
       .agg(count(when(isA, 1)).as("cnt_a"),
         count(when(!isA, 1)).as("cnt_b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // empty-frame sums are NULL under ANSI; an empty corpus is a valid
     // "no drift observed" input and must not throw
     val t = cnts.agg(coalesce(sum("cnt_a"), lit(0L)),
@@ -841,7 +841,7 @@ object Drift {
     val base = df.where(g.isNotNull && v.isNotNull)
       .select(g.as("__g"), v.as("__v"))
     val cells = base.groupBy(col("__g"), col("__v"))
-      .agg(count(lit(1)).as("__f")).localCheckpoint()
+      .agg(count(lit(1)).as("__f")).localCheckpoint(eager = false)
     val gTotals = cells.groupBy(col("__g"))
       .agg(sum(col("__f")).as("__n")).orderBy(col("__g"))
       .limit(maxGroups + 1).collect()
@@ -998,7 +998,7 @@ object Drift {
     val v = value.cast("double")
     val base = df.where(cat.isNotNull && v.isNotNull)
       .select(cat.cast("string").as("category"), v.as("__v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cells = base.groupBy(col("__v")).agg(count(lit(1)).as("__f"))
     val cum = Packing.withPrefixSumsLong(cells, Seq("__v"),
       sums = Seq("__f" -> "__c"), totals = Seq("__f" -> "__n"))
@@ -1097,7 +1097,7 @@ object Drift {
         gf.exact_sum(when(!a, w).otherwise(lit(0.0))).as("__wb"),
         gf.exact_sum(when(a, w * w).otherwise(lit(0.0))).as("__wa2"),
         gf.exact_sum(when(!a, w * w).otherwise(lit(0.0))).as("__wb2"))
-      .localCheckpoint() // reused: totals fold + cumulative pass
+      .localCheckpoint(eager = false) // reused: totals fold + cumulative pass
     val tot = cells.agg(gf.exact_sum(col("__wa")),
       gf.exact_sum(col("__wb")), gf.exact_sum(col("__wa2")),
       gf.exact_sum(col("__wb2"))).collect()(0)
@@ -1306,7 +1306,7 @@ object Drift {
     val base = df.where(g.isNotNull && v.isNotNull)
       .select(g.as("__g"), v.as("__v"))
     val cells = base.groupBy(col("__g"), col("__v"))
-      .agg(count(lit(1)).as("__f")).localCheckpoint()
+      .agg(count(lit(1)).as("__f")).localCheckpoint(eager = false)
     val gTotals = cells.groupBy(col("__g"))
       .agg(sum(col("__f")).as("__n")).orderBy(col("__g"))
       .limit(maxGroups + 1).collect()

@@ -591,7 +591,7 @@ object Eval {
       .agg(count(lit(1)).as("n"),
         gfn.exact_sum(col("__y")).as("__sy"),
         gfn.exact_sum(col("__y") * col("__y")).as("__syy"))
-      .localCheckpoint() // strata-sized; feeds the guard + both outputs
+      .localCheckpoint(eager = false) // strata-sized; feeds the guard + both outputs
     val unknown = got.join(
       weights.map(_._1).toDF("__h"), Seq("__h"), "left_anti")
       .select("__h").collect().map(_.getString(0))
@@ -1536,7 +1536,7 @@ object Eval {
         okB.isNotNull)
       .select(itemCol.as("__i"), systemCol.as("__s"),
         okB.cast("long").as("__ok"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val (items, k) = checkCompleteBlocks(cells)
     val perItem = cells.groupBy(col("__i"))
       .agg(sum(col("__ok")).as("__r"))
@@ -1583,7 +1583,7 @@ object Eval {
     val cells = df.where(itemCol.isNotNull && systemCol.isNotNull &&
         v.isNotNull)
       .select(itemCol.as("__i"), systemCol.as("__s"), v.as("__v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val (items, k) = checkCompleteBlocks(cells)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__i")).orderBy(col("__v"))
@@ -1650,7 +1650,7 @@ object Eval {
     val byG = df.where(s.isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(s.cast("long")).as("k"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val p = col("k").cast("double") / col("n").cast("double")
     val mom = byG.agg(count(lit(1)).as("g"),
       gf2.exact_sum(p).as("m1"), gf2.exact_sum(p * p).as("m2"),
@@ -1837,7 +1837,7 @@ object Eval {
     val cells = df.where(itemCol.isNotNull && s.isNotNull &&
         v.isNotNull)
       .select(itemCol.as("__i"), s.as("__s"), v.as("__v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val (items, k) = checkCompleteBlocks(cells)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__i")).orderBy(col("__v"))

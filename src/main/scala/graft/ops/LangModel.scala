@@ -33,8 +33,24 @@ object LangModel {
     * the shuffle carries only distinct grams per partition). The model is
     * vocabulary-bounded (≪ corpus), so score-side joins broadcast it. */
   def charNgramCounts(corpus: DataFrame, textCol: String, n: Int): DataFrame =
-    corpus.select(explode(charGrams(col(textCol), n)).as("gram"))
+    gramStream(corpus, textCol, n, Seq.empty)
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** Exploded n-gram stream: Generate over a position sequence + a
+    * codegen'd substr — identical gram multiset to
+    * `explode(charGrams(...))`, but the per-row gram ARRAY (built by a
+    * CodegenFallback higher-order transform, interpreted per element)
+    * is never materialized; docs shorter than n emit nothing either
+    * way. The public [[charGrams]] keeps the array form (it IS the
+    * product there); this is the hot-path twin (r14 optimization). */
+  private def gramStream(df: DataFrame, textCol: String, n: Int,
+      keep: Seq[Column]): DataFrame =
+    df.where(length(col(textCol)) >= n)
+      .select(keep ++ Seq(col(textCol).as("__txt"),
+        explode(sequence(lit(1), length(col(textCol)) - (n - 1)))
+          .as("__gi")): _*)
+      .select(keep :+ col("__txt").substr(col("__gi"), lit(n))
+        .as("gram"): _*)
 
   /** Score documents under a trained model: per-doc average of
     * ln((cnt(gram)+k) / (ctxTotal+k·V)) over the doc's n-grams, add-k
@@ -63,8 +79,7 @@ object LangModel {
       .agg(map_from_entries(collect_list(struct(
           substring(col("gram"), n, 1).as("k"), col("cnt").as("v")))).as("__m"),
         sum("cnt").as("__tot"))
-    val grams = corpus.select(col(idCol),
-      explode(charGrams(col(textCol), n)).as("gram"))
+    val grams = gramStream(corpus, textCol, n, Seq(col(idCol)))
     grams
       .join(broadcast(pre),
         substring(col("gram"), 1, n - 1) === col("__ctx"), "left")
@@ -82,7 +97,7 @@ object LangModel {
   def scoreSelf(corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 3, addK: Double = 0.5, vocabSize: Long = 128L): DataFrame =
     charNgramLogProb(corpus, idCol, textCol,
-      charNgramCounts(corpus, textCol, n).localCheckpoint(), n, addK,
+      charNgramCounts(corpus, textCol, n).localCheckpoint(eager = false), n, addK,
       vocabSize)
 
   /** Held-out per-group perplexity report — the standard quality-filter
@@ -105,7 +120,7 @@ object LangModel {
     val held = pmod(graft.api.functions.hash64(col(idCol)),
       lit(holdOutMod.toLong)) === 0L
     val model = charNgramCounts(corpus.where(!held), textCol, n)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val scored = charNgramLogProb(corpus.where(held), idCol, textCol,
       model, n, addK, vocabSize)
     scored
@@ -165,7 +180,7 @@ object LangModel {
     require(discount > 0 && discount < 1, "discount must be in (0, 1)")
     val bt = bigramStream(train, textCol, Seq.empty)
       .groupBy("u", "w").agg(count(lit(1)).as("cuw"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val ctx = bt.groupBy("u")
       .agg(sum("cuw").as("cu"), count(lit(1)).as("n1u"))
     val cont = bt.groupBy("w").agg(count(lit(1)).as("n1w"))

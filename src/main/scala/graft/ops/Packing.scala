@@ -126,7 +126,14 @@ object Packing {
     sums.zipWithIndex.foreach { case ((v, _), i) =>
       ranged = ranged.withColumn(s"__vd$i", col(v).cast(dec))
     }
-    ranged = ranged.localCheckpoint()
+    // eager=false: the offsets aggregate below is the first consumer and
+    // covers every partition, so it materializes the checkpoint as a side
+    // effect — an eager checkpoint would run the same upstream compute as
+    // a separate blocking job first (one extra pass per prefix call).
+    // spark_partition_id stays pinned: both consumers share ONE RDD and
+    // the range partitioner's boundaries are fixed at plan time. The same
+    // rationale applies to every `eager = false` site in this repo (r14).
+    ranged = ranged.localCheckpoint(eager = false)
     val aggs = sums.indices.map(i => sum(col(s"__vd$i")).as(s"__t$i"))
     val per = ranged.groupBy(col("__bkt"))
       .agg(aggs.head, aggs.tail: _*).collect()
@@ -183,7 +190,7 @@ object Packing {
     val ranged = base
       .repartitionByRange(parts, col("__g"), col("__o"), col("__t"))
       .withColumn("__bkt", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val gType = base.schema("__g").dataType
     val sizes = ranged.groupBy("__bkt", "__g")
       .agg(sum(col("__v")).as("s")).collect()
@@ -248,7 +255,7 @@ object Packing {
     val ranged = base
       .repartitionByRange(parts, col("__g"), col("__o"), col("__t"))
       .withColumn("__bkt", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val gType = base.schema("__g").dataType
     val aggs = sums.indices.map(i => sum(col(s"__v$i")).as(s"__t$i"))
     val sizes = ranged.groupBy("__bkt", "__g")
@@ -310,7 +317,7 @@ object Packing {
     val oc = orderCols.map(col)
     val ranged = df.repartitionByRange(parts, oc: _*)
       .withColumn("__bkt", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val per = ranged.groupBy(col("__bkt"))
       .agg(min(col(valueCol).cast("double")).as("__m")).collect()
     val mins: Array[Option[Double]] = Array.fill(parts)(None)
@@ -400,7 +407,7 @@ object Packing {
     val ranged = base
       .repartitionByRange(parts, col("__g"), col("__o"), col("__t"))
       .withColumn("__bkt", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val gType = base.schema("__g").dataType
     val sizes = ranged.groupBy("__bkt", "__g")
       .agg(coalesce(sum(col("__v")), lit(0L)).as("s")).collect()
@@ -471,7 +478,7 @@ object Packing {
     val oc = orderCols.map(col)
     val ranged = df.repartitionByRange(parts, oc: _*)
       .withColumn("__bkt", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val vals = (sums.map(_._1) ++ totals.map(_._1)).distinct
     val aggs = vals.map(v =>
       coalesce(sum(col(v).cast("long")), lit(0L)).as(s"__s_$v")) ++
@@ -543,7 +550,7 @@ object Packing {
     val vt = df.schema(valueCol).dataType
     val ranged = df.repartitionByRange(parts, oc: _*)
       .withColumn("__bkt", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // per partition: the value of its first (forward) / last (backward)
     // non-null row in order — struct min/max is lexicographic on
     // (orderCols…, value), and null structs (null value) are ignored
@@ -702,7 +709,7 @@ object Packing {
     // projection — ~20 bytes/row — so the (possibly text-wide) input is
     // scanned once here and once for the final join-back, never per class
     val narrow = df.select(col(idCol), t.as("__t"), cls.as("__cls"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // two tiers (Dedup.components precedent, identical results): below
     // smallInputRows one window pass partitioned by class does all the
     // ranks/cumsums (classes+1 partitions — fine for small frames, a
@@ -1000,7 +1007,7 @@ object Packing {
     // build a descending covering-sample range
     val withEos =
       (if (appendSep) withEos0 else withEos0.where(col("__n") > 0))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     val agg0 = withEos
       .agg(coalesce(sum(col("__n")), lit(0L)), count(lit(1))).head
     val total = c + agg0.getLong(0)

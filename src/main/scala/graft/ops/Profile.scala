@@ -259,7 +259,7 @@ object Profile {
       .where(col("__x").isNotNull && col("__y").isNotNull &&
         !isnan(col("__x")) && !isnan(col("__y")))
     val cellsDf = rows.groupBy(col("__x"), col("__y"))
-      .agg(count(lit(1)).as("__f")).localCheckpoint()
+      .agg(count(lit(1)).as("__f")).localCheckpoint(eager = false)
     val c = cellsDf.count()
     require(c <= maxCells,
       s"$c distinct (x, y) cells exceed maxCells=$maxCells — " +
@@ -288,7 +288,7 @@ object Profile {
         yCol.cast("double").as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull &&
         !isnan(col("__x")) && !isnan(col("__y")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val digests = rows.agg(
       gf.tdigest(col("__x"), lit(1.0), compression),
       gf.tdigest(col("__y"), lit(1.0), compression)).head()
@@ -788,7 +788,7 @@ object Profile {
     val obs = df.where(cat.isNotNull)
       .groupBy(cat.cast("string").as("category"))
       .agg(count(lit(1)).as("n_obs"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val stray = obs.select(col("category"))
       .where(!col("category").isin(expected.map(_._1): _*))
       .limit(5).collect().map(_.getString(0))

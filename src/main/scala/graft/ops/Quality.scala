@@ -180,7 +180,7 @@ object Quality {
     val ranged = base
       .repartitionByRange(parts, col("__g"), col("__o"), col("__t"))
       .withColumn("__bkt", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val gType = base.schema("__g").dataType
     val sizes = ranged.groupBy("__bkt", "__g")
       .agg(count(lit(1)).as("c")).collect()

@@ -576,7 +576,7 @@ object Robust {
     val base = df.where(groupCol.isNotNull && x.isNotNull &&
         y.isNotNull)
       .select(groupCol.as("group"), x.as("__x"), y.as("__y"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = base.groupBy(col("group")).agg(count(lit(1)).as("n"))
     val worst = sizes.agg(coalesce(max(col("n")), lit(0L)))
       .collect()(0).getLong(0)
@@ -641,7 +641,7 @@ object Robust {
     val cells = base.groupBy(col("__v"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__fa"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("__fb"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val m = cells.agg(
       coalesce(sum(col("__fa")), lit(0L)),
       coalesce(sum(col("__fb")), lit(0L)),

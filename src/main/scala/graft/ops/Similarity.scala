@@ -819,14 +819,24 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val wA = Window.partitionBy("a_id").orderBy(desc("cosine"), asc("b_id"))
     val wB = Window.partitionBy("b_id").orderBy(desc("cosine"), asc("a_id"))
+    // checkpoint: avgA, avgB and the margin join are THREE consumers of
+    // this frame — uncheckpointed, the scoring subtree (the quadratic
+    // cosine product in the brute arm) was evaluated three times (r14
+    // plan audit: 3× BroadcastNestedLoopJoin Cross in q151's plan, no
+    // reuse). Size is bounded by the CANDIDATE frame in the production
+    // (ANN) arm; only the truth arm pays a quadratic spill, and it is
+    // quadratic by design. eager=false: avgA's aggregate is the first,
+    // full-coverage consumer.
     val ranked = scored
       .withColumn("__ra", row_number().over(wA))
       .withColumn("__rb", row_number().over(wB))
+      .localCheckpoint(eager = false)
     val avgA = ranked.where(col("__ra") <= k)
       .groupBy("a_id").agg(avg(col("cosine")).as("__avgA"))
     val avgB = ranked.where(col("__rb") <= k)
       .groupBy("b_id").agg(avg(col("cosine")).as("__avgB"))
-    val m = scored.join(avgA, Seq("a_id")).join(avgB, Seq("b_id"))
+    val m = ranked.drop("__ra", "__rb")
+      .join(avgA, Seq("a_id")).join(avgB, Seq("b_id"))
       .where(col("__avgA") + col("__avgB") > 0)
       .withColumn("margin", round(col("cosine") /
         ((col("__avgA") + col("__avgB")) / 2), roundTo))
@@ -1187,15 +1197,22 @@ object Similarity {
     * the join is anchor-keyed and shuffles candidate rows once). */
   def tripletsFrom(scored: DataFrame, margin: Double): DataFrame = {
     require(margin > 0, "margin must be > 0")
+    // checkpoint: the positive pick and the negative pick are TWO
+    // consumers of the scored frame — uncheckpointed, the scoring
+    // subtree (anchors × corpus cosines in the brute arm) was evaluated
+    // twice (the marginPairsFrom plan-audit finding, r14). Bounded by
+    // the candidate frame in indexed use; eager=false — the positive
+    // pick's aggregate is the first, full-coverage consumer.
+    val sc = scored.localCheckpoint(eager = false)
     // deterministic argmax: max(struct(cosine, -id)) orders by cosine
     // then by LOWEST id among ties
-    val pos = scored.where(col("same_label"))
+    val pos = sc.where(col("same_label"))
       .groupBy("anchor_id")
       .agg(max(struct(col("cosine").as("c"), (-col("cand_id")).as("nid")))
         .as("__p"))
       .select(col("anchor_id"), col("__p.c").as("cos_pos"),
         (-col("__p.nid")).as("pos_id"))
-    val neg = scored.where(!col("same_label"))
+    val neg = sc.where(!col("same_label"))
       .join(pos, "anchor_id")
       .withColumn("__semi",
         (col("cosine") < col("cos_pos")) &&

@@ -345,7 +345,7 @@ object Survival {
     val base = df.where(t.isNotNull && e.isNotNull && x.isNotNull &&
         strataNotNull)
       .select(sKey.as("__s"), t.as("__t"), e.as("__e"), x.as("__x"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val head = base.agg(count(lit(1)).as("n"),
       coalesce(sum(col("__e").cast("long")), lit(0L)).as("d"),
       coalesce(max(abs(col("__x"))), lit(0.0)).as("xm")).collect()(0)

@@ -53,7 +53,7 @@ object Vocab {
     val ranged = counts
       .repartitionByRange(parts, col("n").desc, col("token"))
       .withColumn("__bkt", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = ranged.groupBy("__bkt").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxB = if (sizes.isEmpty) 0 else sizes.keys.max
