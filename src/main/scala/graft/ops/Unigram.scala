@@ -234,10 +234,14 @@ object Unigram {
       .select(explode(split(text, "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .distinct()
-      // no checkpoint: the word-TYPE table has exactly one consumer in
-      // this plan, and leaving it visible to AQE (instead of hiding it
-      // behind a stats-less LogicalRDD) measured ~0.2 s faster per
-      // encode at sf0.1 with identical rows (r14 optimization)
+      // LAZY checkpoint: no separate materialization job (the first
+      // evaluation computes it in-line), but gates that evaluate the
+      // encode output more than once (chunk family: packer + provenance
+      // + receipts) reuse the cached types instead of redoing the
+      // distinct per evaluation (r14: removing the checkpoint entirely
+      // regressed q242/q240 by ~1-2 s; the eager form wasted a blocking
+      // job on single-evaluation gates)
+      .localCheckpoint(eager = false)
     val spark = df.sparkSession
     import spark.implicits._
     val idMap = model.entries.map(e => (e.piece, e.id))
@@ -286,10 +290,14 @@ object Unigram {
       .select(explode(tokens).as("word"))
       .where(length(col("word")) > 0)
       .distinct()
-      // no checkpoint: the word-TYPE table has exactly one consumer in
-      // this plan, and leaving it visible to AQE (instead of hiding it
-      // behind a stats-less LogicalRDD) measured ~0.2 s faster per
-      // encode at sf0.1 with identical rows (r14 optimization)
+      // LAZY checkpoint: no separate materialization job (the first
+      // evaluation computes it in-line), but gates that evaluate the
+      // encode output more than once (chunk family: packer + provenance
+      // + receipts) reuse the cached types instead of redoing the
+      // distinct per evaluation (r14: removing the checkpoint entirely
+      // regressed q242/q240 by ~1-2 s; the eager form wasted a blocking
+      // job on single-evaluation gates)
+      .localCheckpoint(eager = false)
     val spark = df.sparkSession
     import spark.implicits._
     val idMap = model.entries.map(e => (e.piece, e.id))
