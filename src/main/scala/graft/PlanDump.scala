@@ -28,9 +28,12 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    gates.foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown gate $name"))
+    try gates.foreach { name =>
+      // resolve INSIDE the try: an unknown name must skip just this gate,
+      // not abort the remaining dumps (ADVICE r14)
       try {
+        val fn = SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown gate $name"))
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
@@ -39,7 +42,7 @@ object PlanDump {
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
       }
-    }
-    spark.stop()
+      graft.ops.CheckpointUtil.releaseAll(spark)
+    } finally spark.stop()
   }
 }

@@ -95,6 +95,10 @@ object Verify {
           .toDF("__verify_error")
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
+      // per-gate storage hygiene: same block-accumulation fix as Bench —
+      // a 380-gate dump in one JVM otherwise drags as checkpoint blocks
+      // pile into storage memory (round-14 VERDICT item 2)
+      graft.ops.CheckpointUtil.releaseAll(spark)
     }
     System.err.println(s"[verify] n_failed=$nFailed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -18,4 +18,27 @@ private[graft] object CheckpointUtil {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  // Unpersisting a locally-checkpointed RDD logs a WARN per RDD ("lineage
+  // has been truncated..."); a full-suite sweep frees thousands, so silence
+  // that one logger once (root level stays WARN).
+  private lazy val quietRddLogs: Unit =
+    try org.apache.logging.log4j.core.config.Configurator
+      .setLevel("org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  /** Suite-level storage hygiene: drop EVERY persisted RDD still registered
+    * with the context. localCheckpoint blocks are MEMORY_AND_DISK and are
+    * otherwise freed only when a full GC lets the ContextCleaner notice the
+    * RDD is unreachable — a 380-gate suite in one JVM accumulates two reps'
+    * worth of blocks per gate until storage pressure evicts execution memory
+    * (round-14: q51–q57 ran 5–11× slower at the END of the 32-core sweep but
+    * were normal at 8 cores and normal in isolation). Safe between gates:
+    * every cross-gate memo in SparkEntry is a disk path or plain value,
+    * never a DataFrame, so nothing re-reads a freed block. */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    quietRddLogs
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -819,24 +819,24 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val wA = Window.partitionBy("a_id").orderBy(desc("cosine"), asc("b_id"))
     val wB = Window.partitionBy("b_id").orderBy(desc("cosine"), asc("a_id"))
-    // checkpoint: avgA, avgB and the margin join are THREE consumers of
-    // this frame — uncheckpointed, the scoring subtree (the quadratic
-    // cosine product in the brute arm) was evaluated three times (r14
-    // plan audit: 3× BroadcastNestedLoopJoin Cross in q151's plan, no
-    // reuse). Size is bounded by the CANDIDATE frame in the production
-    // (ANN) arm; only the truth arm pays a quadratic spill, and it is
-    // quadratic by design. eager=false: avgA's aggregate is the first,
-    // full-coverage consumer.
-    val ranked = scored
+    // ONE streamed evaluation, zero joins, zero checkpoint: each side's
+    // top-k neighborhood mean rides a window over the SAME partitions as
+    // its rank (avg of the rank-gated cosine — nulls outside the top-k
+    // are ignored, and rank 1 always exists, so the mean is never null).
+    // History: r13 re-evaluated the scoring subtree once per consumer
+    // (3× BroadcastNestedLoopJoin Cross in q151's plan); r14 checkpointed
+    // it, which materializes the QUADRATIC brute-arm frame into block
+    // storage — 2× slower at sf0.1 (driver bench) and a job-killer at
+    // 100 TB. The window form needs only the two exchanges the ranks
+    // already paid (the unordered mean windows reuse the rank windows'
+    // partitioning AND sort order) and keeps nothing.
+    val m = scored
       .withColumn("__ra", row_number().over(wA))
+      .withColumn("__avgA", avg(when(col("__ra") <= k, col("cosine")))
+        .over(Window.partitionBy("a_id")))
       .withColumn("__rb", row_number().over(wB))
-      .localCheckpoint(eager = false)
-    val avgA = ranked.where(col("__ra") <= k)
-      .groupBy("a_id").agg(avg(col("cosine")).as("__avgA"))
-    val avgB = ranked.where(col("__rb") <= k)
-      .groupBy("b_id").agg(avg(col("cosine")).as("__avgB"))
-    val m = ranked.drop("__ra", "__rb")
-      .join(avgA, Seq("a_id")).join(avgB, Seq("b_id"))
+      .withColumn("__avgB", avg(when(col("__rb") <= k, col("cosine")))
+        .over(Window.partitionBy("b_id")))
       .where(col("__avgA") + col("__avgB") > 0)
       .withColumn("margin", round(col("cosine") /
         ((col("__avgA") + col("__avgB")) / 2), roundTo))
@@ -1197,34 +1197,34 @@ object Similarity {
     * the join is anchor-keyed and shuffles candidate rows once). */
   def tripletsFrom(scored: DataFrame, margin: Double): DataFrame = {
     require(margin > 0, "margin must be > 0")
-    // checkpoint: the positive pick and the negative pick are TWO
-    // consumers of the scored frame — uncheckpointed, the scoring
-    // subtree (anchors × corpus cosines in the brute arm) was evaluated
-    // twice (the marginPairsFrom plan-audit finding, r14). Bounded by
-    // the candidate frame in indexed use; eager=false — the positive
-    // pick's aggregate is the first, full-coverage consumer.
-    val sc = scored.localCheckpoint(eager = false)
+    // ONE streamed evaluation, zero joins, zero checkpoint: the positive
+    // pick rides a window over the SAME anchor partitions the negative
+    // aggregation groups by, so the scored frame (quadratic in the brute
+    // arm) crosses a single exchange and keeps nothing. History: r13
+    // evaluated the subtree once per pick; r14 checkpointed it (block
+    // storage of the quadratic frame — the VERDICT-flagged scale trap).
+    // max(struct(...)) aggregation is exact (no FP-order sensitivity),
+    // so results are bit-identical to the two-pick + join formulation:
+    // anchors lacking a same-label peer have a null __p and drop (the
+    // old inner join), anchors lacking a different-label peer produce
+    // no group row (the old neg aggregation).
     // deterministic argmax: max(struct(cosine, -id)) orders by cosine
     // then by LOWEST id among ties
-    val pos = sc.where(col("same_label"))
-      .groupBy("anchor_id")
-      .agg(max(struct(col("cosine").as("c"), (-col("cand_id")).as("nid")))
-        .as("__p"))
-      .select(col("anchor_id"), col("__p.c").as("cos_pos"),
-        (-col("__p.nid")).as("pos_id"))
-    val neg = sc.where(!col("same_label"))
-      .join(pos, "anchor_id")
+    val withPos = scored.withColumn("__p",
+      max(when(col("same_label"),
+        struct(col("cosine").as("c"), (-col("cand_id")).as("nid"))))
+        .over(Window.partitionBy("anchor_id")))
+    withPos.where(!col("same_label") && col("__p").isNotNull)
       .withColumn("__semi",
-        (col("cosine") < col("cos_pos")) &&
-          (col("cosine") > col("cos_pos") - lit(margin)))
+        (col("cosine") < col("__p.c")) &&
+          (col("cosine") > col("__p.c") - lit(margin)))
       .groupBy("anchor_id")
-      .agg(max(struct(col("__semi").as("s"), col("cosine").as("c"),
-        (-col("cand_id")).as("nid"))).as("__n"))
-      .select(col("anchor_id"), col("__n.s").as("semi_hard"),
-        col("__n.c").as("cos_neg"), (-col("__n.nid")).as("neg_id"))
-    pos.join(neg, "anchor_id")
-      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
-        col("cos_pos"), col("cos_neg"), col("semi_hard"))
+      .agg(max(col("__p")).as("__pp"),
+        max(struct(col("__semi").as("s"), col("cosine").as("c"),
+          (-col("cand_id")).as("nid"))).as("__n"))
+      .select(col("anchor_id"), (-col("__pp.nid")).as("pos_id"),
+        (-col("__n.nid")).as("neg_id"), col("__pp.c").as("cos_pos"),
+        col("__n.c").as("cos_neg"), col("__n.s").as("semi_hard"))
   }
 
   /** `(id, bag)` rows where each token vector is paired with its
